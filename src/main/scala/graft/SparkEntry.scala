@@ -1,13 +1,235 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model._
+import graft.olap.{AggregateService, Cut, Drilldown}
+import graft.time.TimeScope
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query below is one row of the SURVEY.md §2.6 conformance
+  * inventory; the qNN queries exercise the OLAP library (cut / drilldown /
+  * aggregate compiler) and the xNN queries the scale-extension operators.
+  *
+  * Numeric discipline for oracle hash-parity: money doubles in the testdata
+  * are exact 2-decimal values, so both engines sum them as DECIMAL(18,2)
+  * (exact, order-independent) and cast the final aggregate to DOUBLE —
+  * bit-identical results regardless of partition order.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---------------------------------------------------------------- helpers
+
+  private val D = DecimalType(18, 2)
+
+  /** Exact money sum: SUM(CAST(c AS DECIMAL(18,2))) cast back to double. */
+  private def moneySum(c: String): Column = sum(col(c).cast(D)).cast("double")
+
+  /** Exact average rounded to 6 dp, computed as decimal-sum / count in
+    * double — the same expression the oracle uses. */
+  private def avg6(c: String): Column =
+    round(sum(col(c).cast(D)).cast("double") / count(lit(1)), 6)
+
+  private def countAll: Column = count(lit(1))
+
+  private def li(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "lineitem")
+  private def ord(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "orders")
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "events")
+
+  /** Orders enriched with materialized date-dimension level columns — the
+    * OPL fact-table shape (time levels are physical columns, SURVEY §1.3). */
+  private def ordDated(s: SparkSession, dir: String): DataFrame =
+    ord(s, dir)
+      .withColumn("year", year(col("o_orderdate")).cast("long"))
+      .withColumn("month", month(col("o_orderdate")).cast("long"))
+      .withColumn("day", dayofmonth(col("o_orderdate")).cast("long"))
+
+  private val dateDim = Dimension("date",
+    Seq(Level("year", "year"), Level("month", "month"), Level("day", "day")),
+    Seq(Hierarchy("ymd", Seq("year", "month", "day"))))
+
+  private def liMeta(ms: Measure*) = FactMeta("lineitem",
+    Seq(Dimension.flat("l_returnflag"), Dimension.flat("l_linestatus")), ms)
+
+  private def ordMeta(ms: Measure*) = FactMeta("orders",
+    Seq(Dimension.flat("o_custkey"), dateDim), ms)
+
+  private def mExpr(name: String, e: Column) =
+    Measure(name, name, AggregateFn.Sum, Some(e))
+
+  private def olap(fact: DataFrame, meta: FactMeta, cut: String = null,
+      drill: String = null): DataFrame =
+    AggregateService.aggregate(fact, meta,
+      AggregateService.Request.fromParams(Option(cut), Option(drill), None))
+
+  // ---------------------------------------------------------------- contract
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The F9 star join + drilldown (SURVEY §2.6 Q19). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q19")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A2 global aggregates
+    "q01" -> ((s, d) => olap(li(s, d), liMeta(mExpr("value", moneySum("l_extendedprice"))))),
+    "q02" -> ((s, d) => olap(li(s, d), liMeta(mExpr("value", avg6("l_quantity"))))),
+    "q03" -> ((s, d) => olap(li(s, d), liMeta(mExpr("value", countAll)))),
+    // A3 multi-measure
+    "q04" -> ((s, d) => olap(li(s, d), liMeta(
+      mExpr("revenue", moneySum("l_extendedprice")),
+      mExpr("avg_disc", avg6("l_discount")),
+      mExpr("ct", countAll)))),
+    // P1/P2 point slice & dice
+    "q05" -> ((s, d) => olap(li(s, d), liMeta(mExpr("value", countAll)),
+      cut = "l_returnflag:R")),
+    "q06" -> ((s, d) => olap(li(s, d), liMeta(mExpr("value", countAll)),
+      cut = "l_returnflag:R|l_linestatus:F")),
+    // P3/P4/P5 ranges & sets
+    "q07" -> ((s, d) => olap(ord(s, d), ordMeta(mExpr("value", moneySum("o_totalprice"))),
+      cut = "o_custkey:1-120")),
+    "q08" -> ((s, d) => olap(ord(s, d), ordMeta(mExpr("value", moneySum("o_totalprice"))),
+      cut = "o_custkey:23-")),
+    "q09" -> ((s, d) => olap(ord(s, d), ordMeta(mExpr("value", moneySum("o_totalprice"))),
+      cut = "o_custkey:23;50")),
+    // P6/P7 hierarchical point & range
+    "q10" -> ((s, d) => olap(ordDated(s, d), ordMeta(mExpr("value", countAll)),
+      cut = "date:1996,10")),
+    "q11" -> ((s, d) => olap(ordDated(s, d), ordMeta(mExpr("value", countAll)),
+      cut = "date:1996,10-1997,02")),
+    // A4-A9 drilldowns
+    "q12" -> ((s, d) => olap(ordDated(s, d), ordMeta(mExpr("value", moneySum("o_totalprice"))),
+      drill = "date")),
+    "q13" -> ((s, d) => olap(ordDated(s, d), ordMeta(mExpr("value", countAll)),
+      cut = "date:1996", drill = "date:year|date:month")),
+    "q14" -> ((s, d) => olap(li(s, d), liMeta(
+      mExpr("qty", moneySum("l_quantity")), mExpr("ct", countAll)),
+      drill = "l_returnflag|l_linestatus")),
+    // F2 CASE bucketing — the OPL fact-query SQL surface runs via spark.sql
+    "q15" -> ((s, d) => { Tables.register(s, d); s.sql(
+      """SELECT CASE WHEN o_totalprice >= 300000 THEN 'hi'
+        |            WHEN o_totalprice >= 150000 THEN 'mid'
+        |            WHEN o_totalprice >= 0 THEN 'lo' ELSE 'n/a' END AS bucket,
+        |       COUNT(*) AS value
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) }),
+    // F5/F6 rolling 12-month window
+    "q16" -> ((s, d) => { Tables.register(s, d); s.sql(
+      """SELECT COUNT(*) AS value FROM orders
+        |WHERE o_orderdate > TIMESTAMP '1998-08-01 00:00:00' - INTERVAL '12' MONTH"""
+        .stripMargin) }),
+    // §1.3 time-scope enrichment over event time
+    "q17" -> ((s, d) => olap(
+      ev(s, d)
+        .withColumn("year", year(col("ts")).cast("long"))
+        .withColumn("month", month(col("ts")).cast("long"))
+        .withColumn("day", TimeScope.dayOfYearCol(col("ts"))),
+      FactMeta("events", Seq(dateDim), Seq(mExpr("value", countAll))),
+      drill = "date:day")),
+    // S10 idempotency probe shape
+    "q18" -> ((s, d) => ev(s, d)
+      .filter(col("event_type") === "purchase" &&
+        to_date(col("ts")) === to_date(lit("2024-01-15")))
+      .agg(countAll.as("ct"))),
+    // F9 star join + drilldown
+    "q19" -> ((s, d) => {
+      val l = li(s, d); val o = ord(s, d)
+      val c = Tables.load(s, d, "customer"); val n = Tables.load(s, d, "nation")
+      val r = Tables.load(s, d, "region")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(r("r_name"), year(o("o_orderdate")).cast("long").as("year"))
+        .agg(round(sum(l("l_extendedprice").cast(D) * (lit(1) - l("l_discount").cast(D))), 2)
+          .cast("double").as("revenue"))
+        .orderBy(col("r_name"), col("year"))
+    }),
+    // F9 left join + A10 attributes
+    "q20" -> ((s, d) => {
+      val c = Tables.load(s, d, "customer"); val o = ord(s, d)
+      val n = Tables.load(s, d, "nation")
+      c.join(o, o("o_custkey") === c("c_custkey"), "left")
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name"), c("c_mktsegment"))
+        .agg(count(o("o_orderkey")).as("ct"))
+        .orderBy(col("n_name"), col("c_mktsegment"))
+    }),
+    // F8 probe
+    "q21" -> ((s, d) => Tables.load(s, d, "region")
+      .select(col("r_regionkey"), col("r_name"))
+      .orderBy(col("r_regionkey")).limit(1)),
+    // S2/JSON extraction
+    "q22" -> ((s, d) => ev(s, d).agg(
+      countAll.as("ct"),
+      sum(get_json_object(col("props"), "$.k").cast("long")).as("s"))),
+    // S7 schema evolution: union-by-name with null fill
+    "q23" -> ((s, d) => {
+      val o = ord(s, d)
+      val a = o.select(lit("a").as("src"), col("o_orderkey"))
+      val b = o.select(lit("b").as("src"), col("o_orderkey"), col("o_totalprice").as("extra"))
+      graft.snapshot.SchemaEvolution.unionEvolve(a, b)
+        .groupBy(col("src"))
+        .agg(countAll.as("ct"), count(col("extra")).as("ct_extra"))
+        .orderBy(col("src"))
+    }),
+    // S14 empty-cut convention (count over empty match)
+    "q24" -> ((s, d) => olap(ord(s, d), ordMeta(mExpr("value", countAll)),
+      cut = "o_custkey:0")),
+    // §1.3 week label over event time
+    "q25" -> ((s, d) => ev(s, d)
+      .select(TimeScope.weekLabelCol(col("ts")).as("wk"))
+      .agg(min(col("wk")).as("first_wk"), max(col("wk")).as("last_wk"),
+        countDistinct(col("wk")).as("n"))),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01" -> "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value FROM lineitem",
+    "q02" -> "SELECT ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS value FROM lineitem",
+    "q03" -> "SELECT COUNT(*) AS value FROM lineitem",
+    "q04" -> ("SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
+      "ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc, " +
+      "COUNT(*) AS ct FROM lineitem"),
+    "q05" -> "SELECT COUNT(*) AS value FROM lineitem WHERE l_returnflag = 'R'",
+    "q06" -> "SELECT COUNT(*) AS value FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F'",
+    "q07" -> "SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value FROM orders WHERE o_custkey BETWEEN 1 AND 120",
+    "q08" -> "SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value FROM orders WHERE o_custkey >= 23",
+    "q09" -> "SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value FROM orders WHERE o_custkey IN (23, 50)",
+    "q10" -> "SELECT COUNT(*) AS value FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996 AND EXTRACT(MONTH FROM o_orderdate) = 10",
+    "q11" -> ("SELECT COUNT(*) AS value FROM orders WHERE " +
+      "(EXTRACT(YEAR FROM o_orderdate) > 1996 OR (EXTRACT(YEAR FROM o_orderdate) = 1996 AND EXTRACT(MONTH FROM o_orderdate) >= 10)) AND " +
+      "(EXTRACT(YEAR FROM o_orderdate) < 1997 OR (EXTRACT(YEAR FROM o_orderdate) = 1997 AND EXTRACT(MONTH FROM o_orderdate) <= 2))"),
+    "q12" -> "SELECT EXTRACT(YEAR FROM o_orderdate) AS year, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value FROM orders GROUP BY 1 ORDER BY 1",
+    "q13" -> "SELECT EXTRACT(YEAR FROM o_orderdate) AS year, EXTRACT(MONTH FROM o_orderdate) AS month, COUNT(*) AS value FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996 GROUP BY 1,2 ORDER BY 1,2",
+    "q14" -> ("SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty, " +
+      "COUNT(*) AS ct FROM lineitem GROUP BY 1,2 ORDER BY 1,2"),
+    "q15" -> ("SELECT CASE WHEN o_totalprice >= 300000 THEN 'hi' WHEN o_totalprice >= 150000 THEN 'mid' " +
+      "WHEN o_totalprice >= 0 THEN 'lo' ELSE 'n/a' END AS bucket, COUNT(*) AS value FROM orders GROUP BY 1 ORDER BY 1"),
+    "q16" -> "SELECT COUNT(*) AS value FROM orders WHERE o_orderdate > TIMESTAMP '1998-08-01 00:00:00' - INTERVAL '12' MONTH",
+    "q17" -> ("SELECT EXTRACT(YEAR FROM ts) AS year, EXTRACT(MONTH FROM ts) AS month, DAYOFYEAR(ts) AS day, " +
+      "COUNT(*) AS value FROM events GROUP BY 1,2,3 ORDER BY 1,2,3"),
+    "q18" -> "SELECT COUNT(*) AS ct FROM events WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-15'",
+    "q19" -> ("SELECT r.r_name, EXTRACT(YEAR FROM o.o_orderdate) AS year, " +
+      "CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue " +
+      "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+      "JOIN customer c ON o.o_custkey = c.c_custkey " +
+      "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+      "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1,2 ORDER BY 1,2"),
+    "q20" -> ("SELECT n.n_name, c.c_mktsegment, COUNT(o.o_orderkey) AS ct FROM customer c " +
+      "LEFT JOIN orders o ON o.o_custkey = c.c_custkey " +
+      "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1,2 ORDER BY 1,2"),
+    "q21" -> "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey LIMIT 1",
+    "q22" -> "SELECT COUNT(*) AS ct, CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS s FROM events",
+    "q23" -> ("SELECT src, COUNT(*) AS ct, COUNT(extra) AS ct_extra FROM (" +
+      "SELECT 'a' AS src, o_orderkey, NULL AS extra FROM orders UNION ALL " +
+      "SELECT 'b' AS src, o_orderkey, o_totalprice AS extra FROM orders) t GROUP BY 1 ORDER BY 1"),
+    "q24" -> "SELECT COUNT(*) AS value FROM orders WHERE o_custkey = 0",
+    "q25" -> ("SELECT MIN(wk) AS first_wk, MAX(wk) AS last_wk, CAST(COUNT(DISTINCT wk) AS BIGINT) AS n FROM (" +
+      "SELECT 'Y' || CAST(EXTRACT(ISOYEAR FROM ts) AS VARCHAR) || '-W' || " +
+      "LPAD(CAST(EXTRACT(WEEK FROM ts) AS VARCHAR), 2, '0') AS wk FROM events) t"),
+  )
 }

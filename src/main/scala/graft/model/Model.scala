@@ -1,0 +1,105 @@
+package graft.model
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** OLAP metadata model, mirroring the reference's `<factName>.json` API
+  * metadata (reference: api-library-olap/README.md:96-161) and
+  * `olapSettings.json` (reference: library_olap/README.md:25-36).
+  *
+  * Dimensions/levels/hierarchies are pure metadata: levels are ordinary
+  * columns of the fact DataFrame, so the compiled query is plain Catalyst
+  * filters/aggregates and the optimizer sees through everything.
+  */
+
+/** Aggregate-function catalog. The reference's complete set is sum/avg/count
+  * (api-library-olap/README.md:138-150). */
+sealed abstract class AggregateFn(val name: String) {
+  def apply(c: Column): Column
+}
+object AggregateFn {
+  case object Sum extends AggregateFn("sum") { def apply(c: Column): Column = sum(c) }
+  case object Avg extends AggregateFn("avg") { def apply(c: Column): Column = avg(c) }
+  case object Count extends AggregateFn("count") { def apply(c: Column): Column = count(c) }
+  val all: Seq[AggregateFn] = Seq(Sum, Avg, Count)
+  def byName(n: String): AggregateFn =
+    all.find(_.name == n.toLowerCase).getOrElse(
+      throw new IllegalArgumentException(s"unknown aggregate function: $n"))
+}
+
+/** One level of a dimension hierarchy. `column` is the physical fact-table
+  * column; `attributes` are companion columns functionally dependent on the
+  * level key (reference: Codice.gs:84-106,284-294), carried through grouping. */
+final case class Level(name: String, column: String, attributes: Seq[String] = Nil)
+
+/** Named ordered list of level names, coarse -> fine
+  * (reference: api-library-olap/README.md:112-129). */
+final case class Hierarchy(name: String, order: Seq[String])
+
+/** A dimension: flat (one implicit level) or hierarchical. */
+final case class Dimension(
+    name: String,
+    levels: Seq[Level],
+    hierarchies: Seq[Hierarchy] = Nil) {
+
+  def isFlat: Boolean = hierarchies.isEmpty && levels.size == 1
+
+  private val byName: Map[String, Level] = levels.map(l => l.name -> l).toMap
+
+  def level(n: String): Level =
+    byName.getOrElse(n, throw new IllegalArgumentException(
+      s"dimension $name has no level $n"))
+
+  /** Default hierarchy = first declared, else declaration order of levels. */
+  def defaultOrder: Seq[Level] =
+    hierarchies.headOption.map(_.order.map(level)).getOrElse(levels)
+}
+
+object Dimension {
+  /** Flat dimension over a single column (e.g. `loan_type`). */
+  def flat(name: String, column: String = null): Dimension = {
+    val col = Option(column).getOrElse(name)
+    Dimension(name, Seq(Level(name, col)))
+  }
+}
+
+/** A measure: dependent variable + default aggregate
+  * (reference: api-library-olap/README.md:131-137). `expr` optionally
+  * overrides the full aggregate expression (used where the engine needs
+  * exact-arithmetic variants, e.g. decimal-cast money sums). */
+final case class Measure(
+    name: String,
+    column: String,
+    default: AggregateFn = AggregateFn.Sum,
+    expr: Option[Column] = None) {
+
+  /** The aggregate Column for this measure under function `fn`. */
+  def aggregate(fn: AggregateFn): Column =
+    expr.getOrElse(fn(col(column))).as(name)
+}
+
+/** Complete metadata for one fact table: the rebuild's analog of the
+  * `<factName>.json` file (reference: api-library-olap/README.md:90-161).
+  * `mappings` translate logical API names to physical columns
+  * (reference: api-library-olap/README.md:151-160). */
+final case class FactMeta(
+    name: String,
+    dimensions: Seq[Dimension],
+    measures: Seq[Measure],
+    mappings: Map[String, String] = Map.empty) {
+
+  private val dimByName = dimensions.map(d => d.name -> d).toMap
+  private val measureByName = measures.map(m => m.name -> m).toMap
+
+  def dimension(n: String): Dimension =
+    dimByName.getOrElse(n, throw new IllegalArgumentException(
+      s"fact $name has no dimension $n"))
+
+  def measure(n: String): Measure =
+    measureByName.getOrElse(n, throw new IllegalArgumentException(
+      s"fact $name has no measure $n"))
+
+  /** Physical column for a logical name (identity when unmapped). */
+  def physical(logical: String): String =
+    mappings.get(logical).map(_.split('.').last).getOrElse(logical)
+}

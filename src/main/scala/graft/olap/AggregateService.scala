@@ -1,0 +1,59 @@
+package graft.olap
+
+import graft.model.{AggregateFn, FactMeta}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Compiles an OLAP aggregate request (the `/aggregate` endpoint,
+  * reference: api-library-olap/README.md:14-88 + SURVEY.md §3.2) into a
+  * single declarative DataFrame pipeline:
+  *
+  *   fact.filter(cut).groupBy(levels).agg(measures).orderBy(levels)
+  *
+  * Everything is plain Catalyst — filters push to the parquet scan, the
+  * grouping is partial/final hash aggregation, and deterministic ORDER BY on
+  * the group keys stabilizes output for hashing/rendering (the reference API
+  * defines no ordering; SURVEY.md §2.5 "Sorts").
+  */
+object AggregateService {
+
+  /** A parsed aggregate request. `measures` empty = all declared measures
+    * (reference default, api-library-olap/README.md:21-23). `aggregates`
+    * optionally overrides the per-measure default function by name. */
+  final case class Request(
+      cuts: Seq[Cut.DimCut] = Nil,
+      drilldowns: Seq[Drilldown.Spec] = Nil,
+      measures: Seq[String] = Nil,
+      aggregates: Map[String, String] = Map.empty)
+
+  object Request {
+    /** Build from raw URL-style parameter strings. */
+    def fromParams(cut: Option[String], drilldown: Option[String],
+        measure: Option[String]): Request = Request(
+      cuts = cut.map(Cut.parse).getOrElse(Nil),
+      drilldowns = drilldown.map(Drilldown.parse).getOrElse(Nil),
+      measures = measure.map(_.split('|').toSeq.filter(_.nonEmpty)).getOrElse(Nil))
+  }
+
+  def aggregate(fact: DataFrame, meta: FactMeta, req: Request): DataFrame = {
+    val predicate = Cut.compile(req.cuts, meta, fact.schema)
+    val cut = if (req.cuts.isEmpty) fact else fact.filter(predicate)
+
+    val measureNames = if (req.measures.nonEmpty) req.measures else meta.measures.map(_.name)
+    val measureCols: Seq[Column] = measureNames.map { n =>
+      val m = meta.measure(n)
+      val fn = req.aggregates.get(n).map(AggregateFn.byName).getOrElse(m.default)
+      m.aggregate(fn)
+    }
+
+    val resolved = Drilldown.resolve(req.drilldowns, req.cuts, meta)
+    val groupCols = resolved.flatMap(_.columns(meta)).distinct
+
+    if (groupCols.isEmpty) cut.agg(measureCols.head, measureCols.tail: _*) // A1 global
+    else cut
+      .groupBy(groupCols.map(col): _*)
+      .agg(measureCols.head, measureCols.tail: _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+}

@@ -1,0 +1,144 @@
+package graft.snapshot
+
+import java.time.LocalDate
+
+import graft.time.TimeScope
+import graft.time.TimeScope.{Cron, Scope}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The snapshot ETL lifecycle (reference: library_olap/OLAP.php:296-374,
+  * traced in SURVEY.md §3.1), re-expressed as one declarative Spark job per
+  * fact query:
+  *
+  *   source query -> time-field injection -> idempotency anti-probe ->
+  *   schema-evolving append to a year-partitioned parquet fact table.
+  *
+  * No per-row driver traffic (the reference's scalability ceiling was its
+  * row-at-a-time PHP copy loop, OLAP.php:373-374).
+  */
+object SnapshotJob {
+
+  /** One configured fact query (reference: library_olap/README.md:32-36). */
+  sealed trait Source
+  /** SQL text executed against the session catalog (or JDBC-registered
+    * views); `@date` is substituted with the pivot date (S11,
+    * OLAP.php:338-339). */
+  final case class SqlSource(sql: String) extends Source
+  /** External command emitting a JSON array of objects on stdout; the pivot
+    * date is passed as the last argv (S2, OLAP.php:73-79,344-348). */
+  final case class ScriptSource(command: String) extends Source
+
+  final case class FactQuery(queryId: Long, enabled: Boolean, source: Source,
+      info: String = "")
+
+  final case class FactConfig(name: String, cron: Cron,
+      queries: Seq[FactQuery], label: String = "", info: String = "")
+
+  final case class Settings(facts: Seq[FactConfig])
+
+  /** Names and order of the injected time fields — injected first, like the
+    * reference's sink DDL (OLAP.php:356-365). */
+  val timeFields: Seq[String] =
+    Seq("queryId", "year", "month", "week", "day", "executionDate")
+
+  /** `@date` substitution (S11): strip CRs, replace `@date` with the quoted
+    * pivot date (OLAP.php:338-339). */
+  def substitute(sql: String, pivot: LocalDate): String =
+    sql.replace("\r", "").replace("@date", s"DATE '$pivot'")
+
+  /** Run a script source: pivot date as trailing argument, stdout parsed as
+    * a JSON array of flat objects, schema inferred (S9) with the reference's
+    * first-row date-sniff promoting parseable strings to timestamp. */
+  def runScript(spark: SparkSession, command: String, pivot: LocalDate): DataFrame = {
+    import scala.sys.process._
+    val out = s"$command $pivot".!!
+    readJsonRows(spark, out)
+  }
+
+  /** Parse a JSON array-of-objects string into a DataFrame, then promote
+    * date-parseable string columns to timestamp — mirroring the reference's
+    * first-row-only inference (OLAP.php:251-285) but sampling properly. */
+  def readJsonRows(spark: SparkSession, json: String): DataFrame = {
+    import spark.implicits._
+    // spark.read.json over an in-memory dataset; each element one JSON doc
+    val ds = spark.createDataset(Seq(json))
+    val df = spark.read.option("multiLine", "true").json(ds)
+    promoteDateStrings(df)
+  }
+
+  private val dateLike = "^\\d{4}-\\d{2}-\\d{2}([ T]\\d{2}:\\d{2}(:\\d{2})?)?$".r
+
+  def promoteDateStrings(df: DataFrame): DataFrame = {
+    val first = df.limit(1).collect().headOption
+    first match {
+      case None => df
+      case Some(row) =>
+        val promote = df.schema.fields.zipWithIndex.collect {
+          case (f, i) if f.dataType == org.apache.spark.sql.types.StringType &&
+            row.get(i) != null && dateLike.matches(row.getString(i)) => f.name
+        }.toSet
+        if (promote.isEmpty) df
+        else df.select(df.columns.map { c =>
+          if (promote(c)) to_timestamp(col(c)).as(c) else col(c)
+        }.toIndexedSeq: _*)
+    }
+  }
+
+  /** Inject the six time-scope fields, first (S5 ordering). `executionDate`
+    * is wall-clock ISO-8601 (PHP date('c'), OLAP.php:372) — excluded from
+    * correctness hashing by design. */
+  def withTimeFields(df: DataFrame, queryId: Long, scope: Scope): DataFrame = {
+    def optLit[T](o: Option[T]) =
+      o.map(v => lit(v)).getOrElse(lit(null))
+    df.select(
+      (lit(queryId).cast("long").as("queryId") ::
+        optLit(scope.year).cast("long").as("year") ::
+        optLit(scope.month).cast("long").as("month") ::
+        optLit(scope.week).cast("string").as("week") ::
+        optLit(scope.day).cast("long").as("day") ::
+        date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssXXX")
+          .as("executionDate") ::
+        df.columns.map(col).toList): _*)
+  }
+
+  /** Null-safe idempotency probe (S10): true if a batch with this
+    * (queryId, scope) already exists. The reference builds `day = ` SQL for
+    * NULL scope fields and silently fails for non-daily facts
+    * (OLAP.php:166-175) — fixed here with `<=>`. */
+  def alreadyLoaded(fact: DataFrame, queryId: Long, scope: Scope): Boolean = {
+    def nullSafe(c: String, v: Option[Any]) =
+      col(c) <=> v.map(lit(_)).getOrElse(lit(null))
+    !fact.filter(col("queryId") === queryId &&
+        nullSafe("year", scope.year) && nullSafe("month", scope.month) &&
+        nullSafe("week", scope.week) && nullSafe("day", scope.day))
+      .isEmpty
+  }
+
+  /** Run one snapshot pass for the pivot date over all configured facts.
+    * Returns the fact names actually written. */
+  def run(spark: SparkSession, settings: Settings, warehouse: Warehouse,
+      pivot: LocalDate, onlyFact: Option[String] = None): Seq[String] = {
+    settings.facts.flatMap { fact =>
+      if (onlyFact.exists(_ != fact.name)) None
+      else TimeScope.scopeFor(fact.cron, pivot) match {
+        case None => None // periodicity gate: not the last day of the period
+        case Some(scope) =>
+          val wrote = fact.queries.filter(_.enabled).map { q =>
+            val existing = warehouse.read(fact.name)
+            if (existing.exists(alreadyLoaded(_, q.queryId, scope))) false
+            else {
+              val src = q.source match {
+                case SqlSource(sql) => spark.sql(substitute(sql, pivot))
+                case ScriptSource(cmd) => runScript(spark, cmd, pivot)
+              }
+              warehouse.append(fact.name, withTimeFields(src, q.queryId, scope))
+              true
+            }
+          }
+          if (wrote.exists(identity)) Some(fact.name) else None
+      }
+    }
+  }
+}
