@@ -183,6 +183,112 @@ object SparkEntry {
       .select(TimeScope.weekLabelCol(col("ts")).as("wk"))
       .agg(min(col("wk")).as("first_wk"), max(col("wk")).as("last_wk"),
         countDistinct(col("wk")).as("n"))),
+
+    // ---------------- snapshot + streaming end-to-end ----------------
+
+    // Full snapshot lifecycle: SQL fact query -> periodicity gate -> time
+    // injection -> idempotent year-partitioned append -> read back (§3.1).
+    "x_snapshot" -> ((s, d) => {
+      import graft.snapshot._
+      import graft.time.TimeScope.Cron
+      Tables.register(s, d)
+      val wh = new Warehouse(s, java.nio.file.Files
+        .createTempDirectory("graft_wh").toString)
+      val settings = SnapshotJob.Settings(Seq(SnapshotJob.FactConfig(
+        "enabled_users", Cron.Daily, Seq(SnapshotJob.FactQuery(1, enabled = true,
+          SnapshotJob.SqlSource(
+            """SELECT c_mktsegment AS segment,
+              |  CASE WHEN c_acctbal >= 5000 THEN 'hi'
+              |       WHEN c_acctbal >= 0 THEN 'mid' ELSE 'neg' END AS bucket,
+              |  COUNT(*) AS value FROM customer
+              |  GROUP BY c_mktsegment, bucket""".stripMargin))))))
+      SnapshotJob.run(s, settings, wh, java.time.LocalDate.parse("2024-01-15"))
+      // re-run must be a no-op (S10 idempotency)
+      SnapshotJob.run(s, settings, wh, java.time.LocalDate.parse("2024-01-15"))
+      wh.read("enabled_users").get
+        .select(col("queryId"), col("year").cast("long").as("year"), col("month"),
+          col("week"), col("day"), col("segment"), col("bucket"), col("value"))
+        .orderBy(col("segment"), col("bucket"))
+    }),
+    // Structured Streaming: watermarked tumbling-window agg over events
+    "x_stream_hourly" -> ((s, d) =>
+      graft.streaming.EventStream.runHourly(s, d)
+        .orderBy(col("hour"), col("event_type"))),
+
+    // ---------------- dedup family ----------------
+
+    "x_dedup_exact" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      graft.ext.Dedup.exact(docs, "doc_id", "text")
+        .agg(count(lit(1)).as("n_unique"), sum(col("n_copies")).as("total"))
+    }),
+    "x_dedup_ngram" -> ((s, d) =>
+      graft.ext.Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy(col("i"), col("j"))),
+    "x_dedup_minhash" -> ((s, d) =>
+      graft.ext.Dedup.minhashPairs(Tables.load(s, d, "documents"),
+        "doc_id", "text", n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+        .orderBy(col("i"), col("j"))),
+    "x_dedup_simhash" -> ((s, d) =>
+      graft.ext.Dedup.simhashPairs(Tables.load(s, d, "documents"),
+        "doc_id", "text", n = 3, maxHamming = 12, threshold = 0.9)
+        .orderBy(col("i"), col("j"))),
+    "x_dedup_embed" -> ((s, d) =>
+      graft.ext.Dedup.embeddingPairs(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", threshold = 0.95)
+        .agg(count(lit(1)).as("n_pairs"))),
+
+    // ---------------- similarity search ----------------
+
+    "x_sim_topk" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      graft.ext.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("nid"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+    "x_sim_lsh" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      graft.ext.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("nid"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ---------------- text analysis ----------------
+
+    "x_text_tokens" -> ((s, d) => Tables.load(s, d, "documents")
+      .select(col("doc_id"), graft.ext.TextAnalysis.tokenCount(col("text"))
+        .as("n_tokens"))
+      .orderBy(col("doc_id"))),
+    "x_text_quality" -> ((s, d) =>
+      graft.ext.TextAnalysis.quality(Tables.load(s, d, "documents"),
+        "text", "doc_id").orderBy(col("doc_id"))),
+    "x_text_langid" -> ((s, d) => Tables.load(s, d, "documents")
+      .select(graft.ext.TextAnalysis.languageId(col("text")).as("lang_pred"))
+      .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang_pred"))),
+    "x_text_fingerprint" -> ((s, d) => Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))),
+
+    // ---------------- multimodal plumbing ----------------
+
+    "x_mm_meta" -> ((s, d) =>
+      graft.ext.Multimodal.asMedia(Tables.load(s, d, "documents"),
+        "doc_id", "text", "lang")
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("meta.n_bytes").as("n_bytes"), col("meta.tag").as("tag"))
+        .orderBy(col("media_id"))),
+    "x_mm_features" -> ((s, d) =>
+      graft.ext.Multimodal.extractFeatures(
+        graft.ext.Multimodal.asMedia(Tables.load(s, d, "documents"),
+          "doc_id", "text", "lang"), dim = 16)
+        .select(col("media_id"), col("n_bytes"), col("dim"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+        .orderBy(col("media_id"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -231,5 +337,49 @@ object SparkEntry {
     "q25" -> ("SELECT MIN(wk) AS first_wk, MAX(wk) AS last_wk, CAST(COUNT(DISTINCT wk) AS BIGINT) AS n FROM (" +
       "SELECT 'Y' || CAST(EXTRACT(ISOYEAR FROM ts) AS VARCHAR) || '-W' || " +
       "LPAD(CAST(EXTRACT(WEEK FROM ts) AS VARCHAR), 2, '0') AS wk FROM events) t"),
+    "x_snapshot" -> ("SELECT CAST(1 AS BIGINT) AS queryId, CAST(2024 AS BIGINT) AS year, " +
+      "CAST(1 AS BIGINT) AS month, 'Y2024-W03' AS week, CAST(15 AS BIGINT) AS day, " +
+      "c_mktsegment AS segment, CASE WHEN c_acctbal >= 5000 THEN 'hi' " +
+      "WHEN c_acctbal >= 0 THEN 'mid' ELSE 'neg' END AS bucket, COUNT(*) AS value " +
+      "FROM customer GROUP BY 6, 7 ORDER BY 6, 7"),
+    "x_stream_hourly" -> ("SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type, " +
+      "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v " +
+      "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "x_dedup_exact" -> ("SELECT CAST(COUNT(DISTINCT regexp_replace(lower(text), '\\s+', ' ', 'g')) AS BIGINT) AS n_unique, " +
+      "CAST(COUNT(*) AS BIGINT) AS total FROM documents"),
+    "x_dedup_ngram" -> ngramOracle(0.5),
+    "x_dedup_minhash" -> ngramOracle(0.8),
+    "x_dedup_simhash" -> ngramOracle(0.9),
+    "x_dedup_embed" -> ("SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM embeddings a " +
+      "JOIN embeddings b ON a.vec_id < b.vec_id " +
+      "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95"),
+    "x_sim_topk" -> ("SELECT qid, nid, rank FROM (" +
+      "SELECT q.vec_id AS qid, c.vec_id AS nid, " +
+      "ROW_NUMBER() OVER (PARTITION BY q.vec_id " +
+      "ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank " +
+      "FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id " +
+      "WHERE q.vec_id < 10) t WHERE rank <= 5 ORDER BY qid, rank"),
+    "x_text_tokens" -> ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+      "FROM documents ORDER BY doc_id"),
+    "x_text_quality" -> ("SELECT doc_id, CAST(length(text) AS BIGINT) AS chars, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+      "ROUND(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token, " +
+      "ROUND(CAST(len(list_filter(string_split(text, ' '), " +
+      "x -> x IN ('the','a','an','of','and','to','in'))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio, " +
+      "ROUND(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio " +
+      "FROM documents ORDER BY doc_id"),
+    "x_mm_meta" -> ("SELECT doc_id AS media_id, 'text/plain' AS format, " +
+      "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, lang AS tag " +
+      "FROM documents ORDER BY media_id"),
   )
+
+  /** Exact O(n^2) word-3-gram Jaccard oracle (DuckDB list comprehension);
+    * the engine side reaches the same pairs via inverted-index / LSH. */
+  private def ngramOracle(threshold: Double): String =
+    "WITH tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+    "sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) s FROM tok), " +
+    "pairs AS (SELECT a.doc_id i, b.doc_id j, " +
+    "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jac " +
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) " +
+    s"SELECT i, j, jac FROM pairs WHERE jac >= $threshold ORDER BY i, j"
 }

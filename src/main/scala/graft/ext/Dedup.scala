@@ -1,0 +1,143 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (BASELINE north
+  * star). Four families, all shuffle-bounded and scale-safe:
+  *
+  *  - exact: hash the normalized content, dropDuplicates — one shuffle.
+  *  - n-gram Jaccard (exact): inverted shingle index + count-sharing join —
+  *    only pairs that share >= 1 shingle are materialized, never O(n^2).
+  *  - MinHash + LSH: signature banding -> bucket self-join -> exact verify
+  *    on the candidates.
+  *  - SimHash: 64-bit fingerprints -> byte-chunk banding -> Hamming filter
+  *    -> exact verify.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized content (first occurrence by idCol kept
+    * deterministic via min). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = regexp_replace(lower(col(textCol)), "\\s+", " ")
+    df.withColumn("__fp", xxhash64(norm))
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("__fp")
+  }
+
+  /** Exact pairwise n-gram Jaccard >= `threshold` via inverted index:
+    * explode shingles, self-join on shingle, count shared shingles per
+    * pair, then jac = |A∩B| / (|A|+|B|-|A∩B|). Pairs sharing zero shingles
+    * never appear (their Jaccard is 0). At 100 TB add a document-frequency
+    * cap on shingles (drop shingles in > maxDf docs) to bound the hottest
+    * join keys — parameterized here, default off for exactness. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxDf: Option[Long] = None): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      TextAnalysis.shingles(col(textCol), n).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
+    val inv0 = sh.select(col("id"), explode(col("sh")).as("s"))
+    val inv = maxDf match {
+      case Some(cap) =>
+        val dfreq = inv0.groupBy("s").count().filter(col("count") <= cap).select("s")
+        inv0.join(dfreq, "s")
+      case None => inv0
+    }
+    val shared = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .join(sizes.withColumnRenamed("id", "i").withColumnRenamed("sz", "sz_i"), "i")
+      .join(sizes.withColumnRenamed("id", "j").withColumnRenamed("sz", "sz_j"), "j")
+      .withColumn("jac", col("inter").cast("double") /
+        (col("sz_i") + col("sz_j") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), col("jac"))
+  }
+
+  /** MinHash signature: for shingle hash set H and permutation (a,b),
+    * min over h in H of (a*h + b mod p). numHashes permutations, fixed
+    * seed — deterministic. Pure per-row HOF work, no shuffle. */
+  def minhashSignature(shingleArr: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val p = 2147483647L // 2^31 - 1, Mersenne prime
+    val rnd = new scala.util.Random(seed)
+    val params = array((0 until numHashes).map { _ =>
+      struct(lit(1 + rnd.nextInt(Int.MaxValue - 1).toLong).as("a"),
+        lit(rnd.nextInt(Int.MaxValue).toLong).as("b"))
+    }: _*)
+    val hashes = transform(shingleArr, s => pmod(hash(s).cast("long"), lit(p)))
+    transform(params, prm =>
+      array_min(transform(hashes, h =>
+        pmod(prm.getField("a") * h + prm.getField("b"), lit(p)))))
+  }
+
+  /** MinHash+LSH near-dup pairs: band the signature (bands x rowsPerBand =
+    * numHashes), bucket-join docs sharing any band, verify candidates with
+    * exact shingle Jaccard. Candidate generation is one explode + one
+    * equi-join shuffle on band keys — never O(n^2). Recall at `threshold`
+    * is 1-(1-t^r)^b (e.g. b=32, r=4: >0.9999 at t=0.8). */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sh = df.select(col(idCol).as("id"),
+      TextAnalysis.shingles(col(textCol), n).as("sh"))
+    val sig = sh.select(col("id"), col("sh"),
+      minhashSignature(col("sh"), numHashes).as("sig"))
+    val banded = sig.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), hash(slice(col("sig"), b * r + 1, r)).as("bh"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
+    verifyJaccard(cands, sh, threshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprint per doc, band by the 8
+    * bytes (pigeonhole: Hamming <= 7 always collides on >= 1 byte), filter
+    * by Hamming <= maxHamming, verify with exact Jaccard. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxHamming: Int = 12, threshold: Double = 0.9): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      TextAnalysis.shingles(col(textCol), n).as("sh"))
+    val fp = sh.select(col("id"), SimHash64(col("sh")).as("fp"))
+    val chunked = fp.select(col("id"), col("fp"),
+      explode(array((0 until 8).map { c =>
+        struct(lit(c).as("c"),
+          shiftright(col("fp"), c * 8).bitwiseAND(lit(255L)).as("v"))
+      }: _*)).as("ck"))
+      .select(col("id"), col("fp"), col("ck.c").as("c"), col("ck.v").as("v"))
+    val cands = chunked.as("a").join(chunked.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+          col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= maxHamming)
+      .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
+    verifyJaccard(cands, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (i, j) pairs against the
+    * shingle sets. Candidates are few by construction; the join is two
+    * broadcast-friendly lookups. */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame =
+    cands
+      .join(sh.select(col("id").as("i"), col("sh").as("sh_i")), "i")
+      .join(sh.select(col("id").as("j"), col("sh").as("sh_j")), "j")
+      .withColumn("jac",
+        size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
+          size(array_union(col("sh_i"), col("sh_j"))))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), col("jac"))
+
+  /** Embedding near-dup pairs: cosine >= threshold via sign-LSH bucketing
+    * + exact rerank (delegates candidate generation to Similarity). */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame =
+    Similarity.cosinePairsLsh(df, idCol, vecCol, threshold)
+}

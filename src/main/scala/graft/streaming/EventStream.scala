@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.time.TimeScope
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface: the streaming analog of the snapshot
+  * enrichment (SURVEY.md §2.5 "Streaming" — batch-only in the reference;
+  * this is the `events`-style extension).
+  *
+  * Reads the events table as a file stream, applies watermarking and
+  * tumbling-window aggregation, optionally enriched with the OPL time-scope
+  * columns. Driven synchronously in tests/conformance via the memory sink +
+  * `processAllAvailable` (deterministic: one batch over a static dir).
+  */
+object EventStream {
+
+  /** Raw parquet schema of events (ts read as nanos-long, rebuilt below —
+    * same workaround as Tables.load). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file streams need a directory; the testdata table is a single file —
+    // expose it through a temp dir of symlinks (read-only testdata).
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    spark.readStream.schema(rawSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window count/sum per event type with a watermark for
+    * late-data handling. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        // decimal sum: exact + partition-order-independent (oracle parity)
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("v"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("v"))
+
+  /** Run the streaming aggregation synchronously over the static dir and
+    * return the materialized result (memory sink, complete mode). */
+  def runHourly(spark: SparkSession, sfDir: String, name: String = "stream_out"): DataFrame = {
+    val q = hourlyAgg(readStream(spark, sfDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Classic-mode Column <-> Expression bridge. Spark 4 made the conversion
+  * `private[sql]` (columnNodeSupport.scala); extension libraries shipping
+  * custom Catalyst expressions conventionally expose it from a package
+  * under org.apache.spark.sql. Used only to lift custom `Expression`s
+  * (e.g. graft.ext.SimHash64) into user-facing Columns.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
