@@ -22,7 +22,12 @@ final class Warehouse(spark: SparkSession, root: String) {
 
   def read(fact: String): Option[DataFrame] =
     if (!exists(fact)) None
-    else Some(spark.read.option("mergeSchema", "true").parquet(path(fact)))
+    else {
+      val df = spark.read.option("mergeSchema", "true").parquet(path(fact))
+      // partition-dir inference narrows `year` to int; restore the
+      // authoritative injected type (long) for a stable schema
+      Some(df.withColumn("year", col("year").cast("long")))
+    }
 
   /** Append a batch, evolving the stored schema when needed (S5/S6/S7). */
   def append(fact: String, batch: DataFrame): Unit = read(fact) match {

@@ -1,0 +1,58 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** 200 random vectors + for each of 5 queries a planted cluster of 5
+    * close neighbors (cosine ~0.99). */
+  private lazy val (corpus, queries) = {
+    val rnd = new scala.util.Random(13)
+    def vec() = Array.fill(64)(rnd.nextGaussian())
+    val qs = (0 until 5).map(i => (i.toLong, vec()))
+    val planted = qs.flatMap { case (qid, v) =>
+      (0 until 5).map { j =>
+        val w = v.clone()
+        w(j) += 0.05
+        (1000L + qid * 10 + j, w)
+      }
+    }
+    val noise = (0 until 200).map(i => (100L + i, vec()))
+    val all = (qs ++ planted ++ noise).map { case (id, v) =>
+      (id, v.map(_.toFloat).toSeq)
+    }
+    (all.toDF("vec_id", "embedding"),
+      qs.map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
+        .toDF("vec_id", "embedding"))
+  }
+
+  test("brute-force top-k returns the planted neighbors in order") {
+    val got = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    (0 until 5).foreach { q =>
+      val expected = (0 until 5).map(j => 1000L + q * 10 + j).toSet
+      assert(got(q.toLong) == expected, s"query $q")
+    }
+  }
+
+  test("LSH top-k recall >= 0.9 on planted clusters, and rerank is exact") {
+    val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("cosine column matches a driver-side computation") {
+    val a = Seq((1L, Seq(1.0f, 2.0f, 2.0f)), (2L, Seq(0.0f, 3.0f, 4.0f)))
+      .toDF("vec_id", "v")
+    val c = a.as("x").join(a.as("y"), $"x.vec_id" < $"y.vec_id")
+      .select(Similarity.cosine($"x.v", $"y.v")).as[Double].collect()(0)
+    val expected = (1 * 0 + 2 * 3 + 2 * 4) / (3.0 * 5.0)
+    assert(math.abs(c - expected) < 1e-12)
+  }
+}

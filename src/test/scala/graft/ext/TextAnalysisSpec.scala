@@ -1,0 +1,59 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("token counts and shingles") {
+    val df = Seq("one two three four", "solo").toDF("text")
+    assert(df.select(TextAnalysis.tokenCount($"text")).as[Long]
+      .collect().toSeq == Seq(4L, 1L))
+    val sh = df.select(TextAnalysis.shingles($"text", 3)).as[Seq[String]]
+      .collect()
+    assert(sh(0) == Seq("one two three", "two three four"))
+    assert(sh(1) == Seq()) // shorter than n -> empty, not null/error
+  }
+
+  test("language ID picks the dominant function-word profile") {
+    val samples = Seq(
+      ("en", "the cat sat on the mat and the dog is in the house"),
+      ("es", "el perro y la casa de un amigo que vive en la ciudad"),
+      ("de", "der hund und die katze sind mit dem kind zu hause"),
+      ("fr", "le chien et le chat sont dans la maison des amis"),
+      ("und", "xyzzy plugh quux")) // nothing matches
+    val got = samples.toDF("want", "text")
+      .select($"want", TextAnalysis.languageId($"text").as("got"))
+      .as[(String, String)].collect()
+    got.foreach { case (want, g) => assert(g == want, s"want $want got $g") }
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val df = Seq("Hello  World", "hello world", "different").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint($"text")).as[Long].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("quality metrics on a known document") {
+    val df = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+    val r = TextAnalysis.quality(df, "text", "doc_id").collect()(0)
+    assert(r.getLong(1) == 19) // chars
+    assert(r.getLong(2) == 4)  // tokens
+    assert(r.getDouble(3) == 4.75)
+    assert(r.getDouble(4) == 0.25) // "the" of 4
+    assert(r.getDouble(5) == 0.0)
+  }
+
+  test("multimodal plumbing: schema + batched features") {
+    val docs = Seq((1L, "abc", "en"), (2L, "abcabc", "de")).toDF("doc_id", "text", "lang")
+    val media = Multimodal.asMedia(docs, "doc_id", "text", "lang")
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "content", "meta"))
+    val feats = Multimodal.extractFeatures(media, dim = 4).orderBy("media_id").collect()
+    assert(feats.length == 2)
+    assert(feats(0).getInt(2) == 4)
+    // histogram of "abc" and "abcabc" normalize identically
+    assert(feats(0).getSeq[Float](3).toSeq == feats(1).getSeq[Float](3).toSeq)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.olap
+
+import graft.SparkTestBase
+import graft.model._
+
+import org.apache.spark.sql.functions._
+
+/** The §3.2 API lifecycle: request -> DataFrame -> rendered output,
+  * including the `output=table` and `empty_dataset` wire conventions. */
+class AggregateServiceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val fact = Seq(
+    (2024L, 1L, "BUILDING", 10L), (2024L, 1L, "AUTOMOBILE", 5L),
+    (2024L, 2L, "BUILDING", 7L), (2023L, 12L, "BUILDING", 3L))
+    .toDF("year", "month", "segment", "value")
+
+  private val meta = FactMeta("enabled_users",
+    Seq(Dimension.flat("segment"),
+      Dimension("date", Seq(Level("year", "year"), Level("month", "month")),
+        Seq(Hierarchy("ym", Seq("year", "month"))))),
+    Seq(Measure("value", "value", AggregateFn.Sum)))
+
+  private def req(cut: String = null, drill: String = null, measure: String = null) =
+    AggregateService.Request.fromParams(Option(cut), Option(drill), Option(measure))
+
+  test("global aggregate (A1) with default measure") {
+    val r = AggregateService.aggregate(fact, meta, req())
+    assert(r.columns.toSeq == Seq("value"))
+    assert(r.as[Long].collect()(0) == 25L)
+  }
+
+  test("cut + drilldown + deterministic ordering") {
+    val r = AggregateService.aggregate(fact, meta,
+      req(cut = "date:2024", drill = "segment"))
+    assert(r.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("AUTOMOBILE", 5L), ("BUILDING", 17L)))
+  }
+
+  test("aggregate override: count instead of the declared sum") {
+    val r = AggregateService.aggregate(fact, meta,
+      req(drill = "segment").copy(aggregates = Map("value" -> "count")))
+    assert(r.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("AUTOMOBILE", 1L), ("BUILDING", 3L)))
+  }
+
+  test("output=table: header row first (Codice.gs:155-183)") {
+    val r = AggregateService.aggregate(fact, meta, req(drill = "segment"))
+    val t = Renderer.toTable(r)
+    assert(t.startsWith("[[\"segment\", \"value\"],"))
+    assert(t.contains("[\"AUTOMOBILE\", 5]"))
+  }
+
+  test("json output nests measures") {
+    val r = AggregateService.aggregate(fact, meta, req(drill = "segment"))
+    val j = Renderer.toJson(r, Set("value"))
+    assert(j.contains("\"segment\": \"BUILDING\""))
+    assert(j.contains("\"measures\": {\"value\": 20}"))
+  }
+
+  test("empty cut -> empty_dataset (S14)") {
+    val r = AggregateService.aggregate(fact, meta,
+      req(cut = "segment:NOPE", drill = "segment"))
+    assert(Renderer.toTable(r) == Renderer.emptyDataset)
+    assert(Renderer.toJson(r, Set("value")) == Renderer.emptyDataset)
+  }
+
+  test("measure selection by name (P9)") {
+    val m2 = meta.copy(measures = meta.measures :+
+      Measure("ct", "value", AggregateFn.Count))
+    val r = AggregateService.aggregate(fact, m2, req(measure = "ct"))
+    assert(r.columns.toSeq == Seq("ct"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.olap
+
+import graft.SparkTestBase
+import graft.model._
+
+/** Level-resolution rules A4-A10 — each README example
+  * (api-library-olap/README.md:54-79) locked as a case. */
+class DrilldownSpec extends SparkTestBase {
+
+  private val dateDim = Dimension("date",
+    Seq(Level("year", "year"), Level("month", "month"), Level("day", "day")),
+    Seq(Hierarchy("ymd", Seq("year", "month", "day"))))
+  private val orgDim = Dimension("org",
+    Seq(Level("region", "region", attributes = Seq("r_name")),
+      Level("nation", "nation")),
+    Seq(Hierarchy("rn", Seq("region", "nation"))))
+  private val meta = FactMeta("f",
+    Seq(Dimension.flat("loan_type"), dateDim, orgDim),
+    Seq(Measure("value", "value")))
+
+  private def levels(drill: String, cut: String = ""): Seq[String] =
+    Drilldown.resolve(Drilldown.parse(drill),
+      if (cut.isEmpty) Nil else Cut.parse(cut), meta).flatMap(_.levels.map(_.name))
+
+  test("A4: flat dimension -> its single level") {
+    assert(levels("loan_type") == Seq("loan_type"))
+  }
+
+  test("A7: un-cut hierarchical dim -> top level") {
+    assert(levels("date") == Seq("year"))
+  }
+
+  test("A5: cut at year -> group one level below (month)") {
+    assert(levels("date", cut = "date:2016") == Seq("month"))
+  }
+
+  test("A5: cut at year,month -> day") {
+    assert(levels("date", cut = "date:2016,10") == Seq("day"))
+  }
+
+  test("A5: cut at deepest level stays at deepest") {
+    assert(levels("date", cut = "date:2016,10,3") == Seq("day"))
+  }
+
+  test("A6: explicit target level spans below-cut..target") {
+    assert(levels("date:day", cut = "date:2016") == Seq("month", "day"))
+    assert(levels("date:day") == Seq("year", "month", "day")) // no cut
+  }
+
+  test("A9: echoing the cut's own level") {
+    assert(levels("date:year|date:month", cut = "date:1996") ==
+      Seq("year", "month"))
+  }
+
+  test("A8: multiple dimensions keep first-appearance order") {
+    assert(levels("loan_type|date") == Seq("loan_type", "year"))
+  }
+
+  test("A10: level attributes ride along in the grouping columns") {
+    val r = Drilldown.resolve(Drilldown.parse("org"), Nil, meta)
+    assert(r.flatMap(_.columns(meta)) == Seq("region", "r_name"))
+  }
+
+  test("unknown level rejected") {
+    intercept[IllegalArgumentException](levels("date:hour"))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.snapshot
+
+import java.time.LocalDate
+
+import graft.SparkTestBase
+import graft.time.TimeScope.Cron
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SchemaEvolutionSpec extends SparkTestBase {
+  import SchemaEvolution._
+  import spark.implicits._
+
+  test("widening lattice") {
+    assert(widen(LongType, IntegerType) == LongType)
+    assert(widen(LongType, DoubleType) == DoubleType)
+    assert(widen(LongType, DecimalType(18, 2)) == DecimalType(22, 2))
+    assert(widen(StringType, LongType) == StringType)
+    assert(widen(DateType, TimestampType) == TimestampType)
+    assert(widen(TimestampType, LongType) == StringType)
+    // commutative + idempotent
+    val ts = Seq(LongType, DoubleType, StringType, DecimalType(10, 2), TimestampType)
+    for (a <- ts; b <- ts) {
+      assert(widen(a, b) == widen(b, a), s"$a/$b")
+      assert(widen(a, a) == a)
+    }
+  }
+
+  test("unionEvolve: null fill + widening") {
+    val a = Seq((1L, "x")).toDF("k", "s")
+    val b = Seq((2.5, "y", 9L)).toDF("k", "s", "extra")
+    val u = unionEvolve(a, b)
+    assert(u.schema("k").dataType == DoubleType)
+    assert(u.schema("extra").dataType == LongType)
+    val rows = u.orderBy("s").collect()
+    assert(rows(0).getDouble(0) == 1.0 && rows(0).isNullAt(2))
+    assert(rows(1).getDouble(0) == 2.5 && rows(1).getLong(2) == 9L)
+  }
+
+  test("evolution is append-order commutative on schemas (SURVEY §5.3)") {
+    val s1 = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
+    val s2 = StructType(Seq(StructField("a", DoubleType), StructField("c", LongType)))
+    val s3 = StructType(Seq(StructField("b", StringType), StructField("c", DecimalType(30, 5))))
+    val e1 = evolvedSchema(evolvedSchema(s1, s2), s3)
+    val e2 = evolvedSchema(evolvedSchema(s1, s3), s2)
+    assert(e1.fields.map(f => f.name -> f.dataType).toMap ==
+      e2.fields.map(f => f.name -> f.dataType).toMap)
+  }
+}
+
+class SnapshotSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fixture(cron: Cron, sql: String, id: Long = 1) =
+    SnapshotJob.Settings(Seq(SnapshotJob.FactConfig("f", cron,
+      Seq(SnapshotJob.FactQuery(id, enabled = true, SnapshotJob.SqlSource(sql))))))
+
+  private def freshWarehouse() = new Warehouse(spark,
+    java.nio.file.Files.createTempDirectory("wh_test").toString)
+
+  test("daily fact: full scope injected; re-run is a no-op (S10)") {
+    Seq((1, "x"), (2, "y")).toDF("k", "v").createOrReplaceTempView("src")
+    val wh = freshWarehouse()
+    val st = fixture(Cron.Daily, "SELECT k, v FROM src")
+    val d = LocalDate.parse("2024-01-15")
+    assert(SnapshotJob.run(spark, st, wh, d) == Seq("f"))
+    assert(SnapshotJob.run(spark, st, wh, d) == Seq()) // idempotent
+    val fact = wh.read("f").get
+    assert(fact.count() == 2)
+    val r = fact.select("queryId", "year", "month", "week", "day").distinct().collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 1 && r(0).getLong(1) == 2024 &&
+      r(0).getLong(2) == 1 && r(0).getString(3) == "Y2024-W03" &&
+      r(0).getLong(4) == 15)
+  }
+
+  test("monthly fact: gate + nullified fine scope; NULL-scope idempotency (ref bug fixed)") {
+    Seq((1, "x")).toDF("k", "v").createOrReplaceTempView("src2")
+    val wh = freshWarehouse()
+    val st = fixture(Cron.Monthly, "SELECT k, v FROM src2")
+    // mid-month: gate closed
+    assert(SnapshotJob.run(spark, st, wh, LocalDate.parse("2024-01-15")).isEmpty)
+    // month end: fires with week/day nulled
+    val eom = LocalDate.parse("2024-01-31")
+    assert(SnapshotJob.run(spark, st, wh, eom) == Seq("f"))
+    val r = wh.read("f").get.select("year", "month", "week", "day").collect()(0)
+    assert(r.getLong(0) == 2024 && r.getLong(1) == 1 && r.isNullAt(2) && r.isNullAt(3))
+    // the reference's S10 bug: NULL scope fields broke dedup; ours must skip
+    assert(SnapshotJob.run(spark, st, wh, eom).isEmpty)
+    assert(wh.read("f").get.count() == 1)
+  }
+
+  test("@date substitution reaches the source query (S11)") {
+    val wh = freshWarehouse()
+    val st = fixture(Cron.Daily, "SELECT CAST(@date AS STRING) AS pivot")
+    SnapshotJob.run(spark, st, wh, LocalDate.parse("2024-03-09"))
+    assert(wh.read("f").get.select("pivot").as[String].collect().toSeq ==
+      Seq("2024-03-09"))
+  }
+
+  test("script source: exec + JSON parse + date promotion (S2/S9)") {
+    val script = java.nio.file.Files.createTempFile("emit", ".sh")
+    java.nio.file.Files.writeString(script,
+      "#!/bin/sh\necho '[{\"k\": 1, \"when\": \"2024-01-05 10:00:00\"}," +
+        "{\"k\": 2, \"when\": \"2024-01-06 11:30:00\"}]'\n")
+    script.toFile.setExecutable(true)
+    val df = SnapshotJob.runScript(spark, script.toString,
+      LocalDate.parse("2024-01-15"))
+    assert(df.schema("k").dataType == LongType)
+    assert(df.schema("when").dataType == TimestampType) // date-sniff promoted
+    assert(df.count() == 2)
+  }
+
+  test("schema evolution on append: new column + type widening (S7)") {
+    val wh = freshWarehouse()
+    Seq((1L, 10L)).toDF("k", "m").createOrReplaceTempView("ev_src1")
+    Seq((2L, 3.5, "n")).toDF("k", "m", "extra").createOrReplaceTempView("ev_src2")
+    val d1 = LocalDate.parse("2024-01-15")
+    SnapshotJob.run(spark, fixture(Cron.Daily, "SELECT * FROM ev_src1"), wh, d1)
+    SnapshotJob.run(spark, fixture(Cron.Daily, "SELECT * FROM ev_src2"), wh,
+      LocalDate.parse("2024-01-16"))
+    val fact = wh.read("f").get
+    assert(fact.count() == 2)
+    assert(fact.schema("m").dataType == DoubleType) // widened long->double
+    assert(fact.filter(col("extra").isNull).count() == 1) // null-filled
+  }
+
+  test("disabled queries never run") {
+    val wh = freshWarehouse()
+    val st = SnapshotJob.Settings(Seq(SnapshotJob.FactConfig("f", Cron.Daily,
+      Seq(SnapshotJob.FactQuery(1, enabled = false,
+        SnapshotJob.SqlSource("SELECT 1 AS one"))))))
+    assert(SnapshotJob.run(spark, st, wh, LocalDate.parse("2024-01-15")).isEmpty)
+    assert(wh.read("f").isEmpty)
+  }
+}
