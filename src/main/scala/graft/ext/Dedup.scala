@@ -34,10 +34,12 @@ object Dedup {
     * join keys — parameterized here, default off for exactness. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDf: Option[Long] = None): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      TextAnalysis.shingles(col(textCol), n).as("sh"))
+    val sh = shingleSets(df, idCol, textCol, n)
     val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
-    val inv0 = sh.select(col("id"), explode(col("sh")).as("s"))
+    // join on the 64-bit shingle hash: 8-byte shuffle keys instead of the
+    // shingle text (collision odds ~|shingles|^2 / 2^65 — negligible)
+    val inv0 = sh.select(col("id"), explode(col("sh")).as("s0"))
+      .select(col("id"), xxhash64(col("s0")).as("s"))
     val inv = maxDf match {
       case Some(cap) =>
         val dfreq = inv0.groupBy("s").count().filter(col("count") <= cap).select("s")
@@ -57,21 +59,11 @@ object Dedup {
       .select(col("i"), col("j"), col("jac"))
   }
 
-  /** MinHash signature: for shingle hash set H and permutation (a,b),
-    * min over h in H of (a*h + b mod p). numHashes permutations, fixed
-    * seed — deterministic. Pure per-row HOF work, no shuffle. */
-  def minhashSignature(shingleArr: Column, numHashes: Int, seed: Long = 42L): Column = {
-    val p = 2147483647L // 2^31 - 1, Mersenne prime
-    val rnd = new scala.util.Random(seed)
-    val params = array((0 until numHashes).map { _ =>
-      struct(lit(1 + rnd.nextInt(Int.MaxValue - 1).toLong).as("a"),
-        lit(rnd.nextInt(Int.MaxValue).toLong).as("b"))
-    }: _*)
-    val hashes = transform(shingleArr, s => pmod(hash(s).cast("long"), lit(p)))
-    transform(params, prm =>
-      array_min(transform(hashes, h =>
-        pmod(prm.getField("a") * h + prm.getField("b"), lit(p)))))
-  }
+  /** MinHash signature: min over shingle hashes per permutation — native
+    * single-pass Catalyst expression (see MinHashSignature). Per-row work,
+    * no shuffle. */
+  def minhashSignature(shingleArr: Column, numHashes: Int, seed: Long = 42L): Column =
+    MinHashSignature(shingleArr, numHashes, seed)
 
   /** MinHash+LSH near-dup pairs: band the signature (bands x rowsPerBand =
     * numHashes), bucket-join docs sharing any band, verify candidates with
@@ -83,15 +75,15 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sh = df.select(col(idCol).as("id"),
-      TextAnalysis.shingles(col(textCol), n).as("sh"))
-    val sig = sh.select(col("id"), col("sh"),
-      minhashSignature(col("sh"), numHashes).as("sig"))
+    val sh = shingleSets(df, idCol, textCol, n)
+    val sig = sh.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    // persisted: the band self-join reads this twice
     val banded = sig.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), hash(slice(col("sig"), b * r + 1, r)).as("bh"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
@@ -104,15 +96,16 @@ object Dedup {
     * by Hamming <= maxHamming, verify with exact Jaccard. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxHamming: Int = 12, threshold: Double = 0.9): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      TextAnalysis.shingles(col(textCol), n).as("sh"))
+    val sh = shingleSets(df, idCol, textCol, n)
     val fp = sh.select(col("id"), SimHash64(col("sh")).as("fp"))
+    // persisted: the chunk self-join reads this twice
     val chunked = fp.select(col("id"), col("fp"),
       explode(array((0 until 8).map { c =>
         struct(lit(c).as("c"),
           shiftright(col("fp"), c * 8).bitwiseAND(lit(255L)).as("v"))
       }: _*)).as("ck"))
       .select(col("id"), col("fp"), col("ck.c").as("c"), col("ck.v").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = chunked.as("a").join(chunked.as("b"),
         col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
           col("a.id") < col("b.id"))
@@ -120,6 +113,14 @@ object Dedup {
       .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
     verifyJaccard(cands, sh, threshold)
   }
+
+  /** Shingle sets per doc, persisted: every pair pipeline reads them at
+    * least twice (index/signature build + exact verify). Tiny next to the
+    * corpus; session-scoped cache, dropped on session stop. */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol), n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact-Jaccard verification of candidate (i, j) pairs against the
     * shingle sets. Candidates are few by construction; the join is two

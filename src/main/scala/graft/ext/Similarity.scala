@@ -44,20 +44,13 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: `tables` tables x `bits`
-    * planes x `dim` components, from a fixed seed. */
-  private def planes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(tables, bits, dim)(rnd.nextGaussian())
-  }
-
-  /** Sign-LSH signature for one table: an int whose b-th bit is the sign of
-    * dot(plane_b, v). */
-  private def signature(v: Column, tablePlanes: Array[Array[Double]]): Column =
-    tablePlanes.zipWithIndex.map { case (plane, b) =>
-      val planeCol = array(plane.map(lit).toIndexedSeq: _*)
-      when(dot(v, planeCol) >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** All per-table sign-LSH signatures of a vector column, exploded to
+    * (t, sig) rows — native one-pass expression (SignLshSignatures). */
+  private def withSigs(df: DataFrame, id: String, vec: String,
+      tables: Int, bits: Int, dim: Int, seed: Long): DataFrame =
+    df.select(col(id), col(vec),
+      posexplode(SignLshSignatures(col(vec), tables, bits, dim, seed)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "sig")
 
   /** Approximate top-k: candidates from any-table signature collision with
     * the query, exact cosine rerank. Recall rises with `tables`, bucket
@@ -65,16 +58,11 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, tables: Int = 8, bits: Int = 12,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val pl = planes(tables, bits, dim, seed)
-    def withSigs(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(id), col(vec),
-        explode(array((0 until tables).map { t =>
-          struct(lit(t).as("t"), signature(col(vec), pl(t)).as("sig"))
-        }: _*)).as("s"))
-        .select(col(id), col(vec), col("s.t").as("t"), col("s.sig").as("sig"))
-    val cs = withSigs(corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), "nid", "nv")
+    val cs = withSigs(corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")),
+      "nid", "nv", tables, bits, dim, seed)
     val qs = broadcast(withSigs(
-      queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), "qid", "qv"))
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qv")),
+      "qid", "qv", tables, bits, dim, seed))
     val cands = cs.join(qs, Seq("t", "sig"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("qv"), col("nid"), col("nv")).distinct()
@@ -90,12 +78,11 @@ object Similarity {
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, tables: Int = 8, bits: Int = 12, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val pl = planes(tables, bits, dim, seed)
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      explode(array((0 until tables).map { t =>
-        struct(lit(t).as("t"), signature(col(vecCol), pl(t)).as("sig"))
-      }: _*)).as("s"))
-      .select(col("id"), col("v"), col("s.t").as("t"), col("s.sig").as("sig"))
+    // persisted: the self-join below would otherwise recompute signatures
+    // for both sides (signatures are tiny relative to the corpus)
+    val sigs = withSigs(df.select(col(idCol).as("id"), col(vecCol).as("v")),
+      "id", "v", tables, bits, dim, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.as("a").join(sigs.as("b"),
         col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
