@@ -1,0 +1,59 @@
+package graft.examples
+
+import java.time.LocalDate
+
+import graft.config.OlapConfig
+import graft.olap.OlapApi
+import graft.snapshot.{SnapshotJob, Warehouse}
+
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end usage example (also a smoke driver: `sbt "runMain
+  * graft.examples.QuickStart"`): configure a fact from JSON, snapshot it,
+  * query it through the OLAP API.
+  */
+object QuickStart {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // 1. register source tables (any catalog/JDBC table works the same)
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .createOrReplaceTempView("customer")
+
+    // 2. snapshot config - the reference's olapSettings.json shape
+    val settings = OlapConfig.parseSettings(
+      """{ "fact_tables": [ { "name": "enabled_users", "cron": "daily",
+        |  "fact_queries": [ { "query_id": 1, "enable": 1,
+        |    "query": { "type": "sql", "value":
+        |      "SELECT c_mktsegment AS segment, COUNT(*) AS value FROM customer GROUP BY 1" } } ] } ] }"""
+        .stripMargin)
+
+    // 3. run one snapshot (periodicity gate + time enrichment + append)
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("quickstart_wh").toString)
+    SnapshotJob.run(spark, settings, wh, LocalDate.parse("2024-01-15"))
+
+    // 4. query through the API - the reference's <factName>.json shape
+    val api = new OlapApi(spark, wh, Map("enabled_users" ->
+      OlapConfig.parseFactMeta("enabled_users",
+        """{ "dimensions": [ {"name": "segment"},
+          |  {"name": "date", "levels": [{"name": "year"}, {"name": "month"}],
+          |   "hierarchies": [{"name": "ym", "order": ["year", "month"]}]} ],
+          |  "measures": [ {"name": "value", "aggregate": "sum"} ] }""".stripMargin)))
+
+    println("FACTS=" + api.factTables)
+    println("TABLE=" + api.aggregate("enabled_users", cut = Some("date:2024"),
+      drilldown = Some("segment"), output = "table"))
+    println("EMPTY=" + api.aggregate("enabled_users", cut = Some("segment:ZZZ"),
+      drilldown = Some("segment")))
+    println("BADCUT=" + (try api.aggregate("enabled_users", cut = Some("date:1,2,3,4"))
+      catch { case e: Exception => "rejected: " + e.getMessage }))
+    spark.stop()
+  }
+}

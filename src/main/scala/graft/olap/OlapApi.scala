@@ -1,0 +1,69 @@
+package graft.olap
+
+import graft.model.FactMeta
+import graft.snapshot.Warehouse
+
+import org.apache.spark.sql.SparkSession
+
+/** The library entry point mirroring the reference's REST query API
+  * (api-library-olap/README.md; lifecycle traced in SURVEY.md §3.2) as
+  * plain method calls; a thin HTTP front can wrap this 1:1.
+  *
+  * Endpoints:
+  *  - `/olap/fact_tables`          -> factTables
+  *  - `/olap/<fact>/dimensions`    -> dimensions(fact)
+  *  - `/olap/<fact>/measures`      -> measures(fact)
+  *  - `/olap/<fact>/aggregate?cut=..&drilldown=..&measure=..&output=..`
+  *                                 -> aggregate(...)
+  */
+final class OlapApi(spark: SparkSession, warehouse: Warehouse,
+    metas: Map[String, FactMeta]) {
+
+  private def meta(fact: String): FactMeta =
+    metas.getOrElse(fact, throw new IllegalArgumentException(
+      s"unknown fact table: $fact"))
+
+  private def jstr(s: String): String = "\"" + s.replace("\\", "\\\\")
+    .replace("\"", "\\\"") + "\""
+
+  /** Catalog endpoint: the fact tables this API serves. */
+  def factTables: String =
+    metas.keys.toSeq.sorted.map(jstr).mkString("[", ", ", "]")
+
+  /** Catalog endpoint: dimension metadata of one fact. */
+  def dimensions(fact: String): String =
+    meta(fact).dimensions.map { d =>
+      val levels = d.levels.map { l =>
+        s"""{"name": ${jstr(l.name)}, "attributes": ${
+          l.attributes.map(jstr).mkString("[", ", ", "]")}}"""
+      }.mkString("[", ", ", "]")
+      val hiers = d.hierarchies.map { h =>
+        s"""{"name": ${jstr(h.name)}, "order": ${
+          h.order.map(jstr).mkString("[", ", ", "]")}}"""
+      }.mkString("[", ", ", "]")
+      s"""{"name": ${jstr(d.name)}, "levels": $levels, "hierarchies": $hiers}"""
+    }.mkString("[", ",\n", "]")
+
+  /** Catalog endpoint: measure metadata of one fact. */
+  def measures(fact: String): String =
+    meta(fact).measures.map { m =>
+      s"""{"name": ${jstr(m.name)}, "aggregate": ${jstr(m.default.name)}}"""
+    }.mkString("[", ", ", "]")
+
+  /** The aggregate endpoint: compile cut/drilldown/measure params, run,
+    * render (`output` = "json" | "table"). */
+  def aggregate(fact: String, cut: Option[String] = None,
+      drilldown: Option[String] = None, measure: Option[String] = None,
+      output: String = "json"): String = {
+    val m = meta(fact)
+    val df = warehouse.read(fact).getOrElse(throw new IllegalStateException(
+      s"fact table $fact has no snapshots yet"))
+    val req = AggregateService.Request.fromParams(cut, drilldown, measure)
+    val result = AggregateService.aggregate(df, m, req)
+    output match {
+      case "table" => Renderer.toTable(result)
+      case _ => Renderer.toJson(result,
+        (if (req.measures.nonEmpty) req.measures else m.measures.map(_.name)).toSet)
+    }
+  }
+}
