@@ -31,7 +31,7 @@ object QuickStart {
       """{ "fact_tables": [ { "name": "enabled_users", "cron": "daily",
         |  "fact_queries": [ { "query_id": 1, "enable": 1,
         |    "query": { "type": "sql", "value":
-        |      "SELECT c_mktsegment AS segment, COUNT(*) AS value FROM customer GROUP BY 1" } } ] } ] }"""
+        |      "SELECT c_mktsegment AS segment, COUNT(*) AS value FROM customer WHERE @date >= '2024-01-01' GROUP BY 1" } } ] } ] }"""
         .stripMargin)
 
     // 3. run one snapshot (periodicity gate + time enrichment + append)

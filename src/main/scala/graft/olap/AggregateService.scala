@@ -56,4 +56,25 @@ object AggregateService {
       .agg(measureCols.head, measureCols.tail: _*)
       .orderBy(groupCols.map(col): _*)
   }
+
+  /** Rollup convenience (SURVEY §2.5 "Grouping sets"): the reference
+    * composes rollups client-side from one drilldown call per level; this
+    * computes all prefixes of the resolved level path in one pass
+    * (`ROLLUP`), with `grouping_id` distinguishing subtotal rows. */
+  def rollup(fact: DataFrame, meta: FactMeta, req: Request): DataFrame = {
+    val predicate = Cut.compile(req.cuts, meta, fact.schema)
+    val cut = if (req.cuts.isEmpty) fact else fact.filter(predicate)
+    val measureNames = if (req.measures.nonEmpty) req.measures else meta.measures.map(_.name)
+    val measureCols = measureNames.map { n =>
+      val m = meta.measure(n)
+      m.aggregate(req.aggregates.get(n).map(AggregateFn.byName).getOrElse(m.default))
+    }
+    val groupCols = Drilldown.resolve(req.drilldowns, req.cuts, meta)
+      .flatMap(_.columns(meta)).distinct
+    require(groupCols.nonEmpty, "rollup needs a drilldown")
+    val aggCols = measureCols :+ grouping_id().as("grouping_id")
+    cut.rollup(groupCols.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .orderBy(col("grouping_id") +: groupCols.map(col): _*)
+  }
 }

@@ -29,6 +29,17 @@ object SnapshotJob {
   /** External command emitting a JSON array of objects on stdout; the pivot
     * date is passed as the last argv (S2, OLAP.php:73-79,344-348). */
   final case class ScriptSource(command: String) extends Source
+  /** Live-RDBMS source (S1): the configured SQL runs on the remote database
+    * through the JDBC pushdown reader (`query` option), exactly the
+    * reference's read-only production-DB role. `props` carries driver,
+    * user, password, partitioning options etc. */
+  final case class JdbcSource(url: String, sql: String,
+      props: Map[String, String] = Map.empty) extends Source
+  /** Distributed script source: the command runs on EXECUTORS, one process
+    * per shard (the 100 TB analog of S2's single driver-side exec). Shard
+    * contract: the command receives the pivot date as argv and its shard
+    * index on stdin, and emits JSON-LINES rows (one object per line). */
+  final case class PipeSource(command: String, shards: Int) extends Source
 
   final case class FactQuery(queryId: Long, enabled: Boolean, source: Source,
       info: String = "")
@@ -44,9 +55,11 @@ object SnapshotJob {
     Seq("queryId", "year", "month", "week", "day", "executionDate")
 
   /** `@date` substitution (S11): strip CRs, replace `@date` with the quoted
-    * pivot date (OLAP.php:338-339). */
+    * pivot date string — exactly the reference's form (OLAP.php:338-339),
+    * which every SQL dialect (Spark, MySQL, Derby, ...) implicitly casts in
+    * date comparisons. */
   def substitute(sql: String, pivot: LocalDate): String =
-    sql.replace("\r", "").replace("@date", s"DATE '$pivot'")
+    sql.replace("\r", "").replace("@date", s"'$pivot'")
 
   /** Run a script source: pivot date as trailing argument, stdout parsed as
     * a JSON array of flat objects, schema inferred (S9) with the reference's
@@ -55,6 +68,27 @@ object SnapshotJob {
     import scala.sys.process._
     val out = s"$command $pivot".!!
     readJsonRows(spark, out)
+  }
+
+  /** Run a PipeSource: `shards` executor-side processes via `RDD.pipe`,
+    * each fed its shard index on stdin, each emitting JSON-lines. Output
+    * schema is inferred the same way as the driver-side script path. */
+  def runPipe(spark: SparkSession, command: String, pivot: LocalDate,
+      shards: Int): DataFrame = {
+    import spark.implicits._
+    val lines = spark.sparkContext
+      .parallelize(0 until shards, shards)
+      .map(_.toString)
+      .pipe(Seq(command, pivot.toString))
+    promoteDateStrings(spark.read.json(spark.createDataset(lines)))
+  }
+
+  /** Run a JdbcSource: pushdown `query` on the remote database. */
+  def runJdbc(spark: SparkSession, src: JdbcSource, pivot: LocalDate): DataFrame = {
+    val reader = spark.read.format("jdbc")
+      .option("url", src.url)
+      .option("query", substitute(src.sql, pivot))
+    src.props.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }.load()
   }
 
   /** Parse a JSON array-of-objects string into a DataFrame, then promote
@@ -132,6 +166,8 @@ object SnapshotJob {
               val src = q.source match {
                 case SqlSource(sql) => spark.sql(substitute(sql, pivot))
                 case ScriptSource(cmd) => runScript(spark, cmd, pivot)
+                case j: JdbcSource => runJdbc(spark, j, pivot)
+                case PipeSource(cmd, shards) => runPipe(spark, cmd, pivot, shards)
               }
               warehouse.append(fact.name, withTimeFields(src, q.queryId, scope))
               true

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * since parquet files are immutable. New nullable columns need no rewrite —
   * `mergeSchema` union-by-name covers them at read time.
   */
-final class Warehouse(spark: SparkSession, root: String) {
+final class Warehouse(spark: SparkSession, val root: String) {
 
   private def path(fact: String) = s"$root/$fact"
 
@@ -60,4 +60,23 @@ final class Warehouse(spark: SparkSession, root: String) {
 
   private def write(df: DataFrame, mode: SaveMode, fact: String): Unit =
     df.write.partitionBy("year").mode(mode).parquet(path(fact))
+
+  /** Compaction (SURVEY §7.4 risk 5): daily appends accumulate one small
+    * file per run per partition; periodically rewrite each year partition
+    * into few well-sized files. One shuffle by partition key, then a
+    * size-capped write. */
+  def compact(fact: String, maxRecordsPerFile: Long = 5000000L): Unit =
+    read(fact).foreach { df =>
+      val tmp = path(fact) + ".compact"
+      df.repartition(col("year"))
+        .write.partitionBy("year")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .mode(SaveMode.Overwrite).parquet(tmp)
+      val dir = new java.io.File(path(fact))
+      def delete(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(delete)); f.delete()
+      }
+      delete(dir)
+      new java.io.File(tmp).renameTo(dir)
+    }
 }

@@ -1,0 +1,102 @@
+package graft.snapshot
+
+import java.time.LocalDate
+
+import graft.SparkTestBase
+import graft.time.TimeScope.Cron
+
+import org.apache.spark.sql.functions._
+
+/** The remaining source/sink operators: live-JDBC (S1, against embedded
+  * Derby), the distributed pipe script source, compaction, and rollup. */
+class SourcesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("JDBC source (S1): pushdown query on a live RDBMS incl. @date") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    // seed the database through plain JDBC
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE loans (patron_id INT, amount DOUBLE, loan_date DATE)")
+    st.execute("INSERT INTO loans VALUES (1, 10.5, '2024-01-10'), " +
+      "(2, 20.0, '2024-01-20'), (3, 5.25, '2024-01-12')")
+    conn.close()
+
+    val src = SnapshotJob.JdbcSource(url,
+      "SELECT patron_id, amount FROM loans WHERE loan_date <= @date")
+    val df = SnapshotJob.runJdbc(spark, src, LocalDate.parse("2024-01-15"))
+    assert(df.count() == 2) // date filter ran remotely
+    assert(df.agg(sum("amount")).as[Double].collect()(0) == 15.75)
+
+    // and through the full snapshot lifecycle
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("jdbc_wh").toString)
+    val settings = SnapshotJob.Settings(Seq(SnapshotJob.FactConfig(
+      "loans", Cron.Daily, Seq(SnapshotJob.FactQuery(1, enabled = true, src)))))
+    assert(SnapshotJob.run(spark, settings, wh, LocalDate.parse("2024-01-15")) ==
+      Seq("loans"))
+    assert(wh.read("loans").get.count() == 2)
+  }
+
+  test("distributed pipe source: shard-per-executor-process JSON-lines") {
+    val script = java.nio.file.Files.createTempFile("shard", ".sh")
+    java.nio.file.Files.writeString(script,
+      """#!/bin/sh
+        |read idx
+        |echo "{\"shard\": $idx, \"pivot\": \"$1\", \"n\": $((idx * 10))}"
+        |""".stripMargin)
+    script.toFile.setExecutable(true)
+    val df = SnapshotJob.runPipe(spark, script.toString,
+      LocalDate.parse("2024-02-01"), shards = 4)
+    assert(df.count() == 4)
+    assert(df.agg(sum("n")).as[Long].collect()(0) == 60) // 0+10+20+30
+    // the date-sniff (S9) promotes the pivot string to timestamp
+    assert(df.schema("pivot").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(df.select(to_date(col("pivot")).cast("string")).distinct()
+      .as[String].collect().toSeq == Seq("2024-02-01"))
+  }
+
+  test("compaction rewrites each year partition into few files") {
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("compact_wh").toString)
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("cmp_src")
+    val st = SnapshotJob.Settings(Seq(SnapshotJob.FactConfig("f", Cron.Daily,
+      Seq(SnapshotJob.FactQuery(1, enabled = true,
+        SnapshotJob.SqlSource("SELECT * FROM cmp_src"))))))
+    (10 to 14).foreach { day =>
+      SnapshotJob.run(spark, st, wh, LocalDate.parse(f"2024-01-$day%02d"))
+    }
+    val before = wh.read("f").get.count()
+    def parquetFiles(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).toSeq.flatten.flatMap {
+        case d if d.isDirectory => parquetFiles(d)
+        case f if f.getName.endsWith(".parquet") => Seq(f)
+        case _ => Nil
+      }
+    val whRoot = new java.io.File(wh.root)
+    assert(parquetFiles(whRoot).size >= 5) // one small file per append
+    wh.compact("f")
+    assert(parquetFiles(whRoot).size == 1) // single year partition -> 1 file
+    assert(wh.read("f").get.count() == before) // data intact
+  }
+
+  test("rollup computes all level-path prefixes in one pass") {
+    import graft.model._
+    import graft.olap.AggregateService
+    val fact = Seq((2023L, 1L, 5L), (2023L, 2L, 7L), (2024L, 1L, 11L))
+      .toDF("year", "month", "value")
+    val meta = FactMeta("f", Seq(Dimension("date",
+      Seq(Level("year", "year"), Level("month", "month")),
+      Seq(Hierarchy("ym", Seq("year", "month"))))),
+      Seq(Measure("value", "value", AggregateFn.Sum)))
+    val r = AggregateService.rollup(fact, meta,
+      AggregateService.Request.fromParams(None, Some("date:month"), None))
+    val rows = r.collect().map(x => (Option(x.get(0)), Option(x.get(1)),
+      x.getLong(2), x.getLong(3)))
+    // grouping_id 0 = detail rows, 1 = per-year subtotal, 3 = grand total
+    assert(rows.count(_._4 == 0L) == 3)
+    assert(rows.filter(_._4 == 1L).map(_._3).toSet == Set(12L, 11L))
+    assert(rows.filter(_._4 == 3L).map(_._3).toSeq == Seq(23L))
+  }
+}
