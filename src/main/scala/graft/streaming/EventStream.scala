@@ -60,4 +60,75 @@ object EventStream {
     q.stop()
     spark.table(name)
   }
+
+  // ---------------- stateful processing (sessionization) ----------------
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class Session(user_id: Long, start: java.sql.Timestamp,
+      end: java.sql.Timestamp, n_events: Int)
+
+  /** Custom state machine over a keyed stream: per-user sessions closed
+    * after `gapMinutes` of inactivity (`flatMapGroupsWithState` with an
+    * event-time timeout). The OPL reference has no streaming at all; this
+    * is the `events`-extension state operator the north star asks for. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[Session]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(s.copy(last = t, n = s.n + 1))
+          case Some(s) =>
+            closed ::= Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      if (state.hasTimedOut) {
+        val out = cur.map(s => Session(userId, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.last), s.n))
+        state.remove()
+        return (closed.reverse ++ out).iterator
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last + gapMs)
+      }
+      closed.reverse.iterator
+    }
+
+    events.select($"user_id", $"ts", $"event_type").as[Event]
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+      .toDF()
+  }
+
+  /** Drive sessionization synchronously over the static events dir. Only
+    * sessions closed by a later event are emitted in a single batch (the
+    * final open session per user times out only when the watermark
+    * advances past it — i.e. with more data; deterministic either way). */
+  def runSessions(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30, name: String = "sessions_out"): DataFrame = {
+    val q = sessionize(readStream(spark, sfDir), gapMinutes)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
 }

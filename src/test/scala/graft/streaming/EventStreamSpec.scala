@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class EventStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hourly windowed agg equals the batch equivalent") {
+    val streamed = EventStream.runHourly(spark, sf("sf0.001"), "hourly_test")
+    val batch = graft.Tables.load(spark, sf("sf0.001"), "events")
+      .groupBy(window($"ts", "1 hour")("start").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("v"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("sessionization: state machine closes sessions on inactivity gaps") {
+    // deterministic micro-stream via a temp parquet dir in the events schema
+    val dir = java.nio.file.Files.createTempDirectory("sess_src")
+    val rows = Seq(
+      // user 1: two sessions separated by > 30 min
+      (1L, "2024-01-01 10:00:00", 1L), (2L, "2024-01-01 10:10:00", 1L),
+      (3L, "2024-01-01 11:30:00", 1L), (4L, "2024-01-01 11:40:00", 1L),
+      // user 2: one long session
+      (5L, "2024-01-01 09:00:00", 2L), (6L, "2024-01-01 09:20:00", 2L),
+      (7L, "2024-01-01 09:40:00", 2L),
+      // a late event far in the future advances the watermark so all
+      // earlier sessions time out and emit
+      (8L, "2024-01-02 12:00:00", 1L))
+      .toDF("event_id", "ts_s", "user_id")
+      .select($"event_id",
+        // nanos-as-long layout, matching the events schema contract
+        (unix_timestamp($"ts_s").cast("long") * 1000000000L).as("ts"),
+        $"user_id", lit("click").as("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+    // single parquet FILE named events.parquet (the testdata layout)
+    val stage = java.nio.file.Files.createTempDirectory("sess_stage")
+    rows.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, dir.resolve("events.parquet"))
+
+    val sessions = EventStream.runSessions(spark, dir.toString,
+      gapMinutes = 30, name = "sess_test")
+      .select($"user_id", $"n_events").as[(Long, Int)].collect().toSet
+    // user 1: sessions of 2 and 2 events; user 2: one of 3. The last
+    // session (the 2024-01-02 event) stays open - watermark hasn't passed.
+    assert(sessions == Set((1L, 2), (2L, 3)) ||
+      sessions == Set((1L, 2), (2L, 3), (1L, 1)),
+      s"got $sessions")
+  }
+}
