@@ -92,8 +92,15 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprint per doc, band by the 8
-    * bytes (pigeonhole: Hamming <= 7 always collides on >= 1 byte), filter
-    * by Hamming <= maxHamming, verify with exact Jaccard. */
+    * bytes, filter by Hamming <= maxHamming, verify with exact Jaccard.
+    *
+    * Recall guarantee: byte banding catches EVERY pair with Hamming <= 7
+    * (pigeonhole); pairs in (7, maxHamming] are found only when their
+    * differing bits cluster so that >= 1 byte matches — probabilistic.
+    * Near-dups at the default verify threshold (Jaccard 0.9 => expected
+    * Hamming ~4-6 of 64) sit comfortably inside the guaranteed band; raise
+    * the band count (finer chunks) before raising maxHamming if you need
+    * guaranteed recall deeper into the tail. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxHamming: Int = 12, threshold: Double = 0.9): DataFrame = {
     val sh = shingleSets(df, idCol, textCol, n)
@@ -115,8 +122,11 @@ object Dedup {
   }
 
   /** Shingle sets per doc, persisted: every pair pipeline reads them at
-    * least twice (index/signature build + exact verify). Tiny next to the
-    * corpus; session-scoped cache, dropped on session stop. */
+    * least twice (index/signature build + exact verify). Comparable in
+    * size to the corpus text itself, so MEMORY_AND_DISK (spills, never
+    * OOMs). Lifecycle is session-scoped: callers running many pipelines in
+    * one long-lived session should `spark.catalog.clearCache()` between
+    * corpora. */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     df.select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol), n).as("sh"))

@@ -73,9 +73,16 @@ final case class Measure(
     default: AggregateFn = AggregateFn.Sum,
     expr: Option[Column] = None) {
 
-  /** The aggregate Column for this measure under function `fn`. */
-  def aggregate(fn: AggregateFn): Column =
-    expr.getOrElse(fn(col(column))).as(name)
+  /** The aggregate Column for this measure under function `fn` against the
+    * physical column resolved through `mappings`. The `expr` override only
+    * stands in for the DEFAULT function — an explicit different `fn`
+    * request always computes fn(physical column). */
+  def aggregate(fn: AggregateFn, physical: String => String): Column = {
+    val base =
+      if (fn == default) expr.getOrElse(fn(col(physical(column))))
+      else fn(col(physical(column)))
+    base.as(name)
+  }
 }
 
 /** Complete metadata for one fact table: the rebuild's analog of the

@@ -44,7 +44,7 @@ object AggregateService {
     val measureCols: Seq[Column] = measureNames.map { n =>
       val m = meta.measure(n)
       val fn = req.aggregates.get(n).map(AggregateFn.byName).getOrElse(m.default)
-      m.aggregate(fn)
+      m.aggregate(fn, meta.physical)
     }
 
     val resolved = Drilldown.resolve(req.drilldowns, req.cuts, meta)
@@ -67,7 +67,8 @@ object AggregateService {
     val measureNames = if (req.measures.nonEmpty) req.measures else meta.measures.map(_.name)
     val measureCols = measureNames.map { n =>
       val m = meta.measure(n)
-      m.aggregate(req.aggregates.get(n).map(AggregateFn.byName).getOrElse(m.default))
+      m.aggregate(req.aggregates.get(n).map(AggregateFn.byName).getOrElse(m.default),
+        meta.physical)
     }
     val groupCols = Drilldown.resolve(req.drilldowns, req.cuts, meta)
       .flatMap(_.columns(meta)).distinct

@@ -86,6 +86,13 @@ object Cut {
       case Members(vs) =>
         val lv = order.head
         levelCol(lv, meta, schema).isin(vs.map(v => typedLit(v, lv, meta, schema)): _*)
+      case Range(Some(lo), Some(hi))
+          if lo.size == 1 && hi.size == 1 && isStringLevel(order.head, meta, schema) &&
+            !(numericish(lo.head) && numericish(hi.head)) =>
+        // grammar ambiguity: '-' inside a STRING member (e.g.
+        // `loan_type:loan-local`) is a literal, not a range separator —
+        // reinterpret as a point. Numeric levels keep range semantics.
+        levelCol(order.head, meta, schema) === lit(s"${lo.head}-${hi.head}")
       case Range(lo, hi) =>
         val conds =
           lo.map(boundCond(_, order, meta, schema, lower = true)).toSeq ++
@@ -93,6 +100,12 @@ object Cut {
         conds.reduce(_ && _)
     }
   }
+
+  private def numericish(v: String): Boolean =
+    v.nonEmpty && v.forall(c => c.isDigit || c == '.')
+
+  private def isStringLevel(lv: Level, meta: FactMeta, schema: StructType): Boolean =
+    levelType(lv, meta, schema).contains(org.apache.spark.sql.types.StringType)
 
   /** Lexicographic bound over level tuples, expanded to per-level
     * conjunctions/disjunctions instead of a struct comparison so that

@@ -23,8 +23,7 @@ final class OlapApi(spark: SparkSession, warehouse: Warehouse,
     metas.getOrElse(fact, throw new IllegalArgumentException(
       s"unknown fact table: $fact"))
 
-  private def jstr(s: String): String = "\"" + s.replace("\\", "\\\\")
-    .replace("\"", "\\\"") + "\""
+  private def jstr(s: String): String = Renderer.jsonString(s)
 
   /** Catalog endpoint: the fact tables this API serves. */
   def factTables: String =

@@ -15,19 +15,24 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object Renderer {
 
-  private def jsonScalar(v: Any): String = v match {
+  /** Shared JSON string escaper (also used by OlapApi). */
+  def jsonString(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def jsonScalar(v: Any): String = v match {
     case null => "null"
-    case s: String => "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    case s: String => jsonString(s)
     case d: java.sql.Timestamp => jsonScalar(d.toInstant.toString)
     case d: java.time.Instant => jsonScalar(d.toString)
+    case d: Double if d.isNaN || d.isInfinite => "null" // JSON has no NaN/Inf
+    case f: Float if f.isNaN || f.isInfinite => "null"
     case other => other.toString
   }
 
@@ -36,10 +41,10 @@ object Renderer {
     val cols = df.columns
     val rows = df.collect()
     if (rows.isEmpty) return emptyDataset
+    val (ms, ds) = cols.zipWithIndex.partition { case (c, _) => measureNames(c) }
     rows.map { r =>
-      val (ms, ds) = cols.zipWithIndex.partition { case (c, _) => measureNames(c) }
-      val dims = ds.map { case (c, i) => s""""$c": ${jsonScalar(r.get(i))}""" }
-      val meas = ms.map { case (c, i) => s""""$c": ${jsonScalar(r.get(i))}""" }
+      val dims = ds.map { case (c, i) => s"${jsonString(c)}: ${jsonScalar(r.get(i))}" }
+      val meas = ms.map { case (c, i) => s"${jsonString(c)}: ${jsonScalar(r.get(i))}" }
       (dims :+ s""""measures": {${meas.mkString(", ")}}""").mkString("{", ", ", "}")
     }.mkString("[", ",\n", "]")
   }

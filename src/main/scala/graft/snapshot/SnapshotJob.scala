@@ -104,20 +104,23 @@ object SnapshotJob {
 
   private val dateLike = "^\\d{4}-\\d{2}-\\d{2}([ T]\\d{2}:\\d{2}(:\\d{2})?)?$".r
 
-  def promoteDateStrings(df: DataFrame): DataFrame = {
-    val first = df.limit(1).collect().headOption
-    first match {
-      case None => df
-      case Some(row) =>
-        val promote = df.schema.fields.zipWithIndex.collect {
-          case (f, i) if f.dataType == org.apache.spark.sql.types.StringType &&
-            row.get(i) != null && dateLike.matches(row.getString(i)) => f.name
-        }.toSet
-        if (promote.isEmpty) df
-        else df.select(df.columns.map { c =>
-          if (promote(c)) to_timestamp(col(c)).as(c) else col(c)
-        }.toIndexedSeq: _*)
-    }
+  /** Promote string columns to timestamp when EVERY sampled non-null value
+    * is date-shaped (the reference sniffs only the first row,
+    * OLAP.php:252 — a quirk this rebuild fixes: one date-looking value must
+    * not null out a free-text column). */
+  def promoteDateStrings(df: DataFrame, sampleRows: Int = 100): DataFrame = {
+    val sample = df.limit(sampleRows).collect()
+    if (sample.isEmpty) return df
+    val promote = df.schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == org.apache.spark.sql.types.StringType &&
+        sample.exists(_.get(i) != null) &&
+        sample.forall(r => r.get(i) == null || dateLike.matches(r.getString(i))) =>
+        f.name
+    }.toSet
+    if (promote.isEmpty) df
+    else df.select(df.columns.map { c =>
+      if (promote(c)) to_timestamp(col(c)).as(c) else col(c)
+    }.toIndexedSeq: _*)
   }
 
   /** Inject the six time-scope fields, first (S5 ordering). `executionDate`

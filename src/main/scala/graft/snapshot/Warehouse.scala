@@ -1,5 +1,7 @@
 package graft.snapshot
 
+import org.apache.hadoop.fs.{FileSystem, Path}
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,6 +10,10 @@ import org.apache.spark.sql.functions._
   * (SURVEY.md §4 "Snapshot pruning"; the reference's implicit
   * (queryId, year, month, week, day) keying, OLAP.php:166-175).
   *
+  * All filesystem operations go through the Hadoop FileSystem API so the
+  * root may live on any supported store (local, HDFS, S3A, ...), not just
+  * the local disk.
+  *
   * Appends are plain partition-local parquet writes; a widening schema
   * change (the reference's `CHANGE COLUMN`, S7) triggers a one-off rewrite
   * since parquet files are immutable. New nullable columns need no rewrite —
@@ -15,15 +21,17 @@ import org.apache.spark.sql.functions._
   */
 final class Warehouse(spark: SparkSession, val root: String) {
 
-  private def path(fact: String) = s"$root/$fact"
+  private def path(fact: String) = new Path(root, fact)
 
-  def exists(fact: String): Boolean =
-    new java.io.File(path(fact)).exists()
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(fact: String): Boolean = fs.exists(path(fact))
 
   def read(fact: String): Option[DataFrame] =
     if (!exists(fact)) None
     else {
-      val df = spark.read.option("mergeSchema", "true").parquet(path(fact))
+      val df = spark.read.option("mergeSchema", "true").parquet(path(fact).toString)
       // partition-dir inference narrows `year` to int; restore the
       // authoritative injected type (long) for a stable schema
       Some(df.withColumn("year", col("year").cast("long")))
@@ -36,7 +44,7 @@ final class Warehouse(spark: SparkSession, val root: String) {
     case Some(existing) =>
       val evolved = SchemaEvolution.evolvedSchema(existing.schema, batch.schema)
       if (evolved == existing.schema) {
-        // no widening needed; mergeSchema handles new-at-read nothing
+        // no widening needed: align the batch to the stored schema
         val aligned = SchemaEvolution.unionEvolve(existing.limit(0), batch)
         write(aligned, SaveMode.Append, fact)
       } else if (SchemaEvolution.evolvedSchema(batch.schema, existing.schema) == batch.schema
@@ -46,20 +54,36 @@ final class Warehouse(spark: SparkSession, val root: String) {
       } else {
         // incompatible widening (type change): one-off rewrite (ref S7
         // CHANGE COLUMN analog)
-        val all = SchemaEvolution.unionEvolve(existing, batch)
-        val tmp = path(fact) + ".tmp"
-        all.write.partitionBy("year").mode(SaveMode.Overwrite).parquet(tmp)
-        val dir = new java.io.File(path(fact))
-        def delete(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(delete)); f.delete()
-        }
-        delete(dir)
-        new java.io.File(tmp).renameTo(dir)
+        replaceWith(fact, SchemaEvolution.unionEvolve(existing, batch), ".tmp")
       }
   }
 
   private def write(df: DataFrame, mode: SaveMode, fact: String): Unit =
-    df.write.partitionBy("year").mode(mode).parquet(path(fact))
+    df.write.partitionBy("year").mode(mode).parquet(path(fact).toString)
+
+  /** Atomically-ish replace a fact directory with a rewritten DataFrame:
+    * write to a sibling temp dir, swap via FS rename, fail loudly if the
+    * swap cannot complete (never silently lose the table). */
+  private def replaceWith(fact: String, df: DataFrame, suffix: String,
+      writeOpts: Map[String, String] = Map.empty): Unit = {
+    val target = path(fact)
+    val tmp = new Path(target.getParent, target.getName + suffix)
+    val old = new Path(target.getParent, target.getName + ".old")
+    val f = fs
+    if (f.exists(tmp)) f.delete(tmp, true)
+    var w = df.repartition(col("year")).write.partitionBy("year")
+    writeOpts.foreach { case (k, v) => w = w.option(k, v) }
+    w.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (f.exists(old)) f.delete(old, true)
+    if (!f.rename(target, old))
+      throw new java.io.IOException(s"could not stage out $target")
+    if (!f.rename(tmp, target)) {
+      // roll back so the table is never lost
+      f.rename(old, target)
+      throw new java.io.IOException(s"could not swap in rewritten $target")
+    }
+    f.delete(old, true)
+  }
 
   /** Compaction (SURVEY §7.4 risk 5): daily appends accumulate one small
     * file per run per partition; periodically rewrite each year partition
@@ -67,16 +91,7 @@ final class Warehouse(spark: SparkSession, val root: String) {
     * size-capped write. */
   def compact(fact: String, maxRecordsPerFile: Long = 5000000L): Unit =
     read(fact).foreach { df =>
-      val tmp = path(fact) + ".compact"
-      df.repartition(col("year"))
-        .write.partitionBy("year")
-        .option("maxRecordsPerFile", maxRecordsPerFile)
-        .mode(SaveMode.Overwrite).parquet(tmp)
-      val dir = new java.io.File(path(fact))
-      def delete(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(delete)); f.delete()
-      }
-      delete(dir)
-      new java.io.File(tmp).renameTo(dir)
+      replaceWith(fact, df, ".compact",
+        Map("maxRecordsPerFile" -> maxRecordsPerFile.toString))
     }
 }

@@ -65,6 +65,26 @@ class AggregateServiceSpec extends SparkTestBase {
     assert(Renderer.toJson(r, Set("value")) == Renderer.emptyDataset)
   }
 
+  test("measure mappings resolve logical -> physical columns (P8)") {
+    val mapped = FactMeta("f", Seq(Dimension.flat("segment")),
+      Seq(Measure("loans", "loans", AggregateFn.Sum)),
+      mappings = Map("loans" -> "enabled_users.value"))
+    val r = AggregateService.aggregate(fact, mapped, req(drill = "segment"))
+    assert(r.columns.toSeq == Seq("segment", "loans"))
+    assert(r.agg(sum($"loans")).as[Long].collect()(0) == 25L)
+  }
+
+  test("explicit fn override beats a baked-in expr measure") {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val m = meta.copy(measures = Seq(Measure("value", "value", AggregateFn.Sum,
+      expr = Some(fsum($"value" * 2).as("value"))))) // custom default expr
+    val dflt = AggregateService.aggregate(fact, m, req())
+    assert(dflt.as[Long].collect()(0) == 50L) // expr used for default fn
+    val cnt = AggregateService.aggregate(fact, m,
+      req().copy(aggregates = Map("value" -> "count")))
+    assert(cnt.as[Long].collect()(0) == 4L) // override computes count, not expr
+  }
+
   test("measure selection by name (P9)") {
     val m2 = meta.copy(measures = meta.measures :+
       Measure("ct", "value", AggregateFn.Count))

@@ -85,6 +85,15 @@ class CutSpec extends SparkTestBase {
     }
   }
 
+  test("hyphen inside a string member is a literal, not a range") {
+    assert(run("loan_type:loan-ill") == Set.empty) // no such member
+    val withDash = rows.map(r => if (r._4 == "loan_ill") r.copy(_4 = "loan-ill") else r)
+      .toDF("year", "month", "day", "loan_type", "library_id", "value")
+    val got = withDash.filter(compile(parse("loan_type:loan-ill"), meta, withDash.schema))
+      .count()
+    assert(got == rows.count(_._4 == "loan_ill"))
+  }
+
   test("cut deeper than hierarchy is rejected") {
     intercept[IllegalArgumentException](
       run("date:2016,10,3,4"))
