@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.ext.{MinHashSignature, SignLshSignatures, SimHash64}
+
+/** Session extensions exposing the engine's native expressions to SQL:
+  *
+  *   spark.sql("SELECT simhash64(split(text, ' ')) FROM docs")
+  *   spark.sql("SELECT minhash_signature(shingles, 128, 42) ...")
+  *   spark.sql("SELECT sign_lsh_signatures(embedding, 8, 12, 64, 42) ...")
+  *
+  * Register with:
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * or spark.sql.extensions=graft.GraftExtensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  private def longArg(e: Expression, name: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => MinHashSignature(c, 128, 42L)
+        case Seq(c, k) => MinHashSignature(c, intArg(k, "numHashes"), 42L)
+        case Seq(c, k, s) =>
+          MinHashSignature(c, intArg(k, "numHashes"), longArg(s, "seed"))
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature(arr[, numHashes[, seed]])")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("sign_lsh_signatures"),
+      new ExpressionInfo(classOf[SignLshSignatures].getName, "sign_lsh_signatures"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => SignLshSignatures(c, 8, 12, 64, 42L)
+        case Seq(c, t, b, d) => SignLshSignatures(c, intArg(t, "tables"),
+          intArg(b, "bits"), intArg(d, "dim"), 42L)
+        case Seq(c, t, b, d, s) => SignLshSignatures(c, intArg(t, "tables"),
+          intArg(b, "bits"), intArg(d, "dim"), longArg(s, "seed"))
+        case _ => throw new IllegalArgumentException(
+          "sign_lsh_signatures(arr[, tables, bits, dim[, seed]])")
+      }))
+  }
+}

@@ -214,6 +214,31 @@ object SparkEntry {
     "x_stream_hourly" -> ((s, d) =>
       graft.streaming.EventStream.runHourly(s, d)
         .orderBy(col("hour"), col("event_type"))),
+    // Sessionization (batch formulation; cross-checks the streaming state
+    // machine): per-user event-time sessions with a 30-minute gap
+    "x_sessions" -> ((s, d) =>
+      graft.streaming.EventStream.sessionizeBatch(ev(s, d), gapMinutes = 30)
+        .select(col("user_id"), col("start"), col("end"),
+          col("n_events").cast("long").as("n_events"))
+        .orderBy(col("user_id"), col("start"))),
+    // Grouping-sets rollup: all prefixes of the date path in one pass
+    "x_rollup" -> ((s, d) => {
+      import graft.olap.AggregateService
+      AggregateService.rollup(ordDated(s, d),
+        ordMeta(mExpr("value", moneySum("o_totalprice"))),
+        AggregateService.Request.fromParams(None, Some("date:month"), None))
+    }),
+    // Distributed pipe source: executor-side shard processes (S2 at scale)
+    "x_pipe" -> ((s, d) => {
+      val script = java.nio.file.Files.createTempFile("graft_pipe", ".sh")
+      java.nio.file.Files.writeString(script,
+        "#!/bin/sh\nread idx\n" +
+          "echo \"{\\\"shard\\\": $idx, \\\"n\\\": $((idx * 10 + 1))}\"\n")
+      script.toFile.setExecutable(true)
+      graft.snapshot.SnapshotJob.runPipe(s, script.toString,
+        java.time.LocalDate.parse("2024-01-15"), shards = 4)
+        .agg(count(lit(1)).as("shards"), sum(col("n")).as("total"))
+    }),
 
     // ---------------- dedup family ----------------
 
@@ -345,6 +370,16 @@ object SparkEntry {
     "x_stream_hourly" -> ("SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type, " +
       "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v " +
       "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "x_sessions" -> ("WITH l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), " +
+      "f AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END AS ns FROM l), " +
+      "s AS (SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
+      "SELECT user_id, MIN(ts) AS start, MAX(ts) AS \"end\", CAST(COUNT(*) AS BIGINT) AS n_events " +
+      "FROM s GROUP BY user_id, sid ORDER BY user_id, start"),
+    "x_rollup" -> ("SELECT EXTRACT(YEAR FROM o_orderdate) AS year, EXTRACT(MONTH FROM o_orderdate) AS month, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value, " +
+      "CAST(GROUPING(EXTRACT(YEAR FROM o_orderdate), EXTRACT(MONTH FROM o_orderdate)) AS BIGINT) AS grouping_id " +
+      "FROM orders GROUP BY ROLLUP(1, 2) ORDER BY grouping_id, year, month"),
+    "x_pipe" -> "SELECT CAST(4 AS BIGINT) AS shards, CAST(64 AS BIGINT) AS total",
     "x_dedup_exact" -> ("SELECT CAST(COUNT(DISTINCT regexp_replace(lower(text), '\\s+', ' ', 'g')) AS BIGINT) AS n_unique, " +
       "CAST(COUNT(*) AS BIGINT) AS total FROM documents"),
     "x_dedup_ngram" -> ngramOracle(0.5),

@@ -117,6 +117,30 @@ object EventStream {
       .toDF()
   }
 
+  /** Batch sessionization — the same session semantics via window
+    * functions (lag -> gap flag -> running session index -> group), one
+    * shuffle on user_id. Complete over static data (no open sessions);
+    * the cross-check for the streaming state machine and the right tool
+    * for backfills. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapS = gapMinutes * 60L
+    events
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev")) > gapS)
+          .cast("long"))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(byUser
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("start"), max(col("ts")).as("end"),
+        count(lit(1)).cast("int").as("n_events"))
+      .select(col("user_id"), col("start"), col("end"), col("n_events"))
+  }
+
   /** Drive sessionization synchronously over the static events dir. Only
     * sessions closed by a later event are emitted in a single batch (the
     * final open session per user times out only when the watermark

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL exposure of the native expressions via SparkSessionExtensions. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // getOrCreate would return the shared test session (without these
+    // extensions); force a fresh session for this suite
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    s
+  }
+
+  test("simhash64 / minhash_signature / sign_lsh_signatures from SQL") {
+    val r = spark.sql(
+      """SELECT simhash64(array('a','b','c')) AS sh,
+        |       minhash_signature(array('a','b','c'), 8, 42) AS mh,
+        |       sign_lsh_signatures(array(1.0F, -2.0F), 2, 4, 2, 42) AS ls
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) != 0L)
+    assert(r.getSeq[Long](1).size == 8)
+    assert(r.getSeq[Long](2).size == 2)
+    // deterministic across invocations
+    val r2 = spark.sql("SELECT simhash64(array('a','b','c'))").collect()(0)
+    assert(r.getLong(0) == r2.getLong(0))
+    // and consistent with the Column API
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val viaCol = Seq(Seq("a", "b", "c")).toDF("arr")
+      .select(graft.ext.SimHash64(col("arr"))).as[Long].collect()(0)
+    assert(viaCol == r.getLong(0))
+  }
+
+  test("bad argument types rejected") {
+    intercept[Exception](spark.sql("SELECT simhash64(1)").collect())
+  }
+}

@@ -13,7 +13,10 @@ import duckdb
 import pandas as pd
 
 sfdir, out = sys.argv[1], sys.argv[2]
+skips = sys.argv[3:]  # query-name prefixes to skip (e.g. O(n^2) oracles at big sf)
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+oracle = {k: v for k, v in oracle.items()
+          if not any(k.startswith(s) for s in skips)}
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
