@@ -1,0 +1,33 @@
+package graft
+
+/** Driver-contract invariants: entry() smoke, oracle key alignment, and
+  * column-name parity between queries and their oracle SQL (the driver
+  * hashes after sorting columns BY NAME — a mismatch zeroes the query). */
+class SmokeSpec extends SparkTestBase {
+
+  test("entry() returns rows on sf0.001 (driver smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query; oracle-less queries are known") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
+    val rowsOnly = q -- o
+    assert(rowsOnly == Set("x_sim_lsh", "x_text_langid", "x_text_fingerprint",
+      "x_mm_features"), s"unexpected rows-only set: $rowsOnly")
+  }
+
+  test("result column names match the oracle SQL aliases") {
+    // cheap static check: every column name of the Spark result appears
+    // verbatim in the oracle text (as alias or source column)
+    val dir = sf("sf0.001")
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val cols = SparkEntry.queries(name)(spark, dir).columns
+      cols.foreach { c =>
+        assert(sql.toLowerCase.contains(c.toLowerCase),
+          s"$name: result column '$c' not present in oracle SQL")
+      }
+    }
+  }
+}
