@@ -210,6 +210,27 @@ object SparkEntry {
           col("week"), col("day"), col("segment"), col("bucket"), col("value"))
         .orderBy(col("segment"), col("bucket"))
     }),
+    // Monthly periodicity: gate fires on the last day of the month, week
+    // and day scope fields nulled (§1.3 nullification + S10 on NULL scope)
+    "x_snapshot_monthly" -> ((s, d) => {
+      import graft.snapshot._
+      import graft.time.TimeScope.Cron
+      Tables.register(s, d)
+      val wh = new Warehouse(s, java.nio.file.Files
+        .createTempDirectory("graft_whm").toString)
+      val settings = SnapshotJob.Settings(Seq(SnapshotJob.FactConfig(
+        "orders_monthly", Cron.Monthly, Seq(SnapshotJob.FactQuery(7, enabled = true,
+          SnapshotJob.SqlSource(
+            "SELECT o_orderstatus AS status, COUNT(*) AS value FROM orders GROUP BY 1"))))))
+      // mid-month run must not fire; month-end must; re-run must dedup
+      SnapshotJob.run(s, settings, wh, java.time.LocalDate.parse("2024-01-15"))
+      SnapshotJob.run(s, settings, wh, java.time.LocalDate.parse("2024-01-31"))
+      SnapshotJob.run(s, settings, wh, java.time.LocalDate.parse("2024-01-31"))
+      wh.read("orders_monthly").get
+        .select(col("queryId"), col("year"), col("month"), col("week"),
+          col("day"), col("status"), col("value"))
+        .orderBy(col("status"))
+    }),
     // Structured Streaming: watermarked tumbling-window agg over events
     "x_stream_hourly" -> ((s, d) =>
       graft.streaming.EventStream.runHourly(s, d)
@@ -367,6 +388,9 @@ object SparkEntry {
       "c_mktsegment AS segment, CASE WHEN c_acctbal >= 5000 THEN 'hi' " +
       "WHEN c_acctbal >= 0 THEN 'mid' ELSE 'neg' END AS bucket, COUNT(*) AS value " +
       "FROM customer GROUP BY 6, 7 ORDER BY 6, 7"),
+    "x_snapshot_monthly" -> ("SELECT CAST(7 AS BIGINT) AS queryId, CAST(2024 AS BIGINT) AS year, " +
+      "CAST(1 AS BIGINT) AS month, CAST(NULL AS VARCHAR) AS week, CAST(NULL AS BIGINT) AS day, " +
+      "o_orderstatus AS status, COUNT(*) AS value FROM orders GROUP BY 6 ORDER BY 6"),
     "x_stream_hourly" -> ("SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type, " +
       "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v " +
       "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
