@@ -153,10 +153,26 @@ object SnapshotJob {
       .isEmpty
   }
 
+  /** Reference-fidelity mode: the original stores NEWDECIMAL results as
+    * INT(21), truncating SUM(...) fractions (OLAP.php:57 — a bug/quirk the
+    * rebuild fixes by default, SURVEY §1.2). With compat=true, decimal
+    * source columns are cast to long at ingest to reproduce byte-identical
+    * historical fact tables during a migration. */
+  def compatNarrow(df: DataFrame): DataFrame = {
+    val decimals = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+    }.toSet
+    if (decimals.isEmpty) df
+    else df.select(df.columns.map { c =>
+      if (decimals(c)) col(c).cast("long").as(c) else col(c)
+    }.toIndexedSeq: _*)
+  }
+
   /** Run one snapshot pass for the pivot date over all configured facts.
     * Returns the fact names actually written. */
   def run(spark: SparkSession, settings: Settings, warehouse: Warehouse,
-      pivot: LocalDate, onlyFact: Option[String] = None): Seq[String] = {
+      pivot: LocalDate, onlyFact: Option[String] = None,
+      compat: Boolean = false): Seq[String] = {
     settings.facts.flatMap { fact =>
       if (onlyFact.exists(_ != fact.name)) None
       else TimeScope.scopeFor(fact.cron, pivot) match {
@@ -166,12 +182,13 @@ object SnapshotJob {
             val existing = warehouse.read(fact.name)
             if (existing.exists(alreadyLoaded(_, q.queryId, scope))) false
             else {
-              val src = q.source match {
+              val src0 = q.source match {
                 case SqlSource(sql) => spark.sql(substitute(sql, pivot))
                 case ScriptSource(cmd) => runScript(spark, cmd, pivot)
                 case j: JdbcSource => runJdbc(spark, j, pivot)
                 case PipeSource(cmd, shards) => runPipe(spark, cmd, pivot, shards)
               }
+              val src = if (compat) compatNarrow(src0) else src0
               warehouse.append(fact.name, withTimeFields(src, q.queryId, scope))
               true
             }

@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling evidence for the dedup path (BASELINE.md): replicate the
+  * documents corpus K times with distinct ids (near-dup structure is
+  * preserved and multiplied), run MinHash+LSH end-to-end, report wall
+  * time and pair counts. At K=10 over sf0.1 that is 50k docs — 1.25
+  * billion candidate pairs for the O(n^2) formulation, impossible for the
+  * oracle, linear work here.
+  *
+  * `runMain graft.tools.ScaleDemo [K]`
+  */
+object ScaleDemo {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-demo")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = graft.Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val n0 = base.count()
+    val corpus = (0 until k).map { i =>
+      base.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+        col("text"))
+    }.reduce(_ unionByName _)
+
+    val t0 = System.nanoTime()
+    val pairs = graft.ext.Dedup.minhashPairs(corpus, "doc_id", "text",
+      n = 3, numHashes = 128, bands = 32, threshold = 0.8).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val docs = n0 * k
+    println(f"""{"docs": $docs, "replication": $k, "pairs": $pairs, "seconds": $secs%.1f}""")
+    spark.stop()
+  }
+}

@@ -126,6 +126,39 @@ class SnapshotSpec extends SparkTestBase {
     assert(fact.filter(col("extra").isNull).count() == 1) // null-filled
   }
 
+  test("compat mode reproduces the reference's decimal->int truncation quirk") {
+    spark.sql("SELECT CAST(12.75 AS DECIMAL(10,2)) AS amount")
+      .createOrReplaceTempView("dec_src")
+    val whFixed = freshWarehouse()
+    SnapshotJob.run(spark, fixture(Cron.Daily, "SELECT * FROM dec_src"),
+      whFixed, LocalDate.parse("2024-01-15"))
+    assert(whFixed.read("f").get.schema("amount").dataType ==
+      DecimalType(10, 2)) // default: decimals preserved (ref quirk fixed)
+    val whCompat = freshWarehouse()
+    SnapshotJob.run(spark, fixture(Cron.Daily, "SELECT * FROM dec_src"),
+      whCompat, LocalDate.parse("2024-01-15"), compat = true)
+    val r = whCompat.read("f").get
+    assert(r.schema("amount").dataType == LongType)
+    assert(r.select("amount").collect()(0).getLong(0) == 12L) // truncated
+  }
+
+  test("property: re-running any prefix of a snapshot sequence is a no-op (§5.3)") {
+    Seq((1, "x"), (2, "y")).toDF("k", "v").createOrReplaceTempView("seq_src")
+    val wh = freshWarehouse()
+    val st = fixture(Cron.Daily, "SELECT * FROM seq_src")
+    val rnd = new scala.util.Random(99)
+    val dates = (10 to 19).map(d => LocalDate.parse(f"2024-03-$d%02d"))
+    dates.foreach(d => SnapshotJob.run(spark, st, wh, d))
+    val baseline = wh.read("f").get.count()
+    assert(baseline == 20) // 10 days x 2 rows
+    // replay a random shuffle of a random prefix; nothing may change
+    (1 to 3).foreach { _ =>
+      rnd.shuffle(dates.take(1 + rnd.nextInt(dates.size)).toList)
+        .foreach(d => SnapshotJob.run(spark, st, wh, d))
+      assert(wh.read("f").get.count() == baseline)
+    }
+  }
+
   test("disabled queries never run") {
     val wh = freshWarehouse()
     val st = SnapshotJob.Settings(Seq(SnapshotJob.FactConfig("f", Cron.Daily,
