@@ -184,6 +184,28 @@ object SparkEntry {
       .agg(min(col("wk")).as("first_wk"), max(col("wk")).as("last_wk"),
         countDistinct(col("wk")).as("n"))),
 
+    // Window functions over the fact source (running revenue per customer)
+    "x_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      ord(s, d).filter(col("o_custkey") <= 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).cast("long").as("rn"),
+          sum(col("o_totalprice").cast(D)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+    // Set operations: UNION / INTERSECT / EXCEPT
+    "x_setops" -> ((s, d) => {
+      val hi = ord(s, d).filter(col("o_totalprice") >= 300000).select(col("o_custkey"))
+      val urgent = ord(s, d).filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      val u = hi.union(urgent).distinct().agg(count(lit(1)).as("n_union"))
+      val i = hi.intersect(urgent).agg(count(lit(1)).as("n_intersect"))
+      val e = hi.except(urgent).agg(count(lit(1)).as("n_except"))
+      u.crossJoin(i).crossJoin(e)
+    }),
+
     // ---------------- snapshot + streaming end-to-end ----------------
 
     // Full snapshot lifecycle: SQL fact query -> periodicity gate -> time
@@ -383,6 +405,17 @@ object SparkEntry {
     "q25" -> ("SELECT MIN(wk) AS first_wk, MAX(wk) AS last_wk, CAST(COUNT(DISTINCT wk) AS BIGINT) AS n FROM (" +
       "SELECT 'Y' || CAST(EXTRACT(ISOYEAR FROM ts) AS VARCHAR) || '-W' || " +
       "LPAD(CAST(EXTRACT(WEEK FROM ts) AS VARCHAR), 2, '0') AS wk FROM events) t"),
+    "x_window" -> ("SELECT o_custkey, o_orderkey, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running " +
+      "FROM orders WHERE o_custkey <= 50 ORDER BY o_custkey, rn"),
+    "x_setops" -> ("SELECT (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders WHERE o_totalprice >= 300000 " +
+      "UNION SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') a) AS n_union, " +
+      "(SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice >= 300000 " +
+      "INTERSECT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') b) AS n_intersect, " +
+      "(SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice >= 300000 " +
+      "EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') c) AS n_except"),
     "x_snapshot" -> ("SELECT CAST(1 AS BIGINT) AS queryId, CAST(2024 AS BIGINT) AS year, " +
       "CAST(1 AS BIGINT) AS month, 'Y2024-W03' AS week, CAST(15 AS BIGINT) AS day, " +
       "c_mktsegment AS segment, CASE WHEN c_acctbal >= 5000 THEN 'hi' " +
