@@ -36,7 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => SimHash64(c)
+        case _ => throw new IllegalArgumentException("simhash64(arr)")
+      }))
 
     ext.injectFunction((
       FunctionIdentifier("minhash_signature"),

@@ -214,8 +214,7 @@ object SparkEntry {
       import graft.snapshot._
       import graft.time.TimeScope.Cron
       Tables.register(s, d)
-      val wh = new Warehouse(s, java.nio.file.Files
-        .createTempDirectory("graft_wh").toString)
+      val wh = new Warehouse(s, TempDirs.scratchDir("graft_wh").toString)
       val settings = SnapshotJob.Settings(Seq(SnapshotJob.FactConfig(
         "enabled_users", Cron.Daily, Seq(SnapshotJob.FactQuery(1, enabled = true,
           SnapshotJob.SqlSource(
@@ -238,8 +237,7 @@ object SparkEntry {
       import graft.snapshot._
       import graft.time.TimeScope.Cron
       Tables.register(s, d)
-      val wh = new Warehouse(s, java.nio.file.Files
-        .createTempDirectory("graft_whm").toString)
+      val wh = new Warehouse(s, TempDirs.scratchDir("graft_whm").toString)
       val settings = SnapshotJob.Settings(Seq(SnapshotJob.FactConfig(
         "orders_monthly", Cron.Monthly, Seq(SnapshotJob.FactQuery(7, enabled = true,
           SnapshotJob.SqlSource(
@@ -273,7 +271,7 @@ object SparkEntry {
     }),
     // Distributed pipe source: executor-side shard processes (S2 at scale)
     "x_pipe" -> ((s, d) => {
-      val script = java.nio.file.Files.createTempFile("graft_pipe", ".sh")
+      val script = TempDirs.scratchFile("graft_pipe", ".sh")
       java.nio.file.Files.writeString(script,
         "#!/bin/sh\nread idx\n" +
           "echo \"{\\\"shard\\\": $idx, \\\"n\\\": $((idx * 10 + 1))}\"\n")
@@ -428,7 +426,7 @@ object SparkEntry {
       "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v " +
       "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "x_sessions" -> ("WITH l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), " +
-      "f AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END AS ns FROM l), " +
+      "f AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR date_diff('millisecond', prev, ts) > 1800000 THEN 1 ELSE 0 END AS ns FROM l), " +
       "s AS (SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
       "SELECT user_id, MIN(ts) AS start, MAX(ts) AS \"end\", CAST(COUNT(*) AS BIGINT) AS n_events " +
       "FROM s GROUP BY user_id, sid ORDER BY user_id, start"),

@@ -15,9 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  private val supportedJoins = Set("inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "left_anti", "leftanti")
+
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // right/full outer would emit each unmatched small-side row once per
+    // salt — only large-side-preserving joins are semantics-safe here
+    require(supportedJoins(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi/left_anti, not $joinType")
     val saltedLarge = large.withColumn("__salt",
       (rand(42) * salts).cast("int"))
     val saltedSmall = small.withColumn("__salt",

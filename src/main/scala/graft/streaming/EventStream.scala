@@ -28,7 +28,7 @@ object EventStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file streams need a directory; the testdata table is a single file —
     // expose it through a temp dir of symlinks (read-only testdata).
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    val dir = graft.TempDirs.scratchDir("graft_stream")
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
@@ -125,12 +125,15 @@ object EventStream {
   def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    val gapS = gapMinutes * 60L
+    // millisecond gap arithmetic — EXACTLY the streaming state machine's
+    // Timestamp.getTime comparison, so the two paths agree on gaps that
+    // land within a second of the boundary
+    val gapMs = gapMinutes * 60000L
     events
       .withColumn("prev", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         (col("prev").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("prev")) > gapS)
+          unix_millis(col("ts")) - unix_millis(col("prev")) > gapMs)
           .cast("long"))
       .withColumn("session_idx",
         sum(col("new_session")).over(byUser

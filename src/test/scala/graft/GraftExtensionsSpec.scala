@@ -11,10 +11,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // extensions); force a fresh session for this suite
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    // same master/parallelism as SparkTestBase: if this suite initializes
+    // the JVM-wide SparkContext first, later suites inherit it unchanged
     val s = SparkSession.builder()
-      .master("local[2]")
+      .master("local[4]")
       .appName("graft-ext-test")
-      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()

@@ -19,10 +19,14 @@ class SmokeSpec extends SparkTestBase {
   }
 
   test("result column names match the oracle SQL aliases") {
-    // cheap static check: every column name of the Spark result appears
-    // verbatim in the oracle text (as alias or source column)
+    // static check: every column name of the Spark result appears verbatim
+    // in the oracle text. Queries whose BUILD already executes side-effect
+    // pipelines (snapshot ETL, streaming drain, pipe subprocesses) are
+    // excluded here — their full results are hash-checked by the driver
+    // gate anyway, and this test only inspects plan schemas.
+    val heavy = Set("x_snapshot", "x_snapshot_monthly", "x_stream_hourly", "x_pipe")
     val dir = sf("sf0.001")
-    SparkEntry.oracleSql.foreach { case (name, sql) =>
+    SparkEntry.oracleSql.filterNot(kv => heavy(kv._1)).foreach { case (name, sql) =>
       val cols = SparkEntry.queries(name)(spark, dir).columns
       cols.foreach { c =>
         assert(sql.toLowerCase.contains(c.toLowerCase),

