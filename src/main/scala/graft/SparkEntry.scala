@@ -339,6 +339,14 @@ object SparkEntry {
       .select(col("doc_id"),
         graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))),
+    // Winnowing containment detection (doc-inside-doc; rows-only — the
+    // fingerprint hash is engine-native)
+    "x_text_winnow" -> ((s, d) =>
+      graft.ext.TextAnalysis.containmentPairs(Tables.load(s, d, "documents"),
+        "doc_id", "text", threshold = 0.8)
+        .select(col("i"), col("j"), round(col("containment_i"), 6).as("c_i"),
+          round(col("containment_j"), 6).as("c_j"))
+        .orderBy(col("i"), col("j"))),
 
     // ---------------- multimodal plumbing ----------------
 

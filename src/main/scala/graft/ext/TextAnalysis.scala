@@ -86,4 +86,47 @@ object TextAnalysis {
     * whitespace) — xxhash64, seed fixed by Spark. Exact-dup detection key. */
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003, "Winnowing:
+    * local algorithms for document fingerprinting"): hash every word
+    * k-gram, slide a window of `w` consecutive hashes, keep the window
+    * minimum, dedupe. Guarantees every shared run of >= w+k-1 tokens
+    * between two documents shares >= 1 fingerprint — the basis for
+    * CONTAINMENT detection (doc-inside-doc), which whole-doc hashes and
+    * set-Jaccard both miss. Pure per-row HOFs. */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val grams = shingles(text, k)
+    val hashes = transform(grams, g => xxhash64(g))
+    when(size(hashes) >= w,
+      array_distinct(transform(sequence(lit(0), size(hashes) - w),
+        i => array_min(slice(hashes, i + 1, lit(w))))))
+      .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
+        .otherwise(array().cast("array<bigint>")))
+  }
+
+  /** Containment pairs via the winnowing inverted index: fraction of a's
+    * fingerprints found in b (and vice versa) for every pair sharing at
+    * least one fingerprint. `containment` is directional:
+    * |FP(a) n FP(b)| / |FP(a)| — near 1.0 when a is quoted inside b.
+    * Same linear-shuffle shape as Dedup.ngramJaccardPairs. */
+  def containmentPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 3, w: Int = 4,
+      threshold: Double = 0.8): org.apache.spark.sql.DataFrame = {
+    val fp = df.select(col(idCol).as("id"),
+      winnowFingerprints(col(textCol), k, w).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = fp.select(col("id"), size(col("fp")).as("sz"))
+    val inv = fp.select(col("id"), explode(col("fp")).as("h"))
+    val shared = inv.as("a").join(inv.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .join(sizes.withColumnRenamed("id", "i").withColumnRenamed("sz", "sz_i"), "i")
+      .join(sizes.withColumnRenamed("id", "j").withColumnRenamed("sz", "sz_j"), "j")
+      .withColumn("containment_i", col("inter").cast("double") / col("sz_i"))
+      .withColumn("containment_j", col("inter").cast("double") / col("sz_j"))
+      .filter(col("containment_i") >= threshold || col("containment_j") >= threshold)
+      .select(col("i"), col("j"), col("containment_i"), col("containment_j"))
+  }
 }

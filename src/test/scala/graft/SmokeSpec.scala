@@ -15,7 +15,7 @@ class SmokeSpec extends SparkTestBase {
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
     val rowsOnly = q -- o
     assert(rowsOnly == Set("x_sim_lsh", "x_text_langid", "x_text_fingerprint",
-      "x_mm_features"), s"unexpected rows-only set: $rowsOnly")
+      "x_text_winnow", "x_mm_features"), s"unexpected rows-only set: $rowsOnly")
   }
 
   test("result column names match the oracle SQL aliases") {

@@ -46,6 +46,35 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getDouble(5) == 0.0)
   }
 
+  test("winnowing: shared runs guarantee shared fingerprints; containment detected") {
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("red", "blue", "green", "oak", "elm", "fir", "sun",
+      "moon", "tide", "rock", "sand", "mist", "fog", "ash", "ice", "ember")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val a = doc(60)
+    val b = doc(80)
+    val quoted = doc(30) + " " + a + " " + doc(25) // a contained in quoted
+    val corpus = Seq((1L, a), (2L, b), (3L, quoted), (4L, doc(70)))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.containmentPairs(corpus, "doc_id", "text",
+      threshold = 0.8)
+      .select($"i", $"j", $"containment_i").as[(Long, Long, Double)].collect()
+    // the (a, quoted) pair must surface with containment_a ~ 1.0
+    val hit = pairs.find(p => p._1 == 1L && p._2 == 3L)
+    assert(hit.isDefined, s"containment pair not found in ${pairs.toSeq}")
+    assert(hit.get._3 >= 0.9, s"containment ${hit.get._3}")
+    // unrelated pair must not appear
+    assert(!pairs.exists(p => (p._1, p._2) == (2L, 4L)))
+  }
+
+  test("winnowing edge cases: short docs never error") {
+    val df = Seq("one two three", "ab", "").toDF("text")
+    val fps = df.select(TextAnalysis.winnowFingerprints($"text", 3, 4))
+      .as[Seq[Long]].collect()
+    assert(fps(0).size == 1) // one 3-gram -> one fingerprint
+    assert(fps(1).isEmpty && fps(2).isEmpty)
+  }
+
   test("multimodal plumbing: schema + batched features") {
     val docs = Seq((1L, "abc", "en"), (2L, "abcabc", "de")).toDF("doc_id", "text", "lang")
     val media = Multimodal.asMedia(docs, "doc_id", "text", "lang")
