@@ -298,7 +298,7 @@ object SparkEntry {
         .orderBy(col("i"), col("j"))),
     "x_dedup_simhash" -> ((s, d) =>
       graft.ext.Dedup.simhashPairs(Tables.load(s, d, "documents"),
-        "doc_id", "text", n = 3, maxHamming = 12, threshold = 0.9)
+        "doc_id", "text", n = 3, maxHamming = 24, threshold = 0.9)
         .orderBy(col("i"), col("j"))),
     "x_dedup_embed" -> ((s, d) =>
       graft.ext.Dedup.embeddingPairs(Tables.load(s, d, "embeddings"),
