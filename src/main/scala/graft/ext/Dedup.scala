@@ -27,36 +27,51 @@ object Dedup {
   }
 
   /** Exact pairwise n-gram Jaccard >= `threshold` via inverted index:
-    * explode shingles, self-join on shingle, count shared shingles per
-    * pair, then jac = |A∩B| / (|A|+|B|-|A∩B|). Pairs sharing zero shingles
-    * never appear (their Jaccard is 0). At 100 TB add a document-frequency
-    * cap on shingles (drop shingles in > maxDf docs) to bound the hottest
-    * join keys — parameterized here, default off for exactness. */
+    * explode shingles, self-join on shingle, then exact
+    * jac = |A∩B| / |A∪B| per candidate pair. Pairs sharing zero shingles
+    * never appear (their Jaccard is 0).
+    *
+    * `maxDf` (ON by default — the 100 TB guard) drops shingles present in
+    * more than maxDf documents from the CANDIDATE index only: a shingle in
+    * df docs contributes C(df,2) candidate pairs, so on natural text a
+    * single boilerplate shingle with df ~ n makes candidate generation
+    * quadratic. Jaccard values are still exact (computed from the full
+    * shingle sets); the only recall change is that a pair is missed iff
+    * EVERY shingle it shares is corpus-hot (> maxDf docs). A pair at
+    * jac >= t shares >= t/(1+t) * (|A|+|B|) shingles, so any genuine
+    * near-dup with at least one sub-boilerplate shingle survives.
+    * `maxDf = None` restores exhaustive recall (and skips the verify join:
+    * the shared-shingle count is already the exact intersection). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5, maxDf: Option[Long] = None): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5,
+      maxDf: Option[Long] = Some(1000L)): DataFrame = {
     val sh = shingleSets(df, idCol, textCol, n)
-    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
     // join on the 64-bit shingle hash: 8-byte shuffle keys instead of the
     // shingle text (collision odds ~|shingles|^2 / 2^65 — negligible)
     val inv0 = sh.select(col("id"), explode(col("sh")).as("s0"))
       .select(col("id"), xxhash64(col("s0")).as("s"))
-    val inv = maxDf match {
+    maxDf match {
       case Some(cap) =>
         val dfreq = inv0.groupBy("s").count().filter(col("count") <= cap).select("s")
-        inv0.join(dfreq, "s")
-      case None => inv0
+        val inv = inv0.join(dfreq, "s")
+        val cands = inv.as("a").join(inv.as("b"),
+            col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
+        verifyJaccard(cands, sh, threshold)
+      case None =>
+        val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
+        val shared = inv0.as("a").join(inv0.as("b"),
+            col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+          .agg(count(lit(1)).as("inter"))
+        shared
+          .join(sizes.withColumnRenamed("id", "i").withColumnRenamed("sz", "sz_i"), "i")
+          .join(sizes.withColumnRenamed("id", "j").withColumnRenamed("sz", "sz_j"), "j")
+          .withColumn("jac", col("inter").cast("double") /
+            (col("sz_i") + col("sz_j") - col("inter")))
+          .filter(col("jac") >= threshold)
+          .select(col("i"), col("j"), col("jac"))
     }
-    val shared = inv.as("a").join(inv.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
-      .agg(count(lit(1)).as("inter"))
-    shared
-      .join(sizes.withColumnRenamed("id", "i").withColumnRenamed("sz", "sz_i"), "i")
-      .join(sizes.withColumnRenamed("id", "j").withColumnRenamed("sz", "sz_j"), "j")
-      .withColumn("jac", col("inter").cast("double") /
-        (col("sz_i") + col("sz_j") - col("inter")))
-      .filter(col("jac") >= threshold)
-      .select(col("i"), col("j"), col("jac"))
   }
 
   /** MinHash signature: min over shingle hashes per permutation — native
@@ -91,42 +106,88 @@ object Dedup {
     verifyJaccard(cands, sh, threshold)
   }
 
-  /** SimHash near-dup pairs: 64-bit fingerprint per doc, band by the 8
-    * bytes, filter by Hamming <= maxHamming, verify with exact Jaccard.
+  /** SimHash near-dup pairs: 64-bit fingerprint per doc, candidate
+    * generation by 16-bit banding keys, filter by Hamming <= maxHamming,
+    * verify with exact Jaccard.
     *
-    * Recall guarantee: byte banding catches EVERY pair with Hamming <= 7
-    * (pigeonhole); pairs in (7, maxHamming] are found only when their
-    * differing bits cluster so that >= 1 byte matches — probabilistic.
-    * Near-dups at the default verify threshold (Jaccard 0.9 => expected
-    * Hamming ~4-6 of 64) sit comfortably inside the guaranteed band; raise
-    * the band count (finer chunks) before raising maxHamming if you need
-    * guaranteed recall deeper into the tail. */
+    * Candidate keyspace (the 100 TB-scale design point): every key is
+    * 16 bits wide, so unrelated documents collide on a given table with
+    * probability 2^-16 — candidate volume stays ~linear in corpus size
+    * instead of the ~n^2/32 a byte-value keyspace produces. Two key
+    * families, unioned:
+    *
+    *  - Block-combination tables (Manku et al., WWW'07 "Detecting
+    *    near-duplicates for web crawling": block-permuted fingerprint
+    *    tables keyed on multi-block prefixes). The fingerprint splits into
+    *    8 byte-blocks; each of the C(8,2)=28 ordered block pairs forms one
+    *    16-bit key table, over both chunkings (fp, fp rotated 4 bits).
+    *    Pigeonhole guarantee: Hamming <= 6 implies at most 6 dirty blocks,
+    *    hence >= 2 clean blocks, hence one fully-clean table key — every
+    *    such pair is a candidate. Pairs in (6, maxHamming] match when >= 2
+    *    blocks of either chunking are clean — increasingly probable below
+    *    ~12 bits, which is where simhash concentrates genuine near-dups on
+    *    documents with enough features (expected Hamming at the
+    *    Jaccard-0.9 decision boundary is ~6.6 of 64).
+    *  - Short-document minhash assist: documents with few shingles have
+    *    noisy bit votes (measured: ~40-token docs at Jaccard 0.97 landing
+    *    at Hamming 14, where any 16-bit exact-match family whiffs), so
+    *    docs with <= minhashAssistMaxShingles shingles also emit 12 banded
+    *    minhash keys (r=4 rows/band). Recall at Jaccard j is jaccard-level,
+    *    independent of Hamming: 1-(1-j^4)^12 (>0.999997 at j=0.9); random
+    *    pairs collide at ~12*j_bg^4 (~1e-4 at background similarity 0.07).
+    *
+    * Both families produce only candidates; the Hamming filter and the
+    * exact-Jaccard verify define the result set. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, maxHamming: Int = 24, threshold: Double = 0.9): DataFrame = {
+      n: Int = 3, maxHamming: Int = 24, threshold: Double = 0.9,
+      minhashAssistMaxShingles: Int = 512): DataFrame = {
     val sh = shingleSets(df, idCol, textCol, n)
-    val fp = sh.select(col("id"), SimHash64(col("sh")).as("fp"))
-    // two chunkings (bytes of fp, bytes of fp rotated 4 bits): each
-    // guarantees candidates at Hamming <= 7; jointly they catch most
-    // higher-Hamming near-dups (short docs inflate bit-vote noise —
-    // e.g. ~40-token docs at Jaccard 0.97 measured Hamming 14)
-    val rot = shiftrightunsigned(col("fp"), 4)
-      .bitwiseOR(shiftleft(col("fp"), 60)).as("fp_rot")
-    val chunked = fp.select(col("id"), col("fp"), rot)
-      .select(col("id"), col("fp"),
-        explode(array((0 until 16).map { c =>
-          val src = if (c < 8) col("fp") else col("fp_rot")
-          struct(lit(c).as("c"),
-            shiftright(src, (c % 8) * 8).bitwiseAND(lit(255L)).as("v"))
-        }: _*)).as("ck"))
-      .select(col("id"), col("fp"), col("ck.c").as("c"), col("ck.v").as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = chunked.as("a").join(chunked.as("b"),
-        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
-          col("a.id") < col("b.id"))
-      .filter(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= maxHamming)
-      .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
+    val keyed = simhashKeys(sh, minhashAssistMaxShingles)
+    val cands = simhashCandidates(keyed)
+      .filter(bit_count(col("fp_i").bitwiseXOR(col("fp_j"))) <= maxHamming)
+      .select(col("i"), col("j"))
     verifyJaccard(cands, sh, threshold)
   }
+
+  /** Banding keys for simhashPairs: (id, fp, t, v) with t the table id and
+    * v the 16-bit (or band-hash) key value. Persisted — the candidate
+    * self-join reads it twice. Exposed for the scaling spec. */
+  private[ext] def simhashKeys(sh: DataFrame, minhashAssistMaxShingles: Int): DataFrame = {
+    val base = sh.filter(size(col("sh")) > 0).select(col("id"), col("sh"),
+      SimHash64(col("sh")).as("fp"),
+      MinHashSignature(col("sh"), numHashes = 48).as("sig"))
+    val rot = shiftrightunsigned(col("fp"), 4)
+      .bitwiseOR(shiftleft(col("fp"), 60))
+    def byteOf(src: Column, k: Int): Column =
+      shiftright(src, k * 8).bitwiseAND(lit(255L))
+    // 2 chunkings x C(8,2) block pairs = 56 tables of 16-bit keys
+    val manku = for {
+      (src, c) <- Seq((col("fp"), 0), (rot, 1))
+      i <- 0 until 8; j <- (i + 1) until 8
+    } yield struct(
+      lit(c * 28 + (i * (15 - i)) / 2 + (j - i - 1)).as("t"),
+      shiftleft(byteOf(src, i), 8).bitwiseOR(byteOf(src, j)).as("v"))
+    val assist = (0 until 12).map { b =>
+      struct(lit(100 + b).as("t"),
+        hash(slice(col("sig"), b * 4 + 1, 4)).cast("long").as("v"))
+    }
+    base.select(col("id"), col("fp"), explode(concat(
+        array(manku: _*),
+        when(size(col("sh")) <= minhashAssistMaxShingles, array(assist: _*))
+          .otherwise(array().cast("array<struct<t:int,v:bigint>>")))).as("k"))
+      .select(col("id"), col("fp"), col("k.t").as("t"), col("k.v").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Distinct candidate pairs from the banding keys (pre-Hamming-filter);
+    * one equi-join shuffle on (table, key). */
+  private[ext] def simhashCandidates(keyed: DataFrame): DataFrame =
+    keyed.as("a").join(keyed.as("b"),
+        col("a.t") === col("b.t") && col("a.v") === col("b.v") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        col("a.fp").as("fp_i"), col("b.fp").as("fp_j"))
+      .distinct()
 
   /** Shingle sets per doc, persisted: every pair pipeline reads them at
     * least twice (index/signature build + exact verify). Comparable in

@@ -108,24 +108,34 @@ object TextAnalysis {
     * fingerprints found in b (and vice versa) for every pair sharing at
     * least one fingerprint. `containment` is directional:
     * |FP(a) n FP(b)| / |FP(a)| — near 1.0 when a is quoted inside b.
-    * Same linear-shuffle shape as Dedup.ngramJaccardPairs. */
+    * Same linear-shuffle shape as Dedup.ngramJaccardPairs, with the same
+    * 100 TB guard: `maxDf` (ON by default) keeps corpus-hot fingerprints
+    * (boilerplate shared by > maxDf docs) out of the candidate index —
+    * a fingerprint in df docs contributes C(df,2) candidates. Containment
+    * values are computed exactly from the full fingerprint sets; a pair is
+    * missed only when EVERY fingerprint it shares is corpus-hot. */
   def containmentPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, k: Int = 3, w: Int = 4,
-      threshold: Double = 0.8): org.apache.spark.sql.DataFrame = {
+      textCol: String, k: Int = 3, w: Int = 4, threshold: Double = 0.8,
+      maxDf: Option[Long] = Some(1000L)): org.apache.spark.sql.DataFrame = {
     val fp = df.select(col(idCol).as("id"),
       winnowFingerprints(col(textCol), k, w).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = fp.select(col("id"), size(col("fp")).as("sz"))
-    val inv = fp.select(col("id"), explode(col("fp")).as("h"))
-    val shared = inv.as("a").join(inv.as("b"),
+    val inv0 = fp.select(col("id"), explode(col("fp")).as("h"))
+    val inv = maxDf match {
+      case Some(cap) =>
+        val dfreq = inv0.groupBy("h").count().filter(col("count") <= cap).select("h")
+        inv0.join(dfreq, "h")
+      case None => inv0
+    }
+    val cands = inv.as("a").join(inv.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
-      .agg(count(lit(1)).as("inter"))
-    shared
-      .join(sizes.withColumnRenamed("id", "i").withColumnRenamed("sz", "sz_i"), "i")
-      .join(sizes.withColumnRenamed("id", "j").withColumnRenamed("sz", "sz_j"), "j")
-      .withColumn("containment_i", col("inter").cast("double") / col("sz_i"))
-      .withColumn("containment_j", col("inter").cast("double") / col("sz_j"))
+      .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
+    cands
+      .join(fp.select(col("id").as("i"), col("fp").as("fp_i")), "i")
+      .join(fp.select(col("id").as("j"), col("fp").as("fp_j")), "j")
+      .withColumn("inter", size(array_intersect(col("fp_i"), col("fp_j"))).cast("double"))
+      .withColumn("containment_i", col("inter") / size(col("fp_i")))
+      .withColumn("containment_j", col("inter") / size(col("fp_j")))
       .filter(col("containment_i") >= threshold || col("containment_j") >= threshold)
       .select(col("i"), col("j"), col("containment_i"), col("containment_j"))
   }

@@ -63,6 +63,61 @@ class DedupSpec extends SparkTestBase {
     assert(sim == exact)
   }
 
+  test("df-cap bounds candidates under a corpus-wide hot shingle") {
+    // every doc opens with the same boilerplate prefix -> its shingles have
+    // df = n; with the cap those shingles leave the candidate index, so
+    // unrelated docs generate NO candidates, while planted near-dups are
+    // still found through their rare content shingles.
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector.tabulate(2000)(i => s"v$i")
+    val boiler = "terms of service apply to all content here"
+    def doc() = boiler + " " + Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = (0 until 60).map(i => (i.toLong, doc()))
+    val dup = (500L, bases(0)._2.replaceFirst("v[0-9]+$", "MUT"))
+    val corpus = (bases :+ dup).toDF("doc_id", "text")
+    // threshold 0 makes the result set == the candidate set
+    val capped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.0, maxDf = Some(5)).count()
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.0, maxDf = None).count()
+    assert(uncapped == 61L * 60 / 2) // hot shingles pair everything
+    assert(capped <= 5, s"capped candidates: $capped")
+    // the planted near-dup pair still surfaces at a real threshold
+    val found = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.8, maxDf = Some(5))
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(found.contains((0L, 500L)), s"planted pair lost: $found")
+  }
+
+  test("simhash candidate volume grows ~linearly with corpus size") {
+    // K disjoint batches of distinct random docs (large vocab -> background
+    // similarity ~0) with 10% planted near-dups: candidate count must track
+    // corpus size, not corpus^2 (byte-value banding scaled ~n^2/32 here).
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector.tabulate(4000)(i => s"w$i")
+    def doc() = Seq.fill(80)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    def corpusOf(n: Int) = {
+      val bases = (0 until n).map(i => (i.toLong, doc()))
+      val dups = (0 until n / 10).map { i =>
+        val words = bases(i)._2.split(" ")
+        words(rnd.nextInt(words.length)) = "MUTATED"
+        (1000000L + i, words.mkString(" "))
+      }
+      (bases ++ dups).toDF("doc_id", "text")
+    }
+    val counts = Seq(250, 500, 1000).map { n =>
+      val sh = corpusOf(n).select(col("doc_id").as("id"),
+        TextAnalysis.shingles(col("text"), 3).as("sh"))
+      val keyed = Dedup.simhashKeys(sh, minhashAssistMaxShingles = 512)
+      val c = Dedup.simhashCandidates(keyed).count()
+      keyed.unpersist()
+      n -> c
+    }
+    counts.foreach { case (n, c) =>
+      assert(c <= 3L * n, s"candidates $c superlinear at corpus size $n")
+    }
+  }
+
   test("simhash64 expression: deterministic, order-insensitive on sets") {
     val a = Seq(Seq("x", "y", "z")).toDF("arr")
       .select(SimHash64(col("arr"))).as[Long].collect()(0)
