@@ -51,6 +51,14 @@ object SparkEntry {
     Seq(Level("year", "year"), Level("month", "month"), Level("day", "day")),
     Seq(Hierarchy("ymd", Seq("year", "month", "day"))))
 
+  /** date with a second, non-default hierarchy (year -> ISO week) for the
+    * hierarchy-selection parameter (q27). */
+  private val dateDimYw = Dimension("date",
+    Seq(Level("year", "year"), Level("month", "month"), Level("day", "day"),
+      Level("week", "week")),
+    Seq(Hierarchy("ymd", Seq("year", "month", "day")),
+      Hierarchy("yw", Seq("year", "week"))))
+
   private def liMeta(ms: Measure*) = FactMeta("lineitem",
     Seq(Dimension.flat("l_returnflag"), Dimension.flat("l_linestatus")), ms)
 
@@ -183,6 +191,22 @@ object SparkEntry {
       .select(TimeScope.weekLabelCol(col("ts")).as("wk"))
       .agg(min(col("wk")).as("first_wk"), max(col("wk")).as("last_wk"),
         countDistinct(col("wk")).as("n"))),
+    // per-call aggregate override through the catalog: a sum-default
+    // measure requested as "average" (README /aggregate, "o quella
+    // specificata"). Long column => exact integer-valued double sum,
+    // order-independent division on both engines.
+    "q26" -> ((s, d) => AggregateService.aggregate(ord(s, d),
+      FactMeta("orders", Seq(Dimension.flat("o_orderstatus")),
+        Seq(Measure("value", "o_custkey", AggregateFn.Sum)),
+        aggregates = Map("average" -> AggregateFn.Avg)),
+      AggregateService.Request.fromParams(None, Some("o_orderstatus"), None,
+        aggregate = Some("value:average")))),
+    // named-hierarchy drilldown: date@yw walks year -> ISO week instead of
+    // the default year -> month -> day (README ~112, hierarchy parameter)
+    "q27" -> ((s, d) => olap(
+      ordDated(s, d).withColumn("week", weekofyear(col("o_orderdate")).cast("long")),
+      FactMeta("orders", Seq(dateDimYw), Seq(mExpr("value", countAll))),
+      cut = "date:1996", drill = "date@yw:week")),
 
     // Window functions over the fact source (running revenue per customer)
     "x_window" -> ((s, d) => {
@@ -411,6 +435,9 @@ object SparkEntry {
     "q25" -> ("SELECT MIN(wk) AS first_wk, MAX(wk) AS last_wk, CAST(COUNT(DISTINCT wk) AS BIGINT) AS n FROM (" +
       "SELECT 'Y' || CAST(EXTRACT(ISOYEAR FROM ts) AS VARCHAR) || '-W' || " +
       "LPAD(CAST(EXTRACT(WEEK FROM ts) AS VARCHAR), 2, '0') AS wk FROM events) t"),
+    "q26" -> "SELECT o_orderstatus, AVG(o_custkey) AS value FROM orders GROUP BY 1 ORDER BY 1",
+    "q27" -> ("SELECT EXTRACT(WEEK FROM o_orderdate) AS week, COUNT(*) AS value FROM orders " +
+      "WHERE EXTRACT(YEAR FROM o_orderdate) = 1996 GROUP BY 1 ORDER BY 1"),
     "x_window" -> ("SELECT o_custkey, o_orderkey, " +
       "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn, " +
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
@@ -459,6 +486,21 @@ object SparkEntry {
       "WHERE q.vec_id < 10) t WHERE rank <= 5 ORDER BY qid, rank"),
     "x_text_tokens" -> ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
       "FROM documents ORDER BY doc_id"),
+    // language-ID heuristic replicated exactly: per-language function-word
+    // hit counts, argmax with ties to the lexicographically greatest lang
+    "x_text_langid" -> ("WITH c AS (SELECT " +
+      "len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und','ist','von','den','mit','zu','ein'))) AS cde, " +
+      "len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS cen, " +
+      "len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','que','y','en','un','los','se','por'))) AS ces, " +
+      "len(list_filter(string_split(text, ' '), x -> x IN ('le','la','de','et','les','des','un','une','est','que'))) AS cfr, " +
+      "len(list_filter(string_split(text, ' '), x -> x IN ('il','la','di','che','e','un','per','con','del','una'))) AS cit " +
+      "FROM documents), " +
+      "p AS (SELECT CASE WHEN greatest(cde, cen, ces, cfr, cit) = 0 THEN 'und' " +
+      "WHEN cit >= greatest(cde, cen, ces, cfr) THEN 'it' " +
+      "WHEN cfr >= greatest(cde, cen, ces) THEN 'fr' " +
+      "WHEN ces >= greatest(cde, cen) THEN 'es' " +
+      "WHEN cen >= cde THEN 'en' ELSE 'de' END AS lang_pred FROM c) " +
+      "SELECT lang_pred, COUNT(*) AS n FROM p GROUP BY 1 ORDER BY 1"),
     "x_text_quality" -> ("SELECT doc_id, CAST(length(text) AS BIGINT) AS chars, " +
       "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
       "ROUND(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token, " +
@@ -469,6 +511,15 @@ object SparkEntry {
     "x_mm_meta" -> ("SELECT doc_id AS media_id, 'text/plain' AS format, " +
       "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, lang AS tag " +
       "FROM documents ORDER BY media_id"),
+    // byte-histogram bucket 0 of the deterministic feature stub: the text is
+    // ASCII-only ([a-z0-9 ], verified), so bytes == chars and bucket 0
+    // (byte % 16 == 0) holds exactly {' ', '0', 'p'}; the REAL casts
+    // replicate the engine's float32 division bit-for-bit
+    "x_mm_features" -> ("SELECT media_id, n_bytes, dim, " +
+      "ROUND(CAST(CAST(c AS REAL) / CAST(CASE WHEN n_bytes < 1 THEN 1 ELSE n_bytes END AS REAL) AS DOUBLE), 6) AS f0 " +
+      "FROM (SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes, " +
+      "CAST(16 AS INTEGER) AS dim, length(regexp_replace(text, '[^ 0p]', '', 'g')) AS c " +
+      "FROM documents) t ORDER BY media_id"),
   )
 
   /** Exact O(n^2) word-3-gram Jaccard oracle (DuckDB list comprehension);

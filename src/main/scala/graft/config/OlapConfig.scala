@@ -67,15 +67,23 @@ object OlapConfig {
 
     val dims = arr(root, "dimensions").map { d =>
       val dimName = str(d, "name")
+      val dimAttrs = arr(d, "attributes").map(_.asText())
       val levels = arr(d, "levels").map { l =>
         val ln = str(l, "name")
         Level(ln, column = ln,
-          attributes = arr(l, "attributes").map(_.asText()))
+          attributes = arr(l, "attributes").map(_.asText()),
+          label = str(l, "label"))
       }
-      val hiers = arr(d, "hierarchies").map { h =>
-        Hierarchy(str(h, "name"), arr(h, "order").map(_.asText()))
-      }
-      if (levels.isEmpty) Dimension.flat(dimName) else Dimension(dimName, levels, hiers)
+      if (levels.isEmpty)
+        // flat: dimension-granularity attributes ride on the single level
+        // so grouping carries them (connector shape, Codice.gs:88)
+        Dimension(dimName, Seq(Level(dimName, dimName, attributes = dimAttrs)),
+          label = str(d, "label"), info = str(d, "info"), attributes = dimAttrs)
+      else Dimension(dimName, levels,
+        arr(d, "hierarchies").map { h =>
+          Hierarchy(str(h, "name"), arr(h, "order").map(_.asText()))
+        },
+        label = str(d, "label"), info = str(d, "info"), attributes = dimAttrs)
     }
 
     // named aggregate catalog: name -> function (defaults to identity set)
@@ -90,9 +98,10 @@ object OlapConfig {
         case None    => AggregateFn.Sum
       }
       val mn = str(m, "name")
-      Measure(mn, column = mn, default = agg)
+      Measure(mn, column = mn, default = agg, label = str(m, "label"))
     }
 
-    FactMeta(name, dims, measures, mappings)
+    FactMeta(name, dims, measures, mappings,
+      label = str(root, "label"), aggregates = aggByName)
   }
 }

@@ -67,20 +67,11 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "que"),
     "it" -> Seq("il", "la", "di", "che", "e", "un", "per", "con", "del", "una"))
 
-  /** Heuristic language ID: argmax over per-language hit ratios of function
-    * words; "und" (undetermined) when nothing matches. Pure per-row
-    * expressions — no shuffle, no UDF. */
-  def languageId(text: Column): Column = {
-    val toks = tokens(text)
-    val n = size(toks)
-    val scores = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val w = array(words.map(lit): _*)
-      struct((size(filter(toks, t => array_contains(w, t))).cast("double") / n)
-        .as("score"), lit(lang).as("lang"))
-    }
-    val best = array_max(array(scores: _*))
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  /** Heuristic language ID: argmax over per-language function-word hit
+    * counts; "und" (undetermined) when nothing matches; ties resolve to
+    * the lexicographically greatest language. Single-pass native Catalyst
+    * expression (see LanguageId) — no shuffle, no UDF. */
+  def languageId(text: Column): Column = LanguageId(text, langProfiles)
 
   /** 64-bit content fingerprint over normalized text (lowercase, collapsed
     * whitespace) — xxhash64, seed fixed by Spark. Exact-dup detection key. */

@@ -29,22 +29,36 @@ object AggregateFn {
 
 /** One level of a dimension hierarchy. `column` is the physical fact-table
   * column; `attributes` are companion columns functionally dependent on the
-  * level key (reference: Codice.gs:84-106,284-294), carried through grouping. */
-final case class Level(name: String, column: String, attributes: Seq[String] = Nil)
+  * level key (reference: Codice.gs:84-106,284-294), carried through grouping.
+  * `label` is display metadata passed through the catalog endpoints
+  * (reference: api-library-olap/README.md:100,110). */
+final case class Level(name: String, column: String,
+    attributes: Seq[String] = Nil, label: String = "") {
+  def labelOrName: String = if (label.isEmpty) name else label
+}
 
 /** Named ordered list of level names, coarse -> fine
   * (reference: api-library-olap/README.md:112-129). */
 final case class Hierarchy(name: String, order: Seq[String])
 
-/** A dimension: flat (one implicit level) or hierarchical. */
+/** A dimension: flat (one implicit level) or hierarchical. `label`/`info`
+  * and dimension-granularity `attributes` are catalog metadata the
+  * DataStudio connector consumes (Codice.gs:47,88,96-99). */
 final case class Dimension(
     name: String,
     levels: Seq[Level],
-    hierarchies: Seq[Hierarchy] = Nil) {
+    hierarchies: Seq[Hierarchy] = Nil,
+    label: String = "",
+    info: String = "",
+    attributes: Seq[String] = Nil) {
 
   def isFlat: Boolean = hierarchies.isEmpty && levels.size == 1
 
+  def labelOrName: String = if (label.isEmpty) name else label
+
   private val byName: Map[String, Level] = levels.map(l => l.name -> l).toMap
+  private val hierByName: Map[String, Hierarchy] =
+    hierarchies.map(h => h.name -> h).toMap
 
   def level(n: String): Level =
     byName.getOrElse(n, throw new IllegalArgumentException(
@@ -53,6 +67,15 @@ final case class Dimension(
   /** Default hierarchy = first declared, else declaration order of levels. */
   def defaultOrder: Seq[Level] =
     hierarchies.headOption.map(_.order.map(level)).getOrElse(levels)
+
+  /** Level order under a named hierarchy ("la api può ricevere come
+    * parametro il tipo di gerarchia", api-library-olap/README.md:~112);
+    * None selects the default. */
+  def orderFor(hier: Option[String]): Seq[Level] = hier match {
+    case None => defaultOrder
+    case Some(h) => hierByName.getOrElse(h, throw new IllegalArgumentException(
+      s"dimension $name has no hierarchy $h")).order.map(level)
+  }
 }
 
 object Dimension {
@@ -71,7 +94,10 @@ final case class Measure(
     name: String,
     column: String,
     default: AggregateFn = AggregateFn.Sum,
-    expr: Option[Column] = None) {
+    expr: Option[Column] = None,
+    label: String = "") {
+
+  def labelOrName: String = if (label.isEmpty) name else label
 
   /** The aggregate Column for this measure under function `fn` against the
     * physical column resolved through `mappings`. The `expr` override only
@@ -93,10 +119,20 @@ final case class FactMeta(
     name: String,
     dimensions: Seq[Dimension],
     measures: Seq[Measure],
-    mappings: Map[String, String] = Map.empty) {
+    mappings: Map[String, String] = Map.empty,
+    label: String = "",
+    aggregates: Map[String, AggregateFn] = Map.empty) {
+
+  def labelOrName: String = if (label.isEmpty) name else label
 
   private val dimByName = dimensions.map(d => d.name -> d).toMap
   private val measureByName = measures.map(m => m.name -> m).toMap
+
+  /** Resolve a requested aggregate name through the fact's named catalog
+    * (reference "aggregates" section, api-library-olap/README.md:138-150 —
+    * e.g. "average" -> avg), falling back to the built-in function names. */
+  def aggregateFn(n: String): AggregateFn =
+    aggregates.getOrElse(n, AggregateFn.byName(n))
 
   def dimension(n: String): Dimension =
     dimByName.getOrElse(n, throw new IllegalArgumentException(

@@ -1,6 +1,6 @@
 package graft.olap
 
-import graft.model.{AggregateFn, FactMeta}
+import graft.model.FactMeta
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -20,20 +20,33 @@ object AggregateService {
 
   /** A parsed aggregate request. `measures` empty = all declared measures
     * (reference default, api-library-olap/README.md:21-23). `aggregates`
-    * optionally overrides the per-measure default function by name. */
+    * overrides the per-measure default function by name — "la funzione di
+    * aggregazione di default o quella specificata" (README /aggregate
+    * section); the "*" key applies to every measure without its own entry. */
   final case class Request(
       cuts: Seq[Cut.DimCut] = Nil,
       drilldowns: Seq[Drilldown.Spec] = Nil,
       measures: Seq[String] = Nil,
-      aggregates: Map[String, String] = Map.empty)
+      aggregates: Map[String, String] = Map.empty) {
+
+    /** Requested override function name for measure `n`, if any. */
+    def overrideFor(n: String): Option[String] =
+      aggregates.get(n).orElse(aggregates.get("*"))
+  }
 
   object Request {
-    /** Build from raw URL-style parameter strings. */
+    /** Build from raw URL-style parameter strings. `aggregate` grammar:
+      * `measure:fn|measure2:fn2` per-measure, or a bare `fn` applied to
+      * all requested measures. */
     def fromParams(cut: Option[String], drilldown: Option[String],
-        measure: Option[String]): Request = Request(
+        measure: Option[String], aggregate: Option[String] = None): Request = Request(
       cuts = cut.map(Cut.parse).getOrElse(Nil),
       drilldowns = drilldown.map(Drilldown.parse).getOrElse(Nil),
-      measures = measure.map(_.split('|').toSeq.filter(_.nonEmpty)).getOrElse(Nil))
+      measures = measure.map(_.split('|').toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+      aggregates = aggregate.map(_.split('|').toSeq.filter(_.nonEmpty).map { e =>
+        val i = e.indexOf(':')
+        if (i < 0) "*" -> e else e.substring(0, i) -> e.substring(i + 1)
+      }.toMap).getOrElse(Map.empty))
   }
 
   def aggregate(fact: DataFrame, meta: FactMeta, req: Request): DataFrame = {
@@ -43,7 +56,7 @@ object AggregateService {
     val measureNames = if (req.measures.nonEmpty) req.measures else meta.measures.map(_.name)
     val measureCols: Seq[Column] = measureNames.map { n =>
       val m = meta.measure(n)
-      val fn = req.aggregates.get(n).map(AggregateFn.byName).getOrElse(m.default)
+      val fn = req.overrideFor(n).map(meta.aggregateFn).getOrElse(m.default)
       m.aggregate(fn, meta.physical)
     }
 
@@ -67,7 +80,7 @@ object AggregateService {
     val measureNames = if (req.measures.nonEmpty) req.measures else meta.measures.map(_.name)
     val measureCols = measureNames.map { n =>
       val m = meta.measure(n)
-      m.aggregate(req.aggregates.get(n).map(AggregateFn.byName).getOrElse(m.default),
+      m.aggregate(req.overrideFor(n).map(meta.aggregateFn).getOrElse(m.default),
         meta.physical)
     }
     val groupCols = Drilldown.resolve(req.drilldowns, req.cuts, meta)

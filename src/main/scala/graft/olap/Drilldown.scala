@@ -20,13 +20,21 @@ import graft.model.{Dimension, FactMeta, Level}
   */
 object Drilldown {
 
-  /** One `dim` or `dim:level` item from the `drilldown=` parameter. */
-  final case class Spec(dim: String, level: Option[String])
+  /** One `dim`, `dim:level`, `dim@hier` or `dim@hier:level` item from the
+    * `drilldown=` parameter. `hier` selects a named hierarchy of the
+    * dimension ("la api può ricevere come parametro il tipo di gerarchia",
+    * api-library-olap/README.md:~112); absent = the default hierarchy. */
+  final case class Spec(dim: String, level: Option[String],
+      hier: Option[String] = None)
 
   def parse(drilldown: String): Seq[Spec] =
     drilldown.split('|').toSeq.filter(_.nonEmpty).map { s =>
       val i = s.indexOf(':')
-      if (i < 0) Spec(s, None) else Spec(s.substring(0, i), Some(s.substring(i + 1)))
+      val (head, level) =
+        if (i < 0) (s, None) else (s.substring(0, i), Some(s.substring(i + 1)))
+      val j = head.indexOf('@')
+      if (j < 0) Spec(head, level)
+      else Spec(head.substring(0, j), level, Some(head.substring(j + 1)))
     }
 
   /** Resolved grouping: the ordered level columns (with attributes) for one
@@ -45,7 +53,11 @@ object Drilldown {
     // preserve first-appearance order of dims
     specs.map(_.dim).distinct.map { dimName =>
       val dim = meta.dimension(dimName)
-      val order = dim.defaultOrder
+      // hierarchy choice is per-dimension: all specs for a dim must agree
+      val hiers = byDim(dimName).flatMap(_.hier).distinct
+      require(hiers.size <= 1,
+        s"conflicting hierarchies for dimension $dimName: ${hiers.mkString(", ")}")
+      val order = dim.orderFor(hiers.headOption)
       val cutDepth = cuts.filter(_.dim == dimName).map(_.depth).maxOption.getOrElse(0)
       val indices: Seq[Int] = byDim(dimName).flatMap { spec =>
         resolveOne(spec, dim, order, cutDepth)

@@ -25,39 +25,49 @@ final class OlapApi(spark: SparkSession, warehouse: Warehouse,
 
   private def jstr(s: String): String = Renderer.jsonString(s)
 
-  /** Catalog endpoint: the fact tables this API serves. */
+  /** Catalog endpoint: the fact tables this API serves, as {name, label}
+    * objects — the connector reads both (Codice.gs:45-47). */
   def factTables: String =
-    metas.keys.toSeq.sorted.map(jstr).mkString("[", ", ", "]")
+    metas.toSeq.sortBy(_._1).map { case (n, m) =>
+      s"""{"name": ${jstr(n)}, "label": ${jstr(m.labelOrName)}}"""
+    }.mkString("[", ", ", "]")
 
-  /** Catalog endpoint: dimension metadata of one fact. */
+  /** Catalog endpoint: dimension metadata of one fact — labels, info and
+    * attributes at both dimension and level granularity, the shape the
+    * connector's extractDimensions walks (Codice.gs:67-106). */
   def dimensions(fact: String): String =
     meta(fact).dimensions.map { d =>
       val levels = d.levels.map { l =>
-        s"""{"name": ${jstr(l.name)}, "attributes": ${
+        s"""{"name": ${jstr(l.name)}, "label": ${jstr(l.labelOrName)}, "attributes": ${
           l.attributes.map(jstr).mkString("[", ", ", "]")}}"""
       }.mkString("[", ", ", "]")
       val hiers = d.hierarchies.map { h =>
         s"""{"name": ${jstr(h.name)}, "order": ${
           h.order.map(jstr).mkString("[", ", ", "]")}}"""
       }.mkString("[", ", ", "]")
-      s"""{"name": ${jstr(d.name)}, "levels": $levels, "hierarchies": $hiers}"""
+      val attrs = d.attributes.map(jstr).mkString("[", ", ", "]")
+      s"""{"name": ${jstr(d.name)}, "label": ${jstr(d.labelOrName)}, "info": ${
+        jstr(d.info)}, "attributes": $attrs, "levels": $levels, "hierarchies": $hiers}"""
     }.mkString("[", ",\n", "]")
 
   /** Catalog endpoint: measure metadata of one fact. */
   def measures(fact: String): String =
     meta(fact).measures.map { m =>
-      s"""{"name": ${jstr(m.name)}, "aggregate": ${jstr(m.default.name)}}"""
+      s"""{"name": ${jstr(m.name)}, "label": ${jstr(m.labelOrName)}, "aggregate": ${
+        jstr(m.default.name)}}"""
     }.mkString("[", ", ", "]")
 
-  /** The aggregate endpoint: compile cut/drilldown/measure params, run,
-    * render (`output` = "json" | "table"). */
+  /** The aggregate endpoint: compile cut/drilldown/measure/aggregate
+    * params, run, render (`output` = "json" | "table"). `aggregate`
+    * overrides per-measure aggregation functions by catalog name
+    * (`measure:fn|...` or a bare `fn` for all measures). */
   def aggregate(fact: String, cut: Option[String] = None,
       drilldown: Option[String] = None, measure: Option[String] = None,
-      output: String = "json"): String = {
+      aggregate: Option[String] = None, output: String = "json"): String = {
     val m = meta(fact)
     val df = warehouse.read(fact).getOrElse(throw new IllegalStateException(
       s"fact table $fact has no snapshots yet"))
-    val req = AggregateService.Request.fromParams(cut, drilldown, measure)
+    val req = AggregateService.Request.fromParams(cut, drilldown, measure, aggregate)
     val result = AggregateService.aggregate(df, m, req)
     output match {
       case "table" => Renderer.toTable(result)

@@ -31,6 +31,8 @@ object Renderer {
     case s: String => jsonString(s)
     case d: java.sql.Timestamp => jsonScalar(d.toInstant.toString)
     case d: java.time.Instant => jsonScalar(d.toString)
+    case d: java.sql.Date => jsonString(d.toString) // dates must be quoted
+    case d: java.time.LocalDate => jsonString(d.toString)
     case d: Double if d.isNaN || d.isInfinite => "null" // JSON has no NaN/Inf
     case f: Float if f.isNaN || f.isInfinite => "null"
     case other => other.toString

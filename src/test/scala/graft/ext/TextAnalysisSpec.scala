@@ -22,7 +22,8 @@ class TextAnalysisSpec extends SparkTestBase {
       ("es", "el perro y la casa de un amigo que vive en la ciudad"),
       ("de", "der hund und die katze sind mit dem kind zu hause"),
       ("fr", "le chien et le chat sont dans la maison des amis"),
-      ("und", "xyzzy plugh quux")) // nothing matches
+      ("und", "xyzzy plugh quux"), // nothing matches
+      ("fr", "la de")) // es/fr tie -> lexicographically greatest lang
     val got = samples.toDF("want", "text")
       .select($"want", TextAnalysis.languageId($"text").as("got"))
       .as[(String, String)].collect()

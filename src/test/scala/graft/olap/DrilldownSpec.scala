@@ -8,8 +8,10 @@ import graft.model._
 class DrilldownSpec extends SparkTestBase {
 
   private val dateDim = Dimension("date",
-    Seq(Level("year", "year"), Level("month", "month"), Level("day", "day")),
-    Seq(Hierarchy("ymd", Seq("year", "month", "day"))))
+    Seq(Level("year", "year"), Level("month", "month"), Level("day", "day"),
+      Level("week", "week")),
+    Seq(Hierarchy("ymd", Seq("year", "month", "day")),
+      Hierarchy("yw", Seq("year", "week"))))
   private val orgDim = Dimension("org",
     Seq(Level("region", "region", attributes = Seq("r_name")),
       Level("nation", "nation")),
@@ -59,6 +61,20 @@ class DrilldownSpec extends SparkTestBase {
   test("A10: level attributes ride along in the grouping columns") {
     val r = Drilldown.resolve(Drilldown.parse("org"), Nil, meta)
     assert(r.flatMap(_.columns(meta)) == Seq("region", "r_name"))
+  }
+
+  test("named hierarchy: date@yw walks year -> week") {
+    assert(levels("date@yw") == Seq("year")) // un-cut -> top level
+    assert(levels("date@yw", cut = "date:2016") == Seq("week")) // below cut
+    assert(levels("date@yw:week") == Seq("year", "week")) // explicit target
+  }
+
+  test("conflicting hierarchies for one dimension rejected") {
+    intercept[IllegalArgumentException](levels("date@yw|date@ymd"))
+  }
+
+  test("unknown hierarchy rejected") {
+    intercept[IllegalArgumentException](levels("date@nope"))
   }
 
   test("unknown level rejected") {

@@ -23,7 +23,8 @@ class OlapApiSpec extends SparkTestBase {
       .stripMargin
 
   private val factMetaJson =
-    """{ "dimensions": [
+    """{ "label": "utenti attivi",
+      |  "dimensions": [
       |    { "name": "segment", "label": "segmento" },
       |    { "name": "bucket" },
       |    { "name": "date",
@@ -46,12 +47,32 @@ class OlapApiSpec extends SparkTestBase {
       Map("enabled_users" -> OlapConfig.parseFactMeta("enabled_users", factMetaJson)))
   }
 
-  test("catalog endpoints") {
-    assert(api.factTables == """["enabled_users"]""")
-    assert(api.dimensions("enabled_users").contains(
-      """"name": "date", "levels": [{"name": "year", "attributes": []}"""))
+  test("catalog endpoints carry name+label (connector shape, Codice.gs:45-47)") {
+    assert(api.factTables ==
+      """[{"name": "enabled_users", "label": "utenti attivi"}]""")
+    val dims = api.dimensions("enabled_users")
+    // declared label passes through; undeclared defaults to the name
+    assert(dims.contains(""""name": "segment", "label": "segmento""""))
+    assert(dims.contains(
+      """"name": "date", "label": "date", "info": "", "attributes": [], """ +
+        """"levels": [{"name": "year", "label": "year", "attributes": []}"""))
     assert(api.measures("enabled_users") ==
-      """[{"name": "value", "aggregate": "sum"}]""")
+      """[{"name": "value", "label": "valore", "aggregate": "sum"}]""")
+  }
+
+  test("per-call aggregate override (README /aggregate, 'o quella specificata')") {
+    // count override: one snapshot row per (segment, bucket) -> per-segment
+    // counts must sum to the total (segment, bucket) row count
+    val t = api.aggregate("enabled_users", drilldown = Some("segment"),
+      aggregate = Some("value:count"), output = "table")
+    val values = "\\[\"\\w+\", (\\d+)\\]".r.findAllMatchIn(t).map(_.group(1).toInt).toSeq
+    val nRows = api.aggregate("enabled_users", drilldown = Some("segment|bucket"),
+      output = "table").split("\n").length - 1
+    assert(values.size == 5 && values.sum == nRows, s"got $t")
+    // catalog-name resolution: "average" -> avg (README aggregates section)
+    val a = api.aggregate("enabled_users", drilldown = Some("segment"),
+      aggregate = Some("average"))
+    assert(a.contains(""""measures": {"value": """), s"got $a")
   }
 
   test("aggregate with cut+drilldown, output=table (golden)") {
