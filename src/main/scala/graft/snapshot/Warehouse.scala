@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   *
   * Appends are plain partition-local parquet writes; a widening schema
   * change (the reference's `CHANGE COLUMN`, S7) triggers a one-off rewrite
-  * since parquet files are immutable. New nullable columns need no rewrite —
-  * `mergeSchema` union-by-name covers them at read time.
+  * since parquet files are immutable. New nullable columns need no rewrite:
+  * the authoritative evolved schema is persisted per fact (`_schema.json`)
+  * and reads bind to it directly — no per-read footer merging — with older
+  * files null-filling the missing columns.
   */
 final class Warehouse(spark: SparkSession, val root: String) {
 
@@ -28,32 +30,78 @@ final class Warehouse(spark: SparkSession, val root: String) {
 
   def exists(fact: String): Boolean = fs.exists(path(fact))
 
+  /** The authoritative schema file, maintained on every write. Underscore
+    * prefix = invisible to the parquet file listing (like _SUCCESS). At
+    * 100 TB this is the difference between opening ONE small JSON file per
+    * query and footer-merging every parquet file in the table
+    * (`mergeSchema` lists and reads all footers on every read). */
+  private def schemaPath(fact: String) = new Path(path(fact), "_schema.json")
+
+  /** All-nullable copy (flat schemas): appends may null-fill any column. */
+  private def allNullable(s: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
+
+  private def storeSchema(fact: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    // the scan emits partition columns last regardless of schema position;
+    // store in that order so read schemas equal the stored schema exactly
+    val (data, part) = schema.fields.partition(_.name != "year")
+    val normalized = org.apache.spark.sql.types.StructType(data ++ part)
+    val out = fs.create(schemaPath(fact), true)
+    try out.write(normalized.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Stored authoritative schema, if this fact has one (tables written by
+    * older layouts fall back to a mergeSchema read). */
+  def storedSchema(fact: String): Option[org.apache.spark.sql.types.StructType] =
+    if (!fs.exists(schemaPath(fact))) None
+    else {
+      val in = fs.open(schemaPath(fact))
+      val bytes = try in.readAllBytes() finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(new String(bytes, "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+
   def read(fact: String): Option[DataFrame] =
     if (!exists(fact)) None
-    else {
-      val df = spark.read.option("mergeSchema", "true").parquet(path(fact).toString)
-      // partition-dir inference narrows `year` to int; restore the
-      // authoritative injected type (long) for a stable schema
-      Some(df.withColumn("year", col("year").cast("long")))
+    else storedSchema(fact) match {
+      case Some(schema) =>
+        // explicit schema: no footer listing/merging, and the partition
+        // column (`year`) keeps its authoritative long type directly
+        Some(spark.read.schema(schema).parquet(path(fact).toString))
+      case None =>
+        val df = spark.read.option("mergeSchema", "true").parquet(path(fact).toString)
+        // partition-dir inference narrows `year` to int; restore the
+        // authoritative injected type (long) for a stable schema
+        Some(df.withColumn("year", col("year").cast("long")))
     }
 
   /** Append a batch, evolving the stored schema when needed (S5/S6/S7). */
   def append(fact: String, batch: DataFrame): Unit = read(fact) match {
     case None =>
       write(batch, SaveMode.Overwrite, fact)
+      storeSchema(fact, allNullable(batch.schema))
     case Some(existing) =>
       val evolved = SchemaEvolution.evolvedSchema(existing.schema, batch.schema)
-      if (evolved == existing.schema) {
+      val sharedTypesIdentical = existing.schema.fields.forall { f =>
+        batch.schema.fieldNames.find(_ == f.name)
+          .forall(n => batch.schema(n).dataType == f.dataType)
+      }
+      if (evolved == allNullable(existing.schema)) {
         // no widening needed: align the batch to the stored schema
         val aligned = SchemaEvolution.unionEvolve(existing.limit(0), batch)
         write(aligned, SaveMode.Append, fact)
-      } else if (SchemaEvolution.evolvedSchema(batch.schema, existing.schema) == batch.schema
+        storeSchema(fact, evolved)
+      } else if (sharedTypesIdentical
           && existing.schema.fieldNames.forall(batch.schema.fieldNames.contains)) {
-        // batch schema is a widening superset: append as-is, readers merge
+        // batch only ADDS nullable columns (shared column types identical —
+        // a type-widened superset must NOT land here: mixed physical types
+        // across files can make the table unreadable): append as-is, older
+        // files null-fill the new columns at read time
         write(batch, SaveMode.Append, fact)
+        storeSchema(fact, evolved)
       } else {
-        // incompatible widening (type change): one-off rewrite (ref S7
-        // CHANGE COLUMN analog)
+        // type change: one-off rewrite (ref S7 CHANGE COLUMN analog)
         replaceWith(fact, SchemaEvolution.unionEvolve(existing, batch), ".tmp")
       }
   }
@@ -83,6 +131,7 @@ final class Warehouse(spark: SparkSession, val root: String) {
       throw new java.io.IOException(s"could not swap in rewritten $target")
     }
     f.delete(old, true)
+    storeSchema(fact, allNullable(df.schema))
   }
 
   /** Compaction (SURVEY §7.4 risk 5): daily appends accumulate one small

@@ -126,6 +126,39 @@ class SnapshotSpec extends SparkTestBase {
     assert(fact.filter(col("extra").isNull).count() == 1) // null-filled
   }
 
+  test("direct append of a type-widened all-nullable batch routes to rewrite") {
+    // regression: the widening-superset fast path used to accept a batch
+    // whose shared column TYPE changed (long -> double), appending files
+    // the table schema could not reconcile
+    val wh = freshWarehouse()
+    val a = Seq((1L, 10L)).toDF("k", "m").withColumn("year", lit(2024L))
+    wh.append("f", a)
+    val b = Seq((2L, 3.5)).toDF("k", "m").withColumn("year", lit(2024L))
+    val bNullable = spark.createDataFrame(b.rdd,
+      StructType(b.schema.fields.map(_.copy(nullable = true))))
+    wh.append("f", bNullable)
+    val fact = wh.read("f").get // must stay readable
+    assert(fact.count() == 2)
+    assert(fact.schema("m").dataType == DoubleType)
+    assert(fact.select(sum(col("m"))).collect()(0).getDouble(0) == 13.5)
+  }
+
+  test("authoritative schema is persisted; reads bind to it without footer merging") {
+    val wh = freshWarehouse()
+    wh.append("f", Seq((1L, 10L)).toDF("k", "m").withColumn("year", lit(2024L)))
+    wh.append("f", Seq((2L, 20L, "x")).toDF("k", "m", "extra")
+      .withColumn("year", lit(2025L)))
+    val stored = wh.storedSchema("f").get
+    val fact = wh.read("f").get
+    // the read schema IS the stored one (explicit bind, no mergeSchema)
+    assert(fact.schema == stored)
+    assert(stored.fieldNames.contains("extra"))
+    assert(stored("year").dataType == LongType) // partition col keeps long
+    // pre-evolution file null-fills the new column under the stored schema
+    assert(fact.filter(col("extra").isNull).count() == 1)
+    assert(fact.count() == 2)
+  }
+
   test("compat mode reproduces the reference's decimal->int truncation quirk") {
     spark.sql("SELECT CAST(12.75 AS DECIMAL(10,2)) AS amount")
       .createOrReplaceTempView("dec_src")
