@@ -37,7 +37,11 @@ object Bench {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try force(name) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // queries are independent: drop persisted intermediates between
+        // runs so earlier pipelines' cache blocks don't tax later ones
+        spark.catalog.clearCache()
+        t
       }
       name -> times.min
     }

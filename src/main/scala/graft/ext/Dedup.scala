@@ -35,13 +35,13 @@ object Dedup {
     * more than maxDf documents from the CANDIDATE index only: a shingle in
     * df docs contributes C(df,2) candidate pairs, so on natural text a
     * single boilerplate shingle with df ~ n makes candidate generation
-    * quadratic. Jaccard values are still exact (computed from the full
-    * shingle sets); the only recall change is that a pair is missed iff
-    * EVERY shingle it shares is corpus-hot (> maxDf docs). A pair at
-    * jac >= t shares >= t/(1+t) * (|A|+|B|) shingles, so any genuine
-    * near-dup with at least one sub-boilerplate shingle survives.
-    * `maxDf = None` restores exhaustive recall (and skips the verify join:
-    * the shared-shingle count is already the exact intersection). */
+    * quadratic. Jaccard values are still exact — hot shingles are removed
+    * only from the join, then restored into the intersection count from
+    * small per-doc hot-shingle sets (see splitHot). The only recall change
+    * is that a pair is missed iff EVERY shingle it shares is corpus-hot
+    * (> maxDf docs). A pair at jac >= t shares >= t/(1+t) * (|A|+|B|)
+    * shingles, so any genuine near-dup with at least one sub-boilerplate
+    * shingle survives. `maxDf = None` restores exhaustive recall. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
       maxDf: Option[Long] = Some(1000L)): DataFrame = {
@@ -50,28 +50,47 @@ object Dedup {
     // shingle text (collision odds ~|shingles|^2 / 2^65 — negligible)
     val inv0 = sh.select(col("id"), explode(col("sh")).as("s0"))
       .select(col("id"), xxhash64(col("s0")).as("s"))
-    maxDf match {
-      case Some(cap) =>
-        val dfreq = inv0.groupBy("s").count().filter(col("count") <= cap).select("s")
-        val inv = inv0.join(dfreq, "s")
-        val cands = inv.as("a").join(inv.as("b"),
-            col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
-        verifyJaccard(cands, sh, threshold)
-      case None =>
-        val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
-        val shared = inv0.as("a").join(inv0.as("b"),
-            col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-          .groupBy(col("a.id").as("i"), col("b.id").as("j"))
-          .agg(count(lit(1)).as("inter"))
-        shared
-          .join(sizes.withColumnRenamed("id", "i").withColumnRenamed("sz", "sz_i"), "i")
-          .join(sizes.withColumnRenamed("id", "j").withColumnRenamed("sz", "sz_j"), "j")
-          .withColumn("jac", col("inter").cast("double") /
-            (col("sz_i") + col("sz_j") - col("inter")))
-          .filter(col("jac") >= threshold)
-          .select(col("i"), col("j"), col("jac"))
-    }
+    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
+    val (inv, hotCorrection) = splitHot(inv0, "s", maxDf)
+    val shared = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("inter_cold"))
+    hotCorrection(shared)
+      .join(sizes.withColumnRenamed("id", "i").withColumnRenamed("sz", "sz_i"), "i")
+      .join(sizes.withColumnRenamed("id", "j").withColumnRenamed("sz", "sz_j"), "j")
+      .withColumn("jac", col("inter").cast("double") /
+        (col("sz_i") + col("sz_j") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), col("jac"))
+  }
+
+  /** The df-cap machinery shared by the inverted-index pair pipelines.
+    * Splits the index into cold keys (df <= cap; drive candidate
+    * generation and the bulk shared count) and hot keys (df > cap;
+    * boilerplate — JOINING on them is quadratic, but each document holds
+    * only a handful, so they ride along as a small per-doc array and the
+    * exact shared count is restored per candidate pair by intersecting
+    * those arrays). Returns the cold index plus a function adding the
+    * exact `inter` column to a (i, j, inter_cold) pair frame. */
+  private[ext] def splitHot(inv0: DataFrame, key: String,
+      maxDf: Option[Long]): (DataFrame, DataFrame => DataFrame) = maxDf match {
+    case None =>
+      (inv0, _.withColumn("inter", col("inter_cold")))
+    case Some(cap) =>
+      val dfreq = inv0.groupBy(key).count()
+      val hotKeys = dfreq.filter(col("count") > cap).select(key)
+      val inv = inv0.join(broadcast(hotKeys), Seq(key), "left_anti")
+      val hotSets = inv0.join(broadcast(hotKeys), key)
+        .groupBy("id").agg(collect_set(col(key)).as("hot"))
+      val empty = array().cast("array<bigint>")
+      val correct = (shared: DataFrame) => shared
+        .join(hotSets.select(col("id").as("i"), col("hot").as("hot_i")), Seq("i"), "left")
+        .join(hotSets.select(col("id").as("j"), col("hot").as("hot_j")), Seq("j"), "left")
+        .withColumn("inter", col("inter_cold") +
+          size(array_intersect(coalesce(col("hot_i"), empty),
+            coalesce(col("hot_j"), empty))))
+      (inv, correct)
   }
 
   /** MinHash signature: min over shingle hashes per permutation — native

@@ -26,15 +26,9 @@ object TextAnalysis {
 
   /** Word n-gram shingles (distinct), the unit for near-dup Jaccard.
     * Returns array<string>; empty when the document has fewer than n
-    * tokens. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val count = size(toks)
-    when(count >= n,
-      array_distinct(transform(sequence(lit(0), count - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * tokens. Native single-pass expression (see Shingles): the HOF
+    * formulation re-split the text once per output gram. */
+  def shingles(text: Column, n: Int): Column = Shingles(text, n)
 
   /** Quality metrics per document: char count, token count, mean token
     * length, stopword ratio, punctuation ratio. Null-safe on empty text. */
@@ -84,16 +78,11 @@ object TextAnalysis {
     * minimum, dedupe. Guarantees every shared run of >= w+k-1 tokens
     * between two documents shares >= 1 fingerprint — the basis for
     * CONTAINMENT detection (doc-inside-doc), which whole-doc hashes and
-    * set-Jaccard both miss. Pure per-row HOFs. */
-  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
-    val grams = shingles(text, k)
-    val hashes = transform(grams, g => xxhash64(g))
-    when(size(hashes) >= w,
-      array_distinct(transform(sequence(lit(0), size(hashes) - w),
-        i => array_min(slice(hashes, i + 1, lit(w))))))
-      .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
-        .otherwise(array().cast("array<bigint>")))
-  }
+    * set-Jaccard both miss. Native linear-time expression (see
+    * WinnowFingerprints): the doubly-nested HOF formulation rebuilt the
+    * gram-hash array once per window — O(len^3) per document. */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
+    WinnowFingerprints(text, k, w)
 
   /** Containment pairs via the winnowing inverted index: fraction of a's
     * fingerprints found in b (and vice versa) for every pair sharing at
@@ -101,32 +90,29 @@ object TextAnalysis {
     * |FP(a) n FP(b)| / |FP(a)| — near 1.0 when a is quoted inside b.
     * Same linear-shuffle shape as Dedup.ngramJaccardPairs, with the same
     * 100 TB guard: `maxDf` (ON by default) keeps corpus-hot fingerprints
-    * (boilerplate shared by > maxDf docs) out of the candidate index —
-    * a fingerprint in df docs contributes C(df,2) candidates. Containment
-    * values are computed exactly from the full fingerprint sets; a pair is
-    * missed only when EVERY fingerprint it shares is corpus-hot. */
+    * (boilerplate shared by > maxDf docs) out of the candidate join — a
+    * fingerprint in df docs contributes C(df,2) candidates. Containment
+    * values stay exact: hot fingerprints return to the intersection count
+    * via small per-doc hot sets (Dedup.splitHot). A pair is missed only
+    * when EVERY fingerprint it shares is corpus-hot. */
   def containmentPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int = 3, w: Int = 4, threshold: Double = 0.8,
       maxDf: Option[Long] = Some(1000L)): org.apache.spark.sql.DataFrame = {
     val fp = df.select(col(idCol).as("id"),
       winnowFingerprints(col(textCol), k, w).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = fp.select(col("id"), size(col("fp")).as("sz"))
     val inv0 = fp.select(col("id"), explode(col("fp")).as("h"))
-    val inv = maxDf match {
-      case Some(cap) =>
-        val dfreq = inv0.groupBy("h").count().filter(col("count") <= cap).select("h")
-        inv0.join(dfreq, "h")
-      case None => inv0
-    }
-    val cands = inv.as("a").join(inv.as("b"),
+    val (inv, hotCorrection) = Dedup.splitHot(inv0, "h", maxDf)
+    val shared = inv.as("a").join(inv.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
-    cands
-      .join(fp.select(col("id").as("i"), col("fp").as("fp_i")), "i")
-      .join(fp.select(col("id").as("j"), col("fp").as("fp_j")), "j")
-      .withColumn("inter", size(array_intersect(col("fp_i"), col("fp_j"))).cast("double"))
-      .withColumn("containment_i", col("inter") / size(col("fp_i")))
-      .withColumn("containment_j", col("inter") / size(col("fp_j")))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("inter_cold"))
+    hotCorrection(shared)
+      .join(sizes.withColumnRenamed("id", "i").withColumnRenamed("sz", "sz_i"), "i")
+      .join(sizes.withColumnRenamed("id", "j").withColumnRenamed("sz", "sz_j"), "j")
+      .withColumn("containment_i", col("inter").cast("double") / col("sz_i"))
+      .withColumn("containment_j", col("inter").cast("double") / col("sz_j"))
       .filter(col("containment_i") >= threshold || col("containment_j") >= threshold)
       .select(col("i"), col("j"), col("containment_i"), col("containment_j"))
   }

@@ -1,0 +1,143 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass replacements for the higher-order-function text
+  * kernels. Interpreted HOF lambdas re-evaluate loop-invariant
+  * subexpressions per element (no hoisting): the HOF `shingles` re-split
+  * the text once per output gram, and the HOF winnowing re-built the whole
+  * gram-hash array once per window — O(len^2) and O(len^3) per document
+  * respectively (measured: 85 s for 5000 short docs at sf0.1). These
+  * expressions do the linear-time obvious thing; outputs are bit-identical
+  * to the HOF formulations (same split semantics, same first-occurrence
+  * dedup order, same seed-42 xxhash64).
+  */
+private[ext] object TextKernel {
+
+  /** Tokens exactly as Spark's `split(text, " ")`: Java split with -1 limit
+    * (trailing empty strings preserved). */
+  def tokens(s: UTF8String): Array[String] = s.toString.split(" ", -1)
+
+  /** Distinct word n-grams in first-occurrence order (the HOF version's
+    * `array_distinct(transform(...))`), space-joined. */
+  def grams(s: UTF8String, n: Int): Array[String] = {
+    val toks = tokens(s)
+    if (toks.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+}
+
+/** Distinct word n-gram shingles as array<string>; empty when the document
+  * has fewer than n tokens. */
+case class Shingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingles requires string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextKernel.grams(input.asInstanceOf[UTF8String], n)
+      .map(UTF8String.fromString(_).asInstanceOf[Any]))
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingles"
+}
+
+object Shingles {
+  def apply(c: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      Shingles(org.apache.spark.sql.graftbridge.Bridge.expression(c), n))
+}
+
+/** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003): hash every
+  * distinct word k-gram (seed-42 xxhash64, identical values to Spark's
+  * `xxhash64`), slide a window of `w` consecutive hashes, keep each window
+  * minimum, dedupe in first-occurrence order. Guarantees every shared run
+  * of >= w+k-1 tokens between two documents shares >= 1 fingerprint.
+  * Sliding minimum via monotonic deque — O(#grams) total. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints requires string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val grams = TextKernel.grams(input.asInstanceOf[UTF8String], k)
+    val m = grams.length
+    if (m == 0) return new GenericArrayData(Array.empty[Long])
+    val hashes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      hashes(i) = XxHash64Function.hash(
+        UTF8String.fromString(grams(i)), StringType, 42L)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m < w) {
+      var mn = hashes(0)
+      i = 1
+      while (i < m) { if (hashes(i) < mn) mn = hashes(i); i += 1 }
+      out.add(mn)
+    } else {
+      // monotonic deque of indices; head = min of the current window
+      val dq = new Array[Int](m)
+      var head = 0; var tail = 0 // [head, tail)
+      i = 0
+      while (i < m) {
+        while (tail > head && hashes(dq(tail - 1)) >= hashes(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) out.add(hashes(dq(head)))
+        i += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_fingerprints"
+}
+
+object WinnowFingerprints {
+  def apply(c: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      WinnowFingerprints(org.apache.spark.sql.graftbridge.Bridge.expression(c), k, w))
+}
