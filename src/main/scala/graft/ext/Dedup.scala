@@ -78,10 +78,13 @@ object Dedup {
     case None =>
       (inv0, _.withColumn("inter", col("inter_cold")))
     case Some(cap) =>
-      val dfreq = inv0.groupBy(key).count()
+      // three consumers (df counts, cold anti-join, hot sets): persist the
+      // exploded index instead of recomputing the explode+hash per use
+      val inv = inv0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfreq = inv.groupBy(key).count()
       val hotKeys = dfreq.filter(col("count") > cap).select(key)
-      val inv = inv0.join(broadcast(hotKeys), Seq(key), "left_anti")
-      val hotSets = inv0.join(broadcast(hotKeys), key)
+      val cold = inv.join(broadcast(hotKeys), Seq(key), "left_anti")
+      val hotSets = inv.join(broadcast(hotKeys), key)
         .groupBy("id").agg(collect_set(col(key)).as("hot"))
       val empty = array().cast("array<bigint>")
       val correct = (shared: DataFrame) => shared
@@ -90,7 +93,7 @@ object Dedup {
         .withColumn("inter", col("inter_cold") +
           size(array_intersect(coalesce(col("hot_i"), empty),
             coalesce(col("hot_j"), empty))))
-      (inv, correct)
+      (cold, correct)
   }
 
   /** MinHash signature: min over shingle hashes per permutation — native

@@ -125,8 +125,15 @@ object SnapshotJob {
 
   /** Inject the six time-scope fields, first (S5 ordering). `executionDate`
     * is wall-clock ISO-8601 (PHP date('c'), OLAP.php:372) — excluded from
-    * correctness hashing by design. */
+    * correctness hashing by design. Source queries must not emit columns
+    * with these reserved names — the injection would otherwise produce a
+    * duplicate-name frame that fails only at some later, harder-to-blame
+    * point (the reference's sink DDL would likewise reject it). */
   def withTimeFields(df: DataFrame, queryId: Long, scope: Scope): DataFrame = {
+    val clash = df.columns.filter(c => timeFields.exists(_.equalsIgnoreCase(c)))
+    require(clash.isEmpty,
+      s"source query emits reserved time-scope column(s): ${clash.mkString(", ")}" +
+        s" (reserved: ${timeFields.mkString(", ")})")
     def optLit[T](o: Option[T]) =
       o.map(v => lit(v)).getOrElse(lit(null))
     df.select(

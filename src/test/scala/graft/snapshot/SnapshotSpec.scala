@@ -126,6 +126,16 @@ class SnapshotSpec extends SparkTestBase {
     assert(fact.filter(col("extra").isNull).count() == 1) // null-filled
   }
 
+  test("source query emitting a reserved time-scope column is rejected") {
+    Seq((1, 2024)).toDF("k", "year").createOrReplaceTempView("clash_src")
+    val wh = freshWarehouse()
+    val e = intercept[IllegalArgumentException] {
+      SnapshotJob.run(spark, fixture(Cron.Daily, "SELECT * FROM clash_src"),
+        wh, LocalDate.parse("2024-01-15"))
+    }
+    assert(e.getMessage.contains("year"))
+  }
+
   test("direct append of a type-widened all-nullable batch routes to rewrite") {
     // regression: the widening-superset fast path used to accept a batch
     // whose shared column TYPE changed (long -> double), appending files
