@@ -207,6 +207,11 @@ object SparkEntry {
       ordDated(s, d).withColumn("week", weekofyear(col("o_orderdate")).cast("long")),
       FactMeta("orders", Seq(dateDimYw), Seq(mExpr("value", countAll))),
       cut = "date:1996", drill = "date@yw:week")),
+    // named-hierarchy CUT: the level walk follows yw (year, ISO week)
+    "q28" -> ((s, d) => olap(
+      ordDated(s, d).withColumn("week", weekofyear(col("o_orderdate")).cast("long")),
+      FactMeta("orders", Seq(dateDimYw), Seq(mExpr("value", countAll))),
+      cut = "date@yw:1996,40")),
 
     // Window functions over the fact source (running revenue per customer)
     "x_window" -> ((s, d) => {
@@ -438,6 +443,8 @@ object SparkEntry {
     "q26" -> "SELECT o_orderstatus, AVG(o_custkey) AS value FROM orders GROUP BY 1 ORDER BY 1",
     "q27" -> ("SELECT EXTRACT(WEEK FROM o_orderdate) AS week, COUNT(*) AS value FROM orders " +
       "WHERE EXTRACT(YEAR FROM o_orderdate) = 1996 GROUP BY 1 ORDER BY 1"),
+    "q28" -> ("SELECT COUNT(*) AS value FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996 " +
+      "AND EXTRACT(WEEK FROM o_orderdate) = 40"),
     "x_window" -> ("SELECT o_custkey, o_orderkey, " +
       "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn, " +
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +

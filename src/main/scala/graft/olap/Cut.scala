@@ -15,6 +15,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   - `-` range: `1-120`, open `23-` / `-23`                — P3/P4
   *   - `,` hierarchy-level walk: `date:2016,10,3`            — P6
   *   - ranges of level tuples: `date:2016,10-2017,02`        — P7
+  *   - `@` named hierarchy for the walk: `date@yw:2016,40`
   *
   * Member values are untyped URL text; the compiler coerces each literal to
   * its level column's type (numeric compare for LONG levels, string
@@ -32,7 +33,10 @@ object Cut {
   /** Disjoint member set (`23;50`). */
   final case class Members(values: Seq[String]) extends MemberSpec
 
-  final case class DimCut(dim: String, spec: MemberSpec) {
+  /** `hier` selects a named hierarchy for the level walk (`date@yw:2016,40`
+    * pins year then ISO week); absent = the dimension's default. */
+  final case class DimCut(dim: String, spec: MemberSpec,
+      hier: Option[String] = None) {
     /** Hierarchy depth this cut pins (for drilldown default-level rules). */
     def depth: Int = spec match {
       case Point(p)       => p.size
@@ -48,10 +52,13 @@ object Cut {
   def parseOne(s: String): DimCut = {
     val i = s.indexOf(':')
     require(i > 0, s"malformed cut (missing ':'): $s")
-    val dim = s.substring(0, i)
+    val head = s.substring(0, i)
     val member = s.substring(i + 1)
     require(member.nonEmpty, s"malformed cut (empty member): $s")
-    DimCut(dim, parseMember(member))
+    val j = head.indexOf('@')
+    if (j < 0) DimCut(head, parseMember(member))
+    else DimCut(head.substring(0, j), parseMember(member),
+      Some(head.substring(j + 1)))
   }
 
   private def parseMember(m: String): MemberSpec =
@@ -75,7 +82,7 @@ object Cut {
 
   def compileOne(c: DimCut, meta: FactMeta, schema: StructType): Column = {
     val dim = meta.dimension(c.dim)
-    val order = dim.defaultOrder
+    val order = dim.orderFor(c.hier)
     c.spec match {
       case Point(path) =>
         require(path.size <= order.size,

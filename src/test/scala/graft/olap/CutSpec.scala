@@ -13,7 +13,8 @@ class CutSpec extends SparkTestBase {
     Seq(Dimension.flat("loan_type"), Dimension.flat("library_id"),
       Dimension("date",
         Seq(Level("year", "year"), Level("month", "month"), Level("day", "day")),
-        Seq(Hierarchy("ymd", Seq("year", "month", "day"))))),
+        Seq(Hierarchy("ymd", Seq("year", "month", "day")),
+          Hierarchy("ym", Seq("year", "month"))))),
     Seq(Measure("value", "value")))
 
   test("parser: P1-P7 shapes") {
@@ -33,6 +34,15 @@ class CutSpec extends SparkTestBase {
       Seq(DimCut("date", Point(Seq("2016", "10", "3")))))
     assert(parse("date:2016,10-2017,02") ==
       Seq(DimCut("date", Range(Some(Seq("2016", "10")), Some(Seq("2017", "02"))))))
+  }
+
+  test("parser + compile: named hierarchy selects the level walk") {
+    assert(parse("date@ym:2016,10") ==
+      Seq(DimCut("date", Point(Seq("2016", "10")), Some("ym"))))
+    assert(run("date@ym:2016,10") == brute(r => r._1 == 2016 && r._2 == 10))
+    // a 3-deep walk overruns the 2-level ym hierarchy
+    intercept[IllegalArgumentException](run("date@ym:2016,10,3"))
+    intercept[IllegalArgumentException](run("date@nope:2016"))
   }
 
   test("parser: malformed input rejected") {
