@@ -377,6 +377,23 @@ object SparkEntry {
           round(col("containment_j"), 6).as("c_j"))
         .orderBy(col("i"), col("j"))),
 
+    // End-to-end training-data cleaning pipeline: language ID -> quality
+    // gate (token count) -> exact dedup (first occurrence kept) -> per-lang
+    // corpus stats. Demonstrates that the pipeline operators COMPOSE as
+    // plain DataFrame transforms — one job, no materialization between
+    // stages, every stage a shuffle-bounded primitive.
+    "x_pipeline_clean" -> ((s, d) => {
+      val scored = Tables.load(s, d, "documents").select(col("doc_id"), col("text"),
+        graft.ext.TextAnalysis.languageId(col("text")).as("lang_pred"),
+        graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val filtered = scored.filter(col("n_tokens") >= 20 && col("lang_pred") =!= "und")
+      val kept = graft.ext.Dedup.exact(filtered, "doc_id", "text").select("doc_id")
+      filtered.join(kept, "doc_id")
+        .groupBy(col("lang_pred"))
+        .agg(countAll.as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("lang_pred"))
+    }),
+
     // ---------------- multimodal plumbing ----------------
 
     "x_mm_meta" -> ((s, d) =>
@@ -495,19 +512,17 @@ object SparkEntry {
       "FROM documents ORDER BY doc_id"),
     // language-ID heuristic replicated exactly: per-language function-word
     // hit counts, argmax with ties to the lexicographically greatest lang
-    "x_text_langid" -> ("WITH c AS (SELECT " +
-      "len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und','ist','von','den','mit','zu','ein'))) AS cde, " +
-      "len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS cen, " +
-      "len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','que','y','en','un','los','se','por'))) AS ces, " +
-      "len(list_filter(string_split(text, ' '), x -> x IN ('le','la','de','et','les','des','un','une','est','que'))) AS cfr, " +
-      "len(list_filter(string_split(text, ' '), x -> x IN ('il','la','di','che','e','un','per','con','del','una'))) AS cit " +
-      "FROM documents), " +
-      "p AS (SELECT CASE WHEN greatest(cde, cen, ces, cfr, cit) = 0 THEN 'und' " +
-      "WHEN cit >= greatest(cde, cen, ces, cfr) THEN 'it' " +
-      "WHEN cfr >= greatest(cde, cen, ces) THEN 'fr' " +
-      "WHEN ces >= greatest(cde, cen) THEN 'es' " +
-      "WHEN cen >= cde THEN 'en' ELSE 'de' END AS lang_pred FROM c) " +
+    "x_text_langid" -> (s"WITH c AS (SELECT $langCountColsSql FROM documents), " +
+      s"p AS (SELECT $langPredCaseSql AS lang_pred FROM c) " +
       "SELECT lang_pred, COUNT(*) AS n FROM p GROUP BY 1 ORDER BY 1"),
+    // full cleaning pipeline: langid + token gate + exact dedup + stats
+    "x_pipeline_clean" -> (s"WITH c AS (SELECT doc_id, text, " +
+      s"CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, $langCountColsSql FROM documents), " +
+      s"p AS (SELECT doc_id, text, n_tokens, $langPredCaseSql AS lang_pred FROM c), " +
+      "f AS (SELECT * FROM p WHERE n_tokens >= 20 AND lang_pred != 'und'), " +
+      "k AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY regexp_replace(lower(text), '\\s+', ' ', 'g')) " +
+      "SELECT lang_pred, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens " +
+      "FROM f JOIN k USING (doc_id) GROUP BY 1 ORDER BY 1"),
     "x_text_quality" -> ("SELECT doc_id, CAST(length(text) AS BIGINT) AS chars, " +
       "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
       "ROUND(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token, " +
@@ -528,6 +543,22 @@ object SparkEntry {
       "CAST(16 AS INTEGER) AS dim, length(regexp_replace(text, '[^ 0p]', '', 'g')) AS c " +
       "FROM documents) t ORDER BY media_id"),
   )
+
+  /** DuckDB replica of TextAnalysis.langProfiles hit counts (one column per
+    * language, alphabetical) and the argmax with the engine's tie-break
+    * (equal counts resolve to the lexicographically greatest language). */
+  private def langCountColsSql: String =
+    graft.ext.TextAnalysis.langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      words.map("'" + _ + "'").mkString(
+        s"len(list_filter(string_split(text, ' '), x -> x IN (", ",", s"))) AS c$lang")
+    }.mkString(", ")
+
+  private val langPredCaseSql: String =
+    "CASE WHEN greatest(cde, cen, ces, cfr, cit) = 0 THEN 'und' " +
+    "WHEN cit >= greatest(cde, cen, ces, cfr) THEN 'it' " +
+    "WHEN cfr >= greatest(cde, cen, ces) THEN 'fr' " +
+    "WHEN ces >= greatest(cde, cen) THEN 'es' " +
+    "WHEN cen >= cde THEN 'en' ELSE 'de' END"
 
   /** Exact O(n^2) word-3-gram Jaccard oracle (DuckDB list comprehension);
     * the engine side reaches the same pairs via inverted-index / LSH. */

@@ -33,12 +33,22 @@ object ScaleDemo {
         col("text"))
     }.reduce(_ unionByName _)
 
-    val t0 = System.nanoTime()
-    val pairs = graft.ext.Dedup.minhashPairs(corpus, "doc_id", "text",
-      n = 3, numHashes = 128, bands = 32, threshold = 0.8).count()
-    val secs = (System.nanoTime() - t0) / 1e9
     val docs = n0 * k
-    println(f"""{"docs": $docs, "replication": $k, "pairs": $pairs, "seconds": $secs%.1f}""")
+    def timed(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val pairs = body
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op": "$name", "docs": $docs, "replication": $k, "pairs": $pairs, "seconds": $secs%.1f}""")
+      spark.catalog.clearCache()
+    }
+    timed("minhash") {
+      graft.ext.Dedup.minhashPairs(corpus, "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.8).count()
+    }
+    timed("simhash") {
+      graft.ext.Dedup.simhashPairs(corpus, "doc_id", "text",
+        n = 3, maxHamming = 24, threshold = 0.9).count()
+    }
     spark.stop()
   }
 }
