@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.ext.{MinHashSignature, SignLshSignatures, SimHash64}
+import graft.ext.{LanguageId, MinHashSignature, Shingles, SignLshSignatures,
+  SimHash64, TextAnalysis, WinnowFingerprints}
 
 /** Session extensions exposing the engine's native expressions to SQL:
   *
@@ -51,6 +52,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           MinHashSignature(c, intArg(k, "numHashes"), longArg(s, "seed"))
         case _ => throw new IllegalArgumentException(
           "minhash_signature(arr[, numHashes[, seed]])")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => Shingles(c, 3)
+        case Seq(c, n) => Shingles(c, intArg(n, "n"))
+        case _ => throw new IllegalArgumentException("shingles(text[, n])")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => WinnowFingerprints(c, 3, 4)
+        case Seq(c, k, w) =>
+          WinnowFingerprints(c, intArg(k, "k"), intArg(w, "w"))
+        case _ => throw new IllegalArgumentException(
+          "winnow_fingerprints(text[, k, w])")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("language_id"),
+      new ExpressionInfo(classOf[LanguageId].getName, "language_id"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => LanguageId(c, TextAnalysis.langProfiles)
+        case _ => throw new IllegalArgumentException("language_id(text)")
       }))
 
     ext.injectFunction((

@@ -377,6 +377,27 @@ object SparkEntry {
           round(col("containment_j"), 6).as("c_j"))
         .orderBy(col("i"), col("j"))),
 
+    // Curation: top-k documents per group (the "best docs per domain"
+    // selection pattern) — one shuffle on the group key, rank inside
+    "x_curate_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(desc("n_tokens"), col("doc_id"))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy(col("lang"), col("rank"))
+    }),
+    // Curation: exact per-group token statistics (partial-aggregable
+    // min/max/count; exact interpolated median)
+    "x_text_stats" -> ((s, d) => Tables.load(s, d, "documents")
+      .select(col("lang"), graft.ext.TextAnalysis.tokenCount(col("text")).as("nt"))
+      .groupBy(col("lang"))
+      .agg(min(col("nt")).as("min_t"), max(col("nt")).as("max_t"),
+        expr("percentile(nt, 0.5)").as("med_t"), countAll.as("n"))
+      .orderBy(col("lang"))),
+
     // End-to-end training-data cleaning pipeline: language ID -> quality
     // gate (token count) -> exact dedup (first occurrence kept) -> per-lang
     // corpus stats. Demonstrates that the pipeline operators COMPOSE as
@@ -515,6 +536,14 @@ object SparkEntry {
     "x_text_langid" -> (s"WITH c AS (SELECT $langCountColsSql FROM documents), " +
       s"p AS (SELECT $langPredCaseSql AS lang_pred FROM c) " +
       "SELECT lang_pred, COUNT(*) AS n FROM p GROUP BY 1 ORDER BY 1"),
+    "x_curate_topk" -> ("SELECT doc_id, lang, n_tokens, rank FROM (" +
+      "SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS BIGINT) AS rank " +
+      "FROM documents) t WHERE rank <= 3 ORDER BY lang, rank"),
+    "x_text_stats" -> ("SELECT lang, MIN(nt) AS min_t, MAX(nt) AS max_t, " +
+      "quantile_cont(nt, 0.5) AS med_t, COUNT(*) AS n FROM (" +
+      "SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents) t " +
+      "GROUP BY 1 ORDER BY 1"),
     // full cleaning pipeline: langid + token gate + exact dedup + stats
     "x_pipeline_clean" -> (s"WITH c AS (SELECT doc_id, text, " +
       s"CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, $langCountColsSql FROM documents), " +

@@ -45,6 +45,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaCol == r.getLong(0))
   }
 
+  test("shingles / winnow_fingerprints / language_id from SQL") {
+    val r = spark.sql(
+      """SELECT shingles('one two three four', 3) AS sh,
+        |       winnow_fingerprints('one two three four five six', 3, 2) AS wf,
+        |       language_id('the cat is in the house') AS lang
+        |""".stripMargin).collect()(0)
+    assert(r.getSeq[String](0) == Seq("one two three", "two three four"))
+    assert(r.getSeq[Long](1).nonEmpty)
+    assert(r.getString(2) == "en")
+  }
+
   test("bad argument types rejected") {
     intercept[Exception](spark.sql("SELECT simhash64(1)").collect())
   }
