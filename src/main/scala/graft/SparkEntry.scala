@@ -350,6 +350,16 @@ object SparkEntry {
         .select(col("qid"), col("nid"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
+    // IVF coarse-quantizer ANN (rows-only for the same reason as x_sim_lsh:
+    // the testdata embeddings are noise, so approximate recall cannot be
+    // rank-gated by construction; quality is spec-gated on planted clusters)
+    "x_sim_ivf" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      graft.ext.Ivf.topK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nlist = 32, nprobe = 8, sampleSize = 2000)
+        .select(col("qid"), col("nid"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
 
     // ---------------- text analysis ----------------
 

@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IVF (inverted-file) approximate nearest neighbor search — the classic
+  * coarse-quantizer scale path alongside sign-LSH:
+  *
+  *  1. TRAIN: Lloyd's k-means over a bounded, deterministic sample of the
+  *     corpus, on L2-normalized vectors (so Euclidean assignment == angular
+  *     / cosine clustering). Training a coarse quantizer is a small-model
+  *     fit — `nlist` centroids from <= `sampleSize` vectors — so it runs
+  *     on the driver; everything data-sized stays distributed.
+  *  2. ASSIGN: every corpus vector maps to its nearest centroid — one
+  *     `mapPartitions` pass against the broadcast centroid matrix
+  *     (primitive float loops; the same batched execution shape a real
+  *     vector codec needs).
+  *  3. SEARCH: each query probes its `nprobe` nearest centroid lists; the
+  *     candidate join is an equi-join on centroid id; exact cosine rerank
+  *     orders the final top-k.
+  *
+  * Recall/cost dial: nprobe/nlist is the fraction of the corpus scanned
+  * per query (nprobe=8 of nlist=64 -> ~12.5%); candidates per query are
+  * ~n*nprobe/nlist instead of n.
+  */
+object Ivf {
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0) return v.clone()
+    val out = new Array[Float](v.length)
+    i = 0
+    while (i < v.length) { out(i) = (v(i) / n).toFloat; i += 1 }
+    out
+  }
+
+  private def sqDist(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Nearest-centroid ids of `v`, best first (ties by centroid id). */
+  private def nearest(v: Array[Float], centroids: Array[Array[Float]],
+      n: Int): Array[Int] = {
+    val nv = normalize(v)
+    centroids.indices.map(c => (sqDist(nv, centroids(c)), c))
+      .sorted.take(n).map(_._2).toArray
+  }
+
+  /** Deterministic driver-side Lloyd's k-means on a bounded sample
+    * (ordered by `idCol`, normalized). Empty clusters keep their previous
+    * centroid. */
+  def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 10, sampleSize: Int = 10000,
+      seed: Long = 42L): Array[Array[Float]] = {
+    val sample = df.orderBy(col(idCol)).limit(sampleSize)
+      .select(col(vecCol)).collect()
+      .map(r => normalize(r.getSeq[Float](0).toArray))
+    require(sample.length >= nlist,
+      s"need >= $nlist sample vectors, got ${sample.length}")
+    val rnd = new scala.util.Random(seed)
+    val centroids = rnd.shuffle(sample.indices.toList).take(nlist)
+      .map(sample(_).clone()).toArray
+    val dim = sample.head.length
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        val c = nearest(v, centroids, 1)(0)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      (0 until nlist).foreach { c =>
+        if (counts(c) > 0) {
+          val m = new Array[Float](dim)
+          var i = 0
+          while (i < dim) { m(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+          centroids(c) = normalize(m)
+        }
+      }
+    }
+    centroids
+  }
+
+  /** (cid, id, vec) assignment of every row to its `nprobe` nearest
+    * centroid lists — one partition-batched pass, no shuffle. */
+  private def assign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], nprobe: Int,
+      outId: String, outVec: String): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val schema = StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField(outId, LongType, nullable = false),
+      StructField(outVec, ArrayType(FloatType, containsNull = false))))
+    val rows = df.select(col(idCol).cast("long"), col(vecCol)).rdd
+      .mapPartitions { it =>
+        val cents = bc.value
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val v = r.getSeq[Float](1).toArray
+          nearest(v, cents, nprobe).iterator.map(c => Row(c, id, v.toSeq))
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Approximate top-k cosine neighbors via IVF: corpus in single-probe
+    * lists, queries probe `nprobe` lists, exact rerank. Output shape
+    * matches Similarity.bruteForceTopK (qid, nid, rank, cos). */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 64, nprobe: Int = 8,
+      iters: Int = 10, sampleSize: Int = 10000, seed: Long = 42L): DataFrame = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nlist, iters,
+      sampleSize, seed)
+    val cs = assign(corpus, idCol, vecCol, centroids, 1, "nid", "nv")
+    val qs = broadcast(assign(queries, idCol, vecCol, centroids, nprobe,
+      "qid", "qv"))
+    val cands = cs.join(qs, "cid")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("qv"), col("nid"), col("nv")).distinct()
+    val scored = cands.withColumn("cos", Similarity.cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("cos"))
+  }
+}

@@ -13,12 +13,13 @@ class SmokeSpec extends SparkTestBase {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
-    // x_sim_lsh: testdata embeddings are noise -> rank oracle impossible by
-    // construction; x_text_fingerprint/x_text_winnow: engine-native xxhash64
-    // values are not reproducible in DuckDB SQL
+    // x_sim_lsh/x_sim_ivf: testdata embeddings are noise -> rank oracle
+    // impossible by construction (quality spec-gated on planted clusters);
+    // x_text_fingerprint/x_text_winnow: engine-native xxhash64 values are
+    // not reproducible in DuckDB SQL
     val rowsOnly = q -- o
-    assert(rowsOnly == Set("x_sim_lsh", "x_text_fingerprint", "x_text_winnow"),
-      s"unexpected rows-only set: $rowsOnly")
+    assert(rowsOnly == Set("x_sim_lsh", "x_sim_ivf", "x_text_fingerprint",
+      "x_text_winnow"), s"unexpected rows-only set: $rowsOnly")
   }
 
   test("result column names match the oracle SQL aliases") {

@@ -47,6 +47,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("IVF top-k recall >= 0.9 on planted clusters, and rerank is exact") {
+    val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = Ivf.topK(corpus, queries, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("cosine column matches a driver-side computation") {
     val a = Seq((1L, Seq(1.0f, 2.0f, 2.0f)), (2L, Seq(0.0f, 3.0f, 4.0f)))
       .toDF("vec_id", "v")
