@@ -310,6 +310,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("shards"), sum(col("n")).as("total"))
     }),
 
+    // Skew mitigation: salted two-phase aggregation must be value-identical
+    // to the plain GROUP BY (decimal partials are exact, so the salt split
+    // cannot perturb the sum) — the hot-key safety valve, semantics-gated
+    "x_skew_agg" -> ((s, d) => graft.ext.Skew.saltedAgg(
+      ev(s, d).select(col("event_type"), col("value").cast(D).as("v")),
+      "event_type", "v", salts = 16, partial = sum, fin = sum)
+      .select(col("event_type"), col("v").cast("double").as("value"))
+      .orderBy(col("event_type"))),
+
     // ---------------- dedup family ----------------
 
     "x_dedup_exact" -> ((s, d) => {
@@ -525,6 +534,8 @@ object SparkEntry {
       "CAST(GROUPING(EXTRACT(YEAR FROM o_orderdate), EXTRACT(MONTH FROM o_orderdate)) AS BIGINT) AS grouping_id " +
       "FROM orders GROUP BY ROLLUP(1, 2) ORDER BY grouping_id, year, month"),
     "x_pipe" -> "SELECT CAST(4 AS BIGINT) AS shards, CAST(64 AS BIGINT) AS total",
+    "x_skew_agg" -> ("SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value " +
+      "FROM events GROUP BY 1 ORDER BY 1"),
     "x_dedup_exact" -> ("SELECT CAST(COUNT(DISTINCT regexp_replace(lower(text), '\\s+', ' ', 'g')) AS BIGINT) AS n_unique, " +
       "CAST(COUNT(*) AS BIGINT) AS total FROM documents"),
     "x_dedup_ngram" -> ngramOracle(0.5),
