@@ -284,6 +284,17 @@ object SparkEntry {
     "x_stream_hourly" -> ((s, d) =>
       graft.streaming.EventStream.runHourly(s, d)
         .orderBy(col("hour"), col("event_type"))),
+    // Streaming -> warehouse: foreachBatch lands each epoch as a
+    // year-partitioned fact; the result is read back THROUGH the warehouse
+    // (stored schema, partition pruning), oracle = the same batch SQL
+    "x_stream_sink" -> ((s, d) => {
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_stream_wh").toString)
+      graft.streaming.EventStream.streamIntoWarehouse(s, d, wh, "events_hourly")
+        .select(col("hour"), col("event_type"), col("n"), col("v"),
+          col("year"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
     // Sessionization (batch formulation; cross-checks the streaming state
     // machine): per-user event-time sessions with a 30-minute gap
     "x_sessions" -> ((s, d) =>
@@ -523,6 +534,10 @@ object SparkEntry {
       "o_orderstatus AS status, COUNT(*) AS value FROM orders GROUP BY 6 ORDER BY 6"),
     "x_stream_hourly" -> ("SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type, " +
       "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v " +
+      "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "x_stream_sink" -> ("SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type, " +
+      "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v, " +
+      "CAST(EXTRACT(YEAR FROM time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS year " +
       "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "x_sessions" -> ("WITH l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), " +
       "f AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR date_diff('millisecond', prev, ts) > 1800000 THEN 1 ELSE 0 END AS ns FROM l), " +

@@ -76,6 +76,14 @@ final class Warehouse(spark: SparkSession, val root: String) {
         Some(df.withColumn("year", col("year").cast("long")))
     }
 
+  /** Replace the fact's content wholesale (streaming complete-mode sink:
+    * each epoch is the full recomputed state, last epoch wins — idempotent
+    * by construction under micro-batch retries). */
+  def overwrite(fact: String, batch: DataFrame): Unit = {
+    write(batch, SaveMode.Overwrite, fact)
+    storeSchema(fact, allNullable(batch.schema))
+  }
+
   /** Append a batch, evolving the stored schema when needed (S5/S6/S7). */
   def append(fact: String, batch: DataFrame): Unit = read(fact) match {
     case None =>

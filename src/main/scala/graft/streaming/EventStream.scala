@@ -61,6 +61,25 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Stream the hourly aggregation INTO the warehouse: `foreachBatch`
+    * lands each epoch's full recomputed state as a year-partitioned fact
+    * (complete mode -> overwrite -> idempotent under micro-batch retries),
+    * making continuous ingestion feed the same fact tables the OLAP API
+    * serves. Returns the fact read back through the warehouse. */
+  def streamIntoWarehouse(spark: SparkSession, sfDir: String,
+      warehouse: graft.snapshot.Warehouse, fact: String): DataFrame = {
+    val q = hourlyAgg(readStream(spark, sfDir))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        warehouse.overwrite(fact,
+          batch.withColumn("year", year(col("hour")).cast("long")))
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    warehouse.read(fact).get
+  }
+
   // ---------------- stateful processing (sessionization) ----------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
