@@ -57,6 +57,19 @@ final class OlapApi(spark: SparkSession, warehouse: Warehouse,
         jstr(m.default.name)}}"""
     }.mkString("[", ", ", "]")
 
+  /** Catalog endpoint: the named aggregate functions a request may ask for
+    * via `aggregate=` (reference "aggregates" section,
+    * api-library-olap/README.md:138-150), plus the built-in names. */
+  def aggregates(fact: String): String = {
+    val catalog = meta(fact).aggregates.toSeq.map { case (n, fn) => n -> fn.name }
+    val builtins = graft.model.AggregateFn.all
+      .map(fn => fn.name -> fn.name)
+      .filterNot { case (n, _) => catalog.exists(_._1 == n) }
+    (catalog ++ builtins).sortBy(_._1).map { case (n, f) =>
+      s"""{"name": ${jstr(n)}, "function": ${jstr(f)}}"""
+    }.mkString("[", ", ", "]")
+  }
+
   /** The aggregate endpoint: compile cut/drilldown/measure/aggregate
     * params, run, render (`output` = "json" | "table"). `aggregate`
     * overrides per-measure aggregation functions by catalog name

@@ -58,6 +58,10 @@ class OlapApiSpec extends SparkTestBase {
         """"levels": [{"name": "year", "label": "year", "attributes": []}"""))
     assert(api.measures("enabled_users") ==
       """[{"name": "value", "label": "valore", "aggregate": "sum"}]""")
+    // named catalog entries (incl. "average" -> avg) + remaining built-ins
+    assert(api.aggregates("enabled_users") ==
+      """[{"name": "average", "function": "avg"}, {"name": "avg", "function": "avg"}, """ +
+        """{"name": "count", "function": "count"}, {"name": "sum", "function": "sum"}]""")
   }
 
   test("per-call aggregate override (README /aggregate, 'o quella specificata')") {
