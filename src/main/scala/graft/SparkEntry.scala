@@ -321,6 +321,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("shards"), sum(col("n")).as("total"))
     }),
 
+    // Deterministic train/val/test split (pure function of the key ->
+    // stable across runs/partitionings; the bucket hash here is the
+    // identity so DuckDB can replicate the assignment exactly)
+    "x_split" -> ((s, d) => graft.ext.Sampling.assignSplit(
+      Tables.load(s, d, "documents"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), buckets = 10,
+      hashOf = c => c.cast("long"))
+      .groupBy(col("split")).agg(countAll.as("n"))
+      .orderBy(col("split"))),
+
     // Skew mitigation: salted two-phase aggregation must be value-identical
     // to the plain GROUP BY (decimal partials are exact, so the salt split
     // cannot perturb the sum) — the hot-key safety valve, semantics-gated
@@ -551,6 +561,9 @@ object SparkEntry {
     "x_pipe" -> "SELECT CAST(4 AS BIGINT) AS shards, CAST(64 AS BIGINT) AS total",
     "x_skew_agg" -> ("SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value " +
       "FROM events GROUP BY 1 ORDER BY 1"),
+    "x_split" -> ("SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' " +
+      "WHEN doc_id % 10 < 9 THEN 'val' ELSE 'test' END AS split, COUNT(*) AS n " +
+      "FROM documents GROUP BY 1 ORDER BY 1"),
     "x_dedup_exact" -> ("SELECT CAST(COUNT(DISTINCT regexp_replace(lower(text), '\\s+', ' ', 'g')) AS BIGINT) AS n_unique, " +
       "CAST(COUNT(*) AS BIGINT) AS total FROM documents"),
     "x_dedup_ngram" -> ngramOracle(0.5),

@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting for training-data pipelines: every
+  * decision is a pure function of the row's key, so splits are stable
+  * across runs, machines and partitionings (re-running the pipeline never
+  * moves a document between train and validation), membership is joinable
+  * after the fact, and nothing needs a shuffle — the split/filter runs
+  * inside the scan's codegen stage.
+  *
+  * The key maps to one of `buckets` cells via `hashOf` (seed-42 xxhash64
+  * by default — uniform even on sequential ids); weights carve the cell
+  * range. */
+object Sampling {
+
+  val defaultBuckets = 10000
+
+  private def bucketOf(key: Column, hashOf: Column => Column, buckets: Int): Column =
+    pmod(hashOf(key), lit(buckets.toLong))
+
+  /** Add a `split` label column ("train"/"val"/... by weight). Weights are
+    * normalized; the last split absorbs integer-rounding remainder. */
+  def assignSplit(df: DataFrame, keyCol: String,
+      weights: Seq[(String, Double)], buckets: Int = defaultBuckets,
+      hashOf: Column => Column = xxhash64(_)): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val total = weights.map(_._2).sum
+    val bounds = weights.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w / total * buckets)
+    }.tail.dropRight(1) // upper bounds of all but the last split
+    val b = bucketOf(col(keyCol), hashOf, buckets)
+    val label = bounds.zip(weights.map(_._1)).foldRight(
+      lit(weights.last._1)) { case ((hi, name), rest) =>
+      when(b < hi, name).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Keep a deterministic `fraction` of rows by key hash. */
+  def sampleFraction(df: DataFrame, keyCol: String, fraction: Double,
+      buckets: Int = defaultBuckets,
+      hashOf: Column => Column = xxhash64(_)): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    df.filter(bucketOf(col(keyCol), hashOf, buckets) <
+      math.round(fraction * buckets))
+  }
+
+  /** Integer upsampling by a per-row repeat count (mixture weighting:
+    * high-quality sources repeated N times in the training mix). Rows with
+    * repeat <= 0 are dropped; `copy` (0-based) distinguishes replicas. */
+  def upsample(df: DataFrame, repeatCol: String): DataFrame =
+    df.filter(col(repeatCol) > 0)
+      .withColumn("copy",
+        explode(sequence(lit(0L), col(repeatCol).cast("long") - 1)))
+}

@@ -1,0 +1,42 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = (0 until 2000).map(i => (i.toLong, s"doc $i"))
+    .toDF("id", "text")
+
+  test("splits are deterministic, exhaustive, and near the weights") {
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.assignSplit(docs, "id", w)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.assignSplit(docs, "id", w)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a == b) // stable across runs
+    assert(a.size == 2000)
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 2000.0)
+    assert(math.abs(frac("train") - 0.8) < 0.05, frac)
+    assert(math.abs(frac("val") - 0.1) < 0.03, frac)
+    assert(math.abs(frac("test") - 0.1) < 0.03, frac)
+  }
+
+  test("sampleFraction is a stable subset of the right size") {
+    val s10 = Sampling.sampleFraction(docs, "id", 0.1)
+      .select("id").as[Long].collect().toSet
+    val s20 = Sampling.sampleFraction(docs, "id", 0.2)
+      .select("id").as[Long].collect().toSet
+    assert(s10.subsetOf(s20)) // nested: growing the fraction only adds rows
+    assert(math.abs(s10.size / 2000.0 - 0.1) < 0.03)
+    assert(math.abs(s20.size / 2000.0 - 0.2) < 0.03)
+  }
+
+  test("upsample replicates by weight and drops non-positive") {
+    val weighted = Seq((1L, 3L), (2L, 1L), (3L, 0L)).toDF("id", "rep")
+    val up = Sampling.upsample(weighted, "rep")
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(up == Map(1L -> 3L, 2L -> 1L))
+  }
+}
