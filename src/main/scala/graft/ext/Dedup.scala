@@ -79,12 +79,17 @@ object Dedup {
       (inv0, _.withColumn("inter", col("inter_cold")))
     case Some(cap) =>
       // three consumers (df counts, cold anti-join, hot sets): persist the
-      // exploded index instead of recomputing the explode+hash per use
+      // exploded index instead of recomputing the explode+hash per use.
+      // Lifecycle matches shingleSets: session-scoped, clearCache() between
+      // corpora in long-lived sessions.
       val inv = inv0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfreq = inv.groupBy(key).count()
       val hotKeys = dfreq.filter(col("count") > cap).select(key)
-      val cold = inv.join(broadcast(hotKeys), Seq(key), "left_anti")
-      val hotSets = inv.join(broadcast(hotKeys), key)
+      // no broadcast hint: hot-key cardinality is data-dependent (up to
+      // index-entries/cap at corpus scale) — AQE broadcasts when the set
+      // is actually small and falls back to a shuffle join when not
+      val cold = inv.join(hotKeys, Seq(key), "left_anti")
+      val hotSets = inv.join(hotKeys, key)
         .groupBy("id").agg(collect_set(col(key)).as("hot"))
       val empty = array().cast("array<bigint>")
       val correct = (shared: DataFrame) => shared
@@ -177,7 +182,10 @@ object Dedup {
   private[ext] def simhashKeys(sh: DataFrame, minhashAssistMaxShingles: Int): DataFrame = {
     val base = sh.filter(size(col("sh")) > 0).select(col("id"), col("sh"),
       SimHash64(col("sh")).as("fp"),
-      MinHashSignature(col("sh"), numHashes = 48).as("sig"))
+      // assist signature only where the assist tier applies: long docs
+      // (concentrated simhash regime) skip the O(48*|shingles|) minhash
+      when(size(col("sh")) <= minhashAssistMaxShingles,
+        MinHashSignature(col("sh"), numHashes = 48)).as("sig"))
     val rot = shiftrightunsigned(col("fp"), 4)
       .bitwiseOR(shiftleft(col("fp"), 60))
     def byteOf(src: Column, k: Int): Column =

@@ -45,8 +45,18 @@ case class LanguageId(child: Expression, profiles: Map[String, Seq[String]])
     m
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.split(" ")
+  // HOF-parity on NULL input: the struct-max formulation fell through its
+  // when() to "und" for null text — keep that contract
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input) match {
+      case null => LanguageId.und
+      case s => score(s.asInstanceOf[UTF8String])
+    }
+
+  private def score(text: UTF8String): Any = {
+    val toks = text.toString.split(" ")
     val counts = new Array[Int](langs.length)
     var i = 0
     while (i < toks.length) {

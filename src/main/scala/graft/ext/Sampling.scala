@@ -27,9 +27,11 @@ object Sampling {
       hashOf: Column => Column = xxhash64(_)): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
     val total = weights.map(_._2).sum
-    val bounds = weights.scanLeft(0L) { case (acc, (_, w)) =>
-      acc + math.round(w / total * buckets)
-    }.tail.dropRight(1) // upper bounds of all but the last split
+    // round CUMULATIVE sums, not per-weight increments: accumulating
+    // rounded increments can exhaust the bucket range early and leave a
+    // trailing split empty (0.45/0.45/0.1 over 10 buckets -> 5,10,!)
+    val bounds = weights.map(_._2).scanLeft(0.0)(_ + _).tail.dropRight(1)
+      .map(cum => math.round(cum / total * buckets)) // bounds of all but last
     val b = bucketOf(col(keyCol), hashOf, buckets)
     val label = bounds.zip(weights.map(_._1)).foldRight(
       lit(weights.last._1)) { case ((hi, name), rest) =>

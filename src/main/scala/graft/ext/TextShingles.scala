@@ -60,9 +60,17 @@ case class Shingles(child: Expression, n: Int)
       s"shingles requires string, got $other")
   }
 
-  override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(TextKernel.grams(input.asInstanceOf[UTF8String], n)
-      .map(UTF8String.fromString(_).asInstanceOf[Any]))
+  // HOF-parity on NULL input: when(size(null) >= n, ...).otherwise(empty)
+  // returned the EMPTY array, not null — keep that contract
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input) match {
+      case null => new GenericArrayData(Array.empty[Any])
+      case s => new GenericArrayData(
+        TextKernel.grams(s.asInstanceOf[UTF8String], n)
+          .map(UTF8String.fromString(_).asInstanceOf[Any]))
+    }
 
   override protected def withNewChildInternal(newChild: Expression): Shingles =
     copy(child = newChild)
@@ -93,8 +101,17 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
       s"winnow_fingerprints requires string, got $other")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val grams = TextKernel.grams(input.asInstanceOf[UTF8String], k)
+  // HOF-parity on NULL input: empty fingerprint array, not null
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input) match {
+      case null => new GenericArrayData(Array.empty[Long])
+      case s => fingerprints(s.asInstanceOf[UTF8String])
+    }
+
+  private def fingerprints(text: UTF8String): Any = {
+    val grams = TextKernel.grams(text, k)
     val m = grams.length
     if (m == 0) return new GenericArrayData(Array.empty[Long])
     val hashes = new Array[Long](m)

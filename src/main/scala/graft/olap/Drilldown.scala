@@ -53,12 +53,16 @@ object Drilldown {
     // preserve first-appearance order of dims
     specs.map(_.dim).distinct.map { dimName =>
       val dim = meta.dimension(dimName)
-      // hierarchy choice is per-dimension: all specs for a dim must agree
-      val hiers = byDim(dimName).flatMap(_.hier).distinct
+      // hierarchy choice is per-dimension and shared with the cuts in
+      // force: "one level below the cut" is only meaningful inside the
+      // hierarchy the cut walked, so a cut's named hierarchy carries over
+      // to the drilldown, and naming two different ones is an error
+      val dimCuts = cuts.filter(_.dim == dimName)
+      val hiers = (byDim(dimName).flatMap(_.hier) ++ dimCuts.flatMap(_.hier)).distinct
       require(hiers.size <= 1,
         s"conflicting hierarchies for dimension $dimName: ${hiers.mkString(", ")}")
       val order = dim.orderFor(hiers.headOption)
-      val cutDepth = cuts.filter(_.dim == dimName).map(_.depth).maxOption.getOrElse(0)
+      val cutDepth = dimCuts.map(_.depth).maxOption.getOrElse(0)
       val indices: Seq[Int] = byDim(dimName).flatMap { spec =>
         resolveOne(spec, dim, order, cutDepth)
       }.distinct.sorted

@@ -78,11 +78,11 @@ final class Warehouse(spark: SparkSession, val root: String) {
 
   /** Replace the fact's content wholesale (streaming complete-mode sink:
     * each epoch is the full recomputed state, last epoch wins — idempotent
-    * by construction under micro-batch retries). */
-  def overwrite(fact: String, batch: DataFrame): Unit = {
-    write(batch, SaveMode.Overwrite, fact)
-    storeSchema(fact, allNullable(batch.schema))
-  }
+    * by construction under micro-batch retries). Staged write + rename
+    * swap, NOT delete-then-write: concurrent readers never observe a
+    * missing/partial table, and a crash mid-epoch cannot lose the fact. */
+  def overwrite(fact: String, batch: DataFrame): Unit =
+    replaceWith(fact, batch, ".epoch")
 
   /** Append a batch, evolving the stored schema when needed (S5/S6/S7). */
   def append(fact: String, batch: DataFrame): Unit = read(fact) match {
@@ -131,7 +131,7 @@ final class Warehouse(spark: SparkSession, val root: String) {
     writeOpts.foreach { case (k, v) => w = w.option(k, v) }
     w.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (f.exists(old)) f.delete(old, true)
-    if (!f.rename(target, old))
+    if (f.exists(target) && !f.rename(target, old))
       throw new java.io.IOException(s"could not stage out $target")
     if (!f.rename(tmp, target)) {
       // roll back so the table is never lost

@@ -75,9 +75,9 @@ object EventStream {
           batch.withColumn("year", year(col("hour")).cast("long")))
       }
       .start()
-    q.processAllAvailable()
-    q.stop()
-    warehouse.read(fact).get
+    try q.processAllAvailable() finally q.stop()
+    warehouse.read(fact).getOrElse(throw new IllegalStateException(
+      s"stream produced no batches: fact $fact was never written"))
   }
 
   // ---------------- stateful processing (sessionization) ----------------

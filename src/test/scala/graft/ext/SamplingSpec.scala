@@ -23,6 +23,15 @@ class SamplingSpec extends SparkTestBase {
     assert(math.abs(frac("test") - 0.1) < 0.03, frac)
   }
 
+  test("rounding cannot starve a trailing split (cumulative bounds)") {
+    // per-increment rounding gave bounds (5, 10) here, leaving "c" empty
+    val w = Seq("a" -> 0.45, "b" -> 0.45, "c" -> 0.1)
+    val splits = Sampling.assignSplit(docs, "id", w, buckets = 10,
+      hashOf = c => c.cast("long"))
+      .select("split").as[String].collect().toSet
+    assert(splits == Set("a", "b", "c"))
+  }
+
   test("sampleFraction is a stable subset of the right size") {
     val s10 = Sampling.sampleFraction(docs, "id", 0.1)
       .select("id").as[Long].collect().toSet

@@ -76,6 +76,17 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fps(1).isEmpty && fps(2).isEmpty)
   }
 
+  test("null text: HOF-parity (empty arrays / 'und', never null)") {
+    val df = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "text")
+    val r = df.select(
+      TextAnalysis.shingles($"text", 3).as("sh"),
+      TextAnalysis.winnowFingerprints($"text", 3, 4).as("fp"),
+      TextAnalysis.languageId($"text").as("lang")).collect()(0)
+    assert(r.getSeq[String](0).isEmpty && !r.isNullAt(0))
+    assert(r.getSeq[Long](1).isEmpty && !r.isNullAt(1))
+    assert(r.getString(2) == "und")
+  }
+
   test("multimodal plumbing: schema + batched features") {
     val docs = Seq((1L, "abc", "en"), (2L, "abcabc", "de")).toDF("doc_id", "text", "lang")
     val media = Multimodal.asMedia(docs, "doc_id", "text", "lang")

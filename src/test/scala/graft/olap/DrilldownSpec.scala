@@ -73,6 +73,15 @@ class DrilldownSpec extends SparkTestBase {
     intercept[IllegalArgumentException](levels("date@yw|date@ymd"))
   }
 
+  test("a cut's named hierarchy carries over to the drilldown") {
+    // cut pins (year, week) along yw: "one level below the cut" must
+    // resolve inside yw (-> week, the deepest), NOT day of the default ymd
+    assert(levels("date", cut = "date@yw:2016,40") == Seq("week"))
+    // cut and drilldown naming different hierarchies is an error
+    intercept[IllegalArgumentException](
+      levels("date@ymd", cut = "date@yw:2016"))
+  }
+
   test("unknown hierarchy rejected") {
     intercept[IllegalArgumentException](levels("date@nope"))
   }
