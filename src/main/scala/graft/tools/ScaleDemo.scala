@@ -49,6 +49,10 @@ object ScaleDemo {
       graft.ext.Dedup.simhashPairs(corpus, "doc_id", "text",
         n = 3, maxHamming = 24, threshold = 0.9).count()
     }
+    timed("ngram") {
+      graft.ext.Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.8).count()
+    }
     spark.stop()
   }
 }
