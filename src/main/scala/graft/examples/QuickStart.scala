@@ -45,11 +45,18 @@ object QuickStart {
         """{ "dimensions": [ {"name": "segment"},
           |  {"name": "date", "levels": [{"name": "year"}, {"name": "month"}],
           |   "hierarchies": [{"name": "ym", "order": ["year", "month"]}]} ],
-          |  "measures": [ {"name": "value", "aggregate": "sum"} ] }""".stripMargin)))
+          |  "measures": [ {"name": "value", "aggregate": "sum"} ],
+          |  "aggregates": [ {"name": "average", "function": "avg"} ] }""".stripMargin)))
 
     println("FACTS=" + api.factTables)
+    println("AGGS=" + api.aggregates("enabled_users"))
     println("TABLE=" + api.aggregate("enabled_users", cut = Some("date:2024"),
       drilldown = Some("segment"), output = "table"))
+    // per-call override by catalog name + named-hierarchy drilldown
+    println("AVG=" + api.aggregate("enabled_users", drilldown = Some("segment"),
+      aggregate = Some("value:average"), output = "table"))
+    println("HIER=" + api.aggregate("enabled_users", cut = Some("date@ym:2024"),
+      drilldown = Some("date@ym:month"), output = "table"))
     println("EMPTY=" + api.aggregate("enabled_users", cut = Some("segment:ZZZ"),
       drilldown = Some("segment")))
     println("BADCUT=" + (try api.aggregate("enabled_users", cut = Some("date:1,2,3,4"))
