@@ -170,9 +170,11 @@ object Dedup {
       minhashAssistMaxShingles: Int = 512): DataFrame = {
     val sh = shingleSets(df, idCol, textCol, n)
     val keyed = simhashKeys(sh, minhashAssistMaxShingles)
-    val cands = simhashCandidates(keyed)
+    // Hamming filter BEFORE the distinct: the per-row bit_count is cheaper
+    // than deduplicating pairs that the filter would discard anyway
+    val cands = simhashJoined(keyed)
       .filter(bit_count(col("fp_i").bitwiseXOR(col("fp_j"))) <= maxHamming)
-      .select(col("i"), col("j"))
+      .select(col("i"), col("j")).distinct()
     verifyJaccard(cands, sh, threshold)
   }
 
@@ -209,15 +211,19 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Distinct candidate pairs from the banding keys (pre-Hamming-filter);
+  /** Raw key-collision rows (one per colliding table, pre-distinct);
     * one equi-join shuffle on (table, key). */
-  private[ext] def simhashCandidates(keyed: DataFrame): DataFrame =
+  private def simhashJoined(keyed: DataFrame): DataFrame =
     keyed.as("a").join(keyed.as("b"),
         col("a.t") === col("b.t") && col("a.v") === col("b.v") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
         col("a.fp").as("fp_i"), col("b.fp").as("fp_j"))
-      .distinct()
+
+  /** Distinct candidate pairs from the banding keys (pre-Hamming-filter);
+    * exposed for the scaling spec. */
+  private[ext] def simhashCandidates(keyed: DataFrame): DataFrame =
+    simhashJoined(keyed).distinct()
 
   /** Shingle sets per doc, persisted: every pair pipeline reads them at
     * least twice (index/signature build + exact verify). Comparable in
