@@ -363,6 +363,13 @@ object SparkEntry {
       graft.ext.Dedup.embeddingPairs(Tables.load(s, d, "embeddings"),
         "vec_id", "embedding", threshold = 0.95)
         .agg(count(lit(1)).as("n_pairs"))),
+    // pairwise near-dups -> connected components: the KEEP/DROP cluster
+    // resolution (near-dup similarity is not transitive; the oracle walks
+    // the same graph with a recursive CTE)
+    "x_dedup_clusters" -> ((s, d) =>
+      graft.ext.Dedup.ngramClusters(Tables.load(s, d, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy(col("root"))),
 
     // ---------------- similarity search ----------------
 
@@ -567,6 +574,17 @@ object SparkEntry {
     "x_dedup_exact" -> ("SELECT CAST(COUNT(DISTINCT regexp_replace(lower(text), '\\s+', ' ', 'g')) AS BIGINT) AS n_unique, " +
       "CAST(COUNT(*) AS BIGINT) AS total FROM documents"),
     "x_dedup_ngram" -> ngramOracle(0.5),
+    // transitive closure of the jac>=0.5 pair graph -> min-id component
+    // roots -> member counts (clusters of size >= 2 only, like the engine)
+    "x_dedup_clusters" -> ("WITH RECURSIVE " +
+      "tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) s FROM tok), " +
+      "pr AS (SELECT a.doc_id i, b.doc_id j FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5), " +
+      "e AS (SELECT i a, j b FROM pr UNION SELECT j, i FROM pr), " +
+      "r AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a WHERE e.b != r.a), " +
+      "comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS root FROM r GROUP BY a) " +
+      "SELECT root, COUNT(*) AS n_members FROM comp GROUP BY 1 ORDER BY 1"),
     "x_dedup_minhash" -> ngramOracle(0.8),
     "x_dedup_simhash" -> ngramOracle(0.9),
     "x_dedup_embed" -> ("SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM embeddings a " +

@@ -255,4 +255,53 @@ object Dedup {
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame =
     Similarity.cosinePairsLsh(df, idCol, vecCol, threshold)
+
+  /** Connected components over near-dup pairs: every pair member gets its
+    * component's minimum id as `label` — the cluster-resolution step that
+    * turns pairwise similarity into KEEP/DROP decisions (keep the label
+    * row, drop the rest). Near-duplicate similarity is not transitive, so
+    * clusters (a~b, b~c without a~c) are exactly what pairs alone miss.
+    *
+    * Min-label propagation: each iteration every node takes the minimum
+    * label among itself and its neighbors — one equi-join + partial-min
+    * shuffle per iteration, converging in graph-diameter iterations (near
+    * -dup clusters are shallow; the driver only ever collects the 1-row
+    * convergence check, never the labels). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .union(pairs.select(col("j").as("a"), col("i").as("b")))
+      .persist(lvl)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).persist(lvl)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("b"), col("label").as("nl")), "b")
+        .groupBy(col("a").as("node")).agg(min(col("nl")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist(lvl)
+      converged = next
+        .join(labels.select(col("node"), col("label").as("prev")), "node")
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter " +
+      "iterations (pathologically deep cluster chain)")
+    labels
+  }
+
+  /** Near-dup cluster summary on a text corpus: exact n-gram Jaccard pairs
+    * -> connected components -> (root, n_members) per cluster of size >= 2. */
+  def ngramClusters(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5,
+      maxDf: Option[Long] = Some(1000L)): DataFrame =
+    connectedComponents(ngramJaccardPairs(df, idCol, textCol, n, threshold, maxDf))
+      .groupBy(col("label").as("root"))
+      .agg(count(lit(1)).as("n_members"))
 }

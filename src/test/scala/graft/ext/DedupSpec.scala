@@ -118,6 +118,20 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("connected components resolve non-transitive near-dup chains") {
+    // a~b and b~c similar, a~c NOT a pair: one cluster of 3 under the
+    // minimum id; unrelated pair (10,11) stays its own cluster
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a longer chain still converges (diameter 5)
+    val chain = (1L to 5L).map(k => (k, k + 1)).toDF("i", "j")
+    val roots = Dedup.connectedComponents(chain)
+      .as[(Long, Long)].collect().map(_._2).toSet
+    assert(roots == Set(1L))
+  }
+
   test("simhash64 expression: deterministic, order-insensitive on sets") {
     val a = Seq(Seq("x", "y", "z")).toDF("arr")
       .select(SimHash64(col("arr"))).as[Long].collect()(0)
