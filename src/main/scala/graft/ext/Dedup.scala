@@ -269,8 +269,12 @@ object Dedup {
     * convergence check, never the labels). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
-      .union(pairs.select(col("j").as("a"), col("i").as("b")))
+    // symmetrize via explode, NOT a union of two selects: a union would
+    // evaluate the (possibly expensive) pairs plan once per branch
+    val edges = pairs.select(explode(array(
+        struct(col("i").as("a"), col("j").as("b")),
+        struct(col("j").as("a"), col("i").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist(lvl)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).persist(lvl)
@@ -280,15 +284,17 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("node").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a").as("node")).agg(min(col("nl")).as("nmin"))
+      // fold the changed flag into the frame: ONE job per iteration
+      // (materialize + convergence check together), not a separate
+      // compare-join action
       val next = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).cast("long").as("chg"))
         .persist(lvl)
-      converged = next
-        .join(labels.select(col("node"), col("label").as("prev")), "node")
-        .filter(col("label") =!= col("prev")).isEmpty
+      converged = next.agg(sum(col("chg"))).collect()(0).getLong(0) == 0L
       labels.unpersist()
-      labels = next
+      labels = next.drop("chg")
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter " +
