@@ -68,6 +68,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!pairs.exists(p => (p._1, p._2) == (2L, 4L)))
   }
 
+  test("winnowing guarantee: shared runs of >= w+k-1 tokens share a fingerprint") {
+    // the Schleimer et al. guarantee the containment detector rests on —
+    // checked over 30 seeded random doc pairs with planted shared runs
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector.tabulate(3000)(i => s"t$i")
+    def words(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val k = 3; val w = 4
+    val pairs = (0 until 30).map { i =>
+      val run = words(k + w - 1 + rnd.nextInt(6)).mkString(" ")
+      val a = (words(10 + rnd.nextInt(30)) :+ run) ++ words(rnd.nextInt(20))
+      val b = (words(5 + rnd.nextInt(40)) :+ run) ++ words(rnd.nextInt(10))
+      (i.toLong, a.mkString(" "), b.mkString(" "))
+    }
+    val got = pairs.toDF("id", "a", "b").select($"id",
+      size(array_intersect(
+        TextAnalysis.winnowFingerprints($"a", k, w),
+        TextAnalysis.winnowFingerprints($"b", k, w))).as("shared"))
+      .as[(Long, Int)].collect()
+    got.foreach { case (id, shared) =>
+      assert(shared >= 1, s"pair $id shares no fingerprint")
+    }
+  }
+
   test("winnowing edge cases: short docs never error") {
     val df = Seq("one two three", "ab", "").toDF("text")
     val fps = df.select(TextAnalysis.winnowFingerprints($"text", 3, 4))
