@@ -331,6 +331,20 @@ object SparkEntry {
       .groupBy(col("split")).agg(countAll.as("n"))
       .orderBy(col("split"))),
 
+    // As-of join: every event joined to the most recent per-day order
+    // total of its user at event time (snapshot semantics; DuckDB's
+    // native ASOF JOIN is the oracle)
+    "x_asof" -> ((s, d) => {
+      val daily = ord(s, d).groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(sum(col("o_totalprice").cast(D)).as("v"))
+        .select(col("o_custkey").as("user_id"),
+          col("o_orderdate").as("snap_ts"), col("v"))
+      graft.ext.AsofJoin.leftAsof(ev(s, d), daily, Seq("user_id"),
+        leftTime = "ts", rightTime = "snap_ts", valueCols = Seq("v"))
+        .agg(countAll.as("n_events"), count(col("v")).as("n_matched"),
+          sum(col("v")).cast("double").as("total"))
+    }),
+
     // Skew mitigation: salted two-phase aggregation must be value-identical
     // to the plain GROUP BY (decimal partials are exact, so the salt split
     // cannot perturb the sum) — the hot-key safety valve, semantics-gated
@@ -568,6 +582,10 @@ object SparkEntry {
     "x_pipe" -> "SELECT CAST(4 AS BIGINT) AS shards, CAST(64 AS BIGINT) AS total",
     "x_skew_agg" -> ("SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value " +
       "FROM events GROUP BY 1 ORDER BY 1"),
+    "x_asof" -> ("WITH d AS (SELECT o_custkey k, CAST(o_orderdate AS TIMESTAMP) t, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) v FROM orders GROUP BY 1, 2) " +
+      "SELECT COUNT(*) AS n_events, COUNT(v) AS n_matched, CAST(SUM(v) AS DOUBLE) AS total " +
+      "FROM events ASOF LEFT JOIN d ON events.user_id = d.k AND events.ts >= d.t"),
     "x_split" -> ("SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' " +
       "WHEN doc_id % 10 < 9 THEN 'val' ELSE 'test' END AS split, COUNT(*) AS n " +
       "FROM documents GROUP BY 1 ORDER BY 1"),
