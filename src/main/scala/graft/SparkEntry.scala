@@ -331,6 +331,22 @@ object SparkEntry {
       .groupBy(col("split")).agg(countAll.as("n"))
       .orderBy(col("split"))),
 
+    // Range join: events mapped back into their own sessions' [start, end]
+    // intervals via bucketed equi-join (every event must land in exactly
+    // one session — a cross-validation of sessionize AND the range join)
+    "x_range_join" -> ((s, d) => {
+      val events = ev(s, d)
+      val sessions = graft.streaming.EventStream
+        .sessionizeBatch(events, gapMinutes = 30)
+        .select(col("user_id"), col("start"), col("end"))
+      graft.ext.RangeJoin.pointInInterval(
+        events.select(col("user_id"), col("ts")), sessions,
+        Seq("user_id"), "ts", "start", "end")
+        .agg(countAll.as("n"),
+          countDistinct(col("user_id"), unix_millis(col("start")))
+            .as("n_sessions"))
+    }),
+
     // As-of join: every event joined to the most recent per-day order
     // total of its user at event time (snapshot semantics; DuckDB's
     // native ASOF JOIN is the oracle)
@@ -582,6 +598,12 @@ object SparkEntry {
     "x_pipe" -> "SELECT CAST(4 AS BIGINT) AS shards, CAST(64 AS BIGINT) AS total",
     "x_skew_agg" -> ("SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value " +
       "FROM events GROUP BY 1 ORDER BY 1"),
+    "x_range_join" -> ("WITH l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), " +
+      "f AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR date_diff('millisecond', prev, ts) > 1800000 THEN 1 ELSE 0 END AS ns FROM l), " +
+      "s0 AS (SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f), " +
+      "sess AS (SELECT user_id, MIN(ts) AS st, MAX(ts) AS en FROM s0 GROUP BY user_id, sid) " +
+      "SELECT COUNT(*) AS n, CAST(COUNT(DISTINCT e.user_id || ':' || CAST(epoch_ms(sess.st) AS VARCHAR)) AS BIGINT) AS n_sessions " +
+      "FROM events e JOIN sess ON e.user_id = sess.user_id AND e.ts BETWEEN sess.st AND sess.en"),
     "x_asof" -> ("WITH d AS (SELECT o_custkey k, CAST(o_orderdate AS TIMESTAMP) t, " +
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) v FROM orders GROUP BY 1, 2) " +
       "SELECT COUNT(*) AS n_events, COUNT(v) AS n_matched, CAST(SUM(v) AS DOUBLE) AS total " +
