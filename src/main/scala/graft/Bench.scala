@@ -31,8 +31,9 @@ object Bench {
     // session warmup: parquet reader + codegen + shuffle machinery
     try force("q03") catch { case _: Throwable => }
 
-    // steady-state: min over reps (JIT + page-cache warmup excluded)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // steady-state: min over reps (JIT + page-cache warmup excluded;
+    // measured run-to-run swing on this host is ~±25%, so 3 reps)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
