@@ -441,6 +441,11 @@ object SparkEntry {
       .select(graft.ext.TextAnalysis.languageId(col("text")).as("lang_pred"))
       .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
       .orderBy(col("lang_pred"))),
+    // within-doc repetition ratio (looped/template text quality signal)
+    "x_text_repetition" -> ((s, d) => Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        graft.ext.TextAnalysis.repetitionRatio(col("text"), 3).as("rep"))
+      .orderBy(col("doc_id"))),
     "x_text_fingerprint" -> ((s, d) => Tables.load(s, d, "documents")
       .select(col("doc_id"),
         graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -647,6 +652,9 @@ object SparkEntry {
       "SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
       "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS BIGINT) AS rank " +
       "FROM documents) t WHERE rank <= 3 ORDER BY lang, rank"),
+    "x_text_repetition" -> ("SELECT doc_id, ROUND(CASE WHEN len(w) - 2 > 0 THEN " +
+      "1.0 - CAST(len(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])) AS DOUBLE) / (len(w) - 2) " +
+      "ELSE 0.0 END, 6) AS rep FROM (SELECT doc_id, string_split(text, ' ') w FROM documents) t ORDER BY doc_id"),
     "x_text_stats" -> ("SELECT lang, MIN(nt) AS min_t, MAX(nt) AS max_t, " +
       "quantile_cont(nt, 0.5) AS med_t, COUNT(*) AS n FROM (" +
       "SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents) t " +

@@ -67,6 +67,18 @@ object TextAnalysis {
     * expression (see LanguageId) — no shuffle, no UDF. */
   def languageId(text: Column): Column = LanguageId(text, langProfiles)
 
+  /** Within-document repetition ratio: fraction of word n-grams that are
+    * repeats of an earlier n-gram (1 - distinct/total). The standard
+    * boilerplate/degenerate-text quality signal — high values flag looped
+    * or template-stuffed documents. Pure per-row arithmetic over the
+    * native shingle kernel. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val total = tokenCount(text) - (n - 1)
+    round(when(total > 0,
+      lit(1.0) - size(shingles(text, n)).cast("double") / total)
+      .otherwise(lit(0.0)), 6)
+  }
+
   /** 64-bit content fingerprint over normalized text (lowercase, collapsed
     * whitespace) — xxhash64, seed fixed by Spark. Exact-dup detection key. */
   def fingerprint(text: Column): Column =
