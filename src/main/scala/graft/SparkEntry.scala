@@ -505,6 +505,16 @@ object SparkEntry {
         .select(col("media_id"), col("meta.format").as("format"),
           col("meta.n_bytes").as("n_bytes"), col("meta.tag").as("tag"))
         .orderBy(col("media_id"))),
+    // frame sampling fan-out: every 2nd 64-byte frame; the text corpus is
+    // ASCII so the oracle can slice the same frames with substr
+    "x_mm_frames" -> ((s, d) =>
+      graft.ext.Multimodal.frameSample(
+        graft.ext.Multimodal.asMedia(Tables.load(s, d, "documents"),
+          "doc_id", "text", "lang"), frameBytes = 64, every = 2)
+        .select(col("media_id"), col("frame_idx"),
+          octet_length(col("frame")).cast("long").as("frame_bytes"),
+          ascii(col("frame").cast("string")).cast("long").as("first_byte"))
+        .orderBy(col("media_id"), col("frame_idx"))),
     "x_mm_features" -> ((s, d) =>
       graft.ext.Multimodal.extractFeatures(
         graft.ext.Multimodal.asMedia(Tables.load(s, d, "documents"),
@@ -677,6 +687,13 @@ object SparkEntry {
     "x_mm_meta" -> ("SELECT doc_id AS media_id, 'text/plain' AS format, " +
       "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, lang AS tag " +
       "FROM documents ORDER BY media_id"),
+    "x_mm_frames" -> ("WITH f AS (SELECT doc_id AS media_id, text, " +
+      "CAST(CEIL(CAST(length(text) AS DOUBLE) / 64) AS BIGINT) AS nf FROM documents), " +
+      "x AS (SELECT media_id, text, unnest(range(0, nf)) AS frame_idx FROM f) " +
+      "SELECT media_id, frame_idx, " +
+      "CAST(length(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS BIGINT) AS frame_bytes, " +
+      "CAST(ascii(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 1)) AS BIGINT) AS first_byte " +
+      "FROM x WHERE frame_idx % 2 = 0 ORDER BY media_id, frame_idx"),
     // byte-histogram bucket 0 of the deterministic feature stub: the text is
     // ASCII-only ([a-z0-9 ], verified), so bytes == chars and bucket 0
     // (byte % 16 == 0) holds exactly {' ', '0', 'p'}; the REAL casts

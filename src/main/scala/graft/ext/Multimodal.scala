@@ -36,6 +36,28 @@ object Multimodal {
         octet_length(encode(col(textCol), "utf-8")).cast("long").as("n_bytes"),
         col(tagCol).as("tag")).as("meta"))
 
+  /** Frame sampling: split the opaque content into fixed-size byte frames
+    * and keep every `every`-th one — the video-keyframe execution shape
+    * (one output row per sampled frame, explode-fanout, all declarative:
+    * the per-frame slice is a codegen'd binary substring, no UDF). With a
+    * real container format the frame boundaries come from the codec index
+    * instead of fixed offsets; the plumbing — fanout, ordering, per-frame
+    * metadata — is identical. */
+  def frameSample(media: DataFrame, frameBytes: Int = 64,
+      every: Int = 2): DataFrame = {
+    require(frameBytes > 0 && every > 0, "frameBytes and every must be positive")
+    val nBytes = col("meta.n_bytes")
+    val nFrames = ceil(nBytes.cast("double") / frameBytes).cast("long")
+    media
+      .withColumn("frame_idx",
+        explode(when(nFrames > 0, sequence(lit(0L), nFrames - 1))
+          .otherwise(array().cast("array<bigint>"))))
+      .filter(col("frame_idx") % every === 0)
+      .select(col("media_id"), col("frame_idx"),
+        expr(s"substring(content, frame_idx * $frameBytes + 1, $frameBytes)")
+          .as("frame"))
+  }
+
   final case class MediaFeature(media_id: Long, n_bytes: Long, dim: Int,
       features: Array[Float])
 
