@@ -397,8 +397,12 @@ object SparkEntry {
     // resolution (near-dup similarity is not transitive; the oracle walks
     // the same graph with a recursive CTE)
     "x_dedup_clusters" -> ((s, d) =>
+      // maxDf = None: the DuckDB oracle's transitive closure is EXHAUSTIVE,
+      // so the conformance run must be too — the default df-cap could drop
+      // a pair whose every shared shingle is corpus-hot if the testdata
+      // ever grows boilerplate, which would look like an engine bug
       graft.ext.Dedup.ngramClusters(Tables.load(s, d, "documents"),
-        "doc_id", "text", n = 3, threshold = 0.5)
+        "doc_id", "text", n = 3, threshold = 0.5, maxDf = None)
         .orderBy(col("root"))),
 
     // ---------------- similarity search ----------------

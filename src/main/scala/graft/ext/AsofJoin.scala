@@ -28,6 +28,18 @@ object AsofJoin {
       leftTime: String, rightTime: String,
       valueCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key")
+    // the union/window plumbing reserves __t/__side/__v_<c>, and the final
+    // select re-aliases each __v_<c> to its bare name next to the left
+    // columns — collisions would silently produce wrong/duplicate columns
+    val reserved = Set("__t", "__side") ++ valueCols.map(c => s"__v_$c")
+    val inputCols = (left.columns ++ right.columns).toSet
+    val clash = inputCols.intersect(reserved)
+    require(clash.isEmpty,
+      s"as-of join reserves column names ${clash.mkString(", ")} — rename them first")
+    val leftClash = left.columns.toSet.intersect(valueCols.toSet)
+    require(leftClash.isEmpty,
+      s"left side already has value column(s) ${leftClash.mkString(", ")} — " +
+        "rename them or drop them from valueCols")
     val r = right.select(
       (keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__side")) ++
         valueCols.map(c => col(c).as(s"__v_$c")): _*)

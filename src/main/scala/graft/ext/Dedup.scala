@@ -31,6 +31,23 @@ object Dedup {
     * jac = |A∩B| / |A∪B| per candidate pair. Pairs sharing zero shingles
     * never appear (their Jaccard is 0).
     *
+    * Design notes (both alternatives measured at sf0.1, 5000 docs):
+    *  - The shared-shingle count aggregates map-side (codegen'd partial
+    *    count over narrow rows), so the exact intersection comes out of
+    *    ONE shuffle. This beats a PPJoin-style prefix-filter index + per-
+    *    candidate set verify here: with a small vocabulary the candidate
+    *    set stays large (~0.4M pairs after prefix+size filtering), and
+    *    per-candidate array intersection costs ~4x more than the count
+    *    shuffle it replaces.
+    *  - A size-ratio predicate inside the join (jac >= t forces
+    *    t·|B| <= |A| <= |B|/t) prunes pairs that cannot pass the
+    *    threshold BEFORE the aggregation. The predicate depends only on
+    *    the riding sz columns, so it removes whole pairs, never
+    *    individual count rows — surviving counts stay exact.
+    *  - Set sizes ride along in the index (8 bytes/row of extra shuffle)
+    *    so the aggregation emits them directly — two join stages cheaper
+    *    than attaching sizes to the aggregated pairs afterwards.
+    *
     * `maxDf` (ON by default — the 100 TB guard) drops shingles present in
     * more than maxDf documents from the CANDIDATE index only: a shingle in
     * df docs contributes C(df,2) candidate pairs, so on natural text a
@@ -48,17 +65,21 @@ object Dedup {
     val sh = shingleSets(df, idCol, textCol, n)
     // join on the 64-bit shingle hash: 8-byte shuffle keys instead of the
     // shingle text (collision odds ~|shingles|^2 / 2^65 — negligible)
-    val inv0 = sh.select(col("id"), explode(col("sh")).as("s0"))
-      .select(col("id"), xxhash64(col("s0")).as("s"))
-    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
+    val inv0 = sh.select(col("id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("s0"))
+      .select(col("id"), col("sz"), xxhash64(col("s0")).as("s"))
     val (inv, hotCorrection) = splitHot(inv0, "s", maxDf)
+    // the 1e-9 slack keeps t*|B| from rounding UP past the true value
+    // (9 >= 10*0.9 must hold despite 10*0.9 == 9.000000000000002)
+    val eps = lit(1e-9)
     val shared = inv.as("a").join(inv.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("a.sz") >= col("b.sz") * threshold - eps &&
+          col("b.sz") >= col("a.sz") * threshold - eps)
       .groupBy(col("a.id").as("i"), col("b.id").as("j"))
-      .agg(count(lit(1)).as("inter_cold"))
+      .agg(count(lit(1)).as("inter_cold"),
+        first(col("a.sz")).as("sz_i"), first(col("b.sz")).as("sz_j"))
     hotCorrection(shared)
-      .join(sizes.withColumnRenamed("id", "i").withColumnRenamed("sz", "sz_i"), "i")
-      .join(sizes.withColumnRenamed("id", "j").withColumnRenamed("sz", "sz_j"), "j")
       .withColumn("jac", col("inter").cast("double") /
         (col("sz_i") + col("sz_j") - col("inter")))
       .filter(col("jac") >= threshold)
@@ -266,7 +287,13 @@ object Dedup {
     * label among itself and its neighbors — one equi-join + partial-min
     * shuffle per iteration, converging in graph-diameter iterations (near
     * -dup clusters are shallow; the driver only ever collects the 1-row
-    * convergence check, never the labels). */
+    * convergence check, never the labels).
+    *
+    * The returned labels frame is persisted (it was materialized by the
+    * convergence check, and callers typically both aggregate and join it);
+    * its lifecycle is caller-owned — unpersist it (or
+    * spark.catalog.clearCache()) when done. All internal intermediates are
+    * unpersisted before returning. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // symmetrize via explode, NOT a union of two selects: a union would
@@ -276,8 +303,12 @@ object Dedup {
         struct(col("j").as("a"), col("i").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist(lvl)
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).persist(lvl)
+    // seed each node with min(self, neighbors) — the same groupBy shuffle
+    // the plain distinct-nodes init would cost, but it IS iteration one,
+    // so cliques (the common near-dup shape) converge one round earlier
+    var labels = edges.groupBy(col("a").as("node")).agg(min(col("b")).as("nmin"))
+      .select(col("node"), least(col("node"), col("nmin")).as("label"))
+      .persist(lvl)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -299,6 +330,9 @@ object Dedup {
     }
     require(converged, s"connectedComponents did not converge in $maxIter " +
       "iterations (pathologically deep cluster chain)")
+    // edges are fully consumed (labels was materialized by the convergence
+    // check above); don't leave their cache blocks taxing the session
+    edges.unpersist()
     labels
   }
 

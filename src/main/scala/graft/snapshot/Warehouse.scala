@@ -42,12 +42,15 @@ final class Warehouse(spark: SparkSession, val root: String) {
       org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
 
-  private def storeSchema(fact: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+  private def storeSchema(fact: String, schema: org.apache.spark.sql.types.StructType): Unit =
+    storeSchemaAt(schemaPath(fact), schema)
+
+  private def storeSchemaAt(at: Path, schema: org.apache.spark.sql.types.StructType): Unit = {
     // the scan emits partition columns last regardless of schema position;
     // store in that order so read schemas equal the stored schema exactly
     val (data, part) = schema.fields.partition(_.name != "year")
     val normalized = org.apache.spark.sql.types.StructType(data ++ part)
-    val out = fs.create(schemaPath(fact), true)
+    val out = fs.create(at, true)
     try out.write(normalized.json.getBytes("UTF-8")) finally out.close()
   }
 
@@ -96,18 +99,24 @@ final class Warehouse(spark: SparkSession, val root: String) {
           .forall(n => batch.schema(n).dataType == f.dataType)
       }
       if (evolved == allNullable(existing.schema)) {
-        // no widening needed: align the batch to the stored schema
+        // no widening needed: align the batch to the stored schema.
+        // Schema file FIRST: identical field set, so ordering is moot for
+        // readers, and a crash between the two leaves nothing stale.
+        storeSchema(fact, evolved)
         val aligned = SchemaEvolution.unionEvolve(existing.limit(0), batch)
         write(aligned, SaveMode.Append, fact)
-        storeSchema(fact, evolved)
       } else if (sharedTypesIdentical
           && existing.schema.fieldNames.forall(batch.schema.fieldNames.contains)) {
         // batch only ADDS nullable columns (shared column types identical —
         // a type-widened superset must NOT land here: mixed physical types
         // across files can make the table unreadable): append as-is, older
-        // files null-fill the new columns at read time
-        write(batch, SaveMode.Append, fact)
+        // files null-fill the new columns at read time.
+        // Schema file BEFORE the data: a crash in between leaves the new
+        // column visible and all-null (harmless — appends are nullable by
+        // contract), whereas the reverse order would leave appended data
+        // invisible behind a stale schema with no error.
         storeSchema(fact, evolved)
+        write(batch, SaveMode.Append, fact)
       } else {
         // type change: one-off rewrite (ref S7 CHANGE COLUMN analog)
         replaceWith(fact, SchemaEvolution.unionEvolve(existing, batch), ".tmp")
@@ -130,6 +139,9 @@ final class Warehouse(spark: SparkSession, val root: String) {
     var w = df.repartition(col("year")).write.partitionBy("year")
     writeOpts.foreach { case (k, v) => w = w.option(k, v) }
     w.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // schema file STAGED INSIDE tmp: the rename below swaps data + schema
+    // as one unit, so no crash point can pair new files with a stale schema
+    storeSchemaAt(new Path(tmp, "_schema.json"), allNullable(df.schema))
     if (f.exists(old)) f.delete(old, true)
     if (f.exists(target) && !f.rename(target, old))
       throw new java.io.IOException(s"could not stage out $target")
@@ -139,7 +151,6 @@ final class Warehouse(spark: SparkSession, val root: String) {
       throw new java.io.IOException(s"could not swap in rewritten $target")
     }
     f.delete(old, true)
-    storeSchema(fact, allNullable(df.schema))
   }
 
   /** Compaction (SURVEY §7.4 risk 5): daily appends accumulate one small
