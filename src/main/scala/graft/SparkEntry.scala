@@ -212,6 +212,24 @@ object SparkEntry {
       ordDated(s, d).withColumn("week", weekofyear(col("o_orderdate")).cast("long")),
       FactMeta("orders", Seq(dateDimYw), Seq(mExpr("value", countAll))),
       cut = "date@yw:1996,40")),
+    // exact linear-interpolation percentiles (DuckDB quantile_cont analog).
+    // Quartile fractions are exact binary doubles and l_quantity holds
+    // small integers, so the interpolated values are bit-identical across
+    // engines regardless of the a+(b-a)g vs (1-g)a+gb formula form.
+    "q29" -> ((s, d) => li(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75"))
+      .orderBy(col("l_returnflag"))),
+    // pivot / crosstab: status columns materialized from row values (the
+    // GROUP BY + CASE rotation every BI layer over the reference performs)
+    "q30" -> ((s, d) => li(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double"))
+      .orderBy(col("l_returnflag"))),
 
     // Window functions over the fact source (running revenue per customer)
     "x_window" -> ((s, d) => {
@@ -579,6 +597,13 @@ object SparkEntry {
       "WHERE EXTRACT(YEAR FROM o_orderdate) = 1996 GROUP BY 1 ORDER BY 1"),
     "q28" -> ("SELECT COUNT(*) AS value FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996 " +
       "AND EXTRACT(WEEK FROM o_orderdate) = 40"),
+    "q29" -> ("SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS p25, " +
+      "quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.75) AS p75 " +
+      "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q30" -> ("SELECT l_returnflag, " +
+      "CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F, " +
+      "CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O " +
+      "FROM lineitem GROUP BY 1 ORDER BY 1"),
     "x_window" -> ("SELECT o_custkey, o_orderkey, " +
       "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn, " +
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +

@@ -49,15 +49,33 @@ object EventStream {
           .cast("double").as("v"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("v"))
 
+  /** Stateful queries create one state store PER shuffle partition, and
+    * each store pays checkpoint/commit overhead every micro-batch — so the
+    * partition count should track state volume (keys held), not core
+    * count. 8 covers the local conformance corpora with room to spare
+    * (measured: 32 stores ~doubles wall-clock at sf0.1); a cluster-scale
+    * deployment raises it to spread state across executors. The session
+    * conf is set for the query's lifetime (pinned into its checkpoint at
+    * start) and restored afterwards. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Run the streaming aggregation synchronously over the static dir and
     * return the materialized result (memory sink, complete mode). */
-  def runHourly(spark: SparkSession, sfDir: String, name: String = "stream_out"): DataFrame = {
-    val q = hourlyAgg(readStream(spark, sfDir))
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+  def runHourly(spark: SparkSession, sfDir: String, name: String = "stream_out",
+      statePartitions: Int = 8): DataFrame = {
+    withStatePartitions(spark, statePartitions) {
+      val q = hourlyAgg(readStream(spark, sfDir))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(name)
   }
 
@@ -67,15 +85,18 @@ object EventStream {
     * making continuous ingestion feed the same fact tables the OLAP API
     * serves. Returns the fact read back through the warehouse. */
   def streamIntoWarehouse(spark: SparkSession, sfDir: String,
-      warehouse: graft.snapshot.Warehouse, fact: String): DataFrame = {
-    val q = hourlyAgg(readStream(spark, sfDir))
-      .writeStream.outputMode("complete")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        warehouse.overwrite(fact,
-          batch.withColumn("year", year(col("hour")).cast("long")))
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+      warehouse: graft.snapshot.Warehouse, fact: String,
+      statePartitions: Int = 8): DataFrame = {
+    withStatePartitions(spark, statePartitions) {
+      val q = hourlyAgg(readStream(spark, sfDir))
+        .writeStream.outputMode("complete")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          warehouse.overwrite(fact,
+            batch.withColumn("year", year(col("hour")).cast("long")))
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     warehouse.read(fact).getOrElse(throw new IllegalStateException(
       s"stream produced no batches: fact $fact was never written"))
   }
@@ -168,13 +189,16 @@ object EventStream {
     * final open session per user times out only when the watermark
     * advances past it — i.e. with more data; deterministic either way). */
   def runSessions(spark: SparkSession, sfDir: String,
-      gapMinutes: Int = 30, name: String = "sessions_out"): DataFrame = {
-    val q = sessionize(readStream(spark, sfDir), gapMinutes)
-      .writeStream.outputMode("append")
-      .format("memory").queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+      gapMinutes: Int = 30, name: String = "sessions_out",
+      statePartitions: Int = 8): DataFrame = {
+    withStatePartitions(spark, statePartitions) {
+      val q = sessionize(readStream(spark, sfDir), gapMinutes)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(name)
   }
 }
