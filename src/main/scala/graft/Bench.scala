@@ -49,7 +49,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // nqueries: the conformance set has grown round over round (40 -> 47
+    // -> 62 -> ...); totals are only comparable per-query
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan contracts for the scale-critical queries: these are the
+  * properties that keep the engine viable at 100 TB (broadcast star
+  * joins, scan-level filter pushdown, column pruning, partition pruning),
+  * asserted against the formatted plan so a regression fails CI instead
+  * of surfacing as a cluster-scale incident. */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.debug._
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q19 star join: every dimension side broadcasts, no sort-merge join") {
+    val df = SparkEntry.queries("q19")(spark, sf("sf0.001"))
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins")
+    assert(!p.contains("SortMergeJoin"),
+      "star-schema dimensions must broadcast, not shuffle-sort")
+  }
+
+  test("q20 snowflake chain: broadcasts only") {
+    val p = plan(SparkEntry.queries("q20")(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("point-slice cut pushes its predicate into the parquet scan") {
+    val p = formatted(SparkEntry.queries("q05")(spark, sf("sf0.001")))
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"),
+      s"cut predicate not pushed:\n$p")
+  }
+
+  test("projection prunes the scan to the referenced columns only") {
+    // q01 touches a single measure column: the scan must not read the
+    // other 15 lineitem columns
+    val p = formatted(SparkEntry.queries("q01")(spark, sf("sf0.001")))
+    val read = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail("no ReadSchema in formatted plan"))
+    assert(read.contains("l_extendedprice"))
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate"),
+      s"scan reads unreferenced columns: $read")
+  }
+
+  test("warehouse year cut prunes partitions at the source") {
+    val root = TempDirs.scratchDir("plan_wh").toString
+    val wh = new snapshot.Warehouse(spark, root)
+    import spark.implicits._
+    val batch = Seq((1L, "a", 2023L), (2L, "b", 2024L), (3L, "c", 2025L))
+      .toDF("k", "v", "year")
+    wh.append("f_plan", batch)
+    val cut = wh.read("f_plan").get.filter(col("year") === 2024L)
+    val p = formatted(cut)
+    // the year predicate must land in the scan's PartitionFilters (directory
+    // pruning — no data file of other years is opened), not PushedFilters
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partition filters:\n$p"))
+    assert(pf.contains("= 2024"), s"year cut not pruning partitions: $pf")
+    // and the executed scan must actually read one of the three partitions
+    val scanned = cut.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.contains(1), s"expected 1 surviving partition, got $scanned")
+  }
+
+  test("exact dedup plan is one shuffle (partial then final aggregate)") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val p = plan(ext.Dedup.exact(docs, "doc_id", "text"))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly 1 shuffle, saw $exchanges:\n$p")
+    assert(p.contains("partial_"), "missing map-side partial aggregation")
+  }
+}
