@@ -298,6 +298,29 @@ object SparkEntry {
           col("day"), col("status"), col("value"))
         .orderBy(col("status"))
     }),
+    // Partition-scoped upsert: base load -> correction batch (re-priced
+    // urgent 1995 orders) + late-arriving 1996 partition, merged by key;
+    // only the touched year partitions are rewritten. Oracle replays the
+    // same corrections with a CASE over the source table.
+    "x_merge" -> ((s, d) => {
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_merge_wh").toString)
+      val o = ord(s, d).withColumn("year", year(col("o_orderdate")).cast("long"))
+      wh.append("fact_orders", o.filter(col("year") === 1995L)
+        .select(col("o_orderkey"), col("o_totalprice"), col("year")))
+      val fix = o.filter(col("year") === 1995L && col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+          col("year"))
+      val late = o.filter(col("year") === 1996L)
+        .select(col("o_orderkey"), col("o_totalprice"), col("year"))
+      wh.merge("fact_orders", fix.unionByName(late), Seq("o_orderkey"))
+      wh.read("fact_orders").get
+        .groupBy(col("year"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total"))
+        .orderBy(col("year"))
+    }),
     // Structured Streaming: watermarked tumbling-window agg over events
     "x_stream_hourly" -> ((s, d) =>
       graft.streaming.EventStream.runHourly(s, d)
@@ -620,6 +643,10 @@ object SparkEntry {
       "c_mktsegment AS segment, CASE WHEN c_acctbal >= 5000 THEN 'hi' " +
       "WHEN c_acctbal >= 0 THEN 'mid' ELSE 'neg' END AS bucket, COUNT(*) AS value " +
       "FROM customer GROUP BY 6, 7 ORDER BY 6, 7"),
+    "x_merge" -> ("SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1995 AND o_orderpriority = '1-URGENT' " +
+      "THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+      "FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996) GROUP BY 1 ORDER BY 1"),
     "x_snapshot_monthly" -> ("SELECT CAST(7 AS BIGINT) AS queryId, CAST(2024 AS BIGINT) AS year, " +
       "CAST(1 AS BIGINT) AS month, CAST(NULL AS VARCHAR) AS week, CAST(NULL AS BIGINT) AS day, " +
       "o_orderstatus AS status, COUNT(*) AS value FROM orders GROUP BY 6 ORDER BY 6"),

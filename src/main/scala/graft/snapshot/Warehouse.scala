@@ -123,6 +123,69 @@ final class Warehouse(spark: SparkSession, val root: String) {
       }
   }
 
+  /** Upsert by business key: batch rows replace existing rows sharing the
+    * same `keys`; unmatched batch rows insert. The daily-corrections
+    * operation the reference's append-only model cannot express (its only
+    * guard is the whole-scope idempotency probe, OLAP.php:166-175).
+    *
+    * PARTITION-SCOPED: only the `year` partitions present in the batch
+    * are read, merged, and swapped — at warehouse scale a correction
+    * batch touches a handful of partitions, never the table. Each
+    * partition directory swaps via rename (same staging discipline as
+    * replaceWith), so readers never observe a partial partition; the
+    * batch lands partition-by-partition, each atomically.
+    *
+    * Contract: `keys` must determine `year` (a key cannot move between
+    * year partitions — true for any date-scoped fact key, e.g. the
+    * reference's (queryId, time-scope)); a violation would leave the
+    * stale row alive in its old partition. `validateKeys` scans the
+    * untouched partitions' key columns to reject violations — keep it on
+    * until the key contract is established, then disable at warehouse
+    * scale where that scan is the only non-partition-scoped cost here. */
+  def merge(fact: String, batch: DataFrame, keys: Seq[String],
+      validateKeys: Boolean = true): Unit = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    read(fact) match {
+      case None => append(fact, batch)
+      case Some(existing) =>
+        // bounded collect: one value per touched partition, never data rows
+        val years = batch.select(col("year").cast("long")).distinct()
+          .collect().map(_.getLong(0))
+        if (validateKeys) {
+          val stale = existing.filter(!col("year").isin(years: _*))
+            .join(batch.select(keys.map(col): _*).distinct(), keys)
+          require(stale.isEmpty,
+            s"merge keys exist outside the batch's year partitions " +
+              s"(${years.mkString(", ")}): keys must determine year")
+        }
+        val affected = existing.filter(col("year").isin(years: _*))
+        val kept = affected.join(batch.select(keys.map(col): _*), keys, "left_anti")
+        val merged = SchemaEvolution.unionEvolve(kept, batch)
+        storeSchema(fact, allNullable(merged.schema))
+        // stage the merged partitions, then swap each year dir by rename
+        val target = path(fact)
+        val tmp = new Path(target.getParent, target.getName + ".merge")
+        val f = fs
+        if (f.exists(tmp)) f.delete(tmp, true)
+        merged.repartition(col("year")).write.partitionBy("year")
+          .mode(SaveMode.Overwrite).parquet(tmp.toString)
+        years.foreach { y =>
+          val src = new Path(tmp, s"year=$y")
+          val dst = new Path(target, s"year=$y")
+          val old = new Path(target, s"year=$y.old")
+          if (f.exists(old)) f.delete(old, true)
+          if (f.exists(dst) && !f.rename(dst, old))
+            throw new java.io.IOException(s"could not stage out $dst")
+          if (f.exists(src) && !f.rename(src, dst)) {
+            f.rename(old, dst)
+            throw new java.io.IOException(s"could not swap in merged $dst")
+          }
+          f.delete(old, true)
+        }
+        f.delete(tmp, true)
+    }
+  }
+
   private def write(df: DataFrame, mode: SaveMode, fact: String): Unit =
     df.write.partitionBy("year").mode(mode).parquet(path(fact).toString)
 

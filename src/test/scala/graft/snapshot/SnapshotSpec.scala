@@ -211,3 +211,64 @@ class SnapshotSpec extends SparkTestBase {
     assert(wh.read("f").isEmpty)
   }
 }
+
+class MergeSpec extends graft.SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def freshWh() =
+    new Warehouse(spark, graft.TempDirs.scratchDir("merge_wh").toString)
+
+  test("merge: updates replace by key, inserts append, other partitions untouched") {
+    val wh = freshWh()
+    wh.append("m", Seq((1L, "a", 10.0, 2023L), (2L, "b", 20.0, 2023L),
+      (3L, "c", 30.0, 2024L)).toDF("k", "v", "x", "year"))
+    def files2023 = new java.io.File(wh.root, "m/year=2023").list().toSet
+    val before2023 = files2023
+    // update k=3, insert k=4 (both year 2024) + new partition 2025
+    wh.merge("m", Seq((3L, "c2", 33.0, 2024L), (4L, "d", 40.0, 2024L),
+      (5L, "e", 50.0, 2025L)).toDF("k", "v", "x", "year"), Seq("k"))
+    val got = wh.read("m").get.select("k", "v", "x", "year")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(got == Set((1L, "a", 10.0, 2023L), (2L, "b", 20.0, 2023L),
+      (3L, "c2", 33.0, 2024L), (4L, "d", 40.0, 2024L), (5L, "e", 50.0, 2025L)))
+    // partition-scoped: the 2023 files were not rewritten
+    assert(files2023 == before2023)
+  }
+
+  test("merge into absent fact behaves as append") {
+    val wh = freshWh()
+    wh.merge("m0", Seq((1L, "a", 2024L)).toDF("k", "v", "year"), Seq("k"))
+    assert(wh.read("m0").get.count() == 1)
+  }
+
+  test("merge is idempotent (same batch twice)") {
+    val wh = freshWh()
+    wh.append("mi", Seq((1L, "a", 2024L), (2L, "b", 2024L)).toDF("k", "v", "year"))
+    val batch = Seq((2L, "b2", 2024L), (3L, "c", 2024L)).toDF("k", "v", "year")
+    wh.merge("mi", batch, Seq("k"))
+    wh.merge("mi", batch, Seq("k"))
+    val got = wh.read("mi").get.select("k", "v").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("merge rejects a key that would move between year partitions") {
+    val wh = freshWh()
+    wh.append("mk", Seq((1L, "a", 2023L)).toDF("k", "v", "year"))
+    val moved = Seq((1L, "a-moved", 2024L)).toDF("k", "v", "year")
+    val e = intercept[IllegalArgumentException](wh.merge("mk", moved, Seq("k")))
+    assert(e.getMessage.contains("must determine year"))
+    // the guard is advisory at scale: disabling it performs the merge
+    wh.merge("mk", moved, Seq("k"), validateKeys = false)
+    assert(wh.read("mk").get.count() == 2) // documented hazard: stale row lives
+  }
+
+  test("merge batch can add a nullable column (evolution discipline)") {
+    val wh = freshWh()
+    wh.append("me", Seq((1L, "a", 2024L)).toDF("k", "v", "year"))
+    wh.merge("me", Seq((1L, "a2", 7L, 2024L)).toDF("k", "v", "extra", "year"), Seq("k"))
+    val got = wh.read("me").get.select("k", "v", "extra")
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(got == Set((1L, "a2", Some(7L))))
+  }
+}
