@@ -113,16 +113,20 @@ object TextAnalysis {
     val fp = df.select(col(idCol).as("id"),
       winnowFingerprints(col(textCol), k, w).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = fp.select(col("id"), size(col("fp")).as("sz"))
-    val inv0 = fp.select(col("id"), explode(col("fp")).as("h"))
+    // fingerprint-set sizes ride the index (8 bytes/row) so the pair
+    // aggregation emits them directly — two join stages cheaper than
+    // attaching sizes afterwards (same trick as ngramJaccardPairs; no
+    // size-ratio pruning though: containment is one-directional, so a
+    // tiny quoted doc legitimately pairs with a huge one)
+    val inv0 = fp.select(col("id"), size(col("fp")).as("sz"),
+      explode(col("fp")).as("h"))
     val (inv, hotCorrection) = Dedup.splitHot(inv0, "h", maxDf)
     val shared = inv.as("a").join(inv.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("i"), col("b.id").as("j"))
-      .agg(count(lit(1)).as("inter_cold"))
+      .agg(count(lit(1)).as("inter_cold"),
+        first(col("a.sz")).as("sz_i"), first(col("b.sz")).as("sz_j"))
     hotCorrection(shared)
-      .join(sizes.withColumnRenamed("id", "i").withColumnRenamed("sz", "sz_i"), "i")
-      .join(sizes.withColumnRenamed("id", "j").withColumnRenamed("sz", "sz_j"), "j")
       .withColumn("containment_i", col("inter").cast("double") / col("sz_i"))
       .withColumn("containment_j", col("inter").cast("double") / col("sz_j"))
       .filter(col("containment_i") >= threshold || col("containment_j") >= threshold)

@@ -216,6 +216,21 @@ final class Warehouse(spark: SparkSession, val root: String) {
     f.delete(old, true)
   }
 
+  /** Retention: drop whole year partitions (directory deletes — zero
+    * rewrite, zero scan; the cheapest possible delete and the reason the
+    * partition key should be the retention key). The reference exposes a
+    * `delete` command at table granularity only (OLAP.php:385,393 usage);
+    * partition retention is its scale-correct refinement. */
+  def dropPartitions(fact: String, years: Seq[Long]): Unit = {
+    val f = fs
+    years.foreach { y => f.delete(new Path(path(fact), s"year=$y"), true) }
+  }
+
+  /** Drop the whole fact (the reference's `delete` analog). */
+  def drop(fact: String): Unit = {
+    fs.delete(path(fact), true)
+  }
+
   /** Compaction (SURVEY §7.4 risk 5): daily appends accumulate one small
     * file per run per partition; periodically rewrite each year partition
     * into few well-sized files. One shuffle by partition key, then a

@@ -272,3 +272,18 @@ class MergeSpec extends graft.SparkTestBase {
     assert(got == Set((1L, "a2", Some(7L))))
   }
 }
+
+class RetentionSpec extends graft.SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("dropPartitions removes only the named years; drop removes the fact") {
+    val wh = new Warehouse(spark, graft.TempDirs.scratchDir("ret_wh").toString)
+    wh.append("r", Seq((1L, 2022L), (2L, 2023L), (3L, 2024L)).toDF("k", "year"))
+    wh.dropPartitions("r", Seq(2022L, 2023L))
+    val got = wh.read("r").get.select("k", "year").as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 2024L)))
+    wh.drop("r")
+    assert(wh.read("r").isEmpty)
+  }
+}
