@@ -445,6 +445,12 @@ object SparkEntry {
       graft.ext.Dedup.ngramClusters(Tables.load(s, d, "documents"),
         "doc_id", "text", n = 3, threshold = 0.5, maxDf = None)
         .orderBy(col("root"))),
+    // corpus in -> near-dup-free corpus out (each cluster keeps its root);
+    // uncapped for the same exhaustive-oracle reason as x_dedup_clusters
+    "x_dedup_resolve" -> ((s, d) =>
+      graft.ext.Dedup.dropNearDuplicates(Tables.load(s, d, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.5, maxDf = None)
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))),
 
     // ---------------- similarity search ----------------
 
@@ -696,6 +702,17 @@ object SparkEntry {
       "r AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a WHERE e.b != r.a), " +
       "comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS root FROM r GROUP BY a) " +
       "SELECT root, COUNT(*) AS n_members FROM comp GROUP BY 1 ORDER BY 1"),
+    // same transitive closure; then the corpus minus every non-root member
+    "x_dedup_resolve" -> ("WITH RECURSIVE " +
+      "tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) s FROM tok), " +
+      "pr AS (SELECT a.doc_id i, b.doc_id j FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5), " +
+      "e AS (SELECT i a, j b FROM pr UNION SELECT j, i FROM pr), " +
+      "r AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a WHERE e.b != r.a), " +
+      "comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS root FROM r GROUP BY a) " +
+      "SELECT COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents " +
+      "WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != root)"),
     "x_dedup_minhash" -> ngramOracle(0.8),
     "x_dedup_simhash" -> ngramOracle(0.9),
     "x_dedup_embed" -> ("SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM embeddings a " +

@@ -344,4 +344,19 @@ object Dedup {
     connectedComponents(ngramJaccardPairs(df, idCol, textCol, n, threshold, maxDf))
       .groupBy(col("label").as("root"))
       .agg(count(lit(1)).as("n_members"))
+
+  /** The end-to-end resolution a training pipeline actually runs: corpus
+    * in, near-dup-free corpus out. Every cluster keeps exactly its
+    * min-id root; singletons (never paired) pass through untouched. One
+    * left-anti join of the corpus against the non-root cluster members —
+    * the drop set is pair-bounded, tiny next to the corpus. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5,
+      maxDf: Option[Long] = Some(1000L)): DataFrame = {
+    val labels = connectedComponents(
+      ngramJaccardPairs(df, idCol, textCol, n, threshold, maxDf))
+    val drops = labels.filter(col("node") =!= col("label"))
+      .select(col("node").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
 }

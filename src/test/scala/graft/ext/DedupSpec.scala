@@ -158,4 +158,13 @@ class DedupSpec extends SparkTestBase {
       .select("i", "j").as[(Long, Long)].collect().toSet
     assert(pairs == (0 until 5).map(i => (i.toLong, 300L + i)).toSet)
   }
+
+  test("dropNearDuplicates keeps exactly the cluster roots + singletons") {
+    // corpus: bases 0-39, near-dups 100-109 of bases 0-9, exact copies
+    // 200/201 of bases 20/21 -> at 0.5 the kept set is precisely the bases
+    val kept = Dedup.dropNearDuplicates(corpus, "doc_id", "text",
+      n = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (0L until 40L).toSet, s"got: ${kept.toSeq.sorted}")
+  }
 }
