@@ -323,7 +323,10 @@ object Dedup {
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           (coalesce(col("nmin"), col("label")) < col("label")).cast("long").as("chg"))
         .persist(lvl)
-      converged = next.agg(sum(col("chg"))).collect()(0).getLong(0) == 0L
+      // coalesce: sum over ZERO rows is null (a clean corpus produces an
+      // empty pairs frame — that must mean "converged", not an NPE)
+      converged = next.agg(coalesce(sum(col("chg")), lit(0L)))
+        .collect()(0).getLong(0) == 0L
       labels.unpersist()
       labels = next.drop("chg")
       iter += 1
@@ -340,10 +343,18 @@ object Dedup {
     * -> connected components -> (root, n_members) per cluster of size >= 2. */
   def ngramClusters(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
-      maxDf: Option[Long] = Some(1000L)): DataFrame =
-    connectedComponents(ngramJaccardPairs(df, idCol, textCol, n, threshold, maxDf))
-      .groupBy(col("label").as("root"))
+      maxDf: Option[Long] = Some(1000L)): DataFrame = {
+    val labels = connectedComponents(
+      ngramJaccardPairs(df, idCol, textCol, n, threshold, maxDf))
+    // materialize the (tiny — one row per cluster) summary off the cached
+    // labels, then release them: the iterative lineage must not be
+    // re-runnable, and the cache blocks must not outlive the call
+    val out = labels.groupBy(col("label").as("root"))
       .agg(count(lit(1)).as("n_members"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    out
+  }
 
   /** The end-to-end resolution a training pipeline actually runs: corpus
     * in, near-dup-free corpus out. Every cluster keeps exactly its
@@ -355,8 +366,13 @@ object Dedup {
       maxDf: Option[Long] = Some(1000L)): DataFrame = {
     val labels = connectedComponents(
       ngramJaccardPairs(df, idCol, textCol, n, threshold, maxDf))
+    // drop set materialized eagerly (pair-bounded, tiny next to the
+    // corpus) so the labels cache can be released before returning; the
+    // checkpoint also cuts the iterative lineage out of the caller's plan
     val drops = labels.filter(col("node") =!= col("label"))
       .select(col("node").as(idCol))
+      .localCheckpoint(true)
+    labels.unpersist()
     df.join(drops, Seq(idCol), "left_anti")
   }
 }

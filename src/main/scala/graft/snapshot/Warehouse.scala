@@ -131,9 +131,15 @@ final class Warehouse(spark: SparkSession, val root: String) {
     * PARTITION-SCOPED: only the `year` partitions present in the batch
     * are read, merged, and swapped — at warehouse scale a correction
     * batch touches a handful of partitions, never the table. Each
-    * partition directory swaps via rename (same staging discipline as
-    * replaceWith), so readers never observe a partial partition; the
-    * batch lands partition-by-partition, each atomically.
+    * partition directory swaps via two renames (out to a sibling
+    * `<fact>.merge.old/`, then the merged copy in), so readers never
+    * observe a partial or doubled partition; a crash between the two
+    * renames leaves that one partition absent from reads but intact in
+    * the sibling dir (re-running the merge, or renaming it back,
+    * recovers it). A shared-column TYPE change disables the fast path:
+    * widened types cannot coexist with untouched partitions' old
+    * physical files, so that case rewrites the whole fact (same rule as
+    * append).
     *
     * Contract: `keys` must determine `year` (a key cannot move between
     * year partitions — true for any date-scoped fact key, e.g. the
@@ -161,28 +167,51 @@ final class Warehouse(spark: SparkSession, val root: String) {
         val affected = existing.filter(col("year").isin(years: _*))
         val kept = affected.join(batch.select(keys.map(col): _*), keys, "left_anti")
         val merged = SchemaEvolution.unionEvolve(kept, batch)
-        storeSchema(fact, allNullable(merged.schema))
-        // stage the merged partitions, then swap each year dir by rename
-        val target = path(fact)
-        val tmp = new Path(target.getParent, target.getName + ".merge")
-        val f = fs
-        if (f.exists(tmp)) f.delete(tmp, true)
-        merged.repartition(col("year")).write.partitionBy("year")
-          .mode(SaveMode.Overwrite).parquet(tmp.toString)
-        years.foreach { y =>
-          val src = new Path(tmp, s"year=$y")
-          val dst = new Path(target, s"year=$y")
-          val old = new Path(target, s"year=$y.old")
-          if (f.exists(old)) f.delete(old, true)
-          if (f.exists(dst) && !f.rename(dst, old))
-            throw new java.io.IOException(s"could not stage out $dst")
-          if (f.exists(src) && !f.rename(src, dst)) {
-            f.rename(old, dst)
-            throw new java.io.IOException(s"could not swap in merged $dst")
-          }
-          f.delete(old, true)
+        val typeChanged = existing.schema.fields.exists { f =>
+          merged.schema.fieldNames.contains(f.name) &&
+            merged.schema(f.name).dataType != f.dataType
         }
-        f.delete(tmp, true)
+        if (typeChanged) {
+          // a widened column type cannot coexist with the untouched
+          // partitions' old physical files under the explicit-schema read
+          // (SchemaColumnConvertNotSupported at scan time) — same reason
+          // append routes this case to a rewrite. Full-table rewrite here
+          // too; the partition-scoped fast path is for the steady state.
+          val untouched = existing.filter(!col("year").isin(years: _*))
+          replaceWith(fact, SchemaEvolution.unionEvolve(untouched, merged), ".tmp")
+        } else {
+          // stage the merged partitions, then swap each year dir by rename
+          val target = path(fact)
+          val tmp = new Path(target.getParent, target.getName + ".merge")
+          // displaced partitions are staged in a SIBLING dir, never inside
+          // the fact dir: the read glob must not see old+new copies during
+          // the swap window (and `year=2024.old` would parse as year=null)
+          val oldRoot = new Path(target.getParent, target.getName + ".merge.old")
+          val f = fs
+          if (f.exists(tmp)) f.delete(tmp, true)
+          if (f.exists(oldRoot)) f.delete(oldRoot, true)
+          merged.repartition(col("year")).write.partitionBy("year")
+            .mode(SaveMode.Overwrite).parquet(tmp.toString)
+          // schema AFTER the tmp write succeeds: a failed write job leaves
+          // the live table (data and schema) exactly as it was. New columns
+          // are nullable, so a crash between here and the swaps exposes at
+          // worst an all-null column — never unreadable data.
+          storeSchema(fact, allNullable(merged.schema))
+          f.mkdirs(oldRoot)
+          years.foreach { y =>
+            val src = new Path(tmp, s"year=$y")
+            val dst = new Path(target, s"year=$y")
+            val old = new Path(oldRoot, s"year=$y")
+            if (f.exists(dst) && !f.rename(dst, old))
+              throw new java.io.IOException(s"could not stage out $dst")
+            if (f.exists(src) && !f.rename(src, dst)) {
+              f.rename(old, dst)
+              throw new java.io.IOException(s"could not swap in merged $dst")
+            }
+          }
+          f.delete(oldRoot, true)
+          f.delete(tmp, true)
+        }
     }
   }
 

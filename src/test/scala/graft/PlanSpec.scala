@@ -35,8 +35,12 @@ class PlanSpec extends SparkTestBase {
 
   test("point-slice cut pushes its predicate into the parquet scan") {
     val p = formatted(SparkEntry.queries("q05")(spark, sf("sf0.001")))
-    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"),
-      s"cut predicate not pushed:\n$p")
+    // assert the semantic fragment, not the whole filter list: attribute
+    // order / list formatting shift across Spark minors and AQE re-plans
+    val pushed = p.linesIterator.find(_.contains("PushedFilters"))
+      .getOrElse(fail(s"no PushedFilters in formatted plan:\n$p"))
+    assert(pushed.contains("EqualTo(l_returnflag,R)"),
+      s"cut predicate not pushed: $pushed")
   }
 
   test("projection prunes the scan to the referenced columns only") {

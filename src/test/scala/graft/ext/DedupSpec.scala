@@ -159,6 +159,22 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == (0 until 5).map(i => (i.toLong, 300L + i)).toSet)
   }
 
+  test("dropNearDuplicates on a clean corpus returns it unchanged") {
+    // zero near-dup pairs -> empty components frame; must pass the corpus
+    // through, not NPE on the empty convergence aggregate
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector.tabulate(5000)(i => s"c$i")
+    val clean = (0 until 20)
+      .map(i => (i.toLong, Seq.fill(60)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(clean, "doc_id", "text",
+      n = 3, threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (0L until 20L).toSet)
+    // the cluster summary on the same corpus is simply empty
+    assert(Dedup.ngramClusters(clean, "doc_id", "text", 3, 0.9).count() == 0)
+  }
+
   test("dropNearDuplicates keeps exactly the cluster roots + singletons") {
     // corpus: bases 0-39, near-dups 100-109 of bases 0-9, exact copies
     // 200/201 of bases 20/21 -> at 0.5 the kept set is precisely the bases

@@ -263,6 +263,31 @@ class MergeSpec extends graft.SparkTestBase {
     assert(wh.read("mk").get.count() == 2) // documented hazard: stale row lives
   }
 
+  test("merge with a type-widened column rewrites the whole fact (stays readable)") {
+    val wh = freshWh()
+    wh.append("mt", Seq((1L, 10L, 2023L), (2L, 20L, 2024L)).toDF("k", "x", "year"))
+    // x widens long -> double; the 2023 partition is NOT in the batch, so
+    // a partition-scoped swap would leave old-physical-type files behind a
+    // widened stored schema and break the read
+    wh.merge("mt", Seq((2L, 2.5, 2024L)).toDF("k", "x", "year"), Seq("k"))
+    val got = wh.read("mt").get.select("k", "x", "year")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(got == Set((1L, 10.0, 2023L), (2L, 2.5, 2024L)))
+  }
+
+  test("merge never stages displaced partitions inside the fact directory") {
+    val wh = freshWh()
+    wh.append("ms", Seq((1L, "a", 2024L)).toDF("k", "v", "year"))
+    wh.merge("ms", Seq((1L, "a2", 2024L)).toDF("k", "v", "year"), Seq("k"))
+    // nothing named *.old (or any non-partition dir) may remain under the
+    // fact dir where the read glob would pick it up as year=null rows
+    val entries = new java.io.File(wh.root, "ms").list().toSet
+    // underscore/dot prefixes are invisible to Spark's file index
+    assert(entries.forall(e => e.startsWith("year=") && !e.endsWith(".old")
+      || e.startsWith("_") || e.startsWith(".")), s"unexpected entries: $entries")
+    assert(wh.read("ms").get.filter(col("year").isNull).count() == 0)
+  }
+
   test("merge batch can add a nullable column (evolution discipline)") {
     val wh = freshWh()
     wh.append("me", Seq((1L, "a", 2024L)).toDF("k", "v", "year"))
