@@ -336,6 +336,14 @@ object SparkEntry {
           col("year"))
         .orderBy(col("hour"), col("event_type"))
     }),
+    // Streaming exact dedup: watermark-bounded state (the exactly-once
+    // ingestion guard); deduped rows re-aggregated batch-side so the
+    // result is order-independent for the oracle
+    "x_stream_dedup" -> ((s, d) =>
+      graft.streaming.EventStream.runDedup(s, d, Seq("user_id", "event_type"),
+          name = "stream_dedup_out")
+        .groupBy(col("event_type")).agg(countAll.as("n"))
+        .orderBy(col("event_type"))),
     // Sessionization (batch formulation; cross-checks the streaming state
     // machine): per-user event-time sessions with a 30-minute gap
     "x_sessions" -> ((s, d) =>
@@ -479,8 +487,26 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Vector aggregate: per-label embedding centroids (the IVF/k-means
+    // training step). Quantized-decimal summation: exact, partition-order-
+    // independent, bit-reproducible across engines
+    "x_embed_centroid" -> ((s, d) =>
+      graft.ext.Similarity.centroids(
+        Tables.load(s, d, "embeddings")
+          .select(col("label").cast("long").as("label"), col("embedding")),
+        "label", "embedding")
+        .select(col("grp").as("label"), col("dim"), col("c"))
+        .orderBy(col("label"), col("dim"))),
+
     // ---------------- text analysis ----------------
 
+    // Corpus-level term salience: top-3 TF-IDF keywords per document
+    // (deterministic: log-free scores from identical integer operands,
+    // ties broken on the term string)
+    "x_text_tfidf" -> ((s, d) =>
+      graft.ext.TextAnalysis.tfidfTopK(Tables.load(s, d, "documents"),
+        "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
     "x_text_tokens" -> ((s, d) => Tables.load(s, d, "documents")
       .select(col("doc_id"), graft.ext.TextAnalysis.tokenCount(col("text"))
         .as("n_tokens"))
@@ -724,6 +750,32 @@ object SparkEntry {
       "ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank " +
       "FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id " +
       "WHERE q.vec_id < 10) t WHERE rank <= 5 ORDER BY qid, rank"),
+    // per-label centroids: identical quantize->decimal-sum->divide->round
+    // pipeline on both engines (unnest zips with range for the dim index)
+    "x_embed_centroid" -> ("SELECT CAST(label AS BIGINT) AS label, " +
+      "CAST(dim AS BIGINT) AS dim, " +
+      "ROUND(CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(28,6))) AS DOUBLE) " +
+      "/ COUNT(*), 6) AS c " +
+      "FROM (SELECT label, unnest(embedding) AS v, " +
+      "unnest(range(len(embedding))) AS dim FROM embeddings) t " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"),
+    // top-3 TF-IDF terms/doc: log-free score (cnt/len)*(n/df) — identical
+    // integer operands -> identical doubles -> identical ranking
+    "x_text_tfidf" -> ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY 1, 2), " +
+      "len AS (SELECT doc_id, SUM(cnt) AS len FROM tf GROUP BY 1), " +
+      "dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), " +
+      "n AS (SELECT COUNT(*) AS n FROM documents), " +
+      "s AS (SELECT tf.doc_id, tf.term, " +
+      "(CAST(tf.cnt AS DOUBLE) / len.len) * (CAST(n.n AS DOUBLE) / dfreq.df) AS score " +
+      "FROM tf JOIN len USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n) " +
+      "SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, ROUND(score, 6) AS score " +
+      "FROM (SELECT doc_id, term, score, ROW_NUMBER() OVER " +
+      "(PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s) t " +
+      "WHERE rank <= 3 ORDER BY doc_id, rank"),
+    "x_stream_dedup" -> ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n " +
+      "FROM (SELECT DISTINCT user_id, event_type FROM events) t " +
+      "GROUP BY 1 ORDER BY 1"),
     "x_text_tokens" -> ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
       "FROM documents ORDER BY doc_id"),
     // language-ID heuristic replicated exactly: per-language function-word

@@ -73,6 +73,39 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("cos"))
   }
 
+  /** Per-group embedding centroids — the vector aggregate behind cluster
+    * profiling and IVF/k-means training steps. Explode to (group, dim, v)
+    * and hash-aggregate: one shuffle whose key count is |groups| * dim,
+    * independent of corpus size — map-side partial sums do the heavy
+    * lifting, so the shape holds at 100 TB.
+    *
+    * `quantize = Some(p)` rounds each component to p decimals and sums as
+    * DECIMAL (exact, partition-order-independent) — bit-reproducible
+    * centroids across runs, partitionings, and engines (a float's value is
+    * never exactly on a decimal rounding boundary — 5·10^-(p+1) is not a
+    * dyadic rational — so the per-element rounding is unambiguous). `None`
+    * sums raw doubles: no quantization error, but the last ulp depends on
+    * partition order. Output: one row per (group, dim) with the centroid
+    * component `c` — rows, not arrays, so downstream aggregates/joins
+    * stay columnar; collect_list over dim re-assembles vectors if needed. */
+  def centroids(df: DataFrame, groupCol: String, vecCol: String,
+      quantize: Option[Int] = Some(6)): DataFrame = {
+    val exploded = df.select(col(groupCol).as("grp"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("grp"), col("dim").cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+    quantize match {
+      case Some(p) =>
+        val dec = org.apache.spark.sql.types.DecimalType(28, p)
+        exploded.groupBy(col("grp"), col("dim"))
+          .agg(round(sum(round(col("v"), p).cast(dec)).cast("double") /
+            count(lit(1)), p).as("c"))
+      case None =>
+        exploded.groupBy(col("grp"), col("dim"))
+          .agg(avg(col("v")).as("c"))
+    }
+  }
+
   /** All pairs with cosine >= threshold, sign-LSH bucketed: docs sharing a
     * signature in any table are candidates; exact rerank filters. */
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,

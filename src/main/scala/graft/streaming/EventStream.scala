@@ -101,6 +101,33 @@ object EventStream {
       s"stream produced no batches: fact $fact was never written"))
   }
 
+  /** Streaming exact dedup: first occurrence per key set wins, with state
+    * BOUNDED by the watermark (`dropDuplicatesWithinWatermark` evicts keys
+    * once the watermark passes them — the unbounded-state `dropDuplicates`
+    * is the classic streaming-ingestion leak at 100 TB/day). The
+    * exactly-once ingestion guard for at-least-once upstream transports:
+    * any redelivery within the watermark delay is suppressed. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Drive the streaming dedup synchronously over the static events dir
+    * and return the deduped rows (append mode — rows emit as they pass the
+    * dedup state, no aggregation to hold them back). */
+  def runDedup(spark: SparkSession, sfDir: String, keys: Seq[String],
+      name: String = "dedup_out", statePartitions: Int = 8): DataFrame = {
+    withStatePartitions(spark, statePartitions) {
+      val q = dedupStream(readStream(spark, sfDir), keys)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(name)
+  }
+
   // ---------------- stateful processing (sessionization) ----------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)

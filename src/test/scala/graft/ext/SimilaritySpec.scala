@@ -57,6 +57,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("centroids: quantized aggregation is exact and partition-shape-proof") {
+    // values chosen representable after round(,6): expected means are hand-
+    // computable; repartition proves order-independence of the decimal sum
+    val df = Seq(
+      (0, Seq(1.0f, -2.0f)), (0, Seq(3.0f, 4.0f)),
+      (1, Seq(0.5f, 0.25f))).toDF("label", "embedding")
+    val got = Similarity.centroids(df.repartition(7), "label", "embedding")
+      .orderBy("grp", "dim")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got == Seq((0, 0L, 2.0), (0, 1L, 1.0), (1, 0L, 0.5), (1, 1L, 0.25)))
+    // unquantized path: plain double mean
+    val raw = Similarity.centroids(df, "label", "embedding", quantize = None)
+      .orderBy("grp", "dim").as[(Int, Long, Double)].collect().toSeq
+    assert(raw.map(_._3) == Seq(2.0, 1.0, 0.5, 0.25))
+  }
+
   test("cosine column matches a driver-side computation") {
     val a = Seq((1L, Seq(1.0f, 2.0f, 2.0f)), (2L, Seq(0.0f, 3.0f, 4.0f)))
       .toDF("vec_id", "v")

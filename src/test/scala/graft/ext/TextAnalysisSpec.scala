@@ -110,6 +110,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getString(2) == "und")
   }
 
+  test("tfidf top-k ranks rare terms above common ones, ties on term") {
+    // N=3; df(rare)=df(other)=1, df(shared)=3. All docs are 4 tokens.
+    // doc1: rare (1/4)*(3/1)=0.75, shared (3/4)*(3/3)=0.75 — a tie, so
+    // rank order falls to the term string; doc3: other (2/4)*3=1.5
+    val docs = Seq(
+      (1L, "rare shared shared shared"),
+      (2L, "shared shared shared shared"),
+      (3L, "shared other other shared")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, Long, String, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, "rare", 0.75), (1L, 2L, "shared", 0.75),
+      (2L, 1L, "shared", 1.0),
+      (3L, 1L, "other", 1.5), (3L, 2L, "shared", 0.5)))
+  }
+
   test("multimodal plumbing: schema + batched features") {
     val docs = Seq((1L, "abc", "en"), (2L, "abcabc", "de")).toDF("doc_id", "text", "lang")
     val media = Multimodal.asMedia(docs, "doc_id", "text", "lang")

@@ -52,6 +52,18 @@ class EventStreamSpec extends SparkTestBase {
       s"got $sessions")
   }
 
+  test("streaming dedup equals batch distinct (watermark-bounded state)") {
+    val deduped = EventStream.runDedup(spark, sf("sf0.001"),
+      Seq("user_id", "event_type"), name = "dedup_test")
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    val batch = graft.Tables.load(spark, sf("sf0.001"), "events")
+      .select($"user_id", $"event_type").distinct()
+      .as[(Long, String)].collect().toSet
+    // set-equal AND no duplicate emissions
+    assert(deduped.length == batch.size)
+    assert(deduped.toSet == batch)
+  }
+
   test("batch sessionization cross-checks the streaming state machine") {
     // streaming emits only closed/timed-out sessions; batch over static
     // data emits all. Invariant: streaming sessions are exactly the batch
