@@ -245,6 +245,46 @@ final class Warehouse(spark: SparkSession, val root: String) {
     f.delete(old, true)
   }
 
+  /** Crash recovery + janitor for the staged-rename protocols. Every
+    * mutation here (append-rewrite, overwrite, compact, merge) stages
+    * sibling dirs and swaps via rename; a crash inside a swap window can
+    * leave (a) the whole fact renamed out to `<fact>.old` with the
+    * complete rewrite still in `<fact><suffix>` (replaceWith renames the
+    * live dir away only AFTER the staged write fully succeeded), or (b)
+    * individual partitions displaced to `<fact>.merge.old/year=Y`
+    * (merge). vacuum restores readability — roll the staged copy in for
+    * (a), the displaced partitions back for (b) — then deletes all
+    * leftover staging. After a crashed merge, re-running the same merge
+    * batch completes it (merge is idempotent per partition). Safe to run
+    * any time; a no-op on a healthy fact. */
+  def vacuum(fact: String): Unit = {
+    val f = fs
+    val target = path(fact)
+    val old = new Path(target.getParent, target.getName + ".old")
+    val staged = Seq(".tmp", ".epoch", ".compact")
+      .map(sfx => new Path(target.getParent, target.getName + sfx))
+    if (!f.exists(target)) {
+      // crashed between the two replaceWith renames: prefer the staged
+      // rewrite (it is complete by protocol), else the displaced original
+      staged.find(f.exists) match {
+        case Some(tmp) => f.rename(tmp, target)
+        case None => if (f.exists(old)) f.rename(old, target)
+      }
+    }
+    // crashed mid-merge partition swap: restore displaced partitions the
+    // swap-in never replaced
+    val mergeOld = new Path(target.getParent, target.getName + ".merge.old")
+    if (f.exists(mergeOld)) {
+      f.listStatus(mergeOld).foreach { st =>
+        val dst = new Path(target, st.getPath.getName)
+        if (!f.exists(dst)) f.rename(st.getPath, dst)
+      }
+    }
+    (staged ++ Seq(old, mergeOld,
+      new Path(target.getParent, target.getName + ".merge")))
+      .foreach(p => f.delete(p, true))
+  }
+
   /** Retention: drop whole year partitions (directory deletes — zero
     * rewrite, zero scan; the cheapest possible delete and the reason the
     * partition key should be the retention key). The reference exposes a

@@ -298,6 +298,60 @@ class MergeSpec extends graft.SparkTestBase {
   }
 }
 
+class VacuumSpec extends graft.SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def freshWh() =
+    new Warehouse(spark, graft.TempDirs.scratchDir("vac_wh").toString)
+
+  private def mv(wh: Warehouse, from: String, to: String): Unit =
+    assert(new java.io.File(wh.root, from).renameTo(new java.io.File(wh.root, to)))
+
+  test("vacuum completes a rewrite crashed between the two renames") {
+    val wh = freshWh()
+    wh.append("v", Seq((1L, 2024L)).toDF("k", "year"))
+    // simulate replaceWith crashing after staging out the live dir: the
+    // complete rewrite sits in .tmp, the original in .old, no live fact
+    mv(wh, "v", "v.tmp")
+    val f = new java.io.File(wh.root, "v.old"); f.mkdirs()
+    assert(wh.read("v").isEmpty)
+    wh.vacuum("v")
+    assert(wh.read("v").get.select("k").as[Long].collect().toSeq == Seq(1L))
+    assert(!new java.io.File(wh.root, "v.tmp").exists())
+    assert(!new java.io.File(wh.root, "v.old").exists())
+  }
+
+  test("vacuum rolls back to the original when no staged rewrite exists") {
+    val wh = freshWh()
+    wh.append("vr", Seq((2L, 2024L)).toDF("k", "year"))
+    mv(wh, "vr", "vr.old")
+    wh.vacuum("vr")
+    assert(wh.read("vr").get.select("k").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("vacuum restores partitions displaced by a crashed merge") {
+    val wh = freshWh()
+    wh.append("vm", Seq((1L, "a", 2023L), (2L, "b", 2024L)).toDF("k", "v", "year"))
+    // simulate a merge crash after renaming year=2023 out but before the
+    // merged copy swapped in
+    new java.io.File(wh.root, "vm.merge.old").mkdirs()
+    mv(wh, "vm/year=2023", "vm.merge.old/year=2023")
+    assert(wh.read("vm").get.count() == 1)
+    wh.vacuum("vm")
+    val got = wh.read("vm").get.select("k", "v").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b")))
+    assert(!new java.io.File(wh.root, "vm.merge.old").exists())
+  }
+
+  test("vacuum is a no-op on a healthy fact") {
+    val wh = freshWh()
+    wh.append("vh", Seq((1L, 2024L)).toDF("k", "year"))
+    wh.vacuum("vh")
+    assert(wh.read("vh").get.count() == 1)
+  }
+}
+
 class RetentionSpec extends graft.SparkTestBase {
   import spark.implicits._
   import org.apache.spark.sql.functions._
