@@ -231,6 +231,24 @@ object SparkEntry {
         .cast("double"))
       .orderBy(col("l_returnflag"))),
 
+    // top-N through the API: order (measure desc, keys as tie-break) +
+    // limit compile to TakeOrderedAndProject — per-partition top-N, no
+    // global sort. The leaderboard pull the reference's no-ordering API
+    // pushes onto its BI clients
+    "q31" -> ((s, d) => AggregateService.aggregate(ord(s, d),
+      FactMeta("orders", Seq(Dimension.flat("o_custkey")),
+        Seq(Measure("value", "o_totalprice", AggregateFn.Sum,
+          Some(moneySum("o_totalprice"))))),
+      AggregateService.Request.fromParams(None, Some("o_custkey"), None,
+        order = Some("value:desc"), limit = Some(10)))),
+    // median through the aggregate catalog (override on a sum-default
+    // measure; exact interpolated percentile, the q29-proven parity)
+    "q32" -> ((s, d) => AggregateService.aggregate(ord(s, d),
+      FactMeta("orders", Seq(Dimension.flat("o_orderstatus")),
+        Seq(Measure("value", "o_totalprice", AggregateFn.Sum))),
+      AggregateService.Request.fromParams(None, Some("o_orderstatus"), None,
+        aggregate = Some("median")))),
+
     // Window functions over the fact source (running revenue per customer)
     "x_window" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -659,6 +677,10 @@ object SparkEntry {
       "CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F, " +
       "CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O " +
       "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q31" -> ("SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value " +
+      "FROM orders GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10"),
+    "q32" -> ("SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS value " +
+      "FROM orders GROUP BY 1 ORDER BY 1"),
     "x_window" -> ("SELECT o_custkey, o_orderkey, " +
       "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn, " +
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +

@@ -107,31 +107,31 @@ object TextAnalysis {
     * deterministic.
     *
     * Scale shape: explode -> groupBy (doc, term) [one shuffle, map-side
-    * partial counts]; doc length by a second aggregate of that result
-    * [shuffle on doc]; document frequency by aggregate on term [shuffle on
-    * term, bounded by vocabulary]; rank via row_number window with k
-    * pushed down (WindowGroupLimit prunes to k rows per doc map-side
-    * BEFORE the final shuffle). Nothing is ever all-pairs or collected. */
+    * partial counts]; document frequency by aggregate on term [shuffle
+    * bounded by vocabulary]; then ONE doc-keyed shuffle serves both the
+    * doc-length window (whole-partition sum, no sort) and the rank window
+    * (row_number with k pushed down — WindowGroupLimit prunes to k rows
+    * per doc map-side). Nothing is ever all-pairs or collected. */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nDocs = df.count() // bounded driver scalar (one long), not data
     val tok = df.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
-    // three consumers (scores, doc lengths, document frequencies) — persist
-    // rather than recompute the explode+count per branch. Session-scoped
-    // lifecycle, same as Dedup.shingleSets: clearCache() between corpora.
+    // two consumers (scores, document frequencies) — persist rather than
+    // recompute the explode+count per branch. Session-scoped lifecycle,
+    // same as Dedup.shingleSets: clearCache() between corpora.
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val len = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("len"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(len, "doc_id").join(dfreq, "term")
+    val byDoc = Window.partitionBy(col("doc_id"))
+    tf.join(dfreq, "term")
+      .withColumn("len", sum(col("cnt")).over(byDoc))
       .withColumn("score",
         (col("cnt").cast("double") / col("len")) *
           (lit(nDocs).cast("double") / col("df")))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("score").desc, col("term"))))
+      .withColumn("rank", row_number().over(
+        byDoc.orderBy(col("score").desc, col("term"))))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank").cast("long").as("rank"),
         col("term"), round(col("score"), 6).as("score"))

@@ -21,7 +21,13 @@ object AggregateFn {
   case object Sum extends AggregateFn("sum") { def apply(c: Column): Column = sum(c) }
   case object Avg extends AggregateFn("avg") { def apply(c: Column): Column = avg(c) }
   case object Count extends AggregateFn("count") { def apply(c: Column): Column = count(c) }
-  val all: Seq[AggregateFn] = Seq(Sum, Avg, Count)
+  /** Beyond reference parity: exact linear-interpolation median
+    * (quantile_cont semantics — the same percentile the q29 conformance
+    * query proved oracle-exact). */
+  case object Median extends AggregateFn("median") {
+    def apply(c: Column): Column = percentile(c, lit(0.5))
+  }
+  val all: Seq[AggregateFn] = Seq(Sum, Avg, Count, Median)
   def byName(n: String): AggregateFn =
     all.find(_.name == n.toLowerCase).getOrElse(
       throw new IllegalArgumentException(s"unknown aggregate function: $n"))

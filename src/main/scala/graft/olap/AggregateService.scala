@@ -27,7 +27,9 @@ object AggregateService {
       cuts: Seq[Cut.DimCut] = Nil,
       drilldowns: Seq[Drilldown.Spec] = Nil,
       measures: Seq[String] = Nil,
-      aggregates: Map[String, String] = Map.empty) {
+      aggregates: Map[String, String] = Map.empty,
+      order: Seq[(String, Boolean)] = Nil, // (column, descending?)
+      limit: Option[Int] = None) {
 
     /** Requested override function name for measure `n`, if any. */
     def overrideFor(n: String): Option[String] =
@@ -37,16 +39,26 @@ object AggregateService {
   object Request {
     /** Build from raw URL-style parameter strings. `aggregate` grammar:
       * `measure:fn|measure2:fn2` per-measure, or a bare `fn` applied to
-      * all requested measures. */
+      * all requested measures. `order` grammar: `col:desc|col2:asc`
+      * (bare `col` = ascending); with `limit`, the pair is the top-N
+      * surface the reference lacks entirely (its API defines no ordering
+      * — SURVEY §2.5 "Sorts") but every leaderboard-style BI pull needs. */
     def fromParams(cut: Option[String], drilldown: Option[String],
-        measure: Option[String], aggregate: Option[String] = None): Request = Request(
+        measure: Option[String], aggregate: Option[String] = None,
+        order: Option[String] = None, limit: Option[Int] = None): Request = Request(
       cuts = cut.map(Cut.parse).getOrElse(Nil),
       drilldowns = drilldown.map(Drilldown.parse).getOrElse(Nil),
       measures = measure.map(_.split('|').toSeq.filter(_.nonEmpty)).getOrElse(Nil),
       aggregates = aggregate.map(_.split('|').toSeq.filter(_.nonEmpty).map { e =>
         val i = e.indexOf(':')
         if (i < 0) "*" -> e else e.substring(0, i) -> e.substring(i + 1)
-      }.toMap).getOrElse(Map.empty))
+      }.toMap).getOrElse(Map.empty),
+      order = order.map(_.split('|').toSeq.filter(_.nonEmpty).map { e =>
+        val i = e.indexOf(':')
+        if (i < 0) e -> false
+        else e.substring(0, i) -> (e.substring(i + 1).toLowerCase == "desc")
+      }).getOrElse(Nil),
+      limit = limit)
   }
 
   def aggregate(fact: DataFrame, meta: FactMeta, req: Request): DataFrame = {
@@ -64,10 +76,21 @@ object AggregateService {
     val groupCols = resolved.flatMap(_.columns(meta)).distinct
 
     if (groupCols.isEmpty) cut.agg(measureCols.head, measureCols.tail: _*) // A1 global
-    else cut
-      .groupBy(groupCols.map(col): _*)
-      .agg(measureCols.head, measureCols.tail: _*)
-      .orderBy(groupCols.map(col): _*)
+    else {
+      val agged = cut
+        .groupBy(groupCols.map(col): _*)
+        .agg(measureCols.head, measureCols.tail: _*)
+      // requested order first (measures or levels), group keys appended as
+      // tie-breakers so the output (and any top-N truncation) is total-
+      // ordered and deterministic. order+limit compiles to Spark's
+      // TakeOrderedAndProject — a per-partition top-N then a driver merge
+      // of N·partitions rows, never a global sort.
+      val orderCols = req.order.map { case (n, desc) =>
+        if (desc) col(n).desc else col(n).asc
+      } ++ groupCols.map(col)
+      val sorted = agged.orderBy(orderCols: _*)
+      req.limit.map(sorted.limit).getOrElse(sorted)
+    }
   }
 
   /** Rollup convenience (SURVEY §2.5 "Grouping sets"): the reference

@@ -73,14 +73,18 @@ final class OlapApi(spark: SparkSession, warehouse: Warehouse,
   /** The aggregate endpoint: compile cut/drilldown/measure/aggregate
     * params, run, render (`output` = "json" | "table"). `aggregate`
     * overrides per-measure aggregation functions by catalog name
-    * (`measure:fn|...` or a bare `fn` for all measures). */
+    * (`measure:fn|...` or a bare `fn` for all measures); `order`
+    * (`col:desc|col2:asc`) + `limit` expose top-N — beyond the reference,
+    * which defines no ordering at all. */
   def aggregate(fact: String, cut: Option[String] = None,
       drilldown: Option[String] = None, measure: Option[String] = None,
-      aggregate: Option[String] = None, output: String = "json"): String = {
+      aggregate: Option[String] = None, order: Option[String] = None,
+      limit: Option[Int] = None, output: String = "json"): String = {
     val m = meta(fact)
     val df = warehouse.read(fact).getOrElse(throw new IllegalStateException(
       s"fact table $fact has no snapshots yet"))
-    val req = AggregateService.Request.fromParams(cut, drilldown, measure, aggregate)
+    val req = AggregateService.Request.fromParams(cut, drilldown, measure,
+      aggregate, order, limit)
     val result = AggregateService.aggregate(df, m, req)
     output match {
       case "table" => Renderer.toTable(result)

@@ -44,6 +44,31 @@ class AggregateServiceSpec extends SparkTestBase {
       Seq(("AUTOMOBILE", 1L), ("BUILDING", 3L)))
   }
 
+  test("order + limit: top-N by measure, group key breaks ties") {
+    val r = AggregateService.aggregate(fact, meta,
+      AggregateService.Request.fromParams(None, Some("segment"), None,
+        order = Some("value:desc"), limit = Some(1)))
+    assert(r.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("BUILDING", 20L)))
+    // ascending tie-break on the key: both segments summed to 5 -> the
+    // lexicographically first wins the single slot
+    val tied = Seq(("a", 5L), ("b", 5L)).toDF("segment", "value")
+    val r2 = AggregateService.aggregate(tied,
+      FactMeta("t", Seq(Dimension.flat("segment")),
+        Seq(Measure("value", "value", AggregateFn.Sum))),
+      AggregateService.Request.fromParams(None, Some("segment"), None,
+        order = Some("value:desc"), limit = Some(1)))
+    assert(r2.collect().map(_.getString(0)).toSeq == Seq("a"))
+  }
+
+  test("median aggregate from the catalog (override by name)") {
+    val r = AggregateService.aggregate(fact, meta,
+      req(drill = "segment").copy(aggregates = Map("value" -> "median")))
+    // BUILDING values 10, 7, 3 -> median 7; AUTOMOBILE single 5
+    assert(r.collect().map(x => (x.getString(0), x.getDouble(1))).toSeq ==
+      Seq(("AUTOMOBILE", 5.0), ("BUILDING", 7.0)))
+  }
+
   test("output=table: header row first (Codice.gs:155-183)") {
     val r = AggregateService.aggregate(fact, meta, req(drill = "segment"))
     val t = Renderer.toTable(r)

@@ -61,7 +61,8 @@ class OlapApiSpec extends SparkTestBase {
     // named catalog entries (incl. "average" -> avg) + remaining built-ins
     assert(api.aggregates("enabled_users") ==
       """[{"name": "average", "function": "avg"}, {"name": "avg", "function": "avg"}, """ +
-        """{"name": "count", "function": "count"}, {"name": "sum", "function": "sum"}]""")
+        """{"name": "count", "function": "count"}, {"name": "median", "function": "median"}, """ +
+        """{"name": "sum", "function": "sum"}]""")
   }
 
   test("per-call aggregate override (README /aggregate, 'o quella specificata')") {
