@@ -249,6 +249,37 @@ object SparkEntry {
       AggregateService.Request.fromParams(None, Some("o_orderstatus"), None,
         aggregate = Some("median")))),
 
+    // Column profiling: one aggregation pass over the fact — the batch
+    // quality gate before a snapshot is trusted (null counts, exact
+    // cardinalities, native-order min/max)
+    "x_profile" -> ((s, d) => graft.ext.Profile.columns(ord(s, d),
+      Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"))
+      .orderBy(col("column"))),
+    // Time-series resample with gap fill: hourly grid INCLUDING empty
+    // buckets (a plain GROUP BY drops them; rate math downstream breaks)
+    "x_resample" -> ((s, d) => graft.ext.TimeSeries.resample(
+      ev(s, d), "ts", "hour", "1 hour",
+      Seq(countAll.as("n"),
+        sum(col("value").cast(D)).cast("double").as("v")))
+      .orderBy(col("bucket"))),
+    // Snapshot diff (CDC between two versions of a table): full-outer on
+    // the business key, exact null-safe struct compare, change classes
+    // summarized with a key checksum
+    "x_diff" -> ((s, d) => {
+      val o = ord(s, d)
+      val before = o.filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val after = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+          && col("o_orderkey") % 31 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      graft.ext.Diff.rows(before, after, Seq("o_orderkey"))
+        .groupBy(col("change"))
+        .agg(countAll.as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("change"))
+    }),
+
     // Window functions over the fact source (running revenue per customer)
     "x_window" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -681,6 +712,36 @@ object SparkEntry {
       "FROM orders GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10"),
     "q32" -> ("SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS value " +
       "FROM orders GROUP BY 1 ORDER BY 1"),
+    "x_profile" -> ("SELECT * FROM (" +
+      "SELECT 'o_custkey' AS \"column\", COUNT(*) AS n_rows, " +
+      "COUNT(*) - COUNT(o_custkey) AS n_nulls, COUNT(DISTINCT o_custkey) AS n_distinct, " +
+      "CAST(MIN(o_custkey) AS VARCHAR) AS min_s, CAST(MAX(o_custkey) AS VARCHAR) AS max_s FROM orders " +
+      "UNION ALL SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus), " +
+      "COUNT(DISTINCT o_orderstatus), CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders " +
+      "UNION ALL SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice), " +
+      "COUNT(DISTINCT o_totalprice), CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR) FROM orders " +
+      "UNION ALL SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate), " +
+      "COUNT(DISTINCT o_orderdate), CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR) FROM orders " +
+      ") t ORDER BY \"column\""),
+    "x_resample" -> ("WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS lo, " +
+      "date_trunc('hour', MAX(ts)) AS hi FROM events), " +
+      "spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM b), " +
+      "a AS (SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v FROM events GROUP BY 1) " +
+      "SELECT spine.bucket, COALESCE(a.n, 0) AS n, COALESCE(a.v, 0) AS v " +
+      "FROM spine LEFT JOIN a USING (bucket) ORDER BY 1"),
+    "x_diff" -> ("WITH before AS (SELECT o_orderkey, o_totalprice FROM orders " +
+      "WHERE o_orderdate < TIMESTAMP '1997-07-01 00:00:00'), " +
+      "after AS (SELECT o_orderkey, CASE WHEN o_orderkey % 97 = 0 " +
+      "THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice FROM orders " +
+      "WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey % 31 != 0), " +
+      "d AS (SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS k, " +
+      "CASE WHEN b.o_orderkey IS NULL THEN 'added' " +
+      "WHEN a.o_orderkey IS NULL THEN 'removed' " +
+      "WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice THEN 'changed' END AS change " +
+      "FROM before b FULL OUTER JOIN after a ON b.o_orderkey = a.o_orderkey) " +
+      "SELECT change, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum " +
+      "FROM d WHERE change IS NOT NULL GROUP BY 1 ORDER BY 1"),
     "x_window" -> ("SELECT o_custkey, o_orderkey, " +
       "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn, " +
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +

@@ -1,0 +1,53 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Profile / TimeSeries.resample / Diff — the batch data-quality and CDC
+  * operators around the warehouse. */
+class PipelineOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("profile: nulls, exact cardinality, native-order min/max") {
+    val df = Seq((1L, Some("b"), 2.5), (2L, None, 10.0), (2L, Some("a"), 2.5))
+      .toDF("k", "s", "v")
+    val p = Profile.columns(df, Seq("k", "s", "v")).orderBy("column")
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+    assert(p == Seq(
+      ("k", 3L, 0L, 2L, "1", "2"),
+      ("s", 3L, 1L, 2L, "a", "b"),
+      // numeric min/max (2.5 < 10.0), not lexicographic ("10.0" < "2.5")
+      ("v", 3L, 0L, 2L, "2.5", "10.0")))
+    // approx mode keeps the same shape
+    val a = Profile.columns(df, Seq("k"), approxDistinct = true).collect()(0)
+    assert(a.getLong(3) == 2L)
+  }
+
+  test("resample fills empty buckets with zeros") {
+    val df = Seq(
+      ("2024-01-01 10:05:00", 1.0), ("2024-01-01 10:55:00", 2.0),
+      // hour 11 empty
+      ("2024-01-01 12:30:00", 4.0))
+      .toDF("ts_s", "value").select(to_timestamp($"ts_s").as("ts"), $"value")
+    val r = TimeSeries.resample(df, "ts", "hour", "1 hour",
+      Seq(count(lit(1)).as("n"), sum($"value").as("v")))
+      .orderBy("bucket")
+      .select(date_format($"bucket", "HH").as("h"), $"n", $"v")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(r == Seq(("10", 2L, 3.0), ("11", 0L, 0.0), ("12", 1L, 4.0)))
+  }
+
+  test("diff classifies added / removed / changed; unchanged drop out") {
+    val before = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val after = Seq((1L, "a", 10.0), (2L, "b", 99.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v")
+    val d = Diff.rows(before, after, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(d == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // null-safe compare: null == null is NOT a change
+    val b2 = Seq((1L, Option.empty[String])).toDF("k", "s")
+    val a2 = Seq((1L, Option.empty[String])).toDF("k", "s")
+    assert(Diff.rows(b2, a2, Seq("k")).isEmpty)
+  }
+}
