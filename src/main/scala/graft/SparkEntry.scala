@@ -518,20 +518,24 @@ object SparkEntry {
         .select(col("qid"), col("nid"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
+    // Sign-LSH ANN, rank-gated on the planted-cluster fixture (the natural
+    // embeddings are noise — no structure to recall — so the gateable
+    // property is "approximate == exact top-k on clustered data"; the
+    // DuckDB oracle rebuilds the same fixture and brute-forces the ranks)
     "x_sim_lsh" -> ((s, d) => {
-      val emb = Tables.load(s, d, "embeddings")
-      graft.ext.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+      val emb = graft.ext.Fixtures.plantedVectors(s)
+      graft.ext.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 12),
         "vec_id", "embedding", k = 5)
         .select(col("qid"), col("nid"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
-    // IVF coarse-quantizer ANN (rows-only for the same reason as x_sim_lsh:
-    // the testdata embeddings are noise, so approximate recall cannot be
-    // rank-gated by construction; quality is spec-gated on planted clusters)
+    // IVF coarse-quantizer ANN, rank-gated on the same planted fixture
+    // (k-means trains on all 60 fixture vectors; queries probe 4 of 10
+    // lists — recall must still be exact because clusters are coherent)
     "x_sim_ivf" -> ((s, d) => {
-      val emb = Tables.load(s, d, "embeddings")
-      graft.ext.Ivf.topK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nlist = 32, nprobe = 8, sampleSize = 2000)
+      val emb = graft.ext.Fixtures.plantedVectors(s)
+      graft.ext.Ivf.topK(emb, emb.filter(col("vec_id") < 12),
+        "vec_id", "embedding", k = 5, nlist = 10, nprobe = 4, sampleSize = 60)
         .select(col("qid"), col("nid"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
@@ -572,17 +576,34 @@ object SparkEntry {
       .select(col("doc_id"),
         graft.ext.TextAnalysis.repetitionRatio(col("text"), 3).as("rep"))
       .orderBy(col("doc_id"))),
-    "x_text_fingerprint" -> ((s, d) => Tables.load(s, d, "documents")
-      .select(col("doc_id"),
-        graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))
-      .orderBy(col("doc_id"))),
-    // Winnowing containment detection (doc-inside-doc; rows-only — the
-    // fingerprint hash is engine-native)
+    // Content fingerprint, gated on its collision structure: the corpus
+    // plus planted exact copies (docs with doc_id % 7 == 0 re-appended
+    // under new ids) is grouped by fingerprint and summarized as a
+    // group-size histogram. The engine-native xxhash64 value itself has no
+    // DuckDB counterpart, but the histogram must equal grouping by the
+    // normalized TEXT — planted copies collide, distinct texts don't
+    // (injectivity of a 64-bit hash on a few hundred texts)
+    "x_text_fingerprint" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      docs.unionByName(planted)
+        .select(graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(countAll.as("sz"))
+        .groupBy(col("sz")).agg(countAll.as("n_groups"))
+        .orderBy(col("sz"))
+    }),
+    // Winnowing containment detection (doc-inside-doc), gated on the
+    // Schleimer'03 shared-run guarantee over the planted-run fixture:
+    // pairs sharing >= 1 winnow fingerprint must be EXACTLY the pairs
+    // sharing a word k-gram (the fixture's only shared grams sit inside
+    // runs >= w+k-1, where a shared fingerprint is guaranteed; all other
+    // grams are doc-unique md5 filler). DuckDB recomputes the gram-sharing
+    // pairs without needing the engine-native fingerprint hash
     "x_text_winnow" -> ((s, d) =>
-      graft.ext.TextAnalysis.containmentPairs(Tables.load(s, d, "documents"),
-        "doc_id", "text", threshold = 0.8)
-        .select(col("i"), col("j"), round(col("containment_i"), 6).as("c_i"),
-          round(col("containment_j"), 6).as("c_j"))
+      graft.ext.TextAnalysis.containmentPairs(
+        graft.ext.Fixtures.plantedRunDocs(s), "doc_id", "text", threshold = 0.0)
+        .select(col("i"), col("j"))
         .orderBy(col("i"), col("j"))),
 
     // Curation: top-k documents per group (the "best docs per domain"
@@ -833,6 +854,27 @@ object SparkEntry {
       "ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank " +
       "FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id " +
       "WHERE q.vec_id < 10) t WHERE rank <= 5 ORDER BY qid, rank"),
+    // approximate ANN rank oracles: rebuild the planted-cluster fixture in
+    // a CTE and brute-force the exact ranks — the engine's LSH/IVF output
+    // must match them exactly (cluster coherence makes recall 1 gateable)
+    "x_sim_lsh" -> plantedTopKOracle,
+    "x_sim_ivf" -> plantedTopKOracle,
+    // fingerprint collision-structure oracle: group by normalized TEXT
+    // instead of the engine-native hash; histograms must agree
+    "x_text_fingerprint" -> ("WITH a AS (SELECT text FROM documents " +
+      "UNION ALL SELECT text FROM documents WHERE doc_id % 7 = 0), " +
+      "g AS (SELECT COUNT(*) AS sz FROM a " +
+      "GROUP BY regexp_replace(lower(text), '\\s+', ' ', 'g')) " +
+      "SELECT sz, COUNT(*) AS n_groups FROM g GROUP BY 1 ORDER BY 1"),
+    // winnowing shared-run oracle: pairs of planted-run docs sharing any
+    // word 3-gram (== pairs sharing a >= w+k-1 run by construction)
+    "x_text_winnow" -> ("WITH w AS (" + graft.ext.Fixtures.plantedRunDocsSql() +
+      "), sh AS (SELECT doc_id, " +
+      "list_distinct([array_to_string(words[j:j+2], ' ') for j in range(1, len(words)-1)]) s " +
+      "FROM w) " +
+      "SELECT a.doc_id i, b.doc_id j FROM sh a JOIN sh b " +
+      "ON a.doc_id < b.doc_id AND len(list_intersect(a.s, b.s)) > 0 " +
+      "ORDER BY 1, 2"),
     // per-label centroids: identical quantize->decimal-sum->divide->round
     // pipeline on both engines (unnest zips with range for the dim index)
     "x_embed_centroid" -> ("SELECT CAST(label AS BIGINT) AS label, " +
@@ -928,6 +970,17 @@ object SparkEntry {
     "WHEN cfr >= greatest(cde, cen, ces) THEN 'fr' " +
     "WHEN ces >= greatest(cde, cen) THEN 'es' " +
     "WHEN cen >= cde THEN 'en' ELSE 'de' END"
+
+  /** Brute-force exact top-5 cosine ranks over the planted-vector fixture
+    * (clusters 0 and 1 as queries) — the shared oracle for both ANN paths. */
+  private def plantedTopKOracle: String =
+    "WITH v AS (" + graft.ext.Fixtures.plantedVectorsSql() + ") " +
+      "SELECT qid, nid, rank FROM (" +
+      "SELECT q.vec_id AS qid, c.vec_id AS nid, " +
+      "ROW_NUMBER() OVER (PARTITION BY q.vec_id " +
+      "ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank " +
+      "FROM v q JOIN v c ON c.vec_id != q.vec_id " +
+      "WHERE q.vec_id < 12) t WHERE rank <= 5 ORDER BY qid, rank"
 
   /** Exact O(n^2) word-3-gram Jaccard oracle (DuckDB list comprehension);
     * the engine side reaches the same pairs via inverted-index / LSH. */

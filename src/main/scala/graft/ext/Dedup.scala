@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Pipeline-scoped cache lifecycle for the pair-level entry points: the
+    * session-scoped persists they plant (shingle sets, inverted indexes,
+    * banded signatures) are the right default for batch jobs — the caller
+    * may verify/cluster off the same intermediates — but a long-lived
+    * service calling pair ops per request would accumulate cache blocks
+    * until `clearCache()`. With `eager = true` the result is materialized
+    * (localCheckpoint — also cuts the lineage) and every internal persist
+    * is released before returning: nothing outlives the call. */
+  private[ext] def finishEager(out: DataFrame, eager: Boolean,
+      caches: Seq[DataFrame]): DataFrame =
+    if (!eager) out
+    else {
+      val mat = out.localCheckpoint(true)
+      caches.foreach(_.unpersist())
+      mat
+    }
+
   /** Exact dedup on normalized content (first occurrence by idCol kept
     * deterministic via min). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -61,14 +78,14 @@ object Dedup {
     * shingle survives. `maxDf = None` restores exhaustive recall. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
-      maxDf: Option[Long] = Some(1000L)): DataFrame = {
+      maxDf: Option[Long] = Some(1000L), eager: Boolean = false): DataFrame = {
     val sh = shingleSets(df, idCol, textCol, n)
     // join on the 64-bit shingle hash: 8-byte shuffle keys instead of the
     // shingle text (collision odds ~|shingles|^2 / 2^65 — negligible)
     val inv0 = sh.select(col("id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("s0"))
       .select(col("id"), col("sz"), xxhash64(col("s0")).as("s"))
-    val (inv, hotCorrection) = splitHot(inv0, "s", maxDf)
+    val (inv, hotCorrection, invCaches) = splitHot(inv0, "s", maxDf)
     // the 1e-9 slack keeps t*|B| from rounding UP past the true value
     // (9 >= 10*0.9 must hold despite 10*0.9 == 9.000000000000002)
     val eps = lit(1e-9)
@@ -79,11 +96,12 @@ object Dedup {
       .groupBy(col("a.id").as("i"), col("b.id").as("j"))
       .agg(count(lit(1)).as("inter_cold"),
         first(col("a.sz")).as("sz_i"), first(col("b.sz")).as("sz_j"))
-    hotCorrection(shared)
+    val out = hotCorrection(shared)
       .withColumn("jac", col("inter").cast("double") /
         (col("sz_i") + col("sz_j") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), col("jac"))
+    finishEager(out, eager, sh +: invCaches)
   }
 
   /** The df-cap machinery shared by the inverted-index pair pipelines.
@@ -92,12 +110,14 @@ object Dedup {
     * boilerplate — JOINING on them is quadratic, but each document holds
     * only a handful, so they ride along as a small per-doc array and the
     * exact shared count is restored per candidate pair by intersecting
-    * those arrays). Returns the cold index plus a function adding the
-    * exact `inter` column to a (i, j, inter_cold) pair frame. */
+    * those arrays). Returns the cold index, a function adding the exact
+    * `inter` column to a (i, j, inter_cold) pair frame, and the persisted
+    * frames it planted (for eager-lifecycle release). */
   private[ext] def splitHot(inv0: DataFrame, key: String,
-      maxDf: Option[Long]): (DataFrame, DataFrame => DataFrame) = maxDf match {
+      maxDf: Option[Long]): (DataFrame, DataFrame => DataFrame, Seq[DataFrame]) =
+  maxDf match {
     case None =>
-      (inv0, _.withColumn("inter", col("inter_cold")))
+      (inv0, _.withColumn("inter", col("inter_cold")), Nil)
     case Some(cap) =>
       // three consumers (df counts, cold anti-join, hot sets): persist the
       // exploded index instead of recomputing the explode+hash per use.
@@ -119,7 +139,7 @@ object Dedup {
         .withColumn("inter", col("inter_cold") +
           size(array_intersect(coalesce(col("hot_i"), empty),
             coalesce(col("hot_j"), empty))))
-      (cold, correct)
+      (cold, correct, Seq(inv))
   }
 
   /** MinHash signature: min over shingle hashes per permutation — native
@@ -135,7 +155,7 @@ object Dedup {
     * is 1-(1-t^r)^b (e.g. b=32, r=4: >0.9999 at t=0.8). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, eager: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sh = shingleSets(df, idCol, textCol, n)
@@ -151,7 +171,7 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
-    verifyJaccard(cands, sh, threshold)
+    finishEager(verifyJaccard(cands, sh, threshold), eager, Seq(sh, banded))
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprint per doc, candidate
@@ -188,7 +208,7 @@ object Dedup {
     * exact-Jaccard verify define the result set. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxHamming: Int = 24, threshold: Double = 0.9,
-      minhashAssistMaxShingles: Int = 512): DataFrame = {
+      minhashAssistMaxShingles: Int = 512, eager: Boolean = false): DataFrame = {
     val sh = shingleSets(df, idCol, textCol, n)
     val keyed = simhashKeys(sh, minhashAssistMaxShingles)
     // Hamming filter BEFORE the distinct: the per-row bit_count is cheaper
@@ -196,7 +216,7 @@ object Dedup {
     val cands = simhashJoined(keyed)
       .filter(bit_count(col("fp_i").bitwiseXOR(col("fp_j"))) <= maxHamming)
       .select(col("i"), col("j")).distinct()
-    verifyJaccard(cands, sh, threshold)
+    finishEager(verifyJaccard(cands, sh, threshold), eager, Seq(sh, keyed))
   }
 
   /** Banding keys for simhashPairs: (id, fp, t, v) with t the table id and
@@ -274,8 +294,8 @@ object Dedup {
   /** Embedding near-dup pairs: cosine >= threshold via sign-LSH bucketing
     * + exact rerank (delegates candidate generation to Similarity). */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame =
-    Similarity.cosinePairsLsh(df, idCol, vecCol, threshold)
+      threshold: Double, eager: Boolean = false): DataFrame =
+    Similarity.cosinePairsLsh(df, idCol, vecCol, threshold, eager = eager)
 
   /** Connected components over near-dup pairs: every pair member gets its
     * component's minimum id as `label` — the cluster-resolution step that

@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic planted fixtures for conformance-gating the approximate
+  * operators (ANN, winnowing) whose quality CANNOT be oracle-gated on the
+  * natural testdata: the `embeddings` table is pure noise (no near
+  * neighbors to recall), and winnow fingerprints are engine-native hashes
+  * with no DuckDB counterpart. Both fixtures are pure functions of
+  * `range(n)` built from engine-portable primitives (integer arithmetic,
+  * md5), so the DuckDB oracle reconstructs the SAME input with a CTE and
+  * gates the operator's OUTPUT exactly — rank-vs-brute-force for ANN, the
+  * shared-run guarantee for winnowing.
+  */
+object Fixtures {
+
+  /** Planted vector clusters: `nClusters * members` unit-ish vectors,
+    * cluster c of vector `id` = id / members occupying basis dims
+    * {c, c + nClusters} — so distinct clusters are exactly orthogonal
+    * (cosine 0) while members of one cluster differ only in a small
+    * perturbation eps * 2^(id % members) on the second dim.
+    *
+    * Geometry (why ranks are oracle-safe): for members with perturbation
+    * magnitudes p, q, cos ~= 1 - (p - q)^2 / 2, so each member's neighbor
+    * ranking is by |p - q| ascending. The magnitudes are eps-scaled
+    * DISTINCT powers of two, whose pairwise differences are all distinct
+    * (unique binary representation) — no ties, and adjacent cosine values
+    * are separated by >= ~3*eps^2/2 (6e-6 at the default eps), orders of
+    * magnitude above both engines' float error. Cross-cluster cosine is
+    * exactly 0, so top-(members-1) is always the own cluster.
+    *
+    * Max intra-cluster angle at eps=0.002 is atan(0.064) ~ 3.5 degrees:
+    * near-identical directions, so sign-LSH buckets and IVF coarse lists
+    * keep clusters together and approximate top-k == exact top-k — which
+    * is precisely the gateable property. */
+  def plantedVectors(spark: SparkSession, nClusters: Int = 10,
+      members: Int = 6, dim: Int = 64, eps: Double = 0.002): DataFrame = {
+    require(dim >= 2 * nClusters, "need dim >= 2*nClusters for disjoint support")
+    spark.range(nClusters.toLong * members).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), i => {
+        val c = expr(s"id div $members")
+        val mag = lit(eps) * pow(lit(2.0), (col("id") % members).cast("double"))
+        when(i === c, lit(1.0))
+          .when(i === c + nClusters, mag)
+          .otherwise(lit(0.0))
+      }).cast("array<float>").as("embedding"))
+  }
+
+  /** DuckDB CTE reconstructing plantedVectors (same defaults). */
+  def plantedVectorsSql(nClusters: Int = 10, members: Int = 6,
+      dim: Int = 64, eps: Double = 0.002): String =
+    s"SELECT id AS vec_id, [CAST(CASE WHEN i = (id // $members) THEN 1.0 " +
+      s"WHEN i = (id // $members) + $nClusters " +
+      s"THEN $eps * power(2.0, CAST(id % $members AS DOUBLE)) " +
+      s"ELSE 0.0 END AS REAL) for i in range(0, $dim)] AS embedding " +
+      s"FROM range(0, ${nClusters * members}) t(id)"
+
+  /** Planted shared-run documents for the winnowing containment gate:
+    * `nDocs` docs of `nWords` md5-derived filler words (unique per
+    * (doc, slot) — no accidental cross-doc n-grams), except docs
+    * [nDocs/2, nDocs/2 + nPairs) which embed words [runFrom, runFrom+runLen)
+    * copied verbatim from partner doc (id - nDocs/2) positions
+    * [srcFrom, srcFrom+runLen).
+    *
+    * Result: the pairs sharing ANY word 3-gram are EXACTLY the planted
+    * (i, i + nDocs/2) pairs, each sharing a runLen-word run. With
+    * runLen >= w + k - 1 the Schleimer'03 winnowing guarantee makes every
+    * such pair share >= 1 fingerprint, and no other pair shares even a
+    * k-gram — so "pairs sharing >= 1 winnow fingerprint" must equal the
+    * DuckDB-computable "pairs sharing >= 1 word k-gram". */
+  def plantedRunDocs(spark: SparkSession, nDocs: Int = 40, nWords: Int = 30,
+      nPairs: Int = 10, runFrom: Int = 10, runLen: Int = 15,
+      srcFrom: Int = 5): DataFrame = {
+    val half = nDocs / 2
+    require(nPairs <= half && runFrom + runLen <= nWords &&
+      srcFrom + runLen <= nWords, "planted run out of bounds")
+    spark.range(nDocs.toLong).select(
+      col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(nWords - 1)), j => {
+        val inRun = col("id") >= half && col("id") < half + nPairs &&
+          j >= runFrom && j < runFrom + runLen
+        val si = when(inRun, col("id") - half).otherwise(col("id"))
+        val sj = when(inRun, j - (runFrom - srcFrom)).otherwise(j)
+        substring(md5(concat(si.cast("string"), lit(":"), sj.cast("string"))),
+          1, 8)
+      }), " ").as("text"))
+  }
+
+  /** DuckDB CTE reconstructing plantedRunDocs (same defaults) as
+    * (doc_id, words LIST(VARCHAR)). */
+  def plantedRunDocsSql(nDocs: Int = 40, nWords: Int = 30, nPairs: Int = 10,
+      runFrom: Int = 10, runLen: Int = 15, srcFrom: Int = 5): String = {
+    val half = nDocs / 2
+    s"SELECT id AS doc_id, [CASE WHEN id >= $half AND id < ${half + nPairs} " +
+      s"AND j >= $runFrom AND j < ${runFrom + runLen} " +
+      s"THEN substr(md5(CAST(id - $half AS VARCHAR) || ':' || " +
+      s"CAST(j - ${runFrom - srcFrom} AS VARCHAR)), 1, 8) " +
+      s"ELSE substr(md5(CAST(id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8) " +
+      s"END for j in range(0, $nWords)] AS words " +
+      s"FROM range(0, $nDocs) t(id)"
+  }
+}

@@ -124,9 +124,13 @@ object Ivf {
     val cs = assign(corpus, idCol, vecCol, centroids, 1, "nid", "nv")
     val qs = broadcast(assign(queries, idCol, vecCol, centroids, nprobe,
       "qid", "qv"))
+    // id-keyed candidate dedup (see Similarity.lshTopK): 16-byte grouping
+    // keys, vectors ride as first() buffers — same result as distinct(),
+    // far cheaper hashing
     val cands = cs.join(qs, "cid")
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("qv"), col("nid"), col("nv")).distinct()
+      .groupBy(col("qid"), col("nid"))
+      .agg(first(col("qv")).as("qv"), first(col("nv")).as("nv"))
     val scored = cands.withColumn("cos", Similarity.cosine(col("qv"), col("nv")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))

@@ -63,9 +63,15 @@ object Similarity {
     val qs = broadcast(withSigs(
       queries.select(col(idCol).as("qid"), col(vecCol).as("qv")),
       "qid", "qv", tables, bits, dim, seed))
+    // dedup candidates on the ID pair, not the full rows: grouping keys are
+    // 16 bytes instead of two 64-float vectors, so the map-side combine
+    // hashes/compares cheaply and the vectors ride as first() buffers
+    // (identical per pair — first() is deterministic), collapsing before
+    // the shuffle write exactly like distinct() but ~16x cheaper per row
     val cands = cs.join(qs, Seq("t", "sig"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("qv"), col("nid"), col("nv")).distinct()
+      .groupBy(col("qid"), col("nid"))
+      .agg(first(col("qv")).as("qv"), first(col("nv")).as("nv"))
     val scored = cands.withColumn("cos", cosine(col("qv"), col("nv")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
@@ -110,19 +116,24 @@ object Similarity {
     * signature in any table are candidates; exact rerank filters. */
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, tables: Int = 8, bits: Int = 12, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, eager: Boolean = false): DataFrame = {
     // persisted: the self-join below would otherwise recompute signatures
     // for both sides (signatures are tiny relative to the corpus)
     val sigs = withSigs(df.select(col(idCol).as("id"), col(vecCol).as("v")),
       "id", "v", tables, bits, dim, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.as("a").join(sigs.as("b"),
+    val out = sigs.as("a").join(sigs.as("b"),
         col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("a.v").as("vi"),
-        col("b.id").as("j"), col("b.v").as("vj")).distinct()
+        col("b.id").as("j"), col("b.v").as("vj"))
+      // id-keyed dedup (see lshTopK): same collapse as distinct(), without
+      // hashing the vectors as grouping keys
+      .groupBy(col("i"), col("j"))
+      .agg(first(col("vi")).as("vi"), first(col("vj")).as("vj"))
       .withColumn("cos", cosine(col("vi"), col("vj")))
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), col("cos"))
+    Dedup.finishEager(out, eager, Seq(sigs))
   }
 }

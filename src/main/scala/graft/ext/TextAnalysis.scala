@@ -113,9 +113,8 @@ object TextAnalysis {
     * (row_number with k pushed down — WindowGroupLimit prunes to k rows
     * per doc map-side). Nothing is ever all-pairs or collected. */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, eager: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nDocs = df.count() // bounded driver scalar (one long), not data
     val tok = df.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
     // two consumers (scores, document frequencies) — persist rather than
@@ -124,17 +123,26 @@ object TextAnalysis {
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // corpus size derived IN-PLAN from the already-persisted tf (distinct
+    // doc ids), broadcast as a 1-row frame — not a separate df.count() job,
+    // which would pay a whole extra corpus scan at 100 TB. (Every doc emits
+    // >= 1 term row — split(" ") of even an empty string yields [""] — so
+    // the distinct-doc count equals the row count of non-null-text docs.)
+    val nDocs = broadcast(tf.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("__n_docs")))
     val byDoc = Window.partitionBy(col("doc_id"))
-    tf.join(dfreq, "term")
+    val out = tf.join(dfreq, "term")
+      .crossJoin(nDocs)
       .withColumn("len", sum(col("cnt")).over(byDoc))
       .withColumn("score",
         (col("cnt").cast("double") / col("len")) *
-          (lit(nDocs).cast("double") / col("df")))
+          (col("__n_docs").cast("double") / col("df")))
       .withColumn("rank", row_number().over(
         byDoc.orderBy(col("score").desc, col("term"))))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank").cast("long").as("rank"),
         col("term"), round(col("score"), 6).as("score"))
+    Dedup.finishEager(out, eager, Seq(tf))
   }
 
   /** Containment pairs via the winnowing inverted index: fraction of a's
@@ -150,7 +158,8 @@ object TextAnalysis {
     * when EVERY fingerprint it shares is corpus-hot. */
   def containmentPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int = 3, w: Int = 4, threshold: Double = 0.8,
-      maxDf: Option[Long] = Some(1000L)): org.apache.spark.sql.DataFrame = {
+      maxDf: Option[Long] = Some(1000L),
+      eager: Boolean = false): org.apache.spark.sql.DataFrame = {
     val fp = df.select(col(idCol).as("id"),
       winnowFingerprints(col(textCol), k, w).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -161,16 +170,17 @@ object TextAnalysis {
     // tiny quoted doc legitimately pairs with a huge one)
     val inv0 = fp.select(col("id"), size(col("fp")).as("sz"),
       explode(col("fp")).as("h"))
-    val (inv, hotCorrection) = Dedup.splitHot(inv0, "h", maxDf)
+    val (inv, hotCorrection, invCaches) = Dedup.splitHot(inv0, "h", maxDf)
     val shared = inv.as("a").join(inv.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("i"), col("b.id").as("j"))
       .agg(count(lit(1)).as("inter_cold"),
         first(col("a.sz")).as("sz_i"), first(col("b.sz")).as("sz_j"))
-    hotCorrection(shared)
+    val out = hotCorrection(shared)
       .withColumn("containment_i", col("inter").cast("double") / col("sz_i"))
       .withColumn("containment_j", col("inter").cast("double") / col("sz_j"))
       .filter(col("containment_i") >= threshold || col("containment_j") >= threshold)
       .select(col("i"), col("j"), col("containment_i"), col("containment_j"))
+    Dedup.finishEager(out, eager, fp +: invCaches)
   }
 }

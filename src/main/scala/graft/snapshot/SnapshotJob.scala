@@ -30,11 +30,21 @@ object SnapshotJob {
     * date is passed as the last argv (S2, OLAP.php:73-79,344-348). */
   final case class ScriptSource(command: String) extends Source
   /** Live-RDBMS source (S1): the configured SQL runs on the remote database
-    * through the JDBC pushdown reader (`query` option), exactly the
-    * reference's read-only production-DB role. `props` carries driver,
-    * user, password, partitioning options etc. */
+    * through the JDBC reader, exactly the reference's read-only
+    * production-DB role (OLAP.php:81-89). `props` carries driver, user,
+    * password etc.
+    *
+    * Parallel reads (the 100 TB snapshot path — a single-stream JDBC pull
+    * is the one serialization point a nightly production snapshot cannot
+    * afford): either set `partitionColumn`/`lowerBound`/`upperBound`/
+    * `numPartitions` in `props` (the query is wrapped as a `dbtable`
+    * subselect, since Spark forbids `query` + `partitionColumn`), or pass
+    * explicit `predicates` — one WHERE clause per partition, for
+    * non-numeric or skewed split keys. Plain single-stream `query`
+    * pushdown remains the default when neither is given. */
   final case class JdbcSource(url: String, sql: String,
-      props: Map[String, String] = Map.empty) extends Source
+      props: Map[String, String] = Map.empty,
+      predicates: Seq[String] = Nil) extends Source
   /** Distributed script source: the command runs on EXECUTORS, one process
     * per shard (the 100 TB analog of S2's single driver-side exec). Shard
     * contract: the command receives the pivot date as argv and its shard
@@ -83,12 +93,29 @@ object SnapshotJob {
     promoteDateStrings(spark.read.json(spark.createDataset(lines)))
   }
 
-  /** Run a JdbcSource: pushdown `query` on the remote database. */
+  /** Run a JdbcSource: pushdown on the remote database — single-stream
+    * `query`, range-partitioned `dbtable` subselect, or explicit
+    * per-partition predicates (see JdbcSource). */
   def runJdbc(spark: SparkSession, src: JdbcSource, pivot: LocalDate): DataFrame = {
-    val reader = spark.read.format("jdbc")
-      .option("url", src.url)
-      .option("query", substitute(src.sql, pivot))
-    src.props.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }.load()
+    val sql = substitute(src.sql, pivot)
+    if (src.predicates.nonEmpty) {
+      // one remote cursor per predicate; rows must partition the result
+      // set (disjoint + covering), which is the caller's contract
+      val props = new java.util.Properties()
+      src.props.foreach { case (k, v) => props.setProperty(k, v) }
+      spark.read.jdbc(src.url, s"($sql) graft_src", src.predicates.toArray, props)
+    } else {
+      val reader = spark.read.format("jdbc")
+        .option("url", src.url)
+      val keyed =
+        if (src.props.contains("partitionColumn"))
+          // Spark rejects `query` combined with partitionColumn — wrap the
+          // configured SQL as a derived-table `dbtable` instead, so the
+          // remote read fans out over numPartitions range slices
+          reader.option("dbtable", s"($sql) graft_src")
+        else reader.option("query", sql)
+      src.props.foldLeft(keyed) { case (r, (k, v)) => r.option(k, v) }.load()
+    }
   }
 
   /** Parse a JSON array-of-objects string into a DataFrame, then promote

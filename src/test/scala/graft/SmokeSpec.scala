@@ -13,13 +13,12 @@ class SmokeSpec extends SparkTestBase {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
-    // x_sim_lsh/x_sim_ivf: testdata embeddings are noise -> rank oracle
-    // impossible by construction (quality spec-gated on planted clusters);
-    // x_text_fingerprint/x_text_winnow: engine-native xxhash64 values are
-    // not reproducible in DuckDB SQL
+    // every query is oracle-gated since round 6: the former rows-only set
+    // (x_sim_lsh, x_sim_ivf, x_text_fingerprint, x_text_winnow) is now
+    // gated via deterministic planted fixtures (graft.ext.Fixtures) whose
+    // DuckDB CTEs rebuild the same input and check the operator's output
     val rowsOnly = q -- o
-    assert(rowsOnly == Set("x_sim_lsh", "x_sim_ivf", "x_text_fingerprint",
-      "x_text_winnow"), s"unexpected rows-only set: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only set: $rowsOnly")
   }
 
   test("result column names match the oracle SQL aliases") {

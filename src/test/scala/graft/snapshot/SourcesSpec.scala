@@ -38,6 +38,49 @@ class SourcesSpec extends SparkTestBase {
     assert(wh.read("loans").get.count() == 2)
   }
 
+  test("JDBC source: range-partitioned parallel read (dbtable subselect)") {
+    val url = "jdbc:derby:memory:graftdb_part;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE loans (patron_id INT, amount DOUBLE, loan_date DATE)")
+    (1 to 20).foreach(i =>
+      st.execute(s"INSERT INTO loans VALUES ($i, ${i * 1.5}, '2024-01-10')"))
+    conn.close()
+
+    val single = SnapshotJob.runJdbc(spark, SnapshotJob.JdbcSource(url,
+      "SELECT patron_id, amount FROM loans WHERE loan_date <= @date"),
+      LocalDate.parse("2024-01-15"))
+    // Derby stores unquoted identifiers uppercase; Spark quotes the
+    // partition column verbatim in its generated WHERE clauses, so the
+    // configured name must match the stored case
+    val part = SnapshotJob.runJdbc(spark, SnapshotJob.JdbcSource(url,
+      "SELECT patron_id, amount FROM loans WHERE loan_date <= @date",
+      props = Map("partitionColumn" -> "PATRON_ID", "lowerBound" -> "1",
+        "upperBound" -> "21", "numPartitions" -> "4")),
+      LocalDate.parse("2024-01-15"))
+    assert(part.rdd.getNumPartitions > 1) // genuinely parallel remote read
+    assert(part.count() == 20)
+    // identical rows to the single-stream read
+    assert(part.except(single).isEmpty && single.except(part).isEmpty)
+  }
+
+  test("JDBC source: explicit per-partition predicates") {
+    val url = "jdbc:derby:memory:graftdb_pred;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE loans (patron_id INT, amount DOUBLE)")
+    (1 to 10).foreach(i => st.execute(s"INSERT INTO loans VALUES ($i, $i)"))
+    conn.close()
+
+    val df = SnapshotJob.runJdbc(spark, SnapshotJob.JdbcSource(url,
+      "SELECT patron_id, amount FROM loans",
+      predicates = Seq("PATRON_ID <= 5", "PATRON_ID > 5")),
+      LocalDate.parse("2024-01-15"))
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.count() == 10)
+    assert(df.agg(sum("amount")).as[Double].collect()(0) == 55.0)
+  }
+
   test("distributed pipe source: shard-per-executor-process JSON-lines") {
     val script = java.nio.file.Files.createTempFile("shard", ".sh")
     java.nio.file.Files.writeString(script,
