@@ -3,12 +3,18 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scaling evidence for the dedup path (BASELINE.md): replicate the
-  * documents corpus K times with distinct ids (near-dup structure is
-  * preserved and multiplied), run MinHash+LSH end-to-end, report wall
-  * time and pair counts. At K=10 over sf0.1 that is 50k docs — 1.25
-  * billion candidate pairs for the O(n^2) formulation, impossible for the
-  * oracle, linear work here.
+/** Scaling evidence for the dedup + text-analysis paths (BASELINE.md):
+  * replicate the documents corpus K times with distinct ids (near-dup
+  * structure is preserved and multiplied), run each operator end-to-end,
+  * report wall time and output counts. At K=10 over sf0.1 that is 50k
+  * docs — 1.25 billion candidate pairs for the O(n^2) formulation,
+  * impossible for the oracle, linear work here.
+  *
+  * Round-6 additions: tfidfTopK (WindowGroupLimit must keep the rank
+  * stage pair-bounded at 10x the corpus) and Profile.columns in both
+  * exact-countDistinct and approxDistinct (HLL++) form — the measured
+  * crossover between the exact expand and the sketch is the number
+  * BASELINE.md cites for the 100 TB recommendation.
   *
   * `runMain graft.tools.ScaleDemo [K]`
   */
@@ -52,6 +58,16 @@ object ScaleDemo {
     timed("ngram") {
       graft.ext.Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
         n = 3, threshold = 0.8).count()
+    }
+    timed("tfidf_topk") {
+      graft.ext.TextAnalysis.tfidfTopK(corpus, "doc_id", "text", k = 3).count()
+    }
+    timed("profile_exact") {
+      graft.ext.Profile.columns(corpus, Seq("doc_id", "text")).count()
+    }
+    timed("profile_approx") {
+      graft.ext.Profile.columns(corpus, Seq("doc_id", "text"),
+        approxDistinct = true).count()
     }
     spark.stop()
   }
