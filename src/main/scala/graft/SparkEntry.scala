@@ -468,6 +468,27 @@ object SparkEntry {
       .select(col("event_type"), col("v").cast("double").as("value"))
       .orderBy(col("event_type"))),
 
+    // Co-located join over bucketed tables: both sides written bucketed
+    // (and sorted) on the join key, so the join itself plans with ZERO
+    // exchange — the write-time shuffle is paid once, every subsequent
+    // join on the key is free (BucketingSpec asserts the plan shape;
+    // this gate proves value parity with the plain join)
+    "x_bucket_join" -> ((s, d) => {
+      val dir = TempDirs.scratchDir("graft_bucket").toString
+      val o = ord(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = Tables.load(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      graft.ext.Bucketing.writeBucketed(o, "gb_orders", s"$dir/orders",
+        Seq("o_custkey"), buckets = 8, sortCols = Seq("o_custkey"))
+      graft.ext.Bucketing.writeBucketed(c, "gb_customer", s"$dir/customer",
+        Seq("c_custkey"), buckets = 8, sortCols = Seq("c_custkey"))
+      val bo = graft.ext.Bucketing.read(s, "gb_orders")
+      val bc = graft.ext.Bucketing.read(s, "gb_customer")
+      bo.join(bc, bo("o_custkey") === bc("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(countAll.as("n"), moneySum("o_totalprice").as("total"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // ---------------- dedup family ----------------
 
     "x_dedup_exact" -> ((s, d) => {
@@ -551,6 +572,18 @@ object SparkEntry {
         .select(col("grp").as("label"), col("dim"), col("c"))
         .orderBy(col("label"), col("dim"))),
 
+    // int8 scalar quantization of the embedding corpus (the ANN memory/IO
+    // compression step): codes are a pure double-precision function of
+    // per-dim global min/max, so DuckDB replays them bit-identically;
+    // gated on the per-dim code checksum (sum/min/max over 10k codes/dim)
+    "x_embed_quant" -> ((s, d) =>
+      graft.ext.Quantize.int8Codes(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding")
+        .groupBy(col("dim"))
+        .agg(sum(col("code")).as("code_sum"), min(col("code")).as("code_min"),
+          max(col("code")).as("code_max"))
+        .orderBy(col("dim"))),
+
     // ---------------- text analysis ----------------
 
     // Corpus-level term salience: top-3 TF-IDF keywords per document
@@ -605,6 +638,25 @@ object SparkEntry {
         graft.ext.Fixtures.plantedRunDocs(s), "doc_id", "text", threshold = 0.0)
         .select(col("i"), col("j"))
         .orderBy(col("i"), col("j"))),
+
+    // PII / identifier redaction over the corpus with planted PII (the
+    // natural testdata is [a-z0-9 ] soup, so URLs/emails/id runs are
+    // spiked in-query, deterministically per doc_id — both engines build
+    // the identical input and must produce the identical scrubbed text)
+    "x_text_redact" -> ((s, d) => {
+      val spiked = Tables.load(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, concat(lit(" contact user"),
+            col("doc_id"), lit("@mail.example.org soon")))
+          .when(col("doc_id") % 5 === 1, concat(lit(" see https://site.example/p/"),
+            col("doc_id"), lit("?q=1 now")))
+          .when(col("doc_id") % 5 === 2, concat(lit(" ref 10000000"),
+            col("doc_id"), lit(" end")))
+          .otherwise(lit(""))).as("text"))
+      spiked.select(col("doc_id"),
+        graft.ext.TextAnalysis.redact(col("text")).as("red"))
+        .orderBy(col("doc_id"))
+    }),
 
     // Curation: top-k documents per group (the "best docs per domain"
     // selection pattern) — one shuffle on the group key, rank inside
@@ -818,6 +870,10 @@ object SparkEntry {
     "x_split" -> ("SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' " +
       "WHEN doc_id % 10 < 9 THEN 'val' ELSE 'test' END AS split, COUNT(*) AS n " +
       "FROM documents GROUP BY 1 ORDER BY 1"),
+    "x_bucket_join" -> ("SELECT c_mktsegment, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "GROUP BY 1 ORDER BY 1"),
     "x_dedup_exact" -> ("SELECT CAST(COUNT(DISTINCT regexp_replace(lower(text), '\\s+', ' ', 'g')) AS BIGINT) AS n_unique, " +
       "CAST(COUNT(*) AS BIGINT) AS total FROM documents"),
     "x_dedup_ngram" -> ngramOracle(0.5),
@@ -898,11 +954,32 @@ object SparkEntry {
       "FROM (SELECT doc_id, term, score, ROW_NUMBER() OVER " +
       "(PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s) t " +
       "WHERE rank <= 3 ORDER BY doc_id, rank"),
+    // same affine-code arithmetic: round(255*(v-lo)/(hi-lo)) over per-dim
+    // min/max — identical IEEE operands -> identical codes on both engines
+    "x_embed_quant" -> ("WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v, " +
+      "unnest(range(len(embedding))) AS dim FROM embeddings), " +
+      "cb AS (SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM e GROUP BY 1), " +
+      "c AS (SELECT e.dim, CASE WHEN hi = lo THEN 0 " +
+      "ELSE CAST(round(255 * (v - lo) / (hi - lo)) AS INT) END AS code " +
+      "FROM e JOIN cb USING (dim)) " +
+      "SELECT CAST(dim AS BIGINT) AS dim, CAST(SUM(code) AS BIGINT) AS code_sum, " +
+      "MIN(code) AS code_min, MAX(code) AS code_max FROM c GROUP BY 1 ORDER BY 1"),
     "x_stream_dedup" -> ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n " +
       "FROM (SELECT DISTINCT user_id, event_type FROM events) t " +
       "GROUP BY 1 ORDER BY 1"),
     "x_text_tokens" -> ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
       "FROM documents ORDER BY doc_id"),
+    // identical spike construction + the same RE2 regex chain (URL ->
+    // email -> long digit run), replayed verbatim
+    "x_text_redact" -> ("WITH s AS (SELECT doc_id, text || " +
+      "CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.org soon' " +
+      "WHEN doc_id % 5 = 1 THEN ' see https://site.example/p/' || CAST(doc_id AS VARCHAR) || '?q=1 now' " +
+      "WHEN doc_id % 5 = 2 THEN ' ref 10000000' || CAST(doc_id AS VARCHAR) || ' end' " +
+      "ELSE '' END AS text FROM documents) " +
+      "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, " +
+      "'https?://[^\\s]+', '<URL>', 'g'), " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+      "'\\d{6,}', '<NUM>', 'g') AS red FROM s ORDER BY doc_id"),
     // language-ID heuristic replicated exactly: per-language function-word
     // hit counts, argmax with ties to the lexicographically greatest lang
     "x_text_langid" -> (s"WITH c AS (SELECT $langCountColsSql FROM documents), " +

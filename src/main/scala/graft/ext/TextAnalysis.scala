@@ -84,6 +84,23 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(text), "\\s+", " "))
 
+  /** PII / identifier redaction — the standard pre-training scrub: URLs,
+    * then emails, then long digit runs (phone numbers, account ids)
+    * replaced with placeholder tokens. A chain of codegen'd
+    * regexp_replace calls, per-row and shuffle-free; the patterns are
+    * RE2-compatible so an engine-independent oracle can replay them
+    * verbatim. URL first: an email-shaped userinfo inside a URL must be
+    * swallowed by the URL token, not split in two. `\d{6,}` deliberately
+    * spares short numbers (years, quantities) — six consecutive digits is
+    * where identifiers start and natural text stops. */
+  def redact(text: Column, urlToken: String = "<URL>",
+      emailToken: String = "<EMAIL>", numToken: String = "<NUM>"): Column = {
+    val url = regexp_replace(text, "https?://[^\\s]+", urlToken)
+    val mail = regexp_replace(url,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", emailToken)
+    regexp_replace(mail, "\\d{6,}", numToken)
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003, "Winnowing:
     * local algorithms for document fingerprinting"): hash every word
     * k-gram, slide a window of `w` consecutive hashes, keep the window

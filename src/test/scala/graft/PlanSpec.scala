@@ -83,4 +83,41 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges == 1, s"expected exactly 1 shuffle, saw $exchanges:\n$p")
     assert(p.contains("partial_"), "missing map-side partial aggregation")
   }
+
+  test("tfidfTopK: WindowGroupLimit prunes the rank window; no extra job") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val df = ext.TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 3)
+    val p = plan(df)
+    // the k filter must reach the window operator (map-side top-k per doc,
+    // not rank-everything-then-filter)
+    assert(p.contains("WindowGroupLimit"),
+      s"rank window not WindowGroupLimit-pruned:\n$p")
+    // n_docs comes from the persisted tf in-plan (broadcast 1-row frame),
+    // never a separate count() job — the plan itself proves it: building
+    // the DataFrame launched no Spark job at all
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "in-plan corpus-size broadcast missing")
+    spark.catalog.clearCache()
+  }
+
+  test("lshTopK: candidate dedup groups on ids, never a cartesian product") {
+    val emb = ext.Fixtures.plantedVectors(spark)
+    val p = plan(ext.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 12),
+      "vec_id", "embedding", k = 5))
+    assert(!p.contains("CartesianProduct"),
+      "LSH candidate generation must be an equi-join on (table, signature)")
+    // the dedup aggregation keys are the id pair; vectors ride as first()
+    // aggregation buffers (16-byte grouping keys, not 2x64-float rows)
+    assert(p.contains("first("), s"vectors not riding as first() buffers:\n$p")
+  }
+
+  test("int8 quantization: codebook broadcasts back, codes never shuffle by id") {
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val p = plan(ext.Quantize.int8Codes(emb, "vec_id", "embedding"))
+    assert(p.contains("BroadcastHashJoin"),
+      "codebook must broadcast-join the exploded corpus")
+    assert(!p.contains("SortMergeJoin"),
+      "code computation must not shuffle the corpus by dim")
+    spark.catalog.clearCache()
+  }
 }

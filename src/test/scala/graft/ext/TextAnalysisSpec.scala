@@ -127,6 +127,26 @@ class TextAnalysisSpec extends SparkTestBase {
       (3L, 1L, "other", 1.5), (3L, 2L, "shared", 0.5)))
   }
 
+  test("redact: URL swallows embedded email; short numbers survive") {
+    val docs = Seq(
+      (1L, "mail me at bob.smith+x@corp.example.co today"),
+      (2L, "docs at https://user@site.example/a/b?id=9999999 here"),
+      (3L, "order 123 of 45 units ref 12345678 done"),
+      (4L, "plain text with no identifiers at all")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.redact(col("text")).as("red"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      // email token replaces the full address
+      (1L, "mail me at <EMAIL> today"),
+      // URL runs first: the email-shaped userinfo inside it must NOT
+      // split the URL into two tokens
+      (2L, "docs at <URL> here"),
+      // 3- and 2-digit numbers survive; the 8-digit id is scrubbed
+      (3L, "order 123 of 45 units ref <NUM> done"),
+      (4L, "plain text with no identifiers at all")))
+  }
+
   test("multimodal plumbing: schema + batched features") {
     val docs = Seq((1L, "abc", "en"), (2L, "abcabc", "de")).toDF("doc_id", "text", "lang")
     val media = Multimodal.asMedia(docs, "doc_id", "text", "lang")
