@@ -468,6 +468,20 @@ object SparkEntry {
       .select(col("event_type"), col("v").cast("double").as("value"))
       .orderBy(col("event_type"))),
 
+    // Skew-join salting: the large side salted uniformly, the small side
+    // replicated per salt, equi-join on (key, salt) — each hot key spreads
+    // over `salts` reducers. Semantics-gated: the salted join must be
+    // value-identical to the plain join (the salt cannot add or drop rows)
+    "x_skew_join" -> ((s, d) => {
+      val o = ord(s, d).select(col("o_custkey"), col("o_totalprice"))
+      val c = Tables.load(s, d, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.ext.Skew.saltedJoin(o, c, "o_custkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(countAll.as("n"), moneySum("o_totalprice").as("total"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Co-located join over bucketed tables: both sides written bucketed
     // (and sorted) on the join key, so the join itself plans with ZERO
     // exchange — the write-time shuffle is paid once, every subsequent
@@ -870,6 +884,10 @@ object SparkEntry {
     "x_split" -> ("SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' " +
       "WHEN doc_id % 10 < 9 THEN 'val' ELSE 'test' END AS split, COUNT(*) AS n " +
       "FROM documents GROUP BY 1 ORDER BY 1"),
+    "x_skew_join" -> ("SELECT c_mktsegment, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "GROUP BY 1 ORDER BY 1"),
     "x_bucket_join" -> ("SELECT c_mktsegment, COUNT(*) AS n, " +
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
       "FROM orders JOIN customer ON o_custkey = c_custkey " +
@@ -931,12 +949,15 @@ object SparkEntry {
       "SELECT a.doc_id i, b.doc_id j FROM sh a JOIN sh b " +
       "ON a.doc_id < b.doc_id AND len(list_intersect(a.s, b.s)) > 0 " +
       "ORDER BY 1, 2"),
-    // per-label centroids: identical quantize->decimal-sum->divide->round
-    // pipeline on both engines (unnest zips with range for the dim index)
+    // per-label centroids: identical quantize->decimal-sum->divide
+    // pipeline on both engines (unnest zips with range for the dim index).
+    // The quotient stays UNROUNDED: identical IEEE operands -> identical
+    // doubles, whereas a final ROUND(.,6) can land on a x.5 boundary
+    // where the engines' double-rounding diverges (seen at sf0.1)
     "x_embed_centroid" -> ("SELECT CAST(label AS BIGINT) AS label, " +
       "CAST(dim AS BIGINT) AS dim, " +
-      "ROUND(CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(28,6))) AS DOUBLE) " +
-      "/ COUNT(*), 6) AS c " +
+      "CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(28,6))) AS DOUBLE) " +
+      "/ COUNT(*) AS c " +
       "FROM (SELECT label, unnest(embedding) AS v, " +
       "unnest(range(len(embedding))) AS dim FROM embeddings) t " +
       "GROUP BY 1, 2 ORDER BY 1, 2"),

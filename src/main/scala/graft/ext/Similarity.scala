@@ -89,8 +89,13 @@ object Similarity {
     * DECIMAL (exact, partition-order-independent) — bit-reproducible
     * centroids across runs, partitionings, and engines (a float's value is
     * never exactly on a decimal rounding boundary — 5·10^-(p+1) is not a
-    * dyadic rational — so the per-element rounding is unambiguous). `None`
-    * sums raw doubles: no quantization error, but the last ulp depends on
+    * dyadic rational — so the per-element rounding is unambiguous). The
+    * mean itself is the UNROUNDED double `sum / count`: identical IEEE
+    * operands -> identical quotient everywhere, whereas re-rounding the
+    * quotient to p decimals can land exactly on a x.5 boundary where
+    * engines' double-rounding rules diverge (observed: one of 640
+    * components at sf0.1 differing in the 6th decimal). `None` sums raw
+    * doubles: no quantization error, but the last ulp depends on
     * partition order. Output: one row per (group, dim) with the centroid
     * component `c` — rows, not arrays, so downstream aggregates/joins
     * stay columnar; collect_list over dim re-assembles vectors if needed. */
@@ -104,8 +109,8 @@ object Similarity {
       case Some(p) =>
         val dec = org.apache.spark.sql.types.DecimalType(28, p)
         exploded.groupBy(col("grp"), col("dim"))
-          .agg(round(sum(round(col("v"), p).cast(dec)).cast("double") /
-            count(lit(1)), p).as("c"))
+          .agg((sum(round(col("v"), p).cast(dec)).cast("double") /
+            count(lit(1))).as("c"))
       case None =>
         exploded.groupBy(col("grp"), col("dim"))
           .agg(avg(col("v")).as("c"))
