@@ -393,6 +393,15 @@ object SparkEntry {
           name = "stream_dedup_out")
         .groupBy(col("event_type")).agg(countAll.as("n"))
         .orderBy(col("event_type"))),
+    // Stream-stream interval join (purchase/view attribution): both sides
+    // watermarked, state bounded by the time-range condition; result
+    // re-aggregated batch-side so the oracle compare is order-independent
+    "x_stream_join" -> ((s, d) =>
+      graft.streaming.EventStream.runPurchaseViewJoin(s, d,
+          name = "stream_join_out")
+        .agg(countAll.as("n_pairs"),
+          countDistinct(col("user_id"), col("p_ts")).as("n_purchases"),
+          sum(col("p_value").cast(D)).cast("double").as("total"))),
     // Sessionization (batch formulation; cross-checks the streaming state
     // machine): per-user event-time sessions with a 30-minute gap
     "x_sessions" -> ((s, d) =>
@@ -653,6 +662,14 @@ object SparkEntry {
         .select(col("i"), col("j"))
         .orderBy(col("i"), col("j"))),
 
+    // Overlapping token-window chunking (long docs -> context windows):
+    // per-row fan-out, chunk boundaries a pure integer function of the
+    // token count — DuckDB replays the slicing exactly
+    "x_text_chunk" -> ((s, d) =>
+      graft.ext.TextAnalysis.chunk(Tables.load(s, d, "documents"),
+        "doc_id", "text", chunkTokens = 40, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // PII / identifier redaction over the corpus with planted PII (the
     // natural testdata is [a-z0-9 ] soup, so URLs/emails/id runs are
     // spiked in-query, deterministically per doc_id — both engines build
@@ -859,6 +876,14 @@ object SparkEntry {
       "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v, " +
       "CAST(EXTRACT(YEAR FROM time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS year " +
       "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    // batch replay of the attribution join: view in [purchase-30min,
+    // purchase] per user; epoch_us keeps sub-ms timestamps distinct
+    "x_stream_join" -> ("SELECT COUNT(*) AS n_pairs, " +
+      "CAST(COUNT(DISTINCT p.user_id || ':' || CAST(epoch_us(p.ts) AS VARCHAR)) AS BIGINT) AS n_purchases, " +
+      "CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+      "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+      "JOIN (SELECT * FROM events WHERE event_type = 'view') v " +
+      "ON v.user_id = p.user_id AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts"),
     "x_sessions" -> ("WITH l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), " +
       "f AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR date_diff('millisecond', prev, ts) > 1800000 THEN 1 ELSE 0 END AS ns FROM l), " +
       "s AS (SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
@@ -990,6 +1015,16 @@ object SparkEntry {
       "GROUP BY 1 ORDER BY 1"),
     "x_text_tokens" -> ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
       "FROM documents ORDER BY doc_id"),
+    // same slicing arithmetic: stride 32, window 40, 1-based inclusive
+    // list slice with end clamping on both engines
+    "x_text_chunk" -> ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "n AS (SELECT doc_id, w, CASE WHEN len(w) <= 40 THEN 1 " +
+      "ELSE CAST(CEIL(CAST(len(w) - 40 AS DOUBLE) / 32) AS INT) + 1 END AS nc FROM t), " +
+      "c AS (SELECT doc_id, w, unnest(range(0, nc)) AS chunk_idx FROM n) " +
+      "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, " +
+      "array_to_string(w[chunk_idx*32+1 : chunk_idx*32+40], ' ') AS chunk, " +
+      "CAST(len(w[chunk_idx*32+1 : chunk_idx*32+40]) AS BIGINT) AS n_chunk_tokens " +
+      "FROM c ORDER BY doc_id, chunk_idx"),
     // identical spike construction + the same RE2 regex chain (URL ->
     // email -> long digit run), replayed verbatim
     "x_text_redact" -> ("WITH s AS (SELECT doc_id, text || " +

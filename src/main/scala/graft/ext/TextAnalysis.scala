@@ -162,6 +162,33 @@ object TextAnalysis {
     Dedup.finishEager(out, eager, Seq(tf))
   }
 
+  /** Overlapping token-window chunking — the standard long-document to
+    * context-window preprocessing step. With stride = chunkTokens -
+    * overlap, chunk i covers tokens [i*stride, i*stride + chunkTokens);
+    * a document of n tokens yields 1 + ceil((n - chunkTokens) / stride)
+    * chunks (always >= 1; the last chunk may be short). Pure per-row
+    * fan-out (sequence + slice inside codegen), no shuffle — the chunk
+    * count is data-proportional exactly like frame sampling.
+    * Output: (idCol, chunk_idx, chunk, n_chunk_tokens). */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nc = when(n <= chunkTokens, lit(1))
+      .otherwise(ceil((n - chunkTokens).cast("double") / stride).cast("int") + 1)
+    df.select(col(idCol), toks.as("__toks"),
+        explode(sequence(lit(0), nc - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkTokens))
+          .as("__ct"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(col("__ct"), " ").as("chunk"),
+        size(col("__ct")).cast("long").as("n_chunk_tokens"))
+  }
+
   /** Containment pairs via the winnowing inverted index: fraction of a's
     * fingerprints found in b (and vice versa) for every pair sharing at
     * least one fingerprint. `containment` is directional:

@@ -128,6 +128,49 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Watermarked stream-stream interval join — the attribution pattern:
+    * each purchase joined to the SAME user's views in the preceding
+    * `windowMinutes`. Both sides carry watermarks and the join condition
+    * bounds the event-time range, so each side's buffered state is
+    * evicted as soon as rows can no longer match (the unbounded-state
+    * stream-stream join is the other classic leak next to dropDuplicates).
+    * Inner join: matches emit as they form, no watermark wait. */
+  def purchaseViewJoin(purchases: DataFrame, views: DataFrame,
+      windowMinutes: Int = 30, watermarkDelay: String = "1 hour"): DataFrame = {
+    val p = purchases
+      .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", watermarkDelay)
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermarkDelay)
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("user_id"), col("p_ts"), col("p_value"), col("v_ts"))
+  }
+
+  /** Drive the purchase/view attribution join synchronously over the
+    * static events dir (two independent file-stream reads of the same
+    * table playing the two streams). */
+  def runPurchaseViewJoin(spark: SparkSession, sfDir: String,
+      windowMinutes: Int = 30, name: String = "pv_join_out",
+      statePartitions: Int = 8): DataFrame = {
+    withStatePartitions(spark, statePartitions) {
+      val purchases = readStream(spark, sfDir)
+        .filter(col("event_type") === "purchase")
+      val views = readStream(spark, sfDir)
+        .filter(col("event_type") === "view")
+      val q = purchaseViewJoin(purchases, views, windowMinutes)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(name)
+  }
+
   // ---------------- stateful processing (sessionization) ----------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)

@@ -127,6 +127,35 @@ class TextAnalysisSpec extends SparkTestBase {
       (3L, 1L, "other", 1.5), (3L, 2L, "shared", 0.5)))
   }
 
+  test("chunk: overlapping windows cover every token; short docs 1 chunk") {
+    // 10 tokens, window 4, overlap 1 (stride 3): chunks at 0,3,6,9 ->
+    // nc = 1 + ceil(6/3) = 3 covers tokens 0..9; wait: starts 0,3,6 cover
+    // 0..9 exactly (6+4=10) -> nc 3
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y"),
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(docs, "doc_id", "text",
+      chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, "a b c d", 4L), (1L, 1L, "d e f g", 4L), (1L, 2L, "g h i j", 4L),
+      (2L, 0L, "x y", 2L),
+      (3L, 0L, "p q r s", 4L), (3L, 1L, "s t", 2L)))
+    // coverage invariant on a bigger doc: concatenating chunks with the
+    // overlap removed reproduces the document
+    val doc = (1 to 97).map(i => s"w$i").mkString(" ")
+    val chunks = TextAnalysis.chunk(Seq((9L, doc)).toDF("doc_id", "text"),
+      "doc_id", "text", chunkTokens = 40, overlap = 8)
+      .orderBy("chunk_idx").as[(Long, Long, String, Long)].collect()
+    val rebuilt = chunks.zipWithIndex.flatMap { case ((_, _, c, _), i) =>
+      val toks = c.split(" ").toSeq
+      if (i == 0) toks else toks.drop(8)
+    }
+    assert(rebuilt.mkString(" ") == doc)
+  }
+
   test("redact: URL swallows embedded email; short numbers survive") {
     val docs = Seq(
       (1L, "mail me at bob.smith+x@corp.example.co today"),

@@ -64,6 +64,23 @@ class EventStreamSpec extends SparkTestBase {
     assert(deduped.toSet == batch)
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val streamed = EventStream.runPurchaseViewJoin(spark, sf("sf0.001"),
+      name = "pv_join_test")
+    val ev = graft.Tables.load(spark, sf("sf0.001"), "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"value".as("p_value"))
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"ts".as("v_ts"))
+    val batch = p.join(v,
+      $"user_id" === $"v_user" &&
+        $"v_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") &&
+        $"v_ts" <= $"p_ts")
+      .select($"user_id", $"p_ts", $"p_value", $"v_ts")
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("batch sessionization cross-checks the streaming state machine") {
     // streaming emits only closed/timed-out sessions; batch over static
     // data emits all. Invariant: streaming sessions are exactly the batch
