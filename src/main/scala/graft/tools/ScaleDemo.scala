@@ -69,6 +69,43 @@ object ScaleDemo {
       graft.ext.Profile.columns(corpus, Seq("doc_id", "text"),
         approxDistinct = true).count()
     }
+
+    // ---- streaming at Kx events: is state still bounded and throughput
+    // linear when the stream is 10x the conformance corpus? Replicate the
+    // events table K times with shifted users (state cardinality grows
+    // Kx — the stressful direction) into a scratch dir, then drive the
+    // same watermarked pipelines the gates use.
+    val events0 = graft.Tables.load(spark, "/root/testdata/sf0.1", "events")
+    val ne = events0.count()
+    val eventsK = (0 until k).map { i =>
+      events0.select((col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
+        col("ts"), col("event_type"), col("value"))
+    }.reduce(_ unionByName _)
+    val streamDir = graft.TempDirs.scratchDir("scale_events").toString
+    eventsK.write.mode("overwrite").parquet(streamDir)
+    val nev = ne * k
+    def timedEv(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op": "$name", "events": $nev, "replication": $k, "rows": $rows, "seconds": $secs%.1f}""")
+      spark.catalog.clearCache()
+    }
+    // file-stream over the scratch dir (already micro-second timestamps)
+    def stream = spark.readStream
+      .schema(eventsK.schema).parquet(streamDir)
+    timedEv("stream_dedup") {
+      val q = graft.streaming.EventStream
+        .dedupStream(stream, Seq("user_id", "event_type"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("scale_dedup").start()
+      q.processAllAvailable(); q.stop()
+      spark.table("scale_dedup").count()
+    }
+    timedEv("sessionize_batch") {
+      graft.streaming.EventStream.sessionizeBatch(eventsK, gapMinutes = 30)
+        .count()
+    }
     spark.stop()
   }
 }
