@@ -393,6 +393,18 @@ object SparkEntry {
           name = "stream_dedup_out")
         .groupBy(col("event_type")).agg(countAll.as("n"))
         .orderBy(col("event_type"))),
+    // Stream-static enrichment (the streaming star join): events joined
+    // to the broadcast customer dimension per micro-batch (no state),
+    // then the watermarked hourly aggregation keyed by the enriched
+    // attribute — oracle is the equivalent batch join+agg
+    "x_stream_enrich" -> ((s, d) => {
+      val dim = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.streaming.EventStream.runEnriched(s, d, dim,
+          eventKey = "user_id", dimKey = "c_custkey",
+          groupCol = "c_mktsegment", name = "stream_enrich_out")
+        .orderBy(col("hour"), col("c_mktsegment"))
+    }),
     // Stream-stream interval join (purchase/view attribution): both sides
     // watermarked, state bounded by the time-range condition; result
     // re-aggregated batch-side so the oracle compare is order-independent
@@ -876,6 +888,11 @@ object SparkEntry {
       "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v, " +
       "CAST(EXTRACT(YEAR FROM time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS year " +
       "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "x_stream_enrich" -> ("SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, " +
+      "c_mktsegment, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v " +
+      "FROM events JOIN customer ON user_id = c_custkey " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"),
     // batch replay of the attribution join: view in [purchase-30min,
     // purchase] per user; epoch_us keeps sub-ms timestamps distinct
     "x_stream_join" -> ("SELECT COUNT(*) AS n_pairs, " +

@@ -171,6 +171,37 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Stream-static enrichment: the event stream joined to a static
+    * dimension table — no state at all (the static side is just read per
+    * micro-batch, broadcast when small), the streaming analog of the
+    * OLAP star join. */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey))
+
+  /** Drive stream-static enrichment + windowed aggregation synchronously:
+    * events enriched with a dimension attribute, then the same hourly
+    * watermarked aggregation keyed by the enriched column. */
+  def runEnriched(spark: SparkSession, sfDir: String, dim: DataFrame,
+      eventKey: String, dimKey: String, groupCol: String,
+      name: String = "enrich_out", statePartitions: Int = 8): DataFrame = {
+    withStatePartitions(spark, statePartitions) {
+      val enriched = enrich(readStream(spark, sfDir), dim, eventKey, dimKey)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col(groupCol))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("v"))
+        .select(col("w.start").as("hour"), col(groupCol), col("n"), col("v"))
+      val q = enriched.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(name)
+  }
+
   // ---------------- stateful processing (sessionization) ----------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)

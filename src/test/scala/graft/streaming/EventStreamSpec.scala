@@ -64,6 +64,22 @@ class EventStreamSpec extends SparkTestBase {
     assert(deduped.toSet == batch)
   }
 
+  test("stream-static enrichment equals the batch star join") {
+    val dim = graft.Tables.load(spark, sf("sf0.001"), "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    val streamed = EventStream.runEnriched(spark, sf("sf0.001"), dim,
+      eventKey = "user_id", dimKey = "c_custkey",
+      groupCol = "c_mktsegment", name = "enrich_test")
+    val batch = graft.Tables.load(spark, sf("sf0.001"), "events")
+      .join(dim, $"user_id" === $"c_custkey")
+      .groupBy(window($"ts", "1 hour")("start").as("hour"), $"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("v"))
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("stream-stream interval join equals the batch join") {
     val streamed = EventStream.runPurchaseViewJoin(spark, sf("sf0.001"),
       name = "pv_join_test")
