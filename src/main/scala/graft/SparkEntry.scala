@@ -632,6 +632,17 @@ object SparkEntry {
       .select(col("doc_id"), graft.ext.TextAnalysis.tokenCount(col("text"))
         .as("n_tokens"))
       .orderBy(col("doc_id"))),
+    // BPE-ish subword counting (whitespace + punctuation splits) over
+    // punctuation-spiked text — the corpus itself is [a-z0-9 ] soup, so
+    // the punctuation path is planted deterministically per doc
+    "x_text_subwords" -> ((s, d) => Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        graft.ext.TextAnalysis.subwordCount(
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0, lit(" sub.word,mix;q!end"))
+              .when(col("doc_id") % 3 === 1, lit(" a-b(c)d"))
+              .otherwise(lit("")))).as("n_subwords"))
+      .orderBy(col("doc_id"))),
     "x_text_quality" -> ((s, d) =>
       graft.ext.TextAnalysis.quality(Tables.load(s, d, "documents"),
         "text", "doc_id").orderBy(col("doc_id"))),
@@ -1031,6 +1042,13 @@ object SparkEntry {
       "FROM (SELECT DISTINCT user_id, event_type FROM events) t " +
       "GROUP BY 1 ORDER BY 1"),
     "x_text_tokens" -> ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+      "FROM documents ORDER BY doc_id"),
+    // POSIX [:punct:] == Java \p{Punct} (ASCII punctuation) under RE2,
+    // so the split pattern replays exactly
+    "x_text_subwords" -> ("SELECT doc_id, CAST(len(regexp_split_to_array(text || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' sub.word,mix;q!end' " +
+      "WHEN doc_id % 3 = 1 THEN ' a-b(c)d' ELSE '' END, " +
+      "'[\\s[:punct:]]+')) AS BIGINT) AS n_subwords " +
       "FROM documents ORDER BY doc_id"),
     // same slicing arithmetic: stride 32, window 40, 1-based inclusive
     // list slice with end clamping on both engines

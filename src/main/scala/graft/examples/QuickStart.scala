@@ -61,6 +61,26 @@ object QuickStart {
       drilldown = Some("segment")))
     println("BADCUT=" + (try api.aggregate("enabled_users", cut = Some("date:1,2,3,4"))
       catch { case e: Exception => "rejected: " + e.getMessage }))
+
+    // 5. the same API over HTTP (the reference's REST deployment shape)
+    val server = graft.olap.OlapHttpServer(api).start()
+    try {
+      val url = java.net.URI.create(
+        s"http://127.0.0.1:${server.boundPort}/olap/enabled_users/aggregate" +
+          "?drilldown=segment&output=table")
+      val resp = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(url).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      println(s"HTTP ${resp.statusCode()} " + resp.body().linesIterator.next())
+    } finally server.stop()
+
+    // 6. retention: drop a year partition, then the whole fact (the CLI's
+    // `-c delete -f enabled_users [--years ...]` drives the same calls)
+    wh.dropPartitions("enabled_users", Seq(2023L)) // no-op: nothing from 2023
+    println("AFTER_PARTITION_DROP=" +
+      wh.read("enabled_users").map(_.count()).getOrElse(0L))
+    wh.drop("enabled_users")
+    println("AFTER_DROP=" + wh.read("enabled_users").isDefined)
     spark.stop()
   }
 }
