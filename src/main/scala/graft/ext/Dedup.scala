@@ -23,7 +23,15 @@ object Dedup {
     * service calling pair ops per request would accumulate cache blocks
     * until `clearCache()`. With `eager = true` the result is materialized
     * (localCheckpoint — also cuts the lineage) and every internal persist
-    * is released before returning: nothing outlives the call. */
+    * is released before returning: no CacheManager entry outlives the call.
+    *
+    * Fault-tolerance caveat: localCheckpoint blocks live in executor block
+    * managers until the RDD is GC'd and, because lineage is cut, they are
+    * NOT recomputable — losing an executor (dynamic allocation, preemption)
+    * makes later reads of the eager result fail permanently. Services with
+    * executor churn should instead write the result to reliable storage
+    * (e.g. `Warehouse.append`/parquet) and read it back, trading one write
+    * for recomputability. */
   private[ext] def finishEager(out: DataFrame, eager: Boolean,
       caches: Seq[DataFrame]): DataFrame =
     if (!eager) out

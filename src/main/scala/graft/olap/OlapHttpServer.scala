@@ -1,6 +1,6 @@
 package graft.olap
 
-import java.net.InetSocketAddress
+import java.net.{InetAddress, InetSocketAddress}
 import java.nio.charset.StandardCharsets
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
@@ -22,10 +22,19 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * layer only shuttles small aggregate JSON (Renderer collects at the API
   * boundary by design). Unknown facts/routes -> 404, bad params -> 400,
   * both with a JSON error body.
+  *
+  * Binds 127.0.0.1 by default: the API is unauthenticated, so exposing it
+  * beyond the host is an explicit deployment decision — pass `bindHost`
+  * (e.g. "0.0.0.0" behind a real front proxy) to widen it.
   */
-final class OlapHttpServer(api: OlapApi, port: Int = 0) {
+final class OlapHttpServer(api: OlapApi, port: Int = 0,
+    bindHost: Option[String] = None) {
 
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val addr = bindHost match {
+    case Some(h) => new InetSocketAddress(InetAddress.getByName(h), port)
+    case None    => new InetSocketAddress(InetAddress.getLoopbackAddress, port)
+  }
+  private val server = HttpServer.create(addr, 0)
   server.createContext("/olap", (ex: HttpExchange) => handle(ex))
 
   /** Bound port (useful with port = 0: an ephemeral test port). */
@@ -94,6 +103,7 @@ final class OlapHttpServer(api: OlapApi, port: Int = 0) {
 }
 
 object OlapHttpServer {
-  def apply(api: OlapApi, port: Int = 0): OlapHttpServer =
-    new OlapHttpServer(api, port)
+  def apply(api: OlapApi, port: Int = 0,
+      bindHost: Option[String] = None): OlapHttpServer =
+    new OlapHttpServer(api, port, bindHost)
 }
