@@ -509,19 +509,31 @@ object SparkEntry {
     // join on the key is free (BucketingSpec asserts the plan shape;
     // this gate proves value parity with the plain join)
     "x_bucket_join" -> ((s, d) => {
-      val dir = TempDirs.scratchDir("graft_bucket").toString
-      val o = ord(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      val c = Tables.load(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
-      graft.ext.Bucketing.writeBucketed(o, "gb_orders", s"$dir/orders",
-        Seq("o_custkey"), buckets = 8, sortCols = Seq("o_custkey"))
-      graft.ext.Bucketing.writeBucketed(c, "gb_customer", s"$dir/customer",
-        Seq("c_custkey"), buckets = 8, sortCols = Seq("c_custkey"))
-      val bo = graft.ext.Bucketing.read(s, "gb_orders")
-      val bc = graft.ext.Bucketing.read(s, "gb_customer")
-      bo.join(bc, bo("o_custkey") === bc("c_custkey"))
-        .groupBy(col("c_mktsegment"))
-        .agg(countAll.as("n"), moneySum("o_totalprice").as("total"))
-        .orderBy(col("c_mktsegment"))
+      val dir = TempDirs.scratchDir("graft_bucket")
+      // table names derived from the (unique) scratch dir: concurrent gate
+      // runs in one session can't race on a fixed catalog name
+      val tag = dir.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      val (tOrders, tCustomer) = (s"gb_orders_$tag", s"gb_customer_$tag")
+      try {
+        val o = ord(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val c = Tables.load(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        graft.ext.Bucketing.writeBucketed(o, tOrders, s"$dir/orders",
+          Seq("o_custkey"), buckets = 8, sortCols = Seq("o_custkey"))
+        graft.ext.Bucketing.writeBucketed(c, tCustomer, s"$dir/customer",
+          Seq("c_custkey"), buckets = 8, sortCols = Seq("c_custkey"))
+        val bo = graft.ext.Bucketing.read(s, tOrders)
+        val bc = graft.ext.Bucketing.read(s, tCustomer)
+        // materialize before the finally drops the catalog entries: the
+        // returned frame must not depend on the temp tables it cleaned up
+        bo.join(bc, bo("o_custkey") === bc("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(countAll.as("n"), moneySum("o_totalprice").as("total"))
+          .orderBy(col("c_mktsegment"))
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tOrders")
+        s.sql(s"DROP TABLE IF EXISTS $tCustomer")
+      }
     }),
 
     // ---------------- dedup family ----------------
@@ -692,6 +704,22 @@ object SparkEntry {
       graft.ext.TextAnalysis.chunk(Tables.load(s, d, "documents"),
         "doc_id", "text", chunkTokens = 40, overlap = 8)
         .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Benchmark decontamination: docs with doc_id % 31 == 0 play the eval
+    // set; every corpus doc sharing any word 3-gram with it is flagged
+    // (n=3 because the testdata docs are short; the operator default is
+    // the conventional 13). Gram hashes have no DuckDB counterpart, but
+    // the per-doc MATCH COUNTS do: hashed-gram intersections equal
+    // string-gram intersections (64-bit injectivity on this corpus —
+    // the same argument every dedup gate already rests on)
+    "x_decontam" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 31 === 0)
+      graft.ext.TextAnalysis.decontaminate(docs, "doc_id", "text",
+        bench, "text", n = 3)
+        .select(col("doc_id"), col("n_bench_grams"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
 
     // PII / identifier redaction over the corpus with planted PII (the
     // natural testdata is [a-z0-9 ] soup, so URLs/emails/id runs are
@@ -1060,6 +1088,17 @@ object SparkEntry {
       "array_to_string(w[chunk_idx*32+1 : chunk_idx*32+40], ' ') AS chunk, " +
       "CAST(len(w[chunk_idx*32+1 : chunk_idx*32+40]) AS BIGINT) AS n_chunk_tokens " +
       "FROM c ORDER BY doc_id, chunk_idx"),
+    // string-gram intersections replay the engine's hashed-gram ones;
+    // shingle lists are per-doc distinct so COUNT(*) after the gram join
+    // is the distinct-match count on both engines
+    "x_decontam" -> ("WITH tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) s FROM tok), " +
+      "bg AS (SELECT DISTINCT g FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id % 31 = 0)), " +
+      "hits AS (SELECT doc_id, COUNT(*) AS n_bench_grams " +
+      "FROM (SELECT doc_id, unnest(s) AS g FROM sh) t JOIN bg USING (g) GROUP BY doc_id) " +
+      "SELECT d.doc_id, COALESCE(h.n_bench_grams, 0) AS n_bench_grams, " +
+      "h.doc_id IS NOT NULL AS contaminated " +
+      "FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id"),
     // identical spike construction + the same RE2 regex chain (URL ->
     // email -> long digit run), replayed verbatim
     "x_text_redact" -> ("WITH s AS (SELECT doc_id, text || " +

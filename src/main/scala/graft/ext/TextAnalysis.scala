@@ -227,4 +227,58 @@ object TextAnalysis {
       .select(col("i"), col("j"), col("containment_i"), col("containment_j"))
     Dedup.finishEager(out, eager, fp +: invCaches)
   }
+
+  /** Benchmark decontamination — flag every corpus document sharing any
+    * word n-gram with a benchmark/eval set, the standard pre-training
+    * hygiene step (a training corpus containing eval n-grams inflates the
+    * benchmark score it was supposed to measure). The conventional n is
+    * ~13 tokens (long enough that natural reuse is implausible); it is a
+    * policy knob, not a correctness one.
+    *
+    * Scale shape — the asymmetry IS the design: the benchmark is small by
+    * contract (an eval set, thousands of documents), the corpus is the
+    * 100 TB side. The benchmark's distinct gram hashes BROADCAST, so the
+    * corpus is scanned exactly once with a map-side broadcast-hash
+    * semi-probe — the corpus never shuffles to find its matches. Only the
+    * matched (doc, gram) rows — rare by construction — reach the per-doc
+    * aggregation, and the flag joins back to the corpus keyed on id (AQE
+    * broadcasts the hit table when it is small, which it is when
+    * contamination is rare). Grams travel as xxhash64 longs, not strings:
+    * 8 bytes/row through the probe regardless of n.
+    *
+    * Output: the corpus with `n_bench_grams` (distinct benchmark grams
+    * matched) and `contaminated` appended. Use [[dropContaminated]] for
+    * the filter form (an anti-join — no count, one stage fewer). */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
+    val benchGrams = broadcast(
+      benchmark.select(explode(shingles(col(benchTextCol), n)).as("g"))
+        .select(xxhash64(col("g")).as("__bg")).distinct())
+    val hits = corpus
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("g"))
+      .select(col(idCol), xxhash64(col("g")).as("__bg"))
+      .join(benchGrams, "__bg")
+      // shingles() already dedupes grams per document, so count(*) is the
+      // distinct-gram hit count — no countDistinct buffer needed
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_bench_grams"))
+    corpus.join(hits, Seq(idCol), "left")
+      .withColumn("contaminated", col("n_bench_grams").isNotNull)
+      .withColumn("n_bench_grams", coalesce(col("n_bench_grams"), lit(0L)))
+  }
+
+  /** Decontamination as a filter: corpus rows sharing NO word n-gram with
+    * the benchmark. Broadcast anti-join against the hit ids — the corpus
+    * is scanned once and never shuffled. */
+  def dropContaminated(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
+    val benchGrams = broadcast(
+      benchmark.select(explode(shingles(col(benchTextCol), n)).as("g"))
+        .select(xxhash64(col("g")).as("__bg")).distinct())
+    val hitIds = corpus
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("g"))
+      .select(col(idCol), xxhash64(col("g")).as("__bg"))
+      .join(benchGrams, "__bg")
+      .select(col(idCol)).distinct()
+    corpus.join(hitIds, Seq(idCol), "left_anti")
+  }
 }

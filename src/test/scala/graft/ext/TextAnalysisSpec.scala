@@ -176,6 +176,32 @@ class TextAnalysisSpec extends SparkTestBase {
       (4L, "plain text with no identifiers at all")))
   }
 
+  test("decontaminate flags exactly the docs sharing a benchmark n-gram") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // contains bench gram
+      (2L, "beta gamma alpha zeta eta"),        // same words, no shared 3-gram
+      (3L, "totally unrelated words here now"), // clean
+      (4L, "x y alpha beta gamma z")            // bench gram mid-document
+    ).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma q r").toDF("text")
+    val got = TextAnalysis.decontaminate(corpus, "doc_id", "text",
+        bench, "text", n = 3)
+      .select($"doc_id", $"n_bench_grams", $"contaminated")
+      .orderBy($"doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, true), (2L, 0L, false), (3L, 0L, false), (4L, 1L, true)))
+    val kept = TextAnalysis.dropContaminated(corpus, "doc_id", "text",
+        bench, "text", n = 3)
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(2L, 3L))
+    // multi-gram hits count distinct benchmark grams matched
+    val multi = Seq((9L, "alpha beta gamma q r s")).toDF("doc_id", "text")
+    val n = TextAnalysis.decontaminate(multi, "doc_id", "text",
+        bench, "text", n = 3)
+      .select($"n_bench_grams").as[Long].collect().head
+    assert(n == 3L) // "alpha beta gamma", "beta gamma q", "gamma q r"
+  }
+
   test("multimodal plumbing: schema + batched features") {
     val docs = Seq((1L, "abc", "en"), (2L, "abcabc", "de")).toDF("doc_id", "text", "lang")
     val media = Multimodal.asMedia(docs, "doc_id", "text", "lang")
