@@ -551,6 +551,31 @@ object SparkEntry {
       graft.ext.Dedup.minhashPairs(Tables.load(s, d, "documents"),
         "doc_id", "text", n = 3, numHashes = 128, bands = 32, threshold = 0.8)
         .orderBy(col("i"), col("j"))),
+    // Incremental dedup: even doc_ids play the already-indexed corpus,
+    // odd ids the arriving batch. The batch is checked against the
+    // persisted index WITHOUT re-reading corpus text; the result must
+    // equal the batch-mode pair set restricted to pairs touching >= 1
+    // batch doc (the oracle computes exactly that restriction)
+    "x_dedup_incr" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val idx = graft.ext.Dedup.minhashIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      graft.ext.Dedup.incrementalMinhashPairs(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+        .orderBy(col("i"), col("j"))
+    }),
+    // The full per-batch accept step: batch docs surviving the corpus
+    // check AND within-batch cluster resolution (min-id root kept,
+    // corpus-tainted clusters dropped whole). The oracle replays the
+    // policy over the exact pair set with a recursive-CTE closure
+    "x_dedup_novel" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val idx = graft.ext.Dedup.minhashIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      graft.ext.Dedup.filterNovel(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+        .agg(countAll.as("n_novel"), sum(col("doc_id")).as("id_sum"))
+    }),
     "x_dedup_simhash" -> ((s, d) =>
       graft.ext.Dedup.simhashPairs(Tables.load(s, d, "documents"),
         "doc_id", "text", n = 3, maxHamming = 24, threshold = 0.9)
@@ -976,6 +1001,29 @@ object SparkEntry {
     "x_dedup_exact" -> ("SELECT CAST(COUNT(DISTINCT regexp_replace(lower(text), '\\s+', ' ', 'g')) AS BIGINT) AS n_unique, " +
       "CAST(COUNT(*) AS BIGINT) AS total FROM documents"),
     "x_dedup_ngram" -> ngramOracle(0.5),
+    // batch-mode pair set restricted to pairs touching >= 1 odd (batch) id
+    "x_dedup_incr" -> ngramOracle(0.8, " AND (i % 2 = 1 OR j % 2 = 1)"),
+    // replay the filterNovel policy over the exact restricted pair set:
+    // batch docs pairing with the indexed (even) side drop; within-batch
+    // components (recursive closure) keep their min-id root unless any
+    // member touches the indexed side (tainted cluster drops whole)
+    "x_dedup_novel" -> ("WITH RECURSIVE " +
+      "tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) s FROM tok), " +
+      "pr AS (SELECT a.doc_id i, b.doc_id j FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.8 " +
+      "AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)), " +
+      "touch AS (SELECT CASE WHEN j % 2 = 0 THEN i ELSE j END AS id FROM pr WHERE i % 2 = 0 OR j % 2 = 0), " +
+      "bp AS (SELECT i, j FROM pr WHERE i % 2 = 1 AND j % 2 = 1), " +
+      "e AS (SELECT i a, j b FROM bp UNION SELECT j, i FROM bp), " +
+      "r AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a WHERE e.b != r.a), " +
+      "comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS root FROM r GROUP BY a), " +
+      "tr AS (SELECT DISTINCT c.root FROM comp c JOIN touch t ON c.node = t.id), " +
+      "drops AS (SELECT id FROM touch " +
+      "UNION SELECT node AS id FROM comp WHERE root IN (SELECT root FROM tr) " +
+      "UNION SELECT node AS id FROM comp WHERE node != root) " +
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_novel, CAST(SUM(doc_id) AS BIGINT) AS id_sum " +
+      "FROM documents WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT id FROM drops)"),
     // transitive closure of the jac>=0.5 pair graph -> min-id component
     // roots -> member counts (clusters of size >= 2 only, like the engine)
     "x_dedup_clusters" -> ("WITH RECURSIVE " +
@@ -1191,11 +1239,11 @@ object SparkEntry {
 
   /** Exact O(n^2) word-3-gram Jaccard oracle (DuckDB list comprehension);
     * the engine side reaches the same pairs via inverted-index / LSH. */
-  private def ngramOracle(threshold: Double): String =
+  private def ngramOracle(threshold: Double, extra: String = ""): String =
     "WITH tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
     "sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) s FROM tok), " +
     "pairs AS (SELECT a.doc_id i, b.doc_id j, " +
     "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jac " +
     "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) " +
-    s"SELECT i, j, jac FROM pairs WHERE jac >= $threshold ORDER BY i, j"
+    s"SELECT i, j, jac FROM pairs WHERE jac >= $threshold$extra ORDER BY i, j"
 }

@@ -165,21 +165,152 @@ object Dedup {
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8, eager: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     val sh = shingleSets(df, idCol, textCol, n)
-    val sig = sh.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
     // persisted: the band self-join reads this twice
-    val banded = sig.select(col("id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"), hash(slice(col("sig"), b * r + 1, r)).as("bh"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val banded = bandKeys(sh, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
     finishEager(verifyJaccard(cands, sh, threshold), eager, Seq(sh, banded))
+  }
+
+  /** LSH band keys (id, band, bh) from a shingle-set frame (id, sh): the
+    * single definition both the batch self-join and the incremental index
+    * use — a signature banded today MUST collide with the same document
+    * banded last month, so the band-hash construction can never fork. */
+  private def bandKeys(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    sh.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"), hash(slice(col("sig"), b * r + 1, r)).as("bh"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** Persisted MinHash index for INCREMENTAL dedup — the shape a 100 TB
+    * continuous-ingestion pipeline actually needs: the corpus is
+    * signatured ONCE, and each arriving batch is checked against the
+    * index without ever re-reading (let alone re-shingling) the corpus.
+    *
+    * Two frames, both keyed by doc id, meant to live as warehouse/parquet
+    * tables the caller appends each accepted batch's [[Dedup.minhashIndex]]
+    * delta to:
+    *  - `bands`: (id, band, bh) — the LSH bucket keys, 8-byte rows,
+    *    `bands`-per-doc; the candidate probe target.
+    *  - `shingles`: (id, sh) — the shingle sets backing exact-Jaccard
+    *    verification of candidates. */
+  final case class MinhashIndex(bands: DataFrame, shingles: DataFrame)
+
+  /** Build the index rows for a corpus or batch (also the per-batch delta
+    * to append after [[filterNovel]] accepts documents). Pure per-row work
+    * plus the band explode — no shuffle. */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32): MinhashIndex = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = df.select(col(idCol).as("id"),
+      TextAnalysis.shingles(col(textCol), n).as("sh"))
+    MinhashIndex(bandKeys(sh, numHashes, bands), sh)
+  }
+
+  /** Near-dup pairs between a NEW batch and (indexed corpus ∪ the batch
+    * itself) — equal to `minhashPairs(corpus ∪ batch)` restricted to pairs
+    * touching >= 1 batch document, without touching the corpus text.
+    *
+    * Scale shape: with `broadcastBatch` (the default — a batch is small
+    * next to the corpus by contract) the batch's band keys broadcast, so
+    * the corpus-scale index is PROBED in place: one scan, no index
+    * shuffle, no corpus re-signaturing. Candidates verify by exact
+    * Jaccard against `index.shingles` + the batch's own shingle sets.
+    * Set broadcastBatch = false for a jumbo batch; the probe becomes a
+    * plain equi-join (AQE still broadcasts if the batch turns out small).
+    *
+    * Ids must be unique across corpus ∪ batch; a re-ingested id produces
+    * no self-pair, and the batch's shingle sets take precedence in
+    * verification. `n`/`numHashes`/`bands` must match the index build. */
+  def incrementalMinhashPairs(newDf: DataFrame, idCol: String,
+      textCol: String, index: MinhashIndex, n: Int = 3,
+      numHashes: Int = 128, bands: Int = 32, threshold: Double = 0.8,
+      broadcastBatch: Boolean = true, eager: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val newSh = shingleSets(newDf, idCol, textCol, n)
+    val newBanded = bandKeys(newSh, numHashes, bands).persist(lvl)
+    val probe = if (broadcastBatch) broadcast(newBanded) else newBanded
+    val newOld = index.bands.as("b").join(probe.as("a"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("i"),
+        greatest(col("a.id"), col("b.id")).as("j"))
+    val newNew = newBanded.as("a").join(newBanded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+    val cands = newOld.unionByName(newNew).distinct()
+    // batch shingles take precedence on id collision (re-ingest): anti-join
+    // the index side on the batch's (broadcast-small) id set
+    val shAll = index.shingles.select(col("id"), col("sh"))
+      .join(broadcast(newSh.select(col("id"))), Seq("id"), "left_anti")
+      .unionByName(newSh)
+    finishEager(verifyJaccard(cands, shAll, threshold), eager,
+      Seq(newSh, newBanded))
+  }
+
+  /** Incremental ingestion filter: the batch documents that are NOT
+    * near-dups of the indexed corpus or of each other — the per-batch
+    * accept step of a continuously-deduped corpus. Cluster-granularity
+    * policy, matching [[dropNearDuplicates]]'s resolution semantics:
+    *
+    *  - a batch doc pairing with any indexed doc is dropped;
+    *  - within-batch clusters (connected components over batch-batch
+    *    pairs) keep exactly their min-id root — unless any member touches
+    *    the corpus, which taints and drops the whole cluster (its content
+    *    already exists transitively).
+    *
+    * Append `minhashIndex(filterNovel(...))` to the index afterwards to
+    * complete the ingestion cycle. The pair set is small by construction;
+    * everything downstream of the probe operates on it, never on the
+    * corpus. */
+  def filterNovel(newDf: DataFrame, idCol: String, textCol: String,
+      index: MinhashIndex, n: Int = 3, numHashes: Int = 128,
+      bands: Int = 32, threshold: Double = 0.8,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val pairs = incrementalMinhashPairs(newDf, idCol, textCol, index, n,
+      numHashes, bands, threshold, broadcastBatch, eager = true)
+    // tag pair ends against the BATCH id set (broadcast-small), never the
+    // corpus-scale index: every id is either indexed or in the batch, so
+    // old = not-new, and nothing here shuffles
+    val newIds = newDf.select(col(idCol).as("id"))
+    val tagged = pairs
+      .join(broadcast(newIds.select(col("id").as("i"), lit(true).as("__i_new"))),
+        Seq("i"), "left")
+      .join(broadcast(newIds.select(col("id").as("j"), lit(true).as("__j_new"))),
+        Seq("j"), "left")
+      .localCheckpoint(true)
+    val touchOld = tagged
+      .filter(col("__i_new").isNull || col("__j_new").isNull)
+      // the indexed end stays, the batch end drops
+      .select(when(col("__j_new").isNull, col("i"))
+        .otherwise(col("j")).as("id"))
+    val batchPairs = tagged
+      .filter(col("__i_new").isNotNull && col("__j_new").isNotNull)
+      .select(col("i"), col("j"))
+    val labels = connectedComponents(batchPairs)
+    val taintedRoots = labels
+      .join(touchOld.withColumnRenamed("id", "node"), Seq("node"), "left_semi")
+      .select(col("label")).distinct()
+    val taintedNodes = labels.join(taintedRoots, Seq("label"), "left_semi")
+      .select(col("node").as("id"))
+    val nonRoots = labels.filter(col("node") =!= col("label"))
+      .select(col("node").as("id"))
+    // drop set materialized (pair-bounded, tiny) so the labels cache and
+    // the iterative lineage release before the corpus-side anti-join
+    val drops = touchOld.unionByName(taintedNodes).unionByName(nonRoots)
+      .distinct().withColumnRenamed("id", idCol).localCheckpoint(true)
+    labels.unpersist()
+    newDf.join(drops, Seq(idCol), "left_anti")
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprint per doc, candidate

@@ -49,6 +49,27 @@ object Sampling {
       math.round(fraction * buckets))
   }
 
+  /** Stratified sampling: a different deterministic fraction per stratum
+    * (downsample the over-represented language/source, keep the rare one
+    * whole — the standard training-mixture rebalance). Same key-hash
+    * discipline as [[sampleFraction]]: the decision is a pure function of
+    * (key, stratum fraction), so it is stable across runs and
+    * partitionings and runs inside the scan — a literal when-chain, no
+    * join, no shuffle. Strata missing from `fractions` get
+    * `defaultFraction` (1.0 = pass through). */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0,
+      buckets: Int = defaultBuckets,
+      hashOf: Column => Column = xxhash64(_)): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "fractions in [0,1]")
+    val bound = fractions.toSeq.sortBy(_._1).foldRight(
+      lit(math.round(defaultFraction * buckets))) { case ((s, f), rest) =>
+      when(col(strataCol) === s, math.round(f * buckets)).otherwise(rest)
+    }
+    df.filter(bucketOf(col(keyCol), hashOf, buckets) < bound)
+  }
+
   /** Integer upsampling by a per-row repeat count (mixture weighting:
     * high-quality sources repeated N times in the training mix). Rows with
     * repeat <= 0 are dropped; `copy` (0-based) distinguishes replicas. */

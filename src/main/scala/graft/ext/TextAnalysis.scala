@@ -228,6 +228,27 @@ object TextAnalysis {
     Dedup.finishEager(out, eager, fp +: invCaches)
   }
 
+  /** Corpus-wide top-k vocabulary terms (heavy hitters) by document
+    * frequency or total occurrences — the vocabulary-building / stopword-
+    * discovery primitive. One explode + one term-keyed aggregation with
+    * map-side partial counts (shuffle bounded by vocabulary, not corpus),
+    * then top-k compiles to TakeOrderedAndProject: per-partition heaps +
+    * a driver merge of k rows per partition, never a global sort. Ties
+    * break on the term string, so the result is fully deterministic. */
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int,
+      byDocFreq: Boolean = true): DataFrame = {
+    val terms =
+      if (byDocFreq)
+        // shingles(n=1) = distinct tokens per doc, so the count is the
+        // document frequency without a (doc, term) distinct shuffle
+        df.select(explode(shingles(col(textCol), 1)).as("term"))
+      else
+        df.select(explode(tokens(col(textCol))).as("term"))
+    terms.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+  }
+
   /** Benchmark decontamination — flag every corpus document sharing any
     * word n-gram with a benchmark/eval set, the standard pre-training
     * hygiene step (a training corpus containing eval n-grams inflates the

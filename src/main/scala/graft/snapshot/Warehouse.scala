@@ -222,13 +222,18 @@ final class Warehouse(spark: SparkSession, val root: String) {
     * write to a sibling temp dir, swap via FS rename, fail loudly if the
     * swap cannot complete (never silently lose the table). */
   private def replaceWith(fact: String, df: DataFrame, suffix: String,
-      writeOpts: Map[String, String] = Map.empty): Unit = {
+      writeOpts: Map[String, String] = Map.empty,
+      keepLayout: Boolean = false): Unit = {
     val target = path(fact)
     val tmp = new Path(target.getParent, target.getName + suffix)
     val old = new Path(target.getParent, target.getName + ".old")
     val f = fs
     if (f.exists(tmp)) f.delete(tmp, true)
-    var w = df.repartition(col("year")).write.partitionBy("year")
+    // keepLayout: the caller pre-arranged the partitioning/ordering (e.g.
+    // optimize's range clustering) — the default year repartition would
+    // destroy exactly what the rewrite exists to create
+    val arranged = if (keepLayout) df else df.repartition(col("year"))
+    var w = arranged.write.partitionBy("year")
     writeOpts.foreach { case (k, v) => w = w.option(k, v) }
     w.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // schema file STAGED INSIDE tmp: the rename below swaps data + schema
@@ -261,7 +266,7 @@ final class Warehouse(spark: SparkSession, val root: String) {
     val f = fs
     val target = path(fact)
     val old = new Path(target.getParent, target.getName + ".old")
-    val staged = Seq(".tmp", ".epoch", ".compact")
+    val staged = Seq(".tmp", ".epoch", ".compact", ".optimize")
       .map(sfx => new Path(target.getParent, target.getName + sfx))
     if (!f.exists(target)) {
       // crashed between the two replaceWith renames: prefer the staged
@@ -309,4 +314,29 @@ final class Warehouse(spark: SparkSession, val root: String) {
       replaceWith(fact, df, ".compact",
         Map("maxRecordsPerFile" -> maxRecordsPerFile.toString))
     }
+
+  /** Layout optimization: rewrite the fact range-CLUSTERED and sorted on
+    * `sortCols` (year leading, so the partition dirs stay coherent). The
+    * payoff at scale is file-level pruning: parquet footers carry per-file
+    * min/max, and a range-clustered layout makes those ranges DISJOINT, so
+    * a point or range predicate on the cluster key reads one file per
+    * partition instead of all of them — the single-dimension analog of
+    * Z-ordering, and the difference between scanning 100 TB and scanning
+    * 100 GB for a selective query on a non-partition column.
+    *
+    * `targetFiles` sizes the rewrite (total range partitions across the
+    * fact): pick fact size / healthy file size (~128-512 MB). Same staged
+    * rename + vacuum crash-window protocol as compact/merge. Sorting
+    * within files additionally tightens row-group statistics and improves
+    * run-length/dictionary encoding on the sort key. */
+  def optimize(fact: String, sortCols: Seq[String],
+      targetFiles: Int = 64): Unit = {
+    require(sortCols.nonEmpty, "optimize needs at least one sort column")
+    read(fact).foreach { df =>
+      val keys = col("year") +: sortCols.map(col)
+      val arranged = df.repartitionByRange(targetFiles, keys: _*)
+        .sortWithinPartitions(keys: _*)
+      replaceWith(fact, arranged, ".optimize", keepLayout = true)
+    }
+  }
 }

@@ -183,4 +183,64 @@ class DedupSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == (0L until 40L).toSet, s"got: ${kept.toSeq.sorted}")
   }
+
+  test("incremental pairs == batch pairs restricted to the new side") {
+    // old = even ids, batch = odd ids (near-dup ids 100-109/200/201 land
+    // on both sides, so the restricted set has old-new AND new-new pairs)
+    val old = corpus.filter($"doc_id" % 2 === 0)
+    val batch = corpus.filter($"doc_id" % 2 === 1)
+    val idx = Dedup.minhashIndex(old, "doc_id", "text")
+    val incr = Dedup.incrementalMinhashPairs(batch, "doc_id", "text", idx)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashPairs(corpus, "doc_id", "text")
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val restricted = full.filter { case (i, j) => i % 2 == 1 || j % 2 == 1 }
+    assert(incr == restricted, s"incr-only: ${incr -- restricted}; " +
+      s"missing: ${restricted -- incr}")
+    assert(incr.nonEmpty) // the fixture must actually exercise the path
+  }
+
+  test("minhash index round-trips through parquet") {
+    val old = corpus.filter($"doc_id" % 2 === 0)
+    val batch = corpus.filter($"doc_id" % 2 === 1)
+    val dir = graft.TempDirs.scratchDir("dedup_idx").toString
+    val built = Dedup.minhashIndex(old, "doc_id", "text")
+    built.bands.write.parquet(s"$dir/bands")
+    built.shingles.write.parquet(s"$dir/shingles")
+    val loaded = Dedup.MinhashIndex(
+      spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/shingles"))
+    val live = Dedup.incrementalMinhashPairs(batch, "doc_id", "text", built)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val persisted = Dedup.incrementalMinhashPairs(batch, "doc_id", "text", loaded)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(live == persisted && persisted.nonEmpty)
+  }
+
+  test("filterNovel: corpus matches drop, clusters keep roots, taint drops whole") {
+    // distinct-token docs: a single-word mutation changes exactly 3 of the
+    // 38 grams -> jac = 35/41 ~ 0.85, safely above the 0.8 threshold
+    val docA = (0 until 40).map(i => s"a$i").mkString(" ")
+    val docB = (0 until 40).map(i => s"b$i").mkString(" ")
+    val idxDocs = Seq((10L, docA)).toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(idxDocs, "doc_id", "text")
+    val batch = Seq(
+      // 21 ~ indexed 10 -> dropped (near-identical text)
+      (21L, docA.split(" ").updated(20, "X").mkString(" ")),
+      // 22/23 a within-batch cluster with no corpus contact -> keep 22
+      (22L, docB), (23L, docB.split(" ").updated(20, "MUT").mkString(" ")),
+      // 24 a singleton -> kept
+      (24L, (0 until 40).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val kept = Dedup.filterNovel(batch, "doc_id", "text", idx)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(22L, 24L), s"got: ${kept.toSeq.sorted}")
+    // taint: make the within-batch cluster touch the corpus through one
+    // member -> the WHOLE cluster drops, not just the touching member
+    val idx2 = Dedup.minhashIndex(
+      idxDocs.unionByName(Seq((11L, docB)).toDF("doc_id", "text")),
+      "doc_id", "text")
+    val kept2 = Dedup.filterNovel(batch, "doc_id", "text", idx2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(24L), s"got: ${kept2.toSeq.sorted}")
+  }
 }
