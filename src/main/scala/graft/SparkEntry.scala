@@ -656,6 +656,16 @@ object SparkEntry {
           max(col("code")).as("code_max"))
         .orderBy(col("dim"))),
 
+    // Distributed Lloyd k-means (2 iterations, k=8, md5-seeded): the
+    // whole-corpus semantic-clustering step past IVF's driver-side
+    // sampled training. Assignment is shuffle-free (broadcast packed
+    // centroids + HOF argmin); updates reuse the quantized-decimal
+    // centroid sum, so DuckDB replays training bit-for-bit
+    "x_kmeans" -> ((s, d) =>
+      graft.ext.KMeans.fit(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 2)
+        .orderBy(col("cid"), col("dim"))),
+
     // ---------------- text analysis ----------------
 
     // Corpus-level term salience: top-3 TF-IDF keywords per document
@@ -1090,6 +1100,31 @@ object SparkEntry {
       "FROM (SELECT label, unnest(embedding) AS v, " +
       "unnest(range(len(embedding))) AS dim FROM embeddings) t " +
       "GROUP BY 1, 2 ORDER BY 1, 2"),
+    // 2-iteration Lloyd k-means replay: same md5 seed draw, same
+    // index-ordered distance folds, same quantized-decimal centroid
+    // means; argmin ties break on cid in both engines
+    "x_kmeans" -> ("WITH pts AS (SELECT vec_id, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      "seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, v AS cvec " +
+      "FROM pts ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8), " +
+      "a1 AS (SELECT p.vec_id, p.v, s.cid, " +
+      "list_sum(list_transform(range(1, len(p.v)+1), i -> (p.v[i]-s.cvec[i])*(p.v[i]-s.cvec[i]))) AS d " +
+      "FROM pts p CROSS JOIN seeds s " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY d, s.cid) = 1), " +
+      "c1r AS (SELECT cid, dim, " +
+      "CAST(SUM(CAST(ROUND(v1, 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS c " +
+      "FROM (SELECT cid, unnest(v) AS v1, unnest(range(len(v))) AS dim FROM a1) t GROUP BY 1, 2), " +
+      "c1 AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM c1r GROUP BY cid), " +
+      "a2 AS (SELECT p.vec_id, p.v, c.cid, " +
+      "list_sum(list_transform(range(1, len(p.v)+1), i -> (p.v[i]-c.cvec[i])*(p.v[i]-c.cvec[i]))) AS d " +
+      "FROM pts p CROSS JOIN c1 c " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY d, c.cid) = 1), " +
+      "c2 AS (SELECT cid, dim, " +
+      "CAST(SUM(CAST(ROUND(v1, 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS c " +
+      "FROM (SELECT cid, unnest(v) AS v1, unnest(range(len(v))) AS dim FROM a2) t GROUP BY 1, 2), " +
+      "sz AS (SELECT cid, COUNT(*) AS n FROM a2 GROUP BY 1) " +
+      "SELECT c2.cid, CAST(c2.dim AS BIGINT) AS dim, c2.c, sz.n " +
+      "FROM c2 JOIN sz ON c2.cid = sz.cid ORDER BY 1, 2"),
     // top-3 TF-IDF terms/doc: log-free score (cnt/len)*(n/df) — identical
     // integer operands -> identical doubles -> identical ranking
     "x_text_tfidf" -> ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +

@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed Lloyd k-means over an embedding column — the semantic-
+  * clustering step of a training-data curation pipeline (cluster-balanced
+  * sampling, topic discovery, coverage audits), and the scale path past
+  * `Ivf.trainCentroids`' bounded driver-side sample: every phase here is
+  * a DataFrame transform, so the full 100 TB corpus participates in
+  * training.
+  *
+  * Per-iteration shape (the part that must survive 1000 executors):
+  *  - **Assignment is shuffle-free.** Centroids are collapsed to ONE row
+  *    (a sorted array of (cid, vec) structs, at most k*dim doubles) and
+  *    cross-joined broadcast onto the corpus — row count multiplies by 1,
+  *    not k. The per-row argmin runs inside whole-stage codegen as nested
+  *    higher-order functions: `transform` over the k centroids computing
+  *    a squared-L2 `aggregate` fold, then `array_min` on (dist, cid)
+  *    structs — lowest distance, ties to the lowest cid, no UDF.
+  *  - **Update is one hash-aggregate** keyed by (cid, dim): at most
+  *    k*dim groups regardless of corpus size, map-side partials do the
+  *    heavy lifting (same shape as [[Similarity.centroids]], which it
+  *    reuses — including the quantized-decimal sum that makes centroid
+  *    components bit-reproducible across partitionings and engines).
+  *
+  * Determinism (what lets a SQL engine replay training exactly):
+  * seeds are the k rows with the smallest `md5(id)` — a deterministic
+  * pseudo-random draw any engine reproduces; distance folds run in
+  * array-index order; centroid means are exact decimal sums divided
+  * unrounded (see centroids()); argmin ties break on cid. A cluster that
+  * loses all members simply drops out of later iterations (both here and
+  * in a GROUP BY replay — no special casing).
+  *
+  * The input is persisted (scanned `iters`+1 times) and released before
+  * returning; pass `eager = true` for the materialize-then-unpersist
+  * service contract (see [[Dedup.finishEager]] — localCheckpoint caveat
+  * applies).
+  *
+  * Reference scope: the reference has no clustering (its engine is
+  * MySQL); this is a §2.5 beyond-parity operator for the 100 TB
+  * north star.
+  */
+object KMeans {
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** One row: `cents` = array of (cid, cvec) structs sorted by cid. */
+  private def packed(cents: DataFrame): DataFrame =
+    cents.agg(array_sort(collect_list(struct(col("cid"), col("cvec"))))
+      .as("cents"))
+
+  /** Nearest-centroid id for `vec` against the packed `cents` column. */
+  private def nearest(vec: Column): Column =
+    array_min(transform(col("cents"), c =>
+      struct(sqDist(vec, c.getField("cvec")).as("d"),
+        c.getField("cid").as("cid")))).getField("cid")
+
+  /** Corpus with a `cid` column: broadcast the packed centroids, argmin
+    * per row — no shuffle, no row multiplication. */
+  private def assign(points: DataFrame, cents: DataFrame): DataFrame =
+    points.crossJoin(broadcast(packed(cents)))
+      .withColumn("cid", nearest(col("v"))).drop("cents")
+
+  /** (cid, cvec) rows from per-(cid, dim) quantized-decimal means. */
+  private def update(assigned: DataFrame): DataFrame =
+    Similarity.centroids(assigned, "cid", "v")
+      .groupBy(col("grp").as("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+      .select(col("cid"), col("cvec"))
+
+  /** Run `iters` Lloyd iterations from md5-seeded centroids.
+    * Output: one row per (cid, dim) with the final centroid component
+    * `c` and the final cluster size `n` — row form keeps the result
+    * columnar for downstream joins (and hashable by the oracle). */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 2, eager: Boolean = false): DataFrame = {
+    require(k > 0 && iters > 0, s"k=$k iters=$iters must be positive")
+    val points = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // deterministic pseudo-random seed draw: k smallest md5(id) —
+    // orderBy+limit compiles to TakeOrderedAndProject (never a global
+    // sort); cid = seed rank, assigned on the k-row result
+    val seeds = points
+      .withColumn("h", md5(col("id").cast("string")))
+      .orderBy(col("h"), col("id")).limit(k)
+    val c0 = seeds.select(
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("h"), col("id"))) - 1).cast("long").as("cid"),
+      transform(col("v"), x => x.cast("double")).as("cvec"))
+    // iters-1 full rounds, then one final assignment that feeds BOTH the
+    // last centroid update and the cluster sizes — one pass, not two
+    val cPre = (1 until iters).foldLeft(c0) { (c, _) =>
+      update(assign(points, c))
+    }
+    val aFinal = assign(points, cPre)
+    val cFinal = update(aFinal)
+    val sizes = aFinal.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    val out = cFinal
+      .select(col("cid"), posexplode(col("cvec")).as(Seq("dim", "c")))
+      .join(broadcast(sizes), "cid")
+      .select(col("cid"), col("dim").cast("long").as("dim"), col("c"),
+        col("n"))
+    Dedup.finishEager(out, eager, Seq(points))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class KMeansSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** 3 well-separated planted clusters (offsets 0, 10, 20 on every dim)
+    * with 30/40/50 members of sigma-0.1 jitter. */
+  private lazy val planted = {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq((0, 30), (1, 40), (2, 50)).flatMap { case (c, n) =>
+      (0 until n).map { i =>
+        val v = Array.fill(8)(c * 10.0 + rnd.nextGaussian() * 0.1)
+        (c * 1000L + i, v.map(_.toFloat).toSeq)
+      }
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("recovers planted cluster sizes and centroid locations") {
+    val out = KMeans.fit(planted, "vec_id", "embedding", k = 3, iters = 3)
+    val sizes = out.select("cid", "n").distinct().as[(Long, Long)]
+      .collect().map(_._2).sorted
+    assert(sizes.toSeq == Seq(30L, 40L, 50L))
+    // every centroid component must sit within jitter of one of the
+    // planted offsets (0/10/20)
+    val comps = out.select("c").as[Double].collect()
+    assert(comps.forall(c =>
+      Seq(0.0, 10.0, 20.0).exists(o => math.abs(c - o) < 0.5)))
+  }
+
+  test("output shape: k*dim rows, one size per cluster, deterministic") {
+    val a = KMeans.fit(planted, "vec_id", "embedding", k = 3, iters = 2)
+      .collect().map(_.toSeq)
+    val b = KMeans.fit(planted, "vec_id", "embedding", k = 3, iters = 2)
+      .collect().map(_.toSeq)
+    assert(a.length == 3 * 8)
+    assert(a.toSet == b.toSet)
+  }
+
+  test("eager mode leaves no cache entries behind") {
+    val out = KMeans.fit(planted, "vec_id", "embedding", k = 3, iters = 2,
+      eager = true)
+    out.count()
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("assignment stage is shuffle-free: exchanges only in seed draw and updates") {
+    // the full 2-iteration plan must contain NO exchange keyed by point
+    // id — only the k-row seed window, the (cid,dim) hash-agg updates,
+    // and the cvec reassembly shuffle on cid
+    val plan = KMeans.fit(planted, "vec_id", "embedding", k = 3, iters = 2)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("hashpartitioning(id"), "points must never shuffle by id")
+  }
+}
