@@ -576,6 +576,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
         .agg(countAll.as("n_novel"), sum(col("doc_id")).as("id_sum"))
     }),
+    // Fuzzy record linkage: every name pair within edit distance 1 on
+    // the planted typo fixture — q-gram count-filter candidates + exact
+    // levenshtein verify, never the O(n^2) cross join the oracle runs
+    "x_fuzzy_join" -> ((s, d) =>
+      graft.ext.FuzzyJoin.editDistancePairs(
+        graft.ext.Fixtures.plantedNames(s), "id", "name", maxDist = 1)
+        .select(col("i"), col("j"), col("dist").cast("long").as("dist"))
+        .orderBy(col("i"), col("j"))),
     "x_dedup_simhash" -> ((s, d) =>
       graft.ext.Dedup.simhashPairs(Tables.load(s, d, "documents"),
         "doc_id", "text", n = 3, maxHamming = 24, threshold = 0.9)
@@ -1017,6 +1025,16 @@ object SparkEntry {
     // batch docs pairing with the indexed (even) side drop; within-batch
     // components (recursive closure) keep their min-id root unless any
     // member touches the indexed side (tainted cluster drops whole)
+    // brute-force levenshtein over all length-compatible pairs of the
+    // reconstructed planted-name fixture — the O(n^2) twin of the
+    // engine's q-gram count-filtered join
+    "x_fuzzy_join" -> ("WITH names AS (" +
+      graft.ext.Fixtures.plantedNamesSql() + ") " +
+      "SELECT a.id AS i, b.id AS j, " +
+      "CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist " +
+      "FROM names a JOIN names b ON a.id < b.id " +
+      "AND abs(len(a.name) - len(b.name)) <= 1 " +
+      "WHERE levenshtein(a.name, b.name) <= 1 ORDER BY 1, 2"),
     "x_dedup_novel" -> ("WITH RECURSIVE " +
       "tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
       "sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) s FROM tok), " +

@@ -88,6 +88,38 @@ object Fixtures {
       }), " ").as("text"))
   }
 
+  /** Planted name table for the fuzzy-join gate: `n` md5-hex base names
+    * of length 8 + (id % 5), plus a one-char SUBSTITUTION variant (id + n)
+    * for every id % 3 == 0 and a one-char DELETION variant (id + 2n) for
+    * every id % 4 == 0 — known edit-distance <= 1 pairs planted into a
+    * corpus whose unrelated names are random hex (pairwise distance far
+    * above any small threshold). Pure function of range(n) from md5 +
+    * integer arithmetic, so the DuckDB twin reconstructs it exactly and
+    * brute-force `levenshtein` over all pairs is the oracle. */
+  def plantedNames(spark: SparkSession, n: Int = 300): DataFrame = {
+    val base = spark.range(n.toLong).selectExpr("id",
+      s"substring(md5(cast(id as string)), 1, 8 + cast(id % 5 as int)) AS name")
+    val subst = base.filter(col("id") % 3 === 0).selectExpr(s"id + $n AS id",
+      "concat(substring(name, 1, cast(id % length(name) as int)), " +
+        "substring(md5(concat(cast(id as string), 's')), 1, 1), " +
+        "substring(name, cast(id % length(name) as int) + 2)) AS name")
+    val del = base.filter(col("id") % 4 === 0).selectExpr(s"id + ${2 * n} AS id",
+      "concat(substring(name, 1, cast(id % length(name) as int)), " +
+        "substring(name, cast(id % length(name) as int) + 2)) AS name")
+    base.unionByName(subst).unionByName(del)
+  }
+
+  /** DuckDB CTE reconstructing plantedNames (same defaults). */
+  def plantedNamesSql(n: Int = 300): String =
+    s"WITH base AS (SELECT id, substr(md5(CAST(id AS VARCHAR)), 1, " +
+      s"8 + CAST(id % 5 AS INT)) AS name FROM range(0, $n) t(id)) " +
+      s"SELECT id, name FROM base " +
+      s"UNION ALL SELECT id + $n, substr(name, 1, CAST(id % len(name) AS INT)) || " +
+      s"substr(md5(CAST(id AS VARCHAR) || 's'), 1, 1) || " +
+      s"substr(name, CAST(id % len(name) AS INT) + 2) FROM base WHERE id % 3 = 0 " +
+      s"UNION ALL SELECT id + ${2 * n}, substr(name, 1, CAST(id % len(name) AS INT)) || " +
+      s"substr(name, CAST(id % len(name) AS INT) + 2) FROM base WHERE id % 4 = 0"
+
   /** DuckDB CTE reconstructing plantedRunDocs (same defaults) as
     * (doc_id, words LIST(VARCHAR)). */
   def plantedRunDocsSql(nDocs: Int = 40, nWords: Int = 30, nPairs: Int = 10,

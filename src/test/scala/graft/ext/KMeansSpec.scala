@@ -41,10 +41,11 @@ class KMeansSpec extends SparkTestBase {
   }
 
   test("eager mode leaves no cache entries behind") {
+    spark.catalog.clearCache()
     val out = KMeans.fit(planted, "vec_id", "embedding", k = 3, iters = 2,
       eager = true)
     out.count()
-    assert(spark.sharedState.cacheManager.isEmpty)
+    assert(org.apache.spark.sql.graftbridge.Bridge.cacheEmpty(spark))
   }
 
   test("assignment stage is shuffle-free: exchanges only in seed draw and updates") {
