@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.ext.{LanguageId, MinHashSignature, Shingles, SignLshSignatures,
-  SimHash64, TextAnalysis, WinnowFingerprints}
+  SimHash64, TextAnalysis, TextNormalize, WinnowFingerprints}
 
 /** Session extensions exposing the engine's native expressions to SQL:
   *
@@ -80,6 +80,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(c) => LanguageId(c, TextAnalysis.langProfiles)
         case _ => throw new IllegalArgumentException("language_id(text)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("text_normalize"),
+      new ExpressionInfo(classOf[TextNormalize].getName, "text_normalize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => TextNormalize(c)
+        case _ => throw new IllegalArgumentException("text_normalize(text)")
       }))
 
     ext.injectFunction((

@@ -698,6 +698,19 @@ object SparkEntry {
               .when(col("doc_id") % 3 === 1, lit(" a-b(c)d"))
               .otherwise(lit("")))).as("n_subwords"))
       .orderBy(col("doc_id"))),
+    // Canonical normalization (NFC + Unicode lowercase + whitespace
+    // collapse) over the corpus with planted unicode/whitespace spikes —
+    // the corpus itself is lowercase ascii soup, so the planted suffixes
+    // (combining accents, precomposed umlauts, tab/newline/vertical-tab
+    // runs) carry the actual normalization work
+    "x_text_normalize" -> ((s, d) => Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        graft.ext.TextNormalize(concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit("  CaFe\u0301\tX  "))
+            .when(col("doc_id") % 4 === 1, lit("\n\nA\u00c4 \u00dcber\r"))
+            .when(col("doc_id") % 4 === 2, lit(" x\u000bY "))
+            .otherwise(lit("")))).as("norm"))
+      .orderBy(col("doc_id"))),
     "x_text_quality" -> ((s, d) =>
       graft.ext.TextAnalysis.quality(Tables.load(s, d, "documents"),
         "text", "doc_id").orderBy(col("doc_id"))),
@@ -1235,6 +1248,16 @@ object SparkEntry {
       "k AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY regexp_replace(lower(text), '\\s+', ' ', 'g')) " +
       "SELECT lang_pred, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens " +
       "FROM f JOIN k USING (doc_id) GROUP BY 1 ORDER BY 1"),
+    // same NFC -> lower -> explicit-whitespace-class collapse pipeline;
+    // the regex class spells the engine's exact whitespace set (RE2 \s
+    // would miss )
+    "x_text_normalize" -> ("SELECT doc_id, " +
+      "trim(regexp_replace(lower(nfc_normalize(text || " +
+      "CASE doc_id % 4 WHEN 0 THEN '  CaFé\tX  ' " +
+      "WHEN 1 THEN '\n\nAÄ Über\r' " +
+      "WHEN 2 THEN ' xY ' ELSE '' END)), " +
+      "'[ \t\n\r\f]+', ' ', 'g')) AS norm " +
+      "FROM documents ORDER BY doc_id"),
     "x_text_quality" -> ("SELECT doc_id, CAST(length(text) AS BIGINT) AS chars, " +
       "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
       "ROUND(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token, " +

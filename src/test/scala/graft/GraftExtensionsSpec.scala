@@ -56,6 +56,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getString(2) == "en")
   }
 
+  test("text_normalize from SQL") {
+    val r = spark.sql(
+      "SELECT text_normalize('  The\\tQuick  CaFé ') AS n").collect()(0)
+    assert(r.getString(0) == "the quick café")
+  }
+
   test("bad argument types rejected") {
     intercept[Exception](spark.sql("SELECT simhash64(1)").collect())
   }
