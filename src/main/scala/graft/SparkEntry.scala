@@ -450,6 +450,14 @@ object SparkEntry {
       .groupBy(col("split")).agg(countAll.as("n"))
       .orderBy(col("split"))),
 
+    // Exact-count balanced draw: 20 docs per language by deterministic
+    // md5 order — WindowGroupLimit prunes each stratum to 20 rows
+    // map-side, so a skewed giant stratum never lands behind one task
+    "x_quota" -> ((s, d) => graft.ext.Sampling.quotaSample(
+      Tables.load(s, d, "documents").select(col("doc_id"), col("lang")),
+      "doc_id", "lang", quota = 20)
+      .orderBy(col("lang"), col("rank"))),
+
     // Range join: events mapped back into their own sessions' [start, end]
     // intervals via bucketed equi-join (every event must land in exactly
     // one session — a cross-validation of sessionize AND the range join)
@@ -1018,6 +1026,11 @@ object SparkEntry {
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) v FROM orders GROUP BY 1, 2) " +
       "SELECT COUNT(*) AS n_events, COUNT(v) AS n_matched, CAST(SUM(v) AS DOUBLE) AS total " +
       "FROM events ASOF LEFT JOIN d ON events.user_id = d.k AND events.ts >= d.t"),
+    // same md5 draw replayed: ROW_NUMBER over (md5(id), id) per lang
+    "x_quota" -> ("SELECT doc_id, lang, rank FROM (" +
+      "SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang " +
+      "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank " +
+      "FROM documents) t WHERE rank <= 20 ORDER BY lang, rank"),
     "x_split" -> ("SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' " +
       "WHEN doc_id % 10 < 9 THEN 'val' ELSE 'test' END AS split, COUNT(*) AS n " +
       "FROM documents GROUP BY 1 ORDER BY 1"),

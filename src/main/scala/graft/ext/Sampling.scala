@@ -77,4 +77,35 @@ object Sampling {
     df.filter(col(repeatCol) > 0)
       .withColumn("copy",
         explode(sequence(lit(0L), col(repeatCol).cast("long") - 1)))
+
+  /** The deterministic pseudo-random sort key shared by the exact-count
+    * samplers: md5 of the key string — engine-portable (any SQL engine
+    * reproduces the draw), uniform even on sequential ids. The key itself
+    * tie-breaks, though md5 collisions never occur in practice. */
+  private def drawOrder(keyCol: String): Seq[Column] =
+    Seq(md5(col(keyCol).cast("string")), col(keyCol))
+
+  /** EXACTLY `quota` rows per stratum (fewer if the stratum is smaller) —
+    * the "100 documents per language" balanced-mixture draw, where
+    * [[stratifiedSample]]'s per-stratum FRACTION cannot promise counts.
+    * One shuffle on the stratum key; the rank <= quota predicate compiles
+    * to WindowGroupLimit, which prunes to quota rows per stratum MAP-SIDE
+    * before the shuffle — a skewed giant stratum never materializes
+    * behind one task. Adds `rank` (1-based draw order within stratum). */
+  def quotaSample(df: DataFrame, keyCol: String, strataCol: String,
+      quota: Int): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(drawOrder(keyCol): _*)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= quota)
+  }
+
+  /** EXACTLY `n` rows from the whole corpus by the same deterministic
+    * draw — compiles to TakeOrderedAndProject (per-partition top-n, then
+    * a driver-side merge of n-row heads), never a global sort. */
+  def globalSample(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    df.orderBy(drawOrder(keyCol): _*).limit(n)
+  }
 }

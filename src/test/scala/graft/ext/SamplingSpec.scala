@@ -48,4 +48,34 @@ class SamplingSpec extends SparkTestBase {
       .groupBy("id").count().as[(Long, Long)].collect().toMap
     assert(up == Map(1L -> 3L, 2L -> 1L))
   }
+
+  test("quotaSample: exact counts per stratum, small strata kept whole") {
+    val strat = spark.range(1000).selectExpr("id",
+      "CASE WHEN id < 900 THEN 'big' WHEN id < 995 THEN 'mid' ELSE 'tiny' END AS s")
+    val counts = Sampling.quotaSample(strat, "id", "s", quota = 50)
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("big" -> 50L, "mid" -> 50L, "tiny" -> 5L))
+    // deterministic: same draw twice
+    val a = Sampling.quotaSample(strat, "id", "s", 10).select("id", "rank")
+      .as[(Long, Long)].collect().toSet
+    val b = Sampling.quotaSample(strat, "id", "s", 10).select("id", "rank")
+      .as[(Long, Long)].collect().toSet
+    assert(a == b)
+    // the rank predicate compiles to a WindowGroupLimit (map-side prune)
+    val plan = Sampling.quotaSample(strat, "id", "s", 10)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("WindowGroupLimit"), plan.take(500))
+  }
+
+  test("globalSample: exact n, deterministic, TakeOrderedAndProject plan") {
+    val df = spark.range(5000).toDF("id")
+    val s1 = Sampling.globalSample(df, "id", 100).select("id")
+      .as[Long].collect().toSet
+    val s2 = Sampling.globalSample(df, "id", 100).select("id")
+      .as[Long].collect().toSet
+    assert(s1.size == 100 && s1 == s2)
+    val plan = Sampling.globalSample(df, "id", 100)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
 }
