@@ -351,6 +351,26 @@ object SparkEntry {
     // urgent 1995 orders) + late-arriving 1996 partition, merged by key;
     // only the touched year partitions are rewritten. Oracle replays the
     // same corrections with a CASE over the source table.
+    // Zone-map pruned range read: optimize range-clusters on l_orderkey,
+    // collectStats writes the per-file min/max manifest, readRange skips
+    // every file whose range misses the interval — and the surviving rows
+    // must equal the plain filtered scan the oracle runs
+    "x_zonemap" -> ((s, d) => {
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_zonemap").toString)
+      val liYear = li(s, d).withColumn("year",
+        year(col("l_shipdate")).cast("long"))
+        .select(col("l_orderkey"), col("l_quantity"), col("year"))
+      wh.append("fact_li", liYear)
+      wh.optimize("fact_li", Seq("l_orderkey"), targetFiles = 8)
+      wh.collectStats("fact_li", Seq("l_orderkey"))
+      wh.readRange("fact_li", "l_orderkey", 1000L, 2000L).get
+        .agg(countAll.as("n"),
+          sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("qty"),
+          countDistinct(col("l_orderkey")).as("n_keys"))
+    }),
+
     "x_merge" -> ((s, d) => {
       val wh = new graft.snapshot.Warehouse(s,
         TempDirs.scratchDir("graft_merge_wh").toString)
@@ -977,6 +997,11 @@ object SparkEntry {
       "c_mktsegment AS segment, CASE WHEN c_acctbal >= 5000 THEN 'hi' " +
       "WHEN c_acctbal >= 0 THEN 'mid' ELSE 'neg' END AS bucket, COUNT(*) AS value " +
       "FROM customer GROUP BY 6, 7 ORDER BY 6, 7"),
+    // the pruned read is transparent: same rows as the plain range scan
+    "x_zonemap" -> ("SELECT COUNT(*) AS n, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty, " +
+      "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys " +
+      "FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000"),
     "x_merge" -> ("SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year, COUNT(*) AS n, " +
       "CAST(SUM(CAST(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1995 AND o_orderpriority = '1-URGENT' " +
       "THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total " +

@@ -339,4 +339,99 @@ final class Warehouse(spark: SparkSession, val root: String) {
       replaceWith(fact, arranged, ".optimize", keepLayout = true)
     }
   }
+
+  // ------------------------- zone maps -------------------------
+
+  private def statsPath(fact: String) = new Path(path(fact), "_stats.json")
+
+  /** URI-form differences ("file:///x" vs "file:/x") collapse to the path. */
+  private def normFile(s: String): String = new java.net.URI(s).getPath
+
+  /** Build/refresh the fact's zone map: per-FILE min/max of `cols`,
+    * persisted as one small JSON-lines manifest (`_stats.json`, underscore
+    * = invisible to parquet listings). This is what makes a selective
+    * predicate on a NON-partition column skip files without touching
+    * them: parquet footers already carry these ranges, but Spark must
+    * still list and open every footer to use them — at 100 TB that is
+    * millions of S3 reads before the first data byte. The manifest costs
+    * one aggregation scan to build (run it after [[optimize]], whose
+    * range-clustering makes the per-file ranges disjoint and the skipping
+    * sharp) and one small-file read per query to use — the same
+    * manifest-statistics idea Iceberg/Delta attach to their commit logs.
+    * One row per data file, aggregated distributed, collected only at
+    * manifest scale. */
+  def collectStats(fact: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "collectStats needs at least one column")
+    read(fact).foreach { df =>
+      val aggs = cols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      val rows = df.groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("file", udfFreeNorm(col("file")))
+        .select(to_json(struct(col("*"))).as("j"))
+        .collect().map(_.getString(0))
+      val out = fs.create(statsPath(fact), true)
+      try out.write(rows.mkString("\n").getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  // scheme/slash normalization, in-plan (no UDF): strip "file:" and
+  // collapse the leading slash run to one
+  private def udfFreeNorm(c: org.apache.spark.sql.Column) =
+    regexp_replace(regexp_replace(c, "^[a-z0-9+.-]+:", ""), "^/+", "/")
+
+  /** All current data files of the fact (partition dirs only). */
+  private def dataFiles(fact: String): Seq[Path] = {
+    val f = fs
+    f.listStatus(path(fact)).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("year="))
+      .flatMap(d => f.listStatus(d.getPath)).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath)
+  }
+
+  /** Read the fact restricted to `lo <= column <= hi`, skipping every
+    * file whose zone-map range cannot overlap the interval. EXACT under
+    * stale stats: files newer than the manifest (or with null ranges)
+    * have no entry and are always read, and the row-level predicate is
+    * re-applied after the file-level skip — stats can only remove
+    * provably-empty scans, never rows. Falls back to a plain filtered
+    * read when no manifest exists. */
+  def readRange(fact: String, column: String, lo: Any, hi: Any): Option[DataFrame] =
+    read(fact).map { full =>
+      val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
+      if (!fs.exists(statsPath(fact))) full.filter(pred)
+      else filesForRange(fact, column, lo, hi) match {
+        case Nil => full.filter(pred).limit(0)
+        case files =>
+          val reader = spark.read.option("basePath", path(fact).toString)
+          storedSchema(fact).map(reader.schema).getOrElse(reader)
+            .parquet(files: _*).filter(pred)
+      }
+    }
+
+  /** Files a [[readRange]] over the interval would scan (also the
+    * observability hook the pruning specs assert against): every current
+    * data file EXCEPT those whose manifest range is provably disjoint
+    * from [lo, hi] — unlisted (newer-than-manifest) and null-range files
+    * always survive. */
+  def filesForRange(fact: String, column: String, lo: Any, hi: Any): Seq[String] =
+    if (!fs.exists(statsPath(fact))) dataFiles(fact).map(_.toString)
+    else {
+      // the underscore prefix hides the manifest from Spark's file
+      // listings (that's the point) — so load its bytes through the FS
+      // API and parse from memory
+      val in = fs.open(statsPath(fact))
+      val lines = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      import spark.implicits._
+      val stats = spark.read.json(
+        spark.createDataset(lines.split("\n").toSeq.filter(_.nonEmpty)))
+      val disjoint = coalesce(col(s"max_$column") < lit(lo), lit(false)) ||
+        coalesce(col(s"min_$column") > lit(hi), lit(false))
+      val pruned = stats.filter(disjoint).select(col("file"))
+        .collect().map(_.getString(0)).toSet
+      dataFiles(fact).map(_.toString)
+        .filter(p => !pruned.contains(normFile(p)))
+    }
 }

@@ -1,0 +1,67 @@
+package graft.snapshot
+
+import graft.{SparkTestBase, TempDirs}
+import org.apache.spark.sql.functions._
+
+class ZoneMapSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Fact with 2 year partitions, range-clustered on k so per-file k
+    * ranges are disjoint and the zone map can actually skip. */
+  private def freshFact(): (Warehouse, String) = {
+    val wh = new Warehouse(spark, TempDirs.scratchDir("graft_zm").toString)
+    val df = spark.range(10000).select(col("id").as("k"),
+      (col("id") % 100).as("v"),
+      (lit(2020L) + col("id") % 2).as("year"))
+    wh.append("f", df)
+    wh.optimize("f", Seq("k"), targetFiles = 8)
+    wh.collectStats("f", Seq("k", "v"))
+    (wh, "f")
+  }
+
+  test("range read skips files and returns exactly the filtered rows") {
+    val (wh, f) = freshFact()
+    val all = wh.filesForRange(f, "k", Long.MinValue, Long.MaxValue)
+    val few = wh.filesForRange(f, "k", 100L, 200L)
+    assert(all.size >= 8, s"expected >=8 files, got ${all.size}")
+    assert(few.size < all.size, s"no pruning: ${few.size} of ${all.size}")
+    val got = wh.readRange(f, "k", 100L, 200L).get
+      .select("k").as[Long].collect().sorted
+    assert(got.toSeq == (100L to 200L))
+  }
+
+  test("interval disjoint from the fact prunes every file") {
+    val (wh, f) = freshFact()
+    assert(wh.filesForRange(f, "k", -500L, -1L).isEmpty)
+    assert(wh.readRange(f, "k", -500L, -1L).get.count() == 0L)
+  }
+
+  test("stale stats stay exact: files appended after collectStats are read") {
+    val (wh, f) = freshFact()
+    wh.append("f", Seq((20000L, 0L, 2021L)).toDF("k", "v", "year"))
+    val got = wh.readRange(f, "k", 19999L, 20001L).get
+      .select("k").as[Long].collect()
+    assert(got.toSeq == Seq(20000L))
+  }
+
+  test("no manifest falls back to a plain filtered read") {
+    val wh = new Warehouse(spark, TempDirs.scratchDir("graft_zm2").toString)
+    wh.append("g", Seq((1L, 2020L), (9L, 2020L)).toDF("k", "year"))
+    assert(wh.readRange("g", "k", 5L, 10L).get
+      .select("k").as[Long].collect().toSeq == Seq(9L))
+  }
+
+  test("string column zone maps prune too") {
+    val wh = new Warehouse(spark, TempDirs.scratchDir("graft_zm3").toString)
+    val df = spark.range(2000).select(
+      concat(lit("u"), lpad(col("id").cast("string"), 6, "0")).as("name"),
+      lit(2020L).as("year"))
+    wh.append("h", df)
+    wh.optimize("h", Seq("name"), targetFiles = 6)
+    wh.collectStats("h", Seq("name"))
+    val all = wh.filesForRange("h", "name", "u000000", "u999999")
+    val few = wh.filesForRange("h", "name", "u000100", "u000200")
+    assert(few.size < all.size)
+    assert(wh.readRange("h", "name", "u000100", "u000200").get.count() == 101L)
+  }
+}
