@@ -726,6 +726,26 @@ object SparkEntry {
               .when(col("doc_id") % 3 === 1, lit(" a-b(c)d"))
               .otherwise(lit("")))).as("n_subwords"))
       .orderBy(col("doc_id"))),
+    // C4-style boilerplate-line scrub: corpus re-lined into 8-word lines
+    // with a cookie-banner line planted into every even doc; lines in
+    // more than 20 distinct docs are chrome and must vanish, content
+    // lines stitch back in order. Line df travels as xxhash64 (the
+    // oracle groups the strings — injectivity at corpus scale)
+    "x_text_lines" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val nLines = ceil(size(words).cast("double") / 8.0).cast("long")
+      val lined = Tables.load(s, d, "documents").select(col("doc_id"),
+        concat(
+          array_join(transform(sequence(lit(0L), nLines - 1),
+            i => array_join(slice(words, (i * 8 + 1).cast("int"), lit(8)), " ")),
+            "\n"),
+          when(col("doc_id") % 2 === 0,
+            lit("\nthis site uses cookies accept to continue end"))
+            .otherwise(lit(""))).as("text"))
+      graft.ext.TextAnalysis.dropBoilerplateLines(lined, "doc_id", "text",
+        maxLineDf = 20)
+        .orderBy(col("doc_id"))
+    }),
     // Canonical normalization (NFC + Unicode lowercase + whitespace
     // collapse) over the corpus with planted unicode/whitespace spikes —
     // the corpus itself is lowercase ascii soup, so the planted suffixes
@@ -1286,6 +1306,19 @@ object SparkEntry {
       "k AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY regexp_replace(lower(text), '\\s+', ' ', 'g')) " +
       "SELECT lang_pred, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens " +
       "FROM f JOIN k USING (doc_id) GROUP BY 1 ORDER BY 1"),
+    // same re-lining + planted banner, line-df by string equality
+    "x_text_lines" -> ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "lined AS (SELECT doc_id, array_to_string(" +
+      "[array_to_string(w[i*8+1 : i*8+8], ' ') " +
+      "for i in range(0, CAST(CEIL(len(w) / 8.0) AS INT))], chr(10)) || " +
+      "CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'this site uses cookies accept to continue end' ELSE '' END AS text " +
+      "FROM w), " +
+      "l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, " +
+      "unnest(range(len(string_split(text, chr(10))))) AS pos FROM lined), " +
+      "dfc AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY 1), " +
+      "kept AS (SELECT l.doc_id, l.pos, l.line FROM l JOIN dfc ON l.line = dfc.line WHERE dfc.df <= 20) " +
+      "SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS text " +
+      "FROM kept GROUP BY doc_id ORDER BY doc_id"),
     // same NFC -> lower -> explicit-whitespace-class collapse pipeline;
     // the regex class spells the engine's exact whitespace set (RE2 \s
     // would miss )

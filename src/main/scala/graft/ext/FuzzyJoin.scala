@@ -72,36 +72,43 @@ object FuzzyJoin {
       .agg(count(lit(1)).as("c"))
 
     // df-cap split: cold grams drive the join; capped grams become a
-    // small per-string map restoring the exact overlap per candidate
+    // small per-string map restoring the exact overlap per candidate.
+    // hotMaps stays None when the cap removes nothing (the common case —
+    // one cheap existence probe on the persisted index), so the
+    // hot-restore joins and the saturated-set scan never enter the plan
     val (cold, hotMaps, caches) = maxDf match {
-      case None =>
-        (gramCounts, s.select(col("id")).withColumn("hot",
-          map_from_entries(array().cast("array<struct<g:bigint,c:bigint>>"))), Nil)
+      case None => (gramCounts, None, Nil)
       case Some(cap) =>
         val gc = gramCounts.persist(StorageLevel.MEMORY_AND_DISK)
         val hotG = gc.groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
           .filter(col("dfreq") > cap).select(col("g"))
-        val coldIdx = gc.join(broadcast(hotG), Seq("g"), "left_anti")
-        val hm = s.select(col("id")).join(
-            gc.join(broadcast(hotG), Seq("g"), "left_semi")
-              .groupBy(col("id"))
-              .agg(map_from_entries(collect_list(struct(col("g"), col("c"))))
-                .as("hot")), Seq("id"), "left")
-          .select(col("id"), coalesce(col("hot"),
-            map_from_entries(array().cast("array<struct<g:bigint,c:bigint>>")))
-            .as("hot"))
-        (coldIdx, hm, Seq(gc))
+        if (hotG.limit(1).count() == 0L) (gc, None, Seq(gc))
+        else {
+          val coldIdx = gc.join(broadcast(hotG), Seq("g"), "left_anti")
+          val hm = s.select(col("id")).join(
+              gc.join(broadcast(hotG), Seq("g"), "left_semi")
+                .groupBy(col("id"))
+                .agg(map_from_entries(collect_list(struct(col("g"), col("c"))))
+                  .as("hot")), Seq("id"), "left")
+            .select(col("id"), coalesce(col("hot"),
+              map_from_entries(array().cast("array<struct<g:bigint,c:bigint>>")))
+              .as("hot"))
+            .withColumn("dropped",
+              coalesce(aggregate(map_values(col("hot")), lit(0L),
+                (acc, v) => acc + v), lit(0L)))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          (coldIdx, Some(hm), Seq(gc, hm))
+        }
     }
-    val hots = hotMaps.withColumn("dropped",
-        coalesce(aggregate(map_values(col("hot")), lit(0L),
-          (acc, v) => acc + v), lit(0L)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // residual set: vacuous bound (short) or saturated by capped grams
-    val resid = hots.join(s, Seq("id"))
-      .filter(col("len") <= vacuousLen ||
-        col("dropped") >= col("len") - q + 1 - k * q)
-      .select(col("id"), col("s"), col("len"))
+    // residual set: vacuous count-filter bound (short strings), plus —
+    // only when hot grams exist — strings saturated by capped mass
+    val resid = (hotMaps match {
+      case None => s.filter(col("len") <= vacuousLen)
+      case Some(hots) => hots.join(s, Seq("id"))
+        .filter(col("len") <= vacuousLen ||
+          col("dropped") >= col("len") - q + 1 - k * q)
+    }).select(col("id"), col("s"), col("len"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val residIds = resid.select(col("id")).withColumn("residual", lit(true))
 
@@ -116,12 +123,14 @@ object FuzzyJoin {
       .groupBy(col("a.id").as("i"), col("b.id").as("j"))
       .agg(sum(least(col("a.c"), col("b.c"))).as("common_cold"),
         first(col("a.len")).as("len_i"), first(col("b.len")).as("len_j"))
-    val withHot = cand
-      .join(hots.select(col("id").as("i"), col("hot").as("hot_i")), Seq("i"))
-      .join(hots.select(col("id").as("j"), col("hot").as("hot_j")), Seq("j"))
-      .withColumn("common",
-        col("common_cold") + mapOverlap(col("hot_i"), col("hot_j")))
-      .filter(col("common") >=
+    val withHot = (hotMaps match {
+      case None => cand.withColumn("common", col("common_cold"))
+      case Some(hots) => cand
+        .join(hots.select(col("id").as("i"), col("hot").as("hot_i")), Seq("i"))
+        .join(hots.select(col("id").as("j"), col("hot").as("hot_j")), Seq("j"))
+        .withColumn("common",
+          col("common_cold") + mapOverlap(col("hot_i"), col("hot_j")))
+    }).filter(col("common") >=
         greatest(col("len_i"), col("len_j")) - q + 1 - k * q)
     val idxPairs = withHot
       .join(s.select(col("id").as("i"), col("s").as("s_i")), Seq("i"))
@@ -145,6 +154,6 @@ object FuzzyJoin {
         greatest(col("a.id"), col("b.id")).as("j"), col("dist"))
 
     val out = idxPairs.unionByName(residPairs)
-    Dedup.finishEager(out, eager, Seq(s, hots, resid) ++ caches)
+    Dedup.finishEager(out, eager, Seq(s, resid) ++ caches)
   }
 }

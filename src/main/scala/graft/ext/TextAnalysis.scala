@@ -302,4 +302,37 @@ object TextAnalysis {
       .select(col(idCol)).distinct()
     corpus.join(hitIds, Seq(idCol), "left_anti")
   }
+
+  /** Corpus-level boilerplate-LINE removal (the C4-style scrub): a line
+    * occurring in more than `maxLineDf` distinct documents is template
+    * chrome (cookie banners, nav bars, license footers), not content —
+    * strip it from every document and stitch the remaining lines back in
+    * their original order. Documents left with zero lines drop out
+    * entirely (an empty page is not a training document).
+    *
+    * Scale shape: lines travel as xxhash64 longs; the df count is one
+    * (id, hash)-distinct aggregation; the boilerplate set — distinct
+    * lines ABOVE the cap, bounded by corpus/maxLineDf, small by
+    * construction — broadcasts into a map-side anti-probe, so the corpus
+    * is never shuffled to find its boilerplate. The reassembly is the
+    * one per-doc shuffle (collect_list + array_sort on (pos, line)),
+    * which any restructuring of documents necessarily pays.
+    *
+    * Lines are matched byte-exact; run [[TextNormalize]] upstream when
+    * near-identical chrome should collapse first. */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      maxLineDf: Long, sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+      .withColumn("__lh", xxhash64(col("line")))
+    val hot = lines.select(col(idCol), col("__lh")).distinct()
+      .groupBy(col("__lh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxLineDf).select(col("__lh"))
+    lines.join(broadcast(hot), Seq("__lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), sep).as(textCol))
+  }
 }

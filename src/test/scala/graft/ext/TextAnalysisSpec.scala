@@ -202,6 +202,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(n == 3L) // "alpha beta gamma", "beta gamma q", "gamma q r"
   }
 
+  test("dropBoilerplateLines strips corpus-hot lines, keeps order, drops emptied docs") {
+    val banner = "accept cookies to continue"
+    val docs = Seq(
+      (1L, s"alpha one\n$banner\nalpha two"),
+      (2L, s"$banner\nbeta one"),
+      (3L, s"gamma one\ngamma two\n$banner"),
+      (4L, banner) // nothing but chrome -> drops out entirely
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dropBoilerplateLines(docs, "doc_id", "text",
+      maxLineDf = 2).as[(Long, String)].collect().toMap
+    assert(out == Map(
+      1L -> "alpha one\nalpha two",
+      2L -> "beta one",
+      3L -> "gamma one\ngamma two"))
+    // below the cap nothing is chrome
+    val keep = TextAnalysis.dropBoilerplateLines(docs, "doc_id", "text",
+      maxLineDf = 10).as[(Long, String)].collect().toMap
+    assert(keep(4L) == banner && keep(1L) == s"alpha one\n$banner\nalpha two")
+  }
+
   test("multimodal plumbing: schema + batched features") {
     val docs = Seq((1L, "abc", "en"), (2L, "abcabc", "de")).toDF("doc_id", "text", "lang")
     val media = Multimodal.asMedia(docs, "doc_id", "text", "lang")
