@@ -692,6 +692,13 @@ object SparkEntry {
           max(col("code")).as("code_max"))
         .orderBy(col("dim"))),
 
+    // PageRank (3 power iterations) on the planted multigraph: per-dst
+    // contribution sums in quantized decimal make every iteration
+    // bit-replayable; node 0 (the hub target) must surface on top
+    "x_pagerank" -> ((s, d) =>
+      graft.ext.PageRank.run(graft.ext.Fixtures.plantedEdges(s), iters = 3)
+        .orderBy(col("node"))),
+
     // Distributed Lloyd k-means (2 iterations, k=8, md5-seeded): the
     // whole-corpus semantic-clustering step past IVF's driver-side
     // sampled training. Assignment is shuffle-free (broadcast packed
@@ -1189,6 +1196,33 @@ object SparkEntry {
       "FROM (SELECT label, unnest(embedding) AS v, " +
       "unnest(range(len(embedding))) AS dim FROM embeddings) t " +
       "GROUP BY 1, 2 ORDER BY 1, 2"),
+    // 3 unrolled power iterations; identical arithmetic shape
+    // ((1-0.85)/n + 0.85*(int_unit_sum::DOUBLE/1e12 + 0)); floor-to-
+    // integer-units, never ROUND (shortest-repr vs binary rounding
+    // diverges across engines); the planted graph has no dangling
+    // nodes, so the engine's dangling term is exactly +0.0 and the
+    // replay omits it
+    "x_pagerank" -> ("WITH e AS (" + graft.ext.Fixtures.plantedEdgesSql() + "), " +
+      "nd AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e), " +
+      "nn AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT node FROM nd) t), " +
+      "od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1), " +
+      "p0 AS (SELECT DISTINCT node, 1.0::DOUBLE / (SELECT n FROM nn) AS pr FROM nd), " +
+      "c1 AS (SELECT e.dst, SUM(CAST(FLOOR(p.pr / od.od * 1e12) AS BIGINT)) AS s " +
+      "FROM p0 p JOIN od ON p.node = od.src JOIN e ON e.src = od.src GROUP BY 1), " +
+      "p1 AS (SELECT nd2.node, (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn) + " +
+      "0.85::DOUBLE * (CAST(COALESCE(c1.s, 0) AS DOUBLE) / 1e12 + 0.0) AS pr " +
+      "FROM (SELECT DISTINCT node FROM nd) nd2 LEFT JOIN c1 ON nd2.node = c1.dst), " +
+      "c2 AS (SELECT e.dst, SUM(CAST(FLOOR(p.pr / od.od * 1e12) AS BIGINT)) AS s " +
+      "FROM p1 p JOIN od ON p.node = od.src JOIN e ON e.src = od.src GROUP BY 1), " +
+      "p2 AS (SELECT nd2.node, (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn) + " +
+      "0.85::DOUBLE * (CAST(COALESCE(c2.s, 0) AS DOUBLE) / 1e12 + 0.0) AS pr " +
+      "FROM (SELECT DISTINCT node FROM nd) nd2 LEFT JOIN c2 ON nd2.node = c2.dst), " +
+      "c3 AS (SELECT e.dst, SUM(CAST(FLOOR(p.pr / od.od * 1e12) AS BIGINT)) AS s " +
+      "FROM p2 p JOIN od ON p.node = od.src JOIN e ON e.src = od.src GROUP BY 1), " +
+      "p3 AS (SELECT nd2.node, (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn) + " +
+      "0.85::DOUBLE * (CAST(COALESCE(c3.s, 0) AS DOUBLE) / 1e12 + 0.0) AS pr " +
+      "FROM (SELECT DISTINCT node FROM nd) nd2 LEFT JOIN c3 ON nd2.node = c3.dst) " +
+      "SELECT node, pr FROM p3 ORDER BY node"),
     // 2-iteration Lloyd k-means replay: same md5 seed draw, same
     // index-ordered distance folds, same quantized-decimal centroid
     // means; argmin ties break on cid in both engines

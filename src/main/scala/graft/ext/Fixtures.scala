@@ -120,6 +120,27 @@ object Fixtures {
       s"UNION ALL SELECT id + ${2 * n}, substr(name, 1, CAST(id % len(name) AS INT)) || " +
       s"substr(name, CAST(id % len(name) AS INT) + 2) FROM base WHERE id % 4 = 0"
 
+  /** Planted directed graph for the PageRank gate: every node i emits
+    * edges i -> (2i+1) mod n and i -> (3i+7) mod n (so no dangling
+    * nodes), plus a hub edge i -> 0 for i % 10 == 0 — node 0 accumulates
+    * rank, the rest spread. Pure integer arithmetic over range(n);
+    * duplicate edges (i = n-6 mod n emits both arithmetic edges to the
+    * same target) are kept — multigraph semantics, identical in the
+    * DuckDB twin. */
+  def plantedEdges(spark: SparkSession, n: Int = 400): DataFrame = {
+    val base = spark.range(n.toLong)
+    base.selectExpr("id AS src", s"(2*id + 1) % $n AS dst")
+      .unionAll(base.selectExpr("id AS src", s"(3*id + 7) % $n AS dst"))
+      .unionAll(base.filter(col("id") % 10 === 0)
+        .selectExpr("id AS src", "CAST(0 AS BIGINT) AS dst"))
+  }
+
+  /** DuckDB CTE reconstructing plantedEdges (same defaults). */
+  def plantedEdgesSql(n: Int = 400): String =
+    s"SELECT id AS src, (2*id + 1) % $n AS dst FROM range(0, $n) t(id) " +
+      s"UNION ALL SELECT id, (3*id + 7) % $n FROM range(0, $n) t(id) " +
+      s"UNION ALL SELECT id, 0 FROM range(0, $n) t(id) WHERE id % 10 = 0"
+
   /** DuckDB CTE reconstructing plantedRunDocs (same defaults) as
     * (doc_id, words LIST(VARCHAR)). */
   def plantedRunDocsSql(nDocs: Int = 40, nWords: Int = 30, nPairs: Int = 10,

@@ -69,6 +69,45 @@ object ScaleDemo {
       graft.ext.Profile.columns(corpus, Seq("doc_id", "text"),
         approxDistinct = true).count()
     }
+    timed("boilerplate_lines") {
+      // replication multiplies every line's df by K: the banner the gate
+      // plants at df=2500 stays hot, content lines stay unique-per-doc
+      val lined = corpus.select(col("doc_id"),
+        regexp_replace(col("text"), "( \\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ",
+          "$1\n").as("text"))
+      graft.ext.TextAnalysis.dropBoilerplateLines(lined, "doc_id", "text",
+        maxLineDf = k.toLong * 100).count()
+    }
+
+    // ---- round-7 vector/string operators at Kx ----
+    val emb0 = graft.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val nv0 = emb0.count()
+    val embK = (0 until k).map { i =>
+      emb0.select((col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ unionByName _)
+    def timedVec(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op": "$name", "vectors": ${nv0 * k}, "replication": $k, "rows": $rows, "seconds": $secs%.1f}""")
+      spark.catalog.clearCache()
+    }
+    timedVec("kmeans") {
+      // shuffle volume per iteration must stay k*dim-keyed regardless of
+      // corpus size; assignment is a broadcast map over Kx vectors
+      graft.ext.KMeans.fit(embK, "vec_id", "embedding",
+        k = 8, iters = 2).count()
+    }
+    timed("fuzzy_join") {
+      // names fixture replicated via the corpus loop would collide all
+      // copies (identical strings pair across replicas -> quadratic BY
+      // CONSTRUCTION); scale the fixture itself instead: K*300 distinct
+      // md5 names keep the planted-typo density constant
+      graft.ext.FuzzyJoin.editDistancePairs(
+        graft.ext.Fixtures.plantedNames(spark, n = k * 300), "id", "name",
+        maxDist = 1).count()
+    }
 
     // ---- streaming at Kx events: is state still bounded and throughput
     // linear when the stream is 10x the conformance corpus? Replicate the
