@@ -40,7 +40,8 @@ object PageRank {
   def run(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
       quantize: Int = 12, eager: Boolean = false): DataFrame = {
     require(iters > 0 && damping > 0 && damping < 1, "bad pagerank params")
-    require(quantize <= 15, "quantize units must stay inside long/double exactness")
+    require(quantize >= 6 && quantize <= 15,
+      "quantize in [6, 15]: units must resolve 1/N rank yet stay inside long/double exactness")
     val scale = math.pow(10.0, quantize) // exact powers of ten up to 1e15
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))

@@ -13,16 +13,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * fingerprint:
   *
   *   1. Unicode NFC (composed form — combining sequences join),
-  *   2. Unicode lowercase (root locale),
+  *   2. Unicode simple lowercase (per-codepoint),
   *   3. whitespace runs ({space, \t, \n, \r, \f, \u000B}) collapse to a
   *      single space, leading/trailing runs drop.
   *
   * The whitespace set is spelled explicitly (not Java's \s) so the
   * DuckDB oracle can replay it with the byte-identical RE2 class
   * `[ \t\n\r\f\x0b]+` — Java \s and RE2 \s disagree on \u000B.
-  * NFC and lowercase delegate to `java.text.Normalizer` / ROOT-locale
-  * `toLowerCase`, which agree with utf8proc (DuckDB's `nfc_normalize` /
-  * `lower`) on the Unicode mappings.
+  * NFC delegates to `java.text.Normalizer`; lowercasing is the SIMPLE
+  * per-codepoint mapping (`Character.toLowerCase`), the same table
+  * utf8proc (DuckDB's `lower`) applies — deliberately NOT Java's
+  * `String.toLowerCase`, whose full/context-sensitive mappings (Turkish
+  * dotted I-with-dot -> "i"+U+0307, Greek final sigma by position)
+  * diverge from utf8proc and would silently split the engine from its
+  * oracle.
   *
   * Per-row, shuffle-free, null-in -> null-out. Registered in SQL as
   * `text_normalize(s)` via [[graft.GraftExtensions]].
@@ -54,21 +58,24 @@ object TextNormalize {
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B'
 
   def normalize(s: String): String = {
-    val lowered = java.text.Normalizer
-      .normalize(s, java.text.Normalizer.Form.NFC)
-      .toLowerCase(java.util.Locale.ROOT)
-    val sb = new java.lang.StringBuilder(lowered.length)
+    val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(nfc.length)
     var i = 0
     var pendingSpace = false
-    while (i < lowered.length) {
-      val c = lowered.charAt(i)
-      if (isWs(c)) {
+    while (i < nfc.length) {
+      val cp = nfc.codePointAt(i)
+      if (cp < 0x80 && isWs(cp.toChar)) {
         if (sb.length() > 0) pendingSpace = true // leading runs drop
       } else {
         if (pendingSpace) { sb.append(' '); pendingSpace = false }
-        sb.append(c)
+        // SIMPLE per-codepoint lowercase (Character.toLowerCase), not
+        // String.toLowerCase: the full/context-sensitive mappings (Java
+        // lowers U+0130 to "i"+combining-dot, final sigma by position)
+        // diverge from utf8proc's simple table, which DuckDB's lower()
+        // uses — per-codepoint matches it 1:1
+        sb.appendCodePoint(Character.toLowerCase(cp))
       }
-      i += 1
+      i += Character.charCount(cp)
     }
     sb.toString // trailing run never flushed -> trimmed
   }

@@ -344,8 +344,18 @@ final class Warehouse(spark: SparkSession, val root: String) {
 
   private def statsPath(fact: String) = new Path(path(fact), "_stats.json")
 
-  /** URI-form differences ("file:///x" vs "file:/x") collapse to the path. */
-  private def normFile(s: String): String = new java.net.URI(s).getPath
+  /** Canonical manifest key for a file URI string: (authority, path)
+    * via Hadoop Path parsing — "file:///x", "file:/x" and a bare "/x"
+    * collapse together, while "s3a://bucket/x" keeps its bucket (a raw
+    * java.net.URI getPath would DROP the authority and silently disable
+    * pruning on object stores; Hadoop Path also tolerates spaces that
+    * make java.net.URI throw). Applied to BOTH the writer's
+    * input_file_name() strings and the reader's listing, so the two
+    * sides can never disagree on form. */
+  private def normFile(s: String): String = {
+    val u = new Path(s).toUri
+    Option(u.getAuthority).getOrElse("") + u.getPath
+  }
 
   /** Build/refresh the fact's zone map: per-FILE min/max of `cols`,
     * persisted as one small JSON-lines manifest (`_stats.json`, underscore
@@ -365,20 +375,16 @@ final class Warehouse(spark: SparkSession, val root: String) {
     read(fact).foreach { df =>
       val aggs = cols.flatMap(c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      // file keys stay RAW here; normFile canonicalizes both the
+      // manifest values and the listing at read time, one code path
       val rows = df.groupBy(input_file_name().as("file"))
         .agg(aggs.head, aggs.tail: _*)
-        .withColumn("file", udfFreeNorm(col("file")))
         .select(to_json(struct(col("*"))).as("j"))
         .collect().map(_.getString(0))
       val out = fs.create(statsPath(fact), true)
       try out.write(rows.mkString("\n").getBytes("UTF-8")) finally out.close()
     }
   }
-
-  // scheme/slash normalization, in-plan (no UDF): strip "file:" and
-  // collapse the leading slash run to one
-  private def udfFreeNorm(c: org.apache.spark.sql.Column) =
-    regexp_replace(regexp_replace(c, "^[a-z0-9+.-]+:", ""), "^/+", "/")
 
   /** All current data files of the fact (partition dirs only). */
   private def dataFiles(fact: String): Seq[Path] = {
@@ -427,11 +433,19 @@ final class Warehouse(spark: SparkSession, val root: String) {
       import spark.implicits._
       val stats = spark.read.json(
         spark.createDataset(lines.split("\n").toSeq.filter(_.nonEmpty)))
-      val disjoint = coalesce(col(s"max_$column") < lit(lo), lit(false)) ||
-        coalesce(col(s"min_$column") > lit(hi), lit(false))
-      val pruned = stats.filter(disjoint).select(col("file"))
-        .collect().map(_.getString(0)).toSet
-      dataFiles(fact).map(_.toString)
-        .filter(p => !pruned.contains(normFile(p)))
+      // a manifest that does not cover `column` (collected for other
+      // columns, or empty) can prune nothing — full listing, same
+      // contract as no manifest at all
+      val covered = Seq("file", s"min_$column", s"max_$column")
+        .forall(stats.schema.fieldNames.contains)
+      if (!covered) dataFiles(fact).map(_.toString)
+      else {
+        val disjoint = coalesce(col(s"max_$column") < lit(lo), lit(false)) ||
+          coalesce(col(s"min_$column") > lit(hi), lit(false))
+        val pruned = stats.filter(disjoint).select(col("file"))
+          .collect().map(r => normFile(r.getString(0))).toSet
+        dataFiles(fact).map(_.toString)
+          .filter(p => !pruned.contains(normFile(p)))
+      }
     }
 }

@@ -12,7 +12,16 @@ import java.nio.file.{Files, Paths}
   * Usage: runMain graft.tools.RunOne <name> <sfDir> <outDir> */
 object RunOne {
   def main(args: Array[String]): Unit = {
+    if (args.length != 3) {
+      System.err.println("usage: RunOne <queryName> <sfDir> <outDir>")
+      sys.exit(2)
+    }
     val Array(name, sfDir, outDir) = args
+    if (!SparkEntry.queries.contains(name)) {
+      System.err.println(s"unknown query '$name'; names: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -24,10 +33,11 @@ object RunOne {
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, sfDir).coalesce(1).write
       .mode("overwrite").parquet(s"$outDir/$name")
-    println(f"[runone] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    SparkEntry.oracleSql.get(name).foreach { sql =>
-      Files.writeString(Paths.get(s"$outDir/$name.sql"), sql)
-    }
-    spark.stop()
+    try {
+      println(f"[runone] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      SparkEntry.oracleSql.get(name).foreach { sql =>
+        Files.writeString(Paths.get(s"$outDir/$name.sql"), sql)
+      }
+    } finally spark.stop()
   }
 }

@@ -99,14 +99,19 @@ object ScaleDemo {
       graft.ext.KMeans.fit(embK, "vec_id", "embedding",
         k = 8, iters = 2).count()
     }
-    timed("fuzzy_join") {
+    locally {
       // names fixture replicated via the corpus loop would collide all
       // copies (identical strings pair across replicas -> quadratic BY
       // CONSTRUCTION); scale the fixture itself instead: K*300 distinct
-      // md5 names keep the planted-typo density constant
-      graft.ext.FuzzyJoin.editDistancePairs(
+      // md5 names keep the planted-typo density constant. Own JSON line:
+      // the scale axis is names, not the 50k-doc corpus
+      val t0 = System.nanoTime()
+      val pairs = graft.ext.FuzzyJoin.editDistancePairs(
         graft.ext.Fixtures.plantedNames(spark, n = k * 300), "id", "name",
         maxDist = 1).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op": "fuzzy_join", "names": ${k * 475}, "replication": $k, "pairs": $pairs, "seconds": $secs%.1f}""")
+      spark.catalog.clearCache()
     }
 
     // ---- streaming at Kx events: is state still bounded and throughput
