@@ -733,6 +733,14 @@ object SparkEntry {
               .when(col("doc_id") % 3 === 1, lit(" a-b(c)d"))
               .otherwise(lit("")))).as("n_subwords"))
       .orderBy(col("doc_id"))),
+    // Ranked keyword retrieval: top-15 docs for a 3-term query, log-free
+    // TF-IDF scores summed in floor-quantized units (exact cross-engine
+    // ordering), ties on doc_id
+    "x_search" -> ((s, d) =>
+      graft.ext.TextAnalysis.search(Tables.load(s, d, "documents"),
+        "doc_id", "text", Seq("spark", "window", "hash"), k = 15)
+        .orderBy(col("score").desc, col("doc_id"))),
+
     // C4-style boilerplate-line scrub: corpus re-lined into 8-word lines
     // with a cookie-banner line planted into every even doc; lines in
     // more than 20 distinct docs are chrome and must vanish, content
@@ -1340,6 +1348,18 @@ object SparkEntry {
       "k AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY regexp_replace(lower(text), '\\s+', ' ', 'g')) " +
       "SELECT lang_pred, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens " +
       "FROM f JOIN k USING (doc_id) GROUP BY 1 ORDER BY 1"),
+    // same tf/df/n integer operands, same floor-unit summation
+    "x_search" -> ("WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS len, " +
+      "unnest(string_split(text, ' ')) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, len, term, COUNT(*) AS cnt FROM tok " +
+      "WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2, 3), " +
+      "dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), " +
+      "nn AS (SELECT COUNT(*) AS n FROM documents), " +
+      "sc AS (SELECT tf.doc_id, " +
+      "SUM(CAST(FLOOR(CAST(tf.cnt AS DOUBLE) / tf.len * (CAST(nn.n AS DOUBLE) / dfreq.df) * 1e12) AS BIGINT)) AS su, " +
+      "COUNT(*) AS n_terms FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nn GROUP BY 1) " +
+      "SELECT doc_id, CAST(su AS DOUBLE) / 1e12 AS score, n_terms FROM sc " +
+      "ORDER BY su DESC, doc_id LIMIT 15"),
     // same re-lining + planted banner, line-df by string equality
     "x_text_lines" -> ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
       "lined AS (SELECT doc_id, array_to_string(" +

@@ -303,6 +303,46 @@ object TextAnalysis {
     corpus.join(hitIds, Seq(idCol), "left_anti")
   }
 
+  /** Ranked keyword retrieval over the corpus — the inverted-index
+    * search primitive (find the training documents about X; the recall
+    * half of a retrieval pipeline before any embedding rerank). Ranked
+    * OR: a document matching ANY query term scores, score = Σ over
+    * matched terms of (tf/len) * (n/df) — the same log-free TF-IDF the
+    * keyword extractor uses, so scores are pure rationals of integer
+    * counts and replay exactly on any engine. Ties break on id.
+    *
+    * Scale shape: the `isin(queryTerms)` filter runs inside the scan's
+    * codegen right after the per-row tokenize, so only (doc, matched
+    * term) rows — rare for selective queries — ever reach a shuffle; df
+    * comes from the surviving rows (for query terms, that IS the
+    * document frequency), n rides as a broadcast 1-row count (no extra
+    * corpus pass), and top-k compiles to TakeOrderedAndProject, never a
+    * global sort. */
+  def search(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0, "search needs terms and k > 0")
+    val n = broadcast(df.agg(count(lit(1)).as("n")))
+    val tf = df.select(col(idCol), size(tokens(col(textCol))).as("len"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("len"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term").crossJoin(n)
+      .withColumn("s", col("cnt").cast("double") / col("len") *
+        (col("n").cast("double") / col("df")))
+      // per-doc sum in floor-quantized LONG units: 3+ double addends
+      // would otherwise sum in partition order (see PageRank — round()
+      // is NOT the fix, floor of the same double is)
+      .groupBy(col(idCol))
+      .agg(sum(floor(col("s") * lit(1e12)).cast("long")).as("su"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("score", col("su").cast("double") / lit(1e12))
+      .orderBy(col("su").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"), col("n_terms"))
+  }
+
   /** Corpus-level boilerplate-LINE removal (the C4-style scrub): a line
     * occurring in more than `maxLineDf` distinct documents is template
     * chrome (cookie banners, nav bars, license footers), not content —

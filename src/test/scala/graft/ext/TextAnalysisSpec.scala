@@ -202,6 +202,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(n == 3L) // "alpha beta gamma", "beta gamma q", "gamma q r"
   }
 
+  test("search ranks by tf-idf: rare terms dominate, top-k exact, no global sort") {
+    val docs = Seq(
+      (1L, "rare word filler filler filler"),
+      (2L, "common common common filler filler"),
+      (3L, "common filler filler filler filler"),
+      (4L, "rare rare common filler filler"),
+      (5L, "filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val hits = TextAnalysis.search(docs, "doc_id", "text",
+      Seq("rare", "common"), k = 3)
+    val ids = hits.select("doc_id").as[Long].collect().toSeq
+    // doc 4: 2x rare (df=2 of n=5) + 1x common -> highest; doc 1 next
+    assert(ids.head == 4L && ids.contains(1L) && !ids.contains(5L))
+    val plan = hits.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
   test("dropBoilerplateLines strips corpus-hot lines, keeps order, drops emptied docs") {
     val banner = "accept cookies to continue"
     val docs = Seq(

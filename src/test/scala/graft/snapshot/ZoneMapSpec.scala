@@ -44,6 +44,14 @@ class ZoneMapSpec extends SparkTestBase {
     assert(got.toSeq == Seq(20000L))
   }
 
+  test("manifest not covering the queried column prunes nothing, crashes nothing") {
+    val (wh, f) = freshFact()
+    // stats exist for k and v — query on year (uncovered): full listing
+    val all = wh.filesForRange(f, "k", Long.MinValue, Long.MaxValue)
+    assert(wh.filesForRange(f, "year", 2020L, 2020L).size == all.size)
+    assert(wh.readRange(f, "year", 2021L, 2021L).get.count() == 5000L)
+  }
+
   test("no manifest falls back to a plain filtered read") {
     val wh = new Warehouse(spark, TempDirs.scratchDir("graft_zm2").toString)
     wh.append("g", Seq((1L, 2020L), (9L, 2020L)).toDF("k", "year"))
