@@ -372,18 +372,60 @@ final class Warehouse(spark: SparkSession, val root: String) {
     * manifest scale. */
   def collectStats(fact: String, cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "collectStats needs at least one column")
-    read(fact).foreach { df =>
-      val aggs = cols.flatMap(c =>
-        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-      // file keys stay RAW here; normFile canonicalizes both the
-      // manifest values and the listing at read time, one code path
-      val rows = df.groupBy(input_file_name().as("file"))
-        .agg(aggs.head, aggs.tail: _*)
-        .select(to_json(struct(col("*"))).as("j"))
-        .collect().map(_.getString(0))
-      val out = fs.create(statsPath(fact), true)
-      try out.write(rows.mkString("\n").getBytes("UTF-8")) finally out.close()
-    }
+    read(fact).foreach(df => writeStats(fact, df, cols, Nil))
+  }
+
+  /** Incremental manifest refresh after appends: scan ONLY the data
+    * files the manifest does not cover yet and merge their rows in —
+    * the daily-append cadence never re-reads the settled bulk of the
+    * fact. Entries for files a rewrite (compact/optimize/merge) removed
+    * are harmless — pruning intersects the manifest with the CURRENT
+    * listing — and a rewrite makes every file new, so the refresh
+    * naturally degrades to a full rebuild. Falls back to a full rebuild
+    * when the manifest is absent or covers different columns. */
+  def refreshStats(fact: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "refreshStats needs at least one column")
+    if (!fs.exists(statsPath(fact))) { collectStats(fact, cols); return }
+    val oldLines = manifestLines(fact)
+    val stats = parseManifest(oldLines)
+    val covered = ("file" +: cols.flatMap(c => Seq(s"min_$c", s"max_$c")))
+      .forall(stats.schema.fieldNames.contains)
+    if (!covered) { collectStats(fact, cols); return }
+    val known = stats.select(col("file")).collect()
+      .map(r => normFile(r.getString(0))).toSet
+    val newFiles = dataFiles(fact).map(_.toString)
+      .filterNot(p => known.contains(normFile(p)))
+    if (newFiles.isEmpty) return
+    val reader = spark.read.option("basePath", path(fact).toString)
+    val df = storedSchema(fact).map(reader.schema).getOrElse(reader)
+      .parquet(newFiles: _*)
+    writeStats(fact, df, cols, oldLines)
+  }
+
+  private def writeStats(fact: String, df: DataFrame, cols: Seq[String],
+      keepLines: Seq[String]): Unit = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    // file keys stay RAW here; normFile canonicalizes both the
+    // manifest values and the listing at read time, one code path
+    val rows = df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(to_json(struct(col("*"))).as("j"))
+      .collect().map(_.getString(0))
+    val out = fs.create(statsPath(fact), true)
+    try out.write((keepLines ++ rows).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def manifestLines(fact: String): Seq[String] = {
+    val in = fs.open(statsPath(fact))
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    txt.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  private def parseManifest(lines: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.json(spark.createDataset(lines))
   }
 
   /** All current data files of the fact (partition dirs only). */
@@ -426,13 +468,8 @@ final class Warehouse(spark: SparkSession, val root: String) {
     if (!fs.exists(statsPath(fact))) dataFiles(fact).map(_.toString)
     else {
       // the underscore prefix hides the manifest from Spark's file
-      // listings (that's the point) — so load its bytes through the FS
-      // API and parse from memory
-      val in = fs.open(statsPath(fact))
-      val lines = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      import spark.implicits._
-      val stats = spark.read.json(
-        spark.createDataset(lines.split("\n").toSeq.filter(_.nonEmpty)))
+      // listings (that's the point) — load bytes via the FS API
+      val stats = parseManifest(manifestLines(fact))
       // a manifest that does not cover `column` (collected for other
       // columns, or empty) can prune nothing — full listing, same
       // contract as no manifest at all

@@ -52,6 +52,25 @@ class ZoneMapSpec extends SparkTestBase {
     assert(wh.readRange(f, "year", 2021L, 2021L).get.count() == 5000L)
   }
 
+  test("refreshStats covers appended files without rescanning old ones") {
+    val (wh, f) = freshFact()
+    val before = wh.filesForRange(f, "k", 50000L, 50100L)
+    wh.append("f", (0 until 50).map(i => (50000L + i, 0L, 2022L))
+      .toDF("k", "v", "year"))
+    // appended files unknown to the manifest -> survive every interval
+    val appended = wh.filesForRange(f, "k", -10L, -5L)
+    assert(appended.nonEmpty)
+    wh.refreshStats("f", Seq("k", "v"))
+    // now the new files are range-mapped: disjoint intervals drop them
+    assert(wh.filesForRange(f, "k", -10L, -5L).isEmpty)
+    val hit = wh.filesForRange(f, "k", 50000L, 50100L)
+    assert(hit.size == before.size + appended.size)
+    assert(wh.readRange(f, "k", 50000L, 50100L).get.count() == 50L)
+    // idempotent: nothing new -> manifest unchanged
+    wh.refreshStats("f", Seq("k", "v"))
+    assert(wh.readRange(f, "k", 100L, 200L).get.count() == 101L)
+  }
+
   test("no manifest falls back to a plain filtered read") {
     val wh = new Warehouse(spark, TempDirs.scratchDir("graft_zm2").toString)
     wh.append("g", Seq((1L, 2020L), (9L, 2020L)).toDF("k", "year"))
