@@ -761,6 +761,23 @@ object SparkEntry {
         maxLineDf = 20)
         .orderBy(col("doc_id"))
     }),
+    // Corpus-wide exact line dedup: the planted banner survives only in
+    // its first (smallest doc_id) host; every later copy drops; unique
+    // content lines pass through untouched
+    "x_text_linededup" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val nLines = ceil(size(words).cast("double") / 8.0).cast("long")
+      val lined = Tables.load(s, d, "documents").select(col("doc_id"),
+        concat(
+          array_join(transform(sequence(lit(0L), nLines - 1),
+            i => array_join(slice(words, (i * 8 + 1).cast("int"), lit(8)), " ")),
+            "\n"),
+          when(col("doc_id") % 2 === 0,
+            lit("\nthis site uses cookies accept to continue end"))
+            .otherwise(lit(""))).as("text"))
+      graft.ext.TextAnalysis.dedupLines(lined, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     // Canonical normalization (NFC + Unicode lowercase + whitespace
     // collapse) over the corpus with planted unicode/whitespace spikes —
     // the corpus itself is lowercase ascii soup, so the planted suffixes
@@ -1371,6 +1388,19 @@ object SparkEntry {
       "unnest(range(len(string_split(text, chr(10))))) AS pos FROM lined), " +
       "dfc AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY 1), " +
       "kept AS (SELECT l.doc_id, l.pos, l.line FROM l JOIN dfc ON l.line = dfc.line WHERE dfc.df <= 20) " +
+      "SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS text " +
+      "FROM kept GROUP BY doc_id ORDER BY doc_id"),
+    // same re-lining; first occurrence by (doc_id, pos) window
+    "x_text_linededup" -> ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "lined AS (SELECT doc_id, array_to_string(" +
+      "[array_to_string(w[i*8+1 : i*8+8], ' ') " +
+      "for i in range(0, CAST(CEIL(len(w) / 8.0) AS INT))], chr(10)) || " +
+      "CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'this site uses cookies accept to continue end' ELSE '' END AS text " +
+      "FROM w), " +
+      "l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, " +
+      "unnest(range(len(string_split(text, chr(10))))) AS pos FROM lined), " +
+      "kept AS (SELECT doc_id, pos, line FROM l " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1) " +
       "SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS text " +
       "FROM kept GROUP BY doc_id ORDER BY doc_id"),
     // same NFC -> lower -> explicit-whitespace-class collapse pipeline;

@@ -343,6 +343,38 @@ object TextAnalysis {
       .select(col(idCol), col("score"), col("n_terms"))
   }
 
+  /** Corpus-wide exact line DEDUP (C4's other line-level scrub): every
+    * line keeps only its FIRST occurrence — the occurrence with the
+    * smallest (id, pos) — and every later copy anywhere in the corpus
+    * drops; documents stitched back in order, emptied documents drop.
+    * Where [[dropBoilerplateLines]] removes corpus-hot chrome from
+    * every document, this keeps one canonical copy of EVERY repeated
+    * line (df >= 2 suffices to dedup, not a hot threshold).
+    *
+    * Scale shape: lines travel as xxhash64 longs; the argmin-occurrence
+    * is one hash-keyed aggregation (min on the (id, pos) struct — a
+    * map-side-combining partial min, no window over the whole corpus),
+    * re-joined to the line rows on the hash. The reassembly shuffle is
+    * the same per-doc collect the boilerplate scrub pays. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+      .withColumn("__lh", xxhash64(col("line")))
+    val firstOcc = lines
+      .groupBy(col("__lh"))
+      .agg(min(struct(col(idCol), col("pos"))).as("first"))
+      .select(col("__lh"), col("first").getField(idCol).as("__fid"),
+        col("first").getField("pos").as("__fpos"))
+    lines.join(firstOcc, Seq("__lh"))
+      .filter(col(idCol) === col("__fid") && col("pos") === col("__fpos"))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), sep).as(textCol))
+  }
+
   /** Corpus-level boilerplate-LINE removal (the C4-style scrub): a line
     * occurring in more than `maxLineDf` distinct documents is template
     * chrome (cookie banners, nav bars, license footers), not content —

@@ -239,6 +239,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(keep(4L) == banner && keep(1L) == s"alpha one\n$banner\nalpha two")
   }
 
+  test("dedupLines keeps only the first occurrence corpus-wide") {
+    val docs = Seq(
+      (1L, "alpha\nshared one\nbeta"),
+      (2L, "shared one\ngamma\nshared two"),
+      (3L, "shared two\nshared one\ndelta")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(
+      1L -> "alpha\nshared one\nbeta",
+      2L -> "gamma\nshared two",
+      3L -> "delta"))
+    // a doc that is all-duplicates vanishes
+    val all = Seq((1L, "x\ny"), (2L, "y\nx")).toDF("doc_id", "text")
+    val out2 = TextAnalysis.dedupLines(all, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out2 == Map(1L -> "x\ny"))
+  }
+
   test("multimodal plumbing: schema + batched features") {
     val docs = Seq((1L, "abc", "en"), (2L, "abcabc", "de")).toDF("doc_id", "text", "lang")
     val media = Multimodal.asMedia(docs, "doc_id", "text", "lang")
