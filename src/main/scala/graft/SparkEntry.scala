@@ -699,6 +699,16 @@ object SparkEntry {
       graft.ext.PageRank.run(graft.ext.Fixtures.plantedEdges(s), iters = 3)
         .orderBy(col("node"))),
 
+    // Johnson-Lindenstrauss projection 64 -> 16 dims: md5-derived ±1
+    // signs, per-row HOF matmul, index-ordered folds — exploded to
+    // (vec_id, dim, value) rows for exact double comparison
+    "x_embed_project" -> ((s, d) =>
+      graft.ext.Similarity.randomProject(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", dIn = 64, outDim = 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("v"))
+        .orderBy(col("vec_id"), col("dim"))),
+
     // Distributed Lloyd k-means (2 iterations, k=8, md5-seeded): the
     // whole-corpus semantic-clustering step past IVF's driver-side
     // sampled training. Assignment is shuffle-free (broadcast packed
@@ -1221,6 +1231,18 @@ object SparkEntry {
       "FROM (SELECT label, unnest(embedding) AS v, " +
       "unnest(range(len(embedding))) AS dim FROM embeddings) t " +
       "GROUP BY 1, 2 ORDER BY 1, 2"),
+    // same md5 sign draw (first hex digit < 8 -> +1), same index-order
+    // fold, same IEEE sqrt scale
+    "x_embed_project" -> ("WITH pts AS (SELECT vec_id, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      "proj AS (SELECT vec_id, j, " +
+      "list_sum(list_transform(range(1, 65), i -> v[i] * " +
+      "(CASE WHEN substr(md5(CAST(i - 1 AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1) " +
+      "IN ('0','1','2','3','4','5','6','7') THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))) " +
+      "/ sqrt(16.0::DOUBLE) AS val " +
+      "FROM pts, range(0, 16) t(j)) " +
+      "SELECT vec_id, CAST(j AS BIGINT) AS dim, val AS v FROM proj " +
+      "ORDER BY vec_id, dim"),
     // 3 unrolled power iterations; identical arithmetic shape
     // ((1-0.85)/n + 0.85*(int_unit_sum::DOUBLE/1e12 + 0)); floor-to-
     // integer-units, never ROUND (shortest-repr vs binary rounding

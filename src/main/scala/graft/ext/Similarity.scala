@@ -117,6 +117,39 @@ object Similarity {
     }
   }
 
+  /** Deterministic ±1 Johnson-Lindenstrauss sign matrix, derived from
+    * md5("i:j") high bits — any engine reconstructs it bit-identically
+    * (the same engine-portable-draw trick as the md5 samplers). */
+  private[ext] def jlSigns(dIn: Int, dOut: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dOut, dIn) { (j, i) =>
+      val h = md.digest(s"$i:$j".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Random projection (Johnson-Lindenstrauss, Achlioptas-style ±1
+    * signs) of the embedding column to `outDim` dimensions — the cheap
+    * dimensionality squeeze before brute-force rerank or coarse
+    * clustering (pairwise distances preserved within 1±eps at
+    * outDim = O(log n / eps^2)). The sign matrix is a broadcast LITERAL
+    * (outDim x dIn doubles — bytes, not a join), the projection runs
+    * per-row inside codegen as nested HOFs (no shuffle, no UDF), and
+    * the index-ordered fold + IEEE-exact sqrt scaling make the output
+    * bit-reproducible across engines and partitionings. */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      dIn: Int, outDim: Int): DataFrame = {
+    require(dIn > 0 && outDim > 0 && outDim <= dIn, "need 0 < outDim <= dIn")
+    val signs = typedlit(jlSigns(dIn, outDim).map(_.toSeq).toSeq)
+    val scale = lit(math.sqrt(outDim.toDouble)) // IEEE sqrt: exact-rounded
+    df.select(col(idCol),
+      transform(sequence(lit(0), lit(outDim - 1)), j =>
+        aggregate(
+          zip_with(col(vecCol), element_at(signs, (j + lit(1)).cast("int")),
+            (x, sgn) => x.cast("double") * sgn),
+          lit(0.0), (acc, v) => acc + v) / scale).as("proj"))
+  }
+
   /** All pairs with cosine >= threshold, sign-LSH bucketed: docs sharing a
     * signature in any table are candidates; exact rerank filters. */
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,

@@ -28,6 +28,26 @@ class SimilaritySpec extends SparkTestBase {
         .toDF("vec_id", "embedding"))
   }
 
+  test("randomProject: shuffle-free, deterministic, roughly isometric") {
+    val proj = Similarity.randomProject(corpus, "vec_id", "embedding",
+      dIn = 64, outDim = 16)
+    assert(!proj.queryExecution.executedPlan.toString().contains("Exchange"))
+    val a = proj.orderBy("vec_id").collect().map(_.toSeq)
+    val b = Similarity.randomProject(corpus, "vec_id", "embedding", 64, 16)
+      .orderBy("vec_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // JL sanity on the 64-dim gaussian corpus: projected norms stay
+    // within a loose multiplicative band of the originals
+    val norms = corpus.limit(50).select(col("vec_id"),
+        Similarity.norm(col("embedding")).as("n0"))
+      .join(Similarity.randomProject(corpus.limit(50), "vec_id", "embedding", 64, 16)
+        .select(col("vec_id"), Similarity.norm(col("proj")).as("n1")), "vec_id")
+      .select("n0", "n1").as[(Double, Double)].collect()
+    norms.foreach { case (n0, n1) =>
+      assert(n1 > n0 * 0.3 && n1 < n0 * 2.5, s"norm drift: $n0 -> $n1")
+    }
+  }
+
   test("brute-force top-k returns the planted neighbors in order") {
     val got = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
       .select("qid", "nid").as[(Long, Long)].collect()
