@@ -699,6 +699,17 @@ object SparkEntry {
       graft.ext.PageRank.run(graft.ext.Fixtures.plantedEdges(s), iters = 3)
         .orderBy(col("node"))),
 
+    // Per-label embedding outliers: squared-L2 to the label centroid vs
+    // 4x the label mean distance — centroid means quantized-decimal,
+    // mean distance in floor units, full 500-row double replay
+    "x_embed_outlier" -> ((s, d) =>
+      graft.ext.Similarity.outliers(
+        Tables.load(s, d, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            col("embedding")),
+        "vec_id", "label", "embedding")
+        .orderBy(col("vec_id"))),
+
     // Johnson-Lindenstrauss projection 64 -> 16 dims: md5-derived ±1
     // signs, per-row HOF matmul, index-ordered folds — exploded to
     // (vec_id, dim, value) rows for exact double comparison
@@ -1231,6 +1242,22 @@ object SparkEntry {
       "FROM (SELECT label, unnest(embedding) AS v, " +
       "unnest(range(len(embedding))) AS dim FROM embeddings) t " +
       "GROUP BY 1, 2 ORDER BY 1, 2"),
+    // same centroid replay, same index-order distance folds, mean
+    // distance in floor units, literals cast ::DOUBLE
+    "x_embed_outlier" -> ("WITH pts AS (SELECT vec_id, CAST(label AS BIGINT) AS grp, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      "cr AS (SELECT grp, dim, " +
+      "CAST(SUM(CAST(ROUND(v1, 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS c " +
+      "FROM (SELECT grp, unnest(v) AS v1, unnest(range(len(v))) AS dim FROM pts) t GROUP BY 1, 2), " +
+      "cv AS (SELECT grp, list(c ORDER BY dim) AS cvec FROM cr GROUP BY 1), " +
+      "dd AS (SELECT p.vec_id, p.grp, " +
+      "list_sum(list_transform(range(1, 65), i -> (p.v[i]-cv.cvec[i])*(p.v[i]-cv.cvec[i]))) AS d2 " +
+      "FROM pts p JOIN cv ON p.grp = cv.grp), " +
+      "md AS (SELECT grp, CAST(SUM(CAST(FLOOR(d2 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS mean_d2 " +
+      "FROM dd GROUP BY 1) " +
+      "SELECT dd.vec_id, dd.grp, dd.d2, md.mean_d2, " +
+      "dd.d2 > md.mean_d2 * 4.0::DOUBLE AS outlier " +
+      "FROM dd JOIN md ON dd.grp = md.grp ORDER BY 1"),
     // same md5 sign draw (first hex digit < 8 -> +1), same index-order
     // fold, same IEEE sqrt scale
     "x_embed_project" -> ("WITH pts AS (SELECT vec_id, " +

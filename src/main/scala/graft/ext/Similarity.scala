@@ -150,6 +150,38 @@ object Similarity {
           lit(0.0), (acc, v) => acc + v) / scale).as("proj"))
   }
 
+  /** Per-group embedding outliers: each vector's squared L2 distance to
+    * its group centroid, flagged when it exceeds `factor` times the
+    * group mean distance — the curation filter that drops corrupt or
+    * mislabeled embeddings before ANN indexing / clustering trusts them.
+    *
+    * Two corpus passes (centroid, then distance), both hash-aggregates
+    * with group-bounded key counts; centroids come back as a broadcast
+    * (group, cvec) frame via the same quantized-decimal means the
+    * centroid gate proves bit-reproducible, distances are index-ordered
+    * folds, and the per-group mean distance sums in floor-quantized
+    * LONG units (see PageRank — never round(), never raw double sums).
+    * Output: (id, group, d2, mean_d2, outlier). */
+  def outliers(df: DataFrame, idCol: String, groupCol: String,
+      vecCol: String, factor: Double = 4.0): DataFrame = {
+    val cents = centroids(df, groupCol, vecCol)
+      .groupBy(col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+    val d2 = df.select(col(idCol), col(groupCol).as("grp"), col(vecCol).as("v"))
+      .join(broadcast(cents), "grp")
+      .withColumn("d2", aggregate(
+        zip_with(col("v"), col("cvec"), (x, c) => {
+          val d = x.cast("double") - c; d * d
+        }), lit(0.0), (acc, v) => acc + v))
+    val meanD2 = d2.groupBy(col("grp"))
+      .agg((sum(floor(col("d2") * lit(1e9)).cast("long")).cast("double") /
+        lit(1e9) / count(lit(1))).as("mean_d2"))
+    d2.join(broadcast(meanD2), "grp")
+      .select(col(idCol), col("grp"), col("d2"), col("mean_d2"),
+        (col("d2") > col("mean_d2") * lit(factor)).as("outlier"))
+  }
+
   /** All pairs with cosine >= threshold, sign-LSH bucketed: docs sharing a
     * signature in any table are candidates; exact rerank filters. */
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,

@@ -48,6 +48,20 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("outliers: planted far vector flagged, tight cluster clean") {
+    val rnd = new scala.util.Random(5)
+    val tight = (0 until 40).map { i =>
+      (i.toLong, 0L, Array.fill(8)(1.0 + rnd.nextGaussian() * 0.01)
+        .map(_.toFloat).toSeq)
+    }
+    val far = Seq((99L, 0L, Array.fill(8)(5.0f).toSeq))
+    val df = (tight ++ far).toDF("vec_id", "label", "embedding")
+    val out = Similarity.outliers(df, "vec_id", "label", "embedding")
+      .select("vec_id", "outlier").as[(Long, Boolean)].collect().toMap
+    assert(out(99L))
+    assert(tight.forall { case (id, _, _) => !out(id) })
+  }
+
   test("brute-force top-k returns the planted neighbors in order") {
     val got = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
       .select("qid", "nid").as[(Long, Long)].collect()
