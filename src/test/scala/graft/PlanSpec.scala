@@ -120,4 +120,31 @@ class PlanSpec extends SparkTestBase {
       "code computation must not shuffle the corpus by dim")
     spark.catalog.clearCache()
   }
+
+  test("fuzzy join: equi-join candidates only, residual stays bucketed") {
+    val names = ext.Fixtures.plantedNames(spark, n = 80)
+    val p = plan(ext.FuzzyJoin.editDistancePairs(names, "id", "name", 1))
+    assert(!p.contains("CartesianProduct"),
+      "both the gram index and the residual path must be equi-joins")
+    assert(p.contains("levenshtein"), "exact verify must be in-plan")
+    spark.catalog.clearCache()
+  }
+
+  test("search: term filter reaches the scan side of the explode, top-k never sorts globally") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val p = plan(ext.TextAnalysis.search(docs, "doc_id", "text",
+      Seq("spark", "hash"), k = 5))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must compile to TakeOrderedAndProject")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("pagerank iteration: dangling aggregate broadcasts, contributions hash-aggregate") {
+    val p = plan(ext.PageRank.run(ext.Fixtures.plantedEdges(spark, 50),
+      iters = 1))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "N and dangling mass must ride as broadcast 1-row frames")
+    assert(p.contains("HashAggregate"), "per-dst sums must hash-aggregate")
+    spark.catalog.clearCache()
+  }
 }
