@@ -347,6 +347,28 @@ object SparkEntry {
           col("day"), col("status"), col("value"))
         .orderBy(col("status"))
     }),
+    // Incremental materialized aggregate: three delta batches (orders
+    // split by key mod 3 — every batch touches every year partition)
+    // fold into per-(year, priority) partial state; the final read rolls
+    // the exact state up and must equal a from-scratch aggregation over
+    // everything appended
+    "x_mview" -> ((s, d) => {
+      import graft.snapshot._
+      val wh = new Warehouse(s, TempDirs.scratchDir("graft_mv").toString)
+      val orders = ord(s, d).select(
+        year(col("o_orderdate")).cast("long").as("year"),
+        col("o_orderpriority").as("priority"),
+        col("o_totalprice").as("value"),
+        col("o_orderkey"))
+      (0L to 2L).foreach { r =>
+        MaterializedAgg.appendWithAgg(wh, "sales",
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === r)
+            .drop("o_orderkey"),
+          Seq("priority"), "value")
+      }
+      MaterializedAgg.readAgg(wh, "sales", Seq("priority"))
+        .orderBy(col("priority"))
+    }),
     // Partition-scoped upsert: base load -> correction batch (re-priced
     // urgent 1995 orders) + late-arriving 1996 partition, merged by key;
     // only the touched year partitions are rewritten. Oracle replays the
@@ -729,6 +751,21 @@ object SparkEntry {
       graft.ext.KMeans.fit(Tables.load(s, d, "embeddings"),
         "vec_id", "embedding", k = 8, iters = 2)
         .orderBy(col("cid"), col("dim"))),
+    // SemDeDup: k-means (same training as x_kmeans, over the corpus plus
+    // 20 planted exact copies at id+10000 — noise embeddings have no
+    // natural near-dups), then within-cluster cosine >= 0.9 drops the
+    // higher id. Every copy lands in its base's cluster at cosine 1.0
+    // and must drop; survivors carry their cid, so the gate checks the
+    // full assignment replay AND the drop policy
+    "x_semdedup" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val withCopies = emb.unionByName(emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      graft.ext.Dedup.semanticDedup(withCopies,
+        "vec_id", "embedding", k = 8, iters = 2, threshold = 0.9)
+        .orderBy(col("id"))
+    }),
 
     // ---------------- text analysis ----------------
 
@@ -761,6 +798,19 @@ object SparkEntry {
       graft.ext.TextAnalysis.search(Tables.load(s, d, "documents"),
         "doc_id", "text", Seq("spark", "window", "hash"), k = 15)
         .orderBy(col("score").desc, col("doc_id"))),
+    // Vocabulary construction: top-40 terms by total count with df >= 5
+    // — two-level aggregation (map-side combine on (doc, term)), top-k
+    // via TakeOrderedAndProject, ties on the term string
+    "x_vocab" -> ((s, d) =>
+      graft.ext.TextAnalysis.vocabulary(Tables.load(s, d, "documents"),
+        "doc_id", "text", minDf = 5, k = 40)),
+    // Sequence packing: 512-token context windows over the md5-shuffled
+    // corpus — the distributed prefix sum must land every document at
+    // exactly the offset DuckDB's single global running sum assigns
+    "x_pack" -> ((s, d) =>
+      graft.ext.TextAnalysis.packSequences(Tables.load(s, d, "documents"),
+        "doc_id", "text", budget = 512, buckets = 16)
+        .orderBy(col("doc_id"))),
 
     // C4-style boilerplate-line scrub: corpus re-lined into 8-word lines
     // with a cookie-banner line planted into every even doc; lines in
@@ -1075,6 +1125,13 @@ object SparkEntry {
       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty, " +
       "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys " +
       "FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000"),
+    // incremental folds must equal the from-scratch aggregation: exact
+    // decimal sums cast DOUBLE once, avg derived from the same operands
+    "x_mview" -> ("SELECT o_orderpriority AS priority, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, " +
+      "COUNT(*) AS n, MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_v " +
+      "FROM orders GROUP BY 1 ORDER BY 1"),
     "x_merge" -> ("SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year, COUNT(*) AS n, " +
       "CAST(SUM(CAST(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1995 AND o_orderpriority = '1-URGENT' " +
       "THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total " +
@@ -1300,22 +1357,19 @@ object SparkEntry {
     // 2-iteration Lloyd k-means replay: same md5 seed draw, same
     // index-ordered distance folds, same quantized-decimal centroid
     // means; argmin ties break on cid in both engines
-    "x_kmeans" -> ("WITH pts AS (SELECT vec_id, " +
-      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
-      "seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, v AS cvec " +
-      "FROM pts ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8), " +
-      "a1 AS (SELECT p.vec_id, p.v, s.cid, " +
-      "list_sum(list_transform(range(1, len(p.v)+1), i -> (p.v[i]-s.cvec[i])*(p.v[i]-s.cvec[i]))) AS d " +
-      "FROM pts p CROSS JOIN seeds s " +
-      "QUALIFY ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY d, s.cid) = 1), " +
-      "c1r AS (SELECT cid, dim, " +
-      "CAST(SUM(CAST(ROUND(v1, 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS c " +
-      "FROM (SELECT cid, unnest(v) AS v1, unnest(range(len(v))) AS dim FROM a1) t GROUP BY 1, 2), " +
-      "c1 AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM c1r GROUP BY cid), " +
-      "a2 AS (SELECT p.vec_id, p.v, c.cid, " +
-      "list_sum(list_transform(range(1, len(p.v)+1), i -> (p.v[i]-c.cvec[i])*(p.v[i]-c.cvec[i]))) AS d " +
-      "FROM pts p CROSS JOIN c1 c " +
-      "QUALIFY ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY d, c.cid) = 1), " +
+    // same training replay over corpus + planted copies; within-cluster
+    // pairwise cosine, keep-first
+    "x_semdedup" -> (kmeansReplayCtes(
+      "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings UNION ALL " +
+        "SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE)) " +
+        "FROM embeddings WHERE vec_id < 20") +
+      "drops AS (SELECT DISTINCT b.vec_id AS id FROM a2 a " +
+      "JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+      "WHERE list_cosine_similarity(a.v, b.v) >= 0.9) " +
+      "SELECT vec_id AS id, cid FROM a2 " +
+      "WHERE vec_id NOT IN (SELECT id FROM drops) ORDER BY 1"),
+    "x_kmeans" -> (kmeansReplayCtes() +
       "c2 AS (SELECT cid, dim, " +
       "CAST(SUM(CAST(ROUND(v1, 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS c " +
       "FROM (SELECT cid, unnest(v) AS v1, unnest(range(len(v))) AS dim FROM a2) t GROUP BY 1, 2), " +
@@ -1426,6 +1480,20 @@ object SparkEntry {
       "COUNT(*) AS n_terms FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nn GROUP BY 1) " +
       "SELECT doc_id, CAST(su AS DOUBLE) / 1e12 AS score, n_terms FROM sc " +
       "ORDER BY su DESC, doc_id LIMIT 15"),
+    // same two-level aggregation in SQL; ties on the term string
+    "x_vocab" -> ("WITH tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM " +
+      "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t " +
+      "GROUP BY 1, 2) " +
+      "SELECT term, CAST(SUM(cnt) AS BIGINT) AS tf, COUNT(*) AS df FROM tf GROUP BY term " +
+      "HAVING COUNT(*) >= 5 ORDER BY tf DESC, term LIMIT 40"),
+    // one global running sum over the md5 order replays the bucketed
+    // prefix sum; // and % keep the layout in integer arithmetic
+    "x_pack" -> ("WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h, " +
+      "len(string_split(text, ' ')) AS n_tokens FROM documents), " +
+      "c AS (SELECT doc_id, n_tokens, " +
+      "SUM(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS prev FROM t) " +
+      "SELECT doc_id, n_tokens, CAST(prev // 512 AS BIGINT) AS seq_id, " +
+      "CAST(prev % 512 AS BIGINT) AS seq_off FROM c ORDER BY doc_id"),
     // same re-lining + planted banner, line-df by string equality
     "x_text_lines" -> ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
       "lined AS (SELECT doc_id, array_to_string(" +
@@ -1493,6 +1561,30 @@ object SparkEntry {
   /** DuckDB replica of TextAnalysis.langProfiles hit counts (one column per
     * language, alphabetical) and the argmax with the engine's tie-break
     * (equal counts resolve to the lexicographically greatest language). */
+  /** Shared k-means training replay (2 iterations, k=8, md5 seeds):
+    * CTEs pts..a2 where a2 is the post-training (vec_id, v, cid)
+    * assignment — the prefix of both the x_kmeans centroid oracle and
+    * the x_semdedup survivor oracle (which trains on pts plus planted
+    * copies, hence the parameterized pts body). */
+  private def kmeansReplayCtes(ptsSql: String =
+      "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings"): String =
+    "WITH pts AS (" + ptsSql + "), " +
+      "seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, v AS cvec " +
+      "FROM pts ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8), " +
+      "a1 AS (SELECT p.vec_id, p.v, s.cid, " +
+      "list_sum(list_transform(range(1, len(p.v)+1), i -> (p.v[i]-s.cvec[i])*(p.v[i]-s.cvec[i]))) AS d " +
+      "FROM pts p CROSS JOIN seeds s " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY d, s.cid) = 1), " +
+      "c1r AS (SELECT cid, dim, " +
+      "CAST(SUM(CAST(ROUND(v1, 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS c " +
+      "FROM (SELECT cid, unnest(v) AS v1, unnest(range(len(v))) AS dim FROM a1) t GROUP BY 1, 2), " +
+      "c1 AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM c1r GROUP BY cid), " +
+      "a2 AS (SELECT p.vec_id, p.v, c.cid, " +
+      "list_sum(list_transform(range(1, len(p.v)+1), i -> (p.v[i]-c.cvec[i])*(p.v[i]-c.cvec[i]))) AS d " +
+      "FROM pts p CROSS JOIN c1 c " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY d, c.cid) = 1), "
+
   private def langCountColsSql: String =
     graft.ext.TextAnalysis.langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       words.map("'" + _ + "'").mkString(

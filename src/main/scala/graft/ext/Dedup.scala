@@ -534,4 +534,38 @@ object Dedup {
     labels.unpersist()
     df.join(drops, Seq(idCol), "left_anti")
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al., arXiv 2303.09540 —
+    * public paper): k-means the embedding space, then compare pairs ONLY
+    * within a cluster and drop every vector whose cosine to a LOWER-id
+    * cluster-mate reaches `threshold` (keep-first policy — deterministic,
+    * no transitive closure). Output: surviving (id, cid) rows.
+    *
+    * This is the scale path for embedding dedup when sign-LSH recall
+    * isn't wanted as a semantics knob: clustering makes the quadratic
+    * step O(Σ|cluster|²) instead of O(N²), and k is chosen so clusters
+    * stay small (the paper uses k ≈ N/5000 at web scale). The pairwise
+    * step is one equi-join on cid — shuffled by cluster, so each
+    * cluster's block never leaves one task; a pathologically hot cluster
+    * is the [[Skew]] salting case.
+    *
+    * Training reuses [[KMeans.fitAssign]] verbatim (md5 seeds, argmin
+    * ties to cid, decimal centroid sums), so the whole pipeline —
+    * training, assignment, pair cosines, drop policy — replays exactly
+    * on any SQL engine. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2, threshold: Double = 0.95,
+      eager: Boolean = false): DataFrame = {
+    val assigned = KMeans.fitAssign(df, idCol, vecCol, k, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cid"), col("id").as("i"), col("v").as("vi"))
+    val b = assigned.select(col("cid"), col("id").as("j"), col("v").as("vj"))
+    val dropped = a.join(b, "cid")
+      .filter(col("i") < col("j"))
+      .filter(Similarity.cosine(col("vi"), col("vj")) >= threshold)
+      .select(col("j").as("id")).distinct()
+    val out = assigned.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("cid"))
+    finishEager(out, eager, Seq(assigned))
+  }
 }

@@ -74,12 +74,10 @@ object KMeans {
         x => x.getField("c")).as("cvec"))
       .select(col("cid"), col("cvec"))
 
-  /** Run `iters` Lloyd iterations from md5-seeded centroids.
-    * Output: one row per (cid, dim) with the final centroid component
-    * `c` and the final cluster size `n` — row form keeps the result
-    * columnar for downstream joins (and hashable by the oracle). */
-  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 2, eager: Boolean = false): DataFrame = {
+  /** Persisted (id, v) points plus the post-training assignment frame:
+    * the shared core of [[fit]] and [[fitAssign]]. */
+  private def trainedAssignment(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, s"k=$k iters=$iters must be positive")
     val points = df.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("v"))
@@ -99,7 +97,16 @@ object KMeans {
     val cPre = (1 until iters).foldLeft(c0) { (c, _) =>
       update(assign(points, c))
     }
-    val aFinal = assign(points, cPre)
+    (points, assign(points, cPre))
+  }
+
+  /** Run `iters` Lloyd iterations from md5-seeded centroids.
+    * Output: one row per (cid, dim) with the final centroid component
+    * `c` and the final cluster size `n` — row form keeps the result
+    * columnar for downstream joins (and hashable by the oracle). */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 2, eager: Boolean = false): DataFrame = {
+    val (points, aFinal) = trainedAssignment(df, idCol, vecCol, k, iters)
     val cFinal = update(aFinal)
     val sizes = aFinal.groupBy(col("cid")).agg(count(lit(1)).as("n"))
     val out = cFinal
@@ -107,6 +114,18 @@ object KMeans {
       .join(broadcast(sizes), "cid")
       .select(col("cid"), col("dim").cast("long").as("dim"), col("c"),
         col("n"))
+    Dedup.finishEager(out, eager, Seq(points))
+  }
+
+  /** The per-point view of the same training run: (id, v, cid) after
+    * `iters` iterations — what cluster-scoped downstream passes (e.g.
+    * [[Dedup.semanticDedup]], cluster-balanced sampling) consume. Same
+    * seeds, same argmin, same arithmetic as [[fit]], so a SQL engine
+    * that replays training replays this assignment too. */
+  def fitAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 2, eager: Boolean = false): DataFrame = {
+    val (points, aFinal) = trainedAssignment(df, idCol, vecCol, k, iters)
+    val out = aFinal.select(col("id"), col("v"), col("cid"))
     Dedup.finishEager(out, eager, Seq(points))
   }
 }

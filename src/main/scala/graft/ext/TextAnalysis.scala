@@ -407,4 +407,82 @@ object TextAnalysis {
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),
           x => x.getField("line")), sep).as(textCol))
   }
+
+  /** Corpus vocabulary construction (the term table a tokenizer/BPE
+    * trainer or an index builder starts from): per-term total count `tf`
+    * and document frequency `df`, rare terms cut at `minDf`, heaviest
+    * `k` kept. Output: (term, tf, df), ordered by tf desc then term.
+    *
+    * Scale shape: the classic two-level aggregation — (doc, term) counts
+    * first (map-side combine collapses each document's repeats before
+    * anything shuffles), then one term-keyed aggregation producing both
+    * measures in a single pass (tf = sum of per-doc counts, df = row
+    * count). The final top-k compiles to TakeOrderedAndProject, so the
+    * full vocabulary is never globally sorted — at 100 TB the term table
+    * is billions of rows, but only k of them ever leave the reduce side. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("cnt"))
+    tf.groupBy(col("term"))
+      .agg(sum(col("cnt")).as("tf"), count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("tf").desc, col("term"))
+      .limit(k)
+  }
+
+  /** Sequence packing (concatenate-then-chunk): lay the corpus out on a
+    * single global token axis in a deterministic pseudo-random order
+    * (md5 of the id — the same engine-portable draw the samplers use)
+    * and assign each document the fixed-size training sequence its first
+    * token lands in: `seq_id = floor(global_offset / budget)`,
+    * `seq_off = global_offset % budget`. This is the GPT-style packing
+    * step that turns a document corpus into uniform context windows
+    * without padding waste.
+    *
+    * Scale shape — a distributed prefix sum, NOT a global sort:
+    *  - documents land in `buckets` range buckets by their md5 prefix
+    *    (the prefix is monotone in the full hash, so bucket order IS
+    *    global order); only (id, n_tokens) pairs shuffle, never text;
+    *  - per-bucket running sums are a window WITHIN each bucket
+    *    (bounded local sort of N/buckets rows);
+    *  - bucket offsets come from one `buckets`-row aggregate cumulated
+    *    on a single tiny frame and broadcast back.
+    * Offsets and ids stay in exact integer arithmetic (`div`/`%` on
+    * longs) end to end, so any engine replays the layout bit-for-bit.
+    *
+    * `buckets` must be a power of two <= 65536 (the bucket is carved
+    * from the first 4 hex chars); size it to executor count at scale. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, buckets: Int = 64): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    require(buckets > 0 && buckets <= 65536 && (buckets & (buckets - 1)) == 0,
+      s"buckets=$buckets must be a power of two <= 65536")
+    val step = 65536 / buckets
+    val base = df.select(col(idCol),
+        md5(col(idCol).cast("string")).as("__h"),
+        tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("__b",
+        (conv(substring(col("__h"), 1, 4), 16, 10).cast("long") / step)
+          .cast("long"))
+    val perBucket = base.groupBy(col("__b"))
+      .agg(sum(col("n_tokens")).as("__tot"))
+    // cumulate the tiny per-bucket frame (|buckets| rows) on one
+    // partition — the single-partition window is on k rows, not the data
+    val offsets = perBucket.withColumn("__off",
+      sum(col("__tot")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("__b"))) - col("__tot"))
+      .select(col("__b"), col("__off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
+    base.join(broadcast(offsets), "__b")
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("__g", col("__off") + col("__cum") - col("n_tokens"))
+      // `div` keeps the layout in pure long arithmetic: no double hop to
+      // lose low bits past 2^53 global tokens
+      .select(col(idCol), col("n_tokens"),
+        expr(s"__g div ${budget}L").as("seq_id"),
+        pmod(col("__g"), lit(budget)).cast("long").as("seq_off"))
+  }
 }

@@ -159,6 +159,51 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == (0 until 5).map(i => (i.toLong, 300L + i)).toSet)
   }
 
+  test("semanticDedup: within-cluster copies drop keep-first; survivors match brute force") {
+    val rnd = new scala.util.Random(13)
+    // 3 planted clusters of 20 around orthogonal unit directions with
+    // enough ANGULAR spread that ordinary cluster-mates sit near cosine
+    // 0.5 (nowhere near the 0.999 bar), plus near-copies of the first
+    // two members of each cluster (ids 900+, cosine ~1) — the copies
+    // must drop, everything else survives
+    val bases = (0 until 3).flatMap { c =>
+      (0 until 20).map { i =>
+        (c * 100L + i, Array.tabulate(16)(j =>
+          ((if (j == c) 1.0 else 0.0) + rnd.nextGaussian() * 0.25).toFloat))
+      }
+    }
+    val copies = (0 until 3).flatMap { c =>
+      (0 until 2).map { i =>
+        val v = bases.find(_._1 == c * 100L + i).get._2.clone()
+        v(0) = v(0) + 0.001f
+        (900L + c * 10 + i, v)
+      }
+    }
+    val df = (bases ++ copies).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(df, "vec_id", "embedding",
+      k = 3, iters = 3, threshold = 0.999)
+      .select("id").as[Long].collect().toSet
+    assert(kept == bases.map(_._1).toSet,
+      s"copies must drop, bases survive; got ${kept.toSeq.sorted}")
+    // brute-force parity: recompute drops from the SAME assignment
+    val assigned = KMeans.fitAssign(df, "vec_id", "embedding", k = 3, iters = 3)
+      .select("id", "cid", "v").as[(Long, Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      d / (na * nb)
+    }
+    val dropsBrute = for {
+      a <- assigned.toSeq; b <- assigned.toSeq
+      if a._2 == b._2 && a._1 < b._1 && cos(a._3, b._3) >= 0.999
+    } yield b._1
+    val brute = assigned.map(_._1).toSet -- dropsBrute
+    assert(kept == brute)
+    spark.catalog.clearCache()
+  }
+
   test("dropNearDuplicates on a clean corpus returns it unchanged") {
     // zero near-dup pairs -> empty components frame; must pass the corpus
     // through, not NPE on the empty convergence aggregate

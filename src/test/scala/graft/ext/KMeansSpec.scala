@@ -48,6 +48,22 @@ class KMeansSpec extends SparkTestBase {
     assert(org.apache.spark.sql.graftbridge.Bridge.cacheEmpty(spark))
   }
 
+  test("fitAssign: same training run as fit — sizes agree, planted clusters coherent") {
+    val assigned = KMeans.fitAssign(planted, "vec_id", "embedding",
+      k = 3, iters = 3)
+    val byCid = assigned.groupBy("cid").count().as[(Long, Long)]
+      .collect().toMap
+    val fitSizes = KMeans.fit(planted, "vec_id", "embedding", k = 3, iters = 3)
+      .select("cid", "n").distinct().as[(Long, Long)].collect().toMap
+    assert(byCid == fitSizes)
+    // every planted cluster lands wholly in one learned cluster
+    val purity = assigned.withColumn("truth", (col("id") / 1000).cast("long"))
+      .groupBy("truth").agg(countDistinct(col("cid")).as("k"))
+      .select("k").as[Long].collect()
+    assert(purity.forall(_ == 1L))
+    spark.catalog.clearCache()
+  }
+
   test("assignment stage is shuffle-free: exchanges only in seed draw and updates") {
     // the full 2-iteration plan must contain NO exchange keyed by point
     // id — only the k-row seed window, the (cid,dim) hash-agg updates,

@@ -219,6 +219,46 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
   }
 
+  test("vocabulary: two-level counts, minDf cut, tf-desc/term ties, top-k plan") {
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "apple banana banana"),
+      (3L, "apple cherry date"),
+      (4L, "banana date")
+    ).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(docs, "doc_id", "text", minDf = 2, k = 10)
+    val rows = v.as[(String, Long, Long)].collect().toSeq
+    // apple tf=4 df=3, banana tf=4 df=3 (tie -> apple first), cherry tf=2
+    // df=2, date tf=2 df=2; singletons cut by minDf
+    assert(rows == Seq(("apple", 4L, 3L), ("banana", 4L, 3L),
+      ("cherry", 2L, 2L), ("date", 2L, 2L)))
+    val k1 = TextAnalysis.vocabulary(docs, "doc_id", "text", minDf = 2, k = 1)
+    assert(k1.as[(String, Long, Long)].collect().toSeq == Seq(("apple", 4L, 3L)))
+    val plan = k1.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
+  test("packSequences matches the single-axis brute force; offsets exact") {
+    val docs = (1L to 60L).map(i => (i, Seq.fill(3 + (i % 7).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = TextAnalysis.packSequences(docs, "doc_id", "text",
+        budget = 16, buckets = 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // brute force: one global cumsum over (md5(id), id)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(i: Long) = md.digest(i.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val inOrder = (1L to 60L).map(i => (i, 3 + (i % 7))).sortBy { case (i, _) => (h(i), i) }
+    var cum = 0L
+    val brute = inOrder.map { case (i, n) =>
+      val prev = cum; cum += n
+      (i, n, prev / 16, prev % 16)
+    }.sortBy(_._1)
+    assert(packed == brute)
+    // every offset strictly inside the budget; token totals conserved
+    assert(packed.forall(_._4 < 16) && packed.map(_._2).sum == cum)
+  }
+
   test("dropBoilerplateLines strips corpus-hot lines, keeps order, drops emptied docs") {
     val banner = "accept cookies to continue"
     val docs = Seq(
