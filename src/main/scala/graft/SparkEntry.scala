@@ -500,6 +500,19 @@ object SparkEntry {
       "doc_id", "lang", quota = 20)
       .orderBy(col("lang"), col("rank"))),
 
+    // Ordered funnel over events: view -> click -> purchase, each step
+    // strictly after the user's previous step time; per-step user counts
+    "x_funnel" -> ((s, d) =>
+      graft.ext.EventAnalytics.funnelCounts(ev(s, d),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .orderBy(col("step"))),
+    // Cohort retention triangle: users cohorted by DAY of first event
+    // (the 30-day corpus gives a ~400-cell triangle); distinct actives
+    // per (cohort, day) cell
+    "x_cohort" -> ((s, d) =>
+      graft.ext.EventAnalytics.retention(ev(s, d), "user_id", "ts",
+        c => date_trunc("day", c).cast("date"))
+        .orderBy(col("cohort"), col("period"))),
     // Range join: events mapped back into their own sessions' [start, end]
     // intervals via bucketed equi-join (every event must land in exactly
     // one session — a cross-validation of sessionize AND the range join)
@@ -1164,6 +1177,24 @@ object SparkEntry {
       "s AS (SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
       "SELECT user_id, MIN(ts) AS start, MAX(ts) AS \"end\", CAST(COUNT(*) AS BIGINT) AS n_events " +
       "FROM s GROUP BY user_id, sid ORDER BY user_id, start"),
+    // strict sequential conversion: each step's min ts after the
+    // user's previous step time
+    "x_funnel" -> ("WITH s0 AS (SELECT user_id, MIN(ts) AS t0 FROM events " +
+      "WHERE event_type = 'view' GROUP BY 1), " +
+      "s1 AS (SELECT e.user_id, MIN(e.ts) AS t1 FROM events e JOIN s0 USING (user_id) " +
+      "WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1), " +
+      "s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id) " +
+      "WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1) " +
+      "SELECT * FROM (" +
+      "SELECT CAST(0 AS BIGINT) AS step, 'view' AS step_name, (SELECT COUNT(*) FROM s0) AS users " +
+      "UNION ALL SELECT 1, 'click', (SELECT COUNT(*) FROM s1) " +
+      "UNION ALL SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)) t ORDER BY step"),
+    // cohort by day of first event; distinct actives per cell
+    "x_cohort" -> ("WITH f AS (SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort " +
+      "FROM events GROUP BY 1), " +
+      "a AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS period FROM events) " +
+      "SELECT f.cohort, a.period, COUNT(*) AS users FROM a JOIN f USING (user_id) " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"),
     "x_rollup" -> ("SELECT EXTRACT(YEAR FROM o_orderdate) AS year, EXTRACT(MONTH FROM o_orderdate) AS month, " +
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value, " +
       "CAST(GROUPING(EXTRACT(YEAR FROM o_orderdate), EXTRACT(MONTH FROM o_orderdate)) AS BIGINT) AS grouping_id " +

@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics at lake scale: ordered funnels and cohort
+  * retention — the two queries every product-analytics warehouse runs
+  * hourly over its event firehose. Both are compositions of hash
+  * aggregations and user-keyed equi-joins: no windows over the whole
+  * event stream, no per-user collect_list, so they scale with executor
+  * count and survive skewed users (a user's events never have to fit
+  * in one buffer).
+  *
+  * Reference scope: §2.5 beyond-parity (the reference's MySQL engine has
+  * no event-sequence queries); pairs with [[graft.streaming.EventStream]]
+  * sessionization over the same table.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel: for each user, the earliest time of step 0, then
+    * the earliest step-1 event STRICTLY AFTER that, and so on — the
+    * strict sequential-conversion semantics (a purchase before the
+    * first view does not convert).
+    *
+    * Output: one row per user who completed step 0, with nullable
+    * `t0..t{n-1}` step timestamps (null = never reached).
+    *
+    * Scale shape: step 0 is one filtered aggregation; each later step is
+    * one user-keyed equi-join of the (already tiny) per-user frame onto
+    * the events of that step plus a re-aggregation. Filters sit inside
+    * the scan, so each step reads only its own event type; per-user
+    * state is one timestamp per step, never an event list. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val s0 = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
+    steps.zipWithIndex.drop(1).foldLeft(s0) { case (prev, (step, i)) =>
+      val reached = events.filter(col(typeCol) === step)
+        .join(prev.select(col(userCol), col(s"t${i - 1}")), userCol)
+        .filter(col(tsCol) > col(s"t${i - 1}"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"t$i"))
+      // left join: users stuck before this step keep their earlier
+      // timestamps, t_i stays null
+      prev.join(reached, Seq(userCol), "left")
+    }
+  }
+
+  /** Funnel conversion summary: one row per step — (step, step_name,
+    * users reaching it). */
+  def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    val f = funnel(events, userCol, typeCol, tsCol, steps)
+    val cs = steps.indices.map(i => count(col(s"t$i")).as(s"n$i"))
+    val counts = f.agg(cs.head, cs.tail: _*)
+    counts.select(posexplode(array(
+        steps.indices.map(i => col(s"n$i")): _*)).as(Seq("step", "users")))
+      .select(col("step").cast("long").as("step"),
+        element_at(typedlit(steps), col("step").cast("int") + 1)
+          .as("step_name"),
+        col("users"))
+  }
+
+  /** Cohort retention: users are cohorted by the period of their FIRST
+    * event; each (cohort, period) cell counts the cohort's users active
+    * in that period. `period` is a truncation expression over the
+    * timestamp (default ISO week start). Output: (cohort, period,
+    * users), the classic retention triangle (period >= cohort).
+    *
+    * Scale shape: first-touch is one user-keyed min-aggregation; the
+    * activity set is one distinct over (user, period) — which shrinks
+    * the firehose to at most users x periods — then one equi-join on
+    * user and one final hash aggregation. */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+      period: Column => Column = c => date_trunc("week", c).cast("date"))
+      : DataFrame = {
+    val first = events.groupBy(col(userCol))
+      .agg(min(period(col(tsCol))).as("cohort"))
+    val active = events.select(col(userCol),
+      period(col(tsCol)).as("period")).distinct()
+    active.join(first, userCol)
+      .groupBy(col("cohort"), col("period"))
+      .agg(count(lit(1)).as("users"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+class EventAnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+
+  private lazy val events = Seq(
+    // user 1: clean view -> click -> purchase
+    (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+    // user 2: purchase BEFORE the click -> stops at click
+    (2L, "view", ts(0)), (2L, "purchase", ts(5)), (2L, "click", ts(10)),
+    // user 3: click before the first view -> stops at view
+    (3L, "click", ts(0)), (3L, "view", ts(5)),
+    // user 4: never views -> not in the funnel at all
+    (4L, "click", ts(0)), (4L, "purchase", ts(5)),
+    // user 5: two views; funnel anchors on the FIRST, click after it counts
+    (5L, "view", ts(0)), (5L, "view", ts(30)), (5L, "click", ts(15)),
+    (5L, "purchase", ts(16))
+  ).toDF("user_id", "event_type", "ts")
+
+  test("funnel: strict sequential conversion, first-touch anchoring") {
+    val f = EventAnalytics.funnel(events, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+    val rows = f.orderBy("user_id")
+      .as[(Long, Timestamp, Option[Timestamp], Option[Timestamp])]
+      .collect().toSeq
+    assert(rows.map(_._1) == Seq(1L, 2L, 3L, 5L), "user 4 never viewed")
+    val byUser = rows.map(r => r._1 -> r).toMap
+    assert(byUser(1L) == ((1L, ts(0), Some(ts(10)), Some(ts(20)))))
+    // user 2's purchase precedes the click -> t2 null
+    assert(byUser(2L) == ((2L, ts(0), Some(ts(10)), None)))
+    // user 3's click precedes the first view -> t1 null
+    assert(byUser(3L) == ((3L, ts(5), None, None)))
+    // user 5 anchors on the FIRST view
+    assert(byUser(5L) == ((5L, ts(0), Some(ts(15)), Some(ts(16)))))
+  }
+
+  test("funnelCounts: one row per step with reach counts") {
+    val c = EventAnalytics.funnelCounts(events, "user_id", "event_type",
+      "ts", Seq("view", "click", "purchase"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(c == Seq((0L, "view", 4L), (1L, "click", 3L),
+      (2L, "purchase", 2L)))
+  }
+
+  test("retention: first-touch cohorts, distinct actives per period") {
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(1)),            // day 0 twice -> 1 distinct
+      (1L, ts(60 * 24)),                   // day 1
+      (2L, ts(60 * 24)), (2L, ts(60 * 48)) // cohort day 1, active day 1+2
+    ).toDF("user_id", "ts")
+    val r = EventAnalytics.retention(ev, "user_id", "ts",
+        c => date_trunc("day", c).cast("date"))
+      .orderBy("cohort", "period")
+      .select(datediff(col("period"), col("cohort")).as("age"),
+        col("users"))
+      .as[(Int, Long)].collect().toSeq
+    assert(r == Seq((0, 1L), (1, 1L), (0, 1L), (1, 1L)))
+  }
+}
