@@ -780,6 +780,30 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Product quantization codes: per-subspace k-means (m=2, k=8, same
+    // training arithmetic as x_kmeans on each 32-dim half), every vector
+    // compressed to its nearest final-centroid id per subspace
+    "x_pq" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val cb = graft.ext.Pq.train(emb, "vec_id", "embedding",
+        m = 2, k = 8, iters = 2).localCheckpoint(true)
+      graft.ext.Pq.encode(emb, "vec_id", "embedding", cb, m = 2)
+        .select(col("vec_id"), posexplode(col("code")).as(Seq("sub", "cid")))
+        .select(col("vec_id"), col("sub").cast("long").as("sub"), col("cid"))
+        .orderBy(col("vec_id"), col("sub"))
+    }),
+    // ADC search over the compressed corpus: exact query-to-codeword
+    // LUT (query = vector 0), per-row sum of m table entries, top-10
+    "x_pq_topk" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val cb = graft.ext.Pq.train(emb, "vec_id", "embedding",
+        m = 2, k = 8, iters = 2).localCheckpoint(true)
+      val codes = graft.ext.Pq.encode(emb, "vec_id", "embedding", cb, m = 2)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble)
+      graft.ext.Pq.adcTopK(codes, "vec_id", cb, q, k = 10)
+    }),
+
     // ---------------- text analysis ----------------
 
     // Corpus-level term salience: top-3 TF-IDF keywords per document
@@ -1400,6 +1424,28 @@ object SparkEntry {
       "WHERE list_cosine_similarity(a.v, b.v) >= 0.9) " +
       "SELECT vec_id AS id, cid FROM a2 " +
       "WHERE vec_id NOT IN (SELECT id FROM drops) ORDER BY 1"),
+    // two independent trainings on the vector halves; codes = final-
+    // centroid assignment per subspace
+    "x_pq" -> ("WITH " +
+      kmeansChain(pqPtsSql(0), "_0") + kmeansFinalAssign("_0") +
+      kmeansChain(pqPtsSql(1), "_1") + kmeansFinalAssign("_1").dropRight(2) + " " +
+      "SELECT vec_id, CAST(0 AS BIGINT) AS sub, cid FROM a3_0 " +
+      "UNION ALL SELECT vec_id, CAST(1 AS BIGINT), cid FROM a3_1 " +
+      "ORDER BY vec_id, sub"),
+    // same chains; LUT = exact distance from vector 0's halves to every
+    // codeword, rows score as lut0 + lut1
+    "x_pq_topk" -> ("WITH " +
+      kmeansChain(pqPtsSql(0), "_0") + kmeansFinalAssign("_0") +
+      kmeansChain(pqPtsSql(1), "_1") + kmeansFinalAssign("_1") +
+      "q0 AS (SELECT v FROM pts_0 WHERE vec_id = 0), " +
+      "q1 AS (SELECT v FROM pts_1 WHERE vec_id = 0), " +
+      "lut0 AS (SELECT b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
+      "i -> (q.v[i]-b.cvec[i])*(q.v[i]-b.cvec[i]))) AS d FROM b_0 b CROSS JOIN q0 q), " +
+      "lut1 AS (SELECT b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
+      "i -> (q.v[i]-b.cvec[i])*(q.v[i]-b.cvec[i]))) AS d FROM b_1 b CROSS JOIN q1 q) " +
+      "SELECT a0.vec_id, l0.d + l1.d AS dist FROM a3_0 a0 " +
+      "JOIN a3_1 a1 USING (vec_id) JOIN lut0 l0 ON a0.cid = l0.cid " +
+      "JOIN lut1 l1 ON a1.cid = l1.cid ORDER BY dist, a0.vec_id LIMIT 10"),
     "x_kmeans" -> (kmeansReplayCtes() +
       "c2 AS (SELECT cid, dim, " +
       "CAST(SUM(CAST(ROUND(v1, 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS c " +
@@ -1592,29 +1638,56 @@ object SparkEntry {
   /** DuckDB replica of TextAnalysis.langProfiles hit counts (one column per
     * language, alphabetical) and the argmax with the engine's tie-break
     * (equal counts resolve to the lexicographically greatest language). */
-  /** Shared k-means training replay (2 iterations, k=8, md5 seeds):
-    * CTEs pts..a2 where a2 is the post-training (vec_id, v, cid)
-    * assignment — the prefix of both the x_kmeans centroid oracle and
-    * the x_semdedup survivor oracle (which trains on pts plus planted
-    * copies, hence the parameterized pts body). */
-  private def kmeansReplayCtes(ptsSql: String =
-      "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
-        "FROM embeddings"): String =
-    "WITH pts AS (" + ptsSql + "), " +
-      "seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, v AS cvec " +
-      "FROM pts ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8), " +
-      "a1 AS (SELECT p.vec_id, p.v, s.cid, " +
+  /** One suffixed k-means training-replay chain (2 iterations, k=8, md5
+    * seeds): CTEs pts$sfx..a2$sfx where a2$sfx is the post-training
+    * (vec_id, v, cid) assignment. Suffixing lets one oracle embed
+    * several independent trainings (the PQ subspaces). */
+  private def kmeansChain(ptsSql: String, sfx: String = ""): String =
+    s"pts$sfx AS (" + ptsSql + "), " +
+      s"seeds$sfx AS (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, v AS cvec " +
+      s"FROM pts$sfx ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8), " +
+      s"a1$sfx AS (SELECT p.vec_id, p.v, s.cid, " +
       "list_sum(list_transform(range(1, len(p.v)+1), i -> (p.v[i]-s.cvec[i])*(p.v[i]-s.cvec[i]))) AS d " +
-      "FROM pts p CROSS JOIN seeds s " +
+      s"FROM pts$sfx p CROSS JOIN seeds$sfx s " +
       "QUALIFY ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY d, s.cid) = 1), " +
-      "c1r AS (SELECT cid, dim, " +
+      s"c1r$sfx AS (SELECT cid, dim, " +
       "CAST(SUM(CAST(ROUND(v1, 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS c " +
-      "FROM (SELECT cid, unnest(v) AS v1, unnest(range(len(v))) AS dim FROM a1) t GROUP BY 1, 2), " +
-      "c1 AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM c1r GROUP BY cid), " +
-      "a2 AS (SELECT p.vec_id, p.v, c.cid, " +
+      s"FROM (SELECT cid, unnest(v) AS v1, unnest(range(len(v))) AS dim FROM a1$sfx) t GROUP BY 1, 2), " +
+      s"c1$sfx AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM c1r$sfx GROUP BY cid), " +
+      s"a2$sfx AS (SELECT p.vec_id, p.v, c.cid, " +
       "list_sum(list_transform(range(1, len(p.v)+1), i -> (p.v[i]-c.cvec[i])*(p.v[i]-c.cvec[i]))) AS d " +
-      "FROM pts p CROSS JOIN c1 c " +
+      s"FROM pts$sfx p CROSS JOIN c1$sfx c " +
       "QUALIFY ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY d, c.cid) = 1), "
+
+  /** Final-centroid + re-assignment extension of [[kmeansChain]]: c2$sfx
+    * (the fit() output centroids) packed as b$sfx, and a3$sfx = the
+    * corpus assigned to THOSE — PQ's encoding step. */
+  private def kmeansFinalAssign(sfx: String): String =
+    s"c2$sfx AS (SELECT cid, dim, " +
+      "CAST(SUM(CAST(ROUND(v1, 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS c " +
+      s"FROM (SELECT cid, unnest(v) AS v1, unnest(range(len(v))) AS dim FROM a2$sfx) t GROUP BY 1, 2), " +
+      s"b$sfx AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM c2$sfx GROUP BY cid), " +
+      s"a3$sfx AS (SELECT p.vec_id, b.cid, " +
+      "list_sum(list_transform(range(1, len(p.v)+1), i -> (p.v[i]-b.cvec[i])*(p.v[i]-b.cvec[i]))) AS d " +
+      s"FROM pts$sfx p CROSS JOIN b$sfx b " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY d, b.cid) = 1), "
+
+  private val defaultPtsSql: String =
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+      "FROM embeddings"
+
+  private def kmeansReplayCtes(ptsSql: String = defaultPtsSql): String =
+    "WITH " + kmeansChain(ptsSql)
+
+  /** PQ subspace pts bodies: the two contiguous halves of the vector
+    * (len-derived, so any SF's dimensionality works). */
+  private def pqPtsSql(sub: Int): String =
+    if (sub == 0)
+      "SELECT vec_id, list_transform(embedding[1:(len(embedding)//2)], " +
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
+    else
+      "SELECT vec_id, list_transform(embedding[(len(embedding)//2+1):len(embedding)], " +
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
 
   private def langCountColsSql: String =
     graft.ext.TextAnalysis.langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>

@@ -44,7 +44,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object KMeans {
 
-  private def sqDist(a: Column, b: Column): Column =
+  private[ext] def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), (acc, v) => acc + v)

@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., TPAMI 2011 — public paper): the
+  * vector-compression half of IVF-PQ, the standard recipe for ANN over
+  * corpora too large to hold float vectors in memory. Vectors split into
+  * `m` contiguous subspaces; each subspace gets its own k-codeword
+  * codebook ([[KMeans]] per subspace — the full corpus trains, not a
+  * driver-side sample); a vector compresses to `m` small codes
+  * (64 dims × 4 bytes → 2 bytes at m=2, k=8; 32× in the paper's
+  * m=8, k=256 setup). Queries score compressed rows via asymmetric
+  * distance (ADC): one k×m lookup table of exact query-to-codeword
+  * distances, then a per-row sum of `m` table entries — no float vector
+  * ever reloaded.
+  *
+  * Scale shape: training is m KMeans runs (each the shuffle-free
+  * assignment + (cid,dim)-keyed update of [[KMeans]]); encoding is one
+  * broadcast of the packed codebooks (m×k×(d/m) doubles — k×d total,
+  * same size as one centroid set) and a per-row nested-HOF argmin in
+  * codegen, zero shuffle; ADC search broadcasts a k×m LUT literal and
+  * compiles top-k to TakeOrderedAndProject.
+  *
+  * Determinism: everything inherits [[KMeans]]' engine-portable
+  * arithmetic (md5 seeds, index-ordered folds, decimal centroid sums,
+  * argmin ties to the lower cid), and ADC sums run in subspace order —
+  * a SQL engine replays training, codes, and ranked results exactly.
+  */
+object Pq {
+
+  /** Per-subspace codebooks: (sub, cid, dim, c) with `dim` relative to
+    * the subspace. `m` must divide the vector dimension. */
+  def train(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      k: Int, iters: Int = 2): DataFrame = {
+    require(m > 0, s"m=$m must be positive")
+    val w = (size(col(vecCol)) / lit(m)).cast("int")
+    (0 until m).map { s =>
+      val sliced = df.select(col(idCol),
+        slice(col(vecCol), w * s + 1, w).as("__sv"))
+      KMeans.fit(sliced, idCol, "__sv", k, iters)
+        .select(lit(s.toLong).as("sub"), col("cid"), col("dim"), col("c"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** One-row frame: `cbs` = array over subs (sorted) of arrays of
+    * (cid, cvec) structs sorted by cid — the broadcastable codebook. */
+  private def packedBooks(codebooks: DataFrame): DataFrame =
+    codebooks
+      .groupBy(col("sub"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+      .groupBy(col("sub"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("cvec"))))
+        .as("book"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("book")))),
+        x => x.getField("book")).as("cbs"))
+
+  /** Compress each vector to its `m` nearest-codeword ids:
+    * (id, code array<long>). Broadcast codebooks, per-row argmin per
+    * subspace — no shuffle, no row multiplication. */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int): DataFrame = {
+    val w = (size(col("__v")) / m).cast("int")
+    df.select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(broadcast(packedBooks(codebooks)))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          array_min(transform(element_at(col("cbs"), s.cast("int") + 1), c =>
+            struct(KMeans.sqDist(
+                slice(col("__v"), s.cast("int") * w + 1, w),
+                c.getField("cvec")).as("d"),
+              c.getField("cid").as("cid")))).getField("cid"))
+          .as("code"))
+  }
+
+  /** ADC top-k: exact query-to-codeword distance table (k×m entries,
+    * computed once from the collected codebooks — bounded, never data-
+    * scale), then each compressed row scores as the sum of its `m`
+    * table entries in subspace order. Returns (id, dist) for the k
+    * closest, ties to the lower id; plan is TakeOrderedAndProject. */
+  def adcTopK(codes: DataFrame, idCol: String, codebooks: DataFrame,
+      query: Seq[Double], k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    // (sub, cid) -> cvec, collected: k×m rows of d/m doubles each
+    val books = codebooks.groupBy(col("sub"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2)))
+      .toMap
+    val m = books.keys.map(_._1).max.toInt + 1
+    val kCodes = books.keys.map(_._2).max.toInt + 1
+    val w = query.length / m
+    // LUT[sub*kCodes + cid] = ||q_sub - c_(sub,cid)||², index-ordered fold
+    val lut = Array.tabulate(m * kCodes) { i =>
+      books.get((i / kCodes).toLong -> (i % kCodes).toLong).map { cv =>
+        val q = query.slice((i / kCodes) * w, (i / kCodes) * w + w)
+        q.zip(cv).foldLeft(0.0) { case (acc, (a, b)) =>
+          acc + (a - b) * (a - b) }
+      }.getOrElse(Double.MaxValue) // codeword died in training: unreachable
+    }
+    val lutLit = typedlit(lut.toSeq)
+    codes.select(col(idCol),
+        aggregate(zip_with(col("code"),
+            sequence(lit(0L), lit(m - 1L)), (cid, s) =>
+            element_at(lutLit, (s * kCodes + cid).cast("int") + 1)),
+          lit(0.0), (acc, v) => acc + v).as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+}

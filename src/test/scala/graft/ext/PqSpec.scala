@@ -1,0 +1,85 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** 3 planted clusters per SUBSPACE, independently: the first half of
+    * each vector clusters by i%3 (offsets 0/10/20), the second half by
+    * i%2 (offsets 0/30) — so codes must recover (i%3-ish, i%2-ish)
+    * structure and cluster-mates share codes. */
+  private lazy val planted = {
+    val rnd = new scala.util.Random(17)
+    (0 until 90).map { i =>
+      val lo = Array.fill(8)((i % 3) * 10.0 + rnd.nextGaussian() * 0.1)
+      val hi = Array.fill(8)((i % 2) * 30.0 + rnd.nextGaussian() * 0.1)
+      (i.toLong, (lo ++ hi).map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("codes recover the independent per-subspace planted structure") {
+    // k=4 > 3 planted groups: Lloyd from the md5 seed draw may split a
+    // planted group (a local optimum) but must never MERGE two — so the
+    // invariant is: distinct planted groups get disjoint code sets
+    val cb = Pq.train(planted, "vec_id", "embedding", m = 2, k = 4, iters = 5)
+      .localCheckpoint(true)
+    val codes = Pq.encode(planted, "vec_id", "embedding", cb, m = 2)
+      .select(col("vec_id"), col("code")(0).as("c0"), col("code")(1).as("c1"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val g0 = codes.groupBy(_._1 % 3).values.map(_.map(_._2).toSet).toSeq
+    val g1 = codes.groupBy(_._1 % 2).values.map(_.map(_._3).toSet).toSeq
+    def disjoint(gs: Seq[Set[Long]]) = (for {
+      (a, i) <- gs.zipWithIndex; (b, j) <- gs.zipWithIndex if i < j
+    } yield (a & b).isEmpty).forall(identity)
+    assert(disjoint(g0), s"subspace 0 merged planted groups: $g0")
+    assert(disjoint(g1), s"subspace 1 merged planted groups: $g1")
+  }
+
+  test("encode is shuffle-free; adcTopK compiles to TakeOrderedAndProject") {
+    val cb = Pq.train(planted, "vec_id", "embedding", m = 2, k = 3, iters = 2)
+      .localCheckpoint(true)
+    val enc = Pq.encode(planted, "vec_id", "embedding", cb, m = 2)
+    val encPlan = enc.queryExecution.executedPlan.toString()
+    // the k×m codebook pack may exchange its tiny frame; the CORPUS must
+    // never shuffle (same contract as KMeans assignment)
+    assert(!encPlan.contains("hashpartitioning(vec_id"),
+      "encoding must not shuffle the corpus:\n" + encPlan.take(500))
+    val top = Pq.adcTopK(enc, "vec_id", cb, Seq.fill(16)(0.0), k = 5)
+    val topPlan = top.queryExecution.executedPlan.toString()
+    assert(topPlan.contains("TakeOrderedAndProject"), topPlan.take(500))
+    spark.catalog.clearCache()
+  }
+
+  test("adcTopK matches a Scala brute-force ADC ranking exactly") {
+    val cb = Pq.train(planted, "vec_id", "embedding", m = 2, k = 3, iters = 3)
+      .localCheckpoint(true)
+    val enc = Pq.encode(planted, "vec_id", "embedding", cb, m = 2)
+    val q = planted.filter(col("vec_id") === 0).select(col("embedding"))
+      .head.getSeq[Float](0).map(_.toDouble)
+    val got = Pq.adcTopK(enc, "vec_id", cb, q, k = 7)
+      .as[(Long, Double)].collect().toSeq
+    // brute force: same LUT arithmetic over collected codes
+    val books = cb.groupBy(col("sub"), col("cid"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("c")))).as("p"))
+      .select(col("sub"), col("cid"),
+        transform(col("p"), x => x.getField("c")).as("cvec"))
+      .as[(Long, Long, Seq[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val codes = enc.as[(Long, Seq[Long])].collect()
+    val brute = codes.map { case (id, code) =>
+      val dist = code.zipWithIndex.map { case (cid, s) =>
+        val cv = books((s.toLong, cid))
+        val qs = q.slice(s * 8, s * 8 + 8)
+        qs.zip(cv).foldLeft(0.0) { case (a, (x, y)) => a + (x - y) * (x - y) }
+      }.sum
+      (id, dist)
+    }.sortBy(r => (r._2, r._1)).take(7).toSeq
+    assert(got == brute)
+    // the query's own planted cluster pair (i%3==0, i%2==0) dominates
+    assert(got.map(_._1).forall(i => i % 3 == 0 && i % 2 == 0))
+    spark.catalog.clearCache()
+  }
+}
