@@ -347,6 +347,26 @@ object SparkEntry {
           col("day"), col("status"), col("value"))
         .orderBy(col("status"))
     }),
+    // SCD2 dimension maintenance: a deterministic observation stream
+    // (per (custkey%50, orderdate) the priority of the smallest order)
+    // folded in three date-ordered batches; the version chains must
+    // equal one-shot processing of the full stream
+    "x_scd2" -> ((s, d) => {
+      import graft.snapshot.Scd2
+      val obs = ord(s, d)
+        .groupBy((col("o_custkey") % 50).as("k"),
+          col("o_orderdate").as("ts"))
+        .agg(min_by(col("o_orderpriority"), col("o_orderkey")).as("prio"))
+      val batches = Seq(
+        obs.filter(year(col("ts")) <= 1994),
+        obs.filter(year(col("ts")).between(1995, 1996)),
+        obs.filter(year(col("ts")) >= 1997))
+      val dim = batches.tail.foldLeft(
+        Scd2.init(batches.head, Seq("k"), Seq("prio"), "ts")) { (cur, b) =>
+        Scd2.merge(cur, b, Seq("k"), Seq("prio"), "ts")
+      }
+      dim.orderBy(col("k"), col("valid_from"))
+    }),
     // Incremental materialized aggregate: three delta batches (orders
     // split by key mod 3 — every batch touches every year partition)
     // fold into per-(year, priority) partial state; the final read rolls
@@ -835,6 +855,16 @@ object SparkEntry {
       graft.ext.TextAnalysis.search(Tables.load(s, d, "documents"),
         "doc_id", "text", Seq("spark", "window", "hash"), k = 15)
         .orderBy(col("score").desc, col("doc_id"))),
+    // Same query served from the MATERIALIZED inverted index: postings
+    // built once, search term-prunes the postings scan — must produce
+    // the bit-identical ranking to x_search
+    "x_index_search" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val postings = graft.ext.TextAnalysis.buildIndex(docs, "doc_id", "text")
+      graft.ext.TextAnalysis.searchIndex(postings, "doc_id",
+        Seq("spark", "window", "hash"), k = 15, nDocs = docs.count())
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // Vocabulary construction: top-40 terms by total count with df >= 5
     // — two-level aggregation (map-side combine on (doc, term)), top-k
     // via TakeOrderedAndProject, ties on the term string
@@ -1162,6 +1192,15 @@ object SparkEntry {
       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty, " +
       "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys " +
       "FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000"),
+    // one-shot window replay of the whole observation stream: the
+    // incremental folds must land on exactly these version chains
+    "x_scd2" -> ("WITH obs AS (SELECT o_custkey % 50 AS k, o_orderdate AS ts, " +
+      "MIN_BY(o_orderpriority, o_orderkey) AS prio FROM orders GROUP BY 1, 2), " +
+      "ch AS (SELECT k, ts, prio, LAG(prio) OVER (PARTITION BY k ORDER BY ts) AS prev FROM obs), " +
+      "v AS (SELECT k, prio, ts AS valid_from, " +
+      "LEAD(ts) OVER (PARTITION BY k ORDER BY ts) AS valid_to " +
+      "FROM ch WHERE prev IS NULL OR prev != prio) " +
+      "SELECT k, prio, valid_from, valid_to FROM v ORDER BY k, valid_from"),
     // incremental folds must equal the from-scratch aggregation: exact
     // decimal sums cast DOUBLE once, avg derived from the same operands
     "x_mview" -> ("SELECT o_orderpriority AS priority, " +
@@ -1546,17 +1585,9 @@ object SparkEntry {
       "SELECT lang_pred, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens " +
       "FROM f JOIN k USING (doc_id) GROUP BY 1 ORDER BY 1"),
     // same tf/df/n integer operands, same floor-unit summation
-    "x_search" -> ("WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS len, " +
-      "unnest(string_split(text, ' ')) AS term FROM documents), " +
-      "tf AS (SELECT doc_id, len, term, COUNT(*) AS cnt FROM tok " +
-      "WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2, 3), " +
-      "dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), " +
-      "nn AS (SELECT COUNT(*) AS n FROM documents), " +
-      "sc AS (SELECT tf.doc_id, " +
-      "SUM(CAST(FLOOR(CAST(tf.cnt AS DOUBLE) / tf.len * (CAST(nn.n AS DOUBLE) / dfreq.df) * 1e12) AS BIGINT)) AS su, " +
-      "COUNT(*) AS n_terms FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nn GROUP BY 1) " +
-      "SELECT doc_id, CAST(su AS DOUBLE) / 1e12 AS score, n_terms FROM sc " +
-      "ORDER BY su DESC, doc_id LIMIT 15"),
+    "x_search" -> searchOracleSql,
+    // the index path must produce the bit-identical ranking
+    "x_index_search" -> searchOracleSql,
     // same two-level aggregation in SQL; ties on the term string
     "x_vocab" -> ("WITH tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM " +
       "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t " +
@@ -1681,6 +1712,21 @@ object SparkEntry {
 
   /** PQ subspace pts bodies: the two contiguous halves of the vector
     * (len-derived, so any SF's dimensionality works). */
+  /** Same tf/df/n integer operands, same floor-unit summation — shared
+    * by x_search (tokenize-at-query) and x_index_search (postings). */
+  private val searchOracleSql: String =
+    "WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS len, " +
+      "unnest(string_split(text, ' ')) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, len, term, COUNT(*) AS cnt FROM tok " +
+      "WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2, 3), " +
+      "dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), " +
+      "nn AS (SELECT COUNT(*) AS n FROM documents), " +
+      "sc AS (SELECT tf.doc_id, " +
+      "SUM(CAST(FLOOR(CAST(tf.cnt AS DOUBLE) / tf.len * (CAST(nn.n AS DOUBLE) / dfreq.df) * 1e12) AS BIGINT)) AS su, " +
+      "COUNT(*) AS n_terms FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nn GROUP BY 1) " +
+      "SELECT doc_id, CAST(su AS DOUBLE) / 1e12 AS score, n_terms FROM sc " +
+      "ORDER BY su DESC, doc_id LIMIT 15"
+
   private def pqPtsSql(sub: Int): String =
     if (sub == 0)
       "SELECT vec_id, list_transform(embedding[1:(len(embedding)//2)], " +

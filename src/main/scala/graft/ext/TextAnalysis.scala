@@ -408,6 +408,45 @@ object TextAnalysis {
           x => x.getField("line")), sep).as(textCol))
   }
 
+  /** Materialized inverted index: one posting row per (doc, term) with
+    * the occurrence count and the doc's token length — the exact integer
+    * operands [[search]] computes on the fly, persisted once so queries
+    * stop re-tokenizing the corpus. Write it to a warehouse fact (or
+    * bucket it by term) and [[searchIndex]] serves every subsequent
+    * query from a term-pruned scan of THIS table: at 100 TB the corpus
+    * is read once per index build instead of once per query. Appends
+    * compose: a new batch's postings are disjoint rows (doc ids are
+    * new), so index maintenance is a plain append. */
+  def buildIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), size(tokens(col(textCol))).as("len"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("len"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** [[search]] served from a prebuilt [[buildIndex]] postings table:
+    * identical scoring — (cnt/len)·(n/df) summed in floor-quantized
+    * units — so the two return bit-identical rankings. `nDocs` is the
+    * corpus size the index owner tracks (a warehouse stat; postings
+    * alone cannot see token-less documents). The term filter prunes the
+    * postings scan; everything downstream of it is the same plan shape
+    * as [[search]] minus the tokenize. */
+  def searchIndex(postings: DataFrame, idCol: String,
+      queryTerms: Seq[String], k: Int, nDocs: Long): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0, "searchIndex needs terms and k > 0")
+    val tf = postings.filter(col("term").isin(queryTerms: _*))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("s", col("cnt").cast("double") / col("len") *
+        (lit(nDocs).cast("double") / col("df")))
+      .groupBy(col(idCol))
+      .agg(sum(floor(col("s") * lit(1e12)).cast("long")).as("su"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("score", col("su").cast("double") / lit(1e12))
+      .orderBy(col("su").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"), col("n_terms"))
+  }
+
   /** Corpus vocabulary construction (the term table a tokenizer/BPE
     * trainer or an index builder starts from): per-term total count `tf`
     * and document frequency `df`, rare terms cut at `minDf`, heaviest

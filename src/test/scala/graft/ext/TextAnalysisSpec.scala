@@ -219,6 +219,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
   }
 
+  test("searchIndex over a built index returns search's exact rows") {
+    val docs = Seq(
+      (1L, "rare word filler filler filler"),
+      (2L, "common common common filler filler"),
+      (3L, "common filler filler filler filler"),
+      (4L, "rare rare common filler filler"),
+      (5L, "filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val direct = TextAnalysis.search(docs, "doc_id", "text",
+      Seq("rare", "common"), k = 4)
+      .orderBy(col("score").desc, col("doc_id"))
+      .as[(Long, Double, Long)].collect().toSeq
+    val postings = TextAnalysis.buildIndex(docs, "doc_id", "text")
+    val viaIndex = TextAnalysis.searchIndex(postings, "doc_id",
+      Seq("rare", "common"), k = 4, nDocs = 5L)
+      .orderBy(col("score").desc, col("doc_id"))
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(viaIndex == direct && direct.nonEmpty)
+  }
+
   test("vocabulary: two-level counts, minDf cut, tf-desc/term ties, top-k plan") {
     val docs = Seq(
       (1L, "apple apple banana cherry"),
