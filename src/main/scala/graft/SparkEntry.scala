@@ -533,6 +533,20 @@ object SparkEntry {
       graft.ext.EventAnalytics.retention(ev(s, d), "user_id", "ts",
         c => date_trunc("day", c).cast("date"))
         .orderBy(col("cohort"), col("period"))),
+    // Training-mixture draw: 2:1:0.5 weighting over three sources,
+    // quotas floor(w*24) = 12/6/3 (power-of-two weights -> exact IEEE),
+    // same md5 order as x_quota
+    "x_mixture" -> ((s, d) =>
+      graft.ext.Sampling.mixtureSample(
+        Tables.load(s, d, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        Seq("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125), total = 24)
+        .orderBy(col("source"), col("rank"))),
+    // Degree-oriented triangle counting on the planted multigraph
+    // (self-loops and duplicate/reverse edges must not inflate counts)
+    "x_triangles" -> ((s, d) =>
+      graft.ext.Triangles.perNode(graft.ext.Fixtures.plantedEdges(s))
+        .orderBy(col("node"))),
     // Range join: events mapped back into their own sessions' [start, end]
     // intervals via bucketed equi-join (every event must land in exactly
     // one session — a cross-validation of sessionize AND the range join)
@@ -1427,6 +1441,28 @@ object SparkEntry {
     // diverges across engines); the planted graph has no dangling
     // nodes, so the engine's dangling term is exactly +0.0 and the
     // replay omits it
+    // same md5 order, weight-allocated quotas
+    "x_mixture" -> ("WITH r AS (SELECT doc_id, source, " +
+      "ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank " +
+      "FROM documents WHERE source IN ('src0', 'src1', 'src2')) " +
+      "SELECT doc_id, source, CAST(rank AS BIGINT) AS rank FROM r " +
+      "WHERE rank <= CAST(FLOOR(CASE source WHEN 'src0' THEN 0.5 " +
+      "WHEN 'src1' THEN 0.25 ELSE 0.125 END * 24) AS BIGINT) " +
+      "ORDER BY source, rank"),
+    // same canonicalization + degree orientation + wedge/closure joins
+    "x_triangles" -> ("WITH e AS (" + graft.ext.Fixtures.plantedEdgesSql() + "), " +
+      "und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src != dst), " +
+      "deg AS (SELECT node, COUNT(*) AS dg FROM " +
+      "(SELECT a AS node FROM und UNION ALL SELECT b FROM und) t GROUP BY 1), " +
+      "o AS (SELECT CASE WHEN (da.dg, und.a) < (db.dg, und.b) THEN und.a ELSE und.b END AS u, " +
+      "CASE WHEN (da.dg, und.a) < (db.dg, und.b) THEN und.b ELSE und.a END AS v " +
+      "FROM und JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b), " +
+      "w AS (SELECT e1.u AS u, e1.v AS x, e2.v AS y FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v != e2.v), " +
+      "tri AS (SELECT w.u, w.x, w.y FROM w WHERE EXISTS " +
+      "(SELECT 1 FROM o WHERE o.u = w.x AND o.v = w.y)) " +
+      "SELECT node, COUNT(*) AS triangles FROM " +
+      "(SELECT u AS node FROM tri UNION ALL SELECT x FROM tri UNION ALL SELECT y FROM tri) t " +
+      "GROUP BY 1 ORDER BY 1"),
     "x_pagerank" -> ("WITH e AS (" + graft.ext.Fixtures.plantedEdgesSql() + "), " +
       "nd AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e), " +
       "nn AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT node FROM nd) t), " +

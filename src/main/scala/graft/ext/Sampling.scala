@@ -108,4 +108,35 @@ object Sampling {
     require(n > 0, "n must be positive")
     df.orderBy(drawOrder(keyCol): _*).limit(n)
   }
+
+  /** Training-mixture draw: per-source quotas ALLOCATED FROM TARGET
+    * WEIGHTS — quota(s) = floor(weight(s) · total) — taken by the same
+    * deterministic md5 order ([[quotaSample]] with data-dependent
+    * quotas). Sources absent from `weights` drop; an under-populated
+    * source yields what it has (the shortfall is the caller's signal to
+    * re-weight, not something to silently backfill). This is the "mix
+    * web : books : code at 70:20:10" step of corpus assembly.
+    *
+    * Same scale shape as quotaSample: the weight map rides as a literal,
+    * the per-stratum rank is WindowGroupLimit-pruned map-side, and no
+    * stratum ever concentrates into one task beyond its quota. Keep
+    * weights × total in exactly-representable doubles (powers of two, or
+    * integer-valued products) if cross-engine replay must be bit-exact. */
+  def mixtureSample(df: DataFrame, keyCol: String, strataCol: String,
+      weights: Seq[(String, Double)], total: Long): DataFrame = {
+    require(weights.nonEmpty && total > 0, "mixture needs weights and total > 0")
+    val wlit = typedlit(weights.toMap)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(drawOrder(keyCol): _*)
+    // LITERAL cap first: InferWindowGroupLimit only fires on a constant
+    // bound, so the largest quota does the map-side prune and the exact
+    // per-stratum quota filters the survivors
+    val maxQuota = weights.map { case (_, wt) =>
+      math.floor(wt * total).toLong }.max
+    df.filter(element_at(wlit, col(strataCol)).isNotNull)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= maxQuota)
+      .filter(col("rank") <=
+        floor(element_at(wlit, col(strataCol)) * total).cast("long"))
+  }
 }

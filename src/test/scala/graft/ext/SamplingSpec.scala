@@ -67,6 +67,33 @@ class SamplingSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan.take(500))
   }
 
+  test("mixtureSample: weight-allocated quotas, absent sources drop, shortfall passes") {
+    val strat = spark.range(300).selectExpr("id",
+      "CASE WHEN id < 200 THEN 'web' WHEN id < 290 THEN 'books' ELSE 'code' END AS s")
+    val counts = Sampling.mixtureSample(strat, "id", "s",
+      Seq("web" -> 0.5, "books" -> 0.25, "code" -> 0.125), total = 128)
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    // quotas 64/32/16; 'code' has only 10 rows -> yields what it has
+    assert(counts == Map("web" -> 64L, "books" -> 32L, "code" -> 10L))
+    // unweighted stratum never appears
+    assert(!Sampling.mixtureSample(strat, "id", "s",
+      Seq("web" -> 0.5), total = 10)
+      .select("s").as[String].collect().contains("books"))
+    // the draw is the quotaSample draw: same keys for matching quotas
+    val viaQuota = Sampling.quotaSample(
+      strat.filter(col("s") === "web"), "id", "s", quota = 64)
+      .select("id").as[Long].collect().toSet
+    val viaMix = Sampling.mixtureSample(strat, "id", "s",
+      Seq("web" -> 0.5), total = 128)
+      .select("id").as[Long].collect().toSet
+    assert(viaMix == viaQuota)
+    // map-side prune survives the data-dependent quota
+    val plan = Sampling.mixtureSample(strat, "id", "s",
+      Seq("web" -> 0.5), total = 128)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("WindowGroupLimit"), plan.take(500))
+  }
+
   test("globalSample: exact n, deterministic, TakeOrderedAndProject plan") {
     val df = spark.range(5000).toDF("id")
     val s1 = Sampling.globalSample(df, "id", 100).select("id")
