@@ -147,4 +147,34 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), "per-dst sums must hash-aggregate")
     spark.catalog.clearCache()
   }
+
+  test("pack: prefix sum shuffles bucket-keyed pairs, offsets broadcast, no global sort") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val p = plan(ext.TextAnalysis.packSequences(docs, "doc_id", "text",
+      budget = 512, buckets = 16))
+    assert(p.contains("hashpartitioning(__b"),
+      "the per-bucket window must shuffle by bucket, not sort globally")
+    assert(p.contains("BroadcastExchange"),
+      "bucket offsets must broadcast back onto the corpus")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("funnel: every step is a user-keyed equi-join — no cartesian, no NL join") {
+    val ev = Tables.load(spark, sf("sf0.001"), "events")
+    val p = plan(ext.EventAnalytics.funnel(ev, "user_id", "event_type",
+      "ts", Seq("view", "click", "purchase")))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(400))
+  }
+
+  test("scd2 merge: version windows are key-partitioned, never single-partition") {
+    val obs = spark.range(200).selectExpr("id % 20 AS k",
+      "CAST(date_add(DATE'2024-01-01', CAST(id / 20 AS INT)) AS DATE) AS ts",
+      "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS prio")
+    val dim = graft.snapshot.Scd2.init(obs, Seq("k"), Seq("prio"), "ts")
+    val p = plan(graft.snapshot.Scd2.merge(dim,
+      obs.filter(col("k") < 5), Seq("k"), Seq("prio"), "ts"))
+    assert(!p.contains("Exchange SinglePartition"),
+      "SCD2 must never window the whole dimension on one task:\n" + p.take(400))
+  }
 }
