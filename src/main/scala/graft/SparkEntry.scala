@@ -447,6 +447,15 @@ object SparkEntry {
           col("year"))
         .orderBy(col("hour"), col("event_type"))
     }),
+    // Continuous ingestion + incremental view maintenance: three file-
+    // stream deltas fold O(batch) partials into the warehouse agg state;
+    // the served aggregate must equal the from-scratch event aggregation
+    "x_stream_mview" -> ((s, d) => {
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_smv").toString)
+      graft.streaming.EventStream.runMviewIngest(s, d, wh, "events_facts")
+        .orderBy(col("event_type"))
+    }),
     // Streaming exact dedup: watermark-bounded state (the exactly-once
     // ingestion guard); deduped rows re-aggregated batch-side so the
     // result is order-independent for the oracle
@@ -1232,6 +1241,12 @@ object SparkEntry {
     "x_stream_hourly" -> ("SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type, " +
       "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v " +
       "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    // the stream-folded view == one batch group-by over all events
+    "x_stream_mview" -> ("SELECT event_type, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total, " +
+      "COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_v " +
+      "FROM events GROUP BY 1 ORDER BY 1"),
     "x_stream_sink" -> ("SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type, " +
       "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v, " +
       "CAST(EXTRACT(YEAR FROM time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS year " +

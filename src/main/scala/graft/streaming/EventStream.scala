@@ -101,6 +101,42 @@ object EventStream {
       s"stream produced no batches: fact $fact was never written"))
   }
 
+  /** Continuous ingestion with INCREMENTAL view maintenance: each
+    * micro-batch of raw events appends to the fact AND folds its partial
+    * aggregates into the [[graft.snapshot.MaterializedAgg]] state —
+    * O(batch) per epoch, so the served aggregate stays fresh without
+    * ever rescanning the fact. The streaming composition of the x_mview
+    * contract (appendWithAgg per delta == from-scratch aggregation).
+    *
+    * The corpus is split into three files and streamed with
+    * `maxFilesPerTrigger = 1`, so the fold genuinely happens across
+    * multiple deltas; the final aggregate is file-order-insensitive
+    * (sum/count/min/max partials commute). Raw-row append mode: no
+    * state store, no watermark — the IVM state IS the streaming state,
+    * and it lives in the warehouse, surviving restarts. Same retry
+    * caveat as appendWithAgg: exactly-once needs the caller's batch-id
+    * guard on redelivery (foreachBatch epoch ids; see NovelIngest's
+    * marker files for the pattern). */
+  def runMviewIngest(spark: SparkSession, sfDir: String,
+      warehouse: graft.snapshot.Warehouse, fact: String): DataFrame = {
+    import graft.snapshot.MaterializedAgg
+    val dir = graft.TempDirs.scratchDir("graft_mview_stream")
+    val src = graft.Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("value"),
+        year(col("ts")).cast("long").as("year"))
+    src.repartition(3).write.mode("overwrite").parquet(dir.toString)
+    val q = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        MaterializedAgg.appendWithAgg(warehouse, fact, batch,
+          Seq("event_type"), "value")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    MaterializedAgg.readAgg(warehouse, fact, Seq("event_type"))
+  }
+
   /** Streaming exact dedup: first occurrence per key set wins, with state
     * BOUNDED by the watermark (`dropDuplicatesWithinWatermark` evicts keys
     * once the watermark passes them — the unbounded-state `dropDuplicates`

@@ -150,6 +150,78 @@ object ScaleDemo {
       graft.streaming.EventStream.sessionizeBatch(eventsK, gapMinutes = 30)
         .count()
     }
+
+    // ---- round-7 continuation operators at the same Kx ----
+    timed("pack_sequences") {
+      // the distributed prefix sum: only (id, n_tokens) pairs shuffle;
+      // cost must track the tokenize scan, not a global sort
+      graft.ext.TextAnalysis.packSequences(corpus, "doc_id", "text",
+        budget = 512, buckets = 64).count()
+    }
+    timed("vocabulary") {
+      graft.ext.TextAnalysis.vocabulary(corpus, "doc_id", "text",
+        minDf = 5L * k, k = 1000).count()
+    }
+    timed("index_search") {
+      // build postings for the Kx corpus AND serve one query from them
+      val postings = graft.ext.TextAnalysis.buildIndex(corpus, "doc_id", "text")
+      graft.ext.TextAnalysis.searchIndex(postings, "doc_id",
+        Seq("spark", "window", "hash"), k = 15, nDocs = docs).count()
+    }
+    timedVec("semdedup_k64") {
+      // SemDeDup at a REALISTIC k (clusters of ~300): the pairwise step
+      // is bounded per cluster — 10x vectors with 10x clusters keeps the
+      // per-task block constant, the O(N^2) formulation never appears
+      graft.ext.Dedup.semanticDedup(embK, "vec_id", "embedding",
+        k = 64, iters = 2, threshold = 0.95).count()
+    }
+    timedVec("pq_encode") {
+      val cb = graft.ext.Pq.train(embK, "vec_id", "embedding",
+        m = 2, k = 8, iters = 2).localCheckpoint(true)
+      graft.ext.Pq.encode(embK, "vec_id", "embedding", cb, m = 2).count()
+    }
+    timedEv("funnel") {
+      graft.ext.EventAnalytics.funnelCounts(eventsK, "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase")).count()
+    }
+    timedEv("cohort_daily") {
+      graft.ext.EventAnalytics.retention(eventsK, "user_id", "ts",
+        c => date_trunc("day", c).cast("date")).count()
+    }
+    locally {
+      // SCD2 at Kx keys: 3 date-ordered folds over an orders-derived
+      // observation stream, key space scaled by K
+      val t0 = System.nanoTime()
+      val ord0 = graft.Tables.load(spark, "/root/testdata/sf0.1", "orders")
+      val obs = (0 until k).map { i =>
+        ord0.select((col("o_custkey") % 50 + lit(i * 50L)).as("k"),
+          col("o_orderdate").as("ts"), col("o_orderpriority").as("prio"),
+          col("o_orderkey"))
+      }.reduce(_ unionByName _)
+        .groupBy(col("k"), col("ts"))
+        .agg(min_by(col("prio"), col("o_orderkey")).as("prio"))
+      val batches = Seq(
+        obs.filter(year(col("ts")) <= 1994),
+        obs.filter(year(col("ts")).between(1995, 1996)),
+        obs.filter(year(col("ts")) >= 1997))
+      val dim = batches.tail.foldLeft(graft.snapshot.Scd2.init(
+        batches.head, Seq("k"), Seq("prio"), "ts")) { (cur, b) =>
+        graft.snapshot.Scd2.merge(cur, b, Seq("k"), Seq("prio"), "ts")
+      }
+      val rows = dim.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op": "scd2_fold3", "keys": ${k * 50}, "replication": $k, "rows": $rows, "seconds": $secs%.1f}""")
+      spark.catalog.clearCache()
+    }
+    locally {
+      // degree-oriented triangles on a Kx planted graph
+      val t0 = System.nanoTime()
+      val rows = graft.ext.Triangles.perNode(
+        graft.ext.Fixtures.plantedEdges(spark, n = k * 400)).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op": "triangles", "nodes": ${k * 400}, "replication": $k, "rows": $rows, "seconds": $secs%.1f}""")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
