@@ -888,6 +888,12 @@ object SparkEntry {
         Seq("spark", "window", "hash"), k = 15, nDocs = docs.count())
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // Bigram-LM fluency (log-free perplexity-filter ordering): mean
+    // corpus MLE P(w2|w1) per doc in floor-quantized units
+    "x_text_fluency" -> ((s, d) =>
+      graft.ext.TextAnalysis.bigramFluency(Tables.load(s, d, "documents"),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))),
     // Vocabulary construction: top-40 terms by total count with df >= 5
     // — two-level aggregation (map-side combine on (doc, term)), top-k
     // via TakeOrderedAndProject, ties on the term string
@@ -1639,6 +1645,19 @@ object SparkEntry {
     "x_search" -> searchOracleSql,
     // the index path must produce the bit-identical ranking
     "x_index_search" -> searchOracleSql,
+    // same bigram/prefix integer operands, same floor-unit mean
+    "x_text_fluency" -> ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "bgr AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2 " +
+      "FROM tok WHERE len(w) >= 2), " +
+      "c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgr GROUP BY 1, 2), " +
+      "c1 AS (SELECT w1, COUNT(*) AS c1 FROM bgr GROUP BY 1), " +
+      "sc AS (SELECT b.doc_id, " +
+      "SUM(CAST(FLOOR(CAST(c2.c2 AS DOUBLE) / c1.c1 * 1e12) AS BIGINT)) AS su, " +
+      "COUNT(*) AS nb FROM bgr b " +
+      "JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2 " +
+      "JOIN c1 ON b.w1 = c1.w1 GROUP BY 1) " +
+      "SELECT doc_id, nb AS n_bigrams, CAST(su AS DOUBLE) / 1e12 / nb AS score " +
+      "FROM sc ORDER BY doc_id"),
     // same two-level aggregation in SQL; ties on the term string
     "x_vocab" -> ("WITH tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM " +
       "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t " +

@@ -408,6 +408,47 @@ object TextAnalysis {
           x => x.getField("line")), sep).as(textCol))
   }
 
+  /** Corpus-trained bigram fluency score — the shape of perplexity
+    * filtering (keep documents the corpus language model finds
+    * plausible, drop gibberish/boilerplate) without the transcendental:
+    * score(doc) = mean over its bigram positions of the corpus MLE
+    * conditional P(w2|w1) = count(w1,w2) / count(w1,·). Log-free on
+    * purpose — IEEE log differs in the last ulp across engines, but
+    * a quotient of identical integers replays exactly; position sums go
+    * through the usual floor-quantized LONG units. Low-probability-dense
+    * documents score near 0, formulaic ones near 1 — the same ordering a
+    * log-perplexity filter induces for threshold purposes.
+    *
+    * Scale shape: documents explode to bigram rows (corpus-linear); the
+    * bigram and prefix tables come from two map-side-combining
+    * aggregations of that SAME exploded frame; scoring is two equi-joins
+    * keyed by (w1, w2) and (w1) — vocabulary-sized tables, shuffle
+    * volume linear in corpus bigrams. Docs under 2 tokens drop (no
+    * bigram evidence either way). */
+  def bigramFluency(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = tokens(col(textCol))
+    val pairs = df
+      .select(col(idCol), w.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    pairs.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("p", col("c2").cast("double") / col("c1"))
+      .groupBy(col(idCol))
+      .agg(sum(floor(col("p") * lit(1e12)).cast("long")).as("su"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("su").cast("double") / lit(1e12) / col("n_bigrams"))
+          .as("score"))
+  }
+
   /** Materialized inverted index: one posting row per (doc, term) with
     * the occurrence count and the doc's token length — the exact integer
     * operands [[search]] computes on the fly, persisted once so queries

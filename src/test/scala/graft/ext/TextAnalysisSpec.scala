@@ -219,6 +219,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
   }
 
+  test("bigramFluency: corpus MLE means, short docs drop") {
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams (a,b),(b,a),(a,b)
+      (2L, "a c"),       // bigram (a,c)
+      (3L, "solo")       // no bigram -> absent
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramFluency(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    // c2: (a,b)=2 (b,a)=1 (a,c)=1; c1: a=3, b=1
+    def fl(x: Double) = math.floor(x * 1e12)
+    val s1 = (fl(2.0 / 3) + fl(1.0 / 1) + fl(2.0 / 3)) / 1e12 / 3
+    val s2 = fl(1.0 / 3) / 1e12 / 1
+    assert(got == Seq((1L, 3L, s1), (2L, 1L, s2)))
+  }
+
   test("searchIndex over a built index returns search's exact rows") {
     val docs = Seq(
       (1L, "rare word filler filler filler"),
