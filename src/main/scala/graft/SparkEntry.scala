@@ -542,6 +542,28 @@ object SparkEntry {
       graft.ext.EventAnalytics.retention(ev(s, d), "user_id", "ts",
         c => date_trunc("day", c).cast("date"))
         .orderBy(col("cohort"), col("period"))),
+    // Data-quality expectations over a deterministically dirtied orders
+    // batch: planted nulls, rejected statuses, out-of-range prices,
+    // duplicated keys, dangling custkeys — one scan for all scalar
+    // rules, one key-agg for uniqueness, one anti-join for the reference
+    "x_expect" -> ((s, d) => {
+      import graft.ext.Expect._
+      val base = ord(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+      val dirty = base
+        .unionByName(base.filter(pmod(col("o_orderkey"), lit(400)) === 1)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit(-1L).as("o_custkey"), lit("X").as("o_orderstatus"),
+            lit(-5.0).as("o_totalprice"),
+            lit(null).cast("string").as("o_orderpriority")))
+        .unionByName(base.filter(pmod(col("o_orderkey"), lit(400)) === 2))
+      graft.ext.Expect.report(dirty, Seq(
+        NotNull("o_orderpriority"),
+        Accepted("o_orderstatus", Seq("F", "O", "P")),
+        InRange("o_totalprice", 0.0, 1e6),
+        Unique(Seq("o_orderkey")),
+        Ref("o_custkey", Tables.load(s, d, "customer"), "c_custkey")))
+    }),
     // Training-mixture draw: 2:1:0.5 weighting over three sources,
     // quotas floor(w*24) = 12/6/3 (power-of-two weights -> exact IEEE),
     // same md5 order as x_quota
@@ -1462,6 +1484,25 @@ object SparkEntry {
     // diverges across engines); the planted graph has no dangling
     // nodes, so the engine's dangling term is exactly +0.0 and the
     // replay omits it
+    // same planted dirt, same conditional-sum / key-agg / anti-join counts
+    "x_expect" -> ("WITH dirty AS (" +
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders " +
+      "UNION ALL SELECT o_orderkey + 10000000, -1, 'X', -5.0, NULL FROM orders WHERE o_orderkey % 400 = 1 " +
+      "UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 400 = 2) " +
+      "SELECT * FROM (" +
+      "SELECT CAST(0 AS BIGINT) AS ord, 'not_null:o_orderpriority' AS rule, " +
+      "CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM dirty " +
+      "UNION ALL SELECT 1, 'accepted:o_orderstatus', " +
+      "CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) FROM dirty " +
+      "UNION ALL SELECT 2, 'in_range:o_totalprice', " +
+      "CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 1000000) THEN 1 ELSE 0 END) AS BIGINT) FROM dirty " +
+      "UNION ALL SELECT 3, 'unique:o_orderkey', " +
+      "(SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM " +
+      "(SELECT COUNT(*) AS n FROM dirty GROUP BY o_orderkey HAVING COUNT(*) > 1) t) " +
+      "UNION ALL SELECT 4, 'ref:o_custkey', " +
+      "(SELECT CAST(COUNT(*) AS BIGINT) FROM dirty WHERE o_custkey IS NOT NULL " +
+      "AND o_custkey NOT IN (SELECT c_custkey FROM customer))" +
+      ") t ORDER BY ord"),
     // same md5 order, weight-allocated quotas
     "x_mixture" -> ("WITH r AS (SELECT doc_id, source, " +
       "ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank " +
