@@ -578,6 +578,11 @@ object SparkEntry {
     "x_triangles" -> ((s, d) =>
       graft.ext.Triangles.perNode(graft.ext.Fixtures.plantedEdges(s))
         .orderBy(col("node"))),
+    // Session path mining: top-20 within-session event-type trigrams
+    // (same 30-min gap sessions as x_sessions; event_id breaks ts ties)
+    "x_paths" -> ((s, d) =>
+      graft.ext.EventAnalytics.sessionPaths(ev(s, d), "user_id",
+        "event_type", "ts", "event_id", gapMinutes = 30, k = 20)),
     // Range join: events mapped back into their own sessions' [start, end]
     // intervals via bucketed equi-join (every event must land in exactly
     // one session — a cross-validation of sessionize AND the range join)
@@ -1315,6 +1320,18 @@ object SparkEntry {
       "a AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS period FROM events) " +
       "SELECT f.cohort, a.period, COUNT(*) AS users FROM a JOIN f USING (user_id) " +
       "GROUP BY 1, 2 ORDER BY 1, 2"),
+    // same session windows, same tie-broken LEADs
+    "x_paths" -> ("WITH l AS (SELECT user_id, ts, event_id, event_type, " +
+      "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
+      "f AS (SELECT user_id, ts, event_id, event_type, " +
+      "CASE WHEN prev IS NULL OR date_diff('millisecond', prev, ts) > 1800000 THEN 1 ELSE 0 END AS ns FROM l), " +
+      "s AS (SELECT user_id, ts, event_id, event_type, " +
+      "SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f), " +
+      "t AS (SELECT event_type || '>' || LEAD(event_type, 1) OVER w || '>' || LEAD(event_type, 2) OVER w AS path, " +
+      "LEAD(event_type, 2) OVER w AS third FROM s " +
+      "WINDOW w AS (PARTITION BY user_id, sid ORDER BY ts, event_id)) " +
+      "SELECT path, COUNT(*) AS n FROM t WHERE third IS NOT NULL " +
+      "GROUP BY 1 ORDER BY n DESC, path LIMIT 20"),
     "x_rollup" -> ("SELECT EXTRACT(YEAR FROM o_orderdate) AS year, EXTRACT(MONTH FROM o_orderdate) AS month, " +
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value, " +
       "CAST(GROUPING(EXTRACT(YEAR FROM o_orderdate), EXTRACT(MONTH FROM o_orderdate)) AS BIGINT) AS grouping_id " +

@@ -61,6 +61,45 @@ object EventAnalytics {
         col("users"))
   }
 
+  /** Session path mining: the top-k event-type trigram paths users walk
+    * WITHIN a session (the "what do people actually do" complement to
+    * the hypothesis-driven [[funnel]]). Sessions are the same
+    * gap-threshold windows the sessionizer emits; paths come from two
+    * LEADs over each session's ordered events — no per-session
+    * collect_list, so a marathon session never has to fit one buffer.
+    *
+    * Scale shape: one user-keyed shuffle serves the session-id running
+    * sum and the path windows (same partitioning), then a path-keyed
+    * hash aggregation and TakeOrderedAndProject for the top-k.
+    * `orderCol` breaks timestamp ties deterministically (LEAD on tied
+    * orderings is engine-defined otherwise). */
+  def sessionPaths(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, orderCol: String, gapMinutes: Int = 30,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(orderCol))
+    // millisecond gap arithmetic — EXACTLY sessionizeBatch's comparison,
+    // so paths and sessions agree on gaps within a second of the boundary
+    val flagged = events.withColumn("__ns",
+      when(lag(col(tsCol), 1).over(wu).isNull ||
+        unix_millis(col(tsCol)) - unix_millis(lag(col(tsCol), 1).over(wu))
+          > gapMinutes * 60000L, 1L).otherwise(0L))
+    val sess = flagged.withColumn("__sid",
+      sum(col("__ns")).over(wu.rowsBetween(Window.unboundedPreceding, 0)))
+    val ws = Window.partitionBy(col(userCol), col("__sid"))
+      .orderBy(col(tsCol), col(orderCol))
+    sess
+      .withColumn("__t2", lead(col(typeCol), 1).over(ws))
+      .withColumn("__t3", lead(col(typeCol), 2).over(ws))
+      .filter(col("__t3").isNotNull)
+      .select(concat_ws(">", col(typeCol), col("__t2"), col("__t3"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** Cohort retention: users are cohorted by the period of their FIRST
     * event; each (cohort, period) cell counts the cohort's users active
     * in that period. `period` is a truncation expression over the

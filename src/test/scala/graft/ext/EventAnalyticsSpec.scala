@@ -50,6 +50,25 @@ class EventAnalyticsSpec extends SparkTestBase {
       (2L, "purchase", 2L)))
   }
 
+  test("sessionPaths: trigrams never span sessions; ties break on orderCol") {
+    val ev = Seq(
+      // user 1, session 1: a b c d -> trigrams a>b>c, b>c>d
+      (1L, 10L, "a", ts(0)), (1L, 11L, "b", ts(1)),
+      (1L, 12L, "c", ts(2)), (1L, 13L, "d", ts(3)),
+      // user 1, session 2 (gap > 30 min): c d e -> c>d>e only — no
+      // trigram may bridge the gap
+      (1L, 14L, "c", ts(60)), (1L, 15L, "d", ts(61)), (1L, 16L, "e", ts(62)),
+      // user 2: tied timestamps — event_id order decides: a b c
+      (2L, 20L, "a", ts(0)), (2L, 21L, "b", ts(0)), (2L, 22L, "c", ts(0))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = EventAnalytics.sessionPaths(ev, "user_id", "event_type",
+      "ts", "event_id", gapMinutes = 30, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got.toSet == Set(("a>b>c", 2L), ("b>c>d", 1L), ("c>d>e", 1L)))
+    // ranking: count desc then path asc
+    assert(got.head == (("a>b>c", 2L)))
+  }
+
   test("retention: first-touch cohorts, distinct actives per period") {
     val ev = Seq(
       (1L, ts(0)), (1L, ts(1)),            // day 0 twice -> 1 distinct
