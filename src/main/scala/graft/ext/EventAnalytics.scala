@@ -76,6 +76,7 @@ object EventAnalytics {
   def sessionPaths(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, orderCol: String, gapMinutes: Int = 30,
       k: Int = 20): DataFrame = {
+    require(gapMinutes > 0 && k > 0, s"gapMinutes=$gapMinutes k=$k must be positive")
     import org.apache.spark.sql.expressions.Window
     val wu = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(orderCol))

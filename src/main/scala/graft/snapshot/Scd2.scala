@@ -52,8 +52,10 @@ object Scd2 {
 
   /** Bootstrap a dimension from the first observation batch. */
   def init(batch: DataFrame, keyCols: Seq[String], attrCols: Seq[String],
-      tsCol: String): DataFrame =
+      tsCol: String): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty, "scd2 needs keys and attrs")
     chain(batch, keyCols, attrCols, tsCol)
+  }
 
   /** Fold one observation batch into the dimension. Key-scoped: only
     * batch keys re-derive; every other row passes through untouched. */
