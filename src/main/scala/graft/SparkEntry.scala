@@ -921,6 +921,12 @@ object SparkEntry {
       graft.ext.TextAnalysis.bigramFluency(Tables.load(s, d, "documents"),
         "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // Per-source quality quota: keep the best half of EVERY source by
+    // fluency (integer quota ceil(0.5*|source|), ties on id)
+    "x_quality_filter" -> ((s, d) =>
+      graft.ext.TextAnalysis.qualityFilter(Tables.load(s, d, "documents"),
+        "doc_id", "text", "source", keepFrac = 0.5)
+        .orderBy(col("source"), col("rank"))),
     // Vocabulary construction: top-40 terms by total count with df >= 5
     // — two-level aggregation (map-side combine on (doc, term)), top-k
     // via TakeOrderedAndProject, ties on the term string
@@ -1704,18 +1710,18 @@ object SparkEntry {
     // the index path must produce the bit-identical ranking
     "x_index_search" -> searchOracleSql,
     // same bigram/prefix integer operands, same floor-unit mean
-    "x_text_fluency" -> ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
-      "bgr AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2 " +
-      "FROM tok WHERE len(w) >= 2), " +
-      "c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgr GROUP BY 1, 2), " +
-      "c1 AS (SELECT w1, COUNT(*) AS c1 FROM bgr GROUP BY 1), " +
-      "sc AS (SELECT b.doc_id, " +
-      "SUM(CAST(FLOOR(CAST(c2.c2 AS DOUBLE) / c1.c1 * 1e12) AS BIGINT)) AS su, " +
-      "COUNT(*) AS nb FROM bgr b " +
-      "JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2 " +
-      "JOIN c1 ON b.w1 = c1.w1 GROUP BY 1) " +
+    "x_text_fluency" -> (fluencyCtesSql +
       "SELECT doc_id, nb AS n_bigrams, CAST(su AS DOUBLE) / 1e12 / nb AS score " +
       "FROM sc ORDER BY doc_id"),
+    // fluency chain + per-source integer quota window
+    "x_quality_filter" -> (fluencyCtesSql +
+      ", scr AS (SELECT doc_id, CAST(su AS DOUBLE) / 1e12 / nb AS score FROM sc), " +
+      "j AS (SELECT s.doc_id, d.source, s.score, " +
+      "ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY s.score DESC, s.doc_id) AS rank, " +
+      "COUNT(*) OVER (PARTITION BY d.source) AS cnt " +
+      "FROM scr s JOIN documents d USING (doc_id)) " +
+      "SELECT doc_id, source, score, CAST(rank AS BIGINT) AS rank FROM j " +
+      "WHERE rank <= CAST(CEIL(0.5 * cnt) AS BIGINT) ORDER BY source, rank"),
     // same two-level aggregation in SQL; ties on the term string
     "x_vocab" -> ("WITH tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM " +
       "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t " +
@@ -1840,6 +1846,20 @@ object SparkEntry {
 
   /** PQ subspace pts bodies: the two contiguous halves of the vector
     * (len-derived, so any SF's dimensionality works). */
+  /** Bigram-fluency replay CTEs (tok..sc) — shared by x_text_fluency
+    * and the x_quality_filter per-source quota on top of it. */
+  private val fluencyCtesSql: String =
+    "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "bgr AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2 " +
+      "FROM tok WHERE len(w) >= 2), " +
+      "c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgr GROUP BY 1, 2), " +
+      "bt AS (SELECT COUNT(*) AS B FROM bgr), " +
+      "sc AS (SELECT b.doc_id, " +
+      "SUM(CAST(FLOOR(CAST(c2.c2 AS DOUBLE) / bt.B * 1e12) AS BIGINT)) AS su, " +
+      "COUNT(*) AS nb FROM bgr b " +
+      "JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2 " +
+      "CROSS JOIN bt GROUP BY 1) "
+
   /** Same tf/df/n integer operands, same floor-unit summation — shared
     * by x_search (tokenize-at-query) and x_index_search (postings). */
   private val searchOracleSql: String =

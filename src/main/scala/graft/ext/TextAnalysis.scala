@@ -409,22 +409,28 @@ object TextAnalysis {
   }
 
   /** Corpus-trained bigram fluency score — the shape of perplexity
-    * filtering (keep documents the corpus language model finds
-    * plausible, drop gibberish/boilerplate) without the transcendental:
-    * score(doc) = mean over its bigram positions of the corpus MLE
-    * conditional P(w2|w1) = count(w1,w2) / count(w1,·). Log-free on
-    * purpose — IEEE log differs in the last ulp across engines, but
-    * a quotient of identical integers replays exactly; position sums go
-    * through the usual floor-quantized LONG units. Low-probability-dense
-    * documents score near 0, formulaic ones near 1 — the same ordering a
-    * log-perplexity filter induces for threshold purposes.
+    * filtering (keep documents whose word transitions the corpus itself
+    * uses often, drop gibberish/noise) without the transcendental:
+    * score(doc) = mean over its bigram positions of the corpus JOINT
+    * frequency P(w1,w2) = count(w1,w2) / total bigrams. Joint, not
+    * conditional, deliberately: an unsmoothed conditional MLE scores a
+    * chain of once-only bigrams as perfectly predictable (every hapax
+    * prefix has one continuation), inverting the quality signal exactly
+    * on the gibberish it should catch — commonness has no such failure
+    * mode. Log-free on purpose — IEEE log differs in the last ulp
+    * across engines, but a quotient of identical integers replays
+    * exactly; position sums go through the usual floor-quantized LONG
+    * units (raise the 1e12 quantum when corpus bigram counts approach
+    * it). Hapax-dense documents score near 1/B, formulaic ones orders
+    * of magnitude higher — the ordering a perplexity filter induces for
+    * threshold purposes.
     *
     * Scale shape: documents explode to bigram rows (corpus-linear); the
-    * bigram and prefix tables come from two map-side-combining
-    * aggregations of that SAME exploded frame; scoring is two equi-joins
-    * keyed by (w1, w2) and (w1) — vocabulary-sized tables, shuffle
-    * volume linear in corpus bigrams. Docs under 2 tokens drop (no
-    * bigram evidence either way). */
+    * bigram table is one map-side-combining aggregation of that SAME
+    * exploded frame and the total rides as a broadcast 1-row frame;
+    * scoring is one equi-join keyed by (w1, w2) — vocabulary-sized,
+    * shuffle volume linear in corpus bigrams. Docs under 2 tokens drop
+    * (no bigram evidence either way). */
   def bigramFluency(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val w = tokens(col(textCol))
@@ -438,15 +444,41 @@ object TextAnalysis {
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val c2 = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
-    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    pairs.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-      .withColumn("p", col("c2").cast("double") / col("c1"))
+    val total = broadcast(pairs.agg(count(lit(1)).as("B")))
+    pairs.join(c2, Seq("w1", "w2")).crossJoin(total)
+      .withColumn("p", col("c2").cast("double") / col("B"))
       .groupBy(col(idCol))
       .agg(sum(floor(col("p") * lit(1e12)).cast("long")).as("su"),
         count(lit(1)).as("n_bigrams"))
       .select(col(idCol), col("n_bigrams"),
         (col("su").cast("double") / lit(1e12) / col("n_bigrams"))
           .as("score"))
+  }
+
+  /** Per-domain quality filtering — the curation step that keeps the
+    * best `keepFrac` of every SOURCE by [[bigramFluency]] score (a
+    * per-source quota, so one clean domain never crowds out another the
+    * way a global threshold would). Exact integer quota per stratum:
+    * ceil(keepFrac · |stratum|), ranks tie-broken on id.
+    *
+    * Scale shape: scoring is [[bigramFluency]]'s linear pipeline; the
+    * keep decision is one source-keyed window (rank + count over the
+    * same partitioning — one shuffle, no global sort). Output:
+    * (id, stratum, score, rank) for the kept documents. */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, s"keepFrac=$keepFrac not in (0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramFluency(df, idCol, textCol)
+      .join(df.select(col(idCol), col(strataCol)), idCol)
+    val byStratum = Window.partitionBy(col(strataCol))
+    val w = byStratum.orderBy(col("score").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__q",
+        ceil(lit(keepFrac) * count(lit(1)).over(byStratum)).cast("long"))
+      .filter(col("rank") <= col("__q"))
+      .select(col(idCol), col(strataCol), col("score"), col("rank"))
   }
 
   /** Materialized inverted index: one posting row per (doc, term) with

@@ -227,11 +227,30 @@ class TextAnalysisSpec extends SparkTestBase {
     ).toDF("doc_id", "text")
     val got = TextAnalysis.bigramFluency(docs, "doc_id", "text")
       .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
-    // c2: (a,b)=2 (b,a)=1 (a,c)=1; c1: a=3, b=1
+    // c2: (a,b)=2 (b,a)=1 (a,c)=1; B = 4 corpus bigrams
     def fl(x: Double) = math.floor(x * 1e12)
-    val s1 = (fl(2.0 / 3) + fl(1.0 / 1) + fl(2.0 / 3)) / 1e12 / 3
-    val s2 = fl(1.0 / 3) / 1e12 / 1
+    val s1 = (fl(2.0 / 4) + fl(1.0 / 4) + fl(2.0 / 4)) / 1e12 / 3
+    val s2 = fl(1.0 / 4) / 1e12 / 1
     assert(got == Seq((1L, 3L, s1), (2L, 1L, s2)))
+  }
+
+  test("qualityFilter keeps the per-source quota of most-fluent docs") {
+    // formulaic docs repeat corpus-common bigrams -> high MLE score;
+    // 'gibberish' docs use once-only bigrams -> low score
+    val docs = Seq(
+      (1L, "x y x y x y", "a"), (2L, "x y x y z q", "a"),
+      (3L, "q1 q2 q3 q4 q5 q6", "a"), (4L, "r1 r2 r3 r4 r5 r6", "a"),
+      (5L, "x y x y x y", "b"), (6L, "s1 s2 s3 s4 s5 s6", "b")
+    ).toDF("doc_id", "text", "source")
+    val kept = TextAnalysis.qualityFilter(docs, "doc_id", "text",
+      "source", keepFrac = 0.5)
+      .select("doc_id", "source", "rank")
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    // quota: ceil(0.5*4)=2 for source a, ceil(0.5*2)=1 for source b
+    assert(kept.map(_._1) == Seq(1L, 2L, 5L),
+      s"formulaic docs must win their source quota: $kept")
+    assert(kept.map(r => (r._2, r._3)).toSet ==
+      Set(("a", 1L), ("a", 2L), ("b", 1L)))
   }
 
   test("searchIndex over a built index returns search's exact rows") {
