@@ -292,6 +292,15 @@ object SparkEntry {
             .cast("double").as("running"))
         .orderBy(col("o_custkey"), col("rn"))
     }),
+    // Trailing 7-day per-user features at event time (RANGE frame over
+    // epoch micros — exact integer bounds on both engines)
+    "x_rolling" -> ((s, d) =>
+      graft.ext.TimeSeries.rollingByTime(
+        ev(s, d).select(col("user_id"), col("event_id"), col("value"),
+          col("ts")),
+        "user_id", "ts", "value", windowSeconds = 7L * 86400)
+        .select(col("user_id"), col("event_id"), col("n_win"), col("sum_win"))
+        .orderBy(col("user_id"), col("event_id"))),
     // Set operations: UNION / INTERSECT / EXCEPT
     "x_setops" -> ((s, d) => {
       val hi = ord(s, d).filter(col("o_totalprice") >= 300000).select(col("o_custkey"))
@@ -1326,6 +1335,13 @@ object SparkEntry {
       "a AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS period FROM events) " +
       "SELECT f.cohort, a.period, COUNT(*) AS users FROM a JOIN f USING (user_id) " +
       "GROUP BY 1, 2 ORDER BY 1, 2"),
+    // same integer RANGE frame over epoch micros
+    "x_rolling" -> ("SELECT user_id, event_id, " +
+      "CAST(COUNT(*) OVER w AS BIGINT) AS n_win, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_win " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+      "RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) " +
+      "ORDER BY user_id, event_id"),
     // same session windows, same tie-broken LEADs
     "x_paths" -> ("WITH l AS (SELECT user_id, ts, event_id, event_type, " +
       "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +

@@ -36,4 +36,30 @@ object TimeSeries {
       d.withColumn(c, coalesce(col(c), lit(fill)))
     }
   }
+
+  /** Trailing time-RANGE features per key: for every event, the count
+    * and exact-decimal sum of the key's events in the preceding
+    * `windowSeconds` (inclusive) — the feature-store shape ("user's
+    * 7-day spend at event time") that a ROWS frame cannot express when
+    * event cadence varies. The frame is a RANGE over epoch MICROSECONDS
+    * (integer arithmetic — interval bounds on truncated milliseconds
+    * would disagree with another engine's full-precision timestamps in
+    * the sub-millisecond boundary window).
+    *
+    * Scale shape: one key-partitioned window — a single shuffle keyed by
+    * the entity, frames bounded by the time horizon; ties in the
+    * ordering are frame-inclusive (RANGE semantics), so tied-timestamp
+    * results are deterministic without a tie-break column. */
+  def rollingByTime(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds=$windowSeconds must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowSeconds * 1000000L, 0)
+    df.withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_win",
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .over(w).cast("double"))
+  }
 }

@@ -37,6 +37,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r == Seq(("10", 2L, 3.0), ("11", 0L, 0.0), ("12", 1L, 4.0)))
   }
 
+  test("rollingByTime: boundary-inclusive RANGE frame, per-key isolation") {
+    val base = 1700000000000000L // epoch micros
+    def ts(sec: Long) = new java.sql.Timestamp(base / 1000 + sec * 1000)
+    val ev = Seq(
+      (1L, ts(0), 10.0), (1L, ts(50), 20.0),
+      (1L, ts(100), 30.0),   // window 100s: includes ts(0) EXACTLY at bound
+      (1L, ts(101), 40.0),   // ts(0) now out, ts(50)/ts(100) in
+      (2L, ts(100), 5.0)     // other key: own frame only
+    ).toDF("k", "ts", "v")
+    val got = TimeSeries.rollingByTime(ev, "k", "ts", "v",
+        windowSeconds = 100)
+      .select(col("k"), col("ts"), col("n_win"), col("sum_win"))
+      .orderBy("k", "ts")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._3, r._4)) == Seq(
+      (1L, 1L, 10.0), (1L, 2L, 30.0), (1L, 3L, 60.0), (1L, 3L, 90.0),
+      (2L, 1L, 5.0)))
+  }
+
   test("diff classifies added / removed / changed; unchanged drop out") {
     val before = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "s", "v")
