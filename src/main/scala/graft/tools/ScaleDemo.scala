@@ -222,6 +222,31 @@ object ScaleDemo {
       println(f"""{"op": "triangles", "nodes": ${k * 400}, "replication": $k, "rows": $rows, "seconds": $secs%.1f}""")
       spark.catalog.clearCache()
     }
+
+    // ---- final continuation batch at the same Kx ----
+    val corpusSrc = (0 until k).map { i =>
+      base.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+        col("text"), col("source"))
+    }.reduce(_ unionByName _)
+    timed("fluency") {
+      graft.ext.TextAnalysis.bigramFluency(corpus, "doc_id", "text").count()
+    }
+    timed("quality_filter") {
+      // per-source quota windows at Kx: same 20 sources, each partition
+      // 10x deeper — no shuffle widens
+      graft.ext.TextAnalysis.qualityFilter(corpusSrc, "doc_id", "text",
+        "source", keepFrac = 0.5).count()
+    }
+    timedEv("rolling_7d") {
+      graft.ext.TimeSeries.rollingByTime(eventsK, "user_id", "ts", "value",
+        windowSeconds = 7L * 86400).count()
+    }
+    timedEv("session_paths") {
+      graft.ext.EventAnalytics.sessionPaths(
+        eventsK.withColumn("event_id", col("user_id") * 1000000L +
+          unix_micros(col("ts")) % 1000000L),
+        "user_id", "event_type", "ts", "event_id").count()
+    }
     spark.stop()
   }
 }
