@@ -843,6 +843,18 @@ object SparkEntry {
       graft.ext.KMeans.fit(Tables.load(s, d, "embeddings"),
         "vec_id", "embedding", k = 8, iters = 2)
         .orderBy(col("cid"), col("dim"))),
+    // Cross-corpus embedding decontamination: the 20 lowest-id vectors
+    // play the benchmark (exact-copy probes); their corpus originals
+    // must drop via LSH-bucketed cross matching + exact rerank
+    "x_decontam_embed" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val bench = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 9000000L).as("vec_id"), col("embedding"))
+      graft.ext.Similarity.dropEmbeddingMatches(emb, "vec_id", "embedding",
+        bench, threshold = 0.9)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
     // SemDeDup: k-means (same training as x_kmeans, over the corpus plus
     // 20 planted exact copies at id+10000 — noise embeddings have no
     // natural near-dups), then within-cluster cosine >= 0.9 drops the
@@ -1588,6 +1600,11 @@ object SparkEntry {
     // 2-iteration Lloyd k-means replay: same md5 seed draw, same
     // index-ordered distance folds, same quantized-decimal centroid
     // means; argmin ties break on cid in both engines
+    // exhaustive cross check: NOT EXISTS any probe at cosine >= 0.9
+    "x_decontam_embed" -> ("SELECT vec_id FROM embeddings e " +
+      "WHERE NOT EXISTS (SELECT 1 FROM embeddings b WHERE b.vec_id < 20 " +
+      "AND list_cosine_similarity(e.embedding, b.embedding) >= 0.9) " +
+      "ORDER BY vec_id"),
     // same training replay over corpus + planted copies; within-cluster
     // pairwise cosine, keep-first
     "x_semdedup" -> (kmeansReplayCtes(

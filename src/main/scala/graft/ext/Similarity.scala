@@ -206,4 +206,35 @@ object Similarity {
       .select(col("i"), col("j"), col("cos"))
     Dedup.finishEager(out, eager, Seq(sigs))
   }
+
+  /** Cross-corpus embedding decontamination — the semantic complement of
+    * [[TextAnalysis.decontaminate]]'s exact n-gram overlap: drop every
+    * corpus vector whose cosine to ANY probe vector (the benchmark /
+    * eval set) reaches `threshold`. Same sign-LSH candidate generation
+    * as [[cosinePairsLsh]], crossed instead of self-joined; the probe
+    * side is the benchmark, always small, so its signature table
+    * broadcasts and the corpus never shuffles — candidates are the rare
+    * (corpus, probe) bucket collisions, exact-reranked, then one
+    * anti-join removes the contaminated ids.
+    *
+    * Recall is the sign-LSH guarantee (near-identical vectors share
+    * every band): benchmark leakage is near-copies by construction —
+    * the paraphrased-leak regime wants a lower threshold, not another
+    * index. */
+  def dropEmbeddingMatches(corpus: DataFrame, idCol: String,
+      vecCol: String, probe: DataFrame, threshold: Double,
+      tables: Int = 8, bits: Int = 12, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val cs = withSigs(corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
+      "id", "v", tables, bits, dim, seed)
+    val ps = broadcast(withSigs(
+      probe.select(col(idCol).as("pid"), col(vecCol).as("pv")),
+      "pid", "pv", tables, bits, dim, seed))
+    val hit = cs.join(ps, Seq("t", "sig"))
+      .groupBy(col("id"), col("pid"))
+      .agg(first(col("v")).as("v"), first(col("pv")).as("pv"))
+      .filter(cosine(col("v"), col("pv")) >= threshold)
+      .select(col("id")).distinct()
+    corpus.join(hit.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+  }
 }

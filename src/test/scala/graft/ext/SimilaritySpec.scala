@@ -107,6 +107,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(raw.map(_._3) == Seq(2.0, 1.0, 0.5, 0.25))
   }
 
+  test("dropEmbeddingMatches: probe near-copies drop, rest survive, probe broadcasts") {
+    // probes = the 5 query vectors; contaminated = queries themselves +
+    // their planted ~0.99 neighbors; noise survives
+    val cleaned = Similarity.dropEmbeddingMatches(corpus, "vec_id",
+      "embedding", queries.select((col("vec_id") + 5000L).as("vec_id"),
+        col("embedding")), threshold = 0.95)
+    val ids = cleaned.select("vec_id").as[Long].collect().toSet
+    assert((0L until 5L).forall(!ids.contains(_)), "query copies must drop")
+    assert((0 until 5).flatMap(q => (0 until 5).map(j => 1000L + q * 10 + j))
+      .forall(!ids.contains(_)), "planted near-copies must drop")
+    assert((0 until 200).map(100L + _).forall(ids.contains), "noise survives")
+    val plan = cleaned.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      "the probe signature table must broadcast:\n" + plan.take(400))
+    spark.catalog.clearCache()
+  }
+
   test("cosine column matches a driver-side computation") {
     val a = Seq((1L, Seq(1.0f, 2.0f, 2.0f)), (2L, Seq(0.0f, 3.0f, 4.0f)))
       .toDF("vec_id", "v")
