@@ -954,6 +954,28 @@ object SparkEntry {
     "x_vocab" -> ((s, d) =>
       graft.ext.TextAnalysis.vocabulary(Tables.load(s, d, "documents"),
         "doc_id", "text", minDf = 5, k = 40)),
+    // Per-language vocabulary: top-10 terms per lang with df >= 3 —
+    // WindowGroupLimit prunes each language's term list map-side
+    "x_vocab_lang" -> ((s, d) =>
+      graft.ext.TextAnalysis.vocabularyByGroup(Tables.load(s, d, "documents"),
+        "doc_id", "text", "lang", minDf = 3, k = 10)
+        .orderBy(col("lang"), col("rank"))),
+    // Winsorized aggregation: o_totalprice clamped to each priority's
+    // [p05, p95] before summation (floor-quantized cents — decimal CAST
+    // of an interpolated quantile would round-diverge across engines)
+    "x_winsorize" -> ((s, d) => {
+      val w = graft.ext.Profile.winsorize(
+        ord(s, d).select(col("o_orderpriority").as("priority"),
+          col("o_totalprice").as("value")),
+        "priority", "value", lo = 0.05, hi = 0.95)
+      w.groupBy(col("priority"))
+        .agg(countAll.as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("su"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .withColumn("total", col("su").cast("double") / 100)
+        .drop("su")
+        .orderBy(col("priority"))
+    }),
     // Sequence packing: 512-token context windows over the md5-shuffled
     // corpus — the distributed prefix sum must land every document at
     // exactly the offset DuckDB's single global running sum assigns
@@ -1755,6 +1777,27 @@ object SparkEntry {
       "FROM scr s JOIN documents d USING (doc_id)) " +
       "SELECT doc_id, source, score, CAST(rank AS BIGINT) AS rank FROM j " +
       "WHERE rank <= CAST(CEIL(0.5 * cnt) AS BIGINT) ORDER BY source, rank"),
+    // same grouped aggregation; per-lang rank window
+    "x_vocab_lang" -> ("WITH tf AS (SELECT lang, doc_id, term, COUNT(*) AS cnt FROM " +
+      "(SELECT lang, doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t " +
+      "GROUP BY 1, 2, 3), " +
+      "v AS (SELECT lang, term, CAST(SUM(cnt) AS BIGINT) AS tf, COUNT(*) AS df " +
+      "FROM tf GROUP BY 1, 2 HAVING COUNT(*) >= 3) " +
+      "SELECT lang, term, tf, df, rank FROM (" +
+      "SELECT lang, term, tf, df, " +
+      "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tf DESC, term) AS rank FROM v) t " +
+      "WHERE rank <= 10 ORDER BY lang, rank"),
+    // same quantile cutoffs (quantile_cont == Spark percentile), same
+    // clamp, same floor-cent summation
+    "x_winsorize" -> ("WITH q AS (SELECT o_orderpriority AS priority, " +
+      "quantile_cont(o_totalprice, 0.05) AS qlo, quantile_cont(o_totalprice, 0.95) AS qhi " +
+      "FROM orders GROUP BY 1), " +
+      "c AS (SELECT o.o_orderpriority AS priority, " +
+      "LEAST(GREATEST(o.o_totalprice, q.qlo), q.qhi) AS v " +
+      "FROM orders o JOIN q ON o.o_orderpriority = q.priority) " +
+      "SELECT priority, COUNT(*) AS n, MIN(v) AS min_v, MAX(v) AS max_v, " +
+      "CAST(SUM(CAST(FLOOR(v * 100) AS BIGINT)) AS DOUBLE) / 100 AS total " +
+      "FROM c GROUP BY 1 ORDER BY 1"),
     // same two-level aggregation in SQL; ties on the term string
     "x_vocab" -> ("WITH tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM " +
       "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t " +

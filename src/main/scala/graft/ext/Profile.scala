@@ -46,4 +46,25 @@ object Profile {
       }: _*)).as("p"))
       .select(col("p.*"))
   }
+
+  /** Winsorize a measure per group: clamp `valueCol` to that group's
+    * [lo, hi] quantiles — the standard outlier-capping step before a
+    * mean/regression that a single fat-fingered value would otherwise
+    * own. Quantile cutoffs come from one per-group aggregation (the
+    * group count is small; the per-group value buffer of EXACT
+    * `percentile` is the cost — swap in `approx_percentile` at lake
+    * scale where cutoff tolerance permits) and broadcast back; clamping
+    * is per-row `least/greatest` in codegen. Returns the input with
+    * `valueCol` replaced by its clamped value. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val q = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(lo)).as("__qlo"),
+        percentile(col(valueCol), lit(hi)).as("__qhi"))
+    df.join(broadcast(q), groupCol)
+      .withColumn(valueCol,
+        least(greatest(col(valueCol), col("__qlo")), col("__qhi")))
+      .drop("__qlo", "__qhi")
+  }
 }

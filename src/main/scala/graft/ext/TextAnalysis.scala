@@ -544,6 +544,30 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-group vocabulary: the [[vocabulary]] term table per corpus
+    * stratum (language, source domain) — the per-domain token budget /
+    * drift check corpus curation wants. Same two-level aggregation with
+    * the group carried through; the per-group top-k is a rank window
+    * with a LITERAL bound, so WindowGroupLimit prunes each group's term
+    * list to k rows map-side — no group ever sorts its whole vocabulary
+    * in one task. */
+  def vocabularyByGroup(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, minDf: Long, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(groupCol), col(idCol),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(groupCol), col(idCol), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("tf").desc, col("term"))
+    tf.groupBy(col(groupCol), col("term"))
+      .agg(sum(col("cnt")).as("tf"), count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Sequence packing (concatenate-then-chunk): lay the corpus out on a
     * single global token axis in a deterministic pseudo-random order
     * (md5 of the id — the same engine-portable draw the samplers use)

@@ -37,6 +37,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r == Seq(("10", 2L, 3.0), ("11", 0L, 0.0), ("12", 1L, 4.0)))
   }
 
+  test("winsorize clamps per-group tails and leaves the body untouched") {
+    // group a: 1..100 -> p10/p90 cutoffs interpolate to 10.9 / 90.1
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) :+ ("b", 5.0))
+      .toDF("g", "v")
+    val w = Profile.winsorize(df, "g", "v", lo = 0.10, hi = 0.90)
+    val va = w.filter(col("g") === "a").select("v").as[Double].collect()
+    // IEEE interpolation: compare within ulps, not decimal literals
+    assert(math.abs(va.min - 10.9) < 1e-9 && math.abs(va.max - 90.1) < 1e-9)
+    assert(va.count(x => x > va.min && x < va.max) == 79, "body untouched")
+    // singleton group: both quantiles equal the value -> unchanged
+    val vb = w.filter(col("g") === "b").select("v").as[Double].collect()
+    assert(vb.toSeq == Seq(5.0))
+  }
+
   test("rollingByTime: boundary-inclusive RANGE frame, per-key isolation") {
     val base = 1700000000000000L // epoch micros
     def ts(sec: Long) = new java.sql.Timestamp(base / 1000 + sec * 1000)

@@ -292,6 +292,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
   }
 
+  test("vocabularyByGroup: independent per-group tables, map-side rank prune") {
+    val docs = Seq(
+      (1L, "apple apple banana", "en"), (2L, "apple cherry", "en"),
+      (3L, "pomme pomme poire", "fr"), (4L, "pomme raisin", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val v = TextAnalysis.vocabularyByGroup(docs, "doc_id", "text", "lang",
+      minDf = 2, k = 5)
+    val rows = v.orderBy("lang", "rank")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // per-language df: only terms in BOTH docs of their language survive
+    assert(rows == Seq(("en", "apple", 3L, 2L, 1L),
+      ("fr", "pomme", 3L, 2L, 1L)))
+    val plan = v.queryExecution.executedPlan.toString()
+    assert(plan.contains("WindowGroupLimit"), plan.take(400))
+  }
+
   test("packSequences matches the single-axis brute force; offsets exact") {
     val docs = (1L to 60L).map(i => (i, Seq.fill(3 + (i % 7).toInt)("w").mkString(" ")))
       .toDF("doc_id", "text")
