@@ -45,7 +45,7 @@ class PipelineOpsSpec extends SparkTestBase {
     val va = w.filter(col("g") === "a").select("v").as[Double].collect()
     // IEEE interpolation: compare within ulps, not decimal literals
     assert(math.abs(va.min - 10.9) < 1e-9 && math.abs(va.max - 90.1) < 1e-9)
-    assert(va.count(x => x > va.min && x < va.max) == 79, "body untouched")
+    assert(va.count(x => x > va.min && x < va.max) == 80, "body untouched")
     // singleton group: both quantiles equal the value -> unchanged
     val vb = w.filter(col("g") === "b").select("v").as[Double].collect()
     assert(vb.toSeq == Seq(5.0))
