@@ -247,6 +247,36 @@ object ScaleDemo {
           unix_micros(col("ts")) % 1000000L),
         "user_id", "event_type", "ts", "event_id").count()
     }
+    locally {
+      // cross-corpus embedding decontamination at Kx corpus, fixed-size
+      // benchmark: probe side broadcasts, corpus never shuffles
+      val t0 = System.nanoTime()
+      val bench = emb0.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 9000000L).as("vec_id"), col("embedding"))
+      val rows = graft.ext.Similarity.dropEmbeddingMatches(
+        embK, "vec_id", "embedding", bench, threshold = 0.9).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op": "decontam_embed", "vectors": ${nv0 * k}, "replication": $k, "rows": $rows, "seconds": $secs%.1f}""")
+      spark.catalog.clearCache()
+    }
+    timed("vocab_by_lang") {
+      graft.ext.TextAnalysis.vocabularyByGroup(
+        corpusSrc.withColumnRenamed("source", "lang"),
+        "doc_id", "text", "lang", minDf = 3L * k, k = 50).count()
+    }
+    locally {
+      val t0 = System.nanoTime()
+      val ord0 = graft.Tables.load(spark, "/root/testdata/sf0.1", "orders")
+      val ordK = (0 until k).map { i =>
+        ord0.select(col("o_orderpriority").as("g"),
+          (col("o_totalprice") + lit(i.toDouble)).as("v"))
+      }.reduce(_ unionByName _)
+      val rows = graft.ext.Profile.winsorize(ordK, "g", "v", 0.05, 0.95)
+        .groupBy(col("g")).count().count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op": "winsorize", "rows_in": ${k * 150000}, "replication": $k, "rows": $rows, "seconds": $secs%.1f}""")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
