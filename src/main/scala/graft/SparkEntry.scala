@@ -508,6 +508,15 @@ object SparkEntry {
         ordMeta(mExpr("value", moneySum("o_totalprice"))),
         AggregateService.Request.fromParams(None, Some("date:month"), None))
     }),
+    // Grouping-sets cube: every (year, month) subtotal plane in the same
+    // single Expand-rewritten scan — the cross-tab shape pivot clients
+    // otherwise compose from 4 separate drilldown calls
+    "x_cube" -> ((s, d) => {
+      import graft.olap.AggregateService
+      AggregateService.cube(ordDated(s, d),
+        ordMeta(mExpr("value", moneySum("o_totalprice"))),
+        AggregateService.Request.fromParams(None, Some("date:month"), None))
+    }),
     // Distributed pipe source: executor-side shard processes (S2 at scale)
     "x_pipe" -> ((s, d) => {
       val script = TempDirs.scratchFile("graft_pipe", ".sh")
@@ -976,6 +985,25 @@ object SparkEntry {
         .drop("su")
         .orderBy(col("priority"))
     }),
+    // Shared-edge histogram: order-value distribution per priority over
+    // 20 global bins — one tiny min/max pass broadcast back, one
+    // (group, bin) hash-agg; binning itself is codegen double arithmetic
+    "x_histogram" -> ((s, d) =>
+      graft.ext.Profile.histogram(
+        ord(s, d).select(col("o_orderpriority").as("priority"),
+          col("o_totalprice").as("v")),
+        "priority", "v", bins = 20)
+        .orderBy(col("priority"), col("bin"))),
+    // Per-group least-squares trend (price vs order day): the whole fit
+    // is ONE exact-sum aggregation; slope/intercept algebra runs on the
+    // five sufficient statistics per group
+    "x_regress" -> ((s, d) =>
+      graft.ext.Profile.linearFit(
+        ord(s, d).select(col("o_orderpriority").as("priority"),
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("x"),
+          col("o_totalprice").as("y")),
+        "priority", "x", "y")
+        .orderBy(col("priority"))),
     // Sequence packing: 512-token context windows over the md5-shuffled
     // corpus — the distributed prefix sum must land every document at
     // exactly the offset DuckDB's single global running sum assigns
@@ -1392,6 +1420,33 @@ object SparkEntry {
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value, " +
       "CAST(GROUPING(EXTRACT(YEAR FROM o_orderdate), EXTRACT(MONTH FROM o_orderdate)) AS BIGINT) AS grouping_id " +
       "FROM orders GROUP BY ROLLUP(1, 2) ORDER BY grouping_id, year, month"),
+    "x_cube" -> ("SELECT EXTRACT(YEAR FROM o_orderdate) AS year, EXTRACT(MONTH FROM o_orderdate) AS month, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value, " +
+      "CAST(GROUPING(EXTRACT(YEAR FROM o_orderdate), EXTRACT(MONTH FROM o_orderdate)) AS BIGINT) AS grouping_id " +
+      "FROM orders GROUP BY CUBE(1, 2) ORDER BY grouping_id, year, month"),
+    // same global edges, same double binning arithmetic, same right-closed
+    // last bin
+    "x_histogram" -> ("WITH e AS (SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS lo, " +
+      "CAST(MAX(o_totalprice) AS DOUBLE) AS hi FROM orders), " +
+      "b AS (SELECT o_orderpriority AS priority, " +
+      "LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - e.lo) / ((e.hi - e.lo) / CAST(20 AS DOUBLE))) AS BIGINT), 19) AS bin, " +
+      "e.lo AS lo, (e.hi - e.lo) / CAST(20 AS DOUBLE) AS w " +
+      "FROM orders, e) " +
+      "SELECT priority, bin, lo + CAST(bin AS DOUBLE) * w AS bin_lo, " +
+      "COUNT(*) AS n FROM b GROUP BY 1, 2, 3 ORDER BY priority, bin"),
+    // same five exact sufficient statistics (BIGINT / DECIMAL sums), same
+    // closed-form double algebra — identical IEEE operands, identical fit
+    "x_regress" -> ("WITH s AS (SELECT o_orderpriority AS priority, " +
+      "CAST(COUNT(*) AS DOUBLE) AS n, " +
+      "CAST(SUM(CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)) AS DOUBLE) AS sx, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sy, " +
+      "CAST(SUM(CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS DECIMAL(18,0)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy, " +
+      "CAST(SUM(CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) * CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)) AS DOUBLE) AS sxx " +
+      "FROM orders GROUP BY 1) " +
+      "SELECT priority, CAST(n AS BIGINT) AS n, " +
+      "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope, " +
+      "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept " +
+      "FROM s ORDER BY priority"),
     "x_pipe" -> "SELECT CAST(4 AS BIGINT) AS shards, CAST(64 AS BIGINT) AS total",
     "x_skew_agg" -> ("SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value " +
       "FROM events GROUP BY 1 ORDER BY 1"),

@@ -67,4 +67,61 @@ object Profile {
         least(greatest(col(valueCol), col("__qlo")), col("__qhi")))
       .drop("__qlo", "__qhi")
   }
+
+  /** Fixed-width histogram of `valueCol` per group over SHARED bin edges
+    * (global min/max → the per-group histograms are directly comparable,
+    * the distribution-drift view a profile run wants). Two aggregation
+    * scans total: one tiny min/max pass broadcast back as a single row,
+    * then one (group, bin) hash-agg — per-row binning is pure codegen
+    * arithmetic, no shuffle beyond the final small agg. Bin `bins-1` is
+    * closed on the right so `max` lands in the last bin; a constant
+    * column degenerates to bin 0. All edge arithmetic is plain double
+    * ops (identical IEEE results in any engine replaying it). */
+  def histogram(df: DataFrame, groupCol: String, valueCol: String,
+      bins: Int): DataFrame = {
+    require(bins > 0, s"need bins > 0, got $bins")
+    val edges = df.agg(
+      min(col(valueCol)).cast("double").as("__lo"),
+      max(col(valueCol)).cast("double").as("__hi"))
+    val w = (col("__hi") - col("__lo")) / lit(bins.toDouble)
+    df.crossJoin(broadcast(edges))
+      .withColumn("bin",
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(
+            floor((col(valueCol).cast("double") - col("__lo")) / w),
+            lit(bins - 1L))))
+      .withColumn("bin_lo", col("__lo") + col("bin").cast("double") * w)
+      .groupBy(col(groupCol), col("bin"), col("bin_lo"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-group simple linear regression (least squares) from the five
+    * exact sufficient statistics — n, Σx, Σy, Σxy, Σx² — so the whole fit
+    * is ONE map-side-combining aggregation over the fact however large it
+    * is; the closed-form slope/intercept algebra runs on the handful of
+    * group rows. `xCol` must be integral (sums stay exact in BIGINT /
+    * DECIMAL); `yCol` is a 2-decimal money double (summed as
+    * DECIMAL(18,2), the repo-wide exactness discipline). The final
+    * division is the only inexact step, and it is the same IEEE
+    * expression any replaying engine computes from identical operands. */
+  def linearFit(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val d0 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val x = col(xCol).cast("long")
+    val sums = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(x).cast("double").as("__sx"),
+      sum(col(yCol).cast(d2)).cast("double").as("__sy"),
+      sum(x.cast(d0) * col(yCol).cast(d2)).cast("double").as("__sxy"),
+      sum(x * x).cast("double").as("__sxx"))
+    sums
+      .withColumn("slope",
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx")))
+      .withColumn("intercept",
+        (col("__sy") - col("slope") * col("__sx")) / col("__n"))
+      .select(col(groupCol), col("__n").cast("long").as("n"),
+        col("slope"), col("intercept"))
+  }
 }

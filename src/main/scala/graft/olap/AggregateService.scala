@@ -97,7 +97,20 @@ object AggregateService {
     * composes rollups client-side from one drilldown call per level; this
     * computes all prefixes of the resolved level path in one pass
     * (`ROLLUP`), with `grouping_id` distinguishing subtotal rows. */
-  def rollup(fact: DataFrame, meta: FactMeta, req: Request): DataFrame = {
+  def rollup(fact: DataFrame, meta: FactMeta, req: Request): DataFrame =
+    groupingSets(fact, meta, req, cube = false)
+
+  /** Cube convenience: every subset of the resolved levels in one pass —
+    * the cross-tab shape Data Studio pivots request one drilldown call per
+    * cell-combination for. Same single-scan rewrite as [[rollup]] (Spark's
+    * `Expand` fans each input row out once per grouping set, partials
+    * combine map-side), so the fact is read once however many subtotal
+    * planes the client wants. */
+  def cube(fact: DataFrame, meta: FactMeta, req: Request): DataFrame =
+    groupingSets(fact, meta, req, cube = true)
+
+  private def groupingSets(fact: DataFrame, meta: FactMeta, req: Request,
+      cube: Boolean): DataFrame = {
     val predicate = Cut.compile(req.cuts, meta, fact.schema)
     val cut = if (req.cuts.isEmpty) fact else fact.filter(predicate)
     val measureNames = if (req.measures.nonEmpty) req.measures else meta.measures.map(_.name)
@@ -108,10 +121,12 @@ object AggregateService {
     }
     val groupCols = Drilldown.resolve(req.drilldowns, req.cuts, meta)
       .flatMap(_.columns(meta)).distinct
-    require(groupCols.nonEmpty, "rollup needs a drilldown")
+    require(groupCols.nonEmpty, "rollup/cube needs a drilldown")
     val aggCols = measureCols :+ grouping_id().as("grouping_id")
-    cut.rollup(groupCols.map(col): _*)
-      .agg(aggCols.head, aggCols.tail: _*)
+    val grouped =
+      if (cube) cut.cube(groupCols.map(col): _*)
+      else cut.rollup(groupCols.map(col): _*)
+    grouped.agg(aggCols.head, aggCols.tail: _*)
       .orderBy(col("grouping_id") +: groupCols.map(col): _*)
   }
 }

@@ -51,6 +51,38 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(vb.toSeq == Seq(5.0))
   }
 
+  test("histogram: shared edges, right-closed last bin, constant column") {
+    // values 0..10 over 5 bins of width 2: 10 lands IN bin 4, not bin 5
+    val df = ((0 to 10).map(i => ("a", i.toDouble)) :+ ("b", 4.0))
+      .toDF("g", "v")
+    val h = Profile.histogram(df, "g", "v", bins = 5)
+      .orderBy("g", "bin")
+      .as[(String, Long, Double, Long)].collect().toSeq
+    assert(h == Seq(
+      ("a", 0L, 0.0, 2L), ("a", 1L, 2.0, 2L), ("a", 2L, 4.0, 2L),
+      ("a", 3L, 6.0, 2L), ("a", 4L, 8.0, 3L), // 8, 9 AND the max 10
+      // group b bins against the GLOBAL edges — 4.0 -> bin 2, not bin 0
+      ("b", 2L, 4.0, 1L)))
+    // constant column: every row in bin 0, no divide-by-zero NaN
+    val c = Profile.histogram(Seq(("a", 7.0), ("a", 7.0)).toDF("g", "v"),
+      "g", "v", bins = 4).collect()
+    assert(c.map(r => (r.getLong(1), r.getLong(3))).toSeq == Seq((0L, 2L)))
+  }
+
+  test("linearFit recovers a planted line exactly per group") {
+    // group a: y = 2x + 3 exactly (2-decimal-safe values); group b flat
+    val df = ((1 to 50).map(i => ("a", i.toLong, 2.0 * i + 3.0)) ++
+      (1 to 20).map(i => ("b", i.toLong, 7.5)))
+      .toDF("g", "x", "y")
+    val f = Profile.linearFit(df, "g", "x", "y").orderBy("g")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(f.size == 2)
+    val (_, na, sa, ia) = f(0)
+    assert(na == 50L && math.abs(sa - 2.0) < 1e-12 && math.abs(ia - 3.0) < 1e-9)
+    val (_, nb, sb, ib) = f(1)
+    assert(nb == 20L && math.abs(sb) < 1e-12 && math.abs(ib - 7.5) < 1e-9)
+  }
+
   test("rollingByTime: boundary-inclusive RANGE frame, per-key isolation") {
     val base = 1700000000000000L // epoch micros
     def ts(sec: Long) = new java.sql.Timestamp(base / 1000 + sec * 1000)

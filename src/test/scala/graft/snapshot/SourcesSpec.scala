@@ -142,4 +142,26 @@ class SourcesSpec extends SparkTestBase {
     assert(rows.filter(_._4 == 1L).map(_._3).toSet == Set(12L, 11L))
     assert(rows.filter(_._4 == 3L).map(_._3).toSeq == Seq(23L))
   }
+
+  test("cube adds the per-month plane rollup lacks") {
+    import graft.model._
+    import graft.olap.AggregateService
+    val fact = Seq((2023L, 1L, 5L), (2023L, 2L, 7L), (2024L, 1L, 11L))
+      .toDF("year", "month", "value")
+    val meta = FactMeta("f", Seq(Dimension("date",
+      Seq(Level("year", "year"), Level("month", "month")),
+      Seq(Hierarchy("ym", Seq("year", "month"))))),
+      Seq(Measure("value", "value", AggregateFn.Sum)))
+    val r = AggregateService.cube(fact, meta,
+      AggregateService.Request.fromParams(None, Some("date:month"), None))
+    val rows = r.collect().map(x => (Option(x.get(0)), Option(x.get(1)),
+      x.getLong(2), x.getLong(3)))
+    // all four planes: detail (0), year subtotal (1), MONTH subtotal (2 —
+    // the plane ROLLUP cannot produce), grand total (3)
+    assert(rows.count(_._4 == 0L) == 3)
+    assert(rows.filter(_._4 == 1L).map(_._3).toSet == Set(12L, 11L))
+    assert(rows.filter(_._4 == 2L)
+      .map(x => (x._2.get, x._3)).toSet == Set((1L, 16L), (2L, 7L)))
+    assert(rows.filter(_._4 == 3L).map(_._3).toSeq == Seq(23L))
+  }
 }
