@@ -560,6 +560,14 @@ object SparkEntry {
       graft.ext.EventAnalytics.retention(ev(s, d), "user_id", "ts",
         c => date_trunc("day", c).cast("date"))
         .orderBy(col("cohort"), col("period"))),
+    // Market-basket co-occurrence: event-type pairs sharing a user —
+    // distinct (basket, item) first, then a basket-partitioned self-join
+    // (ReusedExchange) and one map-side-combining pair count
+    "x_cooccur" -> ((s, d) =>
+      graft.ext.EventAnalytics.cooccurrence(
+        ev(s, d).select(col("user_id"), col("event_type")),
+        "user_id", "event_type", minSupport = 2)
+        .orderBy(col("item_a"), col("item_b"))),
     // Data-quality expectations over a deterministically dirtied orders
     // batch: planted nulls, rejected statuses, out-of-range prices,
     // duplicated keys, dangling custkeys — one scan for all scalar
@@ -685,6 +693,21 @@ object SparkEntry {
         s.sql(s"DROP TABLE IF EXISTS $tOrders")
         s.sql(s"DROP TABLE IF EXISTS $tCustomer")
       }
+    }),
+    // Bloom-pruned shuffle join: the probe (lineitem) is cut down by a
+    // 64 KiB md5-derived bit filter over the build keys BEFORE any
+    // exchange — covers the build-too-big-to-broadcast gap; false
+    // positives wash out in the exact join, so values match the plain
+    // join row for row
+    "x_bloom_join" -> ((s, d) => {
+      val build = Tables.load(s, d, "part").filter(col("p_size") < 10)
+        .select(col("p_partkey"), col("p_brand"))
+      graft.ext.BloomJoin.join(
+        li(s, d).select(col("l_partkey"), col("l_extendedprice")),
+        "l_partkey", build, "p_partkey", bits = 1 << 19, k = 4)
+        .groupBy(col("p_brand"))
+        .agg(countAll.as("n"), moneySum("l_extendedprice").as("revenue"))
+        .orderBy(col("p_brand"))
     }),
 
     // ---------------- dedup family ----------------
@@ -1476,6 +1499,16 @@ object SparkEntry {
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
       "FROM orders JOIN customer ON o_custkey = c_custkey " +
       "GROUP BY 1 ORDER BY 1"),
+    // the bloom prefilter has no false negatives and the exact join
+    // removes false positives -> the oracle is simply the plain join
+    "x_bloom_join" -> ("SELECT p_brand, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+      "WHERE p_size < 10 GROUP BY 1 ORDER BY 1"),
+    "x_cooccur" -> ("WITH i AS (SELECT DISTINCT user_id, event_type FROM events) " +
+      "SELECT a.event_type AS item_a, b.event_type AS item_b, COUNT(*) AS n_baskets " +
+      "FROM i a JOIN i b ON a.user_id = b.user_id AND a.event_type < b.event_type " +
+      "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2"),
     "x_dedup_exact" -> ("SELECT CAST(COUNT(DISTINCT regexp_replace(lower(text), '\\s+', ' ', 'g')) AS BIGINT) AS n_unique, " +
       "CAST(COUNT(*) AS BIGINT) AS total FROM documents"),
     "x_dedup_ngram" -> ngramOracle(0.5),

@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter semi-join reduction: prune the PROBE side of a shuffle
+  * join before any exchange, using a bit filter built from the build
+  * side's keys.
+  *
+  * Where it sits in the join taxonomy: a broadcast join needs the build
+  * ROWS to fit in memory; this needs only `bits/8` bytes however many
+  * build keys there are (millions of keys -> a few hundred KB), so it
+  * covers the gap between "small enough to broadcast" and "both sides
+  * huge". At 100 TB the win is shuffle bytes: a probe row whose key
+  * cannot match never leaves its input partition. False positives only
+  * let extra rows through to the exact join that follows — results are
+  * identical to the plain join by construction (no false negatives:
+  * every build key sets all its k bits).
+  *
+  * Portability: positions come from md5 over the stringified key (the
+  * repo-wide engine-portable draw), so the filter is deterministic
+  * across runs, partitionings, and engines.
+  */
+object BloomJoin {
+
+  /** The k bit positions for one key — md5-derived, salted by probe
+    * index; 15 hex chars (60 bits) so the conv result fits a long. */
+  private def positions(key: Column, bits: Int, k: Int): Seq[Column] =
+    (0 until k).map { i =>
+      conv(substring(md5(concat(key.cast("string"), lit(":" + i))), 1, 15),
+        16, 10).cast("long") % bits
+    }
+
+  /** Build the packed filter: one distributed aggregation folds every
+    * key's bit positions into `bits/64` OR-combined words; only that
+    * fixed-size word table (bounded by `bits`, NOT by build row count)
+    * ever reaches the driver. */
+  def buildFilter(build: DataFrame, keyCol: String, bits: Int,
+      k: Int): Array[Long] = {
+    require(bits > 0 && bits % 64 == 0, s"bits must be a positive multiple of 64, got $bits")
+    require(k > 0, s"need k > 0 hash probes, got $k")
+    val words = build
+      .select(explode(array(positions(col(keyCol), bits, k): _*)).as("p"))
+      .select((col("p") / 64).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("m"))
+      .groupBy(col("w")).agg(bit_or(col("m")).as("m"))
+      .collect()
+    val arr = new Array[Long](bits / 64)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** Filter `probe` to rows whose key passes the filter — pure codegen
+    * arithmetic against a literal word array, no shuffle, sits directly
+    * above the scan so pruned rows never reach the join exchange. */
+  def pruneProbe(probe: DataFrame, keyCol: String, words: Array[Long],
+      bits: Int, k: Int): DataFrame = {
+    require(words.length == bits / 64, s"filter has ${words.length} words, expected ${bits / 64}")
+    val wlit = lit(words)
+    val checks = positions(col(keyCol), bits, k).map { p =>
+      call_function("getbit",
+        element_at(wlit, (p / 64).cast("int") + 1),
+        (p % 64).cast("int")) === 1
+    }
+    probe.filter(checks.reduce(_ && _))
+  }
+
+  /** Bloom-pruned inner equi-join: build the filter from `build`'s keys,
+    * prune `probe`, then the exact join — the result equals
+    * `probe.join(build, probeKey === buildKey)` row for row. */
+  def join(probe: DataFrame, probeKey: String, build: DataFrame,
+      buildKey: String, bits: Int = 1 << 20, k: Int = 4): DataFrame = {
+    val words = buildFilter(build, buildKey, bits, k)
+    pruneProbe(probe, probeKey, words, bits, k)
+      .join(build, col(probeKey) === col(buildKey))
+  }
+}

@@ -122,4 +122,37 @@ object EventAnalytics {
       .groupBy(col("cohort"), col("period"))
       .agg(count(lit(1)).as("users"))
   }
+
+  /** Item-pair co-occurrence (market-basket mining): how many baskets
+    * contain BOTH items, for every unordered pair above `minSupport`.
+    * Output: (item_a, item_b, n_baskets) with item_a < item_b.
+    *
+    * Scale shape: the basket table first shrinks to DISTINCT
+    * (basket, item) — one shuffle, after which both self-join sides
+    * share the basket partitioning (ReusedExchange: the exchange runs
+    * once). The `<` predicate halves the pair blow-up and the final
+    * hash-agg combines map-side. The quadratic hazard is a pathological
+    * basket (a crawler user touching every item contributes |items|²/2
+    * pairs): `maxItemsPerBasket` drops those baskets whole before the
+    * join — the standard basket-cap mitigation, applied to the basket,
+    * never biasing surviving pairs. */
+  def cooccurrence(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 1L,
+      maxItemsPerBasket: Option[Int] = None): DataFrame = {
+    val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val capped = maxItemsPerBasket match {
+      case Some(m) =>
+        val ok = items.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= m).select(col("__b"))
+        items.join(ok, "__b")
+      case None => items
+    }
+    val a = capped.select(col("__b"), col("__i").as("item_a"))
+    val b = capped.select(col("__b"), col("__i").as("item_b"))
+    a.join(b, Seq("__b")).filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .filter(col("n_baskets") >= minSupport)
+  }
 }

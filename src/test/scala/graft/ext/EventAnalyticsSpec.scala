@@ -83,4 +83,28 @@ class EventAnalyticsSpec extends SparkTestBase {
       .as[(Int, Long)].collect().toSeq
     assert(r == Seq((0, 1L), (1, 1L), (0, 1L), (1, 1L)))
   }
+
+  test("cooccurrence: unordered pairs, duplicate rows collapse, support cut") {
+    val baskets = Seq(
+      (1L, "x"), (1L, "y"), (1L, "y"), // dup (1,y) must not double-count
+      (2L, "x"), (2L, "y"), (2L, "z"),
+      (3L, "x"), (3L, "z")).toDF("b", "item")
+    val all = EventAnalytics.cooccurrence(baskets, "b", "item")
+      .orderBy("item_a", "item_b")
+      .as[(String, String, Long)].collect().toSeq
+    assert(all == Seq(("x", "y", 2L), ("x", "z", 2L), ("y", "z", 1L)))
+    val cut = EventAnalytics.cooccurrence(baskets, "b", "item", minSupport = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(cut == Set(("x", "y", 2L), ("x", "z", 2L)))
+  }
+
+  test("cooccurrence basket cap drops pathological baskets whole") {
+    val baskets = (Seq((1L, "a"), (1L, "b")) ++
+      ('a' to 'j').map(c => (9L, c.toString))).toDF("b", "item")
+    val capped = EventAnalytics.cooccurrence(baskets, "b", "item",
+      maxItemsPerBasket = Some(5))
+      .as[(String, String, Long)].collect().toSeq
+    // basket 9 (10 items -> 45 pairs) is gone entirely; basket 1 remains
+    assert(capped == Seq(("a", "b", 1L)))
+  }
 }
