@@ -255,6 +255,12 @@ object SparkEntry {
     "x_profile" -> ((s, d) => graft.ext.Profile.columns(ord(s, d),
       Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"))
       .orderBy(col("column"))),
+    // Portable HyperLogLog: 256 md5-derived registers, harmonic mean in
+    // exact 2^-61 integer units — DuckDB replays the sketch bit for bit
+    // (the cross-engine register-table contract is the point)
+    "x_hll" -> ((s, d) =>
+      graft.ext.Hll.approxDistinct(
+        ord(s, d).select(col("o_orderkey")), "o_orderkey", p = 8)),
     // Time-series resample with gap fill: hourly grid INCLUDING empty
     // buckets (a plain GROUP BY drops them; rate math downstream breaks)
     "x_resample" -> ((s, d) => graft.ext.TimeSeries.resample(
@@ -1297,6 +1303,18 @@ object SparkEntry {
       "FROM orders GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10"),
     "q32" -> ("SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS value " +
       "FROM orders GROUP BY 1 ORDER BY 1"),
+    // same md5 bucketing, same minimal-bin rank, same exact unit sum;
+    // HUGEINT keeps the absent-register fill exact past BIGINT range
+    "x_hll" -> ("WITH h AS (SELECT md5(CAST(o_orderkey AS VARCHAR)) AS x FROM orders), " +
+      "r AS (SELECT CAST('0x' || substr(x, 1, 2) AS BIGINT) AS bucket, " +
+      "MAX(CASE WHEN CAST('0x' || substr(x, 3, 15) AS BIGINT) = 0 THEN 61 " +
+      "ELSE 61 - length(bin(CAST('0x' || substr(x, 3, 15) AS BIGINT))) END) AS m " +
+      "FROM h GROUP BY 1), " +
+      "s AS (SELECT COUNT(*) AS np, SUM(1::BIGINT << CAST(61 - m AS INT)) AS su FROM r) " +
+      "SELECT CAST(256 AS BIGINT) AS m, CAST(np AS BIGINT) AS n_present, " +
+      "(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)) * 256.0::DOUBLE * 256.0::DOUBLE / " +
+      "(CAST(su::HUGEINT + (256 - np)::HUGEINT * 2305843009213693952::HUGEINT AS DOUBLE) " +
+      "/ 2305843009213693952.0::DOUBLE) AS estimate FROM s"),
     "x_profile" -> ("SELECT * FROM (" +
       "SELECT 'o_custkey' AS \"column\", COUNT(*) AS n_rows, " +
       "COUNT(*) - COUNT(o_custkey) AS n_nulls, COUNT(DISTINCT o_custkey) AS n_distinct, " +

@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Portable HyperLogLog (Flajolet et al. 2007): approximate distinct
+  * counting in one map-side-combining aggregation over `2^p` registers —
+  * the cardinality sketch a 100 TB profile run uses where the exact
+  * distinct's per-key shuffle would dominate the job (same role as
+  * Spark's own HLL++ inside `approx_count_distinct`, which stays the
+  * default in [[Profile.columns]]).
+  *
+  * What this adds over the built-in: an ENGINE-PORTABLE register
+  * function — bucket and rank come from md5 over the stringified key
+  * (the repo-wide portable draw), so any SQL engine replays the sketch
+  * bit for bit, registers merge across engines, and a persisted register
+  * table keeps meaning outside Spark. The harmonic mean is summed in
+  * exact integer units of 2^-61 (every term 2^(61-M) is a whole number
+  * of units; double summation would round order-dependently across the
+  * 61-bit exponent span), so the only inexact step is the final division
+  * from identical operands.
+  *
+  * No small-range bias correction on purpose: the linear-counting branch
+  * needs `ln`, whose last-ulp behavior is libm-specific — the one
+  * non-portable operation in the algorithm. Below ~2.5·2^p distincts,
+  * use the exact count (that regime is cheap anyway).
+  */
+object Hll {
+
+  /** The (bucket, m) register table: bucket = first p bits of md5, m =
+    * max over keys of the 1-based leading-zero rank of the next 60 hash
+    * bits (1..61). Registers never observed are absent (m = 0 planes are
+    * filled in by [[approxDistinct]]). */
+  def registers(df: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
+    require(p % 4 == 0 && p >= 4 && p <= 16,
+      s"p must be a multiple of 4 in [4, 16] (hex-aligned buckets), got $p")
+    val hexChars = p / 4
+    val h = md5(col(keyCol).cast("string"))
+    val w = conv(substring(h, hexChars + 1, 15), 16, 10).cast("long")
+    df.select(
+        conv(substring(h, 1, hexChars), 16, 10).cast("long").as("bucket"),
+        when(w === 0L, lit(61)).otherwise(lit(61) - length(bin(w))).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("m"))
+  }
+
+  /** One-row estimate: (m, n_present, estimate). `estimate` is the raw
+    * HLL harmonic-mean estimator alpha_m * m^2 / sum(2^-M_j), absent
+    * registers contributing 2^0. */
+  def approxDistinct(df: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
+    val m = 1L << p
+    val unit = 1L << 61 // exact double, and the integer unit of 2^-61
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    val dec = DecimalType(38, 0)
+    registers(df, keyCol, p)
+      .agg(count(lit(1)).as("n_present"),
+        coalesce(
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(61 - m AS INT))").cast(dec)),
+          lit(0).cast(dec)).as("__su"))
+      .select(lit(m).as("m"), col("n_present"),
+        (lit(alpha) * lit(m.toDouble) * lit(m.toDouble) /
+          ((col("__su") + (lit(m) - col("n_present")).cast(dec) *
+            lit(unit).cast(dec)).cast("double") / lit(unit.toDouble)))
+          .as("estimate"))
+  }
+}

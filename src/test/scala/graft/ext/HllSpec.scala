@@ -1,0 +1,45 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class HllSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("estimate lands within the 1.04/sqrt(m) error band on 20k keys") {
+    val df = spark.range(20000).select(col("id"))
+    val r = Hll.approxDistinct(df, "id", p = 8)
+      .as[(Long, Long, Double)].collect()(0)
+    val (m, present, est) = r
+    assert(m == 256L && present == 256L)
+    // standard error for m=256 is ~6.5%; 3 sigma ~ 20%
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.2, s"estimate $est")
+  }
+
+  test("sketch is deterministic and insensitive to duplicates and order") {
+    val base = spark.range(5000).select(col("id"))
+    val dup = base.unionAll(base).orderBy(rand(42))
+    val a = Hll.approxDistinct(base, "id").as[(Long, Long, Double)].collect()(0)
+    val b = Hll.approxDistinct(dup, "id").as[(Long, Long, Double)].collect()(0)
+    assert(a == b, "duplicates and row order must not move a single register")
+  }
+
+  test("registers are hex-aligned buckets with ranks in [1, 61]") {
+    val regs = Hll.registers(spark.range(10000).toDF("id"), "id", p = 8)
+      .as[(Long, Int)].collect()
+    assert(regs.length <= 256)
+    assert(regs.forall { case (b, m) => b >= 0 && b < 256 && m >= 1 && m <= 61 })
+    // p must be hex-aligned
+    intercept[IllegalArgumentException] { Hll.registers(spark.range(1).toDF("id"), "id", p = 7) }
+  }
+
+  test("empty input yields the raw estimator's floor alpha*m, not a null crash") {
+    val r = Hll.approxDistinct(spark.range(0).toDF("id"), "id")
+      .as[(Long, Long, Double)].collect()(0)
+    // all 256 registers absent -> S = m, estimate = alpha*m (~184): the
+    // documented raw-estimator small-range behavior (no ln-based
+    // correction by design — that branch is the one libm-specific step)
+    val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    assert(r._2 == 0L && math.abs(r._3 - alpha * 256.0) < 1e-9)
+  }
+}
