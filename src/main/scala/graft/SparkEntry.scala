@@ -271,6 +271,14 @@ object SparkEntry {
     // Snapshot diff (CDC between two versions of a table): full-outer on
     // the business key, exact null-safe struct compare, change classes
     // summarized with a key checksum
+    // Order-independent table fingerprint: exact decimal sum of portable
+    // 60-bit row hashes — the 2-row equality witness for a cross-engine
+    // copy (doubles ride as DECIMAL: double->string formatting is the
+    // one non-portable rendering)
+    "x_tablehash" -> ((s, d) => graft.ext.TableHash.fingerprint(ord(s, d),
+      Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(D), col("o_orderdate").cast("date"),
+        col("o_orderpriority")))),
     "x_diff" -> ((s, d) => {
       val o = ord(s, d)
       val before = o.filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
@@ -306,6 +314,16 @@ object SparkEntry {
           col("ts")),
         "user_id", "ts", "value", windowSeconds = 7L * 86400)
         .select(col("user_id"), col("event_id"), col("n_win"), col("sum_win"))
+        .orderBy(col("user_id"), col("event_id"))),
+    // Trailing EWMA per user (decay 1/2, 16 events deep): dyadic decay +
+    // integer term arithmetic -> bit-identical on any engine replaying
+    // the same lags; one window serves all 17
+    "x_ewma" -> ((s, d) =>
+      graft.ext.TimeSeries.ewmaTrailing(
+        ev(s, d).select(col("user_id"), col("event_id"), col("ts"),
+          col("value")),
+        "user_id", Seq(col("ts"), col("event_id")), "value")
+        .select(col("user_id"), col("event_id"), col("ewma"))
         .orderBy(col("user_id"), col("event_id"))),
     // Set operations: UNION / INTERSECT / EXCEPT
     "x_setops" -> ((s, d) => {
@@ -850,6 +868,14 @@ object SparkEntry {
     "x_pagerank" -> ((s, d) =>
       graft.ext.PageRank.run(graft.ext.Fixtures.plantedEdges(s), iters = 3)
         .orderBy(col("node"))),
+    // Connected components to convergence over the planted 24-component
+    // ring graph: min-label propagation, one O(|E|)-shuffle round per
+    // diameter step; DuckDB answers from the full transitive closure —
+    // the fixed point must equal exact reachability
+    "x_concomp" -> ((s, d) =>
+      graft.ext.ConnectedComponents.run(
+        graft.ext.Fixtures.plantedComponents(s), "src", "dst")
+        .orderBy(col("node"))),
 
     // Per-label embedding outliers: squared-L2 to the label centroid vs
     // 4x the label mean distance — centroid means quantized-decimal,
@@ -1333,6 +1359,17 @@ object SparkEntry {
       "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v FROM events GROUP BY 1) " +
       "SELECT spine.bucket, COALESCE(a.n, 0) AS n, COALESCE(a.v, 0) AS v " +
       "FROM spine LEFT JOIN a USING (bucket) ORDER BY 1"),
+    // same chr(31)-joined render (chr(30) = NULL), same 60-bit md5 hash,
+    // same exact integer sum — HUGEINT on this side, DECIMAL(38) on Spark's
+    "x_tablehash" -> ("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+      "CAST(SUM(CAST('0x' || substr(md5(concat_ws(chr(31), " +
+      "COALESCE(CAST(o_orderkey AS VARCHAR), chr(30)), " +
+      "COALESCE(CAST(o_custkey AS VARCHAR), chr(30)), " +
+      "COALESCE(CAST(o_orderstatus AS VARCHAR), chr(30)), " +
+      "COALESCE(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), chr(30)), " +
+      "COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), chr(30)), " +
+      "COALESCE(CAST(o_orderpriority AS VARCHAR), chr(30)))), 1, 15) AS BIGINT)) " +
+      "AS VARCHAR) AS fingerprint FROM orders"),
     "x_diff" -> ("WITH before AS (SELECT o_orderkey, o_totalprice FROM orders " +
       "WHERE o_orderdate < TIMESTAMP '1997-07-01 00:00:00'), " +
       "after AS (SELECT o_orderkey, CASE WHEN o_orderkey % 97 = 0 " +
@@ -1445,6 +1482,16 @@ object SparkEntry {
       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
       "RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) " +
       "ORDER BY user_id, event_id"),
+    // same dyadic EWMA: quantize once (floor to 2^-20 units), scale each
+    // lag by the exact integer 2^(16-i), divide by 2^36 at the end
+    "x_ewma" -> ("WITH q AS (SELECT user_id, event_id, ts, " +
+      "CAST(FLOOR(value * 1048576.0::DOUBLE) AS BIGINT) AS u FROM events), " +
+      "t AS (SELECT user_id, event_id, " +
+      (0 to 16).map(i => s"COALESCE(lag(u, $i) OVER w, 0) * ${1L << (16 - i)}")
+        .mkString(" + ") +
+      " AS units FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+      "SELECT user_id, event_id, CAST(units AS DOUBLE) / 68719476736.0::DOUBLE AS ewma " +
+      "FROM t ORDER BY user_id, event_id"),
     // same session windows, same tie-broken LEADs
     "x_paths" -> ("WITH l AS (SELECT user_id, ts, event_id, event_type, " +
       "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
@@ -1704,6 +1751,14 @@ object SparkEntry {
       "SELECT node, COUNT(*) AS triangles FROM " +
       "(SELECT u AS node FROM tri UNION ALL SELECT x FROM tri UNION ALL SELECT y FROM tri) t " +
       "GROUP BY 1 ORDER BY 1"),
+    // exact reachability: the label-propagation fixed point IS min over
+    // the transitive closure
+    "x_concomp" -> ("WITH RECURSIVE e AS (" + graft.ext.Fixtures.plantedComponentsSql() + "), " +
+      "sym AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e), " +
+      "nd AS (SELECT DISTINCT a FROM sym), " +
+      "reach(a, b) AS (SELECT a, a FROM nd " +
+      "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a) " +
+      "SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY 1 ORDER BY 1"),
     "x_pagerank" -> ("WITH e AS (" + graft.ext.Fixtures.plantedEdgesSql() + "), " +
       "nd AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e), " +
       "nn AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT node FROM nd) t), " +

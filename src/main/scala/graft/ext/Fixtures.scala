@@ -141,6 +141,26 @@ object Fixtures {
       s"UNION ALL SELECT id, (3*id + 7) % $n FROM range(0, $n) t(id) " +
       s"UNION ALL SELECT id, 0 FROM range(0, $n) t(id) WHERE id % 10 = 0"
 
+  /** Planted multi-component graph for the connected-components gate:
+    * n nodes in rings of g (node i links to the next node of its ring),
+    * plus a bridge (i, i+g) for every i % bridgeEvery == 0 merging two
+    * adjacent rings — with the defaults, 30 rings and 6 bridges leave
+    * exactly 24 components of known sizes (6 of 16 nodes, 18 of 8).
+    * Pure integer arithmetic over range(n), twin below. */
+  def plantedComponents(spark: SparkSession, n: Int = 240, g: Int = 8,
+      bridgeEvery: Int = 40): DataFrame = {
+    val base = spark.range(n.toLong)
+    base.selectExpr("id AS src", s"id - id % $g + (id + 1) % $g AS dst")
+      .unionAll(base.filter(col("id") % bridgeEvery === 0)
+        .selectExpr("id AS src", s"(id + $g) % $n AS dst"))
+  }
+
+  /** DuckDB CTE reconstructing plantedComponents (same defaults). */
+  def plantedComponentsSql(n: Int = 240, g: Int = 8,
+      bridgeEvery: Int = 40): String =
+    s"SELECT id AS src, id - id % $g + (id + 1) % $g AS dst FROM range(0, $n) t(id) " +
+      s"UNION ALL SELECT id, (id + $g) % $n FROM range(0, $n) t(id) WHERE id % $bridgeEvery = 0"
+
   /** DuckDB CTE reconstructing plantedRunDocs (same defaults) as
     * (doc_id, words LIST(VARCHAR)). */
   def plantedRunDocsSql(nDocs: Int = 40, nWords: Int = 30, nPairs: Int = 10,

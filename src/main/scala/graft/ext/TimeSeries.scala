@@ -62,4 +62,37 @@ object TimeSeries {
         sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .over(w).cast("double"))
   }
+
+  /** Trailing exponentially-weighted moving average per key with decay
+    * 1/2 per event step, truncated at `depth` events back — the
+    * recency-weighted feature (activity heat, spend velocity) that a
+    * plain windowed mean over-smooths. ewma_n = Σ_{i=0..depth}
+    * v_{n-i} · 2^-i / Σ 2^-i-ish, except we keep the raw weighted sum
+    * (no normalization) — the conventional feature-store form.
+    *
+    * Exactness/portability: powers of two are the one decay family a
+    * float engine computes exactly, and integer arithmetic makes the
+    * sum order-independent — each value quantizes once to units of
+    * 2^-`scaleBits` (floor: identical on any engine), each term scales
+    * by the EXACT integer 2^(depth-i), and the integer term sum divides
+    * back by 2^(depth+scaleBits) (exponent shift, no rounding). So any
+    * engine replaying the same lags gets the same bits. A non-dyadic
+    * decay would round at every multiply, order-dependently.
+    *
+    * Scale shape: one key-partitioned sort window serves all `depth+1`
+    * lags (Spark collapses same-window functions into one WindowExec);
+    * per-row state is `depth` longs, never an event list. */
+  def ewmaTrailing(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+      valueCol: String, depth: Int = 16, scaleBits: Int = 20): DataFrame = {
+    require(depth >= 0 && depth <= 40, s"depth=$depth out of [0, 40]")
+    require(scaleBits >= 0 && scaleBits <= 40, s"scaleBits=$scaleBits out of [0, 40]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val u = floor(col(valueCol) * lit(math.pow(2.0, scaleBits)))
+    val units = (0 to depth).map { i =>
+      coalesce(lag(u, i).over(w), lit(0L)) * lit(1L << (depth - i))
+    }.reduce(_ + _)
+    df.withColumn("ewma",
+      units.cast("double") / lit(math.pow(2.0, depth + scaleBits)))
+  }
 }

@@ -69,6 +69,17 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(c.map(r => (r.getLong(1), r.getLong(3))).toSeq == Seq((0L, 2L)))
   }
 
+  test("ewmaTrailing halves each step back and truncates at depth") {
+    val df = Seq(
+      ("u", 1L, 8.0), ("u", 2L, 0.0), ("u", 3L, 0.0), ("u", 4L, 4.0))
+      .toDF("k", "seq", "v")
+    val got = TimeSeries.ewmaTrailing(df, "k", Seq(col("seq")), "v",
+        depth = 2, scaleBits = 4)
+      .orderBy("seq").select("ewma").as[Double].collect().toSeq
+    // decay 1/2: [8, 8/2, 8/4, 4 + 0 + 0 (8 fell off the depth-2 tail)]
+    assert(got == Seq(8.0, 4.0, 2.0, 4.0))
+  }
+
   test("linearFit recovers a planted line exactly per group") {
     // group a: y = 2x + 3 exactly (2-decimal-safe values); group b flat
     val df = ((1 to 50).map(i => ("a", i.toLong, 2.0 * i + 3.0)) ++
