@@ -1018,6 +1018,13 @@ object SparkEntry {
     "x_vocab" -> ((s, d) =>
       graft.ext.TextAnalysis.vocabulary(Tables.load(s, d, "documents"),
         "doc_id", "text", minDf = 5, k = 40)),
+    // BPE tokenizer training, 10 merges on the corpus word table: each
+    // round one pair hash-agg + a 1-row argmax + a literal HOF rewrite;
+    // integer counts and (cnt DESC, a, b) ties make training exactly
+    // replayable — DuckDB re-runs all 10 rounds position-by-position
+    "x_bpe" -> ((s, d) =>
+      graft.ext.Bpe.train(Tables.load(s, d, "documents"), "text",
+        merges = 10).orderBy(col("step"))),
     // Per-language vocabulary: top-10 terms per lang with df >= 3 —
     // WindowGroupLimit prunes each language's term list map-side
     "x_vocab_lang" -> ((s, d) =>
@@ -1959,6 +1966,7 @@ object SparkEntry {
       "SELECT priority, COUNT(*) AS n, MIN(v) AS min_v, MAX(v) AS max_v, " +
       "CAST(SUM(CAST(FLOOR(v * 100) AS BIGINT)) AS DOUBLE) / 100 AS total " +
       "FROM c GROUP BY 1 ORDER BY 1"),
+    "x_bpe" -> bpeChain(10),
     // same two-level aggregation in SQL; ties on the term string
     "x_vocab" -> ("WITH tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM " +
       "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t " +
@@ -2044,6 +2052,45 @@ object SparkEntry {
     * seeds): CTEs pts$sfx..a2$sfx where a2$sfx is the post-training
     * (vec_id, v, cid) assignment. Suffixing lets one oracle embed
     * several independent trainings (the PQ subspaces). */
+  /** DuckDB replay of [[graft.ext.Bpe.train]]: the word table once, then
+    * per merge round — pair counts with the (cnt DESC, a, b) argmax, the
+    * greedy left-to-right application via alternate-marks-within-runs
+    * (consecutive candidate positions only arise for a==b merges; greedy
+    * keeps the 1st, 3rd, ... of each run), consumed positions dropped by
+    * a lag on the kept flag, positions renumbered. Returns the full WITH
+    * chain + final merge-table select. */
+  private def bpeChain(merges: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    parts += ("w AS MATERIALIZED (SELECT word, COUNT(*) AS freq FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) t " +
+      "WHERE word <> '' GROUP BY 1)")
+    parts += ("p0 AS MATERIALIZED (SELECT word, u.n AS pos, u.s AS sym FROM " +
+      "(SELECT word, unnest([{'n': x, 's': substr(word, CAST(x AS INT), 1)} " +
+      "for x in range(1, len(word)+1)]) AS u FROM w) t)")
+    for (k <- 1 to merges) {
+      val p = s"p${k - 1}"
+      parts += (s"c$k AS MATERIALIZED (SELECT sym AS a, nxt AS b, SUM(freq) AS cnt FROM " +
+        s"(SELECT word, sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM $p) l " +
+        "JOIN w USING (word) WHERE nxt IS NOT NULL GROUP BY 1, 2)")
+      parts += s"b$k AS MATERIALIZED (SELECT a, b, cnt FROM c$k ORDER BY cnt DESC, a, b LIMIT 1)"
+      parts += (s"mk$k AS MATERIALIZED (SELECT word, pos, sym, nxt, " +
+        s"COALESCE(sym = (SELECT a FROM b$k) AND nxt = (SELECT b FROM b$k), FALSE) AS cand FROM " +
+        s"(SELECT word, pos, sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM $p) m)")
+      parts += (s"g$k AS MATERIALIZED (SELECT *, CASE WHEN cand THEN ROW_NUMBER() OVER " +
+        "(PARTITION BY word, grp ORDER BY pos) ELSE 0 END AS rn FROM " +
+        s"(SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY word, cand ORDER BY pos) AS grp FROM mk$k) t)")
+      parts += (s"p$k AS MATERIALIZED (SELECT word, ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos, " +
+        "CASE WHEN keepflag THEN sym || nxt ELSE sym END AS sym FROM " +
+        "(SELECT word, pos, sym, nxt, (cand AND rn % 2 = 1) AS keepflag, " +
+        s"lag(cand AND rn % 2 = 1) OVER (PARTITION BY word ORDER BY pos) AS prevkeep FROM g$k) t " +
+        "WHERE prevkeep IS NULL OR NOT prevkeep)")
+    }
+    "WITH " + parts.mkString(", ") + " " +
+      (1 to merges).map(k =>
+        s"SELECT $k AS step, a AS sym_a, b AS sym_b, CAST(cnt AS BIGINT) AS cnt FROM b$k")
+        .mkString(" UNION ALL ") + " ORDER BY step"
+  }
+
   private def kmeansChain(ptsSql: String, sfx: String = ""): String =
     s"pts$sfx AS (" + ptsSql + "), " +
       s"seeds$sfx AS (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, v AS cvec " +
