@@ -1066,6 +1066,16 @@ object SparkEntry {
           col("o_totalprice").as("y")),
         "priority", "x", "y")
         .orderBy(col("priority"))),
+    // Pearson r over the same frame: adds the exact Σy² statistic;
+    // sqrt is IEEE-correctly-rounded everywhere, so identical sums
+    // give identical r
+    "x_corr" -> ((s, d) =>
+      graft.ext.Profile.correlation(
+        ord(s, d).select(col("o_orderpriority").as("priority"),
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("x"),
+          col("o_totalprice").as("y")),
+        "priority", "x", "y")
+        .orderBy(col("priority"))),
     // Sequence packing: 512-token context windows over the md5-shuffled
     // corpus — the distributed prefix sum must land every document at
     // exactly the offset DuckDB's single global running sum assigns
@@ -1541,6 +1551,20 @@ object SparkEntry {
       "SELECT priority, CAST(n AS BIGINT) AS n, " +
       "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope, " +
       "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept " +
+      "FROM s ORDER BY priority"),
+    // y quantized to integer cents -> every sum an exact INTEGER, and
+    // integer->double conversion is correctly rounded on both engines
+    // (fractional DECIMAL(38,4)->DOUBLE is NOT in DuckDB: mantissa-then-
+    // scale double-rounds); sqrt correctly rounded everywhere
+    "x_corr" -> ("WITH q AS (SELECT o_orderpriority AS priority, " +
+      "CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS x, " +
+      "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc FROM orders), " +
+      "s AS (SELECT priority, CAST(COUNT(*) AS DOUBLE) AS n, " +
+      "CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(yc) AS DOUBLE) AS sy, " +
+      "CAST(SUM(x * yc) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx, " +
+      "CAST(SUM(yc * yc) AS DOUBLE) AS syy FROM q GROUP BY 1) " +
+      "SELECT priority, CAST(n AS BIGINT) AS n, " +
+      "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS r " +
       "FROM s ORDER BY priority"),
     "x_pipe" -> "SELECT CAST(4 AS BIGINT) AS shards, CAST(64 AS BIGINT) AS total",
     "x_skew_agg" -> ("SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value " +

@@ -124,4 +124,39 @@ object Profile {
       .select(col(groupCol), col("__n").cast("long").as("n"),
         col("slope"), col("intercept"))
   }
+
+  /** Per-group Pearson correlation from the same exact-sufficient-
+    * statistics pattern as [[linearFit]] (one aggregation however large
+    * the fact), extended with Σy². The closed form
+    * r = (nΣxy − ΣxΣy) / (sqrt(nΣxx − (Σx)²) · sqrt(nΣyy − (Σy)²))
+    * runs in double on the group rows; sqrt is correctly rounded by
+    * IEEE 754 on every engine, so identical operands give identical r.
+    *
+    * `yCol` (2-decimal money) is quantized to INTEGER cents before
+    * summation — r is scale-invariant, and integer sums sidestep a real
+    * cross-engine trap: a fractional DECIMAL(38,4) Σy² lands on doubles
+    * some engines convert by mantissa-then-scale (two roundings — DuckDB
+    * gives ...887 where the correctly rounded double is ...883), while
+    * integer-to-double conversion is correctly rounded everywhere.
+    * `xCol` must be integral. */
+  def correlation(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = col(xCol).cast("long")
+    val yc = (col(yCol).cast(d2) * lit(100))
+      .cast(org.apache.spark.sql.types.DecimalType(20, 0)).cast("long")
+    df.groupBy(col(groupCol)).agg(
+        count(lit(1)).cast("double").as("__n"),
+        sum(x).cast("double").as("__sx"),
+        sum(yc.cast(d38)).cast("double").as("__sy"),
+        sum((x * yc).cast(d38)).cast("double").as("__sxy"),
+        sum(x * x).cast("double").as("__sxx"),
+        sum((yc * yc).cast(d38)).cast("double").as("__syy"))
+      .select(col(groupCol), col("__n").cast("long").as("n"),
+        ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (sqrt(col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+            sqrt(col("__n") * col("__syy") - col("__sy") * col("__sy"))))
+          .as("r"))
+  }
 }

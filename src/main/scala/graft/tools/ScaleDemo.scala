@@ -277,6 +277,40 @@ object ScaleDemo {
       println(f"""{"op": "winsorize", "rows_in": ${k * 150000}, "replication": $k, "rows": $rows, "seconds": $secs%.1f}""")
       spark.catalog.clearCache()
     }
+    locally {
+      // bloom semi-join at Kx probe: 6M lineitem rows pruned by a 64 KiB
+      // filter before the exchange; build side stays sf0.1-sized
+      val t0 = System.nanoTime()
+      val li0 = graft.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"))
+      val liK = (0 until k).map { i =>
+        li0.select(col("l_partkey"), (col("l_extendedprice") + lit(i.toDouble)).as("l_extendedprice"))
+      }.reduce(_ unionByName _)
+      val build = graft.Tables.load(spark, "/root/testdata/sf0.1", "part")
+        .filter(col("p_size") < 10).select(col("p_partkey"), col("p_brand"))
+      val rows = graft.ext.BloomJoin.join(liK, "l_partkey", build, "p_partkey",
+        bits = 1 << 19, k = 4)
+        .groupBy(col("p_brand")).count().count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op": "bloom_join", "probe_rows": ${k * 600000}, "replication": $k, "rows": $rows, "seconds": $secs%.1f}""")
+      spark.catalog.clearCache()
+    }
+    locally {
+      // connected components on a Kx ring graph (larger diameter rings:
+      // convergence rounds stay bounded by ring size, not graph size)
+      val t0 = System.nanoTime()
+      val n = 24000 * k
+      val comps = graft.ext.ConnectedComponents.run(
+        graft.ext.Fixtures.plantedComponents(spark, n = n, g = 8, bridgeEvery = 40),
+        "src", "dst")
+        .select(countDistinct(col("comp"))).collect()(0).getLong(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op": "concomp", "nodes": $n, "components": $comps, "seconds": $secs%.1f}""")
+      spark.catalog.clearCache()
+    }
+    timed("bpe_train") {
+      graft.ext.Bpe.train(corpusSrc, "text", merges = 10).count()
+    }
     spark.stop()
   }
 }

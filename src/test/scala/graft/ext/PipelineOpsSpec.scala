@@ -94,6 +94,19 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(nb == 20L && math.abs(sb) < 1e-12 && math.abs(ib - 7.5) < 1e-9)
   }
 
+  test("correlation: +1 on a line, sign flips with slope, ~0 when flat-ish") {
+    val df = ((1 to 40).map(i => ("up", i.toLong, 3.0 * i + 1.0)) ++
+      (1 to 40).map(i => ("down", i.toLong, 100.0 - 2.0 * i)) ++
+      // alternating around a constant: near-zero correlation with x
+      (1 to 40).map(i => ("flat", i.toLong, if (i % 2 == 0) 5.0 else 7.0)))
+      .toDF("g", "x", "y")
+    val r = Profile.correlation(df, "g", "x", "y")
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(math.abs(r("up") - 1.0) < 1e-12)
+    assert(math.abs(r("down") + 1.0) < 1e-12)
+    assert(math.abs(r("flat")) < 0.1)
+  }
+
   test("rollingByTime: boundary-inclusive RANGE frame, per-key isolation") {
     val base = 1700000000000000L // epoch micros
     def ts(sec: Long) = new java.sql.Timestamp(base / 1000 + sec * 1000)
