@@ -167,6 +167,43 @@ class PlanSpec extends SparkTestBase {
       !p.contains("BroadcastNestedLoopJoin"), p.take(400))
   }
 
+  test("bloom prune: codegen filter above the scan, zero exchanges, no driver re-collect") {
+    val li = Tables.load(spark, sf("sf0.001"), "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"))
+    val words = ext.BloomJoin.buildFilter(
+      Tables.load(spark, sf("sf0.001"), "part").select(col("p_partkey")),
+      "p_partkey", bits = 1 << 14, k = 4)
+    val p = plan(ext.BloomJoin.pruneProbe(li, "l_partkey", words, 1 << 14, 4))
+    assert(!p.contains("Exchange"),
+      "the prune is a per-partition filter — any exchange means rows shuffled before pruning:\n" + p.take(400))
+    assert(p.contains("Filter"), p.take(400))
+  }
+
+  test("histogram: one tiny stats row broadcasts; binning never shuffles the fact by value") {
+    val o = Tables.load(spark, sf("sf0.001"), "orders")
+      .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
+    val p = plan(ext.Profile.histogram(o, "g", "v", bins = 20))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "global edges must ride a broadcast, not a shuffle:\n" + p.take(400))
+    // exactly the final (group, bin) hash-agg exchanges; the stats pass
+    // aggregates to a single row without partitioning the fact by value
+    assert(!p.contains("rangepartitioning"), p.take(400))
+  }
+
+  test("linearFit/correlation: one aggregation, no join back onto the fact") {
+    val o = Tables.load(spark, sf("sf0.001"), "orders")
+      .select(col("o_orderpriority").as("g"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("x"),
+        col("o_totalprice").as("y"))
+    for (df <- Seq(ext.Profile.linearFit(o, "g", "x", "y"),
+        ext.Profile.correlation(o, "g", "x", "y"))) {
+      val p = plan(df)
+      assert(!p.contains("Join"), "the fit is pure aggregation:\n" + p.take(400))
+      assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
+        "partial+final aggregate expected")
+    }
+  }
+
   test("scd2 merge: version windows are key-partitioned, never single-partition") {
     val obs = spark.range(200).selectExpr("id % 20 AS k",
       "CAST(date_add(DATE'2024-01-01', CAST(id / 20 AS INT)) AS DATE) AS ts",
