@@ -23,12 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object BloomJoin {
 
-  /** The k bit positions for one key — md5-derived, salted by probe
-    * index; 15 hex chars (60 bits) so the conv result fits a long. */
+  /** The k bit positions for one key. One md5 carries 128 bits — four
+    * independent 32-bit chunks — so up to 4 probes cost a SINGLE hash
+    * per row (the per-row work on the 100 TB probe scan); beyond 4, each
+    * extra group of 4 salts one more md5. */
   private def positions(key: Column, bits: Int, k: Int): Seq[Column] =
     (0 until k).map { i =>
-      conv(substring(md5(concat(key.cast("string"), lit(":" + i))), 1, 15),
-        16, 10).cast("long") % bits
+      val h =
+        if (i < 4) md5(key.cast("string"))
+        else md5(concat(key.cast("string"), lit(":" + (i / 4))))
+      conv(substring(h, 1 + 8 * (i % 4), 8), 16, 10).cast("long") % bits
     }
 
   /** Build the packed filter: one distributed aggregation folds every
@@ -37,7 +41,8 @@ object BloomJoin {
     * ever reaches the driver. */
   def buildFilter(build: DataFrame, keyCol: String, bits: Int,
       k: Int): Array[Long] = {
-    require(bits > 0 && bits % 64 == 0, s"bits must be a positive multiple of 64, got $bits")
+    require(bits > 0 && bits % 64 == 0 && bits <= (1 << 30),
+      s"bits must be a positive multiple of 64 up to 2^30 (32-bit position chunks), got $bits")
     require(k > 0, s"need k > 0 hash probes, got $k")
     val words = build
       .select(explode(array(positions(col(keyCol), bits, k): _*)).as("p"))
