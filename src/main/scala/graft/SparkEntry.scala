@@ -261,6 +261,22 @@ object SparkEntry {
     "x_hll" -> ((s, d) =>
       graft.ext.Hll.approxDistinct(
         ord(s, d).select(col("o_orderkey")), "o_orderkey", p = 8)),
+    // Count-Min frequency sketch over customer keys, point-estimated for
+    // 20 probes against the exact counts: integer counters, md5-chunk
+    // cells — nothing to round, the replay is exact; est >= exact always
+    "x_cms" -> ((s, d) => {
+      val o = ord(s, d)
+      val sk = graft.ext.CountMin.sketch(
+        o.select(col("o_custkey")), "o_custkey", width = 1024, depth = 4)
+      val probes = o.filter(col("o_custkey") <= 20)
+        .select(col("o_custkey").as("key")).distinct()
+      val exact = o.filter(col("o_custkey") <= 20)
+        .groupBy(col("o_custkey").as("key")).agg(countAll.as("exact"))
+      graft.ext.CountMin.estimate(sk, probes, "key", width = 1024, depth = 4)
+        .join(exact, "key")
+        .select(col("key"), col("exact"), col("est"))
+        .orderBy(col("key"))
+    }),
     // Time-series resample with gap fill: hourly grid INCLUDING empty
     // buckets (a plain GROUP BY drops them; rate math downstream breaks)
     "x_resample" -> ((s, d) => graft.ext.TimeSeries.resample(
@@ -1346,6 +1362,21 @@ object SparkEntry {
       "FROM orders GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10"),
     "q32" -> ("SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS value " +
       "FROM orders GROUP BY 1 ORDER BY 1"),
+    // same md5-chunk cells, same integer counters, min over depth rows
+    "x_cms" -> ("WITH pos AS (SELECT o_custkey AS key, i, " +
+      "CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1 + 8*CAST(i AS INT), 8) AS BIGINT) % 1024 AS p " +
+      "FROM orders, range(0, 4) r(i)), " +
+      "cells AS (SELECT i, p, COUNT(*) AS cnt FROM pos GROUP BY 1, 2), " +
+      "probes AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_custkey <= 20), " +
+      "ppos AS (SELECT key, i, " +
+      "CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1 + 8*CAST(i AS INT), 8) AS BIGINT) % 1024 AS p " +
+      "FROM probes, range(0, 4) r(i)), " +
+      "est AS (SELECT key, MIN(COALESCE(c.cnt, 0)) AS est FROM ppos " +
+      "LEFT JOIN cells c ON ppos.i = c.i AND ppos.p = c.p GROUP BY key), " +
+      "ex AS (SELECT o_custkey AS key, COUNT(*) AS exact FROM orders " +
+      "WHERE o_custkey <= 20 GROUP BY 1) " +
+      "SELECT e.key, x.exact, CAST(e.est AS BIGINT) AS est " +
+      "FROM est e JOIN ex x USING (key) ORDER BY key"),
     // same md5 bucketing, same minimal-bin rank, same exact unit sum;
     // HUGEINT keeps the absent-register fill exact past BIGINT range
     "x_hll" -> ("WITH h AS (SELECT md5(CAST(o_orderkey AS VARCHAR)) AS x FROM orders), " +

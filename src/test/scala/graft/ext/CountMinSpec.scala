@@ -1,0 +1,46 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class CountMinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def skew = (Seq.fill(500)(1L) ++ Seq.fill(50)(2L) ++
+    (100L until 2100L)).toDF("k")
+
+  test("estimates never undercount and nail heavy hitters") {
+    val sk = CountMin.sketch(skew, "k", width = 2048, depth = 4)
+    val probes = Seq(1L, 2L, 100L, 999999L).toDF("k")
+    val est = CountMin.estimate(sk, probes, "k", width = 2048, depth = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(est(1L) >= 500L && est(1L) <= 510L, s"heavy hitter: ${est(1L)}")
+    assert(est(2L) >= 50L && est(2L) <= 60L)
+    assert(est(100L) >= 1L)
+    // absent key: min over its cells can only be collision noise
+    assert(est(999999L) <= 10L)
+  }
+
+  test("sketch size is bounded by depth*width, not key count") {
+    val sk = CountMin.sketch(spark.range(100000).toDF("k"), "k",
+      width = 256, depth = 2)
+    assert(sk.count() <= 512)
+  }
+
+  test("sketches merge by cell-wise addition") {
+    val a = CountMin.sketch(Seq(1L, 1L, 2L).toDF("k"), "k", 512, 4)
+    val b = CountMin.sketch(Seq(1L, 3L).toDF("k"), "k", 512, 4)
+    val merged = a.unionByName(b)
+      .groupBy("row", "pos").agg(sum("cnt").as("cnt"))
+    val whole = CountMin.sketch(Seq(1L, 1L, 2L, 1L, 3L).toDF("k"), "k", 512, 4)
+    val m = merged.orderBy("row", "pos").as[(Int, Long, Long)].collect().toSeq
+    val w = whole.orderBy("row", "pos").as[(Int, Long, Long)].collect().toSeq
+    assert(m == w)
+  }
+
+  test("depth past the one-md5 budget fails loudly") {
+    intercept[IllegalArgumentException] {
+      CountMin.sketch(Seq(1L).toDF("k"), "k", width = 64, depth = 5)
+    }
+  }
+}
