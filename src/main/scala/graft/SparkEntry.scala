@@ -261,6 +261,15 @@ object SparkEntry {
     "x_hll" -> ((s, d) =>
       graft.ext.Hll.approxDistinct(
         ord(s, d).select(col("o_orderkey")), "o_orderkey", p = 8)),
+    // Grouped HLL: distinct customers per priority as one sketch per
+    // group — one (group, bucket) agg + one group fold, never a
+    // per-key count-distinct shuffle
+    "x_hll_group" -> ((s, d) =>
+      graft.ext.Hll.approxDistinctByGroup(
+        ord(s, d).select(col("o_orderpriority").as("priority"),
+          col("o_custkey")),
+        "priority", "o_custkey", p = 8)
+        .orderBy(col("priority"))),
     // Count-Min frequency sketch over customer keys, point-estimated for
     // 20 probes against the exact counts: integer counters, md5-chunk
     // cells — nothing to round, the replay is exact; est >= exact always
@@ -1362,6 +1371,19 @@ object SparkEntry {
       "FROM orders GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10"),
     "q32" -> ("SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS value " +
       "FROM orders GROUP BY 1 ORDER BY 1"),
+    // same per-group registers, same exact-unit fold
+    "x_hll_group" -> ("WITH h AS (SELECT o_orderpriority AS priority, " +
+      "md5(CAST(o_custkey AS VARCHAR)) AS x FROM orders), " +
+      "r AS (SELECT priority, CAST('0x' || substr(x, 1, 2) AS BIGINT) AS bucket, " +
+      "MAX(CASE WHEN CAST('0x' || substr(x, 3, 15) AS BIGINT) = 0 THEN 61 " +
+      "ELSE 61 - length(bin(CAST('0x' || substr(x, 3, 15) AS BIGINT))) END) AS m " +
+      "FROM h GROUP BY 1, 2), " +
+      "s AS (SELECT priority, COUNT(*) AS np, " +
+      "SUM(1::BIGINT << CAST(61 - m AS INT)) AS su FROM r GROUP BY 1) " +
+      "SELECT priority, CAST(np AS BIGINT) AS n_present, " +
+      "(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)) * 256.0::DOUBLE * 256.0::DOUBLE / " +
+      "(CAST(su::HUGEINT + (256 - np)::HUGEINT * 2305843009213693952::HUGEINT AS DOUBLE) " +
+      "/ 2305843009213693952.0::DOUBLE) AS estimate FROM s ORDER BY priority"),
     // same md5-chunk cells, same integer counters, min over depth rows
     "x_cms" -> ("WITH pos AS (SELECT o_custkey AS key, i, " +
       "CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1 + 8*CAST(i AS INT), 8) AS BIGINT) % 1024 AS p " +

@@ -33,6 +33,19 @@ class HllSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Hll.registers(spark.range(1).toDF("id"), "id", p = 7) }
   }
 
+  test("grouped sketch matches the global sketch run per group") {
+    val df = spark.range(30000)
+      .select((col("id") % 3).cast("string").as("g"), col("id"))
+    val grouped = Hll.approxDistinctByGroup(df, "g", "id")
+      .orderBy("g").as[(String, Long, Double)].collect().toSeq
+    val singles = (0 to 2).map { g =>
+      val r = Hll.approxDistinct(df.filter(col("g") === g.toString), "id")
+        .as[(Long, Long, Double)].collect()(0)
+      (g.toString, r._2, r._3)
+    }
+    assert(grouped == singles, "per-group registers must be independent")
+  }
+
   test("empty input yields the raw estimator's floor alpha*m, not a null crash") {
     val r = Hll.approxDistinct(spark.range(0).toDF("id"), "id")
       .as[(Long, Long, Double)].collect()(0)
