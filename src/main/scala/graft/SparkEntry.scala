@@ -471,6 +471,24 @@ object SparkEntry {
           countDistinct(col("l_orderkey")).as("n_keys"))
     }),
 
+    // Z-order layout: after clustering on the interleaved (custkey,
+    // totalprice) ranks, zone maps prune on EITHER column; the pruned
+    // 2-D range read must equal the plain filtered scan
+    "x_zorder" -> ((s, d) => {
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_zorder").toString)
+      val o = ord(s, d).withColumn("year", year(col("o_orderdate")).cast("long"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("year"))
+      wh.append("fact_o", o)
+      wh.zOrderBy("fact_o", "o_custkey", "o_totalprice", targetFiles = 8)
+      wh.collectStats("fact_o", Seq("o_custkey", "o_totalprice"))
+      wh.readRange("fact_o", "o_custkey", 100L, 300L).get
+        .filter(col("o_totalprice") >= 50000.0 && col("o_totalprice") <= 150000.0)
+        .agg(countAll.as("n"), moneySum("o_totalprice").as("total"),
+          countDistinct(col("o_orderkey")).as("n_keys"))
+    }),
+
     "x_merge" -> ((s, d) => {
       val wh = new graft.snapshot.Warehouse(s,
         TempDirs.scratchDir("graft_merge_wh").toString)
@@ -1469,6 +1487,12 @@ object SparkEntry {
       "WHEN c_acctbal >= 0 THEN 'mid' ELSE 'neg' END AS bucket, COUNT(*) AS value " +
       "FROM customer GROUP BY 6, 7 ORDER BY 6, 7"),
     // the pruned read is transparent: same rows as the plain range scan
+    // pruning is exact-by-construction: the oracle is the plain scan
+    "x_zorder" -> ("SELECT COUNT(*) AS n, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, " +
+      "COUNT(DISTINCT o_orderkey) AS n_keys FROM orders " +
+      "WHERE o_custkey BETWEEN 100 AND 300 " +
+      "AND o_totalprice >= 50000.0 AND o_totalprice <= 150000.0"),
     "x_zonemap" -> ("SELECT COUNT(*) AS n, " +
       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty, " +
       "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys " +

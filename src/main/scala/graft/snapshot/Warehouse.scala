@@ -2,7 +2,7 @@ package graft.snapshot
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parquet-backed fact-table catalog: one directory per fact under `root`,
@@ -337,6 +337,45 @@ final class Warehouse(spark: SparkSession, val root: String) {
       val arranged = df.repartitionByRange(targetFiles, keys: _*)
         .sortWithinPartitions(keys: _*)
       replaceWith(fact, arranged, ".optimize", keepLayout = true)
+    }
+  }
+
+  /** Z-order clustering on TWO columns: each value ranks into a
+    * `bitsPerDim`-bit bucket against its global min/max, the two ranks
+    * bit-interleave into one z-value, and files range-partition + sort
+    * on (year, z). Because z-proximity implies proximity in BOTH
+    * dimensions, the per-file min/max zone maps ([[collectStats]]) stay
+    * selective for range predicates on EITHER column — the layout that
+    * makes `readRange` useful on a second dimension, where a plain
+    * 1-D [[optimize]] sort leaves the other column's per-file ranges
+    * spanning the whole domain. One tiny bounds aggregation to the
+    * driver; the interleave is pure codegen bit arithmetic. */
+  def zOrderBy(fact: String, colA: String, colB: String,
+      targetFiles: Int = 64, bitsPerDim: Int = 16): Unit = {
+    require(bitsPerDim >= 1 && bitsPerDim <= 21,
+      s"bitsPerDim=$bitsPerDim out of [1, 21] (2*bits must fit a long)")
+    read(fact).foreach { df =>
+      val b = df.agg(
+        min(col(colA).cast("double")), max(col(colA).cast("double")),
+        min(col(colB).cast("double")), max(col(colB).cast("double"))).collect()(0)
+      val (alo, ahi, blo, bhi) =
+        (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+      val top = (1L << bitsPerDim) - 1
+      def rank(c: Column, lo: Double, hi: Double): Column =
+        if (hi == lo) lit(0L)
+        else least(floor((c.cast("double") - lit(lo)) / lit(hi - lo) *
+          lit(top.toDouble + 1.0)), lit(top)).cast("long")
+      val u = rank(col(colA), alo, ahi)
+      val v = rank(col(colB), blo, bhi)
+      val z = (0 until bitsPerDim).map { i =>
+        shiftleft(shiftright(u, i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(shiftleft(shiftright(v, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }.reduce(_ bitwiseOR _)
+      val arranged = df.withColumn("__z", z)
+        .repartitionByRange(targetFiles, col("year"), col("__z"))
+        .sortWithinPartitions(col("year"), col("__z"))
+        .drop("__z")
+      replaceWith(fact, arranged, ".zorder", keepLayout = true)
     }
   }
 

@@ -91,4 +91,28 @@ class ZoneMapSpec extends SparkTestBase {
     assert(few.size < all.size)
     assert(wh.readRange("h", "name", "u000100", "u000200").get.count() == 101L)
   }
+
+  test("z-order clusters both dimensions: zone maps prune on either column") {
+    val wh = new Warehouse(spark, TempDirs.scratchDir("graft_zo").toString)
+    // a and b independent: a 1-D sort on a leaves b's per-file ranges
+    // spanning the whole domain; z-order keeps both selective
+    val df = spark.range(20000).select(
+      (col("id") % 141).as("a"),
+      ((col("id") * 7919L) % 141).as("b"),
+      lit(2024L).as("year"),
+      col("id"))
+    wh.append("z", df)
+    wh.zOrderBy("z", "a", "b", targetFiles = 16)
+    wh.collectStats("z", Seq("a", "b"))
+    val all = wh.filesForRange("z", "a", Long.MinValue, Long.MaxValue)
+    val fewA = wh.filesForRange("z", "a", 0L, 17L)
+    val fewB = wh.filesForRange("z", "b", 0L, 17L)
+    assert(all.size >= 8, s"expected a real multi-file layout, got ${all.size}")
+    assert(fewA.size < all.size, s"no pruning on a: ${fewA.size}/${all.size}")
+    assert(fewB.size < all.size, s"no pruning on b: ${fewB.size}/${all.size}")
+    // and the pruned read is still exactly the filtered fact
+    val got = wh.readRange("z", "b", 0L, 17L).get.count()
+    val want = df.filter(col("b") <= 17L).count()
+    assert(got == want)
+  }
 }
