@@ -532,6 +532,16 @@ object SparkEntry {
       graft.streaming.EventStream.runMviewIngest(s, d, wh, "events_facts")
         .orderBy(col("event_type"))
     }),
+    // Streaming distinct-user sketch: per-batch HLL register deltas fold
+    // into warehouse state by per-bucket MAX — the folded table must be
+    // bit-identical to a one-shot sketch of the whole corpus (DuckDB
+    // replays that sketch)
+    "x_stream_hll" -> ((s, d) => {
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_shll").toString)
+      graft.streaming.EventStream.runHllIngest(s, d, wh, "user_sketch")
+        .orderBy(col("year"), col("month"))
+    }),
     // Streaming exact dedup: watermark-bounded state (the exactly-once
     // ingestion guard); deduped rows re-aggregated batch-side so the
     // result is order-independent for the oracle
@@ -1389,6 +1399,21 @@ object SparkEntry {
       "FROM orders GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10"),
     "q32" -> ("SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS value " +
       "FROM orders GROUP BY 1 ORDER BY 1"),
+    // whole-corpus sketch replay grouped by (year, month) — the fold
+    // must land exactly here or the MAX-merge is broken
+    "x_stream_hll" -> ("WITH h AS (SELECT CAST(EXTRACT(YEAR FROM ts) AS BIGINT) AS year, " +
+      "CAST(EXTRACT(MONTH FROM ts) AS BIGINT) AS month, " +
+      "md5(CAST(user_id AS VARCHAR)) AS x FROM events), " +
+      "r AS (SELECT year, month, CAST('0x' || substr(x, 1, 2) AS BIGINT) AS bucket, " +
+      "MAX(CASE WHEN CAST('0x' || substr(x, 3, 15) AS BIGINT) = 0 THEN 61 " +
+      "ELSE 61 - length(bin(CAST('0x' || substr(x, 3, 15) AS BIGINT))) END) AS m " +
+      "FROM h GROUP BY 1, 2, 3), " +
+      "s AS (SELECT year, month, COUNT(*) AS np, " +
+      "SUM(1::BIGINT << CAST(61 - m AS INT)) AS su FROM r GROUP BY 1, 2) " +
+      "SELECT year, month, CAST(np AS BIGINT) AS n_present, " +
+      "(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)) * 256.0::DOUBLE * 256.0::DOUBLE / " +
+      "(CAST(su::HUGEINT + (256 - np)::HUGEINT * 2305843009213693952::HUGEINT AS DOUBLE) " +
+      "/ 2305843009213693952.0::DOUBLE) AS estimate FROM s ORDER BY year, month"),
     // same per-group registers, same exact-unit fold
     "x_hll_group" -> ("WITH h AS (SELECT o_orderpriority AS priority, " +
       "md5(CAST(o_custkey AS VARCHAR)) AS x FROM orders), " +

@@ -64,34 +64,50 @@ object Hll {
           .as("estimate"))
   }
 
+  /** Per-group register tables: (groupCols..., bucket, m). Register
+    * tables with the same p MERGE by per-bucket MAX — across batches,
+    * engines, or time slices — which is what makes the sketch a
+    * persistable, incrementally-maintainable warehouse object. */
+  def registersByGroups(df: DataFrame, groupCols: Seq[String],
+      keyCol: String, p: Int = 8): DataFrame = {
+    require(p % 4 == 0 && p >= 4 && p <= 16,
+      s"p must be a multiple of 4 in [4, 16] (hex-aligned buckets), got $p")
+    val hexChars = p / 4
+    val h = md5(col(keyCol).cast("string"))
+    val w = conv(substring(h, hexChars + 1, 15), 16, 10).cast("long")
+    df.select(groupCols.map(col) ++ Seq(
+        conv(substring(h, 1, hexChars), 16, 10).cast("long").as("bucket"),
+        when(w === 0L, lit(61)).otherwise(lit(61) - length(bin(w))).as("rho")): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("m"))
+  }
+
+  /** Fold stored register tables to (groupCols..., n_present, estimate) —
+    * the read side of a persisted sketch. */
+  def estimateByGroups(regs: DataFrame, groupCols: Seq[String],
+      p: Int = 8): DataFrame = {
+    val m = 1L << p
+    val unit = 1L << 61
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    val dec = DecimalType(38, 0)
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(61 - m AS INT))").cast(dec))
+          .as("__su"))
+      .select(groupCols.map(col) ++ Seq(col("n_present"),
+        (lit(alpha) * lit(m.toDouble) * lit(m.toDouble) /
+          ((col("__su") + (lit(m) - col("n_present")).cast(dec) *
+            lit(unit).cast(dec)).cast("double") / lit(unit.toDouble)))
+          .as("estimate")): _*)
+  }
+
   /** Per-group estimate — one (group, bucket) aggregation then one
     * group-keyed fold: the distinct-users-per-segment query at corpus
     * scale, one sketch per group instead of one count-distinct shuffle
     * per key. Same raw estimator and exactness discipline as
     * [[approxDistinct]]. */
   def approxDistinctByGroup(df: DataFrame, groupCol: String,
-      keyCol: String, p: Int = 8): DataFrame = {
-    require(p % 4 == 0 && p >= 4 && p <= 16,
-      s"p must be a multiple of 4 in [4, 16] (hex-aligned buckets), got $p")
-    val m = 1L << p
-    val unit = 1L << 61
-    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
-    val dec = DecimalType(38, 0)
-    val hexChars = p / 4
-    val h = md5(col(keyCol).cast("string"))
-    val w = conv(substring(h, hexChars + 1, 15), 16, 10).cast("long")
-    df.select(col(groupCol),
-        conv(substring(h, 1, hexChars), 16, 10).cast("long").as("bucket"),
-        when(w === 0L, lit(61)).otherwise(lit(61) - length(bin(w))).as("rho"))
-      .groupBy(col(groupCol), col("bucket")).agg(max(col("rho")).as("m"))
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_present"),
-        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(61 - m AS INT))").cast(dec))
-          .as("__su"))
-      .select(col(groupCol), col("n_present"),
-        (lit(alpha) * lit(m.toDouble) * lit(m.toDouble) /
-          ((col("__su") + (lit(m) - col("n_present")).cast(dec) *
-            lit(unit).cast(dec)).cast("double") / lit(unit.toDouble)))
-          .as("estimate"))
-  }
+      keyCol: String, p: Int = 8): DataFrame =
+    estimateByGroups(registersByGroups(df, Seq(groupCol), keyCol, p),
+      Seq(groupCol), p)
 }

@@ -137,6 +137,47 @@ object EventStream {
     MaterializedAgg.readAgg(warehouse, fact, Seq("event_type"))
   }
 
+  /** Streaming distinct-user sketch: each micro-batch folds its HLL
+    * register deltas into a warehouse-resident (year, month, bucket, m)
+    * table by per-bucket MAX — the "monthly unique users" dashboard kept
+    * fresh with O(batch) work and 2^p rows of state per month, no
+    * per-key dedup state, no fact rescan. Registers merge associatively
+    * and idempotently (MAX), so replayed batches are harmless and the
+    * folded table is bit-identical to a one-shot sketch of everything
+    * seen — the property the gate's whole-corpus oracle checks. Same
+    * warehouse-resident-state design as [[runMviewIngest]]: restarts
+    * need no streaming checkpoint because the state IS warehouse data. */
+  def runHllIngest(spark: SparkSession, sfDir: String,
+      warehouse: graft.snapshot.Warehouse, fact: String): DataFrame = {
+    import graft.ext.Hll
+    val dir = graft.TempDirs.scratchDir("graft_hll_stream")
+    val src = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), year(col("ts")).cast("long").as("year"),
+        month(col("ts")).cast("long").as("month"))
+    src.repartition(3).write.mode("overwrite").parquet(dir.toString)
+    val q = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = Hll.registersByGroups(batch, Seq("year", "month"), "user_id")
+        warehouse.read(fact) match {
+          case None => warehouse.append(fact, delta)
+          case Some(old) =>
+            val years = delta.select(col("year").cast("long")).distinct()
+              .collect().map(_.getLong(0)).toSeq
+            val merged = old.filter(col("year").isin(years: _*))
+              .unionByName(delta)
+              .groupBy(col("year"), col("month"), col("bucket"))
+              .agg(max(col("m")).as("m"))
+            warehouse.merge(fact, merged,
+              keys = Seq("year", "month", "bucket"), validateKeys = false)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Hll.estimateByGroups(warehouse.read(fact).get, Seq("year", "month"))
+  }
+
   /** Streaming exact dedup: first occurrence per key set wins, with state
     * BOUNDED by the watermark (`dropDuplicatesWithinWatermark` evicts keys
     * once the watermark passes them — the unbounded-state `dropDuplicates`

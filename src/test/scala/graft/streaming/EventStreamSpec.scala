@@ -39,6 +39,26 @@ class EventStreamSpec extends SparkTestBase {
       graft.Tables.load(spark, sf("sf0.001"), "events").count())
   }
 
+  test("streaming hll ingestion: folded registers equal the one-shot sketch") {
+    val wh = new graft.snapshot.Warehouse(spark,
+      graft.TempDirs.scratchDir("shll_spec").toString)
+    val served = EventStream.runHllIngest(spark, sf("sf0.001"), wh, "sk")
+      .orderBy("year", "month")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val oneShot = graft.ext.Hll.estimateByGroups(
+      graft.ext.Hll.registersByGroups(
+        graft.Tables.load(spark, sf("sf0.001"), "events")
+          .select($"user_id", year($"ts").cast("long").as("year"),
+            month($"ts").cast("long").as("month")),
+        Seq("year", "month"), "user_id"),
+      Seq("year", "month"))
+      .orderBy("year", "month")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(served == oneShot, "MAX-merge across batches must be lossless")
+    // and the persisted state is registers, not keys: bounded by 2^p
+    assert(wh.read("sk").get.count() <= 256L * oneShot.size)
+  }
+
   test("sessionization: state machine closes sessions on inactivity gaps") {
     // deterministic micro-stream via a temp parquet dir in the events schema
     val dir = java.nio.file.Files.createTempDirectory("sess_src")
