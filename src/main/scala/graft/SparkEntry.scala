@@ -1119,6 +1119,14 @@ object SparkEntry {
           col("o_totalprice").as("y")),
         "priority", "x", "y")
         .orderBy(col("priority"))),
+    // Box-plot profile per priority: exact quartiles, Tukey fences,
+    // outlier counts — one percentile agg + one broadcast-fence scan
+    "x_boxplot" -> ((s, d) =>
+      graft.ext.Profile.boxplot(
+        ord(s, d).select(col("o_orderpriority").as("priority"),
+          col("o_totalprice").as("v")),
+        "priority", "v")
+        .orderBy(col("priority"))),
     // Pearson r over the same frame: adds the exact Σy² statistic;
     // sqrt is IEEE-correctly-rounded everywhere, so identical sums
     // give identical r
@@ -1654,6 +1662,17 @@ object SparkEntry {
       "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope, " +
       "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept " +
       "FROM s ORDER BY priority"),
+    // same quantile_cont interpolation, same double fence arithmetic
+    "x_boxplot" -> ("WITH q AS (SELECT o_orderpriority AS priority, COUNT(*) AS n, " +
+      "quantile_cont(o_totalprice, 0.25) AS q1, quantile_cont(o_totalprice, 0.5) AS med, " +
+      "quantile_cont(o_totalprice, 0.75) AS q3 FROM orders GROUP BY 1), " +
+      "f AS (SELECT *, q1 - 1.5::DOUBLE * (q3 - q1) AS lo_fence, " +
+      "q3 + 1.5::DOUBLE * (q3 - q1) AS hi_fence FROM q) " +
+      "SELECT f.priority, f.n, f.q1, f.med, f.q3, f.lo_fence, f.hi_fence, " +
+      "CAST(SUM(CASE WHEN o.o_totalprice < f.lo_fence OR o.o_totalprice > f.hi_fence " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_out " +
+      "FROM orders o JOIN f ON o.o_orderpriority = f.priority " +
+      "GROUP BY 1, 2, 3, 4, 5, 6, 7 ORDER BY 1"),
     // y quantized to integer cents -> every sum an exact INTEGER, and
     // integer->double conversion is correctly rounded on both engines
     // (fractional DECIMAL(38,4)->DOUBLE is NOT in DuckDB: mantissa-then-

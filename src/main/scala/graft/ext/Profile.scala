@@ -125,6 +125,30 @@ object Profile {
         col("slope"), col("intercept"))
   }
 
+  /** Per-group box-plot statistics: exact quartiles, the 1.5·IQR Tukey
+    * fences, and the outlier count beyond them — the distribution
+    * summary a profiling dashboard draws per segment. Two passes: one
+    * per-group exact-percentile aggregation (same cost note as
+    * [[winsorize]] — swap `approx_percentile` at lake scale), then the
+    * tiny fence row broadcasts back for a conditional-count scan.
+    * Quartile interpolation and fence arithmetic are plain double ops —
+    * engine-replayable (the same interpolation DuckDB's quantile_cont
+    * computes). */
+  def boxplot(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val q = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      percentile(col(valueCol), lit(0.25)).as("q1"),
+      percentile(col(valueCol), lit(0.5)).as("med"),
+      percentile(col(valueCol), lit(0.75)).as("q3"))
+      .withColumn("lo_fence", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi_fence", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    df.join(broadcast(q), groupCol)
+      .groupBy(col(groupCol), col("n"), col("q1"), col("med"), col("q3"),
+        col("lo_fence"), col("hi_fence"))
+      .agg(sum(when(col(valueCol) < col("lo_fence") ||
+        col(valueCol) > col("hi_fence"), 1L).otherwise(0L)).as("n_out"))
+  }
+
   /** Per-group Pearson correlation from the same exact-sufficient-
     * statistics pattern as [[linearFit]] (one aggregation however large
     * the fact), extended with Σy². The closed form

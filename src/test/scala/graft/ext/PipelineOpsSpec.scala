@@ -94,6 +94,18 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(nb == 20L && math.abs(sb) < 1e-12 && math.abs(ib - 7.5) < 1e-9)
   }
 
+  test("boxplot: hand-checked quartiles, fences, and outlier counts") {
+    // 1..100 plus two gross outliers at ±1000
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      Seq(("a", 1000.0), ("a", -1000.0))).toDF("g", "v")
+    val r = Profile.boxplot(df, "g", "v").collect()(0)
+    val (q1, med, q3) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(med > 49 && med < 53)
+    val iqr = q3 - q1
+    assert(r.getDouble(5) == q1 - 1.5 * iqr && r.getDouble(6) == q3 + 1.5 * iqr)
+    assert(r.getLong(7) == 2L, s"exactly the two planted outliers, got ${r.getLong(7)}")
+  }
+
   test("correlation: +1 on a line, sign flips with slope, ~0 when flat-ish") {
     val df = ((1 to 40).map(i => ("up", i.toLong, 3.0 * i + 1.0)) ++
       (1 to 40).map(i => ("down", i.toLong, 100.0 - 2.0 * i)) ++
