@@ -311,6 +311,28 @@ object ScaleDemo {
     timed("bpe_train") {
       graft.ext.Bpe.train(corpusSrc, "text", merges = 10).count()
     }
+    locally {
+      // z-order a Kx fact, then measure 2-D zone-map pruning: both
+      // dimensions must skip most files
+      val t0 = System.nanoTime()
+      val ord0 = graft.Tables.load(spark, "/root/testdata/sf0.1", "orders")
+      val ordK = (0 until k).map { i =>
+        ord0.select((col("o_orderkey") + lit(i.toLong * 10000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).cast("long").as("year"))
+      }.reduce(_ unionByName _)
+      val wh = new graft.snapshot.Warehouse(spark,
+        graft.TempDirs.scratchDir("graft_zorder_scale").toString)
+      wh.append("f", ordK)
+      wh.zOrderBy("f", "o_custkey", "o_totalprice", targetFiles = 64)
+      wh.collectStats("f", Seq("o_custkey", "o_totalprice"))
+      val all = wh.filesForRange("f", "o_custkey", Long.MinValue, Long.MaxValue).size
+      val byKey = wh.filesForRange("f", "o_custkey", 100L, 1500L).size
+      val byPrice = wh.filesForRange("f", "o_totalprice", 50000.0, 100000.0).size
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op": "zorder", "rows": ${k * 150000}, "files": $all, "files_key": $byKey, "files_price": $byPrice, "seconds": $secs%.1f}""")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
