@@ -1673,17 +1673,20 @@ object SparkEntry {
       "THEN 1 ELSE 0 END) AS BIGINT) AS n_out " +
       "FROM orders o JOIN f ON o.o_orderpriority = f.priority " +
       "GROUP BY 1, 2, 3, 4, 5, 6, 7 ORDER BY 1"),
-    // y quantized to integer cents -> every sum an exact INTEGER, and
-    // integer->double conversion is correctly rounded on both engines
-    // (fractional DECIMAL(38,4)->DOUBLE is NOT in DuckDB: mantissa-then-
-    // scale double-rounds); sqrt correctly rounded everywhere
+    // y quantized to integer cents -> every sum an exact INTEGER; the
+    // product sums split into hi/lo 32-bit word sums (each < 2^53 ->
+    // exact doubles) and recombine as hi*2^32 + lo, ONE rounding — the
+    // direct HUGEINT/DECIMAL(38)->DOUBLE cast is off by 1 ulp in DuckDB
+    // past 2^63; sqrt correctly rounded everywhere
     "x_corr" -> ("WITH q AS (SELECT o_orderpriority AS priority, " +
       "CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS x, " +
       "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc FROM orders), " +
       "s AS (SELECT priority, CAST(COUNT(*) AS DOUBLE) AS n, " +
       "CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(yc) AS DOUBLE) AS sy, " +
-      "CAST(SUM(x * yc) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx, " +
-      "CAST(SUM(yc * yc) AS DOUBLE) AS syy FROM q GROUP BY 1) " +
+      "CAST(SUM((x * yc) >> 32) AS DOUBLE) * 4294967296.0::DOUBLE + CAST(SUM((x * yc) & 4294967295) AS DOUBLE) AS sxy, " +
+      "CAST(SUM(x * x) AS DOUBLE) AS sxx, " +
+      "CAST(SUM((yc * yc) >> 32) AS DOUBLE) * 4294967296.0::DOUBLE + CAST(SUM((yc * yc) & 4294967295) AS DOUBLE) AS syy " +
+      "FROM q GROUP BY 1) " +
       "SELECT priority, CAST(n AS BIGINT) AS n, " +
       "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS r " +
       "FROM s ORDER BY priority"),

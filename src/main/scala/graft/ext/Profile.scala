@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the data-quality pass every ingestion pipeline runs
@@ -166,18 +166,33 @@ object Profile {
   def correlation(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
     val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
-    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val x = col(xCol).cast("long")
     val yc = (col(yCol).cast(d2) * lit(100))
       .cast(org.apache.spark.sql.types.DecimalType(20, 0)).cast("long")
+    // Product sums (Σxy, Σy²) can pass 2^63, where some engines convert
+    // wide integers to double by halves with TWO roundings (DuckDB's
+    // HUGEINT cast is off by 1 ulp at 2.5e19). Split each nonnegative
+    // term into its hi/lo 32-bit words and sum those SEPARATELY: both
+    // component sums stay under 2^53 (exact doubles up to 2^31 rows per
+    // group), and hi*2^32 + lo re-rounds ONCE — the same correctly-
+    // rounded double on every engine.
+    def splitHi(term: Column): Column = sum(shiftright(term, 32))
+    def splitLo(term: Column): Column = sum(term.bitwiseAND(lit(4294967295L)))
+    def recombine(hi: Column, lo: Column): Column =
+      hi.cast("double") * lit(4294967296.0) + lo.cast("double")
     df.groupBy(col(groupCol)).agg(
         count(lit(1)).cast("double").as("__n"),
         sum(x).cast("double").as("__sx"),
-        sum(yc.cast(d38)).cast("double").as("__sy"),
-        sum((x * yc).cast(d38)).cast("double").as("__sxy"),
+        sum(yc).cast("double").as("__sy"),
+        splitHi(x * yc).as("__sxyh"), splitLo(x * yc).as("__sxyl"),
         sum(x * x).cast("double").as("__sxx"),
-        sum((yc * yc).cast(d38)).cast("double").as("__syy"))
+        splitHi(yc * yc).as("__syyh"), splitLo(yc * yc).as("__syyl"))
       .select(col(groupCol), col("__n").cast("long").as("n"),
+        col("__n").as("__n"), col("__sx").as("__sx"), col("__sy").as("__sy"),
+        recombine(col("__sxyh"), col("__sxyl")).as("__sxy"),
+        col("__sxx").as("__sxx"),
+        recombine(col("__syyh"), col("__syyl")).as("__syy"))
+      .select(col(groupCol), col("n"),
         ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
           (sqrt(col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
             sqrt(col("__n") * col("__syy") - col("__sy") * col("__sy"))))
