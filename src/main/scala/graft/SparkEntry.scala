@@ -331,6 +331,23 @@ object SparkEntry {
             .cast("double").as("running"))
         .orderBy(col("o_custkey"), col("rn"))
     }),
+    // Ranking-function breadth over the same frame: dense_rank, ntile,
+    // percent_rank, cume_dist, lag/lead defaults — the rational-formula
+    // functions divide identical integers, so doubles match bit-for-bit
+    "x_window2" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      ord(s, d).filter(col("o_custkey") <= 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          dense_rank().over(w).cast("long").as("dr"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          lag(col("o_orderkey"), 1, -1L).over(w).as("prev_key"),
+          lead(col("o_orderkey"), 1, -1L).over(w).as("next_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
     // Trailing 7-day per-user features at event time (RANGE frame over
     // epoch micros — exact integer bounds on both engines)
     "x_rolling" -> ((s, d) =>
@@ -929,6 +946,16 @@ object SparkEntry {
       graft.ext.ConnectedComponents.run(
         graft.ext.Fixtures.plantedComponents(s), "src", "dst")
         .orderBy(col("node"))),
+    // Hierarchy traversal (the recursive-CTE gap, solved iteratively):
+    // BFS levels over a planted 20-tree forest — depth hash joins of
+    // frontier frames, no driver recursion; DuckDB answers recursively
+    "x_hierarchy" -> ((s, d) => {
+      val roots = s.range(20L * 31).filter(col("id") % 31 === 0)
+        .select(col("id"))
+      graft.ext.Bfs.levels(graft.ext.Fixtures.plantedForest(s),
+        "parent", "child", roots, "id")
+        .orderBy(col("node"))
+    }),
 
     // Per-label embedding outliers: squared-L2 to the label centroid vs
     // 4x the label mean distance — centroid means quantized-decimal,
@@ -1508,6 +1535,17 @@ object SparkEntry {
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running " +
       "FROM orders WHERE o_custkey <= 50 ORDER BY o_custkey, rn"),
+    // NTILE and the rational ranking functions follow the same standard
+    // formulas in both engines; lag/lead defaults exercised
+    "x_window2" -> ("SELECT o_custkey, o_orderkey, " +
+      "CAST(DENSE_RANK() OVER w AS BIGINT) AS dr, " +
+      "CAST(NTILE(4) OVER w AS BIGINT) AS quartile, " +
+      "PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd, " +
+      "COALESCE(lag(o_orderkey, 1) OVER w, -1) AS prev_key, " +
+      "COALESCE(lead(o_orderkey, 1) OVER w, -1) AS next_key " +
+      "FROM orders WHERE o_custkey <= 50 " +
+      "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+      "ORDER BY o_custkey, o_orderkey"),
     "x_setops" -> ("SELECT (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders WHERE o_totalprice >= 300000 " +
       "UNION SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') a) AS n_union, " +
       "(SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice >= 300000 " +
@@ -1906,6 +1944,11 @@ object SparkEntry {
       "SELECT node, COUNT(*) AS triangles FROM " +
       "(SELECT u AS node FROM tri UNION ALL SELECT x FROM tri UNION ALL SELECT y FROM tri) t " +
       "GROUP BY 1 ORDER BY 1"),
+    "x_hierarchy" -> ("WITH RECURSIVE e AS (" + graft.ext.Fixtures.plantedForestSql() + "), " +
+      "lv(node, root, depth) AS (" +
+      "SELECT id, id, CAST(0 AS BIGINT) FROM range(0, 620) t(id) WHERE id % 31 = 0 " +
+      "UNION ALL SELECT e.child, lv.root, lv.depth + 1 FROM lv JOIN e ON e.parent = lv.node) " +
+      "SELECT node, root, depth FROM lv ORDER BY node"),
     // exact reachability: the label-propagation fixed point IS min over
     // the transitive closure
     "x_concomp" -> ("WITH RECURSIVE e AS (" + graft.ext.Fixtures.plantedComponentsSql() + "), " +

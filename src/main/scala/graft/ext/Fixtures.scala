@@ -155,6 +155,22 @@ object Fixtures {
         .selectExpr("id AS src", s"(id + $g) % $n AS dst"))
   }
 
+  /** Planted forest for the hierarchy gate: `trees` complete binary
+    * trees of `size` nodes each (node i%size==0 is its tree's root;
+    * child local index l hangs off parent (l-1)/2). Pure integer
+    * arithmetic over range(trees*size), twin below. */
+  def plantedForest(spark: SparkSession, trees: Int = 20,
+      size: Int = 31): DataFrame =
+    spark.range(trees.toLong * size)
+      .filter(col("id") % size =!= 0)
+      .selectExpr(s"id - id % $size + (id % $size - 1) DIV 2 AS parent",
+        "id AS child")
+
+  /** DuckDB CTE reconstructing plantedForest (same defaults). */
+  def plantedForestSql(trees: Int = 20, size: Int = 31): String =
+    s"SELECT id - id % $size + (id % $size - 1) // 2 AS parent, id AS child " +
+      s"FROM range(0, ${trees * size}) t(id) WHERE id % $size <> 0"
+
   /** DuckDB CTE reconstructing plantedComponents (same defaults). */
   def plantedComponentsSql(n: Int = 240, g: Int = 8,
       bridgeEvery: Int = 40): String =
