@@ -559,6 +559,22 @@ object SparkEntry {
       graft.streaming.EventStream.runHllIngest(s, d, wh, "user_sketch")
         .orderBy(col("year"), col("month"))
     }),
+    // Streaming frequency sketch: per-batch Count-Min cell deltas fold
+    // into warehouse state by per-cell SUM; estimates from the folded
+    // sketch must match a one-shot whole-corpus sketch replay
+    "x_stream_cms" -> ((s, d) => {
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_scms").toString)
+      val sk = graft.streaming.EventStream.runCmsIngest(s, d, wh, "type_sketch")
+      val ev0 = ev(s, d)
+      val probes = ev0.select(col("event_type").as("key")).distinct()
+      val exact = ev0.groupBy(col("event_type").as("key"))
+        .agg(countAll.as("exact"))
+      graft.ext.CountMin.estimate(sk, probes, "key")
+        .join(exact, "key")
+        .select(col("key"), col("exact"), col("est"))
+        .orderBy(col("key"))
+    }),
     // Streaming exact dedup: watermark-bounded state (the exactly-once
     // ingestion guard); deduped rows re-aggregated batch-side so the
     // result is order-independent for the oracle
@@ -1434,6 +1450,20 @@ object SparkEntry {
       "FROM orders GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10"),
     "q32" -> ("SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS value " +
       "FROM orders GROUP BY 1 ORDER BY 1"),
+    // whole-corpus CMS replay — the SUM-fold must land exactly here
+    "x_stream_cms" -> ("WITH pos AS (SELECT event_type AS key, i, " +
+      "CAST('0x' || substr(md5(event_type), 1 + 8*CAST(i AS INT), 8) AS BIGINT) % 1024 AS p " +
+      "FROM events, range(0, 4) r(i)), " +
+      "cells AS (SELECT i, p, COUNT(*) AS cnt FROM pos GROUP BY 1, 2), " +
+      "probes AS (SELECT DISTINCT event_type AS key FROM events), " +
+      "ppos AS (SELECT key, i, " +
+      "CAST('0x' || substr(md5(key), 1 + 8*CAST(i AS INT), 8) AS BIGINT) % 1024 AS p " +
+      "FROM probes, range(0, 4) r(i)), " +
+      "est AS (SELECT key, MIN(COALESCE(c.cnt, 0)) AS est FROM ppos " +
+      "LEFT JOIN cells c ON ppos.i = c.i AND ppos.p = c.p GROUP BY key), " +
+      "ex AS (SELECT event_type AS key, COUNT(*) AS exact FROM events GROUP BY 1) " +
+      "SELECT e.key, x.exact, CAST(e.est AS BIGINT) AS est " +
+      "FROM est e JOIN ex x USING (key) ORDER BY key"),
     // whole-corpus sketch replay grouped by (year, month) — the fold
     // must land exactly here or the MAX-merge is broken
     "x_stream_hll" -> ("WITH h AS (SELECT CAST(EXTRACT(YEAR FROM ts) AS BIGINT) AS year, " +

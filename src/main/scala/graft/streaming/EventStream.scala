@@ -178,6 +178,43 @@ object EventStream {
     Hll.estimateByGroups(warehouse.read(fact).get, Seq("year", "month"))
   }
 
+  /** Streaming frequency sketch: the Count-Min twin of [[runHllIngest]].
+    * Each micro-batch's (row, pos, cnt) cell deltas fold into the
+    * warehouse table by per-cell SUM — counters add associatively, so
+    * the folded sketch equals a one-shot sketch of everything seen
+    * (the gate's oracle property). O(batch) per trigger, depth*width
+    * rows of state, restart-safe without checkpoints. NOT idempotent
+    * under replay (sums double-count — the at-most-once caveat vs the
+    * HLL fold's MAX); front an exactly-once source or the dedup stream. */
+  def runCmsIngest(spark: SparkSession, sfDir: String,
+      warehouse: graft.snapshot.Warehouse, fact: String,
+      width: Int = 1024, depth: Int = 4): DataFrame = {
+    import graft.ext.CountMin
+    val dir = graft.TempDirs.scratchDir("graft_cms_stream")
+    val src = graft.Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), year(col("ts")).cast("long").as("year"))
+    src.repartition(3).write.mode("overwrite").parquet(dir.toString)
+    val q = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = CountMin.sketch(batch, "event_type", width, depth)
+          .withColumn("year", lit(0L))
+        warehouse.read(fact) match {
+          case None => warehouse.append(fact, delta)
+          case Some(old) =>
+            val merged = old.unionByName(delta)
+              .groupBy(col("year"), col("row"), col("pos"))
+              .agg(sum(col("cnt")).as("cnt"))
+            warehouse.merge(fact, merged,
+              keys = Seq("year", "row", "pos"), validateKeys = false)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    warehouse.read(fact).get.select(col("row"), col("pos"), col("cnt"))
+  }
+
   /** Streaming exact dedup: first occurrence per key set wins, with state
     * BOUNDED by the watermark (`dropDuplicatesWithinWatermark` evicts keys
     * once the watermark passes them — the unbounded-state `dropDuplicates`

@@ -59,6 +59,17 @@ class EventStreamSpec extends SparkTestBase {
     assert(wh.read("sk").get.count() <= 256L * oneShot.size)
   }
 
+  test("streaming cms ingestion: summed cells equal the one-shot sketch") {
+    val wh = new graft.snapshot.Warehouse(spark,
+      graft.TempDirs.scratchDir("scms_spec").toString)
+    val folded = EventStream.runCmsIngest(spark, sf("sf0.001"), wh, "sk")
+      .orderBy("row", "pos").as[(Int, Long, Long)].collect().toSeq
+    val oneShot = graft.ext.CountMin.sketch(
+      graft.Tables.load(spark, sf("sf0.001"), "events"), "event_type")
+      .orderBy("row", "pos").as[(Int, Long, Long)].collect().toSeq
+    assert(folded == oneShot, "SUM-merge across batches must be lossless")
+  }
+
   test("sessionization: state machine closes sessions on inactivity gaps") {
     // deterministic micro-stream via a temp parquet dir in the events schema
     val dir = java.nio.file.Files.createTempDirectory("sess_src")
