@@ -678,6 +678,95 @@ object SparkEntry {
         ev(s, d).select(col("user_id"), col("event_type")),
         "user_id", "event_type", minSupport = 2)
         .orderBy(col("item_a"), col("item_b"))),
+    // Chi-square independence of returnflag x linestatus: exact-integer
+    // contingency math (d = N*O - Cx*Cy in LONG), floor-quantized cell
+    // contributions, IEEE-sqrt Cramer's V — one (x,y) agg is the only
+    // corpus pass, marginals are window sums over the tiny cell table
+    "x_assoc" -> ((s, d) =>
+      graft.ext.Stats.chiSquare(
+        li(s, d).select(col("l_returnflag"), col("l_linestatus")),
+        "l_returnflag", "l_linestatus")),
+    // Herfindahl concentration of each event type's traffic over users —
+    // the log-free entropy substitute (1/hhi = effective user count);
+    // two-level agg, all rationals of exact LONG counts
+    "x_concentration" -> ((s, d) =>
+      graft.ext.Stats.concentration(
+        ev(s, d).select(col("event_type"), col("user_id")),
+        "event_type", "user_id")
+        .orderBy(col("event_type"))),
+    // Seasonal volume anomaly: each day banded against its ISO-weekday
+    // mean +- 2 sigma with the EXACT integer comparison
+    // (n*c - s)^2 > 4*(n*ss - s^2) — no float boundary jitter
+    "x_anomaly" -> ((s, d) =>
+      graft.ext.Stats.seasonalAnomaly(ev(s, d), "ts")
+        .orderBy(col("day"))),
+    // Two-proportion z-test on an md5-assigned user split (conversion =
+    // >= 14 purchases, a median split — every user purchases at least
+    // once, so the raw ever-purchased flag would saturate at p=1): one
+    // user-keyed agg + a 4-counter fold; the z is rationals of exact
+    // counts plus one IEEE sqrt, NULL on degenerate designs
+    "x_abtest" -> ((s, d) =>
+      graft.ext.Stats.abTest(ev(s, d), "user_id", "event_type",
+        "purchase", minCount = 14L)),
+    // Interval union per user: events become [ts, ts + (1..120 min)]
+    // spans (duration from floor(value) — deterministic), overlaps
+    // coalesce into islands via one user-keyed shuffle; covered ms is
+    // exact integer union length, double-counting impossible
+    "x_coverage" -> ((s, d) => graft.ext.Intervals.coverage(
+      ev(s, d).select(col("user_id"),
+        unix_millis(col("ts")).as("s0"),
+        (unix_millis(col("ts")) +
+          (pmod(floor(col("value")).cast("long"), lit(120L)) + 1L) *
+            60000L).as("e0")),
+      "user_id", "s0", "e0")
+      .orderBy(col("user_id"))),
+    // Golden-record survivorship over a 3-version partial-update feed:
+    // each field independently takes its latest NON-NULL version (a
+    // later partial update must not erase earlier fields); one key
+    // shuffle serves all last-non-null windows + the collapse
+    "x_golden" -> ((s, d) => {
+      val c = Tables.load(s, d, "customer").select(col("c_custkey"),
+        col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+      val v1 = c.select(col("c_custkey"), lit(1L).as("v"),
+        when(pmod(col("c_custkey"), lit(3L)) === 0,
+          lit(null).cast("string")).otherwise(col("c_name")).as("name"),
+        col("c_mktsegment").as("segment"),
+        col("c_acctbal").as("balance"))
+      val v2 = c.filter(pmod(col("c_custkey"), lit(5L)) === 0)
+        .select(col("c_custkey"), lit(2L).as("v"),
+          lit(null).cast("string").as("name"),
+          lit("REASSIGNED").as("segment"),
+          lit(null).cast("double").as("balance"))
+      val v3 = c.filter(pmod(col("c_custkey"), lit(7L)) === 0)
+        .select(col("c_custkey"), lit(3L).as("v"),
+          concat(lit("P3-"), col("c_custkey").cast("string")).as("name"),
+          lit(null).cast("string").as("segment"),
+          (col("c_acctbal") + lit(100.0)).as("balance"))
+      graft.ext.Golden.survivorship(
+        v1.unionByName(v2).unionByName(v3), "c_custkey", "v",
+        Seq("name", "segment", "balance"))
+        .orderBy(col("c_custkey"))
+    }),
+    // Hashing-trick profile: categorical features -> 16 signed md5
+    // buckets (engine-portable draw, zero-mean collisions); per-row
+    // map-only codegen, the aggregate is `buckets` rows regardless of
+    // corpus size
+    "x_feature_hash" -> ((s, d) => graft.ext.FeatureHash.hashedProfile(
+      Tables.load(s, d, "customer"),
+      Seq("c_mktsegment", "c_nationkey"), buckets = 16)
+      .orderBy(col("bucket"))),
+    // BM25 ranked retrieval from the materialized postings index:
+    // saturating tf, length normalization toward the corpus mean,
+    // log-free idf = n/df — same term-pruned postings scan and
+    // TakeOrderedAndProject top-k as x_index_search
+    "x_bm25" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val (n, tl) = graft.ext.TextAnalysis.docLenStats(docs, "text")
+      val postings = graft.ext.TextAnalysis.buildIndex(docs, "doc_id", "text")
+      graft.ext.TextAnalysis.searchBm25(postings, "doc_id",
+        Seq("spark", "window", "hash"), k = 15, nDocs = n, totalTokens = tl)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // Data-quality expectations over a deterministically dirtied orders
     // batch: planted nulls, rejected statuses, out-of-range prices,
     // duplicated keys, dangling custkeys — one scan for all scalar
@@ -1797,6 +1886,116 @@ object SparkEntry {
       "SELECT a.event_type AS item_a, b.event_type AS item_b, COUNT(*) AS n_baskets " +
       "FROM i a JOIN i b ON a.user_id = b.user_id AND a.event_type < b.event_type " +
       "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2"),
+    // same O^2 identity (chi2 = sum N*O^2/(Cx*Cy) - N over OBSERVED
+    // cells — empty cells' E absorbed exactly), same floor-quantized
+    // terms, same 0-clamp, same IEEE sqrt for Cramer's V
+    "x_assoc" -> ("WITH cells AS (SELECT l_returnflag x, l_linestatus y, " +
+      "CAST(COUNT(*) AS BIGINT) obs FROM lineitem GROUP BY 1, 2), " +
+      "t AS (SELECT obs, x, y, " +
+      "CAST(SUM(obs) OVER (PARTITION BY x) AS BIGINT) cx, " +
+      "CAST(SUM(obs) OVER (PARTITION BY y) AS BIGINT) cy, " +
+      "CAST(SUM(obs) OVER () AS BIGINT) n FROM cells), " +
+      "u AS (SELECT n, x, y, " +
+      "CAST(FLOOR(CAST(n AS DOUBLE) * CAST(obs AS DOUBLE) * CAST(obs AS DOUBLE) " +
+      "/ (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)) * 1e9) AS BIGINT) units FROM t) " +
+      "SELECT GREATEST(CAST(SUM(units) AS DOUBLE) / 1e9 - CAST(MAX(n) AS DOUBLE), 0.0) AS chi2, " +
+      "(COUNT(DISTINCT x) - 1) * (COUNT(DISTINCT y) - 1) AS dof, " +
+      "MAX(n) AS n, " +
+      "sqrt(GREATEST(CAST(SUM(units) AS DOUBLE) / 1e9 - CAST(MAX(n) AS DOUBLE), 0.0) / (CAST(MAX(n) AS DOUBLE) * " +
+      "CAST(LEAST(COUNT(DISTINCT x) - 1, COUNT(DISTINCT y) - 1) AS DOUBLE))) AS cramers_v " +
+      "FROM u"),
+    // same two-level agg; hhi and top_share are single IEEE divisions
+    // of exact BIGINT counts
+    "x_concentration" -> ("WITH c AS (SELECT event_type, user_id, " +
+      "CAST(COUNT(*) AS BIGINT) c FROM events GROUP BY 1, 2), " +
+      "g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) n_units, " +
+      "CAST(SUM(c) AS BIGINT) total, CAST(SUM(c * c) AS BIGINT) ss, " +
+      "CAST(MAX(c) AS BIGINT) cmax FROM c GROUP BY 1) " +
+      "SELECT event_type, n_units, total, " +
+      "CAST(ss AS DOUBLE) / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) AS hhi, " +
+      "CAST(cmax AS DOUBLE) / CAST(total AS DOUBLE) AS top_share " +
+      "FROM g ORDER BY event_type"),
+    // same exact-integer 2-sigma band: (n*c - s)^2 > 4*(n*ss - s^2)
+    "x_anomaly" -> ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+      "CAST(COUNT(*) AS BIGINT) cnt FROM events GROUP BY 1), " +
+      "d2 AS (SELECT day, CAST(isodow(day) AS BIGINT) dow, cnt FROM daily), " +
+      "t AS (SELECT day, dow, cnt, CAST(COUNT(*) OVER w AS BIGINT) nd, " +
+      "CAST(SUM(cnt) OVER w AS BIGINT) s, CAST(SUM(cnt * cnt) OVER w AS BIGINT) ss " +
+      "FROM d2 WINDOW w AS (PARTITION BY dow)) " +
+      "SELECT day, dow, cnt, " +
+      "(nd * cnt - s) * (nd * cnt - s) > 4 * (nd * ss - s * s) AS is_anomaly " +
+      "FROM t ORDER BY day"),
+    // same md5 parity split, same >=14 median-split conversion, same
+    // pooled-variance z (rationals of exact counts + one IEEE sqrt;
+    // pooled rate inlined = identical value), same NULL degenerate guard
+    "x_abtest" -> ("WITH pu AS (SELECT user_id, " +
+      "CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS converted, " +
+      "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS variant " +
+      "FROM events GROUP BY 1), " +
+      "c AS (SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) users_a, " +
+      "CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) conv_a, " +
+      "CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) users_b, " +
+      "CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) conv_b FROM pu) " +
+      "SELECT users_a, conv_a, users_b, conv_b, " +
+      "CASE WHEN users_a > 0 AND users_b > 0 AND conv_a + conv_b > 0 AND conv_a + conv_b < users_a + users_b THEN " +
+      "(CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE) - CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE)) / " +
+      "sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(users_a + users_b AS DOUBLE)) * " +
+      "(1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(users_a + users_b AS DOUBLE)) * " +
+      "(1.0 / CAST(users_a AS DOUBLE) + 1.0 / CAST(users_b AS DOUBLE))) " +
+      "ELSE NULL END AS z FROM c"),
+    // same integer-millis islands: running max(end), gap flag, running
+    // sum island id, two-level aggregation
+    "x_coverage" -> ("WITH sp AS (SELECT user_id, epoch_ms(ts) AS s0, " +
+      "epoch_ms(ts) + (CAST(FLOOR(value) AS BIGINT) % 120 + 1) * 60000 AS e0 FROM events), " +
+      "m AS (SELECT user_id, s0, e0, MAX(e0) OVER (PARTITION BY user_id ORDER BY s0, e0 " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM sp), " +
+      "f AS (SELECT user_id, s0, e0, CASE WHEN pm IS NULL OR s0 > pm THEN 1 ELSE 0 END AS nw FROM m), " +
+      "i AS (SELECT user_id, s0, e0, SUM(nw) OVER (PARTITION BY user_id ORDER BY s0, e0 " +
+      "ROWS UNBOUNDED PRECEDING) AS island FROM f), " +
+      "g AS (SELECT user_id, island, MIN(s0) i_s, MAX(e0) i_e, COUNT(*) ns FROM i GROUP BY 1, 2) " +
+      "SELECT user_id, CAST(COUNT(*) AS BIGINT) n_islands, " +
+      "CAST(SUM(i_e - i_s) AS BIGINT) covered, CAST(SUM(ns) AS BIGINT) n_spans " +
+      "FROM g GROUP BY 1 ORDER BY 1"),
+    // same 3-version feed, same per-field last-non-null windows
+    "x_golden" -> ("WITH feed AS (" +
+      "SELECT c_custkey, 1 AS v, CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END AS name, " +
+      "c_mktsegment AS segment, c_acctbal AS balance FROM customer " +
+      "UNION ALL SELECT c_custkey, 2, NULL, 'REASSIGNED', NULL FROM customer WHERE c_custkey % 5 = 0 " +
+      "UNION ALL SELECT c_custkey, 3, 'P3-' || c_custkey, NULL, c_acctbal + 100.0 FROM customer WHERE c_custkey % 7 = 0), " +
+      "f AS (SELECT c_custkey, " +
+      "LAST_VALUE(name IGNORE NULLS) OVER w AS name, " +
+      "LAST_VALUE(segment IGNORE NULLS) OVER w AS segment, " +
+      "LAST_VALUE(balance IGNORE NULLS) OVER w AS balance " +
+      "FROM feed WINDOW w AS (PARTITION BY c_custkey ORDER BY v " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) " +
+      "SELECT c_custkey, MAX(name) AS name, MAX(segment) AS segment, " +
+      "MAX(balance) AS balance FROM f GROUP BY 1 ORDER BY 1"),
+    // same md5 bucket/sign draw via DuckDB's hex-literal cast
+    "x_feature_hash" -> ("WITH tok AS (" +
+      "SELECT 'c_mktsegment=' || c_mktsegment AS t FROM customer WHERE c_mktsegment IS NOT NULL " +
+      "UNION ALL SELECT 'c_nationkey=' || CAST(c_nationkey AS VARCHAR) FROM customer WHERE c_nationkey IS NOT NULL), " +
+      "h AS (SELECT CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 16 AS bucket, " +
+      "CAST('0x' || substr(md5(t), 9, 1) AS BIGINT) % 2 * 2 - 1 AS sign FROM tok) " +
+      "SELECT bucket, CAST(SUM(sign) AS BIGINT) AS weight, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_tokens FROM h GROUP BY 1 ORDER BY 1"),
+    // same saturation arithmetic; (1.2 + 1.0) spelled as the SUM so both
+    // engines compute the identical double (a 2.2 literal could round
+    // differently from the Scala-side k1 + 1.0)
+    "x_bm25" -> ("WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS len, " +
+      "unnest(string_split(text, ' ')) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, len, term, COUNT(*) AS cnt FROM tok " +
+      "WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2, 3), " +
+      "dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), " +
+      "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tl FROM documents), " +
+      "sc AS (SELECT tf.doc_id, " +
+      "SUM(CAST(FLOOR(CAST(st.n AS DOUBLE) / dfreq.df * " +
+      "(CAST(tf.cnt AS DOUBLE) * (1.2 + 1.0)) / " +
+      "(CAST(tf.cnt AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(tf.len AS DOUBLE) / (CAST(st.tl AS DOUBLE) / st.n)))) " +
+      "* 1e9) AS BIGINT)) AS su, COUNT(*) AS n_terms " +
+      "FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN st GROUP BY 1) " +
+      "SELECT doc_id, CAST(su AS DOUBLE) / 1e9 AS score, n_terms FROM sc " +
+      "ORDER BY su DESC, doc_id LIMIT 15"),
     "x_dedup_exact" -> ("SELECT CAST(COUNT(DISTINCT regexp_replace(lower(text), '\\s+', ' ', 'g')) AS BIGINT) AS n_unique, " +
       "CAST(COUNT(*) AS BIGINT) AS total FROM documents"),
     "x_dedup_ngram" -> ngramOracle(0.5),

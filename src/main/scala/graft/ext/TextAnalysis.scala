@@ -520,6 +520,56 @@ object TextAnalysis {
       .select(col(idCol), col("score"), col("n_terms"))
   }
 
+  /** Corpus length statistics for [[searchBm25]] — (n_docs,
+    * total_tokens) in one aggregation pass. At 100 TB these are
+    * warehouse stats the index owner maintains incrementally (both are
+    * plain sums, so appends compose); computing them here is the
+    * bootstrap path. */
+  def docLenStats(df: DataFrame, textCol: String): (Long, Long) = {
+    val r = df.agg(count(lit(1)), sum(size(tokens(col(textCol))))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** BM25-ranked retrieval from a [[buildIndex]] postings table: the
+    * production relevance function (Robertson-Spärck Jones; the tf
+    * SATURATES — a term's 50th occurrence adds almost nothing — and
+    * long documents are penalized toward the corpus mean length), vs
+    * [[searchIndex]]'s linear tf/len weighting.
+    *
+    * score = Σ_t idf(t) · (tf·(k1+1)) / (tf + k1·(1-b+b·len/avgdl))
+    * with the repo's log-free idf = n/df (order-preserving vs the
+    * ln-based form for any fixed corpus, and exactly portable — ln is
+    * the one operation IEEE does NOT pin down). All other operands are
+    * rationals of exact integers plus avgdl = totalTokens/nDocs (one
+    * IEEE division), so scores replay bit-identically; per-doc sums go
+    * through floor-quantized LONG units, ties break on id.
+    *
+    * Scale shape: identical to [[searchIndex]] — the term filter prunes
+    * the postings scan, df comes from the surviving rows, top-k
+    * compiles to TakeOrderedAndProject. The saturation arithmetic is
+    * per-posting codegen; nothing new shuffles. */
+  def searchBm25(postings: DataFrame, idCol: String,
+      queryTerms: Seq[String], k: Int, nDocs: Long, totalTokens: Long,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0, "searchBm25 needs terms and k > 0")
+    require(nDocs > 0 && totalTokens >= 0, "corpus stats must be non-negative")
+    val avgdl = totalTokens.toDouble / nDocs
+    val tf = postings.filter(col("term").isin(queryTerms: _*))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = lit(nDocs).cast("double") / col("df")
+    val s = idf * (col("cnt").cast("double") * lit(k1 + 1.0)) /
+      (col("cnt").cast("double") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * (col("len").cast("double") / lit(avgdl))))
+    tf.join(broadcast(dfreq), "term")
+      .groupBy(col(idCol))
+      .agg(sum(floor(s * lit(1e9)).cast("long")).as("su"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("score", col("su").cast("double") / lit(1e9))
+      .orderBy(col("su").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"), col("n_terms"))
+  }
+
   /** Corpus vocabulary construction (the term table a tokenizer/BPE
     * trainer or an index builder starts from): per-term total count `tf`
     * and document frequency `df`, rare terms cut at `minDf`, heaviest

@@ -1,0 +1,74 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("chiSquare: independent columns score ~0, dependent score high") {
+    // perfectly independent 2x2: every cell = 25
+    val ind = (for { x <- Seq("a", "b"); y <- Seq("u", "v");
+      _ <- 1 to 25 } yield (x, y)).toDF("x", "y")
+    val ri = Stats.chiSquare(ind, "x", "y").head()
+    assert(math.abs(ri.getDouble(0)) < 1e-6)            // chi2
+    assert(ri.getLong(1) == 1L && ri.getLong(2) == 100L) // dof, n
+    // perfectly dependent: x determines y -> chi2 = n, V = 1
+    val dep = (for { x <- Seq("a", "b"); _ <- 1 to 30 }
+      yield (x, if (x == "a") "u" else "v")).toDF("x", "y")
+    val rd = Stats.chiSquare(dep, "x", "y").head()
+    assert(math.abs(rd.getDouble(0) - 60.0) < 1e-6)
+    assert(math.abs(rd.getDouble(3) - 1.0) < 1e-6)       // cramers_v
+  }
+
+  test("concentration: uniform vs single-unit monopolies") {
+    val df = (
+      (1 to 10).map(i => ("uniform", s"u$i")) ++           // 10 units x1
+      (1 to 10).map(_ => ("mono", "only"))                 // 1 unit x10
+    ).toDF("g", "u")
+    val m = Stats.concentration(df, "g", "u").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val uni = m("uniform")
+    assert(uni.getLong(1) == 10L && uni.getLong(2) == 10L)
+    assert(math.abs(uni.getDouble(3) - 0.1) < 1e-12)      // hhi = 1/10
+    assert(math.abs(uni.getDouble(4) - 0.1) < 1e-12)      // top share
+    val mono = m("mono")
+    assert(mono.getLong(1) == 1L)
+    assert(mono.getDouble(3) == 1.0 && mono.getDouble(4) == 1.0)
+  }
+
+  test("seasonalAnomaly flags the spiked day only") {
+    // nine Mondays at 10 rows, one at 100 -> only the spike flags.
+    // (>=6 same-weekday days required: sigma includes the day under
+    // test, so a lone outlier's z is bounded by (n-1)/sqrt(n).)
+    val days = (0 until 10).map(i =>
+      java.time.LocalDate.parse("2024-01-01").plusWeeks(i).toString)
+    val rows = days.zipWithIndex.flatMap { case (d, i) =>
+      val n = if (i == 9) 100 else 10
+      (1 to n).map(_ => Tuple1(java.sql.Timestamp.valueOf(s"$d 12:00:00")))
+    }
+    val out = Stats.seasonalAnomaly(rows.toDF("ts"), "ts")
+      .orderBy(col("day")).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getLong(1) == 1L))                 // all ISO Monday
+    assert(out.map(_.getBoolean(3)).toSeq ==
+      (Seq.fill(9)(false) :+ true))
+  }
+
+  test("abTest: counts split by md5 parity; degenerate designs give NULL z") {
+    val ev = (1 to 40).flatMap { u =>
+      val purchases = if (u % 2 == 0) 5 else 1 // half convert at minCount=3
+      (1 to purchases).map(_ => (s"user$u", "purchase")) :+ ((s"user$u", "view"))
+    }.toDF("user_id", "event_type")
+    val r = Stats.abTest(ev, "user_id", "event_type", "purchase",
+      minCount = 3L).head()
+    assert(r.getLong(0) + r.getLong(2) == 40L)             // all users split
+    assert(r.getLong(1) + r.getLong(3) == 20L)             // half converted
+    assert(!r.isNullAt(4) && math.abs(r.getDouble(4)) < 10.0)
+    // every user converts -> pooled variance 0 -> NULL z, not an error
+    val sat = Stats.abTest(ev, "user_id", "event_type", "purchase",
+      minCount = 1L).head()
+    assert(sat.isNullAt(4))
+  }
+}

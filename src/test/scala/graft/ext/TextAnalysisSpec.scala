@@ -368,6 +368,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out2 == Map(1L -> "x\ny"))
   }
 
+  test("searchBm25: tf saturates, length normalizes, top-k ties on id") {
+    val docs = Seq(
+      (1L, "rare filler filler filler filler"),              // tf=1, len 5
+      (2L, "rare rare rare rare rare rare rare rare filler"), // tf=8, len 9
+      (3L, "rare filler"),                                    // tf=1, len 2
+      (4L, "filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val postings = TextAnalysis.buildIndex(docs, "doc_id", "text")
+    val (n, tl) = TextAnalysis.docLenStats(docs, "text")
+    assert(n == 4L && tl == 21L)
+    val out = TextAnalysis.searchBm25(postings, "doc_id", Seq("rare"),
+      k = 3, nDocs = n, totalTokens = tl)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(2L, 3L, 1L)) // tf wins, then shorter doc
+    // saturation: 8x the tf is nowhere near 8x the score
+    val s = out.map(o => o._1 -> o._2).toMap
+    assert(s(2L) < 3.0 * s(1L) && s(2L) > s(3L))
+    // linear searchIndex would also rank 2 first but scores diverge:
+    // BM25's doc-2 advantage over doc-3 is compressed by saturation
+    assert(out.forall(_._3 == 1L))
+  }
+
   test("multimodal plumbing: schema + batched features") {
     val docs = Seq((1L, "abc", "en"), (2L, "abcabc", "de")).toDF("doc_id", "text", "lang")
     val media = Multimodal.asMedia(docs, "doc_id", "text", "lang")
