@@ -1120,6 +1120,21 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // MMR diversified top-5 (query = vector 0, pool = 1..300 plus exact
+    // copies of 1..10 at id+20000): the copy of every picked item scores
+    // cosine 1.0 against it, so no copy can follow its base — the oracle
+    // replays all 5 greedy rounds' argmax bit-for-bit
+    "x_mmr" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val pool = emb.filter(col("vec_id").between(1L, 300L))
+        .unionByName(emb.filter(col("vec_id").between(1L, 10L))
+          .select((col("vec_id") + 20000L).as("vec_id"), col("embedding")))
+      val q = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+      graft.ext.Similarity.mmrSelect(pool, "vec_id", "embedding", q,
+        k = 5, lambda = 0.7).orderBy(col("rank"))
+    }),
+
     // Product quantization codes: per-subspace k-means (m=2, k=8, same
     // training arithmetic as x_kmeans on each 32-dim half), every vector
     // compressed to its nearest final-centroid id per subspace
@@ -2249,6 +2264,8 @@ object SparkEntry {
       "SELECT a0.vec_id, l0.d + l1.d AS dist FROM a3_0 a0 " +
       "JOIN a3_1 a1 USING (vec_id) JOIN lut0 l0 ON a0.cid = l0.cid " +
       "JOIN lut1 l1 ON a1.cid = l1.cid ORDER BY dist, a0.vec_id LIMIT 10"),
+    // 5 greedy MMR rounds, each round's argmax replayed exactly
+    "x_mmr" -> mmrOracleSql(5),
     "x_kmeans" -> (kmeansReplayCtes() +
       "c2 AS (SELECT cid, dim, " +
       "CAST(SUM(CAST(ROUND(v1, 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS c " +
@@ -2509,6 +2526,48 @@ object SparkEntry {
       (1 to merges).map(k =>
         s"SELECT $k AS step, a AS sym_a, b AS sym_b, CAST(cnt AS BIGINT) AS cnt FROM b$k")
         .mkString(" UNION ALL ") + " ORDER BY step"
+  }
+
+  /** MMR greedy replay: cosine folds mirror Similarity.cosine's
+    * index-ordered sums (list_sum over per-index products; IEEE sqrt /
+    * mul / div are exact-rounded, MAX is rounding-free), so every
+    * round's argmax — a MATERIALIZED CTE picking (score DESC, id) —
+    * lands on the same row DuckDB-side. The 1-0.7 subtraction is done
+    * in DOUBLE on both engines (DuckDB's decimal-literal arithmetic
+    * would yield an exact 0.3 the IEEE engines never see). */
+  private def mmrOracleSql(k: Int): String = {
+    def cos(a: String, b: String): String =
+      s"(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])) / " +
+        s"(sqrt(list_sum(list_transform($a, x -> x*x))) * " +
+        s"sqrt(list_sum(list_transform($b, x -> x*x)))))"
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    parts += ("pv AS MATERIALIZED (SELECT vec_id AS id, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+      "FROM embeddings WHERE vec_id BETWEEN 1 AND 300 UNION ALL " +
+      "SELECT vec_id + 20000, list_transform(embedding, x -> CAST(x AS DOUBLE)) " +
+      "FROM embeddings WHERE vec_id BETWEEN 1 AND 10)")
+    parts += ("q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv " +
+      "FROM embeddings WHERE vec_id = 0)")
+    parts += ("sc AS MATERIALIZED (SELECT id, v, " + cos("v", "qv") +
+      " AS rel FROM pv CROSS JOIN q)")
+    parts += ("p1 AS MATERIALIZED (SELECT id, v, rel, rel AS score " +
+      "FROM sc ORDER BY rel DESC, id LIMIT 1)")
+    parts += "s1 AS MATERIALIZED (SELECT id, v FROM p1)"
+    for (r <- 2 to k) {
+      parts += (s"p$r AS MATERIALIZED (SELECT c.id, c.v, c.rel, " +
+        "0.7::DOUBLE * c.rel - (1.0::DOUBLE - 0.7::DOUBLE) * MAX(" +
+        cos("c.v", "s.v") + ") AS score " +
+        s"FROM sc c CROSS JOIN s${r - 1} s " +
+        s"WHERE c.id NOT IN (SELECT id FROM s${r - 1}) " +
+        "GROUP BY c.id, c.v, c.rel ORDER BY score DESC, c.id LIMIT 1)")
+      if (r < k)
+        parts += (s"s$r AS MATERIALIZED (SELECT id, v FROM s${r - 1} " +
+          s"UNION ALL SELECT id, v FROM p$r)")
+    }
+    "WITH " + parts.mkString(", ") + " " +
+      (1 to k).map(r =>
+        s"SELECT id AS vec_id, CAST($r AS BIGINT) AS rank, score FROM p$r")
+        .mkString(" UNION ALL ") + " ORDER BY rank"
   }
 
   private def kmeansChain(ptsSql: String, sfx: String = ""): String =

@@ -207,6 +207,80 @@ object Similarity {
     Dedup.finishEager(out, eager, Seq(sigs))
   }
 
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein,
+    * SIGIR'98): greedily pick `k` items from a candidate pool, each round
+    * taking argmax of `lambda * rel - (1-lambda) * max cos(v, selected)`
+    * (round 1 is pure relevance — the set term is empty). The diversity
+    * rerank behind retrieval-augmented prompting and few-shot example
+    * selection: near-copies of an already-picked item are penalized by
+    * their cosine to it, so the output covers the pool instead of
+    * repeating its densest cluster.
+    *
+    * MMR is a RERANKER: the pool contract is a bounded candidate set
+    * (the top-N of [[bruteForceTopK]]/[[lshTopK]]/IVF — thousands, not
+    * the corpus), because selection is inherently sequential — k rounds,
+    * each a scan of the pool. Within that contract the rounds stay
+    * distributed and bounded: the pool is persisted once, each round is
+    * a broadcast-literal map (selected vectors ride as a packed literal,
+    * the max-cosine fold runs per-row in codegen) topped by
+    * TakeOrderedAndProject(1), and the driver sees exactly one row per
+    * round — never the pool.
+    *
+    * Portability: rel and the diversity term are index-ordered cosine
+    * folds (exact-rounded mul/div/sqrt), max is rounding-free, and the
+    * score combines them with two exact-rounded ops (`1-lambda` computed
+    * once in IEEE), so any engine replays every round's argmax
+    * bit-identically; ties break on id. `query` must be a single row
+    * carrying `vecCol`. Output: (idCol, rank, score) — round-1 score is
+    * the pure relevance, later rounds the penalized score. */
+  def mmrSelect(candidates: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, k: Int, lambda: Double = 0.7): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda not in [0,1]")
+    val mu = 1.0 - lambda // one IEEE subtraction, reused every round
+    val qv = broadcast(query.select(col(vecCol).as("__qv")))
+    val scored = candidates.select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(qv)
+      .select(col(idCol), col("__v"),
+        cosine(col("__v"), col("__qv")).as("__rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Any, Double, Seq[Double])]
+    try {
+      while (picked.size < k) {
+        val base =
+          if (picked.isEmpty) scored.withColumn("__score", col("__rel"))
+          else {
+            val sel = typedlit(picked.map(_._3).toSeq)
+            scored.filter(!col(idCol).isin(picked.map(_._1).toSeq: _*))
+              .withColumn("__div", aggregate(sel,
+                lit(Double.NegativeInfinity),
+                (acc, sv) => greatest(acc, cosine(col("__v"), sv))))
+              .withColumn("__score",
+                lit(lambda) * col("__rel") - lit(mu) * col("__div"))
+          }
+        // TakeOrderedAndProject(1): the only row that reaches the driver
+        val r = base.orderBy(col("__score").desc, col(idCol)).limit(1)
+          .select(col(idCol), col("__score"),
+            col("__v").cast("array<double>"))
+          .head()
+        picked += ((r.get(0), r.getDouble(1), r.getSeq[Double](2)))
+      }
+    } finally scored.unpersist()
+    val spark = candidates.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      candidates.schema(idCol),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val rows = picked.zipWithIndex.map { case ((id, sc, _), ix) =>
+      org.apache.spark.sql.Row(id, (ix + 1).toLong, sc)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.toList.asJava, schema)
+  }
+
   /** Cross-corpus embedding decontamination — the semantic complement of
     * [[TextAnalysis.decontaminate]]'s exact n-gram overlap: drop every
     * corpus vector whose cosine to ANY probe vector (the benchmark /

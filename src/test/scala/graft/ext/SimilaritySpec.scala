@@ -124,6 +124,47 @@ class SimilaritySpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("mmrSelect: lambda=1 is pure relevance; copies penalized; shape") {
+    // pool: query 0's planted cluster (5 near-copies) + noise; at
+    // lambda=1 MMR degenerates to relevance order, so the picks are the
+    // brute-force top-k exactly
+    val q = queries.filter($"vec_id" === 0L).select($"embedding")
+    val pool = corpus.filter($"vec_id" >= 100L)
+    val rel = Similarity.mmrSelect(pool, "vec_id", "embedding", q,
+      k = 4, lambda = 1.0)
+    val bf = Similarity.bruteForceTopK(pool,
+        queries.filter($"vec_id" === 0L), "vec_id", "embedding", k = 4)
+      .orderBy($"rank").select("nid").as[Long].collect().toSeq
+    assert(rel.orderBy($"rank").select("vec_id").as[Long].collect().toSeq
+      == bf, "lambda=1 must reproduce the relevance order")
+    // ranks are 1..k, ids distinct
+    val rows = rel.orderBy($"rank").collect()
+    assert(rows.map(_.getLong(1)).toSeq == (1L to 4L))
+    assert(rows.map(_.getLong(0)).distinct.length == 4)
+  }
+
+  test("mmrSelect: an exact copy of the top pick never goes second") {
+    // clone the whole planted cluster of query 0: without the diversity
+    // term the second pick would be the copy of the first (identical
+    // relevance, higher id); with lambda=0.5 the copy's cosine-1.0
+    // penalty forces a different item
+    val q = queries.filter($"vec_id" === 0L).select($"embedding")
+    val cluster = corpus.filter($"vec_id" >= 1000L && $"vec_id" < 1010L)
+    val pool = cluster.unionByName(
+      cluster.select(($"vec_id" + 5000L).as("vec_id"), $"embedding"))
+    val relOnly = Similarity.mmrSelect(pool, "vec_id", "embedding", q,
+      k = 2, lambda = 1.0).orderBy($"rank").collect()
+    assert(relOnly(1).getLong(0) == relOnly(0).getLong(0) + 5000L,
+      "sanity: at lambda=1 the copy IS the second pick")
+    val div = Similarity.mmrSelect(pool, "vec_id", "embedding", q,
+      k = 2, lambda = 0.5).orderBy($"rank").collect()
+    assert(div(0).getLong(0) == relOnly(0).getLong(0),
+      "round 1 is pure relevance either way")
+    assert(div(1).getLong(0) != div(0).getLong(0) + 5000L,
+      "the exact copy must be penalized out of the second slot")
+    spark.catalog.clearCache()
+  }
+
   test("cosine column matches a driver-side computation") {
     val a = Seq((1L, Seq(1.0f, 2.0f, 2.0f)), (2L, Seq(0.0f, 3.0f, 4.0f)))
       .toDF("vec_id", "v")
