@@ -1274,6 +1274,16 @@ object SparkEntry {
           col("o_totalprice").as("v")),
         "priority", "v")
         .orderBy(col("priority"))),
+    // MAD robust outliers per priority: median / median-of-deviations
+    // fences — the heavy-tail-safe twin of x_boxplot. k=1.5 (not the
+    // 5.0 default) so the fence actually bites on the near-uniform
+    // price distribution (~25% of rows flagged, count exercised)
+    "x_mad" -> ((s, d) =>
+      graft.ext.Profile.madOutliers(
+        ord(s, d).select(col("o_orderpriority").as("priority"),
+          col("o_totalprice").as("v")),
+        "priority", "v", k = 1.5)
+        .orderBy(col("priority"))),
     // Pearson r over the same frame: adds the exact Σy² statistic;
     // sqrt is IEEE-correctly-rounded everywhere, so identical sums
     // give identical r
@@ -1845,6 +1855,19 @@ object SparkEntry {
       "THEN 1 ELSE 0 END) AS BIGINT) AS n_out " +
       "FROM orders o JOIN f ON o.o_orderpriority = f.priority " +
       "GROUP BY 1, 2, 3, 4, 5, 6, 7 ORDER BY 1"),
+    // same quantile_cont interpolation as x_boxplot, twice (median,
+    // then median of absolute deviations); fence compare on identical
+    // exact-rounded doubles
+    "x_mad" -> ("WITH m AS (SELECT o_orderpriority AS priority, " +
+      "quantile_cont(o_totalprice, 0.5) AS med FROM orders GROUP BY 1), " +
+      "d AS (SELECT m.priority, m.med, abs(o.o_totalprice - m.med) AS ad " +
+      "FROM orders o JOIN m ON o.o_orderpriority = m.priority), " +
+      "s AS (SELECT priority, med, COUNT(*) AS n, quantile_cont(ad, 0.5) AS mad " +
+      "FROM d GROUP BY 1, 2) " +
+      "SELECT s.priority, CAST(s.n AS BIGINT) AS n, s.med, s.mad, " +
+      "CAST(SUM(CASE WHEN d.ad > 1.5::DOUBLE * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out " +
+      "FROM d JOIN s ON d.priority = s.priority " +
+      "GROUP BY 1, 2, 3, 4 ORDER BY 1"),
     // y quantized to integer cents -> every sum an exact INTEGER; the
     // product sums split into hi/lo 32-bit word sums (each < 2^53 ->
     // exact doubles) and recombine as hi*2^32 + lo, ONE rounding — the

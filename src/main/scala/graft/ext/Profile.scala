@@ -149,6 +149,39 @@ object Profile {
         col(valueCol) > col("hi_fence"), 1L).otherwise(0L)).as("n_out"))
   }
 
+  /** Per-group robust outlier screen on median absolute deviation: MAD =
+    * median(|v - median(v)|), flagging |v - med| > k·MAD — the
+    * heavy-tail-safe complement to [[boxplot]]'s Tukey fences (a single
+    * extreme value moves a mean/stddev fence arbitrarily far but moves
+    * the median/MAD not at all, so planted corruption can't mask
+    * itself). Default k = 5 ≈ 3.4σ under normality (the 1.4826
+    * consistency constant folded into the threshold rather than scaling
+    * MAD — one fewer multiplication to replay).
+    *
+    * Three passes by construction (median, then median-of-deviations,
+    * then the fence count — the middle statistic cannot fuse with either
+    * neighbor); each is a group-keyed aggregation with the tiny stat
+    * rows broadcast back, same shape as [[boxplot]]. At lake scale swap
+    * the exact percentiles for `approx_percentile` and keep the fence
+    * scan. All fence arithmetic is exact-rounded double ops over the
+    * same interpolated medians DuckDB's quantile_cont computes.
+    * Output: (group, n, med, mad, n_out). */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 5.0): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol).cast("double"), lit(0.5)).as("med"))
+    val dev = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .join(broadcast(med), Seq(groupCol))
+      .withColumn("__ad", abs(col("__v") - col("med")))
+    val stats = dev.groupBy(col(groupCol), col("med"))
+      .agg(count(lit(1)).as("n"), percentile(col("__ad"), lit(0.5)).as("mad"))
+    dev.join(broadcast(stats), Seq(groupCol, "med"))
+      .groupBy(col(groupCol), col("n"), col("med"), col("mad"))
+      .agg(sum(when(col("__ad") > lit(k) * col("mad"), 1L).otherwise(0L))
+        .as("n_out"))
+      .select(col(groupCol), col("n"), col("med"), col("mad"), col("n_out"))
+  }
+
   /** Per-group Pearson correlation from the same exact-sufficient-
     * statistics pattern as [[linearFit]] (one aggregation however large
     * the fact), extended with Σy². The closed form

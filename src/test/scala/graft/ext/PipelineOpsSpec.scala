@@ -106,6 +106,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r.getLong(7) == 2L, s"exactly the two planted outliers, got ${r.getLong(7)}")
   }
 
+  test("madOutliers: fences immune to the outlier itself; constant group clean") {
+    // 1..9 around median 5 with MAD 2, plus a gross outlier the
+    // median/MAD barely notice (a mean/stddev fence would be dragged
+    // out past it — the robustness point)
+    val df = ((1 to 9).map(i => ("a", i.toDouble)) :+ ("a", 1000.0)) ++
+      (1 to 10).map(_ => ("c", 7.0))
+    val r = Profile.madOutliers(df.toDF("g", "v"), "g", "v")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getLong(4))).toMap
+    val (na, medA, madA, outA) = r("a")
+    assert(na == 10L && medA == 5.5 && madA == 2.5,
+      s"median/MAD shifted by the outlier: med=$medA mad=$madA")
+    assert(outA == 1L, "exactly the planted outlier flagged")
+    val (nc, medC, madC, outC) = r("c")
+    assert(nc == 10L && medC == 7.0 && madC == 0.0 && outC == 0L,
+      "constant group: MAD 0, nothing beyond the fence")
+  }
+
   test("correlation: +1 on a line, sign flips with slope, ~0 when flat-ish") {
     val df = ((1 to 40).map(i => ("up", i.toLong, 3.0 * i + 1.0)) ++
       (1 to 40).map(i => ("down", i.toLong, 100.0 - 2.0 * i)) ++
