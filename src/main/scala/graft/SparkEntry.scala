@@ -1051,6 +1051,13 @@ object SparkEntry {
       graft.ext.ConnectedComponents.run(
         graft.ext.Fixtures.plantedComponents(s), "src", "dst")
         .orderBy(col("node"))),
+    // k-core peel over the planted forest-on-ring graph: the 20 binary
+    // trees peel level by level (5 rounds) and exactly the double-ring
+    // core survives at degree 4; DuckDB replays every peel round
+    "x_kcore" -> ((s, d) =>
+      graft.ext.KCore.run(graft.ext.Fixtures.plantedCore(s),
+        "src", "dst", k = 3)
+        .orderBy(col("node"))),
     // Hierarchy traversal (the recursive-CTE gap, solved iteratively):
     // BFS levels over a planted 20-tree forest — depth hash joins of
     // frontier frames, no driver recursion; DuckDB answers recursively
@@ -2224,6 +2231,9 @@ object SparkEntry {
       "reach(a, b) AS (SELECT a, a FROM nd " +
       "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a) " +
       "SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY 1 ORDER BY 1"),
+    // 8 materialized peel rounds (the planted graph converges in 6; the
+    // trailing rounds are no-ops) — integer degree counts end to end
+    "x_kcore" -> kcoreOracleSql(3, 8),
     "x_pagerank" -> ("WITH e AS (" + graft.ext.Fixtures.plantedEdgesSql() + "), " +
       "nd AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e), " +
       "nn AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT node FROM nd) t), " +
@@ -2549,6 +2559,26 @@ object SparkEntry {
       (1 to merges).map(k =>
         s"SELECT $k AS step, a AS sym_a, b AS sym_b, CAST(cnt AS BIGINT) AS cnt FROM b$k")
         .mkString(" UNION ALL ") + " ORDER BY step"
+  }
+
+  /** k-core peel replay: fixed MATERIALIZED rounds of degree-filter +
+    * endpoint restriction over the planted graph (extra rounds past the
+    * fixpoint are no-ops) — exact integer counts, no tolerance. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    parts += ("f AS MATERIALIZED (" + graft.ext.Fixtures.plantedCoreSql() + ")")
+    parts += ("e0 AS MATERIALIZED (SELECT a, b FROM " +
+      "(SELECT src AS a, dst AS b FROM f UNION SELECT dst, src FROM f) t " +
+      "WHERE a <> b)")
+    for (r <- 1 to rounds) {
+      parts += (s"k$r AS MATERIALIZED (SELECT a FROM e${r - 1} " +
+        s"GROUP BY a HAVING COUNT(*) >= $k)")
+      parts += (s"e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e " +
+        s"JOIN k$r x ON e.a = x.a JOIN k$r y ON e.b = y.a)")
+    }
+    "WITH " + parts.mkString(", ") +
+      s" SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg " +
+      s"FROM e$rounds GROUP BY 1 ORDER BY 1"
   }
 
   /** MMR greedy replay: cosine folds mirror Similarity.cosine's

@@ -177,6 +177,35 @@ object Fixtures {
     s"SELECT id AS src, id - id % $g + (id + 1) % $g AS dst FROM range(0, $n) t(id) " +
       s"UNION ALL SELECT id, (id + $g) % $n FROM range(0, $n) t(id) WHERE id % $bridgeEvery = 0"
 
+  /** Planted peel graph for the k-core gate: [[plantedForest]]'s binary
+    * trees (internal degree 3, leaves degree 1) hung root-by-root off a
+    * `trees`-node double-ring core (successor + skip chords: degree 4).
+    * At k=3 the trees peel level by level — 5 rounds for size 31 — and
+    * exactly the ring survives, every node at degree 4. Pure integer
+    * arithmetic over range, twin below. */
+  def plantedCore(spark: SparkSession, trees: Int = 20,
+      size: Int = 31): DataFrame = {
+    val base = trees * size
+    val core = spark.range(trees.toLong)
+    plantedForest(spark, trees, size)
+      .selectExpr("parent AS src", "child AS dst")
+      .unionAll(core.selectExpr(s"$base + id AS src",
+        s"$base + (id + 1) % $trees AS dst"))
+      .unionAll(core.selectExpr(s"$base + id AS src",
+        s"$base + (id + 2) % $trees AS dst"))
+      .unionAll(core.selectExpr(s"id * $size AS src", s"$base + id AS dst"))
+  }
+
+  /** DuckDB CTE reconstructing plantedCore (same defaults). */
+  def plantedCoreSql(trees: Int = 20, size: Int = 31): String = {
+    val base = trees * size
+    s"SELECT id - id % $size + (id % $size - 1) // 2 AS src, id AS dst " +
+      s"FROM range(0, $base) t(id) WHERE id % $size <> 0 " +
+      s"UNION ALL SELECT $base + id, $base + (id + 1) % $trees FROM range(0, $trees) t(id) " +
+      s"UNION ALL SELECT $base + id, $base + (id + 2) % $trees FROM range(0, $trees) t(id) " +
+      s"UNION ALL SELECT id * $size, $base + id FROM range(0, $trees) t(id)"
+  }
+
   /** DuckDB CTE reconstructing plantedRunDocs (same defaults) as
     * (doc_id, words LIST(VARCHAR)). */
   def plantedRunDocsSql(nDocs: Int = 40, nWords: Int = 30, nPairs: Int = 10,
