@@ -1291,6 +1291,25 @@ object SparkEntry {
           col("o_totalprice").as("v")),
         "priority", "v", k = 1.5)
         .orderBy(col("priority"))),
+    // Quantile normalization across priorities: groups equalized
+    // in-plan (id-ordered truncation to the min group size — an
+    // unbiased subsample), then every group's distribution forced to
+    // the cross-group rank means; a global threshold then cuts every
+    // priority at the same quantile
+    "x_qnorm" -> ((s, d) => {
+      val o = ord(s, d).select(col("o_orderpriority").as("priority"),
+        col("o_orderkey").as("id"), col("o_totalprice").as("v"))
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("priority")).orderBy(col("id"))
+      val numbered = o.withColumn("__i", row_number().over(wn))
+      val minCnt = numbered.groupBy(col("priority"))
+        .agg(countAll.as("c")).agg(min(col("c")).as("mc"))
+      val eq = numbered.crossJoin(broadcast(minCnt))
+        .filter(col("__i") <= col("mc"))
+        .select(col("priority"), col("id"), col("v"))
+      graft.ext.Normalize.quantileNormalize(eq, "priority", "v", "id")
+        .orderBy(col("priority"), col("rank"))
+    }),
     // Pearson r over the same frame: adds the exact Σy² statistic;
     // sqrt is IEEE-correctly-rounded everywhere, so identical sums
     // give identical r
@@ -1862,6 +1881,19 @@ object SparkEntry {
       "THEN 1 ELSE 0 END) AS BIGINT) AS n_out " +
       "FROM orders o JOIN f ON o.o_orderpriority = f.priority " +
       "GROUP BY 1, 2, 3, 4, 5, 6, 7 ORDER BY 1"),
+    // rank means sum in quantized DECIMAL (exact 2-decimal money, the
+    // round is a no-op) and divide once in IEEE — bit parity
+    "x_qnorm" -> ("WITH o AS (SELECT o_orderpriority AS priority, o_orderkey AS id, " +
+      "o_totalprice AS v, ROW_NUMBER() OVER (PARTITION BY o_orderpriority " +
+      "ORDER BY o_orderkey) AS i FROM orders), " +
+      "mc AS (SELECT MIN(c) AS mc FROM (SELECT COUNT(*) AS c FROM o GROUP BY priority) t), " +
+      "eq AS (SELECT priority, id, v FROM o CROSS JOIN mc WHERE i <= mc), " +
+      "t AS (SELECT priority, id, v, ROW_NUMBER() OVER (PARTITION BY priority " +
+      "ORDER BY v, id) AS r FROM eq), " +
+      "ref AS (SELECT r, CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS nv " +
+      "FROM t GROUP BY 1) " +
+      "SELECT t.priority, t.id, t.v, CAST(t.r AS BIGINT) AS rank, ref.nv " +
+      "FROM t JOIN ref USING (r) ORDER BY 1, 4"),
     // same quantile_cont interpolation as x_boxplot, twice (median,
     // then median of absolute deviations); fence compare on identical
     // exact-rounded doubles
