@@ -286,6 +286,18 @@ object SparkEntry {
         .select(col("key"), col("exact"), col("est"))
         .orderBy(col("key"))
     }),
+    // Exact heavy hitters with the sketch-pruned shuffle: even users'
+    // events collapse onto 3 planted hot keys (~17% of the corpus each)
+    // while every real user stays under 100 events at any SF — the CMS
+    // estimate drops light rows map-side, the exact recount and the
+    // plain GROUP BY ... HAVING oracle agree to the row
+    "x_heavy" -> ((s, d) => {
+      val keyed = ev(s, d).selectExpr(
+        "CASE WHEN user_id % 2 = 0 THEN -(1 + (user_id DIV 2) % 3) " +
+          "ELSE user_id END AS k")
+      graft.ext.CountMin.heavyHitters(keyed, "k", minCount = 120L)
+        .orderBy(col("k"))
+    }),
     // Time-series resample with gap fill: hourly grid INCLUDING empty
     // buckets (a plain GROUP BY drops them; rate math downstream breaks)
     "x_resample" -> ((s, d) => graft.ext.TimeSeries.resample(
@@ -1633,6 +1645,12 @@ object SparkEntry {
       "(CAST(su::HUGEINT + (256 - np)::HUGEINT * 2305843009213693952::HUGEINT AS DOUBLE) " +
       "/ 2305843009213693952.0::DOUBLE) AS estimate FROM s ORDER BY priority"),
     // same md5-chunk cells, same integer counters, min over depth rows
+    // the sketch is a pruning detail — the OUTPUT is exact, so the
+    // oracle is the plain GROUP BY ... HAVING
+    "x_heavy" -> ("SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt FROM " +
+      "(SELECT CASE WHEN user_id % 2 = 0 THEN -(1 + (user_id // 2) % 3) " +
+      "ELSE user_id END AS k FROM events) t " +
+      "GROUP BY 1 HAVING COUNT(*) >= 120 ORDER BY 1"),
     "x_cms" -> ("WITH pos AS (SELECT o_custkey AS key, i, " +
       "CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1 + 8*CAST(i AS INT), 8) AS BIGINT) % 1024 AS p " +
       "FROM orders, range(0, 4) r(i)), " +

@@ -43,6 +43,38 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Exact heavy hitters (true count >= minCount) with the shuffle
+    * pruned by the sketch: pass 1 builds the depth×width sketch and
+    * packs it into a literal (bounded by construction — the same
+    * driver-side-bounded-state contract as [[Ivf]]'s sampled
+    * centroids); pass 2 estimates every ROW's key map-side (element_at
+    * into the packed literal, least over the depth cells — pure
+    * codegen, no join, no shuffle) and drops rows whose estimate is
+    * under the bar BEFORE the exact groupBy. CMS never undercounts, so
+    * the candidate set is a superset of the true hitters — the output
+    * is EXACT: estimate-pruned, then exactly counted and re-filtered.
+    * At 100 TB the exact count's shuffle carries only heavy-candidate
+    * rows (collision false-positives wash out in the recount), not
+    * every key's — the point of sketching the first pass.
+    * Output: (keyCol, cnt), exact counts. */
+  def heavyHitters(df: DataFrame, keyCol: String, minCount: Long,
+      width: Int = 1024, depth: Int = 4): DataFrame = {
+    checkParams(width, depth)
+    require(minCount > 0, s"minCount=$minCount must be positive")
+    val cells = Array.fill(depth)(Array.fill(width)(0L))
+    sketch(df, keyCol, width, depth).collect()
+      .foreach(r => cells(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+    val packed = typedlit(cells.map(_.toSeq).toSeq)
+    val ests = (0 until depth).map(i =>
+      element_at(element_at(packed, i + 1),
+        (position(col(keyCol), i, width) + lit(1)).cast("int")))
+    val est = if (ests.size == 1) ests.head else least(ests: _*)
+    df.filter(est >= minCount)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   /** Point-estimate the frequency of each probe key: min over the key's
     * depth cells (absent cell = 0). The sketch side is tiny — Spark
     * broadcasts it; the probe table never shuffles. */

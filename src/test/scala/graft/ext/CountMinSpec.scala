@@ -43,4 +43,21 @@ class CountMinSpec extends SparkTestBase {
       CountMin.sketch(Seq(1L).toDF("k"), "k", width = 64, depth = 5)
     }
   }
+
+  test("heavyHitters: exact output even under forced collisions") {
+    // 3 hot keys (200/150/120 copies) over 500 light keys; width=16
+    // forces every cell to collide, so the estimate-prune admits false
+    // positives — the exact recount must still emit exactly the hitters
+    val rows = (1L to 500L) ++
+      Seq.fill(200)(9001L) ++ Seq.fill(150)(9002L) ++ Seq.fill(120)(9003L)
+    val df = rows.toDF("k")
+    val expected = Seq((9001L, 200L), (9002L, 150L), (9003L, 120L))
+    for (w <- Seq(16, 1024)) {
+      val got = CountMin.heavyHitters(df, "k", minCount = 120L, width = w)
+        .orderBy($"cnt".desc).as[(Long, Long)].collect().toSeq
+      assert(got == expected, s"width=$w")
+    }
+    assert(CountMin.heavyHitters(df, "k", minCount = 201L).isEmpty,
+      "bar above the max count: no hitters")
+  }
 }
