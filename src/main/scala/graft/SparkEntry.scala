@@ -1070,6 +1070,26 @@ object SparkEntry {
       graft.ext.KCore.run(graft.ext.Fixtures.plantedCore(s),
         "src", "dst", k = 3)
         .orderBy(col("node"))),
+    // Weighted shortest paths (Bellman-Ford) over the planted layered
+    // DAG from its 20 layer-0 roots: integer weights keep every
+    // relaxation exact; DuckDB replays the same per-round min-merge
+    "x_sssp" -> ((s, d) =>
+      graft.ext.ShortestPath.run(graft.ext.Fixtures.plantedDag(s),
+        "src", "dst", "w",
+        s.range(20L).toDF("id"), "id")
+        .orderBy(col("node"))),
+    // Synchronous label propagation, 4 deterministic rounds (neighbor
+    // majority, ties to the smaller label) over the ring+bridge graph
+    "x_labelprop" -> ((s, d) =>
+      graft.ext.LabelProp.run(graft.ext.Fixtures.plantedComponents(s),
+        "src", "dst", rounds = 4)
+        .orderBy(col("node"))),
+    // Common-neighbor/Jaccard link prediction on the same graph: every
+    // non-adjacent pair sharing a neighbor, scored by exact counts
+    "x_linkpred" -> ((s, d) =>
+      graft.ext.LinkPredict.run(graft.ext.Fixtures.plantedComponents(s),
+        "src", "dst")
+        .orderBy(col("a"), col("b"))),
     // Hierarchy traversal (the recursive-CTE gap, solved iteratively):
     // BFS levels over a planted 20-tree forest — depth hash joins of
     // frontier frames, no driver recursion; DuckDB answers recursively
@@ -1322,6 +1342,26 @@ object SparkEntry {
       graft.ext.Normalize.quantileNormalize(eq, "priority", "v", "id")
         .orderBy(col("priority"), col("rank"))
     }),
+    // Per-priority Gini of order revenue: rank-form numerator rides the
+    // same hi/lo split-word sums as x_corr (rank products pass 2^63 at
+    // scale); tie order is provably irrelevant to the sum
+    "x_gini" -> ((s, d) =>
+      graft.ext.Profile.gini(
+        ord(s, d).select(col("o_orderpriority").as("priority"),
+          col("o_totalprice").as("v")),
+        "priority", "v")
+        .orderBy(col("priority"))),
+    // Two-sample KS distance urgent-vs-rest on order value: exact
+    // integer |n_b·cum_a − n_a·cum_b| maximized over the distinct-value
+    // table, ONE division at the very end
+    "x_kstest" -> ((s, d) => {
+      val o = ord(s, d)
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      graft.ext.Stats.ksTest(
+        o.filter(urgent).select(col("o_totalprice")),
+        o.filter(!urgent).select(col("o_totalprice")),
+        "o_totalprice")
+    }),
     // Pearson r over the same frame: adds the exact Σy² statistic;
     // sqrt is IEEE-correctly-rounded everywhere, so identical sums
     // give identical r
@@ -1339,6 +1379,94 @@ object SparkEntry {
       graft.ext.TextAnalysis.packSequences(Tables.load(s, d, "documents"),
         "doc_id", "text", budget = 512, buckets = 16)
         .orderBy(col("doc_id"))),
+    // Weight-proportional systematic draw: one row per 256 tokens along
+    // the md5-ordered weight line — the bucketed prefix sum must put
+    // every span boundary exactly where the single global running sum
+    // does
+    "x_wsample" -> ((s, d) =>
+      graft.ext.Sampling.weightedSystematic(
+        Tables.load(s, d, "documents").select(col("doc_id"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).as("w")),
+        "doc_id", "w", step = 256, buckets = 16)
+        .orderBy(col("doc_id"))),
+    // PMI collocations (log-free lift ranking): top adjacent pairs that
+    // outrun their unigram frequencies — the word2vec phrase step
+    "x_colloc" -> ((s, d) =>
+      graft.ext.TextAnalysis.collocations(Tables.load(s, d, "documents"),
+        "text", minCount = 5L, k = 20)),
+    // Smoothed target encoding per customer: rare customers shrink to
+    // the global mean under pseudo-count 10; every sum exact cents
+    "x_target_encode" -> ((s, d) =>
+      graft.ext.Encode.targetEncode(
+        ord(s, d).select(col("o_custkey"), col("o_totalprice")),
+        "o_custkey", "o_totalprice", m = 10L)
+        .orderBy(col("category"))),
+    // Reciprocal rank fusion of a price-ranked and a recency-ranked
+    // top-100: femto-unit INTEGER reciprocals — the fused score is an
+    // exact integer sum, no double summation order anywhere
+    "x_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = ord(s, d)
+      def top(sort: Column*) = o.orderBy(sort: _*).limit(100)
+        .select(col("o_orderkey").as("doc"),
+          row_number().over(Window.orderBy(sort: _*)).cast("long").as("rank"))
+      val byPrice = top(col("o_totalprice").desc, col("o_orderkey"))
+      val byDate = top(col("o_orderdate").desc, col("o_orderkey"))
+      graft.ext.Rank.rrfFuse(Seq(byPrice, byDate), "doc", "rank",
+        k0 = 60L, k = 20)
+    }),
+    // IR scorecard for the price-ranked run against the %97 relevance
+    // set: MRR as the exact femto reciprocal, P@10 / R@10 as single
+    // divisions of exact counts
+    "x_ir_eval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = ord(s, d)
+      val sortCols = Seq(col("o_totalprice").desc, col("o_orderkey"))
+      val run = o.orderBy(sortCols: _*).limit(100)
+        .select(col("o_orderkey").as("doc"),
+          row_number().over(Window.orderBy(sortCols: _*)).cast("long").as("rank"))
+      val rel = o.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("doc"))
+      graft.ext.Rank.evalRun(run, rel, "doc", "rank", k = 10)
+    }),
+    // Equal-frequency binning: bin = ((rank-1)*k) div n in pure long
+    // arithmetic — engine-exact where ntile semantics drift
+    "x_eqfreq" -> ((s, d) =>
+      graft.ext.Profile.equalFreqBins(
+        ord(s, d).select(col("o_orderpriority").as("priority"),
+          col("o_totalprice").as("v"), col("o_orderkey").as("id")),
+        "priority", "v", "id", k = 8)
+        .orderBy(col("priority"), col("bin"))),
+    // Per-priority z-scores from one exact-integer-statistics pass;
+    // output thinned to the %199 keys, statistics over the FULL table
+    "x_zscore" -> ((s, d) =>
+      graft.ext.Profile.zscore(
+        ord(s, d).select(col("o_orderpriority").as("priority"),
+          col("o_orderkey").as("id"), col("o_totalprice").as("v")),
+        "priority", "id", "v")
+        .filter(col("id") % 199 === 0)
+        .orderBy(col("id"))),
+    // HLL set algebra over two overlapping customer populations:
+    // union = per-bucket MAX merge, intersection by inclusion-exclusion
+    "x_hll_setops" -> ((s, d) => {
+      val o = ord(s, d)
+      graft.ext.Hll.setAlgebra(
+        o.filter(col("o_orderdate") < lit("1995-07-01").cast("timestamp")),
+        o.filter(col("o_orderdate") >= lit("1994-07-01").cast("timestamp")),
+        "o_custkey", p = 8)
+    }),
+    // Unpivot/melt (wide measures -> long): stack() in-plan, per-metric
+    // totals after the melt — the reshape every tidy-data consumer wants
+    "x_unpivot" -> ((s, d) =>
+      Tables.load(s, d, "lineitem")
+        .select(expr("stack(4, " +
+          "'quantity', CAST(l_quantity AS DECIMAL(18,2)), " +
+          "'extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)), " +
+          "'discount', CAST(l_discount AS DECIMAL(18,2)), " +
+          "'tax', CAST(l_tax AS DECIMAL(18,2))) AS (metric, value)"))
+        .groupBy(col("metric"))
+        .agg(countAll.as("n"), sum(col("value")).cast("double").as("total"))
+        .orderBy(col("metric"))),
 
     // C4-style boilerplate-line scrub: corpus re-lined into 8-word lines
     // with a cookie-banner line planted into every even doc; lines in
@@ -1942,6 +2070,136 @@ object SparkEntry {
       "SELECT priority, CAST(n AS BIGINT) AS n, " +
       "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS r " +
       "FROM s ORDER BY priority"),
+    // rank-form Gini over integer cents: ROW_NUMBER tie order is
+    // irrelevant (equal values sum the same over consecutive ranks);
+    // rank products ride the same hi/lo split-word sums as x_corr
+    "x_gini" -> ("WITH q AS (SELECT o_orderpriority AS priority, " +
+      "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), " +
+      "r AS (SELECT priority, v, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY priority ORDER BY v) AS BIGINT) AS i FROM q) " +
+      "SELECT priority, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "(2.0::DOUBLE * (CAST(SUM((i * v) >> 32) AS DOUBLE) * 4294967296.0::DOUBLE + " +
+      "CAST(SUM((i * v) & 4294967295) AS DOUBLE)) - " +
+      "(CAST(COUNT(*) AS DOUBLE) + 1.0::DOUBLE) * CAST(SUM(v) AS DOUBLE)) / " +
+      "(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(v) AS DOUBLE)) AS gini " +
+      "FROM r GROUP BY 1 ORDER BY 1"),
+    // KS stays integer until the final division: per-value counts,
+    // running sums over the distinct-value table, max of
+    // |n_b*cum_a - n_a*cum_b|
+    "x_kstest" -> ("WITH u AS (SELECT " +
+      "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v, " +
+      "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END AS t " +
+      "FROM orders), " +
+      "p AS (SELECT v, SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS ca, " +
+      "SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS cb FROM u GROUP BY 1), " +
+      "c AS (SELECT SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma, " +
+      "SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb, " +
+      "SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb FROM p) " +
+      "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+      "CAST(MAX(ABS(nb * cuma - na * cumb)) AS BIGINT) AS d_num, " +
+      "CAST(MAX(ABS(nb * cuma - na * cumb)) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS d " +
+      "FROM c GROUP BY na, nb"),
+    // same md5 draw order and token weights as x_pack; the single
+    // global running sum replays the bucketed prefix sum, then the same
+    // long-division span test picks the rows
+    "x_wsample" -> ("WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h, " +
+      "len(string_split(text, ' ')) AS w FROM documents), " +
+      "c AS (SELECT doc_id, w, " +
+      "SUM(w) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - w AS g FROM t) " +
+      "SELECT doc_id, CAST(w AS BIGINT) AS weight, CAST(g AS BIGINT) AS g FROM c " +
+      "WHERE (g + w) // 256 > g // 256 ORDER BY doc_id"),
+    // lift = (c12*T*T)/(N*c1*c2): five exact integer counts through one
+    // fixed left-associated double expression — log-free PMI ranking
+    "x_colloc" -> ("WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents), " +
+      "uni AS (SELECT u AS w, COUNT(*) AS c FROM " +
+      "(SELECT unnest(t) AS u FROM tk) GROUP BY 1), " +
+      "tot AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS t_tok, " +
+      "CAST(SUM(CASE WHEN len(t) > 1 THEN len(t) - 1 ELSE 0 END) AS BIGINT) AS n_big FROM tk), " +
+      "pr AS (SELECT unnest([t[i] for i in range(1, len(t))]) AS w1, " +
+      "unnest([t[i + 1] for i in range(1, len(t))]) AS w2 FROM tk), " +
+      "big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM pr " +
+      "GROUP BY 1, 2 HAVING COUNT(*) >= 5) " +
+      "SELECT b.w1, b.w2, b.c12, CAST(c1.c AS BIGINT) AS c1, CAST(c2.c AS BIGINT) AS c2, " +
+      "(CAST(b.c12 AS DOUBLE) * CAST(t_tok AS DOUBLE) * CAST(t_tok AS DOUBLE)) / " +
+      "(CAST(n_big AS DOUBLE) * CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE)) AS lift " +
+      "FROM big b JOIN uni c1 ON b.w1 = c1.w JOIN uni c2 ON b.w2 = c2.w, tot " +
+      "ORDER BY lift DESC, b.w1, b.w2 LIMIT 20"),
+    // blend = (sy + m*mu)/(n+m)/100 with mu = syt/nt — same fixed
+    // double expression tree over the same exact integer sums
+    "x_target_encode" -> ("WITH q AS (SELECT o_custkey AS category, " +
+      "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y FROM orders), " +
+      "c AS (SELECT category, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(y) AS BIGINT) AS sy FROM q GROUP BY 1), " +
+      "t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(sy) AS BIGINT) AS syt FROM c) " +
+      "SELECT category, n, (CAST(sy AS DOUBLE) + 10.0::DOUBLE * " +
+      "(CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE))) / CAST(n + 10 AS DOUBLE) " +
+      "/ 100.0::DOUBLE AS enc FROM c, t ORDER BY category"),
+    // femto-unit integer reciprocals: 1e15 // (60 + rank) summed as
+    // exact integers; the double column is a rendering of the sum
+    "x_rrf" -> ("WITH a AS (SELECT id, r FROM (SELECT o_orderkey AS id, " +
+      "ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS r " +
+      "FROM orders) t WHERE r <= 100), " +
+      "b AS (SELECT id, r FROM (SELECT o_orderkey AS id, " +
+      "ROW_NUMBER() OVER (ORDER BY o_orderdate DESC, o_orderkey) AS r " +
+      "FROM orders) t WHERE r <= 100), " +
+      "u AS (SELECT id, 1000000000000000 // (60 + r) AS f FROM a " +
+      "UNION ALL SELECT id, 1000000000000000 // (60 + r) FROM b) " +
+      "SELECT id, CAST(COUNT(*) AS BIGINT) AS n_runs, " +
+      "CAST(SUM(f) AS BIGINT) AS rrf_femto, " +
+      "CAST(CAST(SUM(f) AS BIGINT) AS DOUBLE) / 1.0e15 AS rrf " +
+      "FROM u GROUP BY 1 ORDER BY rrf_femto DESC, id LIMIT 20"),
+    "x_ir_eval" -> ("WITH r AS (SELECT id, rk FROM (SELECT o_orderkey AS id, " +
+      "ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk " +
+      "FROM orders) t WHERE rk <= 100), " +
+      "j AS (SELECT rk FROM r WHERE id % 97 = 0), " +
+      "nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rel FROM orders WHERE o_orderkey % 97 = 0), " +
+      "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit, MIN(rk) AS first_rank, " +
+      "SUM(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS hits FROM j) " +
+      "SELECT n_rel, n_hit, CAST(first_rank AS BIGINT) AS first_rank, " +
+      "CAST(COALESCE(1000000000000000 // first_rank, 0) AS BIGINT) AS mrr_femto, " +
+      "CAST(COALESCE(hits, 0) AS DOUBLE) / 10.0::DOUBLE AS p_at_k, " +
+      "CAST(COALESCE(hits, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE) AS r_at_k " +
+      "FROM agg, nr"),
+    "x_eqfreq" -> ("WITH q AS (SELECT o_orderpriority AS priority, " +
+      "o_totalprice AS v, o_orderkey AS id FROM orders), " +
+      "r AS (SELECT priority, v, " +
+      "ROW_NUMBER() OVER (PARTITION BY priority ORDER BY v, id) AS rn, " +
+      "COUNT(*) OVER (PARTITION BY priority) AS n FROM q) " +
+      "SELECT priority, CAST((rn - 1) * 8 // n AS BIGINT) AS bin, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_bin, MIN(v) AS lo, MAX(v) AS hi " +
+      "FROM r GROUP BY 1, 2 ORDER BY 1, 2"),
+    // z from the same six exact sums as x_corr's family: mu = sx/n,
+    // var = (n*sxx - sx^2)/n^2, one IEEE sqrt — identical operand tree
+    "x_zscore" -> ("WITH q AS (SELECT o_orderpriority AS priority, " +
+      "o_orderkey AS id, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x " +
+      "FROM orders), " +
+      "s AS (SELECT priority, CAST(COUNT(*) AS DOUBLE) AS n, " +
+      "CAST(SUM(x) AS DOUBLE) AS sx, " +
+      "CAST(SUM((x * x) >> 32) AS DOUBLE) * 4294967296.0::DOUBLE + " +
+      "CAST(SUM((x * x) & 4294967295) AS DOUBLE) AS sxx FROM q GROUP BY 1) " +
+      "SELECT q.priority, q.id, CAST(q.x AS DOUBLE) / 100.0::DOUBLE AS v, " +
+      "(CAST(q.x AS DOUBLE) - sx / n) / sqrt((n * sxx - sx * sx) / (n * n)) AS z " +
+      "FROM q JOIN s ON q.priority = s.priority WHERE q.id % 199 = 0 ORDER BY q.id"),
+    "x_hll_setops" -> ("WITH ha AS (SELECT md5(CAST(o_custkey AS VARCHAR)) AS x " +
+      "FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01'), " +
+      "hb AS (SELECT md5(CAST(o_custkey AS VARCHAR)) AS x " +
+      "FROM orders WHERE o_orderdate >= TIMESTAMP '1994-07-01'), " +
+      "ra AS (" + hllRegSql("ha") + "), rb AS (" + hllRegSql("hb") + "), " +
+      "ru AS (SELECT bucket, MAX(m) AS m FROM " +
+      "(SELECT * FROM ra UNION ALL SELECT * FROM rb) t GROUP BY 1), " +
+      "ea AS (" + hllEstSql("ra") + "), eb AS (" + hllEstSql("rb") + "), " +
+      "eu AS (" + hllEstSql("ru") + ") " +
+      "SELECT ea.estimate AS est_a, eb.estimate AS est_b, " +
+      "eu.estimate AS est_union, " +
+      "(ea.estimate + eb.estimate) - eu.estimate AS est_intersect " +
+      "FROM ea, eb, eu"),
+    "x_unpivot" -> ("WITH m AS (" +
+      "SELECT 'quantity' AS metric, CAST(l_quantity AS DECIMAL(18,2)) AS value FROM lineitem " +
+      "UNION ALL SELECT 'extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem " +
+      "UNION ALL SELECT 'discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem " +
+      "UNION ALL SELECT 'tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem) " +
+      "SELECT metric, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(value) AS DOUBLE) AS total FROM m GROUP BY 1 ORDER BY 1"),
     "x_pipe" -> "SELECT CAST(4 AS BIGINT) AS shards, CAST(64 AS BIGINT) AS total",
     "x_skew_agg" -> ("SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value " +
       "FROM events GROUP BY 1 ORDER BY 1"),
@@ -2284,6 +2542,27 @@ object SparkEntry {
     // 8 materialized peel rounds (the planted graph converges in 6; the
     // trailing rounds are no-ops) — integer degree counts end to end
     "x_kcore" -> kcoreOracleSql(3, 8),
+    // layered DAG: 11 relaxation rounds settle, 12 replayed — the chain
+    // and Spark's converged fixed point are the same table
+    "x_sssp" -> ssspOracleSql(12),
+    "x_labelprop" -> labelPropOracleSql(4),
+    // wedge-counted common neighbors, existing edges NOT EXISTS'd away,
+    // one exact integer division at the end
+    "x_linkpred" -> ("WITH g AS (" +
+      graft.ext.Fixtures.plantedComponentsSql() + "), " +
+      "sym AS (SELECT DISTINCT a, b FROM " +
+      "(SELECT src AS a, dst AS b FROM g UNION ALL SELECT dst, src FROM g) t " +
+      "WHERE a <> b), " +
+      "deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY 1), " +
+      "com AS (SELECT n1.b AS x, n2.b AS y, CAST(COUNT(*) AS BIGINT) AS common " +
+      "FROM sym n1 JOIN sym n2 ON n1.a = n2.a AND n1.b < n2.b GROUP BY 1, 2), " +
+      "cand AS (SELECT c.x, c.y, c.common FROM com c WHERE NOT EXISTS " +
+      "(SELECT 1 FROM sym s WHERE s.a = c.x AND s.b = c.y)) " +
+      "SELECT c.x AS a, c.y AS b, c.common, " +
+      "CAST(d1.deg AS BIGINT) AS deg_a, CAST(d2.deg AS BIGINT) AS deg_b, " +
+      "CAST(c.common AS DOUBLE) / CAST(d1.deg + d2.deg - c.common AS DOUBLE) AS jaccard " +
+      "FROM cand c JOIN deg d1 ON c.x = d1.node JOIN deg d2 ON c.y = d2.node " +
+      "ORDER BY a, b"),
     "x_pagerank" -> ("WITH e AS (" + graft.ext.Fixtures.plantedEdgesSql() + "), " +
       "nd AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e), " +
       "nn AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT node FROM nd) t), " +
@@ -2614,6 +2893,63 @@ object SparkEntry {
   /** k-core peel replay: fixed MATERIALIZED rounds of degree-filter +
     * endpoint restriction over the planted graph (extra rounds past the
     * fixpoint are no-ops) — exact integer counts, no tolerance. */
+  /** HLL register table (p=8) over a CTE of md5 hex strings named `x`. */
+  private def hllRegSql(src: String): String =
+    "SELECT CAST('0x' || substr(x, 1, 2) AS BIGINT) AS bucket, " +
+      "MAX(CASE WHEN CAST('0x' || substr(x, 3, 15) AS BIGINT) = 0 THEN 61 " +
+      "ELSE 61 - length(bin(CAST('0x' || substr(x, 3, 15) AS BIGINT))) END) AS m " +
+      s"FROM $src GROUP BY 1"
+
+  /** HLL raw estimate (p=8) over a register CTE — exact-unit harmonic
+    * sum, the same operand tree as Hll.estimateByGroups. */
+  private def hllEstSql(src: String): String =
+    "SELECT (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)) " +
+      "* 256.0::DOUBLE * 256.0::DOUBLE / " +
+      "(CAST(su::HUGEINT + (256 - np)::HUGEINT * 2305843009213693952::HUGEINT AS DOUBLE) " +
+      "/ 2305843009213693952.0::DOUBLE) AS estimate FROM " +
+      s"(SELECT COUNT(*) AS np, SUM(1::BIGINT << CAST(61 - m AS INT)) AS su FROM $src) s"
+
+  /** Bellman-Ford replay: `rounds` materialized min-merge rounds over the
+    * planted layered DAG (rounds must be >= layers-1 so the chain reaches
+    * the same fixed point Spark converges to). */
+  private def ssspOracleSql(rounds: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    parts += ("e AS MATERIALIZED (" + graft.ext.Fixtures.plantedDagSql() + ")")
+    parts += ("d0 AS MATERIALIZED (SELECT id AS node, CAST(0 AS BIGINT) AS dist " +
+      "FROM range(0, 20) t(id))")
+    for (r <- 1 to rounds)
+      parts += (s"d$r AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM " +
+        s"(SELECT node, dist FROM d${r - 1} UNION ALL " +
+        s"SELECT e.dst AS node, d.dist + e.w AS dist FROM d${r - 1} d " +
+        "JOIN e ON e.src = d.node) t GROUP BY 1)")
+    "WITH " + parts.mkString(", ") +
+      s" SELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds ORDER BY node"
+  }
+
+  /** Synchronous label-propagation replay: per round one neighbor-label
+    * count, one (cnt DESC, label) argmax window, one left-join fold. */
+  private def labelPropOracleSql(rounds: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    parts += ("g AS MATERIALIZED (" +
+      graft.ext.Fixtures.plantedComponentsSql() + ")")
+    parts += ("e AS MATERIALIZED (SELECT DISTINCT a, b FROM " +
+      "(SELECT src AS a, dst AS b FROM g UNION ALL SELECT dst, src FROM g) t " +
+      "WHERE a <> b)")
+    parts += "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM e)"
+    for (r <- 1 to rounds) {
+      parts += (s"c$r AS MATERIALIZED (SELECT e.b AS node, l.label, " +
+        s"COUNT(*) AS cnt FROM e JOIN l${r - 1} l ON e.a = l.node GROUP BY 1, 2)")
+      parts += (s"p$r AS MATERIALIZED (SELECT node, label FROM " +
+        "(SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node " +
+        s"ORDER BY cnt DESC, label) AS rk FROM c$r) t WHERE rk = 1)")
+      parts += (s"l$r AS MATERIALIZED (SELECT n.node, " +
+        s"COALESCE(p.label, n.label) AS label FROM l${r - 1} n " +
+        s"LEFT JOIN p$r p ON n.node = p.node)")
+    }
+    "WITH " + parts.mkString(", ") +
+      s" SELECT node, CAST(label AS BIGINT) AS label FROM l$rounds ORDER BY node"
+  }
+
   private def kcoreOracleSql(k: Int, rounds: Int): String = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     parts += ("f AS MATERIALIZED (" + graft.ext.Fixtures.plantedCoreSql() + ")")

@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Categorical feature encoding against a numeric target — the
+  * leakage-prone step a feature pipeline wants centralized and exact:
+  * high-cardinality categoricals (domain, user agent, merchant) become
+  * one smoothed-mean column instead of a million one-hot dimensions
+  * (Micci-Barreca SIGKDD Explorations 2001).
+  *
+  * enc(c) = (Σ_c y + m·μ) / (n_c + m): the category mean shrunk toward
+  * the global mean μ with pseudo-count weight `m` — a rare category
+  * reports ≈ μ, a populous one ≈ its own mean, and nothing explodes on
+  * n_c = 1. The target quantizes to integer cents so every sum is
+  * exact; μ and the final blend are fixed-order divisions of identical
+  * operands — identical doubles on every engine (the repo's
+  * no-transcendentals discipline, see [[graft.ext.Stats]]).
+  *
+  * Scale shape: ONE map-side-combining aggregation over the fact builds
+  * the category table (bounded by cardinality, not rows); the global
+  * totals fold from the category table itself, so the second use of the
+  * fact's shuffle is a ReusedExchange, and the totals ride back as a
+  * broadcast scalar row.
+  */
+object Encode {
+
+  /** (category, n, enc) for every distinct category; `enc` is in the
+    * target's original currency units. */
+  def targetEncode(df: DataFrame, catCol: String, yCol: String,
+      m: Long = 10L): DataFrame = {
+    require(m >= 0, s"m=$m must be nonnegative")
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val cents = (col(yCol).cast(d2) * lit(100))
+      .cast(org.apache.spark.sql.types.DecimalType(20, 0)).cast("long")
+    val perCat = df.select(col(catCol).as("category"), cents.as("__y"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("__sy"))
+    val totals = perCat.agg(sum(col("n")).as("__nt"),
+      sum(col("__sy")).as("__syt"))
+    // mu in cents; enc = (sy + m*mu) / (n + m), then /100 to currency —
+    // fixed expression-tree order for bit-identical cross-engine replay
+    val mu = col("__syt").cast("double") / col("__nt").cast("double")
+    perCat.crossJoin(broadcast(totals))
+      .select(col("category"), col("n"),
+        ((col("__sy").cast("double") + lit(m).cast("double") * mu) /
+          (col("n") + lit(m)).cast("double") / lit(100.0)).as("enc"))
+  }
+}

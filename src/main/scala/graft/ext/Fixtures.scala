@@ -206,6 +206,32 @@ object Fixtures {
       s"UNION ALL SELECT id * $size, $base + id FROM range(0, $trees) t(id)"
   }
 
+  /** Planted weighted DAG for the shortest-path gate: `layers` layers of
+    * `width` nodes (node id = layer·width + j); every non-terminal node
+    * sends two forward edges — to the next layer's (j+1)%width at weight
+    * 1 + id%5 and to (j+3)%width at weight 2 + id%7. Layered, so
+    * Bellman-Ford settles in exactly `layers − 1` relaxation rounds.
+    * Pure integer arithmetic over range, twin below. */
+  def plantedDag(spark: SparkSession, layers: Int = 12,
+      width: Int = 20): DataFrame = {
+    val base = spark.range((layers - 1).toLong * width)
+    base.selectExpr("id AS src",
+        s"(id DIV $width + 1) * $width + (id % $width + 1) % $width AS dst",
+        "1 + id % 5 AS w")
+      .unionAll(base.selectExpr("id AS src",
+        s"(id DIV $width + 1) * $width + (id % $width + 3) % $width AS dst",
+        "2 + id % 7 AS w"))
+  }
+
+  /** DuckDB CTE reconstructing plantedDag (same defaults). */
+  def plantedDagSql(layers: Int = 12, width: Int = 20): String = {
+    val n = (layers - 1) * width
+    s"SELECT id AS src, (id // $width + 1) * $width + (id % $width + 1) % $width AS dst, " +
+      s"1 + id % 5 AS w FROM range(0, $n) t(id) " +
+      s"UNION ALL SELECT id, (id // $width + 1) * $width + (id % $width + 3) % $width, " +
+      s"2 + id % 7 FROM range(0, $n) t(id)"
+  }
+
   /** DuckDB CTE reconstructing plantedRunDocs (same defaults) as
     * (doc_id, words LIST(VARCHAR)). */
   def plantedRunDocsSql(nDocs: Int = 40, nWords: Int = 30, nPairs: Int = 10,

@@ -101,6 +101,36 @@ object Hll {
           .as("estimate")): _*)
   }
 
+  /** Sketch set algebra: |A|, |B|, |A ∪ B| and the inclusion-exclusion
+    * intersection estimate |A| + |B| − |A ∪ B| — from the register
+    * tables alone. The union sketch is EXACTLY the sketch of the unioned
+    * data (per-bucket MAX is the merge), so the union estimate carries
+    * the standard error bound; the intersection inherits both errors
+    * additively (can go negative for near-disjoint sets — that is the
+    * estimator, not a bug). This is "how many users did campaigns A and
+    * B share" without ever storing user sets.
+    *
+    * Scale shape: two register aggregations (each one map-side-combining
+    * pass, 2^p rows out) and folds over 3·2^p register rows — nothing
+    * downstream of the first aggregations touches the data again. */
+  def setAlgebra(a: DataFrame, b: DataFrame, keyCol: String,
+      p: Int = 8): DataFrame = {
+    val ra = registers(a, keyCol, p).select(lit("a").as("side"),
+      col("bucket"), col("m")).localCheckpoint(true)
+    val rb = registers(b, keyCol, p).select(lit("b").as("side"),
+      col("bucket"), col("m")).localCheckpoint(true)
+    val ru = ra.unionAll(rb)
+      .groupBy(col("bucket")).agg(max(col("m")).as("m"))
+      .select(lit("u").as("side"), col("bucket"), col("m"))
+    val est = estimateByGroups(ra.unionAll(rb).unionAll(ru), Seq("side"), p)
+    est.agg(
+        max(when(col("side") === "a", col("estimate"))).as("est_a"),
+        max(when(col("side") === "b", col("estimate"))).as("est_b"),
+        max(when(col("side") === "u", col("estimate"))).as("est_union"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"))
+  }
+
   /** Per-group estimate — one (group, bucket) aggregation then one
     * group-keyed fold: the distinct-users-per-segment query at corpus
     * scale, one sketch per group instead of one count-distinct shuffle

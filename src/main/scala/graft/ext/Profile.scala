@@ -182,6 +182,113 @@ object Profile {
       .select(col(groupCol), col("n"), col("med"), col("mad"), col("n_out"))
   }
 
+  /** Per-group Gini coefficient of a 2-decimal money measure — the
+    * inequality/concentration profile (how unequally is revenue spread
+    * over orders within each segment?) that complements
+    * [[graft.ext.Stats.concentration]]'s HHI: HHI measures concentration
+    * over NAMED units, Gini over the anonymous value distribution.
+    *
+    * Computed from the rank form G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)
+    * over the ascending-sorted values (tie order is irrelevant: equal
+    * values contribute the same Σ i·xᵢ under any permutation of their
+    * consecutive ranks). Values quantize to integer cents; the rank
+    * products Σ i·xᵢ can pass 2^63, so they ride the same hi/lo 32-bit
+    * split-word sums as [[correlation]] and recombine with ONE rounding —
+    * the identical correctly-rounded double on every engine.
+    *
+    * Scale shape: one group-keyed shuffle serves the in-group rank
+    * window, then one map-side-combining aggregation; nothing after the
+    * window scales with row count. (At 100 TB the in-group sort is the
+    * cost — rank can instead be derived from a per-group value-bucketed
+    * prefix count, the [[TextAnalysis.packSequences]] trick applied
+    * per group.) */
+  def gini(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val cents = (col(valueCol).cast(d2) * lit(100))
+      .cast(org.apache.spark.sql.types.DecimalType(20, 0)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__v"))
+    def splitHi(term: Column): Column = sum(shiftright(term, 32))
+    def splitLo(term: Column): Column = sum(term.bitwiseAND(lit(4294967295L)))
+    def recombine(hi: Column, lo: Column): Column =
+      hi.cast("double") * lit(4294967296.0) + lo.cast("double")
+    df.select(col(groupCol), cents.as("__v"))
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).cast("double").as("__sx"),
+        splitHi(col("__i") * col("__v")).as("__sh"),
+        splitLo(col("__i") * col("__v")).as("__sl"))
+      .select(col(groupCol), col("n"),
+        ((lit(2.0) * recombine(col("__sh"), col("__sl")) -
+          (col("n").cast("double") + lit(1.0)) * col("__sx")) /
+          (col("n").cast("double") * col("__sx"))).as("gini"))
+  }
+
+  /** Equal-frequency binning (quantile discretization): per group, rank
+    * rows by value with a deterministic id tie-break and assign
+    * bin = ((rank−1)·k) div n — PURE LONG arithmetic, so the bin edges
+    * are engine-exact where `ntile` semantics differ subtly between
+    * engines. Every bin holds n/k ± 1 rows by construction. Output is
+    * the bin summary (group, bin, n_bin, lo, hi) — the feature-
+    * discretization table an ML pipeline broadcasts back onto raw rows.
+    *
+    * Scale shape: one group-keyed shuffle serves the rank window and the
+    * per-group count; the (group, bin) aggregation is cardinality-
+    * bounded. (Exact in-group ranking is the cost — at 100 TB swap the
+    * rank for the per-group value-bucketed prefix count, as with
+    * [[gini]].) */
+  def equalFreqBins(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df.select(col(groupCol), col(valueCol), col(idCol))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .withColumn("bin", expr(s"((__rn - 1) * $k) div __n"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n_bin"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
+  /** Per-group z-score standardization: z = (x − μ)/σ from ONE exact
+    * integer-statistics aggregation (n, Σx, Σx² in cents — Σx² through
+    * the [[correlation]] hi/lo split-word sums), broadcast back for a
+    * per-row codegen projection. μ, σ², and every z replay bit-for-bit
+    * cross-engine: fixed expression tree over exact operands, one IEEE
+    * sqrt. The calibration step before pooling features of different
+    * scales (complement of [[winsorize]]'s capping and
+    * [[graft.ext.Normalize]]'s full distribution forcing). */
+  def zscore(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val cents = (col(valueCol).cast(d2) * lit(100))
+      .cast(org.apache.spark.sql.types.DecimalType(20, 0)).cast("long")
+    def splitHi(term: Column): Column = sum(shiftright(term, 32))
+    def splitLo(term: Column): Column = sum(term.bitwiseAND(lit(4294967295L)))
+    val base = df.select(col(groupCol), col(idCol), cents.as("__x"))
+    val stats = base.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__x")).cast("double").as("__sx"),
+        splitHi(col("__x") * col("__x")).as("__sh"),
+        splitLo(col("__x") * col("__x")).as("__sl"))
+      .select(col(groupCol), col("__n"), col("__sx"),
+        (col("__sh").cast("double") * lit(4294967296.0) +
+          col("__sl").cast("double")).as("__sxx"))
+    val mu = col("__sx") / col("__n")
+    val variance = (col("__n") * col("__sxx") - col("__sx") * col("__sx")) /
+      (col("__n") * col("__n"))
+    base.join(broadcast(stats), Seq(groupCol))
+      .select(col(groupCol), col(idCol),
+        (col("__x").cast("double") / lit(100.0)).as("v"),
+        // constant group -> zero variance: z is NULL by contract (ANSI
+        // mode would otherwise throw on the double division)
+        when(variance > lit(0.0),
+          (col("__x").cast("double") - mu) / sqrt(variance))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
   /** Per-group Pearson correlation from the same exact-sufficient-
     * statistics pattern as [[linearFit]] (one aggregation however large
     * the fact), extended with Σy². The closed form

@@ -139,4 +139,53 @@ object Sampling {
       .filter(col("rank") <=
         floor(element_at(wlit, col(strataCol)) * total).cast("long"))
   }
+
+  /** Weight-proportional systematic sample: lay every row's integer
+    * weight end-to-end along a line in the deterministic md5 draw order,
+    * then keep each row whose span (g, g+w] covers a multiple of `step`.
+    * Selection probability is w/step (rows with w ≥ step are always
+    * kept), the expected sample is totalWeight/step rows, and — unlike
+    * independent per-row coin flips — the spacing is even: a
+    * token-budgeted corpus draw lands within one document of its budget
+    * in every contiguous stretch. This is "sample 1 of every N tokens"
+    * for mixture-weighted pretraining, with weight = token count.
+    *
+    * The global offset g is the distributed prefix sum of
+    * [[graft.ext.TextAnalysis.packSequences]]: md5-prefix range buckets
+    * (hash-prefix order IS global order), per-bucket window cumsum, the
+    * |buckets|-row offset frame cumulated on one partition and broadcast
+    * back. Only (key, weight) pairs shuffle; the span test is two long
+    * divisions in codegen — exact at any corpus size (no double hop to
+    * lose low bits past 2^53 total weight).
+    *
+    * Output: (key, weight, g) for selected rows — g is the evidence
+    * column (and the join handle back to the full row). */
+  def weightedSystematic(df: DataFrame, keyCol: String, weightCol: String,
+      step: Long, buckets: Int = 64): DataFrame = {
+    require(step > 0, s"step=$step must be positive")
+    require(buckets > 0 && buckets <= 65536 && (buckets & (buckets - 1)) == 0,
+      s"buckets=$buckets must be a power of two <= 65536")
+    val bstep = 65536 / buckets
+    val base = df.select(col(keyCol),
+        md5(col(keyCol).cast("string")).as("__h"),
+        col(weightCol).cast("long").as("weight"))
+      .withColumn("__b",
+        (conv(substring(col("__h"), 1, 4), 16, 10).cast("long") / bstep)
+          .cast("long"))
+    val offsets = base.groupBy(col("__b"))
+      .agg(sum(col("weight")).as("__tot"))
+      .withColumn("__off",
+        sum(col("__tot")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__b"))) - col("__tot"))
+      .select(col("__b"), col("__off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__h"), col(keyCol))
+    base.join(broadcast(offsets), "__b")
+      .withColumn("__cum", sum(col("weight")).over(w))
+      .withColumn("g", col("__off") + col("__cum") - col("weight"))
+      // keep iff a multiple of step falls in (g, g+w]: both operands
+      // nonnegative, so long `div` floors identically on every engine
+      .filter(expr(s"(g + weight) div ${step}L") > expr(s"g div ${step}L"))
+      .select(col(keyCol), col("weight"), col("g"))
+  }
 }

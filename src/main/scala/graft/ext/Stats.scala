@@ -186,4 +186,50 @@ object Stats {
             lit(1.0) / col("users_b").cast("double"))))
         .otherwise(lit(null).cast("double")).as("z"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the `valueCol`
+    * distributions of `a` and `b` — the drift detector a pipeline runs
+    * between yesterday's batch and today's before trusting a retrain
+    * (did the price distribution move?), and the nonparametric
+    * complement of [[seasonalAnomaly]]'s mean±σ band.
+    *
+    * D = max over x of |F_a(x) − F_b(x)| stays EXACT until the last
+    * division: per-value counts collapse the union to its distinct
+    * values, running sums give the cumulative counts, and the maximized
+    * quantity is the integer |n_b·cum_a − n_a·cum_b| (every ECDF step
+    * lands on a sample point, so checking distinct sample values is
+    * exhaustive). One row out: (n_a, n_b, d_num, d) with
+    * d = d_num / (n_a·n_b) — identical integer operands, one correctly-
+    * rounded division, identical double everywhere.
+    *
+    * Scale shape: one hash aggregation over the tagged union is the only
+    * pass over the data; the running sums order a table bounded by the
+    * DISTINCT value cardinality, not the row count (pre-discretize the
+    * measure if its value domain is genuinely dense at 100 TB — or
+    * bucket the cumsum by value range, [[TextAnalysis.packSequences]]'s
+    * trick keyed on the value prefix). */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    def cents(df: DataFrame, tag: Int): DataFrame =
+      df.select((col(valueCol).cast(d2) * lit(100))
+        .cast(org.apache.spark.sql.types.DecimalType(20, 0)).cast("long")
+        .as("__v"), lit(tag).as("__t"))
+    val perValue = cents(a, 0).unionAll(cents(b, 1))
+      .groupBy(col("__v"))
+      .agg(sum(when(col("__t") === 0, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__t") === 1, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perValue
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("__na", sum(col("__ca")).over(Window.partitionBy()))
+      .withColumn("__nb", sum(col("__cb")).over(Window.partitionBy()))
+      .groupBy(col("__na"), col("__nb"))
+      .agg(max(abs(col("__nb") * col("__cuma") - col("__na") * col("__cumb")))
+        .as("d_num"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("__na") * col("__nb")).cast("double")).as("d"))
+  }
 }

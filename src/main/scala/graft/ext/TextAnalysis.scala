@@ -671,4 +671,55 @@ object TextAnalysis {
         expr(s"__g div ${budget}L").as("seq_id"),
         pmod(col("__g"), lit(budget)).cast("long").as("seq_off"))
   }
+
+  /** PMI collocation mining — the top-k adjacent word pairs that co-occur
+    * far more than their unigram frequencies predict ("new york", not
+    * "of the"). The phrase-detection pass a tokenizer-training pipeline
+    * runs to decide which bigrams deserve a single vocabulary slot
+    * (word2vec's phrase step, Mikolov et al. NIPS'13 §4).
+    *
+    * Log-free by the repo's portability discipline: PMI = log of
+    * lift = P(w₁w₂)/(P(w₁)P(w₂)) = (c₁₂·T²)/(N·c₁·c₂), and log is
+    * monotone, so ranking by the lift RATIO is ranking by PMI. All five
+    * operands are exact integer counts; the score multiplies/divides
+    * them in one fixed expression-tree order, every step correctly
+    * rounded — identical doubles on every engine.
+    *
+    * Scale shape: bigrams come from a per-row array zip (no positional
+    * self-join, no window over the corpus); one (w₁,w₂) hash aggregation
+    * with map-side combine + one unigram twin are the only shuffles, both
+    * bounded by vocabulary size after the combine. `minCount` prunes the
+    * hapax tail before the join; unigram counts join the PAIR table
+    * (vocab-sized, post-cut), and top-k leaves as TakeOrderedAndProject —
+    * k rows to the driver, never the pair table. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5L,
+      k: Int = 20): DataFrame = {
+    val toks = df.select(tokens(col(textCol)).as("__t"))
+    val uni = toks.select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pairs = toks.select(explode(expr(
+        "transform(slice(__t, 1, size(__t) - 1), " +
+          "(w, i) -> struct(w AS w1, element_at(__t, i + 2) AS w2))"))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val big = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    // T (total tokens) and N (total bigrams) are single-row aggregates —
+    // crossJoin'd as broadcast scalars, never a shuffle
+    val totals = toks.agg(
+      sum(size(col("__t")).cast("long")).as("t_tok"),
+      sum(greatest(size(col("__t")).cast("long") - 1L, lit(0L))).as("n_big"))
+    val c1 = uni.select(col("w").as("w1"), col("c").as("c1"))
+    val c2 = uni.select(col("w").as("w2"), col("c").as("c2"))
+    big.join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        (col("c12").cast("double") * col("t_tok").cast("double") *
+          col("t_tok").cast("double") /
+          (col("n_big").cast("double") * col("c1").cast("double") *
+            col("c2").cast("double"))).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

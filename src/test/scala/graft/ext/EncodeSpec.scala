@@ -1,0 +1,30 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class EncodeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("targetEncode: exact blend, shrinkage toward the global mean") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("b", 100.0)).toDF("cat", "y")
+    val got = Encode.targetEncode(df, "cat", "y", m = 10L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // cents: a -> (2, 3000), b -> (1, 10000); mu = 13000/3 cents
+    val mu = 13000.0 / 3.0
+    assert(got("a") == ((2L, (3000.0 + 10.0 * mu) / 12.0 / 100.0)))
+    assert(got("b") == ((1L, (10000.0 + 10.0 * mu) / 11.0 / 100.0)))
+    // the singleton lands between its own value and the global mean,
+    // and much nearer the global mean at m = 10
+    val gm = mu / 100.0
+    assert(got("b")._2 > gm && got("b")._2 < 100.0)
+    assert(got("b")._2 - gm < (100.0 - gm) * 0.2)
+  }
+
+  test("m = 0 reduces to the plain category mean") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("b", 100.0)).toDF("cat", "y")
+    val got = Encode.targetEncode(df, "cat", "y", m = 0L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("a") == 15.0 && got("b") == 100.0)
+  }
+}

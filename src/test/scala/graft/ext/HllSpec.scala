@@ -55,4 +55,27 @@ class HllSpec extends SparkTestBase {
     val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
     assert(r._2 == 0L && math.abs(r._3 - alpha * 256.0) < 1e-9)
   }
+
+  test("setAlgebra: union equals the sketch of the union, intersection tracks overlap") {
+    import spark.implicits._
+    val a = (1L to 3000L).toDF("id")
+    val b = (2001L to 5000L).toDF("id") // overlap 1000, union 5000
+    val r = Hll.setAlgebra(a, b, "id").head()
+    val (ea, eb, eu, ei) = (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3))
+    // union estimate is EXACTLY the single-sketch estimate of a∪b:
+    // per-bucket max merge = sketching the concatenation
+    val direct = Hll.approxDistinct((1L to 5000L).toDF("id"), "id")
+      .head().getDouble(2)
+    assert(eu == direct)
+    // inclusion-exclusion identity holds bit-for-bit
+    assert(ei == (ea + eb) - eu)
+    // estimates land in the ~2sigma band (sigma ~ 1.04/sqrt(256) ~ 6.5%)
+    assert(math.abs(ea - 3000.0) < 450 && math.abs(eb - 3000.0) < 450)
+    assert(math.abs(ei - 1000.0) < 900) // intersection carries both errors
+    // disjoint sets: intersection estimate near zero (may be negative)
+    val d = Hll.setAlgebra((1L to 2000L).toDF("id"),
+      (100001L to 102000L).toDF("id"), "id").head()
+    assert(math.abs(d.getDouble(3)) < 600)
+  }
 }

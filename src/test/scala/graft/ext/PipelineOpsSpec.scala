@@ -169,4 +169,69 @@ class PipelineOpsSpec extends SparkTestBase {
     val a2 = Seq((1L, Option.empty[String])).toDF("k", "s")
     assert(Diff.rows(b2, a2, Seq("k")).isEmpty)
   }
+
+  test("gini: 0 on equal values, (n-1)/n on a monopoly, hand case 0.25") {
+    import spark.implicits._
+    val df = (
+      (1 to 8).map(_ => ("equal", 5.0)) ++
+      (Seq(0.0, 0.0, 0.0, 10.0).map(v => ("mono", v))) ++
+      (Seq(1.0, 2.0, 3.0, 4.0).map(v => ("hand", v)))
+    ).toDF("g", "v")
+    val m = Profile.gini(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(m("equal").getLong(1) == 8L)
+    assert(math.abs(m("equal").getDouble(2)) < 1e-15)
+    // one holder of everything among n=4: G = (n-1)/n = 0.75
+    assert(math.abs(m("mono").getDouble(2) - 0.75) < 1e-15)
+    // {1,2,3,4}: sum=10, sum(i*x)=30 -> (60-50)/40 = 0.25
+    assert(math.abs(m("hand").getDouble(2) - 0.25) < 1e-15)
+  }
+
+  test("equalFreqBins: n/k±1 occupancy, ordered edges, deterministic ties") {
+    import spark.implicits._
+    // 17 rows into 4 bins -> occupancies 4,4,4,5 (floor formula)
+    val df = (1 to 17).map(i => ("g", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val bins = Profile.equalFreqBins(df, "g", "v", "id", k = 4)
+      .orderBy("bin").as[(String, Long, Long, Double, Double)].collect()
+    assert(bins.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(bins.map(_._3).sum == 17L)
+    assert(bins.forall(b => b._3 >= 4L && b._3 <= 5L))
+    // bins tile the value range in order, no overlap
+    assert(bins.sliding(2).forall { case Array(a, b) => a._5 < b._4 })
+    // all-equal values: ties split deterministically by id, occupancy holds
+    val flat = (1 to 8).map(i => ("g", 1.0, i.toLong)).toDF("g", "v", "id")
+    val fb = Profile.equalFreqBins(flat, "g", "v", "id", k = 2)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(fb.map(_._3).toSeq.sorted == Seq(4L, 4L))
+  }
+
+  test("zscore: hand mean/sigma, group independence") {
+    import spark.implicits._
+    // g: {1, 2, 3} -> mu = 2, sigma_pop = sqrt(2/3); h constant 5
+    val df = Seq(("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 3.0),
+      ("h", 4L, 5.0), ("h", 5L, 5.0)).toDF("grp", "id", "v")
+    val z = Profile.zscore(df, "grp", "id", "v")
+      .filter(col("grp") === "g")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._2 -> r._4).toMap
+    // cents: {100, 200, 300}; var = (3*140000 - 600^2)/9 = 60000/9
+    val sig = math.sqrt(60000.0 / 9.0)
+    assert(math.abs(z(1L) - (100.0 - 200.0) / sig) < 1e-12)
+    assert(z(2L) == 0.0)
+    assert(math.abs(z(3L) + z(1L)) < 1e-12) // symmetric around the mean
+    // constant group: variance 0 -> z is NULL by contract
+    val rows = Profile.zscore(df, "grp", "id", "v").collect()
+    assert(rows.filter(_.getString(0) == "h").forall(_.isNullAt(3)))
+  }
+
+  test("gini is invariant to input order and row duplication scales sanely") {
+    import spark.implicits._
+    val vals = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
+    val fwd = vals.map(("g", _)).toDF("g", "v")
+    val rev = vals.reverse.map(("g", _)).toDF("g", "v")
+    val g1 = Profile.gini(fwd, "g", "v").head().getDouble(2)
+    val g2 = Profile.gini(rev, "g", "v").head().getDouble(2)
+    assert(g1 == g2) // bit-identical: ties and order cannot move the sum
+    assert(g1 > 0.0 && g1 < 1.0)
+  }
 }

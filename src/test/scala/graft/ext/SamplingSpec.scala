@@ -105,4 +105,34 @@ class SamplingSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString()
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
+
+  test("weightedSystematic matches the single-axis brute force") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, 1L + i % 97)).toDF("id", "w")
+    val step = 100L
+    val got = Sampling.weightedSystematic(df, "id", "w", step, buckets = 8)
+      .select("id", "weight", "g").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    // brute force: one global cumsum in (md5, id) order
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(i: Long) = md5.digest(i.toString.getBytes)
+      .map("%02x".format(_)).mkString
+    val ordered = (1L to 500L).map(i => (i, 1L + i % 97, h(i)))
+      .sortBy { case (i, _, hh) => (hh, i) }
+    var cum = 0L
+    val want = ordered.flatMap { case (i, w, _) =>
+      val g = cum; cum += w
+      if ((g + w) / step > g / step) Some((i, w, g)) else None
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+    // spacing: every multiple of step up to the total is covered exactly
+    // once, so the draw is within one row of total/step
+    assert(math.abs(got.length - cum / step) <= 1)
+    // a row at least as heavy as the step can never be skipped
+    val heavy = Sampling.weightedSystematic(
+      (1L to 50L).map(i => (i, if (i % 5 == 0) 120L else 3L)).toDF("id", "w"),
+      "id", "w", step = 100L, buckets = 4)
+      .select("id").as[Long].collect().toSet
+    assert((5L to 50L by 5).forall(heavy.contains))
+  }
 }

@@ -71,4 +71,25 @@ class StatsSpec extends SparkTestBase {
       minCount = 1L).head()
     assert(sat.isNullAt(4))
   }
+
+  test("ksTest: hand-computed D, identical samples score 0, disjoint score 1") {
+    import spark.implicits._
+    // a = {1,2,3}, b = {2,3,4}: ECDFs differ by exactly 1/3 everywhere
+    // they differ -> d_num = max |3*cum_a - 3*cum_b| = 3, D = 3/9
+    val a = Seq(1.0, 2.0, 3.0).toDF("o_totalprice")
+    val b = Seq(2.0, 3.0, 4.0).toDF("o_totalprice")
+    val r = Stats.ksTest(a, b, "o_totalprice").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 3L)
+    assert(math.abs(r.getDouble(3) - 1.0 / 3.0) < 1e-15)
+    // identical distributions -> D = 0
+    val same = Stats.ksTest(a, a, "o_totalprice").head()
+    assert(same.getLong(2) == 0L && same.getDouble(3) == 0.0)
+    // fully separated supports -> D = 1 (at the crossover every a is
+    // counted, no b is)
+    val lo = Seq(1.0, 2.0).toDF("o_totalprice")
+    val hi = Seq(10.0, 20.0).toDF("o_totalprice")
+    val sep = Stats.ksTest(lo, hi, "o_totalprice").head()
+    assert(sep.getLong(2) == 4L && sep.getDouble(3) == 1.0)
+  }
 }

@@ -400,4 +400,33 @@ class TextAnalysisSpec extends SparkTestBase {
     // histogram of "abc" and "abcabc" normalize identically
     assert(feats(0).getSeq[Float](3).toSeq == feats(1).getSeq[Float](3).toSeq)
   }
+
+  test("collocations: planted phrase tops the lift ranking, counts exact") {
+    import spark.implicits._
+    // "new york" appears 30x and its words appear nowhere else; "of the"
+    // also appears 30x but both words are everywhere — high c12 with
+    // huge c1*c2 means low lift
+    val docs = (
+      (1 to 30).map(i => (i.toLong, "new york of the tour")) ++
+      (31 to 60).map(i => (i.toLong, "best of the day of all"))
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.collocations(docs, "text", minCount = 5L, k = 5)
+      .collect()
+    assert(top.head.getString(0) == "new" && top.head.getString(1) == "york")
+    assert(top.head.getLong(2) == 30L) // c12
+    assert(top.head.getLong(3) == 30L && top.head.getLong(4) == 30L)
+    val lifts = top.map(_.getDouble(5)).toSeq
+    assert(lifts == lifts.sorted.reverse)
+    // "of the" is the most FREQUENT pair (60x) yet never cracks the
+    // lift top-5 — frequency is not association
+    val pairs = top.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!pairs.contains(("of", "the")))
+    val all = TextAnalysis.collocations(docs, "text", minCount = 5L, k = 100)
+      .collect()
+    val ofThe = all.find(r => r.getString(0) == "of" && r.getString(1) == "the").get
+    assert(ofThe.getLong(2) == 60L)
+    assert(ofThe.getDouble(5) < top.head.getDouble(5))
+    // minCount prunes the hapax tail: no pair below 5 occurrences
+    assert(all.forall(_.getLong(2) >= 5L))
+  }
 }
