@@ -1415,6 +1415,29 @@ object SparkEntry {
       graft.ext.Rank.rrfFuse(Seq(byPrice, byDate), "doc", "rank",
         k0 = 60L, k = 20)
     }),
+    // 7-day rolling distinct users from per-day HLL registers: each
+    // day's window sketch is a per-bucket MAX over the trailing week —
+    // exactly the sketch of the window's raw data
+    "x_rolling_distinct" -> ((s, d) =>
+      graft.ext.Hll.rollingDistinct(ev(s, d), "ts", "user_id",
+        windowSize = 7)
+        .orderBy(col("day"))),
+    // Level-shift changepoint per event type: integer-exact binary-
+    // segmentation statistic over the daily series, earliest-day ties
+    "x_changepoint" -> ((s, d) =>
+      graft.ext.Stats.changepoint(ev(s, d), "ts", "event_type")
+        .orderBy(col("event_type"))),
+    // Explicit GROUPING SETS (the free-form plane list beyond
+    // rollup/cube) with GROUPING() disambiguation — one Expand scan
+    "x_gsets" -> ((s, d) => { Tables.register(s, d); s.sql(
+      """SELECT y, p, CAST(GROUPING(y) AS BIGINT) AS gy,
+        |       CAST(GROUPING(p) AS BIGINT) AS gp,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM (SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+        |             o_orderpriority AS p, o_totalprice FROM orders) t
+        |GROUP BY GROUPING SETS ((y, p), (y), (p), ())
+        |ORDER BY gy, gp, y, p""".stripMargin) }),
     // IR scorecard for the price-ranked run against the %97 relevance
     // set: MRR as the exact femto reciprocal, P@10 / R@10 as single
     // divisions of exact counts
@@ -2148,6 +2171,50 @@ object SparkEntry {
       "CAST(SUM(f) AS BIGINT) AS rrf_femto, " +
       "CAST(CAST(SUM(f) AS BIGINT) AS DOUBLE) / 1.0e15 AS rrf " +
       "FROM u GROUP BY 1 ORDER BY rrf_femto DESC, id LIMIT 20"),
+    // per-day registers, trailing-week MAX merge via the day range
+    // join, same exact-unit harmonic estimate per day
+    "x_rolling_distinct" -> ("WITH e AS (SELECT " +
+      "datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day, " +
+      "md5(CAST(user_id AS VARCHAR)) AS x FROM events), " +
+      "r AS (SELECT day, CAST('0x' || substr(x, 1, 2) AS BIGINT) AS bucket, " +
+      "MAX(CASE WHEN CAST('0x' || substr(x, 3, 15) AS BIGINT) = 0 THEN 61 " +
+      "ELSE 61 - length(bin(CAST('0x' || substr(x, 3, 15) AS BIGINT))) END) AS m " +
+      "FROM e GROUP BY 1, 2), " +
+      "d AS (SELECT DISTINCT day FROM r), " +
+      "w AS (SELECT d.day, r.bucket, MAX(r.m) AS m FROM d JOIN r " +
+      "ON r.day BETWEEN d.day - 6 AND d.day GROUP BY 1, 2), " +
+      "s AS (SELECT day, COUNT(*) AS np, " +
+      "SUM(1::BIGINT << CAST(61 - m AS INT)) AS su FROM w GROUP BY 1) " +
+      "SELECT CAST(day AS BIGINT) AS day, CAST(np AS BIGINT) AS n_present, " +
+      "(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)) " +
+      "* 256.0::DOUBLE * 256.0::DOUBLE / " +
+      "(CAST(su::HUGEINT + (256 - np)::HUGEINT * 2305843009213693952::HUGEINT AS DOUBLE) " +
+      "/ 2305843009213693952.0::DOUBLE) AS estimate FROM s ORDER BY day"),
+    // prefix-sum contrast statistic in pure BIGINT; earliest-day ties
+    "x_changepoint" -> ("WITH daily AS (SELECT event_type, " +
+      "datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day, " +
+      "COUNT(*) AS c FROM events GROUP BY 1, 2), " +
+      "p AS (SELECT event_type, day, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS nl, " +
+      "CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl, " +
+      "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n, " +
+      "CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS s FROM daily), " +
+      "t AS (SELECT event_type, day, nl, n, " +
+      "((n - nl) * sl - nl * (s - sl)) AS diff FROM p WHERE nl < n), " +
+      "sc AS (SELECT event_type, day, nl, n, " +
+      "(diff * diff) // (nl * (n - nl)) AS t_stat FROM t), " +
+      "pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type " +
+      "ORDER BY t_stat DESC, day) AS rk FROM sc) " +
+      "SELECT event_type, CAST(day AS BIGINT) AS split_day, " +
+      "CAST(t_stat AS BIGINT) AS t_stat, nl AS n_l, " +
+      "CAST(n - nl AS BIGINT) AS n_r FROM pick WHERE rk = 1 ORDER BY event_type"),
+    "x_gsets" -> ("SELECT y, p, CAST(GROUPING(y) AS BIGINT) AS gy, " +
+      "CAST(GROUPING(p) AS BIGINT) AS gp, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev " +
+      "FROM (SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS y, " +
+      "o_orderpriority AS p, o_totalprice FROM orders) t " +
+      "GROUP BY GROUPING SETS ((y, p), (y), (p), ()) ORDER BY 1"),
     "x_ir_eval" -> ("WITH r AS (SELECT id, rk FROM (SELECT o_orderkey AS id, " +
       "ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk " +
       "FROM orders) t WHERE rk <= 100), " +

@@ -131,6 +131,35 @@ object Hll {
         (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"))
   }
 
+  /** Sliding-window distinct counts (7-day active users, etc.) from
+    * per-day register tables — the query that is brutally expensive
+    * exactly (every day re-counts a week of raw keys) but one register
+    * merge approximately: sketch each day ONCE, then each day's window
+    * estimate is a per-bucket MAX over the trailing `windowSize` days'
+    * registers. Day d's merged sketch is EXACTLY the sketch of the
+    * window's raw data (max-merge = sketching the concatenation), so the
+    * standard error bound applies per window.
+    *
+    * Scale shape: one (day, bucket) aggregation over the fact is the
+    * only full pass; the window merge range-joins the tiny distinct-day
+    * frame (broadcast) against day-registers — |days| · 2^p rows,
+    * corpus-independent. Output (day, n_present, estimate), day as
+    * epoch days. */
+  def rollingDistinct(df: DataFrame, tsCol: String, keyCol: String,
+      windowSize: Int = 7, p: Int = 8): DataFrame = {
+    require(windowSize >= 1, s"windowSize=$windowSize must be >= 1")
+    val dayNum = datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+      .cast("long")
+    val regs = registersByGroups(
+      df.withColumn("__day", dayNum), Seq("__day"), keyCol, p)
+      .localCheckpoint(true)
+    val days = regs.select(col("__day").as("day")).distinct()
+    val merged = broadcast(days).join(regs,
+        col("__day").between(col("day") - (windowSize - 1), col("day")))
+      .groupBy(col("day"), col("bucket")).agg(max(col("m")).as("m"))
+    estimateByGroups(merged, Seq("day"), p)
+  }
+
   /** Per-group estimate — one (group, bucket) aggregation then one
     * group-keyed fold: the distinct-users-per-segment query at corpus
     * scale, one sketch per group instead of one count-distinct shuffle

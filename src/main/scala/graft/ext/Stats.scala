@@ -187,6 +187,51 @@ object Stats {
         .otherwise(lit(null).cast("double")).as("z"))
   }
 
+  /** Single changepoint detection per group (binary-segmentation
+    * statistic over the daily volume series): the split day t maximizing
+    * the between-segment contrast
+    * T(t) = (n_r·S_l − n_l·S_r)² div (n_l·n_r) — the integer-exact core
+    * of the CUSUM/variance-reduction statistic ((mean_l − mean_r)² up to
+    * the n/(n_l·n_r) factor). Did this event type's volume shift level,
+    * and when? The level-shift complement of [[seasonalAnomaly]]'s
+    * single-day spikes.
+    *
+    * Everything is LONG arithmetic over exact day counts and prefix
+    * sums; ties break to the earliest day — fully engine-replayable, no
+    * distributional approximation anywhere.
+    *
+    * Scale shape: one (group, day) hash aggregation over the fact; all
+    * windows run on the bounded daily series (|days| rows per group),
+    * partitioned by group — never a global sort, nothing after the first
+    * aggregation scales with row count. */
+  def changepoint(df: DataFrame, tsCol: String, groupCol: String): DataFrame = {
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+      .cast("long")
+    val daily = df.select(col(groupCol), day.as("__day"))
+      .groupBy(col(groupCol), col("__day")).agg(count(lit(1)).as("__c"))
+    val wo = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__day"))
+    val wall = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val scored = daily
+      .withColumn("__nl", row_number().over(wo).cast("long"))
+      .withColumn("__sl", sum(col("__c")).over(wo))
+      .withColumn("__n", count(lit(1)).over(wall))
+      .withColumn("__s", sum(col("__c")).over(wall))
+      .filter(col("__nl") < col("__n")) // split must leave a right side
+      .withColumn("__diff",
+        (col("__n") - col("__nl")) * col("__sl") -
+          col("__nl") * (col("__s") - col("__sl")))
+      .withColumn("t_stat",
+        expr("(__diff * __diff) div (__nl * (__n - __nl))"))
+    val pick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("t_stat").desc, col("__day"))
+    scored.withColumn("__rk", row_number().over(pick))
+      .filter(col("__rk") === 1)
+      .select(col(groupCol), col("__day").as("split_day"), col("t_stat"),
+        col("__nl").as("n_l"), (col("__n") - col("__nl")).as("n_r"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance between the `valueCol`
     * distributions of `a` and `b` — the drift detector a pipeline runs
     * between yesterday's batch and today's before trusting a retrain

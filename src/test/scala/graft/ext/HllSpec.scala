@@ -78,4 +78,27 @@ class HllSpec extends SparkTestBase {
       (100001L to 102000L).toDF("id"), "id").head()
     assert(math.abs(d.getDouble(3)) < 600)
   }
+
+  test("rollingDistinct: window sketch == direct sketch of the window's users") {
+    import spark.implicits._
+    // 3 days, disjoint 400-user populations per day
+    def day(n: Int) = java.sql.Timestamp.valueOf(s"2024-01-0${n + 1} 12:00:00")
+    val ev = (0 until 3).flatMap(dd =>
+      (1L to 400L).map(u => (day(dd), dd * 1000L + u))).toDF("ts", "user_id")
+    val roll = Hll.rollingDistinct(ev, "ts", "user_id", windowSize = 2)
+      .orderBy("day").collect()
+    assert(roll.length == 3)
+    // day 1's 2-day window == single sketch over day-0 ∪ day-1 users,
+    // BIT-IDENTICAL (max merge is sketching the concatenation)
+    val direct01 = Hll.approxDistinct(
+      ((1L to 400L) ++ (1001L to 1400L)).toDF("user_id"), "user_id")
+      .head().getDouble(2)
+    assert(roll(1).getDouble(2) == direct01)
+    // windowSize 1 degenerates to the per-day sketch
+    val one = Hll.rollingDistinct(ev, "ts", "user_id", windowSize = 1)
+      .orderBy("day").collect()
+    val direct0 = Hll.approxDistinct((1L to 400L).toDF("user_id"), "user_id")
+      .head().getDouble(2)
+    assert(one(0).getDouble(2) == direct0)
+  }
 }

@@ -92,4 +92,26 @@ class StatsSpec extends SparkTestBase {
     val sep = Stats.ksTest(lo, hi, "o_totalprice").head()
     assert(sep.getLong(2) == 4L && sep.getDouble(3) == 1.0)
   }
+
+  test("changepoint finds the planted level shift; flat series ties to day one") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.parse("2024-01-01").plusDays(d).atTime(12, 0))
+    // "shift": 5/day for 10 days then 50/day for 10 days -> split at the
+    // 10th day (nl = 10); "flat": constant 7/day -> all t_stat 0, tie to
+    // the earliest split
+    val rows =
+      (0 until 10).flatMap(d => (1 to 5).map(_ => ("shift", ts(d)))) ++
+      (10 until 20).flatMap(d => (1 to 50).map(_ => ("shift", ts(d)))) ++
+      (0 until 20).flatMap(d => (1 to 7).map(_ => ("flat", ts(d))))
+    val got = Stats.changepoint(rows.toDF("event_type", "ts"), "ts", "event_type")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val epoch = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    assert(got("shift")._1 == epoch + 9) // last low day is the best split
+    assert(got("shift")._3 == 10L && got("shift")._4 == 10L)
+    // hand value: diff = 10*50 - 10*500 = -4500; t = 4500^2/(10*10)
+    assert(got("shift")._2 == 4500L * 4500L / 100L)
+    assert(got("flat")._1 == epoch && got("flat")._2 == 0L)
+  }
 }
