@@ -695,21 +695,25 @@ object TextAnalysis {
   def collocations(df: DataFrame, textCol: String, minCount: Long = 5L,
       k: Int = 20): DataFrame = {
     val toks = df.select(tokens(col(textCol)).as("__t"))
+    // the corpus is scanned exactly TWICE (unigram pass, bigram pass);
+    // both vocab tables checkpoint eagerly because each is consumed more
+    // than once below — T = Σ unigram counts and N = Σ pre-cut bigram
+    // counts fall out of the tables instead of costing a third scan
     val uni = toks.select(explode(col("__t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val pairs = toks.select(explode(expr(
         "transform(slice(__t, 1, size(__t) - 1), " +
           "(w, i) -> struct(w AS w1, element_at(__t, i + 2) AS w2))"))
         .as("p"))
       .select(col("p.w1"), col("p.w2"))
-    val big = pairs.groupBy(col("w1"), col("w2"))
+    val big0 = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
-      .filter(col("c12") >= minCount)
-    // T (total tokens) and N (total bigrams) are single-row aggregates —
-    // crossJoin'd as broadcast scalars, never a shuffle
-    val totals = toks.agg(
-      sum(size(col("__t")).cast("long")).as("t_tok"),
-      sum(greatest(size(col("__t")).cast("long") - 1L, lit(0L))).as("n_big"))
+      .localCheckpoint(true)
+    val big = big0.filter(col("c12") >= minCount)
+    // single-row scalars, crossJoin'd as a broadcast — never a shuffle
+    val totals = big0.agg(sum(col("c12")).as("n_big"))
+      .crossJoin(uni.agg(sum(col("c")).as("t_tok")))
     val c1 = uni.select(col("w").as("w1"), col("c").as("c1"))
     val c2 = uni.select(col("w").as("w2"), col("c").as("c2"))
     big.join(c1, "w1").join(c2, "w2")

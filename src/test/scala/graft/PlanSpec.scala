@@ -214,4 +214,48 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange SinglePartition"),
       "SCD2 must never window the whole dimension on one task:\n" + p.take(400))
   }
+
+  test("collocations: two corpus scans, vocab joins broadcast, top-k never sorts globally") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val p = formatted(ext.TextAnalysis.collocations(docs, "text", 5L, 20))
+    // the tokenized corpus is read for the unigram and bigram passes
+    // only; totals fold from the checkpointed vocab tables
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") <= 2,
+      "totals must not cost extra corpus scans:\n" + p.take(600))
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(!p.contains("SortMergeJoin"),
+      "post-cut pair table and vocab tables must broadcast:\n" + p.take(600))
+  }
+
+  test("weightedSystematic: windows bucket-partitioned, span test in codegen filter") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), ext.TextAnalysis.tokenCount(col("text")).as("w"))
+    val p = plan(ext.Sampling.weightedSystematic(docs, "doc_id", "w", 256, 16))
+    // the only single-partition work is the |buckets|-row offset frame
+    val se = "Exchange SinglePartition"
+    assert(p.sliding(se.length).count(_ == se) <= 1,
+      "data windows must partition by bucket:\n" + p.take(600))
+    assert(p.contains("BroadcastHashJoin"), "offsets must broadcast back")
+  }
+
+  test("zscore: stats broadcast back onto the scan, no fact-by-group sort join") {
+    val o = Tables.load(spark, sf("sf0.001"), "orders")
+      .select(col("o_orderpriority").as("g"), col("o_orderkey").as("id"),
+        col("o_totalprice").as("v"))
+    val p = plan(ext.Profile.zscore(o, "g", "id", "v"))
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"),
+      "per-group stats are cardinality-bounded and must broadcast:\n" + p.take(400))
+  }
+
+  test("rollingDistinct: day frame broadcasts into the range join, fact scanned once") {
+    val ev = Tables.load(spark, sf("sf0.001"), "events")
+    val p = formatted(ext.Hll.rollingDistinct(ev, "ts", "user_id", 7))
+    // registers checkpoint after ONE fact aggregation; the window merge
+    // runs on the register table alone
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 0,
+      "window merge must run on checkpointed registers, not rescan:\n" + p.take(600))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "tiny day frame must broadcast:\n" + p.take(600))
+  }
 }
