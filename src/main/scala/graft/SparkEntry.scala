@@ -1090,6 +1090,31 @@ object SparkEntry {
       graft.ext.LinkPredict.run(graft.ext.Fixtures.plantedComponents(s),
         "src", "dst")
         .orderBy(col("a"), col("b"))),
+    // Personalized PageRank from the 8 %50 seeds: teleport AND dangling
+    // mass return to the root set; 3 quantized iterations replayed
+    "x_ppr" -> ((s, d) =>
+      graft.ext.PageRank.personalized(graft.ext.Fixtures.plantedEdges(s),
+        s.range(400L).filter(col("id") % 50 === 0).toDF("id"), "id",
+        iters = 3)
+        .orderBy(col("node"))),
+    // c-TF-IDF characteristic terms per embedding label: in-class rate
+    // vs corpus rate from four exact counts, top-5 per class
+    "x_cluster_terms" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val emb = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("label"))
+      graft.ext.TextAnalysis.classTerms(
+        docs.join(emb, docs("doc_id") === emb("vec_id"))
+          .select(col("label"), col("text")),
+        "label", "text", k = 5, minTf = 3L)
+        .orderBy(col("cls"), col("rk"))
+    }),
+    // Seasonal-naive backtest per event type: same-weekday-last-week
+    // prediction, exact integer error sums, one MAE division
+    "x_forecast" -> ((s, d) =>
+      graft.ext.TimeSeries.seasonalNaiveEval(ev(s, d), "ts", "event_type",
+        season = 7)
+        .orderBy(col("event_type"))),
     // Hierarchy traversal (the recursive-CTE gap, solved iteratively):
     // BFS levels over a planted 20-tree forest — depth hash joins of
     // frontier frames, no driver recursion; DuckDB answers recursively
@@ -2613,6 +2638,34 @@ object SparkEntry {
     // and Spark's converged fixed point are the same table
     "x_sssp" -> ssspOracleSql(12),
     "x_labelprop" -> labelPropOracleSql(4),
+    "x_ppr" -> pprOracleSql(3, 50, 8),
+    // four exact counts through one fixed ratio tree; per-class top-5
+    // by (score DESC, term)
+    "x_cluster_terms" -> ("WITH j AS (SELECT e.label AS cls, d.text " +
+      "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id), " +
+      "tk AS (SELECT cls, unnest(string_split(text, ' ')) AS term FROM j), " +
+      "tft AS (SELECT cls, term, CAST(COUNT(*) AS BIGINT) AS tf " +
+      "FROM tk GROUP BY 1, 2), " +
+      "wc AS (SELECT cls, SUM(tf) AS wc FROM tft GROUP BY 1), " +
+      "ft AS (SELECT term, SUM(tf) AS ft FROM tft GROUP BY 1), " +
+      "tot AS (SELECT SUM(tf) AS t FROM tft), " +
+      "sc AS (SELECT tft.cls, tft.term, tft.tf, " +
+      "(CAST(tft.tf AS DOUBLE) * CAST(t AS DOUBLE)) / " +
+      "(CAST(wc.wc AS DOUBLE) * CAST(ft.ft AS DOUBLE)) AS score " +
+      "FROM tft JOIN wc ON tft.cls = wc.cls JOIN ft ON tft.term = ft.term, tot " +
+      "WHERE tft.tf >= 3), " +
+      "r AS (SELECT sc.*, CAST(ROW_NUMBER() OVER (PARTITION BY cls " +
+      "ORDER BY score DESC, term) AS BIGINT) AS rk FROM sc) " +
+      "SELECT cls, term, tf, score, rk FROM r WHERE rk <= 5 ORDER BY cls, rk"),
+    "x_forecast" -> ("WITH daily AS (SELECT event_type, " +
+      "datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day, " +
+      "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2) " +
+      "SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_eval, " +
+      "CAST(SUM(ABS(a.c - b.c)) AS BIGINT) AS sum_abs_err, " +
+      "CAST(CAST(SUM(ABS(a.c - b.c)) AS BIGINT) AS DOUBLE) / " +
+      "CAST(COUNT(*) AS DOUBLE) AS mae " +
+      "FROM daily a JOIN daily b ON a.event_type = b.event_type " +
+      "AND a.day = b.day + 7 GROUP BY 1 ORDER BY 1"),
     // wedge-counted common neighbors, existing edges NOT EXISTS'd away,
     // one exact integer division at the end
     "x_linkpred" -> ("WITH g AS (" +
@@ -2960,6 +3013,40 @@ object SparkEntry {
   /** k-core peel replay: fixed MATERIALIZED rounds of degree-filter +
     * endpoint restriction over the planted graph (extra rounds past the
     * fixpoint are no-ops) — exact integer counts, no tolerance. */
+  /** Personalized-PageRank replay over plantedEdges: roots are the
+    * nodes divisible by `rootMod` (`nRoots` of them); teleport and
+    * dangling (always 0 on this graph — every node has out-edges, the
+    * term is kept for the operand-tree mirror) return to the roots. */
+  private def pprOracleSql(iters: Int, rootMod: Int, nRoots: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rD = s"$nRoots.0::DOUBLE"
+    parts += ("e AS MATERIALIZED (" + graft.ext.Fixtures.plantedEdgesSql() + ")")
+    parts += ("nd AS MATERIALIZED (SELECT DISTINCT src AS node FROM e " +
+      "UNION SELECT DISTINCT dst FROM e)")
+    parts += "od AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM e GROUP BY 1)"
+    parts += (s"p0 AS MATERIALIZED (SELECT node, CASE WHEN node % $rootMod = 0 " +
+      s"THEN 1.0::DOUBLE / $rD ELSE 0.0::DOUBLE END AS pr FROM nd)")
+    for (i <- 1 to iters) {
+      parts += (s"c$i AS MATERIALIZED (SELECT e.dst, " +
+        "SUM(CAST(FLOOR(p.pr / od.od * 1e12) AS BIGINT)) AS s " +
+        s"FROM p${i - 1} p JOIN od ON p.node = od.src " +
+        "JOIN e ON e.src = od.src GROUP BY 1)")
+      parts += (s"d$i AS MATERIALIZED (SELECT " +
+        "COALESCE(SUM(CAST(FLOOR(p.pr * 1e12) AS BIGINT)), 0) AS dang " +
+        s"FROM p${i - 1} p WHERE NOT EXISTS " +
+        "(SELECT 1 FROM od WHERE od.src = p.node))")
+      parts += (s"p$i AS MATERIALIZED (SELECT nd2.node, " +
+        s"0.85::DOUBLE * (CAST(COALESCE(c$i.s, 0) AS DOUBLE) / 1e12) + " +
+        s"CASE WHEN nd2.node % $rootMod = 0 THEN " +
+        s"(1.0::DOUBLE - 0.85::DOUBLE) / $rD + " +
+        s"0.85::DOUBLE * (CAST(d$i.dang AS DOUBLE) / 1e12 / $rD) " +
+        "ELSE 0.0::DOUBLE END AS pr " +
+        s"FROM nd nd2 LEFT JOIN c$i ON nd2.node = c$i.dst, d$i)")
+    }
+    "WITH " + parts.mkString(", ") +
+      s" SELECT node, pr FROM p$iters ORDER BY node"
+  }
+
   /** HLL register table (p=8) over a CTE of md5 hex strings named `x`. */
   private def hllRegSql(src: String): String =
     "SELECT CAST('0x' || substr(x, 1, 2) AS BIGINT) AS bucket, " +

@@ -80,4 +80,68 @@ object PageRank {
     val out = prFinal.select(col("node"), col("pr"))
     Dedup.finishEager(out, eager, Seq(e, nodes, outdeg))
   }
+
+  /** Personalized PageRank (random walk with restart to a ROOT set):
+    * teleport and dangling mass return uniformly to `roots` instead of
+    * all nodes, so rank measures proximity to the roots — "related
+    * pages/domains/entities from these seeds", the graph-side
+    * recommender that complements embedding neighbors. Same
+    * per-iteration shape, quantization discipline, and determinism
+    * contract as [[run]]; the only new state is a boolean root flag
+    * carried on the rank table (roots with no edges still anchor
+    * teleport — they enter the node set explicitly).
+    *
+    *   pr'(v) = d·Σ_{u→v} pr(u)/outdeg(u)
+    *          + [v∈R]·( (1−d)/|R| + d·dangling/|R| )
+    */
+  def personalized(edges: DataFrame, roots: DataFrame, rootCol: String,
+      iters: Int = 3, damping: Double = 0.85, quantize: Int = 12,
+      eager: Boolean = false): DataFrame = {
+    require(iters > 0 && damping > 0 && damping < 1, "bad pagerank params")
+    require(quantize >= 6 && quantize <= 15, "quantize in [6, 15]")
+    val scale = math.pow(10.0, quantize)
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val r = roots.select(col(rootCol).cast("long").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .unionAll(r.select(col("node"))).distinct()
+      .join(r.withColumn("__isr", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__isr"), lit(false)).as("in_r"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rRow = broadcast(r.agg(count(lit(1)).as("r")))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val pr0 = nodes.crossJoin(rRow)
+      .select(col("node"), col("in_r"),
+        when(col("in_r"), lit(1.0) / col("r")).otherwise(lit(0.0)).as("pr"),
+        col("r"))
+    val prFinal = (1 to iters).foldLeft(pr0) { (pr, _) =>
+      val contribs = pr.join(outdeg, pr("node") === outdeg("src"), "inner")
+        .select(col("src"), (col("pr") / col("od")).as("c"))
+        .join(e, "src")
+        .groupBy(col("dst"))
+        .agg(sum(floor(col("c") * lit(scale)).cast("long")).as("s"))
+      val dangling = broadcast(
+        pr.join(outdeg, pr("node") === outdeg("src"), "left_anti")
+          .agg(coalesce(sum(floor(col("pr") * lit(scale)).cast("long")),
+            lit(0L)).as("dang")))
+      pr.select(col("node"), col("in_r"), col("r"))
+        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(dangling)
+        .select(col("node"), col("in_r"),
+          (lit(damping) *
+            (coalesce(col("s"), lit(0L)).cast("double") / lit(scale)) +
+            when(col("in_r"),
+              (lit(1.0) - lit(damping)) / col("r") +
+                lit(damping) * (col("dang").cast("double") / lit(scale) / col("r")))
+              .otherwise(lit(0.0))).as("pr"),
+          col("r"))
+    }
+    val out = prFinal.select(col("node"), col("pr"))
+    Dedup.finishEager(out, eager, Seq(e, r, nodes, outdeg))
+  }
 }

@@ -672,6 +672,44 @@ object TextAnalysis {
         pmod(col("__g"), lit(budget)).cast("long").as("seq_off"))
   }
 
+  /** Characteristic terms per class (log-free c-TF-IDF, the BERTopic
+    * topic-labeling step): for documents already grouped — by cluster
+    * id, language, source — rank each class's terms by how much the
+    * term's in-class rate outruns its corpus rate:
+    * score(t,c) = (tf_tc · T) / (w_c · f_t), the per-class twin of
+    * [[collocations]]' lift. log(1 + ·) in the original only dampens —
+    * it is monotone in the ratio, so ranking is unchanged and the score
+    * replays bit-for-bit from four exact integer counts.
+    *
+    * Scale shape: ONE corpus scan builds the (class, term) table; class
+    * weights, term totals and T fold from that table (checkpointed —
+    * consumed four ways); the per-class top-k is a rank window with a
+    * LITERAL bound, so WindowGroupLimit prunes each class's term list
+    * map-side. Output: (cls, term, tf, score, rk), k rows per class. */
+  def classTerms(df: DataFrame, classCol: String, textCol: String,
+      k: Int = 5, minTf: Long = 3L): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val tf = df.select(col(classCol).as("cls"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("cls"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val wc = tf.groupBy(col("cls")).agg(sum(col("tf")).as("__wc"))
+    val ft = tf.groupBy(col("term")).agg(sum(col("tf")).as("__ft"))
+    val tot = tf.agg(sum(col("tf")).as("__t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cls")).orderBy(col("score").desc, col("term"))
+    tf.filter(col("tf") >= minTf)
+      .join(broadcast(wc), "cls")
+      .join(ft, "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("score",
+        (col("tf").cast("double") * col("__t").cast("double")) /
+          (col("__wc").cast("double") * col("__ft").cast("double")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("cls"), col("term"), col("tf"), col("score"), col("rk"))
+  }
+
   /** PMI collocation mining — the top-k adjacent word pairs that co-occur
     * far more than their unigram frequencies predict ("new york", not
     * "of the"). The phrase-detection pass a tokenizer-training pipeline

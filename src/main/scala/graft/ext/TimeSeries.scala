@@ -95,4 +95,34 @@ object TimeSeries {
     df.withColumn("ewma",
       units.cast("double") / lit(math.pow(2.0, depth + scaleBits)))
   }
+
+  /** Seasonal-naive forecast backtest: predict each day's volume with
+    * the value one season earlier (the classic "same weekday last week"
+    * baseline every real forecaster must beat), score by MAE over the
+    * days where both sides exist. The honesty check a metrics pipeline
+    * runs BEFORE trusting any fancier model — all error sums are exact
+    * integers, MAE is one division of exact operands.
+    *
+    * Scale shape: one (group, day) hash aggregation over the fact; the
+    * backtest is a group+day equi-join of the bounded daily series with
+    * itself shifted by `season` (never a window over raw events), then
+    * one fold to a row per group. */
+  def seasonalNaiveEval(df: DataFrame, tsCol: String, groupCol: String,
+      season: Int = 7): DataFrame = {
+    require(season >= 1, s"season=$season must be >= 1")
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+      .cast("long")
+    val daily = df.select(col(groupCol), day.as("__day"))
+      .groupBy(col(groupCol), col("__day")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val prior = daily.select(col(groupCol),
+      (col("__day") + season).as("__day"), col("__c").as("__pred"))
+    daily.join(prior, Seq(groupCol, "__day"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("__c") - col("__pred"))).as("sum_abs_err"))
+      .select(col(groupCol), col("n_eval"), col("sum_abs_err"),
+        (col("sum_abs_err").cast("double") / col("n_eval").cast("double"))
+          .as("mae"))
+  }
 }

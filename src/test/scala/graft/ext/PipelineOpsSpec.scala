@@ -170,6 +170,26 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(Diff.rows(b2, a2, Seq("k")).isEmpty)
   }
 
+  test("seasonalNaiveEval: hand MAE over the lag-7 join, flat series scores 0") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.parse("2024-03-01").plusDays(d).atTime(9, 0))
+    val rows =
+      (0 until 7).flatMap(d => (1 to 2).map(_ => ("step", ts(d)))) ++
+      (7 until 14).flatMap(d => (1 to 5).map(_ => ("step", ts(d)))) ++
+      (0 until 14).flatMap(d => (1 to 3).map(_ => ("flat", ts(d))))
+    val got = TimeSeries.seasonalNaiveEval(
+      rows.toDF("event_type", "ts"), "ts", "event_type", season = 7)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // step: 7 eval days, each |5 - 2| = 3 -> sum 21, mae 3.0
+    assert(got("step") == ((7L, 21L, 3.0)))
+    assert(got("flat") == ((7L, 0L, 0.0)))
+    // fewer than `season` days of history -> no eval rows, type absent
+    val short = (0 until 5).map(d => ("tiny", ts(d))).toDF("event_type", "ts")
+    assert(TimeSeries.seasonalNaiveEval(short, "ts", "event_type").isEmpty)
+  }
+
   test("gini: 0 on equal values, (n-1)/n on a monopoly, hand case 0.25") {
     import spark.implicits._
     val df = (

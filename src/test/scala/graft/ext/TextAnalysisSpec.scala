@@ -401,6 +401,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(feats(0).getSeq[Float](3).toSeq == feats(1).getSeq[Float](3).toSeq)
   }
 
+  test("classTerms: distinctive words top their class, shared words score ~1") {
+    import spark.implicits._
+    val docs = (
+      (1 to 10).map(_ => (0, "alpha alpha the words here")) ++
+      (1 to 10).map(_ => (1, "beta beta the words there"))
+    ).toDF("label", "text")
+    val t = TextAnalysis.classTerms(docs, "label", "text", k = 3, minTf = 3L)
+      .collect().map(r => (r.getInt(0), r.getLong(4)) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+    // rank 1 per class is the class-exclusive doubled word
+    assert(t((0, 1L))._1 == "alpha" && t((0, 1L))._2 == 20L)
+    assert(t((1, 1L))._1 == "beta")
+    // "alpha": tf=20, wc=50, ft=20, T=100 -> score = 20*100/(50*20) = 2
+    assert(t((0, 1L))._3 == 2.0)
+    // "the" appears at the base rate everywhere -> score exactly 1
+    val theScores = t.collect { case (_, ("the", _, s)) => s }
+    assert(theScores.nonEmpty && theScores.forall(_ == 1.0))
+  }
+
   test("collocations: planted phrase tops the lift ranking, counts exact") {
     import spark.implicits._
     // "new york" appears 30x and its words appear nowhere else; "of the"
