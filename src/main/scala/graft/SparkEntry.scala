@@ -1477,6 +1477,24 @@ object SparkEntry {
         .select(col("o_orderkey").as("doc"))
       graft.ext.Rank.evalRun(run, rel, "doc", "rank", k = 10)
     }),
+    // Portable fixed-bin quantile sketch: long-exact binning, integer
+    // rank cover, bin-midpoint estimate — the mergeable percentile path
+    "x_qsketch" -> ((s, d) =>
+      graft.ext.Profile.quantileSketch(ev(s, d), "event_type", "value",
+        lo = 0.0, hi = 500.0, bins = 64, qs = Seq(0.5, 0.9, 0.99))
+        .orderBy(col("event_type"), col("q"))),
+    // Streaming fold of the same sketch: per-batch bin deltas SUM into
+    // warehouse state; counters add exactly, so the folded state serves
+    // the IDENTICAL quantiles as the one-shot sketch — same oracle
+    "x_stream_qsketch" -> ((s, d) => {
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_sqsk").toString)
+      val state = graft.streaming.EventStream.runQsketchIngest(s, d, wh,
+        "value_bins")
+      graft.ext.Profile.quantilesFromCounts(state, "event_type",
+        0.0, 500.0, 64, Seq(0.5, 0.9, 0.99))
+        .orderBy(col("event_type"), col("q"))
+    }),
     // Equal-frequency binning: bin = ((rank-1)*k) div n in pure long
     // arithmetic — engine-exact where ntile semantics drift
     "x_eqfreq" -> ((s, d) =>
@@ -2252,6 +2270,8 @@ object SparkEntry {
       "CAST(COALESCE(hits, 0) AS DOUBLE) / 10.0::DOUBLE AS p_at_k, " +
       "CAST(COALESCE(hits, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE) AS r_at_k " +
       "FROM agg, nr"),
+    "x_qsketch" -> qsketchOracleSql,
+    "x_stream_qsketch" -> qsketchOracleSql,
     "x_eqfreq" -> ("WITH q AS (SELECT o_orderpriority AS priority, " +
       "o_totalprice AS v, o_orderkey AS id FROM orders), " +
       "r AS (SELECT priority, v, " +
@@ -3046,6 +3066,27 @@ object SparkEntry {
     "WITH " + parts.mkString(", ") +
       s" SELECT node, pr FROM p$iters ORDER BY node"
   }
+
+  /** Fixed-bin quantile-sketch replay (cents 0..50000, 64 bins) — shared
+    * by the batch gate and the streaming fold gate: counters add
+    * exactly, so the folded state serves identical quantiles. */
+  private def qsketchOracleSql: String =
+    "WITH q0 AS (SELECT event_type, " +
+      "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x FROM events), " +
+      "c AS (SELECT event_type, " +
+      "((LEAST(GREATEST(x, 0), 50000) - 0) * 64) // 50001 AS bin, " +
+      "COUNT(*) AS cnt FROM q0 GROUP BY 1, 2), " +
+      "w AS (SELECT event_type, bin, cnt, " +
+      "SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum, " +
+      "SUM(cnt) OVER (PARTITION BY event_type) AS n FROM c), " +
+      "qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q) " +
+      "SELECT w.event_type, qs.q, CAST(n AS BIGINT) AS n, CAST(bin AS BIGINT) AS bin, " +
+      "0.0::DOUBLE + (CAST(bin AS DOUBLE) + 0.5::DOUBLE) * " +
+      "((500.0::DOUBLE - 0.0::DOUBLE) / 64.0::DOUBLE) AS est " +
+      "FROM w, qs " +
+      "WHERE CAST(FLOOR(qs.q * CAST(n - 1 AS DOUBLE)) AS BIGINT) >= cum - cnt " +
+      "AND CAST(FLOOR(qs.q * CAST(n - 1 AS DOUBLE)) AS BIGINT) <= cum - 1 " +
+      "ORDER BY 1, 2"
 
   /** HLL register table (p=8) over a CTE of md5 hex strings named `x`. */
   private def hllRegSql(src: String): String =

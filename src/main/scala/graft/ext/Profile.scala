@@ -289,6 +289,71 @@ object Profile {
           .otherwise(lit(null).cast("double")).as("z"))
   }
 
+  /** Fixed-bin histogram counts for [[quantileSketch]]: values quantize
+    * to cents, clamp into [lo, hi], and bin by PURE LONG arithmetic
+    * ((x − lo)·bins div span) — so the (group, bin, cnt) table is exact,
+    * engine-portable, and MERGEABLE BY ADDITION: per-batch deltas sum
+    * cell-wise into warehouse state the way [[CountMin]] cells do, which
+    * is what makes the sketch streamable and incrementally maintainable
+    * where an exact percentile buffer is neither. One map-side-combining
+    * aggregation; ≤ groups·bins rows out regardless of corpus size. */
+  def quantileBinCounts(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1 && hi > lo, s"need hi > lo and bins >= 1")
+    val loC = BigDecimal(lo).setScale(2) * 100
+    val hiC = BigDecimal(hi).setScale(2) * 100
+    val span = hiC.toLongExact - loC.toLongExact + 1
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val x = (col(valueCol).cast(d2) * lit(100))
+      .cast(org.apache.spark.sql.types.DecimalType(20, 0)).cast("long")
+    val clamped = least(greatest(x, lit(loC.toLongExact)), lit(hiC.toLongExact))
+    df.select(col(groupCol), clamped.as("__c"))
+      .select(col(groupCol),
+        expr(s"((__c - ${loC.toLongExact}L) * $bins) div ${span}L").as("bin"))
+      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a (group, bin, cnt) table built by
+    * [[quantileBinCounts]] (directly, or folded from streamed deltas):
+    * for each q the covering bin is found by exact integer rank
+    * arithmetic over the per-group cumulative counts, and the estimate
+    * is the bin midpoint — error bounded by (hi−lo)/(2·bins) by
+    * construction, every operand in one fixed double tree. Runs
+    * entirely on the bins·groups table; nothing touches raw data. */
+  def quantilesFromCounts(counts: DataFrame, groupCol: String, lo: Double,
+      hi: Double, bins: Int, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must be in [0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val t = floor(col("q") * (col("n") - 1).cast("double")).cast("long")
+    val qdf = counts.sparkSession.range(1)
+      .select(explode(array(qs.map(q => lit(q)): _*)).as("q"))
+    counts
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wg))
+      .crossJoin(broadcast(qdf))
+      .filter(t >= col("cum") - col("cnt") && t <= col("cum") - 1)
+      .select(col(groupCol), col("q"), col("n"), col("bin"),
+        (lit(lo) + (col("bin").cast("double") + lit(0.5)) *
+          ((lit(hi) - lit(lo)) / lit(bins.toDouble))).as("est"))
+  }
+
+  /** Portable fixed-bin quantile sketch — the approximate-percentile
+    * path that survives 100 TB and streaming, where exact `percentile`
+    * buffers every group's values and `approx_percentile`'s digest is
+    * engine-private (unreplayable, unmergeable across engines). Fixed
+    * [lo, hi] edges are the contract that makes sketches from different
+    * batches/engines/days addable; pick them from domain knowledge or a
+    * prior profile pass. */
+  def quantileSketch(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, bins: Int, qs: Seq[Double]): DataFrame =
+    quantilesFromCounts(
+      quantileBinCounts(df, groupCol, valueCol, lo, hi, bins),
+      groupCol, lo, hi, bins, qs)
+
   /** Per-group Pearson correlation from the same exact-sufficient-
     * statistics pattern as [[linearFit]] (one aggregation however large
     * the fact), extended with Σy². The closed form

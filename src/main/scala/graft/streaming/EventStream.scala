@@ -215,6 +215,44 @@ object EventStream {
     warehouse.read(fact).get.select(col("row"), col("pos"), col("cnt"))
   }
 
+  /** Streaming quantile-sketch ingestion — the p99-over-all-time query
+    * from O(groups·bins) warehouse state: each micro-batch bins its
+    * values ([[graft.ext.Profile.quantileBinCounts]] — fixed edges are
+    * the mergeability contract) and the deltas SUM cell-wise into the
+    * state table, exactly the [[runCmsIngest]] counter fold (same
+    * at-most-once caveat: counters add, so a replayed batch double-
+    * counts; idempotence needs the HLL-style MAX fold, which counters
+    * don't admit). Serving a quantile reads groups·bins rows, never an
+    * event. */
+  def runQsketchIngest(spark: SparkSession, sfDir: String,
+      warehouse: graft.snapshot.Warehouse, fact: String,
+      lo: Double = 0.0, hi: Double = 500.0, bins: Int = 64): DataFrame = {
+    val dir = graft.TempDirs.scratchDir("graft_qsk_stream")
+    val src = graft.Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("value"))
+    src.repartition(3).write.mode("overwrite").parquet(dir.toString)
+    val q = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = graft.ext.Profile.quantileBinCounts(
+            batch, "event_type", "value", lo, hi, bins)
+          .withColumn("year", lit(0L))
+        warehouse.read(fact) match {
+          case None => warehouse.append(fact, delta)
+          case Some(old) =>
+            val merged = old.unionByName(delta)
+              .groupBy(col("year"), col("event_type"), col("bin"))
+              .agg(sum(col("cnt")).as("cnt"))
+            warehouse.merge(fact, merged,
+              keys = Seq("year", "event_type", "bin"), validateKeys = false)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    warehouse.read(fact).get.select(col("event_type"), col("bin"), col("cnt"))
+  }
+
   /** Streaming exact dedup: first occurrence per key set wins, with state
     * BOUNDED by the watermark (`dropDuplicatesWithinWatermark` evicts keys
     * once the watermark passes them — the unbounded-state `dropDuplicates`

@@ -190,6 +190,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(TimeSeries.seasonalNaiveEval(short, "ts", "event_type").isEmpty)
   }
 
+  test("quantileSketch: estimates within half a bin of exact; clamping; mergeable") {
+    import spark.implicits._
+    val vals = (1 to 1000).map(i => ("g", i.toDouble))
+    val df = vals.toDF("grp", "v")
+    val halfBin = (1000.0 - 0.0) / 64.0 / 2.0
+    val est = Profile.quantileSketch(df, "grp", "v", 0.0, 1000.0, 64,
+        Seq(0.5, 0.9)).collect()
+      .map(r => r.getDouble(1) -> r.getDouble(4)).toMap
+    assert(math.abs(est(0.5) - 500.0) <= halfBin + 1.0)
+    assert(math.abs(est(0.9) - 900.0) <= halfBin + 1.0)
+    // out-of-range values clamp into the edge bins, never vanish
+    val dirty = (vals ++ Seq(("g", -50.0), ("g", 5000.0))).toDF("grp", "v")
+    val n = Profile.quantileSketch(dirty, "grp", "v", 0.0, 1000.0, 64, Seq(0.5))
+      .head().getLong(2)
+    assert(n == 1002L)
+    // mergeability: summing two halves' bin counts == one-shot counts
+    val (a, b) = vals.splitAt(500)
+    val merged = Profile.quantileBinCounts(a.toDF("grp", "v"), "grp", "v", 0.0, 1000.0, 64)
+      .unionAll(Profile.quantileBinCounts(b.toDF("grp", "v"), "grp", "v", 0.0, 1000.0, 64))
+      .groupBy("grp", "bin").agg(sum("cnt").as("cnt"))
+      .orderBy("bin").as[(String, Long, Long)].collect().toSeq
+    val oneShot = Profile.quantileBinCounts(df, "grp", "v", 0.0, 1000.0, 64)
+      .orderBy("bin").as[(String, Long, Long)].collect().toSeq
+    assert(merged == oneShot)
+  }
+
   test("gini: 0 on equal values, (n-1)/n on a monopoly, hand case 0.25") {
     import spark.implicits._
     val df = (

@@ -70,6 +70,18 @@ class EventStreamSpec extends SparkTestBase {
     assert(folded == oneShot, "SUM-merge across batches must be lossless")
   }
 
+  test("streaming quantile-sketch ingestion: folded bins equal the one-shot sketch") {
+    val wh = new graft.snapshot.Warehouse(spark,
+      graft.TempDirs.scratchDir("sqsk_spec").toString)
+    val folded = EventStream.runQsketchIngest(spark, sf("sf0.001"), wh, "qb")
+      .orderBy("event_type", "bin").as[(String, Long, Long)].collect().toSeq
+    val oneShot = graft.ext.Profile.quantileBinCounts(
+      graft.Tables.load(spark, sf("sf0.001"), "events"),
+      "event_type", "value", 0.0, 500.0, 64)
+      .orderBy("event_type", "bin").as[(String, Long, Long)].collect().toSeq
+    assert(folded == oneShot, "bin counters must SUM losslessly across batches")
+  }
+
   test("sessionization: state machine closes sessions on inactivity gaps") {
     // deterministic micro-stream via a temp parquet dir in the events schema
     val dir = java.nio.file.Files.createTempDirectory("sess_src")
