@@ -333,6 +333,44 @@ object ScaleDemo {
       println(f"""{"op": "zorder", "rows": ${k * 150000}, "files": $all, "files_key": $byKey, "files_price": $byPrice, "seconds": $secs%.1f}""")
       spark.catalog.clearCache()
     }
+    // Round-7 continuation-3 families at Kx
+    timed("collocations") {
+      graft.ext.TextAnalysis.collocations(corpus, "text",
+        minCount = 5L, k = 20).count()
+    }
+    timed("weighted_sample") {
+      graft.ext.Sampling.weightedSystematic(
+        corpus.select(col("doc_id"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).as("w")),
+        "doc_id", "w", step = 256, buckets = 64).count()
+    }
+    timed("class_terms") {
+      graft.ext.TextAnalysis.classTerms(
+        corpus.select((col("doc_id") % 16).as("cls"), col("text")),
+        "cls", "text", k = 5, minTf = 3L).count()
+    }
+    locally {
+      val t0 = System.nanoTime()
+      val ord0 = graft.Tables.load(spark, "/root/testdata/sf0.1", "orders")
+      val ordK = (0 until k).map { i =>
+        ord0.select((col("o_orderkey") + lit(i.toLong * 10000000L)).as("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+      }.reduce(_ unionByName _)
+      val g = graft.ext.Profile.gini(
+        ordK.select(col("o_orderpriority").as("g"),
+          col("o_totalprice").as("v")), "g", "v").count()
+      val z = graft.ext.Profile.zscore(
+        ordK.select(col("o_orderpriority").as("g"),
+          col("o_orderkey").as("id"), col("o_totalprice").as("v")),
+        "g", "id", "v").filter(col("id") % 9973 === 0).count()
+      val qk = graft.ext.Profile.quantileSketch(
+        ordK.select(col("o_orderpriority").as("g"),
+          col("o_totalprice").as("v")), "g", "v",
+        0.0, 600000.0, 256, Seq(0.5, 0.99)).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op": "stats_family", "rows": ${k * 150000}, "gini_groups": $g, "z_rows": $z, "q_rows": $qk, "seconds": $secs%.1f}""")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
