@@ -1477,6 +1477,24 @@ object SparkEntry {
         .select(col("o_orderkey").as("doc"))
       graft.ext.Rank.evalRun(run, rel, "doc", "rank", k = 10)
     }),
+    // EXACT per-group median via bucketed prefix counts: two shuffle-
+    // bounded passes, no per-group value buffer anywhere — the lake-
+    // scale order statistic
+    "x_exact_median" -> ((s, d) =>
+      graft.ext.Profile.exactQuantile(
+        ord(s, d).select(col("o_orderpriority").as("priority"),
+          col("o_totalprice").as("v")),
+        "priority", "v", q = 0.5)
+        .orderBy(col("priority"))),
+    // Per-priority modal weekday (epoch-day % 7 — engine-neutral dow),
+    // ties to the smallest value
+    "x_mode" -> ((s, d) =>
+      graft.ext.Stats.mode(
+        ord(s, d).select(col("o_orderpriority").as("priority"),
+          pmod(datediff(to_date(col("o_orderdate")),
+            lit("1970-01-01").cast("date")).cast("long"), lit(7L)).as("dow")),
+        "priority", "dow")
+        .orderBy(col("priority"))),
     // Portable fixed-bin quantile sketch: long-exact binning, integer
     // rank cover, bin-midpoint estimate — the mergeable percentile path
     "x_qsketch" -> ((s, d) =>
@@ -2270,6 +2288,25 @@ object SparkEntry {
       "CAST(COALESCE(hits, 0) AS DOUBLE) / 10.0::DOUBLE AS p_at_k, " +
       "CAST(COALESCE(hits, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE) AS r_at_k " +
       "FROM agg, nr"),
+    // the exact order statistic at rank floor(0.5*(n-1)): replay with a
+    // plain per-group rank — bucketing is an execution detail
+    "x_exact_median" -> ("WITH q0 AS (SELECT o_orderpriority AS priority, " +
+      "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x FROM orders), " +
+      "r AS (SELECT priority, x, " +
+      "ROW_NUMBER() OVER (PARTITION BY priority ORDER BY x) AS rn, " +
+      "COUNT(*) OVER (PARTITION BY priority) AS n FROM q0) " +
+      "SELECT priority, CAST(n AS BIGINT) AS n, " +
+      "CAST(x AS DOUBLE) / 100.0::DOUBLE AS value FROM r " +
+      "WHERE rn - 1 = CAST(FLOOR(0.5::DOUBLE * CAST(n - 1 AS DOUBLE)) AS BIGINT) " +
+      "ORDER BY 1"),
+    "x_mode" -> ("WITH d AS (SELECT o_orderpriority AS priority, " +
+      "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 7 AS dow " +
+      "FROM orders), " +
+      "c AS (SELECT priority, dow, COUNT(*) AS cnt FROM d GROUP BY 1, 2), " +
+      "r AS (SELECT priority, dow, cnt, ROW_NUMBER() OVER " +
+      "(PARTITION BY priority ORDER BY cnt DESC, dow) AS rk FROM c) " +
+      "SELECT priority, CAST(dow AS BIGINT) AS mode, CAST(cnt AS BIGINT) AS cnt " +
+      "FROM r WHERE rk = 1 ORDER BY 1"),
     "x_qsketch" -> qsketchOracleSql,
     "x_stream_qsketch" -> qsketchOracleSql,
     "x_eqfreq" -> ("WITH q AS (SELECT o_orderpriority AS priority, " +

@@ -354,6 +354,53 @@ object Profile {
       quantileBinCounts(df, groupCol, valueCol, lo, hi, bins),
       groupCol, lo, hi, bins, qs)
 
+  /** EXACT per-group quantile at lake scale — the two-scan route that
+    * backs the "swap the in-group sort for a bucketed prefix count"
+    * notes on [[gini]]/[[equalFreqBins]]: exact `percentile` buffers
+    * every group value on one task; this never materializes a group.
+    * Pass 1 counts (group, bucket) with bucket = cents >> bucketBits
+    * (arithmetic shift = floor division, negatives included) and finds
+    * each group's target bucket + in-bucket offset by integer rank
+    * arithmetic. Pass 2 ranks ONLY the target buckets' rows (≈ n/2^bits
+    * of each group, the one data-dependent knob) and picks the value at
+    * the offset — the exact order statistic, no approximation, no
+    * per-group value buffer, both passes shuffle-bounded.
+    *
+    * The value at a rank is well-defined under ties whatever the tie
+    * order, so the nondeterministic in-bucket tie break cannot change
+    * the output. Returns (group, n, value) for
+    * rank floor(q·(n−1)), value in currency units. */
+  def exactQuantile(df: DataFrame, groupCol: String, valueCol: String,
+      q: Double, bucketBits: Int = 10): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"q=$q out of [0, 1]")
+    require(bucketBits >= 0 && bucketBits <= 40, "bucketBits in [0, 40]")
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val base = df.select(col(groupCol),
+        (col(valueCol).cast(d2) * lit(100))
+          .cast(org.apache.spark.sql.types.DecimalType(20, 0)).cast("long")
+          .as("__x"))
+      .withColumn("__b", shiftright(col("__x"), bucketBits))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val t = floor(lit(q) * (col("__n") - 1).cast("double")).cast("long")
+    val targets = base.groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(wg))
+      .filter(t >= col("__cum") - col("__c") && t <= col("__cum") - 1)
+      .select(col(groupCol), col("__b"),
+        (t - (col("__cum") - col("__c"))).as("__off"), col("__n"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__x"))
+    base.join(broadcast(targets), Seq(groupCol, "__b"))
+      .withColumn("__rn", row_number().over(win).cast("long"))
+      .filter(col("__rn") - 1 === col("__off"))
+      .select(col(groupCol), col("__n").as("n"),
+        (col("__x").cast("double") / lit(100.0)).as("value"))
+  }
+
   /** Per-group Pearson correlation from the same exact-sufficient-
     * statistics pattern as [[linearFit]] (one aggregation however large
     * the fact), extended with Σy². The closed form

@@ -187,6 +187,20 @@ object Stats {
         .otherwise(lit(null).cast("double")).as("z"))
   }
 
+  /** Per-group mode (most frequent value, ties to the smallest) — the
+    * ordered-set aggregate SQL surfaces call MODE() WITHIN GROUP: one
+    * (group, value) hash aggregation bounded by value cardinality, one
+    * per-group argmax window. Output (group, mode, cnt). */
+  def mode(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("cnt").desc, col("mode"))
+    df.select(col(groupCol), col(valueCol).as("mode"))
+      .groupBy(col(groupCol), col("mode")).agg(count(lit(1)).as("cnt"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(groupCol), col("mode"), col("cnt"))
+  }
+
   /** Single changepoint detection per group (binary-segmentation
     * statistic over the daily volume series): the split day t maximizing
     * the between-segment contrast

@@ -190,6 +190,27 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(TimeSeries.seasonalNaiveEval(short, "ts", "event_type").isEmpty)
   }
 
+  test("exactQuantile: the true order statistic, negatives included, q edges") {
+    import spark.implicits._
+    val vals = Seq(-3.5, -1.0, 0.0, 2.25, 7.0, 7.0, 9.5, 100.0)
+    val df = vals.map(("g", _)).toDF("grp", "v")
+    def at(q: Double) = Profile.exactQuantile(df, "grp", "v", q, bucketBits = 4)
+      .head()
+    // n=8: rank floor(q*7) of the ascending list
+    assert(at(0.5).getDouble(2) == 2.25)  // rank 3
+    assert(at(0.0).getDouble(2) == -3.5)  // rank 0
+    assert(at(1.0).getDouble(2) == 100.0) // rank 7
+    assert(at(0.5).getLong(1) == 8L)
+    // ties at the picked rank: value is the tied value, deterministically
+    assert(at(0.6).getDouble(2) == 7.0 && at(0.75).getDouble(2) == 7.0)
+    // cross-check against Spark's exact percentile on a bigger frame
+    // (percentile_disc-style lower rank: floor((n-1)*q))
+    val big = (1 to 997).map(i => ("h", (i * 13 % 997).toDouble)).toDF("grp", "v")
+    val got = Profile.exactQuantile(big, "grp", "v", 0.25).head().getDouble(2)
+    val sorted = (1 to 997).map(i => (i * 13 % 997).toDouble).sorted
+    assert(got == sorted(math.floor(0.25 * 996).toInt))
+  }
+
   test("quantileSketch: estimates within half a bin of exact; clamping; mergeable") {
     import spark.implicits._
     val vals = (1 to 1000).map(i => ("g", i.toDouble))

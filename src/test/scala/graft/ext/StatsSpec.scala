@@ -93,6 +93,16 @@ class StatsSpec extends SparkTestBase {
     assert(sep.getLong(2) == 4L && sep.getDouble(3) == 1.0)
   }
 
+  test("mode: frequency wins, ties break to the smallest value") {
+    import spark.implicits._
+    val df = (Seq.fill(3)(("g", 7L)) ++ Seq.fill(5)(("g", 2L)) ++
+      Seq.fill(4)(("h", 9L)) ++ Seq.fill(4)(("h", 1L))).toDF("grp", "v")
+    val m = Stats.mode(df, "grp", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("g") == ((2L, 5L)))  // 5 beats 3
+    assert(m("h") == ((1L, 4L)))  // 4-4 tie -> smaller value
+  }
+
   test("changepoint finds the planted level shift; flat series ties to day one") {
     import spark.implicits._
     def ts(d: Int) = java.sql.Timestamp.valueOf(
