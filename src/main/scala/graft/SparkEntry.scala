@@ -1477,6 +1477,33 @@ object SparkEntry {
         .select(col("o_orderkey").as("doc"))
       graft.ext.Rank.evalRun(run, rel, "doc", "rank", k = 10)
     }),
+    // Percent-of-parent through the OLAP API: month revenue share of its
+    // year + rank, windows over the GROUPS-sized drilldown output; the
+    // parent total re-sums through DECIMAL (order-independent)
+    "x_share" -> ((s, d) =>
+      AggregateService.shareOfParent(ordDated(s, d),
+        ordMeta(mExpr("value", moneySum("o_totalprice"))),
+        AggregateService.Request.fromParams(None,
+          Some("date:year|date:month"), None),
+        parentLevels = Seq("year"), measureName = "value")
+        .orderBy(col("year"), col("month"))),
+    // Streaming EXACT moments fold: per-batch (n, Σx, Σx² hi/lo) integer
+    // sums add losslessly into warehouse state; mean/std over all time
+    // from one row per group
+    "x_stream_moments" -> ((s, d) => {
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_smom").toString)
+      val st = graft.streaming.EventStream.runMomentsIngest(s, d, wh,
+        "value_moments")
+      val nD = col("n").cast("double")
+      val sD = col("s").cast("double")
+      val sxx = col("sh").cast("double") * lit(4294967296.0) +
+        col("sl").cast("double")
+      st.select(col("event_type"), col("n"),
+          (sD / nD / lit(100.0)).as("mean"),
+          (sqrt((nD * sxx - sD * sD) / (nD * nD)) / lit(100.0)).as("std"))
+        .orderBy(col("event_type"))
+    }),
     // EXACT per-group median via bucketed prefix counts: two shuffle-
     // bounded passes, no per-group value buffer anywhere — the lake-
     // scale order statistic
@@ -2288,6 +2315,29 @@ object SparkEntry {
       "CAST(COALESCE(hits, 0) AS DOUBLE) / 10.0::DOUBLE AS p_at_k, " +
       "CAST(COALESCE(hits, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE) AS r_at_k " +
       "FROM agg, nr"),
+    "x_share" -> ("WITH m AS (SELECT EXTRACT(YEAR FROM o_orderdate) AS year, " +
+      "EXTRACT(MONTH FROM o_orderdate) AS month, " +
+      "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS vd FROM orders GROUP BY 1, 2) " +
+      "SELECT year, month, CAST(vd AS DOUBLE) AS value, " +
+      "CAST(SUM(vd) OVER (PARTITION BY year) AS DOUBLE) AS parent_total, " +
+      "CAST(vd AS DOUBLE) / CAST(SUM(vd) OVER (PARTITION BY year) AS DOUBLE) AS share, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY year " +
+      "ORDER BY CAST(vd AS DOUBLE) DESC, month) AS BIGINT) AS rank_in_parent " +
+      "FROM m ORDER BY year, month"),
+    // the four state integers computed directly; mean/std through the
+    // identical double trees — fold == one-shot because sums add exactly
+    "x_stream_moments" -> ("WITH q AS (SELECT event_type, " +
+      "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x FROM events), " +
+      "s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(x) AS BIGINT) AS s, " +
+      "CAST(SUM((x * x) >> 32) AS BIGINT) AS sh, " +
+      "CAST(SUM((x * x) & 4294967295) AS BIGINT) AS sl FROM q GROUP BY 1) " +
+      "SELECT event_type, n, " +
+      "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0::DOUBLE AS mean, " +
+      "SQRT((CAST(n AS DOUBLE) * (CAST(sh AS DOUBLE) * 4294967296.0::DOUBLE + " +
+      "CAST(sl AS DOUBLE)) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 100.0::DOUBLE AS std " +
+      "FROM s ORDER BY 1"),
     // the exact order statistic at rank floor(0.5*(n-1)): replay with a
     // plain per-group rank — bucketing is an execution detail
     "x_exact_median" -> ("WITH q0 AS (SELECT o_orderpriority AS priority, " +

@@ -93,6 +93,42 @@ object AggregateService {
     }
   }
 
+  /** Percent-of-parent (the classic BI "contribution" measure — share of
+    * the parent subtotal, plus rank within the parent): runs a normal
+    * [[aggregate]] drilldown, then derives each row's share of its
+    * parent-level total with windows OVER THE AGGREGATED OUTPUT — a
+    * groups-sized frame, so the windows cost nothing at any fact scale.
+    * `parentLevels` names the drilldown columns that define the parent
+    * (e.g. year, with month as the child); share is one division of the
+    * already-exact aggregates. The reference's clients compute this by
+    * issuing the parent drilldown separately and dividing client-side
+    * (README.md:138-150 composition) — here it is one call, one scan. */
+  def shareOfParent(fact: DataFrame, meta: FactMeta, req: Request,
+      parentLevels: Seq[String], measureName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = aggregate(fact, meta, req)
+    require(parentLevels.forall(base.columns.contains),
+      s"parent levels ${parentLevels.mkString(",")} must be drilldown columns")
+    require(base.columns.contains(measureName),
+      s"measure $measureName absent from the drilldown output")
+    val wp = Window.partitionBy(parentLevels.map(col): _*)
+    val childKeys = base.columns.filterNot(parentLevels.contains)
+      .filterNot(_ == measureName)
+    val wr = Window.partitionBy(parentLevels.map(col): _*)
+      .orderBy(col(measureName).desc +: childKeys.map(col): _*)
+    // the parent total re-sums through DECIMAL: measure doubles are exact
+    // 2-decimal values by the repo's money invariant, and a double window
+    // sum would be partition-order-dependent — the one nondeterminism
+    // this API must not have
+    val dec = org.apache.spark.sql.types.DecimalType(38, 2)
+    base
+      .withColumn("parent_total",
+        sum(col(measureName).cast(dec)).over(wp).cast("double"))
+      .withColumn("share",
+        col(measureName).cast("double") / col("parent_total"))
+      .withColumn("rank_in_parent", row_number().over(wr).cast("long"))
+  }
+
   /** Rollup convenience (SURVEY §2.5 "Grouping sets"): the reference
     * composes rollups client-side from one drilldown call per level; this
     * computes all prefixes of the resolved level path in one pass

@@ -253,6 +253,50 @@ object EventStream {
     warehouse.read(fact).get.select(col("event_type"), col("bin"), col("cnt"))
   }
 
+  /** Streaming EXACT moment statistics — unlike the HLL/CMS/quantile
+    * folds this one is not approximate at all: per-group (n, Σx, Σx²)
+    * are plain integer sums (cents; Σx² through the hi/lo split-word
+    * sums of `Profile.correlation`, so the fold stays exact past 2^63),
+    * and sums add across batches losslessly — the folded state serves
+    * mean/stddev/z-scores over ALL TIME from one row per group, with no
+    * event ever re-read. Same warehouse fold and at-most-once caveat as
+    * [[runCmsIngest]]. */
+  def runMomentsIngest(spark: SparkSession, sfDir: String,
+      warehouse: graft.snapshot.Warehouse, fact: String): DataFrame = {
+    val dir = graft.TempDirs.scratchDir("graft_mom_stream")
+    val src = graft.Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("value"))
+    src.repartition(3).write.mode("overwrite").parquet(dir.toString)
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val q = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val x = (col("value").cast(d2) * lit(100))
+          .cast(org.apache.spark.sql.types.DecimalType(20, 0)).cast("long")
+        val delta = batch.select(col("event_type"), x.as("__x"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("__x")).as("s"),
+            sum(shiftright(col("__x") * col("__x"), 32)).as("sh"),
+            sum((col("__x") * col("__x")).bitwiseAND(lit(4294967295L))).as("sl"))
+          .withColumn("year", lit(0L))
+        warehouse.read(fact) match {
+          case None => warehouse.append(fact, delta)
+          case Some(old) =>
+            val merged = old.unionByName(delta)
+              .groupBy(col("year"), col("event_type"))
+              .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+                sum(col("sh")).as("sh"), sum(col("sl")).as("sl"))
+            warehouse.merge(fact, merged,
+              keys = Seq("year", "event_type"), validateKeys = false)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    warehouse.read(fact).get
+      .select(col("event_type"), col("n"), col("s"), col("sh"), col("sl"))
+  }
+
   /** Streaming exact dedup: first occurrence per key set wins, with state
     * BOUNDED by the watermark (`dropDuplicatesWithinWatermark` evicts keys
     * once the watermark passes them — the unbounded-state `dropDuplicates`

@@ -116,4 +116,20 @@ class AggregateServiceSpec extends SparkTestBase {
     val r = AggregateService.aggregate(fact, m2, req(measure = "ct"))
     assert(r.columns.toSeq == Seq("ct"))
   }
+
+  test("shareOfParent: shares sum to 1 per parent, rank follows size") {
+    val r = AggregateService.shareOfParent(fact, meta,
+      req(drill = "date:year|date:month"),
+      parentLevels = Seq("year"), measureName = "value")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getDouble(3), x.getDouble(4), x.getLong(5))).toMap
+    // 2024: months 1 (15) and 2 (7) of 22; 2023: month 12 alone
+    assert(r((2024L, 1L))._1 == 22.0 && r((2024L, 1L))._2 == 15.0 / 22.0)
+    assert(r((2024L, 2L))._2 == 7.0 / 22.0)
+    assert(r((2023L, 12L))._2 == 1.0 && r((2023L, 12L))._3 == 1L)
+    assert(r((2024L, 1L))._3 == 1L && r((2024L, 2L))._3 == 2L)
+    // shares within each parent sum to exactly 1 (exact decimal total)
+    val by2024 = Seq(r((2024L, 1L))._2, r((2024L, 2L))._2).sum
+    assert(math.abs(by2024 - 1.0) < 1e-15)
+  }
 }

@@ -82,6 +82,24 @@ class EventStreamSpec extends SparkTestBase {
     assert(folded == oneShot, "bin counters must SUM losslessly across batches")
   }
 
+  test("streaming moments ingestion: folded integer sums equal the one-shot statistics") {
+    val wh = new graft.snapshot.Warehouse(spark,
+      graft.TempDirs.scratchDir("smom_spec").toString)
+    val folded = EventStream.runMomentsIngest(spark, sf("sf0.001"), wh, "mo")
+      .orderBy("event_type").as[(String, Long, Long, Long, Long)].collect().toSeq
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val x = (col("value").cast(d2) * lit(100))
+      .cast(org.apache.spark.sql.types.DecimalType(20, 0)).cast("long")
+    val oneShot = graft.Tables.load(spark, sf("sf0.001"), "events")
+      .select(col("event_type"), x.as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(shiftright(col("x") * col("x"), 32)).as("sh"),
+        sum((col("x") * col("x")).bitwiseAND(lit(4294967295L))).as("sl"))
+      .orderBy("event_type").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(folded == oneShot, "moment sums must fold losslessly across batches")
+  }
+
   test("sessionization: state machine closes sessions on inactivity gaps") {
     // deterministic micro-stream via a temp parquet dir in the events schema
     val dir = java.nio.file.Files.createTempDirectory("sess_src")
