@@ -1477,6 +1477,24 @@ object SparkEntry {
         .select(col("o_orderkey").as("doc"))
       graft.ext.Rank.evalRun(run, rel, "doc", "rank", k = 10)
     }),
+    // JSON property extraction from the events props column: parse once
+    // in the scan projection, aggregate the typed value
+    "x_json" -> ((s, d) =>
+      ev(s, d).select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(countAll.as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("nd_k"))
+        .orderBy(col("event_type"))),
+    // Pareto front per priority: how many customers carry 80% of the
+    // revenue — the front boundary is an exact decimal cross-product
+    "x_pareto" -> ((s, d) =>
+      graft.ext.Stats.paretoFront(
+        ord(s, d).select(col("o_orderpriority").as("priority"),
+          col("o_custkey"), col("o_totalprice")),
+        "priority", "o_custkey", "o_totalprice", num = 4, den = 5)
+        .orderBy(col("priority"))),
     // Percent-of-parent through the OLAP API: month revenue share of its
     // year + rank, windows over the GROUPS-sized drilldown output; the
     // parent total re-sums through DECIMAL (order-independent)
@@ -2315,6 +2333,24 @@ object SparkEntry {
       "CAST(COALESCE(hits, 0) AS DOUBLE) / 10.0::DOUBLE AS p_at_k, " +
       "CAST(COALESCE(hits, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE) AS r_at_k " +
       "FROM agg, nr"),
+    "x_json" -> ("WITH q AS (SELECT event_type, " +
+      "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) " +
+      "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k, " +
+      "CAST(COUNT(DISTINCT k) AS BIGINT) AS nd_k " +
+      "FROM q GROUP BY 1 ORDER BY 1"),
+    // front membership: cum_before*5 < total*4 in exact DECIMAL
+    "x_pareto" -> ("WITH u AS (SELECT o_orderpriority AS priority, " +
+      "o_custkey AS cu, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS uv " +
+      "FROM orders GROUP BY 1, 2), " +
+      "w AS (SELECT priority, uv, COALESCE(SUM(uv) OVER (PARTITION BY priority " +
+      "ORDER BY uv DESC, cu ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef, " +
+      "SUM(uv) OVER (PARTITION BY priority) AS tot FROM u) " +
+      "SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_units, " +
+      "CAST(SUM(CASE WHEN bef * 5 < tot * 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_front, " +
+      "CAST(SUM(CASE WHEN bef * 5 < tot * 4 THEN uv ELSE 0 END) AS DOUBLE) / " +
+      "CAST(SUM(uv) AS DOUBLE) AS front_share " +
+      "FROM w GROUP BY 1 ORDER BY 1"),
     "x_share" -> ("WITH m AS (SELECT EXTRACT(YEAR FROM o_orderdate) AS year, " +
       "EXTRACT(MONTH FROM o_orderdate) AS month, " +
       "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS vd FROM orders GROUP BY 1, 2) " +

@@ -187,6 +187,44 @@ object Stats {
         .otherwise(lit(null).cast("double")).as("z"))
   }
 
+  /** Pareto front per group — "how many units carry `num/den` of the
+    * value" (the 80/20 concentration question behind curation decisions
+    * like "how many domains cover 80% of the corpus"). A unit belongs to
+    * the front while the cumulative value BEFORE it is still short of
+    * the threshold, tested as the EXACT decimal cross-product
+    * cum_before·den < total·num — no percentage double ever computed,
+    * so the front boundary cannot jitter across engines.
+    *
+    * Scale shape: one (group, unit) aggregation over the fact, then
+    * windows over the unit table (bounded by unit cardinality) ordered
+    * by (value desc, unit) — deterministic under value ties. Output one
+    * row per group: (group, n_units, n_front, front_share). */
+  def paretoFront(df: DataFrame, groupCol: String, unitCol: String,
+      valueCol: String, num: Int = 4, den: Int = 5): DataFrame = {
+    require(num > 0 && den > 0 && num < den, s"need 0 < $num/$den < 1")
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 2)
+    val units = df.select(col(groupCol), col(unitCol).as("__u"),
+        col(valueCol).cast(d2).as("__v"))
+      .groupBy(col(groupCol), col("__u"))
+      .agg(sum(col("__v")).cast(dec).as("__uv"))
+    val wo = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__uv").desc, col("__u"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    units
+      .withColumn("__before", coalesce(sum(col("__uv")).over(wo),
+        lit(0).cast(dec)))
+      .withColumn("__tot", sum(col("__uv")).over(wg))
+      .withColumn("__in", col("__before") * lit(den) < col("__tot") * lit(num))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_units"),
+        sum(when(col("__in"), 1L).otherwise(0L)).as("n_front"),
+        (sum(when(col("__in"), col("__uv")).otherwise(lit(0).cast(dec)))
+          .cast("double") / sum(col("__uv")).cast("double"))
+          .as("front_share"))
+  }
+
   /** Per-group mode (most frequent value, ties to the smallest) — the
     * ordered-set aggregate SQL surfaces call MODE() WITHIN GROUP: one
     * (group, value) hash aggregation bounded by value cardinality, one

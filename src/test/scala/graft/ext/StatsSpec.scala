@@ -93,6 +93,22 @@ class StatsSpec extends SparkTestBase {
     assert(sep.getLong(2) == 4L && sep.getDouble(3) == 1.0)
   }
 
+  test("paretoFront: exact 80% boundary, concentrated vs uniform") {
+    import spark.implicits._
+    // "conc": one unit holds exactly 80 of 100 -> the front is that unit
+    // alone (the NEXT unit's cum_before is exactly 80%, excluded by <)
+    val rows =
+      Seq(("conc", 1L, 80.0), ("conc", 2L, 10.0), ("conc", 3L, 5.0),
+        ("conc", 4L, 5.0)) ++
+      (1L to 5L).map(u => ("unif", u, 20.0))
+    val r = Stats.paretoFront(rows.toDF("g", "u", "v"), "g", "u", "v")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r("conc") == ((4L, 1L, 0.8)))
+    // uniform: 4 of 5 equal units are needed before cum reaches 80%
+    assert(r("unif") == ((5L, 4L, 0.8)))
+  }
+
   test("mode: frequency wins, ties break to the smallest value") {
     import spark.implicits._
     val df = (Seq.fill(3)(("g", 7L)) ++ Seq.fill(5)(("g", 2L)) ++
