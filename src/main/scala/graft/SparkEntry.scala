@@ -1477,6 +1477,20 @@ object SparkEntry {
         .select(col("o_orderkey").as("doc"))
       graft.ext.Rank.evalRun(run, rel, "doc", "rank", k = 10)
     }),
+    // Month-over-month growth through the OLAP API: lag window over the
+    // groups-sized drilldown output, NULL for the first period
+    "x_growth" -> ((s, d) =>
+      AggregateService.periodChange(ordDated(s, d),
+        ordMeta(mExpr("value", moneySum("o_totalprice"))),
+        AggregateService.Request.fromParams(None,
+          Some("date:year|date:month"), None),
+        orderLevels = Seq("year", "month"), measureName = "value")
+        .orderBy(col("year"), col("month"))),
+    // Funnel velocity: first signup -> first purchase-at-or-after,
+    // exact microsecond latencies, interpolated integer percentiles
+    "x_ttc" -> ((s, d) =>
+      graft.ext.EventAnalytics.timeToConvert(ev(s, d), "user_id", "ts",
+        "event_type", "signup", "purchase")),
     // JSON property extraction from the events props column: parse once
     // in the scan projection, aggregate the typed value
     "x_json" -> ((s, d) =>
@@ -2333,6 +2347,23 @@ object SparkEntry {
       "CAST(COALESCE(hits, 0) AS DOUBLE) / 10.0::DOUBLE AS p_at_k, " +
       "CAST(COALESCE(hits, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE) AS r_at_k " +
       "FROM agg, nr"),
+    "x_growth" -> ("WITH m AS (SELECT EXTRACT(YEAR FROM o_orderdate) AS year, " +
+      "EXTRACT(MONTH FROM o_orderdate) AS month, " +
+      "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS vd FROM orders GROUP BY 1, 2), " +
+      "w AS (SELECT year, month, CAST(vd AS DOUBLE) AS value, " +
+      "CAST(LAG(vd) OVER (ORDER BY year, month) AS DOUBLE) AS prev FROM m) " +
+      "SELECT year, month, value, prev, " +
+      "CASE WHEN prev <> 0 THEN (value - prev) / prev END AS growth " +
+      "FROM w ORDER BY year, month"),
+    "x_ttc" -> ("WITH f AS (SELECT user_id, MIN(ts) AS t0 FROM events " +
+      "WHERE event_type = 'signup' GROUP BY 1), " +
+      "p AS (SELECT f.user_id, f.t0, MIN(e.ts) AS t1 FROM f JOIN events e " +
+      "ON e.user_id = f.user_id AND e.event_type = 'purchase' AND e.ts >= f.t0 " +
+      "GROUP BY 1, 2), " +
+      "d AS (SELECT epoch_us(t1) - epoch_us(t0) AS us FROM p) " +
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+      "quantile_cont(us, 0.5) AS med_us, quantile_cont(us, 0.9) AS p90_us " +
+      "FROM d"),
     "x_json" -> ("WITH q AS (SELECT event_type, " +
       "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) " +
       "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +

@@ -155,4 +155,32 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_baskets"))
       .filter(col("n_baskets") >= minSupport)
   }
+
+  /** Time-to-convert distribution: for users with a `fromType` event and
+    * a later `toType` event, the latency from FIRST `fromType` to the
+    * first `toType` at-or-after it — the "how long from signup to
+    * purchase" funnel-velocity metric that [[funnel]]'s pure counts
+    * don't carry. Latencies are exact epoch-microsecond differences
+    * (LONG); the summary row interpolates exact integers (the
+    * quantile_cont parity proven by the boxplot gate).
+    *
+    * Scale shape: both event types filter inside the scan; per-user
+    * state is ONE timestamp per side (min-aggregations with map-side
+    * combine), the join is user-keyed, and only the bounded per-user
+    * latency table reaches the percentile. Output one row:
+    * (n, med_us, p90_us). */
+  def timeToConvert(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, fromType: String, toType: String): DataFrame = {
+    val first = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t0"))
+    val conv = events.filter(col(typeCol) === toType)
+      .select(col(userCol), col(tsCol).as("__tc"))
+    first.join(conv, Seq(userCol))
+      .filter(col("__tc") >= col("__t0"))
+      .groupBy(col(userCol), col("__t0")).agg(min(col("__tc")).as("__t1"))
+      .select((unix_micros(col("__t1")) - unix_micros(col("__t0"))).as("__us"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(__us, 0.5)").as("med_us"),
+        expr("percentile(__us, 0.9)").as("p90_us"))
+  }
 }

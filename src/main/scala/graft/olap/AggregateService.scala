@@ -129,6 +129,30 @@ object AggregateService {
       .withColumn("rank_in_parent", row_number().over(wr).cast("long"))
   }
 
+  /** Period-over-period change (MoM/YoY growth — the other measure BI
+    * clients compose client-side from two drilldown calls): runs the
+    * drilldown, then derives each row's previous-period value and
+    * relative growth with one lag window over the GROUPS-sized output,
+    * ordered by `orderLevels`. The window is global by construction (a
+    * period sequence has one order) — over the aggregated frame, never
+    * the fact, so the single partition holds groups rows at any fact
+    * scale. Growth is NULL for the first period and any zero base. */
+  def periodChange(fact: DataFrame, meta: FactMeta, req: Request,
+      orderLevels: Seq[String], measureName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = aggregate(fact, meta, req)
+    require(orderLevels.forall(base.columns.contains),
+      s"order levels ${orderLevels.mkString(",")} must be drilldown columns")
+    val w = Window.orderBy(orderLevels.map(col): _*)
+    val prev = lag(col(measureName), 1).over(w)
+    base
+      .withColumn("prev", prev)
+      .withColumn("growth",
+        when(col("prev") =!= 0,
+          (col(measureName).cast("double") - col("prev").cast("double")) /
+            col("prev").cast("double")))
+  }
+
   /** Rollup convenience (SURVEY §2.5 "Grouping sets"): the reference
     * composes rollups client-side from one drilldown call per level; this
     * computes all prefixes of the resolved level path in one pass

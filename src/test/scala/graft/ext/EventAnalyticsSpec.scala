@@ -107,4 +107,27 @@ class EventAnalyticsSpec extends SparkTestBase {
     // basket 9 (10 items -> 45 pairs) is gone entirely; basket 1 remains
     assert(capped == Seq(("a", "b", 1L)))
   }
+
+  test("timeToConvert: first-from to first-to-after, pre-signup purchases ignored") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: signup 10:00, purchases 09:00 (before! ignored) and 12:00
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 09:00:00"), "purchase"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // user 2: two signups (first counts), purchase 30 min after
+      (2L, ts("2024-01-01 08:00:00"), "signup"),
+      (2L, ts("2024-01-01 11:00:00"), "signup"),
+      (2L, ts("2024-01-01 08:30:00"), "purchase"),
+      // user 3: signup, never purchases -> excluded
+      (3L, ts("2024-01-01 00:00:00"), "signup")
+    ).toDF("user_id", "ts", "event_type")
+    val r = EventAnalytics.timeToConvert(ev, "user_id", "ts",
+      "event_type", "signup", "purchase").head()
+    assert(r.getLong(0) == 2L)
+    // latencies: 2h and 30min in micros -> median interpolates the two
+    val us = Seq(2L * 3600, 30L * 60).map(_ * 1000000L).sorted
+    assert(r.getDouble(1) == (us(0) + us(1)) / 2.0)
+  }
 }

@@ -132,4 +132,17 @@ class AggregateServiceSpec extends SparkTestBase {
     val by2024 = Seq(r((2024L, 1L))._2, r((2024L, 2L))._2).sum
     assert(math.abs(by2024 - 1.0) < 1e-15)
   }
+
+  test("periodChange: first period NULL, growth exact, period order respected") {
+    val r = AggregateService.periodChange(fact, meta,
+      req(drill = "date:year|date:month"),
+      orderLevels = Seq("year", "month"), measureName = "value")
+      .orderBy(col("year"), col("month")).collect()
+    // sequence: 2023-12 (3), 2024-01 (15), 2024-02 (7)
+    assert(r(0).isNullAt(3) && r(0).isNullAt(4)) // no previous period
+    assert(r(1).getLong(3) == 3L)
+    assert(r(1).getDouble(4) == (15.0 - 3.0) / 3.0)
+    assert(r(2).getLong(3) == 15L)
+    assert(r(2).getDouble(4) == (7.0 - 15.0) / 15.0)
+  }
 }
