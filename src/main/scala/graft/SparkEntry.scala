@@ -1477,6 +1477,27 @@ object SparkEntry {
         .select(col("o_orderkey").as("doc"))
       graft.ext.Rank.evalRun(run, rel, "doc", "rank", k = 10)
     }),
+    // Median imputation: %37 keys nulled in-gate, filled with the
+    // per-priority exact median; the flag keeps the repair auditable
+    "x_impute" -> ((s, d) => {
+      val dirty = ord(s, d).select(col("o_orderpriority").as("priority"),
+        when(col("o_orderkey") % 37 === 0, lit(null).cast("double"))
+          .otherwise(col("o_totalprice")).as("v"))
+      graft.ext.Profile.imputeMedian(dirty, "priority", "v")
+        .groupBy(col("priority"))
+        .agg(countAll.as("n"),
+          sum(when(col("was_null"), 1L).otherwise(0L)).as("n_filled"),
+          sum(col("v").cast(D)).cast("double").as("total"))
+        .orderBy(col("priority"))
+    }),
+    // Dense surrogate ids with NO global sort: the bucketed prefix count
+    // must equal DuckDB's single ROW_NUMBER over the md5 order
+    "x_dense_ids" -> ((s, d) =>
+      graft.ext.Encode.denseIds(
+        ord(s, d).filter(col("o_orderkey") % 17 === 0)
+          .select(concat(lit("cust_"), col("o_custkey")).as("key")),
+        "key", buckets = 16)
+        .orderBy(col("id"))),
     // Month-over-month growth through the OLAP API: lag window over the
     // groups-sized drilldown output, NULL for the first period
     "x_growth" -> ((s, d) =>
@@ -2347,6 +2368,25 @@ object SparkEntry {
       "CAST(COALESCE(hits, 0) AS DOUBLE) / 10.0::DOUBLE AS p_at_k, " +
       "CAST(COALESCE(hits, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE) AS r_at_k " +
       "FROM agg, nr"),
+    // group medians over the NON-NULL cents replayed by rank, fills
+    // through exact DECIMAL sums
+    "x_impute" -> ("WITH q AS (SELECT o_orderpriority AS priority, " +
+      "CASE WHEN o_orderkey % 37 = 0 THEN NULL ELSE o_totalprice END AS v " +
+      "FROM orders), " +
+      "nn AS (SELECT priority, CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT) AS x " +
+      "FROM q WHERE v IS NOT NULL), " +
+      "r AS (SELECT priority, x, ROW_NUMBER() OVER (PARTITION BY priority ORDER BY x) AS rn, " +
+      "COUNT(*) OVER (PARTITION BY priority) AS n FROM nn), " +
+      "med AS (SELECT priority, CAST(x AS DOUBLE) / 100.0::DOUBLE AS m FROM r " +
+      "WHERE rn - 1 = CAST(FLOOR(0.5::DOUBLE * CAST(n - 1 AS DOUBLE)) AS BIGINT)) " +
+      "SELECT q.priority, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(CASE WHEN q.v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled, " +
+      "CAST(SUM(CAST(COALESCE(q.v, med.m) AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+      "FROM q JOIN med ON q.priority = med.priority GROUP BY 1 ORDER BY 1"),
+    "x_dense_ids" -> ("WITH k AS (SELECT DISTINCT 'cust_' || CAST(o_custkey AS VARCHAR) AS key " +
+      "FROM orders WHERE o_orderkey % 17 = 0) " +
+      "SELECT key, CAST(ROW_NUMBER() OVER (ORDER BY md5(key), key) - 1 AS BIGINT) AS id " +
+      "FROM k ORDER BY id"),
     "x_growth" -> ("WITH m AS (SELECT EXTRACT(YEAR FROM o_orderdate) AS year, " +
       "EXTRACT(MONTH FROM o_orderdate) AS month, " +
       "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS vd FROM orders GROUP BY 1, 2), " +

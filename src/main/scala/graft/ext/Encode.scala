@@ -46,4 +46,36 @@ object Encode {
         ((col("__sy").cast("double") + lit(m).cast("double") * mu) /
           (col("n") + lit(m)).cast("double") / lit(100.0)).as("enc"))
   }
+
+  /** Dense surrogate ids for a key column: every distinct key gets a
+    * stable integer in [0, n) — the embedding-row / dimension-key
+    * assignment step. The order is the md5 draw (uniform however skewed
+    * the keys), and the rank is the DISTRIBUTED PREFIX COUNT of
+    * [[graft.ext.TextAnalysis.packSequences]]: hash-prefix range buckets
+    * (prefix order IS global order), per-bucket rank windows, and a
+    * |buckets|-row offset frame cumulated on one partition and broadcast
+    * back — no global sort, no single-partition window over the keys,
+    * no RDD zipWithIndex. Deterministic: same keys → same ids on any
+    * cluster/partitioning. Output (key, id). */
+  def denseIds(df: DataFrame, keyCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets > 0 && buckets <= 65536 && (buckets & (buckets - 1)) == 0,
+      s"buckets=$buckets must be a power of two <= 65536")
+    val bstep = 65536 / buckets
+    val base = df.select(col(keyCol)).distinct()
+      .withColumn("__h", md5(col(keyCol).cast("string")))
+      .withColumn("__b",
+        (conv(substring(col("__h"), 1, 4), 16, 10).cast("long") / bstep)
+          .cast("long"))
+    val offsets = base.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off",
+        sum(col("__c")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__b"))) - col("__c"))
+      .select(col("__b"), col("__off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__h"), col(keyCol))
+    base.join(broadcast(offsets), "__b")
+      .select(col(keyCol),
+        (col("__off") + row_number().over(w).cast("long") - 1L).as("id"))
+  }
 }

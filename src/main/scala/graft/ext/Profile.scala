@@ -401,6 +401,24 @@ object Profile {
         (col("__x").cast("double") / lit(100.0)).as("value"))
   }
 
+  /** Median imputation per group — fill NULL measures with the group's
+    * exact median (computed by [[exactQuantile]]'s bucketed prefix
+    * counts over the NON-NULL values, so no per-group buffer at any
+    * scale), the standard repair before models that can't see NULL.
+    * Returns the input plus `valueCol` filled and a `was_null` flag —
+    * imputation that doesn't mark itself poisons every downstream
+    * distribution silently. */
+  def imputeMedian(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val med = exactQuantile(df.filter(col(valueCol).isNotNull),
+        groupCol, valueCol, q = 0.5)
+      .select(col(groupCol), col("value").as("__med"))
+    df.join(broadcast(med), Seq(groupCol), "left")
+      .withColumn("was_null", col(valueCol).isNull)
+      .withColumn(valueCol, coalesce(col(valueCol), col("__med")))
+      .drop("__med")
+  }
+
   /** Per-group Pearson correlation from the same exact-sufficient-
     * statistics pattern as [[linearFit]] (one aggregation however large
     * the fact), extended with Σy². The closed form

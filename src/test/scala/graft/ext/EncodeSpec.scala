@@ -27,4 +27,19 @@ class EncodeSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(got("a") == 15.0 && got("b") == 100.0)
   }
+
+  test("denseIds: a bijection onto [0, n), stable, bucket-count invariant") {
+    import spark.implicits._
+    val keys = (1 to 500).map(i => s"k$i") ++ (1 to 100).map(i => s"k$i") // dups
+    val df = keys.toDF("key")
+    val ids = Encode.denseIds(df, "key", buckets = 16)
+      .as[(String, Long)].collect().toMap
+    assert(ids.size == 500)
+    assert(ids.values.toSeq.sorted == (0L until 500L))
+    // the id is a pure function of the key set, not of bucketing or
+    // input order: 1 bucket (one global rank) must agree exactly
+    val one = Encode.denseIds(df.orderBy(rand(7)), "key", buckets = 1)
+      .as[(String, Long)].collect().toMap
+    assert(one == ids)
+  }
 }

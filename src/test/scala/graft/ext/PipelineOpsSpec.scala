@@ -190,6 +190,21 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(TimeSeries.seasonalNaiveEval(short, "ts", "event_type").isEmpty)
   }
 
+  test("imputeMedian: nulls fill with the group median, flag audits, others untouched") {
+    import spark.implicits._
+    val df = Seq(("g", Some(1.0)), ("g", Some(5.0)), ("g", Some(9.0)),
+      ("g", None), ("h", Some(2.0)), ("h", None)).toDF("grp", "v")
+    val got = Profile.imputeMedian(df, "grp", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    assert(got.count(_._3) == 2)
+    // g's non-null median is 5.0; h's is 2.0
+    assert(got.filter(r => r._1 == "g" && r._3).forall(_._2 == 5.0))
+    assert(got.filter(r => r._1 == "h" && r._3).forall(_._2 == 2.0))
+    // non-null rows keep their exact values
+    assert(got.filter(r => r._1 == "g" && !r._3).map(_._2).sorted.toSeq ==
+      Seq(1.0, 5.0, 9.0))
+  }
+
   test("exactQuantile: the true order statistic, negatives included, q edges") {
     import spark.implicits._
     val vals = Seq(-3.5, -1.0, 0.0, 2.25, 7.0, 7.0, 9.5, 100.0)
