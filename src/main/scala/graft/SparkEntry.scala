@@ -1477,6 +1477,15 @@ object SparkEntry {
         .select(col("o_orderkey").as("doc"))
       graft.ext.Rank.evalRun(run, rel, "doc", "rank", k = 10)
     }),
+    // Bitmap-index set algebra: EXACT audience overlap between two
+    // priorities — the output is set cardinalities, so the oracle is
+    // plain distinct-set algebra and the bitmap is an execution detail
+    "x_bitmap" -> ((s, d) => {
+      val bm = graft.ext.Bitmap.build(
+        ord(s, d).filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+        "o_orderpriority", "o_custkey")
+      graft.ext.Bitmap.setOps(bm, "1-URGENT", "2-HIGH")
+    }),
     // Median imputation: %37 keys nulled in-gate, filled with the
     // per-priority exact median; the flag keeps the repair auditable
     "x_impute" -> ((s, d) => {
@@ -2368,6 +2377,15 @@ object SparkEntry {
       "CAST(COALESCE(hits, 0) AS DOUBLE) / 10.0::DOUBLE AS p_at_k, " +
       "CAST(COALESCE(hits, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE) AS r_at_k " +
       "FROM agg, nr"),
+    "x_bitmap" -> ("WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders " +
+      "WHERE o_orderpriority = '1-URGENT'), " +
+      "b AS (SELECT DISTINCT o_custkey AS k FROM orders " +
+      "WHERE o_orderpriority = '2-HIGH') " +
+      "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a, " +
+      "(SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b, " +
+      "(SELECT CAST(COUNT(*) AS BIGINT) FROM a JOIN b USING (k)) AS n_and, " +
+      "(SELECT CAST(COUNT(*) AS BIGINT) FROM " +
+      "(SELECT k FROM a UNION SELECT k FROM b) u) AS n_or"),
     // group medians over the NON-NULL cents replayed by rank, fills
     // through exact DECIMAL sums
     "x_impute" -> ("WITH q AS (SELECT o_orderpriority AS priority, " +
