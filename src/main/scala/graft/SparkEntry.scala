@@ -1477,6 +1477,26 @@ object SparkEntry {
         .select(col("o_orderkey").as("doc"))
       graft.ext.Rank.evalRun(run, rel, "doc", "rank", k = 10)
     }),
+    // Streaming bitmap fold: bit_or deltas into warehouse state —
+    // idempotent under replay, serving EXACT click∩purchase overlap
+    "x_stream_bitmap" -> ((s, d) => {
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_sbmp").toString)
+      val bm = graft.streaming.EventStream.runBitmapIngest(s, d, wh,
+        "user_bits")
+      graft.ext.Bitmap.setOps(bm, "click", "purchase")
+    }),
+    // 2-D skyline per priority: orders beaten by no other on BOTH value
+    // and recency — the oracle is the NOT EXISTS dominance definition
+    "x_skyline" -> ((s, d) =>
+      graft.ext.Skyline.front2d(
+        ord(s, d).filter(col("o_custkey") <= 300)
+          .select(col("o_orderpriority").as("priority"),
+            col("o_totalprice").as("price"),
+            datediff(to_date(col("o_orderdate")),
+              lit("1992-01-01").cast("date")).cast("double").as("day")),
+        "priority", "price", "day")
+        .orderBy(col("priority"), col("x"))),
     // Bitmap-index set algebra: EXACT audience overlap between two
     // priorities — the output is set cardinalities, so the oracle is
     // plain distinct-set algebra and the bitmap is an execution detail
@@ -2377,6 +2397,26 @@ object SparkEntry {
       "CAST(COALESCE(hits, 0) AS DOUBLE) / 10.0::DOUBLE AS p_at_k, " +
       "CAST(COALESCE(hits, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE) AS r_at_k " +
       "FROM agg, nr"),
+    "x_stream_bitmap" -> ("WITH a AS (SELECT DISTINCT user_id AS k FROM events " +
+      "WHERE event_type = 'click'), " +
+      "b AS (SELECT DISTINCT user_id AS k FROM events " +
+      "WHERE event_type = 'purchase') " +
+      "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a, " +
+      "(SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b, " +
+      "(SELECT CAST(COUNT(*) AS BIGINT) FROM a JOIN b USING (k)) AS n_and, " +
+      "(SELECT CAST(COUNT(*) AS BIGINT) FROM " +
+      "(SELECT k FROM a UNION SELECT k FROM b) u) AS n_or"),
+    // the NOT EXISTS dominance definition IS the oracle; the running-max
+    // window is the execution strategy
+    "x_skyline" -> ("WITH p AS (SELECT DISTINCT o_orderpriority AS priority, " +
+      "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x, " +
+      "CAST(CAST(CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) " +
+      "AS DOUBLE) AS DECIMAL(18,2)) * 100 AS BIGINT) AS y " +
+      "FROM orders WHERE o_custkey <= 300) " +
+      "SELECT priority, x, y FROM p p1 WHERE NOT EXISTS " +
+      "(SELECT 1 FROM p p2 WHERE p2.priority = p1.priority " +
+      "AND p2.x >= p1.x AND p2.y >= p1.y AND (p2.x > p1.x OR p2.y > p1.y)) " +
+      "ORDER BY priority, x"),
     "x_bitmap" -> ("WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders " +
       "WHERE o_orderpriority = '1-URGENT'), " +
       "b AS (SELECT DISTINCT o_custkey AS k FROM orders " +

@@ -297,6 +297,40 @@ object EventStream {
       .select(col("event_type"), col("n"), col("s"), col("sh"), col("sl"))
   }
 
+  /** Streaming bitmap ingestion — the OR-fold member of the warehouse-
+    * state family (HLL folds by MAX, counters by SUM, bitmaps by
+    * `bit_or`) and the only one that is REPLAY-IDEMPOTENT: re-folding a
+    * delivered batch sets bits that are already set, so at-least-once
+    * delivery needs no dedup guard. State is exact membership ((segment,
+    * word, bits) — |keyspace|/64 words per segment), serving exact
+    * audience set ops over all time via [[graft.ext.Bitmap.setOps]]. */
+  def runBitmapIngest(spark: SparkSession, sfDir: String,
+      warehouse: graft.snapshot.Warehouse, fact: String): DataFrame = {
+    val dir = graft.TempDirs.scratchDir("graft_bmp_stream")
+    val src = graft.Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("user_id"))
+    src.repartition(3).write.mode("overwrite").parquet(dir.toString)
+    val q = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = graft.ext.Bitmap.build(batch, "event_type", "user_id")
+          .withColumn("year", lit(0L))
+        warehouse.read(fact) match {
+          case None => warehouse.append(fact, delta)
+          case Some(old) =>
+            val merged = old.unionByName(delta)
+              .groupBy(col("year"), col("segment"), col("word"))
+              .agg(bit_or(col("bits")).as("bits"))
+            warehouse.merge(fact, merged,
+              keys = Seq("year", "segment", "word"), validateKeys = false)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    warehouse.read(fact).get.select(col("segment"), col("word"), col("bits"))
+  }
+
   /** Streaming exact dedup: first occurrence per key set wins, with state
     * BOUNDED by the watermark (`dropDuplicatesWithinWatermark` evicts keys
     * once the watermark passes them — the unbounded-state `dropDuplicates`

@@ -100,6 +100,18 @@ class EventStreamSpec extends SparkTestBase {
     assert(folded == oneShot, "moment sums must fold losslessly across batches")
   }
 
+  test("streaming bitmap ingestion: OR-folded words equal the one-shot bitmap") {
+    val wh = new graft.snapshot.Warehouse(spark,
+      graft.TempDirs.scratchDir("sbmp_spec").toString)
+    val folded = EventStream.runBitmapIngest(spark, sf("sf0.001"), wh, "ub")
+      .orderBy("segment", "word").as[(String, Long, Long)].collect().toSeq
+    val oneShot = graft.ext.Bitmap.build(
+      graft.Tables.load(spark, sf("sf0.001"), "events"),
+      "event_type", "user_id")
+      .orderBy("segment", "word").as[(String, Long, Long)].collect().toSeq
+    assert(folded == oneShot, "bit_or must fold losslessly across batches")
+  }
+
   test("sessionization: state machine closes sessions on inactivity gaps") {
     // deterministic micro-stream via a temp parquet dir in the events schema
     val dir = java.nio.file.Files.createTempDirectory("sess_src")
