@@ -53,29 +53,33 @@ object PageRank {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // outdeg rides ON the rank table (NULL = dangling): the per-round
+    // outdeg join and the dangling anti-join both become free — the
+    // numerics are untouched (same quotients, same floor sums)
     val pr0 = nodes.crossJoin(nRow)
-      .select(col("node"), (lit(1.0) / col("n")).as("pr"), col("n"))
+      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), (lit(1.0) / col("n")).as("pr"), col("n"), col("od"))
     val prFinal = (1 to iters).foldLeft(pr0) { (pr, _) =>
       // per-edge contributions, summed per dst in exact integer units
-      val contribs = pr.join(outdeg, pr("node") === outdeg("src"), "inner")
-        .select(col("src"), (col("pr") / col("od")).as("c"))
+      val contribs = pr.filter(col("od").isNotNull)
+        .select(col("node").as("src"), (col("pr") / col("od")).as("c"))
         .join(e, "src")
         .groupBy(col("dst"))
         .agg(sum(floor(col("c") * lit(scale)).cast("long")).as("s"))
       // dangling mass: rank parked on nodes with no out-edges, spread
       // uniformly — a 1-row aggregate that broadcasts
       val dangling = broadcast(
-        pr.join(outdeg, pr("node") === outdeg("src"), "left_anti")
+        pr.filter(col("od").isNull)
           .agg(coalesce(sum(floor(col("pr") * lit(scale)).cast("long")),
             lit(0L)).as("dang")))
-      pr.select(col("node"), col("n"))
+      pr.select(col("node"), col("n"), col("od"))
         .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .crossJoin(dangling)
         .select(col("node"),
           ((lit(1.0) - lit(damping)) / col("n") +
             lit(damping) * (coalesce(col("s"), lit(0L)).cast("double") / lit(scale) +
               col("dang").cast("double") / lit(scale) / col("n"))).as("pr"),
-          col("n"))
+          col("n"), col("od"))
     }
     val out = prFinal.select(col("node"), col("pr"))
     Dedup.finishEager(out, eager, Seq(e, nodes, outdeg))
@@ -116,20 +120,21 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val pr0 = nodes.crossJoin(rRow)
+      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .select(col("node"), col("in_r"),
         when(col("in_r"), lit(1.0) / col("r")).otherwise(lit(0.0)).as("pr"),
-        col("r"))
+        col("r"), col("od"))
     val prFinal = (1 to iters).foldLeft(pr0) { (pr, _) =>
-      val contribs = pr.join(outdeg, pr("node") === outdeg("src"), "inner")
-        .select(col("src"), (col("pr") / col("od")).as("c"))
+      val contribs = pr.filter(col("od").isNotNull)
+        .select(col("node").as("src"), (col("pr") / col("od")).as("c"))
         .join(e, "src")
         .groupBy(col("dst"))
         .agg(sum(floor(col("c") * lit(scale)).cast("long")).as("s"))
       val dangling = broadcast(
-        pr.join(outdeg, pr("node") === outdeg("src"), "left_anti")
+        pr.filter(col("od").isNull)
           .agg(coalesce(sum(floor(col("pr") * lit(scale)).cast("long")),
             lit(0L)).as("dang")))
-      pr.select(col("node"), col("in_r"), col("r"))
+      pr.select(col("node"), col("in_r"), col("r"), col("od"))
         .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .crossJoin(dangling)
         .select(col("node"), col("in_r"),
@@ -139,7 +144,7 @@ object PageRank {
               (lit(1.0) - lit(damping)) / col("r") +
                 lit(damping) * (col("dang").cast("double") / lit(scale) / col("r")))
               .otherwise(lit(0.0))).as("pr"),
-          col("r"))
+          col("r"), col("od"))
     }
     val out = prFinal.select(col("node"), col("pr"))
     Dedup.finishEager(out, eager, Seq(e, r, nodes, outdeg))
