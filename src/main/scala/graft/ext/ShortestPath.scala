@@ -41,17 +41,19 @@ object ShortestPath {
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val offers = e.join(dist, e("a") === dist("node"))
-        .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
-      val next = dist.unionAll(offers)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .select(col("b").as("node"), (col("dist") + col("w")).as("dist"),
+          lit(false).as("__old"))
+      // one aggregation serves BOTH the min-merge and the convergence
+      // check: a node moved iff the overall min beats the old-rows-only
+      // min (or the node is new — no old row at all)
+      val next = dist.withColumn("__old", lit(true)).unionAll(offers)
+        .groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"),
+          min(when(col("__old"), col("dist"))).as("__od"))
         .localCheckpoint(true)
-      // changed = nodes whose minimum moved (or appeared): compare via
-      // left join from the new table — one scalar to the driver
-      changed = next.join(dist.withColumnRenamed("dist", "__old"),
-          Seq("node"), "left")
-        .filter(col("__old").isNull || col("dist") < col("__old"))
+      changed = next.filter(col("__od").isNull || col("dist") < col("__od"))
         .count()
-      dist = next
+      dist = next.drop("__od")
       iter += 1
     }
     require(changed == 0, s"did not converge within $maxIter iterations")
