@@ -1477,6 +1477,18 @@ object SparkEntry {
         .select(col("o_orderkey").as("doc"))
       graft.ext.Rank.evalRun(run, rel, "doc", "rank", k = 10)
     }),
+    // Rare-category collapse: customers under 18 orders fold into OTHER
+    // before any encoder sees them; summary proves the rewrite
+    "x_collapse" -> ((s, d) => {
+      val cat = ord(s, d).select(
+        concat(lit("c"), col("o_custkey")).as("customer"),
+        col("o_totalprice"))
+      graft.ext.Encode.collapseRare(cat, "customer", minCount = 18L)
+        .groupBy(col("customer"))
+        .agg(countAll.as("n"),
+          sum(col("o_totalprice").cast(D)).cast("double").as("total"))
+        .orderBy(col("customer"))
+    }),
     // Streaming bitmap fold: bit_or deltas into warehouse state —
     // idempotent under replay, serving EXACT click∩purchase overlap
     "x_stream_bitmap" -> ((s, d) => {
@@ -2397,6 +2409,15 @@ object SparkEntry {
       "CAST(COALESCE(hits, 0) AS DOUBLE) / 10.0::DOUBLE AS p_at_k, " +
       "CAST(COALESCE(hits, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE) AS r_at_k " +
       "FROM agg, nr"),
+    "x_collapse" -> ("WITH c AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS customer, " +
+      "o_totalprice FROM orders), " +
+      "k AS (SELECT customer FROM c GROUP BY 1 HAVING COUNT(*) >= 18), " +
+      "r AS (SELECT CASE WHEN k.customer IS NOT NULL THEN c.customer " +
+      "ELSE 'OTHER' END AS customer, c.o_totalprice " +
+      "FROM c LEFT JOIN k ON c.customer = k.customer) " +
+      "SELECT customer, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+      "FROM r GROUP BY 1 ORDER BY 1"),
     "x_stream_bitmap" -> ("WITH a AS (SELECT DISTINCT user_id AS k FROM events " +
       "WHERE event_type = 'click'), " +
       "b AS (SELECT DISTINCT user_id AS k FROM events " +

@@ -47,6 +47,25 @@ object Encode {
           (col("n") + lit(m)).cast("double") / lit(100.0)).as("enc"))
   }
 
+  /** Rare-category collapsing — replace categories below `minCount`
+    * occurrences with a single `other` label, the standard cardinality
+    * guard before one-hot/target encoding (a million-level categorical
+    * with a hapax tail otherwise leaks noise into every encoder). The
+    * frequent-category set is cardinality-bounded and broadcasts back;
+    * the rewrite is one per-row `when` in codegen. Deterministic: pure
+    * function of the category's count. */
+  def collapseRare(df: DataFrame, catCol: String, minCount: Long,
+      other: String = "OTHER"): DataFrame = {
+    require(minCount >= 1, s"minCount=$minCount must be >= 1")
+    val keep = df.groupBy(col(catCol)).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col(catCol), lit(true).as("__keep"))
+    df.join(broadcast(keep), Seq(catCol), "left")
+      .withColumn(catCol,
+        when(col("__keep"), col(catCol)).otherwise(lit(other)))
+      .drop("__keep")
+  }
+
   /** Dense surrogate ids for a key column: every distinct key gets a
     * stable integer in [0, n) — the embedding-row / dimension-key
     * assignment step. The order is the md5 draw (uniform however skewed

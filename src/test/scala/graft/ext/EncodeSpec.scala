@@ -28,6 +28,22 @@ class EncodeSpec extends SparkTestBase {
     assert(got("a") == 15.0 && got("b") == 100.0)
   }
 
+  test("collapseRare: tail folds to OTHER, frequent categories untouched") {
+    import spark.implicits._
+    val df = (Seq.fill(5)("big") ++ Seq("rare1", "rare2", "rare2"))
+      .map((_, 1.0)).toDF("cat", "v")
+    val got = Encode.collapseRare(df, "cat", minCount = 3L)
+      .groupBy("cat").count().as[(String, Long)].collect().toMap
+    assert(got == Map("big" -> 5L, "OTHER" -> 3L))
+    // threshold is inclusive: exactly minCount occurrences survive
+    val edge = Encode.collapseRare(df, "cat", minCount = 5L)
+      .groupBy("cat").count().as[(String, Long)].collect().toMap
+    assert(edge == Map("big" -> 5L, "OTHER" -> 3L))
+    val all = Encode.collapseRare(df, "cat", minCount = 6L)
+      .groupBy("cat").count().as[(String, Long)].collect().toMap
+    assert(all == Map("OTHER" -> 8L))
+  }
+
   test("denseIds: a bijection onto [0, n), stable, bucket-count invariant") {
     import spark.implicits._
     val keys = (1 to 500).map(i => s"k$i") ++ (1 to 100).map(i => s"k$i") // dups
