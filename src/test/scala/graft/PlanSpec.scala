@@ -248,6 +248,34 @@ class PlanSpec extends SparkTestBase {
       "per-group stats are cardinality-bounded and must broadcast:\n" + p.take(400))
   }
 
+  test("exactQuantile: target buckets broadcast back, no full-fact sort") {
+    val o = Tables.load(spark, sf("sf0.001"), "orders")
+      .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
+    val p = plan(ext.Profile.exactQuantile(o, "g", "v", 0.5))
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"),
+      "the groups-sized target-bucket table must broadcast:\n" + p.take(400))
+  }
+
+  test("bitmap setOps: word tables fold without any sort-merge machinery") {
+    val rows = spark.range(5000).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END AS seg", "id AS k")
+    val bm = ext.Bitmap.build(rows, "seg", "k")
+    val p = plan(ext.Bitmap.setOps(bm, "A", "B"))
+    assert(p.contains("HashAggregate"), p.take(400))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(400))
+  }
+
+  test("denseIds: offsets broadcast, rank windows bucket-partitioned") {
+    val df = spark.range(10000).selectExpr("CAST(id AS STRING) AS key")
+    val p = plan(ext.Encode.denseIds(df, "key", buckets = 16))
+    val se = "Exchange SinglePartition"
+    assert(p.sliding(se.length).count(_ == se) <= 1,
+      "only the |buckets|-row offset frame may single-partition:\n" + p.take(600))
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
   test("rollingDistinct: day frame broadcasts into the range join, fact scanned once") {
     val ev = Tables.load(spark, sf("sf0.001"), "events")
     val p = formatted(ext.Hll.rollingDistinct(ev, "ts", "user_id", 7))
