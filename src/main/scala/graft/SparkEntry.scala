@@ -1477,6 +1477,22 @@ object SparkEntry {
         .select(col("o_orderkey").as("doc"))
       graft.ext.Rank.evalRun(run, rel, "doc", "rank", k = 10)
     }),
+    // Temperature (alpha = 0.5) mixture rebalance: per-language quotas
+    // proportional to sqrt(n); the one order-dependent double sum runs
+    // in stratum order on both engines
+    "x_temperature" -> ((s, d) =>
+      graft.ext.Sampling.temperatureSample(
+        Tables.load(s, d, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", total = 300L)
+        .select(col("lang"), col("doc_id"), col("quota"), col("rank"))
+        .orderBy(col("lang"), col("rank"))),
+    // Trending items by smoothed recent/prior ratio over the JSON k
+    // property — one conditional-sum pass, both windows together
+    "x_trending" -> ((s, d) =>
+      graft.ext.EventAnalytics.trending(
+        ev(s, d).select(col("ts"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")),
+        "ts", "k", splitTs = "2024-01-16 00:00:00", k = 15)),
     // Rare-category collapse: customers under 18 orders fold into OTHER
     // before any encoder sees them; summary proves the rewrite
     "x_collapse" -> ((s, d) => {
@@ -2409,6 +2425,26 @@ object SparkEntry {
       "CAST(COALESCE(hits, 0) AS DOUBLE) / 10.0::DOUBLE AS p_at_k, " +
       "CAST(COALESCE(hits, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE) AS r_at_k " +
       "FROM agg, nr"),
+    // quota = floor(total * sqrt(n) / W) with W the stratum-ordered
+    // running sum's last value; the draw is the x_quota md5 rank
+    "x_temperature" -> ("WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1), " +
+      "w AS (SELECT lang, SQRT(CAST(n AS DOUBLE)) AS w, " +
+      "SUM(SQRT(CAST(n AS DOUBLE))) OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS cum " +
+      "FROM c), " +
+      "q AS (SELECT lang, CAST(FLOOR(CAST(300 AS DOUBLE) * w / (SELECT MAX(cum) FROM w)) AS BIGINT) AS quota FROM w), " +
+      "r AS (SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang " +
+      "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank FROM documents) " +
+      "SELECT r.lang, r.doc_id, q.quota, r.rank FROM r JOIN q ON r.lang = q.lang " +
+      "WHERE r.rank <= q.quota ORDER BY r.lang, r.rank"),
+    "x_trending" -> ("WITH q AS (SELECT ts, " +
+      "CAST(json_extract_string(props, '$.k') AS BIGINT) AS item FROM events), " +
+      "c AS (SELECT item, " +
+      "CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS c_prev, " +
+      "CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS c_now " +
+      "FROM q GROUP BY 1) " +
+      "SELECT item, c_prev, c_now, " +
+      "CAST(c_now + 1 AS DOUBLE) / CAST(c_prev + 1 AS DOUBLE) AS score " +
+      "FROM c ORDER BY score DESC, item LIMIT 15"),
     "x_collapse" -> ("WITH c AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS customer, " +
       "o_totalprice FROM orders), " +
       "k AS (SELECT customer FROM c GROUP BY 1 HAVING COUNT(*) >= 18), " +

@@ -156,6 +156,31 @@ object EventAnalytics {
       .filter(col("n_baskets") >= minSupport)
   }
 
+  /** Trending items — rank by the smoothed ratio of recent to prior
+    * volume, (c_now + 1)/(c_prev + 1): the "what's rising" list where a
+    * raw top-N by count just returns the perennial heavy hitters.
+    * Add-one smoothing keeps new items (c_prev = 0) finite and damps
+    * one-event noise; the score divides exact integers once, so the
+    * ranking replays bit-for-bit.
+    *
+    * Scale shape: ONE conditional-sum hash aggregation over the fact
+    * (both windows in the same pass — no self-join of two period
+    * scans); top-k leaves as TakeOrderedAndProject. */
+  def trending(events: DataFrame, tsCol: String, itemCol: String,
+      splitTs: String, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val split = lit(splitTs).cast("timestamp")
+    events.select(col(itemCol).as("item"), col(tsCol).as("__ts"))
+      .groupBy(col("item"))
+      .agg(sum(when(col("__ts") < split, 1L).otherwise(0L)).as("c_prev"),
+        sum(when(col("__ts") >= split, 1L).otherwise(0L)).as("c_now"))
+      .withColumn("score",
+        (col("c_now") + lit(1L)).cast("double") /
+          (col("c_prev") + lit(1L)).cast("double"))
+      .orderBy(col("score").desc, col("item"))
+      .limit(k)
+  }
+
   /** Time-to-convert distribution: for users with a `fromType` event and
     * a later `toType` event, the latency from FIRST `fromType` to the
     * first `toType` at-or-after it — the "how long from signup to

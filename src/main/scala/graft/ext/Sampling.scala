@@ -140,6 +140,43 @@ object Sampling {
         floor(element_at(wlit, col(strataCol)) * total).cast("long"))
   }
 
+  /** Temperature-rebalanced mixture draw (the XLM-R / mT5 multilingual
+    * step): stratum quotas proportional to n^0.5 instead of n, so
+    * high-resource strata are downsampled and low-resource ones
+    * over-represented relative to their share. α is FIXED at 0.5 because
+    * sqrt is the one power IEEE 754 rounds correctly everywhere —
+    * general `pow` is libm-specific and would break engine replay.
+    *
+    * The one order-dependent double — ΣΛ sqrt(n_λ) — is computed as a
+    * running sum in stratum order (a window over the tiny strata frame),
+    * so every engine adds in the same sequence; quotas are then
+    * floor(total·w/W), and the draw itself is [[quotaSample]]'s
+    * deterministic md5 order with the literal `total` cap doing the
+    * map-side WindowGroupLimit prune under the data-dependent quota.
+    * Output: selected rows + their stratum quota. */
+  def temperatureSample(df: DataFrame, keyCol: String, strataCol: String,
+      total: Long): DataFrame = {
+    require(total > 0, s"total=$total must be positive")
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col(strataCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val strata = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", sqrt(col("__n").cast("double")))
+      .withColumn("__cum", sum(col("__w")).over(wOrd))
+      .localCheckpoint(true) // strata-sized; consumed twice below
+    // W is ONE double of a strata-sized frame — the last running-sum
+    // value rides back as a literal (the docLenStats bootstrap pattern)
+    val bigW = strata.agg(max(col("__cum"))).head().getDouble(0)
+    val quotas = strata.select(col(strataCol),
+      floor(lit(total).cast("double") * col("__w") / lit(bigW))
+        .cast("long").as("quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(drawOrder(keyCol): _*)
+    df.join(broadcast(quotas), Seq(strataCol))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= total) // literal cap -> map-side prune
+      .filter(col("rank") <= col("quota"))
+  }
+
   /** Weight-proportional systematic sample: lay every row's integer
     * weight end-to-end along a line in the deterministic md5 draw order,
     * then keep each row whose span (g, g+w] covers a multiple of `step`.

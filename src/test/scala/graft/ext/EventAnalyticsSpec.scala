@@ -108,6 +108,26 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(capped == Seq(("a", "b", 1L)))
   }
 
+  test("trending: smoothed ratio ranks rising over big-but-flat, new items finite") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    val split = "2024-01-16 00:00:00"
+    val rows =
+      (1 to 1).map(_ => ("rising", ts(5))) ++ (1 to 9).map(i => ("rising", ts(20))) ++
+      (1 to 5).map(_ => ("flat", ts(5))) ++ (1 to 5).map(_ => ("flat", ts(20))) ++
+      (1 to 9).map(_ => ("falling", ts(5))) ++ (1 to 1).map(_ => ("falling", ts(20))) ++
+      (1 to 3).map(_ => ("new", ts(20)))
+    val got = EventAnalytics.trending(rows.toDF("item", "ts"), "ts", "item",
+      split, k = 4).as[(String, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq("rising", "new", "flat", "falling"))
+    assert(got(0)._4 == 10.0 / 2.0 && got(1)._4 == 4.0 / 1.0)
+    assert(got(3)._4 == 2.0 / 10.0)
+    // k truncates after the deterministic (score, item) order
+    val top2 = EventAnalytics.trending(rows.toDF("item", "ts"), "ts", "item",
+      split, k = 2).as[(String, Long, Long, Double)].collect()
+    assert(top2.map(_._1).toSeq == Seq("rising", "new"))
+  }
+
   test("timeToConvert: first-from to first-to-after, pre-signup purchases ignored") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -106,6 +106,25 @@ class SamplingSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
 
+  test("temperatureSample: sqrt quotas flatten skew, exact counts") {
+    import spark.implicits._
+    val df = ((1L to 900L).map(i => (i, "big")) ++
+      (1001L to 1100L).map(i => (i, "small"))).toDF("id", "lang")
+    val got = Sampling.temperatureSample(df, "id", "lang", total = 200L)
+    val byLang = got.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    // w = (30, 10), W = 40 -> quotas floor(200*30/40)=150, floor(200*10/40)=50
+    assert(byLang == Map("big" -> 150L, "small" -> 50L))
+    // proportional would have drawn 180:20 — sqrt flattens 9:1 to 3:1
+    val quotas = got.select("lang", "quota").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(quotas == Map("big" -> 150L, "small" -> 50L))
+    // the draw itself is the deterministic md5 order (rank 1..quota)
+    val ranks = got.filter(col("lang") === "small")
+      .select("rank").as[Long].collect().sorted
+    assert(ranks.toSeq == (1L to 50L))
+  }
+
   test("weightedSystematic matches the single-axis brute force") {
     import spark.implicits._
     val df = (1L to 500L).map(i => (i, 1L + i % 97)).toDF("id", "w")
