@@ -1477,6 +1477,39 @@ object SparkEntry {
         .select(col("o_orderkey").as("doc"))
       graft.ext.Rank.evalRun(run, rel, "doc", "rank", k = 10)
     }),
+    // Latest row per key through max_by / arg_max: the recency pick
+    // rides ONE composite long (day*1e10 + key — total order, no struct
+    // comparator portability bet), one hash aggregation, no window
+    "x_latest" -> ((s, d) => {
+      val ordKey = datediff(to_date(col("o_orderdate")),
+        lit("1970-01-01").cast("date")).cast("long") * lit(10000000000L) +
+        col("o_orderkey")
+      ord(s, d).filter(col("o_custkey") <= 200)
+        .select(col("o_custkey"), ordKey.as("__ok"),
+          col("o_totalprice").cast(D).as("__p"))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("__ok")).as("last_ok"),
+          max_by(col("__p"), col("__ok")).cast("double").as("last_price"))
+        .select(col("o_custkey"),
+          expr("last_ok div 10000000000L").as("last_day"),
+          pmod(col("last_ok"), lit(10000000000L)).cast("long").as("last_key"),
+          col("last_price"))
+        .orderBy(col("o_custkey"))
+    }),
+    // Daily bounce rate: users with exactly one event that day over all
+    // active users — two-level aggregation, one exact division
+    "x_bounce" -> ((s, d) =>
+      ev(s, d).select(
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"), col("user_id"))
+        .groupBy(col("day"), col("user_id")).agg(countAll.as("__c"))
+        .groupBy(col("day"))
+        .agg(countAll.as("n_users"),
+          sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_single"))
+        .select(col("day"), col("n_users"), col("n_single"),
+          (col("n_single").cast("double") / col("n_users").cast("double"))
+            .as("bounce_rate"))
+        .orderBy(col("day"))),
     // Temperature (alpha = 0.5) mixture rebalance: per-language quotas
     // proportional to sqrt(n); the one order-dependent double sum runs
     // in stratum order on both engines
@@ -2425,6 +2458,22 @@ object SparkEntry {
       "CAST(COALESCE(hits, 0) AS DOUBLE) / 10.0::DOUBLE AS p_at_k, " +
       "CAST(COALESCE(hits, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE) AS r_at_k " +
       "FROM agg, nr"),
+    "x_latest" -> ("WITH q AS (SELECT o_custkey, " +
+      "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) * 10000000000 " +
+      "+ o_orderkey AS ok, CAST(o_totalprice AS DECIMAL(18,2)) AS p " +
+      "FROM orders WHERE o_custkey <= 200) " +
+      "SELECT o_custkey, CAST(MAX(ok) // 10000000000 AS BIGINT) AS last_day, " +
+      "CAST(MAX(ok) % 10000000000 AS BIGINT) AS last_key, " +
+      "CAST(arg_max(p, ok) AS DOUBLE) AS last_price " +
+      "FROM q GROUP BY 1 ORDER BY 1"),
+    "x_bounce" -> ("WITH u AS (SELECT " +
+      "datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day, " +
+      "user_id, COUNT(*) AS c FROM events GROUP BY 1, 2) " +
+      "SELECT CAST(day AS BIGINT) AS day, CAST(COUNT(*) AS BIGINT) AS n_users, " +
+      "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single, " +
+      "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / " +
+      "CAST(COUNT(*) AS DOUBLE) AS bounce_rate " +
+      "FROM u GROUP BY 1 ORDER BY 1"),
     // quota = floor(total * sqrt(n) / W) with W the stratum-ordered
     // running sum's last value; the draw is the x_quota md5 rank
     "x_temperature" -> ("WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1), " +
