@@ -994,6 +994,27 @@ object SparkEntry {
       graft.ext.Dedup.dropNearDuplicates(Tables.load(s, d, "documents"),
         "doc_id", "text", n = 3, threshold = 0.5, maxDf = None)
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))),
+    // Quality keeper policy: clusters keep their LONGEST member (ties to
+    // the smaller id) — the C4-ish pick when near-dups are truncations
+    "x_dedup_best" -> ((s, d) =>
+      graft.ext.Dedup.dropNearDuplicatesKeepBest(
+        Tables.load(s, d, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.5, maxDf = None)
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))),
+    // Calendar spine (the gap-free date dimension OLAP time levels hang
+    // off): one sequence() expansion, pure date arithmetic attributes
+    "x_calendar" -> ((s, d) =>
+      s.range(1).select(explode(expr(
+          "sequence(DATE'1995-01-01', DATE'1995-12-31', interval 1 day)"))
+          .as("day"))
+        .select(col("day").cast("string").as("day"),
+          year(col("day")).cast("long").as("y"),
+          month(col("day")).cast("long").as("m"),
+          dayofmonth(col("day")).cast("long").as("dom"),
+          dayofyear(col("day")).cast("long").as("doy"),
+          pmod(datediff(col("day"), lit("1970-01-01").cast("date"))
+            .cast("long"), lit(7L)).as("dow_epoch"))
+        .orderBy(col("day"))),
 
     // ---------------- similarity search ----------------
 
@@ -2877,6 +2898,30 @@ object SparkEntry {
       "comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS root FROM r GROUP BY a) " +
       "SELECT COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents " +
       "WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != root)"),
+    // same recursive component closure; the keeper is rank 1 by
+    // (token length DESC, node) within each root
+    "x_dedup_best" -> ("WITH RECURSIVE " +
+      "tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) s FROM tok), " +
+      "pr AS (SELECT a.doc_id i, b.doc_id j FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5), " +
+      "e AS (SELECT i a, j b FROM pr UNION SELECT j, i FROM pr), " +
+      "r AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a WHERE e.b != r.a), " +
+      "comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS root FROM r GROUP BY a), " +
+      "ln AS (SELECT doc_id, len(string_split(text, ' ')) AS l FROM documents), " +
+      "k AS (SELECT node FROM (SELECT c.node, ROW_NUMBER() OVER " +
+      "(PARTITION BY c.root ORDER BY ln.l DESC, c.node) AS rk " +
+      "FROM comp c JOIN ln ON c.node = ln.doc_id) t WHERE rk = 1) " +
+      "SELECT COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents " +
+      "WHERE doc_id NOT IN (SELECT node FROM comp WHERE node NOT IN (SELECT node FROM k))"),
+    "x_calendar" -> ("SELECT CAST(CAST(d AS DATE) AS VARCHAR) AS day, " +
+      "CAST(EXTRACT(YEAR FROM d) AS BIGINT) AS y, " +
+      "CAST(EXTRACT(MONTH FROM d) AS BIGINT) AS m, " +
+      "CAST(EXTRACT(DAY FROM d) AS BIGINT) AS dom, " +
+      "CAST(dayofyear(d) AS BIGINT) AS doy, " +
+      "CAST(datediff('day', DATE '1970-01-01', CAST(d AS DATE)) % 7 AS BIGINT) AS dow_epoch " +
+      "FROM generate_series(DATE '1995-01-01', DATE '1995-12-31', INTERVAL 1 DAY) t(d) " +
+      "ORDER BY day"),
     "x_dedup_minhash" -> ngramOracle(0.8),
     "x_dedup_simhash" -> ngramOracle(0.9),
     "x_dedup_embed" -> ("SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM embeddings a " +

@@ -535,6 +535,32 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** [[dropNearDuplicates]] with a QUALITY keeper policy: each near-dup
+    * cluster keeps its LONGEST member (token count, ties to the smaller
+    * id) instead of the smallest id — the C4-style choice when
+    * near-duplicates are truncations/excerpts of one another and the
+    * fullest copy is the one worth training on. Same pair graph and
+    * component resolution; the keeper pick is one rank window over the
+    * pair-bounded label table, so the policy change costs nothing
+    * against the corpus. */
+  def dropNearDuplicatesKeepBest(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.5,
+      maxDf: Option[Long] = Some(1000L)): DataFrame = {
+    val labels = connectedComponents(
+      ngramJaccardPairs(df, idCol, textCol, n, threshold, maxDf))
+    val lens = df.select(col(idCol).as("node"),
+      TextAnalysis.tokenCount(col(textCol)).as("__len"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("__len").desc, col("node"))
+    val drops = labels.join(lens, Seq("node"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") =!= 1)
+      .select(col("node").as(idCol))
+      .localCheckpoint(true)
+    labels.unpersist()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al., arXiv 2303.09540 —
     * public paper): k-means the embedding space, then compare pairs ONLY
     * within a cluster and drop every vector whose cosine to a LOWER-id

@@ -229,6 +229,29 @@ class DedupSpec extends SparkTestBase {
     assert(kept == (0L until 40L).toSet, s"got: ${kept.toSeq.sorted}")
   }
 
+  test("dropNearDuplicatesKeepBest keeps the longest member, not the root") {
+    import spark.implicits._
+    // a 3-doc near-dup cluster where the LONGEST copy has the LARGEST id:
+    // base (10 words), a truncation (7 words, shares >0.5 of shingles),
+    // and an extended copy (14 words) — keepBest keeps id 30, min-id
+    // policy would keep id 10; unrelated doc 99 survives either way
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (10L, base),
+      (20L, "alpha beta gamma delta epsilon zeta eta"),
+      (30L, base + " lambda mu nu xi"),
+      (99L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val best = Dedup.dropNearDuplicatesKeepBest(docs, "doc_id", "text",
+      n = 3, threshold = 0.3, maxDf = None)
+      .select("doc_id").as[Long].collect().toSet
+    assert(best == Set(30L, 99L), s"got: ${best.toSeq.sorted}")
+    val root = Dedup.dropNearDuplicates(docs, "doc_id", "text",
+      n = 3, threshold = 0.3, maxDf = None)
+      .select("doc_id").as[Long].collect().toSet
+    assert(root == Set(10L, 99L), s"got: ${root.toSeq.sorted}")
+  }
+
   test("incremental pairs == batch pairs restricted to the new side") {
     // old = even ids, batch = odd ids (near-dup ids 100-109/200/201 land
     // on both sides, so the restricted set has old-new AND new-new pairs)
