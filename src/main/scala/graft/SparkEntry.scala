@@ -1498,6 +1498,24 @@ object SparkEntry {
         .select(col("o_orderkey").as("doc"))
       graft.ext.Rank.evalRun(run, rel, "doc", "rank", k = 10)
     }),
+    // Linear-interpolation gap fill: every 13th hour of the value series
+    // deleted, refilled by exact floor-division interpolation
+    "x_interp" -> ((s, d) => {
+      val d2c = (col("value").cast(D) * lit(100))
+        .cast(org.apache.spark.sql.types.DecimalType(20, 0)).cast("long")
+      val series = ev(s, d).select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000L").as("hour"), d2c.as("__c"))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(sum(col("__c")).as("v"))
+        .filter(col("hour") % 13 =!= 0)
+      val spine = series.groupBy(col("event_type"))
+        .agg(min(col("hour")).as("__mn"), max(col("hour")).as("__mx"))
+        .select(col("event_type"),
+          explode(expr("sequence(__mn, __mx)")).as("hour"))
+      val grid = spine.join(series, Seq("event_type", "hour"), "left")
+      graft.ext.TimeSeries.interpolate(grid, "event_type", "hour", "v")
+        .orderBy(col("event_type"), col("hour"))
+    }),
     // Latest row per key through max_by / arg_max: the recency pick
     // rides ONE composite long (day*1e10 + key — total order, no struct
     // comparator portability bet), one hash aggregation, no window
@@ -2479,6 +2497,33 @@ object SparkEntry {
       "CAST(COALESCE(hits, 0) AS DOUBLE) / 10.0::DOUBLE AS p_at_k, " +
       "CAST(COALESCE(hits, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE) AS r_at_k " +
       "FROM agg, nr"),
+    // same windows with IGNORE NULLS; // floors exactly like the
+    // spelled-out floor division on the Spark side
+    "x_interp" -> ("WITH s0 AS (SELECT event_type, " +
+      "epoch_us(ts) // 3600000000 AS hour, " +
+      "CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v " +
+      "FROM events GROUP BY 1, 2), " +
+      "s AS (SELECT * FROM s0 WHERE hour % 13 <> 0), " +
+      "b AS (SELECT event_type, MIN(hour) AS mn, MAX(hour) AS mx FROM s GROUP BY 1), " +
+      "sp AS (SELECT event_type, unnest(range(mn, mx + 1)) AS hour FROM b), " +
+      "g AS (SELECT sp.event_type, sp.hour, s.v FROM sp LEFT JOIN s " +
+      "ON sp.event_type = s.event_type AND sp.hour = s.hour), " +
+      "w AS (SELECT *, " +
+      "LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour " +
+      "ROWS UNBOUNDED PRECEDING) AS pv, " +
+      "LAST_VALUE(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS) " +
+      "OVER (PARTITION BY event_type ORDER BY hour ROWS UNBOUNDED PRECEDING) AS pt, " +
+      "FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour " +
+      "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, " +
+      "FIRST_VALUE(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS) " +
+      "OVER (PARTITION BY event_type ORDER BY hour " +
+      "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt FROM g) " +
+      "SELECT event_type, CAST(hour AS BIGINT) AS hour, " +
+      "CAST(CASE WHEN v IS NOT NULL THEN v " +
+      "WHEN pv IS NOT NULL AND nv IS NOT NULL THEN " +
+      "pv + ((nv - pv) * (hour - pt)) // (nt - pt) END AS BIGINT) AS filled, " +
+      "v IS NULL AS was_gap, CAST(v AS BIGINT) AS v " +
+      "FROM w ORDER BY 1, 2"),
     "x_latest" -> ("WITH q AS (SELECT o_custkey, " +
       "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) * 10000000000 " +
       "+ o_orderkey AS ok, CAST(o_totalprice AS DECIMAL(18,2)) AS p " +

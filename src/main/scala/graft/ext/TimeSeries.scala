@@ -96,6 +96,50 @@ object TimeSeries {
       units.cast("double") / lit(math.pow(2.0, depth + scaleBits)))
   }
 
+  /** Linear-interpolation gap fill over a regular integer grid — the
+    * value-series repair [[resample]]'s empty buckets can't do (a count
+    * of 0 is true; a missing sensor reading is not 0). For each key,
+    * missing slots fill with
+    * v_prev + floor((v_next − v_prev)·(t − t_prev) / (t_next − t_prev))
+    * — PURE LONG arithmetic (values pre-quantized by the caller), so the
+    * fill replays bit-for-bit; floor is the documented rounding. Slots
+    * before the first or after the last observation stay NULL (an
+    * extrapolation would be invention, not interpolation).
+    *
+    * Scale shape: the spine comes from a per-key `sequence()` expansion
+    * (no driver loop); prev/next ride two IGNORE-NULLS window passes over
+    * the key-partitioned grid — one shuffle total, grid-sized frames. */
+  def interpolate(grid: DataFrame, keyCol: String, slotCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wb = Window.partitionBy(col(keyCol)).orderBy(col(slotCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wf = Window.partitionBy(col(keyCol)).orderBy(col(slotCol))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val pv = last(col(valueCol), ignoreNulls = true).over(wb)
+    val pt = last(when(col(valueCol).isNotNull, col(slotCol)),
+      ignoreNulls = true).over(wb)
+    val nv = first(col(valueCol), ignoreNulls = true).over(wf)
+    val nt = first(when(col(valueCol).isNotNull, col(slotCol)),
+      ignoreNulls = true).over(wf)
+    grid
+      .withColumn("__pv", pv).withColumn("__pt", pt)
+      .withColumn("__nv", nv).withColumn("__nt", nt)
+      // Spark's long `div` and DuckDB's `//` BOTH truncate toward zero
+      // (-7/2 = -3 on each, verified) — so the plain integral division
+      // is the shared semantic even on falling segments with negative
+      // numerators; truncation-toward-zero is the documented rounding
+      .withColumn("__num",
+        (col("__nv") - col("__pv")) * (col(slotCol) - col("__pt")))
+      .withColumn("__den", col("__nt") - col("__pt"))
+      .withColumn("filled",
+        when(col(valueCol).isNotNull, col(valueCol))
+          .otherwise(when(col("__pv").isNotNull && col("__nv").isNotNull,
+            col("__pv") + expr("__num div __den"))))
+      .withColumn("was_gap", col(valueCol).isNull)
+      .drop("__pv", "__pt", "__nv", "__nt", "__num", "__den")
+  }
+
   /** Seasonal-naive forecast backtest: predict each day's volume with
     * the value one season earlier (the classic "same weekday last week"
     * baseline every real forecaster must beat), score by MAE over the

@@ -190,6 +190,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(TimeSeries.seasonalNaiveEval(short, "ts", "event_type").isEmpty)
   }
 
+  test("interpolate: exact linear fill, truncation contract, edges stay null") {
+    import spark.implicits._
+    def grid(vals: Seq[(Long, Option[Long])]) =
+      vals.map { case (t, v) => ("k", t, v) }.toDF("key", "slot", "v")
+    // rising 100 -> 300 over 4 steps: 150, 200, 250 exactly
+    val up = TimeSeries.interpolate(grid(Seq(0L -> Some(100L), 1L -> None,
+      2L -> None, 3L -> None, 4L -> Some(300L))), "key", "slot", "v")
+      .orderBy("slot").select("filled").as[Long].collect().toSeq
+    assert(up == Seq(100L, 150L, 200L, 250L, 300L))
+    // falling 10 -> 0 over 3 steps: truncation toward zero (both
+    // engines' integral division): 10 + (-10/3) = 7, 10 + (-20/3) = 4
+    val down = TimeSeries.interpolate(grid(Seq(0L -> Some(10L), 1L -> None,
+      2L -> None, 3L -> Some(0L))), "key", "slot", "v")
+      .orderBy("slot").select("filled").as[Long].collect().toSeq
+    assert(down == Seq(10L, 7L, 4L, 0L))
+    // no extrapolation: slots before first / after last stay NULL
+    val edge = TimeSeries.interpolate(grid(Seq(0L -> None, 1L -> Some(5L),
+      2L -> None)), "key", "slot", "v")
+      .orderBy("slot").collect()
+    assert(edge(0).isNullAt(3) && !edge(1).isNullAt(3) && edge(2).isNullAt(3))
+    assert(edge(0).getBoolean(4) && !edge(1).getBoolean(4))
+  }
+
   test("imputeMedian: nulls fill with the group median, flag audits, others untouched") {
     import spark.implicits._
     val df = Seq(("g", Some(1.0)), ("g", Some(5.0)), ("g", Some(9.0)),
