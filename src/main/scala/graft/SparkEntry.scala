@@ -1686,6 +1686,24 @@ object SparkEntry {
           (sqrt((nD * sxx - sD * sD) / (nD * nD)) / lit(100.0)).as("std"))
         .orderBy(col("event_type"))
     }),
+    // Weighted exact median: the value at weighted rank floor(0.5(W-1))
+    // with deterministic pseudo-weights — bucketed weight prefix sums,
+    // only target buckets ranked
+    "x_wmedian" -> ((s, d) =>
+      graft.ext.Profile.exactWeightedQuantile(
+        ord(s, d).select(col("o_orderpriority").as("priority"),
+          col("o_totalprice").as("v"),
+          (col("o_orderkey") % 7 + 1).as("w")),
+        "priority", "v", "w", q = 0.5)
+        .orderBy(col("priority"))),
+    // Sorted string aggregation (the reporting list column): collect_set
+    // + sort_array -> deterministic join, string_agg ORDER BY replay
+    "x_stragg" -> ((s, d) =>
+      ord(s, d).filter(col("o_custkey") <= 30)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(concat_ws(",",
+          sort_array(collect_set(col("o_custkey")))).as("customers"))
+        .orderBy(col("priority"))),
     // EXACT per-group median via bucketed prefix counts: two shuffle-
     // bounded passes, no per-group value buffer anywhere — the lake-
     // scale order statistic
@@ -2675,6 +2693,23 @@ object SparkEntry {
       "CAST(sl AS DOUBLE)) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / " +
       "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 100.0::DOUBLE AS std " +
       "FROM s ORDER BY 1"),
+    // weighted rank replay without the bucketing: running weights in
+    // value order; equal-value runs make the picked value well-defined
+    // under any tie order, MIN collapses the run
+    "x_wmedian" -> ("WITH q0 AS (SELECT o_orderpriority AS priority, " +
+      "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x, " +
+      "o_orderkey % 7 + 1 AS w FROM orders), " +
+      "r AS (SELECT priority, x, w, " +
+      "SUM(w) OVER (PARTITION BY priority ORDER BY x ROWS UNBOUNDED PRECEDING) AS cw, " +
+      "SUM(w) OVER (PARTITION BY priority) AS tw FROM q0) " +
+      "SELECT priority, CAST(tw AS BIGINT) AS w_total, " +
+      "CAST(MIN(x) AS DOUBLE) / 100.0::DOUBLE AS value FROM r " +
+      "WHERE CAST(FLOOR(0.5::DOUBLE * CAST(tw - 1 AS DOUBLE)) AS BIGINT) >= cw - w " +
+      "AND CAST(FLOOR(0.5::DOUBLE * CAST(tw - 1 AS DOUBLE)) AS BIGINT) <= cw - 1 " +
+      "GROUP BY 1, 2 ORDER BY 1"),
+    "x_stragg" -> ("SELECT priority, string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS customers " +
+      "FROM (SELECT DISTINCT o_orderpriority AS priority, o_custkey AS k " +
+      "FROM orders WHERE o_custkey <= 30) t GROUP BY 1 ORDER BY 1"),
     // the exact order statistic at rank floor(0.5*(n-1)): replay with a
     // plain per-group rank — bucketing is an execution detail
     "x_exact_median" -> ("WITH q0 AS (SELECT o_orderpriority AS priority, " +

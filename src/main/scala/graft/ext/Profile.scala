@@ -401,6 +401,56 @@ object Profile {
         (col("__x").cast("double") / lit(100.0)).as("value"))
   }
 
+  /** Weighted exact quantile — [[exactQuantile]] with per-row integer
+    * weights: the value at weighted rank floor(q·(W−1)) along the
+    * weight line (token-weighted median document length, spend-weighted
+    * median price). Same two shuffle-bounded passes: bucket-prefix
+    * WEIGHT sums find the target bucket and in-bucket weight offset by
+    * integer arithmetic; only the target buckets' rows get the in-bucket
+    * running-weight window. Value ties make the picked VALUE
+    * well-defined under any tie order (equal values, same answer), so
+    * nothing depends on intra-bucket ordering luck. */
+  def exactWeightedQuantile(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String, q: Double,
+      bucketBits: Int = 10): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"q=$q out of [0, 1]")
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val base = df.select(col(groupCol),
+        (col(valueCol).cast(d2) * lit(100))
+          .cast(org.apache.spark.sql.types.DecimalType(20, 0)).cast("long")
+          .as("__x"),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") > 0)
+      .withColumn("__b", shiftright(col("__x"), bucketBits))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val t = floor(lit(q) * (col("__tw") - 1).cast("double")).cast("long")
+    val targets = base.groupBy(col(groupCol), col("__b"))
+      .agg(sum(col("__w")).as("__bw"))
+      .withColumn("__cum", sum(col("__bw")).over(w))
+      // NOT "__W": Spark resolves case-insensitively and it would
+      // collide with the per-row "__w" after the join below
+      .withColumn("__tw", sum(col("__bw")).over(wg))
+      .filter(t >= col("__cum") - col("__bw") && t <= col("__cum") - 1)
+      .select(col(groupCol), col("__b"),
+        (t - (col("__cum") - col("__bw"))).as("__off"), col("__tw"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    base.join(broadcast(targets), Seq(groupCol, "__b"))
+      .withColumn("__cw", sum(col("__w")).over(win))
+      .filter(col("__off") >= col("__cw") - col("__w") &&
+        col("__off") <= col("__cw") - 1)
+      // value ties can cover the offset with several rows of the SAME
+      // value — collapse to one row per group
+      .groupBy(col(groupCol), col("__tw"))
+      .agg(min(col("__x")).as("__v"))
+      .select(col(groupCol), col("__tw").as("w_total"),
+        (col("__v").cast("double") / lit(100.0)).as("value"))
+  }
+
   /** Median imputation per group — fill NULL measures with the group's
     * exact median (computed by [[exactQuantile]]'s bucketed prefix
     * counts over the NON-NULL values, so no per-group buffer at any

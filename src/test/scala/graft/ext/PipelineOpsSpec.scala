@@ -228,6 +228,26 @@ class PipelineOpsSpec extends SparkTestBase {
       Seq(1.0, 5.0, 9.0))
   }
 
+  test("exactWeightedQuantile: weighted rank pick, unit weights reduce to exactQuantile") {
+    import spark.implicits._
+    // values 1..4 with weights 1,1,6,2 (W=10): t = floor(0.5*9) = 4 ->
+    // cumulative spans 1:[0], 2:[1], 3:[2..7], 4:[8,9] -> value 3
+    val df = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 3.0, 6L),
+      ("g", 4.0, 2L)).toDF("grp", "v", "w")
+    val r = Profile.exactWeightedQuantile(df, "grp", "v", "w", 0.5,
+      bucketBits = 4).head()
+    assert(r.getLong(1) == 10L, s"w_total: ${r.getLong(1)}")
+    assert(r.getDouble(2) == 3.0, s"value: ${r.getDouble(2)}")
+    // unit weights == plain exactQuantile on a bigger frame
+    val big = (1 to 997).map(i => ("h", (i * 13 % 997).toDouble, 1L))
+      .toDF("grp", "v", "w")
+    val wq = Profile.exactWeightedQuantile(big, "grp", "v", "w", 0.25)
+      .head().getDouble(2)
+    val pq = Profile.exactQuantile(big.drop("w"), "grp", "v", 0.25)
+      .head().getDouble(2)
+    assert(wq == pq, s"weighted $wq vs plain $pq")
+  }
+
   test("exactQuantile: the true order statistic, negatives included, q edges") {
     import spark.implicits._
     val vals = Seq(-3.5, -1.0, 0.0, 2.25, 7.0, 7.0, 9.5, 100.0)
