@@ -1686,6 +1686,15 @@ object SparkEntry {
           (sqrt((nD * sxx - sD * sD) / (nD * nD)) / lit(100.0)).as("std"))
         .orderBy(col("event_type"))
     }),
+    // 2-D histogram: price x order-age heatmap, 16x12 grid against
+    // global edges, same IEEE bin arithmetic in the replay
+    "x_histogram2d" -> ((s, d) =>
+      graft.ext.Profile.histogram2d(
+        ord(s, d).select(col("o_totalprice").as("price"),
+          datediff(to_date(col("o_orderdate")),
+            lit("1992-01-01").cast("date")).cast("double").as("age")),
+        "price", "age", binsX = 16, binsY = 12)
+        .orderBy(col("bx"), col("by"))),
     // Weighted exact median: the value at weighted rank floor(0.5(W-1))
     // with deterministic pseudo-weights — bucketed weight prefix sums,
     // only target buckets ranked
@@ -2693,6 +2702,16 @@ object SparkEntry {
       "CAST(sl AS DOUBLE)) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / " +
       "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 100.0::DOUBLE AS std " +
       "FROM s ORDER BY 1"),
+    "x_histogram2d" -> ("WITH q AS (SELECT o_totalprice AS price, " +
+      "CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) AS age " +
+      "FROM orders), " +
+      "e AS (SELECT CAST(MIN(price) AS DOUBLE) xlo, CAST(MAX(price) AS DOUBLE) xhi, " +
+      "CAST(MIN(age) AS DOUBLE) ylo, CAST(MAX(age) AS DOUBLE) yhi FROM q) " +
+      "SELECT CAST(CASE WHEN xhi = xlo THEN 0 ELSE LEAST(" +
+      "FLOOR((CAST(price AS DOUBLE) - xlo) / ((xhi - xlo) / 16.0::DOUBLE)), 15) END AS BIGINT) AS bx, " +
+      "CAST(CASE WHEN yhi = ylo THEN 0 ELSE LEAST(" +
+      "FLOOR((age - ylo) / ((yhi - ylo) / 12.0::DOUBLE)), 11) END AS BIGINT) AS by, " +
+      "CAST(COUNT(*) AS BIGINT) AS n FROM q, e GROUP BY 1, 2 ORDER BY 1, 2"),
     // weighted rank replay without the bucketing: running weights in
     // value order; equal-value runs make the picked value well-defined
     // under any tie order, MIN collapses the run

@@ -95,6 +95,34 @@ object Profile {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** 2-D histogram (the heatmap/density grid behind "price × recency"
+    * views and sampled scatter plots at scales where plotting rows is
+    * absurd): both axes bin against global edges from ONE min/max pass
+    * (broadcast back as a single row), per-row binning in codegen double
+    * arithmetic with the same right-closed-last-bin rule as
+    * [[histogram]], one (bx, by) hash aggregation — at most
+    * binsX·binsY rows out of any fact size. */
+  def histogram2d(df: DataFrame, xCol: String, yCol: String,
+      binsX: Int, binsY: Int): DataFrame = {
+    require(binsX > 0 && binsY > 0, "need positive bin counts")
+    val edges = df.agg(
+      min(col(xCol)).cast("double").as("__xlo"),
+      max(col(xCol)).cast("double").as("__xhi"),
+      min(col(yCol)).cast("double").as("__ylo"),
+      max(col(yCol)).cast("double").as("__yhi"))
+    def bin(c: String, lo: String, hi: String, k: Int) = {
+      val w = (col(hi) - col(lo)) / lit(k.toDouble)
+      when(col(hi) === col(lo), lit(0L))
+        .otherwise(least(
+          floor((col(c).cast("double") - col(lo)) / w), lit(k - 1L)))
+    }
+    df.crossJoin(broadcast(edges))
+      .withColumn("bx", bin(xCol, "__xlo", "__xhi", binsX))
+      .withColumn("by", bin(yCol, "__ylo", "__yhi", binsY))
+      .groupBy(col("bx"), col("by"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-group simple linear regression (least squares) from the five
     * exact sufficient statistics — n, Σx, Σy, Σxy, Σx² — so the whole fit
     * is ONE map-side-combining aggregation over the fact however large it

@@ -228,6 +228,19 @@ class PipelineOpsSpec extends SparkTestBase {
       Seq(1.0, 5.0, 9.0))
   }
 
+  test("histogram2d: grid occupancy sums to n, corners land in edge bins") {
+    import spark.implicits._
+    val pts = Seq((0.0, 0.0), (10.0, 20.0), (5.0, 10.0), (9.9, 0.1))
+      .toDF("x", "y")
+    val cells = Profile.histogram2d(pts, "x", "y", 4, 4)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(cells.values.sum == 4L)
+    assert(cells((0L, 0L)) == 1L)    // (0,0) in the low corner
+    assert(cells((3L, 3L)) == 1L)    // max point right-closed into last bin
+    assert(cells((2L, 2L)) == 1L)    // (5,10) at the midpoint
+    assert(cells((3L, 0L)) == 1L)    // (9.9, 0.1)
+  }
+
   test("exactWeightedQuantile: weighted rank pick, unit weights reduce to exactQuantile") {
     import spark.implicits._
     // values 1..4 with weights 1,1,6,2 (W=10): t = floor(0.5*9) = 4 ->
