@@ -15,11 +15,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures must surface as RED rows, not missing rows: a query that
+    // dies in analysis gets a 1-row error-marker result (schema/hash can
+    // never match an oracle), so a class-wide breakage (e.g. the r07
+    // testdata timestamp-type flip) shows as red in CORRECTNESS_rN.json
+    // instead of silently shrinking the gate count.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] $name failed: $msg")
+        failures(name) = msg
+        import spark.implicits._
+        Seq(msg).toDF("__verify_error").coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
       }
       spark.catalog.clearCache() // queries are independent pipelines
     }
@@ -38,6 +49,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -17,24 +17,22 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Raw parquet schema of events (ts read as nanos-long, rebuilt below —
-    * same workaround as Tables.load). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   def readStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Derive the stream schema from the file footer (schema-only driver
+    // read, no data scan) instead of hardcoding a layout — the testdata's
+    // physical ts type has changed across regenerations (nanos-as-long,
+    // then timestamp[us]/NTZ), and Tables.normalizeTs is the one place
+    // that knows every layout.
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // file streams need a directory; the testdata table is a single file —
     // expose it through a temp dir of symlinks (read-only testdata).
     val dir = graft.TempDirs.scratchDir("graft_stream")
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    spark.readStream.schema(rawSchema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(rawSchema).parquet(dir.toString))
   }
 
   /** Tumbling-window count/sum per event type with a watermark for
