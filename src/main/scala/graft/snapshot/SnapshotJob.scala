@@ -204,7 +204,7 @@ object SnapshotJob {
 
   /** Run one snapshot pass for the pivot date over all configured facts.
     * Returns the fact names actually written. */
-  def run(spark: SparkSession, settings: Settings, warehouse: Warehouse,
+  def run(spark: SparkSession, settings: Settings, warehouse: FactStore,
       pivot: LocalDate, onlyFact: Option[String] = None,
       compat: Boolean = false): Seq[String] = {
     settings.facts.flatMap { fact =>

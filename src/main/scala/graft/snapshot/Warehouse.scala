@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * and reads bind to it directly — no per-read footer merging — with older
   * files null-filling the missing columns.
   */
-final class Warehouse(spark: SparkSession, val root: String) {
+final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
 
   private def path(fact: String) = new Path(root, fact)
 

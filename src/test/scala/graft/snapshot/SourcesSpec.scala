@@ -81,6 +81,61 @@ class SourcesSpec extends SparkTestBase {
     assert(df.agg(sum("amount")).as[Double].collect()(0) == 55.0)
   }
 
+  test("JDBC write-back sink: create-if-absent, bulk append, S10 idempotency") {
+    val url = "jdbc:derby:memory:graftdb_sink;create=true"
+    val jw = new JdbcWarehouse(spark, url)
+    assert(jw.read("wb_fact").isEmpty)
+
+    Seq(("a", 10L), ("b", 20L)).toDF("k", "value")
+      .createOrReplaceTempView("wb_src")
+    val settings = SnapshotJob.Settings(Seq(SnapshotJob.FactConfig(
+      "wb_fact", Cron.Daily, Seq(SnapshotJob.FactQuery(3, enabled = true,
+        SnapshotJob.SqlSource("SELECT k, value FROM wb_src"))))))
+    // first run creates + loads; re-run must be a no-op against the RDBMS
+    assert(SnapshotJob.run(spark, settings, jw, LocalDate.parse("2024-02-01"))
+      == Seq("wb_fact"))
+    assert(SnapshotJob.run(spark, settings, jw, LocalDate.parse("2024-02-01"))
+      == Seq())
+    val back = jw.read("wb_fact").get
+    assert(back.count() == 2)
+    assert(back.agg(sum("value")).as[Long].collect()(0) == 30L)
+    // a different pivot date appends a second batch
+    assert(SnapshotJob.run(spark, settings, jw, LocalDate.parse("2024-02-02"))
+      == Seq("wb_fact"))
+    assert(jw.read("wb_fact").get.count() == 4)
+  }
+
+  test("JDBC sink schema evolution: new columns ALTER in, older rows null-fill") {
+    val url = "jdbc:derby:memory:graftdb_evo;create=true"
+    val jw = new JdbcWarehouse(spark, url)
+    jw.append("evo", Seq((1L, "x")).toDF("id", "name"))
+    // batch ADDS a column -> ALTER TABLE ADD COLUMN, old rows read null
+    jw.append("evo", Seq((2L, "y", 9.5)).toDF("id", "name", "score"))
+    val back = jw.read("evo").get.orderBy("id")
+    assert(back.columns.toSeq.map(_.toLowerCase) == Seq("id", "name", "score"))
+    assert(back.select("score").collect().map(r =>
+      Option(r.get(0))).toSeq == Seq(None, Some(9.5)))
+    // batch MISSING a column -> insert lists only its columns, null-fills
+    jw.append("evo", Seq(Tuple1(3L)).toDF("id"))
+    assert(jw.read("evo").get.count() == 3)
+    // NULL in a string column must survive the write path (Derby rejects
+    // setNull(Types.CLOB) on VARCHAR — the dialect override's null-setter
+    // contract; a monthly scope's null week hits exactly this)
+    jw.append("evo", Seq((4L, null.asInstanceOf[String])).toDF("id", "name"))
+    assert(jw.read("evo").get.filter(col("id") === 4L && col("name").isNull)
+      .count() == 1)
+    // shared-column type change is rejected loudly (out-of-band DDL)
+    val e = intercept[IllegalArgumentException] {
+      jw.append("evo", Seq(Tuple1("not-a-long")).toDF("id"))
+    }
+    assert(e.getMessage.contains("type change"))
+    // overwrite replaces content, preserving the remote DDL
+    jw.overwrite("evo", Seq((7L, "z", 1.0)).toDF("id", "name", "score"))
+    assert(jw.read("evo").get.count() == 1)
+    jw.drop("evo")
+    assert(jw.read("evo").isEmpty)
+  }
+
   test("distributed pipe source: shard-per-executor-process JSON-lines") {
     val script = java.nio.file.Files.createTempFile("shard", ".sh")
     java.nio.file.Files.writeString(script,
