@@ -255,6 +255,13 @@ object SparkEntry {
     "x_profile" -> ((s, d) => graft.ext.Profile.columns(ord(s, d),
       Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"))
       .orderBy(col("column"))),
+    // sketch profile: the 100 TB cardinality pass — per-column portable-HLL
+    // estimates in one scan, separately timed from x_profile's exact
+    // expand so the bench isolates the two costs; string-stable columns
+    // only (the md5-over-VARCHAR cross-engine contract)
+    "x_profile_sketch" -> ((s, d) => graft.ext.Profile.columnsSketch(ord(s, d),
+      Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"), p = 8)
+      .orderBy(col("column"))),
     // Portable HyperLogLog: 256 md5-derived registers, harmonic mean in
     // exact 2^-61 integer units — DuckDB replays the sketch bit for bit
     // (the cross-engine register-table contract is the point)
@@ -432,6 +439,30 @@ object SparkEntry {
       wh.read("orders_monthly").get
         .select(col("queryId"), col("year"), col("month"), col("week"),
           col("day"), col("status"), col("value"))
+        .orderBy(col("status"))
+    }),
+    // JDBC write-back sink: the reference's sink IS MySQL (OLAP.php:153-164
+    // create-if-absent, 306-312 bulk insert) — the same snapshot lifecycle
+    // lands in a live RDBMS (embedded Derby here) behind the same S10
+    // idempotency probe, then reads back through the JDBC source
+    "x_jdbc_sink" -> ((s, d) => {
+      import graft.snapshot._
+      import graft.time.TimeScope.Cron
+      Tables.register(s, d)
+      val url = s"jdbc:derby:${TempDirs.scratchDir("graft_jdbcwh")}/db;create=true"
+      val jw = new JdbcWarehouse(s, url)
+      val settings = SnapshotJob.Settings(Seq(SnapshotJob.FactConfig(
+        "orders_writeback", Cron.Monthly, Seq(SnapshotJob.FactQuery(9, enabled = true,
+          SnapshotJob.SqlSource(
+            "SELECT o_orderstatus AS status, COUNT(*) AS n_orders, " +
+              "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+              "FROM orders GROUP BY 1"))))))
+      SnapshotJob.run(s, settings, jw, java.time.LocalDate.parse("2024-03-31"))
+      // re-run must be a no-op (S10 against the remote database)
+      SnapshotJob.run(s, settings, jw, java.time.LocalDate.parse("2024-03-31"))
+      jw.read("orders_writeback").get
+        .select(col("queryId"), col("year"), col("month"), col("week"),
+          col("day"), col("status"), col("n_orders"), col("total"))
         .orderBy(col("status"))
     }),
     // SCD2 dimension maintenance: a deterministic observation stream
@@ -1986,6 +2017,24 @@ object SparkEntry {
         .select(col("media_id"), col("n_bytes"), col("dim"),
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
         .orderBy(col("media_id"))),
+    // real container decode: synthesize standards-layout PNGs (signature +
+    // IHDR with true CRC-32 + IEND) with per-doc dimensions, then parse the
+    // header fields back with the pure-byte decoder; one corrupted row
+    // (doc_id 0: signature zeroed) proves dirty data degrades, not throws.
+    // The oracle re-derives the dimensions arithmetically — decode must
+    // round-trip the big-endian fields exactly to match.
+    "x_mm_decode" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .withColumn("w", (col("doc_id") % 1920 + 1).cast("long"))
+        .withColumn("h", (length(col("text")) % 1080 + 1).cast("long"))
+      val png = graft.ext.Multimodal.syntheticPng(docs, "doc_id", "w", "h")
+      val dirty = png.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'0000000000000000', substring(content, 9))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.decodePngMeta(dirty)
+        .orderBy(col("media_id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2125,6 +2174,23 @@ object SparkEntry {
       "(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)) * 256.0::DOUBLE * 256.0::DOUBLE / " +
       "(CAST(su::HUGEINT + (256 - np)::HUGEINT * 2305843009213693952::HUGEINT AS DOUBLE) " +
       "/ 2305843009213693952.0::DOUBLE) AS estimate FROM s"),
+    // per-column replay of the x_hll register contract: stack the four
+    // stringified columns, then the same md5 bucket/rank fold per column
+    "x_profile_sketch" -> ("WITH k AS (" +
+      "SELECT 'o_custkey' AS c, CAST(o_custkey AS VARCHAR) AS k FROM orders WHERE o_custkey IS NOT NULL " +
+      "UNION ALL SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR) FROM orders WHERE o_orderdate IS NOT NULL " +
+      "UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders WHERE o_orderpriority IS NOT NULL " +
+      "UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders WHERE o_orderstatus IS NOT NULL), " +
+      "h AS (SELECT c, md5(k) AS x FROM k), " +
+      "r AS (SELECT c, CAST('0x' || substr(x, 1, 2) AS BIGINT) AS bucket, " +
+      "MAX(CASE WHEN CAST('0x' || substr(x, 3, 15) AS BIGINT) = 0 THEN 61 " +
+      "ELSE 61 - length(bin(CAST('0x' || substr(x, 3, 15) AS BIGINT))) END) AS m " +
+      "FROM h GROUP BY 1, 2), " +
+      "s AS (SELECT c, COUNT(*) AS np, SUM(1::BIGINT << CAST(61 - m AS INT)) AS su FROM r GROUP BY 1) " +
+      "SELECT c AS \"column\", CAST(np AS BIGINT) AS n_present, " +
+      "(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)) * 256.0::DOUBLE * 256.0::DOUBLE / " +
+      "(CAST(su::HUGEINT + (256 - np)::HUGEINT * 2305843009213693952::HUGEINT AS DOUBLE) " +
+      "/ 2305843009213693952.0::DOUBLE) AS estimate FROM s ORDER BY 1"),
     "x_profile" -> ("SELECT * FROM (" +
       "SELECT 'o_custkey' AS \"column\", COUNT(*) AS n_rows, " +
       "COUNT(*) - COUNT(o_custkey) AS n_nulls, COUNT(DISTINCT o_custkey) AS n_distinct, " +
@@ -2227,6 +2293,13 @@ object SparkEntry {
     "x_snapshot_monthly" -> ("SELECT CAST(7 AS BIGINT) AS queryId, CAST(2024 AS BIGINT) AS year, " +
       "CAST(1 AS BIGINT) AS month, CAST(NULL AS VARCHAR) AS week, CAST(NULL AS BIGINT) AS day, " +
       "o_orderstatus AS status, COUNT(*) AS value FROM orders GROUP BY 6 ORDER BY 6"),
+    // the RDBMS round-trip is lossless: BIGINT/DOUBLE/VARCHAR land and read
+    // back bit-identically, so the oracle is the source aggregation itself
+    "x_jdbc_sink" -> ("SELECT CAST(9 AS BIGINT) AS queryId, CAST(2024 AS BIGINT) AS year, " +
+      "CAST(3 AS BIGINT) AS month, CAST(NULL AS VARCHAR) AS week, CAST(NULL AS BIGINT) AS day, " +
+      "o_orderstatus AS status, COUNT(*) AS n_orders, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+      "FROM orders GROUP BY 6 ORDER BY 6"),
     "x_stream_hourly" -> ("SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type, " +
       "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v " +
       "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
@@ -3484,6 +3557,14 @@ object SparkEntry {
       "FROM (SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes, " +
       "CAST(16 AS INTEGER) AS dim, length(regexp_replace(text, '[^ 0p]', '', 'g')) AS c " +
       "FROM documents) t ORDER BY media_id"),
+    // decode is exact byte arithmetic: the oracle re-derives the planted
+    // dimensions; doc_id 0's zeroed signature must read as a clean failure
+    "x_mm_decode" -> ("SELECT doc_id AS media_id, doc_id <> 0 AS sig_ok, " +
+      "CASE WHEN doc_id <> 0 THEN doc_id % 1920 + 1 END AS width, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(length(text) % 1080 + 1 AS BIGINT) END AS height, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(8 AS BIGINT) END AS bit_depth, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(2 AS BIGINT) END AS color_type, " +
+      "doc_id <> 0 AS crc_ok FROM documents ORDER BY media_id"),
   )
 
   /** DuckDB replica of TextAnalysis.langProfiles hit counts (one column per

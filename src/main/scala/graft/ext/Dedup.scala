@@ -28,15 +28,29 @@ object Dedup {
     * Fault-tolerance caveat: localCheckpoint blocks live in executor block
     * managers until the RDD is GC'd and, because lineage is cut, they are
     * NOT recomputable — losing an executor (dynamic allocation, preemption)
-    * makes later reads of the eager result fail permanently. Services with
-    * executor churn should instead write the result to reliable storage
-    * (e.g. `Warehouse.append`/parquet) and read it back, trading one write
-    * for recomputability. */
+    * makes later reads of the eager result fail permanently.
+    *
+    * Services with executor churn opt into the RELIABLE variant by setting
+    * the session conf `spark.graft.eagerCheckpoint.reliable=true` (plus
+    * `sparkContext.setCheckpointDir` to durable storage): the result then
+    * materializes via `checkpoint(eager=true)` — one write to the
+    * checkpoint dir buys results that survive any executor loss. Same
+    * cache-lifecycle contract either way; the conf only picks where the
+    * materialized blocks live. */
   private[ext] def finishEager(out: DataFrame, eager: Boolean,
       caches: Seq[DataFrame]): DataFrame =
     if (!eager) out
     else {
-      val mat = out.localCheckpoint(true)
+      val spark = out.sparkSession
+      val reliable = spark.conf
+        .getOption("spark.graft.eagerCheckpoint.reliable").exists(_.toBoolean)
+      val mat =
+        if (reliable) {
+          require(spark.sparkContext.getCheckpointDir.isDefined,
+            "reliable eager checkpoint needs sparkContext.setCheckpointDir " +
+              "(durable storage) before the call")
+          out.checkpoint(true)
+        } else out.localCheckpoint(true)
       caches.foreach(_.unpersist())
       mat
     }

@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * metadata struct, with decode/feature-extraction as partition-batched
   * transforms (the Scala analog of `mapInPandas` batch UDFs).
   *
-  * The decode step is a clearly-marked deterministic STUB (no image/audio
-  * codecs in this environment — builder prompt); the Spark-side plumbing —
-  * schema, batch iteration, partitioning, output shape — is real and
-  * tested. Swapping `decodeStub` for a JNI/codec call is the only change
-  * needed for real media.
+  * Container-level decode is REAL: [[decodePngMeta]] parses the PNG
+  * signature + IHDR chunk (width/height/bit-depth/color-type, big-endian
+  * integer fields) and verifies the chunk CRC — pure byte arithmetic over
+  * codegen'd builtins (`substring`/`hex`/`conv`/`crc32`), no codec
+  * library, no UDF. Pixel-level decode (inflating IDAT) would need a
+  * codec the sandbox lacks; [[extractFeatures]]' byte-histogram features
+  * are computed over the raw bytes instead — a real, deterministic
+  * featurizer, just not a pixel decoder.
   */
 object Multimodal {
 
@@ -56,6 +59,66 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"),
         expr(s"substring(content, frame_idx * $frameBytes + 1, $frameBytes)")
           .as("frame"))
+  }
+
+  // ---------------- PNG container codec (header-level) ----------------
+
+  /** 4-byte big-endian encoding of an integer column (PNG's integer
+    * wire format): zero-padded hex -> bytes. */
+  private def be4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unhex(lpad(hex(c.cast("long")), 8, "0"))
+
+  /** Big-endian integer decode of `len` bytes of `content` at 1-based
+    * `pos`. */
+  private def beInt(pos: Int, len: Int): org.apache.spark.sql.Column =
+    conv(hex(expr(s"substring(content, $pos, $len)")), 16, 10).cast("long")
+
+  private val pngSigHex = "89504E470D0A1A0A"
+  // 00 00 00 00 "IEND" + the IEND CRC (constant: crc32 over "IEND")
+  private val iendHex = "0000000049454E44AE426082"
+
+  /** Assemble a minimal standards-layout PNG: signature, IHDR chunk
+    * (13-byte payload: width, height, bit depth 8, color type 2 =
+    * truecolor, compression/filter/interlace 0) with its real CRC-32
+    * (computed over chunk type + payload, per the PNG spec), and an IEND
+    * chunk. No IDAT — header-complete, pixel-free; the deterministic
+    * fixture generator for [[decodePngMeta]]. Fully declarative: every
+    * step is a codegen'd builtin, so synthesis runs distributed. */
+  def syntheticPng(df: DataFrame, idCol: String, widthCol: String,
+      heightCol: String): DataFrame = {
+    val ihdrPayload = concat(
+      be4(col(widthCol)), be4(col(heightCol)),
+      unhex(lit("0802000000"))) // depth 8, truecolor, defaults
+    // 49484452 = "IHDR"; the CRC covers chunk type + payload (PNG spec §5.3)
+    val typeAndData = concat(unhex(lit("49484452")), ihdrPayload)
+    val ihdrChunk = concat(be4(lit(13)), typeAndData, be4(crc32(typeAndData)))
+    df.select(col(idCol).cast("long").as("media_id"),
+      concat(unhex(lit(pngSigHex)), ihdrChunk, unhex(lit(iendHex)))
+        .as("content"))
+  }
+
+  /** Parse PNG container metadata from the raw bytes: signature check,
+    * IHDR width/height/bit-depth/color-type (big-endian fields at fixed
+    * offsets — the IHDR chunk MUST be first per the PNG spec), and CRC
+    * verification of the IHDR chunk (crc32 over bytes 13..29: type +
+    * payload, compared to the stored CRC at bytes 30..33). Non-PNG
+    * content yields sig_ok=false with null fields — decode never throws
+    * on dirty data (the 100 TB crawl reality). All codegen'd builtins;
+    * the scan stays in one WholeStageCodegen span. */
+  def decodePngMeta(media: DataFrame): DataFrame = {
+    val sigOk = hex(expr("substring(content, 1, 8)")) === lit(pngSigHex)
+    val typeOk = hex(expr("substring(content, 13, 4)")) === lit("49484452")
+    val crcStored = beInt(30, 4)
+    val crcComputed = crc32(expr("substring(content, 13, 17)"))
+    val ok = sigOk && typeOk
+    media.select(
+      col("media_id"),
+      ok.as("sig_ok"),
+      when(ok, beInt(17, 4)).as("width"),
+      when(ok, beInt(21, 4)).as("height"),
+      when(ok, beInt(25, 1)).as("bit_depth"),
+      when(ok, beInt(26, 1)).as("color_type"),
+      when(ok, crcStored === crcComputed).otherwise(lit(false)).as("crc_ok"))
   }
 
   final case class MediaFeature(media_id: Long, n_bytes: Long, dim: Int,

@@ -47,6 +47,27 @@ object Profile {
       .select(col("p.*"))
   }
 
+  /** Sketch profile: per-column approximate distinct counts from the
+    * engine-portable [[Hll]] registers, all columns in ONE scan (unpivot
+    * to (column, key) rows, then one map-side-combining register
+    * aggregation — 2^p rows per column leave each partition, never the
+    * data). The 100 TB cardinality pass where even [[columns]]'
+    * HLL++-by-expand costs a fan-out per column; and unlike the built-in
+    * HLL++, the register tables replay bit-for-bit in any SQL engine
+    * (the x_hll cross-engine contract, extended per-column). Columns
+    * must stringify stably across engines (integers, strings, dates —
+    * not doubles). */
+  def columnsSketch(df: DataFrame, cols: Seq[String], p: Int = 8): DataFrame = {
+    require(cols.nonEmpty, "sketch profile needs at least one column")
+    val stacked = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(c).cast("string").as("__k"))): _*)).as("s"))
+      .select(col("s.column").as("column"), col("s.__k").as("__k"))
+      .filter(col("__k").isNotNull)
+    Hll.estimateByGroups(
+      Hll.registersByGroups(stacked, Seq("column"), "__k", p),
+      Seq("column"), p)
+  }
+
   /** Winsorize a measure per group: clamp `valueCol` to that group's
     * [lo, hi] quantiles — the standard outlier-capping step before a
     * mean/regression that a single fat-fingered value would otherwise

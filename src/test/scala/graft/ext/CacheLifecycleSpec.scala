@@ -74,4 +74,46 @@ class CacheLifecycleSpec extends SparkTestBase {
       Dedup.embeddingPairs(vectors, "id", "embedding", threshold = 0.9,
         eager = e))
   }
+
+  // registration order matters: SparkContext has no unsetCheckpointDir, so
+  // the no-dir guard must run BEFORE the durable test sets one
+  test("reliable eager checkpoint without a checkpoint dir fails loudly") {
+    // only run the guard when no dir leaked from another suite
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      spark.conf.set("spark.graft.eagerCheckpoint.reliable", "true")
+      try {
+        val e = intercept[IllegalArgumentException] {
+          Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.8,
+            eager = true)
+        }
+        assert(e.getMessage.contains("setCheckpointDir"))
+      } finally spark.conf.unset("spark.graft.eagerCheckpoint.reliable")
+    }
+  }
+
+  test("reliable eager checkpoint: durable files, same rows, no residual cache") {
+    val dir = graft.TempDirs.scratchDir("graft_reliable_ckpt")
+    spark.conf.set("spark.graft.eagerCheckpoint.reliable", "true")
+    val prevCkpt = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      spark.catalog.clearCache()
+      val lazyRows = Dedup.minhashPairs(corpus, "doc_id", "text",
+        threshold = 0.8).collect().toSet
+      spark.catalog.clearCache()
+      val eagerDf = Dedup.minhashPairs(corpus, "doc_id", "text",
+        threshold = 0.8, eager = true)
+      assert(cacheEmpty, "reliable eager left cache entries behind")
+      assert(eagerDf.collect().toSet == lazyRows)
+      // the materialization is ON DISK in the checkpoint dir (executor-loss
+      // safe), not in executor block managers
+      def files(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).toSeq.flatten.flatMap(c =>
+          if (c.isDirectory) files(c) else Seq(c))
+      assert(files(dir.toFile).nonEmpty, "no checkpoint files written")
+    } finally {
+      spark.conf.unset("spark.graft.eagerCheckpoint.reliable")
+      prevCkpt.foreach(spark.sparkContext.setCheckpointDir)
+    }
+  }
 }

@@ -401,6 +401,45 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(feats(0).getSeq[Float](3).toSeq == feats(1).getSeq[Float](3).toSeq)
   }
 
+  test("PNG codec: synthesized container decodes exactly; dirty bytes fail clean") {
+    val dims = Seq((1L, 640L, 480L), (2L, 1L, 1L), (3L, 1920L, 1080L))
+      .toDF("id", "w", "h")
+    val png = Multimodal.syntheticPng(dims, "id", "w", "h")
+    // cross-check against a reference implementation: java.util.zip.CRC32
+    // over the IHDR type+payload must equal the declarative crc32 field
+    val bytes = png.orderBy("media_id").collect().map(_.getAs[Array[Byte]]("content"))
+    bytes.foreach { b =>
+      assert(b.length == 8 + (4 + 4 + 13 + 4) + 12) // sig + IHDR + IEND
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, 12, 17) // chunk type + payload
+      val stored = java.nio.ByteBuffer.wrap(b, 29, 4).getInt & 0xffffffffL
+      assert(stored == crc.getValue)
+    }
+    val dec = Multimodal.decodePngMeta(png).orderBy("media_id").collect()
+    assert(dec.map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 640L, 480L), (2L, 1L, 1L), (3L, 1920L, 1080L)))
+    assert(dec.forall(r => r.getBoolean(1) && r.getBoolean(6))) // sig_ok, crc_ok
+    assert(dec.forall(r => r.getLong(4) == 8L && r.getLong(5) == 2L))
+    // a real PNG encoder's output decodes identically: ImageIO writes a
+    // 2x3 image; our parser must read its true header
+    val img = new java.awt.image.BufferedImage(2, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val real = Seq((9L, bos.toByteArray)).toDF("media_id", "content")
+    val rd = Multimodal.decodePngMeta(real).collect()(0)
+    assert(rd.getBoolean(1) && rd.getLong(2) == 2L && rd.getLong(3) == 3L &&
+      rd.getBoolean(6))
+    // corrupted signature and flipped CRC byte fail clean, never throw
+    val bad = Seq(
+      (10L, Array.fill[Byte](40)(0)),
+      (11L, { val c = bytes(0).clone(); c(30) = (c(30) ^ 1).toByte; c }))
+      .toDF("media_id", "content")
+    val bd = Multimodal.decodePngMeta(bad).orderBy("media_id").collect()
+    assert(!bd(0).getBoolean(1) && bd(0).isNullAt(2)) // sig_ok false, width null
+    assert(bd(1).getBoolean(1) && !bd(1).getBoolean(6)) // sig ok, crc mismatch
+  }
+
   test("classTerms: distinctive words top their class, shared words score ~1") {
     import spark.implicits._
     val docs = (
