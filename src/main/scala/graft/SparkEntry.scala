@@ -2017,6 +2017,56 @@ object SparkEntry {
         .select(col("media_id"), col("n_bytes"), col("dim"),
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
         .orderBy(col("media_id"))),
+    // ---------------- privacy / compliance ----------------
+
+    // keyed pseudonymization: BOTH tables tokenize their key with the same
+    // secret, the join runs ON TOKENS, and min_tok pins the actual sha-256
+    // values — proving referential integrity survives de-identification
+    "x_pseudonym" -> ((s, d) => {
+      val sec = "rotate-quarterly"
+      val cust = graft.ext.Privacy.pseudonymize(Tables.load(s, d, "customer"),
+        Seq("c_custkey", "c_name"), sec)
+      val o = graft.ext.Privacy.pseudonymize(ord(s, d), Seq("o_custkey"), sec)
+      o.join(cust, o("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_tok"),
+          min(col("o_custkey")).as("min_tok"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    // k-anonymity suppression over (segment, nation-bucket) quasi-IDs:
+    // released rows hide among >= 3 identical quasi-identifier combos
+    "x_kanon" -> ((s, d) => {
+      val c = Tables.load(s, d, "customer")
+        .withColumn("nat_bucket", (col("c_nationkey") % 5).cast("long"))
+      graft.ext.Privacy.kAnonymize(c, Seq("c_mktsegment", "nat_bucket"), k = 3)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_kept"),
+          countDistinct(col("nat_bucket")).as("n_buckets"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    // targeted erasure: purge three subjects from a year-partitioned fact
+    // (two via the literal IN path, one via the DataFrame-of-keys path);
+    // only partitions containing them rewrite, and the read-back equals
+    // the never-ingested-them oracle
+    "x_purge" -> ((s, d) => {
+      import graft.snapshot._
+      val wh = new Warehouse(s, TempDirs.scratchDir("graft_purge_wh").toString)
+      val fact = ord(s, d).select(col("o_custkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("long").as("year"))
+      wh.append("orders_fact", fact)
+      wh.purgeKeys("orders_fact", "o_custkey", Seq(1L, 7L))
+      import s.implicits._
+      wh.purgeKeys("orders_fact", "o_custkey", Seq(13L).toDF("k"))
+      wh.read("orders_fact").get
+        .groupBy(col("year"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy(col("year"))
+    }),
+
     // real container decode: synthesize standards-layout PNGs (signature +
     // IHDR with true CRC-32 + IEND) with per-doc dimensions, then parse the
     // header fields back with the pure-byte decoder; one corrupted row
@@ -3557,6 +3607,27 @@ object SparkEntry {
       "FROM (SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes, " +
       "CAST(16 AS INTEGER) AS dim, length(regexp_replace(text, '[^ 0p]', '', 'g')) AS c " +
       "FROM documents) t ORDER BY media_id"),
+    // sha-256 tokens replay exactly: same secret, same chr(1) separator,
+    // same stringified key on both engines
+    "x_pseudonym" -> ("WITH c AS (SELECT sha256('rotate-quarterly' || chr(1) || " +
+      "CAST(c_custkey AS VARCHAR)) AS ck, c_mktsegment FROM customer), " +
+      "o AS (SELECT sha256('rotate-quarterly' || chr(1) || " +
+      "CAST(o_custkey AS VARCHAR)) AS ok FROM orders) " +
+      "SELECT c_mktsegment, COUNT(*) AS n, " +
+      "CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_tok, MIN(ok) AS min_tok " +
+      "FROM o JOIN c ON ok = ck GROUP BY 1 ORDER BY 1"),
+    "x_kanon" -> ("WITH kc AS (SELECT c_mktsegment, " +
+      "CAST(c_nationkey % 5 AS BIGINT) AS nat_bucket, " +
+      "COUNT(*) OVER (PARTITION BY c_mktsegment, c_nationkey % 5) AS kcnt " +
+      "FROM customer) " +
+      "SELECT c_mktsegment, COUNT(*) AS n_kept, " +
+      "CAST(COUNT(DISTINCT nat_bucket) AS BIGINT) AS n_buckets " +
+      "FROM kc WHERE kcnt >= 3 GROUP BY 1 ORDER BY 1"),
+    "x_purge" -> ("SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year, " +
+      "COUNT(*) AS n, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, " +
+      "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust " +
+      "FROM orders WHERE o_custkey NOT IN (1, 7, 13) GROUP BY 1 ORDER BY 1"),
     // decode is exact byte arithmetic: the oracle re-derives the planted
     // dimensions; doc_id 0's zeroed signature must read as a clean failure
     "x_mm_decode" -> ("SELECT doc_id AS media_id, doc_id <> 0 AS sig_ok, " +

@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Privacy/compliance operators — the pass a training-data pipeline runs
+  * before a corpus leaves its trust boundary. The reference has nothing
+  * of the kind (its PII story is "the production DB is read-only",
+  * library_olap/README.md); at 100 TB the pipeline itself must carry it.
+  * Three mechanisms, complementing `TextAnalysis.redact` (free-text
+  * scrubbing) and `Warehouse.purgeKeys` (storage-side erasure):
+  *
+  *  - [[pseudonymize]]: deterministic keyed tokenization of identifier
+  *    COLUMNS — joins still line up across tables tokenized with the
+  *    same secret, but the identity is unrecoverable without it.
+  *  - [[kAnonymityCounts]] / [[kAnonymize]]: quasi-identifier group
+  *    sizes (Sweeney's k-anonymity), and the suppression filter that
+  *    keeps only rows whose combination at least k rows share.
+  *
+  * Both are single-shuffle-or-less, codegen'd builtins only.
+  */
+object Privacy {
+
+  /** Deterministic keyed pseudonymization: each listed column's value is
+    * replaced by `sha2_256(secret ␁ value)` (␁ = a separator no key or
+    * stringified value contains, so (secret, value) pairs cannot collide
+    * by concatenation). Same (secret, value) → same token everywhere:
+    * referential integrity survives across tables and batches — the
+    * property plain row-dropping or masking destroys — while inversion
+    * requires the secret. NULLs stay NULL (concat propagates them).
+    * Rotating the secret re-keys the corpus.
+    *
+    * Scale shape: pure per-row codegen'd expressions (sha2 over a
+    * concat) — no shuffle, no UDF, stays inside WholeStageCodegen.
+    * Engine-portable: any SQL engine replays `sha256(secret || chr(1)
+    * || CAST(v AS VARCHAR))`, so tokens minted here match tokens minted
+    * by an external system given the same secret. */
+  def pseudonymize(df: DataFrame, cols: Seq[String], secret: String): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"no such column(s): ${missing.mkString(", ")}")
+    val keep = cols.toSet
+    df.select(df.columns.map { c =>
+      if (keep(c))
+        sha2(concat(lit(secret), lit("\u0001"), col(c).cast("string")), 256).as(c)
+      else col(c)
+    }.toIndexedSeq: _*)
+  }
+
+  /** Quasi-identifier group sizes: the input plus `k_count` = how many
+    * rows share this row's combination of `quasiCols` — the k-anonymity
+    * statistic (a row is k-anonymous iff k_count >= k). One hash
+    * aggregation + a broadcast-friendly join would need the combo table
+    * twice; a count window over the combo partition does it in ONE
+    * shuffle with map-side partial aggregation of the frame. */
+  def kAnonymityCounts(df: DataFrame, quasiCols: Seq[String]): DataFrame = {
+    require(quasiCols.nonEmpty, "k-anonymity needs at least one quasi-identifier")
+    df.withColumn("k_count",
+      count(lit(1)).over(Window.partitionBy(quasiCols.map(col): _*)))
+  }
+
+  /** Suppression to k-anonymity: keep only rows whose quasi-identifier
+    * combination at least `k` rows share. The released dataset then
+    * guarantees every individual hides among >= k records with identical
+    * quasi-identifiers (Sweeney 2002). Suppression is the conservative
+    * baseline; generalization (coarsening values until groups merge) is
+    * the caller's domain decision — compose by bucketing columns first
+    * (e.g. `Profile.histogram` edges, date truncation) and suppressing
+    * the remainder. */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    kAnonymityCounts(df, quasiCols).filter(col("k_count") >= k).drop("k_count")
+  }
+}

@@ -179,39 +179,99 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
           // too; the partition-scoped fast path is for the steady state.
           val untouched = existing.filter(!col("year").isin(years: _*))
           replaceWith(fact, SchemaEvolution.unionEvolve(untouched, merged), ".tmp")
-        } else {
-          // stage the merged partitions, then swap each year dir by rename
-          val target = path(fact)
-          val tmp = new Path(target.getParent, target.getName + ".merge")
-          // displaced partitions are staged in a SIBLING dir, never inside
-          // the fact dir: the read glob must not see old+new copies during
-          // the swap window (and `year=2024.old` would parse as year=null)
-          val oldRoot = new Path(target.getParent, target.getName + ".merge.old")
-          val f = fs
-          if (f.exists(tmp)) f.delete(tmp, true)
-          if (f.exists(oldRoot)) f.delete(oldRoot, true)
-          merged.repartition(col("year")).write.partitionBy("year")
-            .mode(SaveMode.Overwrite).parquet(tmp.toString)
-          // schema AFTER the tmp write succeeds: a failed write job leaves
-          // the live table (data and schema) exactly as it was. New columns
-          // are nullable, so a crash between here and the swaps exposes at
-          // worst an all-null column — never unreadable data.
-          storeSchema(fact, allNullable(merged.schema))
-          f.mkdirs(oldRoot)
-          years.foreach { y =>
-            val src = new Path(tmp, s"year=$y")
-            val dst = new Path(target, s"year=$y")
-            val old = new Path(oldRoot, s"year=$y")
-            if (f.exists(dst) && !f.rename(dst, old))
-              throw new java.io.IOException(s"could not stage out $dst")
-            if (f.exists(src) && !f.rename(src, dst)) {
-              f.rename(old, dst)
-              throw new java.io.IOException(s"could not swap in merged $dst")
-            }
-          }
-          f.delete(oldRoot, true)
-          f.delete(tmp, true)
-        }
+        } else swapYearPartitions(fact, merged, years.toSeq)
+    }
+  }
+
+  /** Stage `data`'s year partitions and swap exactly `years` in by rename
+    * — the partition-scoped replace both [[merge]] and [[purgeKeys]] ride.
+    * A year in `years` with NO rows in `data` is deleted (staged out, no
+    * replacement swapped in) — purge relies on this for fully-erased
+    * partitions. Crash windows are covered by [[vacuum]]. */
+  private def swapYearPartitions(fact: String, data: DataFrame,
+      years: Seq[Long]): Unit = {
+    val target = path(fact)
+    val tmp = new Path(target.getParent, target.getName + ".merge")
+    // displaced partitions are staged in a SIBLING dir, never inside
+    // the fact dir: the read glob must not see old+new copies during
+    // the swap window (and `year=2024.old` would parse as year=null)
+    val oldRoot = new Path(target.getParent, target.getName + ".merge.old")
+    val f = fs
+    if (f.exists(tmp)) f.delete(tmp, true)
+    if (f.exists(oldRoot)) f.delete(oldRoot, true)
+    data.repartition(col("year")).write.partitionBy("year")
+      .mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // schema AFTER the tmp write succeeds: a failed write job leaves
+    // the live table (data and schema) exactly as it was. New columns
+    // are nullable, so a crash between here and the swaps exposes at
+    // worst an all-null column — never unreadable data.
+    storeSchema(fact, allNullable(data.schema))
+    f.mkdirs(oldRoot)
+    years.foreach { y =>
+      val src = new Path(tmp, s"year=$y")
+      val dst = new Path(target, s"year=$y")
+      val old = new Path(oldRoot, s"year=$y")
+      if (f.exists(dst) && !f.rename(dst, old))
+        throw new java.io.IOException(s"could not stage out $dst")
+      if (f.exists(src) && !f.rename(src, dst)) {
+        f.rename(old, dst)
+        throw new java.io.IOException(s"could not swap in merged $dst")
+      }
+    }
+    f.delete(oldRoot, true)
+    f.delete(tmp, true)
+  }
+
+  /** Targeted erasure by business key (the GDPR/CCPA "right to be
+    * forgotten" at warehouse scale): every row whose `keyCol` matches
+    * `keys` is removed by rewriting ONLY the `year` partitions that
+    * contain such rows — the deletion analog of [[merge]]'s
+    * partition-scoped upsert, sharing its staged-rename swap (readers
+    * never see a partial partition; [[vacuum]] covers the crash
+    * windows). A partition whose every row matches is deleted outright.
+    *
+    * The discovery scan pushes a literal IN filter to the parquet scan,
+    * so with range-clustered layout ([[optimize]]) + zone maps it reads
+    * a handful of files, not the fact; the rewrite then touches only
+    * affected partitions. For erasure sets too large for a literal
+    * IN-list, pass a DataFrame of keys — discovery and the kept-rows
+    * filter become broadcast joins instead. NULL keys never match a
+    * purge list (SQL semantics); rows with NULL `keyCol` are always
+    * kept. */
+  def purgeKeys(fact: String, keyCol: String, keys: Seq[Any]): Unit = {
+    require(keys.nonEmpty, "purgeKeys needs at least one key")
+    read(fact).foreach { df =>
+      val years = df.filter(col(keyCol).isin(keys: _*))
+        .select(col("year").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      if (years.nonEmpty) {
+        val kept = df.filter(col("year").isin(years: _*) &&
+          !coalesce(col(keyCol).isin(keys: _*), lit(false)))
+        swapYearPartitions(fact, kept, years)
+      }
+    }
+  }
+
+  /** [[purgeKeys]] for erasure sets beyond literal IN-list scale: `keys`
+    * is a 1-column DataFrame; discovery and retention run as (broadcast
+    * when small) joins. */
+  def purgeKeys(fact: String, keyCol: String,
+      keys: DataFrame): Unit = {
+    val keyName = keys.columns match {
+      case Array(k) => k
+      case other => throw new IllegalArgumentException(
+        s"keys must have exactly one column, got ${other.mkString(", ")}")
+    }
+    read(fact).foreach { df =>
+      val kd = keys.distinct()
+      val years = df.join(kd, df(keyCol) === kd(keyName), "left_semi")
+        .select(col("year").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      if (years.nonEmpty) {
+        val kept = df.filter(col("year").isin(years: _*))
+          .join(kd, df(keyCol) === kd(keyName), "left_anti")
+        swapYearPartitions(fact, kept, years)
+      }
     }
   }
 

@@ -1,0 +1,74 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.functions._
+
+/** Privacy operators: keyed pseudonymization (deterministic, null-safe,
+  * join-preserving, reference-implementation-exact) and k-anonymity
+  * (counts + suppression guarantee). */
+class PrivacySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def refToken(secret: String, v: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest((secret + "\u0001" + v).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("pseudonymize: deterministic, null-preserving, reference sha-256 exact") {
+    val df = Seq((1L, "alice"), (2L, null.asInstanceOf[String]), (3L, "alice"))
+      .toDF("id", "name")
+    val out = Privacy.pseudonymize(df, Seq("name"), "sec").orderBy("id").collect()
+    assert(out(0).getString(1) == refToken("sec", "alice"))
+    assert(out(1).isNullAt(1)) // NULL stays NULL, never a token of ""
+    assert(out(2).getString(1) == out(0).getString(1)) // deterministic
+    // rotating the secret re-keys every token
+    val rot = Privacy.pseudonymize(df, Seq("name"), "sec2").orderBy("id").collect()
+    assert(rot(0).getString(1) == refToken("sec2", "alice"))
+    assert(rot(0).getString(1) != out(0).getString(1))
+    // non-string columns tokenize via their stable stringification
+    val num = Privacy.pseudonymize(Seq(Tuple1(42L)).toDF("k"), Seq("k"), "s")
+      .collect()(0).getString(0)
+    assert(num == refToken("s", "42"))
+    // unknown column fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Privacy.pseudonymize(df, Seq("nope"), "s")
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("pseudonymize: same secret preserves joins across tables") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "va")
+    val b = Seq((1L, "p"), (3L, "q")).toDF("k", "vb")
+    val j = Privacy.pseudonymize(a, Seq("k"), "s")
+      .join(Privacy.pseudonymize(b, Seq("k"), "s"), Seq("k"))
+      .collect()
+    assert(j.length == 1)
+    assert(j(0).getAs[String]("va") == "x" && j(0).getAs[String]("vb") == "p")
+    // different secrets break linkability by construction
+    assert(Privacy.pseudonymize(a, Seq("k"), "s1")
+      .join(Privacy.pseudonymize(b, Seq("k"), "s2"), Seq("k")).isEmpty)
+  }
+
+  test("kAnonymity: counts match brute force; suppression keeps only k-sized combos") {
+    val df = (1 to 10).map(i =>
+      (i.toLong, if (i <= 7) "a" else "b", (i % 2).toLong)).toDF("id", "seg", "p")
+    val counts = Privacy.kAnonymityCounts(df, Seq("seg"))
+      .select(col("seg"), col("k_count")).distinct().as[(String, Long)]
+      .collect().toMap
+    assert(counts == Map("a" -> 7L, "b" -> 3L))
+    val kept4 = Privacy.kAnonymize(df, Seq("seg"), k = 4)
+    assert(kept4.count() == 7 &&
+      kept4.select("seg").distinct().as[String].collect().toSeq == Seq("a"))
+    assert(kept4.columns.toSeq == df.columns.toSeq) // helper column dropped
+    // the released set is k-anonymous: every remaining combo >= k strong
+    val recheck = Privacy.kAnonymityCounts(kept4, Seq("seg"))
+      .agg(min(col("k_count"))).as[Long].collect()(0)
+    assert(recheck >= 4)
+    // two-column quasi set
+    val kept2 = Privacy.kAnonymize(df, Seq("seg", "p"), k = 3)
+    // combos: (a,1)x4 {1,3,5,7}, (a,0)x3 {2,4,6}, (b,0)x2, (b,1)x1
+    assert(kept2.count() == 7)
+    assert(Privacy.kAnonymize(df, Seq("seg", "p"), k = 5).isEmpty)
+  }
+}
