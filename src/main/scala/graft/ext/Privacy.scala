@@ -2,7 +2,6 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Privacy/compliance operators — the pass a training-data pipeline runs
   * before a corpus leaves its trust boundary. The reference has nothing
@@ -50,14 +49,26 @@ object Privacy {
 
   /** Quasi-identifier group sizes: the input plus `k_count` = how many
     * rows share this row's combination of `quasiCols` — the k-anonymity
-    * statistic (a row is k-anonymous iff k_count >= k). One hash
-    * aggregation + a broadcast-friendly join would need the combo table
-    * twice; a count window over the combo partition does it in ONE
-    * shuffle with map-side partial aggregation of the frame. */
+    * statistic (a row is k-anonymous iff k_count >= k).
+    *
+    * Scale shape (the repo's zscore pattern): aggregate the combo table
+    * (map-side partial count, combo-cardinality rows out — quasi-
+    * identifiers are low-cardinality by construction, that is what makes
+    * them quasi), then broadcast it back onto the scan. The fact itself
+    * never shuffles — a count WINDOW over the combo partition would
+    * shuffle and sort all 100 TB by combo instead. Null-safe join:
+    * NULL quasi values form their own group, exactly like GROUP BY. */
   def kAnonymityCounts(df: DataFrame, quasiCols: Seq[String]): DataFrame = {
     require(quasiCols.nonEmpty, "k-anonymity needs at least one quasi-identifier")
-    df.withColumn("k_count",
-      count(lit(1)).over(Window.partitionBy(quasiCols.map(col): _*)))
+    val missing = quasiCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"no such column(s): ${missing.mkString(", ")}")
+    val counts = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("k_count"))
+    val renamed = quasiCols.foldLeft(counts)((d, c) =>
+      d.withColumnRenamed(c, s"__q_$c"))
+    val cond = quasiCols.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _)
+    df.join(broadcast(renamed), cond)
+      .drop(quasiCols.map(c => s"__q_$c"): _*)
   }
 
   /** Suppression to k-anonymity: keep only rows whose quasi-identifier

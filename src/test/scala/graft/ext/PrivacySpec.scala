@@ -71,4 +71,23 @@ class PrivacySpec extends SparkTestBase {
     assert(kept2.count() == 7)
     assert(Privacy.kAnonymize(df, Seq("seg", "p"), k = 5).isEmpty)
   }
+
+  test("kAnonymity: NULL quasi values form their own group, like GROUP BY") {
+    val df = Seq((1L, "a"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String]), (4L, "a"), (5L, "b")).toDF("id", "seg")
+    val counts = Privacy.kAnonymityCounts(df, Seq("seg"))
+      .select(col("id"), col("k_count")).as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+    // no rows lost or duplicated through the null-safe join-back
+    assert(Privacy.kAnonymityCounts(df, Seq("seg")).count() == 5)
+    assert(Privacy.kAnonymize(df, Seq("seg"), 2).count() == 4)
+  }
+
+  test("kAnonymity plan: combo counts broadcast back, fact never shuffles by combo") {
+    val df = (1 to 100).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "seg")
+    val plan = Privacy.kAnonymityCounts(df, Seq("seg"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("Window"), "must not count via a window over the fact")
+  }
 }
