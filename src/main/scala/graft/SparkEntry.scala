@@ -2017,6 +2017,29 @@ object SparkEntry {
         .select(col("media_id"), col("n_bytes"), col("dim"),
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
         .orderBy(col("media_id"))),
+    // zero-copy dataset pinning: tag the fact, append MORE data, then
+    // compact AND re-cluster (two full rewrites — the pinned files are
+    // displaced twice over); the tag must still read back exactly the
+    // pre-append dataset. The oracle is the never-appended aggregate.
+    "x_timetravel" -> ((s, d) => {
+      import graft.snapshot._
+      val wh = new Warehouse(s, TempDirs.scratchDir("graft_tt_wh").toString)
+      val src = ord(s, d).select(col("o_custkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("long").as("year"))
+      wh.append("f", src.filter(col("year") <= 1997))
+      wh.tag("f", "v1")
+      wh.append("f", src.filter(col("year") > 1997))
+      wh.compact("f")
+      wh.optimize("f", Seq("o_custkey"), targetFiles = 4)
+      wh.readTag("f", "v1")
+        .groupBy(col("year"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy(col("year"))
+    }),
+
     // ---------------- privacy / compliance ----------------
 
     // keyed pseudonymization: BOTH tables tokenize their key with the same
@@ -3607,6 +3630,14 @@ object SparkEntry {
       "FROM (SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes, " +
       "CAST(16 AS INTEGER) AS dim, length(regexp_replace(text, '[^ 0p]', '', 'g')) AS c " +
       "FROM documents) t ORDER BY media_id"),
+    // the tag pins the pre-append file set; the oracle is simply the
+    // pre-append subset of the source
+    "x_timetravel" -> ("SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year, " +
+      "COUNT(*) AS n, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, " +
+      "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust " +
+      "FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) <= 1997 " +
+      "GROUP BY 1 ORDER BY 1"),
     // sha-256 tokens replay exactly: same secret, same chr(1) separator,
     // same stringified key on both engines
     "x_pseudonym" -> ("WITH c AS (SELECT sha256('rotate-quarterly' || chr(1) || " +

@@ -187,9 +187,12 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
     * — the partition-scoped replace both [[merge]] and [[purgeKeys]] ride.
     * A year in `years` with NO rows in `data` is deleted (staged out, no
     * replacement swapped in) — purge relies on this for fully-erased
-    * partitions. Crash windows are covered by [[vacuum]]. */
+    * partitions. Crash windows are covered by [[vacuum]]. With
+    * `retireDisplaced` (the default), displaced partitions move to the
+    * retired area when tags pin them ([[tag]]); purge passes false —
+    * erasure must not keep copies. */
   private def swapYearPartitions(fact: String, data: DataFrame,
-      years: Seq[Long]): Unit = {
+      years: Seq[Long], retireDisplaced: Boolean = true): Unit = {
     val target = path(fact)
     val tmp = new Path(target.getParent, target.getName + ".merge")
     // displaced partitions are staged in a SIBLING dir, never inside
@@ -218,7 +221,8 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
         throw new java.io.IOException(s"could not swap in merged $dst")
       }
     }
-    f.delete(oldRoot, true)
+    if (retireDisplaced) retireOrDelete(fact, oldRoot)
+    else f.delete(oldRoot, true)
     f.delete(tmp, true)
   }
 
@@ -247,7 +251,8 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
       if (years.nonEmpty) {
         val kept = df.filter(col("year").isin(years: _*) &&
           !coalesce(col(keyCol).isin(keys: _*), lit(false)))
-        swapYearPartitions(fact, kept, years)
+        swapYearPartitions(fact, kept, years, retireDisplaced = false)
+        scrubRetired(fact, years)
       }
     }
   }
@@ -270,7 +275,8 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
       if (years.nonEmpty) {
         val kept = df.filter(col("year").isin(years: _*))
           .join(kd, df(keyCol) === kd(keyName), "left_anti")
-        swapYearPartitions(fact, kept, years)
+        swapYearPartitions(fact, kept, years, retireDisplaced = false)
+        scrubRetired(fact, years)
       }
     }
   }
@@ -307,7 +313,14 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
       f.rename(old, target)
       throw new java.io.IOException(s"could not swap in rewritten $target")
     }
-    f.delete(old, true)
+    // table metadata living INSIDE the fact dir (tags, retired snapshots)
+    // rides along to the rewritten tree before the old tree is retired —
+    // a rewrite must never orphan the pins
+    Seq("_tags", "_retired").foreach { meta =>
+      val src = new Path(old, meta)
+      if (f.exists(src)) f.rename(src, new Path(target, meta))
+    }
+    retireOrDelete(fact, old)
   }
 
   /** Crash recovery + janitor for the staged-rename protocols. Every
@@ -437,6 +450,160 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
         .drop("__z")
       replaceWith(fact, arranged, ".zorder", keepLayout = true)
     }
+  }
+
+  // ---------------- snapshot tags (zero-copy dataset pinning) ----------------
+
+  private def tagsDir(fact: String) = new Path(path(fact), "_tags")
+  private def retiredDir(fact: String) = new Path(path(fact), "_retired")
+  private def tagPath(fact: String, name: String) =
+    new Path(tagsDir(fact), s"$name.json")
+
+  private def hasTags(fact: String): Boolean = {
+    val d = tagsDir(fact)
+    fs.exists(d) && fs.listStatus(d).nonEmpty
+  }
+
+  /** Move a displaced directory tree (year=Y dirs inside) to the fact's
+    * retired area when any tag pins this fact; plain delete otherwise.
+    * One rename either way — retirement is free at write time. */
+  private def retireOrDelete(fact: String, displaced: Path): Unit = {
+    val f = fs
+    if (!f.exists(displaced)) return
+    if (!hasTags(fact)) { f.delete(displaced, true); return }
+    f.mkdirs(retiredDir(fact))
+    val dest = new Path(retiredDir(fact),
+      java.util.UUID.randomUUID().toString)
+    if (!f.rename(displaced, dest))
+      throw new java.io.IOException(s"could not retire $displaced")
+  }
+
+  /** Erasure scrub: delete retired copies of the given year partitions
+    * (purge must not leave forgotten rows alive in pinned snapshots —
+    * the legal requirement outranks reproducibility; tags referencing
+    * the scrubbed files fail loudly at [[readTag]] time). */
+  private def scrubRetired(fact: String, years: Seq[Long]): Unit = {
+    val f = fs
+    if (!f.exists(retiredDir(fact))) return
+    f.listStatus(retiredDir(fact)).filter(_.isDirectory).foreach { root =>
+      years.foreach { y =>
+        f.delete(new Path(root.getPath, s"year=$y"), true)
+      }
+    }
+  }
+
+  /** Pin the fact's CURRENT file set under a name — a zero-copy dataset
+    * snapshot (one listing + one small manifest write; no data moves).
+    * The reproducibility primitive a training pipeline needs: record the
+    * tag next to the model run, and [[readTag]] re-reads byte-identical
+    * input even after appends, compaction, layout optimization, or
+    * merges — rewrites RETIRE displaced files into `_retired/` instead
+    * of deleting them while any tag exists (same idea as Iceberg/Delta
+    * snapshot isolation, carried by plain parquet + manifests).
+    *
+    * Lifecycle: [[expireTag]] drops the pin; [[vacuumRetired]] reclaims
+    * retired storage no remaining tag references. Out of scope by
+    * contract: [[dropPartitions]]/[[drop]] delete outright (tags break),
+    * [[purgeKeys]] scrubs retired copies of affected partitions
+    * (erasure outranks reproducibility), and a crash between a rewrite's
+    * swap and its retire step can lose pinned files ([[vacuum]] prefers
+    * table health) — all three fail loudly at read time, never
+    * silently. */
+  def tag(fact: String, name: String): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"bad tag name: $name")
+    require(exists(fact), s"no such fact: $fact")
+    val files = dataFiles(fact)
+      .map(p => s"${p.getParent.getName}/${p.getName}")
+    val schema = storedSchema(fact)
+      .getOrElse(read(fact).get.schema)
+    val body = (schema.json +: files).mkString("\n")
+    val out = fs.create(tagPath(fact, name), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** All tag names pinned on the fact. */
+  def tags(fact: String): Seq[String] =
+    if (!fs.exists(tagsDir(fact))) Nil
+    else fs.listStatus(tagsDir(fact))
+      .map(_.getPath.getName.stripSuffix(".json")).toSeq.sorted
+
+  /** Drop a pin. Retired files it alone referenced become reclaimable by
+    * [[vacuumRetired]]. */
+  def expireTag(fact: String, name: String): Unit = {
+    fs.delete(tagPath(fact, name), false)
+    ()
+  }
+
+  private def tagContent(fact: String, name: String):
+      (org.apache.spark.sql.types.StructType, Seq[String]) = {
+    val p = tagPath(fact, name)
+    require(fs.exists(p), s"no such tag '$name' on fact '$fact'")
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val lines = txt.split("\n").toSeq
+    (org.apache.spark.sql.types.DataType.fromJson(lines.head)
+      .asInstanceOf[org.apache.spark.sql.types.StructType],
+      lines.tail.filter(_.nonEmpty))
+  }
+
+  /** Read the EXACT file set a tag pinned — the dataset as it was at
+    * [[tag]] time, whatever has been appended, compacted, optimized, or
+    * merged since. Files resolve live-first, then in the retired area;
+    * a file found in neither (vacuumed after expire, purged, or lost in
+    * a crash window) fails with a precise message. Driver work is
+    * manifest-scale (one path resolution per pinned file); the data
+    * read is direct parquet scans of exactly those files. */
+  def readTag(fact: String, name: String): DataFrame = {
+    val (schema, rels) = tagContent(fact, name)
+    val f = fs
+    val retiredRoots: Seq[Path] =
+      if (!f.exists(retiredDir(fact))) Nil
+      else f.listStatus(retiredDir(fact)).filter(_.isDirectory)
+        .map(_.getPath).toSeq
+    val resolved: Seq[(Long, String)] = rels.map { rel =>
+      val year = rel.takeWhile(_ != '/').stripPrefix("year=").toLong
+      val live = new Path(path(fact), rel)
+      val p =
+        if (f.exists(live)) live
+        else retiredRoots.map(r => new Path(r, rel)).find(f.exists)
+          .getOrElse(throw new java.io.IOException(
+            s"tag '$name' of fact '$fact': pinned file $rel no longer " +
+              "exists (vacuumed after expire, purged, or dropped)"))
+      (year, p.toString)
+    }
+    // partition values come from the manifest, not dir inference (the
+    // retired tree nests under an underscore dir Spark would not list)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == "year"))
+    if (resolved.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else resolved.groupBy(_._1).toSeq.sortBy(_._1).map { case (y, fl) =>
+      spark.read.schema(dataSchema).parquet(fl.map(_._2): _*)
+        .withColumn("year", lit(y))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Reclaim retired storage no remaining tag references (run after
+    * [[expireTag]]). Walks the retired manifest-scale listing, never
+    * reads data. */
+  def vacuumRetired(fact: String): Unit = {
+    val f = fs
+    if (!f.exists(retiredDir(fact))) return
+    val pinned: Set[String] =
+      tags(fact).flatMap(t => tagContent(fact, t)._2).toSet
+    f.listStatus(retiredDir(fact)).filter(_.isDirectory).foreach { root =>
+      f.listStatus(root.getPath).foreach { sub =>
+        if (sub.isDirectory && sub.getPath.getName.startsWith("year=")) {
+          f.listStatus(sub.getPath).foreach { st =>
+            val rel = s"${sub.getPath.getName}/${st.getPath.getName}"
+            if (!pinned.contains(rel)) f.delete(st.getPath, false)
+          }
+          if (f.listStatus(sub.getPath).isEmpty) f.delete(sub.getPath, true)
+        } else f.delete(sub.getPath, true) // _schema.json etc.: never pinned
+      }
+      if (f.listStatus(root.getPath).isEmpty) f.delete(root.getPath, true)
+    }
+    if (f.listStatus(retiredDir(fact)).isEmpty) f.delete(retiredDir(fact), true)
   }
 
   // ------------------------- zone maps -------------------------
