@@ -2017,6 +2017,31 @@ object SparkEntry {
         .select(col("media_id"), col("n_bytes"), col("dim"),
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
         .orderBy(col("media_id"))),
+    // file-drop source: stage a dated CSV drop, snapshot it through the
+    // full lifecycle (@date path templating, S10 idempotent re-run), and
+    // the read-back aggregate must equal the never-staged source oracle
+    "x_file_source" -> ((s, d) => {
+      import graft.snapshot._
+      import graft.time.TimeScope.Cron
+      val drop = TempDirs.scratchDir("graft_drop")
+      val day = java.time.LocalDate.parse("2024-01-15")
+      ord(s, d).select(col("o_orderstatus"), col("o_totalprice"))
+        .coalesce(1).write.option("header", "true").mode("overwrite")
+        .csv(s"$drop/$day")
+      val wh = new Warehouse(s, TempDirs.scratchDir("graft_file_wh").toString)
+      val settings = SnapshotJob.Settings(Seq(SnapshotJob.FactConfig(
+        "orders_csv", Cron.Daily, Seq(SnapshotJob.FactQuery(11, enabled = true,
+          SnapshotJob.FileSource(s"$drop/@date", "csv",
+            Map("header" -> "true", "inferSchema" -> "true")))))))
+      SnapshotJob.run(s, settings, wh, day)
+      SnapshotJob.run(s, settings, wh, day) // S10 no-op
+      wh.read("orders_csv").get
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total"))
+        .orderBy(col("status"))
+    }),
     // zero-copy dataset pinning: tag the fact, append MORE data, then
     // compact AND re-cluster (two full rewrites — the pinned files are
     // displaced twice over); the tag must still read back exactly the
@@ -3630,6 +3655,11 @@ object SparkEntry {
       "FROM (SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes, " +
       "CAST(16 AS INTEGER) AS dim, length(regexp_replace(text, '[^ 0p]', '', 'g')) AS c " +
       "FROM documents) t ORDER BY media_id"),
+    // the CSV text round-trip is exact (shortest-repr doubles reparse to
+    // the same IEEE values), so the oracle is the source aggregation
+    "x_file_source" -> ("SELECT o_orderstatus AS status, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+      "FROM orders GROUP BY 1 ORDER BY 1"),
     // the tag pins the pre-append file set; the oracle is simply the
     // pre-append subset of the source
     "x_timetravel" -> ("SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year, " +

@@ -50,6 +50,18 @@ object SnapshotJob {
     * contract: the command receives the pivot date as argv and its shard
     * index on stdin, and emits JSON-LINES rows (one object per line). */
   final case class PipeSource(command: String, shards: Int) extends Source
+  /** File-drop source — the Spark-native sibling the reference's DB-only
+    * world lacks, and the dominant 100 TB arrival path (exports, log
+    * shippers, upstream lake zones). `path` may contain `@date`
+    * (substituted UNQUOTED, unlike S11's SQL form) so a daily drop like
+    * `/landing/orders/@date/` resolves per pivot. `format` + `options`
+    * pass through to the DataFrameReader (parquet/csv/json/orc/...); an
+    * optional `schema` entry in `options` is applied as a DDL schema (the
+    * production form — inference over a 100 TB drop is a full extra
+    * scan). csv/json get the same S9 date-string promotion as the script
+    * sources. */
+  final case class FileSource(path: String, format: String = "parquet",
+      options: Map[String, String] = Map.empty) extends Source
 
   final case class FactQuery(queryId: Long, enabled: Boolean, source: Source,
       info: String = "")
@@ -116,6 +128,19 @@ object SnapshotJob {
         else reader.option("query", sql)
       src.props.foldLeft(keyed) { case (r, (k, v)) => r.option(k, v) }.load()
     }
+  }
+
+  /** Run a FileSource: resolve `@date` in the path (raw ISO form — paths
+    * are not SQL), bind the explicit schema when given, and read through
+    * the standard DataFrameReader. */
+  def runFile(spark: SparkSession, src: FileSource, pivot: LocalDate): DataFrame = {
+    val path = src.path.replace("\r", "").replace("@date", pivot.toString)
+    val opts = src.options - "schema"
+    val r0 = spark.read.format(src.format).options(opts)
+    val r = src.options.get("schema").map(r0.schema).getOrElse(r0)
+    val df = r.load(path)
+    if (src.format == "csv" || src.format == "json") promoteDateStrings(df)
+    else df
   }
 
   /** Parse a JSON array-of-objects string into a DataFrame, then promote
@@ -221,6 +246,7 @@ object SnapshotJob {
                 case ScriptSource(cmd) => runScript(spark, cmd, pivot)
                 case j: JdbcSource => runJdbc(spark, j, pivot)
                 case PipeSource(cmd, shards) => runPipe(spark, cmd, pivot, shards)
+                case fsrc: FileSource => runFile(spark, fsrc, pivot)
               }
               val src = if (compat) compatNarrow(src0) else src0
               warehouse.append(fact.name, withTimeFields(src, q.queryId, scope))

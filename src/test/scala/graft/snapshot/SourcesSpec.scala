@@ -136,6 +136,45 @@ class SourcesSpec extends SparkTestBase {
     assert(jw.read("evo").isEmpty)
   }
 
+  test("file-drop source: @date path templating, explicit schema, S10 idempotency") {
+    val drop = java.nio.file.Files.createTempDirectory("file_drop")
+    Seq(("a", 10.5), ("b", 2.25)).toDF("k", "amount")
+      .coalesce(1).write.option("header", "true").mode("overwrite")
+      .csv(s"$drop/2024-02-01")
+    val src = SnapshotJob.FileSource(s"$drop/@date", "csv",
+      Map("header" -> "true", "schema" -> "k STRING, amount DOUBLE"))
+    val df = SnapshotJob.runFile(spark, src, LocalDate.parse("2024-02-01"))
+    assert(df.schema("amount").dataType ==
+      org.apache.spark.sql.types.DoubleType) // explicit DDL schema bound
+    assert(df.agg(sum("amount")).as[Double].collect()(0) == 12.75)
+
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("file_wh").toString)
+    val settings = SnapshotJob.Settings(Seq(SnapshotJob.FactConfig(
+      "drops", Cron.Daily, Seq(SnapshotJob.FactQuery(4, enabled = true, src)))))
+    assert(SnapshotJob.run(spark, settings, wh, LocalDate.parse("2024-02-01"))
+      == Seq("drops"))
+    assert(SnapshotJob.run(spark, settings, wh, LocalDate.parse("2024-02-01"))
+      == Seq()) // S10: same scope never double-loads
+    assert(wh.read("drops").get.count() == 2)
+    // a fresh dated drop loads under its own scope
+    Seq(("c", 1.0)).toDF("k", "amount")
+      .coalesce(1).write.option("header", "true").mode("overwrite")
+      .csv(s"$drop/2024-02-02")
+    assert(SnapshotJob.run(spark, settings, wh, LocalDate.parse("2024-02-02"))
+      == Seq("drops"))
+    assert(wh.read("drops").get.count() == 3)
+    // json drops get the S9 date-string promotion like the script sources
+    val jdrop = java.nio.file.Files.createTempDirectory("json_drop")
+    Seq("""{"k": "x", "seen": "2024-02-01"}""").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$jdrop/2024-02-01")
+    val jdf = SnapshotJob.runFile(spark,
+      SnapshotJob.FileSource(s"$jdrop/@date", "json"),
+      LocalDate.parse("2024-02-01"))
+    assert(jdf.schema("seen").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("distributed pipe source: shard-per-executor-process JSON-lines") {
     val script = java.nio.file.Files.createTempFile("shard", ".sh")
     java.nio.file.Files.writeString(script,
