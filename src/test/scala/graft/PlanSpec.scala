@@ -286,4 +286,36 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "tiny day frame must broadcast:\n" + p.take(600))
   }
+
+  test("pseudonymize: pure per-row projection — zero exchanges, stays codegen'd") {
+    val cust = Tables.load(spark, sf("sf0.001"), "customer")
+    val p = plan(ext.Privacy.pseudonymize(cust, Seq("c_custkey", "c_name"), "s"))
+    assert(!p.contains("Exchange"),
+      "tokenization must never shuffle — it is a projection:\n" + p.take(600))
+    // toString marks whole-stage-codegen stages with the *(n) prefix
+    assert(p.contains("*(1) Project"),
+      "sha2-over-concat must stay inside codegen:\n" + p.take(600))
+  }
+
+  test("PNG decode: pure per-row projection — zero exchanges over the media scan") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id").as("id"), lit(8L).as("w"), lit(6L).as("h"))
+    val png = ext.Multimodal.syntheticPng(docs, "id", "w", "h")
+    val p = plan(ext.Multimodal.decodePngMeta(png))
+    assert(!p.contains("Exchange"),
+      "container decode must never shuffle:\n" + p.take(600))
+  }
+
+  test("sketch profile: one scan, register partial-agg map-side, no row explosion past the agg") {
+    val o = Tables.load(spark, sf("sf0.001"), "orders")
+    val p = formatted(ext.Profile.columnsSketch(o,
+      Seq("o_custkey", "o_orderstatus"), p = 8))
+    // exactly one parquet scan feeds the unpivot + register aggregation
+    // (count the formatted detail headers "(n) Scan parquet" — each node
+    // appears once in the tree and once as a detail section)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1,
+      "sketch profile must read the fact once:\n" + p.take(800))
+    assert(p.contains("HashAggregate"),
+      "registers must fold through hash aggregation (map-side partial):\n" + p.take(600))
+  }
 }
