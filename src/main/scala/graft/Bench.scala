@@ -34,7 +34,11 @@ object Bench {
     // steady-state: min over reps (JIT + page-cache warmup excluded;
     // measured run-to-run swing on this host is ~±25%, so 3 reps)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
+    // dev-loop filter (comma-separated names); the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_(n)) }
+      .map { case (name, _) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try force(name) catch { case _: Throwable => () }
@@ -51,7 +55,16 @@ object Bench {
     val total = results.map(_._2).sum
     // nqueries: the conformance set has grown round over round (40 -> 47
     // -> 62 -> ...); totals are only comparable per-query
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+    // Truncation-proofing: the driver captures a bounded log tail, and a
+    // ~700 s sbt run's tail can eat the end of a long line (BENCH_r08 lost
+    // ~130 of 203 per-query timings that way). Persist the full JSON to a
+    // fixed file first, then print — so the timings survive even when the
+    // captured stdout doesn't.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), line)
+    catch { case e: Throwable => System.err.println(s"[bench] could not write bench_out.json: $e") }
+    println(line)
     spark.stop()
   }
 }

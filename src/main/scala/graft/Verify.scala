@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name filter (dev loop only —
+    // the driver always runs the full set)
+    val (sfDir, outDir, onlyArg) = args match {
+      case Array(s, o) => (s, o, None)
+      case Array(s, o, q) => (s, o, Some(q.split(",").toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,7 +26,11 @@ object Verify {
     // testdata timestamp-type flip) shows as red in CORRECTNESS_rN.json
     // instead of silently shrinking the gate count.
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = onlyArg match {
+      case Some(only) => SparkEntry.queries.filter { case (n, _) => only(n) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -47,10 +56,23 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => onlyArg.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
       failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // Truncation-proofing (mirrors Bench): a fixed-path summary in the repo
+    // root records what actually ran — query count, failure map — so the
+    // round's verify signal survives even if the driver's captured log tail
+    // is cut. The per-query parquet dumps in outDir remain the real data.
+    val summary =
+      s"""{"nqueries":${selected.size},"nfailed":${failures.size},""" +
+        s""""failed":${failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")},""" +
+        s""""sfDir":${q(sfDir)},"outDir":${q(outDir)}}"""
+    try Files.writeString(
+      Paths.get(sys.env.getOrElse("SPARK_GRAFT_VERIFY_OUT", "verify_out.json")), summary)
+    catch { case e: Throwable => System.err.println(s"[verify] could not write verify_out.json: $e") }
+    println(summary)
     spark.stop()
   }
 }
