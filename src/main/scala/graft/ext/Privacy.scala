@@ -52,12 +52,17 @@ object Privacy {
     * statistic (a row is k-anonymous iff k_count >= k).
     *
     * Scale shape (the repo's zscore pattern): aggregate the combo table
-    * (map-side partial count, combo-cardinality rows out — quasi-
-    * identifiers are low-cardinality by construction, that is what makes
-    * them quasi), then broadcast it back onto the scan. The fact itself
-    * never shuffles — a count WINDOW over the combo partition would
-    * shuffle and sort all 100 TB by combo instead. Null-safe join:
-    * NULL quasi values form their own group, exactly like GROUP BY. */
+    * (map-side partial count, combo-cardinality rows out), then join it
+    * back onto the scan — typically a broadcast, but the strategy is left
+    * to the optimizer/AQE, NOT hinted: the k-anonymity failure mode is
+    * precisely near-unique quasi combos (combo count ~ row count), and a
+    * forced broadcast of that table would OOM the driver exactly when the
+    * operator matters most. When combos are genuinely low-cardinality AQE
+    * broadcasts anyway (runtime size, not estimate); when they are not,
+    * it degrades to a shuffle join that still completes. A count WINDOW
+    * over the combo partition would shuffle and SORT all 100 TB by combo
+    * instead. Null-safe join: NULL quasi values form their own group,
+    * exactly like GROUP BY. */
   def kAnonymityCounts(df: DataFrame, quasiCols: Seq[String]): DataFrame = {
     require(quasiCols.nonEmpty, "k-anonymity needs at least one quasi-identifier")
     val missing = quasiCols.filterNot(df.columns.contains)
@@ -67,7 +72,7 @@ object Privacy {
     val renamed = quasiCols.foldLeft(counts)((d, c) =>
       d.withColumnRenamed(c, s"__q_$c"))
     val cond = quasiCols.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _)
-    df.join(broadcast(renamed), cond)
+    df.join(renamed, cond)
       .drop(quasiCols.map(c => s"__q_$c"): _*)
   }
 
