@@ -23,15 +23,28 @@ import org.apache.spark.sql.types._
   * Schema evolution (S7): new batch columns are added with
   * `ALTER TABLE ... ADD COLUMN` (nullable, like the parquet path); batch
   * rows missing existing columns null-fill (the INSERT lists only the
-  * batch's columns). A shared-column TYPE change is rejected loudly —
-  * in-place column retyping is dialect-specific DDL the reference handles
-  * with MySQL `CHANGE COLUMN` (OLAP.php:186-192); run it out-of-band.
+  * batch's columns). A shared-column TYPE change resolves through the same
+  * widening lattice as the parquet path ([[SchemaEvolution.widen]], the
+  * reference's `CHANGE COLUMN`, OLAP.php:186-192): a narrower batch casts
+  * up with no DDL; a table that must widen does so in place on MySQL
+  * (`MODIFY COLUMN`) and by staged copy-rewrite everywhere else (Derby has
+  * no general retyping DDL) — stage the widened copy in `<fact>_evolve`,
+  * then drop + rename, with [[vacuum]] finishing a crashed swap from the
+  * staged copy. A type the lattice resolves to something the sink cannot
+  * carry (arrays, structs, ...) still rejects loudly.
   */
 final class JdbcWarehouse(spark: SparkSession, url: String,
     props: Map[String, String] = Map.empty,
     batchSize: Int = 10000) extends FactStore {
 
   if (url.startsWith("jdbc:derby")) JdbcWarehouse.ensureDerbyVarcharDialect()
+
+  /** Fact names are interpolated into raw DDL/probe SQL; confine them to
+    * identifier characters so an exotic or hostile name cannot inject or
+    * break statements (same contract as `Warehouse.tag`). */
+  private def validFact(fact: String): Unit =
+    require(fact.matches("[A-Za-z0-9_]+"),
+      s"fact name must match [A-Za-z0-9_]+, got '$fact'")
 
   private def withConnection[T](body: java.sql.Connection => T): T = {
     val p = new java.util.Properties()
@@ -40,15 +53,26 @@ final class JdbcWarehouse(spark: SparkSession, url: String,
     try body(conn) finally conn.close()
   }
 
+  private def execute(sql: String): Unit = withConnection { conn =>
+    val st = conn.createStatement()
+    try st.executeUpdate(sql) finally st.close()
+  }
+
+  private def quote(name: String): String =
+    org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier(name)
+
   /** Dialect-neutral existence probe: a zero-row SELECT succeeds iff the
     * table exists (metadata catalogs disagree on identifier case across
     * RDBMSs; a probe query never does). */
-  def exists(fact: String): Boolean = withConnection { conn =>
-    try {
-      val st = conn.createStatement()
-      try { st.executeQuery(s"SELECT 1 FROM $fact WHERE 1=0").close(); true }
-      finally st.close()
-    } catch { case _: java.sql.SQLException => false }
+  def exists(fact: String): Boolean = {
+    validFact(fact)
+    withConnection { conn =>
+      try {
+        val st = conn.createStatement()
+        try { st.executeQuery(s"SELECT 1 FROM $fact WHERE 1=0").close(); true }
+        finally st.close()
+      } catch { case _: java.sql.SQLException => false }
+    }
   }
 
   def read(fact: String): Option[DataFrame] =
@@ -88,57 +112,122 @@ final class JdbcWarehouse(spark: SparkSession, url: String,
     else Some(ss.map(f => s"`${f.name}` VARCHAR(4000)").mkString(", "))
   }
 
+  private def isMySql: Boolean =
+    url.startsWith("jdbc:mysql") || url.startsWith("jdbc:mariadb")
+
+  /** The in-place widening DDL (MySQL family; OLAP.php:186-192's
+    * `CHANGE COLUMN` modulo the rename it never uses). Exposed for specs:
+    * the sandbox has no MySQL server, so the statement text is the
+    * testable surface. */
+  private[snapshot] def modifyColumnSql(fact: String, name: String,
+      dt: DataType): String =
+    s"ALTER TABLE $fact MODIFY COLUMN ${quote(name)} ${sqlType(dt)}"
+
+  /** Fallback widening for dialects without general retyping DDL: stage
+    * the full widened table (existing ∪ batch through the lattice) as
+    * `<fact>_evolve`, then drop + rename. The live table stays intact
+    * until the staged copy has fully landed; a crash between the drop and
+    * the rename leaves the complete copy staged, which [[vacuum]] swaps
+    * in. Copy cost is the table size — acceptable by design: this sink
+    * carries serving-sized facts, and retyping is a once-per-schema-life
+    * event (the parquet path pays the same full rewrite). */
+  private def copyRewrite(fact: String, existing: DataFrame,
+      batch: DataFrame): Unit = {
+    val merged = SchemaEvolution.unionEvolve(existing, batch)
+    writeBatch(s"${fact}_evolve", merged, SaveMode.Overwrite, truncate = false)
+    execute(s"DROP TABLE $fact")
+    renameTable(s"${fact}_evolve", fact)
+  }
+
+  private def renameTable(from: String, to: String): Unit =
+    execute(
+      if (isMySql || url.startsWith("jdbc:derby")) s"RENAME TABLE $from TO $to"
+      else s"ALTER TABLE $from RENAME TO $to")
+
+  /** Finish or discard a crashed [[copyRewrite]]: a missing fact with a
+    * staged `<fact>_evolve` swaps the (complete by protocol) copy in; a
+    * leftover staging next to a live fact is junk from a crash before the
+    * drop and is removed. Safe any time; no-op on a healthy fact. */
+  def vacuum(fact: String): Unit = {
+    validFact(fact)
+    val tmp = s"${fact}_evolve"
+    if (!exists(fact) && exists(tmp)) renameTable(tmp, fact)
+    else if (exists(tmp)) execute(s"DROP TABLE $tmp")
+  }
+
+  /** Cast batch columns shared with the table up to the table's (possibly
+    * just-widened) types, so the INSERT binds the remote column types
+    * exactly. Casting to the same type is a no-op. */
+  private def alignShared(batch: DataFrame,
+      types: Map[String, DataType]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    batch.select(batch.columns.map { c =>
+      types.get(c.toLowerCase).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
+    }.toIndexedSeq: _*)
+  }
+
   def append(fact: String, batch: DataFrame): Unit = {
+    validFact(fact)
     read(fact) match {
       case None => // Spark's JDBC writer creates the table on first append
+        writeBatch(fact, batch, SaveMode.Append)
       case Some(existing) =>
         val byName = existing.schema.fields
           .map(f => f.name.toLowerCase -> f.dataType).toMap
-        val conflicts = batch.schema.fields.filter(f =>
-          byName.get(f.name.toLowerCase).exists(_ != f.dataType))
-        require(conflicts.isEmpty,
-          s"JDBC sink: column type change needs out-of-band DDL " +
-            s"(${conflicts.map(f => s"${f.name}: ${byName(f.name.toLowerCase)} -> ${f.dataType}")
-              .mkString(", ")})")
+        // shared columns whose batch type differs resolve through the
+        // widening lattice; only a table-side widening needs DDL
+        val tableWiden = batch.schema.fields.toSeq.flatMap { f =>
+          byName.get(f.name.toLowerCase).flatMap { et =>
+            val w = SchemaEvolution.widen(et, f.dataType)
+            if (w == et) None else Some((f.name, w))
+          }
+        }
+        // loud reject up front when the widened type has no SQL carrier —
+        // before any DDL has touched the remote table
+        tableWiden.foreach { case (_, w) => sqlType(w) }
+        val target: Map[String, DataType] =
+          if (tableWiden.isEmpty) byName
+          else if (isMySql) {
+            tableWiden.foreach { case (n, w) =>
+              execute(modifyColumnSql(fact, n, w))
+            }
+            byName ++ tableWiden.map { case (n, w) => n.toLowerCase -> w }
+          } else {
+            copyRewrite(fact, existing, batch)
+            return // the staged rewrite already contains the batch
+          }
         val added = batch.schema.fields
           .filterNot(f => byName.contains(f.name.toLowerCase))
-        if (added.nonEmpty) withConnection { conn =>
-          val st = conn.createStatement()
-          try added.foreach { f =>
-            st.executeUpdate(
-              s"""ALTER TABLE $fact ADD COLUMN "${f.name}" ${sqlType(f.dataType)}""")
-          } finally st.close()
+        added.foreach { f =>
+          execute(s"ALTER TABLE $fact ADD COLUMN ${quote(f.name)} ${sqlType(f.dataType)}")
         }
+        writeBatch(fact, alignShared(batch, target), SaveMode.Append)
     }
-    val w0 = batch.write.format("jdbc")
-      .option("url", url).option("dbtable", fact)
+  }
+
+  private def writeBatch(table: String, df: DataFrame, mode: SaveMode,
+      truncate: Boolean = false): Unit = {
+    val w0 = df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
       .option("batchsize", batchSize.toString)
-    val w = stringColumnTypes(batch.schema)
+      .option("truncate", truncate.toString)
+    val w = stringColumnTypes(df.schema)
       .map(t => w0.option("createTableColumnTypes", t)).getOrElse(w0)
     props.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
-      .mode(SaveMode.Append).save()
+      .mode(mode).save()
   }
 
   /** Replace the fact's content wholesale (the streaming complete-mode
     * sink against JDBC): `TRUNCATE` + bulk insert, preserving the remote
     * DDL (indexes, grants) rather than drop/recreate. */
   def overwrite(fact: String, batch: DataFrame): Unit = {
-    val w0 = batch.write.format("jdbc")
-      .option("url", url).option("dbtable", fact)
-      .option("batchsize", batchSize.toString)
-      .option("truncate", "true")
-    val w = stringColumnTypes(batch.schema)
-      .map(t => w0.option("createTableColumnTypes", t)).getOrElse(w0)
-    props.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
-      .mode(SaveMode.Overwrite).save()
+    validFact(fact)
+    writeBatch(fact, batch, SaveMode.Overwrite, truncate = true)
   }
 
   /** Drop the fact (the reference's `delete` analog, OLAP.php:385). */
   def drop(fact: String): Unit =
-    if (exists(fact)) withConnection { conn =>
-      val st = conn.createStatement()
-      try st.executeUpdate(s"DROP TABLE $fact") finally st.close()
-    }
+    if (exists(fact)) execute(s"DROP TABLE $fact")
 }
 
 object JdbcWarehouse {

@@ -124,16 +124,70 @@ class SourcesSpec extends SparkTestBase {
     jw.append("evo", Seq((4L, null.asInstanceOf[String])).toDF("id", "name"))
     assert(jw.read("evo").get.filter(col("id") === 4L && col("name").isNull)
       .count() == 1)
-    // shared-column type change is rejected loudly (out-of-band DDL)
-    val e = intercept[IllegalArgumentException] {
-      jw.append("evo", Seq(Tuple1("not-a-long")).toDF("id"))
-    }
-    assert(e.getMessage.contains("type change"))
     // overwrite replaces content, preserving the remote DDL
     jw.overwrite("evo", Seq((7L, "z", 1.0)).toDF("id", "name", "score"))
     assert(jw.read("evo").get.count() == 1)
     jw.drop("evo")
     assert(jw.read("evo").isEmpty)
+  }
+
+  test("JDBC sink type widening: lattice round-trip via copy-rewrite on Derby") {
+    import org.apache.spark.sql.types._
+    val url = "jdbc:derby:memory:graftdb_widen;create=true"
+    val jw = new JdbcWarehouse(spark, url)
+    jw.append("wide", Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    // LONG -> DECIMAL: table must widen; Derby has no retyping DDL, so the
+    // staged copy-rewrite path runs (S7 parity with the parquet rewrite)
+    jw.append("wide", Seq((3L, BigDecimal("30.25")))
+      .toDF("id", "v").select(col("id"),
+        col("v").cast(DecimalType(18, 2)).as("v")))
+    val back = jw.read("wide").get
+    assert(back.schema("v").dataType.isInstanceOf[DecimalType])
+    assert(back.count() == 3)
+    assert(back.agg(sum(col("v")).cast("double")).as[Double].collect()(0)
+      == 60.25)
+    // narrower batch (INT into the now-DECIMAL column): casts up, no DDL
+    jw.append("wide", Seq((4, 5)).toDF("id", "v"))
+    assert(jw.read("wide").get.count() == 4)
+    // LONG -> STRING on a widened re-read: id stays LONG, v already wide
+    // enough; a STRING batch value for id widens id via a second rewrite
+    jw.append("wide", Seq(Tuple1("not-a-long")).toDF("id"))
+    val back2 = jw.read("wide").get
+    assert(back2.schema("id").dataType == StringType)
+    assert(back2.count() == 5)
+    assert(back2.filter(col("id") === "1").count() == 1) // old rows retyped
+  }
+
+  test("JDBC sink: crashed widening swap is finished (or cleared) by vacuum") {
+    val url = "jdbc:derby:memory:graftdb_vac;create=true"
+    val jw = new JdbcWarehouse(spark, url)
+    // crash between DROP and RENAME: only the staged copy exists
+    jw.append("gone_evolve", Seq((1L, 2.0)).toDF("id", "v"))
+    assert(jw.read("gone").isEmpty)
+    jw.vacuum("gone")
+    assert(jw.read("gone").get.count() == 1)
+    // crash before the DROP: live fact + leftover staging -> staging junked
+    jw.append("live", Seq((1L, 1.0)).toDF("id", "v"))
+    jw.append("live_evolve", Seq((9L, 9.0)).toDF("id", "v"))
+    jw.vacuum("live")
+    assert(jw.read("live").get.count() == 1)
+    assert(jw.read("live_evolve").isEmpty)
+    // no-op on a healthy fact
+    jw.vacuum("live")
+    assert(jw.read("live").get.count() == 1)
+  }
+
+  test("JDBC sink rejects non-identifier fact names before any SQL runs") {
+    val jw = new JdbcWarehouse(spark, "jdbc:derby:memory:graftdb_id;create=true")
+    Seq("evil; DROP TABLE x", "a b", "x\"y", "").foreach { bad =>
+      val e = intercept[IllegalArgumentException] { jw.exists(bad) }
+      assert(e.getMessage.contains("fact name"))
+    }
+    // MySQL MODIFY statement shape (no MySQL server in the sandbox; the
+    // statement text is the testable surface of the in-place path)
+    assert(jw.modifyColumnSql("f", "v",
+      org.apache.spark.sql.types.DecimalType(18, 2))
+      == """ALTER TABLE f MODIFY COLUMN "v" DECIMAL(18,2)""")
   }
 
   test("file-drop source: @date path templating, explicit schema, S10 idempotency") {
