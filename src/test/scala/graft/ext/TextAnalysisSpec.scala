@@ -440,6 +440,64 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(bd(1).getBoolean(1) && !bd(1).getBoolean(6)) // sig ok, crc mismatch
   }
 
+  test("JPEG codec: segment walk finds SOF behind APP0; real encoder round-trips") {
+    val dims = Seq((1L, 640L, 480L), (2L, 1L, 1L), (3L, 65535L, 2L))
+      .toDF("id", "w", "h")
+    val jpg = Multimodal.syntheticJpeg(dims, "id", "w", "h")
+    val dec = Multimodal.decodeJpegMeta(jpg).orderBy("media_id").collect()
+    assert(dec.map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 640L, 480L), (2L, 1L, 1L), (3L, 65535L, 2L)))
+    assert(dec.forall(r => r.getBoolean(1) && r.getBoolean(6))) // sig_ok, eoi_ok
+    assert(dec.forall(r => r.getLong(4) == 8L && r.getLong(5) == 1L))
+    // a real JPEG encoder's output decodes identically (SOF sits behind
+    // JFIF + quantization tables — the walk must skip segments by length)
+    val img = new java.awt.image.BufferedImage(5, 7,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val rd = Multimodal.decodeJpegMeta(
+      Seq((9L, bos.toByteArray)).toDF("media_id", "content")).collect()(0)
+    assert(rd.getBoolean(1) && rd.getLong(2) == 5L && rd.getLong(3) == 7L)
+    assert(rd.getLong(5) == 3L && rd.getBoolean(6)) // 3 components, EOI
+    // dirty bytes fail clean: zeroed signature; SOI but garbage segments;
+    // truncated tail (valid SOF, missing EOI)
+    val sofless = Array[Byte](0xff.toByte, 0xd8.toByte, 0x00, 0x01, 0x02)
+    val truncated = jpg.orderBy("media_id").collect()(0)
+      .getAs[Array[Byte]]("content").dropRight(2)
+    val bad = Seq((10L, Array.fill[Byte](40)(0)), (11L, sofless),
+      (12L, truncated)).toDF("media_id", "content")
+    val bd = Multimodal.decodeJpegMeta(bad).orderBy("media_id").collect()
+    assert(!bd(0).getBoolean(1) && bd(0).isNullAt(2))
+    assert(!bd(1).getBoolean(1) && bd(1).isNullAt(2)) // walk found no SOF
+    assert(bd(2).getBoolean(1) && bd(2).getLong(2) == 640L &&
+      !bd(2).getBoolean(6)) // header reads, trailer check fails
+  }
+
+  test("GIF codec: little-endian screen descriptor; real encoder round-trips") {
+    val dims = Seq((1L, 640L, 480L), (2L, 1L, 1L), (3L, 300L, 65535L))
+      .toDF("id", "w", "h")
+    val gif = Multimodal.syntheticGif(dims, "id", "w", "h")
+    val dec = Multimodal.decodeGifMeta(gif).orderBy("media_id").collect()
+    assert(dec.map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((1L, 640L, 480L), (2L, 1L, 1L), (3L, 300L, 65535L)))
+    assert(dec.forall(r => r.getBoolean(1) && r.getString(2) == "89a" &&
+      !r.getBoolean(5) && r.getBoolean(6)))
+    // a real GIF encoder's output decodes identically (and carries a GCT)
+    val img = new java.awt.image.BufferedImage(4, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val rd = Multimodal.decodeGifMeta(
+      Seq((9L, bos.toByteArray)).toDF("media_id", "content")).collect()(0)
+    assert(rd.getBoolean(1) && rd.getLong(3) == 4L && rd.getLong(4) == 6L &&
+      rd.getBoolean(5) && rd.getBoolean(6))
+    // dirty bytes fail clean; a "GIF00x" near-miss is not a signature
+    val bad = Seq((10L, Array.fill[Byte](20)(0)),
+      (11L, "GIF00xzzzz".getBytes("UTF-8"))).toDF("media_id", "content")
+    val bd = Multimodal.decodeGifMeta(bad).orderBy("media_id").collect()
+    assert(bd.forall(r => !r.getBoolean(1) && r.isNullAt(3)))
+  }
+
   test("classTerms: distinctive words top their class, shared words score ~1") {
     import spark.implicits._
     val docs = (
