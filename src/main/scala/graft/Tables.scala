@@ -27,14 +27,21 @@ object Tables {
     *
     * Every event-time consumer (batch loads AND the file-stream reader) must
     * go through this one function so the contract survives the next testdata
-    * regeneration. */
-  def normalizeTs(df: DataFrame): DataFrame =
-    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
-      case Some(LongType) =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case Some(TimestampNTZType) =>
-        df.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => df
+    * regeneration. `cols` declares which columns carry event time (default:
+    * the testdata's single `ts`) — a future table with a second event-time
+    * column normalizes ALL of them by declaration, rather than resurrecting
+    * the r07 class of breakage one hardcoded name at a time. Declared
+    * columns absent from the frame are ignored (tables without event time
+    * pass through untouched). */
+  def normalizeTs(df: DataFrame, cols: Seq[String] = Seq("ts")): DataFrame =
+    cols.foldLeft(df) { (d, name) =>
+      d.schema.fields.find(_.name == name).map(_.dataType) match {
+        case Some(LongType) =>
+          d.withColumn(name, timestamp_micros(expr(s"$name div 1000")))
+        case Some(TimestampNTZType) =>
+          d.withColumn(name, col(name).cast("timestamp"))
+        case _ => d
+      }
     }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {

@@ -55,6 +55,27 @@ class TablesSpec extends SparkTestBase {
     assert(Tables.normalizeTs(df).schema === df.schema)
   }
 
+  test("normalizeTs: declared column list covers a second event-time column") {
+    import spark.implicits._
+    // two event-time columns in DIFFERENT physical layouts (one NTZ, one
+    // nanos-long) plus a true long column that must NOT be touched
+    val df = micros.toDF("us").select(
+      timestamp_micros(col("us")).cast(TimestampNTZType).as("created_at"),
+      (col("us") * 1000L).as("updated_at"),
+      col("us").as("payload_size"))
+    val out = Tables.normalizeTs(df, Seq("created_at", "updated_at"))
+    assert(out.schema("created_at").dataType === TimestampType)
+    assert(out.schema("updated_at").dataType === TimestampType)
+    assert(out.schema("payload_size").dataType === LongType)
+    val vals = out.select(unix_micros(col("created_at")),
+      unix_micros(col("updated_at"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(vals === micros.map(m => (m, m)).sorted)
+    // a declared column absent from the frame is ignored
+    assert(Tables.normalizeTs(df, Seq("no_such", "updated_at"))
+      .schema("updated_at").dataType === TimestampType)
+  }
+
   test("load reads the driver events table with a session-TZ TIMESTAMP ts") {
     val ev = Tables.load(spark, sf("sf0.001"), "events")
     assert(ev.schema("ts").dataType === TimestampType)
