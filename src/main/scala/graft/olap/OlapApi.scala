@@ -70,19 +70,34 @@ final class OlapApi(spark: SparkSession, warehouse: Warehouse,
     }.mkString("[", ", ", "]")
   }
 
+  /** Catalog endpoint: snapshot tags pinned on the fact — the
+    * reproducibility surface ([[graft.snapshot.Warehouse.tag]]) reachable
+    * through the API; pass a listed name back as `tag=` on the aggregate
+    * endpoint to query the fact as it was at pin time. */
+  def tags(fact: String): String = {
+    meta(fact) // unknown-fact contract identical to the other endpoints
+    warehouse.tags(fact).map(jstr).mkString("[", ", ", "]")
+  }
+
   /** The aggregate endpoint: compile cut/drilldown/measure/aggregate
     * params, run, render (`output` = "json" | "table"). `aggregate`
     * overrides per-measure aggregation functions by catalog name
     * (`measure:fn|...` or a bare `fn` for all measures); `order`
     * (`col:desc|col2:asc`) + `limit` expose top-N — beyond the reference,
-    * which defines no ordering at all. */
+    * which defines no ordering at all. `tag` queries the snapshot a
+    * [[graft.snapshot.Warehouse.tag]] pinned instead of the live fact
+    * (zero-copy time travel; an expired/scrubbed tag fails loudly). */
   def aggregate(fact: String, cut: Option[String] = None,
       drilldown: Option[String] = None, measure: Option[String] = None,
       aggregate: Option[String] = None, order: Option[String] = None,
-      limit: Option[Int] = None, output: String = "json"): String = {
+      limit: Option[Int] = None, output: String = "json",
+      tag: Option[String] = None): String = {
     val m = meta(fact)
-    val df = warehouse.read(fact).getOrElse(throw new IllegalStateException(
-      s"fact table $fact has no snapshots yet"))
+    val df = tag match {
+      case Some(t) => warehouse.readTag(fact, t)
+      case None => warehouse.read(fact).getOrElse(throw new IllegalStateException(
+        s"fact table $fact has no snapshots yet"))
+    }
     val req = AggregateService.Request.fromParams(cut, drilldown, measure,
       aggregate, order, limit)
     val result = AggregateService.aggregate(df, m, req)

@@ -14,8 +14,9 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *   GET /olap/<fact>/dimensions
   *   GET /olap/<fact>/measures
   *   GET /olap/<fact>/aggregates
+  *   GET /olap/<fact>/tags
   *   GET /olap/<fact>/aggregate?cut=..&drilldown=..&measure=..
-  *         &aggregate=..&order=..&limit=..&output=json|table
+  *         &aggregate=..&order=..&limit=..&output=json|table&tag=..
   *
   * JDK built-in HttpServer: zero dependencies, single-threaded executor by
   * default — the query work itself runs distributed in Spark; the HTTP
@@ -54,6 +55,7 @@ final class OlapHttpServer(api: OlapApi, port: Int = 0,
         case Seq(fact, "dimensions") => api.dimensions(fact)
         case Seq(fact, "measures") => api.measures(fact)
         case Seq(fact, "aggregates") => api.aggregates(fact)
+        case Seq(fact, "tags") => api.tags(fact)
         case Seq(fact, "aggregate") =>
           api.aggregate(fact,
             cut = params.get("cut"),
@@ -62,7 +64,8 @@ final class OlapHttpServer(api: OlapApi, port: Int = 0,
             aggregate = params.get("aggregate"),
             order = params.get("order"),
             limit = params.get("limit").map(_.toInt),
-            output = params.getOrElse("output", "json"))
+            output = params.getOrElse("output", "json"),
+            tag = params.get("tag"))
         case _ => throw new NoSuchElementException(
           s"unknown route: ${ex.getRequestURI.getPath}")
       }

@@ -135,8 +135,8 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
     * `<fact>.merge.old/`, then the merged copy in), so readers never
     * observe a partial or doubled partition; a crash between the two
     * renames leaves that one partition absent from reads but intact in
-    * the sibling dir (re-running the merge, or renaming it back,
-    * recovers it). A shared-column TYPE change disables the fast path:
+    * the sibling dir ([[vacuum]] renames it back, or re-running the
+    * merge completes it). A shared-column TYPE change disables the fast path:
     * widened types cannot coexist with untouched partitions' old
     * physical files, so that case rewrites the whole fact (same rule as
     * append).
@@ -189,16 +189,25 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
     * replacement swapped in) — purge relies on this for fully-erased
     * partitions. Crash windows are covered by [[vacuum]]. With
     * `retireDisplaced` (the default), displaced partitions move to the
-    * retired area when tags pin them ([[tag]]); purge passes false —
-    * erasure must not keep copies. */
+    * retired area when tags pin them ([[tag]]).
+    *
+    * `erasure` (purge) switches the staging names to `<fact>.purge` /
+    * `<fact>.purge.old` and records the swapped years in a marker file:
+    * displaced ERASURE partitions contain the very rows being removed, so
+    * [[vacuum]] must roll a crashed purge FORWARD from the staged purged
+    * copies — restoring the displaced copies (the merge recovery) would
+    * resurrect them. Erasure also forces displaced copies to be deleted,
+    * never retired, regardless of tags. */
   private def swapYearPartitions(fact: String, data: DataFrame,
-      years: Seq[Long], retireDisplaced: Boolean = true): Unit = {
+      years: Seq[Long], retireDisplaced: Boolean = true,
+      erasure: Boolean = false): Unit = {
     val target = path(fact)
-    val tmp = new Path(target.getParent, target.getName + ".merge")
+    val protocol = if (erasure) ".purge" else ".merge"
+    val tmp = new Path(target.getParent, target.getName + protocol)
     // displaced partitions are staged in a SIBLING dir, never inside
     // the fact dir: the read glob must not see old+new copies during
     // the swap window (and `year=2024.old` would parse as year=null)
-    val oldRoot = new Path(target.getParent, target.getName + ".merge.old")
+    val oldRoot = new Path(target.getParent, target.getName + protocol + ".old")
     val f = fs
     if (f.exists(tmp)) f.delete(tmp, true)
     if (f.exists(oldRoot)) f.delete(oldRoot, true)
@@ -209,6 +218,15 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
     // are nullable, so a crash between here and the swaps exposes at
     // worst an all-null column — never unreadable data.
     storeSchema(fact, allNullable(data.schema))
+    if (erasure) {
+      // marker written after the staged rewrite fully succeeded and
+      // BEFORE any rename: its presence tells vacuum exactly which years
+      // a crashed purge was swapping (a fully-erased year has no staged
+      // dir, so the year list cannot be inferred from tmp's contents)
+      val out = f.create(new Path(tmp, "_purge_years.json"), true)
+      try out.write(years.mkString("[", ",", "]").getBytes("UTF-8"))
+      finally out.close()
+    }
     f.mkdirs(oldRoot)
     years.foreach { y =>
       val src = new Path(tmp, s"year=$y")
@@ -221,7 +239,7 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
         throw new java.io.IOException(s"could not swap in merged $dst")
       }
     }
-    if (retireDisplaced) retireOrDelete(fact, oldRoot)
+    if (retireDisplaced && !erasure) retireOrDelete(fact, oldRoot)
     else f.delete(oldRoot, true)
     f.delete(tmp, true)
   }
@@ -231,8 +249,12 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
     * `keys` is removed by rewriting ONLY the `year` partitions that
     * contain such rows — the deletion analog of [[merge]]'s
     * partition-scoped upsert, sharing its staged-rename swap (readers
-    * never see a partial partition; [[vacuum]] covers the crash
-    * windows). A partition whose every row matches is deleted outright.
+    * never see a partial partition). Crash windows are covered by
+    * [[vacuum]], which rolls an interrupted purge FORWARD from the
+    * purge-specific staging (`<fact>.purge`/`<fact>.purge.old` + year
+    * marker) — never backward: restoring a displaced partition would
+    * resurrect the rows erasure was removing. A partition whose every
+    * row matches is deleted outright.
     *
     * The discovery scan pushes a literal IN filter to the parquet scan,
     * so with range-clustered layout ([[optimize]]) + zone maps it reads
@@ -251,7 +273,8 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
       if (years.nonEmpty) {
         val kept = df.filter(col("year").isin(years: _*) &&
           !coalesce(col(keyCol).isin(keys: _*), lit(false)))
-        swapYearPartitions(fact, kept, years, retireDisplaced = false)
+        swapYearPartitions(fact, kept, years, retireDisplaced = false,
+          erasure = true)
         scrubRetired(fact, years)
       }
     }
@@ -275,7 +298,8 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
       if (years.nonEmpty) {
         val kept = df.filter(col("year").isin(years: _*))
           .join(kd, df(keyCol) === kd(keyName), "left_anti")
-        swapYearPartitions(fact, kept, years, retireDisplaced = false)
+        swapYearPartitions(fact, kept, years, retireDisplaced = false,
+          erasure = true)
         scrubRetired(fact, years)
       }
     }
@@ -330,11 +354,14 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
     * complete rewrite still in `<fact><suffix>` (replaceWith renames the
     * live dir away only AFTER the staged write fully succeeded), or (b)
     * individual partitions displaced to `<fact>.merge.old/year=Y`
-    * (merge). vacuum restores readability — roll the staged copy in for
-    * (a), the displaced partitions back for (b) — then deletes all
-    * leftover staging. After a crashed merge, re-running the same merge
-    * batch completes it (merge is idempotent per partition). Safe to run
-    * any time; a no-op on a healthy fact. */
+    * (merge), or (c) a purge mid-swap with staging in `<fact>.purge` /
+    * `<fact>.purge.old`. vacuum restores readability — roll the staged
+    * copy in for (a), the displaced partitions back for (b), and the
+    * purge FORWARD for (c) (restoring purge-displaced partitions would
+    * resurrect erased rows) — then deletes all leftover staging. After a
+    * crashed merge, re-running the same merge batch completes it (merge
+    * is idempotent per partition). Safe to run any time; a no-op on a
+    * healthy fact. */
   def vacuum(fact: String): Unit = {
     val f = fs
     val target = path(fact)
@@ -358,7 +385,41 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
         if (!f.exists(dst)) f.rename(st.getPath, dst)
       }
     }
-    (staged ++ Seq(old, mergeOld,
+    // crashed mid-PURGE partition swap: roll FORWARD, never back — the
+    // displaced copies in `<fact>.purge.old` contain the very rows the
+    // purge was erasing, so the merge-style restore above would resurrect
+    // them. The marker (written only after the staged purged rewrite fully
+    // succeeded) lists the years being swapped; for each: a staged copy
+    // still present swaps in (displacing whatever is live — at that point
+    // the live dir can only be the old, un-purged copy); a year with
+    // neither a staged copy nor a displaced copy was fully-erased and not
+    // yet staged out, so its live dir still holds the purged rows — delete
+    // it. A year already swapped (displaced copy present, staged copy
+    // gone) is left as-is. No marker (crash during the staged write) means
+    // the live table was never touched: just clear the staging.
+    val purgeTmp = new Path(target.getParent, target.getName + ".purge")
+    val purgeOld = new Path(target.getParent, target.getName + ".purge.old")
+    val marker = new Path(purgeTmp, "_purge_years.json")
+    if (f.exists(marker)) {
+      val in = f.open(marker)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val years = txt.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+      years.foreach { y =>
+        val src = new Path(purgeTmp, s"year=$y")
+        val dst = new Path(target, s"year=$y")
+        if (f.exists(src)) {
+          if (f.exists(dst)) f.delete(dst, true)
+          if (!f.rename(src, dst))
+            throw new java.io.IOException(
+              s"vacuum: could not complete purge swap of $dst")
+        } else if (!f.exists(new Path(purgeOld, s"year=$y")) && f.exists(dst)) {
+          f.delete(dst, true)
+        }
+      }
+      scrubRetired(fact, years)
+    }
+    (staged ++ Seq(old, mergeOld, purgeTmp, purgeOld,
       new Path(target.getParent, target.getName + ".merge")))
       .foreach(p => f.delete(p, true))
   }
@@ -604,6 +665,28 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
       if (f.listStatus(root.getPath).isEmpty) f.delete(root.getPath, true)
     }
     if (f.listStatus(retiredDir(fact)).isEmpty) f.delete(retiredDir(fact), true)
+  }
+
+  /** Retention-age policy over the reproducibility area — the time-based
+    * analog of [[dropPartitions]]: expire every tag whose manifest is
+    * older than `maxAgeDays` (filesystem mtime — set at [[tag]] time and
+    * never touched again), then reclaim the retired storage nothing still
+    * pins. Run it on the same janitor cadence as [[compact]]; without it
+    * a long-lived fact's `_retired/` grows monotonically as forgotten
+    * tags pin every rewrite's displaced files forever. `nowMillis` is
+    * injectable for tests/backfills. Returns the expired tag names. */
+  def expireTags(fact: String, maxAgeDays: Int,
+      nowMillis: Long = System.currentTimeMillis()): Seq[String] = {
+    require(maxAgeDays >= 0, s"maxAgeDays must be >= 0, got $maxAgeDays")
+    val cutoff = nowMillis - maxAgeDays * 86400000L
+    val old =
+      if (!fs.exists(tagsDir(fact))) Nil
+      else fs.listStatus(tagsDir(fact))
+        .filter(_.getModificationTime < cutoff)
+        .map(_.getPath.getName.stripSuffix(".json")).toSeq.sorted
+    old.foreach(expireTag(fact, _))
+    if (old.nonEmpty) vacuumRetired(fact)
+    old
   }
 
   // ------------------------- zone maps -------------------------

@@ -36,16 +36,19 @@ class OlapHttpSpec extends SparkTestBase
       |  "measures": [ { "name": "value", "label": "valore", "aggregate": "sum" } ] }"""
       .stripMargin
 
-  private lazy val api: OlapApi = {
+  private lazy val wh: Warehouse = {
     graft.Tables.load(spark, sf("sf0.001"), "customer")
       .createOrReplaceTempView("http_customer")
-    val wh = new Warehouse(spark,
+    val w = new Warehouse(spark,
       java.nio.file.Files.createTempDirectory("http_wh").toString)
-    SnapshotJob.run(spark, OlapConfig.parseSettings(settingsJson), wh,
+    SnapshotJob.run(spark, OlapConfig.parseSettings(settingsJson), w,
       LocalDate.parse("2024-01-15"))
+    w
+  }
+
+  private lazy val api: OlapApi =
     new OlapApi(spark, wh,
       Map("http_users" -> OlapConfig.parseFactMeta("http_users", factMetaJson)))
-  }
 
   private lazy val server: OlapHttpServer = {
     val s = OlapHttpServer(api).start()
@@ -99,5 +102,24 @@ class OlapHttpSpec extends SparkTestBase
     assert(get("/olap/no_such_fact/aggregate")._1 == 400)
     val (code, body) = get("/olap/http_users/aggregate?limit=abc")
     assert(code == 400 && body.contains("\"error\""))
+  }
+
+  test("tags route + aggregate?tag=: time travel reachable through the API") {
+    // runs last alphabetically-independent: pin, then mutate the fact
+    val before = get("/olap/http_users/aggregate?drilldown=segment&output=table")._2
+    wh.tag("http_users", "run-2024-01-15")
+    assert(get("/olap/http_users/tags") == (200, """["run-2024-01-15"]"""))
+    // a later snapshot changes the live aggregate...
+    SnapshotJob.run(spark, OlapConfig.parseSettings(settingsJson), wh,
+      LocalDate.parse("2024-01-16"))
+    val live = get("/olap/http_users/aggregate?drilldown=segment&output=table")._2
+    assert(live != before)
+    // ...but the pinned read reproduces the pre-append result exactly
+    val (tc, tagged) = get(
+      "/olap/http_users/aggregate?drilldown=segment&output=table&tag=run-2024-01-15")
+    assert(tc == 200 && tagged == before)
+    // unknown tag fails as a client error, not a 500
+    assert(get("/olap/http_users/aggregate?tag=nope")._1 == 400)
+    assert(get("/olap/no_such_fact/tags")._1 == 400)
   }
 }

@@ -58,6 +58,30 @@ class TimeTravelSpec extends SparkTestBase {
       Set((1L, 1.0, 2020L), (2L, 2.0, 2020L)))
   }
 
+  test("expireTags: retention-age policy expires old pins and reclaims storage") {
+    val wh = freshWh()
+    wh.append("f", Seq((1L, 1.0, 2020L)).toDF("k", "v", "year"))
+    wh.tag("f", "old-run")
+    wh.append("f", Seq((2L, 2.0, 2020L)).toDF("k", "v", "year"))
+    wh.compact("f") // displaces files -> retired (old-run pins them)
+    wh.tag("f", "fresh-run")
+    val retired = new java.io.File(s"${wh.root}/f/_retired")
+    assert(retired.exists())
+    // nothing is old enough at a 30-day horizon -> no-op
+    assert(wh.expireTags("f", 30).isEmpty)
+    assert(wh.tags("f") == Seq("fresh-run", "old-run"))
+    // from 40 days in the future, both tags age out; maxAgeDays=30 expires
+    // them and the reclaim follows (injectable clock, no sleeps)
+    val future = System.currentTimeMillis() + 40L * 86400000L
+    assert(wh.expireTags("f", 30, future) == Seq("fresh-run", "old-run"))
+    assert(wh.tags("f").isEmpty)
+    assert(!retired.exists())
+    // live fact untouched by retention
+    assert(wh.read("f").get.count() == 2)
+    // no tags dir / fresh fact: clean no-op
+    assert(wh.expireTags("f", 30).isEmpty)
+  }
+
   test("untagged facts keep plain-delete rewrites (no retired dir accumulates)") {
     val wh = freshWh()
     wh.append("f", Seq((1L, 1.0, 2020L)).toDF("k", "v", "year"))
