@@ -465,6 +465,28 @@ object SparkEntry {
           col("day"), col("status"), col("n_orders"), col("total"))
         .orderBy(col("status"))
     }),
+    // JDBC sink S7 type widening: a second batch whose shared column
+    // arrives wider (BIGINT counts, then DECIMAL money) retypes the remote
+    // column through the same lattice as the parquet path — in place via
+    // MODIFY on MySQL, staged copy-rewrite on dialects without retyping
+    // DDL (Derby here). Earlier rows must read back retyped, not lost
+    // (OLAP.php:186-192 CHANGE COLUMN semantics)
+    "x_jdbc_widen" -> ((s, d) => {
+      import graft.snapshot._
+      Tables.register(s, d)
+      val url = s"jdbc:derby:${TempDirs.scratchDir("graft_jdbcwd")}/db;create=true"
+      val jw = new JdbcWarehouse(s, url)
+      jw.append("orders_widen", s.sql(
+        "SELECT o_orderstatus AS status, COUNT(*) AS metric FROM orders " +
+          "WHERE year(o_orderdate) <= 1995 GROUP BY o_orderstatus"))
+      jw.append("orders_widen", s.sql(
+        "SELECT o_orderstatus AS status, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS metric " +
+          "FROM orders WHERE year(o_orderdate) >= 1996 GROUP BY o_orderstatus"))
+      jw.read("orders_widen").get
+        .select(col("status"), col("metric").cast("double").as("metric"))
+        .orderBy(col("status"), col("metric"))
+    }),
     // SCD2 dimension maintenance: a deterministic observation stream
     // (per (custkey%50, orderdate) the priority of the smallest order)
     // folded in three date-ordered batches; the version chains must
@@ -2133,6 +2155,35 @@ object SparkEntry {
       graft.ext.Multimodal.decodePngMeta(dirty)
         .orderBy(col("media_id"))
     }),
+    // JPEG: same fixture+oracle-replay shape as x_mm_decode, but the frame
+    // header sits at a DATA-DEPENDENT offset behind the APP0 segment — the
+    // gate proves the bounded segment walk, not just fixed-offset reads
+    "x_mm_decode_jpeg" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .withColumn("w", (col("doc_id") % 1920 + 1).cast("long"))
+        .withColumn("h", (length(col("text")) % 1080 + 1).cast("long"))
+      val jpg = graft.ext.Multimodal.syntheticJpeg(docs, "doc_id", "w", "h")
+      val dirty = jpg.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'0000000000000000', substring(content, 9))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.decodeJpegMeta(dirty)
+        .orderBy(col("media_id"))
+    }),
+    // GIF: little-endian screen descriptor (opposite byte order from
+    // PNG/JPEG) + version string + trailer structural check
+    "x_mm_decode_gif" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .withColumn("w", (col("doc_id") % 1920 + 1).cast("long"))
+        .withColumn("h", (length(col("text")) % 1080 + 1).cast("long"))
+      val gif = graft.ext.Multimodal.syntheticGif(docs, "doc_id", "w", "h")
+      val dirty = gif.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'000000000000', substring(content, 7))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.decodeGifMeta(dirty)
+        .orderBy(col("media_id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2398,6 +2449,16 @@ object SparkEntry {
       "o_orderstatus AS status, COUNT(*) AS n_orders, " +
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
       "FROM orders GROUP BY 6 ORDER BY 6"),
+    // widening round-trip is value-preserving: earlier BIGINT rows read
+    // back as exact decimals, later DECIMAL rows land untouched
+    "x_jdbc_widen" -> ("SELECT status, CAST(metric AS DOUBLE) AS metric FROM (" +
+      "SELECT o_orderstatus AS status, CAST(COUNT(*) AS DECIMAL(22,2)) AS metric " +
+      "FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) <= 1995 GROUP BY 1 " +
+      "UNION ALL " +
+      "SELECT o_orderstatus AS status, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(22,2)) AS metric " +
+      "FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) >= 1996 GROUP BY 1" +
+      ") ORDER BY status, metric"),
     "x_stream_hourly" -> ("SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type, " +
       "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v " +
       "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
@@ -3697,6 +3758,18 @@ object SparkEntry {
       "CASE WHEN doc_id <> 0 THEN CAST(8 AS BIGINT) END AS bit_depth, " +
       "CASE WHEN doc_id <> 0 THEN CAST(2 AS BIGINT) END AS color_type, " +
       "doc_id <> 0 AS crc_ok FROM documents ORDER BY media_id"),
+    "x_mm_decode_jpeg" -> ("SELECT doc_id AS media_id, doc_id <> 0 AS sig_ok, " +
+      "CASE WHEN doc_id <> 0 THEN doc_id % 1920 + 1 END AS width, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(length(text) % 1080 + 1 AS BIGINT) END AS height, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(8 AS BIGINT) END AS precision, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(1 AS BIGINT) END AS n_components, " +
+      "doc_id <> 0 AS eoi_ok FROM documents ORDER BY media_id"),
+    "x_mm_decode_gif" -> ("SELECT doc_id AS media_id, doc_id <> 0 AS sig_ok, " +
+      "CASE WHEN doc_id <> 0 THEN '89a' END AS version, " +
+      "CASE WHEN doc_id <> 0 THEN doc_id % 1920 + 1 END AS width, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(length(text) % 1080 + 1 AS BIGINT) END AS height, " +
+      "CASE WHEN doc_id <> 0 THEN false END AS has_gct, " +
+      "doc_id <> 0 AS trailer_ok FROM documents ORDER BY media_id"),
   )
 
   /** DuckDB replica of TextAnalysis.langProfiles hit counts (one column per
