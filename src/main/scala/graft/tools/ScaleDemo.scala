@@ -371,6 +371,99 @@ object ScaleDemo {
       println(f"""{"op": "stats_family", "rows": ${k * 150000}, "gini_groups": $g, "z_rows": $z, "q_rows": $qk, "seconds": $secs%.1f}""")
       spark.catalog.clearCache()
     }
+    // ---- round-8 privacy / reproducibility / source families at Kx ----
+    locally {
+      // k-anonymity at Kx rows over mid-cardinality quasi-identifiers
+      // (~14k combos): the combo count table must stay combo-sized and the
+      // join strategy is AQE's call (no forced broadcast) — cost must
+      // track the fact scan, not the combo count
+      val t0 = System.nanoTime()
+      val cust0 = graft.Tables.load(spark, "/root/testdata/sf0.1", "customer")
+      val custK = (0 until k).map { i =>
+        cust0.select((col("c_custkey") + lit(i.toLong * 10000000L)).as("id"),
+          col("c_mktsegment"), col("c_nationkey"),
+          floor(col("c_acctbal") / 100).as("bal_bucket"))
+      }.reduce(_ unionByName _)
+      val kept = graft.ext.Privacy.kAnonymize(custK,
+        Seq("c_mktsegment", "c_nationkey", "bal_bucket"), k = 5).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op": "kanon", "rows_in": ${k * 15000}, "replication": $k, "rows": $kept, "seconds": $secs%.1f}""")
+      spark.catalog.clearCache()
+    }
+    locally {
+      // GDPR purge on a Kx year-partitioned fact: erasing keys that live
+      // in ONE year rewrites that partition alone; the other years' bytes
+      // never move (partition-scoped, not table-scoped)
+      val t0 = System.nanoTime()
+      val ord0 = graft.Tables.load(spark, "/root/testdata/sf0.1", "orders")
+      val ordK = (0 until k).map { i =>
+        ord0.select((col("o_orderkey") + lit(i.toLong * 10000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).cast("long").as("year"))
+      }.reduce(_ unionByName _)
+      val wh = new graft.snapshot.Warehouse(spark,
+        graft.TempDirs.scratchDir("graft_purge_scale").toString)
+      wh.append("f", ordK)
+      val tLoad = (System.nanoTime() - t0) / 1e9
+      val years = wh.read("f").get.select(col("year")).distinct().count()
+      // keys drawn from one year: 1992 orderkeys (every replica's copy)
+      val keys = ord0.filter(year(col("o_orderdate")) === 1992)
+        .select(col("o_orderkey")).limit(3).collect().map(_.getLong(0))
+      val allKeys = (0 until k).flatMap(i => keys.map(_ + i.toLong * 10000000L))
+      val t1 = System.nanoTime()
+      wh.purgeKeys("f", "o_orderkey", allKeys)
+      val tPurge = (System.nanoTime() - t1) / 1e9
+      val left = wh.read("f").get.count()
+      println(f"""{"op": "purge", "rows_in": ${k * 150000}, "partitions": $years, "touched": 1, "rows": $left, "load_s": $tLoad%.1f, "purge_s": $tPurge%.1f}""")
+      spark.catalog.clearCache()
+    }
+    locally {
+      // snapshot tags at Kx: the pin is one listing + one manifest write;
+      // a post-tag compaction retires displaced files; the time-travel
+      // read re-reads the pinned byte set via the manifest (no data copy
+      // at tag time, no directory diffing at read time)
+      val t0 = System.nanoTime()
+      val ord0 = graft.Tables.load(spark, "/root/testdata/sf0.1", "orders")
+      val ordK = (0 until k).map { i =>
+        ord0.select((col("o_orderkey") + lit(i.toLong * 10000000L)).as("o_orderkey"),
+          col("o_totalprice"),
+          year(col("o_orderdate")).cast("long").as("year"))
+      }.reduce(_ unionByName _)
+      val wh = new graft.snapshot.Warehouse(spark,
+        graft.TempDirs.scratchDir("graft_tt_scale").toString)
+      wh.append("f", ordK)
+      val t1 = System.nanoTime()
+      wh.tag("f", "pin")
+      val tTag = (System.nanoTime() - t1) / 1e9
+      wh.append("f", ordK.limit(1000))
+      val t2 = System.nanoTime()
+      wh.compact("f") // rewrite retires the pinned files instead of deleting
+      val tCompact = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val pinned = wh.readTag("f", "pin").count()
+      val tRead = (System.nanoTime() - t3) / 1e9
+      println(f"""{"op": "timetravel", "rows": ${k * 150000}, "pinned_rows": $pinned, "tag_s": $tTag%.2f, "compact_retire_s": $tCompact%.1f, "read_tag_s": $tRead%.1f}""")
+      spark.catalog.clearCache()
+    }
+    locally {
+      // file-drop source at a many-file drop (K*50 CSV shards in one @date
+      // dir): cost must be scan-bound, not per-file driver overhead
+      val t0 = System.nanoTime()
+      import spark.implicits._
+      val drop = graft.TempDirs.scratchDir("graft_drop_scale")
+      val shard = (1 to 1000).map(i => (i.toLong, i * 1.5)).toDF("k", "amount")
+      shard.repartition(k * 50).write.option("header", "true")
+        .mode("overwrite").csv(s"$drop/2024-02-01")
+      val tWrite = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val n = graft.snapshot.SnapshotJob.runFile(spark,
+        graft.snapshot.SnapshotJob.FileSource(s"$drop/@date", "csv",
+          Map("header" -> "true", "schema" -> "k BIGINT, amount DOUBLE")),
+        java.time.LocalDate.parse("2024-02-01")).count()
+      val secs = (System.nanoTime() - t1) / 1e9
+      println(f"""{"op": "file_source", "files": ${k * 50}, "rows": $n, "write_s": $tWrite%.1f, "read_s": $secs%.1f}""")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
