@@ -406,8 +406,9 @@ object ScaleDemo {
       wh.append("f", ordK)
       val tLoad = (System.nanoTime() - t0) / 1e9
       val years = wh.read("f").get.select(col("year")).distinct().count()
-      // keys drawn from one year: 1992 orderkeys (every replica's copy)
-      val keys = ord0.filter(year(col("o_orderdate")) === 1992)
+      // keys drawn from one year (the earliest; every replica's copy)
+      val minYear = ord0.agg(min(year(col("o_orderdate")))).collect()(0).getInt(0)
+      val keys = ord0.filter(year(col("o_orderdate")) === minYear)
         .select(col("o_orderkey")).limit(3).collect().map(_.getLong(0))
       val allKeys = (0 until k).flatMap(i => keys.map(_ + i.toLong * 10000000L))
       val t1 = System.nanoTime()
