@@ -2170,6 +2170,36 @@ object SparkEntry {
       graft.ext.Multimodal.decodeJpegMeta(dirty)
         .orderBy(col("media_id"))
     }),
+    // WAV (audio containers): RIFF chunk walk to fmt_/data — little-endian
+    // fields, PCM flag, derived duration; the audio leg of the multimodal
+    // decode family
+    "x_mm_decode_wav" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .withColumn("ch", (col("doc_id") % 2 + 1).cast("long"))
+        .withColumn("sr", ((col("doc_id") % 3 + 1) * 8000).cast("long"))
+        .withColumn("db", (length(col("text")) % 500 * 2).cast("long"))
+      val wav = graft.ext.Multimodal.syntheticWav(docs, "doc_id", "ch", "sr", "db")
+      val dirty = wav.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00000000', substring(content, 5))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.decodeWavMeta(dirty)
+        .orderBy(col("media_id"))
+    }),
+    // MP4 (video containers): ISO-BMFF box walk to moov/mvhd — big-endian
+    // timescale/duration behind a data-dependent box offset
+    "x_mm_decode_mp4" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .withColumn("tsc", ((col("doc_id") % 4 + 1) * 600).cast("long"))
+        .withColumn("dur", (length(col("text")) % 1000 * 600).cast("long"))
+      val mp4 = graft.ext.Multimodal.syntheticMp4(docs, "doc_id", "tsc", "dur")
+      val dirty = mp4.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'000000000000', substring(content, 7))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.decodeMp4Meta(dirty)
+        .orderBy(col("media_id"))
+    }),
     // GIF: little-endian screen descriptor (opposite byte order from
     // PNG/JPEG) + version string + trailer structural check
     "x_mm_decode_gif" -> ((s, d) => {
@@ -3764,6 +3794,22 @@ object SparkEntry {
       "CASE WHEN doc_id <> 0 THEN CAST(8 AS BIGINT) END AS precision, " +
       "CASE WHEN doc_id <> 0 THEN CAST(1 AS BIGINT) END AS n_components, " +
       "doc_id <> 0 AS eoi_ok FROM documents ORDER BY media_id"),
+    "x_mm_decode_wav" -> ("SELECT doc_id AS media_id, doc_id <> 0 AS sig_ok, " +
+      "CASE WHEN doc_id <> 0 THEN true END AS is_pcm, " +
+      "CASE WHEN doc_id <> 0 THEN doc_id % 2 + 1 END AS channels, " +
+      "CASE WHEN doc_id <> 0 THEN (doc_id % 3 + 1) * 8000 END AS sample_rate, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(16 AS BIGINT) END AS bits_per_sample, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(length(text) % 500 * 2 AS BIGINT) END AS data_bytes, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(FLOOR((length(text) % 500 * 2) * 1000.0 / " +
+      "((doc_id % 3 + 1) * 8000 * (doc_id % 2 + 1) * 2)) AS BIGINT) END AS duration_ms " +
+      "FROM documents ORDER BY media_id"),
+    "x_mm_decode_mp4" -> ("SELECT doc_id AS media_id, doc_id <> 0 AS sig_ok, " +
+      "CASE WHEN doc_id <> 0 THEN 'isom' END AS brand, " +
+      "CASE WHEN doc_id <> 0 THEN (doc_id % 4 + 1) * 600 END AS timescale, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(length(text) % 1000 * 600 AS BIGINT) END AS duration, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(FLOOR((length(text) % 1000 * 600) * 1000.0 / " +
+      "((doc_id % 4 + 1) * 600)) AS BIGINT) END AS duration_ms " +
+      "FROM documents ORDER BY media_id"),
     "x_mm_decode_gif" -> ("SELECT doc_id AS media_id, doc_id <> 0 AS sig_ok, " +
       "CASE WHEN doc_id <> 0 THEN '89a' END AS version, " +
       "CASE WHEN doc_id <> 0 THEN doc_id % 1920 + 1 END AS width, " +

@@ -258,6 +258,181 @@ object Multimodal {
       when(sigOk, hex(tail) === "3B").otherwise(lit(false)).as("trailer_ok"))
   }
 
+  // ---------------- WAV container codec (header-level) ----------------
+
+  /** Little-endian integer decode of `len` bytes at a COLUMN position
+    * (RIFF offsets are data-dependent: chunks walk). */
+  private def leIntAt(pos: org.apache.spark.sql.Column,
+      len: Int): org.apache.spark.sql.Column =
+    (0 until len).map { i =>
+      conv(hex(col("content").substr((pos + i).cast("int"), lit(1))), 16, 10)
+        .cast("long") * lit(1L << (8 * i))
+    }.reduce(_ + _)
+
+  /** `len`-byte little-endian encoding of an integer column. */
+  private def leN(c: org.apache.spark.sql.Column, len: Int): org.apache.spark.sql.Column =
+    concat((0 until len).map { i =>
+      unhex(lpad(hex(c.cast("long").divide(math.pow(256, i).toLong).cast("long") % 256),
+        2, "0"))
+    }: _*)
+
+  /** RIFF chunk walk: fold over up to `maxChunks` chunks starting at byte
+    * 13 (after RIFF size + WAVE), recording the `fmt ` chunk's payload
+    * position and the `data` chunk's size. Same bounded-`aggregate` shape
+    * as the JPEG segment walk (state as lambda variables — never an
+    * expression unroll). Chunk sizes are padded to even per the RIFF
+    * spec. */
+  private def wavChunks(maxChunks: Int): org.apache.spark.sql.Column = {
+    val c = col("content")
+    val nullL = lit(null).cast("long")
+    aggregate(
+      sequence(lit(1), lit(maxChunks)),
+      struct(lit(13L).as("pos"), nullL.as("fmt"), nullL.as("data_size")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val fmt = acc.getField("fmt")
+        val dataSize = acc.getField("data_size")
+        val id = c.substr(pos.cast("int"), lit(4)).cast("string")
+        val size = leIntAt(pos + 4, 4)
+        val valid = pos.isNotNull &&
+          octet_length(c) >= (pos + 7).cast("int") && size.isNotNull
+        val next = pos + 8 + size + (size % 2) // RIFF pads odd chunks
+        struct(
+          when(!valid, nullL).otherwise(next).as("pos"),
+          when(valid && id === "fmt " && fmt.isNull, pos + 8)
+            .otherwise(fmt).as("fmt"),
+          when(valid && id === "data" && dataSize.isNull, size)
+            .otherwise(dataSize).as("data_size"))
+      })
+  }
+
+  /** Assemble a minimal standards-layout PCM WAV: RIFF/WAVE header, `fmt `
+    * chunk (PCM, per-row channels + sample rate, 16-bit), `data` chunk of
+    * `dataBytesCol` zero bytes (even values only in fixtures). The fixture
+    * generator for [[decodeWavMeta]]; all codegen'd builtins. */
+  def syntheticWav(df: DataFrame, idCol: String, channelsCol: String,
+      sampleRateCol: String, dataBytesCol: String): DataFrame = {
+    val ch = col(channelsCol).cast("long")
+    val sr = col(sampleRateCol).cast("long")
+    val db = col(dataBytesCol).cast("long")
+    val byteRate = sr * ch * 2 // 16-bit PCM
+    val fmtChunk = concat(lit("fmt ").cast("binary"), leN(lit(16L), 4),
+      leN(lit(1L), 2), leN(ch, 2), leN(sr, 4), leN(byteRate, 4),
+      leN(ch * 2, 2), leN(lit(16L), 2))
+    val dataChunk = concat(lit("data").cast("binary"), leN(db, 4),
+      unhex(expr(s"repeat('00', cast($dataBytesCol as int))")))
+    val payload = concat(lit("WAVE").cast("binary"), fmtChunk, dataChunk)
+    df.select(col(idCol).cast("long").as("media_id"),
+      concat(lit("RIFF").cast("binary"), leN(octet_length(payload).cast("long"), 4),
+        payload).as("content"))
+  }
+
+  /** Parse WAV container metadata: RIFF/WAVE signature, the chunk walk to
+    * `fmt ` (PCM flag, channels, sample rate, bits/sample — all
+    * LITTLE-endian) and `data` (payload size), plus the derived duration
+    * in milliseconds (data bytes over byte rate). Dirty bytes degrade to
+    * sig_ok=false / nulls, never throw. */
+  def decodeWavMeta(media: DataFrame, maxChunks: Int = 8): DataFrame = {
+    val staged = media.withColumn("__w", wavChunks(maxChunks))
+    val sigOk = expr("substring(content, 1, 4)").cast("string") === "RIFF" &&
+      expr("substring(content, 9, 4)").cast("string") === "WAVE"
+    val fmt = col("__w.fmt")
+    val dataSize = col("__w.data_size")
+    val ok = sigOk && fmt.isNotNull
+    val byteRate = leIntAt(fmt + 8, 4)
+    staged.select(
+      col("media_id"),
+      ok.as("sig_ok"),
+      when(ok, leIntAt(fmt, 2) === 1).as("is_pcm"),
+      when(ok, leIntAt(fmt + 2, 2)).as("channels"),
+      when(ok, leIntAt(fmt + 4, 4)).as("sample_rate"),
+      when(ok, leIntAt(fmt + 14, 2)).as("bits_per_sample"),
+      when(ok, dataSize).as("data_bytes"),
+      when(ok && byteRate > 0, (dataSize * 1000L / byteRate).cast("long"))
+        .as("duration_ms"))
+  }
+
+  // ---------------- MP4 / ISO-BMFF container codec (header-level) -------
+
+  /** Position of a box's PAYLOAD within [lo, hi): fold over up to
+    * `maxBoxes` siblings ([size BE4][type 4] each), returning the payload
+    * position of the first box whose type is `boxType`, else null. The
+    * generic ISO-BMFF walker — applied twice (top level to `moov`, then
+    * moov's children to `mvhd`). */
+  private def boxPayload(lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column, boxType: String,
+      maxBoxes: Int): org.apache.spark.sql.Column = {
+    val c = col("content")
+    val nullL = lit(null).cast("long")
+    aggregate(
+      sequence(lit(1), lit(maxBoxes)),
+      struct(lo.as("pos"), nullL.as("found")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val found = acc.getField("found")
+        val size = conv(hex(c.substr(pos.cast("int"), lit(4))), 16, 10)
+          .cast("long")
+        val tpe = c.substr((pos + 4).cast("int"), lit(4)).cast("string")
+        val valid = found.isNull && pos.isNotNull && pos < hi && size >= 8
+        struct(
+          when(!valid, nullL).otherwise(pos + size).as("pos"),
+          when(valid && tpe === boxType, pos + 8)
+            .otherwise(found).as("found"))
+      },
+      acc => acc.getField("found"))
+  }
+
+  /** Assemble a minimal standards-layout MP4: `ftyp` (major brand isom) +
+    * `moov` containing a version-0 `mvhd` (per-row timescale + duration,
+    * remaining fields zero). Header-complete, sample-free; the fixture
+    * generator for [[decodeMp4Meta]]. */
+  def syntheticMp4(df: DataFrame, idCol: String, timescaleCol: String,
+      durationCol: String): DataFrame = {
+    val ftyp = concat(be4(lit(16)), lit("ftyp").cast("binary"),
+      lit("isom").cast("binary"), be4(lit(0)))
+    // mvhd v0: [size][type][ver+flags 4][creation 4][mod 4][timescale 4]
+    // [duration 4][rate 4][volume+reserved 6][reserved 8][matrix 36]
+    // [predefined 24][next_track 4] = 108 bytes total
+    val mvhd = concat(be4(lit(108)), lit("mvhd").cast("binary"),
+      be4(lit(0)), be4(lit(0)), be4(lit(0)),
+      be4(col(timescaleCol)), be4(col(durationCol)),
+      unhex(lit("00" * 76)))
+    val moov = concat(be4(octet_length(mvhd) + 8), lit("moov").cast("binary"),
+      mvhd)
+    df.select(col(idCol).cast("long").as("media_id"),
+      concat(ftyp, moov).as("content"))
+  }
+
+  /** Parse MP4/ISO-BMFF container metadata: `ftyp` major brand, the box
+    * walk to `moov` then its `mvhd` child, big-endian timescale/duration
+    * and the derived duration in milliseconds. Files without a moov
+    * within `maxBoxes` top-level boxes (or non-BMFF bytes) degrade to
+    * sig_ok=false / nulls. */
+  def decodeMp4Meta(media: DataFrame, maxBoxes: Int = 8): DataFrame = {
+    val c = col("content")
+    val sigOk = c.substr(lit(5), lit(4)).cast("string") === "ftyp" &&
+      beInt(1, 4) >= 16
+    val staged = media
+      .withColumn("__moov", boxPayload(lit(1L), octet_length(c).cast("long") + 1,
+        "moov", maxBoxes))
+      .withColumn("__mvhd", boxPayload(col("__moov"),
+        octet_length(c).cast("long") + 1, "mvhd", maxBoxes))
+    val mvhd = col("__mvhd")
+    val ok = sigOk && mvhd.isNotNull
+    val timescale = conv(hex(c.substr((mvhd + 12).cast("int"), lit(4))), 16, 10)
+      .cast("long")
+    val duration = conv(hex(c.substr((mvhd + 16).cast("int"), lit(4))), 16, 10)
+      .cast("long")
+    staged.select(
+      col("media_id"),
+      ok.as("sig_ok"),
+      when(sigOk, c.substr(lit(9), lit(4)).cast("string")).as("brand"),
+      when(ok, timescale).as("timescale"),
+      when(ok, duration).as("duration"),
+      when(ok && timescale > 0, (duration * 1000L / timescale).cast("long"))
+        .as("duration_ms"))
+  }
+
   final case class MediaFeature(media_id: Long, n_bytes: Long, dim: Int,
       features: Array[Float])
 

@@ -498,6 +498,62 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(bd.forall(r => !r.getBoolean(1) && r.isNullAt(3)))
   }
 
+  test("WAV codec: chunk walk reads fmt/data; real javax.sound encoder round-trips") {
+    val dims = Seq((1L, 1L, 8000L, 16000L), (2L, 2L, 44100L, 1764000L),
+      (3L, 1L, 22050L, 0L)).toDF("id", "ch", "sr", "db")
+    val wav = Multimodal.syntheticWav(dims, "id", "ch", "sr", "db")
+    val dec = Multimodal.decodeWavMeta(wav).orderBy("media_id").collect()
+    assert(dec.map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(6)))
+      .toSeq == Seq((1L, 1L, 8000L, 16000L), (2L, 2L, 44100L, 1764000L),
+        (3L, 1L, 22050L, 0L)))
+    assert(dec.forall(r => r.getBoolean(1) && r.getBoolean(2) &&
+      r.getLong(5) == 16L)) // sig_ok, PCM, 16-bit
+    // duration: 16000 bytes at 8000 Hz mono 16-bit = 1000 ms; 1764000 at
+    // 44100 stereo = 10000 ms
+    assert(dec.map(_.getLong(7)).toSeq == Seq(1000L, 10000L, 0L))
+    // a real JDK-encoded WAV decodes identically
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val frames = 4000
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](frames * 2)), fmt, frames)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val rd = Multimodal.decodeWavMeta(
+      Seq((9L, bos.toByteArray)).toDF("media_id", "content")).collect()(0)
+    assert(rd.getBoolean(1) && rd.getBoolean(2) && rd.getLong(3) == 1L &&
+      rd.getLong(4) == 8000L && rd.getLong(6) == frames * 2L &&
+      rd.getLong(7) == 500L)
+    // dirty bytes fail clean: zeroed signature; RIFF but chunk-less tail
+    val bad = Seq((10L, Array.fill[Byte](30)(0)),
+      (11L, "RIFF    WAVExx".getBytes("ISO-8859-1")))
+      .toDF("media_id", "content")
+    val bd = Multimodal.decodeWavMeta(bad).orderBy("media_id").collect()
+    assert(!bd(0).getBoolean(1) && bd(0).isNullAt(3))
+    assert(!bd(1).getBoolean(1)) // fmt never found -> not ok
+  }
+
+  test("MP4 codec: box walk to moov/mvhd; dirty and moov-less streams fail clean") {
+    val dims = Seq((1L, 1000L, 5000L), (2L, 600L, 600L), (3L, 90000L, 0L))
+      .toDF("id", "tsc", "dur")
+    val mp4 = Multimodal.syntheticMp4(dims, "id", "tsc", "dur")
+    val dec = Multimodal.decodeMp4Meta(mp4).orderBy("media_id").collect()
+    assert(dec.map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq == Seq((1L, 1000L, 5000L, 5000L), (2L, 600L, 600L, 1000L),
+        (3L, 90000L, 0L, 0L)))
+    assert(dec.forall(r => r.getBoolean(1) && r.getString(2) == "isom"))
+    // mvhd box size in the fixture is the spec's 108 bytes
+    val bytes = mp4.orderBy("media_id").collect()(0).getAs[Array[Byte]]("content")
+    assert(java.nio.ByteBuffer.wrap(bytes, 24, 4).getInt == 108)
+    // dirty: zeros; ftyp-only (no moov); ftyp + free box then truncation
+    val ftypOnly = bytes.take(16)
+    val bad = Seq((10L, Array.fill[Byte](24)(0)), (11L, ftypOnly))
+      .toDF("media_id", "content")
+    val bd = Multimodal.decodeMp4Meta(bad).orderBy("media_id").collect()
+    assert(!bd(0).getBoolean(1) && bd(0).isNullAt(3))
+    assert(!bd(1).getBoolean(1) && bd(1).getString(2) == "isom") // brand reads, no moov
+  }
+
   test("classTerms: distinctive words top their class, shared words score ~1") {
     import spark.implicits._
     val docs = (
