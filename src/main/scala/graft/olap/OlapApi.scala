@@ -1,7 +1,7 @@
 package graft.olap
 
 import graft.model.FactMeta
-import graft.snapshot.Warehouse
+import graft.snapshot.{FactStore, Warehouse}
 
 import org.apache.spark.sql.SparkSession
 
@@ -15,9 +15,22 @@ import org.apache.spark.sql.SparkSession
   *  - `/olap/<fact>/measures`      -> measures(fact)
   *  - `/olap/<fact>/aggregate?cut=..&drilldown=..&measure=..&output=..`
   *                                 -> aggregate(...)
-  */
-final class OlapApi(spark: SparkSession, warehouse: Warehouse,
+  *
+  * Serves from any [[FactStore]]: the parquet [[Warehouse]] (default) or
+  * the JDBC write-back sink — the reference's API reads FROM the OLAP
+  * database (OLAP.php:83,338-343), so a migrating deployment can point
+  * this API at that same database before the parquet warehouse takes
+  * over. Snapshot-tag time travel is a parquet-warehouse capability; the
+  * tag routes reject other stores with a client error. */
+final class OlapApi(spark: SparkSession, warehouse: FactStore,
     metas: Map[String, FactMeta]) {
+
+  private def tagStore(fact: String): Warehouse = warehouse match {
+    case w: Warehouse => w
+    case other => throw new IllegalArgumentException(
+      s"snapshot tags require the parquet warehouse store; fact '$fact' " +
+        s"is served from ${other.getClass.getSimpleName}")
+  }
 
   private def meta(fact: String): FactMeta =
     metas.getOrElse(fact, throw new IllegalArgumentException(
@@ -76,7 +89,7 @@ final class OlapApi(spark: SparkSession, warehouse: Warehouse,
     * endpoint to query the fact as it was at pin time. */
   def tags(fact: String): String = {
     meta(fact) // unknown-fact contract identical to the other endpoints
-    warehouse.tags(fact).map(jstr).mkString("[", ", ", "]")
+    tagStore(fact).tags(fact).map(jstr).mkString("[", ", ", "]")
   }
 
   /** The aggregate endpoint: compile cut/drilldown/measure/aggregate
@@ -94,7 +107,7 @@ final class OlapApi(spark: SparkSession, warehouse: Warehouse,
       tag: Option[String] = None): String = {
     val m = meta(fact)
     val df = tag match {
-      case Some(t) => warehouse.readTag(fact, t)
+      case Some(t) => tagStore(fact).readTag(fact, t)
       case None => warehouse.read(fact).getOrElse(throw new IllegalStateException(
         s"fact table $fact has no snapshots yet"))
     }

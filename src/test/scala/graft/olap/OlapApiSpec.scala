@@ -116,4 +116,26 @@ class OlapApiSpec extends SparkTestBase {
   test("unknown fact rejected") {
     intercept[IllegalArgumentException](api.aggregate("nope"))
   }
+
+  test("API serves from the JDBC store: same aggregates as the parquet path") {
+    // the reference's API reads FROM the OLAP database — run the same
+    // snapshot into the JDBC sink and serve the same queries from it
+    api // force the parquet-backed snapshot first (registers api_customer)
+    val jw = new graft.snapshot.JdbcWarehouse(spark,
+      "jdbc:derby:memory:graftdb_api;create=true")
+    SnapshotJob.run(spark, OlapConfig.parseSettings(settingsJson), jw,
+      LocalDate.parse("2024-01-15"))
+    val japi = new OlapApi(spark, jw,
+      Map("enabled_users" -> OlapConfig.parseFactMeta("enabled_users", factMetaJson)))
+    val table = japi.aggregate("enabled_users", cut = Some("date:2024"),
+      drilldown = Some("segment"), output = "table")
+    assert(table == api.aggregate("enabled_users", cut = Some("date:2024"),
+      drilldown = Some("segment"), output = "table"))
+    assert(japi.factTables == api.factTables)
+    // tag routes are a parquet-warehouse capability: clean client error
+    val e = intercept[IllegalArgumentException](japi.tags("enabled_users"))
+    assert(e.getMessage.contains("parquet warehouse"))
+    intercept[IllegalArgumentException](japi.aggregate("enabled_users",
+      tag = Some("t")))
+  }
 }
