@@ -981,6 +981,20 @@ object SparkEntry {
       graft.ext.Dedup.exact(docs, "doc_id", "text")
         .agg(count(lit(1)).as("n_unique"), sum(col("n_copies")).as("total"))
     }),
+    // Exact SUBSTRING dedup via disjoint 8-word tiles (the distributed
+    // ExactSubstr formulation): corpus-duplicated tiles are counted and
+    // stripped from clean_text; the sub-tile tail always survives
+    "x_substr_dedup" -> ((s, d) =>
+      graft.ext.Dedup.tileDuplication(Tables.load(s, d, "documents"),
+        "doc_id", "text", tileWords = 8)
+        .orderBy(col("doc_id"))),
+    // the stride-1 overlapping-window DETECTOR: full recall of every
+    // verbatim run >= 8 words at any alignment (the tiler's documented
+    // miss case); stripping stays with the disjoint tiler
+    "x_substr_win" -> ((s, d) =>
+      graft.ext.Dedup.windowDuplication(Tables.load(s, d, "documents"),
+        "doc_id", "text", windowWords = 8, stride = 1)
+        .orderBy(col("doc_id"))),
     "x_dedup_ngram" -> ((s, d) =>
       graft.ext.Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"),
         "doc_id", "text", n = 3, threshold = 0.5)
@@ -1488,6 +1502,23 @@ object SparkEntry {
           graft.ext.TextAnalysis.tokenCount(col("text")).as("w")),
         "doc_id", "w", step = 256, buckets = 16)
         .orderBy(col("doc_id"))),
+    // DSIR importance selection: raw docs ranked by how much their
+    // word distribution leans toward the target slice (lang='en');
+    // per-word log-ratios round to 6 decimals then sum as DECIMAL, so
+    // the ranking replays exactly on any engine
+    "x_dsir" -> ((s, d) =>
+      graft.ext.Sampling.dsirSelect(Tables.load(s, d, "documents"),
+        "doc_id", "text", col("lang") === "en", n = 100)
+        .orderBy(col("weight").desc, col("doc_id"))),
+    // Deterministic shuffle-shard export positions: shard = portable
+    // multiplicative hash bucket, seq = draw order within the shard —
+    // numShards independent window sorts, no global ordering anywhere
+    "x_shard" -> ((s, d) =>
+      graft.ext.Sampling.shuffleShards(
+        Tables.load(s, d, "documents").select(col("doc_id")),
+        "doc_id", numShards = 8,
+        hashOf = c => pmod(c.cast("long") * 2654435761L, lit(4294967296L)))
+        .orderBy(col("shard"), col("seq"))),
     // PMI collocations (log-free lift ranking): top adjacent pairs that
     // outrun their unigram frequencies — the word2vec phrase step
     "x_colloc" -> ((s, d) =>
@@ -2681,6 +2712,27 @@ object SparkEntry {
       "CAST(MAX(ABS(nb * cuma - na * cumb)) AS BIGINT) AS d_num, " +
       "CAST(MAX(ABS(nb * cuma - na * cumb)) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS d " +
       "FROM c GROUP BY na, nb"),
+    // add-one-smoothed word log-ratios vs the lang='en' target slice,
+    // rounded to 6 decimals then decimal-summed per doc — identical
+    // integer operands, one division, one ln; the sum replays exactly
+    "x_dsir" -> ("WITH tok AS (SELECT doc_id, lang = 'en' AS t, " +
+      "unnest(string_split(text, ' ')) AS w FROM documents), " +
+      "v AS (SELECT w, COUNT(*) AS r, " +
+      "SUM(CASE WHEN t THEN 1 ELSE 0 END) AS tc FROM tok GROUP BY 1), " +
+      "tot AS (SELECT SUM(r) AS rt, SUM(tc) AS tt, COUNT(*) AS vc FROM v), " +
+      "s AS (SELECT w, CAST(ROUND(LN((CAST(tc+1 AS DOUBLE) * (rt+vc)) / " +
+      "(CAST(r+1 AS DOUBLE) * (tt+vc))), 6) AS DECIMAL(18,6)) AS lr " +
+      "FROM v CROSS JOIN tot), " +
+      "dc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2) " +
+      "SELECT doc_id, ROUND(CAST(SUM(lr * c) AS DOUBLE), 6) AS weight " +
+      "FROM dc JOIN s USING (w) GROUP BY 1 " +
+      "ORDER BY weight DESC, doc_id LIMIT 100"),
+    // portable multiplicative hash: shard bucket + rank within shard
+    "x_shard" -> ("WITH h AS (SELECT doc_id, " +
+      "(doc_id * 2654435761) % 4294967296 AS hh FROM documents) " +
+      "SELECT doc_id, hh % 8 AS shard, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS BIGINT) AS seq " +
+      "FROM h ORDER BY shard, seq"),
     // same md5 draw order and token weights as x_pack; the single
     // global running sum replays the bucketed prefix sum, then the same
     // long-division span test picks the rows
@@ -3203,6 +3255,41 @@ object SparkEntry {
       "ORDER BY su DESC, doc_id LIMIT 15"),
     "x_dedup_exact" -> ("SELECT CAST(COUNT(DISTINCT regexp_replace(lower(text), '\\s+', ' ', 'g')) AS BIGINT) AS n_unique, " +
       "CAST(COUNT(*) AS BIGINT) AS total FROM documents"),
+    // tile the corpus into disjoint 8-word windows, count each tile's
+    // corpus occurrences, strip duplicated tiles; the sub-tile tail past
+    // the last full window is re-appended verbatim
+    "x_substr_dedup" -> ("WITH w AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+      "t0 AS (SELECT doc_id, ws, " +
+      "unnest(range(CAST(len(ws)//8 AS BIGINT))) AS i FROM w), " +
+      "t AS (SELECT doc_id, i, " +
+      "array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS tile FROM t0), " +
+      "c AS (SELECT tile, COUNT(*) AS cnt FROM t GROUP BY 1), " +
+      "k AS (SELECT t.doc_id, COUNT(*) AS n_tiles, " +
+      "SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS dup_tiles, " +
+      "STRING_AGG(CASE WHEN c.cnt = 1 THEN t.tile END, ' ' ORDER BY t.i) AS kept " +
+      "FROM t JOIN c USING (tile) GROUP BY 1) " +
+      "SELECT w.doc_id, CAST(COALESCE(k.n_tiles, 0) AS BIGINT) AS n_tiles, " +
+      "CAST(COALESCE(k.dup_tiles, 0) AS BIGINT) AS dup_tiles, " +
+      "ROUND(COALESCE(k.dup_tiles / (1.0 * k.n_tiles), 0.0), 6) AS dup_ratio, " +
+      "trim(concat(COALESCE(k.kept, ''), ' ', " +
+      "array_to_string(ws[(CAST(len(ws)//8 AS BIGINT)*8+1):len(ws)], ' '))) AS clean_text " +
+      "FROM w LEFT JOIN k USING (doc_id) ORDER BY doc_id"),
+    // overlapping 8-word windows at stride 1: same count-join shape as
+    // the tiler, one window per word position
+    "x_substr_win" -> ("WITH w AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+      "t0 AS (SELECT doc_id, ws, unnest(range(CASE WHEN len(ws) >= 8 " +
+      "THEN CAST(len(ws) - 7 AS BIGINT) ELSE 0 END)) AS i FROM w), " +
+      "t AS (SELECT doc_id, array_to_string(ws[(i+1):(i+8)], ' ') AS win FROM t0), " +
+      "c AS (SELECT win, COUNT(*) AS cnt FROM t GROUP BY 1), " +
+      "k AS (SELECT t.doc_id, COUNT(*) AS n_windows, " +
+      "SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS dup_windows " +
+      "FROM t JOIN c USING (win) GROUP BY 1) " +
+      "SELECT w.doc_id, CAST(COALESCE(k.n_windows, 0) AS BIGINT) AS n_windows, " +
+      "CAST(COALESCE(k.dup_windows, 0) AS BIGINT) AS dup_windows, " +
+      "ROUND(COALESCE(k.dup_windows / (1.0 * k.n_windows), 0.0), 6) AS dup_ratio " +
+      "FROM w LEFT JOIN k USING (doc_id) ORDER BY doc_id"),
     "x_dedup_ngram" -> ngramOracle(0.5),
     // batch-mode pair set restricted to pairs touching >= 1 odd (batch) id
     "x_dedup_incr" -> ngramOracle(0.8, " AND (i % 2 = 1 OR j % 2 = 1)"),

@@ -608,4 +608,105 @@ object Dedup {
       .select(col("id"), col("cid"))
     finishEager(out, eager, Seq(assigned))
   }
+
+  /** Exact SUBSTRING duplication — the within-document granularity the
+    * doc-level families above cannot see (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better":
+    * ExactSubstr removes every verbatim span that occurs twice anywhere
+    * in the corpus, because duplicated BYTES, not duplicated documents,
+    * are what the model memorizes). The paper builds one corpus-wide
+    * suffix array — a single-machine structure. The distributed
+    * formulation here tiles each document into disjoint `tileWords`-word
+    * windows and group-bys the corpus on the tile text: linear explode,
+    * one map-side-combinable count shuffle, no index build. Detection
+    * fires when both occurrences of a span cover a full tile window AT
+    * THE SAME OFFSET relative to each document's own tile grid — always
+    * true for whole-document copies, shared prefixes, and grid-aligned
+    * boilerplate (the dominant web-scrape cases), but a verbatim run
+    * whose two occurrences start at different offsets mod `tileWords`
+    * tiles differently in each and can slip through. For guaranteed
+    * recall of every run >= windowWords use [[windowDuplication]]
+    * (overlapping windows, stride dial) as the detector; this operator
+    * is the REMOVER — disjoint tiles are what can be stripped without
+    * double-deleting overlapped words.
+    *
+    * Emits per document: `n_tiles`, `dup_tiles` (tiles whose corpus
+    * occurrence count > 1 — self-repetition inside one document counts,
+    * same rule as the paper's self-similar spans), `dup_ratio`, and
+    * `clean_text` with every duplicated tile stripped (ALL occurrences,
+    * first included, as in ExactSubstr §4) while the sub-tile tail past
+    * the last full window is always kept.
+    *
+    * Scale: tile rows are linear in corpus words; the occurrence count
+    * and the per-document fold are the only shuffles (on tile and on id,
+    * both partial-agg); `collect_list` is bounded by a single document's
+    * tile count. */
+  /** The DETECTOR companion to [[tileDuplication]]: overlapping
+    * `windowWords`-word windows at `stride`-word steps. With stride 1,
+    * both occurrences of ANY verbatim run >= windowWords words emit the
+    * identical window string regardless of alignment — full ExactSubstr
+    * recall at that granularity (stride s relaxes the guarantee to runs
+    * >= windowWords + s - 1 and divides the explode cost by s; the
+    * stride-1 row count is windowWords x the corpus words, still linear).
+    * Emits per document: `n_windows`, `dup_windows` (corpus occurrence
+    * count > 1, self-repetition included), `dup_ratio`. Stripping stays
+    * with the disjoint tiler — overlapped windows cannot be removed
+    * without double-deleting shared words. */
+  def windowDuplication(df: DataFrame, idCol: String, textCol: String,
+      windowWords: Int = 8, stride: Int = 1): DataFrame = {
+    require(windowWords > 0, "windowWords must be positive")
+    require(stride > 0, "stride must be positive")
+    val ws = split(trim(col(textCol)), "\\s+")
+    val nPos = (floor((size(ws) - windowWords) / lit(stride)) + 1).cast("long")
+    val wins = transform(sequence(lit(0L), nPos - 1),
+      i => array_join(slice(ws, (i * stride + 1).cast("int"), lit(windowWords)), " "))
+    val winned = df
+      .select(col(idCol),
+        when(size(ws) >= windowWords, wins)
+          .otherwise(array().cast("array<string>")).as("__wins"))
+      .select(col(idCol), explode_outer(col("__wins")).as("__win"))
+    val counts = winned.filter(col("__win").isNotNull)
+      .groupBy(col("__win")).agg(count(lit(1)).as("__cnt"))
+    winned.join(counts, Seq("__win"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("__win")).as("n_windows"),
+        coalesce(sum(when(col("__cnt") > 1, 1L)), lit(0L)).as("dup_windows"))
+      .select(col(idCol), col("n_windows"), col("dup_windows"),
+        round(when(col("n_windows") > 0,
+          col("dup_windows").cast("double") / col("n_windows")).otherwise(0.0), 6)
+          .as("dup_ratio"))
+  }
+
+  def tileDuplication(df: DataFrame, idCol: String, textCol: String,
+      tileWords: Int = 8): DataFrame = {
+    require(tileWords > 0, "tileWords must be positive")
+    val ws = split(trim(col(textCol)), "\\s+")
+    val nt = floor(size(ws) / lit(tileWords)).cast("long")
+    val tiles = transform(sequence(lit(0L), nt - 1),
+      i => array_join(slice(ws, (i * tileWords + 1).cast("int"), lit(tileWords)), " "))
+    val tiled = df
+      .select(col(idCol),
+        when(nt > 0, tiles).otherwise(array().cast("array<string>")).as("__tiles"))
+      .select(col(idCol), posexplode_outer(col("__tiles")).as(Seq("__i", "__tile")))
+    val counts = tiled.filter(col("__tile").isNotNull)
+      .groupBy(col("__tile")).agg(count(lit(1)).as("__cnt"))
+    val perDoc = tiled.join(counts, Seq("__tile"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("__tile")).as("n_tiles"),
+        coalesce(sum(when(col("__cnt") > 1, 1L)), lit(0L)).as("dup_tiles"),
+        array_join(transform(array_sort(collect_list(
+          when(col("__cnt") === 1, struct(col("__i"), col("__tile"))))),
+          t => t.getField("__tile")), " ").as("__kept"))
+    val tail = df.select(col(idCol),
+      array_join(slice(ws, (nt * tileWords + 1).cast("int"), size(ws)), " ")
+        .as("__tail"))
+    perDoc.join(tail, Seq(idCol))
+      .select(col(idCol), col("n_tiles"), col("dup_tiles"),
+        round(when(col("n_tiles") > 0,
+          col("dup_tiles").cast("double") / col("n_tiles")).otherwise(0.0), 6)
+          .as("dup_ratio"),
+        trim(concat_ws(" ", col("__kept"), col("__tail"))).as("clean_text"))
+  }
 }

@@ -225,4 +225,84 @@ object Sampling {
       .filter(expr(s"(g + weight) div ${step}L") > expr(s"g div ${step}L"))
       .select(col(keyCol), col("weight"), col("g"))
   }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its tokens are under the TARGET
+    * distribution than under the raw-corpus distribution, then keep the
+    * top of the ranking. This is the bag-of-words member of the paper's
+    * hashed-ngram family — features are the words themselves (the
+    * paper's hashing is a memory optimization for the estimator, not a
+    * semantic; with the estimator distributed, the vocabulary table IS
+    * the compact representation). Add-one smoothing over the joint
+    * vocabulary V:
+    *
+    *   weight(d) = Σ_w count_w(d) · ln( p̂_t(w) / p̂_r(w) ),
+    *   p̂(w) = (cnt_w + 1) / (total + |V|).
+    *
+    * Determinism discipline (cross-engine replay): each per-word
+    * log-ratio is one ln over ONE double division of identical integer
+    * operands, rounded to 6 decimals and cast to DECIMAL; the per-doc
+    * sum is decimal arithmetic — exact, summation-order independent —
+    * and only the final weight returns to (rounded) double.
+    *
+    * Scale: the vocabulary table is bounded by |V| (heavy-tailed, far
+    * smaller than the corpus); the totals are ONE scalar row broadcast
+    * back; the per-doc fold shuffles once on (word, id) then once on id,
+    * both with map-side partial aggregation. The vocab join strategy is
+    * left to AQE — broadcast when |V| fits, shuffle join when a 100 TB
+    * corpus's vocabulary does not. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val toks = df.select(col(idCol), isTarget.cast("boolean").as("__t"),
+      explode(split(col(textCol), " ")).as("__w"))
+    val vocab = toks.groupBy(col("__w")).agg(
+      count(lit(1)).as("__r"),
+      coalesce(sum(when(col("__t"), 1L)), lit(0L)).as("__tc"))
+    val tot = vocab.agg(sum(col("__r")).as("__rt"), sum(col("__tc")).as("__tt"),
+      count(lit(1)).as("__v"))
+    val scored = vocab.crossJoin(broadcast(tot))
+      .select(col("__w"),
+        round(log(
+          ((col("__tc") + 1).cast("double") * (col("__rt") + col("__v"))) /
+          ((col("__r") + 1).cast("double") * (col("__tt") + col("__v")))), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("__lr"))
+    toks.groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+      .join(scored, "__w")
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__lr") * col("__c")).cast("double"), 6).as("weight"))
+  }
+
+  /** DSIR selection: the top `n` documents by importance weight
+    * (deterministic variant — the paper's Gumbel-noise resampling is a
+    * tie-breaking device for duplicate weights; here ties break on the
+    * key, so the draw replays exactly). Compiles to
+    * TakeOrderedAndProject, never a global sort. */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    dsirWeights(df, idCol, textCol, isTarget)
+      .orderBy(col("weight").desc, col(idCol)).limit(n)
+  }
+
+  /** Deterministic global shuffle + sharding for training-corpus export:
+    * every row gets a (shard, seq) position that is a pure function of
+    * its key under `hashOf` — re-running the pipeline never reorders a
+    * shard, a resumed export continues at the same seq, and NO global
+    * sort exists anywhere: the shard is a hash bucket and seq is a
+    * row_number inside the shard's partitioned window (numShards
+    * independent sorts, each 1/numShards of the data — at export scale
+    * numShards is thousands, so each window is one task's worth). The
+    * writer side is `partitionBy(shard) + sortWithinPartitions(seq)`:
+    * one file per shard, already in draw order. */
+  def shuffleShards(df: DataFrame, keyCol: String, numShards: Int,
+      hashOf: Column => Column = xxhash64(_)): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", hashOf(col(keyCol)))
+      .withColumn("shard", pmod(col("__h"), lit(numShards.toLong)))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

@@ -311,4 +311,79 @@ class DedupSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(kept2 == Set(24L), s"got: ${kept2.toSeq.sorted}")
   }
+
+  test("tileDuplication strips corpus-duplicated tiles, keeps the tail") {
+    // docs share one exact 4-word tile; each has a unique tile and a
+    // sub-tile tail that must always survive
+    val shared = "alpha beta gamma delta"
+    val rows = Seq(
+      (1L, s"$shared one two three four tail1"),
+      (2L, s"$shared five six seven eight t2a t2b"),
+      (3L, "lone words only here short")) // 5 words -> 1 tile + 1-word tail
+    val out = Dedup.tileDuplication(rows.toDF("doc_id", "text"),
+      "doc_id", "text", tileWords = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tiles", "dup_tiles", "dup_ratio", "clean_text")
+      .as[(Long, Long, Long, Double, String)].collect()
+    assert(out(0) == ((1L, 2L, 1L, 0.5, "one two three four tail1")))
+    assert(out(1) == ((2L, 2L, 1L, 0.5, "five six seven eight t2a t2b")))
+    assert(out(2) == ((3L, 1L, 0L, 0.0, "lone words only here short")))
+  }
+
+  test("tileDuplication: self-repetition inside one doc counts as dup") {
+    val rep = "w1 w2 w3 w4"
+    val out = Dedup.tileDuplication(
+      Seq((7L, s"$rep $rep endbit")).toDF("doc_id", "text"),
+      "doc_id", "text", tileWords = 4)
+      .select("n_tiles", "dup_tiles", "clean_text")
+      .as[(Long, Long, String)].head()
+    assert(out == ((2L, 2L, "endbit")))
+  }
+
+  test("tileDuplication: doc shorter than one tile passes through whole") {
+    val out = Dedup.tileDuplication(
+      Seq((9L, "just three words")).toDF("doc_id", "text"),
+      "doc_id", "text", tileWords = 8)
+      .select("n_tiles", "dup_tiles", "dup_ratio", "clean_text")
+      .as[(Long, Long, Double, String)].head()
+    assert(out == ((0L, 0L, 0.0, "just three words")))
+  }
+
+  test("tileDuplication: grid-aligned duplication detected, misaligned documented miss") {
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    // same offset mod 4 in both docs -> identical tile content -> caught
+    val aligned = Dedup.tileDuplication(
+      Seq((1L, s"$run ax ay"), (2L, s"b1 b2 b3 b4 $run")).toDF("doc_id", "text"),
+      "doc_id", "text", tileWords = 4)
+      .orderBy("doc_id").select("dup_tiles").as[Long].collect()
+    assert(aligned.forall(_ >= 2L), aligned.toSeq)
+    // offsets 0 vs 2 (mod 4) -> tiles differ -> the documented miss;
+    // windowDuplication below is the detector that closes it
+    val missed = Dedup.tileDuplication(
+      Seq((1L, s"$run ax ay"), (2L, s"b1 b2 $run")).toDF("doc_id", "text"),
+      "doc_id", "text", tileWords = 4)
+      .orderBy("doc_id").select("dup_tiles").as[Long].collect()
+    assert(missed.forall(_ == 0L), missed.toSeq)
+  }
+
+  test("windowDuplication detects every run >= windowWords at any alignment") {
+    val run = "r1 r2 r3 r4"
+    val out = Dedup.windowDuplication(
+      Seq((1L, s"$run ax ay"), (2L, s"b1 b2 $run bz")).toDF("doc_id", "text"),
+      "doc_id", "text", windowWords = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_windows", "dup_windows")
+      .as[(Long, Long, Long)].collect()
+    // doc1: windows at 0..2 (6 words), doc2: 0..3 (7 words); exactly the
+    // run window duplicates in each
+    assert(out(0) == ((1L, 3L, 1L)))
+    assert(out(1) == ((2L, 4L, 1L)))
+    // stride > 1 trades recall for cost: stride 2 still yields windows,
+    // and a doc shorter than the window has zero
+    val s2 = Dedup.windowDuplication(
+      Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "tiny doc")).toDF("doc_id", "text"),
+      "doc_id", "text", windowWords = 4, stride = 2)
+      .orderBy("doc_id").select("n_windows").as[Long].collect()
+    assert(s2.toSeq == Seq(2L, 0L)) // positions 0,2 ; none
+  }
 }

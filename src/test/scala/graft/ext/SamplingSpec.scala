@@ -154,4 +154,57 @@ class SamplingSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSet
     assert((5L to 50L by 5).forall(heavy.contains))
   }
+
+  test("dsirWeights matches the brute-force estimator and ranks target-like docs up") {
+    val corpus = Seq(
+      (1L, "good clean prose text", true),
+      (2L, "good clean words here", true),
+      (3L, "spam spam junk junk", false),
+      (4L, "good clean prose here", false), // raw doc that LOOKS target-like
+      (5L, "junk spam junk spam", false))   // raw doc that looks raw
+    val df = corpus.toDF("id", "text", "t")
+    val got = Sampling.dsirWeights(df, "id", "text", col("t"))
+      .select("id", "weight").as[(Long, Double)].collect().toMap
+    // brute force with the same formula
+    val toks = corpus.flatMap { case (i, s, t) => s.split(" ").map(w => (i, w, t)) }
+    val byW = toks.groupBy(_._2)
+    val v = byW.size
+    val rt = toks.size
+    val tt = toks.count(_._3)
+    def lr(w: String): BigDecimal = {
+      val r = byW(w).size
+      val tc = byW(w).count(_._3)
+      BigDecimal(math.log((tc + 1.0) * (rt + v) / ((r + 1.0) * (tt + v))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val want = corpus.map { case (i, s, _) =>
+      i -> s.split(" ").map(lr).sum.toDouble }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (i, g) => assert(math.abs(g - want(i)) < 1e-9, s"doc $i") }
+    // the target-like raw doc outranks the raw-like one
+    assert(got(4L) > got(5L))
+    // selection takes the top by weight with key tie-break
+    val sel = Sampling.dsirSelect(df, "id", "text", col("t"), n = 2)
+      .select("id").as[Long].collect().toSet
+    val top2 = want.toSeq.sortBy { case (i, w) => (-w, i) }.take(2).map(_._1).toSet
+    assert(sel == top2)
+  }
+
+  test("shuffleShards: stable bijective positions, no shard gaps") {
+    val out = Sampling.shuffleShards(docs, "id", numShards = 7)
+      .select("id", "shard", "seq").as[(Long, Long, Long)].collect()
+    assert(out.length == 2000)
+    // every shard's seqs are exactly 1..count (dense, no dup, no gap)
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, s"shard $sh")
+    }
+    assert(out.map(_._2).distinct.sorted.toSeq == (0L until 7L).toSeq)
+    // pure function of the key: a second run reproduces positions exactly
+    val again = Sampling.shuffleShards(docs, "id", numShards = 7)
+      .select("id", "shard", "seq").as[(Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // roughly balanced buckets under xxhash64
+    val sizes = out.groupBy(_._2).values.map(_.length)
+    assert(sizes.min > 2000 / 7 / 2, sizes.toSeq)
+  }
 }
