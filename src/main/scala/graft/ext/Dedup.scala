@@ -641,6 +641,38 @@ object Dedup {
     * and the per-document fold are the only shuffles (on tile and on id,
     * both partial-agg); `collect_list` is bounded by a single document's
     * tile count. */
+  def tileDuplication(df: DataFrame, idCol: String, textCol: String,
+      tileWords: Int = 8): DataFrame = {
+    require(tileWords > 0, "tileWords must be positive")
+    val ws = split(trim(col(textCol)), "\\s+")
+    val nt = floor(size(ws) / lit(tileWords)).cast("long")
+    val tiles = transform(sequence(lit(0L), nt - 1),
+      i => array_join(slice(ws, (i * tileWords + 1).cast("int"), lit(tileWords)), " "))
+    val tiled = df
+      .select(col(idCol),
+        when(nt > 0, tiles).otherwise(array().cast("array<string>")).as("__tiles"))
+      .select(col(idCol), posexplode_outer(col("__tiles")).as(Seq("__i", "__tile")))
+    val counts = tiled.filter(col("__tile").isNotNull)
+      .groupBy(col("__tile")).agg(count(lit(1)).as("__cnt"))
+    val perDoc = tiled.join(counts, Seq("__tile"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("__tile")).as("n_tiles"),
+        coalesce(sum(when(col("__cnt") > 1, 1L)), lit(0L)).as("dup_tiles"),
+        array_join(transform(array_sort(collect_list(
+          when(col("__cnt") === 1, struct(col("__i"), col("__tile"))))),
+          t => t.getField("__tile")), " ").as("__kept"))
+    val tail = df.select(col(idCol),
+      array_join(slice(ws, (nt * tileWords + 1).cast("int"), size(ws)), " ")
+        .as("__tail"))
+    perDoc.join(tail, Seq(idCol))
+      .select(col(idCol), col("n_tiles"), col("dup_tiles"),
+        round(when(col("n_tiles") > 0,
+          col("dup_tiles").cast("double") / col("n_tiles")).otherwise(0.0), 6)
+          .as("dup_ratio"),
+        trim(concat_ws(" ", col("__kept"), col("__tail"))).as("clean_text"))
+  }
+
   /** The DETECTOR companion to [[tileDuplication]]: overlapping
     * `windowWords`-word windows at `stride`-word steps. With stride 1,
     * both occurrences of ANY verbatim run >= windowWords words emit the
@@ -676,37 +708,5 @@ object Dedup {
         round(when(col("n_windows") > 0,
           col("dup_windows").cast("double") / col("n_windows")).otherwise(0.0), 6)
           .as("dup_ratio"))
-  }
-
-  def tileDuplication(df: DataFrame, idCol: String, textCol: String,
-      tileWords: Int = 8): DataFrame = {
-    require(tileWords > 0, "tileWords must be positive")
-    val ws = split(trim(col(textCol)), "\\s+")
-    val nt = floor(size(ws) / lit(tileWords)).cast("long")
-    val tiles = transform(sequence(lit(0L), nt - 1),
-      i => array_join(slice(ws, (i * tileWords + 1).cast("int"), lit(tileWords)), " "))
-    val tiled = df
-      .select(col(idCol),
-        when(nt > 0, tiles).otherwise(array().cast("array<string>")).as("__tiles"))
-      .select(col(idCol), posexplode_outer(col("__tiles")).as(Seq("__i", "__tile")))
-    val counts = tiled.filter(col("__tile").isNotNull)
-      .groupBy(col("__tile")).agg(count(lit(1)).as("__cnt"))
-    val perDoc = tiled.join(counts, Seq("__tile"), "left")
-      .groupBy(col(idCol))
-      .agg(
-        count(col("__tile")).as("n_tiles"),
-        coalesce(sum(when(col("__cnt") > 1, 1L)), lit(0L)).as("dup_tiles"),
-        array_join(transform(array_sort(collect_list(
-          when(col("__cnt") === 1, struct(col("__i"), col("__tile"))))),
-          t => t.getField("__tile")), " ").as("__kept"))
-    val tail = df.select(col(idCol),
-      array_join(slice(ws, (nt * tileWords + 1).cast("int"), size(ws)), " ")
-        .as("__tail"))
-    perDoc.join(tail, Seq(idCol))
-      .select(col(idCol), col("n_tiles"), col("dup_tiles"),
-        round(when(col("n_tiles") > 0,
-          col("dup_tiles").cast("double") / col("n_tiles")).otherwise(0.0), 6)
-          .as("dup_ratio"),
-        trim(concat_ws(" ", col("__kept"), col("__tail"))).as("clean_text"))
   }
 }
