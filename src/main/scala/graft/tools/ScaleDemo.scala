@@ -78,6 +78,28 @@ object ScaleDemo {
       graft.ext.TextAnalysis.dropBoilerplateLines(lined, "doc_id", "text",
         maxLineDf = k.toLong * 100).count()
     }
+    timed("tile_dedup") {
+      // replication makes every tile corpus-hot (count = K): the strip
+      // path and the per-doc fold run at full duplication pressure
+      graft.ext.Dedup.tileDuplication(corpus, "doc_id", "text").count()
+    }
+    timed("window_dedup_stride4") {
+      // stride-1 at 8 words is 8x the tile explode; stride 4 is the
+      // cost/recall midpoint the scaladoc documents
+      graft.ext.Dedup.windowDuplication(corpus, "doc_id", "text",
+        windowWords = 8, stride = 4).count()
+    }
+    timed("dsir") {
+      // target slice = one replica's worth of ids; vocab stays the base
+      // corpus's (replication adds no new words), so the estimator table
+      // is constant while the token stream grows Kx
+      graft.ext.Sampling.dsirWeights(corpus, "doc_id", "text",
+        col("doc_id") < 1000000L).count()
+    }
+    timed("shard") {
+      graft.ext.Sampling.shuffleShards(corpus.select(col("doc_id")),
+        "doc_id", numShards = 64).count()
+    }
 
     // ---- round-7 vector/string operators at Kx ----
     val emb0 = graft.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")

@@ -318,4 +318,36 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"),
       "registers must fold through hash aggregation (map-side partial):\n" + p.take(600))
   }
+
+  test("tile dedup: count-join on the tile key only — no cartesian, no broadcast of corpus-sized sides") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val p = plan(ext.Dedup.tileDuplication(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "tile counting must stay an equi-join:\n" + p.take(800))
+    // the tile-count table is corpus-sized: it must NOT be forced into a
+    // broadcast (AQE may still choose one at toy scale — assert only that
+    // the hash-agg partial/final split is present, the 100 TB shape)
+    assert(p.contains("HashAggregate"),
+      "tile counts must partial-aggregate map-side:\n" + p.take(600))
+  }
+
+  test("dsir: selection is TakeOrderedAndProject, never a global sort") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val df = ext.Sampling.dsirSelect(docs, "doc_id", "text",
+      col("lang") === "en", n = 100)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-n must be per-partition heads + driver merge:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"),
+      "the scalar totals row must broadcast, not cross-join NL:\n" + p.take(800))
+  }
+
+  test("shuffleShards: seq windows are shard-partitioned, never single-partition") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"))
+    val p = plan(ext.Sampling.shuffleShards(docs, "doc_id", numShards = 8))
+    assert(!p.contains("SinglePartition"),
+      "a global row_number would serialize the export:\n" + p.take(800))
+    assert(p.contains("Window"), "seq must come from a partitioned window")
+  }
 }
