@@ -995,6 +995,18 @@ object SparkEntry {
       graft.ext.Dedup.windowDuplication(Tables.load(s, d, "documents"),
         "doc_id", "text", windowWords = 8, stride = 1)
         .orderBy(col("doc_id"))),
+    // incremental substring dedup: even ids are the already-indexed
+    // corpus (tile counts only — text never re-read), odd ids the batch;
+    // the result must equal the batch-mode stats restricted to the batch
+    // (the oracle computes exactly that restriction)
+    "x_substr_incr" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val idx = graft.ext.Dedup.tileIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      graft.ext.Dedup.tileDuplicationIncremental(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+        .orderBy(col("doc_id"))
+    }),
     "x_dedup_ngram" -> ((s, d) =>
       graft.ext.Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"),
         "doc_id", "text", n = 3, threshold = 0.5)
@@ -3275,6 +3287,25 @@ object SparkEntry {
       "trim(concat(COALESCE(k.kept, ''), ' ', " +
       "array_to_string(ws[(CAST(len(ws)//8 AS BIGINT)*8+1):len(ws)], ' '))) AS clean_text " +
       "FROM w LEFT JOIN k USING (doc_id) ORDER BY doc_id"),
+    // batch-mode tile stats over the FULL corpus, restricted to odd
+    // (batch) ids: (index ∪ batch) counts == all-docs counts
+    "x_substr_incr" -> ("WITH w AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+      "t0 AS (SELECT doc_id, ws, " +
+      "unnest(range(CAST(len(ws)//8 AS BIGINT))) AS i FROM w), " +
+      "t AS (SELECT doc_id, i, " +
+      "array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS tile FROM t0), " +
+      "c AS (SELECT tile, COUNT(*) AS cnt FROM t GROUP BY 1), " +
+      "k AS (SELECT t.doc_id, COUNT(*) AS n_tiles, " +
+      "SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS dup_tiles, " +
+      "STRING_AGG(CASE WHEN c.cnt = 1 THEN t.tile END, ' ' ORDER BY t.i) AS kept " +
+      "FROM t JOIN c USING (tile) WHERE t.doc_id % 2 = 1 GROUP BY 1) " +
+      "SELECT w.doc_id, CAST(COALESCE(k.n_tiles, 0) AS BIGINT) AS n_tiles, " +
+      "CAST(COALESCE(k.dup_tiles, 0) AS BIGINT) AS dup_tiles, " +
+      "ROUND(COALESCE(k.dup_tiles / (1.0 * k.n_tiles), 0.0), 6) AS dup_ratio, " +
+      "trim(concat(COALESCE(k.kept, ''), ' ', " +
+      "array_to_string(ws[(CAST(len(ws)//8 AS BIGINT)*8+1):len(ws)], ' '))) AS clean_text " +
+      "FROM w LEFT JOIN k USING (doc_id) WHERE w.doc_id % 2 = 1 ORDER BY doc_id"),
     // overlapping 8-word windows at stride 1: same count-join shape as
     // the tiler, one window per word position
     "x_substr_win" -> ("WITH w AS (SELECT doc_id, " +

@@ -643,18 +643,37 @@ object Dedup {
     * tile count. */
   def tileDuplication(df: DataFrame, idCol: String, textCol: String,
       tileWords: Int = 8): DataFrame = {
+    val counts = tilesOf(df, idCol, textCol, tileWords)
+      .filter(col("__tile").isNotNull)
+      .groupBy(col("__tile")).agg(count(lit(1)).as("__cnt"))
+    tileFold(df, idCol, textCol, tileWords, counts)
+  }
+
+  private def wordsOf(textCol: String) = split(trim(col(textCol)), "\\s+")
+
+  /** (idCol, __i, __tile) rows — one per full tile window, plus a
+    * (null, null) marker row for tile-less docs (posexplode_outer). */
+  private def tilesOf(df: DataFrame, idCol: String, textCol: String,
+      tileWords: Int): DataFrame = {
     require(tileWords > 0, "tileWords must be positive")
-    val ws = split(trim(col(textCol)), "\\s+")
+    val ws = wordsOf(textCol)
     val nt = floor(size(ws) / lit(tileWords)).cast("long")
     val tiles = transform(sequence(lit(0L), nt - 1),
       i => array_join(slice(ws, (i * tileWords + 1).cast("int"), lit(tileWords)), " "))
-    val tiled = df
-      .select(col(idCol),
+    df.select(col(idCol),
         when(nt > 0, tiles).otherwise(array().cast("array<string>")).as("__tiles"))
       .select(col(idCol), posexplode_outer(col("__tiles")).as(Seq("__i", "__tile")))
-    val counts = tiled.filter(col("__tile").isNotNull)
-      .groupBy(col("__tile")).agg(count(lit(1)).as("__cnt"))
-    val perDoc = tiled.join(counts, Seq("__tile"), "left")
+  }
+
+  /** Per-doc fold shared by the batch and incremental paths: `counts`
+    * is (__tile, __cnt) with __cnt the TOTAL occurrence count a tile is
+    * judged against (> 1 = duplicated). */
+  private def tileFold(df: DataFrame, idCol: String, textCol: String,
+      tileWords: Int, counts: DataFrame): DataFrame = {
+    val ws = wordsOf(textCol)
+    val nt = floor(size(ws) / lit(tileWords)).cast("long")
+    val perDoc = tilesOf(df, idCol, textCol, tileWords)
+      .join(counts, Seq("__tile"), "left")
       .groupBy(col(idCol))
       .agg(
         count(col("__tile")).as("n_tiles"),
@@ -671,6 +690,44 @@ object Dedup {
           col("dup_tiles").cast("double") / col("n_tiles")).otherwise(0.0), 6)
           .as("dup_ratio"),
         trim(concat_ws(" ", col("__kept"), col("__tail"))).as("clean_text"))
+  }
+
+  /** Persisted tile index for [[tileDuplicationIncremental]]: corpus
+    * occurrence counts per tile — `(tile, n_refs)`, writable as parquet.
+    * The index is the corpus's ONLY representation the incremental path
+    * ever touches (text is never re-read); after accepting a batch,
+    * merge its [[tileIndex]] in with [[mergeTileIndex]]. */
+  def tileIndex(df: DataFrame, idCol: String, textCol: String,
+      tileWords: Int = 8): DataFrame =
+    tilesOf(df, idCol, textCol, tileWords)
+      .filter(col("__tile").isNotNull)
+      .groupBy(col("__tile").as("tile")).agg(count(lit(1)).as("n_refs"))
+
+  /** Fold a new batch's tile counts into a persisted index: one
+    * map-side-combinable re-aggregation over the union. */
+  def mergeTileIndex(index: DataFrame, add: DataFrame): DataFrame =
+    index.unionByName(add)
+      .groupBy(col("tile")).agg(sum(col("n_refs")).as("n_refs"))
+
+  /** Incremental [[tileDuplication]]: the arriving batch's duplication
+    * stats and `clean_text` against (indexed corpus ∪ the batch itself),
+    * equal to running the batch-mode operator over the full corpus and
+    * keeping the batch rows — WITHOUT re-reading corpus text (the
+    * continuous-ingestion contract shared with [[filterNovel]]). A batch
+    * tile is duplicated iff its batch occurrences plus its indexed
+    * `n_refs` exceed one. Cost is O(batch) plus one tile-keyed join
+    * against the index (strategy left to AQE — a 100 TB corpus's index
+    * shuffles, a small one broadcasts). */
+  def tileDuplicationIncremental(batch: DataFrame, idCol: String,
+      textCol: String, index: DataFrame, tileWords: Int = 8): DataFrame = {
+    val counts = tilesOf(batch, idCol, textCol, tileWords)
+      .filter(col("__tile").isNotNull)
+      .groupBy(col("__tile")).agg(count(lit(1)).as("__bc"))
+      .join(index.select(col("tile").as("__tile"), col("n_refs").as("__ic")),
+        Seq("__tile"), "left")
+      .select(col("__tile"),
+        (col("__bc") + coalesce(col("__ic"), lit(0L))).as("__cnt"))
+    tileFold(batch, idCol, textCol, tileWords, counts)
   }
 
   /** The DETECTOR companion to [[tileDuplication]]: overlapping

@@ -366,6 +366,53 @@ class DedupSpec extends SparkTestBase {
     assert(missed.forall(_ == 0L), missed.toSeq)
   }
 
+  test("tileDuplicationIncremental equals batch mode restricted to the batch; corpus text never read") {
+    val shared = "s1 s2 s3 s4"
+    val corpus = Seq((2L, s"$shared c1 c2 c3 c4"), (4L, "d1 d2 d3 d4 extra"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, s"$shared b1 b2 b3 b4 tail"), // shares a tile with the corpus
+      (3L, "n1 n2 n3 n4"),               // novel
+      (5L, "short one"))                 // tile-less
+      .toDF("doc_id", "text")
+    val idx = Dedup.tileIndex(corpus, "doc_id", "text", tileWords = 4)
+    val got = Dedup.tileDuplicationIncremental(batch, "doc_id", "text", idx,
+      tileWords = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tiles", "dup_tiles", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    // batch-mode over corpus ∪ batch, restricted to batch rows
+    val want = Dedup.tileDuplication(corpus.unionByName(batch),
+      "doc_id", "text", tileWords = 4)
+      .filter(col("doc_id").isin(1L, 3L, 5L)).orderBy("doc_id")
+      .select("doc_id", "n_tiles", "dup_tiles", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.toSeq == want.toSeq)
+    assert(got(0) == ((1L, 2L, 1L, "b1 b2 b3 b4 tail")))
+    // within-batch duplication also counts (both batch copies drop)
+    val twin = Seq((11L, "t1 t2 t3 t4"), (13L, "t1 t2 t3 t4")).toDF("doc_id", "text")
+    val dup = Dedup.tileDuplicationIncremental(twin, "doc_id", "text", idx,
+      tileWords = 4).select("dup_tiles").as[Long].collect()
+    assert(dup.toSeq == Seq(1L, 1L))
+  }
+
+  test("mergeTileIndex folds batch counts; accepted batches raise n_refs") {
+    val a = Dedup.tileIndex(Seq((1L, "x1 x2 x3 x4")).toDF("doc_id", "text"),
+      "doc_id", "text", tileWords = 4)
+    val b = Dedup.tileIndex(
+      Seq((2L, "x1 x2 x3 x4"), (3L, "y1 y2 y3 y4")).toDF("doc_id", "text"),
+      "doc_id", "text", tileWords = 4)
+    val merged = Dedup.mergeTileIndex(a, b)
+      .orderBy("tile").as[(String, Long)].collect()
+    assert(merged.toSeq == Seq(("x1 x2 x3 x4", 2L), ("y1 y2 y3 y4", 1L)))
+    // a batch whose only tile matches the merged index is fully duplicated
+    val probe = Dedup.tileDuplicationIncremental(
+      Seq((9L, "y1 y2 y3 y4")).toDF("doc_id", "text"),
+      "doc_id", "text", Dedup.mergeTileIndex(a, b), tileWords = 4)
+      .select("dup_tiles", "clean_text").as[(Long, String)].head()
+    assert(probe == ((1L, "")))
+  }
+
   test("windowDuplication detects every run >= windowWords at any alignment") {
     val run = "r1 r2 r3 r4"
     val out = Dedup.windowDuplication(
