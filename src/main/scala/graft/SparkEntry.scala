@@ -1104,6 +1104,15 @@ object SparkEntry {
         .select(col("qid"), col("nid"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
+    // hard-negative mining: nearest neighbors whose LABEL differs —
+    // the contrastive-training batch is the (broadcast) query side
+    "x_hardneg" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      graft.ext.Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", k = 5)
+        .select(col("qid"), col("nid"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
     // Sign-LSH ANN, rank-gated on the planted-cluster fixture (the natural
     // embeddings are noise — no structure to recall — so the gateable
     // property is "approximate == exact top-k on clustered data"; the
@@ -1322,6 +1331,13 @@ object SparkEntry {
         .head.getSeq[Float](0).map(_.toDouble)
       graft.ext.Pq.adcTopK(codes, "vec_id", cb, q, k = 10)
     }),
+    // IVF-PQ combined: coarse k-means lists prune the candidates, ADC
+    // over PQ codes scores them — 4 queries probe 2 of 8 lists each;
+    // the oracle replays all three trainings plus the probe ranking
+    "x_sim_ivfpq" -> ((s, d) =>
+      graft.ext.Pq.ivfAdcTopK(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L), k = 10)
+        .orderBy(col("qid"), col("rank"))),
 
     // ---------------- text analysis ----------------
 
@@ -3412,6 +3428,13 @@ object SparkEntry {
       "ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank " +
       "FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id " +
       "WHERE q.vec_id < 10) t WHERE rank <= 5 ORDER BY qid, rank"),
+    // label-differs is the whole exclusion: self always shares its label
+    "x_hardneg" -> ("SELECT qid, nid, rank FROM (" +
+      "SELECT q.vec_id AS qid, c.vec_id AS nid, " +
+      "ROW_NUMBER() OVER (PARTITION BY q.vec_id " +
+      "ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank " +
+      "FROM embeddings q JOIN embeddings c ON c.label != q.label " +
+      "WHERE q.vec_id < 10) t WHERE rank <= 5 ORDER BY qid, rank"),
     // approximate ANN rank oracles: rebuild the planted-cluster fixture in
     // a CTE and brute-force the exact ranks — the engine's LSH/IVF output
     // must match them exactly (cluster coherence makes recall 1 gateable)
@@ -3648,6 +3671,31 @@ object SparkEntry {
       "SELECT a0.vec_id, l0.d + l1.d AS dist FROM a3_0 a0 " +
       "JOIN a3_1 a1 USING (vec_id) JOIN lut0 l0 ON a0.cid = l0.cid " +
       "JOIN lut1 l1 ON a1.cid = l1.cid ORDER BY dist, a0.vec_id LIMIT 10"),
+    // three full training replays (coarse + 2 PQ subspaces), then probe
+    // ranking, candidate restriction to probed lists, per-query ADC
+    "x_sim_ivfpq" -> ("WITH " +
+      kmeansChain(defaultPtsSql, "_c") + kmeansFinalAssign("_c") +
+      kmeansChain(pqPtsSql(0), "_0") + kmeansFinalAssign("_0") +
+      kmeansChain(pqPtsSql(1), "_1") + kmeansFinalAssign("_1") +
+      "qs AS (SELECT vec_id AS qid, v FROM pts_c WHERE vec_id IN (0, 1, 2, 3)), " +
+      "pb AS (SELECT q.qid, b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
+      "i -> (q.v[i]-b.cvec[i])*(q.v[i]-b.cvec[i]))) AS d FROM qs q CROSS JOIN b_c b " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY d, b.cid) <= 2), " +
+      "q0 AS (SELECT vec_id AS qid, v FROM pts_0 WHERE vec_id IN (0, 1, 2, 3)), " +
+      "q1 AS (SELECT vec_id AS qid, v FROM pts_1 WHERE vec_id IN (0, 1, 2, 3)), " +
+      "lut0 AS (SELECT q.qid, b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
+      "i -> (q.v[i]-b.cvec[i])*(q.v[i]-b.cvec[i]))) AS d FROM b_0 b CROSS JOIN q0 q), " +
+      "lut1 AS (SELECT q.qid, b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
+      "i -> (q.v[i]-b.cvec[i])*(q.v[i]-b.cvec[i]))) AS d FROM b_1 b CROSS JOIN q1 q), " +
+      "cand AS (SELECT pb.qid, a.vec_id FROM pb JOIN a3_c a ON pb.cid = a.cid), " +
+      "sc AS (SELECT c.qid, c.vec_id, l0.d + l1.d AS dist FROM cand c " +
+      "JOIN a3_0 a0 ON c.vec_id = a0.vec_id JOIN a3_1 a1 ON c.vec_id = a1.vec_id " +
+      "JOIN lut0 l0 ON c.qid = l0.qid AND a0.cid = l0.cid " +
+      "JOIN lut1 l1 ON c.qid = l1.qid AND a1.cid = l1.cid) " +
+      "SELECT qid, vec_id AS nid, CAST(rank AS BIGINT) AS rank, dist FROM " +
+      "(SELECT qid, vec_id, dist, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY dist, vec_id) AS rank FROM sc) t " +
+      "WHERE rank <= 10 ORDER BY qid, rank"),
     // 5 greedy MMR rounds, each round's argmax replayed exactly
     "x_mmr" -> mmrOracleSql(5),
     "x_kmeans" -> (kmeansReplayCtes() +

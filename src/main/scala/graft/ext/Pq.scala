@@ -109,4 +109,87 @@ object Pq {
       .orderBy(col("dist"), col(idCol))
       .limit(k)
   }
+
+  /** IVF-PQ (Jégou et al. 2011 §IV — the combined recipe both halves
+    * exist for, and THE standard billion-scale ANN configuration):
+    * a coarse [[KMeans]] quantizer partitions the corpus into `nlist`
+    * inverted lists; every vector also compresses to `m` PQ codes; each
+    * query probes its `nprobe` nearest coarse lists and scores ONLY
+    * those candidates by ADC — so per query the scan is ~nprobe/nlist of
+    * the corpus and no float vector is ever reloaded. (This scores raw-
+    * vector codes rather than the paper's residual encoding — the
+    * candidate-pruning and compression economics are identical; residual
+    * codebooks would double the replay-oracle's training chains for a
+    * constant-factor accuracy gain.)
+    *
+    * Queries are corpus rows named by id (the benchmark contract the
+    * sibling topK operators share). Multi-query ADC is relational: the
+    * per-(query, subspace, codeword) distance table is queries × m × k
+    * rows — broadcast — and each candidate row folds its `m` entries in
+    * subspace order (the [[adcTopK]] determinism discipline, per query).
+    *
+    * Scale: two bounded trainings (coarse + PQ, all [[KMeans]]
+    * machinery); candidate generation is `lists ⋈ broadcast(probes)`;
+    * the per-query top-k is a qid-partitioned window with a LITERAL
+    * bound (WindowGroupLimit prunes map-side). Everything replays on any
+    * SQL engine: md5 seeds, index-ordered folds, argmin ties to the
+    * lower cid. */
+  def ivfAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, nlist: Int = 8, nprobe: Int = 2,
+      m: Int = 2, kCodes: Int = 8, iters: Int = 2): DataFrame = {
+    require(k > 0 && nprobe > 0 && nprobe <= nlist,
+      s"k=$k nprobe=$nprobe nlist=$nlist")
+    val pts = df.select(col(idCol).cast("long").as(idCol), col(vecCol))
+    val coarseCb = KMeans.fit(pts, idCol, vecCol, nlist, iters)
+      .select(lit(0L).as("sub"), col("cid"), col("dim"), col("c"))
+      .localCheckpoint(true)
+    val lists = encode(pts, idCol, vecCol, coarseCb, 1)
+      .select(col(idCol), element_at(col("code"), 1).as("__ccid"))
+    val cb = train(pts, idCol, vecCol, m, kCodes, iters).localCheckpoint(true)
+    val codes = encode(pts, idCol, vecCol, cb, m)
+    val qs = pts.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"),
+        transform(col(vecCol), x => x.cast("double")).as("__qv"))
+    // each query's nprobe nearest coarse lists (ties to the lower cid)
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("__d"), col("__ccid"))
+    val probes = qs.crossJoin(broadcast(packedBooks(coarseCb)))
+      .select(col("qid"), col("__qv"),
+        explode(element_at(col("cbs"), 1)).as("__cb"))
+      .select(col("qid"), col("__cb").getField("cid").as("__ccid"),
+        KMeans.sqDist(col("__qv"), col("__cb").getField("cvec")).as("__d"))
+      .withColumn("__pr", row_number().over(pw))
+      .filter(col("__pr") <= nprobe)
+      .select(col("qid"), col("__ccid"))
+    // per-(query, sub, cid) exact distances, packed cid-indexed per query
+    val wcol = (size(col("__qv")) / m).cast("int")
+    val books = cb.groupBy(col("sub"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+    val luts = qs.crossJoin(broadcast(books))
+      .select(col("qid"), col("sub"), col("cid"),
+        KMeans.sqDist(
+          slice(col("__qv"), (col("sub").cast("int") * wcol + 1), wcol),
+          col("cvec")).as("__d"))
+      .groupBy(col("qid"), col("sub"))
+      .agg(transform(array_sort(collect_list(struct(col("cid"), col("__d")))),
+        x => x.getField("__d")).as("__l"))
+      .groupBy(col("qid"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("__l")))),
+        x => x.getField("__l")).as("__luts"))
+    val cands = lists.join(broadcast(probes), Seq("__ccid"))
+      .select(col("qid"), col(idCol))
+    val kw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
+    cands.join(codes, idCol).join(broadcast(luts), "qid")
+      .select(col("qid"), col(idCol),
+        aggregate(zip_with(col("code"),
+            sequence(lit(0L), lit(m - 1L)), (cid, s) =>
+            element_at(element_at(col("__luts"), s.cast("int") + 1),
+              cid.cast("int") + 1)),
+          lit(0.0), (acc, v) => acc + v).as("dist"))
+      .withColumn("rank", row_number().over(kw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol).as("nid"), col("rank"), col("dist"))
+  }
 }

@@ -44,6 +44,32 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive training (the in-batch /
+    * cross-corpus negatives step of dense-retriever and embedding-model
+    * training): for each query, the `k` MOST similar corpus rows whose
+    * label DIFFERS — near the query in embedding space yet semantically
+    * wrong, exactly the examples a contrastive loss learns most from.
+    * Exact variant: queries are a training batch (bounded, broadcast),
+    * corpus scans once — the [[bruteForceTopK]] contract with the label
+    * exclusion pushed into the same scan. When the query side is itself
+    * corpus-scale, compose an ANN front end instead ([[lshTopK]] /
+    * [[Ivf.topK]] / [[Pq.ivfAdcTopK]]) and apply the label filter to its
+    * candidates before the rerank. Output: qid, nid, rank, cos. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      col(vecCol).as("qv"), col(labelCol).as("__ql")))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      col(labelCol).as("__nl"))
+    val scored = c.crossJoin(q)
+      .filter(not(col("__ql") <=> col("__nl")))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("cos"))
+  }
+
   /** All per-table sign-LSH signatures of a vector column, exploded to
     * (t, sig) rows — native one-pass expression (SignLshSignatures). */
   private def withSigs(df: DataFrame, id: String, vec: String,

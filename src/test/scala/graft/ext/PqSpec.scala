@@ -82,4 +82,40 @@ class PqSpec extends SparkTestBase {
     assert(got.map(_._1).forall(i => i % 3 == 0 && i % 2 == 0))
     spark.catalog.clearCache()
   }
+
+  test("ivfAdcTopK: dists match full ADC, candidates honor probed lists, self at rank 1") {
+    val got = Pq.ivfAdcTopK(planted, "vec_id", "embedding",
+      queryIds = Seq(0L, 1L), k = 5)
+      .select("qid", "nid", "rank", "dist")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    assert(got.keySet == Set(0L, 1L))
+    got.foreach { case (q, rows) =>
+      assert(rows.map(_._3).toSeq == (1L to rows.length), s"qid $q ranks")
+      // the query's own coarse list is always its rank-1 probe, and its
+      // PQ self-distance is the cell minimum on this planted layout
+      assert(rows.head._2 == q, s"qid $q self hit")
+    }
+    // every returned dist equals the FULL corpus ADC distance for that
+    // (query, neighbor) — IVF only prunes candidates, never rescores
+    val cb = Pq.train(planted, "vec_id", "embedding", m = 2, k = 8, iters = 2)
+      .localCheckpoint(true)
+    val enc = Pq.encode(planted, "vec_id", "embedding", cb, m = 2)
+    Seq(0L, 1L).foreach { q =>
+      val qv = planted.filter(col("vec_id") === q).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble)
+      val full = Pq.adcTopK(enc, "vec_id", cb, qv, k = 90)
+        .as[(Long, Double)].collect().toMap
+      got(q).foreach { case (_, nid, _, d) =>
+        assert(math.abs(full(nid) - d) == 0.0, s"qid $q nid $nid") }
+    }
+    // determinism: a rerun reproduces the ranking exactly
+    val again = Pq.ivfAdcTopK(planted, "vec_id", "embedding",
+      queryIds = Seq(0L, 1L), k = 5)
+      .select("qid", "nid", "rank", "dist")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    assert(got(0L).toSeq == again(0L).toSeq && got(1L).toSeq == again(1L).toSeq)
+    spark.catalog.clearCache()
+  }
 }

@@ -72,6 +72,36 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("hardNegatives: nearest DIFFERENT-label rows, same-label planted twins excluded") {
+    // give each query's planted cluster the query's own label: the
+    // nearest neighbors are then all POSITIVES and must not be mined
+    val lbl = when(col("vec_id") < 100, (col("vec_id") % 5).cast("int"))
+      .when(col("vec_id") >= 1000, ((col("vec_id") - 1000) / 10).cast("int"))
+      .otherwise(lit(99))
+    val lc = corpus.withColumn("label", lbl)
+    val lq = queries.withColumn("label", lbl)
+    val got = Similarity.hardNegatives(lc, lq, "vec_id", "embedding",
+      "label", k = 5)
+      .select("qid", "nid", "rank", "cos")
+      .as[(Long, Long, Int, Double)].collect()
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.foreach { case (q, rows) =>
+      // no mined negative shares the query's label — in particular none
+      // of the planted same-label twins (1000+q*10..) appear
+      assert(rows.forall { case (_, nid, _, _) =>
+        !(nid >= 1000L + q * 10 && nid < 1000L + q * 10 + 5) && nid != q },
+        s"query $q mined a positive")
+      assert(rows.sortBy(_._3).map(_._3).toSeq == (1 to 5), s"query $q ranks")
+      // exactness: the mined set IS the label-filtered brute-force top-5
+      val want = Similarity.bruteForceTopK(
+        lc.filter(col("label") =!= lit((q % 5).toInt)), lq.filter(col("vec_id") === q),
+        "vec_id", "embedding", 5)
+        .select("nid").as[Long].collect().toSet
+      assert(rows.map(_._2).toSet == want, s"query $q set")
+    }
+  }
+
   test("LSH top-k recall >= 0.9 on planted clusters, and rerank is exact") {
     val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
       .select("qid", "nid").as[(Long, Long)].collect().toSet
