@@ -121,6 +121,20 @@ object ScaleDemo {
       graft.ext.KMeans.fit(embK, "vec_id", "embedding",
         k = 8, iters = 2).count()
     }
+    timedVec("ivfpq_topk") {
+      // candidate stream ~ nprobe/nlist of the Kx corpus; the LUT and
+      // probe frames are query-sized broadcasts; two bounded trainings
+      graft.ext.Pq.ivfAdcTopK(embK, "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L), k = 10).count()
+    }
+    timedVec("hardneg") {
+      // broadcast 4-query batch, one corpus scan with the label filter
+      graft.ext.Similarity.hardNegatives(
+        embK.withColumn("label", (col("vec_id") % 5).cast("int")),
+        embK.filter(col("vec_id") < 4)
+          .withColumn("label", (col("vec_id") % 5).cast("int")),
+        "vec_id", "embedding", "label", k = 10).count()
+    }
     locally {
       // names fixture replicated via the corpus loop would collide all
       // copies (identical strings pair across replicas -> quadratic BY
