@@ -19,13 +19,21 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Index layout: two parquet dirs under `indexDir` (`bands`, `shingles`)
   * matching [[Dedup.MinhashIndex]]; the caller may pre-seed them via
   * [[seedIndex]]. Batch replay (micro-batch retry after a crash) is
-  * guarded by a per-batch marker file written AFTER both appends: a
-  * replayed batch id short-circuits, so the fact and index never receive
-  * a batch twice. A crash between the appends and the marker re-runs the
-  * whole batch; filterNovel then drops every document the crashed
-  * attempt already indexed (they collide with themselves at Jaccard 1),
-  * so the fact cannot double — the same self-healing idempotency shape
-  * as the snapshot probe.
+  * guarded by an intent/marker file pair: `_intent_<id>` is written
+  * BEFORE the appends, `_batch_<id>` AFTER both — a replayed batch id
+  * with the final marker short-circuits outright. Every crash window
+  * then keeps the fact single-copy: a crash AFTER both appends replays
+  * into filterNovel, where the batch collides with its own indexed
+  * shingles at Jaccard 1 and drops; a crash BETWEEN the fact and index
+  * appends is detected by the dangling intent — the replay anti-joins
+  * already-present ids out of the FACT leg only (partition-scoped to
+  * the batch's years) while still indexing them, the window the
+  * marker-only protocol would have DOUBLED; a crash before the fact
+  * append recovers as a plain re-run. The anti-join runs only on
+  * intent-flagged replays — steady-state batches never probe the fact.
+  * (A crash inside the index append itself can leave duplicate band
+  * rows; duplicates only repeat candidate pairs, never change a
+  * verdict.)
   *
   * The streamed frame must carry (idCol, textCol, `year`) — ids unique
   * across corpus and batches by contract. */
@@ -51,7 +59,13 @@ object NovelIngest {
         val fs = new Path(indexDir).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         val marker = new Path(indexDir, s"_batch_$batchId")
+        val intent = new Path(indexDir, s"_intent_$batchId")
         if (!fs.exists(marker)) {
+          // a dangling intent = a prior attempt may have appended to the
+          // fact without reaching the index append (the one window where
+          // self-collision cannot catch the replay)
+          val crashReplay = fs.exists(intent)
+          if (!crashReplay) fs.create(intent, true).close()
           val bandsDir = s"$indexDir/bands"
           val idx =
             if (fs.exists(new Path(bandsDir)))
@@ -65,7 +79,21 @@ object NovelIngest {
           val novel = Dedup.filterNovel(batch, idCol, textCol, idx,
             n, numHashes, bands, threshold).localCheckpoint(true)
           if (!novel.isEmpty) {
-            wh.append(fact, novel)
+            // fact leg: on a crash replay, drop ids the crashed attempt
+            // already appended — probe only the batch's year partitions
+            val factLeg =
+              if (!crashReplay) novel
+              else wh.read(fact) match {
+                case None => novel
+                case Some(existing) =>
+                  val years = novel.select(col("year")).distinct()
+                    .collect().map(_.getLong(0))
+                  novel.join(existing
+                    .filter(col("year").isin(years.map(Long.box): _*))
+                    .select(col(idCol)), Seq(idCol), "left_anti")
+              }
+            if (!factLeg.isEmpty) wh.append(fact, factLeg)
+            // index leg always covers the full accepted set
             val delta = Dedup.minhashIndex(
               novel.select(col(idCol), col(textCol)), idCol, textCol,
               n, numHashes, bands)
@@ -73,6 +101,7 @@ object NovelIngest {
             delta.shingles.write.mode("append").parquet(s"$indexDir/shingles")
           }
           fs.create(marker, true).close()
+          fs.delete(intent, false)
         }
         ()
       }

@@ -74,4 +74,75 @@ class NovelIngestSpec extends SparkTestBase {
     val n1 = Dedup.filterNovel(b1, "doc_id", "text", idx0)
     assert(n1.select("doc_id").as[Long].collect().toSet == Set(11L, 12L))
   }
+
+  test("crash between fact and index appends: replay anti-joins, fact never doubles") {
+    val srcDir = TempDirs.scratchDir("ni2_src")
+    val whDir = TempDirs.scratchDir("ni2_wh").toString
+    val idxDir = TempDirs.scratchDir("ni2_idx").toString
+    val ckDir = TempDirs.scratchDir("ni2_ck").toString
+    val wh = new Warehouse(spark, whDir)
+
+    val corpus = docsDf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", 2020L)))
+    NovelIngest.seedIndex(corpus.select($"doc_id", $"text"), "doc_id", "text",
+      idxDir)
+    wh.append("docs", corpus)
+
+    // the crashed first attempt of micro-batch 0: fact APPENDED, index
+    // NOT reached, intent dangling — the window the marker-only
+    // protocol would have doubled
+    val b0 = Seq(
+      (30L, "genuinely new material on partition pruning and zone maps here", 2021L),
+      (31L, "another novel document about watermark state and micro batches", 2021L))
+    wh.append("docs", docsDf(b0))
+    assert(new java.io.File(idxDir, "_intent_0").createNewFile())
+
+    val q = NovelIngest.run(
+      spark.readStream.schema(schema).parquet(srcDir.toString),
+      "doc_id", "text", wh, "docs", idxDir, ckDir)
+    docsDf(b0).coalesce(1).write.mode("append").parquet(srcDir.toString)
+    q.processAllAvailable()
+    q.stop()
+
+    // exactly one copy of each id in the fact
+    val counts = wh.read("docs").get.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 1L, 30L -> 1L, 31L -> 1L), counts)
+    // the index leg still received the accepted docs
+    val idxIds = spark.read.parquet(s"$idxDir/shingles")
+      .select("id").as[Long].collect().toSet
+    assert(Set(30L, 31L).subsetOf(idxIds), idxIds)
+    // protocol files settled: marker written, intent cleaned
+    assert(new java.io.File(idxDir, "_batch_0").exists())
+    assert(!new java.io.File(idxDir, "_intent_0").exists())
+  }
+
+  test("crash after both appends: replay self-collides into a no-op") {
+    val srcDir = TempDirs.scratchDir("ni3_src")
+    val whDir = TempDirs.scratchDir("ni3_wh").toString
+    val idxDir = TempDirs.scratchDir("ni3_idx").toString
+    val ckDir = TempDirs.scratchDir("ni3_ck").toString
+    val wh = new Warehouse(spark, whDir)
+
+    // the crashed attempt finished BOTH appends but not the marker
+    val b0 = Seq(
+      (40L, "forty is a fully ingested document that must not come back twice", 2021L))
+    wh.append("docs", docsDf(b0))
+    NovelIngest.seedIndex(docsDf(b0).select($"doc_id", $"text"), "doc_id",
+      "text", idxDir)
+    assert(new java.io.File(idxDir, "_intent_0").createNewFile())
+
+    val q = NovelIngest.run(
+      spark.readStream.schema(schema).parquet(srcDir.toString),
+      "doc_id", "text", wh, "docs", idxDir, ckDir)
+    docsDf(b0).coalesce(1).write.mode("append").parquet(srcDir.toString)
+    q.processAllAvailable()
+    q.stop()
+
+    val counts = wh.read("docs").get.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+    assert(counts == Map(40L -> 1L), counts)
+    assert(new java.io.File(idxDir, "_batch_0").exists())
+    assert(!new java.io.File(idxDir, "_intent_0").exists())
+  }
 }
