@@ -1007,6 +1007,22 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
         .orderBy(col("doc_id"))
     }),
+    // Gopher repetition screens (Rae 2021 App. A1): documents re-flowed
+    // into 3-word lines so the line metrics see real duplicates; tokens
+    // spanning a line break keep the \n byte in BOTH engines (the
+    // contract is the plain space tokenizer). keep = every metric under
+    // its published threshold, voted on the 6-dp-rounded values
+    "x_gopher" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      val reflowed = Tables.load(s, d, "documents").select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(1L), ceil(size(ws) / lit(3.0))),
+          i => array_join(slice(ws, (i - lit(1L)) * lit(3L) + lit(1L),
+            lit(3)), " ")), "\n").as("text"))
+      graft.ext.Repetition.gopherFilter(reflowed, "doc_id", "text")
+        .withColumn("keep", col("keep").cast("long"))
+        .orderBy(col("doc_id"))
+    }),
     "x_dedup_ngram" -> ((s, d) =>
       graft.ext.Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"),
         "doc_id", "text", n = 3, threshold = 0.5)
@@ -3322,6 +3338,10 @@ object SparkEntry {
       "trim(concat(COALESCE(k.kept, ''), ' ', " +
       "array_to_string(ws[(CAST(len(ws)//8 AS BIGINT)*8+1):len(ws)], ' '))) AS clean_text " +
       "FROM w LEFT JOIN k USING (doc_id) WHERE w.doc_id % 2 = 1 ORDER BY doc_id"),
+    // Gopher repetition metrics over the 3-word-line reflow; one gram
+    // relation covers all nine n at once, top gram by (count DESC, gram
+    // ASC), keep voted on the rounded fractions
+    "x_gopher" -> gopherOracleSql,
     // overlapping 8-word windows at stride 1: same count-join shape as
     // the tiler, one window per word position
     "x_substr_win" -> ("WITH w AS (SELECT doc_id, " +
@@ -3998,6 +4018,61 @@ object SparkEntry {
     * keeps the 1st, 3rd, ... of each run), consumed positions dropped by
     * a lag on the kept flag, positions renumbered. Returns the full WITH
     * chain + final merge-table select. */
+  /** DuckDB replay of [[graft.ext.Repetition]] over the x_gopher reflow:
+    * the same 3-word-line rebuild, one (doc, n, gram) relation for all
+    * nine orders, ROW_NUMBER tie-break (count DESC, gram ASC) for the
+    * top gram, char-weighted dup masses, Gopher thresholds voted on the
+    * 6-dp-rounded fractions. */
+  private def gopherOracleSql: String = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val thr = graft.ext.Repetition.gopherThresholds
+    def fr(mass: String, name: String) =
+      s"ROUND(LEAST(1.0, COALESCE($mass, 0) / (1.0 * chars)), 6) AS $name"
+    val tp = topNs.map(n =>
+      s"MAX(CASE WHEN n = $n THEN tm END) AS t${n}m").mkString(", ")
+    val dp = dupNs.map(n =>
+      s"MAX(CASE WHEN n = $n THEN dm END) AS d$n").mkString(", ")
+    val fracs =
+      (topNs.map(n => fr(s"t${n}m", s"top_${n}gram_char_frac")) ++
+        dupNs.map(n => fr(s"d$n", s"dup_${n}gram_char_frac"))).mkString(", ")
+    val metricNames = Seq("dup_line_frac", "dup_line_char_frac") ++
+      topNs.map(n => s"top_${n}gram_char_frac") ++
+      dupNs.map(n => s"dup_${n}gram_char_frac")
+    val vote = metricNames.map(m => s"$m <= ${thr(m)}").mkString(" AND ")
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+      "r AS (SELECT doc_id, array_to_string(list_transform(" +
+      "range(1, CAST(ceil(len(ws) / 3.0) AS BIGINT) + 1), " +
+      "i -> array_to_string(list_slice(ws, (i-1)*3+1, (i-1)*3+3), ' ')), " +
+      "chr(10)) AS t2 FROM w), " +
+      "b AS (SELECT doc_id, CAST(length(t2) AS BIGINT) AS chars, " +
+      "string_split(t2, ' ') AS ws2, string_split(t2, chr(10)) AS ls FROM r), " +
+      "g AS (SELECT doc_id, n, unnest(list_transform(range(1, len(ws2)-n+2), " +
+      "i -> array_to_string(list_slice(ws2, i, i+n-1), ' '))) AS g FROM b " +
+      s"CROSS JOIN (SELECT unnest([${(topNs ++ dupNs).mkString(", ")}]) AS n) ns), " +
+      "pg AS (SELECT doc_id, n, g, COUNT(*) AS c FROM g GROUP BY 1, 2, 3), " +
+      "tops AS (SELECT doc_id, n, c * length(g) AS tm FROM " +
+      "(SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, n " +
+      "ORDER BY c DESC, g ASC) AS rn FROM pg) WHERE rn = 1), " +
+      "dups AS (SELECT doc_id, n, SUM(CASE WHEN c >= 2 THEN c * length(g) " +
+      "ELSE 0 END) AS dm FROM pg GROUP BY 1, 2), " +
+      s"tp AS (SELECT doc_id, $tp FROM tops GROUP BY 1), " +
+      s"dp AS (SELECT doc_id, $dp FROM dups GROUP BY 1), " +
+      "lc AS (SELECT doc_id, l, COUNT(*) AS c FROM " +
+      "(SELECT doc_id, unnest(ls) AS l FROM b) GROUP BY 1, 2), " +
+      "lm AS (SELECT doc_id, SUM(c) AS nl, COUNT(*) AS dl, " +
+      "SUM(CASE WHEN c >= 2 THEN c * length(l) ELSE 0 END) AS dlm " +
+      "FROM lc GROUP BY 1), " +
+      "m AS (SELECT b.doc_id, b.chars, " +
+      "ROUND(COALESCE(1.0 - dl / (1.0 * nl), 0.0), 6) AS dup_line_frac, " +
+      fr("dlm", "dup_line_char_frac") + ", " + fracs +
+      " FROM b LEFT JOIN tp USING (doc_id) LEFT JOIN dp USING (doc_id) " +
+      "LEFT JOIN lm USING (doc_id)) " +
+      s"SELECT doc_id, chars, ${metricNames.mkString(", ")}, " +
+      s"CAST(CASE WHEN $vote THEN 1 ELSE 0 END AS BIGINT) AS keep " +
+      "FROM m ORDER BY doc_id"
+  }
+
   private def bpeChain(merges: Int): String = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     parts += ("w AS MATERIALIZED (SELECT word, COUNT(*) AS freq FROM " +
