@@ -1023,6 +1023,28 @@ object SparkEntry {
         .withColumn("keep", col("keep").cast("long"))
         .orderBy(col("doc_id"))
     }),
+    // Stupid-backoff trigram LM (Brants 2007) trained on the lang='en'
+    // slice, scoring EVERY document — the CCNet-style quality signal.
+    // Per-token log10 scores quantize to exact micro-units, so the whole
+    // estimator replays on any engine
+    "x_lm_score" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val m = graft.ext.NgramLm.train(docs.filter(col("lang") === "en"), "text")
+      graft.ext.NgramLm.score(m, docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    // CCNet head/middle/tail: per-language terciles of the LM score
+    // (ties to the smaller doc_id) — the curation split that feeds
+    // different mixing weights per quality band
+    "x_ppl_buckets" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val m = graft.ext.NgramLm.train(docs.filter(col("lang") === "en"), "text")
+      val scored = graft.ext.NgramLm.score(m, docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      graft.ext.NgramLm.buckets(scored, "doc_id", "lang", "lm_score")
+        .select(col("doc_id"), col("lang"), col("tile"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
     "x_dedup_ngram" -> ((s, d) =>
       graft.ext.Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"),
         "doc_id", "text", n = 3, threshold = 0.5)
@@ -3342,6 +3364,25 @@ object SparkEntry {
     // relation covers all nine n at once, top gram by (count DESC, gram
     // ASC), keep voted on the rounded fractions
     "x_gopher" -> gopherOracleSql,
+    // stupid-backoff replay: the three count tables, the backoff CASE
+    // ladder in the same double op order, floor micro-quantization
+    "x_lm_score" -> (lmScoreOracleCore +
+      " SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored, " +
+      "CAST(SUM(lp) AS BIGINT) AS logprob_micro, " +
+      "CAST(CAST(SUM(lp) AS BIGINT) AS DOUBLE) / 1e6 / COUNT(*) AS lm_score " +
+      "FROM lps GROUP BY 1 ORDER BY doc_id"),
+    // per-language terciles over the same scores; NTILE over the total
+    // order (score DESC, doc_id) is engine-independent
+    "x_ppl_buckets" -> (lmScoreOracleCore +
+      ", sc2 AS (SELECT doc_id, " +
+      "CAST(CAST(SUM(lp) AS BIGINT) AS DOUBLE) / 1e6 / COUNT(*) AS lm_score " +
+      "FROM lps GROUP BY 1), " +
+      "tl AS (SELECT d.doc_id, d.lang, CAST(NTILE(3) OVER (PARTITION BY d.lang " +
+      "ORDER BY sc2.lm_score DESC, d.doc_id) AS BIGINT) AS tile " +
+      "FROM sc2 JOIN documents d USING (doc_id)) " +
+      "SELECT doc_id, lang, tile, CASE WHEN tile = 1 THEN 'head' " +
+      "WHEN tile = 2 THEN 'middle' ELSE 'tail' END AS bucket " +
+      "FROM tl ORDER BY doc_id"),
     // overlapping 8-word windows at stride 1: same count-join shape as
     // the tiler, one window per word position
     "x_substr_win" -> ("WITH w AS (SELECT doc_id, " +
@@ -4071,6 +4112,48 @@ object SparkEntry {
       s"SELECT doc_id, chars, ${metricNames.mkString(", ")}, " +
       s"CAST(CASE WHEN $vote THEN 1 ELSE 0 END AS BIGINT) AS keep " +
       "FROM m ORDER BY doc_id"
+  }
+
+  /** DuckDB replay of [[graft.ext.NgramLm]]: count tables from the
+    * lang='en' slice (two `<s>` pads per doc), the backoff CASE ladder
+    * in the operator's exact double op order (literals cast ::DOUBLE —
+    * DuckDB would otherwise read 0.4 as DECIMAL), per-token floor
+    * micro-quantization. Ends at CTE `lps` (doc_id, lp); callers append
+    * the final SELECT. */
+  private def lmScoreOracleCore: String = {
+    def ngrams(k: Int, names: Seq[String], arr: String = "p"): String =
+      names.zipWithIndex.map { case (nm, j) =>
+        s"unnest([$arr[i + $j] for i in range(1, len($arr) - ${k - 2})]) AS $nm"
+      }.mkString(", ")
+    "WITH tr AS (SELECT string_split(text, ' ') AS ws, " +
+      "list_concat(['<s>', '<s>'], string_split(text, ' ')) AS p " +
+      "FROM documents WHERE lang = 'en'), " +
+      "uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+      "(SELECT unnest(ws) AS w FROM tr) GROUP BY 1), " +
+      "tot AS (SELECT (SELECT CAST(SUM(len(ws)) AS BIGINT) FROM tr) + " +
+      "(SELECT COUNT(*) FROM uni) AS nv), " +
+      s"bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+      s"(SELECT ${ngrams(2, Seq("w1", "w2"))} FROM tr) GROUP BY 1, 2), " +
+      s"tri AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+      s"(SELECT ${ngrams(3, Seq("w1", "w2", "w3"))} FROM tr) GROUP BY 1, 2, 3), " +
+      "cv AS (SELECT w1 AS v, CAST(SUM(c) AS BIGINT) AS c_v FROM bi GROUP BY 1), " +
+      "sc AS (SELECT doc_id, " +
+      ngrams(3, Seq("u", "v", "w"), "q") +
+      " FROM (SELECT doc_id, list_concat(['<s>', '<s>'], " +
+      "string_split(text, ' ')) AS q FROM documents)), " +
+      "j AS (SELECT sc.doc_id, tri.c AS c_uvw, b1.c AS c_uv, b2.c AS c_vw, " +
+      "cv.c_v, uni.c AS c_w, tot.nv FROM sc " +
+      "LEFT JOIN tri ON sc.u = tri.w1 AND sc.v = tri.w2 AND sc.w = tri.w3 " +
+      "LEFT JOIN bi b1 ON sc.u = b1.w1 AND sc.v = b1.w2 " +
+      "LEFT JOIN bi b2 ON sc.v = b2.w1 AND sc.w = b2.w2 " +
+      "LEFT JOIN cv ON sc.v = cv.v " +
+      "LEFT JOIN uni ON sc.w = uni.w CROSS JOIN tot), " +
+      "lps AS (SELECT doc_id, CAST(FLOOR(LOG10(" +
+      "CASE WHEN c_uvw IS NOT NULL THEN CAST(c_uvw AS DOUBLE) / c_uv " +
+      "ELSE 0.4::DOUBLE * (CASE WHEN c_vw IS NOT NULL " +
+      "THEN CAST(c_vw AS DOUBLE) / c_v " +
+      "ELSE 0.4::DOUBLE * (CAST(COALESCE(c_w, 0) + 1 AS DOUBLE) / nv) END) " +
+      "END) * 1e6) AS BIGINT) AS lp FROM j)"
   }
 
   private def bpeChain(merges: Int): String = {

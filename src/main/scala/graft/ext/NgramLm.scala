@@ -1,0 +1,124 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed n-gram language model with Stupid Backoff (Brants et al.
+  * 2007, "Large Language Models in Machine Translation" — the smoothing
+  * designed FOR sharded count tables: no discount normalization, so
+  * training is three count aggregations and scoring is pure joins).
+  * This is the CCNet-style quality signal (Wenzek et al. 2020): train on
+  * a trusted slice, score every document by mean token log-probability,
+  * keep/bucket by the score.
+  *
+  * Contract (deterministic on any engine):
+  *   - tokens are the plain space split; two `<s>` pads open each doc so
+  *     every real token is scored with a full trigram context;
+  *   - S(w|u,v) = c(uvw)/c(uv)                          if c(uvw) > 0
+  *                α·c(vw)/c(v)                          else if c(vw) > 0
+  *                α²·(c(w)+1)/(N+V)                     otherwise
+  *     with α = 0.4 (the paper's constant); the final level is the
+  *     add-one unigram so unseen words score finite, never −∞;
+  *   - per-token log10 scores quantize as floor(log10(S)·1e6) into LONG
+  *     micro-units (floor of an identical double is identical on every
+  *     engine — the same scheme as PageRank's carry), summed exactly;
+  *     the mean is one double quotient of those exact integers.
+  *
+  * Scale shape: the three count tables are ordinary hash-aggregates of
+  * the training corpus (linear, map-side partial); scoring explodes the
+  * scored corpus once into (doc, u, v, w) rows and resolves the backoff
+  * ladder with five key joins whose strategies are AQE's choice — a
+  * 100 TB corpus's trigram table does not broadcast, and nothing here
+  * assumes it does. N and V are two bounded driver scalars. */
+object NgramLm {
+
+  /** Count tables + totals. `uni` (w, c), `bi` (w1, w2, c) over the
+    * padded stream, `tri` (w1, w2, w3, c); `n` real tokens, `v` distinct
+    * real words. */
+  case class Model(uni: DataFrame, bi: DataFrame, tri: DataFrame,
+      n: Long, v: Long)
+
+  private def padded(text: Column): Column =
+    concat(array(lit("<s>"), lit("<s>")), split(text, " "))
+
+  /** Positional k-grams of a padded token array as (g1..gk) structs. */
+  private def gramCols(p: Column, k: Int): Column = {
+    val last = size(p) - (k - 1)
+    transform(
+      filter(sequence(lit(1), greatest(last, lit(1))), i => i <= last),
+      i => struct((0 until k).map(j =>
+        element_at(p, i + j).as(s"g${j + 1}")): _*))
+  }
+
+  /** Train the backoff model on `df`'s `textCol`. */
+  def train(df: DataFrame, textCol: String): Model = {
+    val t = col(textCol)
+    val p = df.select(padded(t).as("p"), split(t, " ").as("ws"))
+    def counts(k: Int, names: Seq[String]): DataFrame =
+      p.select(explode(gramCols(col("p"), k)).as("g"))
+        .select((1 to k).map(j => col(s"g.g$j").as(names(j - 1))): _*)
+        .groupBy(names.map(col): _*).agg(count(lit(1)).as("c"))
+    val uni = p.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val r0 = p.agg(sum(size(col("ws"))).as("n")).collect()(0)
+    val n = r0.getLong(0)
+    val v = uni.count()
+    Model(uni, counts(2, Seq("w1", "w2")), counts(3, Seq("w1", "w2", "w3")),
+      n, v)
+  }
+
+  /** Score every document of `df`: (id, n_scored, logprob_micro,
+    * lm_score). `n_scored` = real token count (every token has a padded
+    * trigram context), `logprob_micro` the exact summed micro-units,
+    * `lm_score` their mean in log10 per token. */
+  def score(model: Model, df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val id = col(idCol)
+    val toks = df.select(id, explode(gramCols(padded(col(textCol)), 3)).as("g"))
+      .select(id, col("g.g1").as("u"), col("g.g2").as("v"), col("g.g3").as("w"))
+    // the bigram table feeds three probes: pair (u,v), pair (v,w) and the
+    // context total c(v) — persist it for the pipeline's lifetime
+    val bi = model.bi.persist()
+    val cv = bi.groupBy(col("w1").as("v")).agg(sum(col("c")).as("c_v"))
+    val joined = toks
+      .join(model.tri.select(col("w1").as("u"), col("w2").as("v"),
+        col("w3").as("w"), col("c").as("c_uvw")), Seq("u", "v", "w"), "left")
+      .join(bi.select(col("w1").as("u"), col("w2").as("v"),
+        col("c").as("c_uv")), Seq("u", "v"), "left")
+      .join(bi.select(col("w1").as("v"), col("w2").as("w"),
+        col("c").as("c_vw")), Seq("v", "w"), "left")
+      .join(cv, Seq("v"), "left")
+      .join(model.uni.select(col("w"), col("c").as("c_w")), Seq("w"), "left")
+    val alpha = lit(0.4)
+    val s = when(col("c_uvw").isNotNull,
+      col("c_uvw").cast("double") / col("c_uv"))
+      .otherwise(alpha * when(col("c_vw").isNotNull,
+        col("c_vw").cast("double") / col("c_v"))
+        .otherwise(alpha * ((coalesce(col("c_w"), lit(0L)) + lit(1L))
+          .cast("double") / lit(model.n + model.v))))
+    joined
+      .select(id, floor(log10(s) * lit(1e6)).cast("long").as("lp"))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_scored"), sum(col("lp")).as("logprob_micro"))
+      .select(id, col("n_scored"), col("logprob_micro"),
+        (col("logprob_micro").cast("double") / lit(1e6) / col("n_scored"))
+          .as("lm_score"))
+  }
+
+  /** CCNet head/middle/tail split: per-`byCol` k-tiles of `scoreCol`
+    * descending (ties to the smaller id — fully deterministic). Returns
+    * the input plus `tile` (1 = best) and `bucket` (head/middle/tail for
+    * k = 3, "t<i>" otherwise). One window shuffle keyed by the group. */
+  def buckets(scored: DataFrame, idCol: String, byCol: String,
+      scoreCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(byCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val tile = ntile(k).over(w)
+    val bucket =
+      if (k == 3) when(tile === 1, "head").when(tile === 2, "middle")
+        .otherwise("tail")
+      else concat(lit("t"), tile)
+    scored.withColumn("tile", tile.cast("long")).withColumn("bucket", bucket)
+  }
+}
