@@ -1045,6 +1045,27 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("tile"), col("bucket"))
         .orderBy(col("doc_id"))
     }),
+    // LR quality classifier (the GPT-3 "trusted vs web" filter): 8
+    // full-batch GD steps over three exact-ratio text features, label =
+    // lang='en'; nano-quantized gradients make the trained weights — and
+    // therefore every score — identical on any engine
+    "x_quality_lr" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val sw = array(graft.ext.TextAnalysis.defaultStopwords.map(lit): _*)
+      val feats = Tables.load(s, d, "documents").select(col("doc_id"),
+        (col("lang") === "en").cast("double").as("y"),
+        (size(filter(toks, t => array_contains(sw, t))).cast("double") /
+          size(toks)).as("f_stop"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("f_ttr"),
+        (length(col("text")).cast("double") / (size(toks) * lit(10)))
+          .as("f_len"))
+      val fcols = Seq("f_stop", "f_ttr", "f_len")
+      val w = graft.ext.LogReg.train(feats, fcols, "y", iters = 8, lr = 1.0)
+      graft.ext.LogReg.predict(feats, fcols, w)
+        .select(col("doc_id"), col("score_micro"),
+          (col("score_micro") >= 500000L).cast("long").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
     "x_dedup_ngram" -> ((s, d) =>
       graft.ext.Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"),
         "doc_id", "text", n = 3, threshold = 0.5)
@@ -3371,6 +3392,9 @@ object SparkEntry {
       "CAST(SUM(lp) AS BIGINT) AS logprob_micro, " +
       "CAST(CAST(SUM(lp) AS BIGINT) AS DOUBLE) / 1e6 / COUNT(*) AS lm_score " +
       "FROM lps GROUP BY 1 ORDER BY doc_id"),
+    // 8 unrolled GD steps then the final sigmoid, all in the operator's
+    // exact float op order
+    "x_quality_lr" -> lrOracleSql(8),
     // per-language terciles over the same scores; NTILE over the total
     // order (score DESC, doc_id) is engine-independent
     "x_ppl_buckets" -> (lmScoreOracleCore +
@@ -4154,6 +4178,54 @@ object SparkEntry {
       "THEN CAST(c_vw AS DOUBLE) / c_v " +
       "ELSE 0.4::DOUBLE * (CAST(COALESCE(c_w, 0) + 1 AS DOUBLE) / nv) END) " +
       "END) * 1e6) AS BIGINT) AS lp FROM j)"
+  }
+
+  /** DuckDB replay of [[graft.ext.LogReg]] training for x_quality_lr:
+    * `iters` unrolled GD steps as MATERIALIZED CTE pairs (g_k sums the
+    * nano-quantized per-row gradient terms under the k−1 weights, w_k
+    * applies the update), then the final sigmoid scoring. Every float
+    * expression mirrors the operator's left-associated op order;
+    * literals cast ::DOUBLE. */
+  private def lrOracleSql(iters: Int): String = {
+    val fs = Seq("f_stop", "f_ttr", "f_len")
+    val stop = graft.ext.TextAnalysis.defaultStopwords
+      .map(w => s"'$w'").mkString(", ")
+    def z(pfx: String) = fs.zipWithIndex.map { case (f, j) =>
+      s" + $pfx.w${j + 1} * $f"
+    }.mkString(s"${pfx}.w0", "", "")
+    def sig(pfx: String) =
+      s"1.0::DOUBLE / (1.0::DOUBLE + EXP(-(${z(pfx)})))"
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    parts += "feats AS MATERIALIZED (SELECT doc_id, " +
+      "CAST(lang = 'en' AS INT)::DOUBLE AS y, " +
+      s"CAST(len(list_filter(ws, t -> list_contains([$stop], t))) AS DOUBLE) " +
+      "/ len(ws) AS f_stop, " +
+      "CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS f_ttr, " +
+      "CAST(length(text) AS DOUBLE) / (len(ws) * 10) AS f_len FROM " +
+      "(SELECT doc_id, lang, text, string_split(text, ' ') AS ws " +
+      "FROM documents))"
+    parts += "nn AS (SELECT COUNT(*) AS n FROM feats)"
+    parts += ("w0 AS (SELECT " +
+      (0 to fs.size).map(j => s"0.0::DOUBLE AS w$j").mkString(", ") + ")")
+    for (k <- 1 to iters) {
+      val p = s"w${k - 1}"
+      val gterms = ("1.0::DOUBLE" +: fs).zipWithIndex.map { case (f, j) =>
+        s"CAST(SUM(CAST(FLOOR((s - y) * $f * 1e9) AS BIGINT)) AS BIGINT) AS g$j"
+      }.mkString(", ")
+      parts += s"g$k AS MATERIALIZED (SELECT $gterms FROM " +
+        s"(SELECT y, ${fs.mkString(", ")}, ${sig(p)} AS s " +
+        s"FROM feats CROSS JOIN $p))"
+      val upd = (0 to fs.size).map(j =>
+        s"$p.w$j - 1.0::DOUBLE * (CAST(g$j AS DOUBLE) / 1e9 / n) AS w$j")
+        .mkString(", ")
+      parts += s"w$k AS MATERIALIZED (SELECT $upd FROM g$k " +
+        s"CROSS JOIN $p CROSS JOIN nn)"
+    }
+    "WITH " + parts.mkString(", ") +
+      s" SELECT doc_id, CAST(FLOOR(${sig(s"w$iters")} * 1e6) AS BIGINT) " +
+      "AS score_micro, CAST(CASE WHEN " +
+      s"FLOOR(${sig(s"w$iters")} * 1e6) >= 500000 THEN 1 ELSE 0 END " +
+      s"AS BIGINT) AS keep FROM feats CROSS JOIN w$iters ORDER BY doc_id"
   }
 
   private def bpeChain(merges: Int): String = {
