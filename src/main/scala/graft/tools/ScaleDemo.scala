@@ -501,6 +501,32 @@ object ScaleDemo {
       println(f"""{"op": "file_source", "files": ${k * 50}, "rows": $n, "write_s": $tWrite%.1f, "read_s": $secs%.1f}""")
       spark.catalog.clearCache()
     }
+    // ---- round-9 quality/LM operators at Kx docs ----
+    timed("gopher") {
+      // per-doc repetition screens: one (doc, n, gram) hash-aggregate
+      // over 9 orders + one line fold — cost must track corpus tokens
+      graft.ext.Repetition.gopherFilter(corpus, "doc_id", "text").count()
+    }
+    timed("lm_score") {
+      // count tables train on ONE replica (vocab constant), the scored
+      // token stream grows Kx; five AQE-planned key joins
+      val m = graft.ext.NgramLm.train(
+        corpus.filter(col("doc_id") < 1000000L), "text")
+      graft.ext.NgramLm.score(m, corpus, "doc_id", "text").count()
+    }
+    timed("quality_lr") {
+      // 8 GD steps = 8 hash-aggregates of 4 longs over Kx rows; the
+      // model state is 4 doubles on the driver at any corpus size
+      val toks = split(col("text"), " ")
+      val sw = array(graft.ext.TextAnalysis.defaultStopwords.map(lit): _*)
+      val feats = corpus.select(col("doc_id"),
+        (col("doc_id") % 2 === 0).cast("double").as("y"),
+        (size(filter(toks, t => array_contains(sw, t))).cast("double") /
+          size(toks)).as("f_stop"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("f_ttr"))
+      val w = graft.ext.LogReg.train(feats, Seq("f_stop", "f_ttr"), "y")
+      graft.ext.LogReg.predict(feats, Seq("f_stop", "f_ttr"), w).count()
+    }
     spark.stop()
   }
 }

@@ -350,4 +350,33 @@ class PlanSpec extends SparkTestBase {
       "a global row_number would serialize the export:\n" + p.take(800))
     assert(p.contains("Window"), "seq must come from a partitioned window")
   }
+
+  test("gopher metrics: gram counting is hash-aggregated, no cartesian or NL join") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val p = plan(ext.Repetition.metrics(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "per-doc rollups must stay id-keyed equi-joins:\n" + p.take(800))
+    assert(p.contains("partial_"),
+      "gram counts must partial-aggregate map-side:\n" + p.take(600))
+  }
+
+  test("lm score: the backoff ladder resolves via equi-joins only") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val m = ext.NgramLm.train(docs.filter(col("lang") === "en"), "text")
+    val p = plan(ext.NgramLm.score(m, docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "count-table probes must be key joins (AQE picks the strategy):\n" +
+        p.take(800))
+    assert(p.contains("partial_"),
+      "per-doc sums must partial-aggregate map-side:\n" + p.take(600))
+    spark.catalog.clearCache()
+  }
+
+  test("lr predict adds zero shuffles: scoring is a pure projection") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), (length(col("text")) / lit(100.0)).as("f1"))
+    val p = plan(ext.LogReg.predict(docs, Seq("f1"), Array(0.1, 0.2)))
+    assert(!p.contains("Exchange"),
+      "sigmoid scoring must not move data:\n" + p.take(800))
+  }
 }
