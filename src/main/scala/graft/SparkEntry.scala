@@ -1045,6 +1045,32 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("tile"), col("bucket"))
         .orderBy(col("doc_id"))
     }),
+    // Continuous quality screening: three document micro-batches flow
+    // through the FROZEN persisted LM + the Gopher vote into a warehouse
+    // fact; the curated corpus must equal the batch formulation (which
+    // the oracle replays). Years synthesized (2020 + doc_id % 3) so the
+    // fact exercises the partitioned append
+    "x_stream_quality" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val m = graft.ext.NgramLm.train(docs.filter(col("lang") === "en"), "text")
+      val modelDir = TempDirs.scratchDir("graft_qg_model").toString
+      graft.streaming.QualityGate.saveModel(m, modelDir)
+      val srcDir = TempDirs.scratchDir("graft_qg_src").toString
+      docs.select(col("doc_id"), col("text"),
+          (lit(2020L) + col("doc_id") % 3).as("year"))
+        .repartition(3).write.mode("overwrite").parquet(srcDir)
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_qg_wh").toString)
+      val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.QualityGate.run(stream, "doc_id", "text",
+        modelDir, wh, "curated",
+        TempDirs.scratchDir("graft_qg_ck").toString, minScore = -1.3)
+      q.processAllAvailable(); q.stop()
+      wh.read("curated").get
+        .select(col("doc_id"), col("year"), col("lm_score"))
+        .orderBy(col("doc_id"))
+    }),
     // LR quality classifier (the GPT-3 "trusted vs web" filter): 8
     // full-batch GD steps over three exact-ratio text features, label =
     // lang='en'; nano-quantized gradients make the trained weights — and
@@ -3395,6 +3421,17 @@ object SparkEntry {
     // 8 unrolled GD steps then the final sigmoid, all in the operator's
     // exact float op order
     "x_quality_lr" -> lrOracleSql(8),
+    // the batch formulation of the stream: LM scores from the shared
+    // core, the Gopher vote on the RAW text (single line -> the line
+    // screens pass trivially), both filters applied
+    "x_stream_quality" -> (lmScoreOracleCore + gopherKeepRawSql +
+      ", sc2 AS (SELECT doc_id, " +
+      "CAST(CAST(SUM(lp) AS BIGINT) AS DOUBLE) / 1e6 / COUNT(*) AS lm_score " +
+      "FROM lps GROUP BY 1) " +
+      "SELECT d.doc_id, CAST(2020 + d.doc_id % 3 AS BIGINT) AS year, " +
+      "sc2.lm_score FROM sc2 JOIN gk USING (doc_id) " +
+      "JOIN documents d USING (doc_id) " +
+      "WHERE sc2.lm_score >= -1.3::DOUBLE AND gk.keep ORDER BY doc_id"),
     // per-language terciles over the same scores; NTILE over the total
     // order (score DESC, doc_id) is engine-independent
     "x_ppl_buckets" -> (lmScoreOracleCore +
@@ -4226,6 +4263,43 @@ object SparkEntry {
       "AS score_micro, CAST(CASE WHEN " +
       s"FLOOR(${sig(s"w$iters")} * 1e6) >= 500000 THEN 1 ELSE 0 END " +
       s"AS BIGINT) AS keep FROM feats CROSS JOIN w$iters ORDER BY doc_id"
+  }
+
+  /** Gopher keep vote over the RAW document text (no reflow), as a CTE
+    * block starting with ", " and ending at `gk` (doc_id, keep). The
+    * single-line text makes both line screens trivially true, so only
+    * the gram screens vote — matching the operator, whose line metrics
+    * read 0 on newline-free text. */
+  private def gopherKeepRawSql: String = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val thr = graft.ext.Repetition.gopherThresholds
+    val tp = topNs.map(n =>
+      s"MAX(CASE WHEN n = $n THEN tm END) AS t${n}m").mkString(", ")
+    val dp = dupNs.map(n =>
+      s"MAX(CASE WHEN n = $n THEN dm END) AS d$n").mkString(", ")
+    def fr(mass: String) =
+      s"ROUND(LEAST(1.0, COALESCE($mass, 0) / (1.0 * chars)), 6)"
+    val vote = (topNs.map(n =>
+      s"${fr(s"t${n}m")} <= ${thr(s"top_${n}gram_char_frac")}") ++
+      dupNs.map(n =>
+        s"${fr(s"d$n")} <= ${thr(s"dup_${n}gram_char_frac")}"))
+      .mkString(" AND ")
+    ", gw AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS chars, " +
+      "string_split(text, ' ') AS ws2 FROM documents), " +
+      "gg AS (SELECT doc_id, n, unnest(list_transform(range(1, len(ws2)-n+2), " +
+      "i -> array_to_string(list_slice(ws2, i, i+n-1), ' '))) AS g FROM gw " +
+      s"CROSS JOIN (SELECT unnest([${(topNs ++ dupNs).mkString(", ")}]) AS n) ns), " +
+      "gpg AS (SELECT doc_id, n, g, COUNT(*) AS c FROM gg GROUP BY 1, 2, 3), " +
+      "gtops AS (SELECT doc_id, n, c * length(g) AS tm FROM " +
+      "(SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, n " +
+      "ORDER BY c DESC, g ASC) AS rn FROM gpg) WHERE rn = 1), " +
+      "gdups AS (SELECT doc_id, n, SUM(CASE WHEN c >= 2 THEN c * length(g) " +
+      "ELSE 0 END) AS dm FROM gpg GROUP BY 1, 2), " +
+      s"gtp AS (SELECT doc_id, $tp FROM gtops GROUP BY 1), " +
+      s"gdp AS (SELECT doc_id, $dp FROM gdups GROUP BY 1), " +
+      s"gk AS (SELECT gw.doc_id, ($vote) AS keep FROM gw " +
+      "LEFT JOIN gtp USING (doc_id) LEFT JOIN gdp USING (doc_id))"
   }
 
   private def bpeChain(merges: Int): String = {

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.ext.{NgramLm, Repetition}
+import graft.snapshot.Warehouse
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous quality screening — the streaming leg of the Gopher + LM
+  * family: each arriving micro-batch of documents is (1) screened by
+  * [[Repetition.gopherFilter]] and (2) scored by a FROZEN, persisted
+  * [[NgramLm]] model (trained once on the trusted slice; the stream
+  * never retrains), and the documents passing both screens append to a
+  * [[Warehouse]] fact with their scores — the continuously-curated
+  * corpus the batch operators would have produced.
+  *
+  * Model persistence: [[saveModel]] writes the three count tables plus a
+  * one-row totals table under `modelDir`; [[loadModel]] rebuilds the
+  * model without touching the training corpus — at 100 TB the counts are
+  * the only representation that ever leaves the training job.
+  *
+  * Replay protocol (same intent/marker pair as
+  * [[NovelIngest]]): `_intent_<id>` before the append, `_batch_<id>`
+  * after. A replayed batch with the final marker short-circuits; a
+  * dangling intent means the append may have landed, so the replay
+  * anti-joins already-present ids out of the batch before appending —
+  * the fact stays single-copy through every crash window. Steady-state
+  * batches never probe the fact. */
+object QualityGate {
+
+  def saveModel(m: NgramLm.Model, dir: String): Unit = {
+    m.uni.write.mode("overwrite").parquet(s"$dir/uni")
+    m.bi.write.mode("overwrite").parquet(s"$dir/bi")
+    m.tri.write.mode("overwrite").parquet(s"$dir/tri")
+    val spark = m.uni.sparkSession
+    import spark.implicits._
+    Seq((m.n, m.v)).toDF("n", "v")
+      .write.mode("overwrite").parquet(s"$dir/totals")
+  }
+
+  def loadModel(spark: SparkSession, dir: String): NgramLm.Model = {
+    val t = spark.read.parquet(s"$dir/totals").collect()(0)
+    NgramLm.Model(spark.read.parquet(s"$dir/uni"),
+      spark.read.parquet(s"$dir/bi"), spark.read.parquet(s"$dir/tri"),
+      t.getLong(0), t.getLong(1))
+  }
+
+  /** Screen `stream` (idCol, textCol, `year`) against the persisted
+    * model: documents with `lm_score >= minScore` AND a true Gopher vote
+    * append to `fact` as (idCol, year, lm_score). */
+  def run(stream: DataFrame, idCol: String, textCol: String,
+      modelDir: String, wh: Warehouse, fact: String, checkpointDir: String,
+      minScore: Double): StreamingQuery = {
+    val spark = stream.sparkSession
+    val model = loadModel(spark, modelDir)
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fs = new Path(modelDir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val marker = new Path(modelDir, s"_batch_$batchId")
+        val intent = new Path(modelDir, s"_intent_$batchId")
+        if (!fs.exists(marker)) {
+          val crashReplay = fs.exists(intent)
+          if (!crashReplay) fs.create(intent, true).close()
+          val keep = Repetition
+            .gopherFilter(batch, idCol, textCol)
+            .filter(col("keep")).select(col(idCol))
+          val scored = NgramLm.score(model, batch, idCol, textCol)
+            .filter(col("lm_score") >= lit(minScore))
+            .select(col(idCol), col("lm_score"))
+          val accepted = batch.select(col(idCol), col("year"))
+            .join(scored, idCol).join(keep, idCol)
+          val out =
+            if (!crashReplay) accepted
+            else wh.read(fact) match {
+              case Some(existing) => accepted.join(
+                existing.select(col(idCol)), Seq(idCol), "left_anti")
+              case None => accepted
+            }
+          wh.append(fact, out)
+          fs.create(marker, true).close()
+          fs.delete(intent, false)
+        }
+        ()
+      }
+      .start()
+  }
+}
