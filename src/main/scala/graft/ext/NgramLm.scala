@@ -38,24 +38,12 @@ object NgramLm {
   case class Model(uni: DataFrame, bi: DataFrame, tri: DataFrame,
       n: Long, v: Long)
 
-  private def padded(text: Column): Column =
-    concat(array(lit("<s>"), lit("<s>")), split(text, " "))
-
-  /** Positional k-grams of a padded token array as (g1..gk) structs. */
-  private def gramCols(p: Column, k: Int): Column = {
-    val last = size(p) - (k - 1)
-    transform(
-      filter(sequence(lit(1), greatest(last, lit(1))), i => i <= last),
-      i => struct((0 until k).map(j =>
-        element_at(p, i + j).as(s"g${j + 1}")): _*))
-  }
-
   /** Train the backoff model on `df`'s `textCol`. */
   def train(df: DataFrame, textCol: String): Model = {
     val t = col(textCol)
-    val p = df.select(padded(t).as("p"), split(t, " ").as("ws"))
+    val p = df.select(t.as("__t"), split(t, " ").as("ws"))
     def counts(k: Int, names: Seq[String]): DataFrame =
-      p.select(explode(gramCols(col("p"), k)).as("g"))
+      p.select(explode(PaddedNgrams(col("__t"), k, 2)).as("g"))
         .select((1 to k).map(j => col(s"g.g$j").as(names(j - 1))): _*)
         .groupBy(names.map(col): _*).agg(count(lit(1)).as("c"))
     val uni = p.select(explode(col("ws")).as("w"))
@@ -74,7 +62,7 @@ object NgramLm {
   def score(model: Model, df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val id = col(idCol)
-    val toks = df.select(id, explode(gramCols(padded(col(textCol)), 3)).as("g"))
+    val toks = df.select(id, explode(PaddedNgrams(col(textCol), 3, 2)).as("g"))
       .select(id, col("g.g1").as("u"), col("g.g2").as("v"), col("g.g3").as("w"))
     // the bigram table feeds three probes: pair (u,v), pair (v,w) and the
     // context total c(v) — persist it for the pipeline's lifetime
@@ -121,4 +109,80 @@ object NgramLm {
       else concat(lit("t"), tile)
     scored.withColumn("tile", tile.cast("long")).withColumn("bucket", bucket)
   }
+}
+
+/** Native positional padded n-grams: `pads` `<s>` sentinels then the
+  * space-split tokens, emitted as (g1..gn) structs for every window with
+  * a full left context — one linear pass per row. (The HOF formulation
+  * — transform over a sequence with element_at probes — re-evaluated the
+  * padded array once per element under interpreted higher-order
+  * functions: O(len²) per document, the [[TextKernel]] trap.) Null or
+  * too-short input yields an empty array, so explode drops the row —
+  * the HOF contract. */
+case class PaddedNgrams(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    n: Int, pads: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  require(n >= 1 && pads >= 0 && pads >= n - 1,
+    s"need pads >= n-1 so every real token has a full context (n=$n pads=$pads)")
+
+  override def dataType: DataType = ArrayType(StructType(
+    (1 to n).map(j => StructField(s"g$j", StringType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"padded_ngrams requires string, got $other")
+  }
+
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input) match {
+      case null => new GenericArrayData(Array.empty[Any])
+      case s =>
+        val toks = s.asInstanceOf[UTF8String].toString.split(" ", -1)
+        val p = new Array[UTF8String](pads + toks.length)
+        val bos = UTF8String.fromString("<s>")
+        var i = 0
+        while (i < pads) { p(i) = bos; i += 1 }
+        var j = 0
+        while (j < toks.length) {
+          p(pads + j) = UTF8String.fromString(toks(j)); j += 1
+        }
+        val m = p.length - n + 1
+        if (m <= 0) new GenericArrayData(Array.empty[Any])
+        else {
+          val out = new Array[Any](m)
+          var k = 0
+          while (k < m) {
+            val fields = new Array[Any](n)
+            var f = 0
+            while (f < n) { fields(f) = p(k + f); f += 1 }
+            out(k) =
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields)
+            k += 1
+          }
+          new GenericArrayData(out)
+        }
+    }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): PaddedNgrams =
+    copy(child = newChild)
+
+  override def prettyName: String = "padded_ngrams"
+}
+
+object PaddedNgrams {
+  def apply(c: Column, n: Int, pads: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      new PaddedNgrams(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c), n, pads))
 }

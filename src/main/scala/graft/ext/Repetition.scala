@@ -1,7 +1,13 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Gopher-style repetition metrics (Rae et al. 2021, "Scaling Language
   * Models: Methods, Analysis & Insights from Training Gopher", App. A1.1)
@@ -24,16 +30,18 @@ import org.apache.spark.sql.functions._
   * This is deliberately the order-independent form — it replays exactly
   * on any engine from the same (gram, count) table, unlike the
   * position-marking variant whose covered-character set depends on scan
-  * order. Ties for the top gram resolve to the lexicographically
-  * smallest gram, so "top" is a pure function of the count table too.
+  * order. Ties for the top gram resolve to the smallest gram in UTF-8
+  * byte order, so "top" is a pure function of the count table too.
   *
-  * Scale shape: one exploded (doc, n, gram) relation covers EVERY n in
-  * one pass — a single hash-aggregate keyed (doc, n, gram) with map-side
-  * partial counts, then one (doc) rollup; lines are a second, identical
-  * fold. Work is linear in corpus tokens × |ns|; nothing is quadratic in
-  * document length (a 100k-token document costs 100k·|ns| rows, never
-  * 100k²), and no per-document state ever sits on the driver.
-  */
+  * Scale shape: every metric is WITHIN-document, so the whole operator
+  * is one native per-row expression ([[RepetitionStats]]) — a single
+  * O(tokens · |ns|) pass with per-document hash maps, ZERO shuffles,
+  * embarrassingly parallel at any corpus size. (The first formulation
+  * exploded a (doc, n, gram) relation through two hash-aggregates; the
+  * explode was linear but the interpreted HOF gram builder re-split the
+  * text once per gram — O(len²) per document, the same trap
+  * [[TextKernel]] documents. Per-row native is both asymptotically
+  * smaller on the wire — nothing moves — and constant-factor faster.) */
 object Repetition {
 
   /** Gopher App. A1 thresholds: a document is kept when every metric is
@@ -51,17 +59,6 @@ object Repetition {
     "dup_9gram_char_frac" -> 0.11,
     "dup_10gram_char_frac" -> 0.10)
 
-  /** Word n-gram structs (n, space-joined gram) for one n. The index
-    * sequence is forced non-empty then filtered (sequence(1, 0) would
-    * DESCEND in Spark), so short texts yield a typed empty array. */
-  private def gramStructs(ws: Column, n: Int): Column = {
-    val last = size(ws) - (n - 1)
-    transform(
-      filter(sequence(lit(1), greatest(last, lit(1))), i => i <= last),
-      i => struct(lit(n).as("n"),
-        array_join(slice(ws, i, lit(n)), " ").as("g")))
-  }
-
   /** Per-document repetition metrics; one row per input row with the
     * fractions above, 6-dp rounded, clamped to [0, 1]. Documents too
     * short for an n contribute no grams → that metric is 0. */
@@ -70,61 +67,10 @@ object Repetition {
       lineSep: String = "\n"): DataFrame = {
     require(topNs.nonEmpty && dupNs.nonEmpty, "need at least one n per family")
     require((topNs ++ dupNs).forall(_ >= 1), "n-gram orders must be >= 1")
-    val id = col(idCol)
-    val ns = (topNs ++ dupNs).distinct.sorted
-
-    val base = df.select(id, length(col(textCol)).cast("long").as("chars"),
-      col(textCol).as("__t"))
-
-    // One pass over every n: explode (n, gram), count, roll up per (id, n).
-    val ws = split(col("__t"), " ")
-    val grams = base
-      .select(id, explode(flatten(array(ns.map(gramStructs(ws, _)): _*))).as("gr"))
-      .select(id, col("gr.n").as("n"), col("gr.g").as("g"))
-    val perGram = grams.groupBy(id, col("n"), col("g"))
-      .agg(count(lit(1)).as("c"))
-    val perN = perGram.groupBy(id, col("n")).agg(
-      // min over (-c, gram): largest count, ties to the smallest gram
-      min(struct((-col("c")).as("nc"), col("g"))).as("top"),
-      sum(when(col("c") >= 2, col("c") * length(col("g"))).otherwise(0L))
-        .as("dup_mass"))
-      .select(id, col("n"),
-        ((-col("top.nc")) * length(col("top.g"))).as("top_mass"),
-        col("dup_mass"))
-    val nAggs = topNs.map(n => max(when(col("n") === n, col("top_mass")))
-      .as(s"__top_$n")) ++
-      dupNs.map(n => max(when(col("n") === n, col("dup_mass")))
-        .as(s"__dup_$n"))
-    val nMetrics = perN.groupBy(id).agg(nAggs.head, nAggs.tail: _*)
-
-    // Line fold: same shape, keyed (id, line).
-    val lines = base.select(id,
-      explode(split(col("__t"), java.util.regex.Pattern.quote(lineSep)))
-        .as("l"))
-    val perLine = lines.groupBy(id, col("l")).agg(count(lit(1)).as("c"))
-    val lineMetrics = perLine.groupBy(id).agg(
-      sum(col("c")).as("__nl"),
-      count(lit(1)).as("__dl"),
-      sum(when(col("c") >= 2, col("c") * length(col("l"))).otherwise(0L))
-        .as("__dup_line_mass"))
-
-    def frac(mass: Column): Column =
-      round(least(lit(1.0),
-        coalesce(mass, lit(0L)).cast("double") /
-          when(col("chars") > 0, col("chars"))), 6)
-
-    val out = base.drop("__t")
-      .join(nMetrics, Seq(idCol), "left")
-      .join(lineMetrics, Seq(idCol), "left")
-    val metricCols: Seq[(String, Column)] =
-      Seq("dup_line_frac" ->
-        round(coalesce(lit(1.0) - col("__dl").cast("double") / col("__nl"),
-          lit(0.0)), 6),
-        "dup_line_char_frac" -> frac(col("__dup_line_mass"))) ++
-        topNs.map(n => s"top_${n}gram_char_frac" -> frac(col(s"__top_$n"))) ++
-        dupNs.map(n => s"dup_${n}gram_char_frac" -> frac(col(s"__dup_$n")))
-    out.select(id +: col("chars") +:
-      metricCols.map { case (nm, c) => coalesce(c, lit(0.0)).as(nm) }: _*)
+    val m = RepetitionStats(col(textCol), topNs, dupNs, lineSep)
+    val fields = RepetitionStats.fieldNames(topNs, dupNs)
+    df.select(col(idCol) +: m.as("__m") +: Nil: _*)
+      .select(col(idCol) +: fields.map(f => col(s"__m.$f").as(f)): _*)
   }
 
   /** [[metrics]] plus the Gopher keep decision: `keep` is true when every
@@ -140,4 +86,138 @@ object Repetition {
       col(c) <= lit(thresholds(c)))
     m.withColumn("keep", votes.reduce(_ && _))
   }
+}
+
+/** One-pass per-row evaluator for every Gopher repetition metric: tokens
+  * split once, one count map per n-gram order, one line-count map —
+  * O(tokens · |ns|) time, no shuffle, no re-evaluation traps. Fractions
+  * round exactly like Spark's `round(x, 6)` (BigDecimal HALF_UP on the
+  * shortest decimal repr) so results are bit-identical to the relational
+  * formulation and its DuckDB oracle. */
+case class RepetitionStats(child: Expression, topNs: Seq[Int],
+    dupNs: Seq[Int], lineSep: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(
+    RepetitionStats.fieldNames(topNs, dupNs).map {
+      case "chars" => StructField("chars", LongType, nullable = false)
+      case f => StructField(f, DoubleType, nullable = false)
+    })
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats requires string, got $other")
+  }
+
+  override def nullable: Boolean = false
+
+  private val ns = (topNs ++ dupNs).distinct.sorted.toArray
+
+  override def eval(input: InternalRow): Any = {
+    val text = child.eval(input) match {
+      case null => ""
+      case s => s.asInstanceOf[UTF8String].toString
+    }
+    val chars = text.codePointCount(0, text.length).toLong
+
+    // per-n gram counts in one pass over the token stream
+    val toks = text.split(" ", -1)
+    val sb = new java.lang.StringBuilder()
+    val topMass = new java.util.HashMap[Int, Long]()
+    val dupMass = new java.util.HashMap[Int, Long]()
+    ns.foreach { n =>
+      val counts = new java.util.HashMap[String, Long]()
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        counts.merge(sb.toString, 1L, (a, b) => a + b)
+        i += 1
+      }
+      var bestC = 0L
+      var bestG: String = null
+      var dup = 0L
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue
+        val g = e.getKey
+        if (c > bestC || (c == bestC && bestG != null &&
+            RepetitionStats.utf8Less(g, bestG))) {
+          bestC = c; bestG = g
+        }
+        if (c >= 2) dup += c * g.codePointCount(0, g.length)
+      }
+      if (bestG != null)
+        topMass.put(n, bestC * bestG.codePointCount(0, bestG.length).toLong)
+      dupMass.put(n, dup)
+    }
+
+    // line stats: literal separator, Spark split(-1) semantics
+    val lines = text.split(java.util.regex.Pattern.quote(lineSep), -1)
+    val lineCounts = new java.util.HashMap[String, Long]()
+    lines.foreach(l => lineCounts.merge(l, 1L, (a, b) => a + b))
+    var dupLineMass = 0L
+    val lit2 = lineCounts.entrySet().iterator()
+    while (lit2.hasNext) {
+      val e = lit2.next()
+      if (e.getValue >= 2)
+        dupLineMass += e.getValue * e.getKey.codePointCount(0, e.getKey.length)
+    }
+    val nl = lines.length.toLong
+    val dl = lineCounts.size.toLong
+
+    def frac(mass: Long): Double =
+      if (chars <= 0) 0.0
+      else RepetitionStats.round6(math.min(1.0, mass.toDouble / chars))
+    val out = new Array[Any](3 + topNs.size + dupNs.size)
+    out(0) = chars
+    out(1) = RepetitionStats.round6(1.0 - dl.toDouble / nl)
+    out(2) = frac(dupLineMass)
+    var k = 3
+    topNs.foreach { n =>
+      out(k) = frac(Option(topMass.get(n)).map(_.longValue).getOrElse(0L))
+      k += 1
+    }
+    dupNs.foreach { n =>
+      out(k) = frac(Option(dupMass.get(n)).map(_.longValue).getOrElse(0L))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RepetitionStats = copy(child = newChild)
+
+  override def prettyName: String = "repetition_stats"
+}
+
+object RepetitionStats {
+  def fieldNames(topNs: Seq[Int], dupNs: Seq[Int]): Seq[String] =
+    Seq("chars", "dup_line_frac", "dup_line_char_frac") ++
+      topNs.map(n => s"top_${n}gram_char_frac") ++
+      dupNs.map(n => s"dup_${n}gram_char_frac")
+
+  /** Spark's round(x, 6): HALF_UP over the shortest decimal repr. */
+  def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** a < b in UTF-8 byte order (what Spark's struct-min and DuckDB's
+    * binary collation both compare). */
+  def utf8Less(a: String, b: String): Boolean =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+
+  def apply(c: Column, topNs: Seq[Int], dupNs: Seq[Int],
+      lineSep: String): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      new RepetitionStats(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c),
+        topNs, dupNs, lineSep))
 }

@@ -503,9 +503,13 @@ object ScaleDemo {
     }
     // ---- round-9 quality/LM operators at Kx docs ----
     timed("gopher") {
-      // per-doc repetition screens: one (doc, n, gram) hash-aggregate
-      // over 9 orders + one line fold — cost must track corpus tokens
-      graft.ext.Repetition.gopherFilter(corpus, "doc_id", "text").count()
+      // per-doc repetition screens: one native per-row pass, zero
+      // shuffles — cost must track corpus tokens. Aggregate the metric
+      // columns so count() can't prune the projection away
+      graft.ext.Repetition.gopherFilter(corpus, "doc_id", "text")
+        .agg(sum(col("chars")), sum(col("top_2gram_char_frac")),
+          sum(col("keep").cast("long"))).collect()
+      docs
     }
     timed("lm_score") {
       // count tables train on ONE replica (vocab constant), the scored
@@ -525,7 +529,9 @@ object ScaleDemo {
           size(toks)).as("f_stop"),
         (size(array_distinct(toks)).cast("double") / size(toks)).as("f_ttr"))
       val w = graft.ext.LogReg.train(feats, Seq("f_stop", "f_ttr"), "y")
-      graft.ext.LogReg.predict(feats, Seq("f_stop", "f_ttr"), w).count()
+      graft.ext.LogReg.predict(feats, Seq("f_stop", "f_ttr"), w)
+        .agg(sum(col("score_micro"))).collect()
+      docs
     }
     spark.stop()
   }

@@ -351,13 +351,13 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Window"), "seq must come from a partitioned window")
   }
 
-  test("gopher metrics: gram counting is hash-aggregated, no cartesian or NL join") {
+  test("gopher metrics add zero shuffles: one native per-row pass") {
     val docs = Tables.load(spark, sf("sf0.001"), "documents")
     val p = plan(ext.Repetition.metrics(docs, "doc_id", "text"))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "per-doc rollups must stay id-keyed equi-joins:\n" + p.take(800))
-    assert(p.contains("partial_"),
-      "gram counts must partial-aggregate map-side:\n" + p.take(600))
+    assert(!p.contains("Exchange"),
+      "within-document metrics must not move data:\n" + p.take(800))
+    assert(p.contains("repetition_stats"),
+      "expected the native single-pass expression:\n" + p.take(600))
   }
 
   test("lm score: the backoff ladder resolves via equi-joins only") {
