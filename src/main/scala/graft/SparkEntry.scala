@@ -1490,6 +1490,29 @@ object SparkEntry {
     "x_bpe" -> ((s, d) =>
       graft.ext.Bpe.train(Tables.load(s, d, "documents"), "text",
         merges = 10).orderBy(col("step"))),
+    // Tokenizer APPLICATION at corpus scale: the 10 trained merges
+    // encode the distinct-word table once (BPE's collapse trick — the
+    // corpus never re-tokenizes per occurrence), then the per-doc
+    // subword counts come from one word-keyed join + rollup. This is
+    // the "token budget with the real tokenizer" number that packing
+    // and mixture planning consume
+    "x_bpe_encode" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val merges = graft.ext.Bpe.train(docs, "text", merges = 10)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val enc = graft.ext.Bpe.wordTable(docs, "text")
+        .select(col("word"),
+          size(graft.ext.Bpe.encode(col("word"), merges)).cast("long")
+            .as("n_sym"))
+      docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(enc, "word")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_sym")).as("n_subwords"), countAll.as("n_words"))
+        .orderBy(col("doc_id"))
+    }),
     // Per-language vocabulary: top-10 terms per lang with df >= 3 —
     // WindowGroupLimit prunes each language's term list map-side
     "x_vocab_lang" -> ((s, d) =>
@@ -3958,6 +3981,17 @@ object SparkEntry {
       "CAST(SUM(CAST(FLOOR(v * 100) AS BIGINT)) AS DOUBLE) / 100 AS total " +
       "FROM c GROUP BY 1 ORDER BY 1"),
     "x_bpe" -> bpeChain(10),
+    // the same 10-round training chain, then the encoded symbol counts
+    // of the word table rolled up per document
+    "x_bpe_encode" -> (bpeChainWith(10) +
+      ", wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sym " +
+      "FROM p10 GROUP BY 1), " +
+      "dw AS (SELECT doc_id, word FROM (SELECT doc_id, " +
+      "unnest(string_split(text, ' ')) AS word FROM documents) t " +
+      "WHERE word <> '') " +
+      "SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_subwords, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_words FROM dw JOIN wc USING (word) " +
+      "GROUP BY 1 ORDER BY doc_id"),
     // same two-level aggregation in SQL; ties on the term string
     "x_vocab" -> ("WITH tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM " +
       "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t " +
@@ -4302,7 +4336,16 @@ object SparkEntry {
       "LEFT JOIN gtp USING (doc_id) LEFT JOIN gdp USING (doc_id))"
   }
 
-  private def bpeChain(merges: Int): String = {
+  private def bpeChain(merges: Int): String =
+    bpeChainWith(merges) + " " +
+      (1 to merges).map(k =>
+        s"SELECT $k AS step, a AS sym_a, b AS sym_b, CAST(cnt AS BIGINT) AS cnt FROM b$k")
+        .mkString(" UNION ALL ") + " ORDER BY step"
+
+  /** The training chain's CTE block alone (ends at `p<merges>`, the
+    * fully-merged symbol table); [[bpeChain]] appends the merge-table
+    * SELECT, the encode gate its per-document rollup. */
+  private def bpeChainWith(merges: Int): String = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     parts += ("w AS MATERIALIZED (SELECT word, COUNT(*) AS freq FROM " +
       "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) t " +
@@ -4328,10 +4371,7 @@ object SparkEntry {
         s"lag(cand AND rn % 2 = 1) OVER (PARTITION BY word ORDER BY pos) AS prevkeep FROM g$k) t " +
         "WHERE prevkeep IS NULL OR NOT prevkeep)")
     }
-    "WITH " + parts.mkString(", ") + " " +
-      (1 to merges).map(k =>
-        s"SELECT $k AS step, a AS sym_a, b AS sym_b, CAST(cnt AS BIGINT) AS cnt FROM b$k")
-        .mkString(" UNION ALL ") + " ORDER BY step"
+    "WITH " + parts.mkString(", ")
   }
 
   /** k-core peel replay: fixed MATERIALIZED rounds of degree-filter +

@@ -94,9 +94,74 @@ object Bpe {
     learned.toSeq.toDF("step", "sym_a", "sym_b", "cnt")
   }
 
-  /** Encode one word column with a learned merge list (rank order). */
+  /** Encode one word column with a learned merge list (rank order).
+    * Native single pass ([[BpeEncode]]): the HOF fold of N
+    * [[applyMerge]] steps nests N aggregate lambdas and blows the
+    * analyzer's resolution budget past ~8 merges (Max iterations
+    * reached), besides the per-element re-evaluation trap — training
+    * avoids both by checkpointing between rounds, but encode applies
+    * the whole learned list to one column at once. Semantics are
+    * bit-identical: same char split, same greedy left-to-right skip. */
   def encode(word: Column, merges: Seq[(String, String)]): Column =
-    merges.foldLeft(split(word, "")) { case (syms, (a, b)) =>
-      applyMerge(syms, a, b)
+    BpeEncode(word, merges)
+}
+
+/** Greedy merge-list application as one per-row pass: word -> chars,
+  * then each (a, b) rule left-to-right with pair-skip — exactly
+  * [[Bpe.applyMerge]] folded, without the nested-lambda plans. */
+case class BpeEncode(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    merges: Seq[(String, String)])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode requires string, got $other")
+  }
+
+  override def nullable: Boolean = child.nullable
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input) match {
+      case null => null
+      case s =>
+        // Spark split(word, "") semantics: chars, no trailing empty
+        // (the x_bpe oracle's substr(1..len) agrees); "" -> [""]
+        var syms: Array[String] =
+          s.asInstanceOf[UTF8String].toString.split("")
+        merges.foreach { case (a, b) =>
+          val ab = a + b
+          val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += ab; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toArray
+        }
+        new GenericArrayData(syms.map(UTF8String.fromString(_).asInstanceOf[Any]))
     }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): BpeEncode =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_encode"
+}
+
+object BpeEncode {
+  def apply(c: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      new BpeEncode(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c), merges))
 }

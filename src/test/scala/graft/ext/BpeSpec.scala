@@ -40,6 +40,19 @@ class BpeSpec extends SparkTestBase {
     assert(got("slow") == Seq("s", "low"))
   }
 
+  test("encode takes deep merge lists (the HOF fold blew the analyzer past ~8)") {
+    // 12 chained merges collapsing "abcdefghijklm" one pair at a time;
+    // the nested-lambda formulation died with "Max iterations reached"
+    val chain = (0 until 12).map { i =>
+      val merged = ('a' to ('a' + i + 1).toChar).mkString
+      (merged.dropRight(1), merged.last.toString)
+    }
+    val got = Seq("abcdefghijklm").toDF("w")
+      .select(Bpe.encode(col("w"), chain).as("s"))
+      .as[Seq[String]].collect()(0)
+    assert(got == Seq("abcdefghijklm"))
+  }
+
   test("ties break on (count desc, left, right) deterministically") {
     // "ab" and "cd" both occur 3 times; (a,b) < (c,d) lexically
     val docs = Seq((1L, "ab cd ab cd ab cd")).toDF("doc_id", "text")
