@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.ext.{LanguageId, MinHashSignature, Shingles, SignLshSignatures,
-  SimHash64, TextAnalysis, TextNormalize, WinnowFingerprints}
+import graft.ext.{LanguageId, MinHashSignature, PaddedNgrams,
+  RepetitionStats, Shingles, SignLshSignatures, SimHash64, TextAnalysis,
+  TextNormalize, WinnowFingerprints}
 
 /** Session extensions exposing the engine's native expressions to SQL:
   *
@@ -88,6 +89,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(c) => TextNormalize(c)
         case _ => throw new IllegalArgumentException("text_normalize(text)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => RepetitionStats(c, Seq(2, 3, 4), Seq(5, 6, 7, 8, 9, 10),
+          "\n")
+        case _ => throw new IllegalArgumentException("repetition_stats(text)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("padded_ngrams"),
+      new ExpressionInfo(classOf[PaddedNgrams].getName, "padded_ngrams"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => PaddedNgrams(c, 3, 2)
+        case Seq(c, n) =>
+          val k = intArg(n, "n"); PaddedNgrams(c, k, k - 1)
+        case Seq(c, n, p) =>
+          PaddedNgrams(c, intArg(n, "n"), intArg(p, "pads"))
+        case _ => throw new IllegalArgumentException(
+          "padded_ngrams(text[, n[, pads]])")
       }))
 
     ext.injectFunction((

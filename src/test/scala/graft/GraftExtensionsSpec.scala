@@ -65,4 +65,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
   test("bad argument types rejected") {
     intercept[Exception](spark.sql("SELECT simhash64(1)").collect())
   }
+
+  test("repetition_stats / padded_ngrams from SQL") {
+    val r = spark.sql(
+      """SELECT repetition_stats('a b a b a b').top_2gram_char_frac AS t2,
+        |       padded_ngrams('x y', 3) AS pg,
+        |       padded_ngrams('x y', 2, 1) AS bg
+        |""".stripMargin).collect()(0)
+    // "a b" x3 of len 3 over 11 chars, rounded to 6 dp
+    assert(math.abs(r.getDouble(0) - 0.818182) < 1e-9)
+    val pg = r.getSeq[org.apache.spark.sql.Row](1)
+    assert(pg.map(x => (x.getString(0), x.getString(1), x.getString(2))) ==
+      Seq(("<s>", "<s>", "x"), ("<s>", "x", "y")))
+    assert(r.getSeq[org.apache.spark.sql.Row](2).size == 2)
+  }
 }
