@@ -1071,6 +1071,16 @@ object SparkEntry {
         .select(col("doc_id"), col("year"), col("lm_score"))
         .orderBy(col("doc_id"))
     }),
+    // The full curation funnel in one composition: exact dedup ->
+    // Gopher vote -> LM threshold, with per-stage counts AND id
+    // checksums so the oracle verifies WHICH documents survived each
+    // stage, not just how many
+    "x_curate" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val m = graft.ext.NgramLm.train(docs.filter(col("lang") === "en"), "text")
+      graft.ext.Curation.curate(docs, "doc_id", "text", m, minScore = -1.3)
+        .funnel.orderBy(col("stage_idx"))
+    }),
     // LR quality classifier (the GPT-3 "trusted vs web" filter): 8
     // full-batch GD steps over three exact-ratio text features, label =
     // lang='en'; nano-quantized gradients make the trained weights — and
@@ -3444,6 +3454,26 @@ object SparkEntry {
     // 8 unrolled GD steps then the final sigmoid, all in the operator's
     // exact float op order
     "x_quality_lr" -> lrOracleSql(8),
+    // the funnel composes the shared cores: min-id exact dedup, the raw
+    // Gopher vote, the LM scores — four stage rows with id checksums
+    "x_curate" -> (lmScoreOracleCore + gopherKeepRawSql +
+      ", sc2 AS (SELECT doc_id, " +
+      "CAST(CAST(SUM(lp) AS BIGINT) AS DOUBLE) / 1e6 / COUNT(*) AS lm_score " +
+      "FROM lps GROUP BY 1), " +
+      "dd AS (SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY 1), " +
+      "s3 AS (SELECT dd.doc_id FROM dd JOIN gk USING (doc_id) WHERE gk.keep), " +
+      "s4 AS (SELECT s3.doc_id FROM s3 JOIN sc2 USING (doc_id) " +
+      "WHERE sc2.lm_score >= -1.3::DOUBLE) " +
+      "SELECT 'input' AS stage, CAST(1 AS BIGINT) AS stage_idx, " +
+      "CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS id_sum FROM documents " +
+      "UNION ALL SELECT 'exact_dedup', 2, CAST(COUNT(*) AS BIGINT), " +
+      "CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM dd " +
+      "UNION ALL SELECT 'gopher', 3, CAST(COUNT(*) AS BIGINT), " +
+      "CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM s3 " +
+      "UNION ALL SELECT 'lm_quality', 4, CAST(COUNT(*) AS BIGINT), " +
+      "CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM s4 " +
+      "ORDER BY stage_idx"),
     // the batch formulation of the stream: LM scores from the shared
     // core, the Gopher vote on the RAW text (single line -> the line
     // screens pass trivially), both filters applied
