@@ -714,6 +714,18 @@ object SparkEntry {
       .groupBy(col("split")).agg(countAll.as("n"))
       .orderBy(col("split"))),
 
+    // Leakage-free split: near-dup clusters (exact Jaccard pairs ->
+    // components, uncapped for the exhaustive oracle) key the hash, so
+    // a train doc's near-copy can never land in validation. Portable
+    // multiplicative hash -> the oracle replays every assignment
+    "x_leak_split" -> ((s, d) =>
+      graft.ext.Sampling.leakFreeSplit(Tables.load(s, d, "documents"),
+        "doc_id", "text", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        threshold = 0.5, maxDf = None, buckets = 10,
+        hashOf = c => pmod(c.cast("long") * 2654435761L, lit(4294967296L)))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
     // Exact-count balanced draw: 20 docs per language by deterministic
     // md5 order — WindowGroupLimit prunes each stratum to 20 rows
     // map-side, so a skewed giant stratum never lands behind one task
@@ -3271,6 +3283,24 @@ object SparkEntry {
     "x_split" -> ("SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' " +
       "WHEN doc_id % 10 < 9 THEN 'val' ELSE 'test' END AS split, COUNT(*) AS n " +
       "FROM documents GROUP BY 1 ORDER BY 1"),
+    // the x_dedup_clusters transitive closure keys the hash: every doc
+    // hashes on its cluster root (itself when unpaired)
+    "x_leak_split" -> ("WITH RECURSIVE " +
+      "tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') " +
+      "for i in range(1, len(w)-1)]) s FROM tok), " +
+      "pr AS (SELECT a.doc_id i, b.doc_id j FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+      "len(list_distinct(a.s || b.s)) >= 0.5), " +
+      "e AS (SELECT i a, j b FROM pr UNION SELECT j, i FROM pr), " +
+      "r AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a " +
+      "WHERE e.b != r.a), " +
+      "comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS root FROM r GROUP BY a), " +
+      "k AS (SELECT d.doc_id, COALESCE(comp.root, d.doc_id) AS gkey " +
+      "FROM documents d LEFT JOIN comp ON d.doc_id = comp.node), " +
+      "bk AS (SELECT doc_id, ((gkey * 2654435761) % 4294967296) % 10 AS b FROM k) " +
+      "SELECT doc_id, CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' " +
+      "ELSE 'test' END AS split FROM bk ORDER BY doc_id"),
     "x_skew_join" -> ("SELECT c_mktsegment, COUNT(*) AS n, " +
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
       "FROM orders JOIN customer ON o_custkey = c_custkey " +

@@ -305,4 +305,35 @@ object Sampling {
       .withColumn("seq", row_number().over(w).cast("long"))
       .drop("__h")
   }
+
+  /** Leakage-free split assignment: near-duplicate CLUSTERS move between
+    * splits atomically. A plain per-document split leaks — a train doc's
+    * near-copy lands in validation and the eval measures memorization,
+    * the contamination the decontamination operators exist to prevent.
+    * Here every document keys on its near-dup cluster root (exact n-gram
+    * Jaccard pairs -> connected components, the [[Dedup.ngramClusters]]
+    * graph); singletons key on themselves. The split label stays a pure
+    * hash function of that key, so the [[assignSplit]] stability
+    * contract holds (reruns never move a cluster) AND no pair of
+    * near-dups ever straddles a split boundary.
+    *
+    * Scale shape: the pair graph + components are [[Dedup]]'s
+    * linear-shuffle formulations; the label table is pair-bounded (tiny
+    * next to the corpus) and joins back once; the split decision itself
+    * is codegen in the scan, exactly like [[assignSplit]]. */
+  def leakFreeSplit(df: DataFrame, idCol: String, textCol: String,
+      weights: Seq[(String, Double)], n: Int = 3, threshold: Double = 0.5,
+      maxDf: Option[Long] = Some(1000L), buckets: Int = defaultBuckets,
+      hashOf: Column => Column = xxhash64(_)): DataFrame = {
+    val labels = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(df, idCol, textCol, n, threshold, maxDf))
+    // pair-bounded; checkpoint cuts the iterative lineage, then release
+    val roots = labels.select(col("node").as(idCol), col("label").as("__root"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    val keyed = df.join(roots, Seq(idCol), "left")
+      .withColumn("__key", coalesce(col("__root"), col(idCol)))
+    assignSplit(keyed, "__key", weights, buckets, hashOf)
+      .drop("__root", "__key")
+  }
 }

@@ -207,4 +207,32 @@ class SamplingSpec extends SparkTestBase {
     val sizes = out.groupBy(_._2).values.map(_.length)
     assert(sizes.min > 2000 / 7 / 2, sizes.toSeq)
   }
+
+  test("leakFreeSplit: near-dup clusters never straddle a split boundary") {
+    // 30 singleton docs with disjoint vocabularies + one 3-member
+    // near-dup cluster (ids 100, 101, 102 share almost all trigrams)
+    val base = (1L to 30L).map(i =>
+      i -> (0 until 12).map(j => s"w${i}_$j").mkString(" "))
+    val nearDups = Seq(
+      100L -> "shared words all across this entire document body here now",
+      101L -> "shared words all across this entire document body here soon",
+      102L -> "shared words all across this entire document body here then")
+    val docs = (base ++ nearDups).toDF("doc_id", "text")
+    val split = Sampling.leakFreeSplit(docs, "doc_id", "text",
+      Seq("train" -> 0.5, "val" -> 0.5), maxDf = None)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(split.size == 33)
+    // the cluster moves atomically, keyed on its min-id root
+    assert(split(100L) == split(101L) && split(101L) == split(102L))
+    // singletons match the plain per-document assignment (key = own id)
+    val plain = Sampling.assignSplit(docs.filter(col("doc_id") <= 30L),
+      "doc_id", Seq("train" -> 0.5, "val" -> 0.5))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    (1L to 30L).foreach(i => assert(split(i) == plain(i), s"doc $i"))
+    // rerun-stable
+    val again = Sampling.leakFreeSplit(docs, "doc_id", "text",
+      Seq("train" -> 0.5, "val" -> 0.5), maxDf = None)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(split == again)
+  }
 }
