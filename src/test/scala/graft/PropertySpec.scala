@@ -106,4 +106,101 @@ class PropertySpec extends SparkTestBase {
       got == direct
     })
   }
+
+  test("RepetitionStats equals an independent one-machine reference on random text") {
+    // independent reference: Scala collections, NOT the expression's
+    // hashmap walk — grams via sliding, counts via groupBy
+    def ref(text: String, topNs: Seq[Int], dupNs: Seq[Int],
+        sep: String): Map[String, Double] = {
+      val chars = text.codePointCount(0, text.length).toLong
+      def cp(s: String) = s.codePointCount(0, s.length).toLong
+      def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      def frac(m: Long) = if (chars <= 0) 0.0 else r6(math.min(1.0, m.toDouble / chars))
+      val toks = text.split(" ", -1).toSeq
+      def gramCounts(n: Int) =
+        (if (toks.length < n) Seq.empty else toks.sliding(n).map(_.mkString(" ")).toSeq)
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val tops = topNs.map { n =>
+        val c = gramCounts(n)
+        val m = if (c.isEmpty) 0L else {
+          val mx = c.values.max
+          val g = c.filter(_._2 == mx).keys.reduceLeft((x, y) =>
+            if (ext.RepetitionStats.utf8Less(y, x)) y else x)
+          mx * cp(g)
+        }
+        s"top_${n}gram_char_frac" -> frac(m)
+      }
+      val dups = dupNs.map { n =>
+        val c = gramCounts(n)
+        s"dup_${n}gram_char_frac" ->
+          frac(c.collect { case (g, k) if k >= 2 => k * cp(g) }.sum)
+      }
+      val lines = text.split(java.util.regex.Pattern.quote(sep), -1).toSeq
+      val lc = lines.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      (Map(
+        "dup_line_frac" -> r6(1.0 - lc.size.toDouble / lines.size),
+        "dup_line_char_frac" ->
+          frac(lc.collect { case (l, k) if k >= 2 => k * cp(l) }.sum)) ++
+        tops ++ dups)
+    }
+    val word = Gen.oneOf("a", "bb", "ccc", "\u00e9", "x")
+    val docGen = for {
+      n <- Gen.choose(0, 25)
+      ws <- Gen.listOfN(n, word)
+      nl <- Gen.choose(0, 3)  // sprinkle line breaks
+    } yield {
+      val t = ws.mkString(" ")
+      if (nl == 0 || t.isEmpty) t
+      else t.replaceFirst(" ", "\n")
+    }
+    checkProp(forAll(Gen.listOfN(6, docGen)) { texts =>
+      val topNs = Seq(2, 3); val dupNs = Seq(2, 4)
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = ext.Repetition.metrics(rows.toDF("doc_id", "text"),
+        "doc_id", "text", topNs, dupNs).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      rows.forall { case (i, t) =>
+        val e = ref(t, topNs, dupNs, "\n")
+        val r = got(i)
+        e.forall { case (k, v) => r.getDouble(r.fieldIndex(k)) == v }
+      }
+    })
+  }
+
+  test("PaddedNgrams equals the sliding-window reference on random text") {
+    val word = Gen.oneOf("a", "bb", "<s>", "x", "")
+    val docGen = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    checkProp(forAll(Gen.listOfN(8, docGen)) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = rows.toDF("doc_id", "text")
+        .select(col("doc_id"), ext.PaddedNgrams(col("text"), 3, 2).as("g"))
+        .as[(Long, Seq[(String, String, String)])].collect().toMap
+      rows.forall { case (i, t) =>
+        val p = Seq("<s>", "<s>") ++ t.split(" ", -1).toSeq
+        val exp = p.sliding(3).map { case Seq(a, b, c) => (a, b, c) }.toSeq
+        got(i) == exp
+      }
+    })
+  }
+
+  test("BpeEncode equals the HOF applyMerge fold on random words") {
+    val word = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val merge = Gen.oneOf(("a", "b"), ("a", "a"), ("b", "c"), ("ab", "c"))
+    checkProp(forAll(Gen.listOfN(10, word), Gen.listOfN(3, merge)) {
+      (words, merges) =>
+        val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+          .toDF("id", "w")
+        val native = df.select(col("id"),
+          ext.Bpe.encode(col("w"), merges).as("s"))
+          .as[(Long, Seq[String])].collect().toMap
+        val hof = df.select(col("id"),
+          merges.foldLeft(split(col("w"), "")) { case (syms, (a, b)) =>
+            ext.Bpe.applyMerge(syms, a, b)
+          }.as("s")).as[(Long, Seq[String])].collect().toMap
+        native == hof
+    })
+  }
 }
