@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   * Scale shape: one groupBy(text) for the dedup (the only corpus-keyed
   * shuffle — same cost class as [[Dedup.exact]]), then the per-row
   * Gopher vote and the LM join pipeline; each stage count is an
-  * aggregate over the running frame. The running frame is persisted
+  * aggregate over the running frame. Running frames are persisted
   * between stages so the funnel's four counts don't recompute the
-  * prefix; callers streaming this composition continuously should use
-  * [[graft.streaming.QualityGate]] instead. */
+  * prefix, then RELEASED before returning: `curated` is materialized
+  * (localCheckpoint — the [[Dedup.finishEager]] lifecycle) and `funnel`
+  * is four checkpointed rows, so no cache entry outlives the call even
+  * in a long-lived service. Callers streaming this composition
+  * continuously should use [[graft.streaming.QualityGate]] instead. */
 object Curation {
 
   case class Result(curated: DataFrame, funnel: DataFrame)
@@ -30,8 +33,6 @@ object Curation {
   def curate(docs: DataFrame, idCol: String, textCol: String,
       model: NgramLm.Model, minScore: Double,
       thresholds: Map[String, Double] = Repetition.gopherThresholds): Result = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val id = col(idCol)
 
     val input = docs.select(id, col(textCol)).persist()
@@ -44,7 +45,7 @@ object Curation {
       .join(deduped, idCol).select(id, col(textCol)).persist()
     val scored = NgramLm.score(model, screened, idCol, textCol)
       .filter(col("lm_score") >= lit(minScore)).select(id, col("lm_score"))
-    val curated = screened.join(scored, idCol).persist()
+    val curated = screened.join(scored, idCol).localCheckpoint(true)
 
     def stage(df: DataFrame, name: String, idx: Int): DataFrame =
       df.agg(count(lit(1)).as("n"),
@@ -55,6 +56,8 @@ object Curation {
       .unionByName(stage(deduped, "exact_dedup", 2))
       .unionByName(stage(screened, "gopher", 3))
       .unionByName(stage(curated, "lm_quality", 4))
+      .localCheckpoint(true)
+    Seq(input, deduped, screened).foreach(_.unpersist())
     Result(curated, funnel)
   }
 }

@@ -324,9 +324,20 @@ object Sampling {
   def leakFreeSplit(df: DataFrame, idCol: String, textCol: String,
       weights: Seq[(String, Double)], n: Int = 3, threshold: Double = 0.5,
       maxDf: Option[Long] = Some(1000L), buckets: Int = defaultBuckets,
+      hashOf: Column => Column = xxhash64(_)): DataFrame =
+    leakFreeSplitFromPairs(df, idCol,
+      Dedup.ngramJaccardPairs(df, idCol, textCol, n, threshold, maxDf),
+      weights, buckets, hashOf)
+
+  /** [[leakFreeSplit]] from a precomputed near-dup pair set (i, j) —
+    * the 100 TB entry point: feed [[Dedup.minhashPairs]] (banded LSH,
+    * linear shuffle) instead of the exact-Jaccard graph, or reuse pairs
+    * a dedup pass already produced rather than re-shingling the corpus
+    * for the split. */
+  def leakFreeSplitFromPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+      weights: Seq[(String, Double)], buckets: Int = defaultBuckets,
       hashOf: Column => Column = xxhash64(_)): DataFrame = {
-    val labels = Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(df, idCol, textCol, n, threshold, maxDf))
+    val labels = Dedup.connectedComponents(pairs)
     // pair-bounded; checkpoint cuts the iterative lineage, then release
     val roots = labels.select(col("node").as(idCol), col("label").as("__root"))
       .localCheckpoint(true)

@@ -533,6 +533,27 @@ object ScaleDemo {
         .agg(sum(col("score_micro"))).collect()
       docs
     }
+    timed("curate_funnel") {
+      // the composed pipeline: dedup groupBy + per-row gopher + LM joins;
+      // replication makes every doc an exact dup (K copies) so the dedup
+      // stage carries full pressure. Model trains on one replica
+      val m = graft.ext.NgramLm.train(
+        corpus.filter(col("doc_id") < 1000000L), "text")
+      val r = graft.ext.Curation.curate(corpus, "doc_id", "text", m,
+        minScore = -1.3)
+      r.funnel.collect().foreach(x => println(s"  $x"))
+      docs
+    }
+    timed("leak_split_minhash") {
+      // the scale entry point: banded-LSH pairs (linear shuffle) drive
+      // the cluster-atomic split instead of the exact-Jaccard graph
+      val pairs = graft.ext.Dedup.minhashPairs(corpus, "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      graft.ext.Sampling.leakFreeSplitFromPairs(corpus, "doc_id", pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split")).agg(count(lit(1))).collect()
+      docs
+    }
     spark.stop()
   }
 }
