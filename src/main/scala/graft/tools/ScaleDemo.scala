@@ -39,8 +39,12 @@ object ScaleDemo {
         col("text"))
     }.reduce(_ unionByName _)
 
+    // SPARK_GRAFT_SCALE_ONLY=op1,op2 runs a subset (dev loop / K sweeps)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
+
     val docs = n0 * k
-    def timed(name: String)(body: => Long): Unit = {
+    def timed(name: String)(body: => Long): Unit = if (selected(name)) {
       val t0 = System.nanoTime()
       val pairs = body
       val secs = (System.nanoTime() - t0) / 1e9
@@ -108,7 +112,7 @@ object ScaleDemo {
       emb0.select((col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
         col("embedding"))
     }.reduce(_ unionByName _)
-    def timedVec(name: String)(body: => Long): Unit = {
+    def timedVec(name: String)(body: => Long): Unit = if (selected(name)) {
       val t0 = System.nanoTime()
       val rows = body
       val secs = (System.nanoTime() - t0) / 1e9
@@ -135,7 +139,7 @@ object ScaleDemo {
           .withColumn("label", (col("vec_id") % 5).cast("int")),
         "vec_id", "embedding", "label", k = 10).count()
     }
-    locally {
+    if (selected("fuzzy_join")) locally {
       // names fixture replicated via the corpus loop would collide all
       // copies (identical strings pair across replicas -> quadratic BY
       // CONSTRUCTION); scale the fixture itself instead: K*300 distinct
@@ -164,7 +168,7 @@ object ScaleDemo {
     val streamDir = graft.TempDirs.scratchDir("scale_events").toString
     eventsK.write.mode("overwrite").parquet(streamDir)
     val nev = ne * k
-    def timedEv(name: String)(body: => Long): Unit = {
+    def timedEv(name: String)(body: => Long): Unit = if (selected(name)) {
       val t0 = System.nanoTime()
       val rows = body
       val secs = (System.nanoTime() - t0) / 1e9
@@ -224,7 +228,7 @@ object ScaleDemo {
       graft.ext.EventAnalytics.retention(eventsK, "user_id", "ts",
         c => date_trunc("day", c).cast("date")).count()
     }
-    locally {
+    if (selected("scd2_fold3")) locally {
       // SCD2 at Kx keys: 3 date-ordered folds over an orders-derived
       // observation stream, key space scaled by K
       val t0 = System.nanoTime()
@@ -249,7 +253,7 @@ object ScaleDemo {
       println(f"""{"op": "scd2_fold3", "keys": ${k * 50}, "replication": $k, "rows": $rows, "seconds": $secs%.1f}""")
       spark.catalog.clearCache()
     }
-    locally {
+    if (selected("triangles")) locally {
       // degree-oriented triangles on a Kx planted graph
       val t0 = System.nanoTime()
       val rows = graft.ext.Triangles.perNode(
@@ -283,7 +287,7 @@ object ScaleDemo {
           unix_micros(col("ts")) % 1000000L),
         "user_id", "event_type", "ts", "event_id").count()
     }
-    locally {
+    if (selected("decontam_embed")) locally {
       // cross-corpus embedding decontamination at Kx corpus, fixed-size
       // benchmark: probe side broadcasts, corpus never shuffles
       val t0 = System.nanoTime()
@@ -300,7 +304,7 @@ object ScaleDemo {
         corpusSrc.withColumnRenamed("source", "lang"),
         "doc_id", "text", "lang", minDf = 3L * k, k = 50).count()
     }
-    locally {
+    if (selected("winsorize")) locally {
       val t0 = System.nanoTime()
       val ord0 = graft.Tables.load(spark, "/root/testdata/sf0.1", "orders")
       val ordK = (0 until k).map { i =>
@@ -313,7 +317,7 @@ object ScaleDemo {
       println(f"""{"op": "winsorize", "rows_in": ${k * 150000}, "replication": $k, "rows": $rows, "seconds": $secs%.1f}""")
       spark.catalog.clearCache()
     }
-    locally {
+    if (selected("bloom_join")) locally {
       // bloom semi-join at Kx probe: 6M lineitem rows pruned by a 64 KiB
       // filter before the exchange; build side stays sf0.1-sized
       val t0 = System.nanoTime()
@@ -331,7 +335,7 @@ object ScaleDemo {
       println(f"""{"op": "bloom_join", "probe_rows": ${k * 600000}, "replication": $k, "rows": $rows, "seconds": $secs%.1f}""")
       spark.catalog.clearCache()
     }
-    locally {
+    if (selected("concomp")) locally {
       // connected components on a Kx ring graph (larger diameter rings:
       // convergence rounds stay bounded by ring size, not graph size)
       val t0 = System.nanoTime()
@@ -347,7 +351,7 @@ object ScaleDemo {
     timed("bpe_train") {
       graft.ext.Bpe.train(corpusSrc, "text", merges = 10).count()
     }
-    locally {
+    if (selected("zorder")) locally {
       // z-order a Kx fact, then measure 2-D zone-map pruning: both
       // dimensions must skip most files
       val t0 = System.nanoTime()
@@ -385,7 +389,7 @@ object ScaleDemo {
         corpus.select((col("doc_id") % 16).as("cls"), col("text")),
         "cls", "text", k = 5, minTf = 3L).count()
     }
-    locally {
+    if (selected("stats_family")) locally {
       val t0 = System.nanoTime()
       val ord0 = graft.Tables.load(spark, "/root/testdata/sf0.1", "orders")
       val ordK = (0 until k).map { i =>
@@ -408,7 +412,7 @@ object ScaleDemo {
       spark.catalog.clearCache()
     }
     // ---- round-8 privacy / reproducibility / source families at Kx ----
-    locally {
+    if (selected("kanon")) locally {
       // k-anonymity at Kx rows over mid-cardinality quasi-identifiers
       // (~14k combos): the combo count table must stay combo-sized and the
       // join strategy is AQE's call (no forced broadcast) — cost must
@@ -426,7 +430,7 @@ object ScaleDemo {
       println(f"""{"op": "kanon", "rows_in": ${k * 15000}, "replication": $k, "rows": $kept, "seconds": $secs%.1f}""")
       spark.catalog.clearCache()
     }
-    locally {
+    if (selected("purge")) locally {
       // GDPR purge on a Kx year-partitioned fact: erasing keys that live
       // in ONE year rewrites that partition alone; the other years' bytes
       // never move (partition-scoped, not table-scoped)
@@ -454,7 +458,7 @@ object ScaleDemo {
       println(f"""{"op": "purge", "rows_in": ${k * 150000}, "partitions": $years, "touched": 1, "rows": $left, "load_s": $tLoad%.1f, "purge_s": $tPurge%.1f}""")
       spark.catalog.clearCache()
     }
-    locally {
+    if (selected("timetravel")) locally {
       // snapshot tags at Kx: the pin is one listing + one manifest write;
       // a post-tag compaction retires displaced files; the time-travel
       // read re-reads the pinned byte set via the manifest (no data copy
@@ -482,7 +486,7 @@ object ScaleDemo {
       println(f"""{"op": "timetravel", "rows": ${k * 150000}, "pinned_rows": $pinned, "tag_s": $tTag%.2f, "compact_retire_s": $tCompact%.1f, "read_tag_s": $tRead%.1f}""")
       spark.catalog.clearCache()
     }
-    locally {
+    if (selected("file_source")) locally {
       // file-drop source at a many-file drop (K*50 CSV shards in one @date
       // dir): cost must be scan-bound, not per-file driver overhead
       val t0 = System.nanoTime()
