@@ -1093,6 +1093,32 @@ object SparkEntry {
       graft.ext.Curation.curate(docs, "doc_id", "text", m, minScore = -1.3)
         .funnel.orderBy(col("stage_idx"))
     }),
+    // Gopher's lexical rules (the non-repetition half): surface stats +
+    // the published thresholds; minWords dialed to 10 so the 10-99-word
+    // corpus exercises both verdicts
+    "x_gopher_lex" -> ((s, d) =>
+      graft.ext.QualityRules.gopherLexical(Tables.load(s, d, "documents"),
+        "doc_id", "text", minWords = 10L)
+        .withColumn("keep", col("keep").cast("long"))
+        .orderBy(col("doc_id"))),
+    // URL blocklist screen: deterministic synthetic URLs over the source
+    // column (every 7th doc gets a subdomain, every 13th an unparseable
+    // string); the suffix-chain EQUI-join blocks listed domains and
+    // their subdomains, never lookalikes, never a LIKE cross join
+    "x_url_filter" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, lit("not a url"))
+          .otherwise(concat(lit("https://"),
+            when(col("doc_id") % 7 === 0, lit("sub.")).otherwise(lit("")),
+            col("source"), lit(".example.org/p/"),
+            col("doc_id").cast("string"))).as("url"))
+      val bl = Seq("src1.example.org", "src3.example.org").toDF("domain")
+      graft.ext.UrlFilter.annotateBlocked(docs, "doc_id", "url", bl)
+        .select(col("doc_id"), col("host"), col("blocked").cast("long")
+          .as("blocked"))
+        .orderBy(col("doc_id"))
+    }),
     // LR quality classifier (the GPT-3 "trusted vs web" filter): 8
     // full-batch GD steps over three exact-ratio text features, label =
     // lang='en'; nano-quantized gradients make the trained weights — and
@@ -3484,6 +3510,49 @@ object SparkEntry {
     // 8 unrolled GD steps then the final sigmoid, all in the operator's
     // exact float op order
     "x_quality_lr" -> lrOracleSql(8),
+    // lexical rules: list folds for the sums, same rounded-ratio vote
+    "x_gopher_lex" -> ("WITH m AS (SELECT doc_id, " +
+      "CAST(len(ws) AS BIGINT) AS word_count, " +
+      "ROUND(CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') " +
+      "AS DOUBLE) / len(ws), 6) AS mean_word_len, " +
+      "ROUND((length(text) - length(replace(text, '#', '')) + " +
+      "(length(text) - length(replace(text, '...', ''))) / 3) " +
+      "/ len(ws), 6) AS symbol_word_ratio, " +
+      "ROUND(CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) " +
+      "AS DOUBLE) / len(ws), 6) AS alpha_word_frac, " +
+      "CAST(len(list_filter(ws, w -> list_contains(" +
+      "['the', 'a', 'an', 'of', 'and', 'to', 'in'], lower(w)))) AS BIGINT) " +
+      "AS stopword_hits " +
+      "FROM (SELECT doc_id, text, string_split(text, ' ') AS ws " +
+      "FROM documents) t) " +
+      "SELECT doc_id, word_count, mean_word_len, symbol_word_ratio, " +
+      "alpha_word_frac, stopword_hits, " +
+      "CAST(CASE WHEN word_count >= 10 AND word_count <= 100000 " +
+      "AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 " +
+      "AND symbol_word_ratio <= 0.1 AND alpha_word_frac >= 0.8 " +
+      "AND stopword_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep " +
+      "FROM m ORDER BY doc_id"),
+    // same synthetic URLs; the suffix chain is a list comprehension and
+    // the block decision the same equi-join against the VALUES blocklist
+    "x_url_filter" -> ("WITH u AS (SELECT doc_id, " +
+      "CASE WHEN doc_id % 13 = 0 THEN 'not a url' " +
+      "ELSE 'https://' || CASE WHEN doc_id % 7 = 0 THEN 'sub.' ELSE '' END " +
+      "|| source || '.example.org/p/' || doc_id END AS url FROM documents), " +
+      "bl AS (SELECT * FROM (VALUES ('src1.example.org'), " +
+      "('src3.example.org')) t(domain)), " +
+      "h AS (SELECT doc_id, CASE WHEN regexp_extract(url, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1) = '' " +
+      "THEN NULL ELSE lower(regexp_extract(url, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) END " +
+      "AS host FROM u), " +
+      "sx AS (SELECT doc_id, unnest([array_to_string(" +
+      "list_slice(string_split(host, '.'), i, len(string_split(host, '.'))), " +
+      "'.') for i in range(1, len(string_split(host, '.')) + 1)]) AS sfx " +
+      "FROM h WHERE host IS NOT NULL), " +
+      "hit AS (SELECT DISTINCT sx.doc_id FROM sx JOIN bl ON sx.sfx = bl.domain) " +
+      "SELECT h.doc_id, h.host, CAST(CASE WHEN hit.doc_id IS NOT NULL " +
+      "THEN 1 ELSE 0 END AS BIGINT) AS blocked " +
+      "FROM h LEFT JOIN hit ON h.doc_id = hit.doc_id ORDER BY h.doc_id"),
     // the funnel composes the shared cores: min-id exact dedup, the raw
     // Gopher vote, the LM scores — four stage rows with id checksums
     "x_curate" -> (lmScoreOracleCore + gopherKeepRawSql +

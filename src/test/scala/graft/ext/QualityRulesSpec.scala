@@ -1,0 +1,52 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+
+class QualityRulesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)], minWords: Long = 50L) =
+    QualityRules.gopherLexical(rows.toDF("doc_id", "text"), "doc_id", "text",
+      minWords = minWords)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  private def d(r: Row, c: String) = r.getDouble(r.fieldIndex(c))
+  private def l(r: Row, c: String) = r.getLong(r.fieldIndex(c))
+
+  test("metrics: hand-computed surface statistics") {
+    val m = run(Seq(1L -> "the cat sat ### on... the mat"))
+    val r = m(1L)
+    assert(l(r, "word_count") == 7L)
+    // words: the(3) cat(3) sat(3) ###(3) on...(5) the(3) mat(3) = 23/7
+    assert(math.abs(d(r, "mean_word_len") - 23.0 / 7) < 1e-6)
+    // 3 hashes + 1 ellipsis over 7 words
+    assert(math.abs(d(r, "symbol_word_ratio") - 4.0 / 7) < 1e-6)
+    // ### has no letter
+    assert(math.abs(d(r, "alpha_word_frac") - 6.0 / 7) < 1e-6)
+    assert(l(r, "stopword_hits") == 2L) // "the" twice
+  }
+
+  test("keep vote: each rule kills on its own") {
+    val okWords = (1 to 60).map(i => if (i % 10 == 0) "the" else s"word$i")
+      .mkString(" ")
+    val m = run(Seq(
+      10L -> okWords,                                    // passes all
+      11L -> (1 to 10).map(i => s"word$i").mkString(" "), // too short
+      12L -> ((1 to 60).map(_ => "############").mkString(" ") + " the the"),
+      13L -> (1 to 62).map(_ => "the").mkString(" ")     // mean len 3, ok
+    ))
+    assert(m(10L).getBoolean(m(10L).fieldIndex("keep")))
+    assert(!m(11L).getBoolean(m(11L).fieldIndex("keep")))
+    // 12: symbol ratio and alpha frac both blown
+    assert(!m(12L).getBoolean(m(12L).fieldIndex("keep")))
+    assert(d(m(12L), "alpha_word_frac") < 0.8)
+    assert(m(13L).getBoolean(m(13L).fieldIndex("keep")))
+  }
+
+  test("minWords dial moves the short-doc verdict") {
+    val doc = (1 to 20).map(i => if (i <= 2) "the" else s"word$i").mkString(" ")
+    assert(!run(Seq(1L -> doc)).apply(1L).getBoolean(6))
+    assert(run(Seq(1L -> doc), minWords = 10L).apply(1L).getBoolean(6))
+  }
+}
