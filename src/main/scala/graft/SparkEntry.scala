@@ -1119,6 +1119,32 @@ object SparkEntry {
           .as("blocked"))
         .orderBy(col("doc_id"))
     }),
+    // Luhn-validated card masking: each doc gets a planted 16-digit
+    // number whose check digit is CORRECT on even ids and off-by-one on
+    // odd ids — the masker must fire on exactly the valid half (a bare
+    // \d{13,19} regex would mask both). Check-digit arithmetic is
+    // exact-integer on both engines
+    "x_pii_luhn" -> ((s, d) => {
+      val base = lpad(col("doc_id").cast("string"), 15, "7")
+      val digits = split(base, "")
+      val sum15 = aggregate(
+        transform(sequence(lit(1), lit(15)), i => {
+          val dg = element_at(digits, i).cast("int")
+          when(((lit(15) - i) % 2) === 0,
+            when(dg * 2 > 9, dg * 2 - 9).otherwise(dg * 2)).otherwise(dg)
+        }), lit(0), (acc, x) => acc + x)
+      val good = (lit(10) - sum15 % 10) % 10
+      val check = when(col("doc_id") % 2 === 0, good)
+        .otherwise((good + 1) % 10)
+      val card = concat(base, check.cast("string"))
+      val t2 = concat(col("text"), lit(" "), card)
+      val masked = graft.ext.Pii.maskCards(t2)
+      val noTok = regexp_replace(masked, "<CARD>", "")
+      Tables.load(s, d, "documents").select(col("doc_id"),
+          ((length(masked) - length(noTok)) / 6).cast("long").as("n_valid"),
+          masked.as("masked"))
+        .orderBy(col("doc_id"))
+    }),
     // LR quality classifier (the GPT-3 "trusted vs web" filter): 8
     // full-batch GD steps over three exact-ratio text features, label =
     // lang='en'; nano-quantized gradients make the trained weights — and
@@ -3553,6 +3579,23 @@ object SparkEntry {
       "SELECT h.doc_id, h.host, CAST(CASE WHEN hit.doc_id IS NOT NULL " +
       "THEN 1 ELSE 0 END AS BIGINT) AS blocked " +
       "FROM h LEFT JOIN hit ON h.doc_id = hit.doc_id ORDER BY h.doc_id"),
+    // the same planted card and check-digit sum; masking replays as one
+    // literal replace because the corpus contains no other digits
+    "x_pii_luhn" -> ("WITH b AS (SELECT doc_id, text, " +
+      "lpad(CAST(doc_id AS VARCHAR), 15, '7') AS b15 FROM documents), " +
+      "s AS (SELECT doc_id, text, b15, list_aggregate([" +
+      "CASE WHEN (15 - i) % 2 = 0 THEN " +
+      "CASE WHEN CAST(b15[i] AS INT) * 2 > 9 THEN CAST(b15[i] AS INT) * 2 - 9 " +
+      "ELSE CAST(b15[i] AS INT) * 2 END ELSE CAST(b15[i] AS INT) END " +
+      "for i in range(1, 16)], 'sum') AS s15 FROM b), " +
+      "c AS (SELECT doc_id, text, b15 || CAST(CASE WHEN doc_id % 2 = 0 " +
+      "THEN (10 - s15 % 10) % 10 " +
+      "ELSE ((10 - s15 % 10) % 10 + 1) % 10 END AS VARCHAR) AS card, " +
+      "doc_id % 2 = 0 AS v FROM s) " +
+      "SELECT doc_id, CAST(CASE WHEN v THEN 1 ELSE 0 END AS BIGINT) AS n_valid, " +
+      "CASE WHEN v THEN replace(text || ' ' || card, card, '<CARD>') " +
+      "ELSE text || ' ' || card END AS masked " +
+      "FROM c ORDER BY doc_id"),
     // the funnel composes the shared cores: min-id exact dedup, the raw
     // Gopher vote, the LM scores — four stage rows with id checksums
     "x_curate" -> (lmScoreOracleCore + gopherKeepRawSql +
