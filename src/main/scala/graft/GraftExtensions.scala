@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.ext.{LanguageId, MinHashSignature, PaddedNgrams,
+import graft.ext.{LanguageId, LuhnMask, MinHashSignature, PaddedNgrams,
   RepetitionStats, Shingles, SignLshSignatures, SimHash64, TextAnalysis,
   TextNormalize, WinnowFingerprints}
 
@@ -111,6 +111,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           PaddedNgrams(c, intArg(n, "n"), intArg(p, "pads"))
         case _ => throw new IllegalArgumentException(
           "padded_ngrams(text[, n[, pads]])")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("luhn_mask"),
+      new ExpressionInfo(classOf[LuhnMask].getName, "luhn_mask"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => LuhnMask(c, "<CARD>")
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(
+          t: org.apache.spark.unsafe.types.UTF8String, _)) =>
+          LuhnMask(c, t.toString)
+        case _ => throw new IllegalArgumentException(
+          "luhn_mask(text[, token_literal])")
       }))
 
     ext.injectFunction((

@@ -548,6 +548,27 @@ object ScaleDemo {
       r.funnel.collect().foreach(x => println(s"  $x"))
       docs
     }
+    timed("screens") {
+      // the zero-shuffle screen family in one pass: lexical rules +
+      // Luhn masking over Kx docs, plus the suffix-chain URL join
+      val lex = graft.ext.QualityRules.gopherLexical(corpus,
+        "doc_id", "text", minWords = 10L)
+      val urls = corpus.select(col("doc_id"),
+        concat(lit("https://s"), (col("doc_id") % 1000).cast("string"),
+          lit(".example.org/p")).as("url"))
+      import spark.implicits._
+      val bl = Seq("s1.example.org", "s7.example.org").toDF("domain")
+      val blocked = graft.ext.UrlFilter.annotateBlocked(urls, "doc_id",
+        "url", bl)
+      lex.join(blocked.select(col("doc_id"), col("blocked")), "doc_id")
+        .select(col("doc_id"),
+          graft.ext.Pii.maskCards(lit("pay 4111111111111111 now"))
+            .as("m"), col("keep"), col("blocked"))
+        .agg(count(lit(1)), sum(col("keep").cast("long")),
+          sum(col("blocked").cast("long")), max(length(col("m"))))
+        .collect()
+      docs
+    }
     timed("leak_split_minhash") {
       // the scale entry point: banded-LSH pairs (linear shuffle) drive
       // the cluster-atomic split instead of the exact-Jaccard graph

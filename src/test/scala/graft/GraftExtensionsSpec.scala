@@ -66,6 +66,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("SELECT simhash64(1)").collect())
   }
 
+  test("luhn_mask from SQL, default and custom token") {
+    val r = spark.sql(
+      """SELECT luhn_mask('pay 4111111111111111 ref 4111111111111112') AS a,
+        |       luhn_mask('pay 4111111111111111', '[PAN]') AS b
+        |""".stripMargin).collect()(0)
+    assert(r.getString(0) == "pay <CARD> ref 4111111111111112")
+    assert(r.getString(1) == "pay [PAN]")
+  }
+
   test("repetition_stats / padded_ngrams from SQL") {
     val r = spark.sql(
       """SELECT repetition_stats('a b a b a b').top_2gram_char_frac AS t2,
