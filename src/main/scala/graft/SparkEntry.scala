@@ -1145,6 +1145,15 @@ object SparkEntry {
           masked.as("masked"))
         .orderBy(col("doc_id"))
     }),
+    // Corpus drift (PSI) between two snapshots: even vs odd docs play
+    // the before/after corpora; add-one smoothing over the union vocab,
+    // per-word terms floor-quantized to picos so ranking and totals
+    // replay exactly
+    "x_drift" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      graft.ext.Drift.wordPsi(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text", k = 20)
+    }),
     // LR quality classifier (the GPT-3 "trusted vs web" filter): 8
     // full-batch GD steps over three exact-ratio text features, label =
     // lang='en'; nano-quantized gradients make the trained weights — and
@@ -3596,6 +3605,22 @@ object SparkEntry {
       "CASE WHEN v THEN replace(text || ' ' || card, card, '<CARD>') " +
       "ELSE text || ' ' || card END AS masked " +
       "FROM c ORDER BY doc_id"),
+    // the same smoothed PSI terms in the operator's float op order
+    "x_drift" -> ("WITH c AS (SELECT w, CAST(SUM(a) AS BIGINT) AS c_a, " +
+      "CAST(SUM(b) AS BIGINT) AS c_b FROM (" +
+      "SELECT unnest(string_split(text, ' ')) AS w, 1 AS a, 0 AS b " +
+      "FROM documents WHERE doc_id % 2 = 0 UNION ALL " +
+      "SELECT unnest(string_split(text, ' ')), 0, 1 " +
+      "FROM documents WHERE doc_id % 2 = 1) t GROUP BY 1), " +
+      "tt AS (SELECT CAST(SUM(c_a) AS BIGINT) AS na, " +
+      "CAST(SUM(c_b) AS BIGINT) AS nb, COUNT(*) AS v FROM c) " +
+      "SELECT w AS word, c_a, c_b, CAST(FLOOR(" +
+      "(CAST(c_a + 1 AS DOUBLE) / (na + v) - " +
+      "CAST(c_b + 1 AS DOUBLE) / (nb + v)) * " +
+      "LN(CAST(c_a + 1 AS DOUBLE) / (na + v) / " +
+      "(CAST(c_b + 1 AS DOUBLE) / (nb + v))) * 1e12) AS BIGINT) " +
+      "AS contrib_pico FROM c CROSS JOIN tt " +
+      "ORDER BY contrib_pico DESC, word LIMIT 20"),
     // the funnel composes the shared cores: min-id exact dedup, the raw
     // Gopher vote, the LM scores — four stage rows with id checksums
     "x_curate" -> (lmScoreOracleCore + gopherKeepRawSql +

@@ -1,0 +1,48 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus drift between two snapshots — the monitoring step a
+  * continuously-ingested corpus needs between curation runs: compare
+  * the word distributions of snapshot A and snapshot B with the
+  * Population Stability Index (the standard industry drift metric;
+  * PSI(A,B) = Σ_w (pA − pB)·ln(pA/pB), symmetric and ≥ 0, per-word
+  * terms always ≥ 0) and report the top drivers.
+  *
+  * Probabilities are add-one smoothed over the UNION vocabulary
+  * (pX = (cX+1)/(NX+V)), so a word absent from one side contributes a
+  * finite, honest term instead of ±∞. Per-word terms floor-quantize to
+  * LONG picos (the repo's cross-engine reduction discipline), so the
+  * ranking and every total replay exactly on any engine.
+  *
+  * Scale shape: one explode per side into a union (side-tagged) stream,
+  * ONE hash-aggregate keyed by word (map-side partial), a broadcast
+  * 1-row totals frame, and top-k via TakeOrderedAndProject — never a
+  * global sort, nothing quadratic, vocabulary-sized intermediate. */
+object Drift {
+
+  /** Top-`k` drift words between `a` and `b`: (word, c_a, c_b,
+    * contrib_pico), ordered contrib desc then word — plus every word's
+    * exact term, so `sum(contrib_pico)` is the corpus PSI in picos. */
+  def wordPsi(a: DataFrame, b: DataFrame, textCol: String,
+      k: Int = 20): DataFrame = {
+    def side(df: DataFrame, tag: Int): DataFrame =
+      df.select(explode(split(col(textCol), " ")).as("__w"),
+        lit(tag).as("__s"))
+    val counts = side(a, 0).unionByName(side(b, 1))
+      .groupBy(col("__w"))
+      .agg(coalesce(sum(when(col("__s") === 0, 1L)), lit(0L)).as("c_a"),
+        coalesce(sum(when(col("__s") === 1, 1L)), lit(0L)).as("c_b"))
+    val tot = counts.agg(sum(col("c_a")).as("__na"),
+      sum(col("c_b")).as("__nb"), count(lit(1)).as("__v"))
+    val pa = (col("c_a") + 1).cast("double") / (col("__na") + col("__v"))
+    val pb = (col("c_b") + 1).cast("double") / (col("__nb") + col("__v"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("__w").as("word"), col("c_a"), col("c_b"),
+        floor((pa - pb) * log(pa / pb) * lit(1e12)).cast("long")
+          .as("contrib_pico"))
+      .orderBy(col("contrib_pico").desc, col("word"))
+      .limit(k)
+  }
+}
