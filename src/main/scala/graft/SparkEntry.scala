@@ -1154,6 +1154,14 @@ object SparkEntry {
       graft.ext.Drift.wordPsi(docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1), "text", k = 20)
     }),
+    // numeric drift: o_totalprice PSI over 10 shared-edge buckets,
+    // even vs odd order keys playing the two snapshots
+    "x_drift_num" -> ((s, d) => {
+      val o = ord(s, d)
+      graft.ext.Drift.numericPsi(
+        o.filter(col("o_orderkey") % 2 === 0),
+        o.filter(col("o_orderkey") % 2 === 1), "o_totalprice", bins = 10)
+    }),
     // LR quality classifier (the GPT-3 "trusted vs web" filter): 8
     // full-batch GD steps over three exact-ratio text features, label =
     // lang='en'; nano-quantized gradients make the trained weights — and
@@ -3605,6 +3613,23 @@ object SparkEntry {
       "CASE WHEN v THEN replace(text || ' ' || card, card, '<CARD>') " +
       "ELSE text || ' ' || card END AS masked " +
       "FROM c ORDER BY doc_id"),
+    // fixed-width shared-edge buckets, same smoothed pico terms
+    "x_drift_num" -> ("WITH s AS (SELECT CAST(o_totalprice AS DOUBLE) AS x, " +
+      "o_orderkey % 2 AS sd FROM orders), " +
+      "r AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM s), " +
+      "c AS (SELECT CASE WHEN hi = lo THEN 0 ELSE LEAST(9, " +
+      "CAST(FLOOR((x - lo) / (hi - lo) * 10) AS INT)) END AS bin, " +
+      "CAST(SUM(CASE WHEN sd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a, " +
+      "CAST(SUM(CASE WHEN sd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b " +
+      "FROM s CROSS JOIN r GROUP BY 1), " +
+      "tt AS (SELECT CAST(SUM(c_a) AS BIGINT) AS na, " +
+      "CAST(SUM(c_b) AS BIGINT) AS nb FROM c) " +
+      "SELECT CAST(bin AS BIGINT) AS bin, c_a, c_b, CAST(FLOOR(" +
+      "(CAST(c_a + 1 AS DOUBLE) / (na + 10) - " +
+      "CAST(c_b + 1 AS DOUBLE) / (nb + 10)) * " +
+      "LN(CAST(c_a + 1 AS DOUBLE) / (na + 10) / " +
+      "(CAST(c_b + 1 AS DOUBLE) / (nb + 10))) * 1e12) AS BIGINT) " +
+      "AS contrib_pico FROM c CROSS JOIN tt ORDER BY bin"),
     // the same smoothed PSI terms in the operator's float op order
     "x_drift" -> ("WITH c AS (SELECT w, CAST(SUM(a) AS BIGINT) AS c_a, " +
       "CAST(SUM(b) AS BIGINT) AS c_b FROM (" +

@@ -45,4 +45,37 @@ object Drift {
       .orderBy(col("contrib_pico").desc, col("word"))
       .limit(k)
   }
+
+  /** PSI over a NUMERIC column — the tabular drift form: `bins`
+    * fixed-width buckets over the combined [min, max] (shared edges, so
+    * both sides bin identically; the top bucket is closed), add-one
+    * smoothed bucket probabilities, pico-quantized terms. One pass for
+    * the range, one side-tagged aggregate for the histogram; bucket
+    * arithmetic is a fixed double expression, identical everywhere. */
+  def numericPsi(a: DataFrame, b: DataFrame, valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins=$bins must be >= 2")
+    def side(df: DataFrame, tag: Int): DataFrame =
+      df.select(col(valueCol).cast("double").as("__x"), lit(tag).as("__s"))
+    val all = side(a, 0).unionByName(side(b, 1))
+    val range = all.agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
+    val bucket = least(lit(bins - 1), floor(
+      (col("__x") - col("__lo")) / (col("__hi") - col("__lo")) * bins)
+      .cast("int"))
+    val counts = all.crossJoin(broadcast(range))
+      .select(when(col("__hi") === col("__lo"), lit(0)).otherwise(bucket)
+        .as("bin"), col("__s"))
+      .groupBy(col("bin"))
+      .agg(coalesce(sum(when(col("__s") === 0, 1L)), lit(0L)).as("c_a"),
+        coalesce(sum(when(col("__s") === 1, 1L)), lit(0L)).as("c_b"))
+    val tot = counts.agg(sum(col("c_a")).as("__na"),
+      sum(col("c_b")).as("__nb"))
+    val pa = (col("c_a") + 1).cast("double") / (col("__na") + lit(bins.toLong))
+    val pb = (col("c_b") + 1).cast("double") / (col("__nb") + lit(bins.toLong))
+    counts.crossJoin(broadcast(tot))
+      .select(col("bin").cast("long").as("bin"), col("c_a"), col("c_b"),
+        floor((pa - pb) * log(pa / pb) * lit(1e12)).cast("long")
+          .as("contrib_pico"))
+      .orderBy(col("bin"))
+  }
 }

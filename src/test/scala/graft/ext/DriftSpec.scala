@@ -31,6 +31,24 @@ class DriftSpec extends SparkTestBase {
     assert(same.forall(c => c == 0L || c == -1L)) // floor of -0.0-ish terms
   }
 
+  test("numericPsi: shared edges, closed top bucket, exact replay") {
+    val a = (1 to 100).map(_.toDouble)
+    val b = (51 to 150).map(_.toDouble)
+    val got = Drift.numericPsi(a.toDF("v"), b.toDF("v"), "v", bins = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // combined range [1, 150], width 29.8: A fills low bins, B high
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(got(0L)._1 > 0 && got(0L)._2 == 0)     // only A at the bottom
+    assert(got(4L)._2 > 0 && got(4L)._1 == 0)     // only B at the top
+    // the max value lands in the last (closed) bucket, not bins
+    assert(got.values.map(v => v._1 + v._2).sum == 200L)
+    // identical sides: every term floors to 0 or -1 (negative-zero-ish)
+    val same = Drift.numericPsi(a.toDF("v"), a.toDF("v"), "v", bins = 5)
+      .collect().map(_.getLong(3))
+    assert(same.forall(c => c == 0L || c == -1L))
+  }
+
   test("one-sided words get finite smoothed terms, ordered deterministically") {
     val got = Drift.wordPsi(Seq("only here").toDF("text"),
       Seq("other side").toDF("text"), "text", k = 4)
