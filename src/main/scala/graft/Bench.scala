@@ -65,6 +65,17 @@ object Bench {
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), line)
     catch { case e: Throwable => System.err.println(s"[bench] could not write bench_out.json: $e") }
     println(line)
+    // The driver captures only a bounded tail of the log, and the full
+    // per-query line above (~8 KB at 200+ queries) does not fit it — every
+    // BENCH_r*.json through r09 parsed as null that way. So the LAST line
+    // printed is a compact summary that always fits a 2000-char tail:
+    // same metric/value/unit/sf contract, but "queries" holds only the
+    // top-10 slowest (the complete per-query map lives in bench_out.json
+    // and the committed BENCH_local_r*_final.json copies).
+    val top10 = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"reps":$reps,"queries":$top10,"queries_note":"top-10 slowest; full map in bench_out.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -117,12 +117,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("luhn_mask"),
       new ExpressionInfo(classOf[LuhnMask].getName, "luhn_mask"),
       (args: Seq[Expression]) => args match {
-        case Seq(c) => LuhnMask(c, "<CARD>")
+        case Seq(c) => LuhnMask(c, "<CARD>", separators = true)
         case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(
           t: org.apache.spark.unsafe.types.UTF8String, _)) =>
-          LuhnMask(c, t.toString)
+          LuhnMask(c, t.toString, separators = true)
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(
+          t: org.apache.spark.unsafe.types.UTF8String, _),
+          org.apache.spark.sql.catalyst.expressions.Literal(sep: Boolean, _)) =>
+          LuhnMask(c, t.toString, separators = sep)
         case _ => throw new IllegalArgumentException(
-          "luhn_mask(text[, token_literal])")
+          "luhn_mask(text[, token_literal[, separators_literal]])")
       }))
 
     ext.injectFunction((

@@ -1137,7 +1137,18 @@ object SparkEntry {
       val check = when(col("doc_id") % 2 === 0, good)
         .otherwise((good + 1) % 10)
       val card = concat(base, check.cast("string"))
-      val t2 = concat(col("text"), lit(" "), card)
+      // formatted-PAN fixtures: ids ≡ 2 (mod 4) plant the 4-4-4-4
+      // SPACED form (the dominant real-world web shape), ids ≡ 3 the
+      // dashed form with a bad check digit — the masker must fire on
+      // the whole formatted span for the former and leave the latter
+      // byte-identical
+      def grp(i: Int) = substring(card, i, 4)
+      val spaced = concat_ws(" ", grp(1), grp(5), grp(9), grp(13))
+      val dashed = concat_ws("-", grp(1), grp(5), grp(9), grp(13))
+      val planted = when(col("doc_id") % 4 === 2, spaced)
+        .when(col("doc_id") % 4 === 3, dashed)
+        .otherwise(card)
+      val t2 = concat(col("text"), lit(" "), planted)
       val masked = graft.ext.Pii.maskCards(t2)
       val noTok = regexp_replace(masked, "<CARD>", "")
       Tables.load(s, d, "documents").select(col("doc_id"),
@@ -3563,9 +3574,9 @@ object SparkEntry {
       "/ len(ws), 6) AS symbol_word_ratio, " +
       "ROUND(CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) " +
       "AS DOUBLE) / len(ws), 6) AS alpha_word_frac, " +
-      "CAST(len(list_filter(ws, w -> list_contains(" +
-      "['the', 'a', 'an', 'of', 'and', 'to', 'in'], lower(w)))) AS BIGINT) " +
-      "AS stopword_hits " +
+      "CAST(len(list_intersect(list_distinct(list_transform(ws, " +
+      "w -> lower(w))), ['the', 'a', 'an', 'of', 'and', 'to', 'in'])) " +
+      "AS BIGINT) AS stopword_hits " +
       "FROM (SELECT doc_id, text, string_split(text, ' ') AS ws " +
       "FROM documents) t) " +
       "SELECT doc_id, word_count, mean_word_len, symbol_word_ratio, " +
@@ -3597,7 +3608,8 @@ object SparkEntry {
       "THEN 1 ELSE 0 END AS BIGINT) AS blocked " +
       "FROM h LEFT JOIN hit ON h.doc_id = hit.doc_id ORDER BY h.doc_id"),
     // the same planted card and check-digit sum; masking replays as one
-    // literal replace because the corpus contains no other digits
+    // literal replace (whole formatted span) because the corpus
+    // contains no other digits
     "x_pii_luhn" -> ("WITH b AS (SELECT doc_id, text, " +
       "lpad(CAST(doc_id AS VARCHAR), 15, '7') AS b15 FROM documents), " +
       "s AS (SELECT doc_id, text, b15, list_aggregate([" +
@@ -3608,11 +3620,19 @@ object SparkEntry {
       "c AS (SELECT doc_id, text, b15 || CAST(CASE WHEN doc_id % 2 = 0 " +
       "THEN (10 - s15 % 10) % 10 " +
       "ELSE ((10 - s15 % 10) % 10 + 1) % 10 END AS VARCHAR) AS card, " +
-      "doc_id % 2 = 0 AS v FROM s) " +
+      "doc_id % 2 = 0 AS v FROM s), " +
+      "f AS (SELECT doc_id, text, v, CASE " +
+      "WHEN doc_id % 4 = 2 THEN substr(card, 1, 4) || ' ' || " +
+      "substr(card, 5, 4) || ' ' || substr(card, 9, 4) || ' ' || " +
+      "substr(card, 13, 4) " +
+      "WHEN doc_id % 4 = 3 THEN substr(card, 1, 4) || '-' || " +
+      "substr(card, 5, 4) || '-' || substr(card, 9, 4) || '-' || " +
+      "substr(card, 13, 4) " +
+      "ELSE card END AS planted FROM c) " +
       "SELECT doc_id, CAST(CASE WHEN v THEN 1 ELSE 0 END AS BIGINT) AS n_valid, " +
-      "CASE WHEN v THEN replace(text || ' ' || card, card, '<CARD>') " +
-      "ELSE text || ' ' || card END AS masked " +
-      "FROM c ORDER BY doc_id"),
+      "CASE WHEN v THEN replace(text || ' ' || planted, planted, '<CARD>') " +
+      "ELSE text || ' ' || planted END AS masked " +
+      "FROM f ORDER BY doc_id"),
     // fixed-width shared-edge buckets, same smoothed pico terms
     "x_drift_num" -> ("WITH s AS (SELECT CAST(o_totalprice AS DOUBLE) AS x, " +
       "o_orderkey % 2 AS sd FROM orders), " +

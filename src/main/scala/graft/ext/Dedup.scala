@@ -638,14 +638,27 @@ object Dedup {
     * the last full window is always kept.
     *
     * Scale: tile rows are linear in corpus words; the occurrence count
-    * and the per-document fold are the only shuffles (on tile and on id,
-    * both partial-agg); `collect_list` is bounded by a single document's
-    * tile count. */
+    * and the per-document fold are the only shuffles (on tile-hash and
+    * on id, both partial-agg); `collect_list` is bounded by a single
+    * document's tile count.
+    *
+    * Shuffle keys are `xxhash64(tile)` (8 bytes), never the tile TEXT
+    * (~50–100 bytes for 8 words) — the count shuffle and the count-join
+    * carry ~10× less key volume, which is the dominant wire cost of this
+    * family at corpus scale. Collision stance: two DIFFERENT tiles
+    * sharing a 64-bit hash would merge their counts and could mark a
+    * unique tile duplicated; with n distinct tiles the expected affected
+    * fraction is n/2⁶⁴ — at 10¹³ tiles (≈100 TB of text) that is ~5·10⁻⁷
+    * of tiles, i.e. a few spurious 8-word strips per ~2M documents,
+    * far below the noise floor of the screen itself. Tile text is kept
+    * ONLY on the per-document side, where `clean_text` reassembly needs
+    * it. */
   def tileDuplication(df: DataFrame, idCol: String, textCol: String,
       tileWords: Int = 8): DataFrame = {
     val counts = tilesOf(df, idCol, textCol, tileWords)
       .filter(col("__tile").isNotNull)
-      .groupBy(col("__tile")).agg(count(lit(1)).as("__cnt"))
+      .select(xxhash64(col("__tile")).as("__th"))
+      .groupBy(col("__th")).agg(count(lit(1)).as("__cnt"))
     tileFold(df, idCol, textCol, tileWords, counts)
   }
 
@@ -666,14 +679,18 @@ object Dedup {
   }
 
   /** Per-doc fold shared by the batch and incremental paths: `counts`
-    * is (__tile, __cnt) with __cnt the TOTAL occurrence count a tile is
-    * judged against (> 1 = duplicated). */
+    * is (__th = xxhash64(tile), __cnt) with __cnt the TOTAL occurrence
+    * count a tile is judged against (> 1 = duplicated). The join key is
+    * the hash; tile text rides along only for `clean_text` reassembly.
+    * Marker rows for tile-less docs hash NULL and fall through the left
+    * join unharmed (count(__tile) skips them either way). */
   private def tileFold(df: DataFrame, idCol: String, textCol: String,
       tileWords: Int, counts: DataFrame): DataFrame = {
     val ws = wordsOf(textCol)
     val nt = floor(size(ws) / lit(tileWords)).cast("long")
     val perDoc = tilesOf(df, idCol, textCol, tileWords)
-      .join(counts, Seq("__tile"), "left")
+      .withColumn("__th", xxhash64(col("__tile")))
+      .join(counts, Seq("__th"), "left")
       .groupBy(col(idCol))
       .agg(
         count(col("__tile")).as("n_tiles"),
@@ -693,21 +710,26 @@ object Dedup {
   }
 
   /** Persisted tile index for [[tileDuplicationIncremental]]: corpus
-    * occurrence counts per tile — `(tile, n_refs)`, writable as parquet.
-    * The index is the corpus's ONLY representation the incremental path
-    * ever touches (text is never re-read); after accepting a batch,
-    * merge its [[tileIndex]] in with [[mergeTileIndex]]. */
+    * occurrence counts per tile — `(tile_hash, n_refs)` with
+    * `tile_hash = xxhash64(tile text)`, writable as parquet. Storing the
+    * 8-byte hash instead of the ~50–100-byte tile text shrinks the
+    * persisted index ~10× and makes every probe join fixed-width (same
+    * collision stance as [[tileDuplication]]). The index is the corpus's
+    * ONLY representation the incremental path ever touches (text is
+    * never re-read); after accepting a batch, merge its [[tileIndex]] in
+    * with [[mergeTileIndex]]. */
   def tileIndex(df: DataFrame, idCol: String, textCol: String,
       tileWords: Int = 8): DataFrame =
     tilesOf(df, idCol, textCol, tileWords)
       .filter(col("__tile").isNotNull)
-      .groupBy(col("__tile").as("tile")).agg(count(lit(1)).as("n_refs"))
+      .groupBy(xxhash64(col("__tile")).as("tile_hash"))
+      .agg(count(lit(1)).as("n_refs"))
 
   /** Fold a new batch's tile counts into a persisted index: one
     * map-side-combinable re-aggregation over the union. */
   def mergeTileIndex(index: DataFrame, add: DataFrame): DataFrame =
     index.unionByName(add)
-      .groupBy(col("tile")).agg(sum(col("n_refs")).as("n_refs"))
+      .groupBy(col("tile_hash")).agg(sum(col("n_refs")).as("n_refs"))
 
   /** Incremental [[tileDuplication]]: the arriving batch's duplication
     * stats and `clean_text` against (indexed corpus ∪ the batch itself),
@@ -722,10 +744,11 @@ object Dedup {
       textCol: String, index: DataFrame, tileWords: Int = 8): DataFrame = {
     val counts = tilesOf(batch, idCol, textCol, tileWords)
       .filter(col("__tile").isNotNull)
-      .groupBy(col("__tile")).agg(count(lit(1)).as("__bc"))
-      .join(index.select(col("tile").as("__tile"), col("n_refs").as("__ic")),
-        Seq("__tile"), "left")
-      .select(col("__tile"),
+      .select(xxhash64(col("__tile")).as("__th"))
+      .groupBy(col("__th")).agg(count(lit(1)).as("__bc"))
+      .join(index.select(col("tile_hash").as("__th"), col("n_refs").as("__ic")),
+        Seq("__th"), "left")
+      .select(col("__th"),
         (col("__bc") + coalesce(col("__ic"), lit(0L))).as("__cnt"))
     tileFold(batch, idCol, textCol, tileWords, counts)
   }
@@ -749,17 +772,23 @@ object Dedup {
     val nPos = (floor((size(ws) - windowWords) / lit(stride)) + 1).cast("long")
     val wins = transform(sequence(lit(0L), nPos - 1),
       i => array_join(slice(ws, (i * stride + 1).cast("int"), lit(windowWords)), " "))
+    // windows are NEVER needed as text downstream (stripping stays with
+    // the tiler), so only their xxhash64 leaves the map side — both the
+    // count shuffle and the count-join carry 8-byte keys instead of
+    // ~50–100-byte window strings (same collision stance as
+    // [[tileDuplication]]: expected affected fraction n/2⁶⁴)
     val winned = df
       .select(col(idCol),
         when(size(ws) >= windowWords, wins)
           .otherwise(array().cast("array<string>")).as("__wins"))
-      .select(col(idCol), explode_outer(col("__wins")).as("__win"))
-    val counts = winned.filter(col("__win").isNotNull)
-      .groupBy(col("__win")).agg(count(lit(1)).as("__cnt"))
-    winned.join(counts, Seq("__win"), "left")
+      .select(col(idCol),
+        explode_outer(transform(col("__wins"), w => xxhash64(w))).as("__wh"))
+    val counts = winned.filter(col("__wh").isNotNull)
+      .groupBy(col("__wh")).agg(count(lit(1)).as("__cnt"))
+    winned.join(counts, Seq("__wh"), "left")
       .groupBy(col(idCol))
       .agg(
-        count(col("__win")).as("n_windows"),
+        count(col("__wh")).as("n_windows"),
         coalesce(sum(when(col("__cnt") > 1, 1L)), lit(0L)).as("dup_windows"))
       .select(col(idCol), col("n_windows"), col("dup_windows"),
         round(when(col("n_windows") > 0,

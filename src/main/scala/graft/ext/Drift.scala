@@ -22,11 +22,21 @@ import org.apache.spark.sql.functions._
   * global sort, nothing quadratic, vocabulary-sized intermediate. */
 object Drift {
 
-  /** Top-`k` drift words between `a` and `b`: (word, c_a, c_b,
-    * contrib_pico), ordered contrib desc then word — plus every word's
-    * exact term, so `sum(contrib_pico)` is the corpus PSI in picos. */
+  /** Top-`k` drift DRIVERS between `a` and `b`: (word, c_a, c_b,
+    * contrib_pico), ordered contrib desc then word. This is the
+    * monitoring view — the k largest per-word terms, NOT the corpus
+    * total (summing the top 20 of a 10M-word vocabulary undercounts).
+    * For the full PSI, use [[wordPsiAll]] and sum `contrib_pico`. */
   def wordPsi(a: DataFrame, b: DataFrame, textCol: String,
-      k: Int = 20): DataFrame = {
+      k: Int = 20): DataFrame =
+    wordPsiAll(a, b, textCol)
+      .orderBy(col("contrib_pico").desc, col("word"))
+      .limit(k)
+
+  /** Every vocabulary word's exact PSI term — `sum(contrib_pico)` over
+    * this frame IS the corpus PSI in picos. Vocabulary-sized output,
+    * ordered by word; same plan as [[wordPsi]] minus the top-k. */
+  def wordPsiAll(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
     def side(df: DataFrame, tag: Int): DataFrame =
       df.select(explode(split(col(textCol), " ")).as("__w"),
         lit(tag).as("__s"))
@@ -42,8 +52,7 @@ object Drift {
       .select(col("__w").as("word"), col("c_a"), col("c_b"),
         floor((pa - pb) * log(pa / pb) * lit(1e12)).cast("long")
           .as("contrib_pico"))
-      .orderBy(col("contrib_pico").desc, col("word"))
-      .limit(k)
+      .orderBy(col("word"))
   }
 
   /** PSI over a NUMERIC column — the tabular drift form: `bins`

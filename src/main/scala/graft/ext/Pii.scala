@@ -15,15 +15,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * (ISO/IEC 7812), so validating the checksum before masking removes
   * ~90% of those false positives while never missing a real PAN.
   *
-  * [[Pii.maskCards]] replaces every CONTIGUOUS digit run of 13–19
-  * digits whose Luhn checksum holds; runs broken by spaces/dashes are
-  * separate runs by contract (formatting-tolerant matching can be
-  * layered with a normalization pass — kept out of the operator so its
-  * decisions replay exactly on any engine). Per-row single pass, no
-  * shuffle, null-in → null-out. */
+  * [[Pii.maskCards]] masks two span shapes:
+  *
+  *   1. CONTIGUOUS digit runs of 13–19 digits whose Luhn checksum holds
+  *      (the machine-written form: logs, URLs, serialized fields).
+  *   2. With `separators = true` (the default): FORMATTED spans — digit
+  *      groups joined by single spaces or dashes (`4111 1111 1111 1111`,
+  *      `4111-1111-1111-1111`, mixed gaps allowed) — the dominant form
+  *      real PANs take in human-written web text. When the span's total
+  *      digit count is 13–19 and Luhn holds over the concatenated
+  *      digits, the WHOLE span (separators included) is masked.
+  *
+  * Span semantics (deterministic, engine-replayable): a candidate span
+  * is the MAXIMAL chain of digit runs where each gap is exactly one
+  * `' '` or `'-'` followed by another digit. The span is judged
+  * all-or-nothing; if it fails (wrong length or checksum), each
+  * contiguous digit run inside it is re-judged under rule 1 — so a
+  * contiguous PAN adjacent to a stray number (`25 4111111111111111`)
+  * still masks. Documented limitation of the greedy chain: a FORMATTED
+  * PAN with an adjacent space-joined number (`25 4111 1111 1111 1111`)
+  * folds into one 18-digit span, fails, and its 4-digit groups don't
+  * individually mask — the price of never re-trying sub-chains, which
+  * would make masking decisions non-replayable in plain SQL.
+  * `separators = false` keeps the original contiguous-only contract.
+  * Per-row single pass, no shuffle, null-in → null-out. */
 object Pii {
-  def maskCards(text: Column, token: String = "<CARD>"): Column =
-    LuhnMask(text, token)
+  def maskCards(text: Column, token: String = "<CARD>",
+      separators: Boolean = true): Column =
+    LuhnMask(text, token, separators)
 
   /** Luhn checksum over a digit string (rightmost digit not doubled). */
   def luhnValid(digits: String): Boolean = {
@@ -41,10 +60,12 @@ object Pii {
   }
 }
 
-/** One-pass scanner: maximal ASCII digit runs of [13, 19] digits that
-  * pass Luhn are replaced by `token`; everything else (shorter, longer,
-  * checksum-failing) is untouched. */
-case class LuhnMask(child: Expression, token: String)
+/** One-pass scanner: maximal digit spans (contiguous, or — with
+  * `separators` — single-space/dash-joined chains) whose 13–19
+  * concatenated digits pass Luhn are replaced by `token`; a failed
+  * chain's contiguous runs are re-judged individually; everything else
+  * is untouched. */
+case class LuhnMask(child: Expression, token: String, separators: Boolean)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = StringType
@@ -55,6 +76,11 @@ case class LuhnMask(child: Expression, token: String)
       s"luhn_mask requires string, got $other")
   }
 
+  @inline private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
+  private def maskable(digits: String): Boolean =
+    digits.length >= 13 && digits.length <= 19 && Pii.luhnValid(digits)
+
   override def eval(input: InternalRow): Any = child.eval(input) match {
     case null => null
     case s =>
@@ -62,17 +88,39 @@ case class LuhnMask(child: Expression, token: String)
       val out = new java.lang.StringBuilder(t.length)
       var i = 0
       while (i < t.length) {
-        val c = t.charAt(i)
-        if (c >= '0' && c <= '9') {
+        if (isDigit(t.charAt(i))) {
+          // maximal span: digit runs chained over single ' '/'-' gaps
           var j = i
-          while (j < t.length && t.charAt(j) >= '0' && t.charAt(j) <= '9')
-            j += 1
-          val run = t.substring(i, j)
-          if (run.length >= 13 && run.length <= 19 && Pii.luhnValid(run))
-            out.append(token)
-          else out.append(run)
+          var sawGap = false
+          val digits = new java.lang.StringBuilder(19)
+          var done = false
+          while (!done) {
+            while (j < t.length && isDigit(t.charAt(j))) {
+              digits.append(t.charAt(j)); j += 1
+            }
+            if (separators && j + 1 < t.length &&
+                (t.charAt(j) == ' ' || t.charAt(j) == '-') &&
+                isDigit(t.charAt(j + 1))) {
+              sawGap = true; j += 1
+            } else done = true
+          }
+          if (maskable(digits.toString)) out.append(token)
+          else if (!sawGap) out.append(t, i, j)
+          else {
+            // failed chain: re-judge each contiguous run on its own
+            var k = i
+            while (k < j) {
+              if (isDigit(t.charAt(k))) {
+                var e = k
+                while (e < j && isDigit(t.charAt(e))) e += 1
+                val run = t.substring(k, e)
+                if (maskable(run)) out.append(token) else out.append(run)
+                k = e
+              } else { out.append(t.charAt(k)); k += 1 }
+            }
+          }
           i = j
-        } else { out.append(c); i += 1 }
+        } else { out.append(t.charAt(i)); i += 1 }
       }
       UTF8String.fromString(out.toString)
   }
@@ -84,8 +132,8 @@ case class LuhnMask(child: Expression, token: String)
 }
 
 object LuhnMask {
-  def apply(c: Column, token: String): Column =
+  def apply(c: Column, token: String, separators: Boolean): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(
       new LuhnMask(org.apache.spark.sql.graftbridge.Bridge.expression(c),
-        token))
+        token, separators))
 }

@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   *   - `mean_word_len`     ∈ [3, 10]
   *   - `symbol_word_ratio` ≤ 0.1   (`#` and `...` per word)
   *   - `alpha_word_frac`   ≥ 0.8   (words containing ≥1 letter)
-  *   - `stopword_hits`     ≥ 2     (distinct-occurrence count of the
-  *                                  function-word list — Gopher's
-  *                                  "harmful repetition" guard)
+  *   - `stopword_hits`     ≥ 2     (DISTINCT stopwords from the
+  *                                  function-word list present in the
+  *                                  document — Gopher's rule wants two
+  *                                  different function words, so "the
+  *                                  the" alone scores 1, not 2)
   *
   * Everything is a per-row projection of built-in expressions — zero
   * shuffles, codegen, linear in corpus tokens. The HOF lambdas here
@@ -38,8 +40,8 @@ object QualityRules {
     val alphaFrac = round(
       size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / wc, 6)
     val sw = array(stopwords.map(lit): _*)
-    val stopHits = size(filter(ws, w => array_contains(sw, lower(w))))
-      .cast("long")
+    val stopHits = size(array_intersect(
+      array_distinct(transform(ws, w => lower(w))), sw)).cast("long")
     val out = df.select(col(idCol),
       wc.as("word_count"), meanLen.as("mean_word_len"),
       symRatio.as("symbol_word_ratio"), alphaFrac.as("alpha_word_frac"),

@@ -75,7 +75,8 @@ object Repetition {
 
   /** [[metrics]] plus the Gopher keep decision: `keep` is true when every
     * computed metric is ≤ its threshold (metrics without a configured
-    * threshold don't vote). The screen composes with the other quality
+    * threshold don't vote; no overlapping threshold at all → everything
+    * keeps, vacuously). The screen composes with the other quality
     * gates by filtering on the flag. */
   def gopherFilter(df: DataFrame, idCol: String, textCol: String,
       topNs: Seq[Int] = Seq(2, 3, 4), dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10),
@@ -84,7 +85,7 @@ object Repetition {
     val m = metrics(df, idCol, textCol, topNs, dupNs, lineSep)
     val votes = m.columns.filter(thresholds.contains).map(c =>
       col(c) <= lit(thresholds(c)))
-    m.withColumn("keep", votes.reduce(_ && _))
+    m.withColumn("keep", votes.reduceOption(_ && _).getOrElse(lit(true)))
   }
 }
 

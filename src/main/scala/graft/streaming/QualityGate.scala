@@ -27,7 +27,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * dangling intent means the append may have landed, so the replay
   * anti-joins already-present ids out of the batch before appending —
   * the fact stays single-copy through every crash window. Steady-state
-  * batches never probe the fact. */
+  * batches never probe the fact.
+  *
+  * The markers live under `checkpointDir/_graft_markers` — the SAME
+  * per-stream state root Spark keys batch ids to — never under
+  * `modelDir`: the model is a shared read-only input, and marker files
+  * there would collide across two streams scoring against the same
+  * frozen model, or wrongly short-circuit a restarted stream whose
+  * fresh checkpoint reset batch ids to 0 (silent data loss). */
 object QualityGate {
 
   def saveModel(m: NgramLm.Model, dir: String): Unit = {
@@ -59,10 +66,12 @@ object QualityGate {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val fs = new Path(modelDir).getFileSystem(
+        val markerRoot = new Path(checkpointDir, "_graft_markers")
+        val fs = markerRoot.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        val marker = new Path(modelDir, s"_batch_$batchId")
-        val intent = new Path(modelDir, s"_intent_$batchId")
+        fs.mkdirs(markerRoot)
+        val marker = new Path(markerRoot, s"_batch_$batchId")
+        val intent = new Path(markerRoot, s"_intent_$batchId")
         if (!fs.exists(marker)) {
           val crashReplay = fs.exists(intent)
           if (!crashReplay) fs.create(intent, true).close()

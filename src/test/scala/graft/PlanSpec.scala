@@ -329,6 +329,25 @@ class PlanSpec extends SparkTestBase {
     // the hash-agg partial/final split is present, the 100 TB shape)
     assert(p.contains("HashAggregate"),
       "tile counts must partial-aggregate map-side:\n" + p.take(600))
+    // shuffle/join keys are xxhash64(tile), 8 bytes — the ~50–100-byte
+    // tile TEXT must never be the count-shuffle key (~10× wire volume)
+    assert(p.contains("xxhash64"),
+      "tile counting must key on xxhash64(tile), not tile text:\n" + p.take(800))
+    assert(!p.contains("hashpartitioning(__tile"),
+      "tile text must not be a shuffle key:\n" + p.take(800))
+  }
+
+  test("window dedup: only 8-byte window hashes cross the shuffle, never window text") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val p = plan(ext.Dedup.windowDuplication(docs, "doc_id", "text",
+      windowWords = 8, stride = 2))
+    assert(p.contains("xxhash64"),
+      "window counting must key on xxhash64(window):\n" + p.take(800))
+    assert(!p.contains("hashpartitioning(__win,") &&
+      !p.contains("hashpartitioning(__win#"),
+      "window text must not be a shuffle key:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
   }
 
   test("dsir: selection is TakeOrderedAndProject, never a global sort") {

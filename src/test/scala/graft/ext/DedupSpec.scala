@@ -402,9 +402,12 @@ class DedupSpec extends SparkTestBase {
     val b = Dedup.tileIndex(
       Seq((2L, "x1 x2 x3 x4"), (3L, "y1 y2 y3 y4")).toDF("doc_id", "text"),
       "doc_id", "text", tileWords = 4)
+    // the index is keyed by xxhash64(tile text), never the text itself
+    val hashes = Seq("x1 x2 x3 x4", "y1 y2 y3 y4").toDF("t")
+      .select(xxhash64(col("t"))).as[Long].collect()
     val merged = Dedup.mergeTileIndex(a, b)
-      .orderBy("tile").as[(String, Long)].collect()
-    assert(merged.toSeq == Seq(("x1 x2 x3 x4", 2L), ("y1 y2 y3 y4", 1L)))
+      .as[(Long, Long)].collect().toMap
+    assert(merged == Map(hashes(0) -> 2L, hashes(1) -> 1L))
     // a batch whose only tile matches the merged index is fully duplicated
     val probe = Dedup.tileDuplicationIncremental(
       Seq((9L, "y1 y2 y3 y4")).toDF("doc_id", "text"),

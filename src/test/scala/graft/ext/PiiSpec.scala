@@ -33,9 +33,44 @@ class PiiSpec extends SparkTestBase {
     assert(got(4) == "two <CARD> and <CARD> cards")
   }
 
-  test("separator-broken runs are separate runs; nulls pass through") {
-    val got = mask(Seq("4111 1111 1111 1111"))
-    assert(got(0) == "4111 1111 1111 1111") // four 4-digit runs, untouched
+  test("formatted PANs: space/dash/mixed gaps mask as one span") {
+    val got = mask(Seq(
+      "pay 4111 1111 1111 1111 now",      // spaced 16 -> one mask
+      "pay 4111-1111-1111-1111 now",      // dashed
+      "pay 4111-1111 1111-1111 now",      // mixed gaps
+      "amex 3782 822463 10005 ok",        // 4-6-5 grouping, valid 15
+      "bad 4111 1111 1111 1112 now",      // checksum fails -> untouched
+      "short 4111 1111 held"))            // 8 digits -> untouched
+    assert(got(0) == "pay <CARD> now")
+    assert(got(1) == "pay <CARD> now")
+    assert(got(2) == "pay <CARD> now")
+    assert(got(3) == "amex <CARD> ok")
+    assert(got(4) == "bad 4111 1111 1111 1112 now")
+    assert(got(5) == "short 4111 1111 held")
+  }
+
+  test("failed chains re-judge their contiguous runs; double gaps break chains") {
+    val got = mask(Seq(
+      // stray number folds into the chain (18 digits, fails), but the
+      // contiguous PAN inside still masks on its own
+      "total 25 4111111111111111 now",
+      // the documented greedy-chain miss: formatted PAN + adjacent number
+      "total 25 4111 1111 1111 1111 now",
+      // two spaces are not a gap: the formatted PAN stands alone
+      "total 25  4111 1111 1111 1111 now",
+      // chain of 20+ digits fails even though a 16-digit prefix is valid
+      "big 4111 1111 1111 1111 00000 run"))
+    assert(got(0) == "total 25 <CARD> now")
+    assert(got(1) == "total 25 4111 1111 1111 1111 now")
+    assert(got(2) == "total 25  <CARD> now")
+    assert(got(3) == "big 4111 1111 1111 1111 00000 run")
+  }
+
+  test("separators=false keeps the contiguous-only contract; nulls pass through") {
+    val got = Seq((0L, "4111 1111 1111 1111 and 4111111111111111"))
+      .toDF("id", "t")
+      .select(Pii.maskCards(col("t"), separators = false)).collect()(0)
+    assert(got.getString(0) == "4111 1111 1111 1111 and <CARD>")
     val n = Seq((1L, null: String)).toDF("id", "t")
       .select(Pii.maskCards(col("t"))).collect()(0)
     assert(n.isNullAt(0))

@@ -24,17 +24,29 @@ class QualityRulesSpec extends SparkTestBase {
     assert(math.abs(d(r, "symbol_word_ratio") - 4.0 / 7) < 1e-6)
     // ### has no letter
     assert(math.abs(d(r, "alpha_word_frac") - 6.0 / 7) < 1e-6)
-    assert(l(r, "stopword_hits") == 2L) // "the" twice
+    // "the" appears twice but is ONE distinct stopword — Gopher's rule
+    // counts different function words, not occurrences
+    assert(l(r, "stopword_hits") == 1L)
+  }
+
+  test("stopword_hits counts distinct stopwords, case-insensitively") {
+    val m = run(Seq(
+      1L -> "the the the the",        // one distinct stopword
+      2L -> "The cat of THE house"))  // the + of = two, despite case
+    assert(l(m(1L), "stopword_hits") == 1L)
+    assert(l(m(2L), "stopword_hits") == 2L)
   }
 
   test("keep vote: each rule kills on its own") {
-    val okWords = (1 to 60).map(i => if (i % 10 == 0) "the" else s"word$i")
-      .mkString(" ")
+    val okWords = (1 to 60)
+      .map(i => if (i % 20 == 0) "of" else if (i % 10 == 0) "the"
+        else s"word$i").mkString(" ")
     val m = run(Seq(
       10L -> okWords,                                    // passes all
       11L -> (1 to 10).map(i => s"word$i").mkString(" "), // too short
-      12L -> ((1 to 60).map(_ => "############").mkString(" ") + " the the"),
-      13L -> (1 to 62).map(_ => "the").mkString(" ")     // mean len 3, ok
+      12L -> ((1 to 60).map(_ => "############").mkString(" ") + " the of"),
+      13L -> (1 to 62).map(i => if (i % 2 == 0) "and" else "the")
+        .mkString(" ")                                   // mean len 3, ok
     ))
     assert(m(10L).getBoolean(m(10L).fieldIndex("keep")))
     assert(!m(11L).getBoolean(m(11L).fieldIndex("keep")))
@@ -45,7 +57,9 @@ class QualityRulesSpec extends SparkTestBase {
   }
 
   test("minWords dial moves the short-doc verdict") {
-    val doc = (1 to 20).map(i => if (i <= 2) "the" else s"word$i").mkString(" ")
+    val doc = (1 to 20)
+      .map(i => if (i == 1) "the" else if (i == 2) "of" else s"word$i")
+      .mkString(" ")
     assert(!run(Seq(1L -> doc)).apply(1L).getBoolean(6))
     assert(run(Seq(1L -> doc), minWords = 10L).apply(1L).getBoolean(6))
   }

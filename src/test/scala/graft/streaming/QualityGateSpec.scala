@@ -110,10 +110,14 @@ class QualityGateSpec extends SparkTestBase {
     val wh = new Warehouse(spark, whDir)
     val minScore = trainAndSave(modelDir)
 
-    // crashed first attempt of micro-batch 0: append landed, marker not
+    // crashed first attempt of micro-batch 0: append landed, marker not.
+    // Markers are keyed to THIS stream's checkpoint dir (not the shared
+    // read-only model), so the fixture plants the intent there.
+    val markerDir = new java.io.File(ckDir, "_graft_markers")
+    assert(markerDir.mkdirs())
     wh.append("curated", Seq((10L, 2021L, -1.0))
       .toDF("doc_id", "year", "lm_score"))
-    assert(new java.io.File(modelDir, "_intent_0").createNewFile())
+    assert(new java.io.File(markerDir, "_intent_0").createNewFile())
 
     val q = QualityGate.run(
       spark.readStream.schema(schema).parquet(srcDir.toString),
@@ -126,7 +130,34 @@ class QualityGateSpec extends SparkTestBase {
     val counts = wh.read("curated").get.groupBy($"doc_id")
       .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
     assert(counts == Map(10L -> 1L, 12L -> 1L), counts.toString)
-    assert(new java.io.File(modelDir, "_batch_0").exists())
+    assert(new java.io.File(markerDir, "_batch_0").exists())
+    assert(!new java.io.File(markerDir, "_intent_0").exists())
+    // the shared model dir stays pristine — no stream-state files leak in
+    assert(!new java.io.File(modelDir, "_batch_0").exists())
     assert(!new java.io.File(modelDir, "_intent_0").exists())
+  }
+
+  test("two streams sharing one frozen model don't collide on markers") {
+    val modelDir = TempDirs.scratchDir("qg3_m").toString
+    val minScore = trainAndSave(modelDir)
+    def runStream(tag: String): Set[(Long, Long)] = {
+      val srcDir = TempDirs.scratchDir(s"qg3_src_$tag")
+      val whDir = TempDirs.scratchDir(s"qg3_wh_$tag").toString
+      val ckDir = TempDirs.scratchDir(s"qg3_ck_$tag").toString
+      val wh = new Warehouse(spark, whDir)
+      val q = QualityGate.run(
+        spark.readStream.schema(schema).parquet(srcDir.toString),
+        "doc_id", "text", modelDir, wh, "curated", ckDir, minScore)
+      docsDf(Seq((30L, good, 2023L))).coalesce(1)
+        .write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+      q.stop()
+      wh.read("curated").get.select("doc_id", "year")
+        .as[(Long, Long)].collect().toSet
+    }
+    // under modelDir-keyed markers, stream B's batch 0 would see stream
+    // A's _batch_0 marker and silently skip its append
+    assert(runStream("a") == Set((30L, 2023L)))
+    assert(runStream("b") == Set((30L, 2023L)))
   }
 }
