@@ -1019,6 +1019,21 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
         .orderBy(col("doc_id"))
     }),
+    // The whitespace-free-script (CJK) path: spaces stripped from the
+    // corpus play the role of an unsegmented script, then
+    // Tokenize.charGramsAsWords re-spaces it into 2-char chunks and the
+    // UNCHANGED word-based tiler dedups 8-chunk (16-char) tiles — the
+    // documented pre-map contract that keeps one tokenizer fix for the
+    // whole text family instead of a fork per operator
+    "x_substr_dedup_cjk" -> ((s, d) => {
+      val cjk = translate(col("text"), " ", "")
+      val spaced = graft.ext.Tokenize.charGramsAsWords(cjk, n = 2)
+      graft.ext.Dedup.tileDuplication(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), spaced.as("text")),
+        "doc_id", "text", tileWords = 8)
+        .orderBy(col("doc_id"))
+    }),
     // Gopher repetition screens (Rae 2021 App. A1): documents re-flowed
     // into 3-word lines so the line metrics see real duplicates; tokens
     // spanning a line break keep the \n byte in BOTH engines (the
@@ -1712,6 +1727,17 @@ object SparkEntry {
         o.filter(urgent).select(col("o_totalprice")),
         o.filter(!urgent).select(col("o_totalprice")),
         "o_totalprice")
+    }),
+    // the binned-ECDF KS form for dense domains: 16 shared-edge
+    // fixed-width buckets (Drift.numericPsi's edges), integer cumsums
+    // over the 16-row bucket table, same exact d_num/d contract
+    "x_kstest_binned" -> ((s, d) => {
+      val o = ord(s, d)
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      graft.ext.Stats.ksTestBinned(
+        o.filter(urgent).select(col("o_totalprice")),
+        o.filter(!urgent).select(col("o_totalprice")),
+        "o_totalprice", bins = 16)
     }),
     // Pearson r over the same frame: adds the exact Σy² statistic;
     // sqrt is IEEE-correctly-rounded everywhere, so identical sums
@@ -2950,6 +2976,24 @@ object SparkEntry {
       "CAST(MAX(ABS(nb * cuma - na * cumb)) AS BIGINT) AS d_num, " +
       "CAST(MAX(ABS(nb * cuma - na * cumb)) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS d " +
       "FROM c GROUP BY na, nb"),
+    // same max-|n_b*cum_a - n_a*cum_b| contract over 16 shared-edge
+    // fixed-width buckets (the numericPsi bin arithmetic)
+    "x_kstest_binned" -> ("WITH s AS (SELECT CAST(o_totalprice AS DOUBLE) AS x, " +
+      "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END AS t " +
+      "FROM orders), " +
+      "r AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM s), " +
+      "p AS (SELECT CASE WHEN hi = lo THEN 0 ELSE LEAST(15, " +
+      "CAST(FLOOR((x - lo) / (hi - lo) * 16) AS INT)) END AS bin, " +
+      "SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS ca, " +
+      "SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS cb " +
+      "FROM s CROSS JOIN r GROUP BY 1), " +
+      "c AS (SELECT SUM(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cuma, " +
+      "SUM(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cumb, " +
+      "SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb FROM p) " +
+      "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+      "CAST(MAX(ABS(nb * cuma - na * cumb)) AS BIGINT) AS d_num, " +
+      "CAST(MAX(ABS(nb * cuma - na * cumb)) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS d " +
+      "FROM c GROUP BY na, nb"),
     // add-one-smoothed word log-ratios vs the lang='en' target slice,
     // rounded to 6 decimals then decimal-summed per doc — identical
     // integer operands, one division, one ln; the sum replays exactly
@@ -3516,6 +3560,31 @@ object SparkEntry {
     // the last full window is re-appended verbatim
     "x_substr_dedup" -> ("WITH w AS (SELECT doc_id, " +
       "regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+      "t0 AS (SELECT doc_id, ws, " +
+      "unnest(range(CAST(len(ws)//8 AS BIGINT))) AS i FROM w), " +
+      "t AS (SELECT doc_id, i, " +
+      "array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS tile FROM t0), " +
+      "c AS (SELECT tile, COUNT(*) AS cnt FROM t GROUP BY 1), " +
+      "k AS (SELECT t.doc_id, COUNT(*) AS n_tiles, " +
+      "SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS dup_tiles, " +
+      "STRING_AGG(CASE WHEN c.cnt = 1 THEN t.tile END, ' ' ORDER BY t.i) AS kept " +
+      "FROM t JOIN c USING (tile) GROUP BY 1) " +
+      "SELECT w.doc_id, CAST(COALESCE(k.n_tiles, 0) AS BIGINT) AS n_tiles, " +
+      "CAST(COALESCE(k.dup_tiles, 0) AS BIGINT) AS dup_tiles, " +
+      "ROUND(COALESCE(k.dup_tiles / (1.0 * k.n_tiles), 0.0), 6) AS dup_ratio, " +
+      "trim(concat(COALESCE(k.kept, ''), ' ', " +
+      "array_to_string(ws[(CAST(len(ws)//8 AS BIGINT)*8+1):len(ws)], ' '))) AS clean_text " +
+      "FROM w LEFT JOIN k USING (doc_id) ORDER BY doc_id"),
+    // same tile chain over the space-stripped, 2-char-rechunked corpus
+    // (the charGramsAsWords pre-map replayed as a list comprehension)
+    "x_substr_dedup_cjk" -> ("WITH base AS (SELECT doc_id, " +
+      "replace(text, ' ', '') AS s FROM documents), " +
+      "sp AS (SELECT doc_id, CASE WHEN length(s) > 0 THEN " +
+      "array_to_string([substr(s, i*2+1, 2) for i in " +
+      "range(0, CAST((length(s)+1)//2 AS BIGINT))], ' ') ELSE '' END AS text " +
+      "FROM base), " +
+      "w AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(text), '\\s+') AS ws FROM sp), " +
       "t0 AS (SELECT doc_id, ws, " +
       "unnest(range(CAST(len(ws)//8 AS BIGINT))) AS i FROM w), " +
       "t AS (SELECT doc_id, i, " +

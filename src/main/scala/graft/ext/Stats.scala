@@ -301,10 +301,10 @@ object Stats {
     *
     * Scale shape: one hash aggregation over the tagged union is the only
     * pass over the data; the running sums order a table bounded by the
-    * DISTINCT value cardinality, not the row count (pre-discretize the
-    * measure if its value domain is genuinely dense at 100 TB — or
-    * bucket the cumsum by value range, [[TextAnalysis.packSequences]]'s
-    * trick keyed on the value prefix). */
+    * DISTINCT value cardinality, not the row count. When that cardinality
+    * is genuinely dense at 100 TB, use [[ksTestBinned]] — the
+    * first-class binned-ECDF form whose cumsum table is `bins`-sized by
+    * construction. */
   def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
     def cents(df: DataFrame, tag: Int): DataFrame =
@@ -318,6 +318,53 @@ object Stats {
     val w = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, 0)
     perValue
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("__na", sum(col("__ca")).over(Window.partitionBy()))
+      .withColumn("__nb", sum(col("__cb")).over(Window.partitionBy()))
+      .groupBy(col("__na"), col("__nb"))
+      .agg(max(abs(col("__nb") * col("__cuma") - col("__na") * col("__cumb")))
+        .as("d_num"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("__na") * col("__nb")).cast("double")).as("d"))
+  }
+
+  /** [[ksTest]] for DENSE value domains: the ECDFs are compared at the
+    * upper edges of `bins` fixed-width buckets over the combined
+    * [min, max] (shared edges exactly as in [[Drift.numericPsi]], top
+    * bucket closed), so the running-sum table is `bins` rows by
+    * CONSTRUCTION — never the distinct-value cardinality — and the
+    * single-partition window the exact form needs on a dense domain
+    * disappears.
+    *
+    * The reported D is EXACT for the binned distributions and a lower
+    * bound on the un-binned D; the gap is at most the largest single-bin
+    * probability mass, so `bins` dials precision against cumsum size
+    * (1000 bins ≈ ±0.1% on a uniform-ish domain). Same integer
+    * discipline as [[ksTest]]: per-bin counts, integer cumulative
+    * sums, d_num = max |n_b·cum_a − n_a·cum_b|, one final division. */
+  def ksTestBinned(a: DataFrame, b: DataFrame, valueCol: String,
+      bins: Int = 1000): DataFrame = {
+    require(bins >= 2, s"bins=$bins must be >= 2")
+    def side(df: DataFrame, tag: Int): DataFrame =
+      df.select(col(valueCol).cast("double").as("__x"), lit(tag).as("__t"))
+    val all = side(a, 0).unionAll(side(b, 1))
+    val range = all.agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
+    val bucket = least(lit(bins - 1), floor(
+      (col("__x") - col("__lo")) / (col("__hi") - col("__lo")) * bins)
+      .cast("int"))
+    val counts = all.crossJoin(broadcast(range))
+      .select(when(col("__hi") === col("__lo"), lit(0)).otherwise(bucket)
+        .as("__bin"), col("__t"))
+      .groupBy(col("__bin"))
+      .agg(sum(when(col("__t") === 0, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__t") === 1, 1L).otherwise(0L)).as("__cb"))
+    // windows over the bins-sized bucket table only — bounded by the
+    // caller's constant, the point of this overload
+    val w = Window.orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    counts
       .withColumn("__cuma", sum(col("__ca")).over(w))
       .withColumn("__cumb", sum(col("__cb")).over(w))
       .withColumn("__na", sum(col("__ca")).over(Window.partitionBy()))

@@ -93,6 +93,36 @@ class StatsSpec extends SparkTestBase {
     assert(sep.getLong(2) == 4L && sep.getDouble(3) == 1.0)
   }
 
+  test("ksTestBinned: matches exact D when bins separate the values; lower-bounds it when they don't") {
+    import spark.implicits._
+    // combined range [1,4], 6 bins of width 0.5: every distinct value
+    // gets its own bin -> binned D == exact D = 1/3
+    val a = Seq(1.0, 2.0, 3.0).toDF("o_totalprice")
+    val b = Seq(2.0, 3.0, 4.0).toDF("o_totalprice")
+    val fine = Stats.ksTestBinned(a, b, "o_totalprice", bins = 6).head()
+    assert(fine.getLong(0) == 3L && fine.getLong(1) == 3L)
+    assert(fine.getLong(2) == 3L)
+    assert(math.abs(fine.getDouble(3) - 1.0 / 3.0) < 1e-15)
+    // 2 bins merge {1,2} vs {2,3}... into shared buckets: the binned D
+    // can only drop below the exact 1/3, never exceed it
+    val coarse = Stats.ksTestBinned(a, b, "o_totalprice", bins = 2).head()
+    assert(coarse.getDouble(3) <= 1.0 / 3.0 + 1e-15)
+    // identical distributions -> 0 regardless of binning
+    val same = Stats.ksTestBinned(a, a, "o_totalprice", bins = 4).head()
+    assert(same.getLong(2) == 0L && same.getDouble(3) == 0.0)
+    // constant column (hi == lo): everything lands in bin 0, D = 0
+    val const = Stats.ksTestBinned(
+      Seq(5.0, 5.0).toDF("o_totalprice"),
+      Seq(5.0).toDF("o_totalprice"), "o_totalprice", bins = 8).head()
+    assert(const.getLong(2) == 0L && const.getDouble(3) == 0.0)
+    // disjoint supports split by the bin edge separate fully: range
+    // [1,20], 2 bins -> edge at 10.5, lo-side all below, hi-side above
+    val lo = Seq(1.0, 2.0).toDF("o_totalprice")
+    val hi = Seq(15.0, 20.0).toDF("o_totalprice")
+    val sep = Stats.ksTestBinned(lo, hi, "o_totalprice", bins = 2).head()
+    assert(sep.getDouble(3) == 1.0)
+  }
+
   test("paretoFront: exact 80% boundary, concentrated vs uniform") {
     import spark.implicits._
     // "conc": one unit holds exactly 80 of 100 -> the front is that unit
