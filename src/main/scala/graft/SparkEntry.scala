@@ -1607,6 +1607,17 @@ object SparkEntry {
     "x_bpe" -> ((s, d) =>
       graft.ext.Bpe.train(Tables.load(s, d, "documents"), "text",
         merges = 10).orderBy(col("step"))),
+    // BATCHED training must learn bit-identical merges (same oracle
+    // chain as x_bpe) while paying far fewer driver rounds — the path
+    // that scales to 32k-merge tokenizers
+    "x_bpe_batch" -> ((s, d) =>
+      graft.ext.Bpe.trainBatched(Tables.load(s, d, "documents"), "text",
+        merges = 10).orderBy(col("step"))),
+    // the production driver-chain route: one distributed type-table
+    // pass, then exact heap-backed training — same oracle chain again
+    "x_bpe_local" -> ((s, d) =>
+      graft.ext.Bpe.trainLocal(Tables.load(s, d, "documents"), "text",
+        merges = 10).orderBy(col("step"))),
     // Tokenizer APPLICATION at corpus scale: the 10 trained merges
     // encode the distinct-word table once (BPE's collapse trick — the
     // corpus never re-tokenizes per occurrence), then the per-doc
@@ -4292,6 +4303,11 @@ object SparkEntry {
       "CAST(SUM(CAST(FLOOR(v * 100) AS BIGINT)) AS DOUBLE) / 100 AS total " +
       "FROM c GROUP BY 1 ORDER BY 1"),
     "x_bpe" -> bpeChain(10),
+    // batched training replays the SAME sequential merge chain — the
+    // batch rule is a pure execution strategy, not a semantics change
+    "x_bpe_batch" -> bpeChain(10),
+    // ditto for the driver-chain route
+    "x_bpe_local" -> bpeChain(10),
     // the same 10-round training chain, then the encoded symbol counts
     // of the word table rolled up per document
     "x_bpe_encode" -> (bpeChainWith(10) +

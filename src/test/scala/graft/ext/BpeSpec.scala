@@ -68,4 +68,71 @@ class BpeSpec extends SparkTestBase {
     // merge 1 fuses ab; single-symbol words have no pairs left
     assert(m == Seq((1, "a", "b", 2L)))
   }
+
+  test("trainBatched: bit-identical to sequential at 50 merges in fewer rounds") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val seqM = Bpe.train(docs, "text", merges = 50)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    val (bdf, rounds) = Bpe.trainBatchedWithRounds(docs, "text", merges = 50)
+    val batM = bdf.orderBy("step").as[(Int, String, String, Long)]
+      .collect().toSeq
+    assert(seqM.size == 50 && batM == seqM)
+    // batching compresses what independence exists; exact BPE's merge
+    // chain is inherently sequential on this corpus (each argmax extends
+    // the previous product: c,o -> co,l -> col,u), so the bound is
+    // "strictly fewer rounds than merges" — the chain-free production
+    // path is trainLocal below
+    assert(rounds < 50, s"expected <50 driver rounds for 50 merges, got $rounds")
+  }
+
+  test("trainLocal: bit-identical to sequential at 50 merges; 300-merge runs are cheap") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val seqM = Bpe.train(docs, "text", merges = 50)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    val locM = Bpe.trainLocal(docs, "text", merges = 50)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    assert(locM == seqM)
+    // the deep-merge route: 300 merges in ONE Spark round + driver
+    // chain (the testdata's 31-word vocab exhausts at ~89 merges, so
+    // the deep corpus is synthetic: 2000 distinct numeric types)
+    val deepDocs = (1 to 2000).map(i => ((i * 2654435761L) & 0xffffffL).toString)
+      .grouped(50).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val deep = Bpe.trainLocal(deepDocs, "text", merges = 300)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    assert(deep.size == 300)
+    // counts are positive and steps are 1..300 in order
+    assert(deep.map(_._1) == (1 to 300) && deep.forall(_._4 > 0))
+    // spot-check the chain against sequential training on a prefix
+    val deepSeq = Bpe.train(deepDocs, "text", merges = 12)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    assert(deep.take(12) == deepSeq)
+    // maxTypes guard refuses instead of silently sampling
+    intercept[IllegalArgumentException] {
+      Bpe.trainLocal(docs, "text", merges = 5, maxTypes = 10)
+    }
+  }
+
+  test("trainBatched: self-pairs and interacting tops degrade safely to sequential picks") {
+    // "aaaa"x4: (a,a)=12 is a self-pair -> its round batches nothing
+    // after it; the follow-ups (aa,aa) then... must match sequential
+    val runs = Seq((1L, Seq.fill(4)("aaaa").mkString(" "))).toDF("doc_id", "text")
+    val s1 = Bpe.train(runs, "text", merges = 3)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    val b1 = Bpe.trainBatched(runs, "text", merges = 3)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    assert(b1 == s1)
+    // chained alphabet: every next-best pair interacts with the last
+    // merge's product, so batches collapse to singletons — equality is
+    // the whole claim
+    val chain = Seq((1L, Seq.fill(6)("abcde").mkString(" "))).toDF("doc_id", "text")
+    val s2 = Bpe.train(chain, "text", merges = 4)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    val b2 = Bpe.trainBatched(chain, "text", merges = 4)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    assert(b2 == s2)
+  }
 }
