@@ -1108,6 +1108,44 @@ object SparkEntry {
       graft.ext.Curation.curate(docs, "doc_id", "text", m, minScore = -1.3)
         .funnel.orderBy(col("stage_idx"))
     }),
+    // The COMPLETE pretraining chain: URL filter -> Gopher lexical ->
+    // repetition -> LM -> exact dedup -> substring dedup -> decontam ->
+    // mixture -> pack -> shard, 11 funnel rows with id checksums (the
+    // export stages checksum the ASSIGNMENT: sum of id*(seq_id+1) /
+    // id*(shard+1)). Plants: exact copies at +1e6 (every 23rd doc) die
+    // at exact dedup; prefix near-copies at +2e6 (every 31st doc, one
+    // appended word) share all full tiles with their original, so BOTH
+    // lose them at substring dedup and drop under the 10-word re-screen
+    "x_funnel_full" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("source"), col("lang"))
+      val plants1 = base.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("source"), col("lang"))
+      val plants2 = base.filter(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" zz"), col("doc_id").cast("string"))
+            .as("text"),
+          col("source"), col("lang"))
+      val corpus = base.unionByName(plants1).unionByName(plants2)
+        .withColumn("url", when(col("doc_id") % 13 === 0, lit("not a url"))
+          .otherwise(concat(lit("https://"),
+            when(col("doc_id") % 7 === 0, lit("sub.")).otherwise(lit("")),
+            col("source"), lit(".example.org/p/"),
+            col("doc_id").cast("string"))))
+      val bl = Seq("src1.example.org", "src3.example.org").toDF("domain")
+      val m = graft.ext.NgramLm.train(base.filter(col("lang") === "en"), "text")
+      val bench = base.filter(col("doc_id") % 29 === 0)
+      graft.ext.Curation.curateFull(corpus, "doc_id", "text", "url", "source",
+        bl, m, minScore = -1.3, bench, "text", benchN = 3,
+        mixtureWeights = Seq("src0" -> 0.5, "src2" -> 0.25, "src4" -> 0.125),
+        mixtureTotal = 24, packBudget = 512, packBuckets = 16,
+        numShards = 8,
+        hashOf = c => pmod(c.cast("long") * 2654435761L, lit(4294967296L)),
+        lexMinWords = 10L, minCleanWords = 10L)
+        .funnel.orderBy(col("stage_idx"))
+    }),
     // Gopher's lexical rules (the non-repetition half): surface stats +
     // the published thresholds; minWords dialed to 10 so the 10-99-word
     // corpus exercises both verdicts
@@ -1538,6 +1576,14 @@ object SparkEntry {
     // the oracle replays all three trainings plus the probe ranking
     "x_sim_ivfpq" -> ((s, d) =>
       graft.ext.Pq.ivfAdcTopK(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L), k = 10)
+        .orderBy(col("qid"), col("rank"))),
+    // Residual-encoding IVF-PQ (the paper's §IV recipe): PQ trains on
+    // v − c_coarse(v), LUTs residualize per probed list — the oracle
+    // replays coarse training, the residual frame, both residual PQ
+    // trainings, and the per-(query, list) ADC ranking
+    "x_sim_ivfpq_res" -> ((s, d) =>
+      graft.ext.Pq.ivfAdcTopKRes(Tables.load(s, d, "embeddings"),
         "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L), k = 10)
         .orderBy(col("qid"), col("rank"))),
 
@@ -3766,6 +3812,135 @@ object SparkEntry {
       "UNION ALL SELECT 'lm_quality', 4, CAST(COUNT(*) AS BIGINT), " +
       "CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM s4 " +
       "ORDER BY stage_idx"),
+    // the COMPLETE chain: spiked corpus (exact + prefix-near plants),
+    // url/lex/rep/LM verdicts computed per-doc then intersected in stage
+    // order, exact dedup and the tile chain over the SURVIVORS, decontam
+    // vs the %29 benchmark, then mixture/pack/shard with assignment-
+    // binding checksums — every block reuses a proven gate core
+    "x_funnel_full" -> (lmScoreOracleCore(rel = "corpus",
+      lead = "WITH corpus AS (" +
+      "SELECT doc_id, text, source, lang FROM documents " +
+      "UNION ALL SELECT doc_id + 1000000, text, source, lang " +
+      "FROM documents WHERE doc_id % 23 = 0 " +
+      "UNION ALL SELECT doc_id + 2000000, text || ' zz' || doc_id, " +
+      "source, lang FROM documents WHERE doc_id % 31 = 0), ") +
+      gopherKeepRawSql(rel = "corpus") +
+      // lexical verdicts (minWords = 10, same metrics as x_gopher_lex)
+      ", lexm AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS wc, " +
+      "ROUND(CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') " +
+      "AS DOUBLE) / len(ws), 6) AS mwl, " +
+      "ROUND((length(text) - length(replace(text, '#', '')) + " +
+      "(length(text) - length(replace(text, '...', ''))) / 3) " +
+      "/ len(ws), 6) AS swr, " +
+      "ROUND(CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) " +
+      "AS DOUBLE) / len(ws), 6) AS awf, " +
+      "CAST(len(list_intersect(list_distinct(list_transform(ws, " +
+      "w -> lower(w))), ['the', 'a', 'an', 'of', 'and', 'to', 'in'])) " +
+      "AS BIGINT) AS sh " +
+      "FROM (SELECT doc_id, text, string_split(text, ' ') AS ws " +
+      "FROM corpus) t), " +
+      "lexk AS (SELECT doc_id, (wc >= 10 AND wc <= 100000 " +
+      "AND mwl >= 3.0 AND mwl <= 10.0 AND swr <= 0.1 AND awf >= 0.8 " +
+      "AND sh >= 2) AS keep FROM lexm), " +
+      // url block verdicts (same synthetic construction as x_url_filter)
+      "u AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN 'not a url' " +
+      "ELSE 'https://' || CASE WHEN doc_id % 7 = 0 THEN 'sub.' ELSE '' END " +
+      "|| source || '.example.org/p/' || doc_id END AS url FROM corpus), " +
+      "bl AS (SELECT * FROM (VALUES ('src1.example.org'), " +
+      "('src3.example.org')) t(domain)), " +
+      "hh AS (SELECT doc_id, CASE WHEN regexp_extract(url, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1) = '' " +
+      "THEN NULL ELSE lower(regexp_extract(url, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) END " +
+      "AS host FROM u), " +
+      "sx AS (SELECT doc_id, unnest([array_to_string(" +
+      "list_slice(string_split(host, '.'), i, len(string_split(host, '.'))), " +
+      "'.') for i in range(1, len(string_split(host, '.')) + 1)]) AS sfx " +
+      "FROM hh WHERE host IS NOT NULL), " +
+      "uhit AS (SELECT DISTINCT sx.doc_id FROM sx JOIN bl ON sx.sfx = bl.domain), " +
+      // per-doc lm_score
+      "sc2 AS (SELECT doc_id, " +
+      "CAST(CAST(SUM(lp) AS BIGINT) AS DOUBLE) / 1e6 / COUNT(*) AS lm_score " +
+      "FROM lps GROUP BY 1), " +
+      // the chain: each stage intersects the previous survivors
+      "s2 AS (SELECT c.doc_id, c.text, c.source FROM corpus c " +
+      "LEFT JOIN uhit ON c.doc_id = uhit.doc_id WHERE uhit.doc_id IS NULL), " +
+      "s3 AS (SELECT s2.* FROM s2 JOIN lexk USING (doc_id) WHERE lexk.keep), " +
+      "s4 AS (SELECT s3.* FROM s3 JOIN gk USING (doc_id) WHERE gk.keep), " +
+      "s5 AS (SELECT s4.* FROM s4 JOIN sc2 USING (doc_id) " +
+      "WHERE sc2.lm_score >= -1.3::DOUBLE), " +
+      "dd AS (SELECT text, MIN(doc_id) AS doc_id FROM s5 GROUP BY 1), " +
+      "s6 AS (SELECT s5.* FROM s5 JOIN dd USING (doc_id)), " +
+      // tile chain over the survivors (x_substr_dedup core, rel = s6)
+      "w6 AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(text), '\\s+') AS ws FROM s6), " +
+      "t60 AS (SELECT doc_id, ws, " +
+      "unnest(range(CAST(len(ws)//8 AS BIGINT))) AS i FROM w6), " +
+      "t6 AS (SELECT doc_id, i, " +
+      "array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS tile FROM t60), " +
+      "c6 AS (SELECT tile, COUNT(*) AS cnt FROM t6 GROUP BY 1), " +
+      "k6 AS (SELECT t6.doc_id, " +
+      "STRING_AGG(CASE WHEN c6.cnt = 1 THEN t6.tile END, ' ' ORDER BY t6.i) AS kept " +
+      "FROM t6 JOIN c6 USING (tile) GROUP BY 1), " +
+      "cl AS (SELECT w6.doc_id, trim(concat(COALESCE(k6.kept, ''), ' ', " +
+      "array_to_string(ws[(CAST(len(ws)//8 AS BIGINT)*8+1):len(ws)], ' '))) AS clean " +
+      "FROM w6 LEFT JOIN k6 USING (doc_id)), " +
+      "s7 AS (SELECT s6.* FROM s6 JOIN cl USING (doc_id) " +
+      "WHERE CASE WHEN cl.clean = '' THEN 0 " +
+      "ELSE len(string_split(cl.clean, ' ')) END >= 10), " +
+      // decontam vs the %29 benchmark (x_decontam core)
+      "btok AS (SELECT doc_id, string_split(text, ' ') w FROM documents " +
+      "WHERE doc_id % 29 = 0), " +
+      "bg AS (SELECT DISTINCT g FROM (SELECT unnest(list_distinct(" +
+      "[array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])) AS g " +
+      "FROM btok)), " +
+      "stok AS (SELECT doc_id, list_distinct(" +
+      "[array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) s " +
+      "FROM (SELECT doc_id, string_split(text, ' ') w FROM s7)), " +
+      "dhit AS (SELECT DISTINCT doc_id FROM " +
+      "(SELECT doc_id, unnest(s) AS g FROM stok) t JOIN bg USING (g)), " +
+      "s8 AS (SELECT s7.* FROM s7 LEFT JOIN dhit USING (doc_id) " +
+      "WHERE dhit.doc_id IS NULL), " +
+      // mixture (x_mixture core over the survivors)
+      "r9 AS (SELECT doc_id, text, source, " +
+      "ROW_NUMBER() OVER (PARTITION BY source " +
+      "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank " +
+      "FROM s8 WHERE source IN ('src0', 'src2', 'src4')), " +
+      "s9 AS (SELECT doc_id, text, source FROM r9 " +
+      "WHERE rank <= CAST(FLOOR(CASE source WHEN 'src0' THEN 0.5 " +
+      "WHEN 'src2' THEN 0.25 ELSE 0.125 END * 24) AS BIGINT)), " +
+      // pack (x_pack core) and shard (x_shard core) over the selection
+      "p0 AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h, " +
+      "len(string_split(text, ' ')) AS n_tokens FROM s9), " +
+      "pk AS (SELECT doc_id, (SUM(n_tokens) OVER " +
+      "(ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 " +
+      "AS seq_id FROM p0), " +
+      "shd AS (SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 8 " +
+      "AS shard FROM s9) " +
+      "SELECT 'input' AS stage, CAST(1 AS BIGINT) AS stage_idx, " +
+      "CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS checksum FROM corpus " +
+      "UNION ALL SELECT 'url_filter', 2, CAST(COUNT(*) AS BIGINT), " +
+      "CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM s2 " +
+      "UNION ALL SELECT 'gopher_lexical', 3, CAST(COUNT(*) AS BIGINT), " +
+      "CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM s3 " +
+      "UNION ALL SELECT 'gopher_repetition', 4, CAST(COUNT(*) AS BIGINT), " +
+      "CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM s4 " +
+      "UNION ALL SELECT 'lm_quality', 5, CAST(COUNT(*) AS BIGINT), " +
+      "CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM s5 " +
+      "UNION ALL SELECT 'exact_dedup', 6, CAST(COUNT(*) AS BIGINT), " +
+      "CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM s6 " +
+      "UNION ALL SELECT 'substr_dedup', 7, CAST(COUNT(*) AS BIGINT), " +
+      "CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM s7 " +
+      "UNION ALL SELECT 'decontam', 8, CAST(COUNT(*) AS BIGINT), " +
+      "CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM s8 " +
+      "UNION ALL SELECT 'mixture', 9, CAST(COUNT(*) AS BIGINT), " +
+      "CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM s9 " +
+      "UNION ALL SELECT 'pack', 10, CAST(COUNT(DISTINCT seq_id) AS BIGINT), " +
+      "CAST(COALESCE(SUM(doc_id * (seq_id + 1)), 0) AS BIGINT) FROM pk " +
+      "UNION ALL SELECT 'shard', 11, CAST(COUNT(DISTINCT shard) AS BIGINT), " +
+      "CAST(COALESCE(SUM(doc_id * (shard + 1)), 0) AS BIGINT) FROM shd " +
+      "ORDER BY stage_idx"),
     // the batch formulation of the stream: LM scores from the shared
     // core, the Gopher vote on the RAW text (single line -> the line
     // screens pass trivially), both filters applied
@@ -4163,6 +4338,33 @@ object SparkEntry {
       "(SELECT qid, vec_id, dist, ROW_NUMBER() OVER " +
       "(PARTITION BY qid ORDER BY dist, vec_id) AS rank FROM sc) t " +
       "WHERE rank <= 10 ORDER BY qid, rank"),
+    // residual IVF-PQ: coarse training, per-row residuals against the
+    // assigned centroid, two residual-subspace PQ trainings, then
+    // per-(query, probed-list) residual LUTs and the pruned ADC ranking
+    "x_sim_ivfpq_res" -> ("WITH " +
+      kmeansChain(defaultPtsSql, "_c") + kmeansFinalAssign("_c") +
+      kmeansChain(resPtsSql(0), "_r0") + kmeansFinalAssign("_r0") +
+      kmeansChain(resPtsSql(1), "_r1") + kmeansFinalAssign("_r1") +
+      "qs AS (SELECT vec_id AS qid, v FROM pts_c WHERE vec_id IN (0, 1, 2, 3)), " +
+      "pb AS (SELECT q.qid, b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
+      "i -> (q.v[i]-b.cvec[i])*(q.v[i]-b.cvec[i]))) AS d FROM qs q CROSS JOIN b_c b " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY d, b.cid) <= 2), " +
+      "qr AS (SELECT pb.qid, pb.cid AS ccid, " +
+      "list_transform(range(1, len(q.v)+1), i -> q.v[i] - b.cvec[i]) AS v " +
+      "FROM pb JOIN qs q USING (qid) JOIN b_c b ON pb.cid = b.cid), " +
+      "lutr0 AS (SELECT r.qid, r.ccid, b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
+      "i -> (r.v[i]-b.cvec[i])*(r.v[i]-b.cvec[i]))) AS d FROM qr r CROSS JOIN b_r0 b), " +
+      "lutr1 AS (SELECT r.qid, r.ccid, b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
+      "i -> (r.v[len(b.cvec)+i]-b.cvec[i])*(r.v[len(b.cvec)+i]-b.cvec[i]))) AS d FROM qr r CROSS JOIN b_r1 b), " +
+      "cand AS (SELECT pb.qid, pb.cid AS ccid, a.vec_id FROM pb JOIN a3_c a ON pb.cid = a.cid), " +
+      "sc AS (SELECT c.qid, c.vec_id, l0.d + l1.d AS dist FROM cand c " +
+      "JOIN a3_r0 a0 ON c.vec_id = a0.vec_id JOIN a3_r1 a1 ON c.vec_id = a1.vec_id " +
+      "JOIN lutr0 l0 ON c.qid = l0.qid AND c.ccid = l0.ccid AND a0.cid = l0.cid " +
+      "JOIN lutr1 l1 ON c.qid = l1.qid AND c.ccid = l1.ccid AND a1.cid = l1.cid) " +
+      "SELECT qid, vec_id AS nid, CAST(rank AS BIGINT) AS rank, dist FROM " +
+      "(SELECT qid, vec_id, dist, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY dist, vec_id) AS rank FROM sc) t " +
+      "WHERE rank <= 10 ORDER BY qid, rank"),
     // 5 greedy MMR rounds, each round's argmax replayed exactly
     "x_mmr" -> mmrOracleSql(5),
     "x_kmeans" -> (kmeansReplayCtes() +
@@ -4542,12 +4744,18 @@ object SparkEntry {
     * DuckDB would otherwise read 0.4 as DECIMAL), per-token floor
     * micro-quantization. Ends at CTE `lps` (doc_id, lp); callers append
     * the final SELECT. */
-  private def lmScoreOracleCore: String = {
+  /** LM-score replay CTEs (tr..lps). Training always reads `documents`
+    * (the frozen-model contract); `rel` is the SCORED relation and
+    * `lead` lets a caller prepend its own CTEs before the chain. */
+  private def lmScoreOracleCore: String = lmScoreOracleCore()
+
+  private def lmScoreOracleCore(rel: String = "documents",
+      lead: String = "WITH "): String = {
     def ngrams(k: Int, names: Seq[String], arr: String = "p"): String =
       names.zipWithIndex.map { case (nm, j) =>
         s"unnest([$arr[i + $j] for i in range(1, len($arr) - ${k - 2})]) AS $nm"
       }.mkString(", ")
-    "WITH tr AS (SELECT string_split(text, ' ') AS ws, " +
+    lead + "tr AS (SELECT string_split(text, ' ') AS ws, " +
       "list_concat(['<s>', '<s>'], string_split(text, ' ')) AS p " +
       "FROM documents WHERE lang = 'en'), " +
       "uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM " +
@@ -4562,7 +4770,7 @@ object SparkEntry {
       "sc AS (SELECT doc_id, " +
       ngrams(3, Seq("u", "v", "w"), "q") +
       " FROM (SELECT doc_id, list_concat(['<s>', '<s>'], " +
-      "string_split(text, ' ')) AS q FROM documents)), " +
+      s"string_split(text, ' ')) AS q FROM $rel)), " +
       "j AS (SELECT sc.doc_id, tri.c AS c_uvw, b1.c AS c_uv, b2.c AS c_vw, " +
       "cv.c_v, uni.c AS c_w, tot.nv FROM sc " +
       "LEFT JOIN tri ON sc.u = tri.w1 AND sc.v = tri.w2 AND sc.w = tri.w3 " +
@@ -4631,7 +4839,9 @@ object SparkEntry {
     * single-line text makes both line screens trivially true, so only
     * the gram screens vote — matching the operator, whose line metrics
     * read 0 on newline-free text. */
-  private def gopherKeepRawSql: String = {
+  private def gopherKeepRawSql: String = gopherKeepRawSql()
+
+  private def gopherKeepRawSql(rel: String = "documents"): String = {
     val topNs = Seq(2, 3, 4)
     val dupNs = Seq(5, 6, 7, 8, 9, 10)
     val thr = graft.ext.Repetition.gopherThresholds
@@ -4647,7 +4857,7 @@ object SparkEntry {
         s"${fr(s"d$n")} <= ${thr(s"dup_${n}gram_char_frac")}"))
       .mkString(" AND ")
     ", gw AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS chars, " +
-      "string_split(text, ' ') AS ws2 FROM documents), " +
+      s"string_split(text, ' ') AS ws2 FROM $rel), " +
       "gg AS (SELECT doc_id, n, unnest(list_transform(range(1, len(ws2)-n+2), " +
       "i -> array_to_string(list_slice(ws2, i, i+n-1), ' '))) AS g FROM gw " +
       s"CROSS JOIN (SELECT unnest([${(topNs ++ dupNs).mkString(", ")}]) AS n) ns), " +
@@ -4950,6 +5160,19 @@ object SparkEntry {
     else
       "SELECT vec_id, list_transform(embedding[(len(embedding)//2+1):len(embedding)], " +
         "x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
+
+  /** Residual-PQ subspace pts bodies: the two halves of v − c_coarse(v),
+    * built from the coarse chain's CTEs (pts_c / a3_c / b_c must appear
+    * earlier in the WITH list). */
+  private def resPtsSql(sub: Int): String =
+    if (sub == 0)
+      "SELECT p.vec_id, list_transform(range(1, len(p.v)//2 + 1), " +
+        "i -> p.v[i] - b.cvec[i]) AS v " +
+        "FROM pts_c p JOIN a3_c a USING (vec_id) JOIN b_c b ON a.cid = b.cid"
+    else
+      "SELECT p.vec_id, list_transform(range(len(p.v)//2 + 1, len(p.v) + 1), " +
+        "i -> p.v[i] - b.cvec[i]) AS v " +
+        "FROM pts_c p JOIN a3_c a USING (vec_id) JOIN b_c b ON a.cid = b.cid"
 
   private def langCountColsSql: String =
     graft.ext.TextAnalysis.langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>

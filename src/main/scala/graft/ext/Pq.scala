@@ -192,4 +192,111 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("qid"), col(idCol).as("nid"), col("rank"), col("dist"))
   }
+
+  /** Residual-encoding IVF-PQ — the paper's actual §IV recipe (Jégou et
+    * al. 2011): PQ codebooks train on the RESIDUAL r = v − c_coarse(v)
+    * rather than the raw vector, so the quantizer spends its codewords
+    * on the (much tighter) within-list displacement distribution — the
+    * standard recall boost over [[ivfAdcTopK]]'s raw-vector codes at
+    * identical storage and scan cost.
+    *
+    * What changes relative to [[ivfAdcTopK]]:
+    *  - residuals are computed in the SAME broadcast pass as the coarse
+    *    assignment (argmin carries the winning centroid vector along, so
+    *    no second join) — one map-only pass, zero shuffle;
+    *  - the ADC lookup table becomes per-(query, probed list): the query
+    *    residualizes against EACH probed coarse centroid, so the LUT is
+    *    queries × nprobe × m × kCodes rows — still bounded, still
+    *    broadcast;
+    *  - candidates join the LUT on (qid, coarse list) instead of qid
+    *    alone (a row's code only scores against the LUT of its own
+    *    list's residual frame).
+    *
+    * Scale: the corpus-side work is identical to [[ivfAdcTopK]] (two
+    * bounded trainings, pruned candidate scan, WindowGroupLimit top-k);
+    * the residual pass adds one codegen'd zip_with per row. The residual
+    * frame is recomputed per training scan rather than checkpointed —
+    * at 100 TB a map-only recompute from the checkpointed coarse
+    * centroids is cheaper than materializing a second copy of the
+    * corpus. Determinism: residual subtraction is exact IEEE on
+    * identical operands, and every training/ranking stage inherits the
+    * [[KMeans]] replay discipline — a SQL engine reproduces codes and
+    * ranks bit-for-bit. */
+  def ivfAdcTopKRes(df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, nlist: Int = 8, nprobe: Int = 2,
+      m: Int = 2, kCodes: Int = 8, iters: Int = 2): DataFrame = {
+    require(k > 0 && nprobe > 0 && nprobe <= nlist,
+      s"k=$k nprobe=$nprobe nlist=$nlist")
+    val pts = df.select(col(idCol).cast("long").as(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val coarseCb = KMeans.fit(pts, idCol, "__v", nlist, iters)
+      .localCheckpoint(true)
+    val packedCoarse = coarseCb.groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("cvec"))))
+        .as("cents"))
+    // coarse assignment + residual in ONE broadcast argmin: the winning
+    // (d, cid, cvec) struct carries the centroid, so r = v − cvec costs
+    // no extra join ((d, cid) is unique per row — cvec never tie-breaks)
+    val res = pts.crossJoin(broadcast(packedCoarse))
+      .withColumn("__best", array_min(transform(col("cents"), c =>
+        struct(KMeans.sqDist(col("__v"), c.getField("cvec")).as("d"),
+          c.getField("cid").as("cid"), c.getField("cvec").as("cvec")))))
+      .select(col(idCol), col("__best").getField("cid").as("__ccid"),
+        zip_with(col("__v"), col("__best").getField("cvec"),
+          (a, b) => a - b).as("__rv"))
+    val cb = train(res, idCol, "__rv", m, kCodes, iters)
+      .localCheckpoint(true)
+    val codes = encode(res, idCol, "__rv", cb, m)
+    val lists = res.select(col(idCol), col("__ccid"))
+    val qs = pts.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col("__v").as("__qv"))
+    // nprobe nearest coarse lists per query, each probe carrying the
+    // query's residual against THAT list's centroid
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("__d"), col("__ccid"))
+    val probes = qs.crossJoin(broadcast(packedCoarse))
+      .select(col("qid"), col("__qv"), explode(col("cents")).as("__cb"))
+      .select(col("qid"), col("__qv"),
+        col("__cb").getField("cid").as("__ccid"),
+        col("__cb").getField("cvec").as("__cvec"),
+        KMeans.sqDist(col("__qv"), col("__cb").getField("cvec")).as("__d"))
+      .withColumn("__pr", row_number().over(pw))
+      .filter(col("__pr") <= nprobe)
+      .select(col("qid"), col("__ccid"),
+        zip_with(col("__qv"), col("__cvec"), (a, b) => a - b).as("__qr"))
+    // per-(query, list, sub, codeword) exact residual distances, packed
+    // cid-indexed per (query, list): queries × nprobe × m × kCodes rows
+    val wcol = (size(col("__qr")) / m).cast("int")
+    val books = cb.groupBy(col("sub"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+    val luts = probes.crossJoin(broadcast(books))
+      .select(col("qid"), col("__ccid"), col("sub"), col("cid"),
+        KMeans.sqDist(
+          slice(col("__qr"), (col("sub").cast("int") * wcol + 1), wcol),
+          col("cvec")).as("__d"))
+      .groupBy(col("qid"), col("__ccid"), col("sub"))
+      .agg(transform(array_sort(collect_list(struct(col("cid"), col("__d")))),
+        x => x.getField("__d")).as("__l"))
+      .groupBy(col("qid"), col("__ccid"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("__l")))),
+        x => x.getField("__l")).as("__luts"))
+    val cands = lists
+      .join(broadcast(probes.select(col("qid"), col("__ccid"))), Seq("__ccid"))
+      .select(col("qid"), col("__ccid"), col(idCol))
+    val kw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
+    cands.join(codes, idCol).join(broadcast(luts), Seq("qid", "__ccid"))
+      .select(col("qid"), col(idCol),
+        aggregate(zip_with(col("code"),
+            sequence(lit(0L), lit(m - 1L)), (cid, s) =>
+            element_at(element_at(col("__luts"), s.cast("int") + 1),
+              cid.cast("int") + 1)),
+          lit(0.0), (acc, v) => acc + v).as("dist"))
+      .withColumn("rank", row_number().over(kw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol).as("nid"), col("rank"), col("dist"))
+  }
 }

@@ -55,4 +55,61 @@ class CurationSpec extends SparkTestBase {
     assert(funnel.values.forall(_ == 0L))
     assert(r.curated.count() == 0L)
   }
+
+  test("curateFull: each stage drops exactly its own casualty") {
+    // " of the" rides on every doc so the lexical stopword rule has
+    // something to count; mixDoc permutations pass the repetition screens
+    val sfx = " of the"
+    val good1 = mixDoc(4) + sfx
+    val good2 = mixDoc(7) + sfx
+    val nearT = mixDoc(6)
+    val docs = Seq(
+      (1L, good1, "https://ok1.org/p", "src0"),        // survives all
+      (2L, good2, "https://bad.example.com/x", "src0"), // url-blocked
+      (3L, "tiny" + sfx, "https://ok3.org/p", "src0"),  // < 10 words
+      (4L, Seq.fill(8)("alpha beta gamma the of").mkString(" "),
+        "https://ok4.org/p", "src0"),                   // repetitive
+      (5L, (0 until 40).map(j => s"zzq$j").mkString(" ") + sfx,
+        "https://ok5.org/p", "src0"),                   // OOV -> LM drop
+      (6L, good1, "https://ok6.org/p", "src0"),         // exact dup of 1
+      (7L, nearT + sfx, "https://ok7.org/p", "src0"),   // shares all full
+      (8L, nearT + sfx + " tailword", "https://ok8.org/p", "src0"), // tiles
+      (9L, mixDoc(8) + sfx + " konta mina ted",
+        "https://ok9.org/p", "src0"),                   // contaminated
+      (10L, mixDoc(9) + sfx, "https://ok10.org/p", "src0"), // survives
+      (11L, mixDoc(11) + sfx, "https://ok11.org/p", "src0") // survives
+    ).toDF("doc_id", "text", "url", "source")
+    val m = NgramLm.train(
+      (trusted.map(_ + sfx) :+ (nearT + sfx)).toDF("text"), "text")
+    val s = NgramLm.score(m,
+        docs.filter(col("doc_id").isin(1L, 5L)), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val minScore = (s(1L) + s(5L)) / 2
+    val bench = Seq("konta mina ted plus filler").toDF("text")
+    val bl = Seq("example.com").toDF("domain")
+    val r = Curation.curateFull(docs, "doc_id", "text", "url", "source",
+      bl, m, minScore, bench, "text", benchN = 3,
+      mixtureWeights = Seq("src0" -> 0.5), mixtureTotal = 4,
+      packBudget = 64, packBuckets = 16, numShards = 4,
+      hashOf = c => pmod(c.cast("long") * 2654435761L, lit(4294967296L)),
+      lexMinWords = 10L, minCleanWords = 10L)
+    val funnel = r.funnel.collect()
+      .map(x => x.getString(0) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(funnel("input") == ((11L, 66L)))
+    assert(funnel("url_filter") == ((10L, 64L)))        // 2 blocked
+    assert(funnel("gopher_lexical") == ((9L, 61L)))     // 3 too short
+    assert(funnel("gopher_repetition") == ((8L, 57L)))  // 4 repetitive
+    assert(funnel("lm_quality") == ((7L, 52L)))         // 5 OOV
+    assert(funnel("exact_dedup") == ((6L, 46L)))        // 6 dup of 1
+    assert(funnel("substr_dedup") == ((4L, 31L)))       // 7+8 shared tiles
+    assert(funnel("decontam") == ((3L, 22L)))           // 9 bench 3-gram
+    assert(funnel("mixture")._1 == 2L)                  // quota floor(.5*4)
+    val ids = r.curated.select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(Set(1L, 10L, 11L)) && ids.size == 2)
+    assert(funnel("mixture")._2 == ids.sum)
+    assert(funnel("pack")._1 >= 1L && funnel("shard")._1 >= 1L)
+    // the curated frame carries both export assignments
+    val cols = r.curated.columns.toSet
+    assert(Set("seq_id", "seq_off", "shard", "seq").subsetOf(cols))
+  }
 }

@@ -118,4 +118,64 @@ class PqSpec extends SparkTestBase {
     assert(got(0L).toSeq == again(0L).toSeq && got(1L).toSeq == again(1L).toSeq)
     spark.catalog.clearCache()
   }
+
+  test("ivfAdcTopKRes: prune-only vs full probe, self at rank 1, deterministic") {
+    val got = Pq.ivfAdcTopKRes(planted, "vec_id", "embedding",
+      queryIds = Seq(0L, 1L), k = 5)
+      .select("qid", "nid", "rank", "dist")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    assert(got.keySet == Set(0L, 1L))
+    got.foreach { case (q, rows) =>
+      assert(rows.map(_._3).toSeq == (1L to rows.length), s"qid $q ranks")
+      assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.toSeq,
+        s"qid $q dist order")
+      // self's residual re-quantizes near-exactly on the planted layout
+      assert(rows.head._2 == q, s"qid $q self hit")
+    }
+    // nprobe = nlist probes EVERY list -> the unpruned residual-ADC
+    // ranking; the nprobe=2 result must be a dist-identical subset
+    // (training is nprobe-independent; IVF prunes, never rescores —
+    // a row's LUT is keyed by its own fixed coarse list)
+    val full = Pq.ivfAdcTopKRes(planted, "vec_id", "embedding",
+      queryIds = Seq(0L, 1L), k = 90, nlist = 8, nprobe = 8)
+      .select("qid", "nid", "dist")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    got.foreach { case (q, rows) =>
+      rows.foreach { case (_, nid, _, d) =>
+        assert(full((q, nid)) == d, s"qid $q nid $nid rescored") }
+    }
+    // determinism: a rerun reproduces the ranking exactly
+    val again = Pq.ivfAdcTopKRes(planted, "vec_id", "embedding",
+      queryIds = Seq(0L, 1L), k = 5)
+      .select("qid", "nid", "rank", "dist")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    assert(got(0L).toSeq == again(0L).toSeq && got(1L).toSeq == again(1L).toSeq)
+    spark.catalog.clearCache()
+  }
+
+  test("residual codes quantize at noise scale on the planted layout") {
+    // the point of residual encoding: codewords model the within-list
+    // displacement, not the absolute position. On the planted layout the
+    // displacement is N(0, 0.1²) per dim, so a query's residual-ADC
+    // self-distance must sit at noise scale (≪ 1), orders of magnitude
+    // under the planted cell separation (offsets 10/20/30 → ≥ 100 in
+    // squared distance). (No per-instance residual-vs-raw inequality is
+    // asserted — Lloyd local optima can break it on any single draw.)
+    // self may lose rank 1 to a same-cell near-duplicate whose code lands
+    // closer (ADC self-distance is the quantization error, not 0), so the
+    // contract is: self in the top-3, at noise-scale distance
+    val ids = (0L until 90L by 7L).toSeq
+    val res = Pq.ivfAdcTopKRes(planted, "vec_id", "embedding",
+      queryIds = ids, k = 3)
+      .select("qid", "nid", "dist")
+      .as[(Long, Long, Double)].collect()
+      .collect { case (q, n, d) if q == n => d }
+    assert(res.length == ids.length, "every query must self-hit in its top-3")
+    assert(res.forall(_ < 1.0),
+      s"residual self-error must be noise-scale: ${res.toSeq}")
+    spark.catalog.clearCache()
+  }
 }
