@@ -131,6 +131,13 @@ object ScaleDemo {
       graft.ext.Pq.ivfAdcTopK(embK, "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L), k = 10).count()
     }
+    timedVec("ivfpq_res") {
+      // residual variant: same trainings + one extra zip_with per row
+      // (residual rides the assignment pass); the LUT grows nprobe-fold
+      // but stays query-sized — the delta vs ivfpq_topk is the evidence
+      graft.ext.Pq.ivfAdcTopKRes(embK, "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L), k = 10).count()
+    }
     timedVec("hardneg") {
       // broadcast 4-query batch, one corpus scan with the label filter
       graft.ext.Similarity.hardNegatives(
