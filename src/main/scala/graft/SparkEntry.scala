@@ -1034,6 +1034,33 @@ object SparkEntry {
         "doc_id", "text", tileWords = 8)
         .orderBy(col("doc_id"))
     }),
+    // The same pre-map through the GOPHER repetition screens: the
+    // unchanged word-based gopherFilter votes on char-chunk grams —
+    // an unspaced script no longer collapses to word_count=1 where
+    // every repetition fraction reads 0
+    "x_gopher_cjk" -> ((s, d) => {
+      val cjk = translate(col("text"), " ", "")
+      val spaced = graft.ext.Tokenize.charGramsAsWords(cjk, n = 2)
+      graft.ext.Repetition.gopherFilter(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), spaced.as("text")),
+        "doc_id", "text")
+        .select(col("doc_id"), col("chars"),
+          col("top_2gram_char_frac"), col("dup_5gram_char_frac"),
+          col("keep").cast("long").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+    // ... and through the LM scorer: train + score both consume the
+    // re-spaced stream — the standard char-n-gram LM, zero forked code
+    "x_lm_cjk" -> ((s, d) => {
+      val cjk = translate(col("text"), " ", "")
+      val spaced = graft.ext.Tokenize.charGramsAsWords(cjk, n = 2)
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), spaced.as("text"))
+      val m = graft.ext.NgramLm.train(docs.filter(col("lang") === "en"), "text")
+      graft.ext.NgramLm.score(m, docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     // Gopher repetition screens (Rae 2021 App. A1): documents re-flowed
     // into 3-word lines so the line metrics see real duplicates; tokens
     // spanning a line break keep the \n byte in BOTH engines (the
@@ -3657,6 +3684,26 @@ object SparkEntry {
       "trim(concat(COALESCE(k.kept, ''), ' ', " +
       "array_to_string(ws[(CAST(len(ws)//8 AS BIGINT)*8+1):len(ws)], ' '))) AS clean_text " +
       "FROM w LEFT JOIN k USING (doc_id) ORDER BY doc_id"),
+    // the Gopher repetition vote over the SAME re-spaced stream: the
+    // raw-text gram core with rel = the cjk CTE; single-line text keeps
+    // the line screens vacuous on both engines
+    "x_gopher_cjk" -> ("WITH " + cjkCteSql.stripSuffix(", ") +
+      gopherKeepRawSql(rel = "cjk") +
+      " SELECT gw.doc_id, gw.chars, " +
+      "ROUND(LEAST(1.0, COALESCE(gtp.t2m, 0) / (1.0 * gw.chars)), 6) " +
+      "AS top_2gram_char_frac, " +
+      "ROUND(LEAST(1.0, COALESCE(gdp.d5, 0) / (1.0 * gw.chars)), 6) " +
+      "AS dup_5gram_char_frac, " +
+      "CAST(CASE WHEN gk.keep THEN 1 ELSE 0 END AS BIGINT) AS keep " +
+      "FROM gw LEFT JOIN gtp USING (doc_id) LEFT JOIN gdp USING (doc_id) " +
+      "JOIN gk USING (doc_id) ORDER BY gw.doc_id"),
+    // char-chunk trigram LM: train AND score read the re-spaced stream
+    "x_lm_cjk" -> (lmScoreOracleCore(rel = "cjk", trainRel = "cjk",
+      lead = "WITH " + cjkCteSql) +
+      " SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored, " +
+      "CAST(SUM(lp) AS BIGINT) AS logprob_micro, " +
+      "CAST(CAST(SUM(lp) AS BIGINT) AS DOUBLE) / 1e6 / COUNT(*) AS lm_score " +
+      "FROM lps GROUP BY 1 ORDER BY doc_id"),
     // batch-mode tile stats over the FULL corpus, restricted to odd
     // (batch) ids: (index ∪ batch) counts == all-docs counts
     "x_substr_incr" -> ("WITH w AS (SELECT doc_id, " +
@@ -4744,20 +4791,20 @@ object SparkEntry {
     * DuckDB would otherwise read 0.4 as DECIMAL), per-token floor
     * micro-quantization. Ends at CTE `lps` (doc_id, lp); callers append
     * the final SELECT. */
-  /** LM-score replay CTEs (tr..lps). Training always reads `documents`
-    * (the frozen-model contract); `rel` is the SCORED relation and
-    * `lead` lets a caller prepend its own CTEs before the chain. */
+  /** LM-score replay CTEs (tr..lps). `trainRel` is the training corpus
+    * (lang='en' slice), `rel` the SCORED relation, and `lead` lets a
+    * caller prepend its own CTEs before the chain. */
   private def lmScoreOracleCore: String = lmScoreOracleCore()
 
   private def lmScoreOracleCore(rel: String = "documents",
-      lead: String = "WITH "): String = {
+      lead: String = "WITH ", trainRel: String = "documents"): String = {
     def ngrams(k: Int, names: Seq[String], arr: String = "p"): String =
       names.zipWithIndex.map { case (nm, j) =>
         s"unnest([$arr[i + $j] for i in range(1, len($arr) - ${k - 2})]) AS $nm"
       }.mkString(", ")
     lead + "tr AS (SELECT string_split(text, ' ') AS ws, " +
       "list_concat(['<s>', '<s>'], string_split(text, ' ')) AS p " +
-      "FROM documents WHERE lang = 'en'), " +
+      s"FROM $trainRel WHERE lang = 'en'), " +
       "uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM " +
       "(SELECT unnest(ws) AS w FROM tr) GROUP BY 1), " +
       "tot AS (SELECT (SELECT CAST(SUM(len(ws)) AS BIGINT) FROM tr) + " +
@@ -5160,6 +5207,17 @@ object SparkEntry {
     else
       "SELECT vec_id, list_transform(embedding[(len(embedding)//2+1):len(embedding)], " +
         "x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
+
+  /** The whitespace-free-script pre-map as a CTE (ends with ", "): the
+    * space-stripped corpus re-spaced into 2-char chunks — the DuckDB
+    * twin of [[graft.ext.Tokenize.charGramsAsWords]], shared by every
+    * x_*_cjk gate. */
+  private val cjkCteSql: String =
+    "cjk AS (SELECT doc_id, lang, CASE WHEN length(s) > 0 THEN " +
+      "array_to_string([substr(s, i*2+1, 2) for i in " +
+      "range(0, CAST((length(s)+1)//2 AS BIGINT))], ' ') ELSE '' END AS text " +
+      "FROM (SELECT doc_id, lang, replace(text, ' ', '') AS s " +
+      "FROM documents) b), "
 
   /** Residual-PQ subspace pts bodies: the two halves of v − c_coarse(v),
     * built from the coarse chain's CTEs (pts_c / a3_c / b_c must appear

@@ -68,4 +68,25 @@ class TokenizeSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(s(1L) > s(2L), s.toString)
   }
+
+  test("composition: the repetition screens fire on re-spaced text, blind without") {
+    // a phrase repeated 12x, written unspaced; a 48-distinct-char doc
+    // beside it (long enough that a single-occurrence 4-gram's mass
+    // stays under Gopher's 0.16 top-gram threshold)
+    val rep = "数据去重" * 12
+    val div = (0x4E00 until 0x4E30).map(_.toChar).mkString
+    def screen(preMap: Boolean) = Repetition.gopherFilter(
+      Seq((1L, rep), (2L, div)).toDF("doc_id", "raw")
+        .select(col("doc_id"),
+          (if (preMap) Tokenize.charGramsAsWords(col("raw"), 2)
+           else col("raw")).as("text")),
+      "doc_id", "text")
+      .orderBy("doc_id").select("keep").as[Boolean].collect().toSeq
+    // pre-mapped: the dup-gram mass of the repeated chunk pair kills
+    // doc 1; the diverse doc survives
+    assert(screen(preMap = true) == Seq(false, true))
+    // without the pre-map both docs are ONE token: every gram fraction
+    // reads 0 and the screen waves the repetitive doc through
+    assert(screen(preMap = false) == Seq(true, true))
+  }
 }
