@@ -875,6 +875,22 @@ object SparkEntry {
         "doc_id", "source",
         Seq("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125), total = 24)
         .orderBy(col("source"), col("rank"))),
+    // Token-budget mixture: quotas spend TOKENS, not documents — each
+    // stratum draws md5-ordered docs until its floor(weight*total)
+    // token budget is spent (crossing doc included); tok_start binds
+    // the draw position, not just membership
+    "x_mixture_tokens" -> ((s, d) =>
+      graft.ext.Sampling.mixtureSampleTokens(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+          .withColumn("n_tokens",
+            graft.ext.TextAnalysis.tokenCount(col("text"))),
+        "doc_id", "source", "n_tokens",
+        Seq("src0" -> 0.5, "src2" -> 0.25, "src4" -> 0.125),
+        totalTokens = 2048)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("tok_start"))
+        .orderBy(col("doc_id"))),
     // Degree-oriented triangle counting on the planted multigraph
     // (self-loops and duplicate/reverse edges must not inflate counts)
     "x_triangles" -> ((s, d) =>
@@ -4218,6 +4234,22 @@ object SparkEntry {
       "WHERE rank <= CAST(FLOOR(CASE source WHEN 'src0' THEN 0.5 " +
       "WHEN 'src1' THEN 0.25 ELSE 0.125 END * 24) AS BIGINT) " +
       "ORDER BY source, rank"),
+    // per-stratum token prefix sum in md5 order; a doc is drawn iff its
+    // first token lands inside the stratum's budget (one global window
+    // per stratum HERE replays the operator's bucketed prefix exactly —
+    // the bucket is carved from the hash's leading hex chars)
+    "x_mixture_tokens" -> ("WITH t AS (SELECT doc_id, source, " +
+      "len(string_split(text, ' ')) AS w, " +
+      "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents " +
+      "WHERE source IN ('src0', 'src2', 'src4')), " +
+      "c AS (SELECT doc_id, source, w, SUM(w) OVER " +
+      "(PARTITION BY source ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) " +
+      "- w AS g FROM t) " +
+      "SELECT doc_id, source, CAST(w AS BIGINT) AS n_tokens, " +
+      "CAST(g AS BIGINT) AS tok_start FROM c " +
+      "WHERE g < CAST(FLOOR(CASE source WHEN 'src0' THEN 0.5 " +
+      "WHEN 'src2' THEN 0.25 ELSE 0.125 END * 2048) AS BIGINT) " +
+      "ORDER BY doc_id"),
     // same canonicalization + degree orientation + wedge/closure joins
     "x_triangles" -> ("WITH e AS (" + graft.ext.Fixtures.plantedEdgesSql() + "), " +
       "und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src != dst), " +

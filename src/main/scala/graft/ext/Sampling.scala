@@ -140,6 +140,65 @@ object Sampling {
         floor(element_at(wlit, col(strataCol)) * total).cast("long"))
   }
 
+  /** Token-budget mixture — the form real pretraining mixes use: a
+    * 70:20:10 web:books:code mix means 70% of the TOKENS, not 70% of
+    * the documents (a books doc is 100× a web doc; doc-count quotas
+    * would skew the realized token mix by exactly that ratio).
+    * Per stratum, documents are drawn in the deterministic md5 order
+    * until the stratum's token budget floor(weight · totalTokens) is
+    * spent: a doc is selected iff its tokens BEGIN inside the budget
+    * (`tok_start < budget` — the crossing doc is included, the same
+    * span convention as [[weightedSystematic]] and `packSequences`),
+    * so the realized overshoot is at most one document.
+    *
+    * Scale shape: NO single-partition stratum window. The per-stratum
+    * prefix sum uses the `packSequences` bucketed trick — the md5
+    * bucket is carved from the hash's leading hex chars, so global
+    * (h, id) order within a stratum equals (bucket, h, id) order:
+    * per-(stratum, bucket) totals cumulate on a tiny
+    * strata × buckets frame (broadcast back), and each within-bucket
+    * window holds 1/buckets of its stratum. Token arithmetic stays in
+    * longs end to end — any engine replays the selection and every
+    * `tok_start` exactly. Output: selected rows + `tok_start` (the
+    * doc's first-token position in its stratum's draw line — an
+    * assignment-binding checksum basis, not just membership).
+    *
+    * `buckets` must be a power of two <= 65536; size it to executor
+    * count at scale. */
+  def mixtureSampleTokens(df: DataFrame, keyCol: String,
+      strataCol: String, weightCol: String,
+      weights: Seq[(String, Double)], totalTokens: Long,
+      buckets: Int = 64): DataFrame = {
+    require(weights.nonEmpty && totalTokens > 0,
+      "mixture needs weights and totalTokens > 0")
+    require(buckets > 0 && buckets <= 65536 && (buckets & (buckets - 1)) == 0,
+      s"buckets=$buckets must be a power of two <= 65536")
+    val wlit = typedlit(weights.toMap)
+    val step = 65536 / buckets
+    val base = df.filter(element_at(wlit, col(strataCol)).isNotNull)
+      .withColumn("__h", md5(col(keyCol).cast("string")))
+      .withColumn("__b",
+        (conv(substring(col("__h"), 1, 4), 16, 10).cast("long") / step)
+          .cast("long"))
+    val perBucket = base.groupBy(col(strataCol), col("__b"))
+      .agg(sum(col(weightCol)).as("__tot"))
+    // cumulate the tiny strata × buckets frame; broadcast back
+    val offsets = perBucket.withColumn("__off",
+      sum(col("__tot")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col(strataCol)).orderBy(col("__b"))) - col("__tot"))
+      .select(col(strataCol), col("__b"), col("__off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol), col("__b"))
+      .orderBy(col("__h"), col(keyCol))
+    base.join(broadcast(offsets), Seq(strataCol, "__b"))
+      .withColumn("__cum", sum(col(weightCol)).over(w))
+      .withColumn("tok_start",
+        (col("__off") + col("__cum") - col(weightCol)).cast("long"))
+      .filter(col("tok_start") <
+        floor(element_at(wlit, col(strataCol)) * totalTokens).cast("long"))
+      .drop("__h", "__b", "__cum")
+  }
+
   /** Temperature-rebalanced mixture draw (the XLM-R / mT5 multilingual
     * step): stratum quotas proportional to n^0.5 instead of n, so
     * high-resource strata are downsampled and low-resource ones

@@ -235,4 +235,52 @@ class SamplingSpec extends SparkTestBase {
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(split == again)
   }
+
+  test("mixtureSampleTokens: budgets spend tokens, crossing doc included, bucketed == brute") {
+    // 40 docs across two strata with known token weights
+    val rows = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", (i % 7 + 1).toString,
+        (1L to (i % 7 + 1)).map(j => s"t$j").mkString(" ")))
+    val docs = rows.map { case (id, s, _, t) => (id, s, t) }
+      .toDF("doc_id", "source", "text")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    val weights = Seq("a" -> 0.5, "b" -> 0.25)
+    val wmap = weights.toMap
+    val total = 64L  // budgets 32 and 16 tokens — both strata partial
+    val got = Sampling.mixtureSampleTokens(docs, "doc_id", "source",
+      "n_tokens", weights, total)
+      .select("doc_id", "source", "n_tokens", "tok_start")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // brute force: md5 order per stratum, greedy prefix, crossing doc in
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val brute = rows.map { case (id, s, _, t) =>
+      (id, s, t.split(" ").length.toLong, md5hex(id.toString))
+    }.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val budget = math.floor(wmap(src) * total).toLong
+      var cum = 0L
+      ds.sortBy(d => (d._4, d._1)).flatMap { case (id, s, w, _) =>
+        val start = cum; cum += w
+        if (start < budget) Some((id, s, w, start)) else None
+      }
+    }.sortBy(_._1)
+    assert(got == brute)
+    // realized tokens: within budget + at most one crossing doc each
+    weights.foreach { case (src, wt) =>
+      val budget = math.floor(wt * total).toLong
+      val sel = got.filter(_._2 == src)
+      val tokens = sel.map(_._3).sum
+      assert(tokens >= budget, s"$src under-spent: $tokens < $budget")
+      assert(sel.map(_._4).max < budget, s"$src start past budget")
+    }
+    // a stratum absent from the weights never appears
+    assert(got.forall(r => Set("a", "b")(r._2)))
+    // many-bucket path == few-bucket path (the bucketed prefix is exact)
+    val b2 = Sampling.mixtureSampleTokens(docs, "doc_id", "source",
+      "n_tokens", weights, total, buckets = 2)
+      .select("doc_id", "source", "n_tokens", "tok_start")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(b2 == got)
+  }
 }
