@@ -39,13 +39,20 @@ import org.apache.spark.sql.functions._
 object Tokenize {
 
   /** Re-space `text` into non-overlapping `n`-char chunks joined by
-    * single spaces; `n = 1` spaces every character. */
+    * single spaces; `n = 1` spaces every character. ASCII spaces are
+    * stripped FIRST (the pre-map's callers all strip them anyway — an
+    * unspaced script has none, and any stragglers would smuggle spaces
+    * inside chunks), so the output is always single-space-delimited.
+    *
+    * Implementation note: ONE compiled-regex pass ((?s) so chunks cross
+    * line breaks), not a `transform`+`substr` HOF — the interpreted
+    * lambda re-evaluates the text per element (the round-9 O(len²)
+    * trap; measured 17.5 s → expected scan-cost on the sf0.1 Gopher
+    * gate). The final sub-`n` chunk survives unmatched; rtrim drops the
+    * boundary-case trailing space. Null maps to the empty string. */
   def charGramsAsWords(text: Column, n: Int = 1): Column = {
     require(n >= 1, s"n=$n must be >= 1")
-    val len = length(text)
-    val nt = ((len + lit(n - 1)) / lit(n)).cast("long")
-    val chunks = transform(sequence(lit(0L), nt - 1),
-      i => text.substr((i * n + 1).cast("int"), lit(n)))
-    when(len > 0, array_join(chunks, " ")).otherwise(lit(""))
+    val s = translate(coalesce(text, lit("")), " ", "")
+    rtrim(regexp_replace(s, s"(?s)(.{$n})", "$1 "))
   }
 }
