@@ -1077,6 +1077,34 @@ object SparkEntry {
       graft.ext.NgramLm.score(m, docs, "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // Continuous substring scrubbing: three deterministic batches
+    // (doc_id % 3, in order) flow through the persisted tile index —
+    // each doc is judged against batches <= its own (a tile's first
+    // sighting stays clean, later sightings strip). Prefix near-copies
+    // planted at +100000 land one batch AFTER their original (100000 ≡ 1
+    // mod 3), exercising the cross-batch direction both ways
+    "x_stream_substr" -> ((s, d) => {
+      val base = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val plants = base.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zz"), col("doc_id").cast("string"))
+            .as("text"))
+      val docs = base.unionByName(plants)
+        .withColumn("year", lit(2020L) + col("doc_id") % 3)
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_ts_wh").toString)
+      val idxDir = TempDirs.scratchDir("graft_ts_idx").toString
+      (0L to 2L).foreach { b =>
+        graft.streaming.TileScrub.ingestBatch(
+          docs.filter(col("doc_id") % 3 === b), "doc_id", "text",
+          wh, "scrubbed", idxDir, b)
+      }
+      wh.read("scrubbed").get
+        .select(col("doc_id"), col("n_tiles"), col("dup_tiles"),
+          col("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
     // Gopher repetition screens (Rae 2021 App. A1): documents re-flowed
     // into 3-word lines so the line metrics see real duplicates; tokens
     // spanning a line break keep the \n byte in BOTH engines (the
@@ -3697,6 +3725,31 @@ object SparkEntry {
       "SELECT w.doc_id, CAST(COALESCE(k.n_tiles, 0) AS BIGINT) AS n_tiles, " +
       "CAST(COALESCE(k.dup_tiles, 0) AS BIGINT) AS dup_tiles, " +
       "ROUND(COALESCE(k.dup_tiles / (1.0 * k.n_tiles), 0.0), 6) AS dup_ratio, " +
+      "trim(concat(COALESCE(k.kept, ''), ' ', " +
+      "array_to_string(ws[(CAST(len(ws)//8 AS BIGINT)*8+1):len(ws)], ' '))) AS clean_text " +
+      "FROM w LEFT JOIN k USING (doc_id) ORDER BY doc_id"),
+    // streaming-order tile counts: a doc's tile is judged against the
+    // cumulative occurrence count through its OWN batch (window over
+    // per-batch counts in batch order) — the first-sighting-stays-clean
+    // semantics the driver-chained ingest produces
+    "x_stream_substr" -> ("WITH corpus AS (SELECT doc_id, text FROM documents " +
+      "UNION ALL SELECT doc_id + 100000, text || ' zz' || doc_id " +
+      "FROM documents WHERE doc_id % 17 = 0), " +
+      "w AS (SELECT doc_id, doc_id % 3 AS b, " +
+      "regexp_split_to_array(trim(text), '\\s+') AS ws FROM corpus), " +
+      "t0 AS (SELECT doc_id, b, ws, " +
+      "unnest(range(CAST(len(ws)//8 AS BIGINT))) AS i FROM w), " +
+      "t AS (SELECT doc_id, b, i, " +
+      "array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS tile FROM t0), " +
+      "cb AS (SELECT tile, b, COUNT(*) AS cnt FROM t GROUP BY 1, 2), " +
+      "cum AS (SELECT tile, b, SUM(cnt) OVER (PARTITION BY tile " +
+      "ORDER BY b ROWS UNBOUNDED PRECEDING) AS ccnt FROM cb), " +
+      "k AS (SELECT t.doc_id, COUNT(*) AS n_tiles, " +
+      "SUM(CASE WHEN cum.ccnt > 1 THEN 1 ELSE 0 END) AS dup_tiles, " +
+      "STRING_AGG(CASE WHEN cum.ccnt = 1 THEN t.tile END, ' ' ORDER BY t.i) AS kept " +
+      "FROM t JOIN cum ON t.tile = cum.tile AND t.b = cum.b GROUP BY 1) " +
+      "SELECT w.doc_id, CAST(COALESCE(k.n_tiles, 0) AS BIGINT) AS n_tiles, " +
+      "CAST(COALESCE(k.dup_tiles, 0) AS BIGINT) AS dup_tiles, " +
       "trim(concat(COALESCE(k.kept, ''), ' ', " +
       "array_to_string(ws[(CAST(len(ws)//8 AS BIGINT)*8+1):len(ws)], ' '))) AS clean_text " +
       "FROM w LEFT JOIN k USING (doc_id) ORDER BY doc_id"),
