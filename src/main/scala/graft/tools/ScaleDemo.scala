@@ -576,6 +576,51 @@ object ScaleDemo {
         .collect()
       docs
     }
+    timed("funnel_full") {
+      // the COMPLETE chain at Kx: url/lex/rep screens + LM joins + two
+      // dedup group-bys + decontam + export stages, 11 eager stages —
+      // cost must track the stage sum, with the text-keyed dedup and
+      // tile shuffles carrying full K-way duplication pressure
+      import spark.implicits._
+      val full = corpus
+        .withColumn("source", concat(lit("src"),
+          (col("doc_id") % 20).cast("string")))
+        .withColumn("url", concat(lit("https://s"),
+          (col("doc_id") % 1000).cast("string"), lit(".example.org/p")))
+      val m = graft.ext.NgramLm.train(
+        corpus.filter(col("doc_id") < 1000000L), "text")
+      val bl = Seq("s1.example.org", "s7.example.org").toDF("domain")
+      val bench = corpus.filter(col("doc_id") < 1000000L)
+        .filter(col("doc_id") % 29 === 0)
+      // minScore -99: the all-lang replica model scores below the gate's
+      // English-slice threshold; keep-all preserves DOWNSTREAM pressure
+      // (the dedup/decontam/export stages must carry the full corpus)
+      val r = graft.ext.Curation.curateFull(full, "doc_id", "text",
+        "url", "source", bl, m, minScore = -99.0, bench, "text", benchN = 3,
+        mixtureWeights = Seq("src0" -> 0.5, "src2" -> 0.25, "src4" -> 0.125),
+        mixtureTotal = 24, packBudget = 512, packBuckets = 16,
+        numShards = 8,
+        hashOf = c => pmod(c.cast("long") * 2654435761L, lit(4294967296L)),
+        lexMinWords = 10L, minCleanWords = 10L)
+      r.funnel.collect().foreach(x => println(s"  $x"))
+      docs
+    }
+    timed("stream_tiles") {
+      // continuous substring scrub: 3 sequential batches over Kx docs,
+      // each probing the persisted (batch-partitioned) index — cost per
+      // batch is O(batch tiles) + the index count-join
+      val wh = new graft.snapshot.Warehouse(spark,
+        graft.TempDirs.scratchDir("sd_ts_wh").toString)
+      val idxDir = graft.TempDirs.scratchDir("sd_ts_idx").toString
+      val staged = corpus
+        .withColumn("year", lit(2020L) + col("doc_id") % 3)
+      (0L to 2L).foreach { b =>
+        graft.streaming.TileScrub.ingestBatch(
+          staged.filter(col("doc_id") % 3 === b), "doc_id", "text",
+          wh, "scrubbed", idxDir, b)
+      }
+      wh.read("scrubbed").get.count()
+    }
     timed("leak_split_minhash") {
       // the scale entry point: banded-LSH pairs (linear shuffle) drive
       // the cluster-atomic split instead of the exact-Jaccard graph
