@@ -1657,6 +1657,15 @@ object SparkEntry {
       graft.ext.Pq.ivfAdcTopKRes(Tables.load(s, d, "embeddings"),
         "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L), k = 10)
         .orderBy(col("qid"), col("rank"))),
+    // ... plus the exact re-rank (FAISS RefineFlat): ADC picks 2k
+    // candidates from the compressed codes, only those reload float
+    // vectors for the exact top-k — the oracle replays the whole chain
+    // plus the re-rank
+    "x_sim_ivfpq_refine" -> ((s, d) =>
+      graft.ext.Pq.ivfAdcTopKRefined(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L), k = 10,
+        refine = 2)
+        .orderBy(col("qid"), col("rank"))),
 
     // ---------------- text analysis ----------------
 
@@ -4473,29 +4482,23 @@ object SparkEntry {
     // residual IVF-PQ: coarse training, per-row residuals against the
     // assigned centroid, two residual-subspace PQ trainings, then
     // per-(query, probed-list) residual LUTs and the pruned ADC ranking
-    "x_sim_ivfpq_res" -> ("WITH " +
-      kmeansChain(defaultPtsSql, "_c") + kmeansFinalAssign("_c") +
-      kmeansChain(resPtsSql(0), "_r0") + kmeansFinalAssign("_r0") +
-      kmeansChain(resPtsSql(1), "_r1") + kmeansFinalAssign("_r1") +
-      "qs AS (SELECT vec_id AS qid, v FROM pts_c WHERE vec_id IN (0, 1, 2, 3)), " +
-      "pb AS (SELECT q.qid, b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
-      "i -> (q.v[i]-b.cvec[i])*(q.v[i]-b.cvec[i]))) AS d FROM qs q CROSS JOIN b_c b " +
-      "QUALIFY ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY d, b.cid) <= 2), " +
-      "qr AS (SELECT pb.qid, pb.cid AS ccid, " +
-      "list_transform(range(1, len(q.v)+1), i -> q.v[i] - b.cvec[i]) AS v " +
-      "FROM pb JOIN qs q USING (qid) JOIN b_c b ON pb.cid = b.cid), " +
-      "lutr0 AS (SELECT r.qid, r.ccid, b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
-      "i -> (r.v[i]-b.cvec[i])*(r.v[i]-b.cvec[i]))) AS d FROM qr r CROSS JOIN b_r0 b), " +
-      "lutr1 AS (SELECT r.qid, r.ccid, b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
-      "i -> (r.v[len(b.cvec)+i]-b.cvec[i])*(r.v[len(b.cvec)+i]-b.cvec[i]))) AS d FROM qr r CROSS JOIN b_r1 b), " +
-      "cand AS (SELECT pb.qid, pb.cid AS ccid, a.vec_id FROM pb JOIN a3_c a ON pb.cid = a.cid), " +
-      "sc AS (SELECT c.qid, c.vec_id, l0.d + l1.d AS dist FROM cand c " +
-      "JOIN a3_r0 a0 ON c.vec_id = a0.vec_id JOIN a3_r1 a1 ON c.vec_id = a1.vec_id " +
-      "JOIN lutr0 l0 ON c.qid = l0.qid AND c.ccid = l0.ccid AND a0.cid = l0.cid " +
-      "JOIN lutr1 l1 ON c.qid = l1.qid AND c.ccid = l1.ccid AND a1.cid = l1.cid) " +
-      "SELECT qid, vec_id AS nid, CAST(rank AS BIGINT) AS rank, dist FROM " +
+    "x_sim_ivfpq_res" -> (ivfpqResChainSql +
+      " SELECT qid, vec_id AS nid, CAST(rank AS BIGINT) AS rank, dist FROM " +
       "(SELECT qid, vec_id, dist, ROW_NUMBER() OVER " +
       "(PARTITION BY qid ORDER BY dist, vec_id) AS rank FROM sc) t " +
+      "WHERE rank <= 10 ORDER BY qid, rank"),
+    // the same chain, ADC-ranked to 2k candidates, then the exact
+    // float-vector re-rank to the final top-k
+    "x_sim_ivfpq_refine" -> (ivfpqResChainSql +
+      ", ar AS (SELECT qid, vec_id, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY dist, vec_id) AS arank FROM sc), " +
+      "cand2 AS (SELECT qid, vec_id FROM ar WHERE arank <= 20), " +
+      "ex AS (SELECT c.qid, c.vec_id, list_sum(list_transform(range(1, len(p.v)+1), " +
+      "i -> (p.v[i]-q.v[i])*(p.v[i]-q.v[i]))) AS dist FROM cand2 c " +
+      "JOIN pts_c p ON c.vec_id = p.vec_id JOIN qs q ON c.qid = q.qid) " +
+      "SELECT qid, vec_id AS nid, CAST(rank AS BIGINT) AS rank, dist FROM " +
+      "(SELECT qid, vec_id, dist, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY dist, vec_id) AS rank FROM ex) t " +
       "WHERE rank <= 10 ORDER BY qid, rank"),
     // 5 greedy MMR rounds, each round's argmax replayed exactly
     "x_mmr" -> mmrOracleSql(5),
@@ -5303,6 +5306,31 @@ object SparkEntry {
       "range(0, CAST((length(s)+1)//2 AS BIGINT))], ' ') ELSE '' END AS text " +
       "FROM (SELECT doc_id, lang, replace(text, ' ', '') AS s " +
       "FROM documents) b), "
+
+  /** The full residual-IVF-PQ replay chain through `sc` (per-candidate
+    * ADC distances): coarse + two residual trainings, probe ranking,
+    * per-(query, list) LUTs. Shared by x_sim_ivfpq_res (rank the sc
+    * frame) and x_sim_ivfpq_refine (ADC-rank 2k, exact re-rank). */
+  private def ivfpqResChainSql: String = "WITH " +
+    kmeansChain(defaultPtsSql, "_c") + kmeansFinalAssign("_c") +
+    kmeansChain(resPtsSql(0), "_r0") + kmeansFinalAssign("_r0") +
+    kmeansChain(resPtsSql(1), "_r1") + kmeansFinalAssign("_r1") +
+    "qs AS (SELECT vec_id AS qid, v FROM pts_c WHERE vec_id IN (0, 1, 2, 3)), " +
+    "pb AS (SELECT q.qid, b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
+    "i -> (q.v[i]-b.cvec[i])*(q.v[i]-b.cvec[i]))) AS d FROM qs q CROSS JOIN b_c b " +
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY d, b.cid) <= 2), " +
+    "qr AS (SELECT pb.qid, pb.cid AS ccid, " +
+    "list_transform(range(1, len(q.v)+1), i -> q.v[i] - b.cvec[i]) AS v " +
+    "FROM pb JOIN qs q USING (qid) JOIN b_c b ON pb.cid = b.cid), " +
+    "lutr0 AS (SELECT r.qid, r.ccid, b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
+    "i -> (r.v[i]-b.cvec[i])*(r.v[i]-b.cvec[i]))) AS d FROM qr r CROSS JOIN b_r0 b), " +
+    "lutr1 AS (SELECT r.qid, r.ccid, b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
+    "i -> (r.v[len(b.cvec)+i]-b.cvec[i])*(r.v[len(b.cvec)+i]-b.cvec[i]))) AS d FROM qr r CROSS JOIN b_r1 b), " +
+    "cand AS (SELECT pb.qid, pb.cid AS ccid, a.vec_id FROM pb JOIN a3_c a ON pb.cid = a.cid), " +
+    "sc AS (SELECT c.qid, c.vec_id, l0.d + l1.d AS dist FROM cand c " +
+    "JOIN a3_r0 a0 ON c.vec_id = a0.vec_id JOIN a3_r1 a1 ON c.vec_id = a1.vec_id " +
+    "JOIN lutr0 l0 ON c.qid = l0.qid AND c.ccid = l0.ccid AND a0.cid = l0.cid " +
+    "JOIN lutr1 l1 ON c.qid = l1.qid AND c.ccid = l1.ccid AND a1.cid = l1.cid)"
 
   /** Residual-PQ subspace pts bodies: the two halves of v − c_coarse(v),
     * built from the coarse chain's CTEs (pts_c / a3_c / b_c must appear

@@ -299,4 +299,42 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("qid"), col(idCol).as("nid"), col("rank"), col("dist"))
   }
+
+  /** Exact re-rank ("refine") on top of [[ivfAdcTopKRes]] — the standard
+    * completion of the IVF-PQ recipe (FAISS's RefineFlat stage): ADC
+    * ranks `k × refine` candidates per query from the compressed codes,
+    * then ONLY those rows reload their float vectors for an exact
+    * squared-L2 re-rank to the final top-k. Buys back the quantization
+    * error at the cost of touching k·refine·queries raw vectors — a
+    * bounded frame regardless of corpus size.
+    *
+    * Scale: the candidate set (queries × k·refine ids) broadcasts into
+    * ONE corpus scan to fetch vectors — the corpus never shuffles and no
+    * index structure beyond the ADC pipeline exists; the re-rank window
+    * is per-query over k·refine rows. Determinism: exact distances fold
+    * in index order on identical operands; ties to the lower id — the
+    * full chain (three trainings + ADC + refine) replays on any SQL
+    * engine. */
+  def ivfAdcTopKRefined(df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, refine: Int = 4, nlist: Int = 8,
+      nprobe: Int = 2, m: Int = 2, kCodes: Int = 8, iters: Int = 2)
+      : DataFrame = {
+    require(refine >= 1, s"refine=$refine must be >= 1")
+    val approx = ivfAdcTopKRes(df, idCol, vecCol, queryIds, k * refine,
+      nlist, nprobe, m, kCodes, iters)
+    val pts = df.select(col(idCol).cast("long").as(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val qs = pts.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col("__v").as("__qv"))
+    val kw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    broadcast(approx.select(col("qid"), col("nid")))
+      .join(pts.withColumnRenamed(idCol, "nid"), "nid")
+      .join(broadcast(qs), "qid")
+      .select(col("qid"), col("nid"),
+        KMeans.sqDist(col("__v"), col("__qv")).as("dist"))
+      .withColumn("rank", row_number().over(kw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("dist"))
+  }
 }

@@ -156,6 +156,34 @@ class PqSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("ivfAdcTopKRefined: exact distances, self at dist 0 rank 1, subset of ADC candidates") {
+    val got = Pq.ivfAdcTopKRefined(planted, "vec_id", "embedding",
+      queryIds = Seq(0L, 1L), k = 5, refine = 3)
+      .select("qid", "nid", "rank", "dist")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    assert(got.keySet == Set(0L, 1L))
+    val vecs = planted.as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    got.foreach { case (q, rows) =>
+      assert(rows.map(_._3).toSeq == (1L to rows.length))
+      // refine scores with TRUE distances: self is exactly 0 at rank 1
+      assert(rows.head._2 == q && rows.head._4 == 0.0)
+      rows.foreach { case (_, nid, _, d) =>
+        val brute = vecs(q).zip(vecs(nid))
+          .foldLeft(0.0) { case (a, (x, y)) => a + (x - y) * (x - y) }
+        assert(d == brute, s"qid $q nid $nid: $d != $brute")
+      }
+    }
+    // every refined hit came from the ADC candidate pool (k*refine)
+    val pool = Pq.ivfAdcTopKRes(planted, "vec_id", "embedding",
+      queryIds = Seq(0L, 1L), k = 15)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    got.foreach { case (q, rows) =>
+      rows.foreach { case (_, nid, _, _) => assert(pool((q, nid))) } }
+    spark.catalog.clearCache()
+  }
+
   test("residual codes quantize at noise scale on the planted layout") {
     // the point of residual encoding: codewords model the within-list
     // displacement, not the absolute position. On the planted layout the
