@@ -398,4 +398,31 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange"),
       "sigmoid scoring must not move data:\n" + p.take(800))
   }
+
+  test("mixtureSampleTokens: prefix windows are (stratum, bucket)-partitioned") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val p = plan(ext.Sampling.mixtureSampleTokens(docs, "doc_id", "source",
+      "n_tokens", Seq("src0" -> 0.5, "src2" -> 0.25), totalTokens = 1024))
+    // the data-scale cumsum must never serialize a whole stratum; the
+    // only single-partition window is over the strata × buckets offsets
+    // frame, which is bounded — assert the data window's partition keys
+    assert(p.contains("partitionBy=[source") || p.contains("hashpartitioning(source"),
+      "the running sum must partition by (stratum, bucket):\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("ivfAdcTopKRefined: candidates broadcast into the corpus scan") {
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val p = plan(ext.Pq.ivfAdcTopKRefined(emb, "vec_id", "embedding",
+      queryIds = Seq(0L, 1L), k = 5, refine = 2))
+    // the exact re-rank must fetch vectors via a broadcast join — the
+    // corpus never shuffles for the refine stage
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate fetch must broadcast:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+    spark.catalog.clearCache()
+  }
 }
