@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Per-row, shuffle-free, null-in -> null-out. Registered in SQL as
   * `text_normalize(s)` via [[graft.GraftExtensions]].
   */
-case class TextNormalize(child: Expression)
+case class TextNormalize(child: Expression, compat: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = StringType
@@ -43,8 +43,8 @@ case class TextNormalize(child: Expression)
   }
 
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(
-      TextNormalize.normalize(input.asInstanceOf[UTF8String].toString))
+    UTF8String.fromString(TextNormalize.normalize(
+      input.asInstanceOf[UTF8String].toString, compat))
 
   override protected def withNewChildInternal(newChild: Expression): TextNormalize =
     copy(child = newChild)
@@ -57,8 +57,18 @@ object TextNormalize {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B'
 
-  def normalize(s: String): String = {
-    val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  def normalize(s: String): String = normalize(s, compat = false)
+
+  /** `compat = true` switches step 1 to NFKC — compatibility folding
+    * (fullwidth Ａ → A, ligature ﬁ → fi, ² → 2) on top of canonical
+    * composition: the aggressive form LLM tokenizer pipelines usually
+    * want. NFKC has NO DuckDB twin (`nfc_normalize` is canonical-only),
+    * so the compat mode is spec-covered rather than oracle-gated; the
+    * x_text_normalize gate replays the NFC default. */
+  def normalize(s: String, compat: Boolean): String = {
+    val nfc = java.text.Normalizer.normalize(s,
+      if (compat) java.text.Normalizer.Form.NFKC
+      else java.text.Normalizer.Form.NFC)
     val sb = new java.lang.StringBuilder(nfc.length)
     var i = 0
     var pendingSpace = false
@@ -83,4 +93,10 @@ object TextNormalize {
   def apply(c: Column): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(
       TextNormalize(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+
+  /** NFKC compatibility mode (see [[normalize]]'s compat doc). */
+  def compat(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      TextNormalize(org.apache.spark.sql.graftbridge.Bridge.expression(c),
+        compat = true))
 }

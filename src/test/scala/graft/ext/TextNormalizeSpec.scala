@@ -33,4 +33,19 @@ class TextNormalizeSpec extends SparkTestBase {
   test("matches the pre-dedup normalization contract on mixed input") {
     assert(norm("The  Quick\nBrown\tFox") == "the quick brown fox")
   }
+
+  test("compat (NFKC) folds fullwidth, ligatures and super/subscripts") {
+    def nk(s: String): String = TextNormalize.normalize(s, compat = true)
+    assert(nk("\uFF21\uFF22\uFF23") == "abc")     // fullwidth A B C
+    assert(nk("\uFB01le") == "file")              // ﬁ ligature
+    assert(nk("x\u00B2") == "x2")                 // superscript two
+    assert(nk("\u2460 item") == "1 item")         // circled one
+    // canonical behavior unchanged: NFC-only inputs agree across modes
+    assert(nk("CaFé x") == TextNormalize.normalize("CaFé x"))
+    // Column form
+    val got = Seq((1L, "\uFF28\uFF25\uFF2C\uFF2C\uFF2F")).toDF("id", "t")
+      .select(TextNormalize.compat(col("t")).as("n"))
+      .collect().head.getString(0)
+    assert(got == "hello")
+  }
 }
