@@ -1289,6 +1289,16 @@ object SparkEntry {
       graft.ext.Drift.wordPsi(docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1), "text", k = 20)
     }),
+    // drift time series: each synthetic period (doc_id % 3) PSI'd
+    // against the src0 reference slice — one total row per period, the
+    // monitoring loop form
+    "x_drift_period" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      graft.ext.Drift.wordPsiByPeriod(
+        docs.filter(col("source") === "src0"),
+        docs.withColumn("period", col("doc_id") % 3),
+        "text", "period")
+    }),
     // numeric drift: o_totalprice PSI over 10 shared-edge buckets,
     // even vs odd order keys playing the two snapshots
     "x_drift_num" -> ((s, d) => {
@@ -3917,6 +3927,34 @@ object SparkEntry {
       "(CAST(c_b + 1 AS DOUBLE) / (nb + v))) * 1e12) AS BIGINT) " +
       "AS contrib_pico FROM c CROSS JOIN tt " +
       "ORDER BY contrib_pico DESC, word LIMIT 20"),
+    // per-period replay of the same smoothing/pico arithmetic: ref
+    // counts expand over the period list, full-outer joins bring in
+    // period-only words, totals group per period
+    "x_drift_period" -> ("WITH refc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_a " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents " +
+      "WHERE source = 'src0') GROUP BY 1), " +
+      "na AS (SELECT CAST(SUM(c_a) AS BIGINT) AS na FROM refc), " +
+      "curc AS (SELECT p, w, CAST(COUNT(*) AS BIGINT) AS c_b FROM " +
+      "(SELECT doc_id % 3 AS p, unnest(string_split(text, ' ')) AS w " +
+      "FROM documents) GROUP BY 1, 2), " +
+      "pd AS (SELECT DISTINCT doc_id % 3 AS p FROM documents), " +
+      "ex AS (SELECT pd.p, refc.w, refc.c_a FROM refc CROSS JOIN pd), " +
+      "j AS (SELECT COALESCE(ex.p, curc.p) AS p, COALESCE(ex.w, curc.w) AS w, " +
+      "COALESCE(ex.c_a, 0) AS c_a, COALESCE(curc.c_b, 0) AS c_b " +
+      "FROM ex FULL OUTER JOIN curc ON ex.p = curc.p AND ex.w = curc.w), " +
+      "totp AS (SELECT p, CAST(SUM(c_b) AS BIGINT) AS nb, COUNT(*) AS v " +
+      "FROM j GROUP BY 1), " +
+      "t AS (SELECT j.p, CAST(FLOOR(" +
+      "(CAST(j.c_a + 1 AS DOUBLE) / (na.na + totp.v) - " +
+      "CAST(j.c_b + 1 AS DOUBLE) / (totp.nb + totp.v)) * " +
+      "LN(CAST(j.c_a + 1 AS DOUBLE) / (na.na + totp.v) / " +
+      "(CAST(j.c_b + 1 AS DOUBLE) / (totp.nb + totp.v))) * 1e12) AS BIGINT) AS c " +
+      "FROM j JOIN totp ON j.p = totp.p CROSS JOIN na) " +
+      "SELECT t.p AS period, CAST(totp.nb AS BIGINT) AS n_tokens, " +
+      "CAST(totp.v AS BIGINT) AS vocab_union, " +
+      "CAST(SUM(t.c) AS BIGINT) AS psi_pico " +
+      "FROM t JOIN totp ON t.p = totp.p GROUP BY 1, totp.nb, totp.v " +
+      "ORDER BY 1"),
     // the funnel composes the shared cores: min-id exact dedup, the raw
     // Gopher vote, the LM scores — four stage rows with id checksums
     "x_curate" -> (lmScoreOracleCore + gopherKeepRawSql +

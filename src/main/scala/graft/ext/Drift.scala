@@ -55,6 +55,56 @@ object Drift {
       .orderBy(col("word"))
   }
 
+  /** Drift TIME SERIES: PSI of each period's word distribution against
+    * a fixed reference corpus — one row per period. This is the
+    * monitoring loop a continuously-ingested corpus runs ("did this
+    * week's crawl shift?"): the reference is the accepted corpus (or a
+    * frozen golden slice), `cur` carries a period column, and a rising
+    * `psi_pico` series flags the ingestion source drifting before the
+    * quality screens feel it.
+    *
+    * Per period p the math is exactly [[wordPsiAll]] against that
+    * period's slice: add-one smoothing over the UNION vocabulary of
+    * (ref ∪ cur_p) — so V differs per period and every term stays
+    * finite — with per-term floor-quantized pico contributions summed
+    * as longs (order-independent, engine-exact).
+    *
+    * Scale shape: reference counts aggregate ONCE and expand by the
+    * period list (periods are a bounded monitoring series — days or
+    * weeks, not a data-scale key; the expansion is |vocab_ref| ×
+    * |periods|); the full-outer join against per-period counts brings
+    * in period-only words; totals are a |periods|-row broadcast.
+    * Output: (periodCol, n_tokens, vocab_union, psi_pico). */
+  def wordPsiByPeriod(ref: DataFrame, cur: DataFrame, textCol: String,
+      periodCol: String): DataFrame = {
+    val refW = ref.select(explode(split(col(textCol), " ")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("c_a"))
+    val curW = cur.select(col(periodCol).as("__p"),
+        explode(split(col(textCol), " ")).as("__w"))
+      .groupBy(col("__p"), col("__w")).agg(count(lit(1)).as("c_b"))
+    val periods = cur.select(col(periodCol).as("__p")).distinct()
+    val joined = refW.crossJoin(broadcast(periods))
+      .join(curW, Seq("__p", "__w"), "full_outer")
+      .select(col("__p"), col("__w"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val na = refW.agg(sum(col("c_a")).as("__na"))
+    val totp = joined.groupBy(col("__p"))
+      .agg(sum(col("c_b")).as("__nb"), count(lit(1)).as("__v"))
+    val pa = (col("c_a") + 1).cast("double") / (col("__na") + col("__v"))
+    val pb = (col("c_b") + 1).cast("double") / (col("__nb") + col("__v"))
+    val contrib = joined.join(broadcast(totp), Seq("__p"))
+      .crossJoin(broadcast(na))
+      .select(col("__p"),
+        floor((pa - pb) * log(pa / pb) * lit(1e12)).cast("long").as("__c"))
+      .groupBy(col("__p")).agg(sum(col("__c")).as("psi_pico"))
+    contrib.join(broadcast(totp), Seq("__p"))
+      .select(col("__p").as(periodCol),
+        col("__nb").cast("long").as("n_tokens"),
+        col("__v").cast("long").as("vocab_union"), col("psi_pico"))
+      .orderBy(col(periodCol))
+  }
+
   /** PSI over a NUMERIC column — the tabular drift form: `bins`
     * fixed-width buckets over the combined [min, max] (shared edges, so
     * both sides bin identically; the top bucket is closed), add-one

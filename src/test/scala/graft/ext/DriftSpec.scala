@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.{col, sum}
 
 class DriftSpec extends SparkTestBase {
   import spark.implicits._
@@ -56,5 +57,27 @@ class DriftSpec extends SparkTestBase {
     assert(got.length == 4)
     // all four words are one-sided: counts (1,0) or (0,1)
     assert(got.forall { case (_, ca, cb) => ca + cb == 1L })
+  }
+
+  test("wordPsiByPeriod: in-distribution periods sit far under drifted ones") {
+    val ref = Seq.fill(20)("alpha beta gamma delta").toDF("text")
+    val cur = (
+      Seq.fill(10)((0L, "alpha beta gamma delta")) ++   // identical mix
+      Seq.fill(10)((1L, "alpha beta gamma epsilon")) ++ // one word swapped
+      Seq.fill(10)((2L, "zeta eta theta iota"))         // disjoint vocab
+    ).toDF("period", "text")
+    val got = Drift.wordPsiByPeriod(ref, cur, "text", "period")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    got.values.foreach { case (n, _, _) => assert(n == 40L) }
+    assert(got(0L)._2 == 4L && got(2L)._2 == 8L) // union vocab per period
+    // monotone drift series: identical < one-swap < disjoint
+    assert(got(0L)._3 < got(1L)._3 && got(1L)._3 < got(2L)._3, got.toString)
+    // a single period's total equals the two-corpus wordPsiAll sum
+    val single = Drift.wordPsiAll(ref,
+      cur.filter(col("period") === 1L), "text")
+      .agg(sum(col("contrib_pico"))).collect()(0).getLong(0)
+    assert(got(1L)._3 == single)
   }
 }
