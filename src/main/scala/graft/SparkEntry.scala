@@ -1401,6 +1401,16 @@ object SparkEntry {
         Tables.load(s, d, "documents"),
         "doc_id", "text", n = 3, threshold = 0.5, maxDf = None)
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))),
+    // Score-keeper policy (FineWeb-style): clusters keep their highest-
+    // QUALITY member — a planted deterministic score stands in for the
+    // LM/classifier signal, forcing picks that differ from both min-id
+    // and longest
+    "x_dedup_best_score" -> ((s, d) =>
+      graft.ext.Dedup.dropNearDuplicatesKeepBestBy(
+        Tables.load(s, d, "documents"),
+        "doc_id", "text", score = (col("doc_id") * 37) % 101,
+        n = 3, threshold = 0.5, maxDf = None)
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))),
     // Calendar spine (the gap-free date dimension OLAP time levels hang
     // off): one sequence() expansion, pure date arithmetic attributes
     "x_calendar" -> ((s, d) =>
@@ -4212,6 +4222,22 @@ object SparkEntry {
       "k AS (SELECT node FROM (SELECT c.node, ROW_NUMBER() OVER " +
       "(PARTITION BY c.root ORDER BY ln.l DESC, c.node) AS rk " +
       "FROM comp c JOIN ln ON c.node = ln.doc_id) t WHERE rk = 1) " +
+      "SELECT COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents " +
+      "WHERE doc_id NOT IN (SELECT node FROM comp WHERE node NOT IN (SELECT node FROM k))"),
+    // same closure, keeper ranked by the planted score then length
+    "x_dedup_best_score" -> ("WITH RECURSIVE " +
+      "tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) s FROM tok), " +
+      "pr AS (SELECT a.doc_id i, b.doc_id j FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5), " +
+      "e AS (SELECT i a, j b FROM pr UNION SELECT j, i FROM pr), " +
+      "r AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a WHERE e.b != r.a), " +
+      "comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS root FROM r GROUP BY a), " +
+      "qs AS (SELECT doc_id, (doc_id * 37) % 101 AS sc, " +
+      "len(string_split(text, ' ')) AS l FROM documents), " +
+      "k AS (SELECT node FROM (SELECT c.node, ROW_NUMBER() OVER " +
+      "(PARTITION BY c.root ORDER BY qs.sc DESC, qs.l DESC, c.node) AS rk " +
+      "FROM comp c JOIN qs ON c.node = qs.doc_id) t WHERE rk = 1) " +
       "SELECT COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents " +
       "WHERE doc_id NOT IN (SELECT node FROM comp WHERE node NOT IN (SELECT node FROM k))"),
     "x_calendar" -> ("SELECT CAST(CAST(d AS DATE) AS VARCHAR) AS day, " +

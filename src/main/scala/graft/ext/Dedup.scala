@@ -575,6 +575,33 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Quality-keeper policy: each near-dup cluster keeps the member with
+    * the HIGHEST `score` (ties: longer text, then lower id) — the
+    * FineWeb-style pick when a quality signal exists (LM score, Gopher
+    * vote count, classifier probability): among near-copies, keep the
+    * one worth training on, not merely the longest. Same cluster graph
+    * and window shape as [[dropNearDuplicatesKeepBest]] (which is the
+    * scoreless length-only special case); the score column evaluates
+    * once per doc in the scan. */
+  def dropNearDuplicatesKeepBestBy(df: DataFrame, idCol: String,
+      textCol: String, score: Column, n: Int = 3, threshold: Double = 0.5,
+      maxDf: Option[Long] = Some(1000L)): DataFrame = {
+    val labels = connectedComponents(
+      ngramJaccardPairs(df, idCol, textCol, n, threshold, maxDf))
+    val scores = df.select(col(idCol).as("node"), score.as("__sc"),
+      TextAnalysis.tokenCount(col(textCol)).as("__len"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(col("__sc").desc, col("__len").desc, col("node"))
+    val drops = labels.join(scores, Seq("node"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") =!= 1)
+      .select(col("node").as(idCol))
+      .localCheckpoint(true)
+    labels.unpersist()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al., arXiv 2303.09540 —
     * public paper): k-means the embedding space, then compare pairs ONLY
     * within a cluster and drop every vector whose cosine to a LOWER-id

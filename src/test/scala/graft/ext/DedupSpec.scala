@@ -250,6 +250,21 @@ class DedupSpec extends SparkTestBase {
       n = 3, threshold = 0.3, maxDf = None)
       .select("doc_id").as[Long].collect().toSet
     assert(root == Set(10L, 99L), s"got: ${root.toSeq.sorted}")
+    // score keeper: a quality signal on the TRUNCATION outranks both the
+    // min-id and the longest pick — three policies, three different picks
+    val byScore = Dedup.dropNearDuplicatesKeepBestBy(docs, "doc_id", "text",
+      score = org.apache.spark.sql.functions
+        .when(org.apache.spark.sql.functions.col("doc_id") === 20L, 5.0)
+        .otherwise(1.0),
+      n = 3, threshold = 0.3, maxDf = None)
+      .select("doc_id").as[Long].collect().toSet
+    assert(byScore == Set(20L, 99L), s"got: ${byScore.toSeq.sorted}")
+    // equal scores fall back to the keep-longest tie-break exactly
+    val tied = Dedup.dropNearDuplicatesKeepBestBy(docs, "doc_id", "text",
+      score = org.apache.spark.sql.functions.lit(1.0),
+      n = 3, threshold = 0.3, maxDf = None)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tied == Set(30L, 99L), s"got: ${tied.toSeq.sorted}")
   }
 
   test("incremental pairs == batch pairs restricted to the new side") {
