@@ -2408,6 +2408,18 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bench_grams"), col("contaminated"))
         .orderBy(col("doc_id"))
     }),
+    // multi-benchmark contamination report: two labeled eval sets at
+    // once — which benchmark leaked, per document, in one corpus scan
+    "x_decontam_multi" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val benches = docs.filter(col("doc_id") % 29 === 0)
+          .select(lit("b29").as("bench_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 31 === 0)
+          .select(lit("b31").as("bench_id"), col("text")))
+      graft.ext.TextAnalysis.contaminationReport(docs, "doc_id", "text",
+        benches, "bench_id", "text", n = 3)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
 
     // PII / identifier redaction over the corpus with planted PII (the
     // natural testdata is [a-z0-9 ] soup, so URLs/emails/id runs are
@@ -4630,6 +4642,15 @@ object SparkEntry {
       "SELECT d.doc_id, COALESCE(h.n_bench_grams, 0) AS n_bench_grams, " +
       "h.doc_id IS NOT NULL AS contaminated " +
       "FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id"),
+    // two labeled benchmark slices, same gram algebra per (doc, bench)
+    "x_decontam_multi" -> ("WITH tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) s FROM tok), " +
+      "bg AS (SELECT DISTINCT bench_id, g FROM (" +
+      "SELECT 'b29' AS bench_id, unnest(s) AS g FROM sh WHERE doc_id % 29 = 0 " +
+      "UNION ALL SELECT 'b31', unnest(s) FROM sh WHERE doc_id % 31 = 0) u) " +
+      "SELECT t.doc_id, bg.bench_id, CAST(COUNT(*) AS BIGINT) AS n_bench_grams " +
+      "FROM (SELECT doc_id, unnest(s) AS g FROM sh) t JOIN bg USING (g) " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"),
     // identical spike construction + the same RE2 regex chain (URL ->
     // email -> long digit run), replayed verbatim
     "x_text_redact" -> ("WITH s AS (SELECT doc_id, text || " +

@@ -287,6 +287,38 @@ object TextAnalysis {
       .withColumn("n_bench_grams", coalesce(col("n_bench_grams"), lit(0L)))
   }
 
+  /** Multi-benchmark contamination REPORT — production decontamination
+    * screens against DOZENS of eval sets at once and must say WHICH one
+    * leaked (dropping a doc is cheap; knowing your MMLU split is the
+    * contaminated one is the actionable part). One labeled benchmark
+    * frame in, one (doc, benchmark) overlap table out:
+    * `(idCol, benchIdCol, n_bench_grams)` for every contaminated pair —
+    * distinct n-grams shared, rows only where overlap exists (join the
+    * corpus back for the clean majority).
+    *
+    * Scale shape: identical to [[decontaminate]] — the union of all
+    * benchmarks' distinct (bench, gram-hash) rows broadcasts (eval sets
+    * are small by contract, and a gram shared by two benchmarks carries
+    * one row per benchmark); ONE corpus scan probes it; only matched
+    * rows reach the (doc, bench) aggregation. A gram repeated within a
+    * document still counts once per (doc, bench): document shingles are
+    * distinct by construction. */
+  def contaminationReport(corpus: DataFrame, idCol: String,
+      textCol: String, benchmarks: DataFrame, benchIdCol: String,
+      benchTextCol: String, n: Int = 13): DataFrame = {
+    val benchGrams = broadcast(
+      benchmarks.select(col(benchIdCol),
+          explode(shingles(col(benchTextCol), n)).as("g"))
+        .select(col(benchIdCol), xxhash64(col("g")).as("__bg"))
+        .distinct())
+    corpus
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("g"))
+      .select(col(idCol), xxhash64(col("g")).as("__bg"))
+      .join(benchGrams, "__bg")
+      .groupBy(col(idCol), col(benchIdCol))
+      .agg(count(lit(1)).as("n_bench_grams"))
+  }
+
   /** Decontamination as a filter: corpus rows sharing NO word n-gram with
     * the benchmark. Broadcast anti-join against the hit ids — the corpus
     * is scanned once and never shuffled. */
