@@ -74,7 +74,10 @@ object Drift {
     * weeks, not a data-scale key; the expansion is |vocab_ref| ×
     * |periods|); the full-outer join against per-period counts brings
     * in period-only words; totals are a |periods|-row broadcast.
-    * Output: (periodCol, n_tokens, vocab_union, psi_pico). */
+    * `periodCol` must be non-null (a NULL period never equi-joins its
+    * own counts — derive periods with a total function of the row, or
+    * filter first). Output: (periodCol, n_tokens, vocab_union,
+    * psi_pico). */
   def wordPsiByPeriod(ref: DataFrame, cur: DataFrame, textCol: String,
       periodCol: String): DataFrame = {
     val refW = ref.select(explode(split(col(textCol), " ")).as("__w"))

@@ -112,4 +112,21 @@ class CurationSpec extends SparkTestBase {
     val cols = r.curated.columns.toSet
     assert(Set("seq_id", "seq_off", "shard", "seq").subsetOf(cols))
   }
+
+  test("curateFull: empty input yields an 11-row zero funnel, not an error") {
+    val docs = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "url", "source")
+    val m = NgramLm.train(trusted.toDF("text"), "text")
+    val r = Curation.curateFull(docs, "doc_id", "text", "url", "source",
+      Seq("x.example.org").toDF("domain"), m, minScore = 0.0,
+      Seq("bench text here").toDF("text"), "text", benchN = 3,
+      mixtureWeights = Seq("src0" -> 0.5), mixtureTotal = 4,
+      packBudget = 64, packBuckets = 16, numShards = 4,
+      hashOf = c => pmod(c.cast("long") * 2654435761L, lit(4294967296L)))
+    val funnel = r.funnel.collect()
+      .map(x => x.getString(0) -> (x.getLong(2), x.getLong(3)))
+    assert(funnel.length == 11)
+    assert(funnel.forall { case (_, (n, ck)) => n == 0L && ck == 0L })
+    assert(r.curated.count() == 0L)
+  }
 }
