@@ -2063,6 +2063,18 @@ object SparkEntry {
         "doc_id", "lang", total = 300L)
         .select(col("lang"), col("doc_id"), col("quota"), col("rank"))
         .orderBy(col("lang"), col("rank"))),
+    // temperature mixing measured in TOKENS: sqrt(token-total) budgets
+    // per language, spent along the md5 line — the mT5 recipe as
+    // applied; exercises partial spend on every stratum
+    "x_temperature_tokens" -> ((s, d) =>
+      graft.ext.Sampling.temperatureSampleTokens(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "lang", "n_tokens", totalTokens = 4096L)
+        .select(col("lang"), col("doc_id"), col("n_tokens"),
+          col("budget"), col("tok_start"))
+        .orderBy(col("lang"), col("doc_id"))),
     // Trending items by smoothed recent/prior ratio over the JSON k
     // property — one conditional-sum pass, both windows together
     "x_trending" -> ((s, d) =>
@@ -3343,6 +3355,24 @@ object SparkEntry {
       "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank FROM documents) " +
       "SELECT r.lang, r.doc_id, q.quota, r.rank FROM r JOIN q ON r.lang = q.lang " +
       "WHERE r.rank <= q.quota ORDER BY r.lang, r.rank"),
+    // sqrt over TOKEN totals, same ordered fold for W, then the
+    // per-stratum token prefix spend (global window == bucketed prefix)
+    "x_temperature_tokens" -> ("WITH c AS (SELECT lang, " +
+      "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n " +
+      "FROM documents GROUP BY 1), " +
+      "w AS (SELECT lang, SQRT(CAST(n AS DOUBLE)) AS w, " +
+      "SUM(SQRT(CAST(n AS DOUBLE))) OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS cum " +
+      "FROM c), " +
+      "q AS (SELECT lang, CAST(FLOOR(CAST(4096 AS DOUBLE) * w / " +
+      "(SELECT MAX(cum) FROM w)) AS BIGINT) AS budget FROM w), " +
+      "t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS tk, " +
+      "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+      "g AS (SELECT doc_id, lang, tk, SUM(tk) OVER (PARTITION BY lang " +
+      "ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - tk AS g FROM t) " +
+      "SELECT g.lang, g.doc_id, CAST(g.tk AS BIGINT) AS n_tokens, " +
+      "q.budget, CAST(g.g AS BIGINT) AS tok_start " +
+      "FROM g JOIN q ON g.lang = q.lang WHERE g.g < q.budget " +
+      "ORDER BY g.lang, g.doc_id"),
     "x_trending" -> ("WITH q AS (SELECT ts, " +
       "CAST(json_extract_string(props, '$.k') AS BIGINT) AS item FROM events), " +
       "c AS (SELECT item, " +

@@ -236,6 +236,61 @@ object Sampling {
       .filter(col("rank") <= col("quota"))
   }
 
+  /** Temperature mixing measured in TOKENS — the mT5/XLM-R recipe as it
+    * is actually applied: stratum budgets proportional to
+    * sqrt(tokens_λ), spent along the deterministic md5 draw line until
+    * each budget is consumed (crossing doc included). Composes
+    * [[temperatureSample]]'s sqrt-rebalancing (α fixed at 0.5 — sqrt is
+    * the one power IEEE rounds correctly everywhere) with
+    * [[mixtureSampleTokens]]'s budget-spending machinery, replacing the
+    * doc-count quota with a token budget: a few long books can no
+    * longer crowd out a low-resource language's whole allocation.
+    *
+    * ΣΛ sqrt(n_λ) is the one order-dependent double — computed as a
+    * running sum in stratum order over the strata-sized frame, so every
+    * engine adds in the same sequence; budgets are then
+    * floor(totalTokens·w/W) longs and the spend is exact long
+    * arithmetic (the bucketed prefix sum — no single-partition stratum
+    * window). Output: rows + `budget` and `tok_start`. */
+  def temperatureSampleTokens(df: DataFrame, keyCol: String,
+      strataCol: String, weightCol: String, totalTokens: Long,
+      buckets: Int = 64): DataFrame = {
+    require(totalTokens > 0, s"totalTokens=$totalTokens must be positive")
+    require(buckets > 0 && buckets <= 65536 && (buckets & (buckets - 1)) == 0,
+      s"buckets=$buckets must be a power of two <= 65536")
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col(strataCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val strata = df.groupBy(col(strataCol)).agg(sum(col(weightCol)).as("__n"))
+      .withColumn("__w", sqrt(col("__n").cast("double")))
+      .withColumn("__cum", sum(col("__w")).over(wOrd))
+      .localCheckpoint(true) // strata-sized; consumed twice below
+    val bigW = strata.agg(max(col("__cum"))).head().getDouble(0)
+    val budgets = strata.select(col(strataCol),
+      floor(lit(totalTokens).cast("double") * col("__w") / lit(bigW))
+        .cast("long").as("budget"))
+    val step = 65536 / buckets
+    val base = df.join(broadcast(budgets), Seq(strataCol))
+      .withColumn("__h", md5(col(keyCol).cast("string")))
+      .withColumn("__b",
+        (conv(substring(col("__h"), 1, 4), 16, 10).cast("long") / step)
+          .cast("long"))
+    val perBucket = base.groupBy(col(strataCol), col("__b"))
+      .agg(sum(col(weightCol)).as("__tot"))
+    val offsets = perBucket.withColumn("__off",
+      sum(col("__tot")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col(strataCol)).orderBy(col("__b"))) - col("__tot"))
+      .select(col(strataCol), col("__b"), col("__off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol), col("__b"))
+      .orderBy(col("__h"), col(keyCol))
+    base.join(broadcast(offsets), Seq(strataCol, "__b"))
+      .withColumn("__cum", sum(col(weightCol)).over(w))
+      .withColumn("tok_start",
+        (col("__off") + col("__cum") - col(weightCol)).cast("long"))
+      .filter(col("tok_start") < col("budget"))
+      .drop("__h", "__b", "__cum")
+  }
+
   /** Weight-proportional systematic sample: lay every row's integer
     * weight end-to-end along a line in the deterministic md5 draw order,
     * then keep each row whose span (g, g+w] covers a multiple of `step`.

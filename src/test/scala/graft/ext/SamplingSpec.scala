@@ -283,4 +283,32 @@ class SamplingSpec extends SparkTestBase {
       .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
     assert(b2 == got)
   }
+
+  test("temperatureSampleTokens: sqrt budgets flatten token skew, spend is exact") {
+    // 'big' holds 1600 tokens (100 docs x 16), 'small' 100 (25 x 4):
+    // proportional budgets would split 94:6; sqrt splits 40:10 -> 80:20
+    val rows = (1L to 100L).map(i => (i, "big", 16L)) ++
+      (101L to 125L).map(i => (i, "small", 4L))
+    val docs = rows.toDF("doc_id", "lang", "n_tokens")
+    val total = 500L
+    val got = Sampling.temperatureSampleTokens(docs, "doc_id", "lang",
+      "n_tokens", total)
+      .select("doc_id", "lang", "n_tokens", "budget", "tok_start")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    val budgets = got.map(r => r._2 -> r._4).toMap
+    // W = sqrt(1600)+sqrt(100) = 50; budgets floor(500*40/50), floor(500*10/50)
+    assert(budgets == Map("big" -> 400L, "small" -> 100L), budgets.toString)
+    // each stratum spends its budget: starts inside, total covers it
+    Seq("big", "small").foreach { lang =>
+      val sel = got.filter(_._2 == lang)
+      assert(sel.map(_._5).max < budgets(lang), s"$lang start past budget")
+      assert(sel.map(_._3).sum >= budgets(lang), s"$lang under-spent")
+    }
+    // deterministic rerun
+    val again = Sampling.temperatureSampleTokens(docs, "doc_id", "lang",
+      "n_tokens", total)
+      .select("doc_id", "lang", "n_tokens", "budget", "tok_start")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got.sortBy(_._1) == again.sortBy(_._1))
+  }
 }
