@@ -1686,6 +1686,23 @@ object SparkEntry {
         "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L), k = 10,
         refine = 2)
         .orderBy(col("qid"), col("rank"))),
+    // The serving lifecycle: index BUILT (trained) on the even half,
+    // the odd half ingested against the FROZEN codebooks, queries
+    // answered from the combined entries — the oracle replays the
+    // even-only trainings plus the full-corpus frozen-codebook encode
+    "x_sim_ivfpq_index" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val idx = graft.ext.Pq.buildIndexRes(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+      val delta = graft.ext.Pq.addBatchRes(idx,
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      val full = idx.copy(entries = idx.entries.unionByName(delta))
+      val qs = emb.filter(col("vec_id").isin(0L, 1L, 2L, 3L))
+        .select(col("vec_id").cast("long").as("qid"),
+          transform(col("embedding"), x => x.cast("double")).as("__qv"))
+      graft.ext.Pq.searchIndexRes(full, qs, "vec_id", k = 10, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    }),
 
     // ---------------- text analysis ----------------
 
@@ -4590,6 +4607,54 @@ object SparkEntry {
     // per-(query, probed-list) residual LUTs and the pruned ADC ranking
     "x_sim_ivfpq_res" -> (ivfpqResChainSql +
       " SELECT qid, vec_id AS nid, CAST(rank AS BIGINT) AS rank, dist FROM " +
+      "(SELECT qid, vec_id, dist, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY dist, vec_id) AS rank FROM sc) t " +
+      "WHERE rank <= 10 ORDER BY qid, rank"),
+    // even-half trainings (coarse + both residual subspaces), then the
+    // WHOLE corpus encoded against those frozen books, then the standard
+    // probe/LUT/ADC ranking over the combined entries
+    "x_sim_ivfpq_index" -> ("WITH pts_all AS (" + defaultPtsSql + "), " +
+      kmeansChain("SELECT vec_id, v FROM pts_all WHERE vec_id % 2 = 0", "_c") +
+      kmeansFinalAssign("_c") +
+      "aall_c AS (SELECT p.vec_id, b.cid, " +
+      "list_sum(list_transform(range(1, len(p.v)+1), " +
+      "i -> (p.v[i]-b.cvec[i])*(p.v[i]-b.cvec[i]))) AS d " +
+      "FROM pts_all p CROSS JOIN b_c b " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY d, b.cid) = 1), " +
+      "resf AS (SELECT p.vec_id, a.cid AS ccid, " +
+      "list_transform(range(1, len(p.v)+1), i -> p.v[i] - b.cvec[i]) AS v " +
+      "FROM pts_all p JOIN aall_c a USING (vec_id) JOIN b_c b ON a.cid = b.cid), " +
+      kmeansChain("SELECT vec_id, v[1:(len(v)//2)] AS v FROM resf WHERE vec_id % 2 = 0", "_r0") +
+      kmeansFinalAssign("_r0") +
+      kmeansChain("SELECT vec_id, v[(len(v)//2+1):len(v)] AS v FROM resf WHERE vec_id % 2 = 0", "_r1") +
+      kmeansFinalAssign("_r1") +
+      "aall_r0 AS (SELECT r.vec_id, b.cid, " +
+      "list_sum(list_transform(range(1, len(b.cvec)+1), " +
+      "i -> (r.v[i]-b.cvec[i])*(r.v[i]-b.cvec[i]))) AS d " +
+      "FROM (SELECT vec_id, v[1:(len(v)//2)] AS v FROM resf) r CROSS JOIN b_r0 b " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY r.vec_id ORDER BY d, b.cid) = 1), " +
+      "aall_r1 AS (SELECT r.vec_id, b.cid, " +
+      "list_sum(list_transform(range(1, len(b.cvec)+1), " +
+      "i -> (r.v[i]-b.cvec[i])*(r.v[i]-b.cvec[i]))) AS d " +
+      "FROM (SELECT vec_id, v[(len(v)//2+1):len(v)] AS v FROM resf) r CROSS JOIN b_r1 b " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY r.vec_id ORDER BY d, b.cid) = 1), " +
+      "qs AS (SELECT vec_id AS qid, v FROM pts_all WHERE vec_id IN (0, 1, 2, 3)), " +
+      "pb AS (SELECT q.qid, b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
+      "i -> (q.v[i]-b.cvec[i])*(q.v[i]-b.cvec[i]))) AS d FROM qs q CROSS JOIN b_c b " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY d, b.cid) <= 2), " +
+      "qr AS (SELECT pb.qid, pb.cid AS ccid, " +
+      "list_transform(range(1, len(q.v)+1), i -> q.v[i] - b.cvec[i]) AS v " +
+      "FROM pb JOIN qs q USING (qid) JOIN b_c b ON pb.cid = b.cid), " +
+      "lutr0 AS (SELECT r.qid, r.ccid, b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
+      "i -> (r.v[i]-b.cvec[i])*(r.v[i]-b.cvec[i]))) AS d FROM qr r CROSS JOIN b_r0 b), " +
+      "lutr1 AS (SELECT r.qid, r.ccid, b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
+      "i -> (r.v[len(b.cvec)+i]-b.cvec[i])*(r.v[len(b.cvec)+i]-b.cvec[i]))) AS d FROM qr r CROSS JOIN b_r1 b), " +
+      "cand AS (SELECT pb.qid, pb.cid AS ccid, a.vec_id FROM pb JOIN aall_c a ON pb.cid = a.cid), " +
+      "sc AS (SELECT c.qid, c.vec_id, l0.d + l1.d AS dist FROM cand c " +
+      "JOIN aall_r0 a0 ON c.vec_id = a0.vec_id JOIN aall_r1 a1 ON c.vec_id = a1.vec_id " +
+      "JOIN lutr0 l0 ON c.qid = l0.qid AND c.ccid = l0.ccid AND a0.cid = l0.cid " +
+      "JOIN lutr1 l1 ON c.qid = l1.qid AND c.ccid = l1.ccid AND a1.cid = l1.cid) " +
+      "SELECT qid, vec_id AS nid, CAST(rank AS BIGINT) AS rank, dist FROM " +
       "(SELECT qid, vec_id, dist, ROW_NUMBER() OVER " +
       "(PARTITION BY qid ORDER BY dist, vec_id) AS rank FROM sc) t " +
       "WHERE rank <= 10 ORDER BY qid, rank"),

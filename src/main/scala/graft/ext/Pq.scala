@@ -225,38 +225,103 @@ object Pq {
   def ivfAdcTopKRes(df: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int, nlist: Int = 8, nprobe: Int = 2,
       m: Int = 2, kCodes: Int = 8, iters: Int = 2): DataFrame = {
-    require(k > 0 && nprobe > 0 && nprobe <= nlist,
-      s"k=$k nprobe=$nprobe nlist=$nlist")
-    val pts = df.select(col(idCol).cast("long").as(idCol),
-      transform(col(vecCol), x => x.cast("double")).as("__v"))
-    val coarseCb = KMeans.fit(pts, idCol, "__v", nlist, iters)
-      .localCheckpoint(true)
-    val packedCoarse = coarseCb.groupBy(col("cid"))
+    val idx = buildIndexRes(df, idCol, vecCol, nlist, m, kCodes, iters)
+    val qs = df.select(col(idCol).cast("long").as(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("__qv"))
+      .filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col("__qv"))
+    searchIndexRes(idx, qs, idCol, k, nprobe)
+  }
+
+  /** The residual-IVF-PQ SERVING index — the persisted artifact the
+    * training-time operators exist to produce: coarse centroids, PQ
+    * codebooks (both FROZEN after [[buildIndexRes]]) and the entries
+    * table (id, coarse list, PQ code — the only data-scale piece, ~
+    * (8 + 2m) bytes/vector). [[addBatchRes]] ingests new vectors
+    * against the frozen codebooks (one broadcast argmin pass — no
+    * retraining, the production serving contract; retrain when the
+    * residual distribution drifts), [[searchIndexRes]] answers queries
+    * from the index alone, and [[save]]/[[load]] round-trip all three
+    * frames as parquet. */
+  case class ResIndex(coarse: DataFrame, books: DataFrame,
+      entries: DataFrame)
+
+  def save(idx: ResIndex, dir: String): Unit = {
+    idx.coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+    idx.books.write.mode("overwrite").parquet(s"$dir/books")
+    idx.entries.write.mode("overwrite").parquet(s"$dir/entries")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): ResIndex =
+    ResIndex(spark.read.parquet(s"$dir/coarse"),
+      spark.read.parquet(s"$dir/books"),
+      spark.read.parquet(s"$dir/entries"))
+
+  /** One-row broadcastable coarse book from (cid, dim, c) rows. */
+  private def packedCoarseOf(coarseCb: DataFrame): DataFrame =
+    coarseCb.groupBy(col("cid"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
         x => x.getField("c")).as("cvec"))
       .agg(array_sort(collect_list(struct(col("cid"), col("cvec"))))
         .as("cents"))
-    // coarse assignment + residual in ONE broadcast argmin: the winning
-    // (d, cid, cvec) struct carries the centroid, so r = v − cvec costs
-    // no extra join ((d, cid) is unique per row — cvec never tie-breaks)
-    val res = pts.crossJoin(broadcast(packedCoarse))
+
+  /** Coarse assignment + residual in ONE broadcast argmin: the winning
+    * (d, cid, cvec) struct carries the centroid, so r = v − cvec costs
+    * no extra join ((d, cid) is unique per row — cvec never
+    * tie-breaks). Output (id, __ccid, __rv). */
+  private def residualsOf(pts: DataFrame, idCol: String,
+      packedCoarse: DataFrame): DataFrame =
+    pts.crossJoin(broadcast(packedCoarse))
       .withColumn("__best", array_min(transform(col("cents"), c =>
         struct(KMeans.sqDist(col("__v"), c.getField("cvec")).as("d"),
           c.getField("cid").as("cid"), c.getField("cvec").as("cvec")))))
       .select(col(idCol), col("__best").getField("cid").as("__ccid"),
         zip_with(col("__v"), col("__best").getField("cvec"),
           (a, b) => a - b).as("__rv"))
+
+  /** Train coarse + residual PQ codebooks on `df` and encode its rows —
+    * the index build. */
+  def buildIndexRes(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 8, m: Int = 2, kCodes: Int = 8, iters: Int = 2)
+      : ResIndex = {
+    val pts = df.select(col(idCol).cast("long").as(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val coarseCb = KMeans.fit(pts, idCol, "__v", nlist, iters)
+      .localCheckpoint(true)
+    val res = residualsOf(pts, idCol, packedCoarseOf(coarseCb))
     val cb = train(res, idCol, "__rv", m, kCodes, iters)
       .localCheckpoint(true)
-    val codes = encode(res, idCol, "__rv", cb, m)
-    val lists = res.select(col(idCol), col("__ccid"))
-    val qs = pts.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("qid"), col("__v").as("__qv"))
+    val entries = res.select(col(idCol), col("__ccid"))
+      .join(encode(res, idCol, "__rv", cb, m), idCol)
+    ResIndex(coarseCb, cb, entries)
+  }
+
+  /** Encode a NEW batch against the index's FROZEN codebooks: one
+    * broadcast argmin pass for list + residual, one for the PQ codes —
+    * no retraining, no index shuffle. Returns the batch's entries
+    * (append to `entries`, or [[save]] a new index). */
+  def addBatchRes(idx: ResIndex, batch: DataFrame, idCol: String,
+      vecCol: String, m: Int = 2): DataFrame = {
+    val pts = batch.select(col(idCol).cast("long").as(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val res = residualsOf(pts, idCol, packedCoarseOf(idx.coarse))
+    res.select(col(idCol), col("__ccid"))
+      .join(encode(res, idCol, "__rv", idx.books, m), idCol)
+  }
+
+  /** Query the index: `queries` is (qid, __qv double vector); same
+    * probe/LUT/ADC arithmetic as [[ivfAdcTopKRes]] (which is literally
+    * build + this). */
+  def searchIndexRes(idx: ResIndex, queries: DataFrame, idCol: String,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    require(k > 0 && nprobe > 0, s"k=$k nprobe=$nprobe")
+    val m = idx.books.agg(max(col("sub"))).head().getLong(0).toInt + 1
+    val packedCoarse = packedCoarseOf(idx.coarse)
     // nprobe nearest coarse lists per query, each probe carrying the
     // query's residual against THAT list's centroid
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("__d"), col("__ccid"))
-    val probes = qs.crossJoin(broadcast(packedCoarse))
+    val probes = queries.crossJoin(broadcast(packedCoarse))
       .select(col("qid"), col("__qv"), explode(col("cents")).as("__cb"))
       .select(col("qid"), col("__qv"),
         col("__cb").getField("cid").as("__ccid"),
@@ -269,7 +334,7 @@ object Pq {
     // per-(query, list, sub, codeword) exact residual distances, packed
     // cid-indexed per (query, list): queries × nprobe × m × kCodes rows
     val wcol = (size(col("__qr")) / m).cast("int")
-    val books = cb.groupBy(col("sub"), col("cid"))
+    val books = idx.books.groupBy(col("sub"), col("cid"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
         x => x.getField("c")).as("cvec"))
     val luts = probes.crossJoin(broadcast(books))
@@ -283,12 +348,13 @@ object Pq {
       .groupBy(col("qid"), col("__ccid"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("__l")))),
         x => x.getField("__l")).as("__luts"))
-    val cands = lists
+    val cands = idx.entries.select(col(idCol), col("__ccid"))
       .join(broadcast(probes.select(col("qid"), col("__ccid"))), Seq("__ccid"))
       .select(col("qid"), col("__ccid"), col(idCol))
     val kw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
-    cands.join(codes, idCol).join(broadcast(luts), Seq("qid", "__ccid"))
+    cands.join(idx.entries.select(col(idCol), col("code")), idCol)
+      .join(broadcast(luts), Seq("qid", "__ccid"))
       .select(col("qid"), col(idCol),
         aggregate(zip_with(col("code"),
             sequence(lit(0L), lit(m - 1L)), (cid, s) =>

@@ -184,6 +184,39 @@ class PqSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("ResIndex: frozen re-encode parity, save/load roundtrip, frozen ingestion") {
+    val even = planted.filter(col("vec_id") % 2 === 0)
+    val odd = planted.filter(col("vec_id") % 2 === 1)
+    val idx = Pq.buildIndexRes(even, "vec_id", "embedding")
+    // re-encoding the training set against the frozen books reproduces
+    // the build's own entries exactly (encode is a pure function)
+    val reenc = Pq.addBatchRes(idx, even, "vec_id", "embedding")
+      .select("vec_id", "__ccid", "code")
+      .as[(Long, Long, Seq[Long])].collect().toSet
+    val built = idx.entries.select("vec_id", "__ccid", "code")
+      .as[(Long, Long, Seq[Long])].collect().toSet
+    assert(reenc == built)
+    // ingest the odd half, query from the combined index
+    val full = idx.copy(entries =
+      idx.entries.unionByName(Pq.addBatchRes(idx, odd, "vec_id", "embedding")))
+    val qs = planted.filter(col("vec_id").isin(0L, 1L))
+      .select(col("vec_id").as("qid"),
+        transform(col("embedding"), x => x.cast("double")).as("__qv"))
+    val got = Pq.searchIndexRes(full, qs, "vec_id", k = 5)
+      .select("qid", "nid", "rank", "dist")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(got.map(_._1).toSet == Set(0L, 1L))
+    // save/load roundtrip answers identically
+    val dir = graft.TempDirs.scratchDir("pq_idx").toString
+    Pq.save(full, dir)
+    val loaded = Pq.load(spark, dir)
+    val again = Pq.searchIndexRes(loaded, qs, "vec_id", k = 5)
+      .select("qid", "nid", "rank", "dist")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(got == again)
+    spark.catalog.clearCache()
+  }
+
   test("residual codes quantize at noise scale on the planted layout") {
     // the point of residual encoding: codewords model the within-list
     // displacement, not the absolute position. On the planted layout the
