@@ -1299,6 +1299,27 @@ object SparkEntry {
         docs.withColumn("period", col("doc_id") % 3),
         "text", "period")
     }),
+    // the STREAMING monitoring loop: three driver-chained batches PSI'd
+    // against the frozen persisted src0 reference, one fact row each —
+    // the series matches the batch wordPsiByPeriod math exactly
+    "x_stream_drift" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val refDir = TempDirs.scratchDir("graft_dm_ref").toString
+      graft.streaming.DriftMonitor.saveReference(
+        docs.filter(col("source") === "src0"), "text", refDir)
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_dm_wh").toString)
+      (0L to 2L).foreach { b =>
+        graft.streaming.DriftMonitor.ingestBatch(
+          docs.filter(col("doc_id") % 3 === b)
+            .withColumn("year", lit(2020L) + lit(b)),
+          "text", refDir, wh, "drift", b)
+      }
+      wh.read("drift").get
+        .select(col("batch"), col("year"), col("n_tokens"),
+          col("vocab_union"), col("psi_pico"))
+        .orderBy(col("batch"))
+    }),
     // numeric drift: o_totalprice PSI over 10 shared-edge buckets,
     // even vs odd order keys playing the two snapshots
     "x_drift_num" -> ((s, d) => {
@@ -4020,6 +4041,33 @@ object SparkEntry {
       "(CAST(j.c_b + 1 AS DOUBLE) / (totp.nb + totp.v))) * 1e12) AS BIGINT) AS c " +
       "FROM j JOIN totp ON j.p = totp.p CROSS JOIN na) " +
       "SELECT t.p AS period, CAST(totp.nb AS BIGINT) AS n_tokens, " +
+      "CAST(totp.v AS BIGINT) AS vocab_union, " +
+      "CAST(SUM(t.c) AS BIGINT) AS psi_pico " +
+      "FROM t JOIN totp ON t.p = totp.p GROUP BY 1, totp.nb, totp.v " +
+      "ORDER BY 1"),
+    // same per-period math, batch playing the period; year rides along
+    "x_stream_drift" -> ("WITH refc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_a " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents " +
+      "WHERE source = 'src0') GROUP BY 1), " +
+      "na AS (SELECT CAST(SUM(c_a) AS BIGINT) AS na FROM refc), " +
+      "curc AS (SELECT p, w, CAST(COUNT(*) AS BIGINT) AS c_b FROM " +
+      "(SELECT doc_id % 3 AS p, unnest(string_split(text, ' ')) AS w " +
+      "FROM documents) GROUP BY 1, 2), " +
+      "pd AS (SELECT DISTINCT doc_id % 3 AS p FROM documents), " +
+      "ex AS (SELECT pd.p, refc.w, refc.c_a FROM refc CROSS JOIN pd), " +
+      "j AS (SELECT COALESCE(ex.p, curc.p) AS p, COALESCE(ex.w, curc.w) AS w, " +
+      "COALESCE(ex.c_a, 0) AS c_a, COALESCE(curc.c_b, 0) AS c_b " +
+      "FROM ex FULL OUTER JOIN curc ON ex.p = curc.p AND ex.w = curc.w), " +
+      "totp AS (SELECT p, CAST(SUM(c_b) AS BIGINT) AS nb, COUNT(*) AS v " +
+      "FROM j GROUP BY 1), " +
+      "t AS (SELECT j.p, CAST(FLOOR(" +
+      "(CAST(j.c_a + 1 AS DOUBLE) / (na.na + totp.v) - " +
+      "CAST(j.c_b + 1 AS DOUBLE) / (totp.nb + totp.v)) * " +
+      "LN(CAST(j.c_a + 1 AS DOUBLE) / (na.na + totp.v) / " +
+      "(CAST(j.c_b + 1 AS DOUBLE) / (totp.nb + totp.v))) * 1e12) AS BIGINT) AS c " +
+      "FROM j JOIN totp ON j.p = totp.p CROSS JOIN na) " +
+      "SELECT t.p AS batch, CAST(2020 + t.p AS BIGINT) AS year, " +
+      "CAST(totp.nb AS BIGINT) AS n_tokens, " +
       "CAST(totp.v AS BIGINT) AS vocab_union, " +
       "CAST(SUM(t.c) AS BIGINT) AS psi_pico " +
       "FROM t JOIN totp ON t.p = totp.p GROUP BY 1, totp.nb, totp.v " +
