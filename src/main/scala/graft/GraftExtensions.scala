@@ -88,7 +88,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TextNormalize].getName, "text_normalize"),
       (args: Seq[Expression]) => args match {
         case Seq(c) => TextNormalize(c)
-        case _ => throw new IllegalArgumentException("text_normalize(text)")
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(
+            compat: Boolean, _)) => TextNormalize(c, compat)
+        case _ => throw new IllegalArgumentException(
+          "text_normalize(text[, compat])")
       }))
 
     ext.injectFunction((

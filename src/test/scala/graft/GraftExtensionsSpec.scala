@@ -62,6 +62,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getString(0) == "the quick café")
   }
 
+  test("text_normalize compat mode from SQL folds NFKC forms") {
+    val r = spark.sql(
+      "SELECT text_normalize('\uFF28\uFF25\uFF2C\uFF2C\uFF2F x\u00B2', true) AS n")
+      .collect()(0)
+    assert(r.getString(0) == "hello x2")
+    // default stays canonical: fullwidth survives NFC untouched
+    val c = spark.sql(
+      "SELECT text_normalize('\uFF28\uFF29', false) AS n").collect()(0)
+    assert(c.getString(0) == "\uFF48\uFF49") // lowered fullwidth, not folded
+  }
+
   test("bad argument types rejected") {
     intercept[Exception](spark.sql("SELECT simhash64(1)").collect())
   }
