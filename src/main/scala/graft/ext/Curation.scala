@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * id_sum) — id_sum is an exact content checksum so two engines can
   * compare WHICH documents survived, not just how many.
   *
-  * Scale shape: one groupBy(text) for the dedup (the only corpus-keyed
-  * shuffle — same cost class as [[Dedup.exact]]), then the per-row
+  * Scale shape: one hash-keyed group-by for the dedup (the only
+  * corpus-keyed shuffle — same cost class as [[Dedup.exact]],
+  * xxhash64 keys, never text bytes), then the per-row
   * Gopher vote and the LM join pipeline; each stage count is an
   * aggregate over the running frame. Running frames are persisted
   * between stages so the funnel's four counts don't recompute the
@@ -36,8 +37,12 @@ object Curation {
     val id = col(idCol)
 
     val input = docs.select(id, col(textCol)).persist()
-    val deduped = input
-      .groupBy(col(textCol)).agg(min(id).as(idCol))
+    // dedup keys on xxhash64(text), never the text bytes (the hashed-
+    // tile-key lesson: ~length/8 shuffle-volume cut; 2^-64 collision
+    // stance as documented on Dedup.exact)
+    val deduped = input.join(input
+        .groupBy(xxhash64(col(textCol)).as("__fp")).agg(min(id).as(idCol))
+        .select(id), idCol)
       .select(id, col(textCol)).persist()
     val screened = Repetition
       .gopherFilter(deduped, idCol, textCol, thresholds = thresholds)
@@ -132,8 +137,10 @@ object Curation {
     val scored = screened.join(NgramLm.score(model, screened, idCol, textCol)
         .filter(col("lm_score") >= lit(minScore)).select(id), idCol)
       .localCheckpoint(true)
-    val deduped = scored.join(
-        scored.groupBy(col(textCol)).agg(min(id).as(idCol)).select(id), idCol)
+    // hash-keyed exact dedup (same contract/collision stance as curate)
+    val deduped = scored.join(scored
+        .groupBy(xxhash64(col(textCol)).as("__fp")).agg(min(id).as(idCol))
+        .select(id), idCol)
       .localCheckpoint(true)
     // strip corpus-duplicated tiles, then re-screen the cleaned length
     val cleanWc = when(col("clean_text") === "", lit(0L))
