@@ -571,6 +571,32 @@ object SparkEntry {
           countDistinct(col("o_orderkey")).as("n_keys"))
     }),
 
+    // Bloom-manifest equality skipping (the point-lookup complement of
+    // the zone map): per-file bloom filters prove which files CANNOT
+    // contain a key, the row predicate re-applies after the skip — so
+    // each pruned read equals the plain filtered scan the oracle runs.
+    // Probes cover the original layout (33), the refreshed late slice
+    // (77, held back then appended + refreshBloom), and an absent key.
+    "x_bloom_skip" -> ((s, d) => {
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_bloom").toString)
+      val o = ord(s, d).withColumn("year", year(col("o_orderdate")).cast("long"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("year"))
+      wh.append("fact_o", o.filter(col("o_orderkey") % 10 =!= 7L))
+      wh.optimize("fact_o", Seq("o_orderkey"), targetFiles = 8)
+      wh.collectBloom("fact_o", "o_orderkey")
+      wh.append("fact_o", o.filter(col("o_orderkey") % 10 === 7L))
+      wh.refreshBloom("fact_o", "o_orderkey")
+      Seq(33L, 77L, 999999999L).map { p =>
+        wh.readEquals("fact_o", "o_orderkey", p).get
+          .agg(count(col("o_orderkey")).as("n"),
+            coalesce(moneySum("o_totalprice"), lit(0.0)).as("total"))
+          .withColumn("probe", lit(p))
+      }.reduce(_ unionByName _)
+        .select(col("probe"), col("n"), col("total")).orderBy(col("probe"))
+    }),
+
     "x_merge" -> ((s, d) => {
       val wh = new graft.snapshot.Warehouse(s,
         TempDirs.scratchDir("graft_merge_wh").toString)
@@ -2963,6 +2989,14 @@ object SparkEntry {
       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty, " +
       "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys " +
       "FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000"),
+    // bloom skipping is exact by construction: each probe row must
+    // equal the plain filtered scan (absent key -> 0-count row)
+    "x_bloom_skip" -> ("SELECT CAST(p.probe AS BIGINT) AS probe, " +
+      "COUNT(o.o_orderkey) AS n, " +
+      "CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total " +
+      "FROM (VALUES (33), (77), (999999999)) AS p(probe) " +
+      "LEFT JOIN orders o ON o.o_orderkey = p.probe " +
+      "GROUP BY 1 ORDER BY 1"),
     // one-shot window replay of the whole observation stream: the
     // incremental folds must land on exactly these version chains
     "x_scd2" -> ("WITH obs AS (SELECT o_custkey % 50 AS k, o_orderdate AS ts, " +

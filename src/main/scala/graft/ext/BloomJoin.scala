@@ -26,13 +26,42 @@ object BloomJoin {
   /** The k bit positions for one key. One md5 carries 128 bits — four
     * independent 32-bit chunks — so up to 4 probes cost a SINGLE hash
     * per row (the per-row work on the 100 TB probe scan); beyond 4, each
-    * extra group of 4 salts one more md5. */
-  private def positions(key: Column, bits: Int, k: Int): Seq[Column] =
+    * extra group of 4 salts one more md5. Shared with the Warehouse
+    * per-file bloom manifest, whose driver-side membership test
+    * ([[positionsLocal]]) must stay bit-identical to this column form. */
+  private[graft] def positions(key: Column, bits: Int, k: Int): Seq[Column] =
     (0 until k).map { i =>
       val h =
         if (i < 4) md5(key.cast("string"))
         else md5(concat(key.cast("string"), lit(":" + (i / 4))))
       conv(substring(h, 1 + 8 * (i % 4), 8), 16, 10).cast("long") % bits
+    }
+
+  /** Driver-side twin of [[positions]] for a single already-stringified
+    * key: same md5 → four 32-bit chunks → `% bits` pipeline, evaluated
+    * in plain JVM code. Used where one value must be tested against a
+    * packed filter without spinning up a plan (the Warehouse file-skip
+    * manifest). The caller is responsible for passing the SAME string
+    * Spark's `CAST(key AS STRING)` would produce (Long/Int/String are
+    * safe; floating-point formatting differs between engines). */
+  private[graft] def positionsLocal(key: String, bits: Int, k: Int): Seq[Long] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (0 until k).map { i =>
+      val h = if (i < 4) md5hex(key) else md5hex(key + ":" + (i / 4))
+      val off = 8 * (i % 4)
+      java.lang.Long.parseLong(h.substring(off, off + 8), 16) % bits
+    }
+  }
+
+  /** Membership test against a packed word array built by the same
+    * positions pipeline: true iff all k bits are set (maybe-present;
+    * false = provably absent). */
+  private[graft] def mightContain(key: String, words: Array[Long],
+      bits: Int, k: Int): Boolean =
+    positionsLocal(key, bits, k).forall { p =>
+      (words((p / 64).toInt) >> (p % 64).toInt & 1L) == 1L
     }
 
   /** Build the packed filter: one distributed aggregation folds every

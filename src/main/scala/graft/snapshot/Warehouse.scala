@@ -834,4 +834,145 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
           .filter(p => !pruned.contains(normFile(p)))
       }
     }
+
+  // -------------------------------------------------------------------
+  // Per-file bloom manifest: equality skipping where zone maps can't.
+  //
+  // Zone maps prune RANGE predicates and need the layout clustered on
+  // the column to be sharp. A point lookup on a high-cardinality column
+  // (order id, document id, user hash) is the opposite regime: ranges
+  // overlap everywhere, but any single value truly lives in only a few
+  // files — a per-file bloom filter proves the rest can't contain it.
+  // Same manifest-statistics idea Delta's bloom indexes / Parquet
+  // bloom_filter pages implement, held in one small sidecar so the
+  // reader never opens a footer to decide to skip (at 100 TB the footer
+  // reads ARE the cost). bits=8192 (1 KiB/file) keeps false positives
+  // ~2% at 1k distinct keys/file; false positives only cost an extra
+  // file scan — the row predicate is always re-applied, so results are
+  // exact by construction.
+  // -------------------------------------------------------------------
+
+  private def bloomPath(fact: String) = new Path(path(fact), "_bloom.json")
+
+  /** Build/rebuild the fact's bloom manifest for `column`: one packed
+    * `bits`-bit filter per data file, persisted as JSON lines. One
+    * distributed aggregation; only (files × bits/64) words reach the
+    * driver. Null keys set no bits (an equality probe can never match
+    * null). */
+  def collectBloom(fact: String, column: String, bits: Int = 1 << 13,
+      k: Int = 4): Unit =
+    read(fact).foreach(df => writeBloom(fact, df, column, bits, k, Nil))
+
+  /** Incremental manifest refresh after appends: scan only the data
+    * files the manifest does not cover (same cadence contract as
+    * [[refreshStats]]). A manifest built with different column/bits/k
+    * parameters is rebuilt from scratch. */
+  def refreshBloom(fact: String, column: String, bits: Int = 1 << 13,
+      k: Int = 4): Unit = {
+    if (!fs.exists(bloomPath(fact))) { collectBloom(fact, column, bits, k); return }
+    val entries = bloomEntries(fact)
+    val compatible = entries.forall(e =>
+      e.col == column && e.bits == bits && e.k == k)
+    if (!compatible) { collectBloom(fact, column, bits, k); return }
+    val known = entries.map(e => normFile(e.file)).toSet
+    val newFiles = dataFiles(fact).map(_.toString)
+      .filterNot(p => known.contains(normFile(p)))
+    if (newFiles.isEmpty) return
+    val reader = spark.read.option("basePath", path(fact).toString)
+    val df = storedSchema(fact).map(reader.schema).getOrElse(reader)
+      .parquet(newFiles: _*)
+    writeBloom(fact, df, column, bits, k, manifestLines0(bloomPath(fact)))
+  }
+
+  private def writeBloom(fact: String, df: DataFrame, column: String,
+      bits: Int, k: Int, keepLines: Seq[String]): Unit = {
+    require(bits > 0 && bits % 64 == 0, s"bits must be a positive multiple of 64, got $bits")
+    require(k > 0, s"need k > 0 hash probes, got $k")
+    val perPos = df.filter(col(column).isNotNull)
+      .select(input_file_name().as("file"),
+        explode(array(graft.ext.BloomJoin.positions(col(column), bits, k): _*)).as("p"))
+    val words = perPos
+      .select(col("file"), (col("p") / 64).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("m"))
+      .groupBy(col("file"), col("w")).agg(bit_or(col("m")).as("m"))
+      .collect()
+    val byFile = words.groupBy(_.getString(0))
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val lines = byFile.toSeq.sortBy(_._1).map { case (file, rs) =>
+      val arr = new Array[Long](bits / 64)
+      rs.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+      s"""{"file":"${esc(file)}","col":"${esc(column)}","bits":$bits,"k":$k,"words":[${arr.mkString(",")}]}"""
+    }
+    val out = fs.create(bloomPath(fact), true)
+    try out.write((keepLines ++ lines).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private case class BloomEntry(file: String, col: String, bits: Int,
+      k: Int, words: Array[Long])
+
+  private def manifestLines0(at: Path): Seq[String] = {
+    val in = fs.open(at)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    txt.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  private def bloomEntries(fact: String): Seq[BloomEntry] = {
+    val df = parseManifest(manifestLines0(bloomPath(fact)))
+    df.select(col("file"), col("col"), col("bits").cast("int"),
+        col("k").cast("int"), col("words"))
+      .collect().map { r =>
+        BloomEntry(r.getString(0), r.getString(1), r.getInt(2), r.getInt(3),
+          r.getSeq[Long](4).toArray)
+      }.toSeq
+  }
+
+  /** Spark's `CAST(x AS STRING)` for the key types the bloom manifest
+    * supports — the driver-side probe must hash the SAME bytes the
+    * writer's column expression hashed. Floating-point values are
+    * rejected: their string forms differ across engines/paths. */
+  private def sparkKeyString(v: Any): String = v match {
+    case s: String => s
+    case l: Long => l.toString
+    case i: Int => i.toString
+    case s: Short => s.toString
+    case b: Byte => b.toString
+    case b: Boolean => b.toString
+    case other => throw new IllegalArgumentException(
+      s"bloom probe supports integral/string/boolean keys, got ${other.getClass.getSimpleName}")
+  }
+
+  /** Files an equality probe `column = value` must scan: every current
+    * data file EXCEPT those whose bloom filter proves the value absent.
+    * Files the manifest doesn't cover (newer than the last refresh) and
+    * facts with no/incompatible manifest always return the full listing
+    * — skipping is an optimization, never a filter. */
+  def filesForEquals(fact: String, column: String, value: Any): Seq[String] = {
+    val key = sparkKeyString(value)
+    val all = dataFiles(fact).map(_.toString)
+    if (!fs.exists(bloomPath(fact))) return all
+    val entries = bloomEntries(fact).filter(_.col == column)
+    if (entries.isEmpty) return all
+    val absent = entries.filterNot(e =>
+        graft.ext.BloomJoin.mightContain(key, e.words, e.bits, e.k))
+      .map(e => normFile(e.file)).toSet
+    all.filter(p => !absent.contains(normFile(p)))
+  }
+
+  /** Read the fact restricted to `column = value`, skipping every file
+    * whose bloom filter proves the value absent. EXACT under stale
+    * manifests: uncovered files are always read and the row-level
+    * predicate is re-applied after the file-level skip. */
+  def readEquals(fact: String, column: String, value: Any): Option[DataFrame] =
+    read(fact).map { full =>
+      val pred = col(column) === lit(value)
+      if (!fs.exists(bloomPath(fact))) full.filter(pred)
+      else filesForEquals(fact, column, value) match {
+        case Nil => full.filter(pred).limit(0)
+        case files =>
+          val reader = spark.read.option("basePath", path(fact).toString)
+          storedSchema(fact).map(reader.schema).getOrElse(reader)
+            .parquet(files: _*).filter(pred)
+      }
+    }
 }
