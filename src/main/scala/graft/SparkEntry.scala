@@ -1524,6 +1524,18 @@ object SparkEntry {
         .select(col("grp").as("label"), col("dim"), col("c"))
         .orderBy(col("label"), col("dim"))),
 
+    // PCA moments — the distributed half of Pca.fit: the full 64x64
+    // upper-triangle covariance of the embedding corpus from
+    // floor-quantized long sums (one scan, 2080-key map-side-combined
+    // shuffle). DuckDB replays the identical integer folds; the O(d^3)
+    // driver eigensolve over this output is property-gated in PcaSpec
+    // (Cv = lambda v residuals, orthonormality, planted-direction
+    // recovery).
+    "x_embed_pca" -> ((s, d) =>
+      graft.ext.Pca.covariance(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding")
+        .orderBy(col("i"), col("j"))),
+
     // int8 scalar quantization of the embedding corpus (the ANN memory/IO
     // compression step): codes are a pure double-precision function of
     // per-dim global min/max, so DuckDB replays them bit-identically;
@@ -4440,6 +4452,22 @@ object SparkEntry {
       "FROM (SELECT label, unnest(embedding) AS v, " +
       "unnest(range(len(embedding))) AS dim FROM embeddings) t " +
       "GROUP BY 1, 2 ORDER BY 1, 2"),
+    // covariance from floor-quantized long moment sums: identical
+    // integer folds, then identical pure-double derivation (1e6 is a
+    // DOUBLE literal in both engines; long->double exact below 2^53)
+    "x_embed_pca" -> ("WITH e AS (SELECT vec_id, CAST(dim AS BIGINT) AS i, " +
+      "CAST(v AS DOUBLE) AS x FROM (SELECT vec_id, unnest(embedding) AS v, " +
+      "unnest(range(len(embedding))) AS dim FROM embeddings) t), " +
+      "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings), " +
+      "m AS (SELECT i, CAST(SUM(CAST(FLOOR(x * 1e6) AS BIGINT)) AS DOUBLE) AS sx " +
+      "FROM e GROUP BY 1), " +
+      "p AS (SELECT a.i AS i, b.i AS j, " +
+      "CAST(SUM(CAST(FLOOR((a.x * b.x) * 1e6) AS BIGINT)) AS DOUBLE) AS sxy " +
+      "FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2) " +
+      "SELECT p.i AS i, p.j AS j, " +
+      "p.sxy / (1e6 * nn.n) - (ma.sx / (1e6 * nn.n)) * (mb.sx / (1e6 * nn.n)) AS cov " +
+      "FROM p CROSS JOIN nn JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j " +
+      "ORDER BY 1, 2"),
     // same centroid replay, same index-order distance folds, mean
     // distance in floor units, literals cast ::DOUBLE
     "x_embed_outlier" -> ("WITH pts AS (SELECT vec_id, CAST(label AS BIGINT) AS grp, " +
