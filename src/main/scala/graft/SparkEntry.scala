@@ -922,6 +922,17 @@ object SparkEntry {
     "x_triangles" -> ((s, d) =>
       graft.ext.Triangles.perNode(graft.ext.Fixtures.plantedEdges(s))
         .orderBy(col("node"))),
+    // Newman modularity terms per community — the "is this clustering
+    // any good" yardstick for the labelprop family: exact long counts
+    // (canonical undirected edges, degrees, internal edges) and a
+    // fixed-shape double derivation replayed verbatim by the oracle
+    "x_modularity" -> ((s, d) => {
+      val nodes = s.range(400)
+        .select(col("id").as("node"), (col("id") % 6).as("comm"))
+      graft.ext.Modularity.score(graft.ext.Fixtures.plantedEdges(s),
+        "src", "dst", nodes, "node", "comm")
+        .orderBy(col("comm"))
+    }),
     // Session path mining: top-20 within-session event-type trigrams
     // (same 30-min gap sessions as x_sessions; event_id breaks ts ties)
     "x_paths" -> ((s, d) =>
@@ -4559,6 +4570,26 @@ object SparkEntry {
       "SELECT node, COUNT(*) AS triangles FROM " +
       "(SELECT u AS node FROM tri UNION ALL SELECT x FROM tri UNION ALL SELECT y FROM tri) t " +
       "GROUP BY 1 ORDER BY 1"),
+    // modularity: identical canonical-edge/degree/internal long counts,
+    // then the same L/m - (d/2m)^2 double shape (2.0 widens exactly)
+    "x_modularity" -> ("WITH e0 AS (" + graft.ext.Fixtures.plantedEdgesSql() + "), " +
+      "und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0 WHERE src != dst), " +
+      "mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM und), " +
+      "nodes AS (SELECT id AS node, id % 6 AS comm FROM range(0, 400) t(id)), " +
+      "deg AS (SELECT node, COUNT(*) AS dg FROM " +
+      "(SELECT a AS node FROM und UNION ALL SELECT b FROM und) dd GROUP BY 1), " +
+      "dc AS (SELECT n.comm AS comm, COUNT(*) AS n_nodes, " +
+      "CAST(COALESCE(SUM(d.dg), 0) AS BIGINT) AS deg_sum " +
+      "FROM nodes n LEFT JOIN deg d ON d.node = n.node GROUP BY 1), " +
+      "ic AS (SELECT na.comm AS comm, COUNT(*) AS internal " +
+      "FROM und u JOIN nodes na ON na.node = u.a JOIN nodes nb ON nb.node = u.b " +
+      "WHERE na.comm = nb.comm GROUP BY 1) " +
+      "SELECT dc.comm AS comm, dc.n_nodes AS n_nodes, dc.deg_sum AS deg_sum, " +
+      "CAST(COALESCE(ic.internal, 0) AS BIGINT) AS internal_edges, " +
+      "CAST(COALESCE(ic.internal, 0) AS DOUBLE) / mm.m - " +
+      "(CAST(dc.deg_sum AS DOUBLE) / (2.0 * mm.m)) * " +
+      "(CAST(dc.deg_sum AS DOUBLE) / (2.0 * mm.m)) AS q " +
+      "FROM dc LEFT JOIN ic ON ic.comm = dc.comm CROSS JOIN mm ORDER BY 1"),
     "x_hierarchy" -> ("WITH RECURSIVE e AS (" + graft.ext.Fixtures.plantedForestSql() + "), " +
       "lv(node, root, depth) AS (" +
       "SELECT id, id, CAST(0 AS BIGINT) FROM range(0, 620) t(id) WHERE id % 31 = 0 " +
