@@ -1386,6 +1386,29 @@ object SparkEntry {
           (col("score_micro") >= 500000L).cast("long").as("keep"))
         .orderBy(col("doc_id"))
     }),
+    // Classifier evaluation over the SAME trained screen: exact
+    // Mann-Whitney AUC (distributed bucketed rank prefix — no global
+    // window) + threshold confusion rates, one measurement row. The
+    // oracle replays training, scoring, ranking, and every division
+    // shape.
+    "x_quality_eval" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val sw = array(graft.ext.TextAnalysis.defaultStopwords.map(lit): _*)
+      val feats = Tables.load(s, d, "documents").select(col("doc_id"),
+        (col("lang") === "en").cast("double").as("y"),
+        (size(filter(toks, t => array_contains(sw, t))).cast("double") /
+          size(toks)).as("f_stop"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("f_ttr"),
+        (length(col("text")).cast("double") / (size(toks) * lit(10)))
+          .as("f_len"))
+      val fcols = Seq("f_stop", "f_ttr", "f_len")
+      val w = graft.ext.LogReg.train(feats, fcols, "y", iters = 8, lr = 1.0)
+      val scored = graft.ext.LogReg.predict(feats, fcols, w)
+        .select(col("score_micro"), col("y"))
+      graft.ext.Eval.rocAuc(scored, "score_micro", "y")
+        .crossJoin(graft.ext.Eval.binaryConfusion(scored, "score_micro", "y",
+          500000L))
+    }),
     "x_dedup_ngram" -> ((s, d) =>
       graft.ext.Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"),
         "doc_id", "text", n = 3, threshold = 0.5)
@@ -3972,6 +3995,7 @@ object SparkEntry {
     // 8 unrolled GD steps then the final sigmoid, all in the operator's
     // exact float op order
     "x_quality_lr" -> lrOracleSql(8),
+    "x_quality_eval" -> lrEvalOracleSql(8, 500000L),
     // lexical rules: list folds for the sums, same rounded-ratio vote
     "x_gopher_lex" -> ("WITH m AS (SELECT doc_id, " +
       "CAST(len(ws) AS BIGINT) AS word_count, " +
@@ -5248,7 +5272,10 @@ object SparkEntry {
     * applies the update), then the final sigmoid scoring. Every float
     * expression mirrors the operator's left-associated op order;
     * literals cast ::DOUBLE. */
-  private def lrOracleSql(iters: Int): String = {
+  /** The LR training-replay CTE chain, shared by the score gate and the
+    * evaluation gate: returns (cteList, sigmoidExpr-over-final-weights,
+    * finalWeightCte). */
+  private def lrCtes(iters: Int): (String, String, String) = {
     val fs = Seq("f_stop", "f_ttr", "f_len")
     val stop = graft.ext.TextAnalysis.defaultStopwords
       .map(w => s"'$w'").mkString(", ")
@@ -5283,11 +5310,54 @@ object SparkEntry {
       parts += s"w$k AS MATERIALIZED (SELECT $upd FROM g$k " +
         s"CROSS JOIN $p CROSS JOIN nn)"
     }
-    "WITH " + parts.mkString(", ") +
-      s" SELECT doc_id, CAST(FLOOR(${sig(s"w$iters")} * 1e6) AS BIGINT) " +
+    (parts.mkString(", "), sig(s"w$iters"), s"w$iters")
+  }
+
+  private def lrOracleSql(iters: Int): String = {
+    val (ctes, sigF, wN) = lrCtes(iters)
+    "WITH " + ctes +
+      s" SELECT doc_id, CAST(FLOOR($sigF * 1e6) AS BIGINT) " +
       "AS score_micro, CAST(CASE WHEN " +
-      s"FLOOR(${sig(s"w$iters")} * 1e6) >= 500000 THEN 1 ELSE 0 END " +
-      s"AS BIGINT) AS keep FROM feats CROSS JOIN w$iters ORDER BY doc_id"
+      s"FLOOR($sigF * 1e6) >= 500000 THEN 1 ELSE 0 END " +
+      s"AS BIGINT) AS keep FROM feats CROSS JOIN $wN ORDER BY doc_id"
+  }
+
+  /** Classifier-evaluation replay: the LR chain's scores feed the exact
+    * Mann-Whitney AUC (doubled average ranks stay integral) and the
+    * threshold confusion rates — every count a BIGINT until the final
+    * double divisions, whose shapes mirror Eval.scala exactly. */
+  private def lrEvalOracleSql(iters: Int, thr: Long): String = {
+    val (ctes, sigF, wN) = lrCtes(iters)
+    "WITH " + ctes + ", " +
+      s"sc AS MATERIALIZED (SELECT CAST(FLOOR($sigF * 1e6) AS BIGINT) AS s, " +
+      s"CAST(y AS BIGINT) AS yp FROM feats CROSS JOIN $wN), " +
+      "cnt AS (SELECT s, CAST(SUM(yp) AS BIGINT) AS np, " +
+      "CAST(COUNT(*) - SUM(yp) AS BIGINT) AS nn FROM sc GROUP BY 1), " +
+      "wd AS (SELECT np, nn, CAST(COALESCE(SUM(np + nn) OVER " +
+      "(ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+      "AS BIGINT) AS cumb FROM cnt), " +
+      "ag AS (SELECT CAST(SUM(np * (2 * cumb + np + nn + 1)) AS BIGINT) AS s2, " +
+      "CAST(SUM(np) AS BIGINT) AS npos, CAST(SUM(nn) AS BIGINT) AS nneg FROM wd), " +
+      s"cm0 AS (SELECT " +
+      s"CAST(SUM(CASE WHEN s >= $thr AND yp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
+      s"CAST(SUM(CASE WHEN s >= $thr AND yp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
+      s"CAST(SUM(CASE WHEN s < $thr AND yp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn, " +
+      s"CAST(SUM(CASE WHEN s < $thr AND yp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn " +
+      "FROM sc), " +
+      "cm AS (SELECT tp, fp, fn, tn, " +
+      "CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prec, " +
+      "CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS rec, " +
+      "CASE WHEN tp + fp + fn + tn > 0 THEN CAST(tp + tn AS DOUBLE) / " +
+      "CAST(tp + fp + fn + tn AS DOUBLE) END AS acc FROM cm0) " +
+      "SELECT CASE WHEN ag.npos > 0 AND ag.nneg > 0 THEN " +
+      "CAST(ag.s2 - ag.npos * (ag.npos + 1) AS DOUBLE) / " +
+      "(2.0 * CAST(ag.npos AS DOUBLE) * CAST(ag.nneg AS DOUBLE)) END AS auc, " +
+      "ag.npos AS n_pos, ag.nneg AS n_neg, cm.tp, cm.fp, cm.fn, cm.tn, " +
+      "cm.prec, cm.rec, " +
+      "CASE WHEN cm.prec IS NOT NULL AND cm.rec IS NOT NULL AND " +
+      "(cm.prec + cm.rec) > 0.0 THEN (2.0 * cm.prec * cm.rec) / " +
+      "(cm.prec + cm.rec) END AS f1, cm.acc " +
+      "FROM ag CROSS JOIN cm"
   }
 
   /** Gopher keep vote over the RAW document text (no reflow), as a CTE

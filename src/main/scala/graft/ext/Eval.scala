@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Binary-classifier evaluation over a scored corpus: the measurement
+  * half the quality-classifier family ([[LogReg]], the LM screens) was
+  * missing — you don't ship a screen whose threshold nobody evaluated.
+  *
+  * Scores are LONG micro-units (the repo-wide quantized-score
+  * convention — [[LogReg.predict]]'s `score_micro` plugs in directly),
+  * which makes every statistic here exact integer arithmetic until one
+  * final double division, so the numbers replay bit-identically in SQL
+  * and across partitionings.
+  *
+  * [[rocAuc]] is the exact Mann–Whitney form with average ranks for
+  * ties: AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻), computed over the
+  * DISTINCT-score table (corpus-sized input collapses to ≤ #distinct
+  * scores rows in one hash aggregation). The rank prefix-sum is
+  * DISTRIBUTED — scores bucket by value range, per-bucket totals
+  * (≤ `buckets` rows, the only driver collect) become broadcast
+  * offsets, and the window runs per bucket — the packSequences bucketed
+  * prefix, not a single-partition global window. Doubled ranks
+  * (2·avgrank = 2·cum_before + cnt + 1) keep the tie-halves integral;
+  * Σ long terms stay exact below ~2e9 rows.
+  */
+object Eval {
+
+  /** Exact ROC-AUC with tie handling: 1 row (auc, n_pos, n_neg).
+    * `auc` is NULL when either class is empty (no ranking exists).
+    * `labelCol` is 1 for positives, anything else negative. */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    val spark = df.sparkSession
+    val cnt = df.select(col(scoreCol).cast("long").as("s"),
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("p"))
+      .groupBy(col("s"))
+      .agg(sum(col("p")).as("np"), (count(lit(1)) - sum(col("p"))).as("nn"))
+    val bounds = cnt.agg(min(col("s")), max(col("s"))).head()
+    if (bounds.isNullAt(0)) {
+      // empty input: one all-NULL/zero row, same schema
+      return spark.range(1).select(lit(null).cast("double").as("auc"),
+        lit(0L).as("n_pos"), lit(0L).as("n_neg"))
+    }
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo) / buckets + 1)
+    val withB = cnt.withColumn("bucket",
+      expr(s"(s - ${lo}L) DIV ${width}L"))
+    // per-bucket totals -> cumulative offsets: bounded by `buckets`,
+    // the one (small) driver round-trip that removes the global window
+    val totals = withB.groupBy(col("bucket"))
+      .agg(sum(col("np") + col("nn")).as("bc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (b, c)) => (b, acc + c)
+    }.sliding(2).map { case Array((_, off0), (b, _)) => (b, off0) }.toSeq
+    import spark.implicits._
+    val offDf = offsets.toDF("bucket", "off")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB
+      .withColumn("within", coalesce(sum(col("np") + col("nn")).over(w), lit(0L)))
+      .join(broadcast(offDf), "bucket")
+      .select(col("np"), col("nn"),
+        (col("off") + col("within")).as("cumb"))
+      .agg(sum(col("np") * (lit(2L) * col("cumb") + col("np") + col("nn") + lit(1L)))
+          .as("s2"),
+        sum(col("np")).as("npos"), sum(col("nn")).as("nneg"))
+      .select(
+        when(col("npos") > 0L && col("nneg") > 0L,
+          (col("s2") - col("npos") * (col("npos") + lit(1L))).cast("double") /
+            (lit(2.0) * col("npos").cast("double") * col("nneg").cast("double")))
+          .as("auc"),
+        col("npos").as("n_pos"), col("nneg").as("n_neg"))
+  }
+
+  /** Confusion counts and derived rates at `threshold` (score >=
+    * threshold predicts positive): 1 row (tp, fp, fn, tn, prec, rec,
+    * f1, acc). Rates are NULL when their denominator is empty — the
+    * documented contract, not a crash (Spark 4 ANSI divides throw). */
+  def binaryConfusion(df: DataFrame, scoreCol: String, labelCol: String,
+      threshold: Long): DataFrame = {
+    val s = col(scoreCol).cast("long")
+    val y = col(labelCol).cast("long") === 1L
+    val pred = s >= lit(threshold)
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    val base = df.agg(
+      cnt(pred && y).as("tp"), cnt(pred && !y).as("fp"),
+      cnt(!pred && y).as("fn"), cnt(!pred && !y).as("tn"))
+    def ratio(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den > 0L, num.cast("double") / den.cast("double"))
+    base.select(col("tp"), col("fp"), col("fn"), col("tn"),
+        ratio(col("tp"), col("tp") + col("fp")).as("prec"),
+        ratio(col("tp"), col("tp") + col("fn")).as("rec"),
+        ratio(col("tp") + col("tn"),
+          col("tp") + col("fp") + col("fn") + col("tn")).as("acc"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        col("prec"), col("rec"),
+        when(col("prec").isNotNull && col("rec").isNotNull &&
+            (col("prec") + col("rec")) > 0.0,
+          (lit(2.0) * col("prec") * col("rec")) / (col("prec") + col("rec")))
+          .as("f1"),
+        col("acc"))
+  }
+}

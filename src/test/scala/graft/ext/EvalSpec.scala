@@ -1,0 +1,90 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+
+class EvalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def scored(rows: (Long, Long)*): DataFrame =
+    rows.toDF("score", "y")
+
+  private def auc(df: DataFrame, buckets: Int = 1024): Option[Double] = {
+    val r = Eval.rocAuc(df, "score", "y", buckets).head()
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  test("tied ranks use the Mann-Whitney average-rank form exactly") {
+    // scores 10,20,20,30 / labels 0,0,1,1 -> ranks 1, 2.5, 2.5, 4;
+    // R+ = 2.5 + 4 = 6.5; AUC = (6.5 - 3) / (2*2) = 0.875
+    val df = scored((10L, 0L), (20L, 0L), (20L, 1L), (30L, 1L))
+    assert(auc(df).contains(0.875))
+  }
+
+  test("perfect, inverted, and all-tied rankings score 1, 0, 0.5") {
+    val perfect = scored((1L, 0L), (2L, 0L), (8L, 1L), (9L, 1L))
+    val inverted = scored((9L, 0L), (8L, 0L), (1L, 1L), (2L, 1L))
+    val tied = scored((5L, 0L), (5L, 0L), (5L, 1L), (5L, 1L))
+    assert(auc(perfect).contains(1.0))
+    assert(auc(inverted).contains(0.0))
+    assert(auc(tied).contains(0.5))
+  }
+
+  test("single-class and empty inputs yield NULL auc with honest counts") {
+    val onlyPos = Eval.rocAuc(scored((1L, 1L), (2L, 1L)), "score", "y").head()
+    assert(onlyPos.isNullAt(0) && onlyPos.getLong(1) == 2L && onlyPos.getLong(2) == 0L)
+    val empty = Eval.rocAuc(scored(), "score", "y").head()
+    assert(empty.isNullAt(0) && empty.getLong(1) == 0L && empty.getLong(2) == 0L)
+  }
+
+  test("bucket count never changes the result (the prefix is exact)") {
+    val df = scored((0 until 500).map(i =>
+      (((i * 7919) % 97).toLong, (i % 3 == 0, i % 97 < 40) match {
+        case (true, _) => 1L
+        case (_, hi) => if (hi) 1L else 0L
+      })): _*)
+    val reference = auc(df, buckets = 1)
+    assert(reference.isDefined)
+    Seq(2, 7, 64, 1024, 100000).foreach { b =>
+      assert(auc(df, b) == reference, s"buckets=$b diverged")
+    }
+    assert(auc(df.repartition(13), 64) == reference, "repartition diverged")
+  }
+
+  test("auc matches brute-force concordant-pair counting") {
+    val rows = (0 until 300).map { i =>
+      val s = ((i * 31) % 50).toLong
+      val y = if ((i * 17) % 7 < 3 && s > 20) 1L else if ((i * 13) % 11 == 0) 1L else 0L
+      (s, y)
+    }
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    val pairs = for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+    val brute = pairs.sum / (pos.size.toDouble * neg.size.toDouble)
+    val got = auc(rows.toDF("score", "y")).get
+    assert(math.abs(got - brute) < 1e-12, s"got $got want $brute")
+  }
+
+  test("confusion matrix and rates at a threshold") {
+    // threshold 50: pred+ = {60y1, 70y0, 50y1}, pred- = {40y1, 10y0, 20y0}
+    val df = scored((60L, 1L), (70L, 0L), (50L, 1L), (40L, 1L), (10L, 0L), (20L, 0L))
+    val r = Eval.binaryConfusion(df, "score", "y", 50L).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 1L, 1L, 2L)))
+    assert(r.getDouble(4) == 2.0 / 3.0) // prec
+    assert(r.getDouble(5) == 2.0 / 3.0) // rec
+    val p = 2.0 / 3.0
+    assert(r.getDouble(6) == (2.0 * p * p) / (p + p)) // f1
+    assert(r.getDouble(7) == 4.0 / 6.0) // acc
+  }
+
+  test("empty denominators yield NULL rates, not a crash") {
+    // nothing predicted positive -> prec NULL; no positives -> rec NULL
+    val noPos = scored((10L, 0L), (20L, 0L))
+    val r = Eval.binaryConfusion(noPos, "score", "y", 100L).head()
+    assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+    assert(r.getDouble(7) == 1.0) // all correctly negative
+    val emptyR = Eval.binaryConfusion(scored(), "score", "y", 0L).head()
+    assert(emptyR.isNullAt(7))
+  }
+}
