@@ -1409,6 +1409,25 @@ object SparkEntry {
         .crossJoin(graft.ext.Eval.binaryConfusion(scored, "score_micro", "y",
           500000L))
     }),
+    // Reliability diagram of the same screen: per probability bin,
+    // exact micro-sum mean prediction vs realized positive rate
+    "x_quality_calib" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val sw = array(graft.ext.TextAnalysis.defaultStopwords.map(lit): _*)
+      val feats = Tables.load(s, d, "documents").select(col("doc_id"),
+        (col("lang") === "en").cast("double").as("y"),
+        (size(filter(toks, t => array_contains(sw, t))).cast("double") /
+          size(toks)).as("f_stop"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("f_ttr"),
+        (length(col("text")).cast("double") / (size(toks) * lit(10)))
+          .as("f_len"))
+      val fcols = Seq("f_stop", "f_ttr", "f_len")
+      val w = graft.ext.LogReg.train(feats, fcols, "y", iters = 8, lr = 1.0)
+      val scored = graft.ext.LogReg.predict(feats, fcols, w)
+        .select(col("score_micro"), col("y"))
+      graft.ext.Eval.calibrationBins(scored, "score_micro", "y", bins = 100)
+        .orderBy(col("bin"))
+    }),
     "x_dedup_ngram" -> ((s, d) =>
       graft.ext.Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"),
         "doc_id", "text", n = 3, threshold = 0.5)
@@ -3996,6 +4015,17 @@ object SparkEntry {
     // exact float op order
     "x_quality_lr" -> lrOracleSql(8),
     "x_quality_eval" -> lrEvalOracleSql(8, 500000L),
+    "x_quality_calib" -> {
+      val (ctes, sigF, wN) = lrCtes(8)
+      "WITH " + ctes + ", " +
+        s"sc AS (SELECT CAST(FLOOR($sigF * 1e6) AS BIGINT) AS s, " +
+        s"CAST(y AS BIGINT) AS yp FROM feats CROSS JOIN $wN) " +
+        "SELECT CAST(GREATEST(LEAST((s * 100) // 1000000, 99), 0) AS BIGINT) AS bin, " +
+        "COUNT(*) AS n, " +
+        "CAST(SUM(s) AS DOUBLE) / (1e6 * CAST(COUNT(*) AS DOUBLE)) AS mean_pred, " +
+        "CAST(SUM(yp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_pos " +
+        "FROM sc GROUP BY 1 ORDER BY 1"
+    },
     // lexical rules: list folds for the sums, same rounded-ratio vote
     "x_gopher_lex" -> ("WITH m AS (SELECT doc_id, " +
       "CAST(len(ws) AS BIGINT) AS word_count, " +

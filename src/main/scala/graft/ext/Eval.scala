@@ -76,6 +76,32 @@ object Eval {
         col("npos").as("n_pos"), col("nneg").as("n_neg"))
   }
 
+  /** Reliability-diagram bins for a probability score in MICRO-units
+    * ([0, 1e6], [[LogReg.predict]]'s scale): per bin, (bin, n,
+    * mean_pred, frac_pos) — a calibrated screen has mean_pred ≈
+    * frac_pos per bin; the gap, n-weighted, is the expected calibration
+    * error. Bin = floor(s·bins/1e6) clamped into [0, bins−1] (the
+    * s = 1e6 edge folds into the top bin). One hash aggregation; counts
+    * and micro-sums are exact longs, the two rates are final double
+    * divisions. Out-of-range scores clamp into the edge bins rather
+    * than vanish. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"need bins > 0, got $bins")
+    df.select(col(scoreCol).cast("long").as("s"),
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("p"))
+      .withColumn("bin",
+        greatest(least(expr(s"(s * ${bins}L) DIV 1000000L"),
+          lit((bins - 1).toLong)), lit(0L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("ssum"),
+        sum(col("p")).as("npos"))
+      .select(col("bin"), col("n"),
+        (col("ssum").cast("double") / (lit(1e6) * col("n").cast("double")))
+          .as("mean_pred"),
+        (col("npos").cast("double") / col("n").cast("double")).as("frac_pos"))
+  }
+
   /** Confusion counts and derived rates at `threshold` (score >=
     * threshold predicts positive): 1 row (tp, fp, fn, tn, prec, rec,
     * f1, acc). Rates are NULL when their denominator is empty — the

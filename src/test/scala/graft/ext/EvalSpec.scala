@@ -78,6 +78,31 @@ class EvalSpec extends SparkTestBase {
     assert(r.getDouble(7) == 4.0 / 6.0) // acc
   }
 
+  test("calibration bins: clamped binning, exact per-bin rates") {
+    // micro-unit probabilities; 1e6 and out-of-range clamp to edge bins
+    val df = scored((50000L, 0L), (60000L, 1L), (150000L, 0L),
+      (999999L, 1L), (1000000L, 1L), (1200000L, 1L), (-5L, 0L))
+    val rows = Eval.calibrationBins(df, "score", "y", bins = 10)
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(rows.map(_._1) == Seq(0L, 1L, 9L))
+    val b0 = rows(0)
+    assert(b0._2 == 3L && b0._3 == 109995.0 / (1e6 * 3.0) && b0._4 == 1.0 / 3.0)
+    assert(rows(1) == ((1L, 1L, 0.15, 0.0)))
+    val b9 = rows(2)
+    assert(b9._2 == 3L && b9._4 == 1.0)
+    // a perfectly calibrated synthetic screen has mean_pred ~ frac_pos
+    val calib = (0 until 1000).map { i =>
+      val p = (i % 100) * 10000L + 5000L // 0.005 .. 0.995
+      (p, if ((i * 37) % 1000 < p / 1000) 1L else 0L)
+    }
+    val ece = Eval.calibrationBins(calib.toDF("score", "y"), "score", "y", 10)
+      .collect().map(r => r.getLong(1).toDouble *
+        math.abs(r.getDouble(2) - r.getDouble(3))).sum / 1000.0
+    assert(ece < 0.05, s"synthetic calibrated screen has ECE $ece")
+  }
+
   test("empty denominators yield NULL rates, not a crash") {
     // nothing predicted positive -> prec NULL; no positives -> rec NULL
     val noPos = scored((10L, 0L), (20L, 0L))
