@@ -858,7 +858,15 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
     * `bits`-bit filter per data file, persisted as JSON lines. One
     * distributed aggregation; only (files × bits/64) words reach the
     * driver. Null keys set no bits (an equality probe can never match
-    * null). */
+    * null).
+    *
+    * SIZE `bits` TO THE KEYS PER FILE: with k=4 probes the false-positive
+    * rate is (1−e^(−4n/bits))⁴ — budget ≥ 10 bits per distinct key
+    * (~1% FP; the default 8 Kib covers ~800 keys/file) and the filter
+    * degrades gracefully (saturation only means fewer skips, never a
+    * wrong row — the ScaleDemo bloom_probe row at K=50 shows exactly
+    * this failure-to-prune under an undersized filter vs the sharp
+    * 17-bit sizing). */
   def collectBloom(fact: String, column: String, bits: Int = 1 << 13,
       k: Int = 4): Unit =
     read(fact).foreach(df => writeBloom(fact, df, column, bits, k, Nil))

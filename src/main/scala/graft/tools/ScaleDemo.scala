@@ -645,6 +645,41 @@ object ScaleDemo {
         .groupBy(col("split")).agg(count(lit(1))).collect()
       docs
     }
+    timedVec("pca_cov") {
+      // one Kx corpus scan exploding to d(d+1)/2-key partial aggregates:
+      // shuffle stays 2080 keys regardless of K, output is matrix-sized
+      graft.ext.Pca.covariance(embK, "vec_id", "embedding").count()
+    }
+    timed("auc") {
+      // exact Mann-Whitney AUC over Kx scored rows: corpus collapses to
+      // the distinct-score table (bounded by the micro-unit domain) in
+      // one hash agg; the rank prefix is bucketed, never a global window
+      val scoredK = corpus.select(col("doc_id"),
+        pmod(xxhash64(col("doc_id")), lit(1000000L)).as("s"),
+        (col("doc_id") % 3 === 0).cast("long").as("y"))
+      graft.ext.Eval.rocAuc(scoredK, "s", "y").collect()
+      docs
+    }
+    if (selected("bloom_probe")) locally {
+      // equality file-skipping: manifest build is one aggregation scan
+      // (amortized, like the serving index); the timed probe reads the
+      // sidecar + only the surviving files. bits sized to keys/file
+      // (~K*1000/32 distinct keys -> 2^17 bits keeps FP < 1% at K=50;
+      // the 8 Kib default saturates there and stops pruning)
+      val wh = new graft.snapshot.Warehouse(spark,
+        graft.TempDirs.scratchDir("sd_bloom_wh").toString)
+      wh.append("f", corpus.select(col("doc_id"),
+        (lit(2020L) + col("doc_id") % 4).as("year")))
+      wh.optimize("f", Seq("doc_id"), targetFiles = 32)
+      wh.collectBloom("f", "doc_id", bits = 1 << 17)
+      val all = wh.filesForRange("f", "doc_id", Long.MinValue, Long.MaxValue).size
+      val t0 = System.nanoTime()
+      val scanned = wh.filesForEquals("f", "doc_id", 123L).size
+      val hit = wh.readEquals("f", "doc_id", 123L).get.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op": "bloom_probe", "rows": $docs, "replication": $k, "files": $all, "files_scanned": $scanned, "rows_hit": $hit, "seconds": $secs%.1f}""")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
