@@ -45,6 +45,10 @@ object Eval {
         lit(0L).as("n_pos"), lit(0L).as("n_neg"))
     }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // scores are quantized micro-units by contract; a range wider than
+    // Long.MaxValue would wrap the bucket arithmetic — fail loudly
+    require(BigInt(hi) - BigInt(lo) < BigInt(Long.MaxValue),
+      s"score range [$lo, $hi] too wide for bucketed ranking")
     val width = math.max(1L, (hi - lo) / buckets + 1)
     val withB = cnt.withColumn("bucket",
       expr(s"(s - ${lo}L) DIV ${width}L"))

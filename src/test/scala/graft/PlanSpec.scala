@@ -425,4 +425,48 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
     spark.catalog.clearCache()
   }
+
+  test("pca covariance: matrix-keyed shuffle with map-side partials, means broadcast") {
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val p = plan(ext.Pca.covariance(emb, "vec_id", "embedding"))
+    // the pair explode must collapse BEFORE the exchange (partial
+    // aggregation), and the 64-row mean table must broadcast — the
+    // corpus-sized frame never joins by shuffle
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      "pair products must combine map-side:\n" + p.take(1200))
+    assert(p.contains("BroadcastHashJoin"),
+      "dim means must broadcast:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("rocAuc: rank prefix windows are bucket-partitioned, offsets broadcast") {
+    val scored = Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"),
+        pmod(xxhash64(col("doc_id")), lit(1000000L)).as("s"),
+        (col("doc_id") % 3 === 0).cast("long").as("y"))
+    val p = plan(ext.Eval.rocAuc(scored, "s", "y", buckets = 64))
+    // the distinct-score running sum must never serialize globally: the
+    // window partitions by the range bucket, offsets ride a broadcast
+    assert(p.contains("partitionBy=[bucket") ||
+      p.contains("hashpartitioning(bucket"),
+      "the rank prefix must partition by bucket:\n" + p.take(1200))
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets must broadcast:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("bloom readEquals: the equality predicate pushes into the pruned scan") {
+    val wh = new snapshot.Warehouse(spark,
+      TempDirs.scratchDir("plan_bloom").toString)
+    val df = spark.range(2000).select(col("id").as("k"),
+      lit(2020L).as("year"))
+    wh.append("f", df)
+    wh.optimize("f", Seq("k"), targetFiles = 4)
+    wh.collectBloom("f", "k")
+    val p = formatted(wh.readEquals("f", "k", 123L).get)
+    val pushed = p.linesIterator.find(_.contains("PushedFilters"))
+    assert(pushed.exists(_.contains("EqualTo(k,123)")),
+      "row predicate must reach the parquet scan even after the file skip:\n" +
+        pushed.getOrElse(p.take(800)))
+  }
 }
