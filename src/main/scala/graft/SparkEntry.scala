@@ -597,6 +597,21 @@ object SparkEntry {
         .select(col("probe"), col("n"), col("total")).orderBy(col("probe"))
     }),
 
+    // IN-list bloom probe (the multi-tenant batch lookup): one manifest
+    // read, files surviving ANY value scan once, row predicate re-applied
+    "x_bloom_in" -> ((s, d) => {
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_bloomin").toString)
+      val o = ord(s, d).withColumn("year", year(col("o_orderdate")).cast("long"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("year"))
+      wh.append("fact_o", o)
+      wh.optimize("fact_o", Seq("o_orderkey"), targetFiles = 8)
+      wh.collectBloom("fact_o", "o_orderkey")
+      wh.readIn("fact_o", "o_orderkey", Seq(15L, 33L, 77L, 999999999L)).get
+        .agg(countAll.as("n"), moneySum("o_totalprice").as("total"),
+          countDistinct(col("o_orderkey")).as("n_keys"))
+    }),
+
     "x_merge" -> ((s, d) => {
       val wh = new graft.snapshot.Warehouse(s,
         TempDirs.scratchDir("graft_merge_wh").toString)
@@ -1588,6 +1603,22 @@ object SparkEntry {
       graft.ext.Pca.covariance(Tables.load(s, d, "embeddings"),
         "vec_id", "embedding")
         .orderBy(col("i"), col("j"))),
+
+    // Incremental PCA moments: three disjoint corpus slices scanned
+    // separately, moment frames merged (long sums are associative), the
+    // covariance derived from the merge — the SAME oracle as
+    // x_embed_pca proves incremental == one-shot exactly, which is what
+    // lets a daily append fold into a persisted moments artifact
+    // without re-reading the settled corpus
+    "x_pca_incr" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val slices = (0L to 2L).map(r =>
+        graft.ext.Pca.moments(emb.filter(col("vec_id") % 3 === r),
+          "vec_id", "embedding"))
+      graft.ext.Pca.covarianceFromMoments(
+        graft.ext.Pca.mergeMoments(slices: _*))
+        .orderBy(col("i"), col("j"))
+    }),
 
     // int8 scalar quantization of the embedding corpus (the ANN memory/IO
     // compression step): codes are a pure double-precision function of
@@ -3062,6 +3093,10 @@ object SparkEntry {
       "FROM (VALUES (33), (77), (999999999)) AS p(probe) " +
       "LEFT JOIN orders o ON o.o_orderkey = p.probe " +
       "GROUP BY 1 ORDER BY 1"),
+    "x_bloom_in" -> ("SELECT COUNT(*) AS n, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, " +
+      "CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys " +
+      "FROM orders WHERE o_orderkey IN (15, 33, 77, 999999999)"),
     // one-shot window replay of the whole observation stream: the
     // incremental folds must land on exactly these version chains
     "x_scd2" -> ("WITH obs AS (SELECT o_custkey % 50 AS k, o_orderdate AS ts, " +
@@ -4520,19 +4555,10 @@ object SparkEntry {
     // covariance from floor-quantized long moment sums: identical
     // integer folds, then identical pure-double derivation (1e6 is a
     // DOUBLE literal in both engines; long->double exact below 2^53)
-    "x_embed_pca" -> ("WITH e AS (SELECT vec_id, CAST(dim AS BIGINT) AS i, " +
-      "CAST(v AS DOUBLE) AS x FROM (SELECT vec_id, unnest(embedding) AS v, " +
-      "unnest(range(len(embedding))) AS dim FROM embeddings) t), " +
-      "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings), " +
-      "m AS (SELECT i, CAST(SUM(CAST(FLOOR(x * 1e6) AS BIGINT)) AS DOUBLE) AS sx " +
-      "FROM e GROUP BY 1), " +
-      "p AS (SELECT a.i AS i, b.i AS j, " +
-      "CAST(SUM(CAST(FLOOR((a.x * b.x) * 1e6) AS BIGINT)) AS DOUBLE) AS sxy " +
-      "FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2) " +
-      "SELECT p.i AS i, p.j AS j, " +
-      "p.sxy / (1e6 * nn.n) - (ma.sx / (1e6 * nn.n)) * (mb.sx / (1e6 * nn.n)) AS cov " +
-      "FROM p CROSS JOIN nn JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j " +
-      "ORDER BY 1, 2"),
+    "x_embed_pca" -> pcaCovOracleSql,
+    // incremental == one-shot exactly (associative long sums), so the
+    // merged-slices gate replays against the SAME full-corpus oracle
+    "x_pca_incr" -> pcaCovOracleSql,
     // same centroid replay, same index-order distance folds, mean
     // distance in floor units, literals cast ::DOUBLE
     "x_embed_outlier" -> ("WITH pts AS (SELECT vec_id, CAST(label AS BIGINT) AS grp, " +
@@ -5342,6 +5368,23 @@ object SparkEntry {
     }
     (parts.mkString(", "), sig(s"w$iters"), s"w$iters")
   }
+
+  /** Full-corpus covariance replay, shared by the one-shot and the
+    * incremental-moments gates. */
+  private val pcaCovOracleSql: String =
+    "WITH e AS (SELECT vec_id, CAST(dim AS BIGINT) AS i, " +
+      "CAST(v AS DOUBLE) AS x FROM (SELECT vec_id, unnest(embedding) AS v, " +
+      "unnest(range(len(embedding))) AS dim FROM embeddings) t), " +
+      "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings), " +
+      "m AS (SELECT i, CAST(SUM(CAST(FLOOR(x * 1e6) AS BIGINT)) AS DOUBLE) AS sx " +
+      "FROM e GROUP BY 1), " +
+      "p AS (SELECT a.i AS i, b.i AS j, " +
+      "CAST(SUM(CAST(FLOOR((a.x * b.x) * 1e6) AS BIGINT)) AS DOUBLE) AS sxy " +
+      "FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2) " +
+      "SELECT p.i AS i, p.j AS j, " +
+      "p.sxy / (1e6 * nn.n) - (ma.sx / (1e6 * nn.n)) * (mb.sx / (1e6 * nn.n)) AS cov " +
+      "FROM p CROSS JOIN nn JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j " +
+      "ORDER BY 1, 2"
 
   private def lrOracleSql(iters: Int): String = {
     val (ctes, sigF, wN) = lrCtes(iters)

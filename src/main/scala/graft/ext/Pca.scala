@@ -40,14 +40,20 @@ object Pca {
 
   private def quant(c: org.apache.spark.sql.Column) = floor(c * lit(1e6))
 
-  /** Upper-triangle covariance matrix of `vecCol`: one row per dim pair
-    * i <= j with cov = E[xy] − E[x]E[y] over the quantized moment sums.
-    * Columns (i, j, cov), ordered by the caller if needed. One corpus
-    * scan: each row explodes to its d(d+1)/2 pair products, map-side
-    * combine collapses them to 2,080 running sums per partition. */
-  def covariance(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val n = df.count()
-    require(n > 0, "covariance needs a non-empty corpus")
+  /** Quantized moment sums of a batch, encoded as one persistable
+    * matrix-scale frame (i, j, q):
+    *   - (i, j, q), 0 <= i <= j : Σ floor(xᵢxⱼ·1e6) pair products
+    *   - (i, −1, q), i >= 0     : Σ floor(xᵢ·1e6) dim sums
+    *   - (−1, −1, q)            : row count
+    * Long sums are associative, so moments of corpus slices MERGE
+    * EXACTLY ([[mergeMoments]]) — the daily-append cadence scans only
+    * the new batch and folds its moments into the persisted frame, and
+    * the covariance derived from merged moments is bit-identical to a
+    * full-corpus recompute (the refreshStats story, for PCA). One
+    * corpus scan: each row explodes to its d(d+1)/2 pair products,
+    * map-side combine collapses them to 2,080 running sums per
+    * partition. Fully lazy — nothing touches the driver. */
+  def moments(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val e = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .select(col("__id"), col("__v"),
         posexplode(col("__v")).as(Seq("i", "xi")))
@@ -57,9 +63,37 @@ object Pca {
       .select(col("i").cast("long").as("i"),
         (col("i") + col("joff")).cast("long").as("j"),
         quant(col("xi") * col("xj").cast("double")).as("q"))
-      .groupBy(col("i"), col("j")).agg(sum(col("q")).as("sxy_q"))
-    val mean = e.groupBy(col("i").cast("long").as("i"))
-      .agg(sum(quant(col("xi").cast("double"))).as("sx_q"))
+      .groupBy(col("i"), col("j")).agg(sum(col("q")).as("q"))
+    val sx = e.groupBy(col("i").cast("long").as("i"))
+      .agg(sum(quant(col("xi").cast("double"))).as("q"))
+      .select(col("i"), lit(-1L).as("j"), col("q"))
+    val n = df.agg(count(lit(1)).as("q"))
+      .select(lit(-1L).as("i"), lit(-1L).as("j"), col("q"))
+    sxy.unionByName(sx).unionByName(n)
+  }
+
+  /** Fold moment frames from disjoint corpus slices into one: exact by
+    * associativity of the long sums. */
+  def mergeMoments(ms: DataFrame*): DataFrame = {
+    require(ms.nonEmpty, "mergeMoments needs at least one moments frame")
+    ms.reduce(_ unionByName _).groupBy(col("i"), col("j"))
+      .agg(sum(col("q")).as("q"))
+  }
+
+  /** Covariance entries (i, j, cov) for i <= j from a moments frame —
+    * the derivation half of [[covariance]], reusable against merged or
+    * persisted moments. The frame is materialized once up front
+    * (matrix-scale: d(d+1)/2 + d + 1 rows) so the three slices below
+    * never re-run a corpus-sized moments plan. */
+  def covarianceFromMoments(m: DataFrame): DataFrame = {
+    val cached = m.localCheckpoint(true)
+    val n = cached.filter(col("i") === -1L && col("j") === -1L)
+      .select(col("q")).head().getLong(0)
+    require(n > 0, "covariance needs a non-empty corpus")
+    val mean = cached.filter(col("i") >= 0L && col("j") === -1L)
+      .select(col("i"), col("q").as("sx_q"))
+    val sxy = cached.filter(col("i") >= 0L && col("j") >= 0L)
+      .select(col("i"), col("j"), col("q").as("sxy_q"))
     val scale = lit(1e6) * lit(n.toDouble)
     sxy
       .join(broadcast(mean.select(col("i"), col("sx_q").as("sx_i"))), "i")
@@ -69,6 +103,13 @@ object Pca {
           (col("sx_i").cast("double") / scale) *
           (col("sx_j").cast("double") / scale)).as("cov"))
   }
+
+  /** Upper-triangle covariance matrix of `vecCol`: one row per dim pair
+    * i <= j with cov = E[xy] − E[x]E[y] over the quantized moment sums
+    * — literally [[moments]] + [[covarianceFromMoments]], so the
+    * incremental path can never drift from the one-shot path. */
+  def covariance(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    covarianceFromMoments(moments(df, idCol, vecCol))
 
   /** Train a PCA basis: distributed moments (one scan + one 64-row
     * collect), driver Jacobi eigensolve, top-`topK` eigenpairs. */

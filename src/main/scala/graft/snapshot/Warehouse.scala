@@ -972,15 +972,44 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
     * manifests: uncovered files are always read and the row-level
     * predicate is re-applied after the file-level skip. */
   def readEquals(fact: String, column: String, value: Any): Option[DataFrame] =
+    prunedRead(fact, col(column) === lit(value),
+      filesForEquals(fact, column, value))
+
+  /** Files an IN-list probe must scan: a file survives if its filter
+    * admits ANY of the values (the union of the per-value survivor
+    * sets, from one manifest read). Same exactness contract as
+    * [[filesForEquals]]. */
+  def filesForIn(fact: String, column: String, values: Seq[Any]): Seq[String] = {
+    require(values.nonEmpty, "filesForIn needs at least one value")
+    val keys = values.map(sparkKeyString)
+    val all = dataFiles(fact).map(_.toString)
+    if (!fs.exists(bloomPath(fact))) return all
+    val entries = bloomEntries(fact).filter(_.col == column)
+    if (entries.isEmpty) return all
+    val absent = entries.filterNot(e => keys.exists(k =>
+        graft.ext.BloomJoin.mightContain(k, e.words, e.bits, e.k)))
+      .map(e => normFile(e.file)).toSet
+    all.filter(p => !absent.contains(normFile(p)))
+  }
+
+  /** Read the fact restricted to `column IN (values)` with bloom file
+    * skipping — the multi-tenant/point-lookup batch form. */
+  def readIn(fact: String, column: String, values: Seq[Any]): Option[DataFrame] = {
+    require(values.nonEmpty, "readIn needs at least one value")
+    prunedRead(fact, col(column).isin(values: _*),
+      filesForIn(fact, column, values))
+  }
+
+  private def prunedRead(fact: String, pred: Column,
+      files: => Seq[String]): Option[DataFrame] =
     read(fact).map { full =>
-      val pred = col(column) === lit(value)
       if (!fs.exists(bloomPath(fact))) full.filter(pred)
-      else filesForEquals(fact, column, value) match {
+      else files match {
         case Nil => full.filter(pred).limit(0)
-        case files =>
+        case fs0 =>
           val reader = spark.read.option("basePath", path(fact).toString)
           storedSchema(fact).map(reader.schema).getOrElse(reader)
-            .parquet(files: _*).filter(pred)
+            .parquet(fs0: _*).filter(pred)
       }
     }
 }

@@ -428,12 +428,14 @@ class PlanSpec extends SparkTestBase {
 
   test("pca covariance: matrix-keyed shuffle with map-side partials, means broadcast") {
     val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    // the corpus-sized half: pair products must collapse BEFORE the
+    // exchange (partial aggregation) — the shuffle carries 2080 keys
+    val pm = plan(ext.Pca.moments(emb, "vec_id", "embedding"))
+    assert(pm.contains("partial_sum") || pm.contains("Partial"),
+      "pair products must combine map-side:\n" + pm.take(1200))
+    // the derivation half runs over the checkpointed matrix-scale frame:
+    // the 64-row mean slices must broadcast, nothing corpus-sized joins
     val p = plan(ext.Pca.covariance(emb, "vec_id", "embedding"))
-    // the pair explode must collapse BEFORE the exchange (partial
-    // aggregation), and the 64-row mean table must broadcast — the
-    // corpus-sized frame never joins by shuffle
-    assert(p.contains("partial_sum") || p.contains("Partial"),
-      "pair products must combine map-side:\n" + p.take(1200))
     assert(p.contains("BroadcastHashJoin"),
       "dim means must broadcast:\n" + p.take(1200))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))

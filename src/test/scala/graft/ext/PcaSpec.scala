@@ -117,6 +117,25 @@ class PcaSpec extends SparkTestBase {
     assert(math.abs(c01) < 1e-4, s"projected coords correlate: $c01")
   }
 
+  test("moments merge exactly: slice-merged covariance == one-shot, persisted round-trip identical") {
+    val df = mixedDf
+    def covOf(c: org.apache.spark.sql.DataFrame) =
+      c.orderBy("i", "j").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val full = covOf(Pca.covariance(df, "vec_id", "embedding"))
+    val merged = Pca.mergeMoments(
+      Pca.moments(df.filter($"vec_id" % 3 === 0), "vec_id", "embedding"),
+      Pca.moments(df.filter($"vec_id" % 3 === 1), "vec_id", "embedding"),
+      Pca.moments(df.filter($"vec_id" % 3 === 2), "vec_id", "embedding"))
+    assert(covOf(Pca.covarianceFromMoments(merged)) == full,
+      "slice-merged moments must reproduce the one-shot covariance exactly")
+    // the persisted-artifact cadence: write moments, read back, derive
+    val dir = graft.TempDirs.scratchDir("pca_moments").toString
+    Pca.moments(df, "vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    assert(covOf(Pca.covarianceFromMoments(spark.read.parquet(dir))) == full,
+      "persisted moments must round-trip bit-identically")
+  }
+
   test("empty corpus and bad topK are rejected") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {

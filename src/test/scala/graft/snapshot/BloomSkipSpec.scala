@@ -70,6 +70,23 @@ class BloomSkipSpec extends SparkTestBase {
     assert(wh.readEquals(f, "k", 123L).get.count() == 1L)
   }
 
+  test("IN-list probe unions the survivor sets and reads exactly") {
+    val (wh, f) = freshFact()
+    val everything = wh.filesForRange(f, "k", Long.MinValue, Long.MaxValue)
+    val files = wh.filesForIn(f, "k", Seq(123L, 9123L, 999999999L))
+    assert(files.size < everything.size, s"no pruning: ${files.size}")
+    // must cover both single-value survivor sets
+    val f1 = wh.filesForEquals(f, "k", 123L).toSet
+    val f2 = wh.filesForEquals(f, "k", 9123L).toSet
+    assert((f1 ++ f2).subsetOf(files.toSet))
+    val got = wh.readIn(f, "k", Seq(123L, 9123L, 999999999L)).get
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(got == Seq(123L, 9123L))
+    // stale-manifest exactness holds for IN too
+    wh.append("f", Seq((70000L, 0L, 2023L)).toDF("k", "v", "year"))
+    assert(wh.readIn(f, "k", Seq(70000L, 123L)).get.count() == 2L)
+  }
+
   test("no manifest falls back to a plain filtered read") {
     val wh = new Warehouse(spark, TempDirs.scratchDir("graft_bl2").toString)
     wh.append("g", Seq((1L, 2020L), (9L, 2020L)).toDF("k", "year"))
