@@ -951,13 +951,17 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
   }
 
   /** Files an equality probe `column = value` must scan: every current
-    * data file EXCEPT those whose bloom filter proves the value absent.
-    * Files the manifest doesn't cover (newer than the last refresh) and
-    * facts with no/incompatible manifest always return the full listing
-    * — skipping is an optimization, never a filter. */
+    * data file EXCEPT those proven empty by EITHER sidecar — the bloom
+    * filter (membership) or the zone map (range [value, value]); the
+    * sharper manifest wins, and a clustered layout prunes by range even
+    * when its bloom is saturated. Files either manifest doesn't cover
+    * (newer than the last refresh) and facts with no/incompatible
+    * manifests always return the full listing — skipping is an
+    * optimization, never a filter. */
   def filesForEquals(fact: String, column: String, value: Any): Seq[String] = {
     val key = sparkKeyString(value)
-    val all = dataFiles(fact).map(_.toString)
+    val inRange = filesForRange(fact, column, value, value).toSet
+    val all = dataFiles(fact).map(_.toString).filter(inRange.contains)
     if (!fs.exists(bloomPath(fact))) return all
     val entries = bloomEntries(fact).filter(_.col == column)
     if (entries.isEmpty) return all
@@ -968,21 +972,23 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
   }
 
   /** Read the fact restricted to `column = value`, skipping every file
-    * whose bloom filter proves the value absent. EXACT under stale
-    * manifests: uncovered files are always read and the row-level
-    * predicate is re-applied after the file-level skip. */
+    * either sidecar (bloom membership, zone-map range) proves empty.
+    * EXACT under stale manifests: uncovered files are always read and
+    * the row-level predicate is re-applied after the file-level skip. */
   def readEquals(fact: String, column: String, value: Any): Option[DataFrame] =
     prunedRead(fact, col(column) === lit(value),
       filesForEquals(fact, column, value))
 
-  /** Files an IN-list probe must scan: a file survives if its filter
-    * admits ANY of the values (the union of the per-value survivor
-    * sets, from one manifest read). Same exactness contract as
-    * [[filesForEquals]]. */
+  /** Files an IN-list probe must scan: a file survives if EITHER
+    * sidecar admits ANY of the values (union of the per-value survivor
+    * sets, each the bloom ∩ zone-map intersection, from one manifest
+    * read). Same exactness contract as [[filesForEquals]]. */
   def filesForIn(fact: String, column: String, values: Seq[Any]): Seq[String] = {
     require(values.nonEmpty, "filesForIn needs at least one value")
     val keys = values.map(sparkKeyString)
-    val all = dataFiles(fact).map(_.toString)
+    val inRange = values.map(v => filesForRange(fact, column, v, v).toSet)
+      .reduce(_ ++ _)
+    val all = dataFiles(fact).map(_.toString).filter(inRange.contains)
     if (!fs.exists(bloomPath(fact))) return all
     val entries = bloomEntries(fact).filter(_.col == column)
     if (entries.isEmpty) return all
@@ -1003,7 +1009,10 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
   private def prunedRead(fact: String, pred: Column,
       files: => Seq[String]): Option[DataFrame] =
     read(fact).map { full =>
-      if (!fs.exists(bloomPath(fact))) full.filter(pred)
+      // no sidecar at all -> the thunk returns the full listing anyway;
+      // short-circuit to the plain filtered read (no per-file binding)
+      if (!fs.exists(bloomPath(fact)) && !fs.exists(statsPath(fact)))
+        full.filter(pred)
       else files match {
         case Nil => full.filter(pred).limit(0)
         case fs0 =>

@@ -87,6 +87,38 @@ class BloomSkipSpec extends SparkTestBase {
     assert(wh.readIn(f, "k", Seq(70000L, 123L)).get.count() == 2L)
   }
 
+  test("the sharper sidecar wins: zone map prunes where a saturated bloom can't") {
+    val wh = new Warehouse(spark, TempDirs.scratchDir("graft_bl4").toString)
+    val df = spark.range(10000).select(col("id").as("k"),
+      lit(2020L).as("year"))
+    wh.append("f", df)
+    wh.optimize("f", Seq("k"), targetFiles = 8)
+    // 64-bit filters saturate at 1250 keys/file -> bloom prunes nothing
+    wh.collectBloom("f", "k", bits = 64, k = 2)
+    wh.collectStats("f", Seq("k"))
+    val everything = wh.filesForRange("f", "k", Long.MinValue, Long.MaxValue)
+    // beyond-max probe: the range side prunes every file despite the
+    // useless bloom — and the read stays exact
+    assert(wh.filesForEquals("f", "k", 999999L).isEmpty)
+    assert(wh.readEquals("f", "k", 999999L).get.count() == 0L)
+    // in-range probe: clustered layout confines the value to one file's
+    // range; intersection keeps at most that neighborhood
+    assert(wh.filesForEquals("f", "k", 5000L).size < everything.size)
+    assert(wh.readEquals("f", "k", 5000L).get.count() == 1L)
+  }
+
+  test("zone map alone prunes equality probes (no bloom manifest at all)") {
+    val wh = new Warehouse(spark, TempDirs.scratchDir("graft_bl5").toString)
+    val df = spark.range(4000).select(col("id").as("k"), lit(2020L).as("year"))
+    wh.append("f", df)
+    wh.optimize("f", Seq("k"), targetFiles = 4)
+    wh.collectStats("f", Seq("k"))
+    val everything = wh.filesForRange("f", "k", Long.MinValue, Long.MaxValue)
+    assert(wh.filesForEquals("f", "k", 100L).size < everything.size)
+    assert(wh.readEquals("f", "k", 100L).get.count() == 1L)
+    assert(wh.readIn("f", "k", Seq(100L, 3900L)).get.count() == 2L)
+  }
+
   test("no manifest falls back to a plain filtered read") {
     val wh = new Warehouse(spark, TempDirs.scratchDir("graft_bl2").toString)
     wh.append("g", Seq((1L, 2020L), (9L, 2020L)).toDF("k", "year"))
