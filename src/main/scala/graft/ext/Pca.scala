@@ -142,16 +142,25 @@ object Pca {
   }
 
   /** Project each vector onto the model's basis: output `outCol` is an
-    * array of k doubles, coordinate c = (v − mean) · component_c. Pure
-    * per-row map — basis and mean travel as literals, d·k multiplies per
+    * array of k doubles, coordinate c = (v − mean) · component_c. With
+    * `whiten = true` each coordinate additionally divides by √λ_c (unit
+    * variance per axis — the standard decorrelate-and-equalize step
+    * before PQ's subspace split; axes with λ ≈ 0 emit 0 rather than
+    * explode). Pure per-row map — basis and mean travel as literals
+    * (whitening is folded into them on the driver), d·k multiplies per
     * row (each zip_with lambda touches only its own element; no
     * quadratic re-evaluation). */
   def project(df: DataFrame, vecCol: String, model: PcaModel,
-      outCol: String = "proj"): DataFrame = {
+      outCol: String = "proj", whiten: Boolean = false): DataFrame = {
     val meanLit = typedLit(model.mean.toSeq)
     val centered = zip_with(col(vecCol), meanLit,
       (x, m) => x.cast("double") - m)
-    val coords = model.components.map { comp =>
+    val basis = model.components.zip(model.eigenvalues).map { case (comp, ev) =>
+      if (!whiten) comp
+      else if (ev > 1e-12) comp.map(_ / math.sqrt(ev))
+      else comp.map(_ => 0.0)
+    }
+    val coords = basis.map { comp =>
       aggregate(zip_with(centered, typedLit(comp.toSeq), (x, w) => x * w),
         lit(0.0), (acc, y) => acc + y)
     }

@@ -117,6 +117,20 @@ class PcaSpec extends SparkTestBase {
     assert(math.abs(c01) < 1e-4, s"projected coords correlate: $c01")
   }
 
+  test("whitened projection has unit variance per axis, zero-variance axes emit 0") {
+    val df = rank1Df // rank 1: lambda_0 = 33.25, the rest ~ 0
+    val m = Pca.fit(df, "vec_id", "embedding", topK = 4)
+    val proj = Pca.project(df, "embedding", m, whiten = true)
+    val n = df.count().toDouble
+    val r = proj.select(
+        sum(element_at(col("proj"), 1) * element_at(col("proj"), 1)).as("v0"),
+        sum(abs(element_at(col("proj"), 4))).as("a3"))
+      .head()
+    assert(math.abs(r.getDouble(0) / n - 1.0) < 1e-3,
+      s"whitened axis 0 variance ${r.getDouble(0) / n}")
+    assert(r.getDouble(1) == 0.0, "near-zero-eigenvalue axis must emit 0")
+  }
+
   test("moments merge exactly: slice-merged covariance == one-shot, persisted round-trip identical") {
     val df = mixedDf
     def covOf(c: org.apache.spark.sql.DataFrame) =
