@@ -1667,6 +1667,16 @@ object SparkEntry {
       graft.ext.LabelProp.run(graft.ext.Fixtures.plantedComponents(s),
         "src", "dst", rounds = 4)
         .orderBy(col("node"))),
+    // the composed measurement: modularity OF the labelprop communities
+    // on the same planted graph — detection and its quality score in
+    // one oracle-replayed chain
+    "x_modularity_lp" -> ((s, d) => {
+      val edges = graft.ext.Fixtures.plantedComponents(s)
+      val lp = graft.ext.LabelProp.run(edges, "src", "dst", rounds = 4)
+        .select(col("node"), col("label").as("comm"))
+      graft.ext.Modularity.score(edges, "src", "dst", lp, "node", "comm")
+        .orderBy(col("comm"))
+    }),
     // Common-neighbor/Jaccard link prediction on the same graph: every
     // non-adjacent pair sharing a neighbor, scored by exact counts
     "x_linkpred" -> ((s, d) =>
@@ -4690,6 +4700,7 @@ object SparkEntry {
     // and Spark's converged fixed point are the same table
     "x_sssp" -> ssspOracleSql(12),
     "x_labelprop" -> labelPropOracleSql(4),
+    "x_modularity_lp" -> modularityOnLabelPropSql(4),
     "x_ppr" -> pprOracleSql(3, 50, 8),
     // four exact counts through one fixed ratio tree; per-class top-5
     // by (score DESC, term)
@@ -5603,7 +5614,7 @@ object SparkEntry {
 
   /** Synchronous label-propagation replay: per round one neighbor-label
     * count, one (cnt DESC, label) argmax window, one left-join fold. */
-  private def labelPropOracleSql(rounds: Int): String = {
+  private def labelPropCtes(rounds: Int): String = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     parts += ("g AS MATERIALIZED (" +
       graft.ext.Fixtures.plantedComponentsSql() + ")")
@@ -5621,9 +5632,36 @@ object SparkEntry {
         s"COALESCE(p.label, n.label) AS label FROM l${r - 1} n " +
         s"LEFT JOIN p$r p ON n.node = p.node)")
     }
-    "WITH " + parts.mkString(", ") +
-      s" SELECT node, CAST(label AS BIGINT) AS label FROM l$rounds ORDER BY node"
+    parts.mkString(", ")
   }
+
+  private def labelPropOracleSql(rounds: Int): String =
+    "WITH " + labelPropCtes(rounds) +
+      s" SELECT node, CAST(label AS BIGINT) AS label FROM l$rounds ORDER BY node"
+
+  /** Modularity of the labelprop communities — the composed
+    * measurement: the labelprop replay chain feeds the same canonical
+    * modularity algebra x_modularity replays standalone. */
+  private def modularityOnLabelPropSql(rounds: Int): String =
+    "WITH " + labelPropCtes(rounds) + ", " +
+      "und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b " +
+      "FROM g WHERE src != dst), " +
+      "mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM und), " +
+      s"nodesc AS (SELECT node, CAST(label AS BIGINT) AS comm FROM l$rounds), " +
+      "deg AS (SELECT node, COUNT(*) AS dg FROM " +
+      "(SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und) dd GROUP BY 1), " +
+      "dc AS (SELECT n.comm AS comm, COUNT(*) AS n_nodes, " +
+      "CAST(COALESCE(SUM(d.dg), 0) AS BIGINT) AS deg_sum " +
+      "FROM nodesc n LEFT JOIN deg d ON d.node = n.node GROUP BY 1), " +
+      "ic AS (SELECT na.comm AS comm, COUNT(*) AS internal " +
+      "FROM und u JOIN nodesc na ON na.node = u.a JOIN nodesc nb ON nb.node = u.b " +
+      "WHERE na.comm = nb.comm GROUP BY 1) " +
+      "SELECT dc.comm AS comm, dc.n_nodes AS n_nodes, dc.deg_sum AS deg_sum, " +
+      "CAST(COALESCE(ic.internal, 0) AS BIGINT) AS internal_edges, " +
+      "CAST(COALESCE(ic.internal, 0) AS DOUBLE) / mm.m - " +
+      "(CAST(dc.deg_sum AS DOUBLE) / (2.0 * mm.m)) * " +
+      "(CAST(dc.deg_sum AS DOUBLE) / (2.0 * mm.m)) AS q " +
+      "FROM dc LEFT JOIN ic ON ic.comm = dc.comm CROSS JOIN mm ORDER BY 1"
 
   private def kcoreOracleSql(k: Int, rounds: Int): String = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
