@@ -128,4 +128,88 @@ object KMeans {
     val out = aFinal.select(col("id"), col("v"), col("cid"))
     Dedup.finishEager(out, eager, Seq(points))
   }
+
+  // ----- grouped training: G independent k-means in ONE job DAG -----
+
+  /** Per-group packed centroids: (g, cents) with cents sorted by cid —
+    * G×k rows total, broadcastable. */
+  private def packedG(cents: DataFrame): DataFrame =
+    cents.groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("cvec"))))
+        .as("cents"))
+
+  /** Assignment for grouped training: broadcast-join each point to ITS
+    * group's packed centroids, then the same codegen argmin as
+    * [[assign]] — still no row multiplication, one broadcast for all
+    * groups. */
+  private def assignG(points: DataFrame, cents: DataFrame): DataFrame =
+    points.join(broadcast(packedG(cents)), "g")
+      .withColumn("cid", nearest(col("v"))).drop("cents")
+
+  /** Update for grouped training: one hash-aggregate keyed by
+    * (g, cid, dim) — the [[Similarity.centroids]] decimal-sum machinery
+    * with a struct group key, so each (g, cid) group's arithmetic is
+    * bit-identical to the single-group [[update]] over the same rows. */
+  private def updateG(assigned: DataFrame): DataFrame =
+    Similarity.centroids(
+        assigned.withColumn("__gc", struct(col("g"), col("cid"))),
+        "__gc", "v")
+      .groupBy(col("grp").getField("g").as("g"),
+        col("grp").getField("cid").as("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+
+  /** G independent Lloyd trainings — one per distinct value of `grpCol`
+    * — executed as ONE job DAG: every phase (seed draw, broadcast
+    * argmin, centroid update) keys on the group column instead of
+    * running G separate [[fit]] DAGs. The at-scale win is at the
+    * training front: G per-fit persists each scan the source once (G
+    * corpus scans), the grouped form scans once and persists one frame
+    * of the same total bytes; per-iteration bytes and shuffle key
+    * counts are otherwise equal, and wall-clock measures within host
+    * noise locally (AQE runs unioned fits' stages concurrently).
+    * The seed draw is a per-group rank window with a literal bound, so
+    * WindowGroupLimit prunes it map-side — never a full per-group sort.
+    *
+    * Bit-equivalence contract: for each group, seeds are the k rows
+    * with the smallest md5(id) WITHIN the group (a per-group window —
+    * identical to [[fit]]'s orderBy+limit draw on the group's rows),
+    * the argmin scans the same centroid set in the same order, and the
+    * decimal centroid sums aggregate the same row sets — so the output
+    * for group g equals `fit(df.filter(g), …)` exactly, and a SQL
+    * engine replaying per-group training reproduces it.
+    *
+    * Vector lengths may differ across groups (e.g. PQ subspace slices
+    * of uneven width plus a full-width coarse group) — nothing here
+    * assumes a shared dimension. Output: (g, cid, dim, c, n). */
+  def fitGrouped(df: DataFrame, grpCol: String, idCol: String,
+      vecCol: String, k: Int, iters: Int = 2, eager: Boolean = false)
+      : DataFrame = {
+    require(k > 0 && iters > 0, s"k=$k iters=$iters must be positive")
+    val points = df.select(col(grpCol).as("g"),
+        col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("h"), col("id"))
+    val c0 = points
+      .withColumn("h", md5(col("id").cast("string")))
+      .withColumn("r", row_number().over(sw))
+      .filter(col("r") <= k)
+      .select(col("g"), (col("r") - 1).cast("long").as("cid"),
+        transform(col("v"), x => x.cast("double")).as("cvec"))
+    val cPre = (1 until iters).foldLeft(c0) { (c, _) =>
+      updateG(assignG(points, c))
+    }
+    val aFinal = assignG(points, cPre)
+    val cFinal = updateG(aFinal)
+    val sizes = aFinal.groupBy(col("g"), col("cid"))
+      .agg(count(lit(1)).as("n"))
+    val out = cFinal
+      .select(col("g"), col("cid"),
+        posexplode(col("cvec")).as(Seq("dim", "c")))
+      .join(broadcast(sizes), Seq("g", "cid"))
+      .select(col("g"), col("cid"), col("dim").cast("long").as("dim"),
+        col("c"), col("n"))
+    Dedup.finishEager(out, eager, Seq(points))
+  }
 }

@@ -64,6 +64,34 @@ class KMeansSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("fitGrouped: bit-identical to per-group fit, uneven dims allowed") {
+    // two groups with DIFFERENT vector widths: group 0 = first 4 dims,
+    // group 1 = full 8 — nothing in grouped training may assume a
+    // shared dimension, and each group must reproduce its independent
+    // fit EXACTLY (same seeds, argmin, decimal sums)
+    val g0 = planted.select(lit(0L).as("g"), col("vec_id"),
+      slice(col("embedding"), 1, 4).as("v"))
+    val g1 = planted.select(lit(1L).as("g"), col("vec_id"),
+      col("embedding").as("v"))
+    val grouped = KMeans.fitGrouped(g0.unionByName(g1), "g", "vec_id", "v",
+      k = 3, iters = 2).collect().map(_.toSeq).toSet
+    val solo = Seq(0L -> g0, 1L -> g1).flatMap { case (g, df) =>
+      KMeans.fit(df, "vec_id", "v", k = 3, iters = 2)
+        .select(lit(g).as("g"), col("cid"), col("dim"), col("c"), col("n"))
+        .collect().map(_.toSeq)
+    }.toSet
+    assert(grouped == solo)
+  }
+
+  test("fitGrouped seed draw is WindowGroupLimit-pruned, never a full per-group sort") {
+    val g = planted.select((col("vec_id") % 2).as("g"), col("vec_id"),
+      col("embedding").as("v"))
+    val plan = KMeans.fitGrouped(g, "g", "vec_id", "v", k = 3, iters = 2)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("WindowGroupLimit"),
+      "seed rank window must prune map-side via WindowGroupLimit")
+  }
+
   test("assignment stage is shuffle-free: exchanges only in seed draw and updates") {
     // the full 2-iteration plan must contain NO exchange keyed by point
     // id — only the k-row seed window, the (cid,dim) hash-agg updates,
