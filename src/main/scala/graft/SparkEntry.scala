@@ -1068,6 +1068,21 @@ object SparkEntry {
       graft.ext.Dedup.tileDuplication(Tables.load(s, d, "documents"),
         "doc_id", "text", tileWords = 8)
         .orderBy(col("doc_id"))),
+    // C4/RefinedWeb LINE screen: the corpus has no newlines, so the
+    // gate plants a 3-line layout per doc — a 5-way shared header, the
+    // doc's own first 61 chars (unique, survives), a 97-way shared
+    // footer — and strips every line seen in >1 distinct document,
+    // so both verdicts are exercised in every document
+    "x_line_dedup" -> ((s, d) => {
+      val planted = Tables.load(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("shared-"), (col("doc_id") % 5).cast("string")),
+          substring(col("text"), 1, 61),
+          concat(lit("tail-"), (col("doc_id") % 97).cast("string")))
+          .as("text"))
+      graft.ext.Dedup.lineDedup(planted, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     // the stride-1 overlapping-window DETECTOR: full recall of every
     // verbatim run >= 8 words at any alignment (the tiler's documented
     // miss case); stripping stays with the disjoint tiler
@@ -3956,6 +3971,23 @@ object SparkEntry {
       "trim(concat(COALESCE(k.kept, ''), ' ', " +
       "array_to_string(ws[(CAST(len(ws)//8 AS BIGINT)*8+1):len(ws)], ' '))) AS clean_text " +
       "FROM w LEFT JOIN k USING (doc_id) ORDER BY doc_id"),
+    // line-level screen over the planted 3-line layout: a line in >1
+    // distinct document is boilerplate and strips from every document
+    "x_line_dedup" -> ("WITH d AS (SELECT doc_id, " +
+      "'shared-' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || " +
+      "substr(text, 1, 61) || chr(10) || " +
+      "'tail-' || CAST(doc_id % 97 AS VARCHAR) AS text FROM documents), " +
+      "l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d), " +
+      "l AS (SELECT doc_id, unnest(ls) AS line, " +
+      "unnest([i for i in range(1, len(ls)+1)]) AS pos FROM l0), " +
+      "c AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM l GROUP BY 1), " +
+      "k AS (SELECT l.doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines, " +
+      "CAST(SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_lines, " +
+      "STRING_AGG(CASE WHEN c.nd <= 1 THEN l.line END, chr(10) ORDER BY l.pos) AS kept " +
+      "FROM l JOIN c USING (line) GROUP BY 1) " +
+      "SELECT doc_id, n_lines, dup_lines, " +
+      "ROUND(dup_lines / (1.0 * n_lines), 6) AS dup_ratio, " +
+      "COALESCE(kept, '') AS clean_text FROM k ORDER BY doc_id"),
     // same tile chain over the space-stripped, 2-char-rechunked corpus
     // (the charGramsAsWords pre-map replayed as a list comprehension)
     "x_substr_dedup_cjk" -> ("WITH base AS (SELECT doc_id, " +

@@ -780,6 +780,53 @@ object Dedup {
     tileFold(batch, idCol, textCol, tileWords, counts)
   }
 
+  /** Line-level exact dedup (the RefinedWeb/C4 line screen, Penedo '23
+    * §3; the MassiveText "repetitious line" family's cross-document
+    * form): a LINE occurring in more than `maxDocs` distinct documents
+    * is boilerplate (nav bars, cookie banners, licence headers) and is
+    * stripped from EVERY document; per doc the result is `n_lines`,
+    * `dup_lines`, `dup_ratio`, and `clean_text` (surviving lines
+    * rejoined in original order with newlines).
+    *
+    * Matching is exact bytes — no trimming or case folding (compose
+    * [[TextNormalize]] upstream for canonicalized matching). Blank
+    * lines are lines: corpus-duplicated blanks strip like any other
+    * boilerplate.
+    *
+    * Scale shape (the [[tileDuplication]] discipline): one linear
+    * posexplode of lines; the corpus count table keys on
+    * `xxhash64(line)` — an 8-byte shuffle/join key, ~10x smaller than
+    * line text, collisions at the documented 2^-64 stance — built with
+    * TWO hash-aggs (distinct (line, doc) then per-line doc count, both
+    * map-side combinable); the count join back is AQE-planned; the
+    * reassembly is one per-doc sort of surviving (pos, line) structs.
+    * Nothing all-pairs, nothing driver-side. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      maxDocs: Long = 1L): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs=$maxDocs must be >= 1")
+    val lines = df.select(col(idCol),
+      posexplode_outer(split(col(textCol), "\n")).as(Seq("__i", "__line")))
+    val counts = lines.filter(col("__line").isNotNull)
+      .select(xxhash64(col("__line")).as("__lh"), col(idCol)).distinct()
+      .groupBy(col("__lh")).agg(count(lit(1)).as("__nd"))
+    lines
+      .withColumn("__lh", xxhash64(col("__line")))
+      .join(counts, Seq("__lh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("__line")).as("n_lines"),
+        coalesce(sum(when(col("__nd") > maxDocs, 1L)), lit(0L))
+          .as("dup_lines"),
+        array_join(transform(array_sort(collect_list(
+          when(col("__nd") <= maxDocs, struct(col("__i"), col("__line"))))),
+          t => t.getField("__line")), "\n").as("clean_text"))
+      .select(col(idCol), col("n_lines"), col("dup_lines"),
+        round(when(col("n_lines") > 0,
+          col("dup_lines").cast("double") / col("n_lines")).otherwise(0.0), 6)
+          .as("dup_ratio"),
+        col("clean_text"))
+  }
+
   /** The DETECTOR companion to [[tileDuplication]]: overlapping
     * `windowWords`-word windows at `stride`-word steps. With stride 1,
     * both occurrences of ANY verbatim run >= windowWords words emit the

@@ -451,4 +451,49 @@ class DedupSpec extends SparkTestBase {
       .orderBy("doc_id").select("n_windows").as[Long].collect()
     assert(s2.toSeq == Seq(2L, 0L)) // positions 0,2 ; none
   }
+
+  test("lineDedup strips cross-document boilerplate lines, keeps order") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nunique alpha one\nfooter"),
+      (2L, "COOKIE BANNER\nunique beta two\nfooter"),
+      (3L, "solo headline\nunique gamma three")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text").orderBy("doc_id")
+      .select("doc_id", "n_lines", "dup_lines", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 3L, 2L, "unique alpha one")))
+    assert(out(1) == ((2L, 3L, 2L, "unique beta two")))
+    assert(out(2) == ((3L, 2L, 0L, "solo headline\nunique gamma three")))
+  }
+
+  test("lineDedup: exact-bytes matching, blank lines are lines, maxDocs dial") {
+    val docs = Seq(
+      (1L, "Header\n\nbody a"),
+      (2L, "header\n\nbody b"), // case differs -> 'Header' != 'header'
+      (3L, "Header\nbody c")).toDF("doc_id", "text")
+    val strict = Dedup.lineDedup(docs, "doc_id", "text").orderBy("doc_id")
+      .select("doc_id", "dup_lines", "clean_text")
+      .as[(Long, Long, String)].collect()
+    // 'Header' in docs 1+3 dups; 'header' only doc 2 survives; the
+    // blank line (docs 1+2) dups
+    assert(strict(0) == ((1L, 2L, "body a")))
+    assert(strict(1) == ((2L, 1L, "header\nbody b")))
+    assert(strict(2) == ((3L, 1L, "body c")))
+    // maxDocs=2 tolerates 2-document lines: nothing here strips
+    val lax = Dedup.lineDedup(docs, "doc_id", "text", maxDocs = 2L)
+      .agg(sum("dup_lines")).as[Long].head()
+    assert(lax == 0L)
+  }
+
+  test("lineDedup: within-doc repetition does not strip (distinct-doc counting); empty doc safe") {
+    val docs = Seq(
+      (1L, "same line\nsame line\nother"),
+      (2L, "")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text").orderBy("doc_id")
+      .select("doc_id", "n_lines", "dup_lines", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    // 'same line' appears twice but in ONE document: not boilerplate
+    assert(out(0) == ((1L, 3L, 0L, "same line\nsame line\nother")))
+    // empty text splits to one empty line, unique here -> survives
+    assert(out(1) == ((2L, 1L, 0L, "")))
+  }
 }
