@@ -1347,6 +1347,42 @@ object SparkEntry {
           masked.as("masked"))
         .orderBy(col("doc_id"))
     }),
+    // The full web-text PII scrub (emails -> phones -> Luhn cards ->
+    // IPv4, the order that composes safely) over planted spikes: a
+    // per-doc email, a bad email shape that must survive, an
+    // international phone on ids % 3 = 0 vs an out-of-contract
+    // domestic form, the x_pii_luhn arithmetic card (valid on evens),
+    // an octet-valid IP, and the octet-invalid 999.1.2.3 that must
+    // survive — the corpus text itself is digit-free, so the oracle is
+    // a pure reconstruction
+    "x_pii_scrub" -> ((s, d) => {
+      val base = lpad(col("doc_id").cast("string"), 15, "7")
+      val digits = split(base, "")
+      val sum15 = aggregate(
+        transform(sequence(lit(1), lit(15)), i => {
+          val dg = element_at(digits, i).cast("int")
+          when(((lit(15) - i) % 2) === 0,
+            when(dg * 2 > 9, dg * 2 - 9).otherwise(dg * 2)).otherwise(dg)
+        }), lit(0), (acc, x) => acc + x)
+      val good = (lit(10) - sum15 % 10) % 10
+      val check = when(col("doc_id") % 2 === 0, good)
+        .otherwise((good + 1) % 10)
+      val card = concat(base, check.cast("string"))
+      val email = concat(lit("user"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com"))
+      val phone = when(col("doc_id") % 3 === 0,
+        concat(lit("+41 79 "), ((col("doc_id") % 90) + 10).cast("string"),
+          lit(" 45 67")))
+        .otherwise(lit("044 123 45 67"))
+      val ip = concat(lit("10."), (col("doc_id") % 256).cast("string"),
+        lit(".0.1"))
+      val t2 = concat_ws(" ", col("text"), email, lit("user@@host"),
+        phone, lit("ref"), card, lit("ip"), ip, lit("999.1.2.3"))
+      Tables.load(s, d, "documents").select(col("doc_id"),
+          graft.ext.Pii.scrub(t2).as("scrubbed"))
+        .orderBy(col("doc_id"))
+    }),
     // Corpus drift (PSI) between two snapshots: even vs odd docs play
     // the before/after corpora; add-one smoothing over the union vocab,
     // per-word terms floor-quantized to picos so ranking and totals
@@ -4172,6 +4208,25 @@ object SparkEntry {
       "CASE WHEN v THEN replace(text || ' ' || planted, planted, '<CARD>') " +
       "ELSE text || ' ' || planted END AS masked " +
       "FROM f ORDER BY doc_id"),
+    // pure reconstruction: every planted spike's mask decision is known
+    // from the arithmetic (card validity from the Luhn check digit,
+    // phone form from doc_id % 3), and the corpus text is digit-free
+    "x_pii_scrub" -> ("WITH b AS (SELECT doc_id, text, " +
+      "lpad(CAST(doc_id AS VARCHAR), 15, '7') AS b15 FROM documents), " +
+      "s AS (SELECT doc_id, text, b15, list_aggregate([" +
+      "CASE WHEN (15 - i) % 2 = 0 THEN " +
+      "CASE WHEN CAST(b15[i] AS INT) * 2 > 9 THEN CAST(b15[i] AS INT) * 2 - 9 " +
+      "ELSE CAST(b15[i] AS INT) * 2 END ELSE CAST(b15[i] AS INT) END " +
+      "for i in range(1, 16)], 'sum') AS s15 FROM b), " +
+      "c AS (SELECT doc_id, text, b15 || CAST(CASE WHEN doc_id % 2 = 0 " +
+      "THEN (10 - s15 % 10) % 10 " +
+      "ELSE ((10 - s15 % 10) % 10 + 1) % 10 END AS VARCHAR) AS card, " +
+      "doc_id % 2 = 0 AS v FROM s) " +
+      "SELECT doc_id, text || ' <EMAIL> user@@host ' || " +
+      "CASE WHEN doc_id % 3 = 0 THEN '<PHONE>' ELSE '044 123 45 67' END || " +
+      "' ref ' || CASE WHEN v THEN '<CARD>' ELSE card END || " +
+      "' ip <IP> 999.1.2.3' AS scrubbed " +
+      "FROM c ORDER BY doc_id"),
     // fixed-width shared-edge buckets, same smoothed pico terms
     "x_drift_num" -> ("WITH s AS (SELECT CAST(o_totalprice AS DOUBLE) AS x, " +
       "o_orderkey % 2 AS sd FROM orders), " +

@@ -44,6 +44,51 @@ object Pii {
       separators: Boolean = true): Column =
     LuhnMask(text, token, separators)
 
+  import org.apache.spark.sql.functions.regexp_replace
+
+  /** RFC-5322-practical email shape: local part of word chars plus
+    * `._%+-`, a domain of dot-joined labels, a >= 2-letter TLD. The
+    * pattern is shared verbatim with the SQL oracle (Java regex and
+    * RE2 agree on this subset — no backreferences, no lookaround). */
+  private[ext] val emailRe =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Octet-validated dotted-quad IPv4 (each octet 0–255, word-bounded):
+    * the bare `\d{1,3}(\.\d{1,3}){3}` form would mask version strings
+    * like `999.1.2.3` — octet validation plus `\b` keeps those. */
+  private[ext] val ipv4Re =
+    "\\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}" +
+    "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\b"
+
+  /** International-prefixed phone numbers ONLY: `+` country code then
+    * 2–5 groups of 2–4 digits over optional single space/dash gaps
+    * (`+41 79 123 45 67`, `+390212345678`). Domestic forms
+    * (`(555) 123-4567`, bare digit groups) are indistinguishable from
+    * ids/amounts at corpus scale and are deliberately out of contract —
+    * the same false-positive-free stance as the Luhn gate on cards. */
+  private[ext] val phoneRe =
+    "\\+[0-9]{1,3}([ -]?[0-9]{2,4}){2,5}\\b"
+
+  def maskEmails(text: Column, token: String = "<EMAIL>"): Column =
+    regexp_replace(text, emailRe, token)
+
+  def maskIps(text: Column, token: String = "<IP>"): Column =
+    regexp_replace(text, ipv4Re, token)
+
+  def maskPhones(text: Column, token: String = "<PHONE>"): Column =
+    regexp_replace(text, phoneRe, token)
+
+  /** The full web-text PII scrub, in the one order that composes
+    * safely: emails first (their digits must not feed number maskers),
+    * then phones (the `+` prefix claims its digits before the Luhn
+    * chain scanner can judge a 13+-digit phone as a card), then
+    * Luhn-validated cards, then IPv4 (dots break digit chains, so
+    * card masking cannot eat an address). Every stage is a codegen'd
+    * `regexp_replace` except the native Luhn scanner; per-row, no
+    * shuffle, null-in → null-out. */
+  def scrub(text: Column): Column =
+    maskIps(maskCards(maskPhones(maskEmails(text))))
+
   /** Luhn checksum over a digit string (rightmost digit not doubled). */
   def luhnValid(digits: String): Boolean = {
     var sum = 0

@@ -75,4 +75,40 @@ class PiiSpec extends SparkTestBase {
       .select(Pii.maskCards(col("t"))).collect()(0)
     assert(n.isNullAt(0))
   }
+
+  private def scrub1(t: String): String =
+    Seq((0L, t)).toDF("id", "t")
+      .select(Pii.scrub(col("t"))).collect()(0).getString(0)
+
+  test("scrub: emails masked, malformed shapes survive") {
+    assert(scrub1("write a.b+tag@sub.example.co.uk today") ==
+      "write <EMAIL> today")
+    assert(scrub1("not user@@host nor a@b nor @example.com") ==
+      "not user@@host nor a@b nor @example.com")
+  }
+
+  test("scrub: IPv4 octet-validated and word-bounded") {
+    assert(scrub1("srv 192.168.0.1 and 255.255.255.255 up") ==
+      "srv <IP> and <IP> up")
+    assert(scrub1("version 999.1.2.3 build 1.2.3.4567") ==
+      "version 999.1.2.3 build 1.2.3.4567")
+  }
+
+  test("scrub: international phones masked, domestic out of contract") {
+    assert(scrub1("call +41 79 123 45 67 or +390212345678 now") ==
+      "call <PHONE> or <PHONE> now")
+    assert(scrub1("call (555) 123-4567 or 044 123 45 67") ==
+      "call (555) 123-4567 or 044 123 45 67")
+  }
+
+  test("scrub order: the + prefix claims a Luhn-valid phone before the card stage") {
+    // 4111 1111 1111 1111 IS Luhn-valid: with the + prefix it is a
+    // phone; bare it is a card
+    assert(scrub1("tel +4111 1111 1111 1111 pan 4111 1111 1111 1111") ==
+      "tel <PHONE> pan <CARD>")
+    // and email digits never feed the number maskers
+    assert(scrub1("mail 4111111111111111@x.example.com ok") ==
+      "mail <EMAIL> ok")
+    assert(scrub1(null) == null)
+  }
 }
