@@ -1392,6 +1392,14 @@ object SparkEntry {
       graft.ext.Drift.wordPsi(docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1), "text", k = 20)
     }),
+    // the bounded complement: Jensen-Shannon drivers over the same
+    // even/odd split (total <= ln 2 -> thresholds transfer across
+    // corpus sizes, unlike PSI's unbounded terms)
+    "x_drift_js" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      graft.ext.Drift.wordJsd(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text", k = 20)
+    }),
     // drift time series: each synthetic period (doc_id % 3) PSI'd
     // against the src0 reference slice — one total row per period, the
     // monitoring loop form
@@ -4260,6 +4268,25 @@ object SparkEntry {
       "(CAST(c_b + 1 AS DOUBLE) / (nb + v))) * 1e12) AS BIGINT) " +
       "AS contrib_pico FROM c CROSS JOIN tt " +
       "ORDER BY contrib_pico DESC, word LIMIT 20"),
+    // same counts chain, Jensen-Shannon pointwise terms in the
+    // operator's float op order: ((pa*ln(pa/m) + pb*ln(pb/m)) * 0.5)
+    // with m = (pa+pb)/2, floor-quantized to picos
+    "x_drift_js" -> ("WITH c AS (SELECT w, CAST(SUM(a) AS BIGINT) AS c_a, " +
+      "CAST(SUM(b) AS BIGINT) AS c_b FROM (" +
+      "SELECT unnest(string_split(text, ' ')) AS w, 1 AS a, 0 AS b " +
+      "FROM documents WHERE doc_id % 2 = 0 UNION ALL " +
+      "SELECT unnest(string_split(text, ' ')), 0, 1 " +
+      "FROM documents WHERE doc_id % 2 = 1) t GROUP BY 1), " +
+      "tt AS (SELECT CAST(SUM(c_a) AS BIGINT) AS na, " +
+      "CAST(SUM(c_b) AS BIGINT) AS nb, COUNT(*) AS v FROM c), " +
+      "p AS (SELECT w, c_a, c_b, " +
+      "CAST(c_a + 1 AS DOUBLE) / (na + v) AS pa, " +
+      "CAST(c_b + 1 AS DOUBLE) / (nb + v) AS pb " +
+      "FROM c CROSS JOIN tt) " +
+      "SELECT w AS word, c_a, c_b, CAST(FLOOR(" +
+      "(pa * LN(pa / ((pa + pb) / 2)) + pb * LN(pb / ((pa + pb) / 2))) " +
+      "* CAST(0.5 AS DOUBLE) * 1e12) AS BIGINT) AS contrib_pico " +
+      "FROM p ORDER BY contrib_pico DESC, word LIMIT 20"),
     // per-period replay of the same smoothing/pico arithmetic: ref
     // counts expand over the period list, full-outer joins bring in
     // period-only words, totals group per period

@@ -108,6 +108,47 @@ object Drift {
       .orderBy(col(periodCol))
   }
 
+  /** Top-`k` Jensen–Shannon drift drivers — same monitoring view as
+    * [[wordPsi]] under the JSD lens. */
+  def wordJsd(a: DataFrame, b: DataFrame, textCol: String,
+      k: Int = 20): DataFrame =
+    wordJsdAll(a, b, textCol)
+      .orderBy(col("contrib_pico").desc, col("word"))
+      .limit(k)
+
+  /** Jensen–Shannon divergence between the two word distributions —
+    * the BOUNDED complement to PSI (JSD = ½KL(P‖M) + ½KL(Q‖M) with
+    * M = (P+Q)/2; total ≤ ln 2, so thresholds transfer across corpora
+    * of any size, where PSI's unbounded terms need per-corpus
+    * calibration). Per-word pointwise terms
+    * ½·(pA·ln(pA/m) + pB·ln(pB/m)) are individually ≥ 0 (convexity of
+    * x·ln x), so the same top-k driver view applies.
+    *
+    * Same engine-exact discipline and plan shape as [[wordPsiAll]]:
+    * add-one smoothing over the union vocabulary (also keeps
+    * 0·ln 0 out of the float path), floor-quantized pico terms,
+    * one hash-aggregate + broadcast totals. `sum(contrib_pico)` over
+    * this frame IS the corpus JSD in picos. */
+  def wordJsdAll(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def side(df: DataFrame, tag: Int): DataFrame =
+      df.select(explode(split(col(textCol), " ")).as("__w"),
+        lit(tag).as("__s"))
+    val counts = side(a, 0).unionByName(side(b, 1))
+      .groupBy(col("__w"))
+      .agg(coalesce(sum(when(col("__s") === 0, 1L)), lit(0L)).as("c_a"),
+        coalesce(sum(when(col("__s") === 1, 1L)), lit(0L)).as("c_b"))
+    val tot = counts.agg(sum(col("c_a")).as("__na"),
+      sum(col("c_b")).as("__nb"), count(lit(1)).as("__v"))
+    val pa = (col("c_a") + 1).cast("double") / (col("__na") + col("__v"))
+    val pb = (col("c_b") + 1).cast("double") / (col("__nb") + col("__v"))
+    val m = (pa + pb) / 2
+    counts.crossJoin(broadcast(tot))
+      .select(col("__w").as("word"), col("c_a"), col("c_b"),
+        floor((pa * log(pa / m) + pb * log(pb / m)) * lit(0.5) * lit(1e12))
+          .cast("long").as("contrib_pico"))
+      .orderBy(col("word"))
+  }
+
   /** PSI over a NUMERIC column — the tabular drift form: `bins`
     * fixed-width buckets over the combined [min, max] (shared edges, so
     * both sides bin identically; the top bucket is closed), add-one

@@ -80,4 +80,40 @@ class DriftSpec extends SparkTestBase {
       .agg(sum(col("contrib_pico"))).collect()(0).getLong(0)
     assert(got(1L)._3 == single)
   }
+
+  private def bruteJsd(a: Seq[String], b: Seq[String]): Map[String, Long] = {
+    val ta = a.flatMap(_.split(" ", -1))
+    val tb = b.flatMap(_.split(" ", -1))
+    val vocab = (ta ++ tb).distinct
+    val (na, nb, v) = (ta.size.toLong, tb.size.toLong, vocab.size.toLong)
+    vocab.map { w =>
+      val pa = (ta.count(_ == w) + 1).toDouble / (na + v)
+      val pb = (tb.count(_ == w) + 1).toDouble / (nb + v)
+      val m = (pa + pb) / 2
+      w -> math.floor((pa * math.log(pa / m) + pb * math.log(pb / m))
+        * 0.5 * 1e12).toLong
+    }.toMap
+  }
+
+  test("wordJsd: exact sequential replay, nonnegative terms, ln-2 bound") {
+    val a = Seq("x x y z", "x y")
+    val b = Seq("x z z q", "z q")
+    val exp = bruteJsd(a, b)
+    val got = Drift.wordJsd(a.toDF("text"), b.toDF("text"), "text", k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == exp)
+    // pointwise JS terms are >= 0 up to the floor's -1 on -0.0-ish
+    assert(got.values.forall(_ >= -1L))
+    // the corpus JSD is bounded by ln 2 — the property PSI lacks:
+    // even fully disjoint vocabularies stay under the cap
+    val disjoint = Drift.wordJsdAll(
+      Seq.fill(50)("aa bb cc").toDF("text"),
+      Seq.fill(50)("dd ee ff").toDF("text"), "text")
+      .agg(sum(col("contrib_pico"))).collect()(0).getLong(0)
+    assert(disjoint <= math.floor(math.log(2) * 1e12).toLong)
+    assert(disjoint > (0.5 * math.log(2) * 1e12).toLong) // and it is LARGE drift
+    val same = Drift.wordJsd(a.toDF("text"), a.toDF("text"), "text", k = 10)
+      .collect().map(_.getLong(3))
+    assert(same.forall(c => c == 0L || c == -1L))
+  }
 }
