@@ -1083,6 +1083,23 @@ object SparkEntry {
       graft.ext.Dedup.lineDedup(planted, "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // incremental line screen: index the even half, screen the odd half
+    // against (index ∪ batch) with corpus text never re-read — equal to
+    // batch mode over the full corpus restricted to the batch (the
+    // oracle replays exactly that)
+    "x_line_dedup_incr" -> ((s, d) => {
+      val planted = Tables.load(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("shared-"), (col("doc_id") % 5).cast("string")),
+          substring(col("text"), 1, 61),
+          concat(lit("tail-"), (col("doc_id") % 97).cast("string")))
+          .as("text"))
+      val idx = graft.ext.Dedup.lineIndex(
+        planted.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      graft.ext.Dedup.lineDedupIncremental(
+        planted.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+        .orderBy(col("doc_id"))
+    }),
     // the stride-1 overlapping-window DETECTOR: full recall of every
     // verbatim run >= 8 words at any alignment (the tiler's documented
     // miss case); stripping stays with the disjoint tiler
@@ -4029,6 +4046,24 @@ object SparkEntry {
       "CAST(SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_lines, " +
       "STRING_AGG(CASE WHEN c.nd <= 1 THEN l.line END, chr(10) ORDER BY l.pos) AS kept " +
       "FROM l JOIN c USING (line) GROUP BY 1) " +
+      "SELECT doc_id, n_lines, dup_lines, " +
+      "ROUND(dup_lines / (1.0 * n_lines), 6) AS dup_ratio, " +
+      "COALESCE(kept, '') AS clean_text FROM k ORDER BY doc_id"),
+    // incremental == batch over the full corpus restricted to the
+    // odd-id batch (distinct-doc counts are additive across the
+    // disjoint halves)
+    "x_line_dedup_incr" -> ("WITH d AS (SELECT doc_id, " +
+      "'shared-' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || " +
+      "substr(text, 1, 61) || chr(10) || " +
+      "'tail-' || CAST(doc_id % 97 AS VARCHAR) AS text FROM documents), " +
+      "l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d), " +
+      "l AS (SELECT doc_id, unnest(ls) AS line, " +
+      "unnest([i for i in range(1, len(ls)+1)]) AS pos FROM l0), " +
+      "c AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM l GROUP BY 1), " +
+      "k AS (SELECT l.doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines, " +
+      "CAST(SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_lines, " +
+      "STRING_AGG(CASE WHEN c.nd <= 1 THEN l.line END, chr(10) ORDER BY l.pos) AS kept " +
+      "FROM l JOIN c USING (line) WHERE l.doc_id % 2 = 1 GROUP BY 1) " +
       "SELECT doc_id, n_lines, dup_lines, " +
       "ROUND(dup_lines / (1.0 * n_lines), 6) AS dup_ratio, " +
       "COALESCE(kept, '') AS clean_text FROM k ORDER BY doc_id"),

@@ -804,12 +804,18 @@ object Dedup {
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
       maxDocs: Long = 1L): DataFrame = {
     require(maxDocs >= 1, s"maxDocs=$maxDocs must be >= 1")
-    val lines = df.select(col(idCol),
-      posexplode_outer(split(col(textCol), "\n")).as(Seq("__i", "__line")))
-    val counts = lines.filter(col("__line").isNotNull)
-      .select(xxhash64(col("__line")).as("__lh"), col(idCol)).distinct()
-      .groupBy(col("__lh")).agg(count(lit(1)).as("__nd"))
-    lines
+    lineFold(df, idCol, textCol, maxDocs,
+      lineIndex(df, idCol, textCol)
+        .select(col("line_hash").as("__lh"), col("n_docs").as("__nd")))
+  }
+
+  /** Per-doc fold shared by the batch and incremental line paths:
+    * `counts` is (__lh = xxhash64(line), __nd) with __nd the distinct-
+    * document count a line is judged against. */
+  private def lineFold(df: DataFrame, idCol: String, textCol: String,
+      maxDocs: Long, counts: DataFrame): DataFrame =
+    df.select(col(idCol),
+        posexplode_outer(split(col(textCol), "\n")).as(Seq("__i", "__line")))
       .withColumn("__lh", xxhash64(col("__line")))
       .join(counts, Seq("__lh"), "left")
       .groupBy(col(idCol))
@@ -825,6 +831,42 @@ object Dedup {
           col("dup_lines").cast("double") / col("n_lines")).otherwise(0.0), 6)
           .as("dup_ratio"),
         col("clean_text"))
+
+  /** Persisted line index for [[lineDedupIncremental]]: per line,
+    * the number of DISTINCT documents containing it —
+    * `(line_hash, n_docs)` with `line_hash = xxhash64(line)` (8-byte
+    * rows, the [[tileIndex]] storage discipline). */
+  def lineIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(split(col(textCol), "\n")).as("__line"))
+      .select(xxhash64(col("__line")).as("line_hash"), col(idCol))
+      .distinct()
+      .groupBy(col("line_hash")).agg(count(lit(1)).as("n_docs"))
+
+  /** Fold a batch's line index into a persisted one. Distinct-document
+    * counts are additive ONLY across disjoint document sets — the
+    * continuous-ingestion contract (batches are NEW documents; the
+    * same doc re-observed across batches would double-count). */
+  def mergeLineIndex(index: DataFrame, add: DataFrame): DataFrame =
+    index.unionByName(add)
+      .groupBy(col("line_hash")).agg(sum(col("n_docs")).as("n_docs"))
+
+  /** Incremental [[lineDedup]]: the arriving batch screened against
+    * (indexed corpus ∪ the batch itself) WITHOUT re-reading corpus
+    * text — equal to batch mode over the full corpus restricted to the
+    * batch rows, under the disjoint-batch contract of
+    * [[mergeLineIndex]]. O(batch) plus one hash-keyed join against the
+    * index (strategy left to AQE). */
+  def lineDedupIncremental(batch: DataFrame, idCol: String,
+      textCol: String, index: DataFrame, maxDocs: Long = 1L): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs=$maxDocs must be >= 1")
+    val counts = lineIndex(batch, idCol, textCol)
+      .withColumnRenamed("n_docs", "__bc")
+      .join(index.select(col("line_hash"), col("n_docs").as("__ic")),
+        Seq("line_hash"), "left")
+      .select(col("line_hash").as("__lh"),
+        (col("__bc") + coalesce(col("__ic"), lit(0L))).as("__nd"))
+    lineFold(batch, idCol, textCol, maxDocs, counts)
   }
 
   /** The DETECTOR companion to [[tileDuplication]]: overlapping

@@ -484,6 +484,30 @@ class DedupSpec extends SparkTestBase {
     assert(lax == 0L)
   }
 
+  test("lineDedupIncremental == batch restricted to the batch; index merge is additive") {
+    val corpus = Seq(
+      (1L, "banner\nalpha one"),
+      (2L, "banner\nbeta two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "banner\ngamma three"),     // banner indexed twice -> strips
+      (11L, "fresh\ndelta four"),       // 'fresh' also in 12 -> strips
+      (12L, "fresh\nepsilon five")).toDF("doc_id", "text")
+    val idx = Dedup.lineIndex(corpus, "doc_id", "text")
+    val inc = Dedup.lineDedupIncremental(batch, "doc_id", "text", idx)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val full = Dedup.lineDedup(corpus.unionByName(batch), "doc_id", "text")
+      .filter(col("doc_id") >= 10L).orderBy("doc_id")
+      .collect().map(_.toSeq)
+    assert(inc.toSeq == full.toSeq)
+    // merging the batch's index reproduces the one-shot full index
+    val merged = Dedup.mergeLineIndex(idx,
+        Dedup.lineIndex(batch, "doc_id", "text"))
+      .orderBy("line_hash").collect().map(_.toSeq)
+    val oneShot = Dedup.lineIndex(corpus.unionByName(batch), "doc_id", "text")
+      .orderBy("line_hash").collect().map(_.toSeq)
+    assert(merged.toSeq == oneShot.toSeq)
+  }
+
   test("lineDedup: within-doc repetition does not strip (distinct-doc counting); empty doc safe") {
     val docs = Seq(
       (1L, "same line\nsame line\nother"),
