@@ -2249,6 +2249,19 @@ object SparkEntry {
         .select(col("o_orderkey").as("doc"))
       graft.ext.Rank.evalRun(run, rel, "doc", "rank", k = 10)
     }),
+    // position-weighted retrieval scorecard over the same run/relevance
+    // pair: femto-quantized log2 discounts -> exact integer DCG/IDCG
+    "x_ndcg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = ord(s, d)
+      val sortCols = Seq(col("o_totalprice").desc, col("o_orderkey"))
+      val run = o.orderBy(sortCols: _*).limit(100)
+        .select(col("o_orderkey").as("doc"),
+          row_number().over(Window.orderBy(sortCols: _*)).cast("long").as("rank"))
+      val rel = o.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("doc"))
+      graft.ext.Rank.ndcgAtK(run, rel, "doc", "rank", k = 10)
+    }),
     // Linear-interpolation gap fill: every 13th hour of the value series
     // deleted, refilled by exact floor-division interpolation
     "x_interp" -> ((s, d) => {
@@ -3559,6 +3572,23 @@ object SparkEntry {
       "CAST(COALESCE(hits, 0) AS DOUBLE) / 10.0::DOUBLE AS p_at_k, " +
       "CAST(COALESCE(hits, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE) AS r_at_k " +
       "FROM agg, nr"),
+    // femto-quantized log2 discounts on both sums; ndcg is a division
+    // of identical exact integers
+    "x_ndcg" -> ("WITH r AS (SELECT id, rk FROM (SELECT o_orderkey AS id, " +
+      "ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk " +
+      "FROM orders) t WHERE rk <= 100), " +
+      "j AS (SELECT rk FROM r WHERE id % 97 = 0 AND rk <= 10), " +
+      "nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rel FROM orders WHERE o_orderkey % 97 = 0), " +
+      "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit_k, " +
+      "CAST(COALESCE(SUM(CAST(FLOOR(1e15 / log2(CAST(rk AS DOUBLE) + 1.0::DOUBLE)) AS BIGINT)), 0) AS BIGINT) AS dcg_femto FROM j), " +
+      "ideal AS (SELECT CAST(CASE WHEN n_rel > 0 THEN COALESCE(list_aggregate(" +
+      "[CAST(FLOOR(1e15 / log2(CAST(i AS DOUBLE) + 1.0::DOUBLE)) AS BIGINT) " +
+      "for i in range(1, CAST(LEAST(10, n_rel) AS BIGINT) + 1)], 'sum'), 0) " +
+      "ELSE 0 END AS BIGINT) AS idcg_femto FROM nr) " +
+      "SELECT n_rel, n_hit_k, dcg_femto, idcg_femto, " +
+      "CASE WHEN idcg_femto > 0 THEN CAST(dcg_femto AS DOUBLE) / " +
+      "CAST(idcg_femto AS DOUBLE) ELSE 0.0::DOUBLE END AS ndcg " +
+      "FROM agg, nr, ideal"),
     // same windows with IGNORE NULLS; // floors exactly like the
     // spelled-out floor division on the Spark side
     "x_interp" -> ("WITH s0 AS (SELECT event_type, " +

@@ -74,4 +74,44 @@ object Rank {
         (coalesce(col("__hits"), lit(0L)).cast("double") /
           col("n_rel").cast("double")).as("r_at_k"))
   }
+
+  /** nDCG@k with binary relevance — the position-weighted scorecard
+    * [[evalRun]]'s P@k misses (a hit at rank 1 and a hit at rank 10
+    * are not the same retrieval): DCG@k = Σ_{hits, r ≤ k} 1/log₂(r+1),
+    * IDCG@k = the perfect-ranking sum over min(k, n_rel) front ranks,
+    * nDCG = DCG/IDCG ∈ [0, 1].
+    *
+    * Determinism: each discount 1/log₂(r+1) floor-quantizes to femto
+    * longs (the [[rrfFuse]] discipline — log₂ of a small-integer
+    * operand is the identical double on any engine), so both sums are
+    * exact integers and the final quotient divides identical operands.
+    * Empty relevance set or zero hits → ndcg 0, not NULL/crash.
+    *
+    * Scale shape: the run is a top-N list; one broadcast-or-hash join
+    * against the relevance ids, one global fold; IDCG is a bounded
+    * k-term expression fold on the 1-row result. */
+  def ndcgAtK(run: DataFrame, relevant: DataFrame, idCol: String,
+      rankCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val rel = relevant.select(col(idCol).as("id")).distinct()
+    val r = run.select(col(idCol).as("id"), col(rankCol).cast("long").as("__r"))
+    val nRel = rel.agg(count(lit(1)).as("n_rel"))
+    val discount = floor(lit(1.0e15) /
+      log2(col("__r").cast("double") + lit(1.0))).cast("long")
+    val idcg = when(col("n_rel") > 0,
+      aggregate(sequence(lit(1L), least(lit(k.toLong), col("n_rel"))),
+        lit(0L), (acc, i) => acc +
+          floor(lit(1.0e15) / log2(i.cast("double") + lit(1.0)))
+            .cast("long"))).otherwise(lit(0L))
+    r.join(rel, Seq("id"))
+      .filter(col("__r") <= k)
+      .agg(count(lit(1)).as("n_hit_k"),
+        coalesce(sum(discount), lit(0L)).as("dcg_femto"))
+      .crossJoin(broadcast(nRel))
+      .withColumn("idcg_femto", idcg)
+      .select(col("n_rel"), col("n_hit_k"), col("dcg_femto"),
+        col("idcg_femto"),
+        when(col("idcg_femto") > 0, col("dcg_femto").cast("double") /
+          col("idcg_femto").cast("double")).otherwise(lit(0.0)).as("ndcg"))
+  }
 }

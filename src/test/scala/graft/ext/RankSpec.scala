@@ -52,4 +52,32 @@ class RankSpec extends SparkTestBase {
     assert(none.getLong(1) == 0L && none.isNullAt(2))
     assert(none.getLong(3) == 0L && none.getDouble(4) == 0.0)
   }
+
+  test("ndcgAtK: hand-checked femto sums; perfect ranking = exactly 1.0; edges") {
+    def f(r: Long): Long =
+      math.floor(1.0e15 / (math.log(r + 1.0) / math.log(2.0))).toLong
+    val run = (1L to 20L).map(i => (i * 10, i)).toDF("doc", "rank")
+    // hits at ranks 3 and 15 (outside k=10) + one never retrieved
+    val r = Rank.ndcgAtK(run, Seq(30L, 150L, 999L).toDF("doc"),
+      "doc", "rank", k = 10).head()
+    assert(r.getLong(0) == 3L)                        // n_rel
+    assert(r.getLong(1) == 1L)                        // hits inside k
+    assert(r.getLong(2) == f(3))                      // dcg
+    assert(r.getLong(3) == f(1) + f(2) + f(3))        // idcg: min(k, 3) terms
+    assert(r.getDouble(4) == f(3).toDouble / (f(1) + f(2) + f(3)).toDouble)
+    // perfect ranking: the top-3 docs ARE the relevant set -> exactly 1.0
+    val perfect = Rank.ndcgAtK(run, Seq(10L, 20L, 30L).toDF("doc"),
+      "doc", "rank", k = 10).head()
+    assert(perfect.getDouble(4) == 1.0)
+    // n_rel > k: idcg truncates at k terms
+    val many = Rank.ndcgAtK(run, (1L to 20L).map(_ * 10).toDF("doc"),
+      "doc", "rank", k = 3).head()
+    assert(many.getLong(3) == f(1) + f(2) + f(3))
+    assert(many.getDouble(4) == 1.0)
+    // empty relevance set: zeros, no sequence(1,0) trap
+    val none = Rank.ndcgAtK(run, spark.emptyDataset[Long].toDF("doc"),
+      "doc", "rank").head()
+    assert(none.getLong(0) == 0L && none.getLong(3) == 0L
+      && none.getDouble(4) == 0.0)
+  }
 }
