@@ -2799,6 +2799,37 @@ object SparkEntry {
             .cast("double").as("total"))
         .orderBy(col("status"))
     }),
+    // ORC interchange round trip: a warehouse fact EXPORTS to ORC
+    // (Warehouse.export), the ORC directory re-ingests through the S9
+    // file-source path (self-describing schema — no inference pass),
+    // and the re-run proves S10 idempotency; grouping by
+    // year(o_orderdate) proves DATE typing and DECIMAL totals survive
+    // the full round trip
+    "x_orc_source" -> ((s, d) => {
+      import graft.snapshot._
+      import graft.time.TimeScope.Cron
+      val day = java.time.LocalDate.parse("2024-01-15")
+      val wh0 = new Warehouse(s, TempDirs.scratchDir("graft_orc_src").toString)
+      wh0.append("orders_base", ord(s, d)
+        .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          year(col("o_orderdate")).cast("long").as("year")))
+      val drop = TempDirs.scratchDir("graft_orc_drop")
+      wh0.export("orders_base", s"$drop/$day", format = "orc",
+        columns = Seq("o_orderstatus", "o_totalprice", "o_orderdate"))
+      val wh = new Warehouse(s, TempDirs.scratchDir("graft_orc_wh").toString)
+      val settings = SnapshotJob.Settings(Seq(SnapshotJob.FactConfig(
+        "orders_orc", Cron.Daily, Seq(SnapshotJob.FactQuery(12, enabled = true,
+          SnapshotJob.FileSource(s"$drop/@date", "orc"))))))
+      SnapshotJob.run(s, settings, wh, day)
+      SnapshotJob.run(s, settings, wh, day) // S10 no-op
+      wh.read("orders_orc").get
+        .groupBy(col("o_orderstatus").as("status"),
+          year(col("o_orderdate")).cast("long").as("year"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total"))
+        .orderBy(col("status"), col("year"))
+    }),
     // zero-copy dataset pinning: tag the fact, append MORE data, then
     // compact AND re-cluster (two full rewrites — the pinned files are
     // displaced twice over); the tag must still read back exactly the
@@ -5328,6 +5359,13 @@ object SparkEntry {
     "x_file_source" -> ("SELECT o_orderstatus AS status, COUNT(*) AS n, " +
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
       "FROM orders GROUP BY 1 ORDER BY 1"),
+    // the ORC round trip is lossless, so the oracle is the plain
+    // source aggregate — year from the DATE column proves typing held
+    "x_orc_source" -> ("SELECT o_orderstatus AS status, " +
+      "CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year, " +
+      "COUNT(*) AS n, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+      "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"),
     // the tag pins the pre-append file set; the oracle is simply the
     // pre-append subset of the source
     "x_timetravel" -> ("SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year, " +

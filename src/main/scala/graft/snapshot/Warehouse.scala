@@ -87,6 +87,30 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
   def overwrite(fact: String, batch: DataFrame): Unit =
     replaceWith(fact, batch, ".epoch")
 
+  /** Export a fact for downstream consumers — the interchange leg of
+    * the sink family (reference S12/S13 render JSON/table views of
+    * query RESULTS; this exports the stored fact itself). `orc`
+    * preserves the full type lattice (DECIMAL precision, DATE,
+    * TIMESTAMP — proven by the x_orc_source round trip), `parquet`
+    * likewise; `csv`/`json` degrade temporal/decimal types to text
+    * (their format's nature — re-ingestion goes through the S9
+    * inference path). One distributed write, no driver
+    * materialization; partitioning follows the read (year-partitioned
+    * facts export year-partitioned parallelism). */
+  def export(fact: String, dir: String, format: String = "orc",
+      options: Map[String, String] = Map.empty,
+      columns: Seq[String] = Nil): Unit = {
+    val df = read(fact).getOrElse(
+      throw new IllegalArgumentException(s"unknown fact '$fact'"))
+    // `columns` prunes internal fields for interchange — e.g. dropping
+    // the reserved time-scope columns so the export can round-trip
+    // through the S9 ingestion path (withTimeFields rejects reserved
+    // names loudly)
+    val pruned = if (columns.isEmpty) df else df.select(columns.map(col): _*)
+    pruned.write.mode(SaveMode.Overwrite).format(format).options(options)
+      .save(dir)
+  }
+
   /** Append a batch, evolving the stored schema when needed (S5/S6/S7). */
   def append(fact: String, batch: DataFrame): Unit = read(fact) match {
     case None =>

@@ -229,6 +229,34 @@ class SourcesSpec extends SparkTestBase {
       org.apache.spark.sql.types.TimestampType)
   }
 
+  test("ORC export + re-ingest: self-describing schema, types lossless") {
+    import org.apache.spark.sql.types._
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("orc_wh").toString)
+    val src = Seq(
+      ("a", BigDecimal("10.55"), java.sql.Date.valueOf("2024-01-03")),
+      ("b", BigDecimal("2.25"), java.sql.Date.valueOf("2023-12-31")))
+      .toDF("k", "amount", "seen")
+      .select(col("k"), col("amount").cast(DecimalType(12, 2)).as("amount"),
+        col("seen"))
+    wh.append("f", src.withColumn("year", lit(2024L)))
+    val out = java.nio.file.Files.createTempDirectory("orc_out")
+    // column pruning drops the internal scope field for interchange
+    wh.export("f", s"$out/2024-02-01", format = "orc",
+      columns = Seq("k", "amount", "seen"))
+    // re-ingest through the S9 file path: NO inference options needed —
+    // ORC carries its schema, and the type lattice survives exactly
+    val back = SnapshotJob.runFile(spark,
+      SnapshotJob.FileSource(s"$out/@date", "orc"),
+      LocalDate.parse("2024-02-01"))
+    assert(back.schema("amount").dataType == DecimalType(12, 2))
+    assert(back.schema("seen").dataType == DateType)
+    assert(back.orderBy("k").collect().map(_.toSeq).toSeq ==
+      src.orderBy("k").collect().map(_.toSeq).toSeq)
+    // unknown fact fails loudly, not with an empty write
+    intercept[IllegalArgumentException](wh.export("nope", s"$out/x"))
+  }
+
   test("distributed pipe source: shard-per-executor-process JSON-lines") {
     val script = java.nio.file.Files.createTempFile("shard", ".sh")
     java.nio.file.Files.writeString(script,
