@@ -1189,6 +1189,32 @@ object SparkEntry {
           col("clean_text"))
         .orderBy(col("doc_id"))
     }),
+    // streaming LINE screen over the planted 3-line layout, 3 driver-
+    // chained batches (doc_id % 3): a line's first sighting publishes
+    // clean; once its cumulative distinct-doc count through a batch
+    // exceeds 1, later documents strip it — the oracle replays the
+    // per-batch cumulative counts with a window sum
+    "x_stream_line" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("shared-"), (col("doc_id") % 5).cast("string")),
+          substring(col("text"), 1, 61),
+          concat(lit("tail-"), (col("doc_id") % 97).cast("string")))
+          .as("text"),
+        (lit(2020L) + col("doc_id") % 3).as("year"))
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_ls_wh").toString)
+      val idxDir = TempDirs.scratchDir("graft_ls_idx").toString
+      (0L to 2L).foreach { b =>
+        graft.streaming.LineScrub.ingestBatch(
+          docs.filter(col("doc_id") % 3 === b), "doc_id", "text",
+          wh, "screened", idxDir, b)
+      }
+      wh.read("screened").get
+        .select(col("doc_id"), col("n_lines"), col("dup_lines"),
+          col("dup_ratio"), col("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
     // Gopher repetition screens (Rae 2021 App. A1): documents re-flowed
     // into 3-word lines so the line metrics see real duplicates; tokens
     // spanning a line break keep the \n byte in BOTH engines (the
@@ -4125,6 +4151,28 @@ object SparkEntry {
       "CAST(SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_lines, " +
       "STRING_AGG(CASE WHEN c.nd <= 1 THEN l.line END, chr(10) ORDER BY l.pos) AS kept " +
       "FROM l JOIN c USING (line) WHERE l.doc_id % 2 = 1 GROUP BY 1) " +
+      "SELECT doc_id, n_lines, dup_lines, " +
+      "ROUND(dup_lines / (1.0 * n_lines), 6) AS dup_ratio, " +
+      "COALESCE(kept, '') AS clean_text FROM k ORDER BY doc_id"),
+    // streaming-order line counts: a doc's line is judged against the
+    // cumulative distinct-doc count through its OWN batch (window sum
+    // over per-batch counts in batch order)
+    "x_stream_line" -> ("WITH d AS (SELECT doc_id, doc_id % 3 AS batch, " +
+      "'shared-' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || " +
+      "substr(text, 1, 61) || chr(10) || " +
+      "'tail-' || CAST(doc_id % 97 AS VARCHAR) AS text FROM documents), " +
+      "l0 AS (SELECT doc_id, batch, string_split(text, chr(10)) AS ls FROM d), " +
+      "l AS (SELECT doc_id, batch, unnest(ls) AS line, " +
+      "unnest([i for i in range(1, len(ls)+1)]) AS pos FROM l0), " +
+      "cb AS (SELECT line, batch, COUNT(DISTINCT doc_id) AS nd " +
+      "FROM l GROUP BY 1, 2), " +
+      "cum AS (SELECT line, batch, " +
+      "SUM(nd) OVER (PARTITION BY line ORDER BY batch) AS ndc FROM cb), " +
+      "k AS (SELECT l.doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines, " +
+      "CAST(SUM(CASE WHEN cum.ndc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_lines, " +
+      "STRING_AGG(CASE WHEN cum.ndc <= 1 THEN l.line END, chr(10) ORDER BY l.pos) AS kept " +
+      "FROM l JOIN cum ON l.line = cum.line AND l.batch = cum.batch " +
+      "GROUP BY 1) " +
       "SELECT doc_id, n_lines, dup_lines, " +
       "ROUND(dup_lines / (1.0 * n_lines), 6) AS dup_ratio, " +
       "COALESCE(kept, '') AS clean_text FROM k ORDER BY doc_id"),

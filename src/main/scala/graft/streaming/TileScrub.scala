@@ -3,9 +3,7 @@ package graft.streaming
 import graft.ext.Dedup
 import graft.snapshot.Warehouse
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Continuous exact-substring scrubbing — the streaming leg of the tile
@@ -47,36 +45,24 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * batches, periodically rewrite the dir as one `batch=-1` partition
   * (the read is a map-side-combinable aggregate either way).
   *
-  * The streamed frame must carry (idCol, textCol, `year`). */
+  * The streamed frame must carry (idCol, textCol, `year`).
+  *
+  * The protocol machinery (partitioned index, intent/marker fact leg,
+  * foreachBatch loop) lives once in [[ScrubEngine]], shared with the
+  * line-unit sibling [[LineScrub]]. */
 object TileScrub {
+
+  private def family(tileWords: Int) = ScrubFamily(
+    subdir = "tiles", keyCol = "tile_hash", cntCol = "n_refs",
+    statCols = Seq("n_tiles", "dup_tiles", "dup_ratio", "clean_text"),
+    indexOf = Dedup.tileIndex(_, _, _, tileWords),
+    incremental = Dedup.tileDuplicationIncremental(_, _, _, _, tileWords))
 
   /** Seed the index with an existing corpus's tiles (batch = -1). */
   def seedIndex(corpus: DataFrame, idCol: String, textCol: String,
       indexDir: String, tileWords: Int = 8): Unit =
-    Dedup.tileIndex(corpus, idCol, textCol, tileWords)
-      .write.mode("overwrite").parquet(s"$indexDir/tiles/batch=-1")
-
-  /** The current index EXCLUDING `batchId`'s own partition, collapsed
-    * to one row per tile hash. */
-  private def readIndex(batch: DataFrame, indexDir: String,
-      batchId: Long): DataFrame = {
-    val spark = batch.sparkSession
-    val tilesDir = s"$indexDir/tiles"
-    val fs = new Path(tilesDir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    // the dir may exist but hold no batch=* partition (first batch, or a
-    // crash erased the only one) — schema inference would die on it
-    val hasParts = fs.exists(new Path(tilesDir)) &&
-      fs.listStatus(new Path(tilesDir)).exists(s =>
-        s.isDirectory && s.getPath.getName.startsWith("batch="))
-    if (hasParts)
-      spark.read.option("basePath", tilesDir).parquet(tilesDir)
-        .filter(col("batch") =!= batchId)
-        .groupBy(col("tile_hash")).agg(sum(col("n_refs")).as("n_refs"))
-    else
-      spark.emptyDataFrame
-        .select(lit(0L).as("tile_hash"), lit(0L).as("n_refs")).limit(0)
-  }
+    ScrubEngine.seedIndex(family(tileWords), corpus, idCol, textCol,
+      indexDir)
 
   /** One batch through the scrub, callable directly (the driver-chained
     * form the x_stream_substr gate replays) or from [[run]]'s
@@ -86,53 +72,13 @@ object TileScrub {
     * (crash-replay path only — steady state never probes the fact). */
   def ingestBatch(batch: DataFrame, idCol: String, textCol: String,
       wh: Warehouse, fact: String, indexDir: String, batchId: Long,
-      tileWords: Int = 8, dedupFact: Boolean = false): Unit = {
-    val index = readIndex(batch, indexDir, batchId)
-    val scrubbed = Dedup.tileDuplicationIncremental(
-        batch.select(col(idCol), col(textCol)), idCol, textCol,
-        index, tileWords)
-      .join(batch.select(col(idCol), col("year")), idCol)
-      .select(col(idCol), col("year"), col("n_tiles"), col("dup_tiles"),
-        col("dup_ratio"), col("clean_text"))
-      .localCheckpoint(true)
-    val factLeg =
-      if (!dedupFact) scrubbed
-      else wh.read(fact) match {
-        case None => scrubbed
-        case Some(existing) =>
-          val years = scrubbed.select(col("year")).distinct()
-            .collect().map(_.getLong(0))
-          scrubbed.join(existing
-            .filter(col("year").isin(years.map(Long.box): _*))
-            .select(col(idCol)), Seq(idCol), "left_anti")
-      }
-    if (!factLeg.isEmpty) wh.append(fact, factLeg)
-    Dedup.tileIndex(batch, idCol, textCol, tileWords)
-      .write.mode("overwrite").parquet(s"$indexDir/tiles/batch=$batchId")
-  }
+      tileWords: Int = 8, dedupFact: Boolean = false): Unit =
+    ScrubEngine.ingestBatch(family(tileWords), batch, idCol, textCol,
+      wh, fact, indexDir, batchId, dedupFact)
 
   def run(stream: DataFrame, idCol: String, textCol: String,
       wh: Warehouse, fact: String, indexDir: String, checkpointDir: String,
       tileWords: Int = 8): StreamingQuery =
-    stream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val markerRoot = new Path(checkpointDir, "_graft_markers")
-        val fs = markerRoot.getFileSystem(
-          batch.sparkSession.sparkContext.hadoopConfiguration)
-        fs.mkdirs(markerRoot)
-        val marker = new Path(markerRoot, s"_batch_$batchId")
-        val intent = new Path(markerRoot, s"_intent_$batchId")
-        if (!fs.exists(marker)) {
-          val crashReplay = fs.exists(intent)
-          if (!crashReplay) fs.create(intent, true).close()
-          ingestBatch(batch, idCol, textCol, wh, fact, indexDir, batchId,
-            tileWords, dedupFact = crashReplay)
-          fs.create(marker, true).close()
-          fs.delete(intent, false)
-        }
-        ()
-      }
-      .start()
+    ScrubEngine.run(family(tileWords), stream, idCol, textCol, wh, fact,
+      indexDir, checkpointDir)
 }
