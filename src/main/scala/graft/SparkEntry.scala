@@ -2568,6 +2568,16 @@ object SparkEntry {
         "priority", "id", "v")
         .filter(col("id") % 199 === 0)
         .orderBy(col("id"))),
+    // median/MAD modified z-score (Iglewicz-Hoaglin): the outlier rule
+    // that survives the outliers themselves; both medians exact rank
+    // statistics, z floor-quantized to micros, flag an integer compare
+    "x_robust_z" -> ((s, d) =>
+      graft.ext.Profile.robustZscore(
+        ord(s, d).select(col("o_orderpriority").as("priority"),
+          col("o_orderkey").as("id"), col("o_totalprice").as("v")),
+        "priority", "id", "v")
+        .filter(col("id") % 199 === 0)
+        .orderBy(col("id"))),
     // HLL set algebra over two overlapping customer populations:
     // union = per-bucket MAX merge, intersection by inclusion-exclusion
     "x_hll_setops" -> ((s, d) => {
@@ -3910,6 +3920,29 @@ object SparkEntry {
       "SELECT q.priority, q.id, CAST(q.x AS DOUBLE) / 100.0::DOUBLE AS v, " +
       "(CAST(q.x AS DOUBLE) - sx / n) / sqrt((n * sxx - sx * sx) / (n * n)) AS z " +
       "FROM q JOIN s ON q.priority = s.priority WHERE q.id % 199 = 0 ORDER BY q.id"),
+    // both medians as exact floor(0.5*(n-1)) rank statistics in cents;
+    // z mirrors the operator's float op order, flag an integer compare
+    "x_robust_z" -> ("WITH b AS (SELECT o_orderpriority AS priority, " +
+      "o_orderkey AS id, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc " +
+      "FROM orders), " +
+      "n AS (SELECT priority, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1), " +
+      "r1 AS (SELECT priority, xc, ROW_NUMBER() OVER (PARTITION BY priority ORDER BY xc) AS rn FROM b), " +
+      "med AS (SELECT r1.priority, xc AS mc FROM r1 JOIN n USING (priority) " +
+      "WHERE rn - 1 = CAST(FLOOR(0.5::DOUBLE * CAST(n - 1 AS DOUBLE)) AS BIGINT)), " +
+      "dv AS (SELECT b.priority, b.id, b.xc, mc, ABS(b.xc - mc) AS dc " +
+      "FROM b JOIN med USING (priority)), " +
+      "r2 AS (SELECT priority, dc, ROW_NUMBER() OVER (PARTITION BY priority ORDER BY dc) AS rn FROM dv), " +
+      "mad AS (SELECT r2.priority, dc AS madc FROM r2 JOIN n USING (priority) " +
+      "WHERE rn - 1 = CAST(FLOOR(0.5::DOUBLE * CAST(n - 1 AS DOUBLE)) AS BIGINT)), " +
+      "z AS (SELECT dv.priority, dv.id, dv.xc, mc, madc, " +
+      "CASE WHEN madc > 0 THEN " +
+      "CAST(FLOOR(0.6745::DOUBLE * CAST(dv.xc - mc AS DOUBLE) / " +
+      "CAST(madc AS DOUBLE) * 1e6) AS BIGINT) END AS zm " +
+      "FROM dv JOIN mad USING (priority)) " +
+      "SELECT priority, id, CAST(xc AS DOUBLE) / 100.0::DOUBLE AS value, " +
+      "CASE WHEN madc > 0 THEN zm END AS z_micro, " +
+      "CASE WHEN madc > 0 THEN ABS(zm) > 3500000 ELSE xc <> mc END AS outlier " +
+      "FROM z WHERE id % 199 = 0 ORDER BY id"),
     "x_hll_setops" -> ("WITH ha AS (SELECT md5(CAST(o_custkey AS VARCHAR)) AS x " +
       "FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01'), " +
       "hb AS (SELECT md5(CAST(o_custkey AS VARCHAR)) AS x " +

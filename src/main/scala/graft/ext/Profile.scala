@@ -450,6 +450,59 @@ object Profile {
         (col("__x").cast("double") / lit(100.0)).as("value"))
   }
 
+  /** Robust per-group outlier screen (Iglewicz–Hoaglin modified
+    * z-score): z = 0.6745·(x − median)/MAD with MAD the exact median
+    * absolute deviation — the outlier rule that survives the outliers
+    * themselves (mean/σ z-scores inflate σ with every anomaly they are
+    * supposed to flag; median/MAD have a 50% breakdown point). Flags
+    * |z| > `flagAt` (3.5, the published default).
+    *
+    * Exactness: both medians are [[exactQuantile]] order statistics
+    * (bucketed prefix counts, no per-group buffer); x, median, and MAD
+    * live in integer cents, so z is one double expression over
+    * identical operands, floor-quantized to micro units — the flag is
+    * an integer compare on any engine. MAD = 0 (over half the group
+    * identical): z is NULL and any deviation flags (it is infinitely
+    * many MADs away) — the documented degenerate contract.
+    *
+    * Scale shape: two exactQuantile passes (each two shuffle-bounded
+    * scans) plus two group-sized joins — never a per-group sort of the
+    * data. Output: (group, id, value, z_micro, outlier). */
+  def robustZscore(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, flagAt: Double = 3.5): DataFrame = {
+    require(flagAt > 0, s"flagAt=$flagAt must be positive")
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val d0 = org.apache.spark.sql.types.DecimalType(20, 0)
+    def cents(c: org.apache.spark.sql.Column) =
+      (c.cast(d2) * lit(100)).cast(d0).cast("long")
+    val base = df.select(col(groupCol), col(idCol),
+      cents(col(valueCol)).as("__xc"))
+    // med and mad are group-sized; eager-checkpointing them keeps the
+    // lazy tree from re-deriving each quantile chain in every branch
+    // that references it (the codebook-checkpoint discipline of Pq)
+    val med = exactQuantile(df, groupCol, valueCol, 0.5)
+      .select(col(groupCol), cents(col("value")).as("__mc"))
+      .localCheckpoint(true)
+    val dev = base.join(med, Seq(groupCol))
+    val mad = exactQuantile(
+        dev.select(col(groupCol),
+          (abs(col("__xc") - col("__mc")).cast("double") / lit(100.0))
+            .as("__dv")),
+        groupCol, "__dv", 0.5)
+      .select(col(groupCol), cents(col("value")).as("__madc"))
+      .localCheckpoint(true)
+    val zMicro = floor(lit(0.6745) *
+      (col("__xc") - col("__mc")).cast("double") /
+      col("__madc").cast("double") * lit(1e6)).cast("long")
+    val cap = math.floor(flagAt * 1e6).toLong
+    dev.join(mad, Seq(groupCol))
+      .select(col(groupCol), col(idCol),
+        (col("__xc").cast("double") / lit(100.0)).as("value"),
+        when(col("__madc") > 0, zMicro).as("z_micro"),
+        when(col("__madc") > 0, abs(zMicro) > cap)
+          .otherwise(col("__xc") =!= col("__mc")).as("outlier"))
+  }
+
   /** Weighted exact quantile — [[exactQuantile]] with per-row integer
     * weights: the value at weighted rank floor(q·(W−1)) along the
     * weight line (token-weighted median document length, spend-weighted

@@ -362,6 +362,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows.filter(_.getString(0) == "h").forall(_.isNullAt(3)))
   }
 
+  test("robustZscore: hand median/MAD, outlier immune to itself, MAD=0 contract") {
+    import spark.implicits._
+    // g: [10,10,11,12,13,100] -> median 11, deviations sorted
+    // [0,100,100,100,200,8900] cents -> MAD 100 cents
+    val df = Seq(("g", 1L, 10.0), ("g", 2L, 10.0), ("g", 3L, 11.0),
+      ("g", 4L, 12.0), ("g", 5L, 13.0), ("g", 6L, 100.0),
+      ("h", 7L, 5.0), ("h", 8L, 5.0), ("h", 9L, 5.0), ("h", 10L, 9.0))
+      .toDF("grp", "id", "v")
+    val got = Profile.robustZscore(df, "grp", "id", "v")
+      .collect().map(r => r.getLong(1) ->
+        ((if (r.isNullAt(3)) None else Some(r.getLong(3))), r.getBoolean(4)))
+      .toMap
+    def zm(diffCents: Long, madCents: Long): Long =
+      math.floor(0.6745 * diffCents.toDouble / madCents.toDouble * 1e6).toLong
+    assert(got(6L) == ((Some(zm(8900L, 100L)), true)))  // the spike flags
+    assert(got(1L) == ((Some(zm(-100L, 100L)), false))) // ordinary rows don't
+    assert(got(3L) == ((Some(0L), false)))              // the median itself
+    // a mean/sigma z-score would be dragged by the 100: robust is not —
+    // only ONE outlier in g
+    assert(got.filterKeys(_ <= 6L).values.count(_._2) == 1)
+    // h: median 5, MAD 0 -> z NULL, any deviation flags
+    assert(got(7L) == ((None, false)) && got(10L) == ((None, true)))
+  }
+
   test("gini is invariant to input order and row duplication scales sanely") {
     import spark.implicits._
     val vals = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
