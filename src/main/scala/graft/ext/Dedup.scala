@@ -788,6 +788,20 @@ object Dedup {
     * `dup_lines`, `dup_ratio`, and `clean_text` (surviving lines
     * rejoined in original order with newlines).
     *
+    * Relationship to the [[TextAnalysis]] line scrubs (deliberate
+    * siblings, different contracts): [[TextAnalysis.dropBoilerplateLines]]
+    * is the scrub-ONLY form — no per-doc audit stats, emptied documents
+    * drop, and the hot set force-broadcasts (valid when `maxLineDf` is
+    * large, so the set is bounded small); THIS operator reports the
+    * audit columns, keeps emptied documents (the funnel accounts for
+    * them), leaves the count join to AQE (at `maxDocs = 1` the
+    * duplicated-line set is NOT bounded small — a forced broadcast
+    * would not survive 100 TB), and is the one with the persisted-index
+    * incremental ([[lineDedupIncremental]]) and streaming
+    * ([[graft.streaming.LineScrub]]) forms.
+    * [[TextAnalysis.dedupLines]] is the keep-first-occurrence dedup
+    * (one canonical copy survives) — a different semantics entirely.
+    *
     * Matching is exact bytes — no trimming or case folding (compose
     * [[TextNormalize]] upstream for canonicalized matching). Blank
     * lines are lines: corpus-duplicated blanks strip like any other

@@ -423,7 +423,16 @@ object TextAnalysis {
     * which any restructuring of documents necessarily pays.
     *
     * Lines are matched byte-exact; run [[TextNormalize]] upstream when
-    * near-identical chrome should collapse first. */
+    * near-identical chrome should collapse first.
+    *
+    * Sibling: [[Dedup.lineDedup]] is the AUDITED form of this screen —
+    * per-doc n_lines/dup_lines/dup_ratio, emptied documents kept, the
+    * count join left to AQE (safe at maxDocs = 1, where the duplicated
+    * set is unbounded and this operator's forced broadcast would not),
+    * plus the persisted-index incremental and streaming variants. Use
+    * this one for a large-cap scrub-only pass; use the Dedup family
+    * when the funnel needs accounting, small caps, or continuous
+    * ingestion. */
   def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
       maxLineDf: Long, sep: String = "\n"): DataFrame = {
     val lines = df.select(col(idCol),

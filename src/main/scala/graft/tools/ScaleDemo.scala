@@ -82,6 +82,17 @@ object ScaleDemo {
       graft.ext.TextAnalysis.dropBoilerplateLines(lined, "doc_id", "text",
         maxLineDf = k.toLong * 100).count()
     }
+    timed("line_dedup") {
+      // same re-lined corpus as boilerplate_lines, but the AUDITED
+      // maxDocs screen: replication makes every line corpus-duplicated
+      // (df = K), so the strip path runs at full pressure with the
+      // count join left to AQE (the maxDocs=1 shape a forced broadcast
+      // could not survive)
+      val lined = corpus.select(col("doc_id"),
+        regexp_replace(col("text"), "( \\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ",
+          "$1\n").as("text"))
+      graft.ext.Dedup.lineDedup(lined, "doc_id", "text").count()
+    }
     timed("tile_dedup") {
       // replication makes every tile corpus-hot (count = K): the strip
       // path and the per-doc fold run at full duplication pressure

@@ -350,6 +350,37 @@ class PlanSpec extends SparkTestBase {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("line dedup: line-hash keys only, no cartesian, map-side partials") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val p = plan(ext.Dedup.lineDedup(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "line counting must stay an equi-join:\n" + p.take(800))
+    assert(p.contains("xxhash64"),
+      "line counting must key on xxhash64(line), not line text:\n" +
+        p.take(800))
+    assert(!p.contains("hashpartitioning(__line"),
+      "line text must not be a shuffle key:\n" + p.take(800))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("pii scrub: one per-row projection, zero shuffles; regex-only chain codegens") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val p = plan(docs.select(col("doc_id"),
+      ext.Pii.scrub(col("text")).as("t")))
+    assert(!p.contains("Exchange"),
+      "the scrub chain must add no shuffle:\n" + p.take(600))
+    // the full chain includes the native Luhn scanner (CodegenFallback
+    // by design), which drops its projection out of codegen; the three
+    // regexp stages alone must stay inside a codegen star
+    val regexOnly = plan(docs.select(col("doc_id"),
+      ext.Pii.maskIps(ext.Pii.maskPhones(ext.Pii.maskEmails(col("text"))))
+        .as("t")))
+    assert(regexOnly.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("Project")),
+      "regexp-only masking must stay inside codegen:\n" + regexOnly.take(600))
+  }
+
   test("dsir: selection is TakeOrderedAndProject, never a global sort") {
     val docs = Tables.load(spark, sf("sf0.001"), "documents")
     val df = ext.Sampling.dsirSelect(docs, "doc_id", "text",
