@@ -507,6 +507,33 @@ object SparkEntry {
       }
       dim.orderBy(col("k"), col("valid_from"))
     }),
+    // THE SCD2 use case, composed from two existing operators: every
+    // probed order joins the dimension version in force AT ITS OWN
+    // date (AsofJoin over the version chain — last valid_from <= ts,
+    // which equals interval containment on a contiguous chain)
+    "x_scd2_asof" -> ((s, d) => {
+      import graft.snapshot.Scd2
+      val obs = ord(s, d)
+        .groupBy((col("o_custkey") % 50).as("k"),
+          col("o_orderdate").as("ts"))
+        .agg(min_by(col("o_orderpriority"), col("o_orderkey")).as("prio"))
+      val batches = Seq(
+        obs.filter(year(col("ts")) <= 1994),
+        obs.filter(year(col("ts")).between(1995, 1996)),
+        obs.filter(year(col("ts")) >= 1997))
+      val dim = batches.tail.foldLeft(
+        Scd2.init(batches.head, Seq("k"), Seq("prio"), "ts")) { (cur, b) =>
+        Scd2.merge(cur, b, Seq("k"), Seq("prio"), "ts")
+      }
+      val probes = ord(s, d).filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("okey"),
+          (col("o_custkey") % 50).as("k"), col("o_orderdate").as("ts2"))
+      graft.ext.AsofJoin.leftAsof(probes,
+          dim.select(col("k"), col("valid_from"), col("prio")),
+          Seq("k"), "ts2", "valid_from", Seq("prio"))
+        .select(col("okey"), col("k"), col("prio"))
+        .orderBy(col("okey"))
+    }),
     // Incremental materialized aggregate: three delta batches (orders
     // split by key mod 3 — every batch touches every year partition)
     // fold into per-(year, priority) partial state; the final read rolls
@@ -2018,6 +2045,21 @@ object SparkEntry {
     "x_vocab" -> ((s, d) =>
       graft.ext.TextAnalysis.vocabulary(Tables.load(s, d, "documents"),
         "doc_id", "text", minDf = 5, k = 40)),
+    // tokenizer-coverage check: the even half's distinct words play the
+    // frozen vocab, the odd half scores against it with one planted
+    // always-OOV token per doc (the corpus vocab overlaps heavily, so
+    // the plant guarantees both branches everywhere)
+    "x_oov" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val vocab = docs.filter(col("doc_id") % 2 === 0)
+        .select(explode(split(col("text"), " ")).as("word")).distinct()
+      val probes = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" qq"), col("doc_id").cast("string"))
+            .as("text"))
+      graft.ext.TextAnalysis.oovRate(probes, "doc_id", "text", vocab)
+        .orderBy(col("doc_id"))
+    }),
     // BPE tokenizer training, 10 merges on the corpus word table: each
     // round one pair hash-agg + a 1-row argmax + a literal HOF rewrite;
     // integer counts and (cnt DESC, a, b) ties make training exactly
@@ -3272,6 +3314,20 @@ object SparkEntry {
       "LEAD(ts) OVER (PARTITION BY k ORDER BY ts) AS valid_to " +
       "FROM ch WHERE prev IS NULL OR prev != prio) " +
       "SELECT k, prio, valid_from, valid_to FROM v ORDER BY k, valid_from"),
+    // containment against the contiguous version chain == as-of on
+    // valid_from; probes never precede their key's first version (the
+    // versions derive from the same orders' dates)
+    "x_scd2_asof" -> ("WITH obs AS (SELECT o_custkey % 50 AS k, o_orderdate AS ts, " +
+      "MIN_BY(o_orderpriority, o_orderkey) AS prio FROM orders GROUP BY 1, 2), " +
+      "ch AS (SELECT k, ts, prio, LAG(prio) OVER (PARTITION BY k ORDER BY ts) AS prev FROM obs), " +
+      "v AS (SELECT k, prio, ts AS valid_from, " +
+      "LEAD(ts) OVER (PARTITION BY k ORDER BY ts) AS valid_to " +
+      "FROM ch WHERE prev IS NULL OR prev != prio), " +
+      "p AS (SELECT o_orderkey AS okey, o_custkey % 50 AS k, o_orderdate AS ts " +
+      "FROM orders WHERE o_orderkey % 7 = 0) " +
+      "SELECT p.okey, p.k, v.prio FROM p JOIN v ON p.k = v.k " +
+      "AND v.valid_from <= p.ts AND (v.valid_to IS NULL OR p.ts < v.valid_to) " +
+      "ORDER BY p.okey"),
     // incremental folds must equal the from-scratch aggregation: exact
     // decimal sums cast DOUBLE once, avg derived from the same operands
     "x_mview" -> ("SELECT o_orderpriority AS priority, " +
@@ -5365,6 +5421,17 @@ object SparkEntry {
       "GROUP BY 1, 2) " +
       "SELECT term, CAST(SUM(cnt) AS BIGINT) AS tf, COUNT(*) AS df FROM tf GROUP BY term " +
       "HAVING COUNT(*) >= 5 ORDER BY tf DESC, term LIMIT 40"),
+    // the even half's distinct words ARE the vocab; the planted
+    // qq<doc_id> token is OOV by construction
+    "x_oov" -> ("WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w " +
+      "FROM documents WHERE doc_id % 2 = 0), " +
+      "p AS (SELECT doc_id, unnest(string_split(" +
+      "text || ' qq' || CAST(doc_id AS VARCHAR), ' ')) AS w " +
+      "FROM documents WHERE doc_id % 2 = 1) " +
+      "SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+      "CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+      "ROUND(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) / (1.0 * COUNT(*)), 6) AS oov_ratio " +
+      "FROM p LEFT JOIN v USING (w) GROUP BY 1 ORDER BY 1"),
     // one global running sum over the md5 order replays the bucketed
     // prefix sum; // and % keep the layout in integer arithmetic
     "x_pack" -> ("WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h, " +

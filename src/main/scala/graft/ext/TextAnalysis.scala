@@ -635,6 +635,31 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Out-of-vocabulary rate per document against a FROZEN vocabulary —
+    * the tokenizer-coverage check a pretraining mix runs before
+    * committing to a vocab (a domain whose tokens the tokenizer has
+    * never seen trains as `<unk>` soup): per doc `n_tokens`, `n_oov`
+    * (tokens absent from `vocab`'s `wordCol`), and the 6-dp ratio.
+    *
+    * Scale shape: one explode, one word-keyed left join (strategy left
+    * to AQE — a 32k-entry tokenizer vocab broadcasts, a corpus-derived
+    * one shuffles), one per-doc hash-agg. Matching is exact tokens on
+    * the plain space tokenizer — compose [[TextNormalize]] /
+    * [[Tokenize.charGramsAsWords]] upstream for other token regimes. */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, wordCol: String = "word"): DataFrame = {
+    val v = vocab.select(col(wordCol).as("__w"), lit(1).as("__in"))
+      .distinct()
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
+      .join(v, Seq("__w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum(when(col("__in").isNull, 1L)), lit(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6)
+          .as("oov_ratio"))
+  }
+
   /** Per-group vocabulary: the [[vocabulary]] term table per corpus
     * stratum (language, source domain) — the per-domain token budget /
     * drift check corpus curation wants. Same two-level aggregation with

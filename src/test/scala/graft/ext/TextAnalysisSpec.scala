@@ -601,4 +601,24 @@ class TextAnalysisSpec extends SparkTestBase {
     // minCount prunes the hapax tail: no pair below 5 occurrences
     assert(all.forall(_.getLong(2) >= 5L))
   }
+
+  test("oovRate: exact counts against a frozen vocab, full-OOV and full-covered edges") {
+    import spark.implicits._
+    val vocab = Seq("the", "cat", "sat").toDF("word")
+    val docs = Seq(
+      (1L, "the cat sat"),          // fully covered
+      (2L, "the dog ran"),          // 2 of 3 OOV
+      (3L, "zz yy")).toDF("doc_id", "text") // fully OOV
+    val got = TextAnalysis.oovRate(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 0L, 0.0), (2L, 3L, 2L, 0.666667),
+      (3L, 2L, 2L, 1.0)))
+    // duplicate vocab rows must not multiply matches
+    val dup = TextAnalysis.oovRate(docs,
+      "doc_id", "text", Seq("the", "the").toDF("word"))
+      .agg(org.apache.spark.sql.functions.sum("n_tokens"))
+      .as[Long].head()
+    assert(dup == 8L)
+  }
 }
