@@ -2692,6 +2692,65 @@ object SparkEntry {
             .when(col("doc_id") % 4 === 2, lit(" x\u000bY "))
             .otherwise(lit("")))).as("norm"))
       .orderBy(col("doc_id"))),
+    // WET-grade HTML extraction over the corpus re-wrapped in a raw page
+    // shell: comments, script/style CONTENT (with a '<' inside the js),
+    // every tag (space-replaced so </p><p> doesn't weld words), the six
+    // named entities with &amp; decoded LAST (the planted &amp;lt; must
+    // survive as the literal text "&lt;"), then whitespace-collapse —
+    // the curation funnel's step zero on a crawl corpus
+    "x_text_html" -> ((s, d) => Tables.load(s, d, "documents")
+      .select(col("doc_id"), graft.ext.WebText.htmlStrip(concat(
+        lit("<html><head><title>T&amp;A</title>" +
+          "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "<style>p { color: red; }</style></head><body><!-- nav\nmenu -->" +
+          "<p class=\"lead\">"),
+        col("text"),
+        lit("</p><div>Tom &amp; <b>Jerry</b> &lt;3&nbsp;&quot;ok&quot; " +
+          "&#39;y&#39; &amp;lt;</div></body></html>"))).as("clean"))
+      .orderBy(col("doc_id"))),
+    // Unicode-script router profile: the corpus is ascii soup, so the
+    // planted variants carry the work — pure Han, kana-dominant mixed
+    // Japanese, Cyrillic — and the profile reports per-script counts,
+    // the dominant script, and the needs_chargram flag that routes the
+    // CJK pre-map (Tokenize.charGramsAsWords) per document
+    "x_text_script" -> ((s, d) => {
+      val eff = when(col("doc_id") % 4 === 1, repeat(lit("世界和平"), 10))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("こんにちは"),
+            repeat(lit("カタカナ"), 5),
+            lit("世界 abc")))
+        .when(col("doc_id") % 4 === 3,
+          lit("привет мир " +
+            "как дела 123"))
+        .otherwise(col("text"))
+      graft.ext.WebText.scriptProfile(
+        Tables.load(s, d, "documents").select(col("doc_id"), eff.as("text")),
+        "doc_id", "text")
+        .withColumn("needs_chargram", col("needs_chargram").cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+    // ... and the router end-to-end: word counts before/after
+    // autoRespace — the Han/kana plants explode to per-char tokens
+    // while latin/cyrillic rows pass through byte-identical
+    "x_respace_auto" -> ((s, d) => {
+      val eff = when(col("doc_id") % 4 === 1, repeat(lit("世界和平"), 10))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("こんにちは"),
+            repeat(lit("カタカナ"), 5),
+            lit("世界 abc")))
+        .when(col("doc_id") % 4 === 3,
+          lit("привет мир " +
+            "как дела 123"))
+        .otherwise(col("text"))
+      Tables.load(s, d, "documents").select(col("doc_id"), eff.as("t"))
+        .select(col("doc_id"),
+          size(split(col("t"), " ")).cast("long").as("n_words_raw"),
+          size(split(graft.ext.WebText.autoRespace(col("t")), " "))
+            .cast("long").as("n_words_auto"),
+          (graft.ext.WebText.autoRespace(col("t")) === col("t"))
+            .cast("long").as("passthrough"))
+        .orderBy(col("doc_id"))
+    }),
     "x_text_quality" -> ((s, d) =>
       graft.ext.TextAnalysis.quality(Tables.load(s, d, "documents"),
         "text", "doc_id").orderBy(col("doc_id"))),
@@ -5476,6 +5535,71 @@ object SparkEntry {
       "WHEN 2 THEN ' xY ' ELSE '' END)), " +
       "'[ \t\n\r\f]+', ' ', 'g')) AS norm " +
       "FROM documents ORDER BY doc_id"),
+    // the same strip chain prefix-composed: comments -> script -> style
+    // -> tags -> six named entities (amp LAST) -> whitespace collapse
+    "x_text_html" -> ("SELECT doc_id, trim(regexp_replace(replace(" +
+      "replace(replace(replace(replace(replace(replace(" +
+      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "'<html><head><title>T&amp;A</title>" +
+      "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+      "<style>p { color: red; }</style></head><body><!-- nav\nmenu -->" +
+      "<p class=\"lead\">' || text || '</p><div>Tom &amp; <b>Jerry</b> " +
+      "&lt;3&nbsp;&quot;ok&quot; &#39;y&#39; &amp;lt;</div></body></html>', " +
+      "'(?s)<!--.*?-->', ' ', 'g'), " +
+      "'(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'), " +
+      "'(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'), " +
+      "'(?s)<[^>]+>', ' ', 'g'), " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
+      "'&apos;', ''''), '&nbsp;', ' '), " +
+      "'&amp;', '&'), " +
+      "'[ \\t\\n\\r\\f]+', ' ', 'g')) AS clean " +
+      "FROM documents ORDER BY doc_id"),
+    // RE2 spells the script classes \p{Han} where Java spells \p{IsHan};
+    // counts are code-point counts in both engines
+    "x_text_script" -> ("WITH " + scriptEffCteSql +
+      "c AS (SELECT doc_id, " +
+      "length(t) - length(regexp_replace(t, '\\p{Latin}', '', 'g')) AS n_latin, " +
+      "length(t) - length(regexp_replace(t, '\\p{Han}', '', 'g')) AS n_han, " +
+      "length(t) - length(regexp_replace(t, '[\\p{Hiragana}\\p{Katakana}]', '', 'g')) AS n_kana, " +
+      "length(t) - length(regexp_replace(t, '\\p{Hangul}', '', 'g')) AS n_hangul, " +
+      "length(t) - length(regexp_replace(t, '\\p{Cyrillic}', '', 'g')) AS n_cyrillic, " +
+      "length(t) - length(regexp_replace(t, '\\p{Arabic}', '', 'g')) AS n_arabic, " +
+      "length(t) - length(regexp_replace(t, '\\p{Thai}', '', 'g')) AS n_thai, " +
+      "length(t) - length(regexp_replace(t, '\\p{L}', '', 'g')) AS n_letters, " +
+      "length(t) - length(regexp_replace(t, " +
+      "'[\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Thai}]', '', 'g')) AS wsfree " +
+      "FROM eff), " +
+      "g AS (SELECT *, GREATEST(n_latin, n_han, n_kana, n_hangul, " +
+      "n_cyrillic, n_arabic, n_thai) AS top FROM c) " +
+      "SELECT doc_id, n_latin, n_han, n_kana, n_hangul, n_cyrillic, " +
+      "n_arabic, n_thai, n_letters, " +
+      "CASE WHEN n_latin > 0 AND n_latin = top THEN 'latin' " +
+      "WHEN n_han > 0 AND n_han = top THEN 'han' " +
+      "WHEN n_kana > 0 AND n_kana = top THEN 'kana' " +
+      "WHEN n_hangul > 0 AND n_hangul = top THEN 'hangul' " +
+      "WHEN n_cyrillic > 0 AND n_cyrillic = top THEN 'cyrillic' " +
+      "WHEN n_arabic > 0 AND n_arabic = top THEN 'arabic' " +
+      "WHEN n_thai > 0 AND n_thai = top THEN 'thai' " +
+      "ELSE 'unknown' END AS script, " +
+      "CAST(n_letters > 0 AND CAST(wsfree AS DOUBLE) > " +
+      "CAST(n_letters AS DOUBLE) * 0.3 AS BIGINT) AS needs_chargram " +
+      "FROM g ORDER BY doc_id"),
+    "x_respace_auto" -> ("WITH " + scriptEffCteSql +
+      "r AS (SELECT doc_id, t, " +
+      "length(t) - length(regexp_replace(t, '\\p{L}', '', 'g')) AS letters, " +
+      "length(t) - length(regexp_replace(t, " +
+      "'[\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Thai}]', '', 'g')) AS wsfree, " +
+      "replace(t, ' ', '') AS s FROM eff), " +
+      "a AS (SELECT doc_id, t, CASE WHEN letters > 0 AND " +
+      "CAST(wsfree AS DOUBLE) > CAST(letters AS DOUBLE) * 0.3 " +
+      "THEN CASE WHEN length(s) > 0 THEN array_to_string(" +
+      "[substr(s, CAST(i + 1 AS INTEGER), 1) for i in " +
+      "range(0, length(s))], ' ') ELSE '' END " +
+      "ELSE t END AS auto FROM r) " +
+      "SELECT doc_id, CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words_raw, " +
+      "CAST(len(string_split(auto, ' ')) AS BIGINT) AS n_words_auto, " +
+      "CAST(auto = t AS BIGINT) AS passthrough " +
+      "FROM a ORDER BY doc_id"),
     "x_text_quality" -> ("SELECT doc_id, CAST(length(text) AS BIGINT) AS chars, " +
       "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
       "ROUND(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token, " +
@@ -6173,6 +6297,16 @@ object SparkEntry {
       "range(0, CAST((length(s)+1)//2 AS BIGINT))], ' ') ELSE '' END AS text " +
       "FROM (SELECT doc_id, lang, replace(text, ' ', '') AS s " +
       "FROM documents) b), "
+
+  /** Planted-script effective text shared by x_text_script /
+    * x_respace_auto: doc_id % 4 routes between the ascii corpus text,
+    * pure Han, kana-dominant mixed Japanese, and Cyrillic. */
+  private val scriptEffCteSql: String =
+    "eff AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER) " +
+      "WHEN 1 THEN repeat('世界和平', 10) " +
+      "WHEN 2 THEN 'こんにちは' || repeat('カタカナ', 5) || '世界 abc' " +
+      "WHEN 3 THEN 'привет мир как дела 123' " +
+      "ELSE text END AS t FROM documents), "
 
   /** The full residual-IVF-PQ replay chain through `sc` (per-candidate
     * ADC distances): coarse + two residual trainings, probe ranking,
