@@ -1088,6 +1088,16 @@ object SparkEntry {
       graft.ext.Dedup.exact(docs, "doc_id", "text")
         .agg(count(lit(1)).as("n_unique"), sum(col("n_copies")).as("total"))
     }),
+    // Cross-corpus overlap (even vs odd doc_id halves as two "dumps"):
+    // exact distinct-trigram set sizes, intersection, union, Jaccard and
+    // containment(B in A) — the dump-worth-ingesting statistic; one
+    // xxhash64-keyed shuffle, semantic oracle on the shingle sets
+    "x_corpus_overlap" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      graft.ext.Dedup.corpusOverlap(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text", n = 3)
+    }),
     // Exact SUBSTRING dedup via disjoint 8-word tiles (the distributed
     // ExactSubstr formulation): corpus-duplicated tiles are counted and
     // stripped from clean_text; the sub-tile tail always survives
@@ -4247,6 +4257,25 @@ object SparkEntry {
       "ORDER BY su DESC, doc_id LIMIT 15"),
     "x_dedup_exact" -> ("SELECT CAST(COUNT(DISTINCT regexp_replace(lower(text), '\\s+', ' ', 'g')) AS BIGINT) AS n_unique, " +
       "CAST(COUNT(*) AS BIGINT) AS total FROM documents"),
+    // semantic oracle: plain distinct-trigram set algebra per corpus
+    // half — the engine's xxhash64 keys never appear
+    "x_corpus_overlap" -> ("WITH tok AS (SELECT doc_id, " +
+      "string_split(text, ' ') w FROM documents), " +
+      "sh AS (SELECT doc_id, [array_to_string(w[i:i+2], ' ') " +
+      "for i in range(1, len(w)-1)] s FROM tok), " +
+      "ga AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 2 = 0), " +
+      "gb AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 2 = 1), " +
+      "m AS (SELECT ga.g IS NOT NULL AS ia, gb.g IS NOT NULL AS ib " +
+      "FROM ga FULL OUTER JOIN gb ON ga.g = gb.g) " +
+      "SELECT CAST(SUM(CAST(ia AS BIGINT)) AS BIGINT) AS n_a, " +
+      "CAST(SUM(CAST(ib AS BIGINT)) AS BIGINT) AS n_b, " +
+      "CAST(SUM(CAST(ia AND ib AS BIGINT)) AS BIGINT) AS n_inter, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_union, " +
+      "CAST(SUM(CAST(ia AND ib AS BIGINT)) AS DOUBLE) / " +
+      "CAST(COUNT(*) AS DOUBLE) AS jaccard, " +
+      "CAST(SUM(CAST(ia AND ib AS BIGINT)) AS DOUBLE) / " +
+      "CAST(SUM(CAST(ib AS BIGINT)) AS DOUBLE) AS containment_b_in_a " +
+      "FROM m"),
     // tile the corpus into disjoint 8-word windows, count each tile's
     // corpus occurrences, strip duplicated tiles; the sub-tile tail past
     // the last full window is re-appended verbatim

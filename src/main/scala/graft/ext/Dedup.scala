@@ -925,4 +925,77 @@ object Dedup {
           col("dup_windows").cast("double") / col("n_windows")).otherwise(0.0), 6)
           .as("dup_ratio"))
   }
+
+  /** EXACT cross-corpus overlap: distinct word-`n`-gram shingle-set
+    * sizes of corpus A, corpus B, their intersection and union, plus
+    * Jaccard and containment(B in A) = inter/|B| — THE statistic that
+    * decides whether a new crawl dump is worth deduplicating into an
+    * existing corpus (a 0.9-contained dump adds 10% novel text).
+    *
+    * Scale shape: one explode per side, ONE shuffle keyed on
+    * `xxhash64(shingle)` (8-byte keys, never shingle text — same
+    * 2⁻⁶⁴-collision stance as [[tileDuplication]]) with map-side
+    * combine folding each side's duplicates before anything moves,
+    * then a single-row total — no join, no sort, linear in corpus
+    * words. The divisions are single IEEE ops over exact BIGINTs,
+    * identical on every engine. */
+  def corpusOverlap(a: DataFrame, b: DataFrame, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n=$n must be >= 1")
+    def side(df: DataFrame, ca: Int, cb: Int): DataFrame = df
+      .select(explode(TextAnalysis.shingles(col(textCol), n)).as("__g"))
+      .select(xxhash64(col("__g")).as("__h"),
+        lit(ca.toLong).as("__a"), lit(cb.toLong).as("__b"))
+    side(a, 1, 0).unionAll(side(b, 0, 1))
+      .groupBy(col("__h"))
+      .agg(max(col("__a")).as("__ia"), max(col("__b")).as("__ib"))
+      .agg(sum(col("__ia")).as("n_a"), sum(col("__ib")).as("n_b"),
+        sum(col("__ia") * col("__ib")).as("n_inter"),
+        count(lit(1)).as("n_union"))
+      .select(col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
+        // NULL on an empty side/union (ANSI double division throws)
+        when(col("n_union") > 0,
+          col("n_inter").cast("double") / col("n_union").cast("double"))
+          .as("jaccard"),
+        when(col("n_b") > 0,
+          col("n_inter").cast("double") / col("n_b").cast("double"))
+          .as("containment_b_in_a"))
+  }
+
+  /** KMV (k-minimum-values) SKETCH estimate of the same Jaccard
+    * (Beyer '07 / Broder's bottom-k): each corpus reduces to its k
+    * smallest distinct shingle hashes (TakeOrderedAndProject after the
+    * distinct — per-partition bottom-k merges, never a global sort),
+    * and est = |S ∩ Aₖ ∩ Bₖ| / |S| where S = bottom-k of the union.
+    * Use when MANY corpus pairs are compared (N dumps pairwise): each
+    * dump is scanned ONCE into a k-row sketch, and every pairwise
+    * estimate after that is a k-row join — [[corpusOverlap]] rescans
+    * both corpora per pair. Deterministic given the corpus (xxhash64,
+    * no seed), so estimates are rerun-stable. */
+  def corpusOverlapKmv(a: DataFrame, b: DataFrame, textCol: String,
+      n: Int = 3, k: Int = 256): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val ka = kmvSketch(a, textCol, n, k).withColumn("__ia", lit(1L))
+    val kb = kmvSketch(b, textCol, n, k).withColumn("__ib", lit(1L))
+    val s = ka.select(col("__h")).unionAll(kb.select(col("__h")))
+      .distinct().orderBy(col("__h")).limit(k)
+    s.join(ka.select(col("__h"), col("__ia")), Seq("__h"), "left")
+      .join(kb.select(col("__h"), col("__ib")), Seq("__h"), "left")
+      .agg(count(lit(1)).as("s_size"),
+        coalesce(sum(col("__ia") * col("__ib")), lit(0L)).as("s_both"))
+      .select(col("s_size"), col("s_both"),
+        when(col("s_size") > 0,
+          col("s_both").cast("double") / col("s_size").cast("double"))
+          .as("kmv_jaccard"))
+  }
+
+  /** One corpus's k-row KMV sketch: bottom-k distinct shingle hashes.
+    * Persist per dump and compare sketches pairwise without rescanning
+    * text ([[corpusOverlapKmv]] composes two of these). */
+  def kmvSketch(df: DataFrame, textCol: String, n: Int = 3,
+      k: Int = 256): DataFrame = df
+    .select(explode(TextAnalysis.shingles(col(textCol), n)).as("__g"))
+    .select(xxhash64(col("__g")).as("__h"))
+    .distinct()
+    .orderBy(col("__h")).limit(k)
 }

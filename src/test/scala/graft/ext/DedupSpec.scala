@@ -520,4 +520,56 @@ class DedupSpec extends SparkTestBase {
     // empty text splits to one empty line, unique here -> survives
     assert(out(1) == ((2L, 1L, 0L, "")))
   }
+
+  test("corpusOverlap: hand-counted trigram sets, jaccard and containment") {
+    // A: "a b c d" -> trigrams {abc, bcd}; "x y z w" -> {xyz, yzw}
+    // B: "a b c d e" -> {abc, bcd, cde}; "p q r" -> {pqr}
+    val a = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
+    val b = Seq((3L, "a b c d e"), (4L, "p q r")).toDF("doc_id", "text")
+    val r = Dedup.corpusOverlap(a, b, "text", n = 3).collect().head
+    assert(r.getAs[Long]("n_a") == 4L)
+    assert(r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Long]("n_inter") == 2L)  // abc, bcd
+    assert(r.getAs[Long]("n_union") == 6L)
+    assert(r.getAs[Double]("jaccard") == 2.0 / 6.0)
+    assert(r.getAs[Double]("containment_b_in_a") == 2.0 / 4.0)
+  }
+
+  test("corpusOverlap: short docs contribute no shingles; disjoint corpora -> zero") {
+    val a = Seq((1L, "a b")).toDF("doc_id", "text") // < n words
+    val b = Seq((2L, "p q r s")).toDF("doc_id", "text")
+    val r = Dedup.corpusOverlap(a, b, "text", n = 3).collect().head
+    assert(r.getAs[Long]("n_a") == 0L)
+    assert(r.getAs[Long]("n_inter") == 0L)
+    assert(r.getAs[Double]("jaccard") == 0.0)
+    // n_a = 0 but union nonempty: jaccard defined, containment defined
+    assert(r.getAs[Double]("containment_b_in_a") == 0.0)
+  }
+
+  test("corpusOverlapKmv tracks exact jaccard on the planted corpus halves") {
+    val half1 = corpus.filter(col("doc_id") % 2 === 0)
+    val half2 = corpus.filter(col("doc_id") % 2 === 1)
+    val exact = Dedup.corpusOverlap(half1, half2, "text", n = 3)
+      .collect().head.getAs[Double]("jaccard")
+    val est = Dedup.corpusOverlapKmv(half1, half2, "text", n = 3, k = 256)
+      .collect().head.getAs[Double]("kmv_jaccard")
+    // k=256 over a few-thousand-shingle union: estimator s.d. ~ sqrt(J/k)
+    assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
+  }
+
+  test("kmvSketch: k rows, deterministic, and small-corpus sketch is the full hash set") {
+    val s1 = Dedup.kmvSketch(corpus, "text", n = 3, k = 64).collect().map(_.getLong(0))
+    val s2 = Dedup.kmvSketch(corpus, "text", n = 3, k = 64).collect().map(_.getLong(0))
+    assert(s1.length == 64 && s1.toSeq == s2.toSeq)
+    // a corpus with fewer distinct shingles than k: sketch = whole set
+    val tiny = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    assert(Dedup.kmvSketch(tiny, "text", n = 3, k = 64).count() == 3L)
+  }
+
+  test("corpusOverlapKmv: identical corpora estimate exactly 1.0") {
+    val r = Dedup.corpusOverlapKmv(corpus, corpus, "text", n = 3, k = 128)
+      .collect().head
+    assert(r.getAs[Double]("kmv_jaccard") == 1.0)
+    assert(r.getAs[Long]("s_both") == r.getAs[Long]("s_size"))
+  }
 }
