@@ -1098,6 +1098,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1), "text", n = 3)
     }),
+    // ... and the incremental form: the even half reduces once to a
+    // persisted distinct-hash index, the odd "dump" joins against it —
+    // containment without rescanning corpus A
+    "x_overlap_incr" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val idx = graft.ext.Dedup.shingleIndex(
+        docs.filter(col("doc_id") % 2 === 0), "text", n = 3)
+      graft.ext.Dedup.containmentAgainst(idx,
+        docs.filter(col("doc_id") % 2 === 1), "text", n = 3)
+    }),
     // Exact SUBSTRING dedup via disjoint 8-word tiles (the distributed
     // ExactSubstr formulation): corpus-duplicated tiles are counted and
     // stripped from clean_text; the sub-tile tail always survives
@@ -4276,6 +4286,18 @@ object SparkEntry {
       "CAST(SUM(CAST(ia AND ib AS BIGINT)) AS DOUBLE) / " +
       "CAST(SUM(CAST(ib AS BIGINT)) AS DOUBLE) AS containment_b_in_a " +
       "FROM m"),
+    "x_overlap_incr" -> ("WITH tok AS (SELECT doc_id, " +
+      "string_split(text, ' ') w FROM documents), " +
+      "sh AS (SELECT doc_id, [array_to_string(w[i:i+2], ' ') " +
+      "for i in range(1, len(w)-1)] s FROM tok), " +
+      "ga AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 2 = 0), " +
+      "gb AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 2 = 1), " +
+      "m AS (SELECT ga.g IS NOT NULL AS ia " +
+      "FROM gb LEFT JOIN ga ON gb.g = ga.g) " +
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_b, " +
+      "CAST(SUM(CAST(ia AS BIGINT)) AS BIGINT) AS n_inter, " +
+      "CAST(SUM(CAST(ia AS BIGINT)) AS DOUBLE) / " +
+      "CAST(COUNT(*) AS DOUBLE) AS containment FROM m"),
     // tile the corpus into disjoint 8-word windows, count each tile's
     // corpus occurrences, strip duplicated tiles; the sub-tile tail past
     // the last full window is re-appended verbatim

@@ -998,4 +998,38 @@ object Dedup {
     .select(xxhash64(col("__g")).as("__h"))
     .distinct()
     .orderBy(col("__h")).limit(k)
+
+  /** EXACT incremental form: the base corpus reduces ONCE to its
+    * distinct shingle-hash set (persist this — the tileIndex pattern:
+    * at 100 TB the index is rebuilt never, merged per dump), and each
+    * new dump's overlap is one left join against it, base text never
+    * re-read. `mergeShingleIndex` unions a newly accepted dump in, so
+    * containment is always measured against everything ingested so
+    * far. Columns: `shingle_hash`. */
+  def shingleIndex(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    df.select(explode(TextAnalysis.shingles(col(textCol), n)).as("__g"))
+      .select(xxhash64(col("__g")).as("shingle_hash"))
+      .distinct()
+
+  def mergeShingleIndex(index: DataFrame, add: DataFrame): DataFrame =
+    index.unionByName(add).distinct()
+
+  /** Containment of dump `b` against a persisted [[shingleIndex]]:
+    * n_b distinct shingles, n_inter of them already indexed, and the
+    * ratio — [[corpusOverlap]]'s `containment_b_in_a` computed without
+    * rescanning corpus A. One explode + distinct on the dump side,
+    * one hash-keyed left join (strategy left to AQE: a small index
+    * broadcasts, a corpus-scale one shuffles both sides). */
+  def containmentAgainst(index: DataFrame, b: DataFrame, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sb = shingleIndex(b, textCol, n)
+    sb.join(index.select(col("shingle_hash"), lit(1L).as("__in")),
+        Seq("shingle_hash"), "left")
+      .agg(count(lit(1)).as("n_b"),
+        coalesce(sum(col("__in")), lit(0L)).as("n_inter"))
+      .select(col("n_b"), col("n_inter"),
+        when(col("n_b") > 0,
+          col("n_inter").cast("double") / col("n_b").cast("double"))
+          .as("containment"))
+  }
 }

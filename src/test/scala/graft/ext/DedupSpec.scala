@@ -566,6 +566,33 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.kmvSketch(tiny, "text", n = 3, k = 64).count() == 3L)
   }
 
+  test("containmentAgainst a persisted index == corpusOverlap's containment; merge is additive") {
+    val half1 = corpus.filter(col("doc_id") % 2 === 0)
+    val half2 = corpus.filter(col("doc_id") % 2 === 1)
+    val direct = Dedup.corpusOverlap(half1, half2, "text", n = 3)
+      .collect().head
+    // round-trip the index through parquet: corpus A text never re-read
+    val dir = java.nio.file.Files.createTempDirectory("shidx").toString
+    Dedup.shingleIndex(half1, "text", n = 3)
+      .write.mode("overwrite").parquet(dir)
+    val viaIndex = Dedup.containmentAgainst(
+      spark.read.parquet(dir), half2, "text", n = 3).collect().head
+    assert(viaIndex.getAs[Long]("n_b") == direct.getAs[Long]("n_b"))
+    assert(viaIndex.getAs[Long]("n_inter") == direct.getAs[Long]("n_inter"))
+    assert(viaIndex.getAs[Double]("containment") ==
+      direct.getAs[Double]("containment_b_in_a"))
+    // merging the dump in == one-shot index over the union
+    val merged = Dedup.mergeShingleIndex(
+      spark.read.parquet(dir), Dedup.shingleIndex(half2, "text", n = 3))
+    val oneShot = Dedup.shingleIndex(half1.unionByName(half2), "text", n = 3)
+    assert(merged.count() == oneShot.count())
+    assert(merged.except(oneShot).count() == 0L)
+    // everything ingested is fully contained afterwards
+    val post = Dedup.containmentAgainst(merged, half2, "text", n = 3)
+      .collect().head
+    assert(post.getAs[Double]("containment") == 1.0)
+  }
+
   test("corpusOverlapKmv: identical corpora estimate exactly 1.0") {
     val r = Dedup.corpusOverlapKmv(corpus, corpus, "text", n = 3, k = 128)
       .collect().head
