@@ -691,6 +691,38 @@ object ScaleDemo {
       println(f"""{"op": "bloom_probe", "rows": $docs, "replication": $k, "files": $all, "files_scanned": $scanned, "rows_hit": $hit, "seconds": $secs%.1f}""")
       spark.catalog.clearCache()
     }
+    timed("html_strip") {
+      // re-wrap the replicated corpus in the x_text_html page shell and
+      // strip; per-row regex chain, zero shuffles — the count aggregates
+      // over the computed column so the projection cannot be pruned
+      val shelled = corpus.select(col("doc_id"), concat(
+        lit("<html><head><script>var x = 1 < 2;</script></head>" +
+          "<body><!-- c --><p>"), col("text"),
+        lit("</p><div>Tom &amp; <b>Jerry</b></div></body></html>")).as("h"))
+      shelled.select(graft.ext.WebText.htmlStrip(col("h")).as("t"))
+        .agg(sum(length(col("t")))).collect()(0).getLong(0)
+    }
+    timed("script_profile") {
+      graft.ext.WebText.scriptProfile(corpus, "doc_id", "text")
+        .agg(sum(col("n_latin") + col("n_han"))).collect()(0).getLong(0)
+    }
+    timed("corpus_overlap") {
+      // split the replicated corpus in half and measure the overlap
+      // statistic end-to-end: one 8-byte-keyed shuffle over ~K x 6M
+      // trigram occurrences
+      graft.ext.Dedup.corpusOverlap(
+        corpus.filter(col("doc_id") % 2 === 0),
+        corpus.filter(col("doc_id") % 2 === 1), "text", n = 3)
+        .collect()(0).getAs[Long]("n_union")
+    }
+    timed("kmv_overlap") {
+      // the sketch path at the same scale: two bottom-256 reductions +
+      // a 256-row merge — wall should stay ~flat vs corpus_overlap
+      graft.ext.Dedup.corpusOverlapKmv(
+        corpus.filter(col("doc_id") % 2 === 0),
+        corpus.filter(col("doc_id") % 2 === 1), "text", n = 3, k = 256)
+        .collect()(0).getAs[Long]("s_size")
+    }
     spark.stop()
   }
 }
