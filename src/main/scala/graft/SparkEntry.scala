@@ -1098,6 +1098,23 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1), "text", n = 3)
     }),
+    // Unigram (SentencePiece) tokenizer: seed over substring candidates
+    // + 2 hard-EM rounds, everything in micro-integer log10 scores —
+    // the full train replays as a Viterbi-DP CTE ladder in DuckDB
+    "x_unigram_train" -> ((s, d) =>
+      graft.ext.Unigram.train(Tables.load(s, d, "documents"), "text",
+        maxPieceLen = 4, maxVocab = 60, rounds = 2)
+        .orderBy(col("score_micro").desc, col("piece"))),
+    // ... and the encode path over the trained vocab: distinct words
+    // segment once, documents re-join per-word stats (the BPE
+    // distinct-type discipline) — per doc words/pieces/micro logprob
+    "x_unigram_encode" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val v = graft.ext.Unigram.train(docs, "text",
+        maxPieceLen = 4, maxVocab = 60, rounds = 2)
+      graft.ext.Unigram.encodeDocs(docs, "doc_id", "text", v)
+        .orderBy(col("doc_id"))
+    }),
     // ... and the incremental form: the even half reduces once to a
     // persisted distinct-hash index, the odd "dump" joins against it —
     // containment without rescanning corpus A
@@ -4286,6 +4303,21 @@ object SparkEntry {
       "CAST(SUM(CAST(ia AND ib AS BIGINT)) AS DOUBLE) / " +
       "CAST(SUM(CAST(ib AS BIGINT)) AS DOUBLE) AS containment_b_in_a " +
       "FROM m"),
+    "x_unigram_train" -> (uniChainSql(2).stripSuffix(", ") +
+      " SELECT piece, weight, s AS score_micro FROM v2 " +
+      "ORDER BY score_micro DESC, piece"),
+    "x_unigram_encode" -> (uniChainSql(2) + uniDpSql(2) +
+      "ws AS (SELECT u.word, CAST(COUNT(*) AS BIGINT) AS np, " +
+      "CAST(SUM(v.s) AS BIGINT) AS lp FROM " +
+      "(SELECT word, unnest(path) AS piece FROM seg_2) u " +
+      "JOIN v2 v ON u.piece = v.piece GROUP BY u.word), " +
+      "docw AS (SELECT doc_id, word FROM (SELECT doc_id, " +
+      "unnest(string_split(text, ' ')) AS word FROM documents) " +
+      "WHERE length(word) > 0) " +
+      "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, " +
+      "CAST(SUM(ws.np) AS BIGINT) AS n_pieces, " +
+      "CAST(SUM(ws.lp) AS BIGINT) AS logprob_micro " +
+      "FROM docw JOIN ws USING (word) GROUP BY doc_id ORDER BY doc_id"),
     "x_overlap_incr" -> ("WITH tok AS (SELECT doc_id, " +
       "string_split(text, ' ') w FROM documents), " +
       "sh AS (SELECT doc_id, [array_to_string(w[i:i+2], ' ') " +
@@ -6348,6 +6380,74 @@ object SparkEntry {
       "range(0, CAST((length(s)+1)//2 AS BIGINT))], ' ') ELSE '' END AS text " +
       "FROM (SELECT doc_id, lang, replace(text, ' ', '') AS s " +
       "FROM documents) b), "
+
+  /** Unigram-tokenizer replay chain (x_unigram_train / x_unigram_encode):
+    * seed vocab over substring candidates, then per-EM-round a full
+    * Viterbi DP as a position-indexed CTE ladder — dp{p}_{r} holds each
+    * word's best (score, path) at position p under vocab v{r}, argmax
+    * picked by `ROW_NUMBER() OVER (ORDER BY best DESC, j)` exactly
+    * matching the engine's strict-> / smallest-j tie-break. Positions
+    * bound by [[uniMaxPos]] (corpus max word length is 8; a longer word
+    * would drop from the oracle counts and turn the gate red, never
+    * silently pass). All scores are floor-quantized micro log10 LONGs,
+    * so every comparison is exact integer arithmetic on both engines. */
+  private val uniMaxL = 4
+  private val uniMaxPos = 16
+  private val uniMaxVocab = 60
+
+  private def uniDpSql(r: Int): String = {
+    val dp0 = s"dp0_$r AS (SELECT word, CAST(0 AS BIGINT) AS best, " +
+      s"CAST([] AS VARCHAR[]) AS path FROM utypes), "
+    val dps = (1 to uniMaxPos).map { p =>
+      val branches = (math.max(0, p - uniMaxL) until p).map { j =>
+        s"SELECT d.word, d.best + v.s AS best, " +
+        s"list_append(d.path, v.piece) AS path, $j AS j " +
+        s"FROM dp${j}_$r d JOIN v$r v ON v.piece = " +
+        s"substr(d.word, ${j + 1}, ${p - j}) WHERE length(d.word) >= $p"
+      }.mkString(" UNION ALL ")
+      s"dp${p}_$r AS MATERIALIZED (SELECT word, best, path FROM (" +
+      "SELECT word, best, path, ROW_NUMBER() OVER (" +
+      "PARTITION BY word ORDER BY best DESC, j) AS rn " +
+      s"FROM ($branches)) WHERE rn = 1), "
+    }.mkString
+    val segUnion = (1 to uniMaxPos)
+      .map(p => s"SELECT word, path FROM dp${p}_$r WHERE length(word) = $p")
+      .mkString(" UNION ALL ")
+    dp0 + dps + s"seg_$r AS MATERIALIZED ($segUnion), "
+  }
+
+  private def uniVocabNextSql(r: Int): String =
+    s"cnt_$r AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c FROM " +
+    s"(SELECT word, unnest(path) AS piece FROM seg_$r) u " +
+    "JOIN utypes t USING (word) GROUP BY piece), " +
+    s"pw${r + 1} AS (SELECT v.piece, CAST(COALESCE(c.c, 0) + 1 AS BIGINT) " +
+    s"AS weight FROM v$r v LEFT JOIN cnt_$r c ON v.piece = c.piece), " +
+    s"v${r + 1} AS MATERIALIZED (SELECT piece, weight, " +
+    "CAST(floor(log10(CAST(weight AS DOUBLE) / " +
+    s"CAST((SELECT SUM(weight) FROM pw${r + 1}) AS DOUBLE)) * 1e6) " +
+    s"AS BIGINT) AS s FROM pw${r + 1}), "
+
+  private def uniChainSql(rounds: Int): String =
+    "WITH utypes AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) " +
+    "AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS word " +
+    "FROM documents) WHERE length(word) > 0 GROUP BY word), " +
+    s"lens AS (SELECT CAST(unnest(range(1, ${uniMaxL + 1})) AS INTEGER) AS l), " +
+    "sub AS (SELECT t.cnt, unnest([substr(t.word, CAST(i + 1 AS INTEGER), " +
+    "l.l) for i in range(0, length(t.word) - l.l + 1)]) AS piece " +
+    "FROM utypes t, lens l), " +
+    "cand AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS weight " +
+    "FROM sub GROUP BY piece), " +
+    "singles0 AS MATERIALIZED (SELECT piece, weight FROM cand " +
+    "WHERE length(piece) = 1), " +
+    "multis0 AS (SELECT piece, weight FROM cand WHERE length(piece) > 1 " +
+    "QUALIFY ROW_NUMBER() OVER (ORDER BY weight DESC, piece) <= " +
+    s"$uniMaxVocab - (SELECT COUNT(*) FROM singles0)), " +
+    "pw0 AS (SELECT * FROM singles0 UNION ALL SELECT * FROM multis0), " +
+    "v0 AS MATERIALIZED (SELECT piece, weight, " +
+    "CAST(floor(log10(CAST(weight AS DOUBLE) / " +
+    "CAST((SELECT SUM(weight) FROM pw0) AS DOUBLE)) * 1e6) " +
+    "AS BIGINT) AS s FROM pw0), " +
+    (0 until rounds).map(r => uniDpSql(r) + uniVocabNextSql(r)).mkString
 
   /** Planted-script effective text shared by x_text_script /
     * x_respace_auto: doc_id % 4 routes between the ascii corpus text,
