@@ -715,6 +715,18 @@ object ScaleDemo {
         corpus.filter(col("doc_id") % 2 === 1), "text", n = 3)
         .collect()(0).getAs[Long]("n_union")
     }
+    timed("unigram_train") {
+      // trains over the DISTINCT TYPE table: replication multiplies
+      // type counts, not the trainer's work — wall should stay ~flat
+      graft.ext.Unigram.train(corpus, "text", maxPieceLen = 4,
+        maxVocab = 60, rounds = 2).count()
+    }
+    timed("unigram_encode") {
+      val v = graft.ext.Unigram.train(corpus, "text", maxPieceLen = 4,
+        maxVocab = 60, rounds = 2)
+      graft.ext.Unigram.encodeDocs(corpus, "doc_id", "text", v)
+        .agg(sum(col("n_pieces"))).collect()(0).getLong(0)
+    }
     timed("kmv_overlap") {
       // the sketch path at the same scale: two bottom-256 reductions +
       // a 256-row merge — wall should stay ~flat vs corpus_overlap
