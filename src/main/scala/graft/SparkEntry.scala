@@ -1417,6 +1417,29 @@ object SparkEntry {
           .as("blocked"))
         .orderBy(col("doc_id"))
     }),
+    // Crawl-level canonical-URL dedup: every degree of freedom a crawler
+    // sees is planted — scheme/host case, default vs exotic port,
+    // tracking params in varying order, trailing empty param, fragment —
+    // and the canonical form must collapse them so min-id keeps exactly
+    // one doc per (source, path, surviving-port) group
+    "x_url_canon" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.load(s, d, "documents").select(id,
+        when(id % 13 === 0, lit("not a url")).otherwise(concat(
+          when(id % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+          when(id % 3 === 0, lit("WWW.")).otherwise(lit("www.")),
+          col("source"), lit(".Example.org"),
+          when(id % 5 === 0, lit(":443"))
+            .when(id % 5 === 1, lit(":8080")).otherwise(lit("")),
+          lit("/p/"), (id % 40).cast("string"),
+          when(id % 2 === 0, lit("?utm_source=feed&b=2&a=1"))
+            .otherwise(lit("?b=2&a=1&gclid=XYZ&")),
+          when(id % 4 === 0, lit("#sec")).otherwise(lit("")))).as("url"))
+      graft.ext.UrlFilter.annotateUrlDup(docs, "doc_id", "url")
+        .select(col("doc_id"), col("canon_url"),
+          col("kept").cast("long").as("kept"))
+        .orderBy(col("doc_id"))
+    }),
     // Luhn-validated card masking: each doc gets a planted 16-digit
     // number whose check digit is CORRECT on even ids and off-by-one on
     // odd ids — the masker must fire on exactly the valid half (a bare
@@ -4565,6 +4588,56 @@ object SparkEntry {
       "SELECT h.doc_id, h.host, CAST(CASE WHEN hit.doc_id IS NOT NULL " +
       "THEN 1 ELSE 0 END AS BIGINT) AS blocked " +
       "FROM h LEFT JOIN hit ON h.doc_id = hit.doc_id ORDER BY h.doc_id"),
+    // same planted messy URLs; the canonical algebra (case folds,
+    // default-port strip, tracking-param filter, param sort, fragment
+    // drop) replays step for step, then min-id per canonical group
+    "x_url_canon" -> ("WITH u AS (SELECT doc_id, " +
+      "CASE WHEN doc_id % 13 = 0 THEN 'not a url' ELSE " +
+      "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END) || " +
+      "source || '.Example.org' || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN ':443' " +
+      "WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END) || " +
+      "'/p/' || CAST(doc_id % 40 AS VARCHAR) || " +
+      "(CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1' " +
+      "ELSE '?b=2&a=1&gclid=XYZ&' END) || " +
+      "(CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END) END AS url " +
+      "FROM documents), " +
+      "c AS (SELECT doc_id, " +
+      "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) " +
+      "AS scheme, " +
+      "CASE WHEN regexp_extract(url, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1) = '' " +
+      "THEN NULL ELSE lower(regexp_extract(url, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) END " +
+      "AS host, " +
+      "regexp_extract(url, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/:?#]+:([0-9]+)', 1) " +
+      "AS port, " +
+      "regexp_extract(url, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path, " +
+      "regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS q FROM u), " +
+      "k AS (SELECT doc_id, scheme, host, port, path, " +
+      "list_sort([p for p in string_split(q, '&') if len(p) > 0 " +
+      "and not starts_with(lower(split_part(p, '=', 1)), 'utm_') " +
+      "and lower(split_part(p, '=', 1)) not in " +
+      "('gclid','fbclid','msclkid','mc_eid','igshid')]) AS kq FROM c), " +
+      "canon AS (SELECT doc_id, CASE WHEN host IS NULL THEN NULL ELSE " +
+      "scheme || '://' || host || " +
+      "(CASE WHEN port = '' THEN '' " +
+      "WHEN scheme = 'http' AND port = '80' THEN '' " +
+      "WHEN scheme = 'https' AND port = '443' THEN '' " +
+      "ELSE ':' || port END) || " +
+      "(CASE WHEN path = '' THEN '/' ELSE path END) || " +
+      "(CASE WHEN len(kq) > 0 THEN '?' || array_to_string(kq, '&') " +
+      "ELSE '' END) END AS canon_url FROM k), " +
+      "kp AS (SELECT canon_url, min(doc_id) AS keep_id FROM canon " +
+      "WHERE canon_url IS NOT NULL GROUP BY canon_url) " +
+      "SELECT c2.doc_id, c2.canon_url, " +
+      "CAST(CASE WHEN c2.canon_url IS NULL OR c2.doc_id = kp.keep_id " +
+      "THEN 1 ELSE 0 END AS BIGINT) AS kept " +
+      "FROM canon c2 LEFT JOIN kp ON c2.canon_url = kp.canon_url " +
+      "ORDER BY c2.doc_id"),
     // the same planted card and check-digit sum; masking replays as one
     // literal replace (whole formatted span) because the corpus
     // contains no other digits

@@ -60,4 +60,89 @@ object UrlFilter {
       blocklist: DataFrame, domainCol: String = "domain"): DataFrame =
     annotateBlocked(df, idCol, urlCol, blocklist, domainCol)
       .filter(!col("blocked")).drop("blocked")
+
+  /** Query-string keys stripped by [[canonicalizeUrl]]: the click/session
+    * trackers that vary per impression without changing the page (the
+    * reason one article shows up under thousands of distinct URLs in a
+    * crawl). `utm_*` is matched as a prefix; the rest exactly. */
+  val trackingParams: Seq[String] =
+    Seq("gclid", "fbclid", "msclkid", "mc_eid", "igshid")
+
+  /** Canonical form of a URL for crawl-level dedup — the screen that
+    * runs BEFORE any text-level dedup (one page fetched under thousands
+    * of tracker-stamped URLs re-enters the corpus that many times; a
+    * canonical-URL pass removes the bulk for the price of string
+    * algebra, no text ever read). Transformations, in order:
+    *
+    *   - scheme and host lowercase (RFC 3986 §6.2.2.1 case rules);
+    *   - userinfo and fragment drop (never part of the resource);
+    *   - default ports strip (`http…:80`, `https…:443`; literal-string
+    *     compare, so an exotic `:080` spelling survives — documented);
+    *   - empty path becomes `/` (RFC 3986 §6.2.3);
+    *   - query parameters: empty fragments (`a=1&&b=2`) drop, tracking
+    *     keys ([[trackingParams]] exact + the `utm_` prefix,
+    *     case-insensitive key match) drop, the survivors SORT
+    *     byte-lexicographically and rejoin — parameter order is the
+    *     other degree of freedom crawlers see.
+    *
+    * Dot-segment path normalization (`/a/../b`) and percent-decoding are
+    * deliberately out of contract: both change semantics on hostile
+    * inputs and neither varies per-impression. NULL when the URL has no
+    * parseable `scheme://host`. Every step is a codegen'd regex/array
+    * builtin — linear in crawl bytes, zero shuffles. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = hostOf(url)
+    val port = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/:?#]+:([0-9]+)", 1)
+    val path = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
+    val keyOf = (p: Column) => lower(substring_index(p, "=", 1))
+    val kept = filter(split(query, "&"), p =>
+      length(p) > 0 &&
+        !keyOf(p).startsWith("utm_") &&
+        !keyOf(p).isInCollection(trackingParams))
+    val portPart = when(port === "", lit(""))
+      .when(scheme === "http" && port === "80", lit(""))
+      .when(scheme === "https" && port === "443", lit(""))
+      .otherwise(concat(lit(":"), port))
+    val pathPart = when(path === "", lit("/")).otherwise(path)
+    val queryPart = when(size(kept) > 0,
+      concat(lit("?"), array_join(array_sort(kept), "&"))).otherwise(lit(""))
+    when(host.isNull, lit(null))
+      .otherwise(concat(scheme, lit("://"), host, portPart, pathPart,
+        queryPart))
+  }
+
+  /** Annotate each row with `canon_url` ([[canonicalizeUrl]]) and
+    * `kept`: within each canonical-URL group the lowest `idCol` row is
+    * the keeper (the deterministic min-id policy shared with the dedup
+    * family); rows with an unparseable URL keep `canon_url` NULL and are
+    * always kept (dropping them would bias the corpus — same stance as
+    * [[annotateBlocked]]). One hash-agg for the keeper table plus one
+    * AQE-planned join back — 8-byte-groupable at crawl scale because
+    * the group key could be hashed, but the canonical TEXT is the
+    * output users join on, so it stays the key here (canon strings are
+    * bounded short; contrast the tile family where hashing pays). */
+  def annotateUrlDup(df: DataFrame, idCol: String, urlCol: String):
+      DataFrame = {
+    val withCanon = df.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
+    val keepers = withCanon.filter(col("canon_url").isNotNull)
+      .groupBy(col("canon_url"))
+      .agg(min(col(idCol)).as("__keep_id"))
+    withCanon.join(keepers, Seq("canon_url"), "left")
+      .withColumn("kept",
+        col("canon_url").isNull || col(idCol) === col("__keep_id"))
+      .drop("__keep_id")
+  }
+
+  /** [[annotateUrlDup]] then keep the keepers: the crawl-level URL
+    * dedup pass (step zero of the curation funnel when the corpus
+    * arrives as fetched pages). */
+  def dropUrlDuplicates(df: DataFrame, idCol: String, urlCol: String):
+      DataFrame =
+    annotateUrlDup(df, idCol, urlCol).filter(col("kept"))
+      .drop("kept", "canon_url")
 }

@@ -47,4 +47,63 @@ class UrlFilterSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSet
     assert(kept == Set(3L, 4L, 5L))
   }
+
+  private def canon(urls: String*): Seq[Option[String]] =
+    urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select(col("id"), UrlFilter.canonicalizeUrl(col("url")).as("c"))
+      .orderBy(col("id"))
+      .collect().map(r => Option(r.getString(1))).toSeq
+
+  test("canonicalizeUrl: case, default ports, fragment, empty path") {
+    val got = canon(
+      "HTTPS://Example.COM",                  // case + empty path
+      "http://example.com:80/a",              // default port strips
+      "https://example.com:443/a",            // default port strips
+      "https://example.com:8443/a",           // exotic port survives
+      "http://example.com:443/a",             // 443 is NOT http's default
+      "https://example.com/a#frag",           // fragment drops
+      "https://user:pw@example.com/a",        // userinfo drops
+      "nonsense")
+    assert(got(0).contains("https://example.com/"))
+    assert(got(1).contains("http://example.com/a"))
+    assert(got(2).contains("https://example.com/a"))
+    assert(got(3).contains("https://example.com:8443/a"))
+    assert(got(4).contains("http://example.com:443/a"))
+    assert(got(5).contains("https://example.com/a"))
+    assert(got(6).contains("https://example.com/a"))
+    assert(got(7).isEmpty)
+  }
+
+  test("canonicalizeUrl: tracking params drop, survivors sort, empties vanish") {
+    val got = canon(
+      "https://e.com/p?utm_source=x&b=2&a=1",
+      "https://e.com/p?a=1&b=2&UTM_CAMPAIGN=y&gclid=z",
+      "https://e.com/p?b=2&&a=1&",            // empty fragments drop
+      "https://e.com/p?utm_only=1",           // all params tracked -> no ?
+      "https://e.com/p?a=2#s?fake=1")         // ? after # is fragment text
+    assert(got(0).contains("https://e.com/p?a=1&b=2"))
+    assert(got(1).contains("https://e.com/p?a=1&b=2"))
+    assert(got(2).contains("https://e.com/p?a=1&b=2"))
+    assert(got(3).contains("https://e.com/p"))
+    assert(got(4).contains("https://e.com/p?a=2"))
+  }
+
+  test("annotateUrlDup keeps min id per canonical group, nulls always kept") {
+    val docs = Seq(
+      1L -> "https://e.com/x?utm_source=a",
+      2L -> "HTTPS://E.COM/x",                // same canonical as 1
+      3L -> "https://e.com:443/x#top",        // same canonical as 1
+      4L -> "https://e.com/y",                // its own group
+      5L -> "garbage",                        // unparseable: kept
+      6L -> "junk")                           // unparseable: kept
+      .toDF("id", "url")
+    val got = UrlFilter.annotateUrlDup(docs, "id", "url")
+      .select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> true, 5L -> true, 6L -> true))
+    val kept = UrlFilter.dropUrlDuplicates(docs, "id", "url")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L, 6L))
+  }
 }
