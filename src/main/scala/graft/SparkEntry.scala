@@ -1132,6 +1132,19 @@ object SparkEntry {
       graft.ext.Dedup.tileDuplication(Tables.load(s, d, "documents"),
         "doc_id", "text", tileWords = 8)
         .orderBy(col("doc_id"))),
+    // Span-level decontamination: the benchmark is each 17th doc's own
+    // words 4..19, so those docs' second tile (words 9..16, wholly
+    // inside the quoted span) must strip while tile 0 and the tail
+    // survive — excise the span, keep the document
+    "x_decontam_span" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val ws = split(trim(col("text")), "\\s+")
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+        .select(array_join(slice(ws, 4, 16), " ").as("btext"))
+      graft.ext.Dedup.decontaminateSpans(docs, "doc_id", "text",
+        bench, "btext", tileWords = 8)
+        .orderBy(col("doc_id"))
+    }),
     // C4/RefinedWeb LINE screen: the corpus has no newlines, so the
     // gate plants a 3-line layout per doc — a 5-way shared header, the
     // doc's own first 61 chars (unique, survives), a 97-way shared
@@ -4370,6 +4383,32 @@ object SparkEntry {
       "SELECT w.doc_id, CAST(COALESCE(k.n_tiles, 0) AS BIGINT) AS n_tiles, " +
       "CAST(COALESCE(k.dup_tiles, 0) AS BIGINT) AS dup_tiles, " +
       "ROUND(COALESCE(k.dup_tiles / (1.0 * k.n_tiles), 0.0), 6) AS dup_ratio, " +
+      "trim(concat(COALESCE(k.kept, ''), ' ', " +
+      "array_to_string(ws[(CAST(len(ws)//8 AS BIGINT)*8+1):len(ws)], ' '))) AS clean_text " +
+      "FROM w LEFT JOIN k USING (doc_id) ORDER BY doc_id"),
+    // the same disjoint-tile fold, but the verdict set is the DISTINCT
+    // overlapping 8-word windows of the planted benchmark slices (each
+    // 17th doc's words 4..19) — semantic text equality, no hashes
+    "x_decontam_span" -> ("WITH w AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+      "b AS (SELECT array_to_string(ws[4:19], ' ') AS btext FROM w " +
+      "WHERE doc_id % 17 = 0), " +
+      "bw0 AS (SELECT regexp_split_to_array(trim(btext), '\\s+') AS bws " +
+      "FROM b), " +
+      "bw AS (SELECT DISTINCT unnest([array_to_string(bws[(i+1):(i+8)], ' ') " +
+      "for i in range(0, len(bws) - 8 + 1)]) AS win FROM bw0 " +
+      "WHERE len(bws) >= 8), " +
+      "t0 AS (SELECT doc_id, ws, " +
+      "unnest(range(CAST(len(ws)//8 AS BIGINT))) AS i FROM w), " +
+      "t AS (SELECT doc_id, i, " +
+      "array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS tile FROM t0), " +
+      "k AS (SELECT t.doc_id, COUNT(*) AS n_tiles, " +
+      "SUM(CASE WHEN bw.win IS NOT NULL THEN 1 ELSE 0 END) AS hit_tiles, " +
+      "STRING_AGG(CASE WHEN bw.win IS NULL THEN t.tile END, ' ' ORDER BY t.i) AS kept " +
+      "FROM t LEFT JOIN bw ON t.tile = bw.win GROUP BY 1) " +
+      "SELECT w.doc_id, CAST(COALESCE(k.n_tiles, 0) AS BIGINT) AS n_tiles, " +
+      "CAST(COALESCE(k.hit_tiles, 0) AS BIGINT) AS hit_tiles, " +
+      "ROUND(COALESCE(k.hit_tiles / (1.0 * k.n_tiles), 0.0), 6) AS hit_ratio, " +
       "trim(concat(COALESCE(k.kept, ''), ' ', " +
       "array_to_string(ws[(CAST(len(ws)//8 AS BIGINT)*8+1):len(ws)], ' '))) AS clean_text " +
       "FROM w LEFT JOIN k USING (doc_id) ORDER BY doc_id"),

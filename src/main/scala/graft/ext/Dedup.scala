@@ -780,6 +780,52 @@ object Dedup {
     tileFold(batch, idCol, textCol, tileWords, counts)
   }
 
+  /** Span-level decontamination — the excise-the-span form of the
+    * benchmark screen (the GPT-3 appendix-C / Pile approach: REMOVE the
+    * contaminated overlap, keep the document; doc-level dropping
+    * ([[TextAnalysis.dropContaminated]]) throws away a 10k-word document
+    * for one quoted test question): a corpus document's disjoint
+    * `tileWords`-word tile is contaminated iff its exact word sequence
+    * appears at ANY alignment inside ANY benchmark document. The
+    * benchmark side contributes every OVERLAPPING window (stride 1 —
+    * full recall on corpus tiles wholly inside a quoted span); the
+    * corpus side strips only its disjoint tiles, so the alignment
+    * asymmetry documented on [[tileDuplication]] applies: a quoted span
+    * can straddle a tile boundary and leave up to `tileWords - 1` words
+    * on each flank.
+    *
+    * Output per corpus doc: `n_tiles`, `hit_tiles`, `hit_ratio`,
+    * `clean_text` (surviving tiles + sub-tile tail, original order).
+    *
+    * Scale shape: benchmark windows reduce to a DISTINCT xxhash64 key
+    * set (eval sets are corpus-tiny — AQE broadcasts the join side);
+    * the corpus pays the same two linear passes as [[tileDuplication]]
+    * plus one 8-byte-keyed distinct + left join. Collision stance
+    * 2^-64, shared with the tile family. */
+  def decontaminateSpans(corpus: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, benchTextCol: String,
+      tileWords: Int = 8): DataFrame = {
+    require(tileWords > 0, "tileWords must be positive")
+    val bws = split(trim(col(benchTextCol)), "\\s+")
+    val wins = transform(
+      sequence(lit(0L), (size(bws) - tileWords).cast("long")),
+      i => xxhash64(array_join(
+        slice(bws, (i + 1).cast("int"), lit(tileWords)), " ")))
+    val benchHashes = bench
+      .select(when(size(bws) >= tileWords, wins)
+        .otherwise(array().cast("array<bigint>")).as("__whs"))
+      .select(explode(col("__whs")).as("__th")).distinct()
+    val counts = tilesOf(corpus, idCol, textCol, tileWords)
+      .filter(col("__tile").isNotNull)
+      .select(xxhash64(col("__tile")).as("__th")).distinct()
+      .join(benchHashes.withColumn("__hit", lit(1)), Seq("__th"), "left")
+      .select(col("__th"),
+        when(col("__hit").isNotNull, lit(2L)).otherwise(lit(1L)).as("__cnt"))
+    tileFold(corpus, idCol, textCol, tileWords, counts)
+      .withColumnRenamed("dup_tiles", "hit_tiles")
+      .withColumnRenamed("dup_ratio", "hit_ratio")
+  }
+
   /** Line-level exact dedup (the RefinedWeb/C4 line screen, Penedo '23
     * §3; the MassiveText "repetitious line" family's cross-document
     * form): a LINE occurring in more than `maxDocs` distinct documents

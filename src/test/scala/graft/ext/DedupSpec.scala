@@ -599,4 +599,55 @@ class DedupSpec extends SparkTestBase {
     assert(r.getAs[Double]("kmv_jaccard") == 1.0)
     assert(r.getAs[Long]("s_both") == r.getAs[Long]("s_size"))
   }
+
+  test("decontaminateSpans: any-alignment benchmark hit strips the covered tile only") {
+    import spark.implicits._
+    // doc 1: tiles [a..h], [i..p], tail "q r"
+    val corpus = Seq(
+      1L -> "a b c d e f g h i j k l m n o p q r",
+      2L -> "totally unrelated words that no benchmark quotes here at all")
+      .toDF("id", "text")
+    // the benchmark quotes i..p mid-sentence — a different alignment
+    // than the corpus tile grid; the overlapping windows still find it
+    val bench = Seq("x y i j k l m n o p z").toDF("btext")
+    val got = Dedup.decontaminateSpans(corpus, "id", "text", bench, "btext")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Long]("n_tiles") == 2L)
+    assert(got(0).getAs[Long]("hit_tiles") == 1L)
+    assert(got(0).getAs[String]("clean_text") == "a b c d e f g h q r")
+    assert(got(1).getAs[Long]("hit_tiles") == 0L)
+    assert(got(1).getAs[String]("clean_text") ==
+      "totally unrelated words that no benchmark quotes here at all")
+  }
+
+  test("decontaminateSpans: partial span overlap straddling tiles is a documented miss") {
+    import spark.implicits._
+    val corpus = Seq(1L -> "a b c d e f g h i j k l m n o p")
+      .toDF("id", "text")
+    // the quote covers d..l: 9 words, but no corpus TILE lies wholly
+    // inside it — both tiles keep their flanks (the tileWords-1 bound)
+    val bench = Seq("d e f g h i j k l").toDF("btext")
+    val got = Dedup.decontaminateSpans(corpus, "id", "text", bench, "btext")
+      .collect()(0)
+    assert(got.getAs[Long]("hit_tiles") == 0L)
+    assert(got.getAs[String]("clean_text") ==
+      "a b c d e f g h i j k l m n o p")
+  }
+
+  test("decontaminateSpans: sub-tile docs, short benchmarks, empty benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      1L -> "too short for tiles",
+      2L -> "a b c d e f g h tail")
+      .toDF("id", "text")
+    val got = Dedup.decontaminateSpans(corpus, "id", "text",
+      Seq("short bench").toDF("btext"), "btext").orderBy("id").collect()
+    assert(got(0).getAs[Long]("n_tiles") == 0L)
+    assert(got(0).getAs[String]("clean_text") == "too short for tiles")
+    assert(got(1).getAs[Long]("hit_tiles") == 0L)
+    val empty = Dedup.decontaminateSpans(corpus, "id", "text",
+      Seq.empty[String].toDF("btext"), "btext").orderBy("id").collect()
+    assert(empty.map(_.getAs[Long]("hit_tiles")).sum == 0L)
+    assert(empty(1).getAs[String]("clean_text") == "a b c d e f g h tail")
+  }
 }
