@@ -2174,6 +2174,22 @@ object SparkEntry {
         .agg(sum(col("n_sym")).as("n_subwords"), countAll.as("n_words"))
         .orderBy(col("doc_id"))
     }),
+    // WordPiece training: BPE's loop with the LIKELIHOOD argmax
+    // (count(ab)/(count(a)count(b)) as floor-quantized micro log10) and
+    // BERT's ## continuation marking; minCount=50 is the standard
+    // frequency cutoff (without it any one-off symbol pair scores a
+    // perfect 1). DuckDB replays all 6 rounds including both count
+    // tables and the score tie-break
+    "x_wordpiece_train" -> ((s, d) =>
+      graft.ext.Wordpiece.train(Tables.load(s, d, "documents"), "text",
+        merges = 6, minCount = 50L).orderBy(col("step"))),
+    // WordPiece ENCODE (BERT inference): greedy longest-match-first
+    // against a fixed planted vocab — plain pieces at word start, ##
+    // pieces after, no-match collapses the whole word to [UNK]; distinct
+    // types segment once, documents re-join by word
+    "x_wordpiece_encode" -> ((s, d) =>
+      graft.ext.Wordpiece.encodeDocs(Tables.load(s, d, "documents"),
+        "doc_id", "text", wordpieceVocab).orderBy(col("doc_id"))),
     // Per-language vocabulary: top-10 terms per lang with df >= 3 —
     // WindowGroupLimit prunes each language's term list map-side
     "x_vocab_lang" -> ((s, d) =>
@@ -5669,6 +5685,35 @@ object SparkEntry {
       "SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_subwords, " +
       "CAST(COUNT(*) AS BIGINT) AS n_words FROM dw JOIN wc USING (word) " +
       "GROUP BY 1 ORDER BY doc_id"),
+    // the BPE round chain with ##-marked initial symbols, a per-round
+    // unigram count table, the micro-log10 likelihood argmax and the
+    // ##-stripping merge product — all 6 rounds replayed exactly
+    "x_wordpiece_train" -> wordpieceChain(6, 50L),
+    // greedy longest-match replay: one recursive CTE advances every
+    // unfinished TYPE by its longest matching piece per step (plain at
+    // pos 1, ## after); a no-match step collapses the word to one [UNK]
+    "x_wordpiece_encode" -> ("WITH RECURSIVE v AS (SELECT * FROM (VALUES " +
+      wordpieceVocabValuesSql + ") t(surface, cont)), " +
+      "tok AS (SELECT doc_id, word FROM (SELECT doc_id, " +
+      "unnest(string_split(text, ' ')) AS word FROM documents) t " +
+      "WHERE word <> ''), " +
+      "ty AS (SELECT DISTINCT word FROM tok), " +
+      "seg AS (SELECT word, CAST(1 AS BIGINT) AS pos, " +
+      "CAST(0 AS BIGINT) AS np, FALSE AS unk FROM ty " +
+      "UNION ALL SELECT word, " +
+      "CASE WHEN bl IS NULL THEN len(word) + 1 ELSE pos + bl END AS pos, " +
+      "CASE WHEN bl IS NULL THEN 1 ELSE np + 1 END AS np, " +
+      "bl IS NULL AS unk FROM " +
+      "(SELECT word, pos, np, " +
+      "(SELECT max(len(surface)) FROM v WHERE v.cont = (s.pos > 1) " +
+      "AND substr(s.word, CAST(s.pos AS INT), len(surface)) = surface) AS bl " +
+      "FROM seg s WHERE s.pos <= len(s.word) AND NOT s.unk) t), " +
+      "fin AS (SELECT word, np, unk FROM seg WHERE pos > len(word)) " +
+      "SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, " +
+      "CAST(SUM(fin.np) AS BIGINT) AS n_pieces, " +
+      "CAST(SUM(CASE WHEN fin.unk THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_unk_words " +
+      "FROM tok JOIN fin USING (word) GROUP BY 1 ORDER BY 1"),
     // same two-level aggregation in SQL; ties on the term string
     "x_vocab" -> ("WITH tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM " +
       "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t " +
@@ -6172,6 +6217,74 @@ object SparkEntry {
       (1 to merges).map(k =>
         s"SELECT $k AS step, a AS sym_a, b AS sym_b, CAST(cnt AS BIGINT) AS cnt FROM b$k")
         .mkString(" UNION ALL ") + " ORDER BY step"
+
+  /** Planted WordPiece vocab for x_wordpiece_encode, kept in lockstep
+    * with its oracle's VALUES list ([[wordpieceVocabValuesSql]]): a few
+    * plain word-start pieces incl. multi-char overlaps ("s" < "sc" <
+    * "scan" exercises longest-match), every ##-single (covered words
+    * always finish), and one multi continuation "##an" greedy must
+    * prefer over "##a". Words starting outside the plain set collapse
+    * to [UNK]. */
+  private val wordpieceVocab: Seq[String] =
+    Seq("s", "sc", "scan", "t", "the", "w", "j", "a", "b", "m", "o", "k",
+      "##an") ++ ('a' to 'z').map(c => s"##$c")
+
+  private def wordpieceVocabValuesSql: String =
+    wordpieceVocab.map { p =>
+      val cont = p.startsWith("##")
+      val surface = if (cont) p.substring(2) else p
+      s"('$surface', ${if (cont) "TRUE" else "FALSE"})"
+    }.mkString(", ")
+
+  /** [[bpeChainWith]]'s WordPiece sibling: ##-marked initial symbols, a
+    * per-round unigram-count CTE, the floor-quantized micro-log10
+    * likelihood argmax (score DESC, a, b — the engine's exact
+    * tie-break), the `minCount` pair cutoff, and the ##-stripping merge
+    * product. Emits the merge table (step, sym_a, sym_b, cnt,
+    * score_micro). */
+  private def wordpieceChain(merges: Int, minCount: Long): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    parts += ("w AS MATERIALIZED (SELECT word, COUNT(*) AS freq FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) t " +
+      "WHERE word <> '' GROUP BY 1)")
+    parts += ("p0 AS MATERIALIZED (SELECT word, u.n AS pos, " +
+      "CASE WHEN u.n = 1 THEN u.s ELSE '##' || u.s END AS sym FROM " +
+      "(SELECT word, unnest([{'n': x, 's': substr(word, CAST(x AS INT), 1)} " +
+      "for x in range(1, len(word)+1)]) AS u FROM w) t)")
+    for (k <- 1 to merges) {
+      val p = s"p${k - 1}"
+      parts += (s"c$k AS MATERIALIZED (SELECT sym AS a, nxt AS b, SUM(freq) AS cnt FROM " +
+        s"(SELECT word, sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM $p) l " +
+        s"JOIN w USING (word) WHERE nxt IS NOT NULL GROUP BY 1, 2 " +
+        s"HAVING SUM(freq) >= $minCount)")
+      parts += (s"u$k AS MATERIALIZED (SELECT sym AS s, SUM(freq) AS ucnt " +
+        s"FROM $p JOIN w USING (word) GROUP BY 1)")
+      parts += (s"b$k AS MATERIALIZED (SELECT a, b, cnt, " +
+        "CAST(floor((log10(CAST(cnt AS DOUBLE)) - " +
+        "log10(CAST(ua.ucnt AS DOUBLE)) - log10(CAST(ub.ucnt AS DOUBLE))) " +
+        "* 1e6) AS BIGINT) AS score_micro " +
+        s"FROM c$k JOIN u$k ua ON c$k.a = ua.s JOIN u$k ub ON c$k.b = ub.s " +
+        "ORDER BY score_micro DESC, a, b LIMIT 1)")
+      parts += (s"mk$k AS MATERIALIZED (SELECT word, pos, sym, nxt, " +
+        s"COALESCE(sym = (SELECT a FROM b$k) AND nxt = (SELECT b FROM b$k), FALSE) AS cand FROM " +
+        s"(SELECT word, pos, sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM $p) m)")
+      parts += (s"g$k AS MATERIALIZED (SELECT *, CASE WHEN cand THEN ROW_NUMBER() OVER " +
+        "(PARTITION BY word, grp ORDER BY pos) ELSE 0 END AS rn FROM " +
+        s"(SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY word, cand ORDER BY pos) AS grp FROM mk$k) t)")
+      parts += (s"p$k AS MATERIALIZED (SELECT word, ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos, " +
+        "CASE WHEN keepflag THEN sym || " +
+        "(CASE WHEN starts_with(nxt, '##') THEN substr(nxt, 3) ELSE nxt END) " +
+        "ELSE sym END AS sym FROM " +
+        "(SELECT word, pos, sym, nxt, (cand AND rn % 2 = 1) AS keepflag, " +
+        s"lag(cand AND rn % 2 = 1) OVER (PARTITION BY word ORDER BY pos) AS prevkeep FROM g$k) t " +
+        "WHERE prevkeep IS NULL OR NOT prevkeep)")
+    }
+    "WITH " + parts.mkString(", ") + " " +
+      (1 to merges).map(k =>
+        s"SELECT $k AS step, a AS sym_a, b AS sym_b, " +
+          s"CAST(cnt AS BIGINT) AS cnt, score_micro FROM b$k")
+        .mkString(" UNION ALL ") + " ORDER BY step"
+  }
 
   /** The training chain's CTE block alone (ends at `p<merges>`, the
     * fully-merged symbol table); [[bpeChain]] appends the merge-table

@@ -39,7 +39,7 @@ object Bpe {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
   /** The (cur, nxt) pair view of a symbol array (nxt null at the end). */
-  private def pairView(syms: Column): Column =
+  private[ext] def pairView(syms: Column): Column =
     transform(syms, (s, i) =>
       struct(s.as("cur"), try_element_at(syms, i + lit(2)).as("nxt")))
 
