@@ -1869,6 +1869,15 @@ object SparkEntry {
       graft.ext.LabelProp.run(graft.ext.Fixtures.plantedComponents(s),
         "src", "dst", rounds = 4)
         .orderBy(col("node"))),
+    // Multilevel (Louvain-skeleton) communities on a denser-bridged
+    // ring graph: LP level 1, contraction to weighted community edges
+    // (bridgeEvery=4 puts TWO bridges between consecutive rings ->
+    // weights > 1), weighted LP level 2, labels inherited back
+    "x_labelprop_multi" -> ((s, d) =>
+      graft.ext.LabelProp.multilevel(
+        graft.ext.Fixtures.plantedComponents(s, 240, 8, 4),
+        "src", "dst", rounds1 = 4, rounds2 = 2)
+        .orderBy(col("node"))),
     // the composed measurement: modularity OF the labelprop communities
     // on the same planted graph — detection and its quality score in
     // one oracle-replayed chain
@@ -5317,6 +5326,7 @@ object SparkEntry {
     // and Spark's converged fixed point are the same table
     "x_sssp" -> ssspOracleSql(12),
     "x_labelprop" -> labelPropOracleSql(4),
+    "x_labelprop_multi" -> labelPropMultiSql(4, 2, 4),
     "x_modularity_lp" -> modularityOnLabelPropSql(4),
     "x_ppr" -> pprOracleSql(3, 50, 8),
     // four exact counts through one fixed ratio tree; per-class top-5
@@ -6411,10 +6421,10 @@ object SparkEntry {
 
   /** Synchronous label-propagation replay: per round one neighbor-label
     * count, one (cnt DESC, label) argmax window, one left-join fold. */
-  private def labelPropCtes(rounds: Int): String = {
+  private def labelPropCtes(rounds: Int,
+      fixtureSql: String = graft.ext.Fixtures.plantedComponentsSql()): String = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-    parts += ("g AS MATERIALIZED (" +
-      graft.ext.Fixtures.plantedComponentsSql() + ")")
+    parts += ("g AS MATERIALIZED (" + fixtureSql + ")")
     parts += ("e AS MATERIALIZED (SELECT DISTINCT a, b FROM " +
       "(SELECT src AS a, dst AS b FROM g UNION ALL SELECT dst, src FROM g) t " +
       "WHERE a <> b)")
@@ -6435,6 +6445,41 @@ object SparkEntry {
   private def labelPropOracleSql(rounds: Int): String =
     "WITH " + labelPropCtes(rounds) +
       s" SELECT node, CAST(label AS BIGINT) AS label FROM l$rounds ORDER BY node"
+
+  /** Multilevel replay: the [[labelPropCtes]] level-1 chain over a
+    * denser-bridged fixture, the Louvain-style contraction (canonical
+    * undirected edges joined to both endpoint labels, inter-community
+    * COUNT as weight), then `rounds2` WEIGHTED LP rounds (votes sum
+    * weight, ties to the smaller label) and the inherit-back join. */
+  private def labelPropMultiSql(rounds1: Int, rounds2: Int,
+      bridgeEvery: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    parts += labelPropCtes(rounds1,
+      graft.ext.Fixtures.plantedComponentsSql(240, 8, bridgeEvery))
+    parts += ("und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, " +
+      "GREATEST(src, dst) AS b FROM g WHERE src <> dst)")
+    parts += (s"ce AS MATERIALIZED (SELECT LEAST(la.label, lb.label) AS ca, " +
+      "GREATEST(la.label, lb.label) AS cb, COUNT(*) AS w " +
+      s"FROM und JOIN l$rounds1 la ON la.node = und.a " +
+      s"JOIN l$rounds1 lb ON lb.node = und.b " +
+      "WHERE la.label <> lb.label GROUP BY 1, 2)")
+    parts += ("we AS MATERIALIZED (SELECT ca AS a, cb AS b, w FROM ce " +
+      "UNION ALL SELECT cb, ca, w FROM ce)")
+    parts += "m0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM we)"
+    for (r <- 1 to rounds2) {
+      parts += (s"wc$r AS MATERIALIZED (SELECT we.b AS node, l.label, " +
+        s"SUM(we.w) AS ws FROM we JOIN m${r - 1} l ON we.a = l.node GROUP BY 1, 2)")
+      parts += (s"wp$r AS MATERIALIZED (SELECT node, label FROM " +
+        "(SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node " +
+        s"ORDER BY ws DESC, label) AS rk FROM wc$r) t WHERE rk = 1)")
+      parts += (s"m$r AS MATERIALIZED (SELECT n.node, " +
+        s"COALESCE(p.label, n.label) AS label FROM m${r - 1} n " +
+        s"LEFT JOIN wp$r p ON n.node = p.node)")
+    }
+    "WITH " + parts.mkString(", ") +
+      s" SELECT l.node, CAST(COALESCE(m.label, l.label) AS BIGINT) AS label " +
+      s"FROM l$rounds1 l LEFT JOIN m$rounds2 m ON l.label = m.node ORDER BY l.node"
+  }
 
   /** Modularity of the labelprop communities — the composed
     * measurement: the labelprop replay chain feeds the same canonical

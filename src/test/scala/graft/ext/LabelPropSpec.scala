@@ -54,4 +54,61 @@ class LabelPropSpec extends SparkTestBase {
     // propagation cannot cross components
     assert(labels.forall { case (n, l) => comps(n) == comps(l) })
   }
+
+  test("runWeighted: weight sums outvote edge counts") {
+    import spark.implicits._
+    // node 9's votes: label 1 via two w=1 edges (sum 2) vs label 2 via
+    // one w=5 edge — weighted LP picks 2 where unweighted picks 1
+    val edges = Seq((1L, 9L, 1L), (8L, 9L, 1L), (2L, 9L, 5L), (1L, 8L, 9L))
+      .toDF("src", "dst", "w")
+    val wl = LabelProp.runWeighted(edges, "src", "dst", "w", rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(wl(9L) == 2L)
+    val ul = LabelProp.run(edges, "src", "dst", rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(ul(9L) == 1L)
+  }
+
+  test("contract: communities become nodes, inter-edge counts become weights") {
+    import spark.implicits._
+    // two triangles {0,1,2} {10,11,12} + two bridges and one duplicate
+    // (reversed) bridge that must fold into the same undirected edge
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (0L, 10L), (1L, 11L), (11L, 1L))
+      .toDF("src", "dst")
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (11L, 10L),
+      (12L, 10L)).toDF("node", "label")
+    val got = LabelProp.contract(edges, "src", "dst", labels)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((0L, 10L, 2L))) // two distinct bridges
+  }
+
+  test("multilevel merges bridge-joined communities one LP pass cannot") {
+    import spark.implicits._
+    // three K4 cliques pairwise joined by single bridges: inside a K4
+    // the intra majority (3 votes) beats the bridge vote, so level-1 LP
+    // keeps the cliques apart; the coarse triangle then collapses
+    def k4(b: Long) = for {
+      i <- 0 to 3; j <- (i + 1) to 3
+    } yield (b + i, b + j)
+    val edges = (k4(0) ++ k4(10) ++ k4(20) ++
+      Seq((0L, 10L), (10L, 20L), (20L, 0L))).toDF("src", "dst")
+    val l1 = LabelProp.run(edges, "src", "dst", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(Set(l1(1L), l1(11L), l1(21L)).size == 3) // still 3 communities
+    val ml = LabelProp.multilevel(edges, "src", "dst",
+      rounds1 = 4, rounds2 = 2).as[(Long, Long)].collect().toMap
+    assert(ml.values.toSet.size == 1) // one merged community
+  }
+
+  test("multilevel: a community with no external edges keeps its level-1 label") {
+    import spark.implicits._
+    val edges = (Seq((0L, 1L), (1L, 2L), (2L, 0L)) ++ // isolated triangle
+      Seq((10L, 20L), (20L, 30L), (30L, 10L))) // triangle of singletons
+      .toDF("src", "dst")
+    val ml = LabelProp.multilevel(edges, "src", "dst",
+      rounds1 = 2, rounds2 = 2).as[(Long, Long)].collect().toMap
+    assert(Set(ml(0L), ml(1L), ml(2L)).size == 1) // intact, level-1 label
+    assert(ml(0L) == 0L)
+  }
 }
