@@ -1453,6 +1453,26 @@ object SparkEntry {
           col("kept").cast("long").as("kept"))
         .orderBy(col("doc_id"))
     }),
+    // Per-DOMAIN screen: sub.* hosts carry only flagged docs (blocked by
+    // the flag-ratio rule), plain hosts split by their exact integer
+    // mean-score compare; unparseable hosts are never blocked
+    "x_domain_screen" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.load(s, d, "documents").select(id,
+        when(id % 13 === 0, lit("not a url")).otherwise(concat(
+          lit("https://"),
+          when(id % 7 === 0, lit("sub.")).otherwise(lit("")),
+          col("source"), lit(".example.org/p/"),
+          id.cast("string"))).as("url"),
+        (((id * 37) % 1000) * 1000).as("score_micro"),
+        (id % 7 === 0).as("flagged"))
+      graft.ext.UrlFilter.annotateDomainScreen(docs, "doc_id", "url",
+        "score_micro", "flagged",
+        minMeanScoreMicro = 480000L, maxFlagMicro = 500000L)
+        .select(col("doc_id"), col("host"),
+          col("domain_blocked").cast("long").as("domain_blocked"))
+        .orderBy(col("doc_id"))
+    }),
     // Luhn-validated card masking: each doc gets a planted 16-digit
     // number whose check digit is CORRECT on even ids and off-by-one on
     // odd ids — the masker must fire on exactly the valid half (a bare
@@ -4702,6 +4722,27 @@ object SparkEntry {
       "THEN 1 ELSE 0 END AS BIGINT) AS kept " +
       "FROM canon c2 LEFT JOIN kp ON c2.canon_url = kp.canon_url " +
       "ORDER BY c2.doc_id"),
+    // same planted hosts/scores/flags; both block rules replay as exact
+    // integer cross-multiplications and NULL hosts never match the join
+    "x_domain_screen" -> ("WITH u AS (SELECT doc_id, " +
+      "CASE WHEN doc_id % 13 = 0 THEN 'not a url' " +
+      "ELSE 'https://' || CASE WHEN doc_id % 7 = 0 THEN 'sub.' ELSE '' END " +
+      "|| source || '.example.org/p/' || doc_id END AS url, " +
+      "((doc_id * 37) % 1000) * 1000 AS score_micro, " +
+      "doc_id % 7 = 0 AS flagged FROM documents), " +
+      "h AS (SELECT doc_id, CASE WHEN regexp_extract(url, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1) = '' " +
+      "THEN NULL ELSE lower(regexp_extract(url, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) END " +
+      "AS host, score_micro, flagged FROM u), " +
+      "p AS (SELECT host, COUNT(*) AS n, SUM(score_micro) AS ss, " +
+      "SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS nf FROM h " +
+      "WHERE host IS NOT NULL GROUP BY 1), " +
+      "b AS (SELECT host, (ss < n * 480000 OR nf * 1000000 > n * 500000) " +
+      "AS blocked FROM p) " +
+      "SELECT h.doc_id, h.host, CAST(CASE WHEN COALESCE(b.blocked, FALSE) " +
+      "THEN 1 ELSE 0 END AS BIGINT) AS domain_blocked " +
+      "FROM h LEFT JOIN b ON h.host = b.host ORDER BY h.doc_id"),
     // the same planted card and check-digit sum; masking replays as one
     // literal replace (whole formatted span) because the corpus
     // contains no other digits

@@ -145,4 +145,60 @@ object UrlFilter {
       DataFrame =
     annotateUrlDup(df, idCol, urlCol).filter(col("kept"))
       .drop("kept", "canon_url")
+
+  /** Per-domain curation profile — the aggregation behind FineWeb-style
+    * DOMAIN screens (Penedo '24 §domain filters; a spam farm shows up as
+    * a whole host of low-quality near-dup pages long before any single
+    * page looks anomalous): group documents by host and report
+    * `n_docs`, the exact LONG sum of a caller micro-quantized quality
+    * score (an LM `logprob_micro`, a classifier `prob_micro` — the
+    * metric is the caller's), the count of a caller boolean flag
+    * (near-dup membership, blocklist hit), and the display-only
+    * `mean_score_micro` / `flag_ratio` doubles (each one IEEE division
+    * of exact operands). Unparseable hosts group under NULL — reported,
+    * never silently dropped. One hash-agg. */
+  def domainProfile(df: DataFrame, idCol: String, urlCol: String,
+      scoreMicroCol: String, flagCol: String): DataFrame =
+    df.withColumn("host", hostOf(col(urlCol)))
+      .groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(scoreMicroCol).cast("long")).as("score_micro_sum"),
+        sum(col(flagCol).cast("long")).as("n_flagged"))
+      .withColumn("mean_score_micro",
+        col("score_micro_sum").cast("double") / col("n_docs"))
+      .withColumn("flag_ratio",
+        col("n_flagged").cast("double") / col("n_docs"))
+
+  /** The domain SCREEN itself: annotate each document with `host` and
+    * `domain_blocked` — true when its domain's mean score falls below
+    * `minMeanScoreMicro` OR its flagged fraction exceeds
+    * `maxFlagMicro` (micro-units, 1e6 = 100%). Both decisions are
+    * EXACT integer cross-multiplications (`score_sum < min·n` /
+    * `n_flagged·1e6 > max·n`) — no float threshold can waver at group
+    * boundaries. Documents with no parseable host are never blocked
+    * (the [[annotateBlocked]] stance). One profile hash-agg + one
+    * host-keyed join back, AQE-planned. */
+  def annotateDomainScreen(df: DataFrame, idCol: String, urlCol: String,
+      scoreMicroCol: String, flagCol: String,
+      minMeanScoreMicro: Long, maxFlagMicro: Long): DataFrame = {
+    val prof = domainProfile(df, idCol, urlCol, scoreMicroCol, flagCol)
+      .filter(col("host").isNotNull)
+      .select(col("host"),
+        (col("score_micro_sum") < col("n_docs") * lit(minMeanScoreMicro) ||
+          col("n_flagged") * lit(1000000L) >
+            col("n_docs") * lit(maxFlagMicro)).as("domain_blocked"))
+    df.withColumn("host", hostOf(col(urlCol)))
+      .join(prof, Seq("host"), "left")
+      .withColumn("domain_blocked",
+        coalesce(col("domain_blocked"), lit(false)))
+  }
+
+  /** [[annotateDomainScreen]] then keep the surviving documents. */
+  def dropLowQualityDomains(df: DataFrame, idCol: String, urlCol: String,
+      scoreMicroCol: String, flagCol: String,
+      minMeanScoreMicro: Long, maxFlagMicro: Long): DataFrame =
+    annotateDomainScreen(df, idCol, urlCol, scoreMicroCol, flagCol,
+      minMeanScoreMicro, maxFlagMicro)
+      .filter(!col("domain_blocked")).drop("domain_blocked", "host")
 }

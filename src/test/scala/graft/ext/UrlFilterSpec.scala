@@ -89,6 +89,53 @@ class UrlFilterSpec extends SparkTestBase {
     assert(got(4).contains("https://e.com/p?a=2"))
   }
 
+  test("domainProfile + screen: mean rule, flag rule, null hosts never blocked") {
+    val docs = Seq(
+      // good.com: scores 800k/600k (mean 700k), nothing flagged
+      (1L, "https://good.com/a", 800000L, false),
+      (2L, "https://good.com/b", 600000L, false),
+      // low.com: mean 300k -> blocked by the mean rule
+      (3L, "https://low.com/a", 400000L, false),
+      (4L, "https://low.com/b", 200000L, false),
+      // spam.com: great mean but 2/3 flagged -> blocked by the flag rule
+      (5L, "https://spam.com/a", 900000L, true),
+      (6L, "https://spam.com/b", 900000L, true),
+      (7L, "https://spam.com/c", 900000L, false),
+      // unparseable: low score but never blocked
+      (8L, "garbage", 0L, true))
+      .toDF("id", "url", "score_micro", "flagged")
+    val prof = UrlFilter.domainProfile(docs, "id", "url",
+      "score_micro", "flagged")
+      .collect().map(r => Option(r.getAs[String]("host")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("score_micro_sum"),
+          r.getAs[Long]("n_flagged"))).toMap
+    assert(prof(Some("good.com")) == ((2L, 1400000L, 0L)))
+    assert(prof(Some("spam.com")) == ((3L, 2700000L, 2L)))
+    assert(prof(None) == ((1L, 0L, 1L))) // reported, not dropped
+    val got = UrlFilter.annotateDomainScreen(docs, "id", "url",
+      "score_micro", "flagged",
+      minMeanScoreMicro = 500000L, maxFlagMicro = 500000L)
+      .select("id", "domain_blocked").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> true, 4L -> true,
+      5L -> true, 6L -> true, 7L -> true, 8L -> false))
+    val kept = UrlFilter.dropLowQualityDomains(docs, "id", "url",
+      "score_micro", "flagged", 500000L, 500000L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 8L))
+  }
+
+  test("domain screen thresholds are exact at the boundary") {
+    // mean exactly 500000 is NOT below; flag ratio exactly 1/2 is NOT above
+    val docs = Seq(
+      (1L, "https://edge.com/a", 400000L, true),
+      (2L, "https://edge.com/b", 600000L, false))
+      .toDF("id", "url", "score_micro", "flagged")
+    val got = UrlFilter.annotateDomainScreen(docs, "id", "url",
+      "score_micro", "flagged", 500000L, 500000L)
+      .select("id", "domain_blocked").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> false))
+  }
+
   test("annotateUrlDup keeps min id per canonical group, nulls always kept") {
     val docs = Seq(
       1L -> "https://e.com/x?utm_source=a",
