@@ -727,6 +727,55 @@ object ScaleDemo {
       graft.ext.Unigram.encodeDocs(corpus, "doc_id", "text", v)
         .agg(sum(col("n_pieces"))).collect()(0).getLong(0)
     }
+    timed("url_canon") {
+      // canonicalization is pure per-row string algebra (zero shuffles);
+      // the dedup adds one keeper hash-agg + join — linear in crawl rows
+      val urls = corpus.select(col("doc_id"), concat(lit("HTTPS://www."),
+        (col("doc_id") % 1000).cast("string"), lit(".Example.org:443/p/"),
+        (col("doc_id") % 50).cast("string"),
+        lit("?utm_source=x&b=2&a=1#f")).as("url"))
+      graft.ext.UrlFilter.annotateUrlDup(urls, "doc_id", "url")
+        .agg(sum(col("kept").cast("long"))).collect()(0).getLong(0)
+    }
+    timed("decontam_span") {
+      // benchmark stays fixture-sized while the corpus replicates: the
+      // corpus pays the two linear tile passes + one 8-byte-keyed
+      // distinct/left-join, the bench window set broadcasts
+      val ws = split(trim(col("text")), "\\s+")
+      val bench = base.filter(col("doc_id") % 17 === 0)
+        .select(array_join(slice(ws, 4, 16), " ").as("btext"))
+      graft.ext.Dedup.decontaminateSpans(corpus, "doc_id", "text",
+        bench, "btext")
+        .agg(sum(col("hit_tiles"))).collect()(0).getLong(0)
+    }
+    timed("wordpiece_encode") {
+      // greedy match runs once per distinct TYPE (bpe_encode shape):
+      // replication multiplies occurrences, not types — ~flat wall
+      val pieces = Seq("s", "sc", "scan", "t", "the", "w", "j", "a",
+        "b", "m", "o", "k", "##an") ++ ('a' to 'z').map(c => s"##$c")
+      graft.ext.Wordpiece.encodeDocs(corpus, "doc_id", "text", pieces)
+        .agg(sum(col("n_pieces"))).collect()(0).getLong(0)
+    }
+    timed("domain_screen") {
+      // one profile hash-agg over ~1k hosts + one AQE join back
+      val flagged = corpus.select(col("doc_id"),
+        concat(lit("https://h"), (col("doc_id") % 997).cast("string"),
+          lit(".example.org/p")).as("url"),
+        (((col("doc_id") * 37) % 1000) * 1000).as("score_micro"),
+        (col("doc_id") % 7 === 0).as("flagged"))
+      graft.ext.UrlFilter.annotateDomainScreen(flagged, "doc_id", "url",
+        "score_micro", "flagged", 480000L, 500000L)
+        .agg(sum(col("domain_blocked").cast("long"))).collect()(0).getLong(0)
+    }
+    timed("labelprop_multi") {
+      // graph scales by node count (not corpus replication): 4 LP
+      // rounds O(|E|) each + contraction + 2 weighted rounds on the
+      // ring-count-sized coarse graph
+      graft.ext.LabelProp.multilevel(
+        graft.ext.Fixtures.plantedComponents(spark, 240 * k * 20, 8, 4),
+        "src", "dst", rounds1 = 4, rounds2 = 2)
+        .agg(countDistinct(col("label"))).collect()(0).getLong(0)
+    }
     timed("kmv_overlap") {
       // the sketch path at the same scale: two bottom-256 reductions +
       // a 256-row merge — wall should stay ~flat vs corpus_overlap
