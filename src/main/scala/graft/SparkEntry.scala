@@ -1292,6 +1292,31 @@ object SparkEntry {
           col("dup_ratio"), col("clean_text"))
         .orderBy(col("doc_id"))
     }),
+    // Streaming crawl-ingest URL dedup: 3 driver-chained batches, urls
+    // collide across batches (canon key = source x path mod 40, tracker
+    // vs fragment noise per parity) — a doc lands iff its canonical's
+    // FIRST sighting is (its batch, its id); unparseable always lands
+    "x_stream_urls" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.load(s, d, "documents").select(id,
+        when(id % 13 === 0, lit("not a url")).otherwise(concat(
+          lit("https://"), col("source"), lit(".example.org/p/"),
+          (id % 40).cast("string"),
+          when(id % 2 === 0, lit("?utm_source=x")).otherwise(lit("#f"))))
+          .as("url"),
+        (lit(2020L) + id % 3).as("year"))
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_ui_wh").toString)
+      val idxDir = TempDirs.scratchDir("graft_ui_idx").toString
+      (0L to 2L).foreach { b =>
+        graft.streaming.UrlIngest.ingestBatch(
+          docs.filter(id % 3 === b), "doc_id", "url",
+          wh, "novel_urls", idxDir, b)
+      }
+      wh.read("novel_urls").get
+        .select(col("doc_id"), col("canon_url"))
+        .orderBy(col("doc_id"))
+    }),
     // Gopher repetition screens (Rae 2021 App. A1): documents re-flowed
     // into 3-word lines so the line metrics see real duplicates; tokens
     // spanning a line break keep the \n byte in BOTH engines (the
@@ -4514,6 +4539,19 @@ object SparkEntry {
       "SELECT doc_id, n_lines, dup_lines, " +
       "ROUND(dup_lines / (1.0 * n_lines), 6) AS dup_ratio, " +
       "COALESCE(kept, '') AS clean_text FROM k ORDER BY doc_id"),
+    // first-sighting semantics: a doc lands iff its canonical's
+    // lexicographic-min (batch, id) is its own; the canonical string
+    // itself replays trivially (trackers and fragments both vanish)
+    "x_stream_urls" -> ("WITH u AS (SELECT doc_id, doc_id % 3 AS batch, " +
+      "CASE WHEN doc_id % 13 = 0 THEN NULL " +
+      "ELSE 'https://' || source || '.example.org/p/' || " +
+      "CAST(doc_id % 40 AS VARCHAR) END AS canon FROM documents), " +
+      "k AS (SELECT canon, min(batch * 10000000 + doc_id) AS mk " +
+      "FROM u WHERE canon IS NOT NULL GROUP BY 1) " +
+      "SELECT u.doc_id, u.canon AS canon_url " +
+      "FROM u LEFT JOIN k ON u.canon = k.canon " +
+      "WHERE u.canon IS NULL OR u.batch * 10000000 + u.doc_id = k.mk " +
+      "ORDER BY u.doc_id"),
     // same tile chain over the space-stripped, 2-char-rechunked corpus
     // (the charGramsAsWords pre-map replayed as a list comprehension)
     "x_substr_dedup_cjk" -> ("WITH base AS (SELECT doc_id, " +
