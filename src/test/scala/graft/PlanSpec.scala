@@ -488,6 +488,61 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("canonicalizeUrl: pure projection, zero shuffles; dedup adds one agg + key join") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), concat(lit("https://h"),
+        (col("doc_id") % 97).cast("string"), lit(".com/p")).as("url"))
+    val p0 = plan(docs.select(
+      ext.UrlFilter.canonicalizeUrl(col("url")).as("c")))
+    assert(!p0.contains("Exchange"),
+      "canonicalization must ride the scan:\n" + p0.take(800))
+    val p1 = plan(ext.UrlFilter.annotateUrlDup(docs, "doc_id", "url"))
+    assert(!p1.contains("CartesianProduct") &&
+      !p1.contains("BroadcastNestedLoopJoin"),
+      "keeper lookup must be a key join:\n" + p1.take(800))
+    assert(p1.contains("partial_"),
+      "keeper min must partial-aggregate map-side:\n" + p1.take(600))
+  }
+
+  test("decontaminateSpans: 8-byte hash keys only, no cartesian") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val bench = docs.limit(5).select(col("text").as("btext"))
+    val p = plan(ext.Dedup.decontaminateSpans(docs, "doc_id", "text",
+      bench, "btext"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "bench probe must be an equi-join:\n" + p.take(800))
+    assert(p.contains("xxhash64"),
+      "tile/window keys must be hashed, never the text:\n" + p.take(600))
+  }
+
+  test("domain screen: one profile hash-agg with map-side partials, key join back") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), concat(lit("https://h"),
+        (col("doc_id") % 97).cast("string"), lit(".com/p")).as("url"),
+        (col("doc_id") % 1000).as("score_micro"),
+        (col("doc_id") % 7 === 0).as("flagged"))
+    val p = plan(ext.UrlFilter.annotateDomainScreen(docs, "doc_id", "url",
+      "score_micro", "flagged", 500000L, 500000L))
+    assert(p.contains("partial_"),
+      "profile sums must partial-aggregate map-side:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "block verdicts join back by host:\n" + p.take(800))
+  }
+
+  test("wordpiece encodeDocs: native greedy pass, types resolve via equi-joins") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val enc = ext.Wordpiece.encodeDocs(docs, "doc_id", "text",
+      Seq("s", "t", "a") ++ ('a' to 'z').map(c => s"##$c"))
+    val p = formatted(enc)
+    assert(p.contains("wordpiece_encode"),
+      "expected the native greedy segmenter:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "type stats re-join documents by word:\n" + p.take(800))
+  }
+
   test("bloom readEquals: the equality predicate pushes into the pruned scan") {
     val wh = new snapshot.Warehouse(spark,
       TempDirs.scratchDir("plan_bloom").toString)
