@@ -1671,6 +1671,25 @@ object SparkEntry {
         .crossJoin(graft.ext.Eval.binaryConfusion(scored, "score_micro", "y",
           500000L))
     }),
+    // Average precision of the same screen — the rare-positive-honest
+    // metric: step-wise PR area over descending distinct thresholds,
+    // micro-quantized per-threshold precision, exact long numerator
+    "x_quality_ap" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val sw = array(graft.ext.TextAnalysis.defaultStopwords.map(lit): _*)
+      val feats = Tables.load(s, d, "documents").select(col("doc_id"),
+        (col("lang") === "en").cast("double").as("y"),
+        (size(filter(toks, t => array_contains(sw, t))).cast("double") /
+          size(toks)).as("f_stop"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("f_ttr"),
+        (length(col("text")).cast("double") / (size(toks) * lit(10)))
+          .as("f_len"))
+      val fcols = Seq("f_stop", "f_ttr", "f_len")
+      val w = graft.ext.LogReg.train(feats, fcols, "y", iters = 8, lr = 1.0)
+      val scored = graft.ext.LogReg.predict(feats, fcols, w)
+        .select(col("score_micro"), col("y"))
+      graft.ext.Eval.averagePrecision(scored, "score_micro", "y")
+    }),
     // Reliability diagram of the same screen: per probability bin,
     // exact micro-sum mean prediction vs realized positive rate
     "x_quality_calib" -> ((s, d) => {
@@ -4656,6 +4675,7 @@ object SparkEntry {
     // exact float op order
     "x_quality_lr" -> lrOracleSql(8),
     "x_quality_eval" -> lrEvalOracleSql(8, 500000L),
+    "x_quality_ap" -> lrApOracleSql(8),
     "x_quality_calib" -> {
       val (ctes, sigF, wN) = lrCtes(8)
       "WITH " + ctes + ", " +
@@ -6260,6 +6280,32 @@ object SparkEntry {
       "(cm.prec + cm.rec) > 0.0 THEN (2.0 * cm.prec * cm.rec) / " +
       "(cm.prec + cm.rec) END AS f1, cm.acc " +
       "FROM ag CROSS JOIN cm"
+  }
+
+  /** Average-precision replay over the same LR-scored corpus: the
+    * ascending cumulative-before sums give TP = P − cbp and
+    * PP = T − cba per distinct threshold; precision quantizes with
+    * integer `//` (both engines truncate nonnegative operands) and the
+    * numerator sums exact longs. */
+  private def lrApOracleSql(iters: Int): String = {
+    val (ctes, sigF, wN) = lrCtes(iters)
+    "WITH " + ctes + ", " +
+      s"sc AS MATERIALIZED (SELECT CAST(FLOOR($sigF * 1e6) AS BIGINT) AS s, " +
+      s"CAST(y AS BIGINT) AS yp FROM feats CROSS JOIN $wN), " +
+      "cnt AS (SELECT s, CAST(SUM(yp) AS BIGINT) AS np, " +
+      "CAST(COUNT(*) - SUM(yp) AS BIGINT) AS nn FROM sc GROUP BY 1), " +
+      "tot AS (SELECT CAST(SUM(np) AS BIGINT) AS p, " +
+      "CAST(SUM(np + nn) AS BIGINT) AS t FROM cnt), " +
+      "wd AS (SELECT np, " +
+      "CAST(COALESCE(SUM(np) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED " +
+      "PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cbp, " +
+      "CAST(COALESCE(SUM(np + nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED " +
+      "PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cba FROM cnt), " +
+      "ag AS (SELECT CAST(SUM(np * (((tot.p - cbp) * 1000000) // " +
+      "(tot.t - cba))) AS BIGINT) AS num FROM wd CROSS JOIN tot) " +
+      "SELECT CASE WHEN tot.p > 0 THEN CAST(ag.num AS DOUBLE) / " +
+      "(CAST(tot.p AS DOUBLE) * 1e6) END AS ap, " +
+      "tot.p AS n_pos, tot.t - tot.p AS n_neg FROM ag CROSS JOIN tot"
   }
 
   /** Gopher keep vote over the RAW document text (no reflow), as a CTE

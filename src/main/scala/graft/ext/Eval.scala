@@ -135,4 +135,69 @@ object Eval {
           .as("f1"),
         col("acc"))
   }
+
+  /** Exact AVERAGE PRECISION (area under the step-wise PR curve — the
+    * sklearn `average_precision_score` formula AP = Σ_t ΔR(t)·P(t)
+    * over descending distinct thresholds; the metric that, unlike
+    * [[rocAuc]], stays honest when positives are rare — the usual
+    * situation for a quality screen over a web corpus). Ties need no
+    * convention: a distinct threshold groups its ties into one step.
+    *
+    * Arithmetic: predict positive iff score ≥ t, so at each distinct
+    * score TP = P − cum_np(below) and PP = N − cum_all(below) — both
+    * from the same ASCENDING bucketed prefix [[rocAuc]] uses (range
+    * buckets + broadcast offsets, never a single-partition window).
+    * Per-threshold precision quantizes as `TP·1e6 div PP` micro-units
+    * (exact longs: TP ≤ 2e9 keeps the product < 2e15), the numerator
+    * is the exact long Σ np·prec_micro, and AP = Σ / (P·1e6) is one
+    * final double division. 1 row (ap, n_pos, n_neg); `ap` NULL when
+    * there are no positives. */
+  def averagePrecision(df: DataFrame, scoreCol: String, labelCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    val spark = df.sparkSession
+    val cnt = df.select(col(scoreCol).cast("long").as("s"),
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("p"))
+      .groupBy(col("s"))
+      .agg(sum(col("p")).as("np"), (count(lit(1)) - sum(col("p"))).as("nn"))
+    val bounds = cnt.agg(min(col("s")), max(col("s")),
+      sum(col("np")), sum(col("np") + col("nn"))).head()
+    if (bounds.isNullAt(0)) {
+      return spark.range(1).select(lit(null).cast("double").as("ap"),
+        lit(0L).as("n_pos"), lit(0L).as("n_neg"))
+    }
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (pTot, nTot) = (bounds.getLong(2), bounds.getLong(3))
+    require(BigInt(hi) - BigInt(lo) < BigInt(Long.MaxValue),
+      s"score range [$lo, $hi] too wide for bucketed ranking")
+    val width = math.max(1L, (hi - lo) / buckets + 1)
+    val withB = cnt.withColumn("bucket",
+      expr(s"(s - ${lo}L) DIV ${width}L"))
+    val totals = withB.groupBy(col("bucket"))
+      .agg(sum(col("np") + col("nn")).as("ba"), sum(col("np")).as("bp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val offsets = totals.scanLeft((Long.MinValue, 0L, 0L)) {
+      case ((_, accA, accP), (b, ca, cp)) => (b, accA + ca, accP + cp)
+    }.sliding(2).map { case Array((_, offA, offP), (b, _, _)) =>
+      (b, offA, offP) }.toSeq
+    import spark.implicits._
+    val offDf = offsets.toDF("bucket", "offa", "offp")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB
+      .withColumn("wba",
+        coalesce(sum(col("np") + col("nn")).over(w), lit(0L)))
+      .withColumn("wbp", coalesce(sum(col("np")).over(w), lit(0L)))
+      .join(broadcast(offDf), "bucket")
+      .select(col("np"),
+        (lit(pTot) - col("offp") - col("wbp")).as("tp"),
+        (lit(nTot) - col("offa") - col("wba")).as("pp"))
+      .agg(sum(col("np") * expr("(tp * 1000000L) DIV pp")).as("num"))
+      .select(
+        when(lit(pTot) > 0L,
+          col("num").cast("double") / (lit(pTot).cast("double") * lit(1e6)))
+          .as("ap"),
+        lit(pTot).as("n_pos"), lit(nTot - pTot).as("n_neg"))
+  }
 }

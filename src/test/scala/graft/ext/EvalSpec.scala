@@ -112,4 +112,57 @@ class EvalSpec extends SparkTestBase {
     val emptyR = Eval.binaryConfusion(scored(), "score", "y", 0L).head()
     assert(emptyR.isNullAt(7))
   }
+
+  private def ap(df: DataFrame, buckets: Int = 1024): Option[Double] = {
+    val r = Eval.averagePrecision(df, "score", "y", buckets).head()
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  test("averagePrecision: hand-computed step-wise PR area with a tie step") {
+    // desc thresholds: t=3 TP=1 PP=1 (prec 1); t=2 TP=2 PP=3
+    // (prec_micro = 666666); t=1 adds no positives ->
+    // AP = (1e6 + 666666) / (2 * 1e6)
+    val df = scored((3L, 1L), (2L, 0L), (2L, 1L), (1L, 0L))
+    assert(ap(df).contains(1666666.0 / 2e6))
+  }
+
+  test("averagePrecision: perfect ranking is exactly 1.0, inverted is the prior-heavy floor") {
+    val perfect = scored((9L, 1L), (8L, 1L), (2L, 0L), (1L, 0L))
+    assert(ap(perfect).contains(1.0))
+    // inverted: positives at the bottom; t=2: TP=1 PP=3, t=1: TP=2 PP=4
+    // -> (333333 + 500000) / 2e6
+    val inverted = scored((9L, 0L), (8L, 0L), (2L, 1L), (1L, 1L))
+    assert(ap(inverted).contains(833333.0 / 2e6))
+  }
+
+  test("averagePrecision: no positives or empty input yields NULL with honest counts") {
+    val r = Eval.averagePrecision(scored((5L, 0L), (3L, 0L)), "score", "y").head()
+    assert(r.isNullAt(0) && r.getLong(1) == 0L && r.getLong(2) == 2L)
+    val e = Eval.averagePrecision(scored(), "score", "y").head()
+    assert(e.isNullAt(0) && e.getLong(1) == 0L && e.getLong(2) == 0L)
+  }
+
+  test("averagePrecision: bucket count never changes the result") {
+    val df = scored((0 until 200).map(i =>
+      ((i * 37 % 101).toLong, (i % 3 == 0).compare(false).toLong)): _*)
+    val reference = ap(df, buckets = 1)
+    assert(reference == ap(df, buckets = 7))
+    assert(reference == ap(df, buckets = 1024))
+  }
+
+  test("averagePrecision matches a brute-force replay of the formula") {
+    val rows = (0 until 300).map(i =>
+      ((i * 53 % 97).toLong, if (i % 4 == 0) 1L else 0L))
+    val got = ap(rows.toDF("score", "y")).get
+    // brute force: per distinct threshold desc, np * ((TP*1e6) / PP)
+    val byScore = rows.groupBy(_._1).map { case (s, g) =>
+      (s, g.count(_._2 == 1L).toLong, g.size.toLong)
+    }.toSeq.sortBy(-_._1)
+    val p = byScore.map(_._2).sum
+    var tp = 0L; var pp = 0L; var num = 0L
+    byScore.foreach { case (_, np, na) =>
+      tp += np; pp += na; num += np * (tp * 1000000L / pp)
+    }
+    assert(got == num.toDouble / (p.toDouble * 1e6))
+  }
 }
