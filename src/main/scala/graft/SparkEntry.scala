@@ -1132,6 +1132,22 @@ object SparkEntry {
       graft.ext.Dedup.tileDuplication(Tables.load(s, d, "documents"),
         "doc_id", "text", tileWords = 8)
         .orderBy(col("doc_id"))),
+    // Sentence-aware chunking: the corpus re-plants as sentences of
+    // 3..6 words (20 on 31-multiples — the oversized-sentence branch),
+    // then whole sentences greedy-pack under a 12-word budget
+    "x_chunk_sent" -> ((s, d) => {
+      val ws = split(trim(col("text")), "\\s+")
+      val slen = when(col("doc_id") % 31 === 0, lit(20))
+        .otherwise((col("doc_id") % 4 + 3).cast("int"))
+      val nS = floor((size(ws) + slen - 1).cast("double") / slen).cast("int")
+      val sents = transform(sequence(lit(1), nS), i =>
+        array_join(slice(ws, ((i - 1) * slen + 1).cast("int"), slen), " "))
+      val planted = Tables.load(s, d, "documents").select(col("doc_id"),
+        concat(array_join(sents, ". "), lit(".")).as("text"))
+      graft.ext.TextAnalysis.chunkBySentences(planted, "doc_id", "text",
+        maxWords = 12)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
     // Span-level decontamination: the benchmark is each 17th doc's own
     // words 4..19, so those docs' second tile (words 9..16, wholly
     // inside the quoted span) must strip while tile 0 and the tail
@@ -4475,6 +4491,38 @@ object SparkEntry {
       "trim(concat(COALESCE(k.kept, ''), ' ', " +
       "array_to_string(ws[(CAST(len(ws)//8 AS BIGINT)*8+1):len(ws)], ' '))) AS clean_text " +
       "FROM w LEFT JOIN k USING (doc_id) ORDER BY doc_id"),
+    // the same sentence planting, the same extraction regex, then the
+    // greedy fold replays as a recursive CTE advancing one sentence per
+    // step (chunk resets when the budget would overflow)
+    "x_chunk_sent" -> ("WITH RECURSIVE w AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+      "pl AS (SELECT doc_id, CASE WHEN doc_id % 31 = 0 THEN 20 " +
+      "ELSE CAST(doc_id % 4 + 3 AS INT) END AS slen, ws FROM w), " +
+      "snt AS (SELECT doc_id, array_to_string([array_to_string(" +
+      "ws[((i-1)*slen+1):((i-1)*slen+slen)], ' ') " +
+      "for i in range(1, CAST((len(ws) + slen - 1) // slen AS BIGINT) + 1)], " +
+      "'. ') || '.' AS text FROM pl), " +
+      "sx0 AS (SELECT doc_id, u.i AS i0, trim(u.s) AS sent FROM " +
+      "(SELECT doc_id, unnest([{'i': i, 's': l[i]} " +
+      "for i in range(1, len(l)+1)]) AS u FROM " +
+      "(SELECT doc_id, regexp_extract_all(text, " +
+      "'[^.!?]+(?:[.!?]+|$)') AS l FROM snt) t0) t1 " +
+      "WHERE len(trim(u.s)) > 0), " +
+      "sx AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id " +
+      "ORDER BY i0) AS BIGINT) AS rn, sent, " +
+      "CAST(len(regexp_split_to_array(sent, '\\s+')) AS BIGINT) AS sw " +
+      "FROM sx0), " +
+      "rec AS (SELECT doc_id, rn, CAST(0 AS BIGINT) AS ci, sw AS cw " +
+      "FROM sx WHERE rn = 1 " +
+      "UNION ALL SELECT s.doc_id, s.rn, " +
+      "CASE WHEN r.cw + s.sw > 12 THEN r.ci + 1 ELSE r.ci END, " +
+      "CASE WHEN r.cw + s.sw > 12 THEN s.sw ELSE r.cw + s.sw END " +
+      "FROM rec r JOIN sx s ON s.doc_id = r.doc_id AND s.rn = r.rn + 1) " +
+      "SELECT x.doc_id, r.ci AS chunk_idx, " +
+      "STRING_AGG(x.sent, ' ' ORDER BY x.rn) AS chunk, " +
+      "CAST(SUM(x.sw) AS BIGINT) AS n_chunk_words " +
+      "FROM sx x JOIN rec r ON x.doc_id = r.doc_id AND x.rn = r.rn " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"),
     // the same disjoint-tile fold, but the verdict set is the DISTINCT
     // overlapping 8-word windows of the planted benchmark slices (each
     // 17th doc's words 4..19) — semantic text equality, no hashes

@@ -189,6 +189,59 @@ object TextAnalysis {
         size(col("__ct")).cast("long").as("n_chunk_tokens"))
   }
 
+  /** Sentence-aware chunking — the RAG-prep form of [[chunk]]: fixed
+    * word windows cut sentences mid-clause, which embeds badly; this
+    * variant splits on sentence terminators (`[.!?]+`, a trailing
+    * terminator-less fragment counts as a sentence) and GREEDY-packs
+    * whole sentences into chunks of at most `maxWords` words — a chunk
+    * always takes at least one sentence, so an oversized sentence
+    * becomes its own (over-budget) chunk rather than being split or
+    * dropped. Output per chunk: (idCol, chunk_idx, chunk — sentences
+    * re-joined with single spaces, n_chunk_words). Documents with no
+    * sentences emit nothing.
+    *
+    * Scale shape: one regexp extraction + one linear per-row fold (the
+    * accumulator only appends — no per-element re-slicing of the
+    * source, the [[graft.ext.Repetition]] HOF lesson) + one
+    * posexplode; zero shuffles. */
+  def chunkBySentences(df: DataFrame, idCol: String, textCol: String,
+      maxWords: Int): DataFrame = {
+    require(maxWords > 0, s"maxWords=$maxWords must be positive")
+    val raw = regexp_extract_all(col(textCol),
+      lit("[^.!?]+(?:[.!?]+|$)"), lit(0))
+    val sents = filter(transform(raw, s => trim(s)), s => length(s) > 0)
+    val seed = struct(
+      typedLit(Seq.empty[(String, Long)]).as("done"),
+      lit("").as("curt"), lit(0L).as("curw"))
+    val folded = aggregate(
+      sents, seed,
+      (acc, s) => {
+        val w = size(split(s, "\\s+")).cast("long")
+        val done = acc.getField("done")
+        val curt = acc.getField("curt")
+        val curw = acc.getField("curw")
+        when(curw === 0L,
+          struct(done.as("done"), s.as("curt"), w.as("curw")))
+        .when(curw + w > maxWords,
+          struct(concat(done,
+            array(struct(curt.as("_1"), curw.as("_2")))).as("done"),
+            s.as("curt"), w.as("curw")))
+        .otherwise(
+          struct(done.as("done"),
+            concat(curt, lit(" "), s).as("curt"),
+            (curw + w).as("curw")))
+      },
+      acc => when(acc.getField("curw") > 0L,
+        concat(acc.getField("done"),
+          array(struct(acc.getField("curt").as("_1"),
+            acc.getField("curw").as("_2")))))
+        .otherwise(acc.getField("done")))
+    df.select(col(idCol), posexplode(folded).as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("__c._1").as("chunk"),
+        col("__c._2").as("n_chunk_words"))
+  }
+
   /** Containment pairs via the winnowing inverted index: fraction of a's
     * fingerprints found in b (and vice versa) for every pair sharing at
     * least one fingerprint. `containment` is directional:

@@ -621,4 +621,35 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[Long].head()
     assert(dup == 8L)
   }
+
+  test("chunkBySentences: greedy whole-sentence packing under the word budget") {
+    val df = Seq((1L, "a b c. d e. f g h i. j.")).toDF("id", "text")
+    val got = TextAnalysis.chunkBySentences(df, "id", "text", maxWords = 5)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk", "n_chunk_words")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, "a b c. d e.", 5L),     // 3 + 2 fits exactly
+      (1L, "f g h i. j.", 5L)))    // 4 would overflow chunk 0; 4 + 1 packs
+  }
+
+  test("chunkBySentences: oversized sentence owns its chunk; tail without terminator counts") {
+    val df = Seq(
+      (1L, "one two three four five six."),
+      (2L, "a b. c d")).toDF("id", "text")
+    val got = TextAnalysis.chunkBySentences(df, "id", "text", maxWords = 3)
+      .orderBy("id", "chunk_idx")
+      .select("id", "chunk", "n_chunk_words")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "one two three four five six.", 6L), // over budget, intact
+      (2L, "a b.", 2L), (2L, "c d", 2L)))
+  }
+
+  test("chunkBySentences: empty and punctuation-only docs emit nothing") {
+    val df = Seq((1L, ""), (2L, "!!!"), (3L, "ok.")).toDF("id", "text")
+    val got = TextAnalysis.chunkBySentences(df, "id", "text", maxWords = 5)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(3L))
+  }
 }
