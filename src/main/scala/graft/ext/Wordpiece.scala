@@ -73,7 +73,20 @@ object Wordpiece {
     * early if the corpus runs out of pairs. `minCount` is the standard
     * frequency cutoff: pairs below it never merge (without one, the
     * likelihood score degenerates to merging one-off symbol pairs first
-    * — any count-1 pair of unique symbols scores a perfect 1). */
+    * — any count-1 pair of unique symbols scores a perfect 1).
+    *
+    * Scale note: this is the sequential one-driver-round-per-merge
+    * loop. [[Bpe.trainBatched]]'s prefix-batching does NOT transfer:
+    * its soundness rests on a merge only LOWERING other pairs' raw
+    * counts, but merging (a,b) here also shrinks the unigram counts
+    * c(a), c(b), which RAISES the likelihood score of every remaining
+    * pair touching a or b — a candidate far below the barrier can jump
+    * the queue, so no accepted prefix is provably final. The
+    * large-merge-count route is a [[Bpe.trainLocal]]-style exact
+    * driver chain over the collapsed type table (one distributed pass,
+    * heap-backed rounds); at typical WordPiece vocab sizes trained
+    * from a type table the sequential distributed loop is already
+    * bounded by #merges small rounds. */
   def train(docs: DataFrame, textCol: String, merges: Int,
       minCount: Long = 1L): DataFrame = {
     require(merges > 0, s"merges=$merges must be positive")

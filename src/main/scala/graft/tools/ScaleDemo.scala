@@ -776,6 +776,30 @@ object ScaleDemo {
         "src", "dst", rounds1 = 4, rounds2 = 2)
         .agg(countDistinct(col("label"))).collect()(0).getLong(0)
     }
+    timed("chunk_sent") {
+      // one regexp extraction + one append-only fold + posexplode,
+      // zero shuffles — linear in corpus bytes
+      val ws = split(trim(col("text")), "\\s+")
+      val slen = (col("doc_id") % 4 + 3).cast("int")
+      val nS = floor((size(ws) + slen - 1).cast("double") / slen).cast("int")
+      val planted = corpus.select(col("doc_id"),
+        concat(array_join(transform(sequence(lit(1), nS), i =>
+          array_join(slice(ws, ((i - 1) * slen + 1).cast("int"), slen), " ")),
+          ". "), lit(".")).as("text"))
+      graft.ext.TextAnalysis.chunkBySentences(planted, "doc_id", "text",
+        maxWords = 12)
+        .agg(sum(col("n_chunk_words"))).collect()(0).getLong(0)
+    }
+    timed("average_precision") {
+      // corpus collapses to the distinct-score table (1000 scores here
+      // regardless of K); the prefix is bucketed, the rest is one agg
+      val scored = corpus.select(
+        (((col("doc_id") * 37) % 1000) * 1000).as("score_micro"),
+        (col("doc_id") % 3 === 0).cast("long").as("y"))
+      val r = graft.ext.Eval.averagePrecision(scored, "score_micro", "y")
+        .collect()(0)
+      r.getLong(1) + r.getLong(2)
+    }
     timed("kmv_overlap") {
       // the sketch path at the same scale: two bottom-256 reductions +
       // a 256-row merge — wall should stay ~flat vs corpus_overlap
