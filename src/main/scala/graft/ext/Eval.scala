@@ -200,4 +200,39 @@ object Eval {
           .as("ap"),
         lit(pTot).as("n_pos"), lit(nTot - pTot).as("n_neg"))
   }
+
+  /** ANN index scorecard: per-query recall@k of an approximate result
+    * set against the exact ground truth in the SAME metric —
+    * |approx ∩ exact| / |exact| per query. This is the number that
+    * justifies an index's nprobe/nlist/code-size dial settings: an
+    * IVF-PQ configuration nobody measured is a guess, and at 100 TB
+    * the measurement must itself be a bounded job — both inputs here
+    * are (n_queries × k)-row frames (the per-query top-k outputs of
+    * [[Similarity.bruteForceTopKL2]] and [[Ivf.topK]] /
+    * [[Pq.ivfAdcTopK]]), so the comparison is one AQE-planned join +
+    * one hash-aggregate over rows-not-corpus, regardless of corpus
+    * size. Queries the index returned nothing for still score (0
+    * hits over the truth count) — a silent-empty index must show as
+    * recall 0, not as a missing row.
+    *
+    * `recall_micro` is the exact integer quotient (hits·10⁶ div
+    * truth count — both ≤ k, so the double floor is exact) and
+    * `recall` the display double; the mean over queries is the
+    * headline recall@k. Output: (q, n_exact, n_hit, recall_micro,
+    * recall), one row per DISTINCT ground-truth query. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, qCol: String,
+      nCol: String): DataFrame = {
+    val a = approx.select(col(qCol).as("__q"), col(nCol).as("__n"),
+      lit(1L).as("__hit"))
+    exact.select(col(qCol).as("__q"), col(nCol).as("__n"))
+      .join(a, Seq("__q", "__n"), "left")
+      .groupBy(col("__q").as("q"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .select(col("q"), col("n_exact"), col("n_hit"),
+        floor(col("n_hit") * lit(1000000L) / col("n_exact")).cast("long")
+          .as("recall_micro"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+  }
 }

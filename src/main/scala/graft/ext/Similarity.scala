@@ -44,6 +44,30 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("cos"))
   }
 
+  /** Exact top-k SQUARED-L2 neighbors — the ground-truth side of an
+    * ANN recall measurement ([[Eval.recallAtK]]): [[Ivf.topK]] and
+    * [[Pq.ivfAdcTopK]] rank by squared L2, so their scorecard must be
+    * judged against the exact answer in the SAME metric (cosine truth
+    * would charge the index for the metric gap, not its pruning loss).
+    * Unlike [[bruteForceTopK]] the query row itself stays in the
+    * candidate set (dist 0, rank 1) — matching the index candidates,
+    * which never exclude self. Same scale shape: broadcast queries,
+    * one corpus scan, per-query top-k window. Output: qid, nid, rank,
+    * dist. */
+  def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      transform(col(vecCol), x => x.cast("double")).as("qv")))
+    val c = corpus.select(col(idCol).as("nid"),
+      transform(col(vecCol), x => x.cast("double")).as("nv"))
+    val scored = c.crossJoin(q)
+      .withColumn("dist", KMeans.sqDist(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("dist"))
+  }
+
   /** Hard-negative mining for contrastive training (the in-batch /
     * cross-corpus negatives step of dense-retriever and embedding-model
     * training): for each query, the `k` MOST similar corpus rows whose

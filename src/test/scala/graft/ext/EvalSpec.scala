@@ -150,6 +150,41 @@ class EvalSpec extends SparkTestBase {
     assert(reference == ap(df, buckets = 1024))
   }
 
+  test("recallAtK: per-query overlap, missing queries score zero") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 20L), (2L, 21L), (3L, 30L), (3L, 31L)).toDF("qid", "nid")
+    // q1: 2 of 4 hit; q2: both hit; q3: the index returned nothing
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L),
+      (2L, 21L), (2L, 20L)).toDF("qid", "nid")
+    val r = Eval.recallAtK(approx, exact, "qid", "nid")
+      .orderBy("q").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+      x.getLong(3))).toSeq ==
+      Seq((1L, 4L, 2L, 500000L), (2L, 2L, 2L, 1000000L),
+        (3L, 2L, 0L, 0L)))
+    assert(r.map(_.getDouble(4)).toSeq == Seq(0.5, 1.0, 0.0))
+  }
+
+  test("recallAtK: approx rows outside the truth set never score") {
+    val exact = Seq((1L, 10L)).toDF("qid", "nid")
+    val approx = Seq((1L, 77L), (1L, 78L), (9L, 10L)).toDF("qid", "nid")
+    val r = Eval.recallAtK(approx, exact, "qid", "nid").collect()
+    // qid 9 isn't a ground-truth query: no row for it, and q1 scores 0
+    assert(r.map(x => (x.getLong(0), x.getLong(2))).toSeq == Seq((1L, 0L)))
+  }
+
+  test("recallAtK on the real index pair: brute-force L2 vs itself is 1") {
+    val emb = graft.ext.Fixtures.plantedVectors(spark)
+    val ex = Similarity.bruteForceTopKL2(emb,
+      emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 5)
+    val r = Eval.recallAtK(ex, ex, "qid", "nid").collect()
+    assert(r.length == 3 && r.forall(_.getLong(3) == 1000000L))
+    // and self sits at rank 1 with distance 0
+    assert(ex.filter($"rank" === 1).collect()
+      .forall(x => x.getAs[Long]("qid") == x.getAs[Long]("nid") &&
+        x.getAs[Double]("dist") == 0.0))
+  }
+
   test("averagePrecision matches a brute-force replay of the formula") {
     val rows = (0 until 300).map(i =>
       ((i * 53 % 97).toLong, if (i % 4 == 0) 1L else 0L))
