@@ -2040,6 +2040,14 @@ object SparkEntry {
       graft.ext.KMeans.fit(Tables.load(s, d, "embeddings"),
         "vec_id", "embedding", k = 8, iters = 2)
         .orderBy(col("cid"), col("dim"))),
+    // Cluster-quality scorecard of exactly that training run: per-cluster
+    // exact inertia + simplified silhouette (second-nearest-centroid
+    // form, the O(n*k) one) — the oracle replays training, the final
+    // all-centroid distance ranking, and every micro-quantized term
+    "x_kmeans_quality" -> ((s, d) =>
+      graft.ext.KMeans.clusterQuality(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 2)
+        .orderBy(col("cid"))),
     // Cross-corpus embedding decontamination: the 20 lowest-id vectors
     // play the benchmark (exact-copy probes); their corpus originals
     // must drop via LSH-bucketed cross matching + exact rerank
@@ -5706,6 +5714,32 @@ object SparkEntry {
       "sz AS (SELECT cid, COUNT(*) AS n FROM a2 GROUP BY 1) " +
       "SELECT c2.cid, CAST(c2.dim AS BIGINT) AS dim, c2.c, sz.n " +
       "FROM c2 JOIN sz ON c2.cid = sz.cid ORDER BY 1, 2"),
+    // same training replay, then each point ranked against ALL final
+    // centroids: rn=1 is the own assignment (inertia term), rn=2 the
+    // second-nearest (silhouette b); sqrt'd Euclidean silhouettes
+    // floor-quantize to micro longs exactly as the engine does
+    "x_kmeans_quality" -> ("WITH " +
+      kmeansChain(defaultPtsSql, "_q") + kmeansFinalAssign("_q") +
+      "alld AS (SELECT p.vec_id, b.cid, " +
+      "list_sum(list_transform(range(1, len(p.v)+1), " +
+      "i -> (p.v[i]-b.cvec[i])*(p.v[i]-b.cvec[i]))) AS d " +
+      "FROM pts_q p CROSS JOIN b_q b), " +
+      "rk AS (SELECT vec_id, cid, d, ROW_NUMBER() OVER " +
+      "(PARTITION BY vec_id ORDER BY d, cid) AS rn FROM alld), " +
+      "pt AS (SELECT o.vec_id, o.cid, o.d AS down, " +
+      "sqrt(o.d) AS a, sqrt(s2.d) AS bb " +
+      "FROM rk o JOIN rk s2 ON o.vec_id = s2.vec_id AND s2.rn = 2 " +
+      "WHERE o.rn = 1), " +
+      "terms AS (SELECT cid, CAST(FLOOR(down * 1e6) AS BIGINT) AS im, " +
+      "CASE WHEN greatest(a, bb) > 0 THEN " +
+      "CAST(FLOOR((bb - a) / greatest(a, bb) * 1e6) AS BIGINT) " +
+      "ELSE 0 END AS sm FROM pt) " +
+      "SELECT cid, COUNT(*) AS n, " +
+      "CAST(SUM(im) AS BIGINT) AS inertia_micro, " +
+      "CAST(SUM(sm) AS BIGINT) AS sil_sum_micro, " +
+      "CAST(CAST(SUM(sm) AS BIGINT) AS DOUBLE) / " +
+      "(CAST(COUNT(*) AS DOUBLE) * 1e6) AS sil_mean " +
+      "FROM terms GROUP BY 1 ORDER BY 1"),
     // top-3 TF-IDF terms/doc: log-free score (cnt/len)*(n/df) — identical
     // integer operands -> identical doubles -> identical ranking
     "x_text_tfidf" -> ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +

@@ -129,6 +129,61 @@ object KMeans {
     Dedup.finishEager(out, eager, Seq(points))
   }
 
+  /** Cluster-quality scorecard for a training run: per final cluster,
+    * its size, EXACT inertia (micro-quantized sum of squared point-to-
+    * own-centroid distances — the k-selection elbow statistic), and the
+    * simplified silhouette (Hruschka '04: b = distance to the SECOND-
+    * nearest centroid instead of the O(n²) mean-to-other-cluster form —
+    * the only silhouette that is computable at corpus scale, O(n·k)).
+    * This is the measurement the clustering consumers ([[Dedup.semanticDedup]]'s
+    * cluster scoping, [[Ivf]]/[[Pq]] list balance, cluster-balanced
+    * sampling) were shipped without: a k nobody scored is a guess.
+    *
+    * Same training, same arithmetic as [[fit]] (md5 seeds, argmin ties
+    * to the lower cid), then ONE extra broadcast pass: each point's
+    * distances to all k FINAL centroids (the [[fit]] output book),
+    * sorted (d, cid) — element 1 is the own assignment, element 2 the
+    * second-nearest. Per point, silhouette s = (b−a)/max(a,b) over
+    * EUCLIDEAN (sqrt'd) distances, floor-quantized to micro units;
+    * per-cluster sums are exact longs, the mean a display double of
+    * identical operands on any engine. A point sitting exactly on two
+    * identical centroids (max(a,b) = 0) scores s = 0 — the documented
+    * convention, not a divide crash. Requires k ≥ 2 (no second
+    * centroid exists otherwise).
+    *
+    * Output: (cid, n, inertia_micro, sil_sum_micro, sil_mean),
+    * one row per surviving cluster. */
+  def clusterQuality(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 2, eager: Boolean = false): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2, got $k")
+    val (points, aFinal) = trainedAssignment(df, idCol, vecCol, k, iters)
+    val cFinal = update(aFinal)
+    val ds = array_sort(transform(col("cents"), c =>
+      struct(sqDist(col("v"), c.getField("cvec")).as("d"),
+        c.getField("cid").as("cid"))))
+    val perPoint = points.crossJoin(broadcast(packed(cFinal)))
+      .select(col("id"), ds.as("ds"))
+      .select(col("id"),
+        element_at(col("ds"), 1).getField("cid").as("cid"),
+        element_at(col("ds"), 1).getField("d").as("down"),
+        sqrt(element_at(col("ds"), 1).getField("d")).as("a"),
+        sqrt(element_at(col("ds"), 2).getField("d")).as("b"))
+      .select(col("cid"),
+        floor(col("down") * lit(1e6)).cast("long").as("im"),
+        when(greatest(col("a"), col("b")) > 0.0,
+          floor((col("b") - col("a")) / greatest(col("a"), col("b"))
+            * lit(1e6)).cast("long"))
+          .otherwise(0L).as("sm"))
+    val out = perPoint.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("im")).as("inertia_micro"),
+        sum(col("sm")).as("sil_sum_micro"))
+      .withColumn("sil_mean",
+        col("sil_sum_micro").cast("double") /
+          (col("n").cast("double") * lit(1e6)))
+    Dedup.finishEager(out, eager, Seq(points))
+  }
+
   // ----- grouped training: G independent k-means in ONE job DAG -----
 
   /** Per-group packed centroids: (g, cents) with cents sorted by cid —

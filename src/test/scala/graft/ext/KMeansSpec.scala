@@ -40,6 +40,75 @@ class KMeansSpec extends SparkTestBase {
     assert(a.toSet == b.toSet)
   }
 
+  test("clusterQuality: planted separation scores high, sums reconcile") {
+    val q = KMeans.clusterQuality(planted, "vec_id", "embedding",
+      k = 3, iters = 3).collect()
+    assert(q.length == 3)
+    assert(q.map(_.getAs[Long]("n")).sum == 120L)
+    // well-separated sigma-0.1 clusters at spacing 10: simplified
+    // silhouette must be near 1 everywhere
+    assert(q.forall(_.getAs[Double]("sil_mean") > 0.9))
+    // inertia per cluster ~ n * dims * sigma^2: far under 1.0 total
+    assert(q.forall(r => r.getAs[Long]("inertia_micro") <
+      r.getAs[Long]("n") * 1000000L))
+  }
+
+  test("clusterQuality matches a Scala replay of the arithmetic exactly") {
+    val q = KMeans.clusterQuality(planted, "vec_id", "embedding",
+      k = 3, iters = 2).collect()
+      .map(r => r.getAs[Long]("cid") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("inertia_micro"),
+          r.getAs[Long]("sil_sum_micro"))).toMap
+    // replay: final centroids from fit (same training), then per point
+    // the same fold-order distance, sqrt, and micro floors
+    val cents = KMeans.fit(planted, "vec_id", "embedding", k = 3, iters = 2)
+      .collect().groupBy(_.getAs[Long]("cid"))
+      .map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getAs[Long]("dim")).map(_.getAs[Double]("c"))
+      }.toSeq.sortBy(_._1)
+    val pts = planted.as[(Long, Seq[Float])].collect()
+    val acc = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    pts.foreach { case (_, v) =>
+      val ds = cents.map { case (cid, cv) =>
+        var d = 0.0
+        var i = 0
+        while (i < cv.length) {
+          val x = v(i).toDouble - cv(i); d += x * x; i += 1
+        }
+        (d, cid)
+      }.sortBy(identity)
+      val (down, cid) = ds.head
+      val a = math.sqrt(down); val b = math.sqrt(ds(1)._1)
+      val im = math.floor(down * 1e6).toLong
+      val sm = if (math.max(a, b) > 0.0)
+        math.floor((b - a) / math.max(a, b) * 1e6).toLong else 0L
+      val (n0, i0, s0) = acc.getOrElse(cid, (0L, 0L, 0L))
+      acc(cid) = (n0 + 1L, i0 + im, s0 + sm)
+    }
+    assert(q == acc.toMap)
+  }
+
+  test("clusterQuality: coincident centroids score silhouette 0, k<2 rejected") {
+    // every point identical -> both surviving... all points land in one
+    // cluster; the empty seeds drop out, leaving ONE cluster and no
+    // second centroid -> that's the k<2 runtime shape, so plant TWO
+    // distinct duplicated points: centroids coincide with both points,
+    // a = 0, b > 0 -> s floors to (b-0)/b = 1e6? No: a=0 exactly, the
+    // point sits ON its centroid; s = (b-a)/max = 1 -> 1e6 micro.
+    val dup = (0 until 8).map(i =>
+      (i.toLong, Seq.fill(4)(if (i % 2 == 0) 0.0f else 8.0f)))
+      .toDF("vec_id", "embedding")
+    val q = KMeans.clusterQuality(dup, "vec_id", "embedding",
+      k = 2, iters = 2).collect()
+    assert(q.map(_.getAs[Long]("n")).sum == 8L)
+    assert(q.forall(_.getAs[Long]("inertia_micro") == 0L))
+    assert(q.forall(_.getAs[Long]("sil_sum_micro") ==
+      q.head.getAs[Long]("n") * 1000000L))
+    intercept[IllegalArgumentException] {
+      KMeans.clusterQuality(dup, "vec_id", "embedding", k = 1)
+    }
+  }
+
   test("eager mode leaves no cache entries behind") {
     spark.catalog.clearCache()
     val out = KMeans.fit(planted, "vec_id", "embedding", k = 3, iters = 2,
