@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.ext.{LanguageId, LuhnMask, MinHashSignature, PaddedNgrams,
   RepetitionStats, Shingles, SignLshSignatures, SimHash64, TextAnalysis,
-  TextNormalize, WinnowFingerprints}
+  TextNormalize, WinnowFingerprints, WordEntropyStats}
 
 /** Session extensions exposing the engine's native expressions to SQL:
   *
@@ -114,6 +114,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           PaddedNgrams(c, intArg(n, "n"), intArg(p, "pads"))
         case _ => throw new IllegalArgumentException(
           "padded_ngrams(text[, n[, pads]])")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("word_entropy"),
+      new ExpressionInfo(classOf[WordEntropyStats].getName, "word_entropy"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => WordEntropyStats(c)
+        case _ => throw new IllegalArgumentException("word_entropy(text)")
       }))
 
     ext.injectFunction((

@@ -2957,6 +2957,17 @@ object SparkEntry {
     "x_text_quality" -> ((s, d) =>
       graft.ext.TextAnalysis.quality(Tables.load(s, d, "documents"),
         "text", "doc_id").orderBy(col("doc_id"))),
+    // Shannon word entropy (RedPajama-v2 unigram_entropy): the diversity
+    // signal — one native zero-shuffle pass, per-type terms floor-
+    // quantized to nano longs BEFORE the (order-free) sum
+    "x_text_entropy" -> ((s, d) => Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        graft.ext.TextAnalysis.wordEntropy(col("text")).as("e"))
+      .select(col("doc_id"), col("e.n_tokens").as("n_tokens"),
+        col("e.n_types").as("n_types"),
+        col("e.entropy_nano").as("entropy_nano"),
+        (col("e.entropy_nano").cast("double") / lit(1e9)).as("entropy"))
+      .orderBy(col("doc_id"))),
     "x_text_langid" -> ((s, d) => Tables.load(s, d, "documents")
       .select(graft.ext.TextAnalysis.languageId(col("text")).as("lang_pred"))
       .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
@@ -6058,6 +6069,20 @@ object SparkEntry {
       "x -> x IN ('the','a','an','of','and','to','in'))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio, " +
       "ROUND(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio " +
       "FROM documents ORDER BY doc_id"),
+    // relational replay of the native one-pass entropy: identical
+    // per-type floor(c/n * ln(n/c) * 1e9) terms, order-free long sum
+    "x_text_entropy" -> ("WITH tok AS (SELECT doc_id, " +
+      "unnest(string_split(text, ' ')) AS w FROM documents), " +
+      "tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2), " +
+      "nn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, " +
+      "COUNT(*) AS types FROM tc GROUP BY 1), " +
+      "tm AS (SELECT tc.doc_id, CAST(FLOOR(CAST(tc.c AS DOUBLE) / nn.n * " +
+      "ln(CAST(nn.n AS DOUBLE) / tc.c) * 1e9) AS BIGINT) AS term " +
+      "FROM tc JOIN nn USING (doc_id)) " +
+      "SELECT nn.doc_id, nn.n AS n_tokens, CAST(nn.types AS BIGINT) AS n_types, " +
+      "CAST(SUM(tm.term) AS BIGINT) AS entropy_nano, " +
+      "CAST(CAST(SUM(tm.term) AS BIGINT) AS DOUBLE) / 1e9 AS entropy " +
+      "FROM nn JOIN tm USING (doc_id) GROUP BY 1, 2, 3 ORDER BY 1"),
     "x_mm_meta" -> ("SELECT doc_id AS media_id, 'text/plain' AS format, " +
       "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, lang AS tag " +
       "FROM documents ORDER BY media_id"),

@@ -67,6 +67,11 @@ object TextAnalysis {
     * expression (see LanguageId) — no shuffle, no UDF. */
   def languageId(text: Column): Column = LanguageId(text, langProfiles)
 
+  /** Per-document Shannon word entropy — the diversity quality signal
+    * (RedPajama-v2's unigram_entropy): see [[WordEntropyStats]] for the
+    * exact-integer contract. struct(n_tokens, n_types, entropy_nano). */
+  def wordEntropy(text: Column): Column = WordEntropyStats(text)
+
   /** Within-document repetition ratio: fraction of word n-grams that are
     * repeats of an earlier n-gram (1 - distinct/total). The standard
     * boilerplate/degenerate-text quality signal — high values flag looped

@@ -158,3 +158,60 @@ object WinnowFingerprints {
     org.apache.spark.sql.graftbridge.Bridge.column(
       WinnowFingerprints(org.apache.spark.sql.graftbridge.Bridge.expression(c), k, w))
 }
+
+/** Per-document Shannon word entropy (the RedPajama-v2
+  * `unigram_entropy` quality signal: low entropy = keyword-stuffed or
+  * template text, the diversity axis the length/stopword/repetition
+  * screens don't measure). One pass, one count map, no shuffle —
+  * H = Σ_types (c/n)·ln(n/c), each type's term floor-quantized to NANO
+  * units BEFORE summation, so the long sum is order-independent and a
+  * SQL engine replaying the relational formulation (explode → count →
+  * identical per-term floor) lands on the identical integer.
+  * Tokenization is the corpus-wide `split(text, " ", -1)` contract
+  * (empty text = one empty token → entropy 0); NULL text behaves as
+  * empty. Output: struct(n_tokens, n_types, entropy_nano). */
+case class WordEntropyStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_types", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("entropy_nano", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_entropy requires string, got $other")
+  }
+
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val toks = child.eval(input) match {
+      case null => Array("")
+      case s => TextKernel.tokens(s.asInstanceOf[UTF8String])
+    }
+    val counts = new java.util.HashMap[String, Long]()
+    toks.foreach(t => counts.merge(t, 1L, (a, b) => a + b))
+    val n = toks.length.toDouble
+    var nano = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      nano += math.floor(c / n * math.log(n / c) * 1e9).toLong
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      toks.length.toLong, counts.size.toLong, nano)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordEntropyStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_entropy"
+}
+
+object WordEntropyStats {
+  def apply(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      WordEntropyStats(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+}

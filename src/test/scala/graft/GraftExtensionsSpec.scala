@@ -86,6 +86,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getString(1) == "pay [PAN]")
   }
 
+  test("word_entropy from SQL") {
+    val s = spark.sql(
+      "SELECT word_entropy('a b a b').entropy_nano AS en").collect()(0)
+    assert(s.getLong(0) ==
+      2 * math.floor(0.5 * math.log(2.0) * 1e9).toLong)
+  }
+
   test("repetition_stats / padded_ngrams from SQL") {
     val r = spark.sql(
       """SELECT repetition_stats('a b a b a b').top_2gram_char_frac AS t2,

@@ -47,6 +47,38 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getDouble(5) == 0.0)
   }
 
+  test("wordEntropy: hand-computed nano terms, degenerate and empty text") {
+    val df = Seq(
+      (1L, "a b a b"),        // two types at p=1/2: H = ln 2
+      (2L, "x x x x"),        // one type: H = 0
+      (3L, "p q r s"),        // four types at p=1/4: H = ln 4
+      (4L, "")                // one empty token: H = 0
+    ).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+        TextAnalysis.wordEntropy(col("text")).as("e"))
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getStruct(1).getLong(0),
+        x.getStruct(1).getLong(1), x.getStruct(1).getLong(2)))
+    def term(c: Long, n: Long): Long =
+      math.floor(c.toDouble / n * math.log(n.toDouble / c) * 1e9).toLong
+    assert(r(0) == (1L, 4L, 2L, 2 * term(2, 4)))
+    assert(r(1) == (2L, 4L, 1L, 0L))
+    assert(r(2) == (3L, 4L, 4L, 4 * term(1, 4)))
+    assert(r(3) == (4L, 1L, 1L, 0L))
+    // and the quantized values sit where the math says: ln 2, ln 4
+    assert(math.abs(r(0)._4 / 1e9 - math.log(2)) < 1e-8)
+    assert(math.abs(r(2)._4 / 1e9 - math.log(4)) < 1e-8)
+    // repeated text scores strictly below diverse text of the same length
+    assert(r(1)._4 < r(0)._4 && r(0)._4 < r(2)._4)
+  }
+
+  test("wordEntropy: null text behaves as empty") {
+    val r = Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(TextAnalysis.wordEntropy(col("text")).as("e"))
+      .collect()(0).getStruct(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (1L, 1L, 0L))
+  }
+
   test("winnowing: shared runs guarantee shared fingerprints; containment detected") {
     val rnd = new scala.util.Random(5)
     val vocab = Vector("red", "blue", "green", "oak", "elm", "fir", "sun",
