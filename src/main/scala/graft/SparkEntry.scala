@@ -1664,6 +1664,25 @@ object SparkEntry {
           (col("score_micro") >= 500000L).cast("long").as("keep"))
         .orderBy(col("doc_id"))
     }),
+    // fastText-style CONTENT classifier: the same replayable LR trainer
+    // over per-doc hashed-bigram features (md5 signed buckets, bigram-
+    // count-normalized) instead of 3 shape features — fixed width B
+    // however large the corpus vocabulary, one native bigram pass + one
+    // hash-agg to featurize. Oracle replays the hash draw, all 4 GD
+    // steps over 8 features, and the sigmoid scoring
+    "x_quality_hashlr" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val fcols = (0 until 8).map(b => s"f$b")
+      val feats = graft.ext.FeatureHash.textBigramFeatures(
+        docs, "doc_id", "text", buckets = 8)
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("double").as("y")), "doc_id")
+      val w = graft.ext.LogReg.train(feats, fcols, "y", iters = 4, lr = 1.0)
+      graft.ext.LogReg.predict(feats, fcols, w)
+        .select(col("doc_id"), col("score_micro"),
+          (col("score_micro") >= 500000L).cast("long").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
     // Classifier evaluation over the SAME trained screen: exact
     // Mann-Whitney AUC (distributed bucketed rank prefix — no global
     // window) + threshold confusion rates, one measurement row. The
@@ -4758,6 +4777,9 @@ object SparkEntry {
     // 8 unrolled GD steps then the final sigmoid, all in the operator's
     // exact float op order
     "x_quality_lr" -> lrOracleSql(8),
+    // hashed-bigram content classifier: md5 signed-bucket features
+    // (normalized), 4 GD steps over 8 features, sigmoid scoring
+    "x_quality_hashlr" -> hashLrOracleSql(4, 8),
     "x_quality_eval" -> lrEvalOracleSql(8, 500000L),
     "x_quality_ap" -> lrApOracleSql(8),
     "x_quality_calib" -> {
@@ -6361,6 +6383,58 @@ object SparkEntry {
       "p.sxy / (1e6 * nn.n) - (ma.sx / (1e6 * nn.n)) * (mb.sx / (1e6 * nn.n)) AS cov " +
       "FROM p CROSS JOIN nn JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j " +
       "ORDER BY 1, 2"
+
+  /** DuckDB replay of the hashed-bigram LR screen (x_quality_hashlr):
+    * the md5 signed-bucket feature draw (same '0x'-cast replay as
+    * x_feature_hash, normalized by bigram count), then [[lrCtes]]'s GD
+    * chain shape generalized to the B hashed features. */
+  private def hashLrOracleSql(iters: Int, buckets: Int): String = {
+    val fs = (0 until buckets).map(b => s"f$b")
+    def z(pfx: String) = fs.zipWithIndex.map { case (f, j) =>
+      s" + $pfx.w${j + 1} * $f"
+    }.mkString(s"${pfx}.w0", "", "")
+    def sig(pfx: String) =
+      s"1.0::DOUBLE / (1.0::DOUBLE + EXP(-(${z(pfx)})))"
+    val fAggs = (0 until buckets).map(b =>
+      s"CAST(CAST(COALESCE(SUM(CASE WHEN bucket = $b THEN sign END), 0) " +
+        s"AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS f$b")
+      .mkString(", ")
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    parts += "bg AS (SELECT doc_id, unnest(pw[1:len(pw)-1]) AS u, " +
+      "unnest(pw[2:len(pw)]) AS v FROM (SELECT doc_id, " +
+      "['<s>'] || string_split(text, ' ') AS pw FROM documents))"
+    parts += "hb AS (SELECT doc_id, " +
+      s"CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % $buckets AS bucket, " +
+      "CAST('0x' || substr(md5(t), 9, 1) AS BIGINT) % 2 * 2 - 1 AS sign " +
+      "FROM (SELECT doc_id, 'g=' || u || ' ' || v AS t FROM bg))"
+    parts += "fv AS MATERIALIZED (SELECT doc_id, " + fAggs +
+      " FROM hb GROUP BY 1)"
+    parts += "feats AS MATERIALIZED (SELECT fv.*, " +
+      "CAST(d.lang = 'en' AS INT)::DOUBLE AS y " +
+      "FROM fv JOIN documents d USING (doc_id))"
+    parts += "nn AS (SELECT COUNT(*) AS n FROM feats)"
+    parts += ("w0 AS (SELECT " +
+      (0 to fs.size).map(j => s"0.0::DOUBLE AS w$j").mkString(", ") + ")")
+    for (k <- 1 to iters) {
+      val p = s"w${k - 1}"
+      val gterms = ("1.0::DOUBLE" +: fs).zipWithIndex.map { case (f, j) =>
+        s"CAST(SUM(CAST(FLOOR((s - y) * $f * 1e9) AS BIGINT)) AS BIGINT) AS g$j"
+      }.mkString(", ")
+      parts += s"g$k AS MATERIALIZED (SELECT $gterms FROM " +
+        s"(SELECT y, ${fs.mkString(", ")}, ${sig(p)} AS s " +
+        s"FROM feats CROSS JOIN $p))"
+      val upd = (0 to fs.size).map(j =>
+        s"$p.w$j - 1.0::DOUBLE * (CAST(g$j AS DOUBLE) / 1e9 / n) AS w$j")
+        .mkString(", ")
+      parts += s"w$k AS MATERIALIZED (SELECT $upd FROM g$k " +
+        s"CROSS JOIN $p CROSS JOIN nn)"
+    }
+    "WITH " + parts.mkString(", ") +
+      s" SELECT doc_id, CAST(FLOOR(${sig(s"w$iters")} * 1e6) AS BIGINT) " +
+      "AS score_micro, CAST(CASE WHEN " +
+      s"FLOOR(${sig(s"w$iters")} * 1e6) >= 500000 THEN 1 ELSE 0 END " +
+      s"AS BIGINT) AS keep FROM feats CROSS JOIN w$iters ORDER BY doc_id"
+  }
 
   private def lrOracleSql(iters: Int): String = {
     val (ctes, sigF, wN) = lrCtes(iters)

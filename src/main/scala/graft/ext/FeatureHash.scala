@@ -45,6 +45,38 @@ object FeatureHash {
       .select(col("p.bucket").as("bucket"), col("p.sign").as("sign"))
   }
 
+  /** Per-DOCUMENT dense hashed text features — the fastText-style
+    * featurizer (Joulin et al. '16): every padded word bigram hashes to
+    * a signed bucket (same md5 draw as [[hashTokens]]), and a document's
+    * feature vector is the per-bucket signed count NORMALIZED by its
+    * bigram count (bounding features to [−1, 1] keeps full-batch GD
+    * conditioned regardless of document length). This is the CONTENT
+    * feature map the quality-classifier family was missing: the
+    * [[LogReg]] screen trains on 3 shape features (stopword/TTR/length);
+    * hashed bigrams let the same replayable trainer learn from what the
+    * text actually says, with a fixed width B however large the corpus
+    * vocabulary. One native bigram pass + one explode + one map-side-
+    * combinable hash-agg; output is |docs| × (id, f0..f{B−1}), every
+    * document present (the `<s>` pad guarantees ≥ 1 bigram).
+    * Sums are exact longs; each feature is one long/long double
+    * division — engine-replayable like everything upstream. */
+  def textBigramFeatures(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    val h = md5(concat(lit("g="), col("g.g1"), lit(" "), col("g.g2")))
+    val ex = df
+      .select(col(idCol), explode(PaddedNgrams(col(textCol), 2, 1)).as("g"))
+      .select(col(idCol),
+        (conv(substring(h, 1, 8), 16, 10).cast("long") % buckets)
+          .as("bucket"),
+        (conv(substring(h, 9, 1), 16, 10).cast("long") % 2 * 2 - 1)
+          .as("sign"))
+    val aggs = (0 until buckets).map(b =>
+      (coalesce(sum(when(col("bucket") === b, col("sign"))), lit(0L))
+        .cast("double") / count(lit(1)).cast("double")).as(s"f$b"))
+    ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Aggregated hashed profile of the whole frame: per bucket, the
     * signed token sum (the bucket's coordinate in the hashed feature
     * vector) and the unsigned token count. Missing buckets are absent
