@@ -808,6 +808,34 @@ object ScaleDemo {
         corpus.filter(col("doc_id") % 2 === 1), "text", n = 3, k = 256)
         .collect()(0).getAs[Long]("s_size")
     }
+    timed("text_entropy") {
+      // native one-pass: zero shuffle, wall must track corpus bytes
+      corpus.select(graft.ext.TextAnalysis.wordEntropy(col("text")).as("e"))
+        .agg(sum(col("e.entropy_nano"))).collect()(0).getLong(0)
+    }
+    timed("hash_features") {
+      // featurize only (training is a fixed-iteration constant measured
+      // by quality_lr): one bigram pass + one 8-bucket pivot hash-agg
+      graft.ext.FeatureHash.textBigramFeatures(
+        corpus, "doc_id", "text", buckets = 8).count()
+    }
+    timedVec("cluster_quality") {
+      // training shape identical to kmeans; the scorecard adds ONE more
+      // broadcast argmin pass — wall must stay a small multiple of kmeans
+      graft.ext.KMeans.clusterQuality(embK, "vec_id", "embedding",
+        k = 8, iters = 2).count()
+    }
+    timedVec("ann_recall") {
+      // both sides of the scorecard at Kx: approx = pruned ADC scan,
+      // exact = one broadcast corpus scan; the overlap join is 40 rows
+      val qids = Seq(0L, 1L, 2L, 3L)
+      val approx = graft.ext.Pq.ivfAdcTopK(embK, "vec_id", "embedding",
+        queryIds = qids, k = 10)
+      val exact = graft.ext.Similarity.bruteForceTopKL2(embK,
+        embK.filter(col("vec_id").isin(qids: _*)), "vec_id", "embedding",
+        k = 10)
+      graft.ext.Eval.recallAtK(approx, exact, "qid", "nid").count()
+    }
     spark.stop()
   }
 }

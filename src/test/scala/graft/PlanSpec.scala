@@ -543,6 +543,44 @@ class PlanSpec extends SparkTestBase {
       "type stats re-join documents by word:\n" + p.take(800))
   }
 
+  test("word entropy adds zero shuffles: one native per-row pass") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val p = plan(docs.select(col("doc_id"),
+      ext.TextAnalysis.wordEntropy(col("text")).as("e")))
+    assert(!p.contains("Exchange"),
+      "the entropy pass must add no shuffle:\n" + p.take(600))
+  }
+
+  test("textBigramFeatures: one doc-keyed hash-agg with map-side partials") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val p = plan(ext.FeatureHash.textBigramFeatures(
+      docs, "doc_id", "text", buckets = 8))
+    assert(p.contains("partial_"),
+      "bucket pivot must combine map-side:\n" + p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "featurization is explode + one hash-agg, never a join:\n" + p.take(800))
+  }
+
+  test("clusterQuality: the scorecard pass broadcasts the centroid book") {
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val p = plan(ext.KMeans.clusterQuality(emb, "vec_id", "embedding",
+      k = 8, iters = 2))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "per-point distance pass must broadcast the packed book:\n" +
+        p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-side shuffle join in the scorecard:\n" + p.take(800))
+  }
+
+  test("recallAtK: rows-not-corpus — the overlap join is AQE-planned") {
+    val a = spark.range(40).select((col("id") / 10).cast("long").as("qid"),
+      col("id").as("nid"))
+    val p = plan(ext.Eval.recallAtK(a, a, "qid", "nid"))
+    assert(!p.contains("CartesianProduct"),
+      "the scorecard must equi-join on (q, n):\n" + p.take(600))
+  }
+
   test("bloom readEquals: the equality predicate pushes into the pruned scan") {
     val wh = new snapshot.Warehouse(spark,
       TempDirs.scratchDir("plan_bloom").toString)
