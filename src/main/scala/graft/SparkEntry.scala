@@ -934,6 +934,28 @@ object SparkEntry {
         Unique(Seq("o_orderkey")),
         Ref("o_custkey", Tables.load(s, d, "customer"), "c_custkey")))
     }),
+    // Embedding-validity screen: the VECTOR leg of the validation pass
+    // (null / truncated / NaN+Inf / all-zero / norm-out-of-band vectors
+    // planted at vec_id+900000; checks are independent — the zero
+    // vector counts for zero_vec AND norm_out). One conditional-sum scan
+    "x_vector_checks" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val bad = emb.filter(col("vec_id") < 6)
+        .select((col("vec_id") + 900000L).as("vec_id"),
+          when(col("vec_id") === 0, lit(null).cast("array<double>"))
+            .when(col("vec_id") === 1, slice(col("v"), 1, 3))
+            .when(col("vec_id") === 2,
+              concat(array(lit(Double.NaN)), slice(col("v"), 2, 63)))
+            .when(col("vec_id") === 3,
+              concat(array(lit(Double.PositiveInfinity)),
+                slice(col("v"), 2, 63)))
+            .when(col("vec_id") === 4, transform(col("v"), _ => lit(0.0)))
+            .otherwise(transform(col("v"), x => x * lit(10000.0)))
+            .as("v"))
+      graft.ext.Expect.vectorReport(emb.unionByName(bad), "v",
+        dim = 64, normLo = 0.1, normHi = 100.0).orderBy(col("ord"))
+    }),
     // Training-mixture draw: 2:1:0.5 weighting over three sources,
     // quotas floor(w*24) = 12/6/3 (power-of-two weights -> exact IEEE),
     // same md5 order as x_quota
@@ -5453,6 +5475,41 @@ object SparkEntry {
       "(SELECT CAST(COUNT(*) AS BIGINT) FROM dirty WHERE o_custkey IS NOT NULL " +
       "AND o_custkey NOT IN (SELECT c_custkey FROM customer))" +
       ") t ORDER BY ord"),
+    // vector screen: planted defects replayed with list algebra; norm
+    // via the shared sqrt(list_sum(x*x)) shape; NaN/Inf via isnan/isinf
+    "x_vector_checks" -> ("WITH pts AS (SELECT vec_id, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      "bad AS (SELECT vec_id + 900000 AS vec_id, CASE " +
+      "WHEN vec_id = 0 THEN NULL " +
+      "WHEN vec_id = 1 THEN v[1:3] " +
+      "WHEN vec_id = 2 THEN ['NaN'::DOUBLE] || v[2:64] " +
+      "WHEN vec_id = 3 THEN ['Infinity'::DOUBLE] || v[2:64] " +
+      "WHEN vec_id = 4 THEN list_transform(v, x -> 0.0::DOUBLE) " +
+      "ELSE list_transform(v, x -> x * 10000.0::DOUBLE) END AS v " +
+      "FROM pts WHERE vec_id < 6), " +
+      "dirty AS (SELECT * FROM pts UNION ALL SELECT * FROM bad), " +
+      "fl AS (SELECT (v IS NULL) AS null_vec, " +
+      "(v IS NOT NULL AND len(v) <> 64) AS wrong_dim, " +
+      "(v IS NOT NULL AND len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0) AS non_finite, " +
+      "(v IS NOT NULL AND len(v) > 0 AND " +
+      "len(list_filter(v, x -> x <> 0.0::DOUBLE)) = 0) AS zero_vec, " +
+      "(v IS NOT NULL AND len(v) = 64 AND " +
+      "len(list_filter(v, x -> isnan(x) OR isinf(x))) = 0 AND " +
+      "(sqrt(list_sum(list_transform(v, x -> x*x))) < 0.1::DOUBLE OR " +
+      "sqrt(list_sum(list_transform(v, x -> x*x))) > 100.0::DOUBLE)) AS norm_out " +
+      "FROM dirty), " +
+      "agg AS (SELECT " +
+      "CAST(SUM(CASE WHEN null_vec THEN 1 ELSE 0 END) AS BIGINT) AS a0, " +
+      "CAST(SUM(CASE WHEN wrong_dim THEN 1 ELSE 0 END) AS BIGINT) AS a1, " +
+      "CAST(SUM(CASE WHEN non_finite THEN 1 ELSE 0 END) AS BIGINT) AS a2, " +
+      "CAST(SUM(CASE WHEN zero_vec THEN 1 ELSE 0 END) AS BIGINT) AS a3, " +
+      "CAST(SUM(CASE WHEN norm_out THEN 1 ELSE 0 END) AS BIGINT) AS a4 FROM fl) " +
+      "SELECT * FROM (" +
+      "SELECT CAST(0 AS BIGINT) AS ord, 'vector:null_vec' AS rule, a0 AS violations FROM agg " +
+      "UNION ALL SELECT 1, 'vector:wrong_dim', a1 FROM agg " +
+      "UNION ALL SELECT 2, 'vector:non_finite', a2 FROM agg " +
+      "UNION ALL SELECT 3, 'vector:zero_vec', a3 FROM agg " +
+      "UNION ALL SELECT 4, 'vector:norm_out', a4 FROM agg) t ORDER BY ord"),
     // same md5 order, weight-allocated quotas
     "x_mixture" -> ("WITH r AS (SELECT doc_id, source, " +
       "ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank " +

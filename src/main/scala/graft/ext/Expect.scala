@@ -90,4 +90,66 @@ object Expect {
     (scalarReport.toSeq ++ grouped).reduce(_ unionByName _)
       .orderBy(col("ord"))
   }
+
+  // ---------------- embedding-vector expectations ----------------
+
+  /** Per-row validity flags for an embedding column — the vector leg of
+    * the validation pass (the scalar [[report]] checks can't see inside
+    * an array): `null_vec`, `wrong_dim`, `non_finite` (any NaN/±Inf
+    * element), `zero_vec` (every element exactly 0 — a failed upstream
+    * encoder's signature), `norm_out` (L2 norm outside [normLo, normHi],
+    * judged only on non-null right-dimension finite vectors so a
+    * truncated or NaN vector is reported once for its own defect, not
+    * again for the norm its garbage implies), and the conjunction
+    * `vec_ok`. Checks are independent — a zero vector with normLo > 0
+    * flags both `zero_vec` and `norm_out`. All per-row HOF arithmetic,
+    * no shuffle; norm bounds are double comparisons, so pick thresholds
+    * away from plausible norm values (the usual screen is orders-of-
+    * magnitude wide). */
+  def annotateVectorChecks(df: DataFrame, vecCol: String, dim: Int,
+      normLo: Double, normHi: Double): DataFrame = {
+    require(dim > 0 && normLo >= 0.0 && normHi > normLo,
+      s"dim=$dim normLo=$normLo normHi=$normHi")
+    val v = col(vecCol)
+    val inf = lit(Double.PositiveInfinity)
+    val nonFinite = exists(v, x =>
+      isnan(x.cast("double")) || abs(x.cast("double")) === inf)
+    val nrm = sqrt(aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val eligible = v.isNotNull && size(v) === dim && !nonFinite
+    df.withColumn("null_vec", v.isNull)
+      .withColumn("wrong_dim", v.isNotNull && size(v) =!= dim)
+      .withColumn("non_finite", v.isNotNull && nonFinite)
+      .withColumn("zero_vec", v.isNotNull && size(v) > 0 &&
+        forall(v, x => x.cast("double") === lit(0.0)))
+      .withColumn("norm_out",
+        eligible && (nrm < lit(normLo) || nrm > lit(normHi)))
+      .withColumn("vec_ok", !col("null_vec") && !col("wrong_dim") &&
+        !col("non_finite") && !col("zero_vec") && !col("norm_out"))
+  }
+
+  /** One (ord, rule, violations) row per vector check — the [[report]]
+    * shape for the embedding column, computed in ONE conditional-sum
+    * scan. */
+  def vectorReport(df: DataFrame, vecCol: String, dim: Int,
+      normLo: Double, normHi: Double): DataFrame = {
+    val flagged = annotateVectorChecks(df, vecCol, dim, normLo, normHi)
+    val rules = Seq("null_vec", "wrong_dim", "non_finite", "zero_vec",
+      "norm_out")
+    val aggs = rules.map(r =>
+      sum(when(col(r), 1L).otherwise(0L)).as(s"v_$r"))
+    flagged.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.zipWithIndex.map { case (r, i) =>
+        struct(lit(i.toLong).as("ord"), lit(s"vector:$r").as("rule"),
+          col(s"v_$r").as("violations"))
+      }: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Keep only rows whose vector passes every check. */
+  def dropInvalidVectors(df: DataFrame, vecCol: String, dim: Int,
+      normLo: Double, normHi: Double): DataFrame =
+    annotateVectorChecks(df, vecCol, dim, normLo, normHi)
+      .filter(col("vec_ok"))
+      .drop("null_vec", "wrong_dim", "non_finite", "zero_vec", "norm_out",
+        "vec_ok")
 }
