@@ -57,7 +57,8 @@ object FeatureHash {
     * text actually says, with a fixed width B however large the corpus
     * vocabulary. One native bigram pass + one explode + one map-side-
     * combinable hash-agg; output is |docs| × (id, f0..f{B−1}), every
-    * document present (the `<s>` pad guarantees ≥ 1 bigram).
+    * document present — NULL text behaves as empty, and the `<s>` pad
+    * guarantees even the empty document one bigram.
     * Sums are exact longs; each feature is one long/long double
     * division — engine-replayable like everything upstream. */
   def textBigramFeatures(df: DataFrame, idCol: String, textCol: String,
@@ -65,7 +66,8 @@ object FeatureHash {
     require(buckets > 0, s"buckets=$buckets must be positive")
     val h = md5(concat(lit("g="), col("g.g1"), lit(" "), col("g.g2")))
     val ex = df
-      .select(col(idCol), explode(PaddedNgrams(col(textCol), 2, 1)).as("g"))
+      .select(col(idCol),
+        explode(PaddedNgrams(coalesce(col(textCol), lit("")), 2, 1)).as("g"))
       .select(col(idCol),
         (conv(substring(h, 1, 8), 16, 10).cast("long") % buckets)
           .as("bucket"),

@@ -149,7 +149,13 @@ object KMeans {
     * identical operands on any engine. A point sitting exactly on two
     * identical centroids (max(a,b) = 0) scores s = 0 — the documented
     * convention, not a divide crash. Requires k ≥ 2 (no second
-    * centroid exists otherwise).
+    * centroid exists otherwise); if training itself COLLAPSES to one
+    * surviving cluster, no second centroid exists at scoring time
+    * either — a point at positive distance then scores a NULL
+    * silhouette term (skipped by the sum), one sitting exactly on the
+    * centroid scores 0 via the max(a,b)=0 convention, and n/inertia
+    * stay exact throughout (try_element_at, never an ANSI index
+    * crash).
     *
     * Output: (cid, n, inertia_micro, sil_sum_micro, sil_mean),
     * one row per surviving cluster. */
@@ -167,7 +173,9 @@ object KMeans {
         element_at(col("ds"), 1).getField("cid").as("cid"),
         element_at(col("ds"), 1).getField("d").as("down"),
         sqrt(element_at(col("ds"), 1).getField("d")).as("a"),
-        sqrt(element_at(col("ds"), 2).getField("d")).as("b"))
+        // try_: a collapsed single-cluster book has no second entry —
+        // NULL silhouette per the scaladoc, not an ANSI index crash
+        sqrt(try_element_at(col("ds"), lit(2)).getField("d")).as("b"))
       .select(col("cid"),
         floor(col("down") * lit(1e6)).cast("long").as("im"),
         when(greatest(col("a"), col("b")) > 0.0,

@@ -56,6 +56,14 @@ class FeatureHashSpec extends SparkTestBase {
     assert(mass.sum > 0.0)
   }
 
+  test("textBigramFeatures: null text behaves as empty, doc still present") {
+    val f = FeatureHash.textBigramFeatures(
+      Seq((1L, null: String), (2L, "")).toDF("id", "text"),
+      "id", "text", buckets = 4).orderBy("id").collect()
+    assert(f.length == 2)
+    assert((1 to 4).forall(j => f(0).getDouble(j) == f(1).getDouble(j)))
+  }
+
   test("textBigramFeatures + LogReg learn a planted content split") {
     // class 1 talks about one thing, class 0 another — shape features
     // (length, TTR) are IDENTICAL by construction, only content differs

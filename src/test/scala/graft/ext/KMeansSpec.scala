@@ -109,6 +109,21 @@ class KMeansSpec extends SparkTestBase {
     }
   }
 
+  test("clusterQuality: training collapse to one cluster never crashes") {
+    // every point identical: both seeds coincide, argmin ties to cid 0,
+    // cluster 1 empties out — one surviving centroid, no second distance.
+    // On-centroid points score 0 via the max(a,b)=0 convention; the
+    // single-entry book must route through try_element_at, not an ANSI
+    // index crash
+    val same = (0 until 6).map(i => (i.toLong, Seq.fill(4)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = KMeans.clusterQuality(same, "vec_id", "embedding",
+      k = 2, iters = 2).collect()
+    assert(q.length == 1 && q.head.getAs[Long]("n") == 6L)
+    assert(q.head.getAs[Long]("inertia_micro") == 0L)
+    assert(q.head.getAs[Long]("sil_sum_micro") == 0L)
+  }
+
   test("eager mode leaves no cache entries behind") {
     spark.catalog.clearCache()
     val out = KMeans.fit(planted, "vec_id", "embedding", k = 3, iters = 2,
