@@ -3273,6 +3273,22 @@ object SparkEntry {
           countDistinct(col("nat_bucket")).as("n_buckets"))
         .orderBy(col("c_mktsegment"))
     }),
+    // l-diversity suppression on top of the same quasi groups: nat_bucket
+    // 2's sensitive value is FORCED uniform (l_count = 1), so l = 2
+    // suppresses exactly those groups — hiding among k identical
+    // diagnoses hides nothing, the leak k-anonymity alone can't see
+    "x_ldiv" -> ((s, d) => {
+      val c = Tables.load(s, d, "customer")
+        .withColumn("nat_bucket", (col("c_nationkey") % 5).cast("long"))
+        .withColumn("sens", when(col("nat_bucket") === 2L, lit(0L))
+          .otherwise((col("c_custkey") % 3).cast("long")))
+      graft.ext.Privacy.lDiversify(c, Seq("c_mktsegment", "nat_bucket"),
+        "sens", l = 2)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_kept"),
+          countDistinct(col("nat_bucket")).as("n_buckets"))
+        .orderBy(col("c_mktsegment"))
+    }),
     // targeted erasure: purge three subjects from a year-partitioned fact
     // (two via the literal IN path, one via the DataFrame-of-keys path);
     // only partitions containing them rewrite, and the read-back equals
@@ -6217,6 +6233,17 @@ object SparkEntry {
       "SELECT c_mktsegment, COUNT(*) AS n_kept, " +
       "CAST(COUNT(DISTINCT nat_bucket) AS BIGINT) AS n_buckets " +
       "FROM kc WHERE kcnt >= 3 GROUP BY 1 ORDER BY 1"),
+    // distinct-sensitive counts per quasi group, groups below l drop
+    "x_ldiv" -> ("WITH base AS (SELECT c_mktsegment, " +
+      "CAST(c_nationkey % 5 AS BIGINT) AS nat_bucket, " +
+      "CAST(CASE WHEN c_nationkey % 5 = 2 THEN 0 ELSE c_custkey % 3 END AS BIGINT) AS sens " +
+      "FROM customer), " +
+      "g AS (SELECT c_mktsegment, nat_bucket, " +
+      "COUNT(DISTINCT sens) AS lcnt FROM base GROUP BY 1, 2) " +
+      "SELECT b.c_mktsegment, COUNT(*) AS n_kept, " +
+      "CAST(COUNT(DISTINCT b.nat_bucket) AS BIGINT) AS n_buckets " +
+      "FROM base b JOIN g USING (c_mktsegment, nat_bucket) " +
+      "WHERE g.lcnt >= 2 GROUP BY 1 ORDER BY 1"),
     "x_purge" -> ("SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year, " +
       "COUNT(*) AS n, " +
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, " +

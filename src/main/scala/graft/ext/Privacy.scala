@@ -88,4 +88,42 @@ object Privacy {
     require(k >= 1, s"k must be >= 1, got $k")
     kAnonymityCounts(df, quasiCols).filter(col("k_count") >= k).drop("k_count")
   }
+
+  /** Sensitive-attribute diversity per quasi-identifier group: the
+    * input plus `l_count` = how many DISTINCT values of `sensitiveCol`
+    * this row's quasi combination carries — the l-diversity statistic
+    * (Machanavajjhala 2007). k-anonymity alone leaks when a group's
+    * sensitive attribute is uniform: hiding among k records all labeled
+    * "diagnosis=X" hides nothing. NULL sensitive values add no
+    * diversity (distinct-count semantics on both engines), so an
+    * all-NULL group scores 0 and suppresses at any l ≥ 1 — the
+    * conservative direction. Same scale shape and null-safe join as
+    * [[kAnonymityCounts]]; same deliberate no-broadcast-hint stance
+    * (near-unique quasi combos are exactly when this matters). */
+  def lDiversityCounts(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "l-diversity needs at least one quasi-identifier")
+    val missing = (quasiCols :+ sensitiveCol).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"no such column(s): ${missing.mkString(", ")}")
+    require(!quasiCols.contains(sensitiveCol),
+      s"$sensitiveCol cannot be both quasi-identifier and sensitive")
+    val counts = df.groupBy(quasiCols.map(col): _*)
+      .agg(countDistinct(col(sensitiveCol)).as("l_count"))
+    val renamed = quasiCols.foldLeft(counts)((d, c) =>
+      d.withColumnRenamed(c, s"__q_$c"))
+    val cond = quasiCols.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _)
+    df.join(renamed, cond)
+      .drop(quasiCols.map(c => s"__q_$c"): _*)
+  }
+
+  /** Suppression to l-diversity: keep only rows whose quasi group
+    * carries at least `l` distinct sensitive values. Run AFTER (or
+    * with) [[kAnonymize]] — the two guarantees are orthogonal and a
+    * release usually needs both. */
+  def lDiversify(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(l >= 1, s"l must be >= 1, got $l")
+    lDiversityCounts(df, quasiCols, sensitiveCol)
+      .filter(col("l_count") >= l).drop("l_count")
+  }
 }

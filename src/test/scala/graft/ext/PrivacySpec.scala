@@ -83,6 +83,34 @@ class PrivacySpec extends SparkTestBase {
     assert(Privacy.kAnonymize(df, Seq("seg"), 2).count() == 4)
   }
 
+  test("lDiversity: uniform-sensitive groups drop, diverse groups keep") {
+    // group a: 3 rows, sensitive {x, y, x} -> 2 distinct -> keeps at l=2
+    // group b: 3 rows, sensitive {x, x, x} -> 1 distinct -> drops at l=2
+    val df = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "a", "x"),
+      (4L, "b", "x"), (5L, "b", "x"), (6L, "b", "x"))
+      .toDF("id", "seg", "diag")
+    val counts = Privacy.lDiversityCounts(df, Seq("seg"), "diag")
+      .select(col("id"), col("l_count")).as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 2L, 2L -> 2L, 3L -> 2L,
+      4L -> 1L, 5L -> 1L, 6L -> 1L))
+    assert(Privacy.lDiversify(df, Seq("seg"), "diag", l = 2)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // k-anonymity alone waves group b through — the orthogonal leak
+    assert(Privacy.kAnonymize(df, Seq("seg"), k = 3).count() == 6)
+  }
+
+  test("lDiversity: NULL sensitive adds no diversity; sens==quasi rejected") {
+    val df = Seq((1L, "a", null.asInstanceOf[String]),
+      (2L, "a", null.asInstanceOf[String]), (3L, "b", "x"))
+      .toDF("id", "seg", "diag")
+    // the all-NULL group counts 0 distinct: suppressed even at l = 1
+    assert(Privacy.lDiversify(df, Seq("seg"), "diag", l = 1)
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+    intercept[IllegalArgumentException] {
+      Privacy.lDiversityCounts(df, Seq("seg", "diag"), "diag")
+    }
+  }
+
   test("kAnonymity plan: combo counts broadcast back, fact never shuffles by combo") {
     val df = (1 to 100).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "seg")
     val plan = Privacy.kAnonymityCounts(df, Seq("seg"))
