@@ -1705,6 +1705,20 @@ object SparkEntry {
           (col("score_micro") >= 500000L).cast("long").as("keep"))
         .orderBy(col("doc_id"))
     }),
+    // Feature-relevance scan over the SAME hashed features: per-bucket
+    // mutual information with the label from one hash-agg over the
+    // feature-exploded frame, every 2x2 cell term nano-quantized before
+    // the order-free sum — which buckets carry signal, before training
+    "x_feature_mi" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val feats = graft.ext.FeatureHash.textBigramFeatures(
+        docs, "doc_id", "text", buckets = 8)
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("double").as("y")), "doc_id")
+      graft.ext.Eval.binaryMutualInfo(feats,
+        (0 until 8).map(b => s"f$b"), "y")
+        .orderBy(col("feature"))
+    }),
     // Classifier evaluation over the SAME trained screen: exact
     // Mann-Whitney AUC (distributed bucketed rank prefix — no global
     // window) + threshold confusion rates, one measurement row. The
@@ -4818,6 +4832,8 @@ object SparkEntry {
     // hashed-bigram content classifier: md5 signed-bucket features
     // (normalized), 4 GD steps over 8 features, sigmoid scoring
     "x_quality_hashlr" -> hashLrOracleSql(4, 8),
+    // per-bucket 2x2 MI over the same features, nano-floored ln terms
+    "x_feature_mi" -> featureMiOracleSql(8),
     "x_quality_eval" -> lrEvalOracleSql(8, 500000L),
     "x_quality_ap" -> lrApOracleSql(8),
     "x_quality_calib" -> {
@@ -6468,6 +6484,58 @@ object SparkEntry {
       "FROM p CROSS JOIN nn JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j " +
       "ORDER BY 1, 2"
 
+  /** The hashed-bigram feature CTEs (bg → hb → fv → feats with the
+    * lang='en' label) — the md5 signed-bucket draw replay shared by
+    * x_quality_hashlr's GD chain and x_feature_mi's dependence scan. */
+  private def hashFeatsCtes(buckets: Int, fAggs: String): Seq[String] = Seq(
+    "bg AS (SELECT doc_id, unnest(pw[1:len(pw)-1]) AS u, " +
+      "unnest(pw[2:len(pw)]) AS v FROM (SELECT doc_id, " +
+      "['<s>'] || string_split(text, ' ') AS pw FROM documents))",
+    "hb AS (SELECT doc_id, " +
+      s"CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % $buckets AS bucket, " +
+      "CAST('0x' || substr(md5(t), 9, 1) AS BIGINT) % 2 * 2 - 1 AS sign " +
+      "FROM (SELECT doc_id, 'g=' || u || ' ' || v AS t FROM bg))",
+    "fv AS MATERIALIZED (SELECT doc_id, " + fAggs + " FROM hb GROUP BY 1)",
+    "feats AS MATERIALIZED (SELECT fv.*, " +
+      "CAST(d.lang = 'en' AS INT)::DOUBLE AS y " +
+      "FROM fv JOIN documents d USING (doc_id))")
+
+  /** Per-bucket normalized-count aggregates f0..f{B-1} for
+    * [[hashFeatsCtes]]'s fv CTE. */
+  private def hashFAggs(buckets: Int): String =
+    (0 until buckets).map(b =>
+      s"CAST(CAST(COALESCE(SUM(CASE WHEN bucket = $b THEN sign END), 0) " +
+        s"AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS f$b")
+      .mkString(", ")
+
+  /** Per-feature MI replay for x_feature_mi: the shared hashed-feature
+    * CTEs, then one UNION ALL block per bucket computing the 2×2 cell
+    * counts and the identical nano-floored ln terms. */
+  private def featureMiOracleSql(buckets: Int): String = {
+    def blk(b: Int): String = {
+      val cnts = s"SELECT COUNT(*) AS n, " +
+        s"CAST(SUM(CASE WHEN f$b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb1, " +
+        "CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ny1, " +
+        s"CAST(SUM(CASE WHEN f$b > 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11 " +
+        "FROM feats"
+      def term(nby: String, nb: String, ny: String): String =
+        s"CASE WHEN $nby > 0 THEN CAST(FLOOR(CAST($nby AS DOUBLE) / n * " +
+          s"ln(CAST($nby AS DOUBLE) * n / (CAST($nb AS DOUBLE) * ($ny))) * 1e9) " +
+          "AS BIGINT) ELSE 0 END"
+      val mi = Seq(
+        term("n11", "nb1", "ny1"),
+        term("nb1 - n11", "nb1", "n - ny1"),
+        term("ny1 - n11", "n - nb1", "ny1"),
+        term("n - nb1 - ny1 + n11", "n - nb1", "n - ny1")).mkString(" + ")
+      s"SELECT 'f$b' AS feature, n, CAST($mi AS BIGINT) AS mi_nano, " +
+        s"CAST(CAST($mi AS BIGINT) AS DOUBLE) / 1e9 AS mi FROM ($cnts) c$b"
+    }
+    "WITH " + hashFeatsCtes(buckets, hashFAggs(buckets)).mkString(", ") +
+      " SELECT * FROM (" +
+      (0 until buckets).map(blk).mkString(" UNION ALL ") +
+      ") t ORDER BY feature"
+  }
+
   /** DuckDB replay of the hashed-bigram LR screen (x_quality_hashlr):
     * the md5 signed-bucket feature draw (same '0x'-cast replay as
     * x_feature_hash, normalized by bigram count), then [[lrCtes]]'s GD
@@ -6479,23 +6547,8 @@ object SparkEntry {
     }.mkString(s"${pfx}.w0", "", "")
     def sig(pfx: String) =
       s"1.0::DOUBLE / (1.0::DOUBLE + EXP(-(${z(pfx)})))"
-    val fAggs = (0 until buckets).map(b =>
-      s"CAST(CAST(COALESCE(SUM(CASE WHEN bucket = $b THEN sign END), 0) " +
-        s"AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS f$b")
-      .mkString(", ")
     val parts = scala.collection.mutable.ArrayBuffer[String]()
-    parts += "bg AS (SELECT doc_id, unnest(pw[1:len(pw)-1]) AS u, " +
-      "unnest(pw[2:len(pw)]) AS v FROM (SELECT doc_id, " +
-      "['<s>'] || string_split(text, ' ') AS pw FROM documents))"
-    parts += "hb AS (SELECT doc_id, " +
-      s"CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % $buckets AS bucket, " +
-      "CAST('0x' || substr(md5(t), 9, 1) AS BIGINT) % 2 * 2 - 1 AS sign " +
-      "FROM (SELECT doc_id, 'g=' || u || ' ' || v AS t FROM bg))"
-    parts += "fv AS MATERIALIZED (SELECT doc_id, " + fAggs +
-      " FROM hb GROUP BY 1)"
-    parts += "feats AS MATERIALIZED (SELECT fv.*, " +
-      "CAST(d.lang = 'en' AS INT)::DOUBLE AS y " +
-      "FROM fv JOIN documents d USING (doc_id))"
+    parts ++= hashFeatsCtes(buckets, hashFAggs(buckets))
     parts += "nn AS (SELECT COUNT(*) AS n FROM feats)"
     parts += ("w0 AS (SELECT " +
       (0 to fs.size).map(j => s"0.0::DOUBLE AS w$j").mkString(", ") + ")")

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -199,6 +199,53 @@ object Eval {
           col("num").cast("double") / (lit(pTot).cast("double") * lit(1e6)))
           .as("ap"),
         lit(pTot).as("n_pos"), lit(nTot - pTot).as("n_neg"))
+  }
+
+  /** Per-feature mutual information with a binary label — the
+    * feature-relevance scan for the classifier family: which of the
+    * [[FeatureHash.textBigramFeatures]] buckets (or any numeric
+    * features) actually carry label signal, BEFORE spending training
+    * iterations on them. Each feature binarizes on its SIGN (f > 0 —
+    * the natural split for signed hashed counts; pre-shift anything
+    * else), the 2×2 joint counts come from ONE hash-aggregate over the
+    * feature-exploded frame (F·n rows in, F rows out, map-side
+    * combined), and MI = Σ_cells (n_by/n)·ln(n_by·n/(n_b·n_y)) with
+    * every cell's term floor-quantized to nano units before the
+    * (4-term, order-free) sum — the PSI/JSD discipline, so any engine
+    * replays the integer exactly. Empty cells contribute 0 (the
+    * standard convention, which also absorbs zero margins). Output:
+    * (feature, n, mi_nano, mi), one row per feature. */
+  def binaryMutualInfo(df: DataFrame, featureCols: Seq[String],
+      labelCol: String): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature")
+    val pairs = df.select(
+      explode(array(featureCols.map(f => struct(lit(f).as("feature"),
+        (col(f) > 0.0).cast("long").as("b"))): _*)).as("p"),
+      (col(labelCol).cast("long") === 1L).cast("long").as("y"))
+      .select(col("p.feature").as("feature"), col("p.b").as("b"), col("y"))
+    val cells = pairs.groupBy(col("feature")).agg(
+      count(lit(1)).as("n"),
+      sum(col("b")).as("nb1"),
+      sum(col("y")).as("ny1"),
+      sum(col("b") * col("y")).as("n11"))
+    def term(nby: Column, nb: Column, ny: Column, n: Column): Column =
+      when(nby > 0L,
+        floor(nby.cast("double") / n.cast("double") *
+          log(nby.cast("double") * n.cast("double") /
+            (nb.cast("double") * ny.cast("double"))) * lit(1e9))
+          .cast("long"))
+        .otherwise(0L)
+    val n = col("n"); val nb1 = col("nb1"); val ny1 = col("ny1")
+    val n11 = col("n11")
+    val n10 = nb1 - n11
+    val n01 = ny1 - n11
+    val n00 = n - nb1 - ny1 + n11
+    val mi = term(n11, nb1, ny1, n) +
+      term(n10, nb1, n - ny1, n) +
+      term(n01, n - nb1, ny1, n) +
+      term(n00, n - nb1, n - ny1, n)
+    cells.select(col("feature"), col("n"), mi.as("mi_nano"),
+      (mi.cast("double") / lit(1e9)).as("mi"))
   }
 
   /** ANN index scorecard: per-query recall@k of an approximate result

@@ -150,6 +150,39 @@ class EvalSpec extends SparkTestBase {
     assert(reference == ap(df, buckets = 1024))
   }
 
+  test("binaryMutualInfo: perfect dependence, independence, hand cells") {
+    import org.apache.spark.sql.functions.col
+    // b == y exactly, balanced: MI = ln 2 (each half-cell floors alone)
+    val dep = (0 until 40).map(i =>
+      (if (i % 2 == 0) 1.0 else -1.0, (1 - i % 2).toLong)).toDF("f0", "y")
+    val d = Eval.binaryMutualInfo(dep, Seq("f0"), "y").head()
+    assert(d.getAs[Long]("mi_nano") ==
+      2 * math.floor(0.5 * math.log(2.0) * 1e9).toLong)
+    // independent balanced: every cell n/4, every ln term exactly 0
+    val ind = (0 until 40).map(i =>
+      (if (i % 2 == 0) 1.0 else -1.0, (i / 2 % 2).toLong)).toDF("f0", "y")
+    assert(Eval.binaryMutualInfo(ind, Seq("f0"), "y")
+      .head().getAs[Long]("mi_nano") == 0L)
+    // hand 2x2: n=10, nb1=4, ny1=5, n11=3
+    val rows = Seq((1.0, 1L), (1.0, 1L), (1.0, 1L), (1.0, 0L),
+      (-1.0, 1L), (-1.0, 1L), (-1.0, 0L), (-1.0, 0L), (-1.0, 0L),
+      (-1.0, 0L)).toDF("f0", "y")
+    def t(nby: Long, nb: Long, ny: Long): Long =
+      if (nby == 0) 0L
+      else math.floor(nby.toDouble / 10 *
+        math.log(nby.toDouble * 10 / (nb.toDouble * ny)) * 1e9).toLong
+    val want = t(3, 4, 5) + t(1, 4, 5) + t(2, 6, 5) + t(4, 6, 5)
+    assert(Eval.binaryMutualInfo(rows, Seq("f0"), "y")
+      .head().getAs[Long]("mi_nano") == want)
+    // multi-feature: one pass, one row per feature, order preserved
+    val multi = Eval.binaryMutualInfo(
+      dep.withColumn("f1", col("f0") * -1.0), Seq("f0", "f1"), "y")
+      .orderBy("feature").collect()
+    assert(multi.map(_.getString(0)).toSeq == Seq("f0", "f1"))
+    // the anti-correlated feature carries the SAME information
+    assert(multi(0).getAs[Long]("mi_nano") == multi(1).getAs[Long]("mi_nano"))
+  }
+
   test("recallAtK: per-query overlap, missing queries score zero") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
       (2L, 20L), (2L, 21L), (3L, 30L), (3L, 31L)).toDF("qid", "nid")
