@@ -3303,6 +3303,22 @@ object SparkEntry {
           countDistinct(col("nat_bucket")).as("n_buckets"))
         .orderBy(col("c_mktsegment"))
     }),
+    // t-closeness distances over the same quasi groups: bucket 2's
+    // forced-uniform sensitive column is DIVERSE enough groups can't see
+    // the skew-leak l-diversity measures... inverted: here the skew
+    // itself is the statistic — bucket 2's groups sit far from the
+    // corpus-wide distribution, everyone else sits near it. All exact
+    // cross-multiplied longs; the display quotient divides identical
+    // long-derived doubles
+    "x_tclose" -> ((s, d) => {
+      val c = Tables.load(s, d, "customer")
+        .withColumn("nat_bucket", (col("c_nationkey") % 5).cast("long"))
+        .withColumn("sens", when(col("nat_bucket") === 2L, lit(0L))
+          .otherwise((col("c_custkey") % 3).cast("long")))
+      graft.ext.Privacy.tClosenessDistances(c,
+        Seq("c_mktsegment", "nat_bucket"), "sens")
+        .orderBy(col("c_mktsegment"), col("nat_bucket"))
+    }),
     // targeted erasure: purge three subjects from a year-partitioned fact
     // (two via the literal IN path, one via the DataFrame-of-keys path);
     // only partitions containing them rewrite, and the read-back equals
@@ -6260,6 +6276,29 @@ object SparkEntry {
       "CAST(COUNT(DISTINCT b.nat_bucket) AS BIGINT) AS n_buckets " +
       "FROM base b JOIN g USING (c_mktsegment, nat_bucket) " +
       "WHERE g.lcnt >= 2 GROUP BY 1 ORDER BY 1"),
+    // cleared-denominator TVD per group over the full (group x value)
+    // expansion; absent values contribute their |0 - ns*ng| mass
+    "x_tclose" -> ("WITH base AS (SELECT c_mktsegment, " +
+      "CAST(c_nationkey % 5 AS BIGINT) AS nat_bucket, " +
+      "CAST(CASE WHEN c_nationkey % 5 = 2 THEN 0 ELSE c_custkey % 3 END AS BIGINT) AS sens " +
+      "FROM customer), " +
+      "gs AS (SELECT c_mktsegment, nat_bucket, sens, COUNT(*) AS ngs FROM base GROUP BY 1, 2, 3), " +
+      "st AS (SELECT sens, COUNT(*) AS ns FROM base GROUP BY 1), " +
+      "gt AS (SELECT c_mktsegment, nat_bucket, COUNT(*) AS ng FROM base GROUP BY 1, 2), " +
+      "nn AS (SELECT COUNT(*) AS n FROM base), " +
+      "ex AS (SELECT gt.c_mktsegment, gt.nat_bucket, gt.ng, st.ns, " +
+      "COALESCE(gs.ngs, 0) AS ngs, nn.n FROM gt CROSS JOIN st " +
+      "LEFT JOIN gs ON gs.c_mktsegment = gt.c_mktsegment " +
+      "AND gs.nat_bucket = gt.nat_bucket AND gs.sens = st.sens " +
+      "CROSS JOIN nn), " +
+      "dd AS (SELECT c_mktsegment, nat_bucket, ng, n, " +
+      "CAST(SUM(ABS(ngs * n - ns * ng)) AS BIGINT) AS tvd_scaled " +
+      "FROM ex GROUP BY 1, 2, 3, 4) " +
+      "SELECT c_mktsegment, nat_bucket, ng AS n_g, tvd_scaled, " +
+      "CAST(2 * ng * n AS BIGINT) AS denom, " +
+      "CAST(FLOOR(CAST(tvd_scaled AS DOUBLE) / CAST(2 * ng * n AS DOUBLE) * 1e6) AS BIGINT) AS tvd_micro, " +
+      "CAST(tvd_scaled AS DOUBLE) / CAST(2 * ng * n AS DOUBLE) AS tvd " +
+      "FROM dd ORDER BY 1, 2"),
     "x_purge" -> ("SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year, " +
       "COUNT(*) AS n, " +
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, " +

@@ -126,4 +126,79 @@ object Privacy {
     lDiversityCounts(df, quasiCols, sensitiveCol)
       .filter(col("l_count") >= l).drop("l_count")
   }
+
+  /** t-closeness distances (Li 2007) — the leak l-diversity can't see:
+    * a group can carry l distinct sensitive values yet still be
+    * SKEWED (99% "positive" in a group vs 1% globally reveals plenty).
+    * Per quasi group, the total-variation distance between the group's
+    * sensitive distribution and the corpus-wide one, kept EXACT by
+    * clearing denominators: TVD = ½·Σ_s |n_gs/n_g − n_s/n| scales to
+    * `tvd_scaled = Σ_s |n_gs·n − n_s·n_g|` over the common denominator
+    * `denom = 2·n_g·n` — pure long arithmetic, exact while
+    * n_g·n < 2⁶³ (corpora to ~3 billion rows; beyond that, release by
+    * partition). The display quotient `tvd = tvd_scaled/denom` and its
+    * `tvd_micro` floor are divisions of IDENTICAL long-derived doubles
+    * (int64→double is correctly rounded everywhere), so they replay
+    * bit-identically. NULL sensitive values form their own distribution
+    * mass, exactly like GROUP BY (the expansion joins null-safely).
+    *
+    * Scale shape: three hash-aggregates — (group, s) counts, global s
+    * counts (sensitive-cardinality rows, broadcast), group sizes — then
+    * the full (group × sensitive-value) expansion so a value a group
+    * never carries contributes its |0 − n_s·n_g| mass, one null-safe
+    * join against the observed counts, one per-group sum. Output: one
+    * row per quasi combination + (n_g, tvd_scaled, denom, tvd_micro,
+    * tvd). */
+  def tClosenessDistances(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "t-closeness needs at least one quasi-identifier")
+    val missing = (quasiCols :+ sensitiveCol).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"no such column(s): ${missing.mkString(", ")}")
+    require(!quasiCols.contains(sensitiveCol),
+      s"$sensitiveCol cannot be both quasi-identifier and sensitive")
+    val qs = quasiCols.map(col)
+    val s = col(sensitiveCol)
+    val gs0 = df.groupBy((qs :+ s): _*).agg(count(lit(1)).as("__ngs"))
+    val gsR = quasiCols.foldLeft(
+      gs0.withColumnRenamed(sensitiveCol, "__sv2"))((d, c) =>
+      d.withColumnRenamed(c, s"__g_$c"))
+    val sTot = df.groupBy(s.as("__sv")).agg(count(lit(1)).as("__ns"))
+    val gTot = df.groupBy(qs: _*).agg(count(lit(1)).as("__ng"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val joinCond = (quasiCols.map(c => col(c) <=> col(s"__g_$c")) :+
+      (col("__sv") <=> col("__sv2"))).reduce(_ && _)
+    gTot.crossJoin(broadcast(sTot))
+      .join(gsR, joinCond, "left")
+      .na.fill(0L, Seq("__ngs"))
+      .crossJoin(broadcast(n))
+      .groupBy((qs :+ col("__ng") :+ col("__n")): _*)
+      .agg(sum(abs(col("__ngs") * col("__n") - col("__ns") * col("__ng")))
+        .as("tvd_scaled"))
+      .select((qs :+ col("__ng").as("n_g") :+
+        col("tvd_scaled") :+
+        (lit(2L) * col("__ng") * col("__n")).as("denom") :+
+        floor(col("tvd_scaled").cast("double") /
+          ((lit(2L) * col("__ng") * col("__n")).cast("double"))
+          * lit(1e6)).cast("long").as("tvd_micro") :+
+        (col("tvd_scaled").cast("double") /
+          (lit(2L) * col("__ng") * col("__n")).cast("double")).as("tvd")): _*)
+  }
+
+  /** Suppression to t-closeness: keep rows whose group's sensitive
+    * distribution sits within total-variation `tNum/tDen` of the
+    * corpus-wide one. The threshold is a RATIONAL so the decision is
+    * the exact cross-multiplication `tvd_scaled·tDen ≤ tNum·denom` —
+    * no float wavers at the boundary, and small denominators (3/10,
+    * 1/4…) keep the products in long range at any realistic release
+    * size. Compose with [[kAnonymize]] and [[lDiversify]] — the three
+    * guarantees are orthogonal. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, tNum: Long, tDen: Long): DataFrame = {
+    require(tNum >= 0 && tDen > 0, s"t = $tNum/$tDen must be >= 0")
+    val dist = tClosenessDistances(df, quasiCols, sensitiveCol)
+      .filter(col("tvd_scaled") * lit(tDen) <= lit(tNum) * col("denom"))
+      .select(quasiCols.map(c => col(c).as(s"__q_$c")): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _)
+    df.join(dist, cond).drop(quasiCols.map(c => s"__q_$c"): _*)
+  }
 }

@@ -111,6 +111,45 @@ class PrivacySpec extends SparkTestBase {
     }
   }
 
+  test("tCloseness: hand TVD, absent-value mass, rational threshold") {
+    // group a: {x, x, y}; group b: {z}; global: x:2, y:1, z:1 over n=4
+    // TVD(a) = 1/2(|2/3-1/2| + |1/3-1/4| + |0-1/4|) = 1/2(1/6+1/12+1/4) = 1/4
+    // TVD(b) = 1/2(|0-1/2| + |0-1/4| + |1-1/4|) = 3/4
+    val df = Seq((1L, "a", "x"), (2L, "a", "x"), (3L, "a", "y"),
+      (4L, "b", "z")).toDF("id", "seg", "diag")
+    val d = Privacy.tClosenessDistances(df, Seq("seg"), "diag")
+      .orderBy("seg").collect()
+    // a: denom = 2*3*4 = 24, tvd_scaled = |2*4-2*3|+|1*4-1*3|+|0-1*3| = 6
+    assert(d(0).getAs[Long]("tvd_scaled") == 6L)
+    assert(d(0).getAs[Long]("denom") == 24L)
+    assert(d(0).getAs[Double]("tvd") == 0.25)
+    // b: denom = 2*1*4 = 8, tvd_scaled = |0-2|+|0-1|+|4-1| = 6
+    assert(d(1).getAs[Long]("tvd_scaled") == 6L)
+    assert(d(1).getAs[Double]("tvd") == 0.75)
+    // threshold 1/2 keeps a (1/4 <= 1/2), drops b (3/4 > 1/2); the
+    // boundary ITSELF keeps: t = 1/4 still keeps a (<=, exact integers)
+    assert(Privacy.tCloseness(df, Seq("seg"), "diag", 1L, 2L)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(Privacy.tCloseness(df, Seq("seg"), "diag", 1L, 4L)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(Privacy.tCloseness(df, Seq("seg"), "diag", 0L, 1L).isEmpty)
+  }
+
+  test("tCloseness: NULL sensitive is distribution mass; uniform corpus is distance 0") {
+    val withNull = Seq((1L, "a", null.asInstanceOf[String]),
+      (2L, "a", "x"), (3L, "b", null.asInstanceOf[String]),
+      (4L, "b", "x")).toDF("id", "seg", "diag")
+    // both groups carry {null:1, x:1} == the global 50/50: TVD = 0
+    val d = Privacy.tClosenessDistances(withNull, Seq("seg"), "diag")
+      .collect()
+    assert(d.length == 2 && d.forall(_.getAs[Long]("tvd_scaled") == 0L))
+    // skew-free but uniform: l-diversity and t-closeness see DIFFERENT
+    // leaks — a group of all-"x" passes l=1 closeness-wise iff global is
+    // all-"x" too
+    val uni = Seq((1L, "a", "x"), (2L, "b", "x")).toDF("id", "seg", "diag")
+    assert(Privacy.tCloseness(uni, Seq("seg"), "diag", 0L, 1L).count() == 2)
+  }
+
   test("kAnonymity plan: combo counts broadcast back, fact never shuffles by combo") {
     val df = (1 to 100).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "seg")
     val plan = Privacy.kAnonymityCounts(df, Seq("seg"))
