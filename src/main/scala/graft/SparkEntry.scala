@@ -3303,6 +3303,21 @@ object SparkEntry {
           countDistinct(col("nat_bucket")).as("n_buckets"))
         .orderBy(col("c_mktsegment"))
     }),
+    // generalization-to-k: coarsen c_acctbal up the 100/1000/5000
+    // ladder until every (segment, bucket) group reaches k=3, then
+    // suppress the residue — the release that KEEPS rows where
+    // suppression-only k-anonymity would drop them; the oracle encodes
+    // the full rung-selection CASE, so it replays whichever width wins
+    "x_kanon_gen" -> ((s, d) => {
+      val c = Tables.load(s, d, "customer")
+      graft.ext.Privacy.generalizeNumericToK(c, Seq("c_mktsegment"),
+        "c_acctbal", k = 3, ladder = Seq(100L, 1000L, 5000L))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_kept"),
+          countDistinct(col("c_acctbal_gen")).as("n_buckets"),
+          max(col("gen_width")).as("gen_width"))
+        .orderBy(col("c_mktsegment"))
+    }),
     // t-closeness distances over the same quasi groups: bucket 2's
     // forced-uniform sensitive column is DIVERSE enough groups can't see
     // the skew-leak l-diversity measures... inverted: here the skew
@@ -6276,6 +6291,25 @@ object SparkEntry {
       "CAST(COUNT(DISTINCT b.nat_bucket) AS BIGINT) AS n_buckets " +
       "FROM base b JOIN g USING (c_mktsegment, nat_bucket) " +
       "WHERE g.lcnt >= 2 GROUP BY 1 ORDER BY 1"),
+    // ladder-rung selection as a CASE over per-rung min group sizes,
+    // then bucket at the chosen width and drop residual under-k groups
+    "x_kanon_gen" -> ("WITH " +
+      Seq(100, 1000, 5000).zipWithIndex.map { case (w, i) =>
+        s"m${i + 1} AS (SELECT COALESCE(MIN(n), 9223372036854775807) AS mn " +
+          "FROM (SELECT COUNT(*) AS n FROM customer GROUP BY c_mktsegment, " +
+          s"CAST(FLOOR(c_acctbal / $w.0) AS BIGINT) * $w) t$i)"
+      }.mkString(", ") + ", " +
+      "w AS (SELECT CASE WHEN m1.mn >= 3 THEN 100 WHEN m2.mn >= 3 THEN 1000 " +
+      "ELSE 5000 END AS w FROM m1, m2, m3), " +
+      "g AS (SELECT c_mktsegment, " +
+      "CAST(FLOOR(c_acctbal / CAST(w.w AS DOUBLE)) AS BIGINT) * w.w AS gen, " +
+      "w.w AS gen_width FROM customer CROSS JOIN w), " +
+      "cnt AS (SELECT c_mktsegment, gen, COUNT(*) AS n FROM g GROUP BY 1, 2) " +
+      "SELECT g.c_mktsegment, COUNT(*) AS n_kept, " +
+      "CAST(COUNT(DISTINCT g.gen) AS BIGINT) AS n_buckets, " +
+      "CAST(MAX(g.gen_width) AS BIGINT) AS gen_width " +
+      "FROM g JOIN cnt USING (c_mktsegment, gen) WHERE cnt.n >= 3 " +
+      "GROUP BY 1 ORDER BY 1"),
     // cleared-denominator TVD per group over the full (group x value)
     // expansion; absent values contribute their |0 - ns*ng| mass
     "x_tclose" -> ("WITH base AS (SELECT c_mktsegment, " +

@@ -184,6 +184,46 @@ object Privacy {
           (lit(2L) * col("__ng") * col("__n")).cast("double")).as("tvd")): _*)
   }
 
+  /** Generalization to k-anonymity for a NUMERIC quasi-identifier —
+    * the practical release path [[kAnonymize]]'s suppression-only
+    * stance leaves to the caller: instead of dropping every row in an
+    * under-k group, COARSEN the numeric column (bucket width ladder,
+    * finest first) until every (categorical-quasi, bucket) group
+    * reaches k, then suppress whatever residue remains (a no-op when a
+    * rung satisfies; the safety net when even the coarsest doesn't).
+    * Buckets are `floor(v/w)·w` (bucket start — the value a release
+    * actually publishes), NULLs form their own group like GROUP BY,
+    * and the rung choice is deterministic: the FIRST ladder width
+    * whose minimum group size ≥ k, else the last. The probe loop is
+    * |ladder| bounded hash-aggregates with 1-row driver reads — group
+    * counts, never rows. Output: the input plus `<numCol>_gen` (the
+    * published bucket start) and the constant `gen_width`, original
+    * `numCol` DROPPED (releasing both would defeat the point). */
+  def generalizeNumericToK(df: DataFrame, quasiCols: Seq[String],
+      numCol: String, k: Long, ladder: Seq[Long]): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(ladder.nonEmpty && ladder.forall(_ > 0) &&
+      ladder == ladder.sorted && ladder.distinct == ladder,
+      s"ladder must be ascending positive widths, got $ladder")
+    val missing = (quasiCols :+ numCol).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"no such column(s): ${missing.mkString(", ")}")
+    def bucketed(w: Long): DataFrame = df.withColumn("__b",
+      floor(col(numCol).cast("double") / lit(w.toDouble)).cast("long") * w)
+    def minGroup(w: Long): Long = {
+      val r = bucketed(w)
+        .groupBy((quasiCols.map(col) :+ col("__b")): _*)
+        .agg(count(lit(1)).as("__n"))
+        .agg(min(col("__n"))).head()
+      if (r.isNullAt(0)) Long.MaxValue else r.getLong(0) // empty: vacuous
+    }
+    val w = ladder.find(minGroup(_) >= k).getOrElse(ladder.last)
+    val gen = bucketed(w)
+      .drop(numCol)
+      .withColumnRenamed("__b", s"${numCol}_gen")
+      .withColumn("gen_width", lit(w))
+    kAnonymize(gen, quasiCols :+ s"${numCol}_gen", k)
+  }
+
   /** Suppression to t-closeness: keep rows whose group's sensitive
     * distribution sits within total-variation `tNum/tDen` of the
     * corpus-wide one. The threshold is a RATIONAL so the decision is
