@@ -5879,13 +5879,18 @@ object SparkEntry {
       "FROM pts_q p CROSS JOIN b_q b), " +
       "rk AS (SELECT vec_id, cid, d, ROW_NUMBER() OVER " +
       "(PARTITION BY vec_id ORDER BY d, cid) AS rn FROM alld), " +
+      // LEFT JOIN + COALESCE(bb, a): under single-cluster collapse there is
+      // no rn=2 row — the engine keeps the point's n/inertia exact and NULLs
+      // only the silhouette term (try_element_at); an inner join would drop
+      // the whole row. (bb - a) stays NULL when bb is NULL, so the term is
+      // sum-skipped exactly like the engine's.
       "pt AS (SELECT o.vec_id, o.cid, o.d AS down, " +
       "sqrt(o.d) AS a, sqrt(s2.d) AS bb " +
-      "FROM rk o JOIN rk s2 ON o.vec_id = s2.vec_id AND s2.rn = 2 " +
+      "FROM rk o LEFT JOIN rk s2 ON o.vec_id = s2.vec_id AND s2.rn = 2 " +
       "WHERE o.rn = 1), " +
       "terms AS (SELECT cid, CAST(FLOOR(down * 1e6) AS BIGINT) AS im, " +
-      "CASE WHEN greatest(a, bb) > 0 THEN " +
-      "CAST(FLOOR((bb - a) / greatest(a, bb) * 1e6) AS BIGINT) " +
+      "CASE WHEN greatest(a, COALESCE(bb, a)) > 0 THEN " +
+      "CAST(FLOOR((bb - a) / greatest(a, COALESCE(bb, a)) * 1e6) AS BIGINT) " +
       "ELSE 0 END AS sm FROM pt) " +
       "SELECT cid, COUNT(*) AS n, " +
       "CAST(SUM(im) AS BIGINT) AS inertia_micro, " +
@@ -6213,8 +6218,11 @@ object SparkEntry {
       "FROM documents ORDER BY doc_id"),
     // relational replay of the native one-pass entropy: identical
     // per-type floor(c/n * ln(n/c) * 1e9) terms, order-free long sum
+    // COALESCE(text, ''): the engine's null-as-empty contract (NULL text
+    // = one empty token) — string_split(NULL) would unnest to ZERO rows
+    // and silently drop the document from the replay.
     "x_text_entropy" -> ("WITH tok AS (SELECT doc_id, " +
-      "unnest(string_split(text, ' ')) AS w FROM documents), " +
+      "unnest(string_split(COALESCE(text, ''), ' ')) AS w FROM documents), " +
       "tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2), " +
       "nn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, " +
       "COUNT(*) AS types FROM tc GROUP BY 1), " +
@@ -6561,9 +6569,11 @@ object SparkEntry {
     * lang='en' label) — the md5 signed-bucket draw replay shared by
     * x_quality_hashlr's GD chain and x_feature_mi's dependence scan. */
   private def hashFeatsCtes(buckets: Int, fAggs: String): Seq[String] = Seq(
+    // COALESCE(text, ''): match the engine's null-as-empty contract
+    // (textBigramFeatures coalesces) — string_split(NULL) would drop the doc.
     "bg AS (SELECT doc_id, unnest(pw[1:len(pw)-1]) AS u, " +
       "unnest(pw[2:len(pw)]) AS v FROM (SELECT doc_id, " +
-      "['<s>'] || string_split(text, ' ') AS pw FROM documents))",
+      "['<s>'] || string_split(COALESCE(text, ''), ' ') AS pw FROM documents))",
     "hb AS (SELECT doc_id, " +
       s"CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % $buckets AS bucket, " +
       "CAST('0x' || substr(md5(t), 9, 1) AS BIGINT) % 2 * 2 - 1 AS sign " +

@@ -218,11 +218,17 @@ object Eval {
   def binaryMutualInfo(df: DataFrame, featureCols: Seq[String],
       labelCol: String): DataFrame = {
     require(featureCols.nonEmpty, "need at least one feature")
-    val pairs = df.select(
+    // NULL feature/label rows carry no 2x2 cell, so they must not count
+    // in n either — otherwise the derived n00 = n - nb1 - ny1 + n11
+    // silently overcounts. Each feature filters its own NULLs.
+    val pairs = df
+      .filter(col(labelCol).isNotNull)
+      .select(
       explode(array(featureCols.map(f => struct(lit(f).as("feature"),
         (col(f) > 0.0).cast("long").as("b"))): _*)).as("p"),
       (col(labelCol).cast("long") === 1L).cast("long").as("y"))
       .select(col("p.feature").as("feature"), col("p.b").as("b"), col("y"))
+      .filter(col("b").isNotNull)
     val cells = pairs.groupBy(col("feature")).agg(
       count(lit(1)).as("n"),
       sum(col("b")).as("nb1"),
@@ -269,8 +275,13 @@ object Eval {
     * recall), one row per DISTINCT ground-truth query. */
   def recallAtK(approx: DataFrame, exact: DataFrame, qCol: String,
       nCol: String): DataFrame = {
-    val a = approx.select(col(qCol).as("__q"), col(nCol).as("__n"),
-      lit(1L).as("__hit"))
+    // Defensive dedup: a duplicate (q, n) pair on the approx side would
+    // multiply the joined exact row, inflating n_exact AND n_hit (recall
+    // could exceed 1). The top-k producers emit unique pairs, but the
+    // scorecard must not depend on an unstated precondition.
+    val a = approx.select(col(qCol).as("__q"), col(nCol).as("__n"))
+      .dropDuplicates("__q", "__n")
+      .withColumn("__hit", lit(1L))
     exact.select(col(qCol).as("__q"), col(nCol).as("__n"))
       .join(a, Seq("__q", "__n"), "left")
       .groupBy(col("__q").as("q"))

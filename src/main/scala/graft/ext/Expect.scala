@@ -136,8 +136,11 @@ object Expect {
     val flagged = annotateVectorChecks(df, vecCol, dim, normLo, normHi)
     val rules = Seq("null_vec", "wrong_dim", "non_finite", "zero_vec",
       "norm_out")
+    // coalesce: an EMPTY batch must read as 0 violations per rule (green),
+    // not NULL (neither green nor red) — same convention as report()'s
+    // grouped Unique path.
     val aggs = rules.map(r =>
-      sum(when(col(r), 1L).otherwise(0L)).as(s"v_$r"))
+      coalesce(sum(when(col(r), 1L).otherwise(0L)), lit(0L)).as(s"v_$r"))
     flagged.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(rules.zipWithIndex.map { case (r, i) =>
         struct(lit(i.toLong).as("ord"), lit(s"vector:$r").as("rule"),

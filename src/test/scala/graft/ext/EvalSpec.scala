@@ -198,6 +198,26 @@ class EvalSpec extends SparkTestBase {
     assert(r.map(_.getDouble(4)).toSeq == Seq(0.5, 1.0, 0.0))
   }
 
+  test("recallAtK: duplicate approx pairs don't inflate hits or the base") {
+    val exact = Seq((1L, 10L), (1L, 11L)).toDF("qid", "nid")
+    // (1,10) repeated 3x: a naive join would turn q1 into n_exact=4 n_hit=3
+    val approx = Seq((1L, 10L), (1L, 10L), (1L, 10L)).toDF("qid", "nid")
+    val r = Eval.recallAtK(approx, exact, "qid", "nid").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .toSeq == Seq((1L, 2L, 1L)))
+    assert(r.head.getDouble(4) == 0.5)
+  }
+
+  test("binaryMutualInfo: NULL feature/label rows are out of n and cells") {
+    val rows = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 1.0), (1.0, 1.0), (-1.0, 0.0), (-1.0, 0.0),
+      (null, 1.0), (1.0, null)).toDF("f0", "y")
+    val r = Eval.binaryMutualInfo(rows, Seq("f0"), "y").head()
+    // only the 4 fully-observed rows count: perfect dependence, n=4
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("mi_nano") == math.floor(math.log(2.0) * 1e9).toLong)
+  }
+
   test("recallAtK: approx rows outside the truth set never score") {
     val exact = Seq((1L, 10L)).toDF("qid", "nid")
     val approx = Seq((1L, 77L), (1L, 78L), (9L, 10L)).toDF("qid", "nid")

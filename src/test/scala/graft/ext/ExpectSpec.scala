@@ -66,6 +66,13 @@ class ExpectSpec extends SparkTestBase {
       (3L, "vector:zero_vec", 1L), (4L, "vector:norm_out", 2L)))
   }
 
+  test("vectorReport on an empty batch reads 0 violations, not NULL") {
+    val df = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v").filter($"id" < 0)
+    val rep = Expect.vectorReport(df, "v", 2, 0.5, 100.0)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rep.length == 5 && rep.forall(_._3 == 0L))
+  }
+
   test("vector checks: norm guard skips defective vectors, empty array") {
     // a NaN vector of the RIGHT dim must not also count norm_out (its
     // norm is garbage), and an empty array is wrong_dim but never zero_vec
