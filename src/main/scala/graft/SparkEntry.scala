@@ -3433,6 +3433,80 @@ object SparkEntry {
       graft.ext.Multimodal.decodeGifMeta(dirty)
         .orderBy(col("media_id"))
     }),
+    // CONTENT leg: real zlib PNGs (all five row filters planted), decoded
+    // pixel-for-pixel — stats + perceptual hashes must land on the exact
+    // integers the oracle re-derives from the pixel formula; doc 0's
+    // zeroed signature degrades to ok=false, never throws
+    "x_mm_pixels" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticGrayPngCorpus(docs, "doc_id",
+        col("doc_id") % 7, lit(9) + col("doc_id") % 8,
+        lit(8) + col("doc_id") % 6, col("doc_id") % 5)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'0000000000000000', substring(content, 9))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.imageContentStats(dirty)
+        .drop("ahash", "dhash")
+        .orderBy(col("media_id"))
+    }),
+    // image near-dup by aHash: 200 structural clusters (seed), bounded
+    // perturbations within (bump) — banded Hamming join, exact to radius 4.
+    // Cluster size stays O(corpus/200): identical fingerprints collide on
+    // all 56 banding tables, so cluster cardinality must not grow with SF
+    // (the 8-cluster variant measured 62 s at sf0.1 on pure key-group
+    // quadratics; 200 clusters holds the same recall proof at ~6 s)
+    "x_mm_imgdup" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticGrayPngCorpus(docs, "doc_id",
+        col("doc_id") % 200, lit(16), lit(16),
+        expr("CAST(doc_id DIV 200 AS BIGINT) % 5"))
+      graft.ext.Multimodal.imageNearDupPairs(media, maxHamming = 4)
+        .orderBy(col("i"), col("j"))
+    }),
+    // audio content: real PCM WAVs decoded sample-for-sample — loudness/
+    // peak/zero-cross integers + the energy-contour fingerprint; clips
+    // under 64 samples null the fingerprint, doc 0's zeroed RIFF degrades
+    "x_mm_audio" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticPcmCorpus(docs, "doc_id",
+        col("doc_id") % 9, lit(40) + (col("doc_id") % 50) * 4,
+        lit(8000) + (col("doc_id") % 3) * 4000)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00000000', substring(content, 5))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.audioContentStats(dirty)
+        .drop("fp")
+        .orderBy(col("media_id"))
+    }),
+    // exact binary dedup: digest-grouped (the shuffle moves 32-byte
+    // digests, never payloads); content is a pure function of doc_id % 13
+    // so the oracle is plain semantic group-by
+    "x_mm_bindedup" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticGrayPngCorpus(docs, "doc_id",
+        col("doc_id") % 13, lit(12), lit(10), lit(0))
+      graft.ext.Multimodal.binaryExactDedup(media)
+        .select(col("n_copies"), col("keep_id"))
+        .orderBy(col("keep_id"))
+    }),
+    // pixel-level quality screen: undecodable / too-small / extreme-aspect
+    // / near-blank flags from DECODED content (variance replayed exactly)
+    "x_mm_imgquality" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticGrayPngCorpus(docs, "doc_id",
+        col("doc_id") % 7, lit(6) + (col("doc_id") % 3) * 15,
+        lit(8) + col("doc_id") % 5, col("doc_id") % 4)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'0000000000000000', substring(content, 9))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.imageQualityScreen(
+          graft.ext.Multimodal.imageContentStats(dirty),
+          minPx = 150L, maxAspect = 2L, minVarMilli = 100L)
+        .orderBy(col("media_id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6382,6 +6456,82 @@ object SparkEntry {
       "CASE WHEN doc_id <> 0 THEN CAST(length(text) % 1080 + 1 AS BIGINT) END AS height, " +
       "CASE WHEN doc_id <> 0 THEN false END AS has_gct, " +
       "doc_id <> 0 AS trailer_ok FROM documents ORDER BY media_id"),
+    // full pixel replay: the engine must inflate + unfilter real zlib to
+    // land on these integers; hashes rebuilt bit-by-bit from cell means
+    "x_mm_pixels" -> ("WITH " +
+      pngHashCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
+        "doc_id % 5") + ", " +
+      "st AS (SELECT hh.*, CAST(len(p) AS BIGINT) AS n, " +
+      "CAST(list_sum(p) AS BIGINT) AS sl, " +
+      "CAST(list_sum([v*v for v in p]) AS BIGINT) AS sq FROM hh) " +
+      "SELECT doc_id AS media_id, doc_id <> 0 AS ok, " +
+      "CASE WHEN doc_id <> 0 THEN w END AS width, " +
+      "CASE WHEN doc_id <> 0 THEN h END AS height, " +
+      "CASE WHEN doc_id <> 0 THEN n END AS n_px, " +
+      "CASE WHEN doc_id <> 0 THEN sl END AS sum_luma, " +
+      "CASE WHEN doc_id <> 0 THEN sl*1000 // n END AS mean_milli, " +
+      "CASE WHEN doc_id <> 0 THEN (n*sq - sl*sl)*1000 // (n*n) END AS var_milli, " +
+      "CASE WHEN doc_id <> 0 THEN ahash_hi END AS ahash_hi, " +
+      "CASE WHEN doc_id <> 0 THEN ahash_lo END AS ahash_lo, " +
+      "CASE WHEN doc_id <> 0 THEN dhash_hi END AS dhash_hi, " +
+      "CASE WHEN doc_id <> 0 THEN dhash_lo END AS dhash_lo " +
+      "FROM st ORDER BY media_id"),
+    // O(n^2) pair oracle over the replayed aHashes (exact Hamming on the
+    // 32-bit halves — no signed-64 overflow); the engine's banded join
+    // must reproduce the pair set exactly (radius 4 <= the radius-6
+    // recall guarantee)
+    "x_mm_imgdup" -> ("WITH " +
+      pngHashCtes("doc_id % 200", "16", "16", "(doc_id // 200) % 5") + " " +
+      "SELECT a.doc_id AS i, b.doc_id AS j, " +
+      "CAST(bit_count(xor(a.ahash_hi, b.ahash_hi)) + " +
+      "bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT) AS hamming " +
+      "FROM hh a JOIN hh b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.ahash_hi, b.ahash_hi)) + " +
+      "bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 4 " +
+      "ORDER BY i, j"),
+    // sample-for-sample PCM replay: loudness/peak/zero-cross integers +
+    // the 63-bit energy-contour fingerprint (bit 0 always clear)
+    "x_mm_audio" -> ("WITH d AS (SELECT doc_id, doc_id % 9 AS seed, " +
+      "40 + (doc_id % 50)*4 AS n, 8000 + (doc_id % 3)*4000 AS sr FROM documents), " +
+      "s AS (SELECT d.*, [ ((seed*7919 + i*31 + (i*i) % 101) % 4001) - 2000 " +
+      "for i in range(0, n)] AS sm FROM d), " +
+      "e AS (SELECT s.*, [ CAST(list_sum([abs(sm[i+1]) " +
+      "for i in range((k*n)//64, ((k+1)*n)//64)]) AS BIGINT) " +
+      "for k in range(0, 64)] AS ew FROM s) " +
+      "SELECT doc_id AS media_id, doc_id <> 0 AS ok, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(1 AS BIGINT) END AS channels, " +
+      "CASE WHEN doc_id <> 0 THEN sr END AS sample_rate, " +
+      "CASE WHEN doc_id <> 0 THEN n END AS n_samples, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(list_sum([abs(v) for v in sm]) AS BIGINT) END AS sum_abs, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(list_max([abs(v) for v in sm]) AS BIGINT) END AS peak_abs, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(list_sum([CASE WHEN (sm[i] < 0) <> (sm[i+1] < 0) " +
+      "THEN 1 ELSE 0 END for i in range(1, n)]) AS BIGINT) END AS zero_cross, " +
+      "CASE WHEN doc_id <> 0 AND n >= 64 THEN " +
+      fpHalf("ew[k+1] > ew[k]", lo = false) + " END AS fp_hi, " +
+      "CASE WHEN doc_id <> 0 AND n >= 64 THEN " +
+      fpHalf("k > 0 AND ew[k+1] > ew[k]", lo = true) + " END AS fp_lo " +
+      "FROM e ORDER BY media_id"),
+    // semantic oracle: content is a pure function of doc_id % 13, so the
+    // digest groups ARE the residue classes
+    "x_mm_bindedup" -> ("SELECT CAST(COUNT(*) AS BIGINT) AS n_copies, " +
+      "CAST(MIN(doc_id) AS BIGINT) AS keep_id FROM documents " +
+      "GROUP BY doc_id % 13 ORDER BY keep_id"),
+    // flags replayed from the pixel formula, incl. exact integer variance
+    "x_mm_imgquality" -> ("WITH " +
+      pngPixelCtes("doc_id % 7", "6 + (doc_id % 3)*15", "8 + doc_id % 5",
+        "doc_id % 4") + ", " +
+      "st AS (SELECT px.*, CAST(len(p) AS BIGINT) AS n, " +
+      "CAST(list_sum(p) AS BIGINT) AS sl, " +
+      "CAST(list_sum([v*v for v in p]) AS BIGINT) AS sq FROM px), " +
+      "fl AS (SELECT doc_id, n, w, h, " +
+      "(n*sq - sl*sl)*1000 // (n*n) AS vm FROM st) " +
+      "SELECT doc_id AS media_id, doc_id = 0 AS undecodable, " +
+      "doc_id <> 0 AND n < 150 AS too_small, " +
+      "doc_id <> 0 AND greatest(w, h) > least(w, h) * 2 AS extreme_aspect, " +
+      "doc_id <> 0 AND vm < 100 AS near_blank, " +
+      "doc_id <> 0 AND n >= 150 AND greatest(w, h) <= least(w, h) * 2 " +
+      "AND vm >= 100 AS keep " +
+      "FROM fl ORDER BY media_id"),
   )
 
   /** DuckDB replica of TextAnalysis.langProfiles hit counts (one column per
@@ -7108,6 +7258,56 @@ object SparkEntry {
       (1 to k).map(r =>
         s"SELECT id AS vec_id, CAST($r AS BIGINT) AS rank, score FROM p$r")
         .mkString(" UNION ALL ") + " ORDER BY rank"
+  }
+
+  /** Pixel-replay CTEs for the PNG content gates: `d` (planted params
+    * from doc_id) and `px` (the per-doc pixel list from the
+    * [[graft.ext.GrayPngEncode]] contract — t = x·5 + y·11 + seed·131,
+    * pixel = ((t² mod 251) + t + [(x·7+y·11) mod 97 < bump]) mod 256).
+    * The engine side must inflate + unfilter real zlib IDAT to land on
+    * the same integers. */
+  private def pngPixelCtes(seedSql: String, wSql: String, hSql: String,
+      bumpSql: String): String = {
+    val t = "(x*5 + y*11 + seed*131)"
+    val pixel = s"((($t*$t) % 251 + $t + " +
+      "CASE WHEN (x*7 + y*11) % 97 < bump THEN 1 ELSE 0 END) % 256)"
+    s"d AS (SELECT doc_id, $seedSql AS seed, $wSql AS w, $hSql AS h, " +
+      s"$bumpSql AS bump FROM documents), " +
+      s"px AS (SELECT d.*, flatten([[ $pixel for x in range(0, w)] " +
+      "for y in range(0, h)]) AS p FROM d)"
+  }
+
+  /** The gw×8 cell-mean grid in milli units over px.p — the integer
+    * downsample both perceptual hashes threshold on (boundaries
+    * floor(c·extent/grid), floor division throughout). */
+  private def pngCellsExpr(gw: Int): String =
+    s"[ (CAST(list_sum(flatten([[ p[y*w + x + 1] " +
+      s"for x in range(((i % $gw)*w)//$gw, ((i % $gw) + 1)*w//$gw)] " +
+      s"for y in range(((i // $gw)*h)//8, ((i // $gw) + 1)*h//8)])) AS BIGINT) * 1000) // " +
+      s"( ((((i // $gw) + 1)*h)//8 - ((i // $gw)*h)//8) * " +
+      s"((((i % $gw) + 1)*w)//$gw - ((i % $gw)*w)//$gw) ) " +
+      s"for i in range(0, ${gw * 8}) ]"
+
+  /** One 32-bit half of a 64-bit fingerprint: Σ 2^k over bits whose
+    * per-bit condition (in lambda var k) holds. */
+  private def fpHalf(cond: String, lo: Boolean): String =
+    if (lo) s"CAST(list_sum([CASE WHEN $cond THEN (1::BIGINT << k) " +
+      "ELSE 0 END for k in range(0, 32)]) AS BIGINT)"
+    else s"CAST(list_sum([CASE WHEN $cond THEN (1::BIGINT << (k - 32)) " +
+      "ELSE 0 END for k in range(32, 64)]) AS BIGINT)"
+
+  /** Full perceptual-hash replay chain ending in
+    * hh(doc_id, w, h, p, ahash_hi/lo, dhash_hi/lo). */
+  private def pngHashCtes(seedSql: String, wSql: String, hSql: String,
+      bumpSql: String): String = {
+    val aCond = "c8[k+1] > gm"
+    val dCond = "c9[(k//8)*9 + (k%8) + 2] > c9[(k//8)*9 + (k%8) + 1]"
+    pngPixelCtes(seedSql, wSql, hSql, bumpSql) + ", " +
+      s"cc AS (SELECT px.*, ${pngCellsExpr(8)} AS c8, ${pngCellsExpr(9)} AS c9 FROM px), " +
+      "gg AS (SELECT cc.*, CAST(list_sum(c8) AS BIGINT) // 64 AS gm FROM cc), " +
+      "hh AS (SELECT doc_id, w, h, p, " +
+      s"${fpHalf(aCond, lo = false)} AS ahash_hi, ${fpHalf(aCond, lo = true)} AS ahash_lo, " +
+      s"${fpHalf(dCond, lo = false)} AS dhash_hi, ${fpHalf(dCond, lo = true)} AS dhash_lo FROM gg)"
   }
 
   private def kmeansChain(ptsSql: String, sfx: String = ""): String =

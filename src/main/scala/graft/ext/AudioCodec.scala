@@ -1,0 +1,249 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/** Pure-JVM PCM WAV sample codec — the audio CONTENT leg (the container
+  * walk lives in [[Multimodal.decodeWavMeta]]). 16-bit PCM needs no
+  * codec library at all: samples are little-endian int16s in the `data`
+  * chunk. Decoding them yields the content signals a curation pipeline
+  * screens on — exact integer loudness (Σ|s|), peak, zero-crossing rate
+  * (the classic voiced/unvoiced + silence discriminator), and a 63-bit
+  * energy-contour fingerprint (sign of the windowed-energy delta — the
+  * shape of Haitsma-Kalker audio fingerprinting, over one band) for
+  * near-dup detection via [[Hamming64]]. All integers, so a SQL
+  * comprehension replays every field. One CodegenFallback expression,
+  * one pass per row, zero shuffle. */
+private[ext] object WavKernel {
+
+  /** Decoded mono-PCM view: sample values as Ints. */
+  final case class Pcm(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      samples: Array[Int])
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def le2(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le4(b: Array[Byte], i: Int): Long =
+    (le2(b, i).toLong | (le2(b, i + 2).toLong << 16)) & 0xFFFFFFFFL
+
+  /** Decode a PCM WAV's samples. Null on anything unsupported/malformed:
+    * bad RIFF/WAVE magic, non-PCM format tag, bits-per-sample other than
+    * 16, truncated chunks. Multi-channel input is reduced to mono by the
+    * exact per-frame integer mean (floor toward negative infinity —
+    * `Math.floorDiv` — so the arithmetic is sign-stable and replayable). */
+  def decodePcm(wav: Array[Byte]): Pcm = {
+    if (wav == null || wav.length < 12) return null
+    if (!(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F' &&
+      wav(8) == 'W' && wav(9) == 'A' && wav(10) == 'V' && wav(11) == 'E'))
+      return null
+    var pos = 12
+    var channels = -1; var sampleRate = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= wav.length && (channels < 0 || dataOff < 0)) {
+      val id = new String(wav, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = le4(wav, pos + 4)
+      if (len < 0 || pos + 8 + len > wav.length) return null
+      id match {
+        case "fmt " =>
+          if (len < 16) return null
+          val fmtTag = le2(wav, pos + 8)
+          if (fmtTag != 1) return null // PCM only
+          channels = le2(wav, pos + 10)
+          sampleRate = le4(wav, pos + 12).toInt
+          bits = le2(wav, pos + 22)
+        case "data" =>
+          dataOff = pos + 8; dataLen = len.toInt
+        case _ => ()
+      }
+      pos += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    if (channels < 1 || dataOff < 0 || bits != 16) return null
+    val frameBytes = channels * 2
+    val nFrames = dataLen / frameBytes
+    val samples = new Array[Int](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var acc = 0L; var c = 0
+      while (c < channels) {
+        val v = le2(wav, dataOff + f * frameBytes + c * 2)
+        acc += (if (v >= 0x8000) v - 0x10000 else v) // sign-extend int16
+        c += 1
+      }
+      samples(f) = Math.floorDiv(acc, channels).toInt
+      f += 1
+    }
+    Pcm(channels, sampleRate, bits, samples)
+  }
+
+  /** 63-bit energy-contour fingerprint: 64 windows with the standard
+    * integer boundaries floor(k·n/64), e_k = Σ|s| in window k, bit k
+    * (k = 1..63) set iff e_k > e_{k−1}. Needs n ≥ 64 (else
+    * Long.MinValue sentinel → callers emit null). Bit 0 is always 0, so
+    * the value is nonnegative. */
+  def energyFingerprint(samples: Array[Int]): Long = {
+    val n = samples.length
+    if (n < 64) return Long.MinValue
+    val e = new Array[Long](64)
+    var k = 0
+    while (k < 64) {
+      val i0 = (k.toLong * n / 64).toInt
+      val i1 = ((k + 1).toLong * n / 64).toInt
+      var s = 0L; var i = i0
+      while (i < i1) { s += math.abs(samples(i).toLong); i += 1 }
+      e(k) = s
+      k += 1
+    }
+    var fp = 0L; k = 1
+    while (k < 64) { if (e(k) > e(k - 1)) fp |= (1L << k); k += 1 }
+    fp
+  }
+
+  /** Encode a minimal mono 16-bit PCM WAV from a sample function. */
+  def encodePcm16Mono(nSamples: Int, sampleRate: Int,
+      sample: Int => Int): Array[Byte] = {
+    require(nSamples >= 0 && sampleRate > 0, s"bad $nSamples @$sampleRate")
+    val dataLen = nSamples * 2
+    val out = new Array[Byte](44 + dataLen)
+    def ascii(o: Int, s: String): Unit = {
+      var i = 0; while (i < s.length) { out(o + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def w2(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def w4(o: Int, v: Long): Unit = { w2(o, (v & 0xFFFF).toInt); w2(o + 2, ((v >> 16) & 0xFFFF).toInt) }
+    ascii(0, "RIFF"); w4(4, 36L + dataLen); ascii(8, "WAVE")
+    ascii(12, "fmt "); w4(16, 16L); w2(20, 1); w2(22, 1)
+    w4(24, sampleRate.toLong); w4(28, sampleRate.toLong * 2)
+    w2(32, 2); w2(34, 16)
+    ascii(36, "data"); w4(40, dataLen.toLong)
+    var i = 0
+    while (i < nSamples) {
+      w2(44 + i * 2, sample(i) & 0xFFFF)
+      i += 1
+    }
+    out
+  }
+}
+
+/** Content statistics from a PCM-WAV binary column: ok flag, layout,
+  * exact loudness/peak/zero-crossing integers, and the energy-contour
+  * fingerprint split into nonneg hi/lo 32-bit-half longs (null when the
+  * clip is shorter than 64 samples). Undecodable → ok=false, nulls,
+  * never a throw. */
+case class WavPcmStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("ok", BooleanType, nullable = false),
+    StructField("channels", LongType),
+    StructField("sample_rate", LongType),
+    StructField("n_samples", LongType),
+    StructField("sum_abs", LongType),
+    StructField("peak_abs", LongType),
+    StructField("zero_cross", LongType),
+    StructField("fp_hi", LongType),
+    StructField("fp_lo", LongType)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"wav_pcm_stats requires binary, got $other")
+  }
+
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val bytes = child.eval(input) match {
+      case null => null
+      case b => b.asInstanceOf[Array[Byte]]
+    }
+    val p = WavKernel.decodePcm(bytes)
+    if (p == null)
+      return InternalRow(false, null, null, null, null, null, null, null, null)
+    var sumAbs = 0L; var peak = 0L; var zc = 0L
+    var i = 0
+    while (i < p.samples.length) {
+      val v = p.samples(i).toLong
+      val a = math.abs(v)
+      sumAbs += a; if (a > peak) peak = a
+      // crossing: sign flip between consecutive samples, sign(0) = +
+      if (i > 0) {
+        val prevNeg = p.samples(i - 1) < 0
+        if (prevNeg != (v < 0)) zc += 1
+      }
+      i += 1
+    }
+    val fp = WavKernel.energyFingerprint(p.samples)
+    val (fpHi, fpLo): (Any, Any) =
+      if (fp == Long.MinValue) (null, null)
+      else ((fp >>> 32) & 0xFFFFFFFFL, fp & 0xFFFFFFFFL)
+    InternalRow(true, p.channels.toLong, p.sampleRate.toLong,
+      p.samples.length.toLong, sumAbs, peak, zc, fpHi, fpLo)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WavPcmStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "wav_pcm_stats"
+}
+
+object WavPcmStats {
+  def apply(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      WavPcmStats(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+}
+
+/** Deterministic mono 16-bit PCM WAV fixture generator (the testdata
+  * ships no audio). Sample contract, replayable by any engine:
+  * s(i) = ((seed·7919 + i·31 + (i·i mod 101)) mod 4001) − 2000
+  * — a pseudo-noisy signal spanning both signs with data-dependent
+  * energy contour. Runs distributed inside the scan. */
+case class PcmWavEncode(seed: Expression, nSamples: Expression,
+    sampleRate: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(seed, nSamples, sampleRate)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(c => c.dataType == LongType || c.dataType == IntegerType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "pcm_wav_encode requires integer children")
+
+  private def longOf(e: Expression, input: InternalRow): java.lang.Long =
+    e.eval(input) match {
+      case null => null
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long => l
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val s = longOf(seed, input); val n = longOf(nSamples, input)
+    val sr = longOf(sampleRate, input)
+    if (s == null || n == null || sr == null) return null
+    if (n < 0 || n > (1L << 22) || sr <= 0) return null
+    val sv = s.longValue()
+    WavKernel.encodePcm16Mono(n.intValue(), sr.intValue(),
+      i => (((sv * 7919 + i.toLong * 31 + (i.toLong * i % 101)) % 4001).toInt
+        + 4001) % 4001 - 2000)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PcmWavEncode =
+    PcmWavEncode(newChildren(0), newChildren(1), newChildren(2))
+
+  override def prettyName: String = "pcm_wav_encode"
+}
+
+object PcmWavEncode {
+  def apply(seed: Column, nSamples: Column, sampleRate: Column): Column = {
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    b.column(PcmWavEncode(b.expression(seed), b.expression(nSamples),
+      b.expression(sampleRate)))
+  }
+}

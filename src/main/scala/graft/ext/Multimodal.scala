@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -464,4 +464,95 @@ object Multimodal {
       }
     out.toDF()
   }
+
+  // ---------------- content leg (real pixel / sample decode) ----------
+
+  /** Synthesize a REAL grayscale-PNG corpus from an id frame — one
+    * [[GrayPngEncode]] image per row, parameters derived from the id so
+    * [[seed]]-sharing rows form near-dup clusters. Runs distributed
+    * (the encoder is an expression inside the projection). */
+  def syntheticGrayPngCorpus(df: DataFrame, idCol: String, seed: Column,
+      w: Column, h: Column, bump: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      GrayPngEncode(seed.cast("long"), w.cast("long"), h.cast("long"),
+        lit(11L), lit(5L), bump.cast("long")).as("content"))
+
+  /** Decode PNG content to per-image pixel statistics + perceptual
+    * hashes — ONE [[PngGrayStats]] evaluation per row, flattened. The
+    * full 64-bit fingerprints are rebuilt from the hi/lo halves for
+    * [[imageNearDupPairs]]. Zero shuffle; at 100 TB this is a linear
+    * scan emitting 13 small columns per image. */
+  def imageContentStats(media: DataFrame): DataFrame =
+    media.withColumn("__s", PngGrayStats(col("content")))
+      .select(col("media_id"), col("__s.ok").as("ok"),
+        col("__s.width").as("width"), col("__s.height").as("height"),
+        col("__s.n_px").as("n_px"), col("__s.sum_luma").as("sum_luma"),
+        col("__s.mean_milli").as("mean_milli"),
+        col("__s.var_milli").as("var_milli"),
+        col("__s.ahash_hi").as("ahash_hi"), col("__s.ahash_lo").as("ahash_lo"),
+        col("__s.dhash_hi").as("dhash_hi"), col("__s.dhash_lo").as("dhash_lo"),
+        shiftleft(col("__s.ahash_hi"), 32).bitwiseOR(col("__s.ahash_lo"))
+          .as("ahash"),
+        shiftleft(col("__s.dhash_hi"), 32).bitwiseOR(col("__s.dhash_lo"))
+          .as("dhash"))
+
+  /** Image near-duplicate pairs by perceptual hash: decode → aHash →
+    * [[Hamming64.pairs]] (banded candidate join, exact recall to
+    * Hamming ≤ 6, never all-pairs). Output (i, j, hamming), i < j. */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 4): DataFrame =
+    Hamming64.pairs(
+      imageContentStats(media).filter(col("ahash_hi").isNotNull),
+      "media_id", "ahash", maxHamming)
+
+  /** Content-derived image quality screen over [[imageContentStats]]
+    * output — the pixel-level flags a crawl pipeline drops on:
+    * undecodable bytes, images below a pixel floor, extreme aspect
+    * ratios (banner/sliver artwork), near-blank frames (luma variance
+    * under `minVarMilli` — solid fills, tracking pixels). All exact
+    * integer comparisons; `keep` is the conjunction. */
+  def imageQualityScreen(stats: DataFrame, minPx: Long = 64L,
+      maxAspect: Long = 4L, minVarMilli: Long = 100L): DataFrame =
+    stats.select(col("media_id"),
+        (!col("ok")).as("undecodable"),
+        (col("ok") && col("n_px") < minPx).as("too_small"),
+        (col("ok") && greatest(col("width"), col("height")) >
+          least(col("width"), col("height")) * maxAspect).as("extreme_aspect"),
+        (col("ok") && col("var_milli") < minVarMilli).as("near_blank"))
+      .withColumn("keep", !col("undecodable") && !col("too_small") &&
+        !col("extreme_aspect") && !col("near_blank"))
+
+  /** Synthesize a REAL mono 16-bit PCM WAV corpus ([[PcmWavEncode]]),
+    * distributed. */
+  def syntheticPcmCorpus(df: DataFrame, idCol: String, seed: Column,
+      nSamples: Column, sampleRate: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      PcmWavEncode(seed.cast("long"), nSamples.cast("long"),
+        sampleRate.cast("long")).as("content"))
+
+  /** Decode PCM-WAV content to loudness/peak/zero-crossing integers and
+    * the energy-contour fingerprint ([[WavPcmStats]]), flattened, with
+    * the rebuilt 64-bit fingerprint for [[Hamming64]]. Zero shuffle. */
+  def audioContentStats(media: DataFrame): DataFrame =
+    media.withColumn("__s", WavPcmStats(col("content")))
+      .select(col("media_id"), col("__s.ok").as("ok"),
+        col("__s.channels").as("channels"),
+        col("__s.sample_rate").as("sample_rate"),
+        col("__s.n_samples").as("n_samples"),
+        col("__s.sum_abs").as("sum_abs"), col("__s.peak_abs").as("peak_abs"),
+        col("__s.zero_cross").as("zero_cross"),
+        col("__s.fp_hi").as("fp_hi"), col("__s.fp_lo").as("fp_lo"),
+        shiftleft(col("__s.fp_hi"), 32).bitwiseOR(col("__s.fp_lo")).as("fp"))
+
+  /** Exact binary dedup over an opaque content column — the media twin
+    * of the text exact-dedup family: group by sha2-256 of the bytes,
+    * keep the minimum id per group. The 100 TB shape: the shuffle moves
+    * (32-byte digest, id) pairs, NEVER the binary payloads; payload
+    * bytes are read once in the scan projection that computes the
+    * digest. Output: (content_sha, n_copies, keep_id). */
+  def binaryExactDedup(media: DataFrame, idCol: String = "media_id",
+      contentCol: String = "content"): DataFrame =
+    media.select(sha2(col(contentCol), 256).as("content_sha"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(col("content_sha"))
+      .agg(count(lit(1)).as("n_copies"), min(col("__id")).as("keep_id"))
 }

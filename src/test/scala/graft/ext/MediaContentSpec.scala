@@ -1,0 +1,256 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The multimodal CONTENT leg: real PNG pixel decode (zlib inflate + all
+  * five unfilters), perceptual hashes, PCM sample decode, and the
+  * media dedup/quality operators built on them. The decoder is
+  * cross-checked BOTH directions against the JDK's own ImageIO PNG
+  * codec — our encode read by ImageIO, ImageIO's encode read by us. */
+class MediaContentSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def pix(seed: Long, rs: Long, cs: Long, bump: Long)(
+      x: Int, y: Int): Int = {
+    val t = x * cs + y * rs + seed * 131
+    val tq = ((t % 251) * (t % 251)) % 251
+    val b = if ((x * 7 + y * 11) % 97 < bump) 1 else 0
+    ((((tq + t + b) % 256) + 256) % 256).toInt
+  }
+
+  test("PNG roundtrip through all five filter types") {
+    val w = 23; val h = 17
+    val f = pix(99, 11, 5, 3) _
+    for (filter <- 0 to 4) {
+      val png = PngKernel.encodeGray(w, h, f, _ => filter)
+      val g = PngKernel.decodeGray(png)
+      assert(g != null && g.width == w && g.height == h, s"filter $filter")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(g.luma(y * w + x) == f(x, y), s"filter $filter ($x,$y)")
+    }
+    // mixed filters per row — the gate generator's layout
+    val png = PngKernel.encodeGray(w, h, f, y => y % 5)
+    val g = PngKernel.decodeGray(png)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(g.luma(y * w + x) == f(x, y))
+  }
+
+  test("our PNG is readable by ImageIO, pixel-identical") {
+    val w = 19; val h = 13
+    val f = pix(42, 7, 3, 5) _
+    val png = PngKernel.encodeGray(w, h, f, y => (2 + y) % 5)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      assert(raster.getSample(x, y, 0) == f(x, y), s"($x,$y)")
+  }
+
+  test("ImageIO-written PNGs (gray and RGB) decode pixel-identically") {
+    val w = 31; val h = 11
+    // grayscale
+    val gi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gi.getRaster.setSample(x, y, 0, (x * 13 + y * 29) % 256)
+    val gout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gi, "png", gout)
+    val g = PngKernel.decodeGray(gout.toByteArray)
+    assert(g != null && g.width == w && g.height == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(g.luma(y * w + x) == (x * 13 + y * 29) % 256)
+    // RGB: decode must apply the documented integer BT.601 luma
+    val ci = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 7) % 256; val gg = (y * 11) % 256; val b = (x + y) % 256
+      ci.setRGB(x, y, (r << 16) | (gg << 8) | b)
+    }
+    val cout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(ci, "png", cout)
+    val c = PngKernel.decodeGray(cout.toByteArray)
+    assert(c != null && c.width == w && c.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 7) % 256; val gg = (y * 11) % 256; val b = (x + y) % 256
+      assert(c.luma(y * w + x) == ((77 * r + 150 * gg + 29 * b) >> 8))
+    }
+  }
+
+  test("dirty bytes never throw: truncation, bad magic, unsupported layouts") {
+    val good = PngKernel.encodeGray(9, 9, pix(1, 11, 5, 0) _, _ => 0)
+    assert(PngKernel.decodeGray(null) == null)
+    assert(PngKernel.decodeGray(Array.emptyByteArray) == null)
+    assert(PngKernel.decodeGray("not a png at all".getBytes) == null)
+    for (cut <- Seq(4, 12, 30, good.length - 5))
+      assert(PngKernel.decodeGray(good.take(cut)) == null, s"cut $cut")
+    // corrupt the IDAT payload: inflate must fail cleanly
+    val bad = good.clone()
+    bad(good.length - 20) = (bad(good.length - 20) ^ 0x55).toByte
+    assert(PngKernel.decodeGray(bad) == null ||
+      PngKernel.decodeGray(bad) != null) // never throws either way
+  }
+
+  test("aHash/dHash: identical pixels identical, small bump close, noise far") {
+    def hashes(seed: Long, bump: Long) = {
+      val g = PngKernel.decodeGray(
+        PngKernel.encodeGray(16, 16, pix(seed, 11, 5, bump) _, y => y % 5))
+      (PngKernel.ahash(g), PngKernel.dhash(g))
+    }
+    val (a0, d0) = hashes(3, 0)
+    val (a0b, d0b) = hashes(3, 0)
+    assert(a0 == a0b && d0 == d0b)
+    val (a1, _) = hashes(3, 2) // few-pixel bump: near-dup
+    assert(java.lang.Long.bitCount(a0 ^ a1) <= 4)
+    val (a2, _) = hashes(77, 0) // different base image
+    assert(java.lang.Long.bitCount(a0 ^ a2) > 6)
+    // too-small images yield the sentinel
+    val tiny = PngKernel.decodeGray(
+      PngKernel.encodeGray(4, 4, pix(1, 1, 1, 0) _, _ => 0))
+    assert(PngKernel.ahash(tiny) == Long.MinValue)
+  }
+
+  test("ahash pins to the independently-computed SQL-replay value") {
+    // value cross-computed in DuckDB from the documented pixel contract
+    // (seed 3, 9x8, bump 2): any drift in cells/mean/bit arithmetic on
+    // either side breaks the x_mm_* oracle parity
+    val g = PngKernel.decodeGray(
+      PngKernel.encodeGray(9, 8, pix(3, 11, 5, 2) _, y => (3 + y) % 5))
+    assert(g.luma.map(_.toLong).sum == 8944L)
+    val ah = PngKernel.ahash(g)
+    assert(((ah >>> 32) & 0xFFFFFFFFL) == 1205505117L)
+    assert((ah & 0xFFFFFFFFL) == 2345742831L)
+  }
+
+  test("Hamming64.pairs: exact recall to radius 6, none beyond") {
+    // fingerprints at controlled distances from a base
+    val base = 0x0123456789ABCDEFL
+    def flip(fp: Long, bits: Seq[Int]): Long =
+      bits.foldLeft(fp)((acc, b) => acc ^ (1L << b))
+    val rows = Seq(
+      (1L, base), (2L, flip(base, Seq(0))), (3L, flip(base, Seq(1, 17, 33))),
+      (4L, flip(base, Seq(2, 12, 22, 32, 42, 52))), // hamming 6
+      (5L, flip(base, Seq(3, 13, 23, 33, 43, 53, 63))), // hamming 7: out
+      (6L, ~base)).toDF("id", "fp")
+    val got = Hamming64.pairs(rows, "id", "fp", maxHamming = 6)
+      .filter($"i" === 1L).orderBy("j").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((2L, 1L), (3L, 3L), (4L, 6L)))
+  }
+
+  test("imageContentStats via DataFrame matches the kernel, flags dirt") {
+    val ids = spark.range(6).toDF("doc_id")
+    val media = Multimodal.syntheticGrayPngCorpus(ids, "doc_id",
+      col("doc_id") % 4, lit(16), lit(12), col("doc_id") % 3)
+      // row 6: planted garbage bytes
+      .unionAll(Seq((99L, "garbage".getBytes)).toDF("media_id", "content"))
+    val st = Multimodal.imageContentStats(media).orderBy("media_id").collect()
+    assert(st.length == 7)
+    val bad = st.last
+    assert(!bad.getAs[Boolean]("ok") && bad.isNullAt(bad.fieldIndex("width")))
+    st.dropRight(1).foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val s = id % 4
+      val g = PngKernel.decodeGray(PngKernel.encodeGray(16, 12,
+        pix(s, 11, 5, id % 3) _, y => ((s + y) % 5).toInt))
+      assert(r.getAs[Long]("n_px") == 192L)
+      assert(r.getAs[Long]("sum_luma") == g.luma.map(_.toLong).sum)
+      val ah = PngKernel.ahash(g)
+      assert(r.getAs[Long]("ahash") == ah)
+      assert(r.getAs[Long]("ahash_hi") == ((ah >>> 32) & 0xFFFFFFFFL))
+    }
+  }
+
+  test("imageNearDupPairs: seed clusters pair up, cross-seed doesn't") {
+    val ids = spark.range(12).toDF("doc_id")
+    // 3 seed clusters of 4, bumps 0..3 within each
+    val media = Multimodal.syntheticGrayPngCorpus(ids, "doc_id",
+      col("doc_id") % 3, lit(16), lit(16), col("doc_id") / lit(3))
+    val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 4).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) % 3 == r.getLong(1) % 3,
+        s"cross-seed pair ${r.getLong(0)},${r.getLong(1)}")
+    }
+  }
+
+  test("imageQualityScreen: blank, sliver, tiny, undecodable flags") {
+    val rows = Seq(
+      // ok, n_px, w, h, var
+      (1L, true, 400L, 20L, 20L, 5000L), // keeper
+      (2L, true, 400L, 20L, 20L, 10L), // near-blank
+      (3L, true, 200L, 100L, 2L, 5000L), // sliver
+      (4L, true, 16L, 4L, 4L, 5000L), // tiny
+      (5L, false, -1L, -1L, -1L, -1L)) // undecodable
+      .toDF("media_id", "ok", "n_px", "width", "height", "var_milli")
+      .select(col("media_id"), col("ok"),
+        when(col("ok"), col("width")).as("width"),
+        when(col("ok"), col("height")).as("height"),
+        when(col("ok"), col("n_px")).as("n_px"),
+        when(col("ok"), col("var_milli")).as("var_milli"))
+    val s = Multimodal.imageQualityScreen(rows).orderBy("media_id").collect()
+    assert(s.map(_.getAs[Boolean]("keep")).toSeq ==
+      Seq(true, false, false, false, false))
+    assert(s(1).getAs[Boolean]("near_blank"))
+    assert(s(2).getAs[Boolean]("extreme_aspect"))
+    assert(s(3).getAs[Boolean]("too_small"))
+    assert(s(4).getAs[Boolean]("undecodable"))
+  }
+
+  private def sample(seed: Long)(i: Int): Int =
+    (((seed * 7919 + i.toLong * 31 + (i.toLong * i % 101)) % 4001).toInt
+      + 4001) % 4001 - 2000
+
+  test("WAV PCM roundtrip: encode, decode, exact sample parity") {
+    val wav = WavKernel.encodePcm16Mono(200, 8000, sample(5))
+    val p = WavKernel.decodePcm(wav)
+    assert(p != null && p.channels == 1 && p.sampleRate == 8000 &&
+      p.samples.length == 200)
+    (0 until 200).foreach(i => assert(p.samples(i) == sample(5)(i), s"i=$i"))
+    // the container-metadata walk agrees with the sample decoder
+    val meta = Multimodal.decodeWavMeta(
+      Seq((1L, wav)).toDF("media_id", "content")).head()
+    assert(meta.getAs[Boolean]("is_pcm") && meta.getAs[Long]("channels") == 1 &&
+      meta.getAs[Long]("sample_rate") == 8000 &&
+      meta.getAs[Long]("data_bytes") == 400)
+  }
+
+  test("WAV dirty bytes and short clips degrade, never throw") {
+    assert(WavKernel.decodePcm(null) == null)
+    assert(WavKernel.decodePcm("RIFFnope".getBytes) == null)
+    val wav = WavKernel.encodePcm16Mono(100, 8000, sample(1))
+    assert(WavKernel.decodePcm(wav.take(30)) == null)
+    assert(WavKernel.energyFingerprint(Array.fill(63)(5)) == Long.MinValue)
+  }
+
+  test("audioContentStats: exact integers + fingerprint, via DataFrame") {
+    val ids = spark.range(4).toDF("doc_id")
+    val media = Multimodal.syntheticPcmCorpus(ids, "doc_id",
+      col("doc_id"), lit(128L) + col("doc_id") * 16, lit(8000L))
+    val st = Multimodal.audioContentStats(media).orderBy("media_id").collect()
+    st.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val n = (128 + id * 16).toInt
+      val ss = (0 until n).map(sample(id))
+      assert(r.getAs[Boolean]("ok") && r.getAs[Long]("n_samples") == n)
+      assert(r.getAs[Long]("sum_abs") == ss.map(v => math.abs(v.toLong)).sum)
+      assert(r.getAs[Long]("peak_abs") == ss.map(v => math.abs(v.toLong)).max)
+      val zc = (1 until n).count(i => (ss(i - 1) < 0) != (ss(i) < 0))
+      assert(r.getAs[Long]("zero_cross") == zc.toLong)
+      val fp = WavKernel.energyFingerprint(ss.toArray)
+      assert(r.getAs[Long]("fp") == fp)
+    }
+  }
+
+  test("binaryExactDedup groups identical payloads, keeps min id") {
+    val ids = spark.range(9).toDF("doc_id")
+    // content depends only on doc_id % 3 -> 3 groups of 3
+    val media = Multimodal.syntheticGrayPngCorpus(ids, "doc_id",
+      col("doc_id") % 3, lit(10), lit(10), lit(0))
+    val d = Multimodal.binaryExactDedup(media).orderBy("keep_id").collect()
+    assert(d.length == 3)
+    assert(d.map(_.getAs[Long]("n_copies")).toSeq == Seq(3L, 3L, 3L))
+    assert(d.map(_.getAs[Long]("keep_id")).toSeq == Seq(0L, 1L, 2L))
+  }
+}
