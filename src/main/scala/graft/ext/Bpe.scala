@@ -234,83 +234,255 @@ object Bpe {
     val rows = wt.limit(maxTypes + 1).collect()
     require(rows.length <= maxTypes,
       s"word-type table exceeds maxTypes=$maxTypes; raise minFreq " +
-        "(vocabulary floor) or maxTypes")
-    val syms = rows.map(_.getString(0).split(""))
-    val freq = rows.map(_.getLong(1))
-
-    // UTF-8 byte order == Spark's UTF8String sort order
-    def cmpUtf8(x: String, y: String): Int = {
-      val bx = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val by = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0
-      val n = math.min(bx.length, by.length)
-      while (i < n) {
-        val c = (bx(i) & 0xff) - (by(i) & 0xff)
-        if (c != 0) return c
-        i += 1
-      }
-      bx.length - by.length
-    }
-    implicit val pairOrd: Ordering[(Long, String, String)] =
-      new Ordering[(Long, String, String)] {
-        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
-          val c = java.lang.Long.compare(y._1, x._1) // cnt DESC
-          if (c != 0) c
-          else {
-            val ca = cmpUtf8(x._2, y._2)
-            if (ca != 0) ca else cmpUtf8(x._3, y._3)
-          }
-        }
-      }
-    val pairCnt = scala.collection.mutable.HashMap
-      .empty[(String, String), Long]
-    val pairWords = scala.collection.mutable.HashMap
-      .empty[(String, String), scala.collection.mutable.Set[Int]]
-    val sorted = scala.collection.mutable.TreeSet
-      .empty[(Long, String, String)]
-
-    def wordPairs(s: Array[String]): scala.collection.mutable.HashMap[(String, String), Long] = {
-      val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      var i = 0
-      while (i < s.length - 1) {
-        val p = (s(i), s(i + 1))
-        m.update(p, m.getOrElse(p, 0L) + 1L)
-        i += 1
-      }
-      m
-    }
-    def bump(p: (String, String), delta: Long, w: Int, present: Boolean): Unit = {
-      val old = pairCnt.getOrElse(p, 0L)
-      if (old != 0L) sorted.remove((old, p._1, p._2))
-      val nu = old + delta
-      if (nu != 0L) { pairCnt.update(p, nu); sorted.add((nu, p._1, p._2)) }
-      else pairCnt.remove(p)
-      val set = pairWords.getOrElseUpdate(p,
-        scala.collection.mutable.Set.empty[Int])
-      if (present) set.add(w) else set.remove(w)
-      if (set.isEmpty) pairWords.remove(p)
-    }
-    var w = 0
-    while (w < syms.length) {
-      wordPairs(syms(w)).foreach { case (p, k) => bump(p, k * freq(w), w, present = true) }
-      w += 1
-    }
-    def applyLocal(s: Array[String], a: String, b: String): Array[String] = {
-      val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
-      val ab = a + b
-      var i = 0
-      while (i < s.length) {
-        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += ab; i += 2 }
-        else { out += s(i); i += 1 }
-      }
-      out.toArray
-    }
+        "(vocabulary floor), maxTypes, or switch to trainSharded " +
+        "(the distributed fallback for type tables no driver holds)")
+    val st = new BpeShardState(rows.map(_.getString(0).split("")),
+      rows.map(_.getLong(1)))
     val learned =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
-    while (step <= merges && sorted.nonEmpty) {
-      val (cnt, a, b) = sorted.head
+    var head = st.head
+    while (step <= merges && head.isDefined) {
+      val (cnt, a, b) = head.get
       learned += ((step, a, b, cnt))
+      st.applyMergesInOrder(Seq((a, b)))
+      head = st.head
+      step += 1
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("step", "sym_a", "sym_b", "cnt")
+  }
+
+  /** The distributed fallback for the [[trainLocal]] maxTypes refusal:
+    * deep merge lists over a type table NO driver can hold. The type
+    * table shards by word hash; each shard holds the SAME incremental
+    * state trainLocal keeps (pair counts + sorted pair set + touched-type
+    * index), and pair statistics are additive across shards because every
+    * pair occurrence lives inside one word. Per driver round:
+    *
+    *  1. one tiny job collects each shard's top-`probe` page (plus the
+    *     page-bottom count — any pair ABSENT from a shard's page has at
+    *     most that count there, so Σ bottoms bounds every unseen pair);
+    *  2. one job fetches the EXACT global counts of the union candidate
+    *     set (broadcast out, reduceByKey back — candidate-sized, never
+    *     corpus-sized);
+    *  3. the driver runs [[trainBatched]]'s interaction-free acceptance
+    *     scan over the exactly-counted candidates, additionally stopping
+    *     at the unseen-tail bound: a candidate is certified as the next
+    *     sequential argmax only while its count strictly exceeds both
+    *     the interaction barrier and Σ bottoms. If even the head can't
+    *     certify, the page size doubles and the round retries (`maxProbe`
+    *     caps the escalation — refusal, never silent drift);
+    *  4. one job applies the accepted merges in order on every shard
+    *     (incremental: only types containing a merged pair are touched).
+    *
+    * The learned table is therefore BIT-IDENTICAL to [[train]] /
+    * [[trainLocal]] — same counts, same (cnt DESC, a, b) UTF-8 tie-break
+    * — while no single machine ever holds the type table: driver traffic
+    * per round is O(shards × probe), state lives in executor memory
+    * (localCheckpoint per round, the [[trainBatched]] lineage discipline).
+    * 32k merges at a few-per-round acceptance rate is a few thousand
+    * seconds-long rounds on a warm cluster — hours, not the months the
+    * per-occurrence formulation would cost, and with no maxTypes ceiling. */
+  def trainSharded(docs: DataFrame, textCol: String, merges: Int,
+      numShards: Int = 32, probe: Int = 64, minFreq: Long = 1L,
+      maxProbe: Int = 8192): DataFrame =
+    trainShardedWithRounds(docs, textCol, merges, numShards, probe,
+      minFreq, maxProbe)._1
+
+  private[ext] def trainShardedWithRounds(docs: DataFrame, textCol: String,
+      merges: Int, numShards: Int = 32, probe: Int = 64, minFreq: Long = 1L,
+      maxProbe: Int = 8192): (DataFrame, Int) = {
+    require(merges > 0, s"merges=$merges must be positive")
+    require(numShards > 0 && probe > 0 && maxProbe >= probe,
+      s"bad numShards=$numShards probe=$probe maxProbe=$maxProbe")
+    val spark = docs.sparkSession
+    val sc = spark.sparkContext
+    val wt = wordTable(docs, textCol).filter(col("freq") >= minFreq)
+      .select(col("word"), col("freq").cast("long").as("freq"))
+    var shards = wt.rdd
+      .map(r => (math.floorMod(r.getString(0).hashCode, numShards),
+        (r.getString(0), r.getLong(1))))
+      .partitionBy(new org.apache.spark.HashPartitioner(numShards))
+      .mapPartitions { it =>
+        val rows = it.map(_._2).toArray
+        Iterator.single(new BpeShardState(
+          rows.map(_._1.split("")), rows.map(_._2)))
+      }
+    shards.localCheckpoint()
+    shards.count()
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rounds = 0
+    var curProbe = probe
+    var exhausted = false
+    while (learned.size < merges && !exhausted) {
+      val p = curProbe
+      val pages = shards.map(_.page(p)).collect()
+      rounds += 1
+      val unseenBound = pages.map(_._2).sum
+      val candNames = pages.flatMap(_._1).map(t => (t._2, t._3)).distinct
+      if (candNames.isEmpty) exhausted = true
+      else {
+        val bc = sc.broadcast(candNames)
+        val cand = shards.flatMap(_.countsFor(bc.value))
+          .reduceByKey(_ + _).collect()
+          .map { case ((a, b), c) => (c, a, b) }
+          .sorted(BpeShardState.pairOrd)
+        val lefts = scala.collection.mutable.Set.empty[String]
+        val rights = scala.collection.mutable.Set.empty[String]
+        val products = scala.collection.mutable.Set.empty[String]
+        val batch =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val limit = merges - learned.size
+        var barrier = unseenBound // nothing below it is certifiable
+        var idx = 0
+        var stop = false
+        while (!stop && idx < cand.length && batch.size < limit) {
+          val (cnt, a, b) = cand(idx)
+          val interacts = lefts(b) || rights(a) || products(a) || products(b)
+          if (cnt <= barrier || interacts) {
+            barrier = math.max(barrier, if (interacts) cnt else barrier)
+            stop = true
+          } else {
+            batch += ((a, b, cnt))
+            lefts += a; rights += b; products += (a + b)
+            if (a == b) stop = true // run-building: bounds break past it
+          }
+          idx += 1
+        }
+        // a limit/self-pair stop leaves unscanned exact candidates: they
+        // bound the batch tail exactly like trainBatched's next-count rule
+        if (stop && idx < cand.length)
+          barrier = math.max(barrier, cand(idx)._1)
+        val kept = batch.toSeq.filter(_._3 > barrier) match {
+          case k if k.nonEmpty => k
+          case _ if batch.nonEmpty && batch.head._3 > unseenBound =>
+            Seq(batch.head) // head above the unseen tail IS the argmax
+          case _ => Seq.empty
+        }
+        if (kept.isEmpty) {
+          // even the head can't certify against the unseen tail: widen
+          require(curProbe < maxProbe,
+            s"cannot certify the global argmax at probe=$maxProbe; " +
+              "raise maxProbe or numShards")
+          curProbe = math.min(curProbe * 2, maxProbe)
+        } else {
+          kept.foreach { case (a, b, cnt) =>
+            learned += ((learned.size + 1, a, b, cnt))
+          }
+          val bm = sc.broadcast(kept.map(t => (t._1, t._2)))
+          val next = shards.map { st => st.applyMergesInOrder(bm.value); st }
+          next.localCheckpoint()
+          next.count()
+          shards = next
+          curProbe = probe
+        }
+      }
+    }
+    import spark.implicits._
+    (learned.toSeq.toDF("step", "sym_a", "sym_b", "cnt"), rounds)
+  }
+
+  /** Encode one word column with a learned merge list (rank order).
+    * Native single pass ([[BpeEncode]]): the HOF fold of N
+    * [[applyMerge]] steps nests N aggregate lambdas and blows the
+    * analyzer's resolution budget past ~8 merges (Max iterations
+    * reached), besides the per-element re-evaluation trap — training
+    * avoids both by checkpointing between rounds, but encode applies
+    * the whole learned list to one column at once. Semantics are
+    * bit-identical: same char split, same greedy left-to-right skip. */
+  def encode(word: Column, merges: Seq[(String, String)]): Column =
+    BpeEncode(word, merges)
+}
+
+/** The incremental BPE training state over a slice of the word-type
+  * table — pair counts, the (cnt DESC, a, b)-sorted pair set, and the
+  * pair→types touch index. [[Bpe.trainLocal]] holds ONE of these on the
+  * driver; [[Bpe.trainSharded]] holds one per executor shard (pair
+  * statistics are additive across shards since every pair occurrence
+  * lives inside a single word). Mutable by design: applyMergesInOrder
+  * touches only the types containing a merged pair. */
+private[ext] final class BpeShardState(
+    private val syms: Array[Array[String]],
+    private val freq: Array[Long]) extends Serializable {
+  require(syms.length == freq.length, "syms/freq length mismatch")
+
+  private val pairCnt = scala.collection.mutable.HashMap
+    .empty[(String, String), Long]
+  private val pairWords = scala.collection.mutable.HashMap
+    .empty[(String, String), scala.collection.mutable.Set[Int]]
+  private val sorted = scala.collection.mutable.TreeSet
+    .empty[(Long, String, String)](BpeShardState.pairOrd)
+
+  private def wordPairs(s: Array[String])
+      : scala.collection.mutable.HashMap[(String, String), Long] = {
+    val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    var i = 0
+    while (i < s.length - 1) {
+      val p = (s(i), s(i + 1))
+      m.update(p, m.getOrElse(p, 0L) + 1L)
+      i += 1
+    }
+    m
+  }
+
+  private def bump(p: (String, String), delta: Long, w: Int,
+      present: Boolean): Unit = {
+    val old = pairCnt.getOrElse(p, 0L)
+    if (old != 0L) sorted.remove((old, p._1, p._2))
+    val nu = old + delta
+    if (nu != 0L) { pairCnt.update(p, nu); sorted.add((nu, p._1, p._2)) }
+    else pairCnt.remove(p)
+    val set = pairWords.getOrElseUpdate(p,
+      scala.collection.mutable.Set.empty[Int])
+    if (present) set.add(w) else set.remove(w)
+    if (set.isEmpty) pairWords.remove(p)
+  }
+
+  locally {
+    var w = 0
+    while (w < syms.length) {
+      wordPairs(syms(w)).foreach { case (p, k) =>
+        bump(p, k * freq(w), w, present = true)
+      }
+      w += 1
+    }
+  }
+
+  private def applyLocal(s: Array[String], a: String,
+      b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+    val ab = a + b
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += ab; i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** The state's current argmax pair as (cnt, a, b), if any pair remains. */
+  def head: Option[(Long, String, String)] = sorted.headOption
+
+  /** Top-`p` page in global order plus the page-bottom bound: any pair
+    * NOT on this page has count ≤ the returned bound in THIS shard (0
+    * when the page holds every pair the shard has). */
+  def page(p: Int): (Array[(Long, String, String)], Long) = {
+    val top = sorted.iterator.take(p).toArray
+    val bottom = if (sorted.size <= p) 0L else top.last._1
+    (top, bottom)
+  }
+
+  /** Exact counts of the given pairs in this shard (absent pairs omitted). */
+  def countsFor(pairs: Array[(String, String)])
+      : Iterator[((String, String), Long)] =
+    pairs.iterator.flatMap(p => pairCnt.get(p).map(c => (p, c)))
+
+  /** Apply merges IN ORDER, each with incremental count/index updates —
+    * only types containing the merged pair are touched. */
+  def applyMergesInOrder(ms: Seq[(String, String)]): Unit =
+    ms.foreach { case (a, b) =>
       val affected = pairWords.getOrElse((a, b),
         scala.collection.mutable.Set.empty[Int]).toArray
       affected.foreach { wi =>
@@ -324,22 +496,39 @@ object Bpe {
             bump(p, d * freq(wi), wi, presentNow)
         }
       }
-      step += 1
     }
-    import spark.implicits._
-    learned.toSeq.toDF("step", "sym_a", "sym_b", "cnt")
+}
+
+private[ext] object BpeShardState {
+
+  /** UTF-8 byte order == Spark's UTF8String sort order. */
+  private def cmpUtf8(x: String, y: String): Int = {
+    val bx = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val by = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(bx.length, by.length)
+    while (i < n) {
+      val c = (bx(i) & 0xff) - (by(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    bx.length - by.length
   }
 
-  /** Encode one word column with a learned merge list (rank order).
-    * Native single pass ([[BpeEncode]]): the HOF fold of N
-    * [[applyMerge]] steps nests N aggregate lambdas and blows the
-    * analyzer's resolution budget past ~8 merges (Max iterations
-    * reached), besides the per-element re-evaluation trap — training
-    * avoids both by checkpointing between rounds, but encode applies
-    * the whole learned list to one column at once. Semantics are
-    * bit-identical: same char split, same greedy left-to-right skip. */
-  def encode(word: Column, merges: Seq[(String, String)]): Column =
-    BpeEncode(word, merges)
+  /** (cnt DESC, a ASC, b ASC) on UTF-8 bytes — the training tie-break,
+    * shared by every trainer so merge tables stay bit-identical. */
+  val pairOrd: Ordering[(Long, String, String)] =
+    new Ordering[(Long, String, String)] with Serializable {
+      def compare(x: (Long, String, String),
+          y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(y._1, x._1) // cnt DESC
+        if (c != 0) c
+        else {
+          val ca = cmpUtf8(x._2, y._2)
+          if (ca != 0) ca else cmpUtf8(x._3, y._3)
+        }
+      }
+    }
 }
 
 /** Greedy merge-list application as one per-row pass: word -> chars,

@@ -116,6 +116,54 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("trainSharded: bit-identical to trainLocal at 300 merges, deep vocab") {
+    val deepDocs = (1 to 2000).map(i => ((i * 2654435761L) & 0xffffffL).toString)
+      .grouped(50).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val loc = Bpe.trainLocal(deepDocs, "text", merges = 300)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    val (sdf, rounds) = Bpe.trainShardedWithRounds(deepDocs, "text",
+      merges = 300, numShards = 8, probe = 64)
+    val sh = sdf.orderBy("step").as[(Int, String, String, Long)]
+      .collect().toSeq
+    assert(sh == loc, "sharded merge table must be bit-identical to local")
+    // flat-count corpora (2000 near-uniform types) are certification's
+    // worst case: the unseen-tail bound forces page escalations, so
+    // rounds can EXCEED merges here (~2.6x measured) — the bound proves
+    // the escalation valve terminates, not batching wins (natural
+    // zipfian text batches; see the probe=1 sf0.001 test below)
+    assert(rounds <= 3 * 300, s"escalation did not converge: $rounds rounds")
+  }
+
+  test("trainSharded: probe escalation certifies the argmax at probe=1") {
+    // probe=1 makes the unseen-tail bound Σ per-shard top counts — the
+    // head usually can't certify, forcing the doubling valve; the
+    // learned table must STILL be exact
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val seqM = Bpe.train(docs, "text", merges = 20)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    val shM = Bpe.trainSharded(docs, "text", merges = 20, numShards = 4,
+      probe = 1)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    assert(shM == seqM)
+    // the refusal valve: an impossible maxProbe must throw, not drift
+    intercept[IllegalArgumentException] {
+      Bpe.trainSharded(docs, "text", merges = 20, numShards = 4,
+        probe = 1, maxProbe = 1)
+    }
+  }
+
+  test("trainSharded: exhausts cleanly when the corpus runs out of pairs") {
+    val tiny = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val sh = Bpe.trainSharded(tiny, "text", merges = 50, numShards = 4)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    val seqM = Bpe.train(tiny, "text", merges = 50)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    assert(sh == seqM && sh.size < 50)
+  }
+
   test("trainBatched: self-pairs and interacting tops degrade safely to sequential picks") {
     // "aaaa"x4: (a,a)=12 is a self-pair -> its round batches nothing
     // after it; the follow-ups (aa,aa) then... must match sequential
