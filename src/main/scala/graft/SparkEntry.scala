@@ -2227,6 +2227,38 @@ object SparkEntry {
       graft.ext.Pq.searchIndexRes(full, qs, "vec_id", k = 10, nprobe = 2)
         .orderBy(col("qid"), col("rank"))
     }),
+    // index MAINTENANCE: logical delete via tombstones — deleted ids must
+    // never surface and the top-k must refill from survivors; compaction
+    // must leave search results identical to the tombstone path
+    "x_ann_delete" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val idx = graft.ext.Pq.buildIndexRes(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+      val delta = graft.ext.Pq.addBatchRes(idx,
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      val full = idx.copy(entries = idx.entries.unionByName(delta))
+      val tombed = graft.ext.Pq.deleteRes(full,
+        emb.filter(col("vec_id") % 10 === 3).select(col("vec_id")), "vec_id")
+      val qs = emb.filter(col("vec_id").isin(0L, 1L, 2L, 3L))
+        .select(col("vec_id").cast("long").as("qid"),
+          transform(col("embedding"), x => x.cast("double")).as("__qv"))
+      graft.ext.Pq.searchIndexRes(tombed, qs, "vec_id", k = 10, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    }),
+    // index maintenance: the retrain-on-drift trigger — PSI of a shifted
+    // batch's coarse-list mass against the index's own entry mass (the
+    // structural "frozen quantizer no longer fits" signal)
+    "x_ann_retrain" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val idx = graft.ext.Pq.buildIndexRes(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+      val batch = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double") + lit(2.0))
+            .as("embedding"))
+      graft.ext.Pq.retrainSignal(idx, batch, "vec_id", "embedding")
+        .orderBy(col("ccid"))
+    }),
 
     // ---------------- text analysis ----------------
 
@@ -2320,6 +2352,12 @@ object SparkEntry {
     "x_bpe_local" -> ((s, d) =>
       graft.ext.Bpe.trainLocal(Tables.load(s, d, "documents"), "text",
         merges = 10).orderBy(col("step"))),
+    // the NO-driver-table fallback (maxTypes refusal path): type table
+    // sharded by word hash, certified global argmax per round — still
+    // bit-identical to sequential training, same oracle chain again
+    "x_bpe_sharded" -> ((s, d) =>
+      graft.ext.Bpe.trainSharded(Tables.load(s, d, "documents"), "text",
+        merges = 10, numShards = 8).orderBy(col("step"))),
     // Tokenizer APPLICATION at corpus scale: the 10 trained merges
     // encode the distinct-word table once (BPE's collapse trick — the
     // corpus never re-tokenizes per occurrence), then the per-doc
@@ -5874,51 +5912,42 @@ object SparkEntry {
     // even-half trainings (coarse + both residual subspaces), then the
     // WHOLE corpus encoded against those frozen books, then the standard
     // probe/LUT/ADC ranking over the combined entries
-    "x_sim_ivfpq_index" -> ("WITH pts_all AS (" + defaultPtsSql + "), " +
+    "x_sim_ivfpq_index" -> ivfpqIndexOracleSql(""),
+    // the same build/ingest/search replay with tombstoned ids excluded
+    // BEFORE ranking — the top-k must refill from survivors
+    "x_ann_delete" -> ivfpqIndexOracleSql(" WHERE vec_id % 10 <> 3"),
+    // retrain trigger: coarse-list mass PSI, add-one smoothed over the
+    // full list set, pico-floor terms — the Drift discipline over the
+    // index's own assignment distribution
+    "x_ann_retrain" -> ("WITH pts_all AS (" + defaultPtsSql + "), " +
       kmeansChain("SELECT vec_id, v FROM pts_all WHERE vec_id % 2 = 0", "_c") +
       kmeansFinalAssign("_c") +
-      "aall_c AS (SELECT p.vec_id, b.cid, " +
+      "base AS (SELECT cid AS ccid, COUNT(*) AS n_base FROM a3_c GROUP BY 1), " +
+      "newp AS (SELECT vec_id, list_transform(v, x -> x + CAST(2.0 AS DOUBLE)) AS v " +
+      "FROM pts_all WHERE vec_id % 2 = 1), " +
+      "newa AS (SELECT p.vec_id, b.cid, " +
       "list_sum(list_transform(range(1, len(p.v)+1), " +
       "i -> (p.v[i]-b.cvec[i])*(p.v[i]-b.cvec[i]))) AS d " +
-      "FROM pts_all p CROSS JOIN b_c b " +
+      "FROM newp p CROSS JOIN b_c b " +
       "QUALIFY ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY d, b.cid) = 1), " +
-      "resf AS (SELECT p.vec_id, a.cid AS ccid, " +
-      "list_transform(range(1, len(p.v)+1), i -> p.v[i] - b.cvec[i]) AS v " +
-      "FROM pts_all p JOIN aall_c a USING (vec_id) JOIN b_c b ON a.cid = b.cid), " +
-      kmeansChain("SELECT vec_id, v[1:(len(v)//2)] AS v FROM resf WHERE vec_id % 2 = 0", "_r0") +
-      kmeansFinalAssign("_r0") +
-      kmeansChain("SELECT vec_id, v[(len(v)//2+1):len(v)] AS v FROM resf WHERE vec_id % 2 = 0", "_r1") +
-      kmeansFinalAssign("_r1") +
-      "aall_r0 AS (SELECT r.vec_id, b.cid, " +
-      "list_sum(list_transform(range(1, len(b.cvec)+1), " +
-      "i -> (r.v[i]-b.cvec[i])*(r.v[i]-b.cvec[i]))) AS d " +
-      "FROM (SELECT vec_id, v[1:(len(v)//2)] AS v FROM resf) r CROSS JOIN b_r0 b " +
-      "QUALIFY ROW_NUMBER() OVER (PARTITION BY r.vec_id ORDER BY d, b.cid) = 1), " +
-      "aall_r1 AS (SELECT r.vec_id, b.cid, " +
-      "list_sum(list_transform(range(1, len(b.cvec)+1), " +
-      "i -> (r.v[i]-b.cvec[i])*(r.v[i]-b.cvec[i]))) AS d " +
-      "FROM (SELECT vec_id, v[(len(v)//2+1):len(v)] AS v FROM resf) r CROSS JOIN b_r1 b " +
-      "QUALIFY ROW_NUMBER() OVER (PARTITION BY r.vec_id ORDER BY d, b.cid) = 1), " +
-      "qs AS (SELECT vec_id AS qid, v FROM pts_all WHERE vec_id IN (0, 1, 2, 3)), " +
-      "pb AS (SELECT q.qid, b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
-      "i -> (q.v[i]-b.cvec[i])*(q.v[i]-b.cvec[i]))) AS d FROM qs q CROSS JOIN b_c b " +
-      "QUALIFY ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY d, b.cid) <= 2), " +
-      "qr AS (SELECT pb.qid, pb.cid AS ccid, " +
-      "list_transform(range(1, len(q.v)+1), i -> q.v[i] - b.cvec[i]) AS v " +
-      "FROM pb JOIN qs q USING (qid) JOIN b_c b ON pb.cid = b.cid), " +
-      "lutr0 AS (SELECT r.qid, r.ccid, b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
-      "i -> (r.v[i]-b.cvec[i])*(r.v[i]-b.cvec[i]))) AS d FROM qr r CROSS JOIN b_r0 b), " +
-      "lutr1 AS (SELECT r.qid, r.ccid, b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
-      "i -> (r.v[len(b.cvec)+i]-b.cvec[i])*(r.v[len(b.cvec)+i]-b.cvec[i]))) AS d FROM qr r CROSS JOIN b_r1 b), " +
-      "cand AS (SELECT pb.qid, pb.cid AS ccid, a.vec_id FROM pb JOIN aall_c a ON pb.cid = a.cid), " +
-      "sc AS (SELECT c.qid, c.vec_id, l0.d + l1.d AS dist FROM cand c " +
-      "JOIN aall_r0 a0 ON c.vec_id = a0.vec_id JOIN aall_r1 a1 ON c.vec_id = a1.vec_id " +
-      "JOIN lutr0 l0 ON c.qid = l0.qid AND c.ccid = l0.ccid AND a0.cid = l0.cid " +
-      "JOIN lutr1 l1 ON c.qid = l1.qid AND c.ccid = l1.ccid AND a1.cid = l1.cid) " +
-      "SELECT qid, vec_id AS nid, CAST(rank AS BIGINT) AS rank, dist FROM " +
-      "(SELECT qid, vec_id, dist, ROW_NUMBER() OVER " +
-      "(PARTITION BY qid ORDER BY dist, vec_id) AS rank FROM sc) t " +
-      "WHERE rank <= 10 ORDER BY qid, rank"),
+      "nn AS (SELECT cid AS ccid, COUNT(*) AS n_new FROM newa GROUP BY 1), " +
+      "lists AS (SELECT DISTINCT cid AS ccid FROM b_c), " +
+      "j AS (SELECT l.ccid, COALESCE(base.n_base, 0) AS n_base, " +
+      "COALESCE(nn.n_new, 0) AS n_new FROM lists l " +
+      "LEFT JOIN base USING (ccid) LEFT JOIN nn USING (ccid)), " +
+      "t AS (SELECT j.*, SUM(n_base) OVER () AS ta, SUM(n_new) OVER () AS tb, " +
+      "COUNT(*) OVER () AS vv FROM j), " +
+      "ps AS (SELECT ccid, CAST(n_base AS BIGINT) AS n_base, " +
+      "CAST(n_new AS BIGINT) AS n_new, " +
+      "CAST(FLOOR((CAST(n_base + 1 AS DOUBLE) / CAST(ta + vv AS DOUBLE) - " +
+      "CAST(n_new + 1 AS DOUBLE) / CAST(tb + vv AS DOUBLE)) * " +
+      "ln((CAST(n_base + 1 AS DOUBLE) / CAST(ta + vv AS DOUBLE)) / " +
+      "(CAST(n_new + 1 AS DOUBLE) / CAST(tb + vv AS DOUBLE))) * 1e12) AS BIGINT) " +
+      "AS psi_term_pico FROM t) " +
+      "SELECT ccid, n_base, n_new, psi_term_pico, " +
+      "CAST(SUM(psi_term_pico) OVER () AS BIGINT) AS psi_pico, " +
+      "CAST(SUM(psi_term_pico) OVER () AS BIGINT) > 250000000000 AS retrain " +
+      "FROM ps ORDER BY ccid"),
     // the same chain, ADC-ranked to 2k candidates, then the exact
     // float-vector re-rank to the final top-k
     "x_sim_ivfpq_refine" -> (ivfpqResChainSql +
@@ -6117,6 +6146,9 @@ object SparkEntry {
     "x_bpe_batch" -> bpeChain(10),
     // ditto for the driver-chain route
     "x_bpe_local" -> bpeChain(10),
+    // and for the sharded no-driver-table route: certification changes
+    // WHERE the argmax is computed, never WHICH pair wins
+    "x_bpe_sharded" -> bpeChain(10),
     // the same 10-round training chain, then the encoded symbol counts
     // of the word table rolled up per document
     "x_bpe_encode" -> (bpeChainWith(10) +
@@ -7484,6 +7516,57 @@ object SparkEntry {
     * (nprobe=2 of nlist=8), LUTs, probed-list candidates. Shared by
     * x_sim_ivfpq (ranks them) and x_ann_recall (scores them against
     * the exact brute-force L2 truth from the same pts_c). */
+  /** The frozen-index build/ingest/search replay (x_sim_ivfpq_index),
+    * with an optional filter on the scored candidates — the tombstone
+    * twin (x_ann_delete) excludes deleted ids BEFORE ranking, exactly
+    * like the engine's anti-join, so top-k refills. */
+  private def ivfpqIndexOracleSql(scFilter: String): String =
+    "WITH pts_all AS (" + defaultPtsSql + "), " +
+      kmeansChain("SELECT vec_id, v FROM pts_all WHERE vec_id % 2 = 0", "_c") +
+      kmeansFinalAssign("_c") +
+      "aall_c AS (SELECT p.vec_id, b.cid, " +
+      "list_sum(list_transform(range(1, len(p.v)+1), " +
+      "i -> (p.v[i]-b.cvec[i])*(p.v[i]-b.cvec[i]))) AS d " +
+      "FROM pts_all p CROSS JOIN b_c b " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY d, b.cid) = 1), " +
+      "resf AS (SELECT p.vec_id, a.cid AS ccid, " +
+      "list_transform(range(1, len(p.v)+1), i -> p.v[i] - b.cvec[i]) AS v " +
+      "FROM pts_all p JOIN aall_c a USING (vec_id) JOIN b_c b ON a.cid = b.cid), " +
+      kmeansChain("SELECT vec_id, v[1:(len(v)//2)] AS v FROM resf WHERE vec_id % 2 = 0", "_r0") +
+      kmeansFinalAssign("_r0") +
+      kmeansChain("SELECT vec_id, v[(len(v)//2+1):len(v)] AS v FROM resf WHERE vec_id % 2 = 0", "_r1") +
+      kmeansFinalAssign("_r1") +
+      "aall_r0 AS (SELECT r.vec_id, b.cid, " +
+      "list_sum(list_transform(range(1, len(b.cvec)+1), " +
+      "i -> (r.v[i]-b.cvec[i])*(r.v[i]-b.cvec[i]))) AS d " +
+      "FROM (SELECT vec_id, v[1:(len(v)//2)] AS v FROM resf) r CROSS JOIN b_r0 b " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY r.vec_id ORDER BY d, b.cid) = 1), " +
+      "aall_r1 AS (SELECT r.vec_id, b.cid, " +
+      "list_sum(list_transform(range(1, len(b.cvec)+1), " +
+      "i -> (r.v[i]-b.cvec[i])*(r.v[i]-b.cvec[i]))) AS d " +
+      "FROM (SELECT vec_id, v[(len(v)//2+1):len(v)] AS v FROM resf) r CROSS JOIN b_r1 b " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY r.vec_id ORDER BY d, b.cid) = 1), " +
+      "qs AS (SELECT vec_id AS qid, v FROM pts_all WHERE vec_id IN (0, 1, 2, 3)), " +
+      "pb AS (SELECT q.qid, b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
+      "i -> (q.v[i]-b.cvec[i])*(q.v[i]-b.cvec[i]))) AS d FROM qs q CROSS JOIN b_c b " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY d, b.cid) <= 2), " +
+      "qr AS (SELECT pb.qid, pb.cid AS ccid, " +
+      "list_transform(range(1, len(q.v)+1), i -> q.v[i] - b.cvec[i]) AS v " +
+      "FROM pb JOIN qs q USING (qid) JOIN b_c b ON pb.cid = b.cid), " +
+      "lutr0 AS (SELECT r.qid, r.ccid, b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
+      "i -> (r.v[i]-b.cvec[i])*(r.v[i]-b.cvec[i]))) AS d FROM qr r CROSS JOIN b_r0 b), " +
+      "lutr1 AS (SELECT r.qid, r.ccid, b.cid, list_sum(list_transform(range(1, len(b.cvec)+1), " +
+      "i -> (r.v[len(b.cvec)+i]-b.cvec[i])*(r.v[len(b.cvec)+i]-b.cvec[i]))) AS d FROM qr r CROSS JOIN b_r1 b), " +
+      "cand AS (SELECT pb.qid, pb.cid AS ccid, a.vec_id FROM pb JOIN aall_c a ON pb.cid = a.cid), " +
+      "sc AS (SELECT c.qid, c.vec_id, l0.d + l1.d AS dist FROM cand c " +
+      "JOIN aall_r0 a0 ON c.vec_id = a0.vec_id JOIN aall_r1 a1 ON c.vec_id = a1.vec_id " +
+      "JOIN lutr0 l0 ON c.qid = l0.qid AND c.ccid = l0.ccid AND a0.cid = l0.cid " +
+      "JOIN lutr1 l1 ON c.qid = l1.qid AND c.ccid = l1.ccid AND a1.cid = l1.cid) " +
+      "SELECT qid, vec_id AS nid, CAST(rank AS BIGINT) AS rank, dist FROM " +
+      "(SELECT qid, vec_id, dist, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY dist, vec_id) AS rank FROM sc" + scFilter + ") t " +
+      "WHERE rank <= 10 ORDER BY qid, rank"
+
   private def ivfpqScCtesSql: String = "WITH " +
     kmeansChain(defaultPtsSql, "_c") + kmeansFinalAssign("_c") +
     kmeansChain(pqPtsSql(0), "_0") + kmeansFinalAssign("_0") +

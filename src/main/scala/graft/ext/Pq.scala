@@ -260,18 +260,95 @@ object Pq {
     * from the index alone, and [[save]]/[[load]] round-trip all three
     * frames as parquet. */
   case class ResIndex(coarse: DataFrame, books: DataFrame,
-      entries: DataFrame)
+      entries: DataFrame, tombstones: Option[DataFrame] = None)
 
   def save(idx: ResIndex, dir: String): Unit = {
     idx.coarse.write.mode("overwrite").parquet(s"$dir/coarse")
     idx.books.write.mode("overwrite").parquet(s"$dir/books")
     idx.entries.write.mode("overwrite").parquet(s"$dir/entries")
+    idx.tombstones.getOrElse(
+        idx.entries.sparkSession.range(0).select(col("id").as("__tid")))
+      .write.mode("overwrite").parquet(s"$dir/tombs")
   }
 
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): ResIndex =
     ResIndex(spark.read.parquet(s"$dir/coarse"),
       spark.read.parquet(s"$dir/books"),
-      spark.read.parquet(s"$dir/entries"))
+      spark.read.parquet(s"$dir/entries"),
+      // pre-tombstone saves have no tombs dir: treat as none
+      scala.util.Try(spark.read.parquet(s"$dir/tombs")).toOption)
+
+  /** Logical delete from a frozen serving index: ids land in a
+    * TOMBSTONE table, the entry table is untouched — deletion is O(ids),
+    * never an O(corpus) rewrite (the LSM discipline). [[searchIndexRes]]
+    * anti-joins candidates against the tombstones (broadcast — the set
+    * is bounded by the delete traffic between [[compactRes]] runs);
+    * amortize with compaction once the set stops being small. */
+  def deleteRes(idx: ResIndex, ids: DataFrame, idCol: String): ResIndex = {
+    val t = ids.select(col(idCol).cast("long").as("__tid")).distinct()
+    idx.copy(tombstones = Some(idx.tombstones match {
+      case Some(old) => old.unionByName(t).distinct()
+      case None => t
+    }))
+  }
+
+  /** Physical compaction: drop tombstoned entries (one anti-join over
+    * the entry table — the only O(corpus) maintenance op, run on YOUR
+    * schedule, not per delete) and clear the tombstone set. */
+  def compactRes(idx: ResIndex, idCol: String): ResIndex =
+    idx.copy(
+      entries = idx.tombstones match {
+        case Some(t) => idx.entries.join(
+          broadcast(t.withColumnRenamed("__tid", idCol)), Seq(idCol),
+          "left_anti")
+        case None => idx.entries
+      },
+      tombstones = None)
+
+  /** Retrain-on-drift trigger for a frozen serving index: PSI of a new
+    * batch's coarse-list assignment mass against the index entries'
+    * list mass — the structural signal that the frozen coarse quantizer
+    * no longer fits the data (lists going over/under-full degrade both
+    * recall at fixed nprobe and ADC error). Same engine-exact
+    * discipline as [[Drift]]: add-one smoothing over the FULL list set
+    * (every cid of the coarse book, so V is fixed and empty lists stay
+    * finite), per-list floor-quantized pico terms, long sum. The global
+    * window is bounded by nlist — never a data-scale sort.
+    *
+    * Output, one row per coarse list: (ccid, n_base, n_new,
+    * psi_term_pico) plus the constant (psi_pico, retrain) decision
+    * columns; `retrain` is psi_pico > threshold (default 0.25 — the
+    * classic "significant shift" PSI bar). The batch pays ONE broadcast
+    * argmin assignment pass; entry mass is one count aggregate. */
+  def retrainSignal(idx: ResIndex, batch: DataFrame, idCol: String,
+      vecCol: String,
+      psiPicoThreshold: Long = 250000000000L): DataFrame = {
+    val pts = batch.select(col(idCol).cast("long").as(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val asg = residualsOf(pts, idCol, packedCoarseOf(idx.coarse))
+      .groupBy(col("__ccid")).agg(count(lit(1)).as("n_new"))
+    val base = idx.entries.groupBy(col("__ccid"))
+      .agg(count(lit(1)).as("n_base"))
+    val lists = idx.coarse.select(col("cid").as("__ccid")).distinct()
+    val joined = lists
+      .join(base, Seq("__ccid"), "left")
+      .join(asg, Seq("__ccid"), "left")
+      .select(col("__ccid"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val tot = joined.agg(sum(col("n_base")).as("__ta"),
+      sum(col("n_new")).as("__tb"), count(lit(1)).as("__vv"))
+    val pa = (col("n_base") + 1).cast("double") / (col("__ta") + col("__vv"))
+    val pb = (col("n_new") + 1).cast("double") / (col("__tb") + col("__vv"))
+    val terms = joined.crossJoin(broadcast(tot))
+      .select(col("__ccid").as("ccid"), col("n_base"), col("n_new"),
+        floor((pa - pb) * log(pa / pb) * lit(1e12)).cast("long")
+          .as("psi_term_pico"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    terms
+      .withColumn("psi_pico", sum(col("psi_term_pico")).over(w))
+      .withColumn("retrain", col("psi_pico") > psiPicoThreshold)
+  }
 
   /** One-row broadcastable coarse book from (cid, dim, c) rows. */
   private def packedCoarseOf(coarseCb: DataFrame): DataFrame =
@@ -364,7 +441,15 @@ object Pq {
       .groupBy(col("qid"), col("__ccid"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("__l")))),
         x => x.getField("__l")).as("__luts"))
-    val cands = idx.entries.select(col(idCol), col("__ccid"))
+    // tombstoned ids never surface (logical delete — anti-join against
+    // the bounded tombstone set BEFORE ranking, so top-k refills)
+    val alive = idx.tombstones match {
+      case Some(t) => idx.entries.join(
+        broadcast(t.withColumnRenamed("__tid", idCol)), Seq(idCol),
+        "left_anti")
+      case None => idx.entries
+    }
+    val cands = alive.select(col(idCol), col("__ccid"))
       .join(broadcast(probes.select(col("qid"), col("__ccid"))), Seq("__ccid"))
       .select(col("qid"), col("__ccid"), col(idCol))
     val kw = org.apache.spark.sql.expressions.Window

@@ -217,6 +217,68 @@ class PqSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("ResIndex maintenance: tombstones hide ids, top-k refills, compaction identical") {
+    val even = planted.filter(col("vec_id") % 2 === 0)
+    val idx = Pq.buildIndexRes(even, "vec_id", "embedding")
+    val qs = planted.filter(col("vec_id").isin(0L, 2L))
+      .select(col("vec_id").as("qid"),
+        transform(col("embedding"), x => x.cast("double")).as("__qv"))
+    val before = Pq.searchIndexRes(idx, qs, "vec_id", k = 5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    // delete each query's own top-1 (itself): it must vanish AND the
+    // top-k must refill from survivors (still k rows per query)
+    val victims = before.filter(_._3 == 1L).map(_._2)
+    val tombed = Pq.deleteRes(idx,
+      victims.toDF("vec_id"), "vec_id")
+    val after = Pq.searchIndexRes(tombed, qs, "vec_id", k = 5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(after.forall(r => !victims.contains(r._2)))
+    assert(after.count(_._1 == 0L) == 5 && after.count(_._1 == 2L) == 5)
+    // survivors keep their relative order with ranks recomputed; the
+    // 5th slot REFILLS with a candidate `before` never surfaced
+    before.groupBy(_._1).foreach { case (q, rs) =>
+      val surv = rs.sortBy(_._3).filterNot(r => victims.contains(r._2))
+        .zipWithIndex.map { case (r, i) => (q, r._2, i + 1L, r._4) }
+      val afterQ = after.filter(_._1 == q).sortBy(_._3)
+      assert(afterQ.take(surv.size) == surv, s"qid $q survivor order")
+      assert(afterQ.size == 5 && !rs.exists(_._2 == afterQ.last._2),
+        s"qid $q refill")
+    }
+    // physical compaction answers identically with no tombstone set
+    val compacted = Pq.compactRes(tombed, "vec_id")
+    assert(compacted.tombstones.isEmpty)
+    val again = Pq.searchIndexRes(compacted, qs, "vec_id", k = 5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(again == after)
+    // save/load carries the tombstone set
+    val dir = graft.TempDirs.scratchDir("pq_tomb").toString
+    Pq.save(tombed, dir)
+    val loaded = Pq.load(spark, dir)
+    val viaLoad = Pq.searchIndexRes(loaded, qs, "vec_id", k = 5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(viaLoad == after)
+    spark.catalog.clearCache()
+  }
+
+  test("retrainSignal: in-distribution batch quiet, shifted batch fires") {
+    // this fixture's clusters are PARITY-keyed (hi-subspace = i % 2), so
+    // the in-distribution batch must be the training half itself — its
+    // list mass mirrors the entries exactly, PSI = 0 by construction
+    val even = planted.filter(col("vec_id") % 2 === 0)
+    val idx = Pq.buildIndexRes(even, "vec_id", "embedding")
+    val quiet = Pq.retrainSignal(idx, even, "vec_id", "embedding")
+      .select("psi_pico", "retrain").as[(Long, Boolean)].collect()
+    assert(quiet.forall(r => r._1 == 0L && !r._2),
+      s"identical batch fired: ${quiet.head._1} pico")
+    val shifted = even.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double") + lit(100.0))
+        .as("embedding"))
+    val loud = Pq.retrainSignal(idx, shifted, "vec_id", "embedding")
+      .select("psi_pico", "retrain").as[(Long, Boolean)].collect()
+    assert(loud.forall(_._2), s"shifted batch quiet: ${loud.head._1} pico")
+    spark.catalog.clearCache()
+  }
+
   test("residual codes quantize at noise scale on the planted layout") {
     // the point of residual encoding: codewords model the within-list
     // displacement, not the absolute position. On the planted layout the
