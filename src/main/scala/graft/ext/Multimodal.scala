@@ -8,16 +8,22 @@ import org.apache.spark.sql.types._
   * metadata struct, with decode/feature-extraction as partition-batched
   * transforms (the Scala analog of `mapInPandas` batch UDFs).
   *
-  * Container-level decode is REAL for three formats: [[decodePngMeta]]
+  * Container-level decode is REAL for five formats — [[decodePngMeta]]
   * (signature + IHDR big-endian fields + chunk CRC-32), [[decodeJpegMeta]]
   * (SOI + a bounded segment walk to the data-dependent SOF frame header),
-  * and [[decodeGifMeta]] (signature/version + little-endian logical screen
-  * descriptor) — pure byte arithmetic over codegen'd builtins
-  * (`substring`/`hex`/`conv`/`crc32`), no codec library, no UDF.
-  * Pixel-level decode (inflating IDAT / entropy decoding) would need a
-  * codec the sandbox lacks; [[extractFeatures]]' byte-histogram features
-  * are computed over the raw bytes instead — a real, deterministic
-  * featurizer, just not a pixel decoder.
+  * [[decodeGifMeta]], [[decodeWavMeta]], [[decodeMp4Meta]] — pure byte
+  * arithmetic over codegen'd builtins (`substring`/`hex`/`conv`/`crc32`),
+  * no codec library, no UDF.
+  *
+  * CONTENT-level decode is real for two of them: PNG pixels
+  * ([[imageContentStats]] — zlib inflate + all five unfilters via
+  * [[PngGrayStats]], feeding the perceptual-hash near-dup
+  * ([[imageNearDupPairs]]) and pixel-quality ([[imageQualityScreen]])
+  * operators) and PCM WAV samples ([[audioContentStats]] via
+  * [[WavPcmStats]]). Entropy-coded formats (JPEG/GIF/MP4 payloads)
+  * remain metadata-only — their codecs aren't in the sandbox;
+  * [[extractFeatures]]' byte-histogram features cover them with a real,
+  * deterministic featurizer over the raw bytes.
   */
 object Multimodal {
 

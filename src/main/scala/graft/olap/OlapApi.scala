@@ -23,7 +23,8 @@ import org.apache.spark.sql.SparkSession
   * over. Snapshot-tag time travel is a parquet-warehouse capability; the
   * tag routes reject other stores with a client error. */
 final class OlapApi(spark: SparkSession, warehouse: FactStore,
-    metas: Map[String, FactMeta]) {
+    metas: Map[String, FactMeta],
+    maxResultRows: Int = Renderer.defaultMaxRows) {
 
   private def tagStore(fact: String): Warehouse = warehouse match {
     case w: Warehouse => w
@@ -115,9 +116,10 @@ final class OlapApi(spark: SparkSession, warehouse: FactStore,
       aggregate, order, limit)
     val result = AggregateService.aggregate(df, m, req)
     output match {
-      case "table" => Renderer.toTable(result)
+      case "table" => Renderer.toTable(result, maxResultRows)
       case _ => Renderer.toJson(result,
-        (if (req.measures.nonEmpty) req.measures else m.measures.map(_.name)).toSet)
+        (if (req.measures.nonEmpty) req.measures else m.measures.map(_.name)).toSet,
+        maxResultRows)
     }
   }
 }

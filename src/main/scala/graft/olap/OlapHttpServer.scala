@@ -24,12 +24,17 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * boundary by design). Unknown facts/routes -> 404, bad params -> 400,
   * both with a JSON error body.
   *
-  * Binds 127.0.0.1 by default: the API is unauthenticated, so exposing it
-  * beyond the host is an explicit deployment decision — pass `bindHost`
-  * (e.g. "0.0.0.0" behind a real front proxy) to widen it.
+  * Binds 127.0.0.1 by default; pass `bindHost` (e.g. "0.0.0.0" behind a
+  * real front proxy) to widen it. `authToken` is the `.htaccess` twin of
+  * the reference deployment (api-library-olap/README.md:3): when set,
+  * every request must carry `Authorization: Bearer <token>` (or
+  * `?token=` for clients that can't set headers) or it gets a 401 —
+  * widening the bind WITHOUT a token is the caller's explicit choice.
+  * Oversized drilldowns surface as 413 ([[Renderer.ResultTooLarge]]),
+  * never as a driver OOM.
   */
 final class OlapHttpServer(api: OlapApi, port: Int = 0,
-    bindHost: Option[String] = None) {
+    bindHost: Option[String] = None, authToken: Option[String] = None) {
 
   private val addr = bindHost match {
     case Some(h) => new InetSocketAddress(InetAddress.getByName(h), port)
@@ -50,6 +55,14 @@ final class OlapHttpServer(api: OlapApi, port: Int = 0,
       val segs = ex.getRequestURI.getPath.stripPrefix("/olap")
         .split("/").filter(_.nonEmpty).toSeq
       val params = queryParams(ex)
+      // no non-local return here: it would throw through to the 500 arm
+      // after the 401 was already written
+      val authorized = authToken.forall { tok =>
+        Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .contains(s"Bearer $tok") || params.get("token").contains(tok)
+      }
+      if (!authorized) respond(ex, 401, """{"error": "unauthorized"}""")
+      else {
       val body = segs match {
         case Seq("fact_tables") => api.factTables
         case Seq(fact, "dimensions") => api.dimensions(fact)
@@ -70,7 +83,9 @@ final class OlapHttpServer(api: OlapApi, port: Int = 0,
           s"unknown route: ${ex.getRequestURI.getPath}")
       }
       respond(ex, 200, body)
+      }
     } catch {
+      case e: Renderer.ResultTooLarge => respond(ex, 413, errorJson(e))
       case e: NoSuchElementException => respond(ex, 404, errorJson(e))
       case e @ (_: IllegalArgumentException | _: IllegalStateException |
                 _: NumberFormatException) => respond(ex, 400, errorJson(e))
@@ -106,7 +121,7 @@ final class OlapHttpServer(api: OlapApi, port: Int = 0,
 }
 
 object OlapHttpServer {
-  def apply(api: OlapApi, port: Int = 0,
-      bindHost: Option[String] = None): OlapHttpServer =
-    new OlapHttpServer(api, port, bindHost)
+  def apply(api: OlapApi, port: Int = 0, bindHost: Option[String] = None,
+      authToken: Option[String] = None): OlapHttpServer =
+    new OlapHttpServer(api, port, bindHost, authToken)
 }

@@ -38,10 +38,33 @@ object Renderer {
     case other => other.toString
   }
 
+  /** Thrown when a render would collect more rows than the caller's
+    * bound — the guard that keeps a pathological drilldown (day × library
+    * × years) from pulling millions of rows onto the API driver. The
+    * reference serves whole result sets too, but behind PHP's own memory
+    * limit; here the bound is explicit and the error actionable. */
+  final class ResultTooLarge(val maxRows: Int) extends RuntimeException(
+    s"result exceeds $maxRows rows; tighten the drilldown/cut or pass " +
+      "an explicit limit")
+
+  /** Default API result bound (rows). Aggregates are small by
+    * construction; anything past this is a mis-specified drilldown. */
+  val defaultMaxRows: Int = 100000
+
+  /** Bounded collect: never materializes more than maxRows + 1 rows on
+    * the driver (the +1 detects overflow without counting the frame). */
+  private def boundedRows(df: DataFrame, maxRows: Int): Array[Row] = {
+    require(maxRows > 0, s"maxRows=$maxRows must be positive")
+    val rows = df.limit(maxRows + 1).collect()
+    if (rows.length > maxRows) throw new ResultTooLarge(maxRows)
+    rows
+  }
+
   /** JSON rows: dimension columns top-level, measures nested. */
-  def toJson(df: DataFrame, measureNames: Set[String]): String = {
+  def toJson(df: DataFrame, measureNames: Set[String],
+      maxRows: Int = defaultMaxRows): String = {
     val cols = df.columns
-    val rows = df.collect()
+    val rows = boundedRows(df, maxRows)
     if (rows.isEmpty) return emptyDataset
     val (ms, ds) = cols.zipWithIndex.partition { case (c, _) => measureNames(c) }
     rows.map { r =>
@@ -52,8 +75,8 @@ object Renderer {
   }
 
   /** `output=table`: header row then value rows. */
-  def toTable(df: DataFrame): String = {
-    val rows = df.collect()
+  def toTable(df: DataFrame, maxRows: Int = defaultMaxRows): String = {
+    val rows = boundedRows(df, maxRows)
     if (rows.isEmpty) return emptyDataset
     val header = df.columns.map(jsonScalar(_)).mkString("[", ", ", "]")
     val body = rows.map(r => (0 until r.length).map(i => jsonScalar(r.get(i)))

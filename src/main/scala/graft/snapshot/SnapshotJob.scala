@@ -237,7 +237,15 @@ object SnapshotJob {
       else TimeScope.scopeFor(fact.cron, pivot) match {
         case None => None // periodicity gate: not the last day of the period
         case Some(scope) =>
-          val wrote = fact.queries.filter(_.enabled).map { q =>
+          // the idempotency read-check + append pair below is safe only
+          // under ONE writer: hold the fact's lease for the whole pass
+          // (a second concurrent job fails loudly instead of interleaving)
+          def underLease[T](body: => T): T = warehouse match {
+            case w: Warehouse =>
+              w.withWriterLease(fact.name, holder = s"snapshot-$pivot")(body)
+            case _ => body // JDBC stores serialize at the database
+          }
+          val wrote = underLease { fact.queries.filter(_.enabled).map { q =>
             val existing = warehouse.read(fact.name)
             if (existing.exists(alreadyLoaded(_, q.queryId, scope))) false
             else {
@@ -252,7 +260,7 @@ object SnapshotJob {
               warehouse.append(fact.name, withTimeFields(src, q.queryId, scope))
               true
             }
-          }
+          } }
           if (wrote.exists(identity)) Some(fact.name) else None
       }
     }

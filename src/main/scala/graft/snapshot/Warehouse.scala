@@ -30,6 +30,89 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
 
   def exists(fact: String): Boolean = fs.exists(path(fact))
 
+  // ---------------- single-writer lease ----------------
+
+  private def lockPath(fact: String) = new Path(root, s"_locks/$fact.lock")
+
+  /** Acquire the exclusive writer lease for `fact`, or throw if another
+    * live writer holds it. The staged-rename protocols are crash-safe
+    * for ONE writer; two concurrent snapshot jobs on the same fact can
+    * interleave their read-check/append pairs — this lease makes the
+    * single-writer assumption ENFORCED, not implicit. Mechanics: atomic
+    * create-no-overwrite of a lock file (the same FS primitive every
+    * store backing the warehouse provides) holding (holder, token,
+    * acquiredAtMs, ttlMs). A lock past its TTL is presumed dead
+    * (crashed writer — [[releaseWriterLease]] never ran) and is broken
+    * once; the create after the break stays atomic, so two contenders
+    * breaking the same stale lock still serialize. Returns the token
+    * that [[releaseWriterLease]] requires (release verifies ownership —
+    * a writer that lost its lease to a TTL break cannot delete the next
+    * holder's lock). */
+  def acquireWriterLease(fact: String, holder: String = "writer",
+      ttlMs: Long = 15 * 60 * 1000L): String = {
+    require(ttlMs > 0, s"ttlMs=$ttlMs must be positive")
+    val f = fs
+    val lp = lockPath(fact)
+    f.mkdirs(lp.getParent)
+    val token = java.util.UUID.randomUUID().toString
+    def tryCreate(): Boolean =
+      try {
+        val out = f.create(lp, false) // atomic create-no-overwrite
+        try out.write(
+          (s"""{"holder": ${graft.olap.Renderer.jsonString(holder)}, """ +
+            s""""token": "$token", "acquired_at_ms": ${System.currentTimeMillis()}, """ +
+            s""""ttl_ms": $ttlMs}""").getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (tryCreate()) return token
+    // contended: break the lock ONLY if its TTL has expired
+    val existing = readLock(fact)
+    existing match {
+      case Some((h, _, at, ttl))
+          if System.currentTimeMillis() - at > ttl =>
+        f.delete(lp, false) // break the stale lock, race the re-create
+        if (tryCreate()) token
+        else throw new IllegalStateException(
+          s"fact '$fact' writer lease lost to a concurrent writer " +
+            "after breaking a stale lock")
+      case Some((h, _, at, _)) =>
+        throw new IllegalStateException(
+          s"fact '$fact' is locked by writer '$h' since epoch-ms $at; " +
+            "wait for it, or break the lock by deleting " + lp)
+      case None => // holder released between our create and read: retry once
+        if (tryCreate()) token
+        else throw new IllegalStateException(
+          s"fact '$fact' writer lease contended; retry")
+    }
+  }
+
+  /** (holder, token, acquiredAtMs, ttlMs) of the current lock, if any. */
+  private def readLock(fact: String): Option[(String, String, Long, Long)] =
+    try {
+      val in = fs.open(lockPath(fact))
+      val txt = try new String(
+        in.readAllBytes(), "UTF-8") finally in.close()
+      def field(k: String): String =
+        txt.split("\"" + k + "\":", 2)(1).split("[,}]")(0).trim
+          .stripPrefix("\"").stripSuffix("\"")
+      Some((field("holder"), field("token"),
+        field("acquired_at_ms").toLong, field("ttl_ms").toLong))
+    } catch { case _: java.io.IOException => None }
+
+  /** Release the lease if `token` still owns it (a TTL-broken writer
+    * must not delete its successor's lock). */
+  def releaseWriterLease(fact: String, token: String): Unit =
+    if (readLock(fact).exists(_._2 == token))
+      fs.delete(lockPath(fact), false)
+
+  /** Run `body` under the fact's exclusive writer lease. */
+  def withWriterLease[T](fact: String, holder: String = "writer",
+      ttlMs: Long = 15 * 60 * 1000L)(body: => T): T = {
+    val token = acquireWriterLease(fact, holder, ttlMs)
+    try body finally releaseWriterLease(fact, token)
+  }
+
   /** The authoritative schema file, maintained on every write. Underscore
     * prefix = invisible to the parquet file listing (like _SUCCESS). At
     * 100 TB this is the difference between opening ONE small JSON file per

@@ -581,6 +581,45 @@ class PlanSpec extends SparkTestBase {
       "the scorecard must equi-join on (q, n):\n" + p.take(600))
   }
 
+  test("image/audio content stats: one native pass, zero shuffles") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val png = ext.Multimodal.syntheticGrayPngCorpus(docs, "doc_id",
+      col("doc_id") % 5, lit(16), lit(12), lit(1))
+    val p0 = plan(ext.Multimodal.imageContentStats(png))
+    assert(!p0.contains("Exchange"),
+      "pixel decode + hashes must ride the scan:\n" + p0.take(800))
+    val wav = ext.Multimodal.syntheticPcmCorpus(docs, "doc_id",
+      col("doc_id") % 5, lit(128), lit(8000))
+    val p1 = plan(ext.Multimodal.audioContentStats(wav))
+    assert(!p1.contains("Exchange"),
+      "sample decode must ride the scan:\n" + p1.take(800))
+  }
+
+  test("binaryExactDedup: one digest hash-agg, payloads never shuffle") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val png = ext.Multimodal.syntheticGrayPngCorpus(docs, "doc_id",
+      col("doc_id") % 5, lit(16), lit(12), lit(0))
+    val p = plan(ext.Multimodal.binaryExactDedup(png))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly 1 shuffle, saw $exchanges:\n$p")
+    assert(p.contains("partial_"),
+      "digest groups must partial-aggregate map-side:\n" + p.take(600))
+    // the shuffle key is the digest — the binary payload is projected
+    // away BEFORE the exchange (the content column never shuffles)
+    assert(p.linesIterator.filter(_.contains("Exchange"))
+      .forall(!_.contains("content#")),
+      "payload bytes must not appear in the exchange:\n" + p.take(800))
+  }
+
+  test("Hamming64.pairs: banding tables equi-join, never a cross product") {
+    val fps = spark.range(200).select(col("id"),
+      (col("id") * 2654435761L).as("fp"))
+    val p = plan(ext.Hamming64.pairs(fps, "id", "fp", maxHamming = 4))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the (table, key) equi-join:\n" + p.take(800))
+  }
+
   test("bloom readEquals: the equality predicate pushes into the pruned scan") {
     val wh = new snapshot.Warehouse(spark,
       TempDirs.scratchDir("plan_bloom").toString)

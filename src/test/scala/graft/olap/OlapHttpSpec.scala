@@ -104,6 +104,52 @@ class OlapHttpSpec extends SparkTestBase
     assert(code == 400 && body.contains("\"error\""))
   }
 
+  test("auth token: 401 without, 200 with header or query param") {
+    val secured = OlapHttpServer(api, authToken = Some("s3cret")).start()
+    try {
+      def sget(pathAndQuery: String, auth: Option[String]): (Int, String) = {
+        val b = HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${secured.boundPort}$pathAndQuery")).GET()
+        auth.foreach(a => b.header("Authorization", a))
+        val r = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      assert(sget("/olap/fact_tables", None) ==
+        (401, """{"error": "unauthorized"}"""))
+      assert(sget("/olap/fact_tables", Some("Bearer wrong"))._1 == 401)
+      assert(sget("/olap/fact_tables", Some("Bearer s3cret")) ==
+        (200, api.factTables))
+      // query-param fallback for header-less clients
+      assert(sget("/olap/fact_tables?token=s3cret", None)._1 == 200)
+      // errors behind auth stay mapped (not 401-shadowed)
+      assert(sget("/olap/nope", Some("Bearer s3cret"))._1 == 404)
+    } finally secured.stop()
+  }
+
+  test("result-size guard: oversized drilldown is a 413, not a driver OOM") {
+    val tinyApi = new OlapApi(spark, wh,
+      Map("http_users" -> OlapConfig.parseFactMeta("http_users", factMetaJson)),
+      maxResultRows = 2)
+    val tiny = OlapHttpServer(tinyApi).start()
+    try {
+      def tget(q: String): (Int, String) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${tiny.boundPort}$q")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      // 5 segments > 2-row bound: refused with the actionable message
+      val (code, body) = tget("/olap/http_users/aggregate?drilldown=segment")
+      assert(code == 413 && body.contains("limit"), s"$code $body")
+      // an explicit limit UNDER the bound passes
+      assert(tget("/olap/http_users/aggregate?drilldown=segment&limit=2")._1
+        == 200)
+      // table output guards identically
+      assert(tget("/olap/http_users/aggregate?drilldown=segment&output=table")
+        ._1 == 413)
+    } finally tiny.stop()
+  }
+
   test("tags route + aggregate?tag=: time travel reachable through the API") {
     // runs last alphabetically-independent: pin, then mutate the fact
     val before = get("/olap/http_users/aggregate?drilldown=segment&output=table")._2

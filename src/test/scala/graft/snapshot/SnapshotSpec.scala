@@ -59,6 +59,61 @@ class SnapshotSpec extends SparkTestBase {
   private def freshWarehouse() = new Warehouse(spark,
     java.nio.file.Files.createTempDirectory("wh_test").toString)
 
+  test("writer lease: second writer refused, TTL break, scoped release") {
+    val wh = freshWarehouse()
+    val t1 = wh.acquireWriterLease("f", holder = "job-a")
+    // a live lease refuses a second writer, loudly and with the holder
+    val e = intercept[IllegalStateException] {
+      wh.acquireWriterLease("f", holder = "job-b")
+    }
+    assert(e.getMessage.contains("job-a"))
+    // a DIFFERENT fact is independently lockable
+    val other = wh.acquireWriterLease("g", holder = "job-b")
+    wh.releaseWriterLease("g", other)
+    // release with a wrong token is a no-op (ownership check)
+    wh.releaseWriterLease("f", "not-the-token")
+    intercept[IllegalStateException] {
+      wh.acquireWriterLease("f", holder = "job-b")
+    }
+    wh.releaseWriterLease("f", t1)
+    // released: next writer acquires
+    val t2 = wh.acquireWriterLease("f", holder = "job-b")
+    wh.releaseWriterLease("f", t2)
+    // TTL break: a crashed writer's expired lock is broken by the next
+    val crashed = wh.acquireWriterLease("f", holder = "dead", ttlMs = 1L)
+    Thread.sleep(5)
+    val t3 = wh.acquireWriterLease("f", holder = "next")
+    // the dead writer's late release must NOT delete the new lock
+    wh.releaseWriterLease("f", crashed)
+    intercept[IllegalStateException] {
+      wh.acquireWriterLease("f", holder = "third")
+    }
+    wh.releaseWriterLease("f", t3)
+    // withWriterLease releases on exception
+    intercept[RuntimeException] {
+      wh.withWriterLease("f")(throw new RuntimeException("boom"))
+    }
+    val t4 = wh.acquireWriterLease("f")
+    wh.releaseWriterLease("f", t4)
+  }
+
+  test("snapshot run holds the fact lease: a held lock refuses the job") {
+    Seq((1, "x")).toDF("k", "v").createOrReplaceTempView("lease_src")
+    val wh = freshWarehouse()
+    val st = fixture(Cron.Daily, "SELECT k, v FROM lease_src")
+    val tok = wh.acquireWriterLease("f", holder = "stuck-job")
+    val e = intercept[IllegalStateException] {
+      SnapshotJob.run(spark, st, wh, LocalDate.parse("2024-01-15"))
+    }
+    assert(e.getMessage.contains("stuck-job"))
+    wh.releaseWriterLease("f", tok)
+    // lease free: the job writes, and releases for the NEXT run (no-op)
+    assert(SnapshotJob.run(spark, st, wh,
+      LocalDate.parse("2024-01-15")) == Seq("f"))
+    assert(SnapshotJob.run(spark, st, wh,
+      LocalDate.parse("2024-01-15")) == Seq.empty) // idempotent re-run
+  }
+
   test("daily fact: full scope injected; re-run is a no-op (S10)") {
     Seq((1, "x"), (2, "y")).toDF("k", "v").createOrReplaceTempView("src")
     val wh = freshWarehouse()
