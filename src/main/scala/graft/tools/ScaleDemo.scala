@@ -825,6 +825,46 @@ object ScaleDemo {
       graft.ext.KMeans.clusterQuality(embK, "vec_id", "embedding",
         k = 8, iters = 2).count()
     }
+    timed("image_content") {
+      // real zlib decode + unfilter + hashes per row, zero shuffle:
+      // wall must track pixel count (docs x 256), never pair counts
+      val png = graft.ext.Multimodal.syntheticGrayPngCorpus(corpus,
+        "doc_id", col("doc_id") % 200, lit(16), lit(16), col("doc_id") % 5)
+      graft.ext.Multimodal.imageContentStats(png)
+        .agg(sum(col("sum_luma")) + sum(col("ahash_lo"))).collect()(0)
+        .getLong(0)
+    }
+    timed("image_dedup") {
+      // replication multiplies every (seed, bump) class by K: the
+      // banded join's key groups grow Kx, pair output ~K^2 per class
+      // but classes stay 200 — candidate volume bounded by design
+      val png = graft.ext.Multimodal.syntheticGrayPngCorpus(corpus,
+        "doc_id", col("doc_id") % 200, lit(16), lit(16), col("doc_id") % 5)
+      graft.ext.Multimodal.imageNearDupPairs(png, maxHamming = 4).count()
+    }
+    timed("audio_content") {
+      // PCM sample decode: wall tracks sample count (docs x ~140)
+      val wav = graft.ext.Multimodal.syntheticPcmCorpus(corpus, "doc_id",
+        col("doc_id") % 9, lit(40) + (col("doc_id") % 50) * 4, lit(8000))
+      graft.ext.Multimodal.audioContentStats(wav)
+        .agg(sum(col("sum_abs")) + sum(col("zero_cross"))).collect()(0)
+        .getLong(0)
+    }
+    timed("binary_dedup") {
+      // digest-grouped exact dedup: the shuffle moves 32-byte digests,
+      // never the payloads; groups = 13 residue classes at any K
+      val png = graft.ext.Multimodal.syntheticGrayPngCorpus(corpus,
+        "doc_id", col("doc_id") % 13, lit(12), lit(10), lit(0))
+      graft.ext.Multimodal.binaryExactDedup(png)
+        .agg(sum(col("n_copies"))).collect()(0).getLong(0)
+    }
+    timed("bpe_sharded") {
+      // the no-driver-table trainer: replication multiplies FREQUENCIES
+      // (the type table stays base-sized), so wall = one corpus word
+      // pass + type-table-bound rounds — the trainLocal claim, sharded
+      graft.ext.Bpe.trainSharded(corpus, "text", merges = 20,
+        numShards = 16).count()
+    }
     timedVec("ann_recall") {
       // both sides of the scorecard at Kx: approx = pruned ADC scan,
       // exact = one broadcast corpus scan; the overlap join is 40 rows
