@@ -125,6 +125,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("png_gray_stats"),
+      new ExpressionInfo(classOf[graft.ext.PngGrayStats].getName,
+        "png_gray_stats"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.ext.PngGrayStats(c)
+        case _ => throw new IllegalArgumentException("png_gray_stats(binary)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("wav_pcm_stats"),
+      new ExpressionInfo(classOf[graft.ext.WavPcmStats].getName,
+        "wav_pcm_stats"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.ext.WavPcmStats(c)
+        case _ => throw new IllegalArgumentException("wav_pcm_stats(binary)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("mp4_sample_table"),
+      new ExpressionInfo(classOf[graft.ext.Mp4SampleTable].getName,
+        "mp4_sample_table"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.ext.Mp4SampleTable(c, 4096)
+        case Seq(c, m) => graft.ext.Mp4SampleTable(c, intArg(m, "maxSamples"))
+        case _ => throw new IllegalArgumentException(
+          "mp4_sample_table(binary[, maxSamples])")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("gray_png_encode"),
+      new ExpressionInfo(classOf[graft.ext.GrayPngEncode].getName,
+        "gray_png_encode"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, w, h, rs, cs, b) => graft.ext.GrayPngEncode(s, w, h, rs, cs, b)
+        case _ => throw new IllegalArgumentException(
+          "gray_png_encode(seed, w, h, rowStep, colStep, bump)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("mp4_samples_encode"),
+      new ExpressionInfo(classOf[graft.ext.Mp4SamplesEncode].getName,
+        "mp4_samples_encode"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, n) => graft.ext.Mp4SamplesEncode(s, n)
+        case _ => throw new IllegalArgumentException(
+          "mp4_samples_encode(seed, nSamples)")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("luhn_mask"),
       new ExpressionInfo(classOf[LuhnMask].getName, "luhn_mask"),
       (args: Seq[Expression]) => args match {

@@ -3529,6 +3529,21 @@ object SparkEntry {
         .select(col("n_copies"), col("keep_id"))
         .orderBy(col("keep_id"))
     }),
+    // VIDEO content leg: per-frame rows via the container's OWN index
+    // (stsz sizes + stco offsets out of the real stbl walk), each
+    // sample's bytes sliced from mdat — size/offset/first-byte/byte-sum
+    // all exact integers; the corrupted row contributes ZERO rows
+    "x_mm_video" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticMp4Corpus(docs, "doc_id",
+        col("doc_id") % 6, lit(3L) + col("doc_id") % 8)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00000000', substring(content, 5))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.videoSampleStats(dirty)
+        .orderBy(col("media_id"), col("sample_idx"))
+    }),
     // pixel-level quality screen: undecodable / too-small / extreme-aspect
     // / near-blank flags from DECODED content (variance replayed exactly)
     "x_mm_imgquality" -> ((s, d) => {
@@ -6548,6 +6563,23 @@ object SparkEntry {
     "x_mm_bindedup" -> ("SELECT CAST(COUNT(*) AS BIGINT) AS n_copies, " +
       "CAST(MIN(doc_id) AS BIGINT) AS keep_id FROM documents " +
       "GROUP BY doc_id % 13 ORDER BY keep_id"),
+    // sample-table replay: stsz sizes from the planted formula, stco
+    // offsets as the exact prefix sum past the derived header length
+    // (ftyp 16 + moov 76+8n + mdat header 8), byte sums by comprehension
+    "x_mm_video" -> ("WITH d AS (SELECT doc_id, doc_id % 6 AS seed, " +
+      "3 + doc_id % 8 AS n FROM documents WHERE doc_id <> 0), " +
+      "s AS (SELECT doc_id, seed, n, unnest(range(0, n)) AS i FROM d), " +
+      "z AS (SELECT *, 8 + (seed + i*7) % 24 AS sz FROM s), " +
+      "o AS (SELECT *, CAST(16 + 76 + 8*n + 8 + " +
+      "COALESCE(SUM(sz) OVER (PARTITION BY doc_id ORDER BY i " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+      "AS off FROM z) " +
+      "SELECT doc_id AS media_id, CAST(i AS BIGINT) AS sample_idx, " +
+      "off AS sample_offset, CAST(sz AS BIGINT) AS sample_size, " +
+      "CAST((seed + i*31) % 256 AS BIGINT) AS first_byte, " +
+      "CAST(list_sum([ (seed + i*31 + j*11) % 256 " +
+      "for j in range(0, sz)]) AS BIGINT) AS byte_sum " +
+      "FROM o ORDER BY media_id, sample_idx"),
     // flags replayed from the pixel formula, incl. exact integer variance
     "x_mm_imgquality" -> ("WITH " +
       pngPixelCtes("doc_id % 7", "6 + (doc_id % 3)*15", "8 + doc_id % 5",

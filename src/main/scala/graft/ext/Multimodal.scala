@@ -549,6 +549,32 @@ object Multimodal {
         col("__s.fp_hi").as("fp_hi"), col("__s.fp_lo").as("fp_lo"),
         shiftleft(col("__s.fp_hi"), 32).bitwiseOR(col("__s.fp_lo")).as("fp"))
 
+  /** Synthesize a REAL sample-bearing MP4 corpus ([[Mp4SamplesEncode]]:
+    * full moov→trak→mdia→minf→stbl chain with true stsz/stco tables),
+    * distributed. */
+  def syntheticMp4Corpus(df: DataFrame, idCol: String, seed: Column,
+      nSamples: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      Mp4SamplesEncode(seed.cast("long"), nSamples.cast("long"))
+        .as("content"))
+
+  /** VIDEO content leg: per-sample (frame) rows extracted via the
+    * container's OWN index — `stsz` sizes + `stco` offsets out of the
+    * stbl walk, each sample's real bytes sliced from `mdat`
+    * ([[Mp4SampleTable]]). This is the frame-extraction step before any
+    * codec: per-frame payload signals (size, offset, first byte, exact
+    * byte sum) for hashing/sampling. Undecodable or sample-table-less
+    * rows contribute ZERO rows (never a throw); one expression pass +
+    * explode fanout, zero shuffle. */
+  def videoSampleStats(media: DataFrame, maxSamples: Int = 4096): DataFrame =
+    media.withColumn("__s", Mp4SampleTable(col("content"), maxSamples))
+      .select(col("media_id"), explode(col("__s.samples")).as("__e"))
+      .select(col("media_id"), col("__e.sample_idx").as("sample_idx"),
+        col("__e.sample_offset").as("sample_offset"),
+        col("__e.sample_size").as("sample_size"),
+        col("__e.first_byte").as("first_byte"),
+        col("__e.byte_sum").as("byte_sum"))
+
   /** Exact binary dedup over an opaque content column — the media twin
     * of the text exact-dedup family: group by sha2-256 of the bytes,
     * keep the minimum id per group. The 100 TB shape: the shuffle moves

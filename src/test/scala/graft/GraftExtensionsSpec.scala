@@ -106,4 +106,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
       Seq(("<s>", "<s>", "x"), ("<s>", "x", "y")))
     assert(r.getSeq[org.apache.spark.sql.Row](2).size == 2)
   }
+
+  test("media content functions from SQL: png/wav/mp4") {
+    // a real 9x8 PNG built by the fixture expression, decoded in SQL
+    val r = spark.sql(
+      """SELECT png_gray_stats(content).ok AS ok,
+        |       png_gray_stats(content).n_px AS n,
+        |       wav_pcm_stats(content) IS NOT NULL AS w
+        |FROM (SELECT gray_png_encode(3L, 9L, 8L, 11L, 5L, 2L) AS content)
+        |""".stripMargin).collect()(0)
+    assert(r.getBoolean(0) && r.getLong(1) == 72L)
+    val v = spark.sql(
+      """SELECT size(mp4_sample_table(mp4_samples_encode(5L, 4L)).samples) AS n,
+        |       mp4_sample_table(CAST('junk' AS BINARY)).ok AS bad
+        |""".stripMargin).collect()(0)
+    assert(v.getInt(0) == 4 && !v.getBoolean(1))
+  }
 }

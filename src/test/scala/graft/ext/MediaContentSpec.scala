@@ -243,6 +243,47 @@ class MediaContentSpec extends SparkTestBase {
     }
   }
 
+  test("MP4 sample table roundtrip: stsz/stco walk recovers exact frames") {
+    val seed = 5L; val n = 12
+    val mp4 = Mp4Kernel.encodeSamples(seed, n)
+    val got = Mp4Kernel.decodeSamples(mp4, maxSamples = 4096)
+    assert(got != null && got.length == n)
+    var expOff = 16L + (76 + 8 * n) + 8 // ftyp + moov + mdat header
+    for (i <- 0 until n) {
+      val sz = 8 + (seed + i * 7) % 24
+      assert(got(i).size == sz && got(i).offset == expOff, s"sample $i")
+      val bytes = (0 until sz.toInt).map(j => (seed + i * 31 + j * 11) % 256)
+      assert(got(i).firstByte == bytes.head && got(i).byteSum == bytes.sum,
+        s"sample $i content")
+      expOff += sz
+    }
+    // dirty bytes degrade, never throw
+    assert(Mp4Kernel.decodeSamples(null, 100) == null)
+    assert(Mp4Kernel.decodeSamples("junkjunkjunkjunkjunk".getBytes, 100) == null)
+    assert(Mp4Kernel.decodeSamples(mp4.take(40), 100) == null)
+    assert(Mp4Kernel.decodeSamples(mp4, maxSamples = 3) == null) // over cap
+  }
+
+  test("videoSampleStats: per-frame rows via DataFrame, dirt contributes none") {
+    val ids = spark.range(4).toDF("doc_id")
+    val media = Multimodal.syntheticMp4Corpus(ids, "doc_id",
+      col("doc_id") % 3, lit(4L) + col("doc_id"))
+      .withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00000000', substring(content, 5))"))
+          .otherwise(col("content")))
+    val rows = Multimodal.videoSampleStats(media)
+      .orderBy("media_id", "sample_idx").collect()
+    // doc 0 corrupted -> zero rows; docs 1..3 have 5/6/7 samples
+    assert(rows.map(_.getLong(0)).toSeq.distinct == Seq(1L, 2L, 3L))
+    assert(rows.count(_.getLong(0) == 1L) == 5 &&
+      rows.count(_.getLong(0) == 3L) == 7)
+    rows.filter(_.getLong(0) == 2L).foreach { r =>
+      val i = r.getAs[Long]("sample_idx")
+      assert(r.getAs[Long]("sample_size") == 8 + (2 + i * 7) % 24)
+    }
+  }
+
   test("binaryExactDedup groups identical payloads, keeps min id") {
     val ids = spark.range(9).toDF("doc_id")
     // content depends only on doc_id % 3 -> 3 groups of 3
