@@ -3529,6 +3529,51 @@ object SparkEntry {
         .select(col("n_copies"), col("keep_id"))
         .orderBy(col("keep_id"))
     }),
+    // STREAMING image-ingest dedup: 3 driver-chained batches of real
+    // PNGs in 40 exact-dup classes (min cross-class aHash Hamming is 16,
+    // measured — the radius-4 ball never crosses classes), undecodable
+    // rows planted at doc_id % 17 = 0 (always kept, NULL fp); accepted =
+    // lexicographic-min (batch, id) per class under the shared
+    // ScrubEngine replay protocol
+    "x_stream_imgingest" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticGrayPngCorpus(docs,
+        "doc_id", id % 40, lit(16), lit(16), lit(0))
+        .withColumn("content",
+          when(col("media_id") % 17 === 0,
+            expr("concat(X'0000000000000000', substring(content, 9))"))
+          .otherwise(col("content")))
+        .withColumn("year", lit(2020L) + col("media_id") % 3)
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_ii_wh").toString)
+      val idxDir = TempDirs.scratchDir("graft_ii_idx").toString
+      (0L to 2L).foreach { b =>
+        graft.streaming.ImageIngest.ingestBatch(
+          media.filter(col("media_id") % 3 === b), "media_id", "content",
+          wh, "novel_images", idxDir, b)
+      }
+      wh.read("novel_images").get
+        .select(col("media_id"),
+          shiftrightunsigned(col("img_fp"), 32).as("fp_hi"),
+          col("img_fp").bitwiseAND(lit(0xFFFFFFFFL)).as("fp_lo"))
+        .orderBy(col("media_id"))
+    }),
+    // RESIZE verb: decode + exact 4x4 box-downsample, one row per output
+    // pixel — floor cell means the oracle re-derives from the pixel
+    // formula; the corrupted row contributes zero rows
+    "x_mm_resize" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticGrayPngCorpus(docs, "doc_id",
+        col("doc_id") % 7, lit(9) + col("doc_id") % 8,
+        lit(8) + col("doc_id") % 6, col("doc_id") % 5)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'0000000000000000', substring(content, 9))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.imageResize(dirty, ow = 4, oh = 4)
+        .orderBy(col("media_id"), col("px_idx"))
+    }),
     // VIDEO content leg: per-frame rows via the container's OWN index
     // (stsz sizes + stco offsets out of the real stbl walk), each
     // sample's bytes sliced from mdat — size/offset/first-byte/byte-sum
@@ -6563,6 +6608,30 @@ object SparkEntry {
     "x_mm_bindedup" -> ("SELECT CAST(COUNT(*) AS BIGINT) AS n_copies, " +
       "CAST(MIN(doc_id) AS BIGINT) AS keep_id FROM documents " +
       "GROUP BY doc_id % 13 ORDER BY keep_id"),
+    // first-arrival-per-class replay: batch = doc_id % 3, class =
+    // doc_id % 40, accepted = ROW_NUMBER over (batch, id) = 1; the
+    // kept row's fingerprint halves come from the full hash replay
+    "x_stream_imgingest" -> ("WITH " +
+      pngHashCtes("doc_id % 40", "16", "16", "0") + ", " +
+      "cand AS (SELECT doc_id, doc_id % 3 AS b, doc_id % 40 AS g " +
+      "FROM documents WHERE doc_id % 17 <> 0), " +
+      "acc AS (SELECT doc_id FROM (SELECT doc_id, " +
+      "ROW_NUMBER() OVER (PARTITION BY g ORDER BY b, doc_id) AS rn " +
+      "FROM cand) t WHERE rn = 1) " +
+      "SELECT a.doc_id AS media_id, hh.ahash_hi AS fp_hi, " +
+      "hh.ahash_lo AS fp_lo FROM acc a JOIN hh ON a.doc_id = hh.doc_id " +
+      "UNION ALL SELECT doc_id AS media_id, NULL AS fp_hi, NULL AS fp_lo " +
+      "FROM documents WHERE doc_id % 17 = 0 " +
+      "ORDER BY media_id"),
+    // resize replay: plain floor cell means over the 4x4 partition grid
+    "x_mm_resize" -> ("WITH " +
+      pngPixelCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
+        "doc_id % 5") + ", " +
+      "r AS (SELECT doc_id, " + pngResizeExpr(4, 4) + " AS rv " +
+      "FROM px WHERE doc_id <> 0) " +
+      "SELECT doc_id AS media_id, " +
+      "CAST(unnest(range(0, len(rv))) AS BIGINT) AS px_idx, " +
+      "unnest(rv) AS v FROM r ORDER BY media_id, px_idx"),
     // sample-table replay: stsz sizes from the planted formula, stco
     // offsets as the exact prefix sum past the derived header length
     // (ftyp 16 + moov 76+8n + mdat header 8), byte sums by comprehension
@@ -7359,6 +7428,17 @@ object SparkEntry {
       "ELSE 0 END for k in range(0, 32)]) AS BIGINT)"
     else s"CAST(list_sum([CASE WHEN $cond THEN (1::BIGINT << (k - 32)) " +
       "ELSE 0 END for k in range(32, 64)]) AS BIGINT)"
+
+  /** Exact box-downsample replay: plain floor cell means (0..255) over
+    * the ow×oh partition grid — [[pngCellsExpr]] without the milli
+    * quantization (resize serves pixels, the hashes serve thresholds). */
+  private def pngResizeExpr(ow: Int, oh: Int): String =
+    s"[ CAST(list_sum(flatten([[ p[y*w + x + 1] " +
+      s"for x in range(((i % $ow)*w)//$ow, ((i % $ow) + 1)*w//$ow)] " +
+      s"for y in range(((i // $ow)*h)//$oh, ((i // $ow) + 1)*h//$oh)])) AS BIGINT) // " +
+      s"( ((((i // $ow) + 1)*h)//$oh - ((i // $ow)*h)//$oh) * " +
+      s"((((i % $ow) + 1)*w)//$ow - ((i % $ow)*w)//$ow) ) " +
+      s"for i in range(0, ${ow * oh}) ]"
 
   /** Full perceptual-hash replay chain ending in
     * hh(doc_id, w, h, p, ahash_hi/lo, dhash_hi/lo). */

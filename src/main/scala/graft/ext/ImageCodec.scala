@@ -222,6 +222,38 @@ private[ext] object PngKernel {
     fp
   }
 
+  /** Exact box-downsample resize to `ow`×`oh` luma: per output pixel the
+    * floor mean of its source cell (standard integer partition
+    * boundaries floor(c·extent/grid) — the same grid the hashes use,
+    * un-quantized). Null when the image is smaller than the target in
+    * either axis (upsampling needs interpolation policy — out of the
+    * exact-integer contract). */
+  def resizeGray(g: Gray, ow: Int, oh: Int): Array[Int] = {
+    require(ow > 0 && oh > 0, s"bad target ${ow}x$oh")
+    if (g.width < ow || g.height < oh) return null
+    val out = new Array[Int](ow * oh)
+    var cy = 0
+    while (cy < oh) {
+      val y0 = (cy.toLong * g.height / oh).toInt
+      val y1 = ((cy + 1).toLong * g.height / oh).toInt
+      var cx = 0
+      while (cx < ow) {
+        val x0 = (cx.toLong * g.width / ow).toInt
+        val x1 = ((cx + 1).toLong * g.width / ow).toInt
+        var s = 0L; var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += g.luma(y * g.width + x); x += 1 }
+          y += 1
+        }
+        out(cy * ow + cx) = (s / ((y1 - y0).toLong * (x1 - x0))).toInt
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
   // ------------------------------ encode ------------------------------
 
   private def crcChunk(out: java.io.ByteArrayOutputStream, typ: String,
@@ -369,6 +401,50 @@ object PngGrayStats {
   def apply(c: Column): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(
       PngGrayStats(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+}
+
+/** PNG decode + exact box-downsample to `outW`×`outH` luma in one pass —
+  * the RESIZE verb of the multimodal family, as a native expression
+  * (one evaluation per row, zero shuffle). Output: row-major long
+  * array, 0..255 floor cell means; null on undecodable bytes or an
+  * upsampling target (source smaller than the target in either axis). */
+case class PngResizeGray(child: Expression, outW: Int, outH: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(outW > 0 && outH > 0, s"bad target ${outW}x$outH")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"png_resize_gray requires binary, got $other")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val bytes = child.eval(input) match {
+      case null => return null
+      case b => b.asInstanceOf[Array[Byte]]
+    }
+    val g = PngKernel.decodeGray(bytes)
+    if (g == null) return null
+    val px = PngKernel.resizeGray(g, outW, outH)
+    if (px == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      px.map(_.toLong))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PngResizeGray =
+    copy(child = newChild)
+
+  override def prettyName: String = "png_resize_gray"
+}
+
+object PngResizeGray {
+  def apply(c: Column, outW: Int, outH: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      PngResizeGray(org.apache.spark.sql.graftbridge.Bridge.expression(c),
+        outW, outH))
 }
 
 /** Deterministic grayscale-PNG fixture generator as an expression, so

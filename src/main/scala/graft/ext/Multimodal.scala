@@ -549,6 +549,18 @@ object Multimodal {
         col("__s.fp_hi").as("fp_hi"), col("__s.fp_lo").as("fp_lo"),
         shiftleft(col("__s.fp_hi"), 32).bitwiseOR(col("__s.fp_lo")).as("fp"))
 
+  /** RESIZE: decode + exact box-downsample to `ow`×`oh` in one native
+    * pass ([[PngResizeGray]]), one output row per resized pixel
+    * (media_id, px_idx, v) — the thumbnail/embedding-prep step, with
+    * floor-mean integers any engine replays. Undecodable or
+    * smaller-than-target images contribute zero rows. */
+  def imageResize(media: DataFrame, ow: Int, oh: Int): DataFrame =
+    media.select(col("media_id"),
+        posexplode(coalesce(PngResizeGray(col("content"), ow, oh),
+          array().cast("array<bigint>"))))
+      .select(col("media_id"), col("pos").cast("long").as("px_idx"),
+        col("col").as("v"))
+
   /** Synthesize a REAL sample-bearing MP4 corpus ([[Mp4SamplesEncode]]:
     * full moov→trak→mdia→minf→stbl chain with true stsz/stco tables),
     * distributed. */

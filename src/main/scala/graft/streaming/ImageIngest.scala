@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.ext.{Hamming64, Multimodal, PngGrayStats}
+import graft.snapshot.Warehouse
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous IMAGE ingest dedup — the streaming leg of
+  * [[Multimodal.imageNearDupPairs]]: each arriving batch of images keeps
+  * only the ones whose perceptual hash (aHash over REAL decoded pixels)
+  * is NOVEL — no Hamming-≤ t collision against the persisted fingerprint
+  * index (earlier batches / the seeded corpus), and not dominated by a
+  * smaller-id batch sibling within Hamming ≤ t (first-sighting-keeps,
+  * the [[UrlIngest]] policy under a near-match relation: j drops iff
+  * some i < j in the batch sits within the ball — deterministic, and
+  * exactly the batch min-id rule when duplicate groups are exact).
+  * Undecodable or hash-less (too-small) images are ALWAYS kept — the
+  * [[graft.ext.UrlFilter]] stance: a screen that silently drops what it
+  * cannot judge biases the corpus.
+  *
+  * Index rows are `(img_fp, n_refs)` — one 8-byte fingerprint per
+  * distinct image hash; the banded probe keys ([[Hamming64]]'s 56
+  * block-pair tables) derive per probe from the fp rows. At serving
+  * scale you would persist the keys alongside and skip the per-batch
+  * re-derivation — a projection-time trade documented here, not a
+  * shuffle-shape one (the probe join is the same either way).
+  *
+  * Crash protocol identical to [[UrlIngest]] via the shared
+  * [[ScrubEngine]]: idempotent per-batch index overwrite, own-partition
+  * exclusion on read (replays recompute identical verdicts),
+  * intent/marker fact leg with the anti-join replay.
+  *
+  * The streamed frame must carry (idCol, contentCol, `year`), with
+  * NONNEGATIVE ids (index-side probe rows take synthetic negative ids
+  * so the generic i < j pair join orients index → batch). */
+object ImageIngest {
+
+  /** Hamming radius of the near-dup ball (≤ 6: the banding recall
+    * guarantee). */
+  val MaxHamming = 4
+
+  /** (img_fp, n_refs) fingerprint counts of a frame — the persisted
+    * index unit (undecodable/hash-less images contribute nothing). */
+  def imageIndex(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.select(PngGrayStats(col(contentCol)).as("__s"))
+      .filter(col("__s.ahash_hi").isNotNull)
+      .select(shiftleft(col("__s.ahash_hi"), 32)
+        .bitwiseOR(col("__s.ahash_lo")).as("img_fp"))
+      .groupBy(col("img_fp")).agg(count(lit(1)).as("n_refs"))
+
+  /** The batch's novel rows against a prior index: no index fp within
+    * Hamming ≤ [[MaxHamming]], no smaller-id batch sibling within the
+    * same ball; hash-less rows always pass (img_fp NULL). */
+  def novelAgainst(batch: DataFrame, idCol: String, contentCol: String,
+      index: DataFrame): DataFrame = {
+    val withFp = batch
+      .withColumn("__s", PngGrayStats(col(contentCol)))
+      .withColumn("img_fp",
+        when(col("__s.ahash_hi").isNotNull,
+          shiftleft(col("__s.ahash_hi"), 32).bitwiseOR(col("__s.ahash_lo"))))
+      .drop("__s")
+    val hashed = withFp.filter(col("img_fp").isNotNull)
+      .select(col(idCol), col("img_fp"))
+    // index collisions: tag index fps with ids BELOW every batch id so
+    // the generic pair join (i < j) always orients index -> batch
+    val indexSide = index.select(col("img_fp").as("fp"))
+      .withColumn("id", monotonically_increasing_id() - lit(Long.MaxValue / 2))
+    val batchSide = hashed.select(col(idCol).as("id"), col("img_fp").as("fp"))
+    val indexHits = Hamming64.pairs(
+        indexSide.unionByName(batchSide), "id", "fp", MaxHamming)
+      .filter(col("i") < 0 && col("j") >= 0) // index -> batch pairs only
+      .select(col("j").as(idCol)).distinct()
+    // within-batch dominators: j drops iff some smaller batch id pairs
+    val batchHits = Hamming64.pairs(batchSide, "id", "fp", MaxHamming)
+      .select(col("j").as(idCol)).distinct()
+    withFp.filter(col("img_fp").isNotNull)
+      .join(indexHits.unionByName(batchHits).distinct(), Seq(idCol),
+        "left_anti")
+      .select(col(idCol), col("img_fp"))
+      .unionByName(withFp.filter(col("img_fp").isNull)
+        .select(col(idCol), col("img_fp")))
+  }
+
+  private val fam = ScrubFamily(
+    subdir = "imgfps", keyCol = "img_fp", cntCol = "n_refs",
+    statCols = Seq("img_fp"),
+    indexOf = imageIndex(_, _, _),
+    incremental = novelAgainst(_, _, _, _))
+
+  /** Seed the index with an already-ingested corpus (batch = -1). */
+  def seedIndex(corpus: DataFrame, idCol: String, contentCol: String,
+      indexDir: String): Unit =
+    ScrubEngine.seedIndex(fam, corpus, idCol, contentCol, indexDir)
+
+  /** One batch through the screen, callable directly (the driver-chained
+    * form the x_stream_imgingest gate replays) or from [[run]]'s
+    * foreachBatch. Appends (idCol, year, img_fp) for the novel rows. */
+  def ingestBatch(batch: DataFrame, idCol: String, contentCol: String,
+      wh: Warehouse, fact: String, indexDir: String, batchId: Long,
+      dedupFact: Boolean = false): Unit =
+    ScrubEngine.ingestBatch(fam, batch, idCol, contentCol, wh, fact,
+      indexDir, batchId, dedupFact)
+
+  def run(stream: DataFrame, idCol: String, contentCol: String,
+      wh: Warehouse, fact: String, indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    ScrubEngine.run(fam, stream, idCol, contentCol, wh, fact, indexDir,
+      checkpointDir)
+}

@@ -243,6 +243,29 @@ class MediaContentSpec extends SparkTestBase {
     }
   }
 
+  test("resizeGray: exact floor cell means, upsampling refused, DF fanout") {
+    val g = PngKernel.decodeGray(
+      PngKernel.encodeGray(8, 8, pix(1, 11, 5, 0) _, _ => 0))
+    val r = PngKernel.resizeGray(g, 4, 4)
+    assert(r.length == 16)
+    // 2x2 cells: floor mean of the four source pixels
+    for (cy <- 0 until 4; cx <- 0 until 4) {
+      val s = (for (y <- cy * 2 until cy * 2 + 2; x <- cx * 2 until cx * 2 + 2)
+        yield g.luma(y * 8 + x).toLong).sum
+      assert(r(cy * 4 + cx) == (s / 4).toInt, s"cell ($cx,$cy)")
+    }
+    assert(PngKernel.resizeGray(g, 9, 4) == null) // upsample refused
+    val ids = spark.range(3).toDF("doc_id")
+    val media = Multimodal.syntheticGrayPngCorpus(ids, "doc_id",
+      col("doc_id"), lit(8), lit(8), lit(0))
+      .withColumn("content", when(col("media_id") === 0,
+        expr("substring(content, 2)")).otherwise(col("content")))
+    val rows = Multimodal.imageResize(media, 4, 4).collect()
+    // doc 0 corrupted -> zero rows; docs 1, 2 emit 16 pixels each
+    assert(rows.length == 32 && rows.forall(_.getLong(0) != 0L))
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 255))
+  }
+
   test("MP4 sample table roundtrip: stsz/stco walk recovers exact frames") {
     val seed = 5L; val n = 12
     val mp4 = Mp4Kernel.encodeSamples(seed, n)

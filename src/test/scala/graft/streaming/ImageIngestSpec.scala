@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.ext.Multimodal
+import graft.snapshot.Warehouse
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ImageIngest rides the same [[ScrubEngine]] protocol TileScrubSpec
+  * exercises exhaustively; here the focus is the image family's own
+  * semantics: near-dup (not just exact) collisions drop across batches,
+  * min-id dominates within a batch, undecodable rows always pass. */
+class ImageIngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(p: String) = graft.TempDirs.scratchDir(p).toString
+
+  /** Real PNGs: seed classes are far apart (cross-class aHash Hamming
+    * ~32), bump plants NEAR-duplicates within a class (Hamming ≤ 4). */
+  private def media(rows: Seq[(Long, Long, Long)]): DataFrame =
+    Multimodal.syntheticGrayPngCorpus(
+        rows.toDF("doc_id", "seed", "bump"), "doc_id",
+        col("seed"), lit(16), lit(16), col("bump"))
+      .join(rows.toDF("media_id", "s", "b").select(col("media_id"),
+        lit(2020L).as("year")), "media_id")
+
+  test("near-dup collisions drop across batches; novel classes keep") {
+    val wh = new Warehouse(spark, tmp("ii_wh1"))
+    val idx = tmp("ii_idx1")
+    // batch 0: class 3 (bump 0) and class 7
+    ImageIngest.ingestBatch(media(Seq((1L, 3L, 0L), (2L, 7L, 0L))),
+      "media_id", "content", wh, "f", idx, 0L)
+    // batch 1: 10 is class 3 with a BUMP (near-dup, not byte-identical),
+    // 11 is a novel class, 12 is undecodable
+    val b1 = media(Seq((10L, 3L, 2L), (11L, 9L, 0L)))
+      .unionByName(Seq((12L, "not a png".getBytes, 2020L))
+        .toDF("media_id", "content", "year"))
+    ImageIngest.ingestBatch(b1, "media_id", "content", wh, "f", idx, 1L)
+    val got = wh.read("f").get.select("media_id", "img_fp")
+      .as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 11L, 12L))
+    assert(got(3)._2.isEmpty) // undecodable rides along with NULL fp
+    // the near-dup really was near, not exact: different content bytes
+    val cs = media(Seq((1L, 3L, 0L), (10L, 3L, 2L)))
+      .select(sha2(col("content"), 256)).as[String].collect()
+    assert(cs(0) != cs(1))
+  }
+
+  test("min id dominates within a batch; replay appends nothing") {
+    val wh = new Warehouse(spark, tmp("ii_wh2"))
+    val idx = tmp("ii_idx2")
+    val b0 = media(Seq((9L, 5L, 0L), (4L, 5L, 1L), (7L, 8L, 0L)))
+    ImageIngest.ingestBatch(b0, "media_id", "content", wh, "f", idx, 0L)
+    assert(wh.read("f").get.select("media_id").as[Long].collect().toSet ==
+      Set(4L, 7L)) // 9 dominated by 4 (same class, near-dup, 4 < 9)
+    val n1 = wh.read("f").get.count()
+    ImageIngest.ingestBatch(b0, "media_id", "content", wh, "f", idx, 0L,
+      dedupFact = true)
+    assert(wh.read("f").get.count() == n1)
+  }
+
+  test("run(): a seeded corpus index blocks a streamed near-duplicate") {
+    val wh = new Warehouse(spark, tmp("ii_wh3"))
+    val idx = tmp("ii_idx3")
+    val ck = tmp("ii_ck3")
+    val src = tmp("ii_src3")
+    ImageIngest.seedIndex(media(Seq((1L, 2L, 0L))), "media_id", "content",
+      idx)
+    // stream one batch: 20 collides with the seeded class 2, 21 is novel
+    media(Seq((20L, 2L, 3L), (21L, 6L, 0L)))
+      .write.mode("overwrite").parquet(src)
+    val q = ImageIngest.run(
+      spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src),
+      "media_id", "content", wh, "f", idx, ck)
+    q.processAllAvailable(); q.stop()
+    assert(wh.read("f").get.select("media_id").as[Long].collect().toSet ==
+      Set(21L))
+  }
+}
