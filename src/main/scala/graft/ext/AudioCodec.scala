@@ -82,7 +82,16 @@ private[ext] object WavKernel {
     * integer boundaries floor(k·n/64), e_k = Σ|s| in window k, bit k
     * (k = 1..63) set iff e_k > e_{k−1}. Needs n ≥ 64 (else
     * Long.MinValue sentinel → callers emit null). Bit 0 is always 0, so
-    * the value is nonnegative. */
+    * the value is nonnegative.
+    *
+    * Discrimination caveat (measured): contour signs are COARSE —
+    * clips with correlated loudness envelopes collide at small Hamming
+    * even when their samples differ everywhere (the synthetic corpus
+    * measures cross-seed minima as low as 1). Use it for CANDIDATE
+    * generation ([[Hamming64]]) ahead of an exact check on
+    * (n_samples, sum_abs, peak_abs, zero_cross), never as an identity
+    * by itself — unlike [[PngKernel.ahash]], whose 2-D cell grid is
+    * empirically far better separated (cross-class minima ~16). */
   def energyFingerprint(samples: Array[Int]): Long = {
     val n = samples.length
     if (n < 64) return Long.MinValue
