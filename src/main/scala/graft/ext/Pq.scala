@@ -320,6 +320,28 @@ object Pq {
     * columns; `retrain` is psi_pico > threshold (default 0.25 — the
     * classic "significant shift" PSI bar). The batch pays ONE broadcast
     * argmin assignment pass; entry mass is one count aggregate. */
+  /** The retrain loop closed: evaluate [[retrainSignal]] for the batch
+    * and REBUILD from `trainCorpus` when it fires (fresh codebooks,
+    * fresh entries, tombstones gone), else return the index unchanged.
+    * `trainCorpus` is the caller's full current corpus — the entry
+    * table stores codes, not vectors, so only the caller can supply
+    * training data (include the batch in it if the batch was ingested).
+    * An empty batch never fires (its smoothed mass is all-uniform
+    * noise, not evidence). The signal collect is ONE row; the rebuild
+    * costs what [[buildIndexRes]] costs, on YOUR trigger — which is the
+    * point: retraining is a scheduled decision, not a per-batch tax. */
+  def maybeRetrain(idx: ResIndex, trainCorpus: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, nlist: Int = 8, m: Int = 2,
+      kCodes: Int = 8, iters: Int = 2,
+      psiPicoThreshold: Long = 250000000000L): (ResIndex, Boolean) = {
+    if (batch.isEmpty) return (idx, false)
+    val fired = retrainSignal(idx, batch, idCol, vecCol, psiPicoThreshold)
+      .select(col("retrain")).limit(1).head().getBoolean(0)
+    if (!fired) (idx, false)
+    else (buildIndexRes(trainCorpus, idCol, vecCol, nlist, m, kCodes,
+      iters), true)
+  }
+
   def retrainSignal(idx: ResIndex, batch: DataFrame, idCol: String,
       vecCol: String,
       psiPicoThreshold: Long = 250000000000L): DataFrame = {

@@ -279,6 +279,35 @@ class PqSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("maybeRetrain: quiet keeps the index, shift rebuilds, empty never fires") {
+    val even = planted.filter(col("vec_id") % 2 === 0)
+    val idx = Pq.buildIndexRes(even, "vec_id", "embedding")
+    val (same, fired0) = Pq.maybeRetrain(idx, even, even,
+      "vec_id", "embedding")
+    assert(!fired0 && (same eq idx), "identical batch must not rebuild")
+    val (still, firedE) = Pq.maybeRetrain(idx, even,
+      even.filter(col("vec_id") < 0), "vec_id", "embedding")
+    assert(!firedE && (still eq idx), "empty batch must not fire")
+    val shifted = even.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double") + lit(100.0))
+        .as("embedding"))
+    val corpus = even.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .unionByName(shifted.select(col("vec_id") + 10000L, col("embedding"))
+        .toDF("vec_id", "embedding"))
+    val (rebuilt, fired1) = Pq.maybeRetrain(idx, corpus, shifted,
+      "vec_id", "embedding")
+    assert(fired1 && !(rebuilt eq idx))
+    // the rebuilt index serves the shifted region its old coarse book
+    // couldn't: a shifted query's top-1 is itself
+    val qs = shifted.filter(col("vec_id") === 0L)
+      .select((col("vec_id") + 10000L).as("qid"), col("embedding").as("__qv"))
+    val top = Pq.searchIndexRes(rebuilt, qs, "vec_id", k = 1)
+      .select("nid").as[Long].head()
+    assert(top == 10000L)
+    spark.catalog.clearCache()
+  }
+
   test("residual codes quantize at noise scale on the planted layout") {
     // the point of residual encoding: codewords model the within-list
     // displacement, not the absolute position. On the planted layout the
