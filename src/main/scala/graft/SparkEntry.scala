@@ -6582,7 +6582,9 @@ object SparkEntry {
       "bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 4 " +
       "ORDER BY i, j"),
     // sample-for-sample PCM replay: loudness/peak/zero-cross integers +
-    // the 63-bit energy-contour fingerprint (bit 0 always clear)
+    // the 62-bit energy-contour fingerprint (bits 0 and 63 always clear
+    // — bit 63 reserved so the sentinel stays unreachable; fpHalf's hi
+    // half replays k = 32..62 to match)
     "x_mm_audio" -> ("WITH d AS (SELECT doc_id, doc_id % 9 AS seed, " +
       "40 + (doc_id % 50)*4 AS n, 8000 + (doc_id % 3)*4000 AS sr FROM documents), " +
       "s AS (SELECT d.*, [ ((seed*7919 + i*31 + (i*i) % 101) % 4001) - 2000 " +
@@ -7422,12 +7424,15 @@ object SparkEntry {
       s"for i in range(0, ${gw * 8}) ]"
 
   /** One 32-bit half of a 64-bit fingerprint: Σ 2^k over bits whose
-    * per-bit condition (in lambda var k) holds. */
+    * per-bit condition (in lambda var k) holds. Bit 63 is RESERVED on
+    * the engine side (the Long sign bit — a hash with only it set
+    * would equal the too-small sentinel), so the hi half replays
+    * k = 32..62 only. */
   private def fpHalf(cond: String, lo: Boolean): String =
     if (lo) s"CAST(list_sum([CASE WHEN $cond THEN (1::BIGINT << k) " +
       "ELSE 0 END for k in range(0, 32)]) AS BIGINT)"
     else s"CAST(list_sum([CASE WHEN $cond THEN (1::BIGINT << (k - 32)) " +
-      "ELSE 0 END for k in range(32, 64)]) AS BIGINT)"
+      "ELSE 0 END for k in range(32, 63)]) AS BIGINT)"
 
   /** Exact box-downsample replay: plain floor cell means (0..255) over
     * the ow×oh partition grid — [[pngCellsExpr]] without the milli

@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
   * codec library at all: samples are little-endian int16s in the `data`
   * chunk. Decoding them yields the content signals a curation pipeline
   * screens on — exact integer loudness (Σ|s|), peak, zero-crossing rate
-  * (the classic voiced/unvoiced + silence discriminator), and a 63-bit
+  * (the classic voiced/unvoiced + silence discriminator), and a 62-bit
   * energy-contour fingerprint (sign of the windowed-energy delta — the
   * shape of Haitsma-Kalker audio fingerprinting, over one band) for
   * near-dup detection via [[Hamming64]]. All integers, so a SQL
@@ -78,11 +78,14 @@ private[ext] object WavKernel {
     Pcm(channels, sampleRate, bits, samples)
   }
 
-  /** 63-bit energy-contour fingerprint: 64 windows with the standard
+  /** 62-bit energy-contour fingerprint: 64 windows with the standard
     * integer boundaries floor(k·n/64), e_k = Σ|s| in window k, bit k
-    * (k = 1..63) set iff e_k > e_{k−1}. Needs n ≥ 64 (else
-    * Long.MinValue sentinel → callers emit null). Bit 0 is always 0, so
-    * the value is nonnegative.
+    * (k = 1..62) set iff e_k > e_{k−1}. Needs n ≥ 64 (else
+    * Long.MinValue sentinel → callers emit null). Bits 0 and 63 are
+    * RESERVED (never set): bit 63 is the sign bit, and a fingerprint
+    * with only bit 63 set would BE Long.MinValue — reserving it keeps
+    * the value nonnegative and the sentinel unreachable by any valid
+    * clip.
     *
     * Discrimination caveat (measured): contour signs are COARSE —
     * clips with correlated loudness envelopes collide at small Hamming
@@ -106,7 +109,7 @@ private[ext] object WavKernel {
       k += 1
     }
     var fp = 0L; k = 1
-    while (k < 64) { if (e(k) > e(k - 1)) fp |= (1L << k); k += 1 }
+    while (k < 63) { if (e(k) > e(k - 1)) fp |= (1L << k); k += 1 }
     fp
   }
 

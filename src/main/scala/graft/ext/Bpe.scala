@@ -280,7 +280,11 @@ object Bpe {
     * [[trainLocal]] — same counts, same (cnt DESC, a, b) UTF-8 tie-break
     * — while no single machine ever holds the type table: driver traffic
     * per round is O(shards × probe), state lives in executor memory
-    * (localCheckpoint per round, the [[trainBatched]] lineage discipline).
+    * (localCheckpoint per round, the [[trainBatched]] lineage
+    * discipline; set spark.graft.eagerCheckpoint.reliable + a
+    * checkpoint dir for durable per-round state that survives executor
+    * loss). Round application is copy-on-apply — see
+    * [[BpeShardState.withMergesApplied]].
     * 32k merges at a few-per-round acceptance rate is a few thousand
     * seconds-long rounds on a warm cluster — hours, not the months the
     * per-occurrence formulation would cost, and with no maxTypes ceiling. */
@@ -300,6 +304,25 @@ object Bpe {
     val sc = spark.sparkContext
     val wt = wordTable(docs, textCol).filter(col("freq") >= minFreq)
       .select(col("word"), col("freq").cast("long").as("freq"))
+    // Per-round state persistence: localCheckpoint by default (fast,
+    // executor-memory blocks — an executor loss mid-training is fatal
+    // and the run restarts); flip spark.graft.eagerCheckpoint.reliable
+    // (the Dedup.finishEager switch) to write each round's shard state
+    // to the durable checkpoint dir instead, so a 32k-merge run
+    // survives executor churn at the cost of a serialize+write per
+    // round. Either way the round map is copy-on-apply
+    // ([[BpeShardState.withMergesApplied]]) — cached states are never
+    // mutated in place, so task retry/speculation replays are pure.
+    val reliable = spark.conf
+      .getOption("spark.graft.eagerCheckpoint.reliable").exists(_.toBoolean)
+    if (reliable) require(sc.getCheckpointDir.isDefined,
+      "reliable BPE shard checkpoint needs sparkContext.setCheckpointDir " +
+        "(durable storage) before trainSharded")
+    def persistRound(r: org.apache.spark.rdd.RDD[BpeShardState]): Unit =
+      if (reliable) {
+        r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        r.checkpoint(); r.count(); ()
+      } else { r.localCheckpoint(); r.count(); () }
     var shards = wt.rdd
       .map(r => (math.floorMod(r.getString(0).hashCode, numShards),
         (r.getString(0), r.getLong(1))))
@@ -309,8 +332,7 @@ object Bpe {
         Iterator.single(new BpeShardState(
           rows.map(_._1.split("")), rows.map(_._2)))
       }
-    shards.localCheckpoint()
-    shards.count()
+    persistRound(shards)
     val learned =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rounds = 0
@@ -372,9 +394,12 @@ object Bpe {
             learned += ((learned.size + 1, a, b, cnt))
           }
           val bm = sc.broadcast(kept.map(t => (t._1, t._2)))
-          val next = shards.map { st => st.applyMergesInOrder(bm.value); st }
-          next.localCheckpoint()
-          next.count()
+          val next = shards.map(_.withMergesApplied(bm.value))
+          persistRound(next)
+          // the previous round's blocks are dead weight once `next` is
+          // materialized — without this, a 32k-merge run caches every
+          // round's full state simultaneously
+          shards.unpersist(blocking = false)
           shards = next
           curProbe = probe
         }
@@ -403,10 +428,14 @@ object Bpe {
   * statistics are additive across shards since every pair occurrence
   * lives inside a single word). Mutable by design: applyMergesInOrder
   * touches only the types containing a merged pair. */
-private[ext] final class BpeShardState(
+private[ext] final class BpeShardState private (
     private val syms: Array[Array[String]],
-    private val freq: Array[Long]) extends Serializable {
+    private val freq: Array[Long],
+    initIndexes: Boolean) extends Serializable {
   require(syms.length == freq.length, "syms/freq length mismatch")
+
+  def this(syms: Array[Array[String]], freq: Array[Long]) =
+    this(syms, freq, true)
 
   private val pairCnt = scala.collection.mutable.HashMap
     .empty[(String, String), Long]
@@ -441,13 +470,34 @@ private[ext] final class BpeShardState(
   }
 
   locally {
-    var w = 0
-    while (w < syms.length) {
-      wordPairs(syms(w)).foreach { case (p, k) =>
-        bump(p, k * freq(w), w, present = true)
+    if (initIndexes) {
+      var w = 0
+      while (w < syms.length) {
+        wordPairs(syms(w)).foreach { case (p, k) =>
+          bump(p, k * freq(w), w, present = true)
+        }
+        w += 1
       }
-      w += 1
     }
+  }
+
+  /** Copy-on-apply: a NEW state with `ms` applied in order, sharing no
+    * mutable structure with the receiver. The per-round map over the
+    * cached shard RDD must NOT mutate the cached objects in place —
+    * under task retry or speculation two attempts would mutate the same
+    * cached state concurrently (HashMap/TreeSet corruption), and an
+    * evicted localCheckpoint block could never be recomputed to the
+    * pre-mutation value. Structural clone is O(pairs-in-shard): the
+    * indexes are copied, not recomputed from the word table (inner
+    * symbol arrays are immutable-by-convention — [[applyLocal]] always
+    * allocates — so only the outer array needs cloning). */
+  def withMergesApplied(ms: Seq[(String, String)]): BpeShardState = {
+    val c = new BpeShardState(syms.clone(), freq, initIndexes = false)
+    pairCnt.foreach { case (p, n) => c.pairCnt.update(p, n) }
+    pairWords.foreach { case (p, s) => c.pairWords.update(p, s.clone()) }
+    c.sorted ++= sorted
+    c.applyMergesInOrder(ms)
+    c
   }
 
   private def applyLocal(s: Array[String], a: String,

@@ -188,8 +188,12 @@ private[ext] object PngKernel {
   }
 
   /** aHash: 8×8 cell means, global mean of the 64 cell values, bit
-    * i = cy·8+cx set iff cell > mean. Needs width ≥ 8 and height ≥ 8
-    * (else Long.MinValue sentinel → callers emit null). */
+    * i = cy·8+cx set iff cell > mean, for i = 0..62 — bit 63 (the
+    * bottom-right cell) is RESERVED: it is the sign bit, and a hash
+    * with only it set would BE the Long.MinValue sentinel, so valid
+    * images could silently read as too-small. The mean still covers
+    * all 64 cells. Needs width ≥ 8 and height ≥ 8 (else Long.MinValue
+    * sentinel → callers emit null). */
   def ahash(g: Gray): Long = {
     if (g.width < 8 || g.height < 8) return Long.MinValue
     val cells = cellMeansMilli(g, 8, 8)
@@ -197,14 +201,16 @@ private[ext] object PngKernel {
     while (i < 64) { tot += cells(i); i += 1 }
     val mean = tot / 64
     var fp = 0L; i = 0
-    while (i < 64) { if (cells(i) > mean) fp |= (1L << i); i += 1 }
+    while (i < 63) { if (cells(i) > mean) fp |= (1L << i); i += 1 }
     fp
   }
 
   /** dHash: 9×8 cell means, bit cy·8+cx set iff cell(cx+1) > cell(cx)
     * within the row — the horizontal-gradient fingerprint (robust to
-    * global brightness shifts aHash is blind to). Needs width ≥ 9,
-    * height ≥ 8. */
+    * global brightness shifts aHash is blind to). Bit 63 (cy=7, cx=7)
+    * is RESERVED for the same reason as [[ahash]]'s: it is the sign
+    * bit and the Long.MinValue sentinel must stay unreachable. Needs
+    * width ≥ 9, height ≥ 8. */
   def dhash(g: Gray): Long = {
     if (g.width < 9 || g.height < 8) return Long.MinValue
     val cells = cellMeansMilli(g, 9, 8)
@@ -213,7 +219,8 @@ private[ext] object PngKernel {
     while (cy < 8) {
       var cx = 0
       while (cx < 8) {
-        if (cells(cy * 9 + cx + 1) > cells(cy * 9 + cx))
+        if ((cy * 8 + cx) < 63 &&
+            cells(cy * 9 + cx + 1) > cells(cy * 9 + cx))
           fp |= (1L << (cy * 8 + cx))
         cx += 1
       }
@@ -527,6 +534,30 @@ object GrayPngEncode {
   * all pairs. */
 object Hamming64 {
 
+  /** Append the 56 block-pair band keys of `fpCol` as exploded (t, v)
+    * columns — 56 rows out per row in, all other columns carried. The
+    * SHARED key derivation: [[pairs]] builds its self-join sides with
+    * it, and [[graft.streaming.ImageIngest]] persists these keys as
+    * index columns at write time so the streaming probe equi-joins
+    * batch keys against STORED keys instead of re-deriving the keys of
+    * the whole index every micro-batch (O(batch·56) per-trigger work,
+    * never O(corpus)). */
+  def withBandKeys(df: DataFrame, fpCol: String): DataFrame = {
+    val fp = col(fpCol)
+    val rot = shiftrightunsigned(fp, 4).bitwiseOR(shiftleft(fp, 60))
+    def byteOf(src: Column, k: Int): Column =
+      shiftright(src, k * 8).bitwiseAND(lit(255L))
+    val tables = for {
+      (src, c) <- Seq((fp, 0), (rot, 1))
+      i <- 0 until 8; j <- (i + 1) until 8
+    } yield struct(
+      lit(c * 28 + (i * (15 - i)) / 2 + (j - i - 1)).as("t"),
+      shiftleft(byteOf(src, i), 8).bitwiseOR(byteOf(src, j)).as("v"))
+    df.select(col("*"), explode(array(tables: _*)).as("__k"))
+      .withColumn("t", col("__k.t")).withColumn("v", col("__k.v"))
+      .drop("__k")
+  }
+
   /** (i, j, hamming) pairs with i < j and hamming ≤ maxHamming, from a
     * (idCol, fpCol) frame. fpCol must be LongType (full 64-bit
     * fingerprint, sign bit allowed). */
@@ -535,19 +566,7 @@ object Hamming64 {
     require(maxHamming >= 0 && maxHamming <= 6,
       s"recall guaranteed only to Hamming 6, got $maxHamming")
     val base = df.select(col(idCol).as("id"), col(fpCol).as("fp"))
-    val rot = shiftrightunsigned(col("fp"), 4)
-      .bitwiseOR(shiftleft(col("fp"), 60))
-    def byteOf(src: Column, k: Int): Column =
-      shiftright(src, k * 8).bitwiseAND(lit(255L))
-    val tables = for {
-      (src, c) <- Seq((col("fp"), 0), (rot, 1))
-      i <- 0 until 8; j <- (i + 1) until 8
-    } yield struct(
-      lit(c * 28 + (i * (15 - i)) / 2 + (j - i - 1)).as("t"),
-      shiftleft(byteOf(src, i), 8).bitwiseOR(byteOf(src, j)).as("v"))
-    val keyed = base.select(col("id"), col("fp"),
-      explode(array(tables: _*)).as("k"))
-      .select(col("id"), col("fp"), col("k.t").as("t"), col("k.v").as("v"))
+    val keyed = withBandKeys(base, "fp")
     keyed.as("a").join(keyed.as("b"),
         col("a.t") === col("b.t") && col("a.v") === col("b.v") &&
           col("a.id") < col("b.id"))

@@ -271,12 +271,18 @@ object Pq {
       .write.mode("overwrite").parquet(s"$dir/tombs")
   }
 
-  def load(spark: org.apache.spark.sql.SparkSession, dir: String): ResIndex =
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): ResIndex = {
+    // Only a MISSING tombs dir (pre-tombstone save) may read as "no
+    // tombstones" — a corrupt/unreadable tombs dir must propagate, or
+    // logically deleted ids silently resurface in search results.
+    val tombsPath = new org.apache.hadoop.fs.Path(s"$dir/tombs")
+    val fs = tombsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     ResIndex(spark.read.parquet(s"$dir/coarse"),
       spark.read.parquet(s"$dir/books"),
       spark.read.parquet(s"$dir/entries"),
-      // pre-tombstone saves have no tombs dir: treat as none
-      scala.util.Try(spark.read.parquet(s"$dir/tombs")).toOption)
+      if (fs.exists(tombsPath)) Some(spark.read.parquet(s"$dir/tombs"))
+      else None)
+  }
 
   /** Logical delete from a frozen serving index: ids land in a
     * TOMBSTONE table, the entry table is untouched — deletion is O(ids),
@@ -329,17 +335,32 @@ object Pq {
     * An empty batch never fires (its smoothed mass is all-uniform
     * noise, not evidence). The signal collect is ONE row; the rebuild
     * costs what [[buildIndexRes]] costs, on YOUR trigger — which is the
-    * point: retraining is a scheduled decision, not a per-batch tax. */
+    * point: retraining is a scheduled decision, not a per-batch tax.
+    * Geometry (nlist/m/kCodes) defaults to -1 = INHERIT from the live
+    * index (coarse-list count, book count, codes per book — three
+    * aggregates over the two codebook-sized frames), so a rebuild
+    * reproduces the serving shape instead of silently snapping to
+    * library defaults. */
   def maybeRetrain(idx: ResIndex, trainCorpus: DataFrame, batch: DataFrame,
-      idCol: String, vecCol: String, nlist: Int = 8, m: Int = 2,
-      kCodes: Int = 8, iters: Int = 2,
+      idCol: String, vecCol: String, nlist: Int = -1, m: Int = -1,
+      kCodes: Int = -1, iters: Int = 2,
       psiPicoThreshold: Long = 250000000000L): (ResIndex, Boolean) = {
     if (batch.isEmpty) return (idx, false)
     val fired = retrainSignal(idx, batch, idCol, vecCol, psiPicoThreshold)
       .select(col("retrain")).limit(1).head().getBoolean(0)
     if (!fired) (idx, false)
-    else (buildIndexRes(trainCorpus, idCol, vecCol, nlist, m, kCodes,
-      iters), true)
+    else {
+      val useNlist = if (nlist > 0) nlist
+        else idx.coarse.select(col("cid")).distinct().count().toInt
+      val geo = idx.books.agg(
+        countDistinct(col("sub")).as("m"),
+        (countDistinct(col("sub"), col("cid")) /
+          countDistinct(col("sub"))).cast("int").as("k")).head()
+      val useM = if (m > 0) m else geo.getLong(0).toInt
+      val useK = if (kCodes > 0) kCodes else geo.getInt(1)
+      (buildIndexRes(trainCorpus, idCol, vecCol, useNlist, useM, useK,
+        iters), true)
+    }
   }
 
   def retrainSignal(idx: ResIndex, batch: DataFrame, idCol: String,

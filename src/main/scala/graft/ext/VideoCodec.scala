@@ -94,7 +94,10 @@ private[ext] object Mp4Kernel {
       val size = if (fixedSize != 0) fixedSize
         else be4(mp4, (stsz + 12 + 4 * i).toInt)
       val off = be4(mp4, (stco + 8 + 4 * i).toInt)
-      if (off + size > n) return null
+      // size == 0 with off == n passes `off + size > n` but the
+      // first_byte read below would index past the buffer — a zero-size
+      // sample is malformed, treat it like any other dirty table
+      if (size <= 0 || off + size > n) return null
       var s = 0L; var j = 0
       while (j < size) { s += u8(mp4, (off + j).toInt); j += 1 }
       out(i) = Sample(i, off, size, u8(mp4, off.toInt), s)

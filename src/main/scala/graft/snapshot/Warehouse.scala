@@ -43,8 +43,12 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
     * store backing the warehouse provides) holding (holder, token,
     * acquiredAtMs, ttlMs). A lock past its TTL is presumed dead
     * (crashed writer — [[releaseWriterLease]] never ran) and is broken
-    * once; the create after the break stays atomic, so two contenders
-    * breaking the same stale lock still serialize. Returns the token
+    * once — via an atomic RENAME to a unique per-breaker name, so of
+    * two contenders observing the same stale lock exactly one rename
+    * succeeds and the loser can never delete the winner's freshly
+    * created lock (a delete-then-create break would let the second
+    * breaker's delete remove the first breaker's new lock, admitting
+    * two concurrent writers). Returns the token
     * that [[releaseWriterLease]] requires (release verifies ownership —
     * a writer that lost its lease to a TTL break cannot delete the next
     * holder's lock). */
@@ -69,13 +73,41 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
     // contended: break the lock ONLY if its TTL has expired
     val existing = readLock(fact)
     existing match {
-      case Some((h, _, at, ttl))
+      case Some((h, staleToken, at, ttl))
           if System.currentTimeMillis() - at > ttl =>
-        f.delete(lp, false) // break the stale lock, race the re-create
-        if (tryCreate()) token
-        else throw new IllegalStateException(
-          s"fact '$fact' writer lease lost to a concurrent writer " +
-            "after breaking a stale lock")
+        // Atomic break: rename the stale lock to a name unique to THIS
+        // breaker. Rename source-must-exist semantics mean exactly one
+        // of N concurrent breakers succeeds; the losers fall through to
+        // the contended error and never touch the winner's new lock.
+        // After winning the rename, verify the grabbed file still holds
+        // the token we observed as stale — a slow breaker could rename a
+        // FRESH lock that replaced the stale one inside its read→rename
+        // window; in that case restore it and back off.
+        val breakTag = new Path(lp.getParent, s"$fact.lock.breaking.$token")
+        // rename may THROW (not return false) when the source is gone —
+        // Hadoop's local rename falls back to a copy that raises FNF
+        def tryRename(src: Path, dst: Path): Boolean =
+          try f.rename(src, dst)
+          catch { case _: java.io.IOException => false }
+        if (tryRename(lp, breakTag)) {
+          if (readLockAt(breakTag).exists(_._2 == staleToken)) {
+            f.delete(breakTag, false)
+            if (tryCreate()) token
+            else throw new IllegalStateException(
+              s"fact '$fact' writer lease lost to a concurrent writer " +
+                "after breaking a stale lock")
+          } else {
+            // grabbed a successor's fresh lock by mistake: put it back
+            // (if lp was re-created in the meantime the successor's
+            // protection is already void — drop the tag either way)
+            if (!tryRename(breakTag, lp)) f.delete(breakTag, false)
+            throw new IllegalStateException(
+              s"fact '$fact' writer lease was re-acquired by a concurrent " +
+                "writer while breaking the stale lock; retry")
+          }
+        } else throw new IllegalStateException(
+          s"fact '$fact' stale writer lease was broken by a concurrent " +
+            "contender; retry")
       case Some((h, _, at, _)) =>
         throw new IllegalStateException(
           s"fact '$fact' is locked by writer '$h' since epoch-ms $at; " +
@@ -89,8 +121,11 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
 
   /** (holder, token, acquiredAtMs, ttlMs) of the current lock, if any. */
   private def readLock(fact: String): Option[(String, String, Long, Long)] =
+    readLockAt(lockPath(fact))
+
+  private def readLockAt(lp: Path): Option[(String, String, Long, Long)] =
     try {
-      val in = fs.open(lockPath(fact))
+      val in = fs.open(lp)
       val txt = try new String(
         in.readAllBytes(), "UTF-8") finally in.close()
       def field(k: String): String =

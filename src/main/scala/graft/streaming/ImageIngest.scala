@@ -20,12 +20,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * [[graft.ext.UrlFilter]] stance: a screen that silently drops what it
   * cannot judge biases the corpus.
   *
-  * Index rows are `(img_fp, n_refs)` — one 8-byte fingerprint per
-  * distinct image hash; the banded probe keys ([[Hamming64]]'s 56
-  * block-pair tables) derive per probe from the fp rows. At serving
-  * scale you would persist the keys alongside and skip the per-batch
-  * re-derivation — a projection-time trade documented here, not a
-  * shuffle-shape one (the probe join is the same either way).
+  * Index rows are `(img_fp, n_refs, t, v)` — the 56 banded probe keys
+  * ([[Hamming64]]'s block-pair tables) are PERSISTED at index-write
+  * time, once per accepted batch, additive like `n_refs`. The probe
+  * then equi-joins the current batch's 56·|batch| derived keys
+  * (broadcast — a micro-batch is trigger-bounded) against the stored
+  * keys: per-trigger work is O(batch·56) compute plus one pruned
+  * columnar index read, never an O(corpus) re-derivation — the same
+  * "O(delta), never O(fact)" rule the other scrub families hold. On a
+  * real lake, bucket the stored keys by `v` to add partition-level
+  * pruning to the read; the probe join shape is already shuffle-free
+  * on the index side.
   *
   * Crash protocol identical to [[UrlIngest]] via the shared
   * [[ScrubEngine]]: idempotent per-batch index overwrite, own-partition
@@ -41,18 +46,28 @@ object ImageIngest {
     * guarantee). */
   val MaxHamming = 4
 
-  /** (img_fp, n_refs) fingerprint counts of a frame — the persisted
-    * index unit (undecodable/hash-less images contribute nothing). */
+  /** (img_fp, n_refs, t, v) — fingerprint counts of a frame exploded
+    * into their 56 persisted band keys, the index unit (undecodable /
+    * hash-less images contribute nothing). Keys are derived ONCE here,
+    * at write time, so no probe ever re-derives them. */
   def imageIndex(df: DataFrame, idCol: String, contentCol: String): DataFrame =
-    df.select(PngGrayStats(col(contentCol)).as("__s"))
-      .filter(col("__s.ahash_hi").isNotNull)
-      .select(shiftleft(col("__s.ahash_hi"), 32)
-        .bitwiseOR(col("__s.ahash_lo")).as("img_fp"))
-      .groupBy(col("img_fp")).agg(count(lit(1)).as("n_refs"))
+    Hamming64.withBandKeys(
+      df.select(PngGrayStats(col(contentCol)).as("__s"))
+        .filter(col("__s.ahash_hi").isNotNull)
+        .select(shiftleft(col("__s.ahash_hi"), 32)
+          .bitwiseOR(col("__s.ahash_lo")).as("img_fp"))
+        .groupBy(col("img_fp")).agg(count(lit(1)).as("n_refs")),
+      "img_fp")
 
   /** The batch's novel rows against a prior index: no index fp within
     * Hamming ≤ [[MaxHamming]], no smaller-id batch sibling within the
-    * same ball; hash-less rows always pass (img_fp NULL). */
+    * same ball; hash-less rows always pass (img_fp NULL). `index`
+    * carries STORED band keys (t, v) per [[imageIndex]] — the probe
+    * derives keys for the batch only, broadcasts them, and equi-joins
+    * against the stored keys (banding guarantees every Hamming-≤ 6
+    * pair shares a clean key; the exact bit_count filter closes the
+    * ball), so the index side is never exploded, shuffled, or
+    * re-keyed. */
   def novelAgainst(batch: DataFrame, idCol: String, contentCol: String,
       index: DataFrame): DataFrame = {
     val withFp = batch
@@ -63,15 +78,13 @@ object ImageIngest {
       .drop("__s")
     val hashed = withFp.filter(col("img_fp").isNotNull)
       .select(col(idCol), col("img_fp"))
-    // index collisions: tag index fps with ids BELOW every batch id so
-    // the generic pair join (i < j) always orients index -> batch
-    val indexSide = index.select(col("img_fp").as("fp"))
-      .withColumn("id", monotonically_increasing_id() - lit(Long.MaxValue / 2))
     val batchSide = hashed.select(col(idCol).as("id"), col("img_fp").as("fp"))
-    val indexHits = Hamming64.pairs(
-        indexSide.unionByName(batchSide), "id", "fp", MaxHamming)
-      .filter(col("i") < 0 && col("j") >= 0) // index -> batch pairs only
-      .select(col("j").as(idCol)).distinct()
+    val batchKeys = Hamming64.withBandKeys(batchSide, "fp")
+    val indexHits = index.select(col("img_fp"), col("t"), col("v"))
+      .join(broadcast(batchKeys), Seq("t", "v"))
+      .filter(bit_count(col("img_fp").bitwiseXOR(col("fp")))
+        .cast("long") <= MaxHamming)
+      .select(col("id").as(idCol)).distinct()
     // within-batch dominators: j drops iff some smaller batch id pairs
     val batchHits = Hamming64.pairs(batchSide, "id", "fp", MaxHamming)
       .select(col("j").as(idCol)).distinct()
@@ -87,7 +100,9 @@ object ImageIngest {
     subdir = "imgfps", keyCol = "img_fp", cntCol = "n_refs",
     statCols = Seq("img_fp"),
     indexOf = imageIndex(_, _, _),
-    incremental = novelAgainst(_, _, _, _))
+    incremental = novelAgainst(_, _, _, _),
+    // the stored rows ARE the probe side: no per-batch collapse shuffle
+    collapse = false, extraIndexCols = Seq("t", "v"))
 
   /** Seed the index with an already-ingested corpus (batch = -1). */
   def seedIndex(corpus: DataFrame, idCol: String, contentCol: String,

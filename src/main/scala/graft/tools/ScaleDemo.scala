@@ -858,6 +858,41 @@ object ScaleDemo {
       graft.ext.Multimodal.binaryExactDedup(png)
         .agg(sum(col("n_copies"))).collect()(0).getLong(0)
     }
+    if (selected("imgingest_probe")) {
+      // the streaming image-dedup O(delta) claim: seed an index of K×5000
+      // DISTINCT fingerprints (seed = doc_id, every image unique), then
+      // ingest ONE fixed 500-image batch — per-trigger wall must track
+      // the batch, not the index (stored band keys probed by a broadcast
+      // of the batch's 56·500 keys; no index-side explode or shuffle).
+      // Evidence reads across a K sweep: probe_s flat while seed rows
+      // grow K×.
+      val wh = new graft.snapshot.Warehouse(spark,
+        graft.TempDirs.scratchDir("sd_ii_wh").toString)
+      val idxDir = graft.TempDirs.scratchDir("sd_ii_idx").toString
+      val seedImgs = graft.ext.Multimodal.syntheticGrayPngCorpus(
+        corpus.select(col("doc_id")), "doc_id", col("doc_id"),
+        lit(16), lit(16), lit(0))
+      val t0 = System.nanoTime()
+      graft.streaming.ImageIngest.seedIndex(seedImgs, "media_id",
+        "content", idxDir)
+      val tSeed = (System.nanoTime() - t0) / 1e9
+      val batch = graft.ext.Multimodal.syntheticGrayPngCorpus(
+        spark.range(500).select((col("id") + 900000000L).as("doc_id")),
+        "doc_id",
+        // half the batch near-dups a seeded class, half is novel —
+        // both the drop and the fact-append legs run
+        when(col("doc_id") % 2 === 0, col("doc_id") % 800)
+          .otherwise(col("doc_id")),
+        lit(16), lit(16), lit(1))
+        .withColumn("year", lit(2020L))
+      val t1 = System.nanoTime()
+      graft.streaming.ImageIngest.ingestBatch(batch, "media_id",
+        "content", wh, "novel", idxDir, 0L)
+      val tProbe = (System.nanoTime() - t1) / 1e9
+      val kept = wh.read("novel").map(_.count()).getOrElse(0L)
+      println(f"""{"op": "imgingest_probe", "index_fps": $docs, "batch": 500, "kept": $kept, "seed_s": $tSeed%.1f, "probe_s": $tProbe%.1f}""")
+      spark.catalog.clearCache()
+    }
     timed("bpe_sharded") {
       // the no-driver-table trainer: replication multiplies FREQUENCIES
       // (the type table stays base-sized), so wall = one corpus word

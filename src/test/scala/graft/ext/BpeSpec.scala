@@ -155,6 +155,52 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("shard state is copy-on-apply: retries replay pure, rounds never " +
+      "mutate cached state") {
+    // the per-round map over the cached shard RDD runs withMergesApplied;
+    // a task retry or speculative duplicate re-running it against the
+    // SAME cached object must see the unmutated original and produce an
+    // identical result — prove both halves directly on the state
+    val st = new BpeShardState(
+      Array("low".split(""), "lower".split(""), "lowest".split("")),
+      Array(5L, 2L, 3L))
+    val pageBefore = st.page(100)._1.toSeq
+    val once = st.withMergesApplied(Seq(("l", "o")))
+    assert(st.page(100)._1.toSeq == pageBefore,
+      "receiver mutated by withMergesApplied")
+    val twice = st.withMergesApplied(Seq(("l", "o"))) // the retry
+    assert(once.page(100)._1.toSeq == twice.page(100)._1.toSeq)
+    assert(once.page(100)._1.toSeq != pageBefore) // it did apply
+    // chained rounds from a clone match the mutating driver-side path
+    val mut = new BpeShardState(
+      Array("low".split(""), "lower".split(""), "lowest".split("")),
+      Array(5L, 2L, 3L))
+    mut.applyMergesInOrder(Seq(("l", "o")))
+    mut.applyMergesInOrder(Seq(("lo", "w")))
+    val cloned = once.withMergesApplied(Seq(("lo", "w")))
+    assert(cloned.page(100)._1.toSeq == mut.page(100)._1.toSeq)
+  }
+
+  test("trainSharded: reliable-checkpoint switch is bit-identical") {
+    val docs = Seq((1L, "low lower lowest low low slow slower"),
+      (2L, "new newer newest new slow slowest")).toDF("doc_id", "text")
+    val plain = Bpe.trainSharded(docs, "text", merges = 10, numShards = 4)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    val ckDir = java.nio.file.Files.createTempDirectory("bpe_ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    spark.conf.set("spark.graft.eagerCheckpoint.reliable", "true")
+    try {
+      val durable = Bpe.trainSharded(docs, "text", merges = 10,
+        numShards = 4)
+        .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+      assert(durable == plain)
+      // the durable run actually wrote round states to the checkpoint dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "reliable mode must write checkpoint files")
+    } finally spark.conf.unset("spark.graft.eagerCheckpoint.reliable")
+  }
+
   test("trainSharded: exhausts cleanly when the corpus runs out of pairs") {
     val tiny = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
     val sh = Bpe.trainSharded(tiny, "text", merges = 50, numShards = 4)

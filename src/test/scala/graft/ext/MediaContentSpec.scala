@@ -285,6 +285,19 @@ class MediaContentSpec extends SparkTestBase {
     assert(Mp4Kernel.decodeSamples("junkjunkjunkjunkjunk".getBytes, 100) == null)
     assert(Mp4Kernel.decodeSamples(mp4.take(40), 100) == null)
     assert(Mp4Kernel.decodeSamples(mp4, maxSamples = 3) == null) // over cap
+    // zero-size sample with offset == file length: `off + size > n` is
+    // false yet the first-byte read would index past the buffer — must
+    // return null, never throw (regression: AIOOBE on crawl-dirty bytes)
+    val zeroSz = mp4.clone()
+    val sizesAt = 76            // stsz payload: sizes start (fixed layout)
+    val offsAt = 56 + 20 + 4 * n + 16 // stco offsets start
+    def w4(buf: Array[Byte], p: Int, v: Long): Unit = {
+      buf(p) = ((v >> 24) & 0xFF).toByte; buf(p + 1) = ((v >> 16) & 0xFF).toByte
+      buf(p + 2) = ((v >> 8) & 0xFF).toByte; buf(p + 3) = (v & 0xFF).toByte
+    }
+    w4(zeroSz, sizesAt, 0L)                  // sample 0 size = 0
+    w4(zeroSz, offsAt, zeroSz.length.toLong) // sample 0 offset = EOF
+    assert(Mp4Kernel.decodeSamples(zeroSz, 100) == null)
   }
 
   test("videoSampleStats: per-frame rows via DataFrame, dirt contributes none") {

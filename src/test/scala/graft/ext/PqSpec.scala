@@ -298,6 +298,13 @@ class PqSpec extends SparkTestBase {
     val (rebuilt, fired1) = Pq.maybeRetrain(idx, corpus, shifted,
       "vec_id", "embedding")
     assert(fired1 && !(rebuilt eq idx))
+    // default geometry args INHERIT from the live index, not library
+    // defaults: the rebuild reproduces the serving shape
+    def geo(i: Pq.ResIndex) = (
+      i.coarse.select("cid").distinct.count(),
+      i.books.select("sub").distinct.count(),
+      i.books.select("sub", "cid").distinct.count())
+    assert(geo(rebuilt) == geo(idx), s"${geo(rebuilt)} != ${geo(idx)}")
     // the rebuilt index serves the shifted region its old coarse book
     // couldn't: a shifted query's top-1 is itself
     val qs = shifted.filter(col("vec_id") === 0L)

@@ -97,6 +97,43 @@ class SnapshotSpec extends SparkTestBase {
     wh.releaseWriterLease("f", t4)
   }
 
+  test("stale-lock break serializes: racing breakers cannot both acquire") {
+    val wh = freshWarehouse()
+    // N threads all observe the same expired lock and race the break.
+    // The rename-based break admits exactly one winner; the losers must
+    // throw, never delete the winner's fresh lock (the delete-then-create
+    // break let breaker B's delete remove breaker A's new lock).
+    wh.acquireWriterLease("f", holder = "dead", ttlMs = 1L)
+    Thread.sleep(5)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val outcomes = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Either[Throwable, String]]())
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        gate.await()
+        outcomes.add(
+          try Right(wh.acquireWriterLease("f", holder = s"breaker-$i"))
+          catch { case t: Throwable => Left(t) })
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val wins = outcomes.asScala.collect { case Right(tok) => tok }
+    assert(wins.size == 1,
+      s"exactly one breaker must win the stale lock, got ${wins.size}: " +
+        outcomes.asScala.map {
+          case Right(t) => s"WIN($t)"
+          case Left(e) => s"${e.getClass.getSimpleName}(${e.getMessage})"
+        }.mkString(" | "))
+    outcomes.asScala.collect { case Left(t) => t }.foreach(t =>
+      assert(t.isInstanceOf[IllegalStateException], s"unexpected: $t"))
+    // the winner's lock survived every loser: a live second acquire fails
+    intercept[IllegalStateException] { wh.acquireWriterLease("f") }
+    wh.releaseWriterLease("f", wins.head)
+    val after = wh.acquireWriterLease("f")
+    wh.releaseWriterLease("f", after)
+  }
+
   test("snapshot run holds the fact lease: a held lock refuses the job") {
     Seq((1, "x")).toDF("k", "v").createOrReplaceTempView("lease_src")
     val wh = freshWarehouse()

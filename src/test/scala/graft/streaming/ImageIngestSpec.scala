@@ -60,6 +60,32 @@ class ImageIngestSpec extends SparkTestBase {
     assert(wh.read("f").get.count() == n1)
   }
 
+  test("probe plan: stored band keys are joined, never re-derived — no " +
+      "explode above the index scan") {
+    val idx = tmp("ii_idx_plan")
+    ImageIngest.seedIndex(media(Seq((1L, 2L, 0L), (2L, 7L, 0L))),
+      "media_id", "content", idx)
+    val index = spark.read.parquet(s"$idx/imgfps/batch=-1")
+    // stored schema carries the persisted keys
+    assert(Set("img_fp", "n_refs", "t", "v")
+      .subsetOf(index.columns.toSet))
+    val out = ImageIngest.novelAgainst(media(Seq((10L, 2L, 1L))),
+      "media_id", "content", index)
+    val plan = out.queryExecution.optimizedPlan
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.nonEmpty) // the batch side still derives its keys
+    // every explode subtree is batch-side only: no parquet (index) leaf
+    gens.foreach { g =>
+      val leaves = g.collectLeaves().map(_.getClass.getSimpleName)
+      assert(!leaves.exists(_.contains("LogicalRelation")),
+        s"index scan under a Generate: ${g.treeString.take(400)}")
+    }
+    // and the result is still right: 10 collides with seeded class 2
+    assert(out.filter(col("media_id") === 10L).count() == 0)
+  }
+
   test("run(): a seeded corpus index blocks a streamed near-duplicate") {
     val wh = new Warehouse(spark, tmp("ii_wh3"))
     val idx = tmp("ii_idx3")
