@@ -1911,9 +1911,13 @@ object SparkEntry {
     // (k-means trains on all 60 fixture vectors; queries probe 4 of 10
     // lists — recall must still be exact because clusters are coherent)
     "x_sim_ivf" -> ((s, d) => {
+      // sampleSize 32 < the 60-vector corpus routes training through the
+      // DISTRIBUTED trainer (full-corpus KMeans.fit) — the oracle is the
+      // exact semantic top-k, unchanged: the planted clusters guarantee
+      // any sane coarse book recovers it
       val emb = graft.ext.Fixtures.plantedVectors(s)
       graft.ext.Ivf.topK(emb, emb.filter(col("vec_id") < 12),
-        "vec_id", "embedding", k = 5, nlist = 10, nprobe = 4, sampleSize = 60)
+        "vec_id", "embedding", k = 5, nlist = 10, nprobe = 4, sampleSize = 32)
         .select(col("qid"), col("nid"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),

@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
 /** IVF (inverted-file) approximate nearest neighbor search — the classic
   * coarse-quantizer scale path alongside sign-LSH:
   *
-  *  1. TRAIN: Lloyd's k-means over a bounded, deterministic sample of the
-  *     corpus, on L2-normalized vectors (so Euclidean assignment == angular
-  *     / cosine clustering). Training a coarse quantizer is a small-model
-  *     fit — `nlist` centroids from <= `sampleSize` vectors — so it runs
-  *     on the driver; everything data-sized stays distributed.
+  *  1. TRAIN: Lloyd's k-means on L2-normalized vectors (so Euclidean
+  *     assignment == angular / cosine clustering). Two trainers: a
+  *     bounded deterministic driver-side sample (small corpora the
+  *     sample fully covers — the seed-reproducible gate path) and
+  *     [[trainCentroidsDistributed]], full-corpus [[KMeans.fit]] with
+  *     only the nlist×dim model collected (the 100 TB path — training
+  *     never funnels the data through the driver). [[topK]] routes by
+  *     corpus size and accepts pre-trained centroids.
   *  2. ASSIGN: every corpus vector maps to its nearest centroid — one
   *     `mapPartitions` pass against the broadcast centroid matrix
   *     (primitive float loops; the same batched execution shape a real
@@ -90,6 +93,37 @@ object Ivf {
     centroids
   }
 
+  /** Distributed coarse training: [[KMeans.fit]] over the FULL corpus
+    * (L2-normalized in SQL first, so Euclidean Lloyd's == angular
+    * clustering, matching [[trainCentroids]]' sphere semantics), then
+    * collect only the nlist×dim centroid table — the model, never the
+    * data. This is the 100 TB path: the driver-sample trainer caps what
+    * the quantizer ever sees at `sampleSize` vectors, which mis-places
+    * centroids once the corpus outgrows the sample's coverage; here
+    * every vector votes. Final centroids are re-normalized (the sample
+    * trainer's per-iteration convention, applied at the end). May
+    * return FEWER than nlist centroids: lists emptied during training
+    * drop out of [[KMeans.fit]]'s output — fewer, fuller lists, same
+    * search contract (nlist is a cap, not a promise). */
+  def trainCentroidsDistributed(df: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, iters: Int = 10): Array[Array[Float]] = {
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val nrm = sqrt(aggregate(vd, lit(0.0d), (a, x) => a + x * x))
+    val pts = df.select(col(idCol).cast("long").as(idCol),
+      when(nrm > 0, transform(vd, x => x / nrm)).otherwise(vd).as("__nv"))
+    val rows = KMeans.fit(pts, idCol, "__nv", nlist, iters)
+      .select(col("cid").cast("int"), col("dim").cast("int"),
+        col("c").cast("double"))
+      .collect() // nlist×dim model rows — bounded, data never moves
+    val dim = rows.map(_.getInt(1)).max + 1
+    val byCid = rows.groupBy(_.getInt(0))
+    byCid.keys.toArray.sorted.map { cid =>
+      val v = new Array[Float](dim)
+      byCid(cid).foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
+      normalize(v)
+    }
+  }
+
   /** (cid, id, vec) assignment of every row to its `nprobe` nearest
     * centroid lists — one partition-batched pass, no shuffle. */
   private def assign(df: DataFrame, idCol: String, vecCol: String,
@@ -115,14 +149,27 @@ object Ivf {
 
   /** Approximate top-k cosine neighbors via IVF: corpus in single-probe
     * lists, queries probe `nprobe` lists, exact rerank. Output shape
-    * matches Similarity.bruteForceTopK (qid, nid, rank, cos). */
+    * matches Similarity.bruteForceTopK (qid, nid, rank, cos).
+    *
+    * Trainer routing: pass `centroids` to serve a pre-trained coarse
+    * book; otherwise a corpus LARGER than `sampleSize` trains with
+    * [[trainCentroidsDistributed]] (full-corpus KMeans — the scale
+    * path), and only a corpus the sample fully covers uses the
+    * driver-side sample trainer (whose determinism-by-seed the small
+    * planted gates rely on). The existence check is `limit(n+1).count`
+    * — bounded, never a full count. */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 64, nprobe: Int = 8,
-      iters: Int = 10, sampleSize: Int = 10000, seed: Long = 42L): DataFrame = {
-    val centroids = trainCentroids(corpus, idCol, vecCol, nlist, iters,
-      sampleSize, seed)
-    val cs = assign(corpus, idCol, vecCol, centroids, 1, "nid", "nv")
-    val qs = broadcast(assign(queries, idCol, vecCol, centroids, nprobe,
+      iters: Int = 10, sampleSize: Int = 10000, seed: Long = 42L,
+      centroids: Option[Array[Array[Float]]] = None): DataFrame = {
+    val cents = centroids.getOrElse {
+      if (corpus.limit(sampleSize + 1).count() > sampleSize)
+        trainCentroidsDistributed(corpus, idCol, vecCol, nlist, iters)
+      else trainCentroids(corpus, idCol, vecCol, nlist, iters,
+        sampleSize, seed)
+    }
+    val cs = assign(corpus, idCol, vecCol, cents, 1, "nid", "nv")
+    val qs = broadcast(assign(queries, idCol, vecCol, cents, nprobe,
       "qid", "qv"))
     // id-keyed candidate dedup (see Similarity.lshTopK): 16-byte grouping
     // keys, vectors ride as first() buffers — same result as distinct(),

@@ -121,6 +121,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("IVF distributed trainer: parity with the sample trainer on " +
+      "planted clusters; pre-trained centroids served verbatim") {
+    val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    // sampleSize below the corpus routes through trainCentroidsDistributed
+    val dist = Ivf.topK(corpus, queries, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4, sampleSize = 8)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect dist).size.toDouble / bf.size
+    assert(recall >= 0.9, s"distributed-trainer recall $recall")
+    // a pre-trained coarse book is served as-is: same result on reuse
+    val cents = Ivf.trainCentroidsDistributed(corpus, "vec_id",
+      "embedding", nlist = 16)
+    val served = Ivf.topK(corpus, queries, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4, centroids = Some(cents))
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(served == dist)
+    // the model is the contracted shape: ≤ nlist unit-norm centroids
+    // (emptied lists drop out of KMeans.fit), at least one per planted
+    // cluster's region
+    assert(cents.length <= 16 && cents.length >= 8, s"${cents.length}")
+    cents.foreach { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-3, s"centroid norm $n")
+    }
+  }
+
   test("centroids: quantized aggregation is exact and partition-shape-proof") {
     // values chosen representable after round(,6): expected means are hand-
     // computable; repartition proves order-independence of the decimal sum
