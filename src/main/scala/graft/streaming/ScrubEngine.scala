@@ -36,7 +36,17 @@ private[streaming] final case class ScrubFamily(
     collapse: Boolean = true,
     // extra all-LongType index columns beyond (keyCol, cntCol), for the
     // empty-index schema when no partition exists yet
-    extraIndexCols: Seq[String] = Nil)
+    extraIndexCols: Seq[String] = Nil,
+    // bloom-prune the index read with the BATCH's own unit keys: the
+    // incremental judge only consumes index rows whose keyCol appears
+    // in the batch (equi-join semantics), so a filter built from the
+    // trigger-bounded batch keys discards the rest of the index scan
+    // map-side — BEFORE the collapse groupBy / join exchange. False
+    // positives only pass harmless extra rows. The pattern generalizes
+    // to every collapse family (line/URL); families that join on
+    // derived keys (ImageIngest's band keys) need the bloom keyed on
+    // those instead.
+    bloomPrune: Boolean = false)
 
 private[streaming] object ScrubEngine {
 
@@ -47,9 +57,11 @@ private[streaming] object ScrubEngine {
       .parquet(s"$indexDir/${fam.subdir}/batch=-1")
 
   /** The current index EXCLUDING `batchId`'s own partition, collapsed
-    * to one row per unit hash. */
+    * to one row per unit hash; `prune` runs on the RAW stored rows,
+    * before any collapse shuffle (the bloom-prune hook point). */
   private def readIndex(fam: ScrubFamily, batch: DataFrame,
-      indexDir: String, batchId: Long): DataFrame = {
+      indexDir: String, batchId: Long,
+      prune: DataFrame => DataFrame = identity): DataFrame = {
     val spark = batch.sparkSession
     val dir = s"$indexDir/${fam.subdir}"
     val fs = new Path(dir).getFileSystem(
@@ -58,8 +70,8 @@ private[streaming] object ScrubEngine {
       fs.listStatus(new Path(dir)).exists(s =>
         s.isDirectory && s.getPath.getName.startsWith("batch="))
     if (hasParts) {
-      val raw = spark.read.option("basePath", dir).parquet(dir)
-        .filter(col("batch") =!= batchId)
+      val raw = prune(spark.read.option("basePath", dir).parquet(dir)
+        .filter(col("batch") =!= batchId))
       if (fam.collapse)
         raw.groupBy(col(fam.keyCol)).agg(sum(col(fam.cntCol)).as(fam.cntCol))
       else raw.drop("batch")
@@ -72,7 +84,19 @@ private[streaming] object ScrubEngine {
   def ingestBatch(fam: ScrubFamily, batch: DataFrame, idCol: String,
       textCol: String, wh: Warehouse, fact: String, indexDir: String,
       batchId: Long, dedupFact: Boolean): Unit = {
-    val index = readIndex(fam, batch, indexDir, batchId)
+    // the batch's own index view is used twice (bloom keys + the final
+    // index write); compute once
+    val batchIndex = fam.indexOf(batch, idCol, textCol)
+      .localCheckpoint(true)
+    val prune: DataFrame => DataFrame =
+      if (!fam.bloomPrune) identity
+      else { raw =>
+        val bits = 1 << 17 // 16 KiB filter: ~1% fp at 10^4 batch keys
+        val words = graft.ext.BloomJoin.buildFilter(
+          batchIndex.select(col(fam.keyCol)), fam.keyCol, bits, 4)
+        graft.ext.BloomJoin.pruneProbe(raw, fam.keyCol, words, bits, 4)
+      }
+    val index = readIndex(fam, batch, indexDir, batchId, prune)
     val scrubbed = fam.incremental(
         batch.select(col(idCol), col(textCol)), idCol, textCol, index)
       .join(batch.select(col(idCol), col("year")), idCol)
@@ -91,7 +115,7 @@ private[streaming] object ScrubEngine {
             .select(col(idCol)), Seq(idCol), "left_anti")
       }
     if (!factLeg.isEmpty) wh.append(fact, factLeg)
-    fam.indexOf(batch, idCol, textCol)
+    batchIndex
       .write.mode("overwrite")
       .parquet(s"$indexDir/${fam.subdir}/batch=$batchId")
   }

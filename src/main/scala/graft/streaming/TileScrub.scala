@@ -56,7 +56,14 @@ object TileScrub {
     subdir = "tiles", keyCol = "tile_hash", cntCol = "n_refs",
     statCols = Seq("n_tiles", "dup_tiles", "dup_ratio", "clean_text"),
     indexOf = Dedup.tileIndex(_, _, _, tileWords),
-    incremental = Dedup.tileDuplicationIncremental(_, _, _, _, tileWords))
+    incremental = Dedup.tileDuplicationIncremental(_, _, _, _, tileWords),
+    // the converted family for batch-keyed bloom pruning: the judge
+    // only consumes index tiles the batch also contains, so a 16 KiB
+    // filter over the batch's tile hashes discards the rest of the
+    // index scan before the collapse shuffle — per-batch exchange
+    // volume tracks the BATCH, not the corpus (same pattern applies to
+    // LineScrub/UrlIngest verbatim)
+    bloomPrune = true)
 
   /** Seed the index with an existing corpus's tiles (batch = -1). */
   def seedIndex(corpus: DataFrame, idCol: String, textCol: String,

@@ -893,6 +893,28 @@ object ScaleDemo {
       println(f"""{"op": "imgingest_probe", "index_fps": $docs, "batch": 500, "kept": $kept, "seed_s": $tSeed%.1f, "probe_s": $tProbe%.1f}""")
       spark.catalog.clearCache()
     }
+    if (selected("tilescrub_probe")) {
+      // batch-keyed bloom prune: seed a K×-corpus tile index, ingest one
+      // fixed 500-doc batch — the index rows surviving to the collapse
+      // shuffle are only those passing the batch-key bloom, so probe
+      // wall tracks the batch across a K sweep while seed rows grow K×
+      val wh = new graft.snapshot.Warehouse(spark,
+        graft.TempDirs.scratchDir("sd_ts_wh").toString)
+      val idxDir = graft.TempDirs.scratchDir("sd_ts_idx").toString
+      val t0 = System.nanoTime()
+      graft.streaming.TileScrub.seedIndex(corpus, "doc_id", "text", idxDir)
+      val tSeed = (System.nanoTime() - t0) / 1e9
+      val batch = base.limit(500)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+        .withColumn("year", lit(2020L))
+      val t1 = System.nanoTime()
+      graft.streaming.TileScrub.ingestBatch(batch, "doc_id", "text",
+        wh, "scrubbed", idxDir, 0L)
+      val tProbe = (System.nanoTime() - t1) / 1e9
+      val rows = wh.read("scrubbed").map(_.count()).getOrElse(0L)
+      println(f"""{"op": "tilescrub_probe", "index_docs": $docs, "batch": 500, "rows": $rows, "seed_s": $tSeed%.1f, "probe_s": $tProbe%.1f}""")
+      spark.catalog.clearCache()
+    }
     timed("bpe_sharded") {
       // the no-driver-table trainer: replication multiplies FREQUENCIES
       // (the type table stays base-sized), so wall = one corpus word
