@@ -3492,6 +3492,22 @@ object SparkEntry {
         .drop("ahash", "dhash")
         .orderBy(col("media_id"))
     }),
+    // JPEG CONTENT leg: real baseline JPEGs (Huffman scan, DC-exact
+    // block-flat fixture), decoded by the pure-JVM T.81 decoder — stats
+    // + hashes land on the integers the oracle re-derives from the
+    // block formula; doc 0's zeroed SOI degrades to ok=false
+    "x_mm_pixels_jpeg" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").filter(col("doc_id") < 200)
+      val media = graft.ext.Multimodal.syntheticBlockJpegCorpus(docs,
+        "doc_id", col("doc_id") % 23, lit(8), lit(8))
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'0000', substring(content, 3))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.jpegContentStats(dirty)
+        .drop("ahash", "dhash")
+        .orderBy(col("media_id"))
+    }),
     // image near-dup by aHash: 200 structural clusters (seed), bounded
     // perturbations within (bump) — banded Hamming join, exact to radius 4.
     // Cluster size stays O(corpus/200): identical fingerprints collide on
@@ -6572,6 +6588,26 @@ object SparkEntry {
       "CASE WHEN doc_id <> 0 THEN dhash_hi END AS dhash_hi, " +
       "CASE WHEN doc_id <> 0 THEN dhash_lo END AS dhash_lo " +
       "FROM st ORDER BY media_id"),
+    // JPEG pixel replay: the engine must Huffman-decode + IDCT a real
+    // baseline JPEG to land on these integers — the DC-exact block-flat
+    // fixture makes the decode a pure function of the block formula
+    "x_mm_pixels_jpeg" -> ("WITH " +
+      jpegHashCtes("doc_id % 23", 8, 8, "doc_id < 200") + ", " +
+      "st AS (SELECT hh.*, CAST(len(p) AS BIGINT) AS n, " +
+      "CAST(list_sum(p) AS BIGINT) AS sl, " +
+      "CAST(list_sum([v*v for v in p]) AS BIGINT) AS sq FROM hh) " +
+      "SELECT doc_id AS media_id, doc_id <> 0 AS ok, " +
+      "CASE WHEN doc_id <> 0 THEN w END AS width, " +
+      "CASE WHEN doc_id <> 0 THEN h END AS height, " +
+      "CASE WHEN doc_id <> 0 THEN n END AS n_px, " +
+      "CASE WHEN doc_id <> 0 THEN sl END AS sum_luma, " +
+      "CASE WHEN doc_id <> 0 THEN sl*1000 // n END AS mean_milli, " +
+      "CASE WHEN doc_id <> 0 THEN (n*sq - sl*sl)*1000 // (n*n) END AS var_milli, " +
+      "CASE WHEN doc_id <> 0 THEN ahash_hi END AS ahash_hi, " +
+      "CASE WHEN doc_id <> 0 THEN ahash_lo END AS ahash_lo, " +
+      "CASE WHEN doc_id <> 0 THEN dhash_hi END AS dhash_hi, " +
+      "CASE WHEN doc_id <> 0 THEN dhash_lo END AS dhash_lo " +
+      "FROM st ORDER BY media_id"),
     // O(n^2) pair oracle over the replayed aHashes (exact Hamming on the
     // 32-bit halves — no signed-64 overflow); the engine's banded join
     // must reproduce the pair set exactly (radius 4 <= the radius-6
@@ -7449,19 +7485,45 @@ object SparkEntry {
       s"((((i % $ow) + 1)*w)//$ow - ((i % $ow)*w)//$ow) ) " +
       s"for i in range(0, ${ow * oh}) ]"
 
-  /** Full perceptual-hash replay chain ending in
-    * hh(doc_id, w, h, p, ahash_hi/lo, dhash_hi/lo). */
-  private def pngHashCtes(seedSql: String, wSql: String, hSql: String,
-      bumpSql: String): String = {
+  /** cc/gg/hh perceptual-hash CTEs over ANY px(doc_id, w, h, p) pixel
+    * CTE — shared by the PNG and JPEG pixel oracles (the hashes are
+    * container-agnostic: same cell grids, same thresholds). */
+  private def hashCtesFromPx: String = {
     val aCond = "c8[k+1] > gm"
     val dCond = "c9[(k//8)*9 + (k%8) + 2] > c9[(k//8)*9 + (k%8) + 1]"
-    pngPixelCtes(seedSql, wSql, hSql, bumpSql) + ", " +
+    ", " +
       s"cc AS (SELECT px.*, ${pngCellsExpr(8)} AS c8, ${pngCellsExpr(9)} AS c9 FROM px), " +
       "gg AS (SELECT cc.*, CAST(list_sum(c8) AS BIGINT) // 64 AS gm FROM cc), " +
       "hh AS (SELECT doc_id, w, h, p, " +
       s"${fpHalf(aCond, lo = false)} AS ahash_hi, ${fpHalf(aCond, lo = true)} AS ahash_lo, " +
       s"${fpHalf(dCond, lo = false)} AS dhash_hi, ${fpHalf(dCond, lo = true)} AS dhash_lo FROM gg)"
   }
+
+  /** Full perceptual-hash replay chain ending in
+    * hh(doc_id, w, h, p, ahash_hi/lo, dhash_hi/lo). */
+  private def pngHashCtes(seedSql: String, wSql: String, hSql: String,
+      bumpSql: String): String =
+    pngPixelCtes(seedSql, wSql, hSql, bumpSql) + hashCtesFromPx
+
+  /** Pixel CTEs for the BLOCK-FLAT JPEG fixture ([[graft.ext
+    * .BlockJpegEncode]]'s documented block contract — the DC-only
+    * encode round-trips exactly, so decoded pixels ARE the formula):
+    * every pixel of 8×8 block (bx, by) is
+    * (((bx·7+by·11+seed·131)² mod 251) + bx + by·3 + seed) mod 256. */
+  private def jpegPixelCtes(seedSql: String, wBlocks: Int,
+      hBlocks: Int, whereSql: String): String = {
+    val t = "((x//8)*7 + (y//8)*11 + seed*131)"
+    val pixel = s"((($t % 251) * ($t % 251)) % 251 + (x//8) + (y//8)*3 " +
+      "+ seed) % 256"
+    s"d AS (SELECT doc_id, $seedSql AS seed, ${wBlocks * 8} AS w, " +
+      s"${hBlocks * 8} AS h FROM documents WHERE $whereSql), " +
+      s"px AS (SELECT d.*, flatten([[ $pixel for x in range(0, w)] " +
+      "for y in range(0, h)]) AS p FROM d)"
+  }
+
+  private def jpegHashCtes(seedSql: String, wBlocks: Int,
+      hBlocks: Int, whereSql: String): String =
+    jpegPixelCtes(seedSql, wBlocks, hBlocks, whereSql) + hashCtesFromPx
 
   private def kmeansChain(ptsSql: String, sfx: String = ""): String =
     s"pts$sfx AS (" + ptsSql + "), " +

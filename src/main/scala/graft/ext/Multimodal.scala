@@ -15,13 +15,16 @@ import org.apache.spark.sql.types._
   * arithmetic over codegen'd builtins (`substring`/`hex`/`conv`/`crc32`),
   * no codec library, no UDF.
   *
-  * CONTENT-level decode is real for two of them: PNG pixels
+  * CONTENT-level decode is real for three of them: PNG pixels
   * ([[imageContentStats]] — zlib inflate + all five unfilters via
   * [[PngGrayStats]], feeding the perceptual-hash near-dup
   * ([[imageNearDupPairs]]) and pixel-quality ([[imageQualityScreen]])
-  * operators) and PCM WAV samples ([[audioContentStats]] via
-  * [[WavPcmStats]]). Entropy-coded formats (JPEG/GIF/MP4 payloads)
-  * remain metadata-only — their codecs aren't in the sandbox;
+  * operators), baseline-JPEG luma ([[jpegContentStats]] — pure-JVM
+  * T.81 Huffman + IDCT via [[JpegGrayStats]], same stat/hash shape so
+  * every downstream verb composes), and PCM WAV samples
+  * ([[audioContentStats]] via [[WavPcmStats]]). GIF's LZW raster and
+  * MP4's video payloads remain metadata-only — a real video codec is
+  * out of pure-JVM reach, unlike zlib and Huffman+IDCT;
   * [[extractFeatures]]' byte-histogram features cover them with a real,
   * deterministic featurizer over the raw bytes.
   */
@@ -483,13 +486,34 @@ object Multimodal {
       GrayPngEncode(seed.cast("long"), w.cast("long"), h.cast("long"),
         lit(11L), lit(5L), bump.cast("long")).as("content"))
 
+  /** Block-flat baseline-JPEG corpus as a deterministic function of
+    * (idCol, seed) — the JPEG twin of [[syntheticGrayPngCorpus]]
+    * ([[BlockJpegEncode]]'s documented block formula; DC-only blocks
+    * round-trip exactly, so an oracle replays the decoded pixels). */
+  def syntheticBlockJpegCorpus(df: DataFrame, idCol: String, seed: Column,
+      wBlocks: Column, hBlocks: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      BlockJpegEncode(seed.cast("long"), wBlocks.cast("long"),
+        hBlocks.cast("long")).as("content"))
+
+  /** [[imageContentStats]] for baseline JPEG content — same 14-column
+    * shape (the hashes are container-agnostic), fed by the
+    * [[JpegGrayStats]] Huffman+IDCT luma decode instead of the PNG
+    * inflate. Near-dup machinery composes unchanged:
+    * `Hamming64.pairs(jpegContentStats(m), "media_id", "ahash", r)`. */
+  def jpegContentStats(media: DataFrame): DataFrame =
+    statsOf(media.withColumn("__s", JpegGrayStats(col("content"))))
+
   /** Decode PNG content to per-image pixel statistics + perceptual
     * hashes — ONE [[PngGrayStats]] evaluation per row, flattened. The
     * full 64-bit fingerprints are rebuilt from the hi/lo halves for
     * [[imageNearDupPairs]]. Zero shuffle; at 100 TB this is a linear
     * scan emitting 13 small columns per image. */
   def imageContentStats(media: DataFrame): DataFrame =
-    media.withColumn("__s", PngGrayStats(col("content")))
+    statsOf(media.withColumn("__s", PngGrayStats(col("content"))))
+
+  private def statsOf(media: DataFrame): DataFrame =
+    media
       .select(col("media_id"), col("__s.ok").as("ok"),
         col("__s.width").as("width"), col("__s.height").as("height"),
         col("__s.n_px").as("n_px"), col("__s.sum_luma").as("sum_luma"),

@@ -216,6 +216,169 @@ class MediaContentSpec extends SparkTestBase {
       meta.getAs[Long]("data_bytes") == 400)
   }
 
+  // ---------------- JPEG content leg ----------------
+
+  test("JPEG block-flat fixture round-trips EXACTLY, and javax.imageio " +
+      "decodes our wire bytes to the same blocks") {
+    def bv(bx: Int, by: Int): Int = (bx * 37 + by * 101 + 13) % 256
+    val jpeg = JpegKernel.encodeGrayBlocks(9, 8, bv)
+    // our decoder: every pixel equals its block's planted value
+    val g = JpegKernel.decodeGrayY(jpeg)
+    assert(g != null && g.width == 72 && g.height == 64)
+    for (y <- 0 until 64; x <- 0 until 72)
+      assert(g.luma(y * 72 + x) == bv(x / 8, y / 8), s"($x,$y)")
+    // independent decoder: ImageIO reads the same flat blocks from the
+    // same bytes — proves the wire format is real baseline JPEG
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpeg))
+    assert(img != null && img.getWidth == 72 && img.getHeight == 64)
+    val ras = img.getRaster
+    for (y <- 0 until 64; x <- 0 until 72)
+      assert(ras.getSample(x, y, 0) == bv(x / 8, y / 8), s"iio ($x,$y)")
+  }
+
+  test("JPEG decoder matches ImageIO on real grayscale encodes (its " +
+      "Huffman/quant tables, textured content)") {
+    // a textured gradient + noise image, encoded BY ImageIO (real
+    // libjpeg-style tables, full AC coefficient traffic), decoded by
+    // both; IDCT implementations may differ by rounding — tolerance 2,
+    // mean abs <= 0.5 (JPEG-conformance-style bound)
+    for (seed <- Seq(1, 7); q <- Seq(0.55f, 0.9f)) {
+      val w = 45; val h = 38 // non-multiples of 8: edge-block clipping
+      val src = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) {
+        val t = x * (3 + seed) + y * 7 + seed * 131
+        val v = (((t % 97) * (t % 89)) % 256 + 256) % 256
+        src.getRaster.setSample(x, y, 0, v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val wtr = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val p = wtr.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(q)
+      wtr.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+      wtr.write(null, new javax.imageio.IIOImage(src, null, null), p)
+      wtr.dispose()
+      val jpeg = bos.toByteArray
+      val ours = JpegKernel.decodeGrayY(jpeg)
+      assert(ours != null, s"decode failed seed=$seed q=$q")
+      assert(ours.width == w && ours.height == h)
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(jpeg)).getRaster
+      var sumAbs = 0L; var maxAbs = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val d = math.abs(ours.luma(y * w + x) - ref.getSample(x, y, 0))
+        sumAbs += d; maxAbs = math.max(maxAbs, d)
+      }
+      assert(maxAbs <= 2, s"seed=$seed q=$q max |diff| $maxAbs")
+      assert(sumAbs.toDouble / (w * h) <= 0.5,
+        s"seed=$seed q=$q mean |diff| ${sumAbs.toDouble / (w * h)}")
+    }
+  }
+
+  test("JPEG decoder: 3-component YCbCr (4:2:0 and 4:4:4) luma matches " +
+      "the RGB-derived Y within rounding") {
+    for (subsampled <- Seq(true, false)) {
+      val w = 40; val h = 24
+      val src = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        // low-saturation texture: the reference Y is recovered by
+        // INVERTING ImageIO's YCbCr->RGB conversion, which clamps at
+        // 0/255 — saturated chroma makes the inversion lossy and would
+        // test the clamp, not the decoder
+        val base = 50 + (x * 7 + y * 13) % 156
+        val r = base + (x % 9); val g = base
+        val b = math.max(0, base - (y % 11))
+        src.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val wtr = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val p = wtr.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      // ImageIO's writer picks 4:2:0 at ordinary quality and 4:4:4 at
+      // very high quality — both paths exercised
+      p.setCompressionQuality(if (subsampled) 0.7f else 1.0f)
+      wtr.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+      wtr.write(null, new javax.imageio.IIOImage(src, null, null), p)
+      wtr.dispose()
+      val jpeg = bos.toByteArray
+      val ours = JpegKernel.decodeGrayY(jpeg)
+      assert(ours != null && ours.width == w && ours.height == h)
+      // reference Y: invert ImageIO's RGB back through BT.601 — two
+      // rounding layers (YCbCr->RGB then back), so tolerance 3
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(jpeg))
+      var maxAbs = 0; var sumAbs = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = ref.getRGB(x, y)
+        val yy = math.round(0.299 * ((rgb >> 16) & 0xFF) +
+          0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)).toInt
+        val d = math.abs(ours.luma(y * w + x) - yy)
+        maxAbs = math.max(maxAbs, d); sumAbs += d
+      }
+      assert(maxAbs <= 3, s"subsampled=$subsampled max |diff| $maxAbs")
+      assert(sumAbs.toDouble / (w * h) <= 1.0,
+        s"subsampled=$subsampled mean ${sumAbs.toDouble / (w * h)}")
+    }
+  }
+
+  test("JPEG dirty bytes degrade, never throw; out-of-scope layouts null") {
+    val good = JpegKernel.encodeGrayBlocks(8, 8, (bx, by) => (bx + by) % 256)
+    assert(JpegKernel.decodeGrayY(null) == null)
+    assert(JpegKernel.decodeGrayY(Array[Byte]()) == null)
+    assert(JpegKernel.decodeGrayY("junkjunkjunk".getBytes) == null)
+    assert(JpegKernel.decodeGrayY(good.take(40)) == null) // truncated
+    assert(JpegKernel.decodeGrayY(good.dropRight(10)) == null)
+    val flipped = good.clone()
+    flipped(2) = 0x00 // break the first marker
+    assert(JpegKernel.decodeGrayY(flipped) == null)
+    // progressive (SOF2) is out of scope -> null, not garbage
+    val prog = good.clone()
+    val sofAt = {
+      var i = 2; var at = -1
+      while (at < 0 && i + 1 < prog.length) {
+        if ((prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0) at = i
+        i += 1
+      }
+      at
+    }
+    assert(sofAt > 0)
+    prog(sofAt + 1) = 0xC2.toByte
+    assert(JpegKernel.decodeGrayY(prog) == null)
+  }
+
+  test("JpegGrayStats + BlockJpegEncode: DataFrame chain, dirt " +
+      "contributes nulls, hashes ride the shared machinery") {
+    val df = spark.range(6).select(col("id").as("doc_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") =!= 0,
+          BlockJpegEncode(col("doc_id"), lit(8L), lit(8L)))
+          .otherwise(lit("junk".getBytes)).as("content"))
+      .select(col("doc_id"), JpegGrayStats(col("content")).as("s"))
+      .select(col("doc_id"), col("s.ok"), col("s.width"), col("s.n_px"),
+        col("s.sum_luma"), col("s.ahash_hi"), col("s.ahash_lo"))
+      .orderBy("doc_id").collect()
+    assert(!df(0).getBoolean(1)) // junk -> ok=false
+    assert(df(0).isNullAt(2) && df(0).isNullAt(5))
+    for (i <- 1 until 6) {
+      assert(df(i).getBoolean(1))
+      assert(df(i).getLong(2) == 64 && df(i).getLong(3) == 4096)
+      // exact sum replay from the planted block formula
+      val s = i.toLong
+      val want = (for (bx <- 0 until 8; by <- 0 until 8) yield {
+        val t = bx * 7L + by * 11L + s * 131L
+        val tq = ((t % 251) * (t % 251)) % 251
+        64L * ((((tq + bx + by * 3L + s) % 256) + 256) % 256)
+      }).sum
+      assert(df(i).getLong(4) == want, s"doc $i sum")
+      assert(!df(i).isNullAt(5) && !df(i).isNullAt(6))
+    }
+  }
+
   test("WAV dirty bytes and short clips degrade, never throw") {
     assert(WavKernel.decodePcm(null) == null)
     assert(WavKernel.decodePcm("RIFFnope".getBytes) == null)
