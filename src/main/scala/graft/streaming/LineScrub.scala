@@ -32,7 +32,11 @@ object LineScrub {
     subdir = "lines", keyCol = "line_hash", cntCol = "n_docs",
     statCols = Seq("n_lines", "dup_lines", "dup_ratio", "clean_text"),
     indexOf = Dedup.lineIndex(_, _, _),
-    incremental = Dedup.lineDedupIncremental(_, _, _, _, maxDocs))
+    incremental = Dedup.lineDedupIncremental(_, _, _, _, maxDocs),
+    // the judge equi-joins on line_hash: index rows for lines the batch
+    // doesn't contain are irrelevant — bloom-prune them map-side with
+    // the batch's own line hashes (the TileScrub pattern)
+    bloomPrune = true)
 
   /** Seed the index with an existing corpus's lines (batch = -1). */
   def seedIndex(corpus: DataFrame, idCol: String, textCol: String,

@@ -65,7 +65,10 @@ object UrlIngest {
     subdir = "urls", keyCol = "url_hash", cntCol = "n_refs",
     statCols = Seq("canon_url"),
     indexOf = urlIndex(_, _, _),
-    incremental = novelAgainst(_, _, _, _))
+    incremental = novelAgainst(_, _, _, _),
+    // novelty is an equi-join on url_hash: bloom-prune the index read
+    // with the batch's own hashes (the TileScrub pattern)
+    bloomPrune = true)
 
   /** Seed the index with an already-ingested corpus (batch = -1). */
   def seedIndex(corpus: DataFrame, idCol: String, urlCol: String,
