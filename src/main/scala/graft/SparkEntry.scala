@@ -3508,6 +3508,26 @@ object SparkEntry {
         .drop("ahash", "dhash")
         .orderBy(col("media_id"))
     }),
+    // MIXED-container leg: PNG and JPEG interleaved row by row (the
+    // crawl reality), one container-sniffing scan, one stat/hash space;
+    // doc 0's broken magic degrades to ok=false
+    "x_mm_mixed" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").filter(col("doc_id") < 200)
+      val png = graft.ext.Multimodal.syntheticGrayPngCorpus(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id",
+        col("doc_id") % 7, lit(9) + col("doc_id") % 8,
+        lit(8) + col("doc_id") % 6, col("doc_id") % 5)
+      val jpg = graft.ext.Multimodal.syntheticBlockJpegCorpus(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id",
+        col("doc_id") % 23, lit(8), lit(8))
+      val media = png.unionByName(jpg).withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00', substring(content, 2))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.mixedImageContentStats(media)
+        .drop("ahash", "dhash")
+        .orderBy(col("media_id"))
+    }),
     // image near-dup by aHash: 200 structural clusters (seed), bounded
     // perturbations within (bump) — banded Hamming join, exact to radius 4.
     // Cluster size stays O(corpus/200): identical fingerprints collide on
@@ -6588,6 +6608,15 @@ object SparkEntry {
       "CASE WHEN doc_id <> 0 THEN dhash_hi END AS dhash_hi, " +
       "CASE WHEN doc_id <> 0 THEN dhash_lo END AS dhash_lo " +
       "FROM st ORDER BY media_id"),
+    // mixed-container replay: each half rides its own pixel chain (PNG
+    // formula for even docs, JPEG block formula for odd), unioned — the
+    // engine's single sniffing scan must match both
+    "x_mm_mixed" -> ("SELECT * FROM ((WITH " +
+      pngHashCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
+        "doc_id % 5") + ", " + pixelStatsSelect(
+        " WHERE doc_id % 2 = 0 AND doc_id < 200") + ") UNION ALL (WITH " +
+      jpegHashCtes("doc_id % 23", 8, 8, "doc_id % 2 = 1 AND doc_id < 200") +
+      ", " + pixelStatsSelect("") + ")) ORDER BY media_id"),
     // JPEG pixel replay: the engine must Huffman-decode + IDCT a real
     // baseline JPEG to land on these integers — the DC-exact block-flat
     // fixture makes the decode a pure function of the block formula
@@ -7524,6 +7553,26 @@ object SparkEntry {
   private def jpegHashCtes(seedSql: String, wBlocks: Int,
       hBlocks: Int, whereSql: String): String =
     jpegPixelCtes(seedSql, wBlocks, hBlocks, whereSql) + hashCtesFromPx
+
+  /** The shared pixel-stat projection over an hh hash CTE: st fold +
+    * the ok/NULL-on-corrupt column block (doc 0 is the planted dirty
+    * row in every pixel gate). */
+  private def pixelStatsSelect(fromSuffix: String): String =
+    "st AS (SELECT hh.*, CAST(len(p) AS BIGINT) AS n, " +
+      "CAST(list_sum(p) AS BIGINT) AS sl, " +
+      "CAST(list_sum([v*v for v in p]) AS BIGINT) AS sq FROM hh) " +
+      "SELECT doc_id AS media_id, doc_id <> 0 AS ok, " +
+      "CASE WHEN doc_id <> 0 THEN w END AS width, " +
+      "CASE WHEN doc_id <> 0 THEN h END AS height, " +
+      "CASE WHEN doc_id <> 0 THEN n END AS n_px, " +
+      "CASE WHEN doc_id <> 0 THEN sl END AS sum_luma, " +
+      "CASE WHEN doc_id <> 0 THEN sl*1000 // n END AS mean_milli, " +
+      "CASE WHEN doc_id <> 0 THEN (n*sq - sl*sl)*1000 // (n*n) END AS var_milli, " +
+      "CASE WHEN doc_id <> 0 THEN ahash_hi END AS ahash_hi, " +
+      "CASE WHEN doc_id <> 0 THEN ahash_lo END AS ahash_lo, " +
+      "CASE WHEN doc_id <> 0 THEN dhash_hi END AS dhash_hi, " +
+      "CASE WHEN doc_id <> 0 THEN dhash_lo END AS dhash_lo " +
+      s"FROM st$fromSuffix"
 
   private def kmeansChain(ptsSql: String, sfx: String = ""): String =
     s"pts$sfx AS (" + ptsSql + "), " +

@@ -589,6 +589,85 @@ object JpegGrayStats {
       JpegGrayStats(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
 }
 
+/** Container-sniffing gray-content stats — crawl image columns are
+  * MIXED (PNG and JPEG interleaved row by row), and a per-format
+  * pipeline would scan the corpus once per container. This expression
+  * sniffs the magic bytes (\x89PNG vs \xFFD8) and routes each row to
+  * the matching kernel, emitting the SAME stat/hash struct either way
+  * — one scan, one fingerprint space, so near-dup detection catches a
+  * PNG and a JPEG of the same picture in the same Hamming ball (both
+  * hashes threshold the same 8×8 luma cell grid; lossy-compression
+  * pixel drift lands within the near-dup radius, not at zero).
+  * Unknown/malformed containers → ok=false. */
+case class ImageGrayStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("ok", BooleanType, nullable = false),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("n_px", LongType),
+    StructField("sum_luma", LongType),
+    StructField("mean_milli", LongType),
+    StructField("var_milli", LongType),
+    StructField("ahash_hi", LongType),
+    StructField("ahash_lo", LongType),
+    StructField("dhash_hi", LongType),
+    StructField("dhash_lo", LongType)))
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"image_gray_stats requires binary, got $other")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val bytes = child.eval(input) match {
+      case null => null
+      case b => b.asInstanceOf[Array[Byte]]
+    }
+    val g =
+      if (bytes == null || bytes.length < 2) null
+      else if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P')
+        PngKernel.decodeGray(bytes)
+      else if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
+        JpegKernel.decodeGrayY(bytes)
+      else null
+    if (g == null)
+      return InternalRow(false, null, null, null, null, null, null,
+        null, null, null, null)
+    val n = g.luma.length.toLong
+    var sum = 0L; var sumSq = 0L; var i = 0
+    while (i < g.luma.length) {
+      val v = g.luma(i); sum += v; sumSq += v.toLong * v; i += 1
+    }
+    val meanMilli = sum * 1000L / n
+    val varMilli = ((BigInt(n) * sumSq - BigInt(sum) * sum) * 1000 /
+      (BigInt(n) * n)).toLong
+    val ah = PngKernel.ahash(g)
+    val dh = PngKernel.dhash(g)
+    def hi(fp: Long): Any =
+      if (fp == Long.MinValue) null else (fp >>> 32) & 0xFFFFFFFFL
+    def lo(fp: Long): Any =
+      if (fp == Long.MinValue) null else fp & 0xFFFFFFFFL
+    InternalRow(true, g.width.toLong, g.height.toLong, n, sum, meanMilli,
+      varMilli, hi(ah), lo(ah), hi(dh), lo(dh))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageGrayStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "image_gray_stats"
+}
+
+object ImageGrayStats {
+  def apply(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      ImageGrayStats(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+}
+
 /** Deterministic block-flat JPEG corpus builder — the JPEG twin of
   * [[GrayPngEncode]]: a REAL baseline JPEG whose 8×8 blocks are flat
   * values of the documented formula, so decode is exact and a SQL

@@ -504,6 +504,13 @@ object Multimodal {
   def jpegContentStats(media: DataFrame): DataFrame =
     statsOf(media.withColumn("__s", JpegGrayStats(col("content"))))
 
+  /** Container-sniffing stats over a MIXED image column (PNG and JPEG
+    * interleaved, the crawl reality): one scan, one fingerprint space —
+    * a PNG and a JPEG of the same picture land in the same Hamming
+    * ball. [[ImageGrayStats]] routes per row on the magic bytes. */
+  def mixedImageContentStats(media: DataFrame): DataFrame =
+    statsOf(media.withColumn("__s", ImageGrayStats(col("content"))))
+
   /** Decode PNG content to per-image pixel statistics + perceptual
     * hashes — ONE [[PngGrayStats]] evaluation per row, flattened. The
     * full 64-bit fingerprints are rebuilt from the hi/lo halves for

@@ -379,6 +379,25 @@ class MediaContentSpec extends SparkTestBase {
     }
   }
 
+  test("ImageGrayStats sniffs the container per row: PNG and JPEG land " +
+      "in one stat space, junk degrades") {
+    val png = PngKernel.encodeGray(16, 16, pix(3, 11, 5, 0) _, y => y % 5)
+    val jpg = JpegKernel.encodeGrayBlocks(2, 2, (bx, by) => 50 + bx + by)
+    val rows = Seq((1L, png), (2L, jpg), (3L, "junk".getBytes))
+      .toDF("media_id", "content")
+      .select(col("media_id"), ImageGrayStats(col("content")).as("s"))
+      .select(col("media_id"), col("s.ok"), col("s.width"), col("s.sum_luma"))
+      .orderBy("media_id").collect()
+    assert(rows(0).getBoolean(1) && rows(0).getLong(2) == 16)
+    assert(rows(1).getBoolean(1) && rows(1).getLong(2) == 16)
+    // JPEG sum replay: 4 flat blocks of 64 px each
+    assert(rows(1).getLong(3) == 64L * (50 + 51 + 51 + 52))
+    assert(!rows(2).getBoolean(1))
+    // PNG row matches the dedicated kernel exactly (same decode path)
+    val g = PngKernel.decodeGray(png)
+    assert(rows(0).getLong(3) == g.luma.map(_.toLong).sum)
+  }
+
   test("WAV dirty bytes and short clips degrade, never throw") {
     assert(WavKernel.decodePcm(null) == null)
     assert(WavKernel.decodePcm("RIFFnope".getBytes) == null)
