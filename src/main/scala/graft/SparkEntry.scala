@@ -3508,6 +3508,22 @@ object SparkEntry {
         .drop("ahash", "dhash")
         .orderBy(col("media_id"))
     }),
+    // GIF CONTENT leg: real LZW rasters (literal-code streams any
+    // decoder replays), decoded pixel-for-pixel — SAME pixel contract
+    // as the PNG fixture, so the PNG oracle chain replays it verbatim
+    "x_mm_pixels_gif" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticGrayGifCorpus(docs, "doc_id",
+        col("doc_id") % 7, lit(9) + col("doc_id") % 8,
+        lit(8) + col("doc_id") % 6, col("doc_id") % 5)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00', substring(content, 2))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.gifContentStats(dirty)
+        .drop("ahash", "dhash")
+        .orderBy(col("media_id"))
+    }),
     // MIXED-container leg: PNG and JPEG interleaved row by row (the
     // crawl reality), one container-sniffing scan, one stat/hash space;
     // doc 0's broken magic degrades to ok=false
@@ -6608,6 +6624,12 @@ object SparkEntry {
       "CASE WHEN doc_id <> 0 THEN dhash_hi END AS dhash_hi, " +
       "CASE WHEN doc_id <> 0 THEN dhash_lo END AS dhash_lo " +
       "FROM st ORDER BY media_id"),
+    // GIF pixel replay: the engine must LZW-decode a real raster stream
+    // to land on these integers — SAME oracle chain as x_mm_pixels (the
+    // GIF fixture plants the identical pixel contract)
+    "x_mm_pixels_gif" -> ("WITH " +
+      pngHashCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
+        "doc_id % 5") + ", " + pixelStatsSelect(" ORDER BY media_id")),
     // mixed-container replay: each half rides its own pixel chain (PNG
     // formula for even docs, JPEG block formula for odd), unioned — the
     // engine's single sniffing scan must match both

@@ -592,8 +592,8 @@ object JpegGrayStats {
 /** Container-sniffing gray-content stats — crawl image columns are
   * MIXED (PNG and JPEG interleaved row by row), and a per-format
   * pipeline would scan the corpus once per container. This expression
-  * sniffs the magic bytes (\x89PNG vs \xFFD8) and routes each row to
-  * the matching kernel, emitting the SAME stat/hash struct either way
+  * sniffs the magic bytes (\x89PNG / \xFFD8 / GIF8) and routes each
+  * row to the matching kernel, emitting the SAME stat/hash struct
   * — one scan, one fingerprint space, so near-dup detection catches a
   * PNG and a JPEG of the same picture in the same Hamming ball (both
   * hashes threshold the same 8×8 luma cell grid; lossy-compression
@@ -629,11 +629,14 @@ case class ImageGrayStats(child: Expression)
       case b => b.asInstanceOf[Array[Byte]]
     }
     val g =
-      if (bytes == null || bytes.length < 2) null
+      if (bytes == null || bytes.length < 4) null
       else if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P')
         PngKernel.decodeGray(bytes)
       else if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
         JpegKernel.decodeGrayY(bytes)
+      else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == '8')
+        GifKernel.decodeGrayFirstFrame(bytes)
       else null
     if (g == null)
       return InternalRow(false, null, null, null, null, null, null,

@@ -504,12 +504,26 @@ object Multimodal {
   def jpegContentStats(media: DataFrame): DataFrame =
     statsOf(media.withColumn("__s", JpegGrayStats(col("content"))))
 
-  /** Container-sniffing stats over a MIXED image column (PNG and JPEG
-    * interleaved, the crawl reality): one scan, one fingerprint space —
-    * a PNG and a JPEG of the same picture land in the same Hamming
-    * ball. [[ImageGrayStats]] routes per row on the magic bytes. */
+  /** Container-sniffing stats over a MIXED image column (PNG, JPEG and
+    * GIF interleaved, the crawl reality): one scan, one fingerprint
+    * space — two containers holding the same picture land in the same
+    * Hamming ball. [[ImageGrayStats]] routes per row on magic bytes. */
   def mixedImageContentStats(media: DataFrame): DataFrame =
     statsOf(media.withColumn("__s", ImageGrayStats(col("content"))))
+
+  /** Literal-LZW grayscale GIF corpus with the SAME pixel contract as
+    * [[syntheticGrayPngCorpus]] — one oracle pixel chain replays both
+    * containers. */
+  def syntheticGrayGifCorpus(df: DataFrame, idCol: String, seed: Column,
+      w: Column, h: Column, bump: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      GrayGifEncode(seed.cast("long"), w.cast("long"), h.cast("long"),
+        lit(11L), lit(5L), bump.cast("long")).as("content"))
+
+  /** [[imageContentStats]] for GIF content (LZW raster decode via
+    * [[GifGrayStats]]) — same 14-column shape, same hash space. */
+  def gifContentStats(media: DataFrame): DataFrame =
+    statsOf(media.withColumn("__s", GifGrayStats(col("content"))))
 
   /** Decode PNG content to per-image pixel statistics + perceptual
     * hashes — ONE [[PngGrayStats]] evaluation per row, flattened. The

@@ -835,11 +835,16 @@ object ScaleDemo {
         .getLong(0)
     }
     timed("image_dedup") {
-      // replication multiplies every (seed, bump) class by K: the
-      // banded join's key groups grow Kx, pair output ~K^2 per class
-      // but classes stay 200 — candidate volume bounded by design
+      // classes SCALE with K (200·K) so per-class cluster size stays
+      // ~25 at any replication — identical fingerprints collide on all
+      // 56 banding tables, so a K-fixed class count would grow each key
+      // group K× and the pair join K²× (the round-12 K=100 run proved
+      // it: shuffle spill filled the disk — the FIXTURES.md lesson
+      // applied here, the same reason x_mm_imgdup plants 200 classes
+      // at sf0.1 instead of 8)
       val png = graft.ext.Multimodal.syntheticGrayPngCorpus(corpus,
-        "doc_id", col("doc_id") % 200, lit(16), lit(16), col("doc_id") % 5)
+        "doc_id", col("doc_id") % (200L * k), lit(16), lit(16),
+        col("doc_id") % 5)
       graft.ext.Multimodal.imageNearDupPairs(png, maxHamming = 4).count()
     }
     timed("audio_content") {

@@ -258,9 +258,10 @@ class MediaContentSpec extends SparkTestBase {
       val p = wtr.getDefaultWriteParam
       p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       p.setCompressionQuality(q)
-      wtr.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wtr.setOutput(ios)
       wtr.write(null, new javax.imageio.IIOImage(src, null, null), p)
-      wtr.dispose()
+      wtr.dispose(); ios.close()
       val jpeg = bos.toByteArray
       val ours = JpegKernel.decodeGrayY(jpeg)
       assert(ours != null, s"decode failed seed=$seed q=$q")
@@ -302,9 +303,10 @@ class MediaContentSpec extends SparkTestBase {
       // ImageIO's writer picks 4:2:0 at ordinary quality and 4:4:4 at
       // very high quality — both paths exercised
       p.setCompressionQuality(if (subsampled) 0.7f else 1.0f)
-      wtr.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wtr.setOutput(ios)
       wtr.write(null, new javax.imageio.IIOImage(src, null, null), p)
-      wtr.dispose()
+      wtr.dispose(); ios.close()
       val jpeg = bos.toByteArray
       val ours = JpegKernel.decodeGrayY(jpeg)
       assert(ours != null && ours.width == w && ours.height == h)
@@ -377,6 +379,81 @@ class MediaContentSpec extends SparkTestBase {
       assert(df(i).getLong(4) == want, s"doc $i sum")
       assert(!df(i).isNullAt(5) && !df(i).isNullAt(6))
     }
+  }
+
+  // ---------------- GIF content leg ----------------
+
+  private def grayRampGif(w: Int, h: Int, interlaced: Boolean,
+      pixel: (Int, Int) => Int): Array[Byte] = {
+    // ImageIO-written GIF over an exact 256-gray ramp palette: the
+    // writer runs REAL LZW compression our decoder must replay
+    val ramp = (0 until 256).map(_.toByte).toArray
+    val cm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, pixel(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    val wtr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val p = wtr.getDefaultWriteParam
+    // ImageIO's GIF writer interlaces under MODE_DEFAULT (progressive
+    // left to the writer) and writes sequential under MODE_DISABLED
+    p.setProgressiveMode(if (interlaced)
+      javax.imageio.ImageWriteParam.MODE_DEFAULT
+    else javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wtr.setOutput(ios)
+    wtr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    wtr.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  test("GIF literal-LZW fixture round-trips exactly; ImageIO reads our " +
+      "wire bytes to the same pixels") {
+    def pv(x: Int, y: Int): Int = (x * 31 + y * 17 + 5) % 256
+    val gif = GifKernel.encodeGrayLiteral(37, 23, pv)
+    val g = GifKernel.decodeGrayFirstFrame(gif)
+    assert(g != null && g.width == 37 && g.height == 23)
+    for (y <- 0 until 23; x <- 0 until 37)
+      assert(g.luma(y * 37 + x) == pv(x, y), s"($x,$y)")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gif))
+    assert(img != null && img.getWidth == 37 && img.getHeight == 23)
+    for (y <- 0 until 23; x <- 0 until 37)
+      assert(img.getRaster.getSample(x, y, 0) == pv(x, y), s"iio ($x,$y)")
+  }
+
+  test("GIF decoder replays ImageIO's REAL compressed LZW, interlaced " +
+      "and not, bit-exact through the gray ramp") {
+    def pv(x: Int, y: Int): Int = {
+      val t = x * 13 + y * 31 + 7
+      ((t % 251) * (t % 251)) % 251 % 256
+    }
+    for (interlaced <- Seq(false, true)) {
+      val gif = grayRampGif(50, 29, interlaced, pv)
+      val g = GifKernel.decodeGrayFirstFrame(gif)
+      assert(g != null && g.width == 50 && g.height == 29,
+        s"interlaced=$interlaced")
+      for (y <- 0 until 29; x <- 0 until 50)
+        assert(g.luma(y * 50 + x) == pv(x, y),
+          s"interlaced=$interlaced ($x,$y)")
+    }
+  }
+
+  test("GIF dirty bytes degrade, never throw") {
+    val good = GifKernel.encodeGrayLiteral(16, 16, (x, y) => (x + y) % 256)
+    assert(GifKernel.decodeGrayFirstFrame(null) == null)
+    assert(GifKernel.decodeGrayFirstFrame("junk".getBytes) == null)
+    assert(GifKernel.decodeGrayFirstFrame(good.take(40)) == null)
+    assert(GifKernel.decodeGrayFirstFrame(good.dropRight(30)) == null)
+    val bad = good.clone(); bad(0) = 'X'
+    assert(GifKernel.decodeGrayFirstFrame(bad) == null)
+    // corrupt LZW payload: flip a byte mid-stream — either decodes to
+    // SOMETHING (LZW has no checksum) or nulls, but never throws
+    val mid = good.clone()
+    mid(good.length / 2) = (mid(good.length / 2) ^ 0x5A).toByte
+    val r = GifKernel.decodeGrayFirstFrame(mid)
+    assert(r == null || r.luma.length == 256)
   }
 
   test("ImageGrayStats sniffs the container per row: PNG and JPEG land " +
