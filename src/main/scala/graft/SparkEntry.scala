@@ -3508,6 +3508,28 @@ object SparkEntry {
         .drop("ahash", "dhash")
         .orderBy(col("media_id"))
     }),
+    // CROSS-container near-dup: the same picture stored as PNG and as
+    // GIF must land in the same Hamming ball through ONE sniffing scan
+    // — the mixed-crawl dedup story end to end (identical pixel
+    // contract -> identical aHash -> hamming-0 cross pairs; bump
+    // variants pair within radius 4)
+    "x_mm_crossdup" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val png = graft.ext.Multimodal.syntheticGrayPngCorpus(docs, "doc_id",
+        col("doc_id") % 200, lit(16), lit(16),
+        expr("CAST(doc_id DIV 200 AS BIGINT) % 5"))
+      val gifSrc = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        (col("doc_id") % 200).as("s"),
+        expr("CAST(doc_id DIV 200 AS BIGINT) % 5").as("b"))
+      val gif = graft.ext.Multimodal.syntheticGrayGifCorpus(gifSrc,
+        "doc_id", col("s"), lit(16), lit(16), col("b"))
+      graft.ext.Hamming64.pairs(
+        graft.ext.Multimodal.mixedImageContentStats(
+            png.unionByName(gif))
+          .filter(col("ahash_hi").isNotNull),
+        "media_id", "ahash", maxHamming = 4)
+        .orderBy(col("i"), col("j"))
+    }),
     // GIF CONTENT leg: real LZW rasters (literal-code streams any
     // decoder replays), decoded pixel-for-pixel — SAME pixel contract
     // as the PNG fixture, so the PNG oracle chain replays it verbatim
@@ -6624,6 +6646,20 @@ object SparkEntry {
       "CASE WHEN doc_id <> 0 THEN dhash_hi END AS dhash_hi, " +
       "CASE WHEN doc_id <> 0 THEN dhash_lo END AS dhash_lo " +
       "FROM st ORDER BY media_id"),
+    // cross-container pair oracle: ONE hash chain (the containers share
+    // the pixel contract), mirrored at +1000000 for the GIF side —
+    // exact O(n^2) Hamming over the 32-bit halves
+    "x_mm_crossdup" -> ("WITH " +
+      pngHashCtes("doc_id % 200", "16", "16", "(doc_id // 200) % 5") + ", " +
+      "ha AS (SELECT doc_id, ahash_hi, ahash_lo FROM hh " +
+      "UNION ALL SELECT doc_id + 1000000, ahash_hi, ahash_lo FROM hh) " +
+      "SELECT a.doc_id AS i, b.doc_id AS j, " +
+      "CAST(bit_count(xor(a.ahash_hi, b.ahash_hi)) + " +
+      "bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT) AS hamming " +
+      "FROM ha a JOIN ha b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.ahash_hi, b.ahash_hi)) + " +
+      "bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 4 " +
+      "ORDER BY i, j"),
     // GIF pixel replay: the engine must LZW-decode a real raster stream
     // to land on these integers — SAME oracle chain as x_mm_pixels (the
     // GIF fixture plants the identical pixel contract)

@@ -43,12 +43,15 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
     * store backing the warehouse provides) holding (holder, token,
     * acquiredAtMs, ttlMs). A lock past its TTL is presumed dead
     * (crashed writer — [[releaseWriterLease]] never ran) and is broken
-    * once — via an atomic RENAME to a unique per-breaker name, so of
-    * two contenders observing the same stale lock exactly one rename
-    * succeeds and the loser can never delete the winner's freshly
-    * created lock (a delete-then-create break would let the second
-    * breaker's delete remove the first breaker's new lock, admitting
-    * two concurrent writers). Returns the token
+    * once — under a SINGLE-ADMISSION break intent keyed by the stale
+    * lock's token (atomic create-no-overwrite): exactly one of N
+    * contenders may touch the lock path, it re-verifies the lock still
+    * carries the stale token before grabbing it by rename, and a
+    * crashed breaker's orphan intent expires after 60 s. (Both naive
+    * forms fail: delete-then-create lets breaker B's delete remove
+    * breaker A's new lock; unadmitted rename-grab can seize a FRESH
+    * lock that replaced the stale one — each admits two concurrent
+    * writers, and the 8-thread race spec caught both.) Returns the token
     * that [[releaseWriterLease]] requires (release verifies ownership —
     * a writer that lost its lease to a TTL break cannot delete the next
     * holder's lock). */
@@ -59,55 +62,112 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
     val lp = lockPath(fact)
     f.mkdirs(lp.getParent)
     val token = java.util.UUID.randomUUID().toString
+    def lockBody(): Array[Byte] =
+      (s"""{"holder": ${graft.olap.Renderer.jsonString(holder)}, """ +
+        s""""token": "$token", "acquired_at_ms": ${System.currentTimeMillis()}, """ +
+        s""""ttl_ms": $ttlMs}""").getBytes("UTF-8")
+    // Creation must be atomic in EXISTENCE and CONTENT. On a remote
+    // store (HDFS/S3A) create-no-overwrite is server-side atomic and we
+    // use it directly. On the LOCAL filesystem Hadoop's
+    // create(overwrite=false) is check-then-act (two racers can both
+    // pass the exists() test) and the file is readable EMPTY before the
+    // write lands — so there we write the body to a token-unique temp
+    // file and HARD-LINK it into place: link(2) is atomic, fails if the
+    // destination exists, and the content is complete at link time.
     def tryCreate(): Boolean =
-      try {
-        val out = f.create(lp, false) // atomic create-no-overwrite
-        try out.write(
-          (s"""{"holder": ${graft.olap.Renderer.jsonString(holder)}, """ +
-            s""""token": "$token", "acquired_at_ms": ${System.currentTimeMillis()}, """ +
-            s""""ttl_ms": $ttlMs}""").getBytes("UTF-8"))
-        finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+      if (f.getScheme == "file") {
+        val dir = java.nio.file.Paths.get(lp.getParent.toUri.getPath)
+        val tmp = dir.resolve(s".${lp.getName}.$token.tmp")
+        try {
+          java.nio.file.Files.write(tmp, lockBody())
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(lp.toUri.getPath), tmp)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        } finally {
+          try java.nio.file.Files.deleteIfExists(tmp)
+          catch { case _: java.io.IOException => () }
+        }
+      } else
+        try {
+          val out = f.create(lp, false) // atomic create-no-overwrite
+          try out.write(lockBody()) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
     if (tryCreate()) return token
     // contended: break the lock ONLY if its TTL has expired
     val existing = readLock(fact)
     existing match {
       case Some((h, staleToken, at, ttl))
           if System.currentTimeMillis() - at > ttl =>
-        // Atomic break: rename the stale lock to a name unique to THIS
-        // breaker. Rename source-must-exist semantics mean exactly one
-        // of N concurrent breakers succeeds; the losers fall through to
-        // the contended error and never touch the winner's new lock.
-        // After winning the rename, verify the grabbed file still holds
-        // the token we observed as stale — a slow breaker could rename a
-        // FRESH lock that replaced the stale one inside its read→rename
-        // window; in that case restore it and back off.
-        val breakTag = new Path(lp.getParent, s"$fact.lock.breaking.$token")
-        // rename may THROW (not return false) when the source is gone —
-        // Hadoop's local rename falls back to a copy that raises FNF
+        // Break protocol: SINGLE-ADMISSION per stale lock. A breaker
+        // must first atomically create a break-intent file keyed by the
+        // STALE token — of N contenders observing the same expired
+        // lock, exactly one holds the intent, so no two breakers ever
+        // act on the lock path concurrently (a rename-grab without
+        // admission could seize a FRESH lock that replaced the stale
+        // one, and its restore could be preempted — the two-writer race
+        // the 8-thread spec reproduced). The intent holder re-verifies
+        // lp still carries the stale token, grabs it by rename, final-
+        // verifies the grabbed bytes, then creates its own lock; the
+        // intent is removed in a finally. A crashed breaker's orphan
+        // intent expires after 60 s. Residual (documented TTL
+        // contract): a writer past its TTL must not act — its late
+        // release inside the verify→rename window is the one
+        // interleaving no CAS-free filesystem protocol can close.
+        val intent = new Path(lp.getParent, s"$fact.lock.break.$staleToken")
         def tryRename(src: Path, dst: Path): Boolean =
-          try f.rename(src, dst)
-          catch { case _: java.io.IOException => false }
-        if (tryRename(lp, breakTag)) {
-          if (readLockAt(breakTag).exists(_._2 == staleToken)) {
-            f.delete(breakTag, false)
-            if (tryCreate()) token
-            else throw new IllegalStateException(
-              s"fact '$fact' writer lease lost to a concurrent writer " +
-                "after breaking a stale lock")
-          } else {
-            // grabbed a successor's fresh lock by mistake: put it back
-            // (if lp was re-created in the meantime the successor's
-            // protection is already void — drop the tag either way)
+          try f.rename(src, dst) // local rename THROWS FNF when src is
+          catch { case _: java.io.IOException => false } // gone
+        def intentCreate(): Boolean =
+          try {
+            val out = f.create(intent, false)
+            try out.write(System.currentTimeMillis().toString
+              .getBytes("UTF-8")) finally out.close()
+            true
+          } catch { case _: java.io.IOException => false }
+        if (!intentCreate()) {
+          // someone else is breaking this stale lock — or crashed
+          // mid-break: expire their intent after 60 s so the fact can
+          // never deadlock on an orphan
+          val age = try {
+            val in = f.open(intent)
+            val t = try new String(in.readAllBytes(), "UTF-8").trim.toLong
+            finally in.close()
+            System.currentTimeMillis() - t
+          } catch { case _: java.io.IOException | _: RuntimeException => 0L }
+          if (age > 60000L) f.delete(intent, false)
+          throw new IllegalStateException(
+            s"fact '$fact' stale writer lease is being broken by a " +
+              "concurrent contender; retry")
+        }
+        try {
+          // admission held: re-verify the lock is STILL the stale one
+          if (!readLock(fact).exists(_._2 == staleToken))
+            throw new IllegalStateException(
+              s"fact '$fact' writer lease was re-acquired by a " +
+                "concurrent writer while breaking the stale lock; retry")
+          val breakTag = new Path(lp.getParent, s"$fact.lock.breaking.$token")
+          if (!tryRename(lp, breakTag))
+            throw new IllegalStateException(
+              s"fact '$fact' stale writer lease vanished while breaking " +
+                "it; retry")
+          if (!readLockAt(breakTag).exists(_._2 == staleToken)) {
+            // double-fault path (late release + instant re-acquire):
+            // hand the grabbed lock back
             if (!tryRename(breakTag, lp)) f.delete(breakTag, false)
             throw new IllegalStateException(
-              s"fact '$fact' writer lease was re-acquired by a concurrent " +
-                "writer while breaking the stale lock; retry")
+              s"fact '$fact' writer lease was re-acquired by a " +
+                "concurrent writer while breaking the stale lock; retry")
           }
-        } else throw new IllegalStateException(
-          s"fact '$fact' stale writer lease was broken by a concurrent " +
-            "contender; retry")
+          f.delete(breakTag, false)
+          if (tryCreate()) token
+          else throw new IllegalStateException(
+            s"fact '$fact' writer lease lost to a concurrent writer " +
+              "after breaking a stale lock")
+        } finally f.delete(intent, false)
       case Some((h, _, at, _)) =>
         throw new IllegalStateException(
           s"fact '$fact' is locked by writer '$h' since epoch-ms $at; " +
@@ -131,8 +191,16 @@ final class Warehouse(spark: SparkSession, val root: String) extends FactStore {
       def field(k: String): String =
         txt.split("\"" + k + "\":", 2)(1).split("[,}]")(0).trim
           .stripPrefix("\"").stripSuffix("\"")
-      Some((field("holder"), field("token"),
+      try Some((field("holder"), field("token"),
         field("acquired_at_ms").toLong, field("ttl_ms").toLong))
+      catch { case _: RuntimeException =>
+        // the file EXISTS but doesn't parse: a remote-FS writer between
+        // create and close (local creates are content-atomic via the
+        // hard-link path). Report it as a LIVE lock held by an unknown
+        // writer — never as absent, and never TTL-breakable (unmatched
+        // token makes release/verify no-ops)
+        Some(("(mid-write)", "", System.currentTimeMillis(), Long.MaxValue))
+      }
     } catch { case _: java.io.IOException => None }
 
   /** Release the lease if `token` still owns it (a TTL-broken writer
