@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ext.{Hamming64, Multimodal, PngGrayStats}
+import graft.ext.{Hamming64, Multimodal}
 import graft.snapshot.Warehouse
 
 import org.apache.spark.sql.DataFrame
@@ -9,7 +9,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Continuous IMAGE ingest dedup — the streaming leg of
   * [[Multimodal.imageNearDupPairs]]: each arriving batch of images keeps
-  * only the ones whose perceptual hash (aHash over REAL decoded pixels)
+  * only the ones whose perceptual hash (aHash over REAL decoded pixels,
+  * container-sniffed — PNG, JPEG and GIF share one fingerprint space)
   * is NOVEL — no Hamming-≤ t collision against the persisted fingerprint
   * index (earlier batches / the seeded corpus), and not dominated by a
   * smaller-id batch sibling within Hamming ≤ t (first-sighting-keeps,
@@ -49,10 +50,13 @@ object ImageIngest {
   /** (img_fp, n_refs, t, v) — fingerprint counts of a frame exploded
     * into their 56 persisted band keys, the index unit (undecodable /
     * hash-less images contribute nothing). Keys are derived ONCE here,
-    * at write time, so no probe ever re-derives them. */
+    * at write time, so no probe ever re-derives them. The hash rides
+    * [[graft.ext.ImageGrayStats]]' container sniff — PNG, JPEG and GIF
+    * arrivals share ONE fingerprint space, so a JPEG re-encode of an
+    * already-ingested PNG is caught as the near-duplicate it is. */
   def imageIndex(df: DataFrame, idCol: String, contentCol: String): DataFrame =
     Hamming64.withBandKeys(
-      df.select(PngGrayStats(col(contentCol)).as("__s"))
+      df.select(graft.ext.ImageGrayStats(col(contentCol)).as("__s"))
         .filter(col("__s.ahash_hi").isNotNull)
         .select(shiftleft(col("__s.ahash_hi"), 32)
           .bitwiseOR(col("__s.ahash_lo")).as("img_fp"))
@@ -71,7 +75,7 @@ object ImageIngest {
   def novelAgainst(batch: DataFrame, idCol: String, contentCol: String,
       index: DataFrame): DataFrame = {
     val withFp = batch
-      .withColumn("__s", PngGrayStats(col(contentCol)))
+      .withColumn("__s", graft.ext.ImageGrayStats(col(contentCol)))
       .withColumn("img_fp",
         when(col("__s.ahash_hi").isNotNull,
           shiftleft(col("__s.ahash_hi"), 32).bitwiseOR(col("__s.ahash_lo"))))

@@ -60,6 +60,24 @@ class ImageIngestSpec extends SparkTestBase {
     assert(wh.read("f").get.count() == n1)
   }
 
+  test("mixed containers share the fingerprint space: a GIF re-encode " +
+      "of an ingested PNG is dropped as its near-duplicate") {
+    val wh = new Warehouse(spark, tmp("ii_wh_mix"))
+    val idx = tmp("ii_idx_mix")
+    // batch 0: a PNG of class 5
+    ImageIngest.ingestBatch(media(Seq((1L, 5L, 0L))), "media_id",
+      "content", wh, "f", idx, 0L)
+    // batch 1: the SAME picture as a GIF (identical pixel contract,
+    // bump 1 — a near-dup, not byte-identical), plus a novel-class GIF
+    val gifs = Multimodal.syntheticGrayGifCorpus(
+        Seq((20L, 5L, 1L), (21L, 12L, 0L)).toDF("doc_id", "s", "b"),
+        "doc_id", col("s"), lit(16), lit(16), col("b"))
+      .withColumn("year", lit(2020L))
+    ImageIngest.ingestBatch(gifs, "media_id", "content", wh, "f", idx, 1L)
+    assert(wh.read("f").get.select("media_id").as[Long].collect().toSet ==
+      Set(1L, 21L)) // 20 dropped against the PNG's fingerprint
+  }
+
   test("probe plan: stored band keys are joined, never re-derived — no " +
       "explode above the index scan") {
     val idx = tmp("ii_idx_plan")
