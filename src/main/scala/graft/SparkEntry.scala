@@ -3596,6 +3596,66 @@ object SparkEntry {
         .drop("fp")
         .orderBy(col("media_id"))
     }),
+    // SPECTRAL audio fingerprint: 8 windows x 8 square-wave bands over
+    // REAL decoded PCM, mean-thresholded — the class-discriminating
+    // hash the energy contour is not; doc 0's zeroed RIFF degrades,
+    // doc 1's 64-sample clip nulls the fingerprint (window floor 256)
+    "x_mm_audiofp" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticToneCorpus(docs, "doc_id",
+        col("doc_id") % 40, col("doc_id") % 7,
+        when(col("doc_id") === 1, 64)
+          .otherwise(lit(256) + (col("doc_id") % 3) * 64), lit(16000))
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00000000', substring(content, 5))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.audioSpectralStats(dirty)
+        .drop("sfp")
+        .orderBy(col("media_id"))
+    }),
+    // audio near-dup pairs by spectral fingerprint (banded candidate
+    // join, exact recall to Hamming <= 6): 200 band-profile classes,
+    // 5 bumps — measured within-class max 2 / cross-class min 6, so
+    // the radius-4 ball is exactly the same-class relation
+    "x_mm_audiodup" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticToneCorpus(docs, "doc_id",
+        col("doc_id") % 200, expr("CAST(doc_id DIV 200 AS BIGINT) % 5"),
+        lit(256), lit(16000))
+      graft.ext.Multimodal.audioNearDupPairs(media, maxHamming = 4)
+        .orderBy(col("i"), col("j"))
+    }),
+    // STREAMING audio-ingest dedup: 3 driver-chained batches of real
+    // WAVs in 40 exact-dup spectral classes (cross-class Hamming min
+    // 13 at n=320, measured — the radius-4 ball never crosses),
+    // undecodable rows planted at doc_id % 17 = 0 (always kept, NULL
+    // fp); accepted = lexicographic-min (batch, id) per class under
+    // the shared ScrubEngine replay protocol
+    "x_stream_audingest" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticToneCorpus(docs,
+        "doc_id", id % 40, lit(0), lit(320), lit(16000))
+        .withColumn("content",
+          when(col("media_id") % 17 === 0,
+            expr("concat(X'00000000', substring(content, 5))"))
+          .otherwise(col("content")))
+        .withColumn("year", lit(2021L) + col("media_id") % 3)
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_ai_wh").toString)
+      val idxDir = TempDirs.scratchDir("graft_ai_idx").toString
+      (0L to 2L).foreach { b =>
+        graft.streaming.AudioIngest.ingestBatch(
+          media.filter(col("media_id") % 3 === b), "media_id", "content",
+          wh, "novel_audio", idxDir, b)
+      }
+      wh.read("novel_audio").get
+        .select(col("media_id"),
+          shiftrightunsigned(col("audio_fp"), 32).as("fp_hi"),
+          col("audio_fp").bitwiseAND(lit(0xFFFFFFFFL)).as("fp_lo"))
+        .orderBy(col("media_id"))
+    }),
     // exact binary dedup: digest-grouped (the shuffle moves 32-byte
     // digests, never payloads); content is a pure function of doc_id % 13
     // so the oracle is plain semantic group-by
@@ -6732,6 +6792,43 @@ object SparkEntry {
       "CASE WHEN doc_id <> 0 AND n >= 64 THEN " +
       fpHalf("k > 0 AND ew[k+1] > ew[k]", lo = true) + " END AS fp_lo " +
       "FROM e ORDER BY media_id"),
+    // full spectral replay: cubic-mixed band amplitudes, window-local
+    // square waves, quadrature-max band energies, mean-threshold bits —
+    // the engine must run the real PCM decode + filterbank to land here
+    "x_mm_audiofp" -> ("WITH " +
+      toneFpCtes("doc_id % 40", "doc_id % 7",
+        "CASE WHEN doc_id = 1 THEN 64 ELSE 256 + (doc_id % 3)*64 END") +
+      " SELECT tt.doc_id AS media_id, tt.doc_id <> 0 AS ok, " +
+      "CASE WHEN tt.doc_id <> 0 THEN CAST(n AS BIGINT) END AS n_samples, " +
+      "CASE WHEN tt.doc_id <> 0 THEN hh.sfp_hi END AS sfp_hi, " +
+      "CASE WHEN tt.doc_id <> 0 THEN hh.sfp_lo END AS sfp_lo " +
+      "FROM tt JOIN hh ON tt.doc_id = hh.doc_id ORDER BY media_id"),
+    // spectral-hash pair replay (the x_mm_imgdup shape): fingerprints
+    // from the full chain, then the exact Hamming-<=4 pair join
+    "x_mm_audiodup" -> ("WITH " +
+      toneFpCtes("doc_id % 200", "(doc_id // 200) % 5", "256") +
+      " SELECT a.doc_id AS i, b.doc_id AS j, " +
+      "CAST(bit_count(xor(a.sfp_hi, b.sfp_hi)) + " +
+      "bit_count(xor(a.sfp_lo, b.sfp_lo)) AS BIGINT) AS hamming " +
+      "FROM hh a JOIN hh b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.sfp_hi, b.sfp_hi)) + " +
+      "bit_count(xor(a.sfp_lo, b.sfp_lo)) <= 4 " +
+      "ORDER BY i, j"),
+    // first-arrival-per-class replay: batch = doc_id % 3, class =
+    // doc_id % 40, accepted = ROW_NUMBER over (batch, id) = 1; the
+    // kept row's fingerprint halves come from the full spectral replay
+    "x_stream_audingest" -> ("WITH " +
+      toneFpCtes("doc_id % 40", "0", "320") + ", " +
+      "cand AS (SELECT doc_id, doc_id % 3 AS b, doc_id % 40 AS g " +
+      "FROM documents WHERE doc_id % 17 <> 0), " +
+      "acc AS (SELECT doc_id FROM (SELECT doc_id, " +
+      "ROW_NUMBER() OVER (PARTITION BY g ORDER BY b, doc_id) AS rn " +
+      "FROM cand) t WHERE rn = 1) " +
+      "SELECT a.doc_id AS media_id, hh.sfp_hi AS fp_hi, " +
+      "hh.sfp_lo AS fp_lo FROM acc a JOIN hh ON a.doc_id = hh.doc_id " +
+      "UNION ALL SELECT doc_id AS media_id, NULL AS fp_hi, NULL AS fp_lo " +
+      "FROM documents WHERE doc_id % 17 = 0 " +
+      "ORDER BY media_id"),
     // semantic oracle: content is a pure function of doc_id % 13, so the
     // digest groups ARE the residue classes
     "x_mm_bindedup" -> ("SELECT CAST(COUNT(*) AS BIGINT) AS n_copies, " +
@@ -7560,6 +7657,50 @@ object SparkEntry {
       "ELSE 0 END for k in range(0, 32)]) AS BIGINT)"
     else s"CAST(list_sum([CASE WHEN $cond THEN (1::BIGINT << (k - 32)) " +
       "ELSE 0 END for k in range(32, 63)]) AS BIGINT)"
+
+  /** CTE chain replaying the SPECTRAL audio fingerprint over the
+    * band-profile WAV fixture ([[graft.ext.WavKernel.toneSample]] +
+    * [[graft.ext.WavKernel.spectralFingerprint]]) — every step exact
+    * int64: per-(band, window) cubic-mixed amplitudes (uv/av), the
+    * window-local-phase sample list (sm), per-cell quadrature-max
+    * square-wave band energies (ee), per-window energy totals (tw),
+    * and the 63-bit mean-threshold fingerprint halves in hh
+    * (doc_id, sfp_hi, sfp_lo — NULL when n < 256, the engine's window
+    * floor). Periods/quadrature offsets ride one-row lists (pp/qq) so
+    * the literals appear once. */
+  private def toneFpCtes(clsSql: String, bumpSql: String,
+      nSql: String): String =
+    "pq AS (SELECT [4,6,10,14,16,22,26,32] AS pp, " +
+      "[1,1,2,3,4,5,6,8] AS qq), " +
+      s"d AS (SELECT doc_id, ($clsSql) % 100003 AS cls, " +
+      s"($bumpSql) % 1000003 AS bump, ($nSql) AS n, pp, qq " +
+      "FROM documents, pq), " +
+      "tv AS (SELECT d.*, [ (cls*181 + (c%8)*292 + (c//8)*61 + 7) % 8191 " +
+      "for c in range(0, 64) ] AS uv FROM d), " +
+      "aa AS (SELECT tv.*, [ 100 + ((uv[c+1]*uv[c+1] % 8191) * uv[c+1]) " +
+      "% 997 for c in range(0, 64) ] AS av FROM tv), " +
+      "s AS (SELECT aa.*, [ CAST(list_sum([ av[((i*8)//n)*8 + b + 1] * " +
+      "(CASE WHEN ((i - (((i*8)//n)*n)//8) % pp[b+1]) < pp[b+1]//2 " +
+      "THEN 1 ELSE -1 END) for b in range(0, 8)]) AS BIGINT) + " +
+      "((i*31 + bump*97 + (i*i) % 101) % 41) - 20 " +
+      "for i in range(0, n) ] AS sm FROM aa), " +
+      "eb AS (SELECT s.*, [ greatest(" +
+      "abs(CAST(list_sum([ sm[(c//8)*n//8 + j + 1] * " +
+      "(CASE WHEN (j % pp[c%8+1]) < pp[c%8+1]//2 THEN 1 ELSE -1 END) " +
+      "for j in range(0, ((c//8)+1)*n//8 - (c//8)*n//8) ]) AS BIGINT)), " +
+      "abs(CAST(list_sum([ sm[(c//8)*n//8 + j + 1] * " +
+      "(CASE WHEN ((j + qq[c%8+1]) % pp[c%8+1]) < pp[c%8+1]//2 " +
+      "THEN 1 ELSE -1 END) " +
+      "for j in range(0, ((c//8)+1)*n//8 - (c//8)*n//8) ]) AS BIGINT))) " +
+      "for c in range(0, 64) ] AS ee FROM s), " +
+      "tt AS (SELECT eb.*, [ CAST(list_sum([ ee[k*8 + bb + 1] " +
+      "for bb in range(0, 8) ]) AS BIGINT) for k in range(0, 8) ] AS tw " +
+      "FROM eb), " +
+      "hh AS (SELECT doc_id, CASE WHEN n >= 256 THEN " +
+      fpHalf("ee[k+1]*8 > tw[k//8+1]", lo = false) + " END AS sfp_hi, " +
+      "CASE WHEN n >= 256 THEN " +
+      fpHalf("ee[k+1]*8 > tw[k//8+1]", lo = true) + " END AS sfp_lo " +
+      "FROM tt)"
 
   /** Exact box-downsample replay: plain floor cell means (0..255) over
     * the ow×oh partition grid — [[pngCellsExpr]] without the milli

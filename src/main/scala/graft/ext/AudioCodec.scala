@@ -113,6 +113,119 @@ private[ext] object WavKernel {
     fp
   }
 
+  /** Square-wave filterbank periods (samples) of the SPECTRAL
+    * fingerprint — the frequency axis [[spectralFingerprint]] bins
+    * energy into. Even by construction (half-period sign flips), and
+    * chosen so NO period is an odd-integer multiple of another: a
+    * period-p square wave carries energy only at periods p/(2j+1), so
+    * odd-ratio pairs (6 = 3·2, 12 = 3·4, 24 = 3·8 in the naive
+    * doubling ladder) bleed into each other and freeze threshold
+    * cells regardless of the signal (measured: 8 near-deterministic
+    * cells with the harmonic ladder, 0 with this set). */
+  val BandPeriods: Array[Int] = Array(4, 6, 10, 14, 16, 22, 26, 32)
+
+  /** 63-bit SPECTRAL fingerprint — the class-discriminating audio hash
+    * the energy contour above is not (its measured cross-seed minima
+    * reach 1; see the caveat on [[energyFingerprint]]). 8 time windows
+    * (boundaries floor(k·n/8), as the contour) × 8 square-wave bands
+    * ([[BandPeriods]]): band energy E(k,b) = max over the two
+    * quadrature phases (offset P/4 — a square correlated at worst
+    * phase still keeps ≥ half amplitude) of |Σ s·σ|, σ = ±1 with
+    * period P_b over the WINDOW-LOCAL sample index. Cell k·8+b
+    * (cells 0..62; cell 63 is the sign bit, RESERVED like
+    * [[PngKernel.ahash]]'s) is set iff 8·E(k,b) > Σ_b' E(k,b') —
+    * strictly above the window's band mean, so the bits are invariant
+    * to amplitude scaling (a re-encoded louder copy collides) and
+    * every operand is an exact int64 any engine replays. Needs
+    * n ≥ 256 (32-sample windows hold the longest band's full cycle);
+    * shorter clips return the Long.MinValue sentinel → callers emit
+    * null. Candidate generation composes with [[Hamming64]] exactly
+    * as the image hashes do. */
+  def spectralFingerprint(samples: Array[Int]): Long = {
+    val n = samples.length
+    if (n < 256) return Long.MinValue
+    var fp = 0L
+    var k = 0
+    while (k < 8) {
+      val i0 = (k.toLong * n / 8).toInt
+      val i1 = ((k + 1).toLong * n / 8).toInt
+      val e = new Array[Long](8)
+      var tot = 0L
+      var b = 0
+      while (b < 8) {
+        val p = BandPeriods(b)
+        val h = p / 2
+        val q = p / 4
+        var c0 = 0L
+        var c1 = 0L
+        var j = 0
+        while (j < i1 - i0) {
+          val v = samples(i0 + j).toLong
+          c0 += (if (j % p < h) v else -v)
+          c1 += (if ((j + q) % p < h) v else -v)
+          j += 1
+        }
+        e(b) = math.max(math.abs(c0), math.abs(c1))
+        tot += e(b)
+        b += 1
+      }
+      b = 0
+      while (b < 8) {
+        val cell = k * 8 + b
+        if (cell < 63 && e(b) * 8 > tot) fp |= 1L << cell
+        b += 1
+      }
+      k += 1
+    }
+    fp
+  }
+
+  /** Sample contract of the BAND-PROFILE fixture ([[ToneWavEncode]]):
+    * eight simultaneous square waves (one per [[BandPeriods]] band),
+    * each with a pseudo-random per-(class, band, window) amplitude
+    *   t = (cls mod 100003)·181 + b·292 + k·61 + 7,  u = t mod 8191
+    *   A = 100 + ((u·u mod 8191)·u) mod 997
+    * (k = (i·8)/n, the window of sample i — aligned with the
+    * fingerprint's windows whenever 8 | n), plus the ±20 noise term
+    *   ((i·31 + (bump mod 1000003)·97 + (i·i mod 101)) mod 41) − 20.
+    * Two measured traps shaped this formula (the FIXTURES.md
+    * discipline — measure before writing a class oracle):
+    *  - the CUBIC mixer folds cls·b and cls·k cross terms into every
+    *    amplitude nonlinearly. A linear-in-cls profile shifts all
+    *    bands by the same constant, which the mean-threshold
+    *    fingerprint is INVARIANT to (the affine-texture trap: 200
+    *    classes collapsed to 70 fingerprints); a plain quadratic
+    *    leaves class DIFFERENCES linear in t, so nearby classes share
+    *    structure (cross-class minima stuck at 1–2). The staged cubic
+    *    measures dup200/scale400 cross-class minima of 6 — outside
+    *    the radius-4 ball — with within-class maxima of 2.
+    *  - the square waves run in WINDOW-LOCAL phase (j = i − k·n/8, the
+    *    same local index the fingerprint correlates with) — global
+    *    phase left the non-power-of-2 bands with a FIXED per-window
+    *    attenuation pattern that dominated the threshold bits (15 of
+    *    63 cells were near-deterministic across classes).
+    * All operands stay far inside int64 — one comprehension replays
+    * s(i) in SQL. |s| ≤ 8788, well inside int16. */
+  def toneSample(cls: Long, bump: Long, n: Int, i: Int): Int = {
+    val clsM = Math.floorMod(cls, 100003L)
+    val k = i.toLong * 8 / n
+    val j = i - (k * n / 8) // window-local sample index
+    var s = 0L
+    var b = 0
+    while (b < 8) {
+      val t = clsM * 181L + b * 292L + k * 61L + 7L
+      val u = t % 8191L
+      val a = 100L + (u * u % 8191L) * u % 997L
+      val p = BandPeriods(b)
+      s += (if (j % p < p / 2) a else -a)
+      b += 1
+    }
+    val noise = Math.floorMod(
+      i.toLong * 31 + Math.floorMod(bump, 1000003L) * 97 +
+        (i.toLong * i % 101), 41L) - 20L
+    (s + noise).toInt
+  }
+
   /** Encode a minimal mono 16-bit PCM WAV from a sample function. */
   def encodePcm16Mono(nSamples: Int, sampleRate: Int,
       sample: Int => Int): Array[Byte] = {
@@ -257,5 +370,110 @@ object PcmWavEncode {
     val b = org.apache.spark.sql.graftbridge.Bridge
     b.column(PcmWavEncode(b.expression(seed), b.expression(nSamples),
       b.expression(sampleRate)))
+  }
+}
+
+/** SPECTRAL stats from a PCM-WAV binary column: ok flag, sample count,
+  * and [[WavKernel.spectralFingerprint]] split into nonneg hi/lo
+  * 32-bit-half longs (null when the clip is under 256 samples — the
+  * fingerprint's window floor). The class-discriminating complement of
+  * [[WavPcmStats]]' energy contour, kept as its own expression so the
+  * frozen [[WavPcmStats]] schema (and its gates) never move.
+  * Undecodable → ok=false, nulls, never a throw. */
+case class WavSpectralStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("ok", BooleanType, nullable = false),
+    StructField("n_samples", LongType),
+    StructField("sfp_hi", LongType),
+    StructField("sfp_lo", LongType)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"wav_spectral_stats requires binary, got $other")
+  }
+
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val bytes = child.eval(input) match {
+      case null => null
+      case b => b.asInstanceOf[Array[Byte]]
+    }
+    val p = WavKernel.decodePcm(bytes)
+    if (p == null) return InternalRow(false, null, null, null)
+    val fp = WavKernel.spectralFingerprint(p.samples)
+    val (hi, lo): (Any, Any) =
+      if (fp == Long.MinValue) (null, null)
+      else ((fp >>> 32) & 0xFFFFFFFFL, fp & 0xFFFFFFFFL)
+    InternalRow(true, p.samples.length.toLong, hi, lo)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WavSpectralStats = copy(child = newChild)
+
+  override def prettyName: String = "wav_spectral_stats"
+}
+
+object WavSpectralStats {
+  def apply(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      WavSpectralStats(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+}
+
+/** Deterministic BAND-PROFILE WAV fixture ([[WavKernel.toneSample]]'s
+  * contract): per-(class, band, window) pseudo-random amplitudes over
+  * the [[WavKernel.BandPeriods]] filterbank + a bump-seeded ±20 noise
+  * floor — the spectral-fingerprint twin of [[PcmWavEncode]] (whose
+  * pseudo-noise has no stable band structure to discriminate).
+  * Same-class bumps are near-duplicates; distinct classes land far
+  * apart in Hamming (measured and PINNED in AudioSpectralSpec before
+  * any class oracle was written — the FIXTURES.md discipline). */
+case class ToneWavEncode(cls: Expression, bump: Expression,
+    nSamples: Expression, sampleRate: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(cls, bump, nSamples, sampleRate)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(c => c.dataType == LongType || c.dataType == IntegerType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "tone_wav_encode requires integer children")
+
+  private def longOf(e: Expression, input: InternalRow): java.lang.Long =
+    e.eval(input) match {
+      case null => null
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long => l
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val c = longOf(cls, input); val b = longOf(bump, input)
+    val n = longOf(nSamples, input); val sr = longOf(sampleRate, input)
+    if (c == null || b == null || n == null || sr == null) return null
+    if (n < 0 || n > (1L << 22) || sr <= 0) return null
+    WavKernel.encodePcm16Mono(n.intValue(), sr.intValue(),
+      i => WavKernel.toneSample(c.longValue(), b.longValue(), n.intValue(), i))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ToneWavEncode =
+    ToneWavEncode(newChildren(0), newChildren(1), newChildren(2),
+      newChildren(3))
+
+  override def prettyName: String = "tone_wav_encode"
+}
+
+object ToneWavEncode {
+  def apply(cls: Column, bump: Column, nSamples: Column,
+      sampleRate: Column): Column = {
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    b.column(ToneWavEncode(b.expression(cls), b.expression(bump),
+      b.expression(nSamples), b.expression(sampleRate)))
   }
 }

@@ -580,6 +580,42 @@ object Multimodal {
       PcmWavEncode(seed.cast("long"), nSamples.cast("long"),
         sampleRate.cast("long")).as("content"))
 
+  /** Synthesize a BAND-PROFILE WAV corpus ([[ToneWavEncode]]) — the
+    * spectral-fingerprint fixture: same-class bumps are near-dups,
+    * distinct classes land far apart in Hamming. Distributed. */
+  def syntheticToneCorpus(df: DataFrame, idCol: String, cls: Column,
+      bump: Column, nSamples: Column, sampleRate: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      ToneWavEncode(cls.cast("long"), bump.cast("long"),
+        nSamples.cast("long"), sampleRate.cast("long")).as("content"))
+
+  /** Decode PCM-WAV content to the class-discriminating SPECTRAL
+    * fingerprint ([[WavSpectralStats]] — 8 windows × 8 square-wave
+    * bands, mean-thresholded), flattened, with the rebuilt 64-bit
+    * fingerprint for [[Hamming64]]. Zero shuffle — the audio twin of
+    * [[imageContentStats]]' hash columns. */
+  def audioSpectralStats(media: DataFrame): DataFrame =
+    media.withColumn("__s", WavSpectralStats(col("content")))
+      .select(col("media_id"), col("__s.ok").as("ok"),
+        col("__s.n_samples").as("n_samples"),
+        col("__s.sfp_hi").as("sfp_hi"), col("__s.sfp_lo").as("sfp_lo"),
+        shiftleft(col("__s.sfp_hi"), 32).bitwiseOR(col("__s.sfp_lo"))
+          .as("sfp"))
+
+  /** Audio near-duplicate pairs by spectral fingerprint: decode →
+    * [[WavKernel.spectralFingerprint]] → [[Hamming64.pairs]] (banded
+    * candidate join, exact recall to Hamming ≤ 6, never all-pairs) —
+    * the audio twin of [[imageNearDupPairs]]. The energy-contour
+    * fingerprint is NOT used here (its measured cross-class minima
+    * reach 1 — see [[WavKernel.energyFingerprint]]'s caveat); the
+    * spectral hash's thresholded filterbank is amplitude-invariant
+    * and measured well-separated on the band-profile fixture.
+    * Output (i, j, hamming), i < j. */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 4): DataFrame =
+    Hamming64.pairs(
+      audioSpectralStats(media).filter(col("sfp_hi").isNotNull),
+      "media_id", "sfp", maxHamming)
+
   /** Decode PCM-WAV content to loudness/peak/zero-crossing integers and
     * the energy-contour fingerprint ([[WavPcmStats]]), flattened, with
     * the rebuilt 64-bit fingerprint for [[Hamming64]]. Zero shuffle. */

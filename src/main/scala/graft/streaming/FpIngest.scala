@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.ext.Hamming64
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The shared 64-bit-fingerprint ingest-dedup shape — extracted from
+  * [[ImageIngest]] so every perceptual-hash modality (image aHash,
+  * audio spectral hash, any future 64-bit LSH) rides ONE probe
+  * contract instead of copy-pasting it:
+  *
+  *  - the index unit is `(fpCol, n_refs, t, v)` — the 56 [[Hamming64]]
+  *    block-pair band keys are PERSISTED at index-write time, once per
+  *    accepted batch, additive like `n_refs`;
+  *  - the probe derives keys for the BATCH only, broadcasts them
+  *    (trigger-bounded), and equi-joins against the stored keys, so
+  *    per-trigger work is O(batch·56) compute plus one pruned columnar
+  *    index read — never an O(corpus) re-derivation ("O(delta), never
+  *    O(fact)");
+  *  - banding guarantees every Hamming-≤ 6 pair shares a clean key;
+  *    the exact bit_count filter closes the ball;
+  *  - hash-less rows (undecodable / too-small content) always pass —
+  *    a screen that silently drops what it cannot judge biases the
+  *    corpus.
+  *
+  * A modality plugs in with a stats-struct builder (one decode
+  * expression evaluated once per row) and the struct's hi/lo
+  * fingerprint field names. */
+private[streaming] object FpIngest {
+
+  /** `(fpName, n_refs, t, v)` — fingerprint counts of a frame exploded
+    * into their 56 persisted band keys, the index unit (hash-less rows
+    * contribute nothing). Keys are derived ONCE here, at write time,
+    * so no probe ever re-derives them. */
+  def index(df: DataFrame, contentCol: String, stats: Column => Column,
+      hiField: String, loField: String, fpName: String): DataFrame =
+    Hamming64.withBandKeys(
+      df.select(stats(col(contentCol)).as("__s"))
+        .filter(col(s"__s.$hiField").isNotNull)
+        .select(shiftleft(col(s"__s.$hiField"), 32)
+          .bitwiseOR(col(s"__s.$loField")).as(fpName))
+        .groupBy(col(fpName)).agg(count(lit(1)).as("n_refs")),
+      fpName)
+
+  /** The batch's novel rows against a prior index: no index fp within
+    * Hamming ≤ `maxHamming`, no smaller-id batch sibling within the
+    * same ball; hash-less rows always pass (fpName NULL). `index`
+    * carries STORED band keys (t, v) per [[index]]. Output
+    * (idCol, fpName). */
+  def novelAgainst(batch: DataFrame, idCol: String, contentCol: String,
+      index: DataFrame, stats: Column => Column, hiField: String,
+      loField: String, fpName: String, maxHamming: Int): DataFrame = {
+    val withFp = batch
+      .withColumn("__s", stats(col(contentCol)))
+      .withColumn(fpName,
+        when(col(s"__s.$hiField").isNotNull,
+          shiftleft(col(s"__s.$hiField"), 32)
+            .bitwiseOR(col(s"__s.$loField"))))
+      .drop("__s")
+    val batchSide = withFp.filter(col(fpName).isNotNull)
+      .select(col(idCol).as("id"), col(fpName).as("fp"))
+    val batchKeys = Hamming64.withBandKeys(batchSide, "fp")
+    val indexHits = index.select(col(fpName), col("t"), col("v"))
+      .join(broadcast(batchKeys), Seq("t", "v"))
+      .filter(bit_count(col(fpName).bitwiseXOR(col("fp")))
+        .cast("long") <= maxHamming)
+      .select(col("id").as(idCol)).distinct()
+    // within-batch dominators: j drops iff some smaller batch id pairs
+    val batchHits = Hamming64.pairs(batchSide, "id", "fp", maxHamming)
+      .select(col("j").as(idCol)).distinct()
+    withFp.filter(col(fpName).isNotNull)
+      .join(indexHits.unionByName(batchHits).distinct(), Seq(idCol),
+        "left_anti")
+      .select(col(idCol), col(fpName))
+      .unionByName(withFp.filter(col(fpName).isNull)
+        .select(col(idCol), col(fpName)))
+  }
+
+  /** The [[ScrubFamily]] of a fingerprint modality: stored rows ARE the
+    * probe side (collapse = false — no per-batch O(corpus) groupBy),
+    * band keys persisted as extra index columns. */
+  def family(subdir: String, fpName: String, stats: Column => Column,
+      hiField: String, loField: String, maxHamming: Int): ScrubFamily =
+    ScrubFamily(
+      subdir = subdir, keyCol = fpName, cntCol = "n_refs",
+      statCols = Seq(fpName),
+      indexOf = (df, _, contentCol) =>
+        index(df, contentCol, stats, hiField, loField, fpName),
+      incremental = (batch, idCol, contentCol, idx) =>
+        novelAgainst(batch, idCol, contentCol, idx, stats, hiField,
+          loField, fpName, maxHamming),
+      collapse = false, extraIndexCols = Seq("t", "v"))
+}

@@ -47,21 +47,19 @@ object ImageIngest {
     * guarantee). */
   val MaxHamming = 4
 
+  private def stats(content: org.apache.spark.sql.Column) =
+    graft.ext.ImageGrayStats(content)
+
   /** (img_fp, n_refs, t, v) — fingerprint counts of a frame exploded
     * into their 56 persisted band keys, the index unit (undecodable /
     * hash-less images contribute nothing). Keys are derived ONCE here,
-    * at write time, so no probe ever re-derives them. The hash rides
+    * at write time, so no probe ever re-derives them ([[FpIngest]],
+    * the shared probe contract). The hash rides
     * [[graft.ext.ImageGrayStats]]' container sniff — PNG, JPEG and GIF
     * arrivals share ONE fingerprint space, so a JPEG re-encode of an
     * already-ingested PNG is caught as the near-duplicate it is. */
   def imageIndex(df: DataFrame, idCol: String, contentCol: String): DataFrame =
-    Hamming64.withBandKeys(
-      df.select(graft.ext.ImageGrayStats(col(contentCol)).as("__s"))
-        .filter(col("__s.ahash_hi").isNotNull)
-        .select(shiftleft(col("__s.ahash_hi"), 32)
-          .bitwiseOR(col("__s.ahash_lo")).as("img_fp"))
-        .groupBy(col("img_fp")).agg(count(lit(1)).as("n_refs")),
-      "img_fp")
+    FpIngest.index(df, contentCol, stats, "ahash_hi", "ahash_lo", "img_fp")
 
   /** The batch's novel rows against a prior index: no index fp within
     * Hamming ≤ [[MaxHamming]], no smaller-id batch sibling within the
@@ -71,42 +69,14 @@ object ImageIngest {
     * against the stored keys (banding guarantees every Hamming-≤ 6
     * pair shares a clean key; the exact bit_count filter closes the
     * ball), so the index side is never exploded, shuffled, or
-    * re-keyed. */
+    * re-keyed ([[FpIngest.novelAgainst]]). */
   def novelAgainst(batch: DataFrame, idCol: String, contentCol: String,
-      index: DataFrame): DataFrame = {
-    val withFp = batch
-      .withColumn("__s", graft.ext.ImageGrayStats(col(contentCol)))
-      .withColumn("img_fp",
-        when(col("__s.ahash_hi").isNotNull,
-          shiftleft(col("__s.ahash_hi"), 32).bitwiseOR(col("__s.ahash_lo"))))
-      .drop("__s")
-    val hashed = withFp.filter(col("img_fp").isNotNull)
-      .select(col(idCol), col("img_fp"))
-    val batchSide = hashed.select(col(idCol).as("id"), col("img_fp").as("fp"))
-    val batchKeys = Hamming64.withBandKeys(batchSide, "fp")
-    val indexHits = index.select(col("img_fp"), col("t"), col("v"))
-      .join(broadcast(batchKeys), Seq("t", "v"))
-      .filter(bit_count(col("img_fp").bitwiseXOR(col("fp")))
-        .cast("long") <= MaxHamming)
-      .select(col("id").as(idCol)).distinct()
-    // within-batch dominators: j drops iff some smaller batch id pairs
-    val batchHits = Hamming64.pairs(batchSide, "id", "fp", MaxHamming)
-      .select(col("j").as(idCol)).distinct()
-    withFp.filter(col("img_fp").isNotNull)
-      .join(indexHits.unionByName(batchHits).distinct(), Seq(idCol),
-        "left_anti")
-      .select(col(idCol), col("img_fp"))
-      .unionByName(withFp.filter(col("img_fp").isNull)
-        .select(col(idCol), col("img_fp")))
-  }
+      index: DataFrame): DataFrame =
+    FpIngest.novelAgainst(batch, idCol, contentCol, index, stats,
+      "ahash_hi", "ahash_lo", "img_fp", MaxHamming)
 
-  private val fam = ScrubFamily(
-    subdir = "imgfps", keyCol = "img_fp", cntCol = "n_refs",
-    statCols = Seq("img_fp"),
-    indexOf = imageIndex(_, _, _),
-    incremental = novelAgainst(_, _, _, _),
-    // the stored rows ARE the probe side: no per-batch collapse shuffle
-    collapse = false, extraIndexCols = Seq("t", "v"))
+  private val fam = FpIngest.family("imgfps", "img_fp", stats,
+    "ahash_hi", "ahash_lo", MaxHamming)
 
   /** Seed the index with an already-ingested corpus (batch = -1). */
   def seedIndex(corpus: DataFrame, idCol: String, contentCol: String,
