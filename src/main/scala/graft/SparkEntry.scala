@@ -3656,6 +3656,34 @@ object SparkEntry {
           col("audio_fp").bitwiseAND(lit(0xFFFFFFFFL)).as("fp_lo"))
         .orderBy(col("media_id"))
     }),
+    // STREAMING embedding-ingest dedup (SemDeDup at the door): 3
+    // driver-chained batches of planted clusters through the 63-plane
+    // sign-LSH screen. The plane draw is seeded Gaussians — not
+    // SQL-expressible — so the oracle replays the ACCEPT/REJECT
+    // decisions (first (batch, id) per cluster + the NULL row), which
+    // the measured separation fully determines (within-cluster Hamming
+    // <= 4 < 10 <= cross-cluster under dim=128/seed=42/eps=0.0005,
+    // pinned in EmbeddingIngestSpec); the fingerprint itself is gated
+    // semantically by x_sim_lsh
+    "x_stream_embingest" -> ((s, d) => {
+      val vecs = graft.ext.Fixtures.plantedVectors(s, nClusters = 40,
+        members = 6, dim = 128, eps = 0.0005)
+        .withColumn("embedding",
+          when(col("vec_id") === 7, lit(null).cast("array<float>"))
+            .otherwise(col("embedding")))
+        .withColumn("year", lit(2022L) + col("vec_id") % 3)
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_ei_wh").toString)
+      val idxDir = TempDirs.scratchDir("graft_ei_idx").toString
+      (0L to 2L).foreach { b =>
+        graft.streaming.EmbeddingIngest.ingestBatch(
+          vecs.filter(col("vec_id") % 3 === b), "vec_id", "embedding",
+          wh, "novel_embs", idxDir, b, dim = 128)
+      }
+      wh.read("novel_embs").get
+        .select(col("vec_id").as("media_id"))
+        .orderBy(col("media_id"))
+    }),
     // exact binary dedup: digest-grouped (the shuffle moves 32-byte
     // digests, never payloads); content is a pure function of doc_id % 13
     // so the oracle is plain semantic group-by
@@ -6828,6 +6856,20 @@ object SparkEntry {
       "hh.sfp_lo AS fp_lo FROM acc a JOIN hh ON a.doc_id = hh.doc_id " +
       "UNION ALL SELECT doc_id AS media_id, NULL AS fp_hi, NULL AS fp_lo " +
       "FROM documents WHERE doc_id % 17 = 0 " +
+      "ORDER BY media_id"),
+    // decision replay: accepted = first (batch, id) per planted cluster
+    // (cluster = vec_id // 6, batch = vec_id % 3), the NULL-embedding
+    // row (vec_id 7) always kept — exact because the measured sign-LSH
+    // separation makes the radius-4 ball the cluster relation
+    "x_stream_embingest" -> ("WITH v AS (SELECT id AS vec_id " +
+      "FROM range(0, 240) t(id)), " +
+      "cand AS (SELECT vec_id, vec_id % 3 AS b, vec_id // 6 AS g " +
+      "FROM v WHERE vec_id <> 7), " +
+      "acc AS (SELECT vec_id FROM (SELECT vec_id, " +
+      "ROW_NUMBER() OVER (PARTITION BY g ORDER BY b, vec_id) AS rn " +
+      "FROM cand) t WHERE rn = 1) " +
+      "SELECT CAST(vec_id AS BIGINT) AS media_id FROM acc " +
+      "UNION ALL SELECT CAST(7 AS BIGINT) AS media_id " +
       "ORDER BY media_id"),
     // semantic oracle: content is a pure function of doc_id % 13, so the
     // digest groups ARE the residue classes

@@ -37,22 +37,21 @@ object AudioIngest {
     * guarantee). */
   val MaxHamming = 4
 
-  private def stats(content: org.apache.spark.sql.Column) =
-    WavSpectralStats(content)
+  private val fpAdd = FpIngest.statsFp(
+    WavSpectralStats(_), "sfp_hi", "sfp_lo")
 
   /** (audio_fp, n_refs, t, v) — the persisted-band-key index unit. */
   def audioIndex(df: DataFrame, idCol: String, contentCol: String): DataFrame =
-    FpIngest.index(df, contentCol, stats, "sfp_hi", "sfp_lo", "audio_fp")
+    FpIngest.index(df, contentCol, fpAdd, "audio_fp")
 
   /** The batch's novel rows against a prior index (hash-less rows
     * always pass, audio_fp NULL). */
   def novelAgainst(batch: DataFrame, idCol: String, contentCol: String,
       index: DataFrame): DataFrame =
-    FpIngest.novelAgainst(batch, idCol, contentCol, index, stats,
-      "sfp_hi", "sfp_lo", "audio_fp", MaxHamming)
+    FpIngest.novelAgainst(batch, idCol, contentCol, index, fpAdd,
+      "audio_fp", MaxHamming)
 
-  private val fam = FpIngest.family("audfps", "audio_fp", stats,
-    "sfp_hi", "sfp_lo", MaxHamming)
+  private val fam = FpIngest.family("audfps", "audio_fp", fpAdd, MaxHamming)
 
   /** Seed the index with an already-ingested corpus (batch = -1). */
   def seedIndex(corpus: DataFrame, idCol: String, contentCol: String,

@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
 
 /** The shared 64-bit-fingerprint ingest-dedup shape — extracted from
   * [[ImageIngest]] so every perceptual-hash modality (image aHash,
-  * audio spectral hash, any future 64-bit LSH) rides ONE probe
-  * contract instead of copy-pasting it:
+  * audio spectral hash, embedding sign-LSH, any future 64-bit LSH)
+  * rides ONE probe contract instead of copy-pasting it:
   *
   *  - the index unit is `(fpCol, n_refs, t, v)` — the 56 [[Hamming64]]
   *    block-pair band keys are PERSISTED at index-write time, once per
@@ -24,22 +24,44 @@ import org.apache.spark.sql.functions._
   *    a screen that silently drops what it cannot judge biases the
   *    corpus.
   *
-  * A modality plugs in with a stats-struct builder (one decode
-  * expression evaluated once per row) and the struct's hi/lo
-  * fingerprint field names. */
+  * A modality plugs in with an `FpAdd`: a projection step appending
+  * its nullable LongType fingerprint column. [[statsFp]] builds one
+  * from a decode-stats struct expression (evaluated ONCE per row — the
+  * struct lands in its own projection and the fields are read from
+  * it, never by re-inlining the decode); [[colFp]] wraps a direct
+  * single-reference fingerprint expression (sign-LSH over a vector
+  * column). */
 private[streaming] object FpIngest {
+
+  /** Append fingerprint column `fpName` derived from `contentCol`. */
+  type FpAdd = (DataFrame, String, String) => DataFrame
+
+  /** [[FpAdd]] from a decode-stats STRUCT expression with nullable
+    * hi/lo 32-bit-half fingerprint fields. */
+  def statsFp(stats: Column => Column, hiField: String,
+      loField: String): FpAdd = (df, contentCol, fpName) =>
+    df.withColumn("__s", stats(col(contentCol)))
+      .withColumn(fpName,
+        when(col(s"__s.$hiField").isNotNull,
+          shiftleft(col(s"__s.$hiField"), 32)
+            .bitwiseOR(col(s"__s.$loField"))))
+      .drop("__s")
+
+  /** [[FpAdd]] from a direct nullable-LongType fingerprint column
+    * (the expression must reference the content column once). */
+  def colFp(fpOf: Column => Column): FpAdd = (df, contentCol, fpName) =>
+    df.withColumn(fpName, fpOf(col(contentCol)))
 
   /** `(fpName, n_refs, t, v)` — fingerprint counts of a frame exploded
     * into their 56 persisted band keys, the index unit (hash-less rows
     * contribute nothing). Keys are derived ONCE here, at write time,
     * so no probe ever re-derives them. */
-  def index(df: DataFrame, contentCol: String, stats: Column => Column,
-      hiField: String, loField: String, fpName: String): DataFrame =
+  def index(df: DataFrame, contentCol: String, fpAdd: FpAdd,
+      fpName: String): DataFrame =
     Hamming64.withBandKeys(
-      df.select(stats(col(contentCol)).as("__s"))
-        .filter(col(s"__s.$hiField").isNotNull)
-        .select(shiftleft(col(s"__s.$hiField"), 32)
-          .bitwiseOR(col(s"__s.$loField")).as(fpName))
+      fpAdd(df, contentCol, fpName)
+        .filter(col(fpName).isNotNull)
+        .select(col(fpName))
         .groupBy(col(fpName)).agg(count(lit(1)).as("n_refs")),
       fpName)
 
@@ -49,15 +71,9 @@ private[streaming] object FpIngest {
     * carries STORED band keys (t, v) per [[index]]. Output
     * (idCol, fpName). */
   def novelAgainst(batch: DataFrame, idCol: String, contentCol: String,
-      index: DataFrame, stats: Column => Column, hiField: String,
-      loField: String, fpName: String, maxHamming: Int): DataFrame = {
-    val withFp = batch
-      .withColumn("__s", stats(col(contentCol)))
-      .withColumn(fpName,
-        when(col(s"__s.$hiField").isNotNull,
-          shiftleft(col(s"__s.$hiField"), 32)
-            .bitwiseOR(col(s"__s.$loField"))))
-      .drop("__s")
+      index: DataFrame, fpAdd: FpAdd, fpName: String,
+      maxHamming: Int): DataFrame = {
+    val withFp = fpAdd(batch, contentCol, fpName)
     val batchSide = withFp.filter(col(fpName).isNotNull)
       .select(col(idCol).as("id"), col(fpName).as("fp"))
     val batchKeys = Hamming64.withBandKeys(batchSide, "fp")
@@ -80,15 +96,14 @@ private[streaming] object FpIngest {
   /** The [[ScrubFamily]] of a fingerprint modality: stored rows ARE the
     * probe side (collapse = false — no per-batch O(corpus) groupBy),
     * band keys persisted as extra index columns. */
-  def family(subdir: String, fpName: String, stats: Column => Column,
-      hiField: String, loField: String, maxHamming: Int): ScrubFamily =
+  def family(subdir: String, fpName: String, fpAdd: FpAdd,
+      maxHamming: Int): ScrubFamily =
     ScrubFamily(
       subdir = subdir, keyCol = fpName, cntCol = "n_refs",
       statCols = Seq(fpName),
-      indexOf = (df, _, contentCol) =>
-        index(df, contentCol, stats, hiField, loField, fpName),
+      indexOf = (df, _, contentCol) => index(df, contentCol, fpAdd, fpName),
       incremental = (batch, idCol, contentCol, idx) =>
-        novelAgainst(batch, idCol, contentCol, idx, stats, hiField,
-          loField, fpName, maxHamming),
+        novelAgainst(batch, idCol, contentCol, idx, fpAdd, fpName,
+          maxHamming),
       collapse = false, extraIndexCols = Seq("t", "v"))
 }

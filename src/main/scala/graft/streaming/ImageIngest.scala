@@ -47,8 +47,8 @@ object ImageIngest {
     * guarantee). */
   val MaxHamming = 4
 
-  private def stats(content: org.apache.spark.sql.Column) =
-    graft.ext.ImageGrayStats(content)
+  private val fpAdd = FpIngest.statsFp(
+    graft.ext.ImageGrayStats(_), "ahash_hi", "ahash_lo")
 
   /** (img_fp, n_refs, t, v) — fingerprint counts of a frame exploded
     * into their 56 persisted band keys, the index unit (undecodable /
@@ -59,7 +59,7 @@ object ImageIngest {
     * arrivals share ONE fingerprint space, so a JPEG re-encode of an
     * already-ingested PNG is caught as the near-duplicate it is. */
   def imageIndex(df: DataFrame, idCol: String, contentCol: String): DataFrame =
-    FpIngest.index(df, contentCol, stats, "ahash_hi", "ahash_lo", "img_fp")
+    FpIngest.index(df, contentCol, fpAdd, "img_fp")
 
   /** The batch's novel rows against a prior index: no index fp within
     * Hamming ≤ [[MaxHamming]], no smaller-id batch sibling within the
@@ -72,11 +72,10 @@ object ImageIngest {
     * re-keyed ([[FpIngest.novelAgainst]]). */
   def novelAgainst(batch: DataFrame, idCol: String, contentCol: String,
       index: DataFrame): DataFrame =
-    FpIngest.novelAgainst(batch, idCol, contentCol, index, stats,
-      "ahash_hi", "ahash_lo", "img_fp", MaxHamming)
+    FpIngest.novelAgainst(batch, idCol, contentCol, index, fpAdd,
+      "img_fp", MaxHamming)
 
-  private val fam = FpIngest.family("imgfps", "img_fp", stats,
-    "ahash_hi", "ahash_lo", MaxHamming)
+  private val fam = FpIngest.family("imgfps", "img_fp", fpAdd, MaxHamming)
 
   /** Seed the index with an already-ingested corpus (batch = -1). */
   def seedIndex(corpus: DataFrame, idCol: String, contentCol: String,
