@@ -3684,6 +3684,53 @@ object SparkEntry {
         .select(col("vec_id").as("media_id"))
         .orderBy(col("media_id"))
     }),
+    // CONTENT-DEFINED CHUNKING: Gear-style rolling boundaries
+    // (mod-(2^61-1) Horner, 32-byte locality window) over formula
+    // blobs — the oracle replays every boundary and chunk hash with
+    // list_reduce; doc 0's NULL content contributes zero rows
+    "x_cdc_chunks" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = docs.select(col("doc_id").as("media_id"),
+        when(col("doc_id") =!= 0,
+          graft.ext.FormulaBlobEncode(col("doc_id") % 23,
+            lit(1536) + (col("doc_id") % 5) * 256)).as("content"))
+      graft.ext.Cdc.chunkRows(media, maskBits = 8)
+        .drop("csha")
+        .orderBy(col("media_id"), col("chunk_idx"))
+    }),
+    // chunk-level dedup with PLANTED INSERTIONS: every doc_id % 11 = 0
+    // document carries a junk prefix before a shared-class payload —
+    // content-defined boundaries re-align after the prefix, so the
+    // shifted tails dedup chunk-for-chunk (fixed tiles would share
+    // nothing); keeper = lexicographic-min (media_id, chunk_idx)
+    "x_cdc_dedup" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val base = graft.ext.FormulaBlobEncode(col("doc_id") % 23,
+        lit(1536) + (col("doc_id") % 5) * 256)
+      val media = docs.select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(graft.ext.FormulaBlobEncode(col("doc_id") % 7 + 100,
+            lit(9) + col("doc_id") % 13), base))
+          .otherwise(base).as("content"))
+      graft.ext.Cdc.chunkDedup(media, maskBits = 8)
+        .orderBy(col("chash"), col("len"))
+    }),
+    // binary-overlap pairs on the same corpus: docs sharing >= 2
+    // distinct chunk contents (df-capped inverted index, never
+    // all-pairs) — identical-class pairs AND prefix-shifted pairs land
+    "x_cdc_overlap" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val base = graft.ext.FormulaBlobEncode(col("doc_id") % 23,
+        lit(1536) + (col("doc_id") % 5) * 256)
+      val media = docs.select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(graft.ext.FormulaBlobEncode(col("doc_id") % 7 + 100,
+            lit(9) + col("doc_id") % 13), base))
+          .otherwise(base).as("content"))
+      graft.ext.Cdc.sharedChunkPairs(media, maskBits = 8,
+        minShared = 2L, maxDf = 64L)
+        .orderBy(col("i"), col("j"))
+    }),
     // exact binary dedup: digest-grouped (the shuffle moves 32-byte
     // digests, never payloads); content is a pure function of doc_id % 13
     // so the oracle is plain semantic group-by
@@ -6871,6 +6918,39 @@ object SparkEntry {
       "SELECT CAST(vec_id AS BIGINT) AS media_id FROM acc " +
       "UNION ALL SELECT CAST(7 AS BIGINT) AS media_id " +
       "ORDER BY media_id"),
+    // full CDC replay: every boundary and chunk hash re-derived by the
+    // list_reduce Horner fold; doc 0 (NULL content) contributes nothing
+    "x_cdc_chunks" -> ("WITH " + cdcChunkCtes(prefixed = false) + " " +
+      "SELECT doc_id AS media_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, " +
+      "CAST(off AS BIGINT) AS off, CAST(endp - off AS BIGINT) AS len, " +
+      "chash FROM rows ORDER BY media_id, chunk_idx"),
+    // chunk-group replay over the prefixed corpus: groups on (chash,
+    // len), keeper = lexicographic-min (doc, idx) via ROW_NUMBER
+    "x_cdc_dedup" -> ("WITH " + cdcChunkCtes(prefixed = true) + ", " +
+      "dr AS (SELECT doc_id, chunk_idx, CAST(endp - off AS BIGINT) AS len, " +
+      "chash FROM rows), " +
+      "grp AS (SELECT chash, len, COUNT(*) AS nc FROM dr " +
+      "GROUP BY chash, len), " +
+      "kp AS (SELECT chash, len, doc_id, chunk_idx, " +
+      "ROW_NUMBER() OVER (PARTITION BY chash, len " +
+      "ORDER BY doc_id, chunk_idx) AS rn FROM dr) " +
+      "SELECT g.chash, g.len, CAST(g.nc AS BIGINT) AS n_copies, " +
+      "k.doc_id AS keep_media, CAST(k.chunk_idx AS BIGINT) AS keep_idx " +
+      "FROM grp g JOIN kp k ON g.chash = k.chash AND g.len = k.len " +
+      "AND k.rn = 1 WHERE g.nc >= 2 ORDER BY 1, 2"),
+    // df-capped overlap pairs: distinct (doc, chunk) postings, hashes
+    // in <= 64 docs, pairs sharing >= 2 chunk contents
+    "x_cdc_overlap" -> ("WITH " + cdcChunkCtes(prefixed = true) + ", " +
+      "dd AS (SELECT DISTINCT doc_id, chash, " +
+      "CAST(endp - off AS BIGINT) AS len FROM rows), " +
+      "rare AS (SELECT chash, len FROM dd GROUP BY chash, len " +
+      "HAVING COUNT(*) <= 64), " +
+      "p AS (SELECT dd.* FROM dd JOIN rare USING (chash, len)) " +
+      "SELECT a.doc_id AS i, b.doc_id AS j, " +
+      "CAST(COUNT(*) AS BIGINT) AS shared_chunks " +
+      "FROM p a JOIN p b ON a.chash = b.chash AND a.len = b.len " +
+      "AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY i, j"),
     // semantic oracle: content is a pure function of doc_id % 13, so the
     // digest groups ARE the residue classes
     "x_mm_bindedup" -> ("SELECT CAST(COUNT(*) AS BIGINT) AS n_copies, " +
@@ -7743,6 +7823,51 @@ object SparkEntry {
       "CASE WHEN n >= 256 THEN " +
       fpHalf("ee[k+1]*8 > tw[k//8+1]", lo = true) + " END AS sfp_lo " +
       "FROM tt)"
+
+  /** CTE chain replaying content-defined chunking over the formula-blob
+    * fixture ([[graft.ext.CdcKernel]]): the per-byte G-table values as
+    * one list (gl — optionally a junk prefix concatenated ahead of the
+    * shared-class payload), boundary positions via a list_reduce Horner
+    * fold over each 32-byte window mod 2^61−1 (bs), cut points (cu),
+    * and a final `rows` CTE of (doc_id, chunk_idx, off, endp, chash)
+    * with chash the same fold over the chunk's own bytes. Every operand
+    * exact int64 — DuckDB's BIGINT would THROW on classic Gear's
+    * wrap-mod-2^64, which is why the engine hash is Mersenne-modular. */
+  private def cdcChunkCtes(prefixed: Boolean): String = {
+    val M = "2305843009213693951"
+    def gmap(b: String) = s"((($b)*2654435761 + 98765) % 2147483647)"
+    val fold = (sl: String) => s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"$sl), (acc, x) -> (2*acc + x) % $M)"
+    val head =
+      if (prefixed)
+        "d AS (SELECT doc_id, doc_id % 23 AS seed, " +
+          "1536 + (doc_id % 5)*256 AS nb, doc_id % 7 + 100 AS pseed, " +
+          "9 + doc_id % 13 AS np, doc_id % 11 = 0 AS hasp FROM documents), " +
+          "g0 AS (SELECT d.*, [ " + gmap("(pseed*31 + i*17 + (i*i) % 251) % 256") +
+          " for i in range(0, np) ] AS pgl, [ " +
+          gmap("(seed*31 + i*17 + (i*i) % 251) % 256") +
+          " for i in range(0, nb) ] AS bgl FROM d), " +
+          "g AS (SELECT g0.*, CASE WHEN hasp THEN pgl || bgl ELSE bgl END " +
+          "AS gl, CASE WHEN hasp THEN np + nb ELSE nb END AS n FROM g0)"
+      else
+        "d AS (SELECT doc_id, doc_id % 23 AS seed, " +
+          "1536 + (doc_id % 5)*256 AS n FROM documents WHERE doc_id <> 0), " +
+          "g AS (SELECT d.*, [ " +
+          gmap("(seed*31 + i*17 + (i*i) % 251) % 256") +
+          " for i in range(0, n) ] AS gl FROM d)"
+    head + ", " +
+      "b AS (SELECT g.*, [ i for i in range(31, n) if " +
+      fold("list_slice(gl, i-30, i+1)") + " % 256 = 0 ] AS bs FROM g), " +
+      "c AS (SELECT b.*, list_append([ x + 1 for x in bs " +
+      "if x < n - 1 ], n) AS cu FROM b), " +
+      "e AS (SELECT doc_id, gl, cu, " +
+      "unnest(range(0, len(cu))) AS ci FROM c), " +
+      "rows AS (SELECT doc_id, ci AS chunk_idx, " +
+      "CASE WHEN ci = 0 THEN 0 ELSE cu[ci] END AS off, cu[ci+1] AS endp, " +
+      "CAST(" + fold("list_slice(gl, " +
+      "(CASE WHEN ci = 0 THEN 0 ELSE cu[ci] END) + 1, cu[ci+1])") +
+      " AS BIGINT) AS chash FROM e)"
+  }
 
   /** Exact box-downsample replay: plain floor cell means (0..255) over
     * the ow×oh partition grid — [[pngCellsExpr]] without the milli
