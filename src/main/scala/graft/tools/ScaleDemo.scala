@@ -855,6 +855,17 @@ object ScaleDemo {
         .agg(sum(col("sum_abs")) + sum(col("zero_cross"))).collect()(0)
         .getLong(0)
     }
+    timed("cdc_dedup") {
+      // content-defined chunking + chunk-group dedup: chunking is a
+      // zero-shuffle linear byte scan (O(1)/byte rolling boundary),
+      // the dedup shuffles 8-byte chunk keys only. Content classes
+      // SCALE with K (23·K seeds) so chunk-group size stays ~constant
+      // at any replication — the image_dedup lesson
+      val blobs = corpus.select(col("doc_id").as("media_id"),
+        graft.ext.FormulaBlobEncode(col("doc_id") % (23L * k),
+          lit(1536) + (col("doc_id") % 5) * 256).as("content"))
+      graft.ext.Cdc.chunkDedup(blobs, maskBits = 8).count()
+    }
     timed("binary_dedup") {
       // digest-grouped exact dedup: the shuffle moves 32-byte digests,
       // never the payloads; groups = 13 residue classes at any K
@@ -896,6 +907,37 @@ object ScaleDemo {
       val tProbe = (System.nanoTime() - t1) / 1e9
       val kept = wh.read("novel").map(_.count()).getOrElse(0L)
       println(f"""{"op": "imgingest_probe", "index_fps": $docs, "batch": 500, "kept": $kept, "seed_s": $tSeed%.1f, "probe_s": $tProbe%.1f}""")
+      spark.catalog.clearCache()
+    }
+    if (selected("audingest_probe")) {
+      // the audio twin of imgingest_probe: seed K×5000 DISTINCT spectral
+      // fingerprints (cls = doc_id), ingest one fixed 500-clip batch —
+      // per-trigger wall must track the batch across a K sweep (stored
+      // band keys probed by a broadcast of the batch's keys)
+      val wh = new graft.snapshot.Warehouse(spark,
+        graft.TempDirs.scratchDir("sd_ai_wh").toString)
+      val idxDir = graft.TempDirs.scratchDir("sd_ai_idx").toString
+      val seedClips = graft.ext.Multimodal.syntheticToneCorpus(
+        corpus.select(col("doc_id")), "doc_id", col("doc_id"), lit(0),
+        lit(320), lit(16000))
+      val t0 = System.nanoTime()
+      graft.streaming.AudioIngest.seedIndex(seedClips, "media_id",
+        "content", idxDir)
+      val tSeed = (System.nanoTime() - t0) / 1e9
+      val batch = graft.ext.Multimodal.syntheticToneCorpus(
+        spark.range(500).select((col("id") + 900000000L).as("doc_id")),
+        "doc_id",
+        // half the batch near-dups a seeded class (bump 1), half novel
+        when(col("doc_id") % 2 === 0, col("doc_id") % 800)
+          .otherwise(col("doc_id")),
+        lit(1), lit(320), lit(16000))
+        .withColumn("year", lit(2021L))
+      val t1 = System.nanoTime()
+      graft.streaming.AudioIngest.ingestBatch(batch, "media_id",
+        "content", wh, "novel", idxDir, 0L)
+      val tProbe = (System.nanoTime() - t1) / 1e9
+      val kept = wh.read("novel").map(_.count()).getOrElse(0L)
+      println(f"""{"op": "audingest_probe", "index_fps": $docs, "batch": 500, "kept": $kept, "seed_s": $tSeed%.1f, "probe_s": $tProbe%.1f}""")
       spark.catalog.clearCache()
     }
     if (selected("tilescrub_probe")) {
