@@ -3684,6 +3684,52 @@ object SparkEntry {
         .select(col("vec_id").as("media_id"))
         .orderBy(col("media_id"))
     }),
+    // audio quality screen over real decoded PCM: undecodable /
+    // too-short / near-silent / rail-clipped flags, all exact integer
+    // comparisons (cross-multiplied mean, no division); thresholds
+    // chosen inside the corpus's natural spread so every flag fires
+    // both ways (60/181/219 of 500 docs at sf0.01, measured)
+    "x_mm_audioquality" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticPcmCorpus(docs, "doc_id",
+        col("doc_id") % 9, lit(40) + (col("doc_id") % 50) * 4,
+        lit(8000) + (col("doc_id") % 3) * 4000)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00000000', substring(content, 5))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.audioQualityScreen(
+        graft.ext.Multimodal.audioContentStats(dirty),
+        minSamples = 64L, minMeanAbsMilli = 998000L, clipFloor = 1995L)
+        .orderBy(col("media_id"))
+    }),
+    // STREAMING chunk-duplication scoring: 3 driver-chained batches of
+    // formula blobs (shared classes + prefixed re-uploads) through the
+    // CDC ScrubEngine family — per doc, how many content-defined
+    // chunks already exist in (earlier batches | this batch)
+    "x_stream_cdc" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val base = graft.ext.FormulaBlobEncode(col("doc_id") % 23,
+        lit(1536) + (col("doc_id") % 5) * 256)
+      val media = docs.select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(graft.ext.FormulaBlobEncode(col("doc_id") % 7 + 100,
+            lit(9) + col("doc_id") % 13), base))
+          .otherwise(base).as("content"))
+        .withColumn("year", lit(2023L) + col("media_id") % 3)
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_cs_wh").toString)
+      val idxDir = TempDirs.scratchDir("graft_cs_idx").toString
+      (0L to 2L).foreach { b =>
+        graft.streaming.CdcScrub.ingestBatch(
+          media.filter(col("media_id") % 3 === b), "media_id", "content",
+          wh, "chunk_facts", idxDir, b)
+      }
+      wh.read("chunk_facts").get
+        .select(col("media_id"), col("n_chunks"), col("dup_chunks"),
+          col("dup_ratio_micro"))
+        .orderBy(col("media_id"))
+    }),
     // CONTENT-DEFINED CHUNKING: Gear-style rolling boundaries
     // (mod-(2^61-1) Horner, 32-byte locality window) over formula
     // blobs — the oracle replays every boundary and chunk hash with
@@ -6918,6 +6964,36 @@ object SparkEntry {
       "SELECT CAST(vec_id AS BIGINT) AS media_id FROM acc " +
       "UNION ALL SELECT CAST(7 AS BIGINT) AS media_id " +
       "ORDER BY media_id"),
+    // flags replayed from the PCM sample formula: exact sum/max/count
+    "x_mm_audioquality" -> ("WITH d AS (SELECT doc_id, doc_id % 9 AS seed, " +
+      "40 + (doc_id % 50)*4 AS n FROM documents), " +
+      "s AS (SELECT d.*, [ ((seed*7919 + i*31 + (i*i) % 101) % 4001) - 2000 " +
+      "for i in range(0, n)] AS sm FROM d), " +
+      "t AS (SELECT doc_id, n, " +
+      "CAST(list_sum([abs(v) for v in sm]) AS BIGINT) AS sa, " +
+      "CAST(list_max([abs(v) for v in sm]) AS BIGINT) AS pk FROM s) " +
+      "SELECT doc_id AS media_id, doc_id = 0 AS undecodable, " +
+      "doc_id <> 0 AND n < 64 AS too_short, " +
+      "doc_id <> 0 AND sa*1000 < 998000*n AS near_silent, " +
+      "doc_id <> 0 AND pk >= 1995 AS clipped, " +
+      "doc_id <> 0 AND n >= 64 AND sa*1000 >= 998000*n AND pk < 1995 " +
+      "AS keep FROM t ORDER BY media_id"),
+    // incremental chunk-duplication replay: per (chash, batch)
+    // occurrence counts, prefix-summed over batches — a chunk instance
+    // in batch b is duplicated iff total occurrences through b exceed 1
+    "x_stream_cdc" -> ("WITH " + cdcChunkCtes(prefixed = true) + ", " +
+      "r2 AS (SELECT doc_id, doc_id % 3 AS bb, chash FROM rows), " +
+      "occ AS (SELECT chash, bb, COUNT(*) AS c FROM r2 " +
+      "GROUP BY chash, bb), " +
+      "cum AS (SELECT chash, bb, CAST(SUM(c) OVER (PARTITION BY chash " +
+      "ORDER BY bb) AS BIGINT) AS cc FROM occ), " +
+      "j AS (SELECT r2.doc_id, cum.cc FROM r2 JOIN cum " +
+      "ON r2.chash = cum.chash AND r2.bb = cum.bb) " +
+      "SELECT doc_id AS media_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, " +
+      "CAST(COUNT(CASE WHEN cc > 1 THEN 1 END) AS BIGINT) AS dup_chunks, " +
+      "CAST(COUNT(CASE WHEN cc > 1 THEN 1 END) * 1000000 // COUNT(*) " +
+      "AS BIGINT) AS dup_ratio_micro " +
+      "FROM j GROUP BY doc_id ORDER BY media_id"),
     // full CDC replay: every boundary and chunk hash re-derived by the
     // list_reduce Horner fold; doc 0 (NULL content) contributes nothing
     "x_cdc_chunks" -> ("WITH " + cdcChunkCtes(prefixed = false) + " " +

@@ -227,6 +227,47 @@ object Cdc {
         col("__k.chunk_idx").as("keep_idx"))
   }
 
+  /** (chash, n_refs) chunk-content index of a corpus — the unit table
+    * the streaming [[graft.streaming.CdcScrub]] probes (occurrence
+    * counts, not doc counts — a doc repeating a chunk contributes each
+    * instance, the tileIndex convention). */
+  def chunkIndex(df: DataFrame, idCol: String, contentCol: String,
+      maskBits: Int = 8): DataFrame =
+    df.select(explode(CdcChunks(col(contentCol), maskBits)).as("ch"))
+      .groupBy(col("ch.chash").as("chash"))
+      .agg(count(lit(1)).as("n_refs"))
+
+  /** Incremental chunk-duplication stats of an arriving batch against
+    * (indexed corpus ∪ the batch itself): per doc, how many of its
+    * content-defined chunks already exist anywhere — the binary-stream
+    * twin of [[Dedup.tileDuplicationIncremental]]. A batch chunk is
+    * duplicated iff its batch occurrences plus its indexed n_refs
+    * exceed one. Output (idCol, n_chunks, dup_chunks, dup_ratio_micro)
+    * — the ratio in exact integer micro-units (dup·10^6 div n, floor;
+    * never a rounded double quotient), NULL-content rows scoring
+    * (0, 0, NULL). Cost O(batch) + one 8-byte-keyed join against the
+    * (bloom-prunable) index. */
+  def chunkDupIncremental(batch: DataFrame, idCol: String,
+      contentCol: String, index: DataFrame, maskBits: Int = 8): DataFrame = {
+    val rows = batch.select(col(idCol),
+      explode_outer(CdcChunks(col(contentCol), maskBits)).as("ch"))
+      .select(col(idCol), col("ch.chash").as("__h"))
+    val counts = rows.filter(col("__h").isNotNull)
+      .groupBy(col("__h")).agg(count(lit(1)).as("__bc"))
+      .join(index.select(col("chash").as("__h"), col("n_refs").as("__ic")),
+        Seq("__h"), "left")
+      .select(col("__h"),
+        (col("__bc") + coalesce(col("__ic"), lit(0L))).as("__cnt"))
+    rows.join(counts, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__h")).as("n_chunks"),
+        count(when(col("__cnt") > 1, lit(1))).as("dup_chunks"))
+      .select(col(idCol), col("n_chunks"), col("dup_chunks"),
+        when(col("n_chunks") > 0,
+          expr("dup_chunks * 1000000 DIV n_chunks"))
+          .as("dup_ratio_micro"))
+  }
+
   /** Document pairs sharing ≥ minShared chunk contents (i < j) with the
     * shared count — the binary-payload overlap detector (inverted index
     * on chunk hash, never all-pairs; hashes seen in ≥ maxDf documents

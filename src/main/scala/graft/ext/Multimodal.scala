@@ -630,6 +630,25 @@ object Multimodal {
         col("__s.fp_hi").as("fp_hi"), col("__s.fp_lo").as("fp_lo"),
         shiftleft(col("__s.fp_hi"), 32).bitwiseOR(col("__s.fp_lo")).as("fp"))
 
+  /** Content-derived audio quality screen over [[audioContentStats]]
+    * output — the sample-level flags a crawl pipeline drops on:
+    * undecodable bytes, clips under a sample floor, near-silence
+    * (mean |sample| below `minMeanAbsMilli`/1000 — exact integer
+    * cross-multiplication, no division), and rail-clipped recordings
+    * (peak at/above `clipFloor`). `keep` is the conjunction — the
+    * audio twin of [[imageQualityScreen]]. */
+  def audioQualityScreen(stats: DataFrame, minSamples: Long = 64L,
+      minMeanAbsMilli: Long = 50000L, clipFloor: Long = 32000L): DataFrame =
+    stats.select(col("media_id"),
+        (!col("ok")).as("undecodable"),
+        (col("ok") && col("n_samples") < minSamples).as("too_short"),
+        (col("ok") && col("n_samples") > 0 &&
+          col("sum_abs") * 1000 < lit(minMeanAbsMilli) * col("n_samples"))
+          .as("near_silent"),
+        (col("ok") && col("peak_abs") >= clipFloor).as("clipped"))
+      .withColumn("keep", !col("undecodable") && !col("too_short") &&
+        !col("near_silent") && !col("clipped"))
+
   /** RESIZE: decode + exact box-downsample to `ow`×`oh` in one native
     * pass ([[PngResizeGray]]), one output row per resized pixel
     * (media_id, px_idx, v) — the thumbnail/embedding-prep step, with

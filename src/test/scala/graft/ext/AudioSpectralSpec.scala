@@ -78,6 +78,26 @@ class AudioSpectralSpec extends SparkTestBase {
     assert(short == ((true, Some(64L), None)))
   }
 
+  test("audioQualityScreen: every flag from exact integers, keep is " +
+      "the conjunction, undecodable rows flagged not dropped") {
+    val media = Multimodal.syntheticPcmCorpus(
+      Seq((1L, 2L, 40L), (2L, 3L, 200L)).toDF("doc_id", "s", "n"),
+      "doc_id", col("s"), col("n"), lit(8000))
+      .unionByName(Seq((3L, "junk".getBytes)).toDF("media_id", "content"))
+    val got = Multimodal.audioQualityScreen(
+      Multimodal.audioContentStats(media),
+      minSamples = 64L, minMeanAbsMilli = 998000L, clipFloor = 1995L)
+      .orderBy("media_id")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3) // 40 samples: too_short
+    assert(!byId(2L)._2 && !byId(2L)._3) // decodable, long enough
+    assert(byId(3L)._2 && !byId(3L)._6) // undecodable -> keep=false
+    got.foreach { r =>
+      assert(r._6 == (!r._2 && !r._3 && !r._4 && !r._5))
+    }
+  }
+
   test("audioNearDupPairs == brute-force pairs (banding recall) and " +
       "joins exactly the same-class bumps on the fixture") {
     val rows = for (c <- 0L until 10L; b <- 0L until 3L)
