@@ -71,7 +71,11 @@ object Bench {
         val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
         val qsec = txt.indexOf("\"queries\":")
         val body = if (qsec < 0) "" else txt.substring(qsec)
-        "\"([A-Za-z0-9_]+)\":([-+0-9.Ee]+)".r.findAllMatchIn(body)
+        // committed history files vary in colon spacing ("q01": 0.70 vs
+        // "q01":0.70) — the r12 local bench silently parsed ZERO history
+        // entries (and flagged nothing, 23x deltas included) before the
+        // \s* landed
+        "\"([A-Za-z0-9_]+)\":\\s*([-+0-9.Ee]+)".r.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty[String, Double] }
     }.getOrElse(Map.empty)
