@@ -3546,6 +3546,23 @@ object SparkEntry {
         .drop("ahash", "dhash")
         .orderBy(col("media_id"))
     }),
+    // BMP CONTENT leg: real uncompressed DIBs (BGR bottom-up rows,
+    // 4-byte padding, gray as truecolor so luma == pixel) — SAME pixel
+    // contract as the PNG fixture, so the PNG oracle chain replays it
+    // verbatim; doc 0's broken magic degrades to ok=false
+    "x_mm_pixels_bmp" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticGrayBmpCorpus(docs, "doc_id",
+        col("doc_id") % 7, lit(9) + col("doc_id") % 8,
+        lit(8) + col("doc_id") % 6, col("doc_id") % 5)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00', substring(content, 2))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.bmpContentStats(dirty)
+        .drop("ahash", "dhash")
+        .orderBy(col("media_id"))
+    }),
     // MIXED-container leg: PNG and JPEG interleaved row by row (the
     // crawl reality), one container-sniffing scan, one stat/hash space;
     // doc 0's broken magic degrades to ok=false
@@ -3702,6 +3719,35 @@ object SparkEntry {
         graft.ext.Multimodal.audioContentStats(dirty),
         minSamples = 64L, minMeanAbsMilli = 998000L, clipFloor = 1995L)
         .orderBy(col("media_id"))
+    }),
+    // RESAMPLE verb (audio): decode + exact box-decimation by 4, one
+    // row per output sample — truncated block means (the integer
+    // division both engines share); the corrupted row contributes
+    // zero rows
+    "x_mm_audioresample" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticPcmCorpus(docs, "doc_id",
+        col("doc_id") % 9, lit(40) + (col("doc_id") % 50) * 4,
+        lit(8000) + (col("doc_id") % 3) * 4000)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00000000', substring(content, 5))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.audioResample(dirty, factor = 4)
+        .orderBy(col("media_id"), col("sample_idx"))
+    }),
+    // chunk-dedup storage savings: the number a lake team sizes a
+    // chunk store with — one exact-integer row over the prefixed corpus
+    "x_cdc_savings" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val base = graft.ext.FormulaBlobEncode(col("doc_id") % 23,
+        lit(1536) + (col("doc_id") % 5) * 256)
+      val media = docs.select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(graft.ext.FormulaBlobEncode(col("doc_id") % 7 + 100,
+            lit(9) + col("doc_id") % 13), base))
+          .otherwise(base).as("content"))
+      graft.ext.Cdc.dedupSavings(media, maskBits = 8)
     }),
     // STREAMING chunk-duplication scoring: 3 driver-chained batches of
     // formula blobs (shared classes + prefixed re-uploads) through the
@@ -6847,6 +6893,12 @@ object SparkEntry {
     "x_mm_pixels_gif" -> ("WITH " +
       pngHashCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
         "doc_id % 5") + ", " + pixelStatsSelect(" ORDER BY media_id")),
+    // BMP pixel replay: the engine must walk a real DIB header and
+    // BGR-luma the padded bottom-up rows to land on these integers —
+    // SAME oracle chain as x_mm_pixels (identical pixel contract)
+    "x_mm_pixels_bmp" -> ("WITH " +
+      pngHashCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
+        "doc_id % 5") + ", " + pixelStatsSelect(" ORDER BY media_id")),
     // mixed-container replay: each half rides its own pixel chain (PNG
     // formula for even docs, JPEG block formula for odd), unioned — the
     // engine's single sniffing scan must match both
@@ -6978,6 +7030,26 @@ object SparkEntry {
       "doc_id <> 0 AND pk >= 1995 AS clipped, " +
       "doc_id <> 0 AND n >= 64 AND sa*1000 >= 998000*n AND pk < 1995 " +
       "AS keep FROM t ORDER BY media_id"),
+    // resample replay: truncated 4-block means over the sample formula
+    "x_mm_audioresample" -> ("WITH d AS (SELECT doc_id, doc_id % 9 AS seed, " +
+      "40 + (doc_id % 50)*4 AS n FROM documents WHERE doc_id <> 0), " +
+      "s AS (SELECT d.*, [ ((seed*7919 + i*31 + (i*i) % 101) % 4001) - 2000 " +
+      "for i in range(0, n)] AS sm FROM d), " +
+      "r AS (SELECT doc_id, n, unnest(range(0, n // 4)) AS bi, sm FROM s) " +
+      "SELECT doc_id AS media_id, CAST(bi AS BIGINT) AS sample_idx, " +
+      "CAST(CAST(sm[bi*4+1] + sm[bi*4+2] + sm[bi*4+3] + sm[bi*4+4] " +
+      "AS BIGINT) // 4 AS BIGINT) AS v " +
+      "FROM r ORDER BY media_id, sample_idx"),
+    // savings replay over the same chunk chain: total = every instance,
+    // unique = one copy per distinct (chash, len)
+    "x_cdc_savings" -> ("WITH " + cdcChunkCtes(prefixed = true) + ", " +
+      "inst AS (SELECT chash, CAST(endp - off AS BIGINT) AS len FROM rows) " +
+      "SELECT (SELECT CAST(SUM(len) AS BIGINT) FROM inst) AS total_bytes, " +
+      "(SELECT CAST(SUM(len) AS BIGINT) FROM " +
+      "(SELECT DISTINCT chash, len FROM inst)) AS unique_bytes, " +
+      "(SELECT CAST(((SUM(len) - (SELECT SUM(len) FROM " +
+      "(SELECT DISTINCT chash, len FROM inst))) * 1000000) // SUM(len) " +
+      "AS BIGINT) FROM inst) AS savings_micro"),
     // incremental chunk-duplication replay: per (chash, batch)
     // occurrence counts, prefix-summed over batches — a chunk instance
     // in batch b is duplicated iff total occurrences through b exceed 1

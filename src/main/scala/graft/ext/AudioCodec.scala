@@ -423,6 +423,55 @@ object WavSpectralStats {
       WavSpectralStats(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
 }
 
+/** RESAMPLE: decode + exact box-decimation of a PCM-WAV binary column
+  * by an integer factor — one output sample per FULL block of `factor`
+  * input samples, value = TRUNCATED mean (toward zero — the integer
+  * division BOTH replay engines share; floor-division would diverge
+  * on negative block sums, the x_interp lesson), the partial tail
+  * block dropped. The audio twin of
+  * [[PngResizeGray]]: thumbnail/feature-prep with integers any engine
+  * replays. Undecodable input → NULL (callers coalesce to no rows). */
+case class PcmResample(child: Expression, factor: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(factor >= 1 && factor <= (1 << 16), s"bad factor $factor")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pcm_resample requires binary, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val p = WavKernel.decodePcm(input.asInstanceOf[Array[Byte]])
+    if (p == null) return null
+    val n = p.samples.length / factor
+    val out = new Array[Long](n)
+    var b = 0
+    while (b < n) {
+      var s = 0L
+      var j = 0
+      while (j < factor) { s += p.samples(b * factor + j); j += 1 }
+      out(b) = s / factor // truncation toward zero, shared by both engines
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PcmResample =
+    copy(child = newChild)
+
+  override def prettyName: String = "pcm_resample"
+}
+
+object PcmResample {
+  def apply(c: Column, factor: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      PcmResample(org.apache.spark.sql.graftbridge.Bridge.expression(c),
+        factor))
+}
+
 /** Deterministic BAND-PROFILE WAV fixture ([[WavKernel.toneSample]]'s
   * contract): per-(class, band, window) pseudo-random amplitudes over
   * the [[WavKernel.BandPeriods]] filterbank + a bump-seeded ±20 noise

@@ -268,6 +268,26 @@ object Cdc {
           .as("dup_ratio_micro"))
   }
 
+  /** Corpus-level storage-savings estimate of chunk dedup — the number
+    * a lake team sizes a chunk store with: one row
+    * (total_bytes, unique_bytes, savings_micro) where total counts
+    * every chunk instance, unique one copy per distinct chunk content,
+    * and savings_micro = (total − unique)·10^6 div total (exact
+    * integers). Two aggregations over 8-byte keys; payload bytes never
+    * move. */
+  def dedupSavings(media: DataFrame, maskBits: Int = 8): DataFrame = {
+    val rows = media
+      .select(explode(CdcChunks(col("content"), maskBits)).as("ch"))
+      .select(col("ch.chash").as("chash"), col("ch.len").as("len"))
+    rows.agg(sum(col("len")).as("total_bytes"))
+      .crossJoin(rows.distinct()
+        .agg(sum(col("len")).as("unique_bytes")))
+      .select(col("total_bytes"), col("unique_bytes"),
+        when(col("total_bytes") > 0,
+          expr("(total_bytes - unique_bytes) * 1000000 DIV total_bytes"))
+          .as("savings_micro"))
+  }
+
   /** Document pairs sharing ≥ minShared chunk contents (i < j) with the
     * shared count — the binary-payload overlap detector (inverted index
     * on chunk hash, never all-pairs; hashes seen in ≥ maxDf documents

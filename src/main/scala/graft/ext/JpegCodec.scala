@@ -592,8 +592,8 @@ object JpegGrayStats {
 /** Container-sniffing gray-content stats — crawl image columns are
   * MIXED (PNG and JPEG interleaved row by row), and a per-format
   * pipeline would scan the corpus once per container. This expression
-  * sniffs the magic bytes (\x89PNG / \xFFD8 / GIF8) and routes each
-  * row to the matching kernel, emitting the SAME stat/hash struct
+  * sniffs the magic bytes (\x89PNG / \xFFD8 / GIF8 / BM) and routes
+  * each row to the matching kernel, emitting the SAME stat/hash struct
   * — one scan, one fingerprint space, so near-dup detection catches a
   * PNG and a JPEG of the same picture in the same Hamming ball (both
   * hashes threshold the same 8×8 luma cell grid; lossy-compression
@@ -637,6 +637,8 @@ case class ImageGrayStats(child: Expression)
       else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
         bytes(3) == '8')
         GifKernel.decodeGrayFirstFrame(bytes)
+      else if (bytes(0) == 'B' && bytes(1) == 'M')
+        BmpKernel.decodeGray(bytes)
       else null
     if (g == null)
       return InternalRow(false, null, null, null, null, null, null,

@@ -525,6 +525,21 @@ object Multimodal {
   def gifContentStats(media: DataFrame): DataFrame =
     statsOf(media.withColumn("__s", GifGrayStats(col("content"))))
 
+  /** Uncompressed 24-bit BMP corpus with the SAME pixel contract as
+    * [[syntheticGrayPngCorpus]] (gray written as R=G=B, so the BT.601
+    * luma is exactly the pixel) — one oracle chain replays all three
+    * lossless containers. */
+  def syntheticGrayBmpCorpus(df: DataFrame, idCol: String, seed: Column,
+      w: Column, h: Column, bump: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      GrayBmpEncode(seed.cast("long"), w.cast("long"), h.cast("long"),
+        lit(11L), lit(5L), bump.cast("long")).as("content"))
+
+  /** [[imageContentStats]] for BMP content ([[BmpGrayStats]] header
+    * walk + BGR luma) — same 14-column shape, same hash space. */
+  def bmpContentStats(media: DataFrame): DataFrame =
+    statsOf(media.withColumn("__s", BmpGrayStats(col("content"))))
+
   /** Decode PNG content to per-image pixel statistics + perceptual
     * hashes — ONE [[PngGrayStats]] evaluation per row, flattened. The
     * full 64-bit fingerprints are rebuilt from the hi/lo halves for
@@ -629,6 +644,18 @@ object Multimodal {
         col("__s.zero_cross").as("zero_cross"),
         col("__s.fp_hi").as("fp_hi"), col("__s.fp_lo").as("fp_lo"),
         shiftleft(col("__s.fp_hi"), 32).bitwiseOR(col("__s.fp_lo")).as("fp"))
+
+  /** RESAMPLE (audio): decode + exact box-decimation by an integer
+    * factor in one native pass ([[PcmResample]]), one output row per
+    * resampled sample (media_id, sample_idx, v) — the downsampling /
+    * feature-prep step, truncated-mean integers any engine replays.
+    * Undecodable clips contribute zero rows. */
+  def audioResample(media: DataFrame, factor: Int): DataFrame =
+    media.select(col("media_id"),
+        posexplode(coalesce(PcmResample(col("content"), factor),
+          array().cast("array<bigint>"))))
+      .select(col("media_id"), col("pos").cast("long").as("sample_idx"),
+        col("col").as("v"))
 
   /** Content-derived audio quality screen over [[audioContentStats]]
     * output — the sample-level flags a crawl pipeline drops on:
