@@ -76,6 +76,15 @@ class ImageIngestSpec extends SparkTestBase {
     ImageIngest.ingestBatch(gifs, "media_id", "content", wh, "f", idx, 1L)
     assert(wh.read("f").get.select("media_id").as[Long].collect().toSet ==
       Set(1L, 21L)) // 20 dropped against the PNG's fingerprint
+    // batch 2: the same picture AGAIN as an uncompressed BMP — the
+    // fourth container, same fingerprint space, dropped too
+    val bmps = Multimodal.syntheticGrayBmpCorpus(
+        Seq((30L, 5L, 2L), (31L, 19L, 0L)).toDF("doc_id", "s", "b"),
+        "doc_id", col("s"), lit(16), lit(16), col("b"))
+      .withColumn("year", lit(2020L))
+    ImageIngest.ingestBatch(bmps, "media_id", "content", wh, "f", idx, 2L)
+    assert(wh.read("f").get.select("media_id").as[Long].collect().toSet ==
+      Set(1L, 21L, 31L)) // 30 dropped against the PNG's fingerprint
   }
 
   test("probe plan: stored band keys are joined, never re-derived — no " +
