@@ -3720,6 +3720,25 @@ object SparkEntry {
         minSamples = 64L, minMeanAbsMilli = 998000L, clipFloor = 1995L)
         .orderBy(col("media_id"))
     }),
+    // TRIM-SILENCE verb: planted zero-padding around a live body (all
+    // segment lengths multiples of the 64-sample window), doc 1 is
+    // all-silent (lead eats everything, kept 0), doc 0 undecodable
+    "x_mm_audiotrim" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = docs.select(col("doc_id").as("media_id"),
+        graft.ext.PaddedWavEncode(col("doc_id") % 9,
+          (col("doc_id") % 4) * 64,
+          when(col("doc_id") === 1, 0)
+            .otherwise(lit(256) + (col("doc_id") % 3) * 64),
+          (col("doc_id") % 5) * 64, lit(8000)).as("content"))
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00000000', substring(content, 5))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.audioTrimBounds(dirty, windowSamples = 64,
+        minMeanAbsMilli = 300000L)
+        .orderBy(col("media_id"))
+    }),
     // RESAMPLE verb (audio): decode + exact box-decimation by 4, one
     // row per output sample — truncated block means (the integer
     // division both engines share); the corrupted row contributes
@@ -7030,6 +7049,35 @@ object SparkEntry {
       "doc_id <> 0 AND pk >= 1995 AS clipped, " +
       "doc_id <> 0 AND n >= 64 AND sa*1000 >= 998000*n AND pk < 1995 " +
       "AS keep FROM t ORDER BY media_id"),
+    // trim replay: per-window silence flags by comprehension, the
+    // leading/trailing 1-runs via list_position over the flag list
+    // (and its reverse), tail capped at the windows the lead left
+    "x_mm_audiotrim" -> ("WITH d AS (SELECT doc_id, doc_id % 9 AS seed, " +
+      "(doc_id % 4)*64 AS nl, CASE WHEN doc_id = 1 THEN 0 " +
+      "ELSE 256 + (doc_id % 3)*64 END AS nb, (doc_id % 5)*64 AS nt " +
+      "FROM documents), " +
+      "s AS (SELECT d.*, nl + nb + nt AS n, [ CASE WHEN i < nl OR " +
+      "i >= nl + nb THEN 0 ELSE (CASE WHEN (i-nl) % 2 = 0 THEN 1 " +
+      "ELSE -1 END) * (500 + (seed*7919 + (i-nl)*31 + " +
+      "((i-nl)*(i-nl)) % 101) % 1500) END " +
+      "for i in range(0, nl + nb + nt) ] AS sm FROM d), " +
+      "w AS (SELECT s.*, [ CASE WHEN CAST(list_sum([abs(sm[k*64 + j + 1]) " +
+      "for j in range(0, 64)]) AS BIGINT)*1000 < 300000*64 THEN 1 ELSE 0 " +
+      "END for k in range(0, n // 64) ] AS sil FROM s), " +
+      // list_position returns 0 (not NULL) for not-found in DuckDB 1.0
+      // — NULLIF folds both conventions into the all-silent fallback
+      "t AS (SELECT doc_id, n, len(sil) AS nw, " +
+      "COALESCE(NULLIF(list_position(sil, 0), 0) - 1, len(sil)) AS lw, " +
+      "COALESCE(NULLIF(list_position(list_reverse(sil), 0), 0) - 1, " +
+      "len(sil)) AS tw0 FROM w) " +
+      "SELECT doc_id AS media_id, doc_id <> 0 AS ok, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(n AS BIGINT) END AS n_samples, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(lw*64 AS BIGINT) END AS lead_trim, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(least(tw0, nw - lw)*64 AS BIGINT) " +
+      "END AS tail_trim, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(n - lw*64 - " +
+      "least(tw0, nw - lw)*64 AS BIGINT) END AS kept " +
+      "FROM t ORDER BY media_id"),
     // resample replay: truncated 4-block means over the sample formula
     "x_mm_audioresample" -> ("WITH d AS (SELECT doc_id, doc_id % 9 AS seed, " +
       "40 + (doc_id % 50)*4 AS n FROM documents WHERE doc_id <> 0), " +

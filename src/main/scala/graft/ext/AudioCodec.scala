@@ -472,6 +472,143 @@ object PcmResample {
         factor))
 }
 
+/** TRIM-SILENCE bounds of a PCM-WAV binary column: leading/trailing
+  * runs of FULL `windowSamples`-sample windows whose mean |sample|
+  * sits under `minMeanAbsMilli`/1000 (exact integer
+  * cross-multiplication: sum_abs·1000 < thr·W) are marked for
+  * trimming — the head/tail dead air a recording pipeline drops
+  * before feature extraction. Output struct
+  * (ok, n_samples, lead_trim, tail_trim, kept): trims are multiples
+  * of the window, kept = n − lead − tail (never negative — an
+  * all-silent clip trims everything from the lead side first).
+  * Undecodable → ok=false, nulls. One pass, zero shuffle, every
+  * operand replayable by SQL comprehension. */
+case class PcmTrimBounds(child: Expression, windowSamples: Int,
+    minMeanAbsMilli: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(windowSamples >= 1 && windowSamples <= (1 << 20),
+    s"bad window $windowSamples")
+  require(minMeanAbsMilli >= 0, s"bad threshold $minMeanAbsMilli")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("ok", BooleanType, nullable = false),
+    StructField("n_samples", LongType),
+    StructField("lead_trim", LongType),
+    StructField("tail_trim", LongType),
+    StructField("kept", LongType)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pcm_trim_bounds requires binary, got $other")
+  }
+
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val bytes = child.eval(input) match {
+      case null => null
+      case b => b.asInstanceOf[Array[Byte]]
+    }
+    val p = WavKernel.decodePcm(bytes)
+    if (p == null) return InternalRow(false, null, null, null, null)
+    val n = p.samples.length
+    val w = windowSamples
+    val nw = n / w
+    def windowSilent(k: Int): Boolean = {
+      var s = 0L
+      var j = k * w
+      val end = j + w
+      while (j < end) { s += math.abs(p.samples(j).toLong); j += 1 }
+      s * 1000 < minMeanAbsMilli * w
+    }
+    var lead = 0
+    while (lead < nw && windowSilent(lead)) lead += 1
+    var tail = 0
+    while (tail < nw - lead && windowSilent(nw - 1 - tail)) tail += 1
+    val leadS = lead.toLong * w
+    val tailS = tail.toLong * w
+    InternalRow(true, n.toLong, leadS, tailS, n.toLong - leadS - tailS)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PcmTrimBounds = copy(child = newChild)
+
+  override def prettyName: String = "pcm_trim_bounds"
+}
+
+object PcmTrimBounds {
+  def apply(c: Column, windowSamples: Int, minMeanAbsMilli: Long): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      PcmTrimBounds(org.apache.spark.sql.graftbridge.Bridge.expression(c),
+        windowSamples, minMeanAbsMilli))
+}
+
+/** Silence-padded PCM fixture: `nLead` zero samples, an `nBody`-sample
+  * ALTERNATING-SIGN body
+  *   v(j) = (−1)^j · (500 + (seed·7919 + j·31 + (j·j mod 101)) mod 1500)
+  * — |v| ∈ [500, 2000) at EVERY sample, so every body window clears
+  * any silence floor under 500 by construction (the first cut reused
+  * [[PcmWavEncode]]'s slow ramp mod 4001, whose 64-sample windows can
+  * sit entirely near zero — a "live" body window then judges silent
+  * and the planted-trim semantics dissolve) — then `nTail` zeros.
+  * The planted head/tail dead air [[PcmTrimBounds]] is gated on. */
+case class PaddedWavEncode(seed: Expression, nLead: Expression,
+    nBody: Expression, nTail: Expression, sampleRate: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] =
+    Seq(seed, nLead, nBody, nTail, sampleRate)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(c => c.dataType == LongType || c.dataType == IntegerType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "padded_wav_encode requires integer children")
+
+  private def longOf(e: Expression, input: InternalRow): java.lang.Long =
+    e.eval(input) match {
+      case null => null
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long => l
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(c => longOf(c, input))
+    if (vs.exists(_ == null)) return null
+    val Seq(s, nl, nb, nt, sr) = vs.map(_.longValue())
+    if (nl < 0 || nb < 0 || nt < 0 || nl + nb + nt > (1L << 22) || sr <= 0)
+      return null
+    val n = (nl + nb + nt).toInt
+    WavKernel.encodePcm16Mono(n, sr.toInt, i =>
+      if (i < nl || i >= nl + nb) 0
+      else {
+        val j = i - nl.toInt
+        val mag = 500 + Math.floorMod(
+          s * 7919 + j.toLong * 31 + (j.toLong * j % 101), 1500L).toInt
+        if (j % 2 == 0) mag else -mag
+      })
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PaddedWavEncode =
+    PaddedWavEncode(newChildren(0), newChildren(1), newChildren(2),
+      newChildren(3), newChildren(4))
+
+  override def prettyName: String = "padded_wav_encode"
+}
+
+object PaddedWavEncode {
+  def apply(seed: Column, nLead: Column, nBody: Column, nTail: Column,
+      sampleRate: Column): Column = {
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    b.column(PaddedWavEncode(b.expression(seed), b.expression(nLead),
+      b.expression(nBody), b.expression(nTail), b.expression(sampleRate)))
+  }
+}
+
 /** Deterministic BAND-PROFILE WAV fixture ([[WavKernel.toneSample]]'s
   * contract): per-(class, band, window) pseudo-random amplitudes over
   * the [[WavKernel.BandPeriods]] filterbank + a bump-seeded ±20 noise

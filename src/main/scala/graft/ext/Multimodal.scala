@@ -657,6 +657,20 @@ object Multimodal {
       .select(col("media_id"), col("pos").cast("long").as("sample_idx"),
         col("col").as("v"))
 
+  /** TRIM-SILENCE bounds per clip ([[PcmTrimBounds]]): how much
+    * leading/trailing dead air (full windows under the mean-|sample|
+    * floor) a pipeline should cut before feature extraction —
+    * (media_id, ok, n_samples, lead_trim, tail_trim, kept), exact
+    * integers, zero shuffle. */
+  def audioTrimBounds(media: DataFrame, windowSamples: Int = 64,
+      minMeanAbsMilli: Long = 50000L): DataFrame =
+    media.withColumn("__s",
+        PcmTrimBounds(col("content"), windowSamples, minMeanAbsMilli))
+      .select(col("media_id"), col("__s.ok").as("ok"),
+        col("__s.n_samples").as("n_samples"),
+        col("__s.lead_trim").as("lead_trim"),
+        col("__s.tail_trim").as("tail_trim"), col("__s.kept").as("kept"))
+
   /** Content-derived audio quality screen over [[audioContentStats]]
     * output — the sample-level flags a crawl pipeline drops on:
     * undecodable bytes, clips under a sample floor, near-silence

@@ -98,6 +98,24 @@ class AudioSpectralSpec extends SparkTestBase {
     }
   }
 
+  test("audioTrimBounds: planted padding trims exactly, all-silent " +
+      "clips trim from the lead, live clips keep everything") {
+    val media = Seq(
+      (1L, 2L, 128L, 256L, 64L), // 2 lead windows, live body, 1 tail
+      (2L, 3L, 64L, 0L, 128L),   // all silent
+      (3L, 4L, 0L, 320L, 0L))    // no padding
+      .toDF("doc_id", "s", "nl", "nb", "nt")
+      .select(col("doc_id").as("media_id"),
+        PaddedWavEncode(col("s"), col("nl"), col("nb"), col("nt"),
+          lit(8000)).as("content"))
+    val got = Multimodal.audioTrimBounds(media, 64, 300000L)
+      .orderBy("media_id")
+      .as[(Long, Boolean, Long, Long, Long, Long)].collect()
+    assert(got(0) == ((1L, true, 448L, 128L, 64L, 256L)))
+    assert(got(1) == ((2L, true, 192L, 192L, 0L, 0L)))
+    assert(got(2) == ((3L, true, 320L, 0L, 0L, 320L)))
+  }
+
   test("audioNearDupPairs == brute-force pairs (banding recall) and " +
       "joins exactly the same-class bumps on the fixture") {
     val rows = for (c <- 0L until 10L; b <- 0L until 3L)
