@@ -154,6 +154,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("avi_frame_stats"),
+      new ExpressionInfo(classOf[graft.ext.AviFrameStats].getName,
+        "avi_frame_stats"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.ext.AviFrameStats(c, 512)
+        case Seq(c, m) => graft.ext.AviFrameStats(c, intArg(m, "maxFrames"))
+        case _ => throw new IllegalArgumentException(
+          "avi_frame_stats(binary[, maxFrames])")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("avi_mjpeg_encode"),
+      new ExpressionInfo(classOf[graft.ext.AviMjpegEncode].getName,
+        "avi_mjpeg_encode"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, n, w, h) => graft.ext.AviMjpegEncode(s, n, w, h)
+        case _ => throw new IllegalArgumentException(
+          "avi_mjpeg_encode(seed, nFrames, wBlocks, hBlocks)")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("gray_png_encode"),
       new ExpressionInfo(classOf[graft.ext.GrayPngEncode].getName,
         "gray_png_encode"),

@@ -3613,6 +3613,24 @@ object SparkEntry {
         .drop("fp")
         .orderBy(col("media_id"))
     }),
+    // G.711 telephony leg: REAL A-law/mu-law WAVs (format tag 6/7,
+    // 8-bit mono) expanded to 16-bit linear by the exact ITU integer
+    // formulas — every stat and fingerprint below is over the EXPANDED
+    // samples, which the oracle re-derives byte by byte; doc 0's
+    // zeroed RIFF degrades to ok=false
+    "x_mm_g711" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticG711Corpus(docs, "doc_id",
+        col("doc_id") % 9, lit(80) + (col("doc_id") % 40) * 4,
+        lit(6) + col("doc_id") % 2)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00000000', substring(content, 5))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.audioContentStats(dirty)
+        .drop("fp")
+        .orderBy(col("media_id"))
+    }),
     // SPECTRAL audio fingerprint: 8 windows x 8 square-wave bands over
     // REAL decoded PCM, mean-thresholded — the class-discriminating
     // hash the energy contour is not; doc 0's zeroed RIFF degrades,
@@ -3912,6 +3930,44 @@ object SparkEntry {
           .otherwise(col("content")))
       graft.ext.Multimodal.videoSampleStats(dirty)
         .orderBy(col("media_id"), col("sample_idx"))
+    }),
+    // VIDEO PIXEL content leg: MJPEG frames sliced out of a REAL RIFF
+    // movi walk, each payload Huffman+IDCT-decoded by the T.81 path —
+    // per-frame stats + perceptual hashes land on the integers the
+    // oracle re-derives from the per-frame block contract (seed + f);
+    // doc 0's broken RIFF magic contributes ZERO rows, never a throw
+    "x_mm_video_pixels" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").filter(col("doc_id") < 120)
+      val media = graft.ext.Multimodal.syntheticMjpegAviCorpus(docs,
+        "doc_id", col("doc_id") % 23, lit(1) + col("doc_id") % 4,
+        lit(8), lit(8))
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00', substring(content, 2))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.videoFrameContentStats(dirty)
+        .drop("n_bytes", "ahash", "dhash")
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+    // VIDEO-to-IMAGE cross-modal near-dup: AVI frames and standalone
+    // JPEG stills hash into ONE fingerprint space — a video frame and a
+    // crawled thumbnail of the same picture pair at Hamming 0 through
+    // the same banded join that dedups still images
+    "x_mm_video_dup" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").filter(col("doc_id") < 60)
+      val frames = graft.ext.Multimodal.videoFrameContentStats(
+        graft.ext.Multimodal.syntheticMjpegAviCorpus(docs, "doc_id",
+          col("doc_id") % 20, lit(2), lit(8), lit(8)))
+        .select((lit(200000L) + col("media_id") * 10 + col("frame_idx"))
+          .as("id"), col("ahash"))
+      val stills = graft.ext.Multimodal.jpegContentStats(
+        graft.ext.Multimodal.syntheticBlockJpegCorpus(docs, "doc_id",
+          col("doc_id") % 20, lit(8), lit(8)))
+        .select((lit(100000L) + col("media_id")).as("id"), col("ahash"))
+      graft.ext.Hamming64.pairs(
+        frames.unionByName(stills).filter(col("ahash").isNotNull),
+        "id", "ahash", maxHamming = 4)
+        .orderBy(col("i"), col("j"))
     }),
     // pixel-level quality screen: undecodable / too-small / extreme-aspect
     // / near-blank flags from DECODED content (variance replayed exactly)
@@ -6984,6 +7040,44 @@ object SparkEntry {
       "CASE WHEN doc_id <> 0 AND n >= 64 THEN " +
       fpHalf("k > 0 AND ew[k+1] > ew[k]", lo = true) + " END AS fp_lo " +
       "FROM e ORDER BY media_id"),
+    // G.711 replay: byte formula -> exact ITU expansion (mu-law:
+    // complement, mantissa*8+132, segment shift, un-bias; A-law: xor
+    // 0x55, per-segment linearization, INVERTED sign convention) ->
+    // the standard stats + energy-contour fingerprint over the
+    // EXPANDED samples — the engine must run the real G.711 math
+    "x_mm_g711" -> ("WITH d AS (SELECT doc_id, doc_id % 9 AS seed, " +
+      "80 + (doc_id % 40)*4 AS n, 6 + doc_id % 2 AS law FROM documents), " +
+      "b AS (SELECT d.*, [ (seed*37 + j*11 + (j*j) % 97) % 256 " +
+      "for j in range(0, n)] AS bl FROM d), " +
+      "u AS (SELECT doc_id, law, n, unnest(bl) AS u0, " +
+      "unnest(range(0, n)) AS j FROM b), " +
+      "x AS (SELECT doc_id, law, n, j, CASE WHEN law = 7 THEN 255 - u0 " +
+      "ELSE xor(CAST(u0 AS BIGINT), 85) END AS a FROM u), " +
+      "v AS (SELECT doc_id, n, j, CASE WHEN law = 7 THEN " +
+      "(CASE WHEN a >= 128 THEN 132 - t7 ELSE t7 - 132 END) " +
+      "ELSE (CASE WHEN a >= 128 THEN t6 ELSE -t6 END) END AS s " +
+      "FROM (SELECT *, ((a % 16)*8 + 132) * (1::BIGINT << ((a // 16) % 8)) AS t7, " +
+      "CASE WHEN (a // 16) % 8 = 0 THEN (a % 16)*16 + 8 " +
+      "WHEN (a // 16) % 8 = 1 THEN (a % 16)*16 + 264 " +
+      "ELSE ((a % 16)*16 + 264) * (1::BIGINT << (((a // 16) % 8) - 1)) END AS t6 " +
+      "FROM x)), " +
+      "sl AS (SELECT doc_id, n, list(s ORDER BY j) AS sm FROM v GROUP BY doc_id, n), " +
+      "e AS (SELECT sl.*, [ CAST(list_sum([abs(sm[i+1]) " +
+      "for i in range((k*n)//64, ((k+1)*n)//64)]) AS BIGINT) " +
+      "for k in range(0, 64)] AS ew FROM sl) " +
+      "SELECT doc_id AS media_id, doc_id <> 0 AS ok, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(1 AS BIGINT) END AS channels, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(8000 AS BIGINT) END AS sample_rate, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(n AS BIGINT) END AS n_samples, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(list_sum([abs(v) for v in sm]) AS BIGINT) END AS sum_abs, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(list_max([abs(v) for v in sm]) AS BIGINT) END AS peak_abs, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(list_sum([CASE WHEN (sm[i] < 0) <> (sm[i+1] < 0) " +
+      "THEN 1 ELSE 0 END for i in range(1, n)]) AS BIGINT) END AS zero_cross, " +
+      "CASE WHEN doc_id <> 0 AND n >= 64 THEN " +
+      fpHalf("ew[k+1] > ew[k]", lo = false) + " END AS fp_hi, " +
+      "CASE WHEN doc_id <> 0 AND n >= 64 THEN " +
+      fpHalf("k > 0 AND ew[k+1] > ew[k]", lo = true) + " END AS fp_lo " +
+      "FROM e ORDER BY media_id"),
     // full spectral replay: cubic-mixed band amplitudes, window-local
     // square waves, quadrature-max band energies, mean-threshold bits —
     // the engine must run the real PCM decode + filterbank to land here
@@ -7193,6 +7287,49 @@ object SparkEntry {
       "CAST(list_sum([ (seed + i*31 + j*11) % 256 " +
       "for j in range(0, sz)]) AS BIGINT) AS byte_sum " +
       "FROM o ORDER BY media_id, sample_idx"),
+    // per-frame MJPEG pixel replay: each (video, frame) pair rides the
+    // JPEG block chain with seed = seed0 + f, encoded as a synthetic
+    // doc_id = doc·10 + f (nf <= 4 < 10) so the shared hash CTEs apply
+    // unchanged; the engine must walk a real RIFF AND run real
+    // Huffman+IDCT per frame to land on these integers
+    "x_mm_video_pixels" -> ("WITH d0 AS (SELECT doc_id, " +
+      "doc_id % 23 AS seed0, 1 + doc_id % 4 AS nf FROM documents " +
+      "WHERE doc_id < 120 AND doc_id <> 0), " +
+      "d1 AS (SELECT doc_id, seed0, unnest(range(0, nf)) AS f FROM d0), " +
+      "d AS (SELECT doc_id*10 + f AS doc_id, seed0 + f AS seed, " +
+      "64 AS w, 64 AS h FROM d1), " +
+      s"px AS (SELECT d.*, flatten([[ $jpegPixelExpr " +
+      "for x in range(0, w)] for y in range(0, h)]) AS p FROM d)" +
+      hashCtesFromPx + ", " +
+      "st AS (SELECT hh.*, CAST(len(p) AS BIGINT) AS n, " +
+      "CAST(list_sum(p) AS BIGINT) AS sl, " +
+      "CAST(list_sum([v*v for v in p]) AS BIGINT) AS sq FROM hh) " +
+      "SELECT doc_id // 10 AS media_id, doc_id % 10 AS frame_idx, " +
+      "TRUE AS f_ok, CAST(w AS BIGINT) AS width, " +
+      "CAST(h AS BIGINT) AS height, n AS n_px, sl AS sum_luma, " +
+      "sl*1000 // n AS mean_milli, " +
+      "(n*sq - sl*sl)*1000 // (n*n) AS var_milli, " +
+      "ahash_hi, ahash_lo, dhash_hi, dhash_lo " +
+      "FROM st ORDER BY media_id, frame_idx"),
+    // cross-modal pair oracle: video-frame hashes and still-image
+    // hashes replayed through ONE chain (identical block contract),
+    // then the exact O(n^2) Hamming join the banded engine must match
+    "x_mm_video_dup" -> ("WITH d0 AS (SELECT doc_id, " +
+      "doc_id % 20 AS seed0 FROM documents WHERE doc_id < 60), " +
+      "dv0 AS (SELECT doc_id, seed0, unnest([0, 1]) AS f FROM d0), " +
+      "d AS (SELECT 200000 + doc_id*10 + f AS doc_id, " +
+      "seed0 + f AS seed, 64 AS w, 64 AS h FROM dv0 " +
+      "UNION ALL SELECT 100000 + doc_id, seed0, 64, 64 FROM d0), " +
+      s"px AS (SELECT d.*, flatten([[ $jpegPixelExpr " +
+      "for x in range(0, w)] for y in range(0, h)]) AS p FROM d)" +
+      hashCtesFromPx + " " +
+      "SELECT a.doc_id AS i, b.doc_id AS j, " +
+      "CAST(bit_count(xor(a.ahash_hi, b.ahash_hi)) + " +
+      "bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT) AS hamming " +
+      "FROM hh a JOIN hh b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.ahash_hi, b.ahash_hi)) + " +
+      "bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 4 " +
+      "ORDER BY i, j"),
     // flags replayed from the pixel formula, incl. exact integer variance
     "x_mm_imgquality" -> ("WITH " +
       pngPixelCtes("doc_id % 7", "6 + (doc_id % 3)*15", "8 + doc_id % 5",
@@ -8101,11 +8238,17 @@ object SparkEntry {
     * encode round-trips exactly, so decoded pixels ARE the formula):
     * every pixel of 8×8 block (bx, by) is
     * (((bx·7+by·11+seed·131)² mod 251) + bx + by·3 + seed) mod 256. */
+  /** The block-flat JPEG pixel formula over (seed, x, y) — shared by
+    * the still-image chains and the per-frame MJPEG chains (the AVI
+    * fixture plants the same contract with seed = seed0 + frame). */
+  private val jpegPixelExpr: String = {
+    val t = "((x//8)*7 + (y//8)*11 + seed*131)"
+    s"((($t % 251) * ($t % 251)) % 251 + (x//8) + (y//8)*3 + seed) % 256"
+  }
+
   private def jpegPixelCtes(seedSql: String, wBlocks: Int,
       hBlocks: Int, whereSql: String): String = {
-    val t = "((x//8)*7 + (y//8)*11 + seed*131)"
-    val pixel = s"((($t % 251) * ($t % 251)) % 251 + (x//8) + (y//8)*3 " +
-      "+ seed) % 256"
+    val pixel = jpegPixelExpr
     s"d AS (SELECT doc_id, $seedSql AS seed, ${wBlocks * 8} AS w, " +
       s"${hBlocks * 8} AS h FROM documents WHERE $whereSql), " +
       s"px AS (SELECT d.*, flatten([[ $pixel for x in range(0, w)] " +

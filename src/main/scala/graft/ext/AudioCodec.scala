@@ -29,17 +29,47 @@ private[ext] object WavKernel {
   private def le4(b: Array[Byte], i: Int): Long =
     (le2(b, i).toLong | (le2(b, i + 2).toLong << 16)) & 0xFFFFFFFFL
 
-  /** Decode a PCM WAV's samples. Null on anything unsupported/malformed:
-    * bad RIFF/WAVE magic, non-PCM format tag, bits-per-sample other than
-    * 16, truncated chunks. Multi-channel input is reduced to mono by the
-    * exact per-frame integer mean (floor toward negative infinity —
-    * `Math.floorDiv` — so the arithmetic is sign-stable and replayable). */
+  /** ITU-T G.711 μ-law expansion, exact integer form (the public-domain
+    * Sun g711.c contract): complement, mantissa·8 + bias 0x84, shift by
+    * the segment, un-bias with the sign. Replayable in SQL as
+    * `u = 255 - u0; t = ((u%16)·8 + 132) · 2^((u//16)%8);
+    *  s = u ≥ 128 ? 132 − t : t − 132`. */
+  def ulawExpand(u0: Int): Int = {
+    val u = (~u0) & 0xFF
+    val t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law expansion, exact integer form: xor 0x55, then
+    * segment 0 → m·16+8, segment 1 → m·16+264, segment k≥2 →
+    * (m·16+264)·2^(k−1); bit 7 SET means nonnegative (A-law's sign
+    * convention is inverted vs μ-law). */
+  def alawExpand(a0: Int): Int = {
+    val a = a0 ^ 0x55
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0F) << 4
+    if (seg == 0) t += 8
+    else if (seg == 1) t += 0x108
+    else t = (t + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Decode a WAV's samples: linear PCM (format tag 1, 16-bit) or the
+    * G.711 telephony codings (tag 6 A-law / tag 7 μ-law, 8-bit —
+    * expanded to 16-bit linear by the exact integer formulas above, so
+    * call-center corpora ride the same stats/fingerprint machinery).
+    * Null on anything else malformed: bad RIFF/WAVE magic, other format
+    * tags, mismatched bits-per-sample, truncated chunks. Multi-channel
+    * input is reduced to mono by the exact per-frame integer mean
+    * (floor toward negative infinity — `Math.floorDiv` — so the
+    * arithmetic is sign-stable and replayable). */
   def decodePcm(wav: Array[Byte]): Pcm = {
     if (wav == null || wav.length < 12) return null
     if (!(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F' &&
       wav(8) == 'W' && wav(9) == 'A' && wav(10) == 'V' && wav(11) == 'E'))
       return null
     var pos = 12
+    var fmtTag = -1
     var channels = -1; var sampleRate = -1; var bits = -1
     var dataOff = -1; var dataLen = -1
     while (pos + 8 <= wav.length && (channels < 0 || dataOff < 0)) {
@@ -49,8 +79,7 @@ private[ext] object WavKernel {
       id match {
         case "fmt " =>
           if (len < 16) return null
-          val fmtTag = le2(wav, pos + 8)
-          if (fmtTag != 1) return null // PCM only
+          fmtTag = le2(wav, pos + 8)
           channels = le2(wav, pos + 10)
           sampleRate = le4(wav, pos + 12).toInt
           bits = le2(wav, pos + 22)
@@ -60,16 +89,27 @@ private[ext] object WavKernel {
       }
       pos += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
     }
-    if (channels < 1 || dataOff < 0 || bits != 16) return null
-    val frameBytes = channels * 2
+    if (channels < 1 || dataOff < 0) return null
+    val bytesPerSample = fmtTag match {
+      case 1 if bits == 16 => 2
+      case 6 | 7 if bits == 8 => 1 // G.711 A-law / mu-law
+      case _ => return null
+    }
+    val frameBytes = channels * bytesPerSample
     val nFrames = dataLen / frameBytes
     val samples = new Array[Int](nFrames)
     var f = 0
     while (f < nFrames) {
       var acc = 0L; var c = 0
       while (c < channels) {
-        val v = le2(wav, dataOff + f * frameBytes + c * 2)
-        acc += (if (v >= 0x8000) v - 0x10000 else v) // sign-extend int16
+        val off = dataOff + f * frameBytes + c * bytesPerSample
+        acc += (fmtTag match {
+          case 1 =>
+            val v = le2(wav, off)
+            if (v >= 0x8000) v - 0x10000 else v // sign-extend int16
+          case 6 => alawExpand(u8(wav, off))
+          case _ => ulawExpand(u8(wav, off))
+        })
         c += 1
       }
       samples(f) = Math.floorDiv(acc, channels).toInt
@@ -251,6 +291,34 @@ private[ext] object WavKernel {
     }
     out
   }
+
+  /** Encode a REAL G.711 WAV: mono 8-bit, format tag 6 (A-law) or 7
+    * (μ-law), byte j of the payload supplied by `byteAt` — the
+    * telephony twin of [[encodePcm16Mono]] (same RIFF layout, 1-byte
+    * frames, byteRate == sampleRate). */
+  def encodeG711Mono(nSamples: Int, sampleRate: Int, law: Int,
+      byteAt: Int => Int): Array[Byte] = {
+    require(nSamples >= 0 && sampleRate > 0 && (law == 6 || law == 7),
+      s"bad $nSamples @$sampleRate law=$law")
+    val out = new Array[Byte](44 + nSamples)
+    def ascii(o: Int, s: String): Unit = {
+      var i = 0; while (i < s.length) { out(o + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def w2(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def w4(o: Int, v: Long): Unit = {
+      w2(o, (v & 0xFFFF).toInt); w2(o + 2, ((v >> 16) & 0xFFFF).toInt)
+    }
+    ascii(0, "RIFF"); w4(4, 36L + nSamples); ascii(8, "WAVE")
+    ascii(12, "fmt "); w4(16, 16L); w2(20, law); w2(22, 1)
+    w4(24, sampleRate.toLong); w4(28, sampleRate.toLong)
+    w2(32, 1); w2(34, 8)
+    ascii(36, "data"); w4(40, nSamples.toLong)
+    var i = 0
+    while (i < nSamples) { out(44 + i) = (byteAt(i) & 0xFF).toByte; i += 1 }
+    out
+  }
 }
 
 /** Content statistics from a PCM-WAV binary column: ok flag, layout,
@@ -370,6 +438,58 @@ object PcmWavEncode {
     val b = org.apache.spark.sql.graftbridge.Bridge
     b.column(PcmWavEncode(b.expression(seed), b.expression(nSamples),
       b.expression(sampleRate)))
+  }
+}
+
+/** Deterministic G.711 WAV fixture generator (distributed): a REAL
+  * telephony WAV (format tag `law`: 6 A-law / 7 μ-law, 8-bit mono at
+  * 8 kHz) whose payload byte j is the documented formula
+  *   b(j) = (seed·37 + j·11 + (j·j) mod 97) mod 256
+  * so an oracle replays decode = expand(b(j)) sample-for-sample. */
+case class G711WavEncode(seed: Expression, nSamples: Expression,
+    law: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(seed, nSamples, law)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(c => c.dataType == LongType || c.dataType == IntegerType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "g711_wav_encode requires integer children")
+
+  private def longOf(e: Expression, input: InternalRow): java.lang.Long =
+    e.eval(input) match {
+      case null => null
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long => l
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val s = longOf(seed, input); val n = longOf(nSamples, input)
+    val l = longOf(law, input)
+    if (s == null || n == null || l == null) return null
+    if (n < 0 || n > (1L << 22) || (l != 6L && l != 7L)) return null
+    val sv = s.longValue()
+    WavKernel.encodeG711Mono(n.intValue(), 8000, l.intValue(),
+      j => ((sv * 37 + j.toLong * 11 + (j.toLong * j % 97)) % 256).toInt)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): G711WavEncode =
+    G711WavEncode(newChildren(0), newChildren(1), newChildren(2))
+
+  override def prettyName: String = "g711_wav_encode"
+}
+
+object G711WavEncode {
+  def apply(seed: Column, nSamples: Column, law: Column): Column = {
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    b.column(G711WavEncode(b.expression(seed), b.expression(nSamples),
+      b.expression(law)))
   }
 }
 

@@ -728,6 +728,50 @@ object Multimodal {
         col("__e.first_byte").as("first_byte"),
         col("__e.byte_sum").as("byte_sum"))
 
+  /** Synthesize a REAL G.711 telephony WAV corpus ([[G711WavEncode]]:
+    * format tag 6 A-law / 7 μ-law per row, 8-bit mono at 8 kHz,
+    * documented payload-byte formula) — expanded to 16-bit linear by
+    * the exact integer G.711 formulas on decode, so call-center audio
+    * rides the same stats/fingerprint machinery as studio PCM. */
+  def syntheticG711Corpus(df: DataFrame, idCol: String, seed: Column,
+      nSamples: Column, law: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      G711WavEncode(seed.cast("long"), nSamples.cast("long"),
+        law.cast("long")).as("content"))
+
+  /** Synthesize a REAL MJPEG AVI corpus ([[AviMjpegEncode]]: full RIFF
+    * hdrl/strl/movi chain whose `00dc` chunks are real baseline JPEGs
+    * under the per-frame block contract seed+f), distributed. */
+  def syntheticMjpegAviCorpus(df: DataFrame, idCol: String, seed: Column,
+      nFrames: Column, wBlocks: Column, hBlocks: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      AviMjpegEncode(seed.cast("long"), nFrames.cast("long"),
+        wBlocks.cast("long"), hBlocks.cast("long")).as("content"))
+
+  /** VIDEO PIXEL content leg: per-frame decoded gray stats + perceptual
+    * hashes out of an MJPEG AVI — the container walk slices each `00dc`
+    * payload, the T.81 path decodes it, and every frame lands in the
+    * SAME hash space as still images ([[AviFrameStats]]). Undecodable
+    * containers contribute ZERO rows (never a throw); frames whose
+    * payload isn't a decodable image keep their row with f_ok=false.
+    * One expression pass + explode fanout, zero shuffle — at 100 TB
+    * this is a linear scan emitting 14 small columns per frame. */
+  def videoFrameContentStats(media: DataFrame, maxFrames: Int = 512): DataFrame =
+    media.withColumn("__s", AviFrameStats(col("content"), maxFrames))
+      .select(col("media_id"), explode(col("__s.frames")).as("__f"))
+      .select(col("media_id"), col("__f.frame_idx").as("frame_idx"),
+        col("__f.n_bytes").as("n_bytes"), col("__f.f_ok").as("f_ok"),
+        col("__f.width").as("width"), col("__f.height").as("height"),
+        col("__f.n_px").as("n_px"), col("__f.sum_luma").as("sum_luma"),
+        col("__f.mean_milli").as("mean_milli"),
+        col("__f.var_milli").as("var_milli"),
+        col("__f.ahash_hi").as("ahash_hi"), col("__f.ahash_lo").as("ahash_lo"),
+        col("__f.dhash_hi").as("dhash_hi"), col("__f.dhash_lo").as("dhash_lo"),
+        shiftleft(col("__f.ahash_hi"), 32).bitwiseOR(col("__f.ahash_lo"))
+          .as("ahash"),
+        shiftleft(col("__f.dhash_hi"), 32).bitwiseOR(col("__f.dhash_lo"))
+          .as("dhash"))
+
   /** Exact binary dedup over an opaque content column — the media twin
     * of the text exact-dedup family: group by sha2-256 of the bytes,
     * keep the minimum id per group. The 100 TB shape: the shuffle moves

@@ -122,4 +122,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |""".stripMargin).collect()(0)
     assert(v.getInt(0) == 4 && !v.getBoolean(1))
   }
+
+  test("video frame decode from SQL: avi_mjpeg_encode -> avi_frame_stats") {
+    val r = spark.sql(
+      """SELECT size(avi_frame_stats(avi_mjpeg_encode(7L, 3L, 2L, 2L)).frames) AS n,
+        |       avi_frame_stats(avi_mjpeg_encode(7L, 3L, 2L, 2L)).frames[0].f_ok AS f0,
+        |       avi_frame_stats(avi_mjpeg_encode(7L, 3L, 2L, 2L)).frames[0].n_px AS px,
+        |       avi_frame_stats(CAST('junk' AS BINARY)).ok AS bad
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 3 && r.getBoolean(1) && r.getLong(2) == 256L &&
+      !r.getBoolean(3))
+  }
 }
