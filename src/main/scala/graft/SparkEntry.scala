@@ -3563,6 +3563,23 @@ object SparkEntry {
         .drop("ahash", "dhash")
         .orderBy(col("media_id"))
     }),
+    // TIFF CONTENT leg: real baseline IFDs (tag walk, inline vs offset
+    // values, single-strip gray8) — SAME pixel contract as the PNG
+    // fixture, so the PNG oracle chain replays it verbatim; doc 0's
+    // broken byte-order magic degrades to ok=false
+    "x_mm_pixels_tiff" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticGrayTiffCorpus(docs, "doc_id",
+        col("doc_id") % 7, lit(9) + col("doc_id") % 8,
+        lit(8) + col("doc_id") % 6, col("doc_id") % 5)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00', substring(content, 2))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.tiffContentStats(dirty)
+        .drop("ahash", "dhash")
+        .orderBy(col("media_id"))
+    }),
     // MIXED-container leg: PNG and JPEG interleaved row by row (the
     // crawl reality), one container-sniffing scan, one stat/hash space;
     // doc 0's broken magic degrades to ok=false
@@ -6972,6 +6989,12 @@ object SparkEntry {
     // BGR-luma the padded bottom-up rows to land on these integers —
     // SAME oracle chain as x_mm_pixels (identical pixel contract)
     "x_mm_pixels_bmp" -> ("WITH " +
+      pngHashCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
+        "doc_id % 5") + ", " + pixelStatsSelect(" ORDER BY media_id")),
+    // TIFF pixel replay: the engine must walk a real IFD (tag types,
+    // inline-vs-offset values, strips) to land on these integers —
+    // SAME oracle chain as x_mm_pixels (identical pixel contract)
+    "x_mm_pixels_tiff" -> ("WITH " +
       pngHashCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
         "doc_id % 5") + ", " + pixelStatsSelect(" ORDER BY media_id")),
     // mixed-container replay: each half rides its own pixel chain (PNG

@@ -138,9 +138,10 @@ private[ext] object AviKernel {
   }
 }
 
-/** Container-sniffing single-image gray decode shared by the video leg:
-  * routes PNG/JPEG/GIF/BMP payloads to their kernels (the
-  * [[ImageGrayStats]] routing, reusable on extracted frame bytes). */
+/** Container-sniffing single-image gray decode shared by
+  * [[ImageGrayStats]] and the video leg: routes PNG/JPEG/GIF/BMP/TIFF
+  * payloads to their kernels by magic bytes — one scan, one
+  * fingerprint space, whatever container the crawl delivered. */
 private[ext] object GraySniff {
   def decode(bytes: Array[Byte]): PngKernel.Gray = {
     if (bytes == null || bytes.length < 4) return null
@@ -153,6 +154,11 @@ private[ext] object GraySniff {
       GifKernel.decodeGrayFirstFrame(bytes)
     else if (bytes(0) == 'B' && bytes(1) == 'M')
       BmpKernel.decodeGray(bytes)
+    else if ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 0x2A &&
+        bytes(3) == 0) ||
+      (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 &&
+        bytes(3) == 0x2A))
+      TiffKernel.decodeGray(bytes)
     else null
   }
 }

@@ -628,37 +628,7 @@ case class ImageGrayStats(child: Expression)
       case null => null
       case b => b.asInstanceOf[Array[Byte]]
     }
-    val g =
-      if (bytes == null || bytes.length < 4) null
-      else if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P')
-        PngKernel.decodeGray(bytes)
-      else if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
-        JpegKernel.decodeGrayY(bytes)
-      else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
-        bytes(3) == '8')
-        GifKernel.decodeGrayFirstFrame(bytes)
-      else if (bytes(0) == 'B' && bytes(1) == 'M')
-        BmpKernel.decodeGray(bytes)
-      else null
-    if (g == null)
-      return InternalRow(false, null, null, null, null, null, null,
-        null, null, null, null)
-    val n = g.luma.length.toLong
-    var sum = 0L; var sumSq = 0L; var i = 0
-    while (i < g.luma.length) {
-      val v = g.luma(i); sum += v; sumSq += v.toLong * v; i += 1
-    }
-    val meanMilli = sum * 1000L / n
-    val varMilli = ((BigInt(n) * sumSq - BigInt(sum) * sum) * 1000 /
-      (BigInt(n) * n)).toLong
-    val ah = PngKernel.ahash(g)
-    val dh = PngKernel.dhash(g)
-    def hi(fp: Long): Any =
-      if (fp == Long.MinValue) null else (fp >>> 32) & 0xFFFFFFFFL
-    def lo(fp: Long): Any =
-      if (fp == Long.MinValue) null else fp & 0xFFFFFFFFL
-    InternalRow(true, g.width.toLong, g.height.toLong, n, sum, meanMilli,
-      varMilli, hi(ah), lo(ah), hi(dh), lo(dh))
+    GifGrayStats.statsRow(GraySniff.decode(bytes))
   }
 
   override protected def withNewChildInternal(newChild: Expression): ImageGrayStats =

@@ -504,10 +504,11 @@ object Multimodal {
   def jpegContentStats(media: DataFrame): DataFrame =
     statsOf(media.withColumn("__s", JpegGrayStats(col("content"))))
 
-  /** Container-sniffing stats over a MIXED image column (PNG, JPEG and
-    * GIF interleaved, the crawl reality): one scan, one fingerprint
-    * space — two containers holding the same picture land in the same
-    * Hamming ball. [[ImageGrayStats]] routes per row on magic bytes. */
+  /** Container-sniffing stats over a MIXED image column (PNG, JPEG,
+    * GIF, BMP and TIFF interleaved, the crawl reality): one scan, one
+    * fingerprint space — two containers holding the same picture land
+    * in the same Hamming ball. [[ImageGrayStats]] routes per row on
+    * magic bytes. */
   def mixedImageContentStats(media: DataFrame): DataFrame =
     statsOf(media.withColumn("__s", ImageGrayStats(col("content"))))
 
@@ -534,6 +535,21 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("media_id"),
       GrayBmpEncode(seed.cast("long"), w.cast("long"), h.cast("long"),
         lit(11L), lit(5L), bump.cast("long")).as("content"))
+
+  /** 8-bit gray baseline-TIFF corpus with the SAME pixel contract as
+    * [[syntheticGrayPngCorpus]] — one oracle pixel chain replays all
+    * four lossless containers. */
+  def syntheticGrayTiffCorpus(df: DataFrame, idCol: String, seed: Column,
+      w: Column, h: Column, bump: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      GrayTiffEncode(seed.cast("long"), w.cast("long"), h.cast("long"),
+        lit(11L), lit(5L), bump.cast("long")).as("content"))
+
+  /** [[imageContentStats]] for baseline-TIFF content ([[TiffGrayStats]]
+    * IFD walk, gray8/RGB8 strips) — same 14-column shape, same hash
+    * space. */
+  def tiffContentStats(media: DataFrame): DataFrame =
+    statsOf(media.withColumn("__s", TiffGrayStats(col("content"))))
 
   /** [[imageContentStats]] for BMP content ([[BmpGrayStats]] header
     * walk + BGR luma) — same 14-column shape, same hash space. */
