@@ -3580,6 +3580,41 @@ object SparkEntry {
         .drop("ahash", "dhash")
         .orderBy(col("media_id"))
     }),
+    // TRIAGE: one magic-byte scan tags all eight container kinds (+
+    // junk) over a fully mixed column — the crawl pipeline's first
+    // pass, which downstream decode legs partition-prune on; proves
+    // each fixture writes the magic it claims AND the sniff reads it
+    "x_mm_triage" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val seed = col("doc_id") % 7
+      val content =
+        when(col("doc_id") % 9 === 0,
+          graft.ext.GrayPngEncode(seed, lit(9L), lit(8L), lit(11L),
+            lit(5L), lit(2L)))
+        .when(col("doc_id") % 9 === 1,
+          graft.ext.BlockJpegEncode(seed, lit(2L), lit(2L)))
+        .when(col("doc_id") % 9 === 2,
+          graft.ext.GrayGifEncode(seed, lit(9L), lit(8L), lit(11L),
+            lit(5L), lit(2L)))
+        .when(col("doc_id") % 9 === 3,
+          graft.ext.GrayBmpEncode(seed, lit(9L), lit(8L), lit(11L),
+            lit(5L), lit(2L)))
+        .when(col("doc_id") % 9 === 4,
+          graft.ext.GrayTiffEncode(seed, lit(9L), lit(8L), lit(11L),
+            lit(5L), lit(2L)))
+        .when(col("doc_id") % 9 === 5,
+          graft.ext.PcmWavEncode(seed, lit(80L), lit(8000L)))
+        .when(col("doc_id") % 9 === 6,
+          graft.ext.Mp4SamplesEncode(seed, lit(4L)))
+        .when(col("doc_id") % 9 === 7,
+          graft.ext.AviMjpegEncode(seed, lit(1L), lit(1L), lit(1L)))
+        .otherwise(expr("CAST('plain text, not media' AS BINARY)"))
+      graft.ext.Multimodal.mediaTriage(
+          docs.select(col("doc_id").cast("long").as("media_id"),
+            content.as("content")))
+        .drop("n_bytes")
+        .orderBy(col("media_id"))
+    }),
     // MIXED-container leg: PNG and JPEG interleaved row by row (the
     // crawl reality), one container-sniffing scan, one stat/hash space;
     // doc 0's broken magic degrades to ok=false
@@ -6997,6 +7032,13 @@ object SparkEntry {
     "x_mm_pixels_tiff" -> ("WITH " +
       pngHashCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
         "doc_id % 5") + ", " + pixelStatsSelect(" ORDER BY media_id")),
+    // triage replay: kind is a pure function of which fixture the gate
+    // planted per row — the engine's sniff must agree on every row
+    "x_mm_triage" -> ("SELECT doc_id AS media_id, CASE doc_id % 9 " +
+      "WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif' " +
+      "WHEN 3 THEN 'bmp' WHEN 4 THEN 'tiff' WHEN 5 THEN 'wav' " +
+      "WHEN 6 THEN 'mp4' WHEN 7 THEN 'avi' ELSE 'unknown' END AS kind " +
+      "FROM documents ORDER BY media_id"),
     // mixed-container replay: each half rides its own pixel chain (PNG
     // formula for even docs, JPEG block formula for odd), unioned — the
     // engine's single sniffing scan must match both

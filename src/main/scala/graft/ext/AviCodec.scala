@@ -163,6 +163,62 @@ private[ext] object GraySniff {
   }
 }
 
+/** Media-kind triage by magic bytes — the first operator a crawl
+  * pipeline runs on an opaque content column: ONE cheap scan tags every
+  * row png/jpeg/gif/bmp/tiff/wav/mp4/avi/unknown so downstream decode
+  * stages read only their own rows (partition-prune by kind instead of
+  * each leg re-sniffing the full corpus). Detection only — no decode,
+  * no allocation beyond the tag; dirty bytes are just 'unknown'. */
+case class MediaKind(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"media_kind requires binary, got $other")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val bytes = child.eval(input) match {
+      case null => return null
+      case b => b.asInstanceOf[Array[Byte]]
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      MediaKind.sniff(bytes))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MediaKind =
+    copy(child = newChild)
+
+  override def prettyName: String = "media_kind"
+}
+
+object MediaKind {
+  def sniff(b: Array[Byte]): String = {
+    if (b == null || b.length < 12) return "unknown"
+    if ((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      "png"
+    else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) "jpeg"
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
+    else if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else if ((b(0) == 'I' && b(1) == 'I' && b(2) == 0x2A && b(3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 0x2A)) "tiff"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ') "avi"
+    else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') "mp4"
+    else "unknown"
+  }
+
+  def apply(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      MediaKind(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+}
+
 /** Per-frame gray content stats from an AVI binary column: one struct
   * holding (ok, frames[]) where each frame carries byte count + the
   * standard gray-stat block (same integers as [[JpegGrayStats]], so

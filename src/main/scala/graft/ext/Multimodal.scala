@@ -788,6 +788,21 @@ object Multimodal {
         shiftleft(col("__f.dhash_hi"), 32).bitwiseOR(col("__f.dhash_lo"))
           .as("dhash"))
 
+  /** Media TRIAGE — the crawl pipeline's first pass over an opaque
+    * content column: tag every row's container kind by magic bytes
+    * ([[MediaKind]]), ONE cheap scan, no decode. At 100 TB the output
+    * is what downstream decode stages partition-prune on (each leg
+    * reads only its kind instead of re-sniffing the corpus), and the
+    * per-kind census is the number an ingest team budgets with. */
+  def mediaTriage(media: DataFrame): DataFrame =
+    media.select(col("media_id"), MediaKind(col("content")).as("kind"),
+      length(col("content")).cast("long").as("n_bytes"))
+
+  /** Per-kind census over [[mediaTriage]]: (kind, n, total_bytes). */
+  def mediaTriageSummary(media: DataFrame): DataFrame =
+    mediaTriage(media).groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"))
+
   /** Exact binary dedup over an opaque content column — the media twin
     * of the text exact-dedup family: group by sha2-256 of the bytes,
     * keep the minimum id per group. The 100 TB shape: the shuffle moves

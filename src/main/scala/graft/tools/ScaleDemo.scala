@@ -969,6 +969,18 @@ object ScaleDemo {
       graft.ext.Bpe.trainSharded(corpus, "text", merges = 20,
         numShards = 16).count()
     }
+    timed("video_pixels") {
+      // the MJPEG leg is a zero-shuffle linear scan (one RIFF walk +
+      // per-frame Huffman+IDCT per row): wall must scale ~K with flat
+      // per-doc cost; the agg forces every frame's decode (a bare
+      // count would let Catalyst prune the decode projection)
+      val vids = graft.ext.Multimodal.syntheticMjpegAviCorpus(
+        corpus.select(col("doc_id")), "doc_id",
+        col("doc_id") % 23, lit(2), lit(4), lit(4))
+      val r = graft.ext.Multimodal.videoFrameContentStats(vids)
+        .agg(sum(col("sum_luma")), count(lit(1))).collect()(0)
+      r.getLong(1)
+    }
     timedVec("ann_recall") {
       // both sides of the scorecard at Kx: approx = pruned ADC scan,
       // exact = one broadcast corpus scan; the overlap join is 40 rows

@@ -132,4 +132,33 @@ class AviSpec extends SparkTestBase {
     val jr = Multimodal.videoFrameContentStats(jdf).collect()
     assert(jr.length == 1 && !jr(0).getBoolean(3) && jr(0).isNullAt(4))
   }
+
+  test("media triage: every container kind sniffs correctly; short/" +
+      "null/junk bytes tag unknown; the census sums per kind") {
+    assert(MediaKind.sniff(null) == "unknown")
+    assert(MediaKind.sniff("short".getBytes) == "unknown")
+    assert(MediaKind.sniff("not media but long enough".getBytes) == "unknown")
+    assert(MediaKind.sniff(AviKernel.encodeMjpeg(1, 1, 1, 1)) == "avi")
+    assert(MediaKind.sniff(Mp4Kernel.encodeSamples(1, 2)) == "mp4")
+    assert(MediaKind.sniff(WavKernel.encodeG711Mono(70, 8000, 7, _ % 256))
+      == "wav")
+    assert(MediaKind.sniff(TiffKernel.encodeGray8(4, 4, (x, y) => x + y))
+      == "tiff")
+    assert(MediaKind.sniff(BmpKernel.encodeGray24(4, 4, (x, y) => x + y))
+      == "bmp")
+    assert(MediaKind.sniff(JpegKernel.encodeGrayBlocks(1, 1, (_, _) => 7))
+      == "jpeg")
+    // a WAV is RIFF too — the 'WAVE'/'AVI ' discriminator byte matters
+    val wav = WavKernel.encodePcm16Mono(40, 8000, _ => 5)
+    assert(MediaKind.sniff(wav) == "wav")
+    val media = Seq(
+      (1L, AviKernel.encodeMjpeg(1, 1, 1, 1)),
+      (2L, AviKernel.encodeMjpeg(2, 1, 1, 1)),
+      (3L, wav),
+      (4L, "junk junk junk".getBytes)).toDF("media_id", "content")
+    val census = Multimodal.mediaTriageSummary(media)
+      .orderBy("kind").collect()
+    assert(census.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("avi", 2L), ("unknown", 1L), ("wav", 1L)))
+  }
 }
