@@ -277,6 +277,28 @@ object SparkEntry {
           col("o_custkey")),
         "priority", "o_custkey", p = 8)
         .orderBy(col("priority"))),
+    // KMV distinct sketch: the k smallest Mersenne-Horner key hashes —
+    // unlike HLL's union-only fold, the sketch is a uniform sample of
+    // the distinct-hash space, so it supports intersections (below)
+    "x_sketch_kmv" -> ((s, d) =>
+      graft.ext.Kmv.sketch(Tables.load(s, d, "documents"), "doc_id", 64)
+        .orderBy(col("rank"))),
+    // one-row distinct estimate from the sketch tail, in truncated
+    // integer arithmetic both engines share bit-for-bit
+    "x_sketch_distinct" -> ((s, d) =>
+      graft.ext.Kmv.distinctEstimate(
+        Tables.load(s, d, "documents"), "doc_id", 64)),
+    // Broder resemblance between two id spaces (crawl A vs crawl B =
+    // half shared + a fifth novel): Jaccard/intersection/union
+    // estimates from 2k 8-byte hashes, never a corpus join
+    "x_sketch_overlap" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val a = docs.select(col("doc_id"))
+      val b = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id")))
+      graft.ext.Kmv.overlap(a, b, "doc_id", 64)
+    }),
     // Count-Min frequency sketch over customer keys, point-estimated for
     // 20 probes against the exact counts: integer counters, md5-chunk
     // cells — nothing to round, the replay is exact; est >= exact always
@@ -4176,6 +4198,41 @@ object SparkEntry {
       "(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)) * 256.0::DOUBLE * 256.0::DOUBLE / " +
       "(CAST(su::HUGEINT + (256 - np)::HUGEINT * 2305843009213693952::HUGEINT AS DOUBLE) " +
       "/ 2305843009213693952.0::DOUBLE) AS estimate FROM s"),
+    // full sketch replay: the Mersenne-Horner hash of every key,
+    // distinct, k smallest — identical ranked minima or the gate fails
+    "x_sketch_kmv" -> ("WITH hs AS (SELECT DISTINCT " +
+      kmvHashSql("doc_id") + " AS h FROM documents), " +
+      "t AS (SELECT h FROM hs ORDER BY h LIMIT 64) " +
+      "SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS rank, " +
+      "h FROM t ORDER BY rank"),
+    // the (k-1)·(M // h_k) truncated-integer estimator, bit-identical
+    "x_sketch_distinct" -> ("WITH hs AS (SELECT DISTINCT " +
+      kmvHashSql("doc_id") + " AS h FROM documents), " +
+      "t AS (SELECT h FROM hs ORDER BY h LIMIT 64), " +
+      "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_minima, " +
+      "MAX(h) AS kth_hash FROM t) " +
+      "SELECT n_minima, kth_hash, CAST(CASE WHEN n_minima < 64 " +
+      "THEN n_minima ELSE (2305843009213693951 // kth_hash) * 63 " +
+      "END AS BIGINT) AS distinct_est FROM a"),
+    // Broder resemblance replay: both sketches, the combined k-minima,
+    // and the three estimates — exact integers end to end
+    "x_sketch_overlap" -> ("WITH ga AS (SELECT doc_id AS x FROM documents), " +
+      "gb AS (SELECT doc_id AS x FROM documents WHERE doc_id % 2 = 0 " +
+      "UNION ALL SELECT doc_id + 10000000 FROM documents WHERE doc_id % 5 = 0), " +
+      "ta AS (SELECT DISTINCT " + kmvHashSql("x") + " AS h FROM ga " +
+      "ORDER BY h LIMIT 64), " +
+      "tb AS (SELECT DISTINCT " + kmvHashSql("x") + " AS h FROM gb " +
+      "ORDER BY h LIMIT 64), " +
+      "ux AS (SELECT DISTINCT h FROM (SELECT h FROM ta " +
+      "UNION ALL SELECT h FROM tb) ORDER BY h LIMIT 64), " +
+      "yy AS (SELECT CAST(COUNT(*) AS BIGINT) AS y FROM ux " +
+      "JOIN ta USING (h) JOIN tb USING (h)), " +
+      "xa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_x, " +
+      "MAX(h) AS union_kth FROM ux) " +
+      "SELECT n_x, y, CAST(y * 1000000 // n_x AS BIGINT) AS jaccard_micro, " +
+      "union_kth, CAST(CASE WHEN n_x < 64 THEN n_x " +
+      "ELSE (2305843009213693951 // union_kth) * 63 END AS BIGINT) " +
+      "AS union_est FROM xa CROSS JOIN yy"),
     // per-column replay of the x_hll register contract: stack the four
     // stringified columns, then the same md5 bucket/rank fold per column
     "x_profile_sketch" -> ("WITH k AS (" +
@@ -8303,6 +8360,19 @@ object SparkEntry {
     * encode round-trips exactly, so decoded pixels ARE the formula):
     * every pixel of 8×8 block (bx, by) is
     * (((bx·7+by·11+seed·131)² mod 251) + bx + by·3 + seed) mod 256. */
+  /** [[graft.ext.MersenneLongHash]]'s replay: per big-endian key byte,
+    * h ← ((h + v_i)² + 1) mod 2^61−1 with v_i = (G[b_i] + i·268435459)
+    * mod 2147483647 — the squaring equidistributes on [0, M) (a linear
+    * fold concentrates 8-byte keys in a ~2^40 window and wrecks the
+    * order-statistic estimator); HUGEINT keeps the square exact. */
+  private def kmvHashSql(xSql: String): String =
+    "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"[ (((($xSql // (1::BIGINT << ((7-i)*8))) % 256) * 2654435761 " +
+      "+ 98765) % 2147483647 + i * 268435459) % 2147483647 " +
+      "for i in range(0, 8) ]), " +
+      "(acc, v) -> CAST(((acc::HUGEINT + v) * (acc::HUGEINT + v) + 1) " +
+      "% 2305843009213693951 AS BIGINT)) AS BIGINT)"
+
   /** The block-flat JPEG pixel formula over (seed, x, y) — shared by
     * the still-image chains and the per-frame MJPEG chains (the AVI
     * fixture plants the same contract with seed = seed0 + frame). */

@@ -88,4 +88,63 @@ class G711Spec extends SparkTestBase {
       assert(r.getAs[Long]("sample_rate") == 8000L)
     }
   }
+
+  /** Sun g711.c linear→μ-law companding (the inverse of ulawExpand up
+    * to quantization) — test-side only, to build telephone re-encodes
+    * of studio PCM. */
+  private def linear2ulaw(pcm0: Int): Int = {
+    val segEnd = Array(0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF)
+    var pcm = pcm0; var mask = 0xFF
+    if (pcm < 0) { pcm = 0x84 - pcm; mask = 0x7F } else pcm += 0x84
+    var seg = 0
+    while (seg < 8 && pcm > segEnd(seg)) seg += 1
+    if (seg >= 8) 0x7F ^ mask
+    else (((seg << 4) | ((pcm >> (seg + 3)) & 0xF)) ^ mask) & 0xFF
+  }
+
+  private def toneBytes(cls: Long): Array[Byte] =
+    Multimodal.syntheticToneCorpus(
+        Seq((cls, cls, 0L)).toDF("doc_id", "cls", "bump"), "doc_id",
+        col("cls"), col("bump"), lit(320), lit(16000))
+      .select("content").as[Array[Byte]].collect()(0)
+
+  test("cross-coding near-dup: a mu-law telephone re-encode of a studio " +
+      "PCM clip stays inside the spectral Hamming ball and DROPS in the " +
+      "ingest stream") {
+    // companding round-trip sanity on every representable magnitude class
+    for (v <- Seq(0, 1, -1, 100, -100, 1000, -1000, 8000, -8000, 30000)) {
+      val back = WavKernel.ulawExpand(linear2ulaw(v))
+      assert(math.abs(back - v) <= math.max(8, math.abs(v) / 16), s"v=$v")
+    }
+    for (cls <- Seq(3L, 9L, 17L)) {
+      val pcm = WavKernel.decodePcm(toneBytes(cls))
+      assert(pcm != null && pcm.samples.length == 320)
+      val tele = WavKernel.decodePcm(WavKernel.encodeG711Mono(
+        pcm.samples.length, pcm.sampleRate, 7,
+        j => linear2ulaw(pcm.samples(j))))
+      val h = java.lang.Long.bitCount(
+        WavKernel.spectralFingerprint(pcm.samples) ^
+          WavKernel.spectralFingerprint(tele.samples))
+      assert(h <= 4, s"cls $cls spectral hamming $h") // the ingest radius
+    }
+    // the ingest stream: studio PCM lands first, the telephone
+    // re-encode of the SAME audio arrives later and is dropped
+    val wh = new graft.snapshot.Warehouse(spark,
+      graft.TempDirs.scratchDir("g711_wh").toString)
+    val idx = graft.TempDirs.scratchDir("g711_idx").toString
+    val studio = Seq((1L, toneBytes(3L), 2021L))
+      .toDF("media_id", "content", "year")
+    graft.streaming.AudioIngest.ingestBatch(studio, "media_id", "content",
+      wh, "f", idx, 0L)
+    val pcm3 = WavKernel.decodePcm(toneBytes(3L))
+    val teleBytes = WavKernel.encodeG711Mono(pcm3.samples.length,
+      pcm3.sampleRate, 7, j => linear2ulaw(pcm3.samples(j)))
+    val b1 = Seq((10L, teleBytes, 2021L), (11L, toneBytes(9L), 2021L))
+      .toDF("media_id", "content", "year")
+    graft.streaming.AudioIngest.ingestBatch(b1, "media_id", "content",
+      wh, "f", idx, 1L)
+    val kept = wh.read("f").get.select("media_id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 11L)) // the telephone copy dropped
+  }
 }
