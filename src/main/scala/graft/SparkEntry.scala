@@ -288,6 +288,16 @@ object SparkEntry {
     "x_sketch_distinct" -> ((s, d) =>
       graft.ext.Kmv.distinctEstimate(
         Tables.load(s, d, "documents"), "doc_id", 64)),
+    // Streaming KMV: per-batch minima fold into k-row warehouse state
+    // by MIN-UNION — lossless AND idempotent (min ignores replays,
+    // unlike the CMS SUM fold), so the folded sketch must equal the
+    // one-shot whole-corpus sketch (same oracle as x_sketch_kmv)
+    "x_stream_kmv" -> ((s, d) => {
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_skmv").toString)
+      graft.streaming.EventStream.runKmvIngest(s, d, wh, "kmv_sketch")
+        .orderBy(col("rank"))
+    }),
     // Broder resemblance between two id spaces (crawl A vs crawl B =
     // half shared + a fifth novel): Jaccard/intersection/union
     // estimates from 2k 8-byte hashes, never a corpus join
@@ -4198,13 +4208,12 @@ object SparkEntry {
       "(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)) * 256.0::DOUBLE * 256.0::DOUBLE / " +
       "(CAST(su::HUGEINT + (256 - np)::HUGEINT * 2305843009213693952::HUGEINT AS DOUBLE) " +
       "/ 2305843009213693952.0::DOUBLE) AS estimate FROM s"),
-    // full sketch replay: the Mersenne-Horner hash of every key,
+    // full sketch replay: the squaring key hash of every doc id,
     // distinct, k smallest — identical ranked minima or the gate fails
-    "x_sketch_kmv" -> ("WITH hs AS (SELECT DISTINCT " +
-      kmvHashSql("doc_id") + " AS h FROM documents), " +
-      "t AS (SELECT h FROM hs ORDER BY h LIMIT 64) " +
-      "SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS rank, " +
-      "h FROM t ORDER BY rank"),
+    "x_sketch_kmv" -> kmvSketchOracle,
+    // the streaming MIN-UNION fold is lossless and idempotent, so the
+    // folded sketch must equal the one-shot sketch: same oracle
+    "x_stream_kmv" -> kmvSketchOracle,
     // the (k-1)·(M // h_k) truncated-integer estimator, bit-identical
     "x_sketch_distinct" -> ("WITH hs AS (SELECT DISTINCT " +
       kmvHashSql("doc_id") + " AS h FROM documents), " +
@@ -8372,6 +8381,15 @@ object SparkEntry {
       "for i in range(0, 8) ]), " +
       "(acc, v) -> CAST(((acc::HUGEINT + v) * (acc::HUGEINT + v) + 1) " +
       "% 2305843009213693951 AS BIGINT)) AS BIGINT)"
+
+  /** The ranked-KMV-minima replay, shared by the batch sketch gate and
+    * the streaming MIN-UNION fold gate (the fold is lossless). */
+  private def kmvSketchOracle: String =
+    "WITH hs AS (SELECT DISTINCT " + kmvHashSql("doc_id") +
+      " AS h FROM documents), " +
+      "t AS (SELECT h FROM hs ORDER BY h LIMIT 64) " +
+      "SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS rank, " +
+      "h FROM t ORDER BY rank"
 
   /** The block-flat JPEG pixel formula over (seed, x, y) — shared by
     * the still-image chains and the per-frame MJPEG chains (the AVI

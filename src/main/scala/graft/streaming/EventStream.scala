@@ -176,6 +176,49 @@ object EventStream {
     Hll.estimateByGroups(warehouse.read(fact).get, Seq("year", "month"))
   }
 
+  /** Streaming KMV distinct-sketch fold: each micro-batch's own k hash
+    * minima fold into the warehouse by MIN-UNION (the k smallest of
+    * stored ∪ batch), keyed by rank so the ≤k-row state replaces in
+    * place. The fold is lossless AND idempotent — the min of a set
+    * ignores replays, unlike the CMS SUM fold — so the folded sketch
+    * equals a one-shot whole-corpus sketch and the gate shares
+    * x_sketch_kmv's oracle verbatim. O(batch) hash scan per trigger
+    * plus a k-row state read; set algebra (intersections, Jaccard)
+    * stays available downstream via [[graft.ext.Kmv.overlap]]. */
+  def runKmvIngest(spark: SparkSession, sfDir: String,
+      warehouse: graft.snapshot.Warehouse, fact: String,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dir = graft.TempDirs.scratchDir("graft_kmv_stream")
+    val src = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"))
+    src.repartition(3).write.mode("overwrite").parquet(dir.toString)
+    val q = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = graft.ext.Kmv.sketch(batch, "doc_id", k).select(col("h"))
+        val pool = warehouse.read(fact) match {
+          case None => delta
+          case Some(old) => old.select(col("h")).unionByName(delta)
+        }
+        // constant year: the warehouse partitions facts by year, and a
+        // corpus-global sketch has no time scope
+        val topk = pool.distinct().orderBy(col("h")).limit(k)
+          .select(row_number().over(Window.orderBy(col("h")))
+            .cast("long").as("rank"), col("h"), lit(0L).as("year"))
+        warehouse.read(fact) match {
+          case None => warehouse.append(fact, topk)
+          case Some(_) => warehouse.merge(fact, topk,
+            keys = Seq("rank"), validateKeys = false)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    warehouse.read(fact).get.select(col("rank"), col("h"))
+      .orderBy(col("rank"))
+  }
+
   /** Streaming frequency sketch: the Count-Min twin of [[runHllIngest]].
     * Each micro-batch's (row, pos, cnt) cell deltas fold into the
     * warehouse table by per-cell SUM — counters add associatively, so

@@ -72,4 +72,23 @@ class KmvSpec extends SparkTestBase {
     val uest = r.getAs[Long]("union_est")
     assert(math.abs(uest - 15000L) < 15000L / 4, s"union_est=$uest")
   }
+
+  test("streaming MIN-UNION fold equals the one-shot sketch and is " +
+      "idempotent under batch replay") {
+    val wh = new graft.snapshot.Warehouse(spark,
+      graft.TempDirs.scratchDir("kmv_wh").toString)
+    val folded = graft.streaming.EventStream.runKmvIngest(
+      spark, "/root/testdata/sf0.001", wh, "sk", k = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val oneShot = Kmv.sketch(
+      graft.Tables.load(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", 32).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(folded.toSeq == oneShot.toSeq)
+    // a second full run over the SAME corpus into the SAME state is a
+    // replay: min-union must change nothing
+    val again = graft.streaming.EventStream.runKmvIngest(
+      spark, "/root/testdata/sf0.001", wh, "sk", k = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq == oneShot.toSeq)
+  }
 }
