@@ -3612,6 +3612,24 @@ object SparkEntry {
         .drop("ahash", "dhash")
         .orderBy(col("media_id"))
     }),
+    // EXIF leg: a REAL APP1 TIFF-IFD block planted inside the baseline
+    // JPEG (the marker walk + the TIFF tag machinery composed) —
+    // make/model/orientation/datetime replayed field by field; doc 0
+    // is dirty bytes, doc_id % 11 == 1 rows are EXIF-less JPEGs
+    "x_mm_exif" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val seed = (col("doc_id") % 23).cast("long")
+      val media = docs.select(col("doc_id").cast("long").as("media_id"),
+        when(col("doc_id") % 11 === 1,
+          graft.ext.BlockJpegEncode(seed, lit(1L), lit(1L)))
+          .otherwise(graft.ext.ExifJpegEncode(seed, lit(1L), lit(1L)))
+          .as("content"))
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'0000', substring(content, 3))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.exifMeta(dirty).orderBy(col("media_id"))
+    }),
     // TRIAGE: one magic-byte scan tags all eight container kinds (+
     // junk) over a fully mixed column — the crawl pipeline's first
     // pass, which downstream decode legs partition-prune on; proves
@@ -7098,6 +7116,23 @@ object SparkEntry {
     "x_mm_pixels_tiff" -> ("WITH " +
       pngHashCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
         "doc_id % 5") + ", " + pixelStatsSelect(" ORDER BY media_id")),
+    // EXIF field replay: every value is a pure function of the planted
+    // contract — the engine must walk a real APP1 marker chain AND a
+    // real TIFF IFD (types, inline-vs-offset, NUL-terminated ASCII)
+    "x_mm_exif" -> ("SELECT doc_id AS media_id, " +
+      "doc_id <> 0 AND doc_id % 11 <> 1 AS ok, " +
+      "CASE WHEN doc_id <> 0 AND doc_id % 11 <> 1 THEN " +
+      "'CAM-' || CAST((doc_id % 23) % 5 AS VARCHAR) END AS make, " +
+      "CASE WHEN doc_id <> 0 AND doc_id % 11 <> 1 THEN " +
+      "'MODEL-' || CAST((doc_id % 23) % 7 AS VARCHAR) END AS model, " +
+      "CASE WHEN doc_id <> 0 AND doc_id % 11 <> 1 THEN " +
+      "CAST(1 + (doc_id % 23) % 8 AS BIGINT) END AS orientation, " +
+      "CASE WHEN doc_id <> 0 AND doc_id % 11 <> 1 THEN " +
+      "CAST(2000 + (doc_id % 23) % 26 AS VARCHAR) || ':' || " +
+      "lpad(CAST(1 + (doc_id % 23) % 12 AS VARCHAR), 2, '0') || ':' || " +
+      "lpad(CAST(1 + (doc_id % 23) % 28 AS VARCHAR), 2, '0') || " +
+      "' 12:34:56' END AS datetime " +
+      "FROM documents ORDER BY media_id"),
     // triage replay: kind is a pure function of which fixture the gate
     // planted per row — the engine's sniff must agree on every row
     "x_mm_triage" -> ("SELECT doc_id AS media_id, CASE doc_id % 9 " +

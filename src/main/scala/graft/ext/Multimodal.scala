@@ -788,6 +788,17 @@ object Multimodal {
         shiftleft(col("__f.dhash_hi"), 32).bitwiseOR(col("__f.dhash_lo"))
           .as("dhash"))
 
+  /** EXIF metadata per JPEG row ([[JpegExifMeta]]): (ok, make, model,
+    * orientation, datetime) — what an image pipeline keys on BEFORE
+    * decode (rotation normalization, device-sliced dedup, capture-time
+    * splits). EXIF-less or dirty rows keep their row with ok=false. */
+  def exifMeta(media: DataFrame): DataFrame =
+    media.withColumn("__e", JpegExifMeta(col("content")))
+      .select(col("media_id"), col("__e.ok").as("ok"),
+        col("__e.make").as("make"), col("__e.model").as("model"),
+        col("__e.orientation").as("orientation"),
+        col("__e.datetime").as("datetime"))
+
   /** Media TRIAGE — the crawl pipeline's first pass over an opaque
     * content column: tag every row's container kind by magic bytes
     * ([[MediaKind]]), ONE cheap scan, no decode. At 100 TB the output
