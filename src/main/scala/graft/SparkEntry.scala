@@ -3630,6 +3630,27 @@ object SparkEntry {
           .otherwise(col("content")))
       graft.ext.Multimodal.exifMeta(dirty).orderBy(col("media_id"))
     }),
+    // ORIENTATION-normalized hashing: every row stores its pixels
+    // camera-rotated (1/3/6/8 by row) with a real EXIF tag; the engine
+    // must READ the tag and UN-rotate before hashing, because the
+    // oracle replays only the upright block contract — rotation
+    // variance must vanish entirely
+    "x_mm_orient" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").filter(col("doc_id") < 200)
+      val o = when(col("doc_id") % 4 === 0, 1L)
+        .when(col("doc_id") % 4 === 1, 3L)
+        .when(col("doc_id") % 4 === 2, 6L).otherwise(8L)
+      val media = docs.select(col("doc_id").cast("long").as("media_id"),
+        graft.ext.OrientedJpegEncode((col("doc_id") % 23).cast("long"),
+          lit(6L), lit(4L), o).as("content"))
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'0000', substring(content, 3))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.orientedImageContentStats(dirty)
+        .drop("ahash", "dhash")
+        .orderBy(col("media_id"))
+    }),
     // TRIAGE: one magic-byte scan tags all eight container kinds (+
     // junk) over a fully mixed column — the crawl pipeline's first
     // pass, which downstream decode legs partition-prune on; proves
@@ -7116,6 +7137,11 @@ object SparkEntry {
     "x_mm_pixels_tiff" -> ("WITH " +
       pngHashCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
         "doc_id % 5") + ", " + pixelStatsSelect(" ORDER BY media_id")),
+    // orientation replay: the oracle is the UPRIGHT chain only — any
+    // un-normalized rotation would shift width/height and every hash
+    "x_mm_orient" -> ("WITH " +
+      jpegHashCtes("doc_id % 23", 6, 4, "doc_id < 200") + ", " +
+      pixelStatsSelect(" ORDER BY media_id")),
     // EXIF field replay: every value is a pure function of the planted
     // contract — the engine must walk a real APP1 marker chain AND a
     // real TIFF IFD (types, inline-vs-offset, NUL-terminated ASCII)

@@ -155,6 +155,48 @@ private[ext] object ExifKernel {
     seg.toByteArray
   }
 
+  /** Normalize a decoded gray image by its EXIF orientation — the
+    * stored→upright transform (CIPA DC-008 Table 5): 1 identity,
+    * 2 flip-H, 3 rot180, 4 flip-V, 5 transpose, 6 rot90CW,
+    * 7 transverse, 8 rot90CCW. Rotation BEFORE hashing is the point:
+    * a phone photo stored rotated with an orientation tag otherwise
+    * hashes outside its own upright original's Hamming ball. */
+  def orient(g: PngKernel.Gray, o: Int): PngKernel.Gray = {
+    if (g == null || o == 1 || o < 1 || o > 8) return g
+    val w = g.width; val h = g.height
+    val swap = o >= 5
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val out = new Array[Int](ow * oh)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val (sx, sy) = o match {
+          case 2 => (ow - 1 - x, y) // flip horizontal
+          case 3 => (ow - 1 - x, oh - 1 - y) // rotate 180
+          case 4 => (x, oh - 1 - y) // flip vertical
+          case 5 => (y, x) // transpose
+          case 6 => (y, h - 1 - x) // rotate 90 CW
+          case 7 => (w - 1 - y, h - 1 - x) // transverse
+          case _ => (w - 1 - y, x) // 8: rotate 90 CCW
+        }
+        out(y * ow + x) = g.luma(sy * w + sx)
+        x += 1
+      }
+      y += 1
+    }
+    PngKernel.Gray(ow, oh, out)
+  }
+
+  /** The orientation whose [[orient]] undoes `o` (rotations invert to
+    * each other; flips/transposes are involutions). */
+  def inverseOrientation(o: Int): Int = o match {
+    case 6 => 8
+    case 8 => 6
+    case other => other
+  }
+
   /** Insert an APP1/Exif segment right after SOI of an existing JPEG. */
   def withExif(jpeg: Array[Byte], make: String, model: String,
       orientation: Int, dateTime: String): Array[Byte] = {
@@ -267,5 +309,120 @@ object ExifJpegEncode {
     val b = org.apache.spark.sql.graftbridge.Bridge
     b.column(ExifJpegEncode(b.expression(seed), b.expression(wBlocks),
       b.expression(hBlocks)))
+  }
+}
+
+/** Orientation-aware gray stats from a JPEG column: decode, read the
+  * EXIF orientation (1 when absent), NORMALIZE the pixels, THEN hash —
+  * so a camera-rotated copy and its upright original share a
+  * fingerprint. Same 11-field struct as the other stat legs. */
+case class JpegOrientedStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("ok", BooleanType, nullable = false),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("n_px", LongType),
+    StructField("sum_luma", LongType),
+    StructField("mean_milli", LongType),
+    StructField("var_milli", LongType),
+    StructField("ahash_hi", LongType),
+    StructField("ahash_lo", LongType),
+    StructField("dhash_hi", LongType),
+    StructField("dhash_lo", LongType)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"jpeg_oriented_stats requires binary, got $other")
+  }
+
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val bytes = child.eval(input) match {
+      case null => null
+      case b => b.asInstanceOf[Array[Byte]]
+    }
+    val g = JpegKernel.decodeGrayY(bytes)
+    val o = {
+      val x = ExifKernel.extract(bytes)
+      if (x == null || x.orientation < 1 || x.orientation > 8) 1
+      else x.orientation
+    }
+    GifGrayStats.statsRow(ExifKernel.orient(g, o))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JpegOrientedStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "jpeg_oriented_stats"
+}
+
+object JpegOrientedStats {
+  def apply(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      JpegOrientedStats(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+}
+
+/** Camera-rotated block-JPEG fixture: the stored pixel grid is the
+  * upright block contract transformed by the INVERSE of `orientation`
+  * (rotations of a block-flat grid stay block-flat), plus a real APP1
+  * block carrying that orientation — so [[JpegOrientedStats]] must
+  * read the tag and un-rotate to land back on the upright formula the
+  * oracle replays. Orientations 1,3,6,8 (the camera rotations). */
+case class OrientedJpegEncode(seed: Expression, wBlocks: Expression,
+    hBlocks: Expression, orientation: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] =
+    Seq(seed, wBlocks, hBlocks, orientation)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"oriented_jpeg_encode requires 4 longs, got ${children.map(_.dataType)}")
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    val Seq(s, wb, hb, o) = vs.map(_.asInstanceOf[Long])
+    if (wb < 1 || hb < 1 || wb > 512 || hb > 512) return null
+    if (o != 1L && o != 3L && o != 6L && o != 8L) return null
+    // upright block grid under the shared JPEG block contract
+    val upright = PngKernel.Gray(wb.toInt, hb.toInt,
+      Array.tabulate(wb.toInt * hb.toInt) { i =>
+        val bx = i % wb.toInt; val by = i / wb.toInt
+        val t = bx * 7L + by * 11L + s * 131L
+        val tq = ((t % 251) * (t % 251)) % 251
+        ((((tq + bx + by * 3L + s) % 256) + 256) % 256).toInt
+      })
+    // stored = inverse-orient(upright) at BLOCK granularity
+    val stored = ExifKernel.orient(upright,
+      ExifKernel.inverseOrientation(o.toInt))
+    val jpeg = JpegKernel.encodeGrayBlocks(stored.width, stored.height,
+      (bx, by) => stored.luma(by * stored.width + bx))
+    ExifKernel.withExif(jpeg, s"CAM-${s % 5}", s"MODEL-${s % 7}",
+      o.toInt, f"${2000 + s % 26}%04d:${1 + s % 12}%02d:${1 + s % 28}%02d 12:34:56")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): OrientedJpegEncode =
+    OrientedJpegEncode(newChildren(0), newChildren(1), newChildren(2),
+      newChildren(3))
+
+  override def prettyName: String = "oriented_jpeg_encode"
+}
+
+object OrientedJpegEncode {
+  def apply(seed: Column, wBlocks: Column, hBlocks: Column,
+      orientation: Column): Column = {
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    b.column(OrientedJpegEncode(b.expression(seed), b.expression(wBlocks),
+      b.expression(hBlocks), b.expression(orientation)))
   }
 }

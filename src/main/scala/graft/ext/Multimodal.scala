@@ -799,6 +799,15 @@ object Multimodal {
         col("__e.orientation").as("orientation"),
         col("__e.datetime").as("datetime"))
 
+  /** Orientation-NORMALIZED image stats ([[JpegOrientedStats]]): read
+    * the EXIF orientation, un-rotate the decoded pixels, THEN hash —
+    * a camera-rotated copy and its upright original share a
+    * fingerprint, which plain pixel hashing cannot give (a 90°
+    * rotation scrambles every aHash cell). Same 14-column shape, same
+    * hash space as the other stat legs. */
+  def orientedImageContentStats(media: DataFrame): DataFrame =
+    statsOf(media.withColumn("__s", JpegOrientedStats(col("content"))))
+
   /** Media TRIAGE — the crawl pipeline's first pass over an opaque
     * content column: tag every row's container kind by magic bytes
     * ([[MediaKind]]), ONE cheap scan, no decode. At 100 TB the output

@@ -60,6 +60,44 @@ class ExifSpec extends SparkTestBase {
     assert(ExifKernel.extract(exifd.take(12)) == null)
   }
 
+  test("orient: hand-pinned transforms, inverse identity, and " +
+      "orientation-normalized hashing collapses rotation variance") {
+    // stored [A B; C D] (w=2, h=2)
+    val g = PngKernel.Gray(2, 2, Array(10, 20, 30, 40))
+    def px(gg: PngKernel.Gray) = (gg.width, gg.height, gg.luma.toSeq)
+    assert(px(ExifKernel.orient(g, 1)) == ((2, 2, Seq(10, 20, 30, 40))))
+    assert(px(ExifKernel.orient(g, 2)) == ((2, 2, Seq(20, 10, 40, 30))))
+    assert(px(ExifKernel.orient(g, 3)) == ((2, 2, Seq(40, 30, 20, 10))))
+    assert(px(ExifKernel.orient(g, 4)) == ((2, 2, Seq(30, 40, 10, 20))))
+    assert(px(ExifKernel.orient(g, 5)) == ((2, 2, Seq(10, 30, 20, 40))))
+    // rot90CW of [A B; C D] is [C A; D B]
+    assert(px(ExifKernel.orient(g, 6)) == ((2, 2, Seq(30, 10, 40, 20))))
+    assert(px(ExifKernel.orient(g, 7)) == ((2, 2, Seq(40, 20, 30, 10))))
+    assert(px(ExifKernel.orient(g, 8)) == ((2, 2, Seq(20, 40, 10, 30))))
+    // a non-square strip: rot90CW moves the left end to the top
+    val strip = PngKernel.Gray(2, 1, Array(7, 9))
+    assert(px(ExifKernel.orient(strip, 6)) == ((1, 2, Seq(7, 9))))
+    // inverse identity over every orientation
+    val r = PngKernel.Gray(3, 2, Array(1, 2, 3, 4, 5, 6))
+    for (o <- 1 to 8)
+      assert(px(ExifKernel.orient(
+        ExifKernel.orient(r, ExifKernel.inverseOrientation(o)), o)) == px(r),
+        s"o=$o")
+    // four camera rotations of ONE picture -> ONE fingerprint
+    val docs = spark.range(0, 4).select(col("id").as("doc_id"))
+    val media = docs.select(col("doc_id").as("media_id"),
+      OrientedJpegEncode(lit(9L), lit(6L), lit(4L),
+        when(col("doc_id") === 0, 1L).when(col("doc_id") === 1, 3L)
+          .when(col("doc_id") === 2, 6L).otherwise(8L)).as("content"))
+    val hs = Multimodal.orientedImageContentStats(media)
+      .select("ahash").as[Long].collect().toSet
+    assert(hs.size == 1, s"rotation variance survived: $hs")
+    // without normalization the same four bytes hash apart
+    val raw = Multimodal.jpegContentStats(media)
+      .select("ahash").as[Long].collect().toSet
+    assert(raw.size == 4)
+  }
+
   test("exifMeta over a mixed corpus: planted fields come back row by " +
       "row; EXIF-less rows keep ok=false") {
     val docs = spark.range(0, 12).select(col("id").as("doc_id"))
