@@ -3630,6 +3630,20 @@ object SparkEntry {
           .otherwise(col("content")))
       graft.ext.Multimodal.exifMeta(dirty).orderBy(col("media_id"))
     }),
+    // MP3 leg: ID3v2 tag block + MPEG1-L3 frame-header walk — frame
+    // count, duration samples, audio bytes and the text tags are pure
+    // header/table arithmetic (no entropy decode, the honest MP4-leg
+    // scope); doc 0's zeroed magic degrades to ok=false
+    "x_mm_mp3" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticMp3Corpus(docs, "doc_id",
+        col("doc_id") % 29, lit(3) + col("doc_id") % 10)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'000000', substring(content, 4))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.mp3Meta(dirty).orderBy(col("media_id"))
+    }),
     // ORIENTATION-normalized hashing: every row stores its pixels
     // camera-rotated (1/3/6/8 by row) with a real EXIF tag; the engine
     // must READ the tag and UN-rotate before hashing, because the
@@ -7137,6 +7151,30 @@ object SparkEntry {
     "x_mm_pixels_tiff" -> ("WITH " +
       pngHashCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
         "doc_id % 5") + ", " + pixelStatsSelect(" ORDER BY media_id")),
+    // MP3 replay: per-frame sizes from the bitrate/samplerate tables
+    // (144·br/sr + pad, integer division), duration as frames·1152,
+    // tags from the planted formula — the engine must walk real
+    // syncsafe ID3 lengths and real frame headers to land here
+    "x_mm_mp3" -> ("WITH d AS (SELECT doc_id, doc_id % 29 AS seed, " +
+      "3 + doc_id % 10 AS nf FROM documents), " +
+      "f AS (SELECT doc_id, seed, unnest(range(0, nf)) AS i FROM d), " +
+      "z AS (SELECT doc_id, " +
+      "[32,40,48,56,64,80,96,112,128,160,192,224,256,320]" +
+      "[CAST(1 + (seed + i) % 14 AS INT)] AS br, " +
+      "[44100,48000,32000][CAST(seed % 3 AS INT) + 1] AS sr, " +
+      "(seed + i) % 2 AS pad FROM f), " +
+      "sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames, " +
+      "CAST(SUM(144 * (br*1000) // sr + pad) AS BIGINT) AS bytes_audio, " +
+      "CAST(MAX(sr) AS BIGINT) AS sample_rate FROM z GROUP BY doc_id) " +
+      "SELECT d.doc_id AS media_id, d.doc_id <> 0 AS ok, " +
+      "CASE WHEN d.doc_id <> 0 THEN n_frames END AS n_frames, " +
+      "CASE WHEN d.doc_id <> 0 THEN n_frames * 1152 END AS samples_total, " +
+      "CASE WHEN d.doc_id <> 0 THEN sample_rate END AS sample_rate, " +
+      "CASE WHEN d.doc_id <> 0 THEN bytes_audio END AS bytes_audio, " +
+      "CASE WHEN d.doc_id <> 0 THEN 'TITLE-' || CAST(seed % 13 AS VARCHAR) END AS title, " +
+      "CASE WHEN d.doc_id <> 0 THEN 'ARTIST-' || CAST(seed % 11 AS VARCHAR) END AS artist, " +
+      "CASE WHEN d.doc_id <> 0 THEN 'ALBUM-' || CAST(seed % 7 AS VARCHAR) END AS album " +
+      "FROM d JOIN sz USING (doc_id) ORDER BY media_id"),
     // orientation replay: the oracle is the UPRIGHT chain only — any
     // un-normalized rotation would shift width/height and every hash
     "x_mm_orient" -> ("WITH " +

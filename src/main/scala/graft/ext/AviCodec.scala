@@ -211,6 +211,8 @@ object MediaKind {
     else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ') "avi"
     else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') "mp4"
+    else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') "mp3"
+    else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xE0) == 0xE0) "mp3"
     else "unknown"
   }
 

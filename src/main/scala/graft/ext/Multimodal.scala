@@ -808,6 +808,27 @@ object Multimodal {
   def orientedImageContentStats(media: DataFrame): DataFrame =
     statsOf(media.withColumn("__s", JpegOrientedStats(col("content"))))
 
+  /** Synthesize a REAL MP3 corpus ([[Mp3Encode]]: ID3v2.3 tag block +
+    * MPEG1-L3 frame chain under the documented header contract). */
+  def syntheticMp3Corpus(df: DataFrame, idCol: String, seed: Column,
+      nFrames: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      Mp3Encode(seed.cast("long"), nFrames.cast("long")).as("content"))
+
+  /** MP3 metadata per row ([[Mp3Meta]]): frame count, total samples
+    * (duration = samples/rate), audio byte length, and the ID3 text
+    * tags — the audio-corpus triage columns (duration filters, tag
+    * dedup) without entropy decode. Undecodable → ok=false rows. */
+  def mp3Meta(media: DataFrame, maxFrames: Int = 65536): DataFrame =
+    media.withColumn("__m", Mp3Meta(col("content"), maxFrames))
+      .select(col("media_id"), col("__m.ok").as("ok"),
+        col("__m.n_frames").as("n_frames"),
+        col("__m.samples_total").as("samples_total"),
+        col("__m.sample_rate").as("sample_rate"),
+        col("__m.bytes_audio").as("bytes_audio"),
+        col("__m.title").as("title"), col("__m.artist").as("artist"),
+        col("__m.album").as("album"))
+
   /** Media TRIAGE — the crawl pipeline's first pass over an opaque
     * content column: tag every row's container kind by magic bytes
     * ([[MediaKind]]), ONE cheap scan, no decode. At 100 TB the output
