@@ -3630,6 +3630,25 @@ object SparkEntry {
           .otherwise(col("content")))
       graft.ext.Multimodal.exifMeta(dirty).orderBy(col("media_id"))
     }),
+    // WARC ingestion: the container crawls ACTUALLY arrive in — header
+    // lines + Content-Length payloads, every third row gzip-membered
+    // (the CommonCrawl layout); the oracle replays type/URI/length/
+    // byte-sums from the planted contract and cannot see the gzip, so
+    // the engine must really gunzip + walk; doc 0's broken magic
+    // contributes ZERO rows
+    "x_warc" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticWarcCorpus(docs, "doc_id",
+        col("doc_id") % 13, lit(2) + col("doc_id") % 5,
+        col("doc_id") % 3 === 0)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00000000', substring(content, 5))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.warcRecords(dirty)
+        .drop("payload")
+        .orderBy(col("media_id"), col("rec_idx"))
+    }),
     // MP3 leg: ID3v2 tag block + MPEG1-L3 frame-header walk — frame
     // count, duration samples, audio bytes and the text tags are pure
     // header/table arithmetic (no entropy decode, the honest MP4-leg
@@ -7151,6 +7170,23 @@ object SparkEntry {
     "x_mm_pixels_tiff" -> ("WITH " +
       pngHashCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
         "doc_id % 5") + ", " + pixelStatsSelect(" ORDER BY media_id")),
+    // WARC replay: every header field and payload-byte signal from the
+    // planted contract; gzip membering is INVISIBLE here — only an
+    // engine that really gunzips and walks the records can match
+    "x_warc" -> ("WITH d AS (SELECT doc_id, doc_id % 13 AS seed, " +
+      "2 + doc_id % 5 AS n FROM documents WHERE doc_id <> 0), " +
+      "r AS (SELECT doc_id, seed, unnest(range(0, n)) AS i FROM d), " +
+      "z AS (SELECT doc_id, seed, i, 10 + (seed + i*3) % 50 AS len FROM r) " +
+      "SELECT doc_id AS media_id, CAST(i AS BIGINT) AS rec_idx, " +
+      "'response' AS warc_type, " +
+      "'http://host-' || CAST(seed % 7 AS VARCHAR) || '.example/p' || " +
+      "CAST(i AS VARCHAR) AS target_uri, " +
+      "'2024-01-01T00:00:00Z' AS warc_date, " +
+      "CAST(len AS BIGINT) AS content_length, " +
+      "CAST((seed*31 + i*17) % 256 AS BIGINT) AS first_byte, " +
+      "CAST(list_sum([ (seed*31 + i*17 + j*11) % 256 " +
+      "for j in range(0, len)]) AS BIGINT) AS byte_sum " +
+      "FROM z ORDER BY media_id, rec_idx"),
     // MP3 replay: per-frame sizes from the bitrate/samplerate tables
     // (144·br/sr + pad, integer division), duration as frames·1152,
     // tags from the planted formula — the engine must walk real

@@ -213,6 +213,9 @@ object MediaKind {
     else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') "mp4"
     else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') "mp3"
     else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xE0) == 0xE0) "mp3"
+    else if (b(0) == 'W' && b(1) == 'A' && b(2) == 'R' && b(3) == 'C' &&
+      b(4) == '/') "warc"
+    else if ((b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B) "gzip"
     else "unknown"
   }
 

@@ -829,6 +829,32 @@ object Multimodal {
         col("__m.title").as("title"), col("__m.artist").as("artist"),
         col("__m.album").as("album"))
 
+  /** Synthesize a REAL WARC corpus ([[WarcEncode]]: version + header
+    * lines + Content-Length payloads, optionally gzip-membered one
+    * member per record — the CommonCrawl layout), distributed. */
+  def syntheticWarcCorpus(df: DataFrame, idCol: String, seed: Column,
+      nRecords: Column, gzipped: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      WarcEncode(seed.cast("long"), nRecords.cast("long"),
+        gzipped.cast("boolean")).as("content"))
+
+  /** WARC INGESTION: per-record rows out of a (possibly gzip-membered)
+    * WARC column — type/URI/date/length plus the exact payload-byte
+    * signals, and the payload bytes themselves for the triage + decode
+    * legs downstream. Undecodable archives contribute ZERO rows; one
+    * expression pass + explode fanout, zero shuffle. */
+  def warcRecords(media: DataFrame, maxRecords: Int = 4096): DataFrame =
+    media.withColumn("__w", WarcRecords(col("content"), maxRecords))
+      .select(col("media_id"), explode(col("__w.records")).as("__r"))
+      .select(col("media_id"), col("__r.rec_idx").as("rec_idx"),
+        col("__r.warc_type").as("warc_type"),
+        col("__r.target_uri").as("target_uri"),
+        col("__r.warc_date").as("warc_date"),
+        col("__r.content_length").as("content_length"),
+        col("__r.first_byte").as("first_byte"),
+        col("__r.byte_sum").as("byte_sum"),
+        col("__r.payload").as("payload"))
+
   /** Media TRIAGE — the crawl pipeline's first pass over an opaque
     * content column: tag every row's container kind by magic bytes
     * ([[MediaKind]]), ONE cheap scan, no decode. At 100 TB the output
