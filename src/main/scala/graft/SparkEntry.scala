@@ -3630,6 +3630,25 @@ object SparkEntry {
           .otherwise(col("content")))
       graft.ext.Multimodal.exifMeta(dirty).orderBy(col("media_id"))
     }),
+    // WebDataset-shard (tar) ingestion: checksum-verified ustar walk,
+    // every third row gzip-membered (.tar.gz); names/sizes/byte-sums
+    // replayed from the planted contract — the gzip is invisible to
+    // the oracle; doc 0's corrupt checksum contributes ZERO rows
+    "x_tar" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticTarCorpus(docs, "doc_id",
+        col("doc_id") % 17, lit(2) + col("doc_id") % 4)
+      val gz = media.withColumn("content",
+        when(col("media_id") % 3 === 0,
+          graft.ext.GzipBytes(col("content"))).otherwise(col("content")))
+      val dirty = gz.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(substring(content, 1, 150), X'77', substring(content, 152))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.tarMembers(dirty)
+        .drop("payload")
+        .orderBy(col("media_id"), col("member_idx"))
+    }),
     // WARC ingestion: the container crawls ACTUALLY arrive in — header
     // lines + Content-Length payloads, every third row gzip-membered
     // (the CommonCrawl layout); the oracle replays type/URI/length/
@@ -7170,6 +7189,21 @@ object SparkEntry {
     "x_mm_pixels_tiff" -> ("WITH " +
       pngHashCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
         "doc_id % 5") + ", " + pixelStatsSelect(" ORDER BY media_id")),
+    // tar replay: member names, octal-decoded sizes and payload
+    // byte-sums from the planted contract; the .tar.gz membering is
+    // invisible — only a checksum-verified ustar walk (after a real
+    // gunzip on every third row) lands on these values
+    "x_tar" -> ("WITH d AS (SELECT doc_id, doc_id % 17 AS seed, " +
+      "2 + doc_id % 4 AS n FROM documents WHERE doc_id <> 0), " +
+      "r AS (SELECT doc_id, seed, unnest(range(0, n)) AS i FROM d), " +
+      "z AS (SELECT doc_id, seed, i, 10 + (seed + i*7) % 100 AS sz FROM r) " +
+      "SELECT doc_id AS media_id, CAST(i AS BIGINT) AS member_idx, " +
+      "'shard/doc-' || CAST(i AS VARCHAR) || '.bin' AS name, " +
+      "CAST(sz AS BIGINT) AS size, " +
+      "CAST((seed*13 + i*29) % 256 AS BIGINT) AS first_byte, " +
+      "CAST(list_sum([ (seed*13 + i*29 + j*7) % 256 " +
+      "for j in range(0, sz)]) AS BIGINT) AS byte_sum " +
+      "FROM z ORDER BY media_id, member_idx"),
     // WARC replay: every header field and payload-byte signal from the
     // planted contract; gzip membering is INVISIBLE here — only an
     // engine that really gunzips and walks the records can match

@@ -855,6 +855,26 @@ object Multimodal {
         col("__r.byte_sum").as("byte_sum"),
         col("__r.payload").as("payload"))
 
+  /** Synthesize a REAL ustar corpus ([[TarEncode]]: verified-checksum
+    * headers, block padding, zero-block terminator), distributed. */
+  def syntheticTarCorpus(df: DataFrame, idCol: String, seed: Column,
+      nMembers: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      TarEncode(seed.cast("long"), nMembers.cast("long")).as("content"))
+
+  /** WebDataset-SHARD ingestion: per-member rows out of a tar (or
+    * .tar.gz) column — name/size + exact payload-byte signals + the
+    * payload bytes for the triage/decode legs. Undecodable archives
+    * contribute ZERO rows; one expression pass + explode fanout. */
+  def tarMembers(media: DataFrame, maxMembers: Int = 4096): DataFrame =
+    media.withColumn("__t", TarMembers(col("content"), maxMembers))
+      .select(col("media_id"), explode(col("__t.members")).as("__m"))
+      .select(col("media_id"), col("__m.member_idx").as("member_idx"),
+        col("__m.name").as("name"), col("__m.size").as("size"),
+        col("__m.first_byte").as("first_byte"),
+        col("__m.byte_sum").as("byte_sum"),
+        col("__m.payload").as("payload"))
+
   /** Media TRIAGE — the crawl pipeline's first pass over an opaque
     * content column: tag every row's container kind by magic bytes
     * ([[MediaKind]]), ONE cheap scan, no decode. At 100 TB the output

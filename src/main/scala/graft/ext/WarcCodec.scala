@@ -88,6 +88,9 @@ private[ext] object WarcKernel {
     out.toByteArray
   }
 
+  /** The member-walk gunzip, shared with the tar leg (.tar.gz). */
+  private[ext] def gunzip(b: Array[Byte]): Array[Byte] = plainBytes(b)
+
   def records(raw: Array[Byte], maxRecords: Int): Array[Rec] = {
     if (raw == null || raw.length < 8) return null
     val b = plainBytes(raw)
@@ -246,6 +249,41 @@ object WarcRecords {
     org.apache.spark.sql.graftbridge.Bridge.column(
       WarcRecords(org.apache.spark.sql.graftbridge.Bridge.expression(c),
         maxRecords))
+}
+
+/** Gzip a binary column (one RFC 1952 member, FLG=0) — the fixture
+  * half of the archive legs' transparent-gunzip contract (and a
+  * general compression verb for binary payloads). Null in → null. */
+case class GzipBytes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gzip_bytes requires binary, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GzipBytes =
+    copy(child = newChild)
+
+  override def prettyName: String = "gzip_bytes"
+}
+
+object GzipBytes {
+  def apply(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      GzipBytes(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
 }
 
 /** Deterministic WARC fixture generator (distributed), plain or
