@@ -3630,6 +3630,24 @@ object SparkEntry {
           .otherwise(col("content")))
       graft.ext.Multimodal.exifMeta(dirty).orderBy(col("media_id"))
     }),
+    // ZIP-bundle ingestion: central-directory walk (the only truthful
+    // path — streaming writers zero local sizes behind data
+    // descriptors), CRC-verified inflate on the even rows' deflated
+    // members; the oracle sees neither the compression nor the CD
+    // layout — only the member contract; doc 0 is corrupt
+    "x_zip" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticZipCorpus(docs, "doc_id",
+        col("doc_id") % 19, lit(2) + col("doc_id") % 4,
+        col("doc_id") % 2 === 0)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0, // EOCD cut off: no truthful walk
+          expr("substring(content, 1, length(content) - 12)"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.zipMembers(dirty)
+        .drop("payload", "method")
+        .orderBy(col("media_id"), col("member_idx"))
+    }),
     // WebDataset-shard (tar) ingestion: checksum-verified ustar walk,
     // every third row gzip-membered (.tar.gz); names/sizes/byte-sums
     // replayed from the planted contract — the gzip is invisible to
@@ -7189,6 +7207,20 @@ object SparkEntry {
     "x_mm_pixels_tiff" -> ("WITH " +
       pngHashCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
         "doc_id % 5") + ", " + pixelStatsSelect(" ORDER BY media_id")),
+    // zip replay: member names/sizes/byte-sums from the planted
+    // contract — compression and directory layout invisible; only a
+    // CRC-verified CD walk (+ real inflate on even rows) lands here
+    "x_zip" -> ("WITH d AS (SELECT doc_id, doc_id % 19 AS seed, " +
+      "2 + doc_id % 4 AS n FROM documents WHERE doc_id <> 0), " +
+      "r AS (SELECT doc_id, seed, unnest(range(0, n)) AS i FROM d), " +
+      "z AS (SELECT doc_id, seed, i, 10 + (seed + i*5) % 80 AS sz FROM r) " +
+      "SELECT doc_id AS media_id, CAST(i AS BIGINT) AS member_idx, " +
+      "'bundle/doc-' || CAST(i AS VARCHAR) || '.bin' AS name, " +
+      "CAST(sz AS BIGINT) AS size, " +
+      "CAST((seed*17 + i*23) % 256 AS BIGINT) AS first_byte, " +
+      "CAST(list_sum([ (seed*17 + i*23 + j*9) % 256 " +
+      "for j in range(0, sz)]) AS BIGINT) AS byte_sum " +
+      "FROM z ORDER BY media_id, member_idx"),
     // tar replay: member names, octal-decoded sizes and payload
     // byte-sums from the planted contract; the .tar.gz membering is
     // invisible — only a checksum-verified ustar walk (after a real

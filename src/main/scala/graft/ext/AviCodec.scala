@@ -216,6 +216,7 @@ object MediaKind {
     else if (b(0) == 'W' && b(1) == 'A' && b(2) == 'R' && b(3) == 'C' &&
       b(4) == '/') "warc"
     else if ((b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B) "gzip"
+    else if (b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4) "zip"
     else if (b.length >= 263 && b(257) == 'u' && b(258) == 's' &&
       b(259) == 't' && b(260) == 'a' && b(261) == 'r') "tar"
     else "unknown"

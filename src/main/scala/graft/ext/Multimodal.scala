@@ -875,6 +875,29 @@ object Multimodal {
         col("__m.byte_sum").as("byte_sum"),
         col("__m.payload").as("payload"))
 
+  /** Synthesize a REAL zip corpus ([[ZipEncode]]: JDK-written central
+    * directory, stored or deflated members), distributed. */
+  def syntheticZipCorpus(df: DataFrame, idCol: String, seed: Column,
+      nMembers: Column, deflated: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      ZipEncode(seed.cast("long"), nMembers.cast("long"),
+        deflated.cast("boolean")).as("content"))
+
+  /** ZIP-bundle ingestion: per-member rows via the central-directory
+    * walk (CRC-verified inflate for deflated members) — name/size/
+    * method + exact payload signals + the payload bytes for the
+    * triage/decode legs. Undecodable or CRC-failing archives
+    * contribute ZERO rows; one expression pass + explode fanout. */
+  def zipMembers(media: DataFrame, maxMembers: Int = 4096): DataFrame =
+    media.withColumn("__z", ZipMembers(col("content"), maxMembers))
+      .select(col("media_id"), explode(col("__z.members")).as("__m"))
+      .select(col("media_id"), col("__m.member_idx").as("member_idx"),
+        col("__m.name").as("name"), col("__m.size").as("size"),
+        col("__m.method").as("method"),
+        col("__m.first_byte").as("first_byte"),
+        col("__m.byte_sum").as("byte_sum"),
+        col("__m.payload").as("payload"))
+
   /** Media TRIAGE — the crawl pipeline's first pass over an opaque
     * content column: tag every row's container kind by magic bytes
     * ([[MediaKind]]), ONE cheap scan, no decode. At 100 TB the output

@@ -981,6 +981,24 @@ object ScaleDemo {
         .agg(sum(col("sum_luma")), count(lit(1))).collect()(0)
       r.getLong(1)
     }
+    timed("archive_walk") {
+      // WARC + tar + zip walks are zero-shuffle linear scans; ~K·15000
+      // members/records walked with full payload byte-sums forced
+      val ids = corpus.select(col("doc_id"))
+      val w = graft.ext.Multimodal.warcRecords(
+        graft.ext.Multimodal.syntheticWarcCorpus(ids, "doc_id",
+          col("doc_id") % 13, lit(3), col("doc_id") % 3 === 0))
+        .agg(sum(col("byte_sum")), count(lit(1))).collect()(0).getLong(1)
+      val t = graft.ext.Multimodal.tarMembers(
+        graft.ext.Multimodal.syntheticTarCorpus(ids, "doc_id",
+          col("doc_id") % 17, lit(3)))
+        .agg(sum(col("byte_sum")), count(lit(1))).collect()(0).getLong(1)
+      val z = graft.ext.Multimodal.zipMembers(
+        graft.ext.Multimodal.syntheticZipCorpus(ids, "doc_id",
+          col("doc_id") % 19, lit(3), col("doc_id") % 2 === 0))
+        .agg(sum(col("byte_sum")), count(lit(1))).collect()(0).getLong(1)
+      w + t + z
+    }
     timedVec("ann_recall") {
       // both sides of the scorecard at Kx: approx = pruned ADC scan,
       // exact = one broadcast corpus scan; the overlap join is 40 rows
