@@ -175,6 +175,66 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("media_kind"),
+      new ExpressionInfo(classOf[graft.ext.MediaKind].getName, "media_kind"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.ext.MediaKind(c)
+        case _ => throw new IllegalArgumentException("media_kind(binary)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("jpeg_exif_meta"),
+      new ExpressionInfo(classOf[graft.ext.JpegExifMeta].getName,
+        "jpeg_exif_meta"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.ext.JpegExifMeta(c)
+        case _ => throw new IllegalArgumentException("jpeg_exif_meta(binary)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("mp3_meta"),
+      new ExpressionInfo(classOf[graft.ext.Mp3Meta].getName, "mp3_meta"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.ext.Mp3Meta(c, 65536)
+        case Seq(c, m) => graft.ext.Mp3Meta(c, intArg(m, "maxFrames"))
+        case _ => throw new IllegalArgumentException(
+          "mp3_meta(binary[, maxFrames])")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("warc_records"),
+      new ExpressionInfo(classOf[graft.ext.WarcRecords].getName,
+        "warc_records"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.ext.WarcRecords(c, 4096)
+        case Seq(c, m) => graft.ext.WarcRecords(c, intArg(m, "maxRecords"))
+        case _ => throw new IllegalArgumentException(
+          "warc_records(binary[, maxRecords])")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("tar_members"),
+      new ExpressionInfo(classOf[graft.ext.TarMembers].getName,
+        "tar_members"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.ext.TarMembers(c, 4096)
+        case Seq(c, m) => graft.ext.TarMembers(c, intArg(m, "maxMembers"))
+        case _ => throw new IllegalArgumentException(
+          "tar_members(binary[, maxMembers])")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("zip_members"),
+      new ExpressionInfo(classOf[graft.ext.ZipMembers].getName,
+        "zip_members"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.ext.ZipMembers(c, 4096)
+        case Seq(c, m) => graft.ext.ZipMembers(c, intArg(m, "maxMembers"))
+        case _ => throw new IllegalArgumentException(
+          "zip_members(binary[, maxMembers])")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("gray_png_encode"),
       new ExpressionInfo(classOf[graft.ext.GrayPngEncode].getName,
         "gray_png_encode"),

@@ -133,4 +133,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(0) == 3 && r.getBoolean(1) && r.getLong(2) == 256L &&
       !r.getBoolean(3))
   }
+
+  test("archive + metadata functions from SQL: media_kind, exif, mp3, " +
+      "warc/tar/zip walks") {
+    val r = spark.sql(
+      """SELECT media_kind(avi_mjpeg_encode(1L, 1L, 1L, 1L)) AS k,
+        |       jpeg_exif_meta(CAST('junk' AS BINARY)).ok AS e,
+        |       mp3_meta(CAST('junk' AS BINARY)).ok AS m,
+        |       warc_records(CAST('junk' AS BINARY)).ok AS w,
+        |       tar_members(CAST('junk' AS BINARY)).ok AS t,
+        |       zip_members(CAST('junk' AS BINARY)).ok AS z
+        |""".stripMargin).collect()(0)
+    assert(r.getString(0) == "avi" && !r.getBoolean(1) && !r.getBoolean(2) &&
+      !r.getBoolean(3) && !r.getBoolean(4) && !r.getBoolean(5))
+  }
 }
