@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The never-throw contract, adversarially enforced: every byte-level
+  * kernel must return null/empty on ANY input — crawl bytes are
+  * hostile by default, and one uncaught ArrayIndexOutOfBounds in an
+  * expression fails a whole Spark stage (the r11 Mp4 zero-size-sample
+  * finding, generalized). Three attack shapes, all DETERMINISTIC
+  * (fixed seed — a flaky fuzz test is worse than none):
+  *   1. pure random bytes,
+  *   2. magic-prefixed random tails (forces the deep parse paths),
+  *   3. valid fixtures with random byte flips and truncations (the
+  *      realistic corruption: mostly-right files).
+  * No Spark session needed — kernels are plain functions, so the
+  * budget is thousands of examples, not five. */
+class FuzzSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(987654321L)
+
+  private def randomBytes(maxLen: Int): Array[Byte] = {
+    val b = new Array[Byte](rnd.nextInt(maxLen))
+    rnd.nextBytes(b)
+    b
+  }
+
+  /** Every kernel entry point under test; each must simply not throw. */
+  private def throwNothing(b: Array[Byte]): Unit = {
+    GraySniff.decode(b)
+    MediaKind.sniff(b)
+    PngKernel.decodeGray(b)
+    JpegKernel.decodeGrayY(b)
+    GifKernel.decodeGrayFirstFrame(b)
+    BmpKernel.decodeGray(b)
+    TiffKernel.decodeGray(b)
+    ExifKernel.extract(b)
+    AviKernel.decodeFrames(b, 64)
+    Mp4Kernel.decodeSamples(b, 64)
+    WavKernel.decodePcm(b)
+    Mp3Kernel.parse(b, 256)
+    WarcKernel.records(b, 64)
+    TarKernel.members(b, 64)
+    ZipKernel.members(b, 64)
+  }
+
+  test("pure random bytes never throw in any kernel") {
+    for (_ <- 0 until 400) throwNothing(randomBytes(2048))
+    throwNothing(Array.empty[Byte])
+    throwNothing(null)
+  }
+
+  test("magic-prefixed random tails never throw (deep parse paths)") {
+    val magics: Seq[Array[Byte]] = Seq(
+      Array(0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A),
+      Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte),
+      "GIF89a".getBytes,
+      Array[Byte]('B', 'M'),
+      Array[Byte]('I', 'I', 0x2A, 0),
+      Array[Byte]('M', 'M', 0, 0x2A),
+      "RIFF1234WAVE".getBytes,
+      "RIFF1234AVI ".getBytes,
+      Array[Byte](0, 0, 0, 16, 'f', 't', 'y', 'p'),
+      "ID3".getBytes,
+      Array(0xFF.toByte, 0xFB.toByte),
+      "WARC/1.0\r\n".getBytes,
+      Array(0x1F.toByte, 0x8B.toByte, 8, 0),
+      Array[Byte]('P', 'K', 3, 4),
+      Array[Byte]('P', 'K', 5, 6))
+    for (_ <- 0 until 60; m <- magics)
+      throwNothing(m ++ randomBytes(1024))
+  }
+
+  test("mutated valid fixtures never throw (single flips + truncations)") {
+    val fixtures: Seq[Array[Byte]] = Seq(
+      PngKernel.encodeGray(11, 7, (x, y) => (x * 3 + y) % 256, _ => 1),
+      JpegKernel.encodeGrayBlocks(2, 2, (bx, by) => bx * 40 + by * 20),
+      BmpKernel.encodeGray24(9, 5, (x, y) => (x + y) % 256),
+      TiffKernel.encodeGray8(8, 6, (x, y) => (x * 5 + y) % 256),
+      AviKernel.encodeMjpeg(3, 2, 1, 1),
+      Mp4Kernel.encodeSamples(5, 6),
+      WavKernel.encodePcm16Mono(90, 8000, i => (i * 37) % 3000 - 1500),
+      WavKernel.encodeG711Mono(80, 8000, 7, i => (i * 11) % 256),
+      Mp3Kernel.encode(4, 3, "T", "A", "B"),
+      WarcKernel.encode(2, 3, gzipped = false),
+      WarcKernel.encode(2, 3, gzipped = true),
+      TarKernel.encode(6, 3),
+      ZipKernel.encode(7, 3, deflated = true),
+      ZipKernel.encode(7, 3, deflated = false),
+      ExifKernel.withExif(
+        JpegKernel.encodeGrayBlocks(1, 1, (_, _) => 9),
+        "M", "N", 6, "2020:01:02 03:04:05"))
+    for (f <- fixtures) {
+      throwNothing(f) // the pristine fixture first
+      for (_ <- 0 until 120) {
+        val m = f.clone()
+        val flips = 1 + rnd.nextInt(4)
+        for (_ <- 0 until flips)
+          m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        throwNothing(m)
+      }
+      for (_ <- 0 until 60)
+        throwNothing(f.take(rnd.nextInt(f.length + 1)))
+      // swapped-format confusion: one format's body behind another's
+      // magic (the sniff must hand dirt to the right kernel safely)
+      for (g <- fixtures if g ne f)
+        throwNothing(f.take(8) ++ g.drop(8))
+    }
+  }
+}
