@@ -3612,6 +3612,22 @@ object SparkEntry {
         .drop("ahash", "dhash")
         .orderBy(col("media_id"))
     }),
+    // PNG text-chunk leg: real tEXt + zTXt chunks (CRCs computed, the
+    // zTXt value really zlib-deflated) spliced into a real PNG — the
+    // engine must walk chunks, verify CRCs and inflate to land on the
+    // planted strings; doc 0's broken magic contributes ZERO rows
+    "x_mm_pngtext" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = docs.select(col("doc_id").cast("long").as("media_id"),
+        graft.ext.PngWithTextEncode((col("doc_id") % 31).cast("long"),
+          lit(9L), lit(8L)).as("content"))
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00', substring(content, 2))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.pngTextEntries(dirty)
+        .orderBy(col("media_id"), col("key"))
+    }),
     // EXIF leg: a REAL APP1 TIFF-IFD block planted inside the baseline
     // JPEG (the marker walk + the TIFF tag machinery composed) —
     // make/model/orientation/datetime replayed field by field; doc 0
@@ -7282,6 +7298,15 @@ object SparkEntry {
     "x_mm_orient" -> ("WITH " +
       jpegHashCtes("doc_id % 23", 6, 4, "doc_id < 200") + ", " +
       pixelStatsSelect(" ORDER BY media_id")),
+    // PNG text replay: two rows per doc from the planted contract —
+    // the zTXt compression is invisible to the oracle
+    "x_mm_pngtext" -> ("WITH d AS (SELECT doc_id, doc_id % 31 AS seed " +
+      "FROM documents WHERE doc_id <> 0) " +
+      "SELECT doc_id AS media_id, 'Author' AS key, " +
+      "'author-' || CAST(seed % 9 AS VARCHAR) AS value FROM d " +
+      "UNION ALL SELECT doc_id, 'Description', " +
+      "'desc-' || CAST(seed % 6 AS VARCHAR) FROM d " +
+      "ORDER BY media_id, key"),
     // EXIF field replay: every value is a pure function of the planted
     // contract — the engine must walk a real APP1 marker chain AND a
     // real TIFF IFD (types, inline-vs-offset, NUL-terminated ASCII)

@@ -898,6 +898,16 @@ object Multimodal {
         col("__m.byte_sum").as("byte_sum"),
         col("__m.payload").as("payload"))
 
+  /** PNG textual metadata per row ([[PngTextMeta]]): (key, value)
+    * entries from CRC-verified tEXt/zTXt/iTXt chunks — the PNG twin of
+    * [[exifMeta]] (author/source/caption curation columns). Dirty
+    * containers contribute ZERO rows. */
+  def pngTextEntries(media: DataFrame): DataFrame =
+    media.withColumn("__p", PngTextMeta(col("content")))
+      .select(col("media_id"), explode(col("__p.entries")).as("__e"))
+      .select(col("media_id"), col("__e.key").as("key"),
+        col("__e.value").as("value"))
+
   /** Media TRIAGE — the crawl pipeline's first pass over an opaque
     * content column: tag every row's container kind by magic bytes
     * ([[MediaKind]]), ONE cheap scan, no decode. At 100 TB the output
