@@ -3540,6 +3540,53 @@ object SparkEntry {
         .drop("ahash", "dhash")
         .orderBy(col("media_id"))
     }),
+    // PROGRESSIVE JPEG content leg: real SOF2 multi-scan streams
+    // (successive-approximation DC, EOBRUN AC bands) decoded by the
+    // T.81 Annex G path — SAME block contract as x_mm_pixels_jpeg, so
+    // its oracle replays verbatim; doc 0's zeroed SOI degrades
+    "x_mm_pixels_jpeg_prog" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").filter(col("doc_id") < 200)
+      val media = graft.ext.Multimodal.syntheticProgJpegCorpus(docs,
+        "doc_id", col("doc_id") % 23, lit(8), lit(8))
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'0000', substring(content, 3))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.jpegContentStats(dirty)
+        .drop("ahash", "dhash")
+        .orderBy(col("media_id"))
+    }),
+    // PALETTE PNG content leg (color type 3): the engine must walk a
+    // real PLTE and remap every index to the entry's BT.601 luma
+    "x_mm_pixels_palette" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticPalettePngCorpus(docs,
+        "doc_id", col("doc_id") % 9, lit(16) + col("doc_id") % 7,
+        lit(12) + col("doc_id") % 5)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00', substring(content, 2))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.imageContentStats(dirty)
+        .drop("ahash", "dhash")
+        .orderBy(col("media_id"))
+    }),
+    // ADAM7-INTERLACED PNG content leg: seven filtered sub-images
+    // reassembled — SAME pixel contract as x_mm_pixels, so its oracle
+    // replays verbatim while the engine must deinterlace
+    "x_mm_pixels_adam7" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticAdam7PngCorpus(docs,
+        "doc_id", col("doc_id") % 7, lit(9) + col("doc_id") % 8,
+        lit(8) + col("doc_id") % 6, col("doc_id") % 5)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'0000000000000000', substring(content, 9))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.imageContentStats(dirty)
+        .drop("ahash", "dhash")
+        .orderBy(col("media_id"))
+    }),
     // CROSS-container near-dup: the same picture stored as PNG and as
     // GIF must land in the same Hamming ball through ONE sniffing scan
     // — the mixed-crawl dedup story end to end (identical pixel
@@ -4110,6 +4157,48 @@ object SparkEntry {
           col("img_fp").bitwiseAND(lit(0xFFFFFFFFL)).as("fp_lo"))
         .orderBy(col("media_id"))
     }),
+    // ORIENTATION-NORMALIZED streaming door: batch 0 ingests upright
+    // block JPEGs; batch 1 carries camera-rotated EXIF copies of them
+    // (DROP — the door un-rotates by EXIF orientation before hashing;
+    // raw-pixel hashing would let every one through) plus novel seeds
+    // (KEEP); doc 0's corrupted bytes ride along hash-less
+    "x_stream_imgorient" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").filter(col("doc_id") < 120)
+      val b0 = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").cast("long").as("media_id"),
+          graft.ext.BlockJpegEncode((col("doc_id") % 40).cast("long"),
+            lit(6L), lit(4L)).as("content"))
+        .withColumn("content", when(col("media_id") === 0,
+          expr("concat(X'0000', substring(content, 3))"))
+          .otherwise(col("content")))
+        .withColumn("year", lit(2020L))
+      val rot = docs
+        .filter(col("doc_id") % 3 === 1 && col("doc_id") % 2 === 1)
+        .select(col("doc_id").cast("long").as("media_id"),
+          graft.ext.OrientedJpegEncode((col("doc_id") % 40).cast("long"),
+            lit(6L), lit(4L),
+            when(col("doc_id") % 5 < 2, 3L).when(col("doc_id") % 5 < 4, 6L)
+              .otherwise(8L).cast("long")).as("content"))
+      val nov = docs
+        .filter(col("doc_id") % 3 === 1 && col("doc_id") % 2 === 0)
+        .select(col("doc_id").cast("long").as("media_id"),
+          graft.ext.BlockJpegEncode(
+            (lit(40L) + col("doc_id") % 97).cast("long"),
+            lit(6L), lit(4L)).as("content"))
+      val b1 = rot.unionByName(nov).withColumn("year", lit(2021L))
+      val wh = new graft.snapshot.Warehouse(s,
+        TempDirs.scratchDir("graft_io_wh").toString)
+      val idxDir = TempDirs.scratchDir("graft_io_idx").toString
+      graft.streaming.ImageIngest.ingestBatch(b0, "media_id", "content",
+        wh, "novel_images", idxDir, 0L)
+      graft.streaming.ImageIngest.ingestBatch(b1, "media_id", "content",
+        wh, "novel_images", idxDir, 1L)
+      wh.read("novel_images").get
+        .select(col("media_id"),
+          shiftrightunsigned(col("img_fp"), 32).as("fp_hi"),
+          col("img_fp").bitwiseAND(lit(0xFFFFFFFFL)).as("fp_lo"))
+        .orderBy(col("media_id"))
+    }),
     // RESIZE verb: decode + exact 4x4 box-downsample, one row per output
     // pixel — floor cell means the oracle re-derives from the pixel
     // formula; the corrupted row contributes zero rows
@@ -4346,7 +4435,7 @@ object SparkEntry {
       "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_minima, " +
       "MAX(h) AS kth_hash FROM t) " +
       "SELECT n_minima, kth_hash, CAST(CASE WHEN n_minima < 64 " +
-      "THEN n_minima ELSE (2305843009213693951 // kth_hash) * 63 " +
+      "THEN n_minima ELSE (2305843009213693951 // NULLIF(kth_hash, 0)) * 63 " +
       "END AS BIGINT) AS distinct_est FROM a"),
     // Broder resemblance replay: both sketches, the combined k-minima,
     // and the three estimates — exact integers end to end
@@ -4365,7 +4454,7 @@ object SparkEntry {
       "MAX(h) AS union_kth FROM ux) " +
       "SELECT n_x, y, CAST(y * 1000000 // n_x AS BIGINT) AS jaccard_micro, " +
       "union_kth, CAST(CASE WHEN n_x < 64 THEN n_x " +
-      "ELSE (2305843009213693951 // union_kth) * 63 END AS BIGINT) " +
+      "ELSE (2305843009213693951 // NULLIF(union_kth, 0)) * 63 END AS BIGINT) " +
       "AS union_est FROM xa CROSS JOIN yy"),
     // per-column replay of the x_hll register contract: stack the four
     // stringified columns, then the same md5 bucket/rank fold per column
@@ -7223,6 +7312,22 @@ object SparkEntry {
     "x_mm_pixels_tiff" -> ("WITH " +
       pngHashCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
         "doc_id % 5") + ", " + pixelStatsSelect(" ORDER BY media_id")),
+    // progressive-JPEG pixel replay: the engine must run the SOF2
+    // multi-scan accumulation (successive-approximation DC + EOBRUN) —
+    // SAME oracle chain as x_mm_pixels_jpeg (identical block contract)
+    "x_mm_pixels_jpeg_prog" -> ("WITH " +
+      jpegHashCtes("doc_id % 23", 8, 8, "doc_id < 200") + ", " +
+      pixelStatsSelect(" ORDER BY media_id")),
+    // palette-PNG pixel replay: index + PLTE-entry formulas re-derived,
+    // luma = (77R + 150G + 29B) // 256 of the looked-up entry
+    "x_mm_pixels_palette" -> ("WITH " +
+      paletteHashCtes("doc_id % 9", "16 + doc_id % 7", "12 + doc_id % 5") +
+      ", " + pixelStatsSelect(" ORDER BY media_id")),
+    // Adam7 pixel replay: SAME oracle chain as x_mm_pixels (identical
+    // pixel contract — the interlacing is wire-level only)
+    "x_mm_pixels_adam7" -> ("WITH " +
+      pngHashCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
+        "doc_id % 5") + ", " + pixelStatsSelect(" ORDER BY media_id")),
     // zip replay: member names/sizes/byte-sums from the planted
     // contract — compression and directory layout invisible; only a
     // CRC-verified CD walk (+ real inflate on even rows) lands here
@@ -7617,6 +7722,21 @@ object SparkEntry {
       "hh.ahash_lo AS fp_lo FROM acc a JOIN hh ON a.doc_id = hh.doc_id " +
       "UNION ALL SELECT doc_id AS media_id, NULL AS fp_hi, NULL AS fp_lo " +
       "FROM documents WHERE doc_id % 17 = 0 " +
+      "ORDER BY media_id"),
+    // orientation-door replay: every rotated copy DROPS (the door's
+    // EXIF un-rotation collapses it onto its batch-0 original), every
+    // upright batch-0 row and every novel batch-1 seed keeps — so the
+    // oracle replays the upright jpeg hash chain for exactly the kept
+    // set; the rotated rows never appear
+    "x_stream_imgorient" -> ("WITH " +
+      jpegHashCtes(
+        "CASE WHEN doc_id % 3 = 0 THEN doc_id % 40 " +
+          "ELSE 40 + doc_id % 97 END", 6, 4,
+        "doc_id < 120 AND doc_id <> 0 AND (doc_id % 3 = 0 OR " +
+          "(doc_id % 3 = 1 AND doc_id % 2 = 0))") + " " +
+      "SELECT doc_id AS media_id, ahash_hi AS fp_hi, ahash_lo AS fp_lo " +
+      "FROM hh " +
+      "UNION ALL SELECT 0 AS media_id, NULL AS fp_hi, NULL AS fp_lo " +
       "ORDER BY media_id"),
     // resize replay: plain floor cell means over the 4x4 partition grid
     "x_mm_resize" -> ("WITH " +
@@ -8589,6 +8709,30 @@ object SparkEntry {
   private def pngHashCtes(seedSql: String, wSql: String, hSql: String,
       bumpSql: String): String =
     pngPixelCtes(seedSql, wSql, hSql, bumpSql) + hashCtesFromPx
+
+  /** Pixel CTEs for the PALETTE-PNG fixture ([[graft.ext
+    * .PalettePngEncode]]'s documented contract): per doc, the 64-entry
+    * PLTE lumas as a list, then every pixel is plum[idx(x,y)] — the
+    * index and entry formulas are the quadratic-residue mixes, all
+    * operands nonnegative so plain % replays the engine's pmod. */
+  private def palettePixelCtes(seedSql: String, wSql: String,
+      hSql: String): String = {
+    val tq = "((((e*37 + seed*131) % 251) * ((e*37 + seed*131) % 251)) % 251)"
+    val uq = "((((x*7 + y*11 + seed*131) % 251) * " +
+      "((x*7 + y*11 + seed*131) % 251)) % 251)"
+    s"d AS (SELECT doc_id, $seedSql AS seed, $wSql AS w, $hSql AS h " +
+      "FROM documents), " +
+      s"pl AS (SELECT d.*, [ CAST((77*(($tq + e) % 256) + " +
+      s"150*(($tq*2 + e*5 + seed) % 256) + " +
+      s"29*(($tq*3 + e*11) % 256)) // 256 AS BIGINT) " +
+      "for e in range(0, 64) ] AS plum FROM d), " +
+      s"px AS (SELECT pl.*, flatten([[ plum[ (($uq + x + y*3 + seed) % 64) + 1 ] " +
+      "for x in range(0, w)] for y in range(0, h)]) AS p FROM pl)"
+  }
+
+  private def paletteHashCtes(seedSql: String, wSql: String,
+      hSql: String): String =
+    palettePixelCtes(seedSql, wSql, hSql) + hashCtesFromPx
 
   /** Pixel CTEs for the BLOCK-FLAT JPEG fixture ([[graft.ext
     * .BlockJpegEncode]]'s documented block contract — the DC-only

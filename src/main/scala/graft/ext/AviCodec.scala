@@ -61,7 +61,9 @@ private[ext] object AviKernel {
     val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     pos = moviLo
     guard = 0
-    val guardMax = maxFrames * 4 + 64
+    // Long arithmetic: an SQL-supplied maxFrames near Int.MaxValue would
+    // overflow `maxFrames * 4` to negative and reject every valid AVI.
+    val guardMax = maxFrames.toLong * 4 + 64
     while (pos + 8 <= moviHi && guard < guardMax) {
       val id = cc(avi, pos.toInt)
       val size = le4(avi, (pos + 4).toInt)

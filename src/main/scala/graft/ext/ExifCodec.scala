@@ -366,6 +366,60 @@ object JpegOrientedStats {
       JpegOrientedStats(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
 }
 
+/** Container-SNIFFING orientation-normalized gray stats — the oriented
+  * twin of [[ImageGrayStats]]: route each row to its kernel by magic
+  * bytes, then normalize by the EXIF orientation BEFORE hashing. Only
+  * JPEG carries EXIF; every other container is implicitly upright
+  * (orientation 1), so on EXIF-less corpora this is bit-identical to
+  * [[ImageGrayStats]] — which is what lets the streaming ingest door
+  * ([[graft.streaming.ImageIngest]]) ride it without changing any
+  * orientation-free verdict, while a camera-rotated JPEG re-upload of
+  * an ingested image now lands in the same Hamming ball and drops. */
+case class OrientedImageGrayStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = JpegOrientedStats(child).dataType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"oriented_image_gray_stats requires binary, got $other")
+  }
+
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val bytes = child.eval(input) match {
+      case null => null
+      case b => b.asInstanceOf[Array[Byte]]
+    }
+    val g = GraySniff.decode(bytes)
+    val isJpeg = bytes != null && bytes.length >= 2 &&
+      (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8
+    val o =
+      if (!isJpeg) 1
+      else {
+        val x = ExifKernel.extract(bytes)
+        if (x == null || x.orientation < 1 || x.orientation > 8) 1
+        else x.orientation
+      }
+    GifGrayStats.statsRow(ExifKernel.orient(g, o))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): OrientedImageGrayStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "oriented_image_gray_stats"
+}
+
+object OrientedImageGrayStats {
+  def apply(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      OrientedImageGrayStats(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+}
+
 /** Camera-rotated block-JPEG fixture: the stored pixel grid is the
   * upright block contract transformed by the INVERSE of `orientation`
   * (rotations of a block-flat grid stay block-flat), plus a real APP1

@@ -42,20 +42,32 @@ private[ext] object PngKernel {
     ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
       (u8(b, i + 2) << 8) | u8(b, i + 3)) & 0xFFFFFFFFL
 
+  /** Adam7 pass grid (PNG spec §8.2): x/y start offsets and steps for
+    * the seven progressive passes. */
+  private val A7X0 = Array(0, 4, 0, 2, 0, 1, 0)
+  private val A7Y0 = Array(0, 0, 4, 0, 2, 0, 1)
+  private val A7DX = Array(8, 8, 4, 4, 2, 2, 1)
+  private val A7DY = Array(8, 8, 8, 4, 4, 2, 2)
+
   /** Decode a PNG to 8-bit luma. Returns null on ANYTHING unsupported or
-    * malformed — truncated chunks, non-zlib IDAT, interlacing, palette
-    * color, bit depths other than 8 — never throws (crawl-dirty bytes are
-    * the expected input). Supported layouts: bit depth 8, color types
-    * 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), interlace 0. Color is
-    * reduced to luma with the integer BT.601 weights (77·R + 150·G +
-    * 29·B) >> 8 (weights sum to 256 — exact, replayable arithmetic). */
+    * malformed — truncated chunks, non-zlib IDAT, bit depths other than
+    * 8 — never throws (crawl-dirty bytes are the expected input).
+    * Supported layouts: bit depth 8, color types 0 (gray), 2 (RGB),
+    * 3 (palette, PLTE lookup), 4 (gray+alpha), 6 (RGBA); interlace 0
+    * (sequential) and 1 (Adam7 — seven sub-images, each filtered
+    * independently, scattered onto the full grid per the spec §8.2
+    * pattern — the same machinery the GIF leg uses, different grid).
+    * Color is reduced to luma with the integer BT.601 weights
+    * (77·R + 150·G + 29·B) >> 8 (weights sum to 256 — exact, replayable
+    * arithmetic); palette indices map through the PLTE entries' lumas. */
   def decodeGray(png: Array[Byte]): Gray = {
     if (png == null || png.length < 8) return null
     var i = 0
     while (i < 8) { if (u8(png, i) != SIG(i)) return null; i += 1 }
     var pos = 8
-    var width = 0; var height = 0; var colorType = -1
+    var width = 0; var height = 0; var colorType = -1; var interlace = 0
     var seenIhdr = false; var done = false
+    var palLuma: Array[Int] = null
     val idat = new java.io.ByteArrayOutputStream()
     while (!done) {
       if (pos + 8 > png.length) return null
@@ -74,9 +86,21 @@ private[ext] object PngKernel {
             w * h > (1L << 28)) return null
           width = w.toInt; height = h.toInt
           val bitDepth = u8(png, d + 8); colorType = u8(png, d + 9)
-          val interlace = u8(png, d + 12)
-          if (bitDepth != 8 || interlace != 0 ||
-            !Set(0, 2, 4, 6).contains(colorType)) return null
+          interlace = u8(png, d + 12)
+          if (bitDepth != 8 || interlace > 1 ||
+            !Set(0, 2, 3, 4, 6).contains(colorType)) return null
+        case "PLTE" =>
+          if (!seenIhdr || palLuma != null || idat.size() > 0) return null
+          if (len < 3 || len % 3 != 0 || len > 768) return null
+          val n = (len / 3).toInt
+          palLuma = new Array[Int](n)
+          var e = 0
+          while (e < n) {
+            val o = pos + 8 + e * 3
+            palLuma(e) = (77 * u8(png, o) + 150 * u8(png, o + 1) +
+              29 * u8(png, o + 2)) >> 8
+            e += 1
+          }
         case "IDAT" =>
           if (!seenIhdr) return null
           idat.write(png, pos + 8, len.toInt)
@@ -86,11 +110,22 @@ private[ext] object PngKernel {
       pos += 12 + len.toInt
     }
     if (!seenIhdr) return null
+    if (colorType == 3 && palLuma == null) return null // PLTE is mandatory
     val channels = colorType match {
-      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4
     }
-    val rowBytes = width * channels
-    val expected = height.toLong * (1L + rowBytes)
+    // pass geometry: interlace 0 is one full-frame pass; Adam7 is the
+    // seven §8.2 sub-images (empty passes contribute zero bytes)
+    val passes: Array[(Int, Int, Int, Int, Int, Int)] =
+      if (interlace == 0) Array((0, 0, 1, 1, width, height))
+      else (0 until 7).map { p =>
+        val pw = (width - A7X0(p) + A7DX(p) - 1) / A7DX(p)
+        val ph = (height - A7Y0(p) + A7DY(p) - 1) / A7DY(p)
+        (A7X0(p), A7Y0(p), A7DX(p), A7DY(p), math.max(pw, 0), math.max(ph, 0))
+      }.toArray
+    var expected = 0L
+    for ((_, _, _, _, pw, ph) <- passes if pw > 0 && ph > 0)
+      expected += ph.toLong * (1L + pw.toLong * channels)
     if (expected > Int.MaxValue) return null
     val raw = new Array[Byte](expected.toInt)
     val inf = new java.util.zip.Inflater()
@@ -99,7 +134,9 @@ private[ext] object PngKernel {
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) return null // truncated stream
+        // needsDictionary: FDICT zlib headers stall inflate at 0 forever
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return null // truncated or dictionary-requiring stream
         off += n
       }
       if (off != raw.length) return null
@@ -107,52 +144,67 @@ private[ext] object PngKernel {
       case _: java.util.zip.DataFormatException => return null
     } finally inf.end()
 
-    // unfilter in place (spec §6: recon = filt + predictor, mod 256)
-    val bpp = channels
-    var y = 0
-    while (y < height) {
-      val rs = y * (1 + rowBytes) + 1
-      val ps = rs - (1 + rowBytes) // prior row start (reconstructed)
-      val ft = u8(raw, rs - 1)
-      if (ft > 4) return null
-      var x = 0
-      while (x < rowBytes) {
-        val left = if (x >= bpp) u8(raw, rs + x - bpp) else 0
-        val up = if (y > 0) u8(raw, ps + x) else 0
-        val ul = if (y > 0 && x >= bpp) u8(raw, ps + x - bpp) else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) >> 1
-          case 4 =>
-            val p = left + up - ul
-            val pa = math.abs(p - left); val pb = math.abs(p - up)
-            val pc = math.abs(p - ul)
-            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
-        }
-        raw(rs + x) = ((u8(raw, rs + x) + pred) & 0xFF).toByte
-        x += 1
-      }
-      y += 1
-    }
-
     val luma = new Array[Int](width * height)
-    y = 0
-    while (y < height) {
-      val rs = y * (1 + rowBytes) + 1
-      var px = 0
-      while (px < width) {
-        val o = rs + px * channels
-        val v = channels match {
-          case 1 | 2 => u8(raw, o)
-          case _ => (77 * u8(raw, o) + 150 * u8(raw, o + 1) +
-            29 * u8(raw, o + 2)) >> 8
+    val bpp = channels
+    var passOff = 0
+    var p = 0
+    while (p < passes.length) {
+      val (x0, y0, dx, dy, pw, ph) = passes(p)
+      if (pw > 0 && ph > 0) {
+        val rowBytes = pw * channels
+        // unfilter this pass in place (spec §6: recon = filt + predictor,
+        // mod 256); each pass filters against ITS OWN prior row only
+        var y = 0
+        while (y < ph) {
+          val rs = passOff + y * (1 + rowBytes) + 1
+          val ps = rs - (1 + rowBytes) // prior row start (reconstructed)
+          val ft = u8(raw, rs - 1)
+          if (ft > 4) return null
+          var x = 0
+          while (x < rowBytes) {
+            val left = if (x >= bpp) u8(raw, rs + x - bpp) else 0
+            val up = if (y > 0) u8(raw, ps + x) else 0
+            val ul = if (y > 0 && x >= bpp) u8(raw, ps + x - bpp) else 0
+            val pred = ft match {
+              case 0 => 0
+              case 1 => left
+              case 2 => up
+              case 3 => (left + up) >> 1
+              case 4 =>
+                val pp = left + up - ul
+                val pa = math.abs(pp - left); val pb = math.abs(pp - up)
+                val pc = math.abs(pp - ul)
+                if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+            }
+            raw(rs + x) = ((u8(raw, rs + x) + pred) & 0xFF).toByte
+            x += 1
+          }
+          y += 1
         }
-        luma(y * width + px) = v
-        px += 1
+        // scatter this pass's pixels to their full-grid positions
+        y = 0
+        while (y < ph) {
+          val rs = passOff + y * (1 + rowBytes) + 1
+          var px = 0
+          while (px < pw) {
+            val o = rs + px * channels
+            val v = colorType match {
+              case 3 =>
+                val idx = u8(raw, o)
+                if (idx >= palLuma.length) return null // out-of-palette index
+                palLuma(idx)
+              case 0 | 4 => u8(raw, o)
+              case _ => (77 * u8(raw, o) + 150 * u8(raw, o + 1) +
+                29 * u8(raw, o + 2)) >> 8
+            }
+            luma((y0 + y * dy) * width + (x0 + px * dx)) = v
+            px += 1
+          }
+          y += 1
+        }
+        passOff += ph * (1 + rowBytes)
       }
-      y += 1
+      p += 1
     }
     Gray(width, height, luma)
   }
@@ -337,6 +389,121 @@ private[ext] object PngKernel {
     crcChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }
+
+  private def filterRow(raw: Array[Byte], rs: Int, ft: Int, bpp: Int,
+      rowBytes: Int, cur: Int => Int, prior: Int => Int): Unit = {
+    raw(rs - 1) = ft.toByte
+    var x = 0
+    while (x < rowBytes) {
+      val left = if (x >= bpp) cur(x - bpp) else 0
+      val up = prior(x)
+      val ul = if (x >= bpp) prior(x - bpp) else 0
+      val pred = ft match {
+        case 0 => 0
+        case 1 => left
+        case 2 => up
+        case 3 => (left + up) >> 1
+        case 4 =>
+          val p = left + up - ul
+          val pa = math.abs(p - left); val pb = math.abs(p - up)
+          val pc = math.abs(p - ul)
+          if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+      }
+      raw(rs + x) = ((cur(x) - pred) & 0xFF).toByte
+      x += 1
+    }
+  }
+
+  private def deflateAll(raw: Array[Byte]): Array[Byte] = {
+    val def_ = new java.util.zip.Deflater()
+    def_.setInput(raw); def_.finish()
+    val buf = new Array[Byte](math.max(1024, raw.length + 64))
+    val zout = new java.io.ByteArrayOutputStream()
+    while (!def_.finished()) zout.write(buf, 0, def_.deflate(buf))
+    def_.end()
+    zout.toByteArray
+  }
+
+  private def wrapPng(width: Int, height: Int, colorType: Int,
+      interlace: Int, plte: Array[Byte], idat: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    SIG.foreach(out.write)
+    val ihdr = new Array[Byte](13)
+    def put4(o: Int, v: Int): Unit = {
+      ihdr(o) = ((v >> 24) & 0xFF).toByte; ihdr(o + 1) = ((v >> 16) & 0xFF).toByte
+      ihdr(o + 2) = ((v >> 8) & 0xFF).toByte; ihdr(o + 3) = (v & 0xFF).toByte
+    }
+    put4(0, width); put4(4, height)
+    ihdr(8) = 8; ihdr(9) = colorType.toByte; ihdr(12) = interlace.toByte
+    crcChunk(out, "IHDR", ihdr)
+    if (plte != null) crcChunk(out, "PLTE", plte)
+    crcChunk(out, "IDAT", idat)
+    crcChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Encode an 8-bit PALETTE PNG (color type 3): a real PLTE chunk of
+    * `nPal` RGB triples, one palette index per pixel, per-row filters
+    * chosen by `filterOf(y)` — a decoder must walk PLTE and remap every
+    * index to get luma back. */
+  def encodePalette(width: Int, height: Int, nPal: Int,
+      rgb: Int => (Int, Int, Int), idx: (Int, Int) => Int,
+      filterOf: Int => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && nPal >= 1 && nPal <= 256,
+      s"bad palette png ${width}x$height/$nPal")
+    val plte = new Array[Byte](nPal * 3)
+    var e = 0
+    while (e < nPal) {
+      val (r, g, b) = rgb(e)
+      plte(e * 3) = (r & 0xFF).toByte; plte(e * 3 + 1) = (g & 0xFF).toByte
+      plte(e * 3 + 2) = (b & 0xFF).toByte
+      e += 1
+    }
+    val raw = new Array[Byte](height * (1 + width))
+    var y = 0
+    while (y < height) {
+      val rs = y * (1 + width) + 1
+      val yy = y
+      filterRow(raw, rs, filterOf(y) % 5, 1, width,
+        x => idx(x, yy) % nPal,
+        x => if (yy > 0) idx(x, yy - 1) % nPal else 0)
+      y += 1
+    }
+    wrapPng(width, height, 3, 0, plte, deflateAll(raw))
+  }
+
+  /** Encode an ADAM7-INTERLACED grayscale PNG whose reassembled pixels
+    * are EXACTLY `pixel(x, y)` — the seven §8.2 sub-images are built,
+    * filtered pass-locally (filter of pass p row y = `filterOf(p·31+y)`)
+    * and concatenated, so a decoder must run the full deinterlace to
+    * agree with the sequential encode of the same formula. */
+  def encodeGrayAdam7(width: Int, height: Int, pixel: (Int, Int) => Int,
+      filterOf: Int => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val bos = new java.io.ByteArrayOutputStream()
+    var p = 0
+    while (p < 7) {
+      val x0 = A7X0(p); val y0 = A7Y0(p); val dx = A7DX(p); val dy = A7DY(p)
+      val pw = math.max((width - x0 + dx - 1) / dx, 0)
+      val ph = math.max((height - y0 + dy - 1) / dy, 0)
+      if (pw > 0 && ph > 0) {
+        val raw = new Array[Byte](ph * (1 + pw))
+        var y = 0
+        while (y < ph) {
+          val rs = y * (1 + pw) + 1
+          val yy = y
+          filterRow(raw, rs, filterOf(p * 31 + y) % 5, 1, pw,
+            x => pixel(x0 + x * dx, y0 + yy * dy) & 0xFF,
+            x => if (yy > 0) pixel(x0 + x * dx, y0 + (yy - 1) * dy) & 0xFF
+              else 0)
+          y += 1
+        }
+        bos.write(raw, 0, raw.length)
+      }
+      p += 1
+    }
+    wrapPng(width, height, 0, 1, null, deflateAll(bos.toByteArray))
+  }
 }
 
 /** Content statistics + perceptual hashes from a PNG binary column —
@@ -518,6 +685,126 @@ object GrayPngEncode {
       colStep: Column, bump: Column): Column = {
     val b = org.apache.spark.sql.graftbridge.Bridge
     b.column(GrayPngEncode(b.expression(seed), b.expression(w),
+      b.expression(h), b.expression(rowStep), b.expression(colStep),
+      b.expression(bump)))
+  }
+}
+
+/** Deterministic PALETTE-PNG fixture (color type 3, 64-entry PLTE,
+  * real filters) — replayable contract, all mod-positive arithmetic:
+  *   entry e:  tq(e) = ((e·37 + seed·131)² mod 251)
+  *             R = (tq + e) mod 256, G = (tq·2 + e·5 + seed) mod 256,
+  *             B = (tq·3 + e·11) mod 256
+  *   index:    uq = ((x·7 + y·11 + seed·131)² mod 251)
+  *             idx(x, y) = (uq + x + y·3 + seed) mod 64
+  *   luma(x,y) = (77·R + 150·G + 29·B[idx]) >> 8; filter (seed+y) mod 5.
+  * The quadratic-residue mixes keep distinct seeds distinct under the
+  * mean-thresholded hashes (affine textures collide — fixture trap log). */
+case class PalettePngEncode(seed: Expression, w: Expression, h: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(seed, w, h)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"palette_png_encode requires 3 longs, got ${children.map(_.dataType)}")
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    val Seq(s, ww, hh) = vs.map(_.asInstanceOf[Long])
+    if (ww < 1 || hh < 1 || ww > 4096 || hh > 4096) return null
+    def pmod(v: Long, m: Long): Long = ((v % m) + m) % m
+    PngKernel.encodePalette(ww.toInt, hh.toInt, 64,
+      e => {
+        val tq = { val t = pmod(e * 37L + s * 131L, 251); (t * t) % 251 }
+        (pmod(tq + e, 256).toInt, pmod(tq * 2 + e * 5 + s, 256).toInt,
+          pmod(tq * 3 + e * 11, 256).toInt)
+      },
+      (x, y) => {
+        val uq = { val u = pmod(x * 7L + y * 11L + s * 131L, 251); (u * u) % 251 }
+        pmod(uq + x + y * 3L + s, 64).toInt
+      },
+      y => pmod(s + y, 5).toInt)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PalettePngEncode =
+    PalettePngEncode(newChildren(0), newChildren(1), newChildren(2))
+
+  override def prettyName: String = "palette_png_encode"
+}
+
+object PalettePngEncode {
+  def apply(seed: Column, w: Column, h: Column): Column = {
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    b.column(PalettePngEncode(b.expression(seed), b.expression(w),
+      b.expression(h)))
+  }
+}
+
+/** ADAM7-INTERLACED twin of [[GrayPngEncode]]: the SAME pixel contract
+  * (t² mod 251 texture, bump perturbations), written as the seven
+  * interlaced sub-images — so its oracle replays the identical formula
+  * while the engine must run the full deinterlace to agree, and a
+  * sequential/interlaced pair of the same parameters decodes
+  * bit-identically (pinned in spec). Pass p row y carries filter
+  * (seed + p·31 + y) mod 5 — all five unfilters appear pass-locally. */
+case class Adam7PngEncode(seed: Expression, w: Expression, h: Expression,
+    rowStep: Expression, colStep: Expression, bump: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] =
+    Seq(seed, w, h, rowStep, colStep, bump)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(c => c.dataType == LongType || c.dataType == IntegerType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "adam7_png_encode requires integer children")
+
+  private def longOf(e: Expression, input: InternalRow): java.lang.Long =
+    e.eval(input) match {
+      case null => null
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long => l
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(c => longOf(c, input))
+    if (vs.exists(_ == null)) return null
+    val Seq(s, ww, hh, rs, cs, b) = vs.map(_.longValue())
+    if (ww < 1 || hh < 1 || ww > 4096 || hh > 4096) return null
+    PngKernel.encodeGrayAdam7(ww.toInt, hh.toInt,
+      (x, y) => {
+        val t = x * cs + y * rs + s * 131
+        val tq = ((t % 251) * (t % 251)) % 251 // == t² mod 251, overflow-safe
+        val bumped = if ((x * 7 + y * 11) % 97 < b) 1 else 0
+        ((((tq + t + bumped) % 256) + 256) % 256).toInt
+      },
+      k => (((s + k) % 5 + 5) % 5).toInt)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Adam7PngEncode =
+    Adam7PngEncode(newChildren(0), newChildren(1), newChildren(2),
+      newChildren(3), newChildren(4), newChildren(5))
+
+  override def prettyName: String = "adam7_png_encode"
+}
+
+object Adam7PngEncode {
+  def apply(seed: Column, w: Column, h: Column, rowStep: Column,
+      colStep: Column, bump: Column): Column = {
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    b.column(Adam7PngEncode(b.expression(seed), b.expression(w),
       b.expression(h), b.expression(rowStep), b.expression(colStep),
       b.expression(bump)))
   }

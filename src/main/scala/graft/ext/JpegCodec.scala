@@ -15,12 +15,16 @@ import org.apache.spark.sql.types._
   * plumbing, all in the public spec.
   *
   * Scope (honest, like the MP4 leg's): BASELINE and extended-sequential
-  * Huffman scans (SOF0/SOF1), 8-bit samples, 1- or 3-component
-  * (grayscale / YCbCr at any Hi,Vi ∈ {1,2} — 4:4:4, 4:2:2, 4:2:0),
-  * restart markers, 8-bit quant tables. Progressive (SOF2), arithmetic
+  * Huffman scans (SOF0/SOF1) plus PROGRESSIVE (SOF2 — spectral
+  * selection, successive approximation, EOBRUN, per T.81 Annex G; a
+  * large fraction of real web JPEGs are progressive), 8-bit samples,
+  * 1- or 3-component (grayscale / YCbCr at any Hi,Vi ∈ {1,2} — 4:4:4,
+  * 4:2:2, 4:2:0), restart markers, 8-bit quant tables. Arithmetic
   * coding, 12-bit, and hierarchical scans return null — as does any
   * malformed or truncated stream; never a throw (crawl-dirty bytes are
-  * the expected input).
+  * the expected input). Progressive chroma AC scans are BYTE-SKIPPED
+  * (marker scan, zero Huffman work — they can't affect luma), so the
+  * luma-only contract costs even less on progressive than sequential.
   *
   * Output is the LUMA plane only ([[PngKernel.Gray]] — the shared
   * content type every downstream verb consumes: aHash/dHash, pixel
@@ -142,6 +146,19 @@ private[ext] object JpegKernel {
     if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
   }
 
+  /** Plain RECEIVE: `n` raw bits (EOBRUN extensions); -1 on marker. */
+  private def receiveN(r: BitReader, n: Int): Int = {
+    var v = 0
+    var i = 0
+    while (i < n) {
+      val bit = r.nextBit()
+      if (bit < 0) return -1
+      v = (v << 1) | bit
+      i += 1
+    }
+    v
+  }
+
   /** Separable 2-D IDCT of one dequantized 8×8 block (natural order),
     * level-shifted (+128) and clamped into `out` at (ox, oy) with edge
     * clipping against (w, h). Double precision, fixed order. */
@@ -216,8 +233,31 @@ private[ext] object JpegKernel {
     var compTq: Array[Int] = null
     var dri = 0
     var sofSeen = false
+    var progressive = false
+    // progressive-scan state: the luma coefficient store (ZIGZAG order
+    // per block, MCU-aligned grid) accumulated across scans
+    var pCoef: Array[Int] = null
+    var pBW = 0; var pBH = 0
+    var pMcusX = 0; var pMcusY = 0
+    var pHmax = 1; var pVmax = 1
+    var anyScan = false
 
     def be2(i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+
+    // Byte-skip an entropy segment: from `from`, find the next true
+    // marker (0xFF followed by neither 0x00 stuffing nor RSTn). Scans
+    // that touch no luma state are skipped this way — no Huffman work.
+    def skipEntropy(from: Int): Int = {
+      var p = from
+      while (p + 1 < b.length) {
+        if (u8(b, p) == 0xFF) {
+          val m = u8(b, p + 1)
+          if (m != 0x00 && !(m >= 0xD0 && m <= 0xD7)) return p
+        }
+        p += 1
+      }
+      b.length
+    }
 
     while (true) {
       // marker: one or more 0xFF fill bytes then the code
@@ -226,9 +266,28 @@ private[ext] object JpegKernel {
       var m = u8(b, pos + 1); pos += 2
       while (m == 0xFF && pos < b.length) { m = u8(b, pos); pos += 1 }
       m match {
-        case 0xD9 => return null // EOI before any scan
-        case 0xC0 | 0xC1 => // SOF0 baseline / SOF1 extended sequential
+        case 0xD9 => // EOI: for progressive, time to dequantize + IDCT
+          if (!progressive || !anyScan) return null
+          if (!qtSeen(compTq(0))) return null
+          val q = qt(compTq(0))
+          val luma = new Array[Int](w * h)
+          val nat = new Array[Int](64)
+          var by = 0
+          while (by < pBH) {
+            var bx = 0
+            while (bx < pBW) {
+              val base = (by * pBW + bx) * 64
+              var k = 0
+              while (k < 64) { nat(ZZ(k)) = pCoef(base + k) * q(k); k += 1 }
+              idctToPlane(nat, luma, w, h, bx * 8, by * 8)
+              bx += 1
+            }
+            by += 1
+          }
+          return Gray(w, h, luma)
+        case 0xC0 | 0xC1 | 0xC2 => // SOF0/1 sequential; SOF2 progressive
           if (sofSeen || pos + 2 > b.length) return null
+          progressive = m == 0xC2
           val len = be2(pos)
           if (pos + len > b.length || len < 8) return null
           val prec = u8(b, pos + 2)
@@ -253,9 +312,9 @@ private[ext] object JpegKernel {
           }
           sofSeen = true
           pos += len
-        case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+        case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
             0xCD | 0xCE | 0xCF =>
-          return null // progressive / arithmetic / lossless / hierarchical
+          return null // arithmetic / lossless / hierarchical
         case 0xC4 => // DHT
           if (pos + 2 > b.length) return null
           val len = be2(pos)
@@ -306,7 +365,7 @@ private[ext] object JpegKernel {
           if (pos + 4 > b.length || be2(pos) != 4) return null
           dri = be2(pos + 2)
           pos += 4
-        case 0xDA => // SOS: the one scan we decode
+        case 0xDA if !progressive => // baseline SOS: the one scan we decode
           if (!sofSeen || pos + 2 > b.length) return null
           val len = be2(pos)
           if (pos + len > b.length) return null
@@ -331,6 +390,67 @@ private[ext] object JpegKernel {
           }
           return decodeScan(b, pos + len, w, h, nComp, compHV, compTq,
             qt, dcSel.map(dcT), acSel.map(acT), dri)
+        case 0xDA => // progressive SOS: one of many scans (T.81 Annex G)
+          if (!sofSeen || pos + 2 > b.length) return null
+          val len = be2(pos)
+          if (pos + len > b.length) return null
+          val ns = u8(b, pos + 2)
+          if (ns < 1 || ns > nComp || len != 6 + 2 * ns) return null
+          val scomp = new Array[Int](ns)
+          val dcSel = new Array[Int](ns); val acSel = new Array[Int](ns)
+          var c = 0
+          var prevIdx = -1
+          while (c < ns) {
+            val cs = u8(b, pos + 3 + 2 * c)
+            val idx = compId.indexOf(cs)
+            if (idx < 0 || idx <= prevIdx) return null // SOF order, no dups
+            prevIdx = idx
+            scomp(c) = idx
+            val tdta = u8(b, pos + 4 + 2 * c)
+            dcSel(c) = tdta >> 4; acSel(c) = tdta & 15
+            if (dcSel(c) > 3 || acSel(c) > 3) return null
+            c += 1
+          }
+          val ss = u8(b, pos + 3 + 2 * ns)
+          val se = u8(b, pos + 4 + 2 * ns)
+          val ahal = u8(b, pos + 5 + 2 * ns)
+          val ah = ahal >> 4; val al = ahal & 15
+          if (ss > 63 || se > 63 || se < ss || al > 13 || ah > 13) return null
+          if (ss == 0 && se != 0) return null // DC scans are DC-only
+          if (ss > 0 && ns != 1) return null // AC scans: one component
+          if (ah != 0 && ah != al + 1) return null // successive approx step
+          // lazily size the luma coefficient store (first scan)
+          if (pCoef == null) {
+            c = 0
+            while (c < nComp) {
+              pHmax = math.max(pHmax, compHV(c) >> 4)
+              pVmax = math.max(pVmax, compHV(c) & 15)
+              c += 1
+            }
+            // luma must be the full-resolution component (the gray
+            // contract; same restriction as the baseline path)
+            if ((compHV(0) >> 4) != pHmax || (compHV(0) & 15) != pVmax)
+              return null
+            pMcusX = (w + 8 * pHmax - 1) / (8 * pHmax)
+            pMcusY = (h + 8 * pVmax - 1) / (8 * pVmax)
+            pBW = pMcusX * pHmax; pBH = pMcusY * pVmax
+            val cells = pBW.toLong * pBH * 64
+            if (cells > Int.MaxValue) return null
+            pCoef = new Array[Int](cells.toInt)
+          }
+          val touchesLuma = scomp.contains(0)
+          if (!touchesLuma) {
+            // chroma-only scan: no state we track — byte-skip the
+            // entropy segment (no Huffman decode at all)
+            pos = skipEntropy(pos + len)
+          } else {
+            val endPos = progScan(b, pos + len, ns, scomp, ss, se, ah, al,
+              dcSel, acSel, dcT, acT, dri, nComp, compHV,
+              pCoef, pBW, pBH, pMcusX, pMcusY, pHmax, pVmax, w, h)
+            if (endPos < 0) return null
+            pos = endPos
+            anyScan = true
+          }
         case 0x01 => () // TEM: parameterless
         case n if n >= 0xD0 && n <= 0xD7 => () // stray RST: parameterless
         case _ => // APPn/COM/anything else with a length field: skip
@@ -341,6 +461,246 @@ private[ext] object JpegKernel {
       }
     }
     null
+  }
+
+  /** One PROGRESSIVE scan that touches luma (T.81 Annex G decode):
+    * accumulates into the zigzag-order luma coefficient store and
+    * returns the byte position of the next marker, or -1 on malformed
+    * data. DC scans may be interleaved (all blocks entropy-decoded,
+    * chroma coefficients discarded); AC scans are single-component by
+    * spec. Successive approximation: first scans shift by Al,
+    * refinement scans append bit Al (two's-complement OR — exact for
+    * negative DC) / apply the ±1<<Al correction-bit algorithm for AC. */
+  private def progScan(b: Array[Byte], dataPos: Int, ns: Int,
+      scomp: Array[Int], ss: Int, se: Int, ah: Int, al: Int,
+      dcSel: Array[Int], acSel: Array[Int], dcT: Array[Huff],
+      acT: Array[Huff], dri: Int, nComp: Int, compHV: Array[Int],
+      coefA: Array[Int], pBW: Int, pBH: Int, mcusX: Int, mcusY: Int,
+      hmax: Int, vmax: Int, w: Int, h: Int): Int = {
+    val r = new BitReader(b, dataPos)
+    var eobrun = 0
+    val pred = new Array[Int](ns)
+    var rstN = 0
+
+    def endPos(): Int = {
+      if (r.marker >= 0) return r.pos - 2
+      var p = r.pos
+      while (p + 1 < b.length) {
+        if (u8(b, p) == 0xFF) {
+          val mm = u8(b, p + 1)
+          if (mm != 0x00 && !(mm >= 0xD0 && mm <= 0xD7)) return p
+        }
+        p += 1
+      }
+      b.length
+    }
+
+    def refineNonzero(base: Int, k: Int, p1: Int, m1: Int): Boolean = {
+      val c0 = coefA(base + k)
+      if (c0 != 0) {
+        val bit = r.nextBit()
+        if (bit < 0) return false
+        if (bit == 1 && (c0 & p1) == 0)
+          coefA(base + k) = if (c0 >= 0) c0 + p1 else c0 + m1
+      }
+      true
+    }
+
+    if (ss == 0) {
+      // ---- DC scan (interleaved over the scan's components) ----
+      if (ah == 0) {
+        var ci = 0
+        while (ci < ns) {
+          if (dcT(dcSel(ci)) == null) return -1
+          ci += 1
+        }
+      }
+      val interleaved = ns > 1
+      val total: Long =
+        if (interleaved) mcusX.toLong * mcusY
+        else {
+          // single-component: the component's own block grid (for luma,
+          // hi==hmax → ceil(w/8) × ceil(h/8))
+          val comp = scomp(0)
+          val hi = compHV(comp) >> 4; val vi = compHV(comp) & 15
+          val cw = (w * hi + hmax - 1) / hmax; val ch = (h * vi + vmax - 1) / vmax
+          ((cw + 7) / 8).toLong * ((ch + 7) / 8)
+        }
+      val nbX = if (interleaved) 0 else {
+        val comp = scomp(0)
+        val hi = compHV(comp) >> 4
+        ((w * hi + hmax - 1) / hmax + 7) / 8
+      }
+      var unit = 0L
+      while (unit < total) {
+        if (dri > 0 && unit > 0 && unit % dri == 0) {
+          if (!r.consumeRestart(rstN)) return -1
+          rstN = (rstN + 1) & 7
+          java.util.Arrays.fill(pred, 0)
+        }
+        if (interleaved) {
+          val mx = (unit % mcusX).toInt; val my = (unit / mcusX).toInt
+          var ci = 0
+          while (ci < ns) {
+            val comp = scomp(ci)
+            val hi = compHV(comp) >> 4; val vi = compHV(comp) & 15
+            var by = 0
+            while (by < vi) {
+              var bx = 0
+              while (bx < hi) {
+                if (ah == 0) {
+                  val s = huffDecode(r, dcT(dcSel(ci)))
+                  if (s < 0 || s > 15) return -1
+                  val diff = receiveExtend(r, s)
+                  if (diff == Int.MinValue) return -1
+                  pred(ci) += diff
+                  if (comp == 0)
+                    coefA(((my * vi + by) * pBW + mx * hi + bx) * 64) =
+                      pred(ci) << al
+                } else {
+                  val bit = r.nextBit()
+                  if (bit < 0) return -1
+                  if (comp == 0 && bit == 1)
+                    coefA(((my * vi + by) * pBW + mx * hi + bx) * 64) |=
+                      1 << al
+                }
+                bx += 1
+              }
+              by += 1
+            }
+            ci += 1
+          }
+        } else {
+          val bX = (unit % nbX).toInt; val bY = (unit / nbX).toInt
+          val base = (bY * pBW + bX) * 64
+          if (ah == 0) {
+            val s = huffDecode(r, dcT(dcSel(0)))
+            if (s < 0 || s > 15) return -1
+            val diff = receiveExtend(r, s)
+            if (diff == Int.MinValue) return -1
+            pred(0) += diff
+            if (scomp(0) == 0) coefA(base) = pred(0) << al
+          } else {
+            val bit = r.nextBit()
+            if (bit < 0) return -1
+            if (scomp(0) == 0 && bit == 1) coefA(base) |= 1 << al
+          }
+        }
+        unit += 1
+      }
+      endPos()
+    } else {
+      // ---- AC scan: single component (luma — chroma was byte-skipped) ----
+      val comp = scomp(0)
+      val hi = compHV(comp) >> 4; val vi = compHV(comp) & 15
+      val cw = (w * hi + hmax - 1) / hmax; val ch = (h * vi + vmax - 1) / vmax
+      val nbX = (cw + 7) / 8; val nbY = (ch + 7) / 8
+      val acTbl = acT(acSel(0))
+      if (acTbl == null) return -1
+      val p1 = 1 << al; val m1 = -(1 << al)
+      var blk = 0L
+      val total = nbX.toLong * nbY
+      while (blk < total) {
+        if (dri > 0 && blk > 0 && blk % dri == 0) {
+          if (!r.consumeRestart(rstN)) return -1
+          rstN = (rstN + 1) & 7
+          eobrun = 0
+        }
+        val bX = (blk % nbX).toInt; val bY = (blk / nbX).toInt
+        val base = (bY * pBW + bX) * 64
+        if (ah == 0) {
+          // ---- first AC scan of this band ----
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            var brk = false
+            while (!brk && k <= se) {
+              val rs = huffDecode(r, acTbl)
+              if (rs < 0) return -1
+              val rr = rs >> 4; val s = rs & 15
+              if (s == 0) {
+                if (rr == 15) k += 16 // ZRL
+                else {
+                  eobrun = (1 << rr) - 1
+                  if (rr > 0) {
+                    val eb = receiveN(r, rr)
+                    if (eb < 0) return -1
+                    eobrun += eb
+                  }
+                  brk = true
+                }
+              } else {
+                k += rr
+                if (k > se) return -1
+                val v = receiveExtend(r, s)
+                if (v == Int.MinValue) return -1
+                coefA(base + k) = v << al
+                k += 1
+              }
+            }
+          }
+        } else {
+          // ---- AC refinement scan (the correction-bit algorithm) ----
+          var k = ss
+          if (eobrun == 0) {
+            var brk = false
+            while (!brk && k <= se) {
+              val rs = huffDecode(r, acTbl)
+              if (rs < 0) return -1
+              var rr = rs >> 4; val s0 = rs & 15
+              var newval = 0
+              if (s0 == 0) {
+                if (rr < 15) {
+                  eobrun = 1 << rr
+                  if (rr > 0) {
+                    val eb = receiveN(r, rr)
+                    if (eb < 0) return -1
+                    eobrun += eb
+                  }
+                  brk = true
+                } // rr == 15: advance over 16 zero-history coefficients
+              } else {
+                if (s0 != 1) return -1
+                val bit = r.nextBit()
+                if (bit < 0) return -1
+                newval = if (bit == 1) p1 else m1
+              }
+              if (!brk) {
+                var done = false
+                while (!done && k <= se) {
+                  val c0 = coefA(base + k)
+                  if (c0 != 0) {
+                    val bit = r.nextBit()
+                    if (bit < 0) return -1
+                    if (bit == 1 && (c0 & p1) == 0)
+                      coefA(base + k) = if (c0 >= 0) c0 + p1 else c0 + m1
+                  } else {
+                    if (rr == 0) {
+                      if (newval != 0) coefA(base + k) = newval
+                      done = true
+                    }
+                    rr -= 1
+                  }
+                  k += 1
+                }
+                if (!done && newval != 0) return -1 // no slot for the new coef
+              }
+            }
+          }
+          if (eobrun > 0) {
+            // end-of-band: refinement bits for the remaining nonzero
+            // coefficients of this block's band
+            while (k <= se) {
+              if (!refineNonzero(base, k, p1, m1)) return -1
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+        blk += 1
+      }
+      endPos()
+    }
   }
 
   private def decodeScan(b: Array[Byte], dataPos: Int, w: Int, h: Int,
@@ -519,6 +879,113 @@ private[ext] object JpegKernel {
     wr(0xFF, 0xD9) // EOI
     out.toByteArray
   }
+
+  /** PROGRESSIVE (SOF2) twin of [[encodeGrayBlocks]]: the same
+    * block-flat pixel contract, written as THREE progressive scans —
+    *   1. DC first (Ss=0, Se=0, Ah=0, Al=1): DPCM of dcq >> 1
+    *   2. DC refinement (Ah=1, Al=0): the raw low bit of each dcq
+    *   3. AC first (Ss=1, Se=63): all-zero bands as EOBRUN codes
+    *      (one EOBn spans up to 32767 blocks — the decoder's EOBRUN
+    *      path is genuinely exercised, not one EOB per block)
+    * so decode must run successive-approximation accumulation AND
+    * end-of-band runs to reproduce the pixels — still bit-exact
+    * (DC-only blocks; (x>>1)<<1 | (x&1) == x in two's complement). */
+  def encodeGrayBlocksProgressive(wB: Int, hB: Int,
+      bv: (Int, Int) => Int): Array[Byte] = {
+    require(wB >= 1 && hB >= 1 && wB <= 512 && hB <= 512,
+      s"bad block grid ${wB}x$hB")
+    val w = wB * 8; val h = hB * 8
+    val out = new java.io.ByteArrayOutputStream()
+    def wr(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xFF))
+    def seg(marker: Int, body: Int*): Unit = {
+      wr(0xFF, marker, (body.length + 2) >> 8, (body.length + 2) & 0xFF)
+      body.foreach(v => out.write(v & 0xFF))
+    }
+    wr(0xFF, 0xD8) // SOI
+    seg(0xE0, 'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    seg(0xDB, (0 +: (0 until 64).map(k => if (k == 0) 8 else 16)): _*)
+    // SOF2: progressive, 8-bit, 1 component, 1x1 sampling
+    seg(0xC2, 8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 1, 1, 0x11, 0)
+    // DHT DC0: nine 4-bit codes for categories 0..8
+    seg(0xC4, (Seq(0x00) ++ Seq(0, 0, 0, 9, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0) ++ (0 to 8)): _*)
+    // DHT AC0: fifteen 4-bit codes for EOBn run lengths r = 0..14
+    // (value r<<4; canonical code of value r<<4 is r itself)
+    seg(0xC4, (Seq(0x10) ++ Seq(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0) ++ (0 to 14).map(_ << 4)): _*)
+
+    // scan-local bit writer, flushed (1-padded) at each scan boundary
+    var acc = 0; var nb = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nb += 1
+        if (nb == 8) {
+          out.write(acc & 0xFF)
+          if ((acc & 0xFF) == 0xFF) out.write(0x00)
+          acc = 0; nb = 0
+        }
+        i -= 1
+      }
+    }
+    def flushBits(): Unit = if (nb > 0) {
+      acc = (acc << (8 - nb)) | ((1 << (8 - nb)) - 1)
+      out.write(acc & 0xFF)
+      if ((acc & 0xFF) == 0xFF) out.write(0x00)
+      acc = 0; nb = 0
+    }
+
+    // ---- scan 1: DC first, Al = 1 ----
+    seg(0xDA, 1, 1, 0x00, 0, 0, 0x01)
+    var prev = 0
+    var by = 0
+    while (by < hB) {
+      var bx = 0
+      while (bx < wB) {
+        val v = bv(bx, by)
+        require(v >= 0 && v <= 255, s"block value $v out of range")
+        val hi = (v - 128) >> 1 // arithmetic: floor((v-128)/2)
+        val diff = hi - prev
+        prev = hi
+        val s = category(diff)
+        putBits(s, 4)
+        if (s > 0)
+          putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        bx += 1
+      }
+      by += 1
+    }
+    flushBits()
+
+    // ---- scan 2: DC refinement, Ah = 1, Al = 0 ----
+    seg(0xDA, 1, 1, 0x00, 0, 0, 0x10)
+    by = 0
+    while (by < hB) {
+      var bx = 0
+      while (bx < wB) {
+        putBits((bv(bx, by) - 128) & 1, 1)
+        bx += 1
+      }
+      by += 1
+    }
+    flushBits()
+
+    // ---- scan 3: AC band 1..63, all zero — pure EOBRUN codes ----
+    seg(0xDA, 1, 1, 0x00, 1, 63, 0x00)
+    var remaining = wB * hB
+    while (remaining > 0) {
+      val n = math.min(remaining, 32767)
+      var r = 0
+      while ((2 << r) <= n) r += 1 // r = floor(log2 n)
+      putBits(r, 4) // EOBn code == r (canonical 4-bit)
+      if (r > 0) putBits(n - (1 << r), r)
+      remaining -= n
+    }
+    flushBits()
+
+    wr(0xFF, 0xD9) // EOI
+    out.toByteArray
+  }
 }
 
 /** JPEG decode + the gray-content stat struct — identical shape to
@@ -688,6 +1155,52 @@ object BlockJpegEncode {
   def apply(seed: Column, wBlocks: Column, hBlocks: Column): Column = {
     val b = org.apache.spark.sql.graftbridge.Bridge
     b.column(BlockJpegEncode(b.expression(seed), b.expression(wBlocks),
+      b.expression(hBlocks)))
+  }
+}
+
+/** PROGRESSIVE twin of [[BlockJpegEncode]]: identical block contract,
+  * wire format [[JpegKernel.encodeGrayBlocksProgressive]] (SOF2, three
+  * scans, successive approximation + EOBRUN) — the oracle replays the
+  * same pixel formula while the engine must run the full Annex G
+  * multi-scan accumulation to agree. */
+case class ProgJpegEncode(seed: Expression, wBlocks: Expression,
+    hBlocks: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(seed, wBlocks, hBlocks)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"prog_jpeg_encode requires 3 longs, got ${children.map(_.dataType)}")
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    val Seq(s, wb, hb) = vs.map(_.asInstanceOf[Long])
+    if (wb < 1 || hb < 1 || wb > 512 || hb > 512) return null
+    JpegKernel.encodeGrayBlocksProgressive(wb.toInt, hb.toInt, (bx, by) => {
+      val t = bx * 7L + by * 11L + s * 131L
+      val tq = ((t % 251) * (t % 251)) % 251
+      ((((tq + bx + by * 3L + s) % 256) + 256) % 256).toInt
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ProgJpegEncode =
+    ProgJpegEncode(newChildren(0), newChildren(1), newChildren(2))
+
+  override def prettyName: String = "prog_jpeg_encode"
+}
+
+object ProgJpegEncode {
+  def apply(seed: Column, wBlocks: Column, hBlocks: Column): Column = {
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    b.column(ProgJpegEncode(b.expression(seed), b.expression(wBlocks),
       b.expression(hBlocks)))
   }
 }

@@ -112,7 +112,10 @@ object Kmv {
       .agg(count(lit(1)).as("n_minima"), max(col("h")).as("kth_hash"))
       .select(col("n_minima"), col("kth_hash"),
         when(col("n_minima") < k, col("n_minima"))
-          .otherwise(expr(s"${M}L DIV kth_hash") * (k - 1))
+          // NULLIF guard: hash 0 is in the squaring recurrence's codomain;
+          // Spark DIV 0 and DuckDB // 0 disagree (NULL vs error) — both
+          // engines agree on NULL once the denominator is NULLIF'd.
+          .otherwise(expr(s"${M}L DIV nullif(kth_hash, 0L)") * (k - 1))
           .as("distinct_est"))
 
   /** Broder resemblance over two sketches: X = the k smallest hashes
@@ -133,7 +136,7 @@ object Kmv {
       expr("y * 1000000 DIV n_x").as("jaccard_micro"),
       col("union_kth"),
       when(col("n_x") < k, col("n_x"))
-        .otherwise(expr(s"${M}L DIV union_kth") * (k - 1))
+        .otherwise(expr(s"${M}L DIV nullif(union_kth, 0L)") * (k - 1))
         .as("union_est"))
   }
 }

@@ -17,7 +17,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * headers (sync, bitrate/samplerate indices, padding) whose sizes are
   * pure table arithmetic — 144·bitrate/samplerate + padding — so frame
   * count, total samples (1152/frame) and audio byte length are exact
-  * integers an oracle replays. Dirty bytes → null, never a throw. */
+  * integers an oracle replays. Dirty bytes → null, never a throw.
+  *
+  * SCOPE NOTE — full PCM synthesis is deliberately out (the H.264
+  * stance, decided rather than deferred). Decoding Layer III audio to
+  * samples requires the ISO 11172-3 entropy layer end to end: ~34
+  * big-value/count1 Huffman tables, side-info bit reservoir tracking
+  * (main_data_begin back-pointers across frames), scalefactor-band
+  * requantization with pretab/scalefac_scale, stereo modes (MS +
+  * intensity), alias reduction, the 18/6-point hybrid IMDCT with
+  * window switching, and the 32-band polyphase synthesis filterbank —
+  * a codec-sized project whose outputs are NOT exactly integer
+  * (unlike the DC-exact JPEG fixture trick, every real Layer III
+  * stream exercises float windows), and — decisive for this repo's
+  * verification discipline — this JVM has NO independent MP3 decoder
+  * (javax.sound.sampled reads WAV/AU only), so a hand-rolled decoder
+  * could only ever be tested against itself. Every other content leg
+  * here (PNG/JPEG/GIF/BMP/TIFF pixels, WAV/G.711 PCM) is gated by a
+  * second implementation (ImageIO, javax.sound, system tar); MP3 PCM
+  * cannot meet that bar in this environment. Crawl-pipeline
+  * consequence: MP3 rows carry metadata/tag dedup signals
+  * ([[Mp3Meta]]) but do not join the spectral-fingerprint near-dup
+  * space WAV/G.711 content enjoys; on a cluster with a licensed codec
+  * library the [[graft.streaming.AudioIngest]] door accepts any
+  * decoder that lands PCM in the shared stat space. */
 private[ext] object Mp3Kernel {
 
   final case class Mp3(frames: Int, samplesTotal: Long, sampleRate: Int,

@@ -496,6 +496,35 @@ object Multimodal {
       BlockJpegEncode(seed.cast("long"), wBlocks.cast("long"),
         hBlocks.cast("long")).as("content"))
 
+  /** PROGRESSIVE (SOF2) block-flat JPEG corpus — the same documented
+    * block contract as [[syntheticBlockJpegCorpus]], written as three
+    * progressive scans (successive-approximation DC + EOBRUN AC), so
+    * the baseline oracle chain replays it verbatim while the engine
+    * must run the T.81 Annex G multi-scan accumulation. */
+  def syntheticProgJpegCorpus(df: DataFrame, idCol: String, seed: Column,
+      wBlocks: Column, hBlocks: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      ProgJpegEncode(seed.cast("long"), wBlocks.cast("long"),
+        hBlocks.cast("long")).as("content"))
+
+  /** PALETTE PNG corpus (color type 3, 64-entry PLTE, documented
+    * entry/index formulas — see [[PalettePngEncode]]); the engine must
+    * remap every index through the PLTE lumas. */
+  def syntheticPalettePngCorpus(df: DataFrame, idCol: String, seed: Column,
+      w: Column, h: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      PalettePngEncode(seed.cast("long"), w.cast("long"),
+        h.cast("long")).as("content"))
+
+  /** ADAM7-INTERLACED grayscale PNG corpus with the SAME pixel
+    * contract as [[syntheticGrayPngCorpus]] — the PNG oracle chain
+    * replays it verbatim; the engine must deinterlace seven passes. */
+  def syntheticAdam7PngCorpus(df: DataFrame, idCol: String, seed: Column,
+      w: Column, h: Column, bump: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      Adam7PngEncode(seed.cast("long"), w.cast("long"), h.cast("long"),
+        lit(11L), lit(5L), bump.cast("long")).as("content"))
+
   /** [[imageContentStats]] for baseline JPEG content — same 14-column
     * shape (the hashes are container-agnostic), fed by the
     * [[JpegGrayStats]] Huffman+IDCT luma decode instead of the PNG

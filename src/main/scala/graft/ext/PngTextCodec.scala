@@ -33,7 +33,9 @@ private[ext] object PngTextKernel {
     try {
       while (!inf.finished()) {
         val n = inf.inflate(buf)
-        if (n == 0 && inf.needsInput()) return null
+        // needsDictionary: FDICT streams (valid zlib headers) make inflate
+        // return 0 forever with needsInput()=false — bail or hang.
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return null
         out.write(buf, 0, n)
         if (out.size() > (1 << 24)) return null
       }
@@ -101,7 +103,10 @@ private[ext] object PngTextKernel {
       pos = dataLo + len + 4
       guard += 1
     }
-    out.toArray
+    // Reaching here means either the 512-chunk guard tripped or the walk ran
+    // off the end without IEND — a partial read, not a verified one. Null out
+    // (verified-or-nothing), mirroring the tar/zip/WARC cap handling.
+    null
   }
 
   /** One serialized text chunk (tEXt, or zTXt when `deflate`). */

@@ -72,12 +72,15 @@ private[ext] object TarKernel {
       val stored = octal(b, pos + 148, 8)
       if (stored < 0) return null
       var sum = 0L
+      var signedSum = 0L // historic writers summed SIGNED header bytes
       var i = 0
       while (i < 512) {
-        sum += (if (i >= 148 && i < 156) ' '.toInt else u8(b, pos + i))
+        if (i >= 148 && i < 156) { sum += ' '.toInt; signedSum += ' '.toInt }
+        else { sum += u8(b, pos + i); signedSum += b(pos + i) }
         i += 1
       }
-      if (sum != stored) return null
+      // GNU tar accepts either convention; so do we (interop)
+      if (sum != stored && signedSum != stored) return null
       val name = asciiz(b, pos, 100)
       val size = octal(b, pos + 124, 12)
       if (size < 0 || size > (1L << 28)) return null

@@ -93,6 +93,56 @@ final class OlapApi(spark: SparkSession, warehouse: FactStore,
     tagStore(fact).tags(fact).map(jstr).mkString("[", ", ", "]")
   }
 
+  private def liveFact(fact: String) = {
+    meta(fact)
+    warehouse.read(fact).getOrElse(throw new IllegalStateException(
+      s"fact table $fact has no snapshots yet"))
+  }
+
+  /** Ingest-dashboard endpoint: per-kind media census of a binary
+    * column — `GET /olap/<fact>/triage?content=<col>` → rows of
+    * (kind, n, total_bytes), the numbers an ingest team budgets
+    * decode capacity with ([[graft.ext.Multimodal.mediaTriageSummary]]
+    * — one magic-byte scan, bounded output: at most one row per
+    * container kind). Read-only; same output switch as aggregate. */
+  def triage(fact: String, contentCol: String = "content",
+      output: String = "json"): String = {
+    val df = liveFact(fact)
+    require(df.columns.contains(contentCol),
+      s"fact '$fact' has no column '$contentCol'")
+    require(df.schema(contentCol).dataType ==
+      org.apache.spark.sql.types.BinaryType,
+      s"column '$contentCol' is not binary")
+    val summary = graft.ext.Multimodal.mediaTriageSummary(
+        df.select(org.apache.spark.sql.functions.lit(0L).as("media_id"),
+          org.apache.spark.sql.functions.col(contentCol).as("content")))
+      .orderBy("kind")
+    output match {
+      case "table" => Renderer.toTable(summary, maxResultRows)
+      case _ => Renderer.toJson(summary, Set("n", "total_bytes"),
+        maxResultRows)
+    }
+  }
+
+  /** Sketch endpoint: KMV distinct-count estimate of an integer key
+    * column — `GET /olap/<fact>/distinct?column=<col>&k=<k>` → one
+    * row (n_minima, kth_hash, distinct_est). One linear scan, k·8
+    * bytes of state ([[graft.ext.Kmv.distinctEstimate]]); under k
+    * distinct values the estimate is exact. */
+  def distinctEstimate(fact: String, column: String,
+      k: Int = 1024): String = {
+    val df = liveFact(fact)
+    require(df.columns.contains(column),
+      s"fact '$fact' has no column '$column'")
+    val dt = df.schema(column).dataType
+    require(dt == org.apache.spark.sql.types.LongType ||
+      dt == org.apache.spark.sql.types.IntegerType,
+      s"column '$column' is not an integer key (KMV hashes integer keys)")
+    require(k >= 16 && k <= 65536, s"k=$k out of range [16, 65536]")
+    Renderer.toJson(graft.ext.Kmv.distinctEstimate(df, column, k),
+      Set("n_minima", "kth_hash", "distinct_est"), maxResultRows)
+  }
+
   /** The aggregate endpoint: compile cut/drilldown/measure/aggregate
     * params, run, render (`output` = "json" | "table"). `aggregate`
     * overrides per-measure aggregation functions by catalog name

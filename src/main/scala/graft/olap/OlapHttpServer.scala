@@ -17,6 +17,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *   GET /olap/<fact>/tags
   *   GET /olap/<fact>/aggregate?cut=..&drilldown=..&measure=..
   *         &aggregate=..&order=..&limit=..&output=json|table&tag=..
+  *   GET /olap/<fact>/triage?content=..&output=..      (media census)
+  *   GET /olap/<fact>/distinct?column=..&k=..          (KMV estimate)
   *
   * JDK built-in HttpServer: zero dependencies, single-threaded executor by
   * default — the query work itself runs distributed in Spark; the HTTP
@@ -69,6 +71,16 @@ final class OlapHttpServer(api: OlapApi, port: Int = 0,
         case Seq(fact, "measures") => api.measures(fact)
         case Seq(fact, "aggregates") => api.aggregates(fact)
         case Seq(fact, "tags") => api.tags(fact)
+        case Seq(fact, "triage") =>
+          api.triage(fact,
+            contentCol = params.getOrElse("content", "content"),
+            output = params.getOrElse("output", "json"))
+        case Seq(fact, "distinct") =>
+          api.distinctEstimate(fact,
+            column = params.getOrElse("column",
+              throw new IllegalArgumentException(
+                "distinct requires ?column=<integer key column>")),
+            k = params.get("k").map(_.toInt).getOrElse(1024))
         case Seq(fact, "aggregate") =>
           api.aggregate(fact,
             cut = params.get("cut"),

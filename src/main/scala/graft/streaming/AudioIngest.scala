@@ -72,4 +72,11 @@ object AudioIngest {
       checkpointDir: String): StreamingQuery =
     ScrubEngine.run(fam, stream, idCol, contentCol, wh, fact, indexDir,
       checkpointDir)
+
+  /** Fold fingerprint-index partitions `batch <= upToBatchId` into
+    * `batch=-1` (retention; horizon contract at
+    * [[TileScrub.compactIndex]]). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, upToBatchId: Long): Int =
+    ScrubEngine.compactIndex(spark, fam, indexDir, upToBatchId)
 }

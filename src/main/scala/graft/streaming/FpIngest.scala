@@ -105,5 +105,9 @@ private[streaming] object FpIngest {
       incremental = (batch, idCol, contentCol, idx) =>
         novelAgainst(batch, idCol, contentCol, idx, fpAdd, fpName,
           maxHamming),
-      collapse = false, extraIndexCols = Seq("t", "v"))
+      collapse = false, extraIndexCols = Seq("t", "v"),
+      // the probe equi-joins stored rows on the band keys, so the
+      // per-partition sidecar blooms key on (t, v) — a batch whose
+      // derived keys miss a partition's sidecar skips its files
+      fileKeyCols = Seq("t", "v"))
 }

@@ -47,8 +47,13 @@ object ImageIngest {
     * guarantee). */
   val MaxHamming = 4
 
+  // ORIENTATION-NORMALIZED since round 13: the door hashes EXIF-upright
+  // pixels, so a camera-rotated JPEG re-upload collapses onto its
+  // original's fingerprint and drops. On EXIF-less content (PNG/GIF/
+  // BMP/TIFF, or EXIF-less JPEG) this is bit-identical to the plain
+  // sniffing stats — orientation-free verdicts are unchanged.
   private val fpAdd = FpIngest.statsFp(
-    graft.ext.ImageGrayStats(_), "ahash_hi", "ahash_lo")
+    graft.ext.OrientedImageGrayStats(_), "ahash_hi", "ahash_lo")
 
   /** (img_fp, n_refs, t, v) — fingerprint counts of a frame exploded
     * into their 56 persisted band keys, the index unit (undecodable /
@@ -96,4 +101,13 @@ object ImageIngest {
       checkpointDir: String): StreamingQuery =
     ScrubEngine.run(fam, stream, idCol, contentCol, wh, fact, indexDir,
       checkpointDir)
+
+  /** Fold fingerprint-index partitions `batch <= upToBatchId` into
+    * `batch=-1` (retention; see [[TileScrub.compactIndex]] for the
+    * horizon contract). Duplicate (fp, t, v) rows merge with summed
+    * `n_refs` — probe verdicts are unchanged (the probe dedups hits
+    * and never reads `n_refs`). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, upToBatchId: Long): Int =
+    ScrubEngine.compactIndex(spark, fam, indexDir, upToBatchId)
 }

@@ -58,4 +58,11 @@ object LineScrub {
       maxDocs: Long = 1L): StreamingQuery =
     ScrubEngine.run(family(maxDocs), stream, idCol, textCol, wh, fact,
       indexDir, checkpointDir)
+
+  /** Fold index partitions `batch <= upToBatchId` into `batch=-1`
+    * (retention; horizon contract at [[TileScrub.compactIndex]]). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, upToBatchId: Long,
+      maxDocs: Long = 1L): Int =
+    ScrubEngine.compactIndex(spark, family(maxDocs), indexDir, upToBatchId)
 }

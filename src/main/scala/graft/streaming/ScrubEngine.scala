@@ -2,8 +2,8 @@ package graft.streaming
 
 import graft.snapshot.Warehouse
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -19,7 +19,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * written with idempotent overwrite; the index read excludes the
   * current batch's partition so replays recompute identical verdicts;
   * the fact leg uses the intent/marker pair under
-  * `checkpointDir/_graft_markers` with an anti-join on crash replay. */
+  * `checkpointDir/_graft_markers` with an anti-join on crash replay.
+  *
+  * FILE-LEVEL pruning (round 13): every batch partition carries a
+  * `_keybloom.json` sidecar — a packed bloom filter over the
+  * partition's probe-join keys, written once at ingest. The index read
+  * tests the BATCH's (trigger-bounded) key set against each sidecar on
+  * the driver and opens only the partitions that might hold a matching
+  * key, so per-trigger IO — not just exchange — tracks the batch, the
+  * same manifest-skipping idea the Warehouse `_bloom.json` implements
+  * for fact scans. False positives only cost an extra partition scan;
+  * a missing sidecar (pre-round-13 layout) or an over-cap batch key
+  * set falls back to the full read — results identical either way. */
 private[streaming] final case class ScrubFamily(
     subdir: String,
     keyCol: String,
@@ -46,48 +57,156 @@ private[streaming] final case class ScrubFamily(
     // to every collapse family (line/URL); families that join on
     // derived keys (ImageIngest's band keys) need the bloom keyed on
     // those instead.
-    bloomPrune: Boolean = false)
+    bloomPrune: Boolean = false,
+    // the columns the probe EQUI-JOINS stored rows on — the sidecar
+    // bloom key. Empty = Seq(keyCol); fp families join on the band
+    // keys (t, v) instead.
+    fileKeyCols: Seq[String] = Nil)
+
+/** Public instrumentation window onto the scrub probe reads (the
+  * ScaleDemo files-read evidence): partitions opened vs present on the
+  * last sidecar-pruned index read. */
+object ScrubMetrics {
+  def lastPartsRead: Int = ScrubEngine.lastPartsRead
+  def lastPartsTotal: Int = ScrubEngine.lastPartsTotal
+}
 
 private[streaming] object ScrubEngine {
 
+  // sidecar bloom sizing: 16 KiB/partition, ~1% fp at ~10^4 keys
+  private val SideBits = 1 << 17
+  private val SideK = 4
+  // cap on driver-collected batch probe keys; a batch deriving more
+  // falls back to the unpruned read (bounded driver traffic, O(batch))
+  private val MaxProbeKeys = 100000
+
+  /** Instrumentation for specs and ScaleDemo: partitions opened vs
+    * present on the LAST pruned index read (-1 until one happens). */
+  @volatile var lastPartsRead: Int = -1
+  @volatile var lastPartsTotal: Int = -1
+
+  private def probeKeyCols(fam: ScrubFamily): Seq[String] =
+    if (fam.fileKeyCols.nonEmpty) fam.fileKeyCols else Seq(fam.keyCol)
+
+  /** The canonical probe-key string of a row: colon-joined column
+    * values, matching Spark's CAST-to-string of longs on the driver
+    * side (the [[graft.ext.BloomJoin]] portability contract). */
+  private def keyed(rows: DataFrame, fam: ScrubFamily): DataFrame =
+    rows.select(concat_ws(":",
+      probeKeyCols(fam).map(c => col(c).cast("string")): _*).as("__k"))
+
+  private def writeSidecar(fs: FileSystem, partDir: Path, rows: DataFrame,
+      fam: ScrubFamily): Unit = {
+    val words = graft.ext.BloomJoin.buildFilter(
+      keyed(rows, fam), "__k", SideBits, SideK)
+    val out = fs.create(new Path(partDir, "_keybloom.json"), true)
+    try out.write(
+      (s"""{"bits":$SideBits,"k":$SideK,"words":[${words.mkString(",")}]}""")
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readSidecar(fs: FileSystem, partDir: Path):
+      Option[(Int, Int, Array[Long])] = {
+    val p = new Path(partDir, "_keybloom.json")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    // fixed shape written above — a tiny hand parse keeps this
+    // dependency-free (same stance as the Warehouse manifests)
+    def field(name: String): Option[String] = {
+      val i = txt.indexOf(s""""$name":""")
+      if (i < 0) None else {
+        val s = i + name.length + 3
+        val e0 = txt.indexWhere(c => c == ',' || c == '}', s)
+        if (e0 < 0) None else Some(txt.substring(s, e0))
+      }
+    }
+    try {
+      val bits = field("bits").get.trim.toInt
+      val k = field("k").get.trim.toInt
+      val ws = txt.indexOf("[", txt.indexOf("\"words\":"))
+      val we = txt.indexOf("]", ws)
+      val words = txt.substring(ws + 1, we).split(",").map(_.trim.toLong)
+      if (words.length == bits / 64) Some((bits, k, words)) else None
+    } catch { case _: RuntimeException => None }
+  }
+
   def seedIndex(fam: ScrubFamily, corpus: DataFrame, idCol: String,
-      textCol: String, indexDir: String): Unit =
-    fam.indexOf(corpus, idCol, textCol)
-      .write.mode("overwrite")
-      .parquet(s"$indexDir/${fam.subdir}/batch=-1")
+      textCol: String, indexDir: String): Unit = {
+    val idx = fam.indexOf(corpus, idCol, textCol).localCheckpoint(true)
+    val part = new Path(s"$indexDir/${fam.subdir}/batch=-1")
+    idx.write.mode("overwrite").parquet(part.toString)
+    val fs = part.getFileSystem(
+      corpus.sparkSession.sparkContext.hadoopConfiguration)
+    writeSidecar(fs, part, idx, fam)
+  }
 
   /** The current index EXCLUDING `batchId`'s own partition, collapsed
     * to one row per unit hash; `prune` runs on the RAW stored rows,
-    * before any collapse shuffle (the bloom-prune hook point). */
+    * before any collapse shuffle (the bloom-prune hook point).
+    * `batchKeys` (the trigger-bounded probe-key strings, None when
+    * over cap) drives SIDEBAR file skipping: only partitions whose
+    * `_keybloom.json` might contain a batch key are opened at all. */
   private def readIndex(fam: ScrubFamily, batch: DataFrame,
       indexDir: String, batchId: Long,
-      prune: DataFrame => DataFrame = identity): DataFrame = {
+      prune: DataFrame => DataFrame = identity,
+      batchKeys: Option[Array[String]] = None): DataFrame = {
     val spark = batch.sparkSession
     val dir = s"$indexDir/${fam.subdir}"
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val hasParts = fs.exists(new Path(dir)) &&
-      fs.listStatus(new Path(dir)).exists(s =>
-        s.isDirectory && s.getPath.getName.startsWith("batch="))
-    if (hasParts) {
-      val raw = prune(spark.read.option("basePath", dir).parquet(dir)
-        .filter(col("batch") =!= batchId))
-      if (fam.collapse)
-        raw.groupBy(col(fam.keyCol)).agg(sum(col(fam.cntCol)).as(fam.cntCol))
-      else raw.drop("batch")
-    } else
+    val parts =
+      if (!fs.exists(new Path(dir))) Array.empty[Path]
+      else fs.listStatus(new Path(dir))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(_.getPath)
+        .filterNot(_.getName == s"batch=$batchId")
+    def emptyIndex: DataFrame =
       spark.emptyDataFrame
         .select((Seq(fam.keyCol, fam.cntCol) ++ fam.extraIndexCols)
           .map(c => lit(0L).as(c)): _*).limit(0)
+    if (parts.isEmpty) return emptyIndex
+    // file-level skip: keep a partition iff ANY batch key might be in
+    // its sidecar; partitions without a sidecar are always kept
+    val selected = batchKeys match {
+      case Some(keys) =>
+        val keep = parts.filter { p =>
+          readSidecar(fs, p) match {
+            case Some((bits, k, words)) =>
+              keys.exists(key =>
+                graft.ext.BloomJoin.mightContain(key, words, bits, k))
+            case None => true // legacy partition: cannot prove absence
+          }
+        }
+        lastPartsRead = keep.length; lastPartsTotal = parts.length
+        keep
+      case None => parts
+    }
+    if (selected.isEmpty) return emptyIndex
+    val raw = prune(spark.read.option("basePath", dir)
+      .parquet(selected.map(_.toString): _*)
+      .filter(col("batch") =!= batchId))
+    if (fam.collapse)
+      raw.groupBy(col(fam.keyCol)).agg(sum(col(fam.cntCol)).as(fam.cntCol))
+    else raw.drop("batch")
   }
 
   def ingestBatch(fam: ScrubFamily, batch: DataFrame, idCol: String,
       textCol: String, wh: Warehouse, fact: String, indexDir: String,
       batchId: Long, dedupFact: Boolean): Unit = {
-    // the batch's own index view is used twice (bloom keys + the final
-    // index write); compute once
+    // the batch's own index view is used three times (probe-key set +
+    // bloom keys + the final index write); compute once
     val batchIndex = fam.indexOf(batch, idCol, textCol)
       .localCheckpoint(true)
+    // trigger-bounded probe keys for sidecar skipping (O(batch) driver
+    // traffic, capped — over the cap we read the index unpruned)
+    val keyRows = keyed(batchIndex, fam).distinct()
+      .limit(MaxProbeKeys + 1).collect()
+    val batchKeys =
+      if (keyRows.length > MaxProbeKeys) None
+      else Some(keyRows.map(_.getString(0)))
     val prune: DataFrame => DataFrame =
       if (!fam.bloomPrune) identity
       else { raw =>
@@ -96,7 +215,7 @@ private[streaming] object ScrubEngine {
           batchIndex.select(col(fam.keyCol)), fam.keyCol, bits, 4)
         graft.ext.BloomJoin.pruneProbe(raw, fam.keyCol, words, bits, 4)
       }
-    val index = readIndex(fam, batch, indexDir, batchId, prune)
+    val index = readIndex(fam, batch, indexDir, batchId, prune, batchKeys)
     val scrubbed = fam.incremental(
         batch.select(col(idCol), col(textCol)), idCol, textCol, index)
       .join(batch.select(col(idCol), col("year")), idCol)
@@ -115,9 +234,95 @@ private[streaming] object ScrubEngine {
             .select(col(idCol)), Seq(idCol), "left_anti")
       }
     if (!factLeg.isEmpty) wh.append(fact, factLeg)
-    batchIndex
-      .write.mode("overwrite")
-      .parquet(s"$indexDir/${fam.subdir}/batch=$batchId")
+    val part = new Path(s"$indexDir/${fam.subdir}/batch=$batchId")
+    batchIndex.write.mode("overwrite").parquet(part.toString)
+    val fs = part.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    writeSidecar(fs, part, batchIndex, fam)
+  }
+
+  // ------------------------- compaction -------------------------
+  //
+  // Every trigger writes one batch=<id> directory forever — the classic
+  // small-file accumulation. compactIndex folds all partitions with
+  // id <= upToBatchId into the seed partition (batch=-1), preserving
+  // the own-partition-exclusion replay contract PROVIDED the caller
+  // only compacts batches the streaming checkpoint can no longer
+  // replay (id < the committed horizon): a replayable batch B > upTo
+  // still excludes batch=B and still sees every other row — now inside
+  // batch=-1 instead of its original directory.
+  //
+  // Crash safety: the merge is staged under .compact_tmp with a
+  // _MERGED manifest naming the source directories, then the sources
+  // are deleted and the stage renamed to batch=-1. A crash mid-swap is
+  // finished by the recovery pass at the next compactIndex call (the
+  // manifest tells it which sources remain to delete).
+
+  /** Fold index partitions `batch <= upToBatchId` into `batch=-1`.
+    * Returns the number of partitions folded (0 = nothing to do).
+    * Counts are summed per key, so probe semantics are unchanged
+    * (collapse families re-collapse anyway; fp families' probes ignore
+    * `n_refs` and dedup hits). */
+  def compactIndex(spark: SparkSession, fam: ScrubFamily,
+      indexDir: String, upToBatchId: Long): Int = {
+    val dir = new Path(s"$indexDir/${fam.subdir}")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, dir)
+    if (!fs.exists(dir)) return 0
+    val parts = fs.listStatus(dir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+      .filter { p =>
+        val id = p.getName.stripPrefix("batch=")
+        scala.util.Try(id.toLong).toOption.exists(_ <= upToBatchId)
+      }
+    if (parts.length <= 1) return 0
+    val tmp = new Path(dir, ".compact_tmp")
+    fs.delete(tmp, true)
+    val cols = Seq(fam.keyCol) ++ fam.extraIndexCols
+    val folded = spark.read.option("basePath", dir.toString)
+      .parquet(parts.map(_.toString): _*)
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col(fam.cntCol)).as(fam.cntCol))
+      .select((Seq(fam.keyCol, fam.cntCol) ++ fam.extraIndexCols)
+        .map(col): _*)
+      .localCheckpoint(true)
+    val data = new Path(tmp, "data")
+    folded.write.mode("overwrite").parquet(data.toString)
+    writeSidecar(fs, data, folded, fam)
+    // manifest last: its existence marks the stage complete
+    val man = fs.create(new Path(tmp, "_MERGED"), true)
+    try man.write(parts.map(_.getName).mkString("\n").getBytes("UTF-8"))
+    finally man.close()
+    finishSwap(fs, dir, tmp, parts.map(_.getName))
+    parts.length
+  }
+
+  private def finishSwap(fs: FileSystem, dir: Path, tmp: Path,
+      sources: Seq[String]): Unit = {
+    sources.foreach { name =>
+      val p = new Path(dir, name)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val data = new Path(tmp, "data")
+    if (fs.exists(data)) fs.rename(data, new Path(dir, "batch=-1"))
+    fs.delete(tmp, true)
+  }
+
+  /** Finish an interrupted compaction swap: with a complete stage
+    * (`_MERGED` present), the remaining sources are deleted and the
+    * stage promoted; without one, the half-written stage is discarded
+    * (the source partitions are all still in place). */
+  private def recoverCompaction(fs: FileSystem, dir: Path): Unit = {
+    val tmp = new Path(dir, ".compact_tmp")
+    if (!fs.exists(tmp)) return
+    val man = new Path(tmp, "_MERGED")
+    if (!fs.exists(man)) { fs.delete(tmp, true); return }
+    val in = fs.open(man)
+    val sources = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString.split("\n").toSeq.filter(_.nonEmpty)
+      finally in.close()
+    finishSwap(fs, dir, tmp, sources)
   }
 
   def run(fam: ScrubFamily, stream: DataFrame, idCol: String,

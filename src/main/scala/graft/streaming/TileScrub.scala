@@ -88,4 +88,16 @@ object TileScrub {
       tileWords: Int = 8): StreamingQuery =
     ScrubEngine.run(family(tileWords), stream, idCol, textCol, wh, fact,
       indexDir, checkpointDir)
+
+  /** Fold index partitions `batch <= upToBatchId` into `batch=-1` —
+    * the small-file retention story (one directory per trigger grows
+    * forever otherwise). Safe ONLY for batches the stream's checkpoint
+    * can no longer replay (id < the committed horizon): replayable
+    * batches keep excluding their own partition, and the folded rows
+    * they probe are count-identical ([[ScrubEngine.compactIndex]];
+    * crash-safe staged swap). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, upToBatchId: Long, tileWords: Int = 8): Int =
+    ScrubEngine.compactIndex(spark, family(tileWords), indexDir,
+      upToBatchId)
 }

@@ -90,4 +90,10 @@ object UrlIngest {
       checkpointDir: String): StreamingQuery =
     ScrubEngine.run(fam, stream, idCol, urlCol, wh, fact, indexDir,
       checkpointDir)
+
+  /** Fold index partitions `batch <= upToBatchId` into `batch=-1`
+    * (retention; horizon contract at [[TileScrub.compactIndex]]). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, upToBatchId: Long): Int =
+    ScrubEngine.compactIndex(spark, fam, indexDir, upToBatchId)
 }

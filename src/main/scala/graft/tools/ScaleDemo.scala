@@ -962,6 +962,40 @@ object ScaleDemo {
       println(f"""{"op": "tilescrub_probe", "index_docs": $docs, "batch": 500, "rows": $rows, "seed_s": $tSeed%.1f, "probe_s": $tProbe%.1f}""")
       spark.catalog.clearCache()
     }
+    if (selected("tilescrub_parts")) {
+      // FILE-LEVEL pruning evidence (round 13): an index of 40 batch
+      // partitions, each 50·K docs of a disjoint tile class; one fixed
+      // 500-doc probe batch repeating only classes 0-2. The sidecar
+      // blooms must keep the probe's partition reads BOUNDED BY THE
+      // OVERLAP (~3 of 40) at every K — IO, not just exchange, tracks
+      // the batch. parts_read / parts_total is the row's claim.
+      val wh = new graft.snapshot.Warehouse(spark,
+        graft.TempDirs.scratchDir("sd_tp_wh").toString)
+      val idxDir = graft.TempDirs.scratchDir("sd_tp_idx").toString
+      def classText(cls: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat_ws(" ", (1 to 16).map(i =>
+          concat(lit("c"), cls, lit(s"w$i"))): _*)
+      val t0 = System.nanoTime()
+      for (b <- 0 until 40) {
+        val df = spark.range(50L * k)
+          .select((col("id") + b * 1000000L).as("doc_id"),
+            classText(lit(b)).as("text"), lit(2020L).as("year"))
+        graft.streaming.TileScrub.ingestBatch(df, "doc_id", "text",
+          wh, "scrub40", idxDir, b.toLong)
+      }
+      val tSeed = (System.nanoTime() - t0) / 1e9
+      val probe = spark.range(500)
+        .select((col("id") + 900000000L).as("doc_id"),
+          classText(col("id") % 3).as("text"), lit(2021L).as("year"))
+      val t1 = System.nanoTime()
+      graft.streaming.TileScrub.ingestBatch(probe, "doc_id", "text",
+        wh, "scrub40", idxDir, 40L)
+      val tProbe = (System.nanoTime() - t1) / 1e9
+      val pr = graft.streaming.ScrubMetrics.lastPartsRead
+      val pt = graft.streaming.ScrubMetrics.lastPartsTotal
+      println(f"""{"op": "tilescrub_parts", "index_docs": ${40 * 50 * k}, "batch": 500, "parts_read": $pr, "parts_total": $pt, "seed_s": $tSeed%.1f, "probe_s": $tProbe%.1f}""")
+      spark.catalog.clearCache()
+    }
     timed("bpe_sharded") {
       // the no-driver-table trainer: replication multiplies FREQUENCIES
       // (the type table stays base-sized), so wall = one corpus word

@@ -80,6 +80,10 @@ class AviSpec extends SparkTestBase {
     assert(AviKernel.decodeFrames("RIFFxxxxWAVE".getBytes, 8) == null)
     assert(AviKernel.decodeFrames("short".getBytes, 8) == null)
     val good = AviKernel.encodeMjpeg(1, 2, 1, 1)
+    // an SQL-supplied maxFrames near Int.MaxValue must not overflow the
+    // walk guard (guardMax is computed in Long) — valid AVIs still decode
+    assert(AviKernel.decodeFrames(good, 600000000) != null)
+    assert(AviKernel.decodeFrames(good, Int.MaxValue).length == 2)
     // break the RIFF magic
     val dirty = good.clone(); dirty(0) = 'X'
     assert(AviKernel.decodeFrames(dirty, 8) == null)

@@ -78,6 +78,158 @@ class MediaContentSpec extends SparkTestBase {
     }
   }
 
+  test("palette PNG (color type 3): PLTE remap decodes to entry lumas; " +
+      "ImageIO agrees both directions; PLTE-less / out-of-range reject") {
+    val w = 21; val h = 14
+    def pmod(v: Long, m: Long): Long = ((v % m) + m) % m
+    val s = 5L
+    def rgbOf(e: Int): (Int, Int, Int) = {
+      val tq = { val t = pmod(e * 37L + s * 131L, 251); (t * t) % 251 }
+      (pmod(tq + e, 256).toInt, pmod(tq * 2 + e * 5 + s, 256).toInt,
+        pmod(tq * 3 + e * 11, 256).toInt)
+    }
+    def idxOf(x: Int, y: Int): Int = {
+      val uq = { val u = pmod(x * 7L + y * 11L + s * 131L, 251); (u * u) % 251 }
+      pmod(uq + x + y * 3L + s, 64).toInt
+    }
+    val png = PngKernel.encodePalette(w, h, 64, rgbOf, idxOf,
+      y => (s + y).toInt % 5)
+    val g = PngKernel.decodeGray(png)
+    assert(g != null && g.width == w && g.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, gg, b) = rgbOf(idxOf(x, y))
+      assert(g.luma(y * w + x) == ((77 * r + 150 * gg + 29 * b) >> 8),
+        s"($x,$y)")
+    }
+    // ImageIO reads OUR palette PNG to the same RGB triples
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null && img.getWidth == w)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, gg, b) = rgbOf(idxOf(x, y))
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xFF) == r && ((rgb >> 8) & 0xFF) == gg &&
+        (rgb & 0xFF) == b, s"($x,$y)")
+    }
+    // ImageIO-WRITTEN indexed PNG decodes through our PLTE path
+    val pal = (0 until 64).map(rgbOf)
+    val icm = new java.awt.image.IndexColorModel(8, 64,
+      pal.map(_._1.toByte).toArray, pal.map(_._2.toByte).toArray,
+      pal.map(_._3.toByte).toArray)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, idxOf(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    val g2 = PngKernel.decodeGray(bos.toByteArray)
+    assert(g2 != null && g2.width == w && g2.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, gg, b) = rgbOf(idxOf(x, y))
+      assert(g2.luma(y * w + x) == ((77 * r + 150 * gg + 29 * b) >> 8),
+        s"ImageIO-written ($x,$y)")
+    }
+    // color type 3 with PLTE stripped -> null (PLTE is mandatory)
+    val noPlte = {
+      val out = new java.io.ByteArrayOutputStream()
+      var pos = 0
+      // copy signature, then every chunk except PLTE
+      out.write(png, 0, 8); pos = 8
+      while (pos + 8 <= png.length) {
+        val len = (((png(pos) & 0xFF) << 24) | ((png(pos + 1) & 0xFF) << 16) |
+          ((png(pos + 2) & 0xFF) << 8) | (png(pos + 3) & 0xFF))
+        val typ = new String(png, pos + 4, 4, "US-ASCII")
+        if (typ != "PLTE") out.write(png, pos, 12 + len)
+        pos += 12 + len
+      }
+      out.toByteArray
+    }
+    assert(PngKernel.decodeGray(noPlte) == null)
+    // an index past the palette end -> null (verified-or-nothing)
+    val shortPal = PngKernel.encodePalette(w, h, 8, rgbOf,
+      (x, y) => idxOf(x, y) % 8, _ => 0)
+    assert(PngKernel.decodeGray(shortPal) != null) // in-range baseline
+    // now hand-craft the same 8-entry PLTE but indices up to 63: the
+    // encoder's own mod-nPal guard must be bypassed, so splice the
+    // 64-index IDAT rows against the 8-entry palette
+    val overIdx = {
+      val raw = new Array[Byte](h * (1 + w))
+      for (y <- 0 until h) {
+        raw(y * (1 + w)) = 0
+        for (x <- 0 until w)
+          raw(y * (1 + w) + 1 + x) = idxOf(x, y).toByte // 0..63
+      }
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val n = d.deflate(buf); d.end()
+      // reuse shortPal's header/PLTE, swap the IDAT
+      val out = new java.io.ByteArrayOutputStream()
+      var pos = 0
+      out.write(shortPal, 0, 8); pos = 8
+      while (pos + 8 <= shortPal.length) {
+        val len = (((shortPal(pos) & 0xFF) << 24) |
+          ((shortPal(pos + 1) & 0xFF) << 16) |
+          ((shortPal(pos + 2) & 0xFF) << 8) | (shortPal(pos + 3) & 0xFF))
+        val typ = new String(shortPal, pos + 4, 4, "US-ASCII")
+        if (typ == "IDAT") {
+          val body = java.util.Arrays.copyOf(buf, n)
+          def w4(v: Long): Unit = { out.write(((v >> 24) & 0xFF).toInt)
+            out.write(((v >> 16) & 0xFF).toInt)
+            out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt) }
+          w4(body.length.toLong); out.write("IDAT".getBytes, 0, 4)
+          out.write(body, 0, body.length)
+          val crc = new java.util.zip.CRC32()
+          crc.update("IDAT".getBytes); crc.update(body)
+          w4(crc.getValue)
+        } else out.write(shortPal, pos, 12 + len)
+        pos += 12 + len
+      }
+      out.toByteArray
+    }
+    assert(PngKernel.decodeGray(overIdx) == null)
+  }
+
+  test("Adam7 interlaced PNG: deinterlace equals the sequential encode " +
+      "of the same pixels; ImageIO agrees both directions") {
+    // odd dims hit every pass-geometry edge case (empty/1-wide passes)
+    for ((w, h) <- Seq((23, 17), (8, 8), (5, 3), (1, 9), (16, 1))) {
+      val f = pix(7, 11, 5, 3) _
+      val seqPng = PngKernel.encodeGray(w, h, f, y => (7 + y) % 5)
+      val a7Png = PngKernel.encodeGrayAdam7(w, h, f, k => (7 + k) % 5)
+      val gs = PngKernel.decodeGray(seqPng)
+      val ga = PngKernel.decodeGray(a7Png)
+      assert(ga != null && ga.width == w && ga.height == h, s"${w}x$h")
+      assert(ga.luma.toSeq == gs.luma.toSeq, s"${w}x$h interlaced != seq")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(ga.luma(y * w + x) == f(x, y), s"${w}x$h ($x,$y)")
+      // ImageIO reads OUR interlaced PNG pixel-identically
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(a7Png))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.getRaster.getSample(x, y, 0) == f(x, y),
+          s"${w}x$h ImageIO ($x,$y)")
+    }
+    // ImageIO-WRITTEN interlaced PNG (progressive mode = Adam7) decodes
+    val w = 27; val h = 19
+    val gi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gi.getRaster.setSample(x, y, 0, (x * 13 + y * 29) % 256)
+    val wtr = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val p = wtr.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wtr.setOutput(ios)
+    wtr.write(null, new javax.imageio.IIOImage(gi, null, null), p)
+    wtr.dispose(); ios.close()
+    val g = PngKernel.decodeGray(bos.toByteArray)
+    assert(g != null && g.width == w && g.height == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(g.luma(y * w + x) == (x * 13 + y * 29) % 256,
+        s"ImageIO-interlaced ($x,$y)")
+  }
+
   test("dirty bytes never throw: truncation, bad magic, unsupported layouts") {
     val good = PngKernel.encodeGray(9, 9, pix(1, 11, 5, 0) _, _ => 0)
     assert(PngKernel.decodeGray(null) == null)
@@ -328,6 +480,120 @@ class MediaContentSpec extends SparkTestBase {
     }
   }
 
+  test("progressive JPEG fixture (SOF2, successive approximation + " +
+      "EOBRUN) round-trips EXACTLY, equals its baseline twin, ImageIO agrees") {
+    val bv = (bx: Int, by: Int) => {
+      val t = bx * 7L + by * 11L + 3 * 131L
+      val tq = ((t % 251) * (t % 251)) % 251
+      ((((tq + bx + by * 3L + 3) % 256) + 256) % 256).toInt
+    }
+    val prog = JpegKernel.encodeGrayBlocksProgressive(9, 8, bv)
+    val base = JpegKernel.encodeGrayBlocks(9, 8, bv)
+    val gp = JpegKernel.decodeGrayY(prog)
+    val gb = JpegKernel.decodeGrayY(base)
+    assert(gp != null && gp.width == 72 && gp.height == 64)
+    for (y <- 0 until 64; x <- 0 until 72)
+      assert(gp.luma(y * 72 + x) == bv(x / 8, y / 8), s"($x,$y)")
+    assert(gp.luma.toSeq == gb.luma.toSeq, "progressive != baseline twin")
+    // ImageIO decodes the same bytes to the same flat blocks — the wire
+    // format is real progressive JPEG, not a private dialect
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(prog))
+    assert(ref != null && ref.getWidth == 72)
+    for (y <- 0 until 64; x <- 0 until 72)
+      assert(ref.getRaster.getSample(x, y, 0) == bv(x / 8, y / 8),
+        s"ImageIO ($x,$y)")
+    // EOBRUN spanning >2^4 blocks (one EOBn code for all 72 blocks) and
+    // a grid needing multiple EOBn codes both decode
+    val big = JpegKernel.encodeGrayBlocksProgressive(64, 65, bv) // 4160 blocks
+    val gBig = JpegKernel.decodeGrayY(big)
+    assert(gBig != null)
+    for (k <- Seq(0, 5000, 100000))
+      assert(gBig.luma(k) == bv((k % 512) / 8, (k / 512) / 8))
+  }
+
+  test("our decoder matches ImageIO's own PROGRESSIVE encodes (the IJG " +
+      "scan script: spectral selection + AC successive approximation)") {
+    // gray: single component, multi-scan with AC refinement passes
+    for (seed <- Seq(1, 7); q <- Seq(0.55f, 0.9f)) {
+      val w = 45; val h = 38
+      val src = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) {
+        val t = x * (3 + seed) + y * 7 + seed * 131
+        val v = (((t % 97) * (t % 89)) % 256 + 256) % 256
+        src.getRaster.setSample(x, y, 0, v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val wtr = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val p = wtr.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(q)
+      assert(p.canWriteProgressive)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wtr.setOutput(ios)
+      wtr.write(null, new javax.imageio.IIOImage(src, null, null), p)
+      wtr.dispose(); ios.close()
+      val jpeg = bos.toByteArray
+      // confirm it IS SOF2 (otherwise this test proves nothing)
+      val hasSof2 = (0 until jpeg.length - 1).exists(i =>
+        (jpeg(i) & 0xFF) == 0xFF && (jpeg(i + 1) & 0xFF) == 0xC2)
+      assert(hasSof2, "ImageIO did not write a progressive stream")
+      val ours = JpegKernel.decodeGrayY(jpeg)
+      assert(ours != null, s"decode failed seed=$seed q=$q")
+      assert(ours.width == w && ours.height == h)
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(jpeg)).getRaster
+      var sumAbs = 0L; var maxAbs = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val d = math.abs(ours.luma(y * w + x) - ref.getSample(x, y, 0))
+        sumAbs += d; maxAbs = math.max(maxAbs, d)
+      }
+      assert(maxAbs <= 2, s"seed=$seed q=$q max |diff| $maxAbs")
+      assert(sumAbs.toDouble / (w * h) <= 0.5,
+        s"seed=$seed q=$q mean |diff| ${sumAbs.toDouble / (w * h)}")
+    }
+    // RGB 4:2:0 progressive: interleaved DC scans + chroma AC scans our
+    // decoder byte-skips; luma recovered within the inversion tolerance
+    val w = 40; val h = 24
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = 50 + (x * 7 + y * 13) % 156
+      val r = base + (x % 9); val g = base
+      val b = math.max(0, base - (y % 11))
+      src.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val wtr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wtr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.7f)
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wtr.setOutput(ios)
+    wtr.write(null, new javax.imageio.IIOImage(src, null, null), p)
+    wtr.dispose(); ios.close()
+    val jpeg = bos.toByteArray
+    val ours = JpegKernel.decodeGrayY(jpeg)
+    assert(ours != null && ours.width == w && ours.height == h)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpeg))
+    var maxAbs = 0; var sumAbs = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = ref.getRGB(x, y)
+      val yy = math.round(0.299 * ((rgb >> 16) & 0xFF) +
+        0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)).toInt
+      val d = math.abs(ours.luma(y * w + x) - yy)
+      maxAbs = math.max(maxAbs, d); sumAbs += d
+    }
+    assert(maxAbs <= 3, s"progressive 4:2:0 max |diff| $maxAbs")
+    assert(sumAbs.toDouble / (w * h) <= 1.0,
+      s"progressive 4:2:0 mean ${sumAbs.toDouble / (w * h)}")
+  }
+
   test("JPEG dirty bytes degrade, never throw; out-of-scope layouts null") {
     val good = JpegKernel.encodeGrayBlocks(8, 8, (bx, by) => (bx + by) % 256)
     assert(JpegKernel.decodeGrayY(null) == null)
@@ -338,7 +604,8 @@ class MediaContentSpec extends SparkTestBase {
     val flipped = good.clone()
     flipped(2) = 0x00 // break the first marker
     assert(JpegKernel.decodeGrayY(flipped) == null)
-    // progressive (SOF2) is out of scope -> null, not garbage
+    // a baseline stream MISLABELED as SOF2: its SOS (Ss=0, Se=63) is
+    // invalid for a progressive DC scan -> null, not garbage
     val prog = good.clone()
     val sofAt = {
       var i = 2; var at = -1
@@ -351,6 +618,17 @@ class MediaContentSpec extends SparkTestBase {
     assert(sofAt > 0)
     prog(sofAt + 1) = 0xC2.toByte
     assert(JpegKernel.decodeGrayY(prog) == null)
+    // REAL progressive streams: truncation at every scan boundary and
+    // mid-entropy degrades to null, never a throw or hang
+    val realProg = JpegKernel.encodeGrayBlocksProgressive(4, 4,
+      (bx, by) => (bx * 31 + by * 57) % 256)
+    assert(JpegKernel.decodeGrayY(realProg) != null)
+    for (cut <- Seq(30, realProg.length / 2, realProg.length - 3,
+        realProg.length - 1))
+      assert(JpegKernel.decodeGrayY(realProg.take(cut)) == null, s"cut $cut")
+    val noisy = realProg.clone()
+    noisy(realProg.length - 20) = (noisy(realProg.length - 20) ^ 0x7F).toByte
+    JpegKernel.decodeGrayY(noisy) // any verdict, but never a throw
   }
 
   test("JpegGrayStats + BlockJpegEncode: DataFrame chain, dirt " +

@@ -70,4 +70,37 @@ class PngTextSpec extends SparkTestBase {
         r.getString(2) == s"desc-${s % 6}")
     }
   }
+
+  test("FDICT zlib stream in a zTXt chunk nulls out instead of hanging; " +
+      "a walk that runs off the end without IEND is a partial read -> null") {
+    // CRC-valid zTXt whose zlib header sets FDICT (CMF=0x78 FLG=0x20 passes
+    // the %31 check): Inflater stalls at 0 with needsDictionary()=true —
+    // the loop must bail, not spin.
+    val body = "K".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++
+      Array(0x78, 0x20, 0x01, 0x02, 0x03, 0x04, 0x63, 0x00).map(_.toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w4(v: Long): Unit = { bos.write(((v >> 24) & 0xFF).toInt)
+      bos.write(((v >> 16) & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+      bos.write((v & 0xFF).toInt) }
+    w4(body.length.toLong); bos.write("zTXt".getBytes, 0, 4)
+    bos.write(body, 0, body.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update("zTXt".getBytes); crc.update(body)
+    w4(crc.getValue)
+    val png = PngTextKernel.withText(base, Seq(bos.toByteArray))
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var res: Array[PngTextKernel.Entry] = Array(
+      PngTextKernel.Entry("sentinel", ""))
+    val t = new Thread(() => { res = PngTextKernel.entries(png)
+      done.countDown() })
+    t.setDaemon(true); t.start()
+    assert(done.await(10, java.util.concurrent.TimeUnit.SECONDS),
+      "entries() hung on an FDICT zlib stream")
+    assert(res == null)
+    // truncation: drop the IEND chunk — previously returned the partial
+    // entry list with ok=true; verified-or-nothing demands null
+    val withTxt = PngTextKernel.withText(base, Seq(
+      PngTextKernel.chunk("tEXt", "Author", "x", deflate = false)))
+    assert(PngTextKernel.entries(withTxt.dropRight(12)) == null)
+  }
 }

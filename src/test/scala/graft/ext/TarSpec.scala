@@ -84,6 +84,21 @@ class TarSpec extends SparkTestBase {
     val stats = Multimodal.mixedImageContentStats(payloads
       .select(col("media_id"), col("content"))).collect()(0)
     assert(stats.getBoolean(1) && stats.getLong(2) == 9L)
+    // signed-checksum interop: historic writers summed SIGNED header
+    // bytes; a name with a high-bit byte makes the conventions differ —
+    // GNU tar accepts both, so must members()
+    val signedHdr = TarKernel.header("caf?.bin", 4L)
+    signedHdr(3) = 0xE9.toByte // 'é' (ISO-8859-1) in the name field
+    java.util.Arrays.fill(signedHdr, 148, 156, ' '.toByte)
+    var sSum = 0L
+    for (i <- 0 until 512) sSum += signedHdr(i) // SIGNED bytes
+    for ((c, i) <- f"$sSum%06o".zipWithIndex) signedHdr(148 + i) = c.toByte
+    signedHdr(154) = 0; signedHdr(155) = ' '
+    val sBos = new java.io.ByteArrayOutputStream()
+    sBos.write(signedHdr); sBos.write("data".getBytes)
+    sBos.write(new Array[Byte](512 - 4)); sBos.write(new Array[Byte](1024))
+    val sMs = TarKernel.members(sBos.toByteArray, 16)
+    assert(sMs != null && sMs.length == 1 && sMs(0).size == 4L)
     // rejection battery
     val good = TarKernel.encode(1L, 2)
     val badSum = good.clone(); badSum(150) = 'x'.toByte

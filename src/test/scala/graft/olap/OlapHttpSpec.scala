@@ -8,6 +8,8 @@ import graft.SparkTestBase
 import graft.config.OlapConfig
 import graft.snapshot.{SnapshotJob, Warehouse}
 
+import org.apache.spark.sql.functions._
+
 /** End-to-end REST front: a real socket on an ephemeral port, golden
   * responses identical to the library-call wire formats (the HTTP layer
   * must add nothing and lose nothing vs OlapApi). */
@@ -102,6 +104,49 @@ class OlapHttpSpec extends SparkTestBase
     assert(get("/olap/no_such_fact/aggregate")._1 == 400)
     val (code, body) = get("/olap/http_users/aggregate?limit=abc")
     assert(code == 400 && body.contains("\"error\""))
+  }
+
+  test("triage + distinct routes: media census and KMV estimate " +
+      "through the wire; wrong params are client errors") {
+    // a media fact: real PNG/JPEG fixtures + junk, appended directly
+    val media = spark.range(30).select(col("id").as("media_id"),
+      when(col("id") % 3 === 0, graft.ext.GrayPngEncode(col("id"),
+          lit(9L), lit(8L), lit(11L), lit(5L), lit(0L)))
+        .when(col("id") % 3 === 1, graft.ext.BlockJpegEncode(col("id"),
+          lit(2L), lit(2L)))
+        .otherwise(lit("junk!".getBytes)).as("content"),
+      lit(2024L).as("year"))
+    wh.append("http_media", media)
+    val mediaApi = new OlapApi(spark, wh, Map(
+      "http_users" -> OlapConfig.parseFactMeta("http_users", factMetaJson),
+      "http_media" -> OlapConfig.parseFactMeta("http_media",
+        """{ "label": "media", "dimensions": [], "measures": [] }""")))
+    val s2 = OlapHttpServer(mediaApi).start()
+    try {
+      def get2(pq: String): (Int, String) = {
+        val resp = client.send(HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${s2.boundPort}$pq")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      val (tc, tb) = get2("/olap/http_media/triage?output=table")
+      assert(tc == 200)
+      // census golden: 10 png + 10 jpeg + 10 unknown
+      assert(tb.contains("\"png\", 10") && tb.contains("\"jpeg\", 10") &&
+        tb.contains("\"unknown\", 10"), tb)
+      assert(get2("/olap/http_media/triage")._2 ==
+        mediaApi.triage("http_media"))
+      // KMV estimate: 30 distinct ids < k -> exact
+      val (dc, db) = get2("/olap/http_media/distinct?column=media_id&k=64")
+      assert(dc == 200 && db.contains("\"distinct_est\": 30"), db)
+      // client errors: missing column, non-integer column, non-binary
+      // content, bad k
+      assert(get2("/olap/http_media/distinct")._1 == 400)
+      assert(get2("/olap/http_media/distinct?column=content")._1 == 400)
+      assert(get2("/olap/http_media/triage?content=media_id")._1 == 400)
+      assert(get2("/olap/http_media/distinct?column=media_id&k=2")._1 == 400)
+      assert(get2("/olap/nope/triage")._1 == 400)
+    } finally s2.stop()
   }
 
   test("auth token: 401 without, 200 with header or query param") {

@@ -47,6 +47,40 @@ class ImageIngestSpec extends SparkTestBase {
     assert(cs(0) != cs(1))
   }
 
+  test("orientation-normalized door: a camera-rotated JPEG re-upload " +
+      "of an ingested image drops; the rotation really scrambles the " +
+      "raw hash (normalization is load-bearing)") {
+    import graft.ext.{BlockJpegEncode, OrientedJpegEncode}
+    val wh = new Warehouse(spark, tmp("ii_wh4"))
+    val idx = tmp("ii_idx4")
+    // batch 0: an upright block JPEG (no EXIF)
+    val b0 = spark.range(1).select(lit(1L).as("media_id"),
+      BlockJpegEncode(lit(5L), lit(6L), lit(4L)).as("content"),
+      lit(2020L).as("year"))
+    ImageIngest.ingestBatch(b0, "media_id", "content", wh, "f", idx, 0L)
+    // batch 1: the SAME picture stored camera-rotated (EXIF orientation
+    // 6, pixels inverse-rotated) + a novel class as control
+    val b1 = spark.range(1).select(lit(10L).as("media_id"),
+      OrientedJpegEncode(lit(5L), lit(6L), lit(4L), lit(6L)).as("content"),
+      lit(2021L).as("year"))
+      .unionByName(spark.range(1).select(lit(11L).as("media_id"),
+        BlockJpegEncode(lit(9L), lit(6L), lit(4L)).as("content"),
+        lit(2021L).as("year")))
+    ImageIngest.ingestBatch(b1, "media_id", "content", wh, "f", idx, 1L)
+    val kept = wh.read("f").get.select("media_id").as[Long]
+      .collect().sorted.toSeq
+    assert(kept == Seq(1L, 11L), s"rotated re-upload survived: $kept")
+    // control: WITHOUT normalization the two hashes are far apart —
+    // the drop above is the EXIF un-rotation working, not luck
+    val raw = b0.unionByName(b1.filter(col("media_id") === 10L))
+      .select(graft.ext.ImageGrayStats(col("content")).as("s"))
+      .select(shiftleft(col("s.ahash_hi"), 32)
+        .bitwiseOR(col("s.ahash_lo")).as("fp")).as[Long].collect()
+    val rawHamming = java.lang.Long.bitCount(raw(0) ^ raw(1))
+    assert(rawHamming > ImageIngest.MaxHamming,
+      s"raw (unnormalized) Hamming only $rawHamming")
+  }
+
   test("min id dominates within a batch; replay appends nothing") {
     val wh = new Warehouse(spark, tmp("ii_wh2"))
     val idx = tmp("ii_idx2")
