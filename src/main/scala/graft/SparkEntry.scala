@@ -3587,6 +3587,44 @@ object SparkEntry {
         .drop("ahash", "dhash")
         .orderBy(col("media_id"))
     }),
+    // CROSS-FORMAT JPEG dup: the same picture stored BASELINE and
+    // PROGRESSIVE lands at Hamming 0 through one sniffing scan — a
+    // progressive re-encode of an ingested baseline JPEG (the classic
+    // crawl re-upload) is caught as the duplicate it is
+    "x_mm_progdup" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .filter(col("doc_id") < 150 && col("doc_id") =!= 0)
+      val base = graft.ext.Multimodal.syntheticBlockJpegCorpus(docs,
+        "doc_id", col("doc_id") % 37, lit(8), lit(8))
+      val prog = graft.ext.Multimodal.syntheticProgJpegCorpus(
+        docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          (col("doc_id") % 37).as("s0")),
+        "doc_id", col("s0"), lit(8), lit(8))
+      graft.ext.Hamming64.pairs(
+        graft.ext.Multimodal.mixedImageContentStats(
+            base.unionByName(prog))
+          .filter(col("ahash_hi").isNotNull),
+        "media_id", "ahash", maxHamming = 4)
+        .orderBy(col("i"), col("j"))
+    }),
+    // SUB-BYTE PNG content leg (bit depths 1/2/4): the engine must
+    // unfilter PACKED bytes, then bit-unpack and level-scale — the
+    // full §11.2.2 gray depth matrix in one gate
+    "x_mm_pixels_depths" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticGraySubPngCorpus(docs,
+        "doc_id", col("doc_id") % 7, lit(9) + col("doc_id") % 8,
+        lit(8) + col("doc_id") % 6,
+        when(col("doc_id") % 3 === 0, 1L).when(col("doc_id") % 3 === 1, 2L)
+          .otherwise(4L))
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00', substring(content, 2))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.imageContentStats(dirty)
+        .drop("ahash", "dhash")
+        .orderBy(col("media_id"))
+    }),
     // CROSS-container near-dup: the same picture stored as PNG and as
     // GIF must land in the same Hamming ball through ONE sniffing scan
     // — the mixed-crawl dedup story end to end (identical pixel
@@ -7318,6 +7356,35 @@ object SparkEntry {
     "x_mm_pixels_jpeg_prog" -> ("WITH " +
       jpegHashCtes("doc_id % 23", 8, 8, "doc_id < 200") + ", " +
       pixelStatsSelect(" ORDER BY media_id")),
+    // baseline/progressive pair oracle: ONE jpeg hash chain (identical
+    // block contract in both wire formats), mirrored at +1000000 for
+    // the progressive side — exact O(n^2) Hamming over the halves
+    "x_mm_progdup" -> ("WITH d0 AS (SELECT doc_id FROM documents " +
+      "WHERE doc_id < 150 AND doc_id <> 0), " +
+      "d AS (SELECT doc_id, doc_id % 37 AS seed, 64 AS w, 64 AS h FROM d0 " +
+      "UNION ALL SELECT doc_id + 1000000, doc_id % 37, 64, 64 FROM d0), " +
+      s"px AS (SELECT d.*, flatten([[ $jpegPixelExpr " +
+      "for x in range(0, w)] for y in range(0, h)]) AS p FROM d)" +
+      hashCtesFromPx + " " +
+      "SELECT a.doc_id AS i, b.doc_id AS j, " +
+      "CAST(bit_count(xor(a.ahash_hi, b.ahash_hi)) + " +
+      "bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT) AS hamming " +
+      "FROM hh a JOIN hh b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.ahash_hi, b.ahash_hi)) + " +
+      "bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 4 " +
+      "ORDER BY i, j"),
+    // sub-byte pixel replay: level = ((t² mod 251) + t) mod 2^depth,
+    // luma = level·255 // (2^depth − 1) — exact (1/3/15 divide 255)
+    "x_mm_pixels_depths" -> ("WITH " +
+      "d AS (SELECT doc_id, doc_id % 7 AS seed, 9 + doc_id % 8 AS w, " +
+      "8 + doc_id % 6 AS h, CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 " +
+      "ELSE 4 END AS dep FROM documents), " +
+      "px AS (SELECT d.*, flatten([[ " +
+      "((((((x*5 + y*11 + seed*131) % 251) * ((x*5 + y*11 + seed*131) % 251)) % 251 " +
+      "+ (x*5 + y*11 + seed*131)) % (1::BIGINT << dep)) * 255) " +
+      "// ((1::BIGINT << dep) - 1) " +
+      "for x in range(0, w)] for y in range(0, h)]) AS p FROM d)" +
+      hashCtesFromPx + ", " + pixelStatsSelect(" ORDER BY media_id")),
     // palette-PNG pixel replay: index + PLTE-entry formulas re-derived,
     // luma = (77R + 150G + 29B) // 256 of the looked-up entry
     "x_mm_pixels_palette" -> ("WITH " +

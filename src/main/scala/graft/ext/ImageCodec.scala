@@ -49,23 +49,30 @@ private[ext] object PngKernel {
   private val A7DX = Array(8, 8, 4, 4, 2, 2, 1)
   private val A7DY = Array(8, 8, 8, 4, 4, 2, 2)
 
-  /** Decode a PNG to 8-bit luma. Returns null on ANYTHING unsupported or
-    * malformed — truncated chunks, non-zlib IDAT, bit depths other than
-    * 8 — never throws (crawl-dirty bytes are the expected input).
-    * Supported layouts: bit depth 8, color types 0 (gray), 2 (RGB),
-    * 3 (palette, PLTE lookup), 4 (gray+alpha), 6 (RGBA); interlace 0
-    * (sequential) and 1 (Adam7 — seven sub-images, each filtered
-    * independently, scattered onto the full grid per the spec §8.2
-    * pattern — the same machinery the GIF leg uses, different grid).
-    * Color is reduced to luma with the integer BT.601 weights
-    * (77·R + 150·G + 29·B) >> 8 (weights sum to 256 — exact, replayable
-    * arithmetic); palette indices map through the PLTE entries' lumas. */
+  /** Decode a PNG to 8-bit luma. Returns null on ANYTHING unsupported
+    * or malformed — truncated chunks, non-zlib IDAT — never throws
+    * (crawl-dirty bytes are the expected input). Supported layouts
+    * (the complete PNG §11.2.2 depth/type matrix except 16-bit
+    * palette-less alpha nuances — see below):
+    *   color type 0 (gray):    depths 1, 2, 4, 8, 16
+    *   color type 3 (palette): depths 1, 2, 4, 8 (PLTE lookup)
+    *   color types 2/4/6:      depths 8, 16
+    * interlace 0 (sequential) and 1 (Adam7 — seven sub-images, each
+    * filtered independently, scattered onto the full grid per the
+    * spec §8.2 pattern). Sub-byte gray samples scale to 8-bit by the
+    * standard level replication (v·255/maxLevel — exact integers for
+    * depths 1/2/4); 16-bit samples reduce to their high byte (the
+    * PNG-recommended 16→8 reduction); color reduces to luma with the
+    * integer BT.601 weights (77·R + 150·G + 29·B) >> 8 (weights sum
+    * to 256 — exact, replayable arithmetic); palette indices map
+    * through the PLTE entries' lumas. */
   def decodeGray(png: Array[Byte]): Gray = {
     if (png == null || png.length < 8) return null
     var i = 0
     while (i < 8) { if (u8(png, i) != SIG(i)) return null; i += 1 }
     var pos = 8
     var width = 0; var height = 0; var colorType = -1; var interlace = 0
+    var bitDepth = 8
     var seenIhdr = false; var done = false
     var palLuma: Array[Int] = null
     val idat = new java.io.ByteArrayOutputStream()
@@ -85,10 +92,16 @@ private[ext] object PngKernel {
           if (w < 1 || h < 1 || w > (1L << 20) || h > (1L << 20) ||
             w * h > (1L << 28)) return null
           width = w.toInt; height = h.toInt
-          val bitDepth = u8(png, d + 8); colorType = u8(png, d + 9)
+          bitDepth = u8(png, d + 8); colorType = u8(png, d + 9)
           interlace = u8(png, d + 12)
-          if (bitDepth != 8 || interlace > 1 ||
-            !Set(0, 2, 3, 4, 6).contains(colorType)) return null
+          if (interlace > 1) return null
+          val depthOk = colorType match {
+            case 0 => Set(1, 2, 4, 8, 16).contains(bitDepth)
+            case 3 => Set(1, 2, 4, 8).contains(bitDepth)
+            case 2 | 4 | 6 => bitDepth == 8 || bitDepth == 16
+            case _ => false
+          }
+          if (!depthOk) return null
         case "PLTE" =>
           if (!seenIhdr || palLuma != null || idat.size() > 0) return null
           if (len < 3 || len % 3 != 0 || len > 768) return null
@@ -114,6 +127,11 @@ private[ext] object PngKernel {
     val channels = colorType match {
       case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4
     }
+    // bits per pixel drives row geometry; filters operate on BYTES with
+    // the left neighbor one full pixel back (min 1 byte — spec §7.2)
+    val pixBits = channels * bitDepth
+    def rowBytesOf(pw: Int): Int = (pw * pixBits + 7) / 8
+    val bppBytes = math.max(1, pixBits / 8)
     // pass geometry: interlace 0 is one full-frame pass; Adam7 is the
     // seven §8.2 sub-images (empty passes contribute zero bytes)
     val passes: Array[(Int, Int, Int, Int, Int, Int)] =
@@ -125,7 +143,7 @@ private[ext] object PngKernel {
       }.toArray
     var expected = 0L
     for ((_, _, _, _, pw, ph) <- passes if pw > 0 && ph > 0)
-      expected += ph.toLong * (1L + pw.toLong * channels)
+      expected += ph.toLong * (1L + rowBytesOf(pw))
     if (expected > Int.MaxValue) return null
     val raw = new Array[Byte](expected.toInt)
     val inf = new java.util.zip.Inflater()
@@ -145,13 +163,13 @@ private[ext] object PngKernel {
     } finally inf.end()
 
     val luma = new Array[Int](width * height)
-    val bpp = channels
+    val bpp = bppBytes
     var passOff = 0
     var p = 0
     while (p < passes.length) {
       val (x0, y0, dx, dy, pw, ph) = passes(p)
       if (pw > 0 && ph > 0) {
-        val rowBytes = pw * channels
+        val rowBytes = rowBytesOf(pw)
         // unfilter this pass in place (spec §6: recon = filt + predictor,
         // mod 256); each pass filters against ITS OWN prior row only
         var y = 0
@@ -187,16 +205,30 @@ private[ext] object PngKernel {
           val rs = passOff + y * (1 + rowBytes) + 1
           var px = 0
           while (px < pw) {
-            val o = rs + px * channels
-            val v = colorType match {
-              case 3 =>
-                val idx = u8(raw, o)
-                if (idx >= palLuma.length) return null // out-of-palette index
-                palLuma(idx)
-              case 0 | 4 => u8(raw, o)
-              case _ => (77 * u8(raw, o) + 150 * u8(raw, o + 1) +
-                29 * u8(raw, o + 2)) >> 8
-            }
+            // 8-bit channel value of sample `ch` of pixel `px` (16-bit
+            // samples reduce to their high byte; sub-byte handled below)
+            def samp(ch: Int): Int =
+              if (bitDepth == 16) u8(raw, rs + (px * channels + ch) * 2)
+              else u8(raw, rs + px * channels + ch)
+            val v =
+              if (bitDepth < 8) {
+                // single channel by the depth matrix (ct 0 or 3)
+                val bitpos = px * bitDepth
+                val mask = (1 << bitDepth) - 1
+                val level = (u8(raw, rs + (bitpos >> 3)) >>
+                  (8 - bitDepth - (bitpos & 7))) & mask
+                if (colorType == 3) {
+                  if (level >= palLuma.length) return null // out of palette
+                  palLuma(level)
+                } else level * 255 / mask // exact: depths 1/2/4 divide 255
+              } else colorType match {
+                case 3 =>
+                  val idx = samp(0)
+                  if (idx >= palLuma.length) return null // out-of-palette
+                  palLuma(idx)
+                case 0 | 4 => samp(0)
+                case _ => (77 * samp(0) + 150 * samp(1) + 29 * samp(2)) >> 8
+              }
             luma((y0 + y * dy) * width + (x0 + px * dx)) = v
             px += 1
           }
@@ -425,7 +457,8 @@ private[ext] object PngKernel {
   }
 
   private def wrapPng(width: Int, height: Int, colorType: Int,
-      interlace: Int, plte: Array[Byte], idat: Array[Byte]): Array[Byte] = {
+      interlace: Int, plte: Array[Byte], idat: Array[Byte],
+      bitDepth: Int = 8): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     SIG.foreach(out.write)
     val ihdr = new Array[Byte](13)
@@ -434,12 +467,47 @@ private[ext] object PngKernel {
       ihdr(o + 2) = ((v >> 8) & 0xFF).toByte; ihdr(o + 3) = (v & 0xFF).toByte
     }
     put4(0, width); put4(4, height)
-    ihdr(8) = 8; ihdr(9) = colorType.toByte; ihdr(12) = interlace.toByte
+    ihdr(8) = bitDepth.toByte; ihdr(9) = colorType.toByte
+    ihdr(12) = interlace.toByte
     crcChunk(out, "IHDR", ihdr)
     if (plte != null) crcChunk(out, "PLTE", plte)
     crcChunk(out, "IDAT", idat)
     crcChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
+  }
+
+  /** Encode a SUB-BYTE grayscale PNG (bit depth 1, 2 or 4): packed
+    * big-endian-within-byte sample levels 0..(2^depth − 1), per-row
+    * filters chosen by `filterOf(y)` (filters act on the PACKED bytes
+    * with a one-byte left offset — spec §7.2; decoding these proves
+    * the byte-granular unfilter + bit unpacking compose). */
+  def encodeGraySub(width: Int, height: Int, depth: Int,
+      level: (Int, Int) => Int, filterOf: Int => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && Set(1, 2, 4).contains(depth),
+      s"bad sub-byte png ${width}x$height depth $depth")
+    val mask = (1 << depth) - 1
+    val rowBytes = (width * depth + 7) / 8
+    def packed(y: Int): Array[Int] = {
+      val row = new Array[Int](rowBytes)
+      var x = 0
+      while (x < width) {
+        val bitpos = x * depth
+        row(bitpos >> 3) |= (level(x, y) & mask) <<
+          (8 - depth - (bitpos & 7))
+        x += 1
+      }
+      row
+    }
+    val raw = new Array[Byte](height * (1 + rowBytes))
+    var y = 0
+    while (y < height) {
+      val rs = y * (1 + rowBytes) + 1
+      val cur = packed(y)
+      val pri = if (y > 0) packed(y - 1) else new Array[Int](rowBytes)
+      filterRow(raw, rs, filterOf(y) % 5, 1, rowBytes, cur(_), pri(_))
+      y += 1
+    }
+    wrapPng(width, height, 0, 0, null, deflateAll(raw), depth)
   }
 
   /** Encode an 8-bit PALETTE PNG (color type 3): a real PLTE chunk of
@@ -744,6 +812,58 @@ object PalettePngEncode {
     val b = org.apache.spark.sql.graftbridge.Bridge
     b.column(PalettePngEncode(b.expression(seed), b.expression(w),
       b.expression(h)))
+  }
+}
+
+/** SUB-BYTE grayscale PNG fixture (bit depth 1, 2 or 4, real filters):
+  *   t        = x·5 + y·11 + seed·131
+  *   level    = ((t² mod 251) + t) mod 2^depth        (mod-positive)
+  *   luma     = level · 255 / (2^depth − 1)           (exact integer)
+  * with row filter (seed + y) mod 5 — the packed-byte unfilter and the
+  * bit unpacking both load-bearing. */
+case class GraySubPngEncode(seed: Expression, w: Expression,
+    h: Expression, depth: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(seed, w, h, depth)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gray_sub_png_encode requires 4 longs, got ${children.map(_.dataType)}")
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    val Seq(s, ww, hh, d) = vs.map(_.asInstanceOf[Long])
+    if (ww < 1 || hh < 1 || ww > 4096 || hh > 4096 ||
+      !(d == 1L || d == 2L || d == 4L)) return null
+    val levels = 1 << d.toInt
+    PngKernel.encodeGraySub(ww.toInt, hh.toInt, d.toInt,
+      (x, y) => {
+        val t = x * 5L + y * 11L + s * 131L
+        val tq = ((t % 251) * (t % 251)) % 251
+        ((((tq + t) % levels) + levels) % levels).toInt
+      },
+      y => (((s + y) % 5 + 5) % 5).toInt)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GraySubPngEncode =
+    GraySubPngEncode(newChildren(0), newChildren(1), newChildren(2),
+      newChildren(3))
+
+  override def prettyName: String = "gray_sub_png_encode"
+}
+
+object GraySubPngEncode {
+  def apply(seed: Column, w: Column, h: Column, depth: Column): Column = {
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    b.column(GraySubPngEncode(b.expression(seed), b.expression(w),
+      b.expression(h), b.expression(depth)))
   }
 }
 

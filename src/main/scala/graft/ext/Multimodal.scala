@@ -516,6 +516,15 @@ object Multimodal {
       PalettePngEncode(seed.cast("long"), w.cast("long"),
         h.cast("long")).as("content"))
 
+  /** SUB-BYTE grayscale PNG corpus (bit depths 1/2/4 — web furniture:
+    * bilevel scans, small-palette-free gray assets) under
+    * [[GraySubPngEncode]]'s documented level/luma contract. */
+  def syntheticGraySubPngCorpus(df: DataFrame, idCol: String,
+      seed: Column, w: Column, h: Column, depth: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      GraySubPngEncode(seed.cast("long"), w.cast("long"), h.cast("long"),
+        depth.cast("long")).as("content"))
+
   /** ADAM7-INTERLACED grayscale PNG corpus with the SAME pixel
     * contract as [[syntheticGrayPngCorpus]] — the PNG oracle chain
     * replays it verbatim; the engine must deinterlace seven passes. */

@@ -51,4 +51,11 @@ object CdcScrub {
       maskBits: Int = 8): StreamingQuery =
     ScrubEngine.run(family(maskBits), stream, idCol, contentCol, wh,
       fact, indexDir, checkpointDir)
+
+  /** Fold index partitions `batch <= upToBatchId` into `batch=-1`
+    * (retention; horizon contract at [[TileScrub.compactIndex]]). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, upToBatchId: Long, maskBits: Int = 8): Int =
+    ScrubEngine.compactIndex(spark, family(maskBits), indexDir,
+      upToBatchId)
 }

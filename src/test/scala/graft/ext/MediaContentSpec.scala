@@ -188,6 +188,77 @@ class MediaContentSpec extends SparkTestBase {
     assert(PngKernel.decodeGray(overIdx) == null)
   }
 
+  test("sub-byte and 16-bit PNG depths: packed unfilter + bit unpack " +
+      "round-trip; ImageIO agrees both directions; 16-bit reduces to " +
+      "the high byte") {
+    // our sub-byte encodes, all five filters in play
+    for (depth <- Seq(1, 2, 4)) {
+      val w = 21; val h = 13
+      val mask = (1 << depth) - 1
+      def lvl(x: Int, y: Int): Int = {
+        val t = x * 5 + y * 11 + 7 * 131
+        (((t % 251) * (t % 251)) % 251 + t) % (1 << depth)
+      }
+      val png = PngKernel.encodeGraySub(w, h, depth, lvl, y => (7 + y) % 5)
+      val g = PngKernel.decodeGray(png)
+      assert(g != null && g.width == w && g.height == h, s"depth $depth")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(g.luma(y * w + x) == lvl(x, y) * 255 / mask,
+          s"depth $depth ($x,$y)")
+      // ImageIO reads our sub-byte wire bytes to the same 8-bit gray
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img != null && img.getWidth == w)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xFF) == lvl(x, y) * 255 / mask,
+          s"depth $depth ImageIO ($x,$y)")
+    }
+    // ImageIO-WRITTEN 1-bit binary PNG decodes through the sub-byte path
+    val w = 19; val h = 11
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, (x * 3 + y * 5) % 2)
+    val bos1 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos1)
+    val g1 = PngKernel.decodeGray(bos1.toByteArray)
+    assert(g1 != null && g1.width == w)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(g1.luma(y * w + x) == ((x * 3 + y * 5) % 2) * 255,
+        s"1-bit ImageIO ($x,$y)")
+    // ImageIO-WRITTEN 16-bit gray: our luma is the spec's high-byte
+    // reduction of the 16-bit sample
+    val us = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      us.getRaster.setSample(x, y, 0, (x * 5231 + y * 2711) % 65536)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(us, "png", bos2)
+    val g2 = PngKernel.decodeGray(bos2.toByteArray)
+    assert(g2 != null && g2.width == w)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(g2.luma(y * w + x) == ((x * 5231 + y * 2711) % 65536) >> 8,
+        s"16-bit ($x,$y)")
+    // ImageIO-WRITTEN 4-bit INDEXED PNG (16-color palette)
+    val pal = (0 until 16).map(e => (e * 37 % 256, e * 91 % 256, e * 53 % 256))
+    val icm = new java.awt.image.IndexColorModel(4, 16,
+      pal.map(_._1.toByte).toArray, pal.map(_._2.toByte).toArray,
+      pal.map(_._3.toByte).toArray)
+    val ib = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      ib.getRaster.setSample(x, y, 0, (x * 7 + y * 3) % 16)
+    val bos3 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(ib, "png", bos3)
+    val g3 = PngKernel.decodeGray(bos3.toByteArray)
+    assert(g3 != null && g3.width == w)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, gg, b) = pal((x * 7 + y * 3) % 16)
+      assert(g3.luma(y * w + x) == ((77 * r + 150 * gg + 29 * b) >> 8),
+        s"4-bit palette ($x,$y)")
+    }
+  }
+
   test("Adam7 interlaced PNG: deinterlace equals the sequential encode " +
       "of the same pixels; ImageIO agrees both directions") {
     // odd dims hit every pass-geometry edge case (empty/1-wide passes)
