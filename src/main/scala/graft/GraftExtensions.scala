@@ -213,6 +213,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("http_response_decode"),
+      new ExpressionInfo(classOf[graft.ext.HttpResponseDecode].getName,
+        "http_response_decode"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.ext.HttpResponseDecode(c)
+        case _ => throw new IllegalArgumentException(
+          "http_response_decode(binary)")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("tar_members"),
       new ExpressionInfo(classOf[graft.ext.TarMembers].getName,
         "tar_members"),

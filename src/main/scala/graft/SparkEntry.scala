@@ -3787,6 +3787,23 @@ object SparkEntry {
         .drop("payload")
         .orderBy(col("media_id"), col("rec_idx"))
     }),
+    // WARC->HTTP leg: real HTTP/1.1 response payloads inside real WARC
+    // records — identity, CHUNKED (hex framing) and GZIP'd
+    // (Content-Encoding) wire forms cycle per record; the engine must
+    // walk WARC, parse the message, de-chunk and gunzip to land on the
+    // planted body bytes; doc 0's broken magic contributes ZERO rows
+    "x_warc_http" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticWarcHttpCorpus(docs,
+        "doc_id", col("doc_id") % 11, lit(2) + col("doc_id") % 4)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00000000', substring(content, 5))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.warcHttpResponses(dirty)
+        .drop("body")
+        .orderBy(col("media_id"), col("rec_idx"))
+    }),
     // MP3 leg: ID3v2 tag block + MPEG1-L3 frame-header walk — frame
     // count, duration samples, audio bytes and the text tags are pure
     // header/table arithmetic (no entropy decode, the honest MP4-leg
@@ -3830,26 +3847,38 @@ object SparkEntry {
       val docs = Tables.load(s, d, "documents")
       val seed = col("doc_id") % 7
       val content =
-        when(col("doc_id") % 9 === 0,
+        when(col("doc_id") % 14 === 0,
           graft.ext.GrayPngEncode(seed, lit(9L), lit(8L), lit(11L),
             lit(5L), lit(2L)))
-        .when(col("doc_id") % 9 === 1,
+        .when(col("doc_id") % 14 === 1,
           graft.ext.BlockJpegEncode(seed, lit(2L), lit(2L)))
-        .when(col("doc_id") % 9 === 2,
+        .when(col("doc_id") % 14 === 2,
           graft.ext.GrayGifEncode(seed, lit(9L), lit(8L), lit(11L),
             lit(5L), lit(2L)))
-        .when(col("doc_id") % 9 === 3,
+        .when(col("doc_id") % 14 === 3,
           graft.ext.GrayBmpEncode(seed, lit(9L), lit(8L), lit(11L),
             lit(5L), lit(2L)))
-        .when(col("doc_id") % 9 === 4,
+        .when(col("doc_id") % 14 === 4,
           graft.ext.GrayTiffEncode(seed, lit(9L), lit(8L), lit(11L),
             lit(5L), lit(2L)))
-        .when(col("doc_id") % 9 === 5,
+        .when(col("doc_id") % 14 === 5,
           graft.ext.PcmWavEncode(seed, lit(80L), lit(8000L)))
-        .when(col("doc_id") % 9 === 6,
+        .when(col("doc_id") % 14 === 6,
           graft.ext.Mp4SamplesEncode(seed, lit(4L)))
-        .when(col("doc_id") % 9 === 7,
+        .when(col("doc_id") % 14 === 7,
           graft.ext.AviMjpegEncode(seed, lit(1L), lit(1L), lit(1L)))
+        // detection-only container kinds (no decode leg): minimal
+        // magic-byte blobs — the census must still tag them correctly
+        .when(col("doc_id") % 14 === 8,
+          expr("X'52494646040000005745425000000000'")) // RIFF..WEBP
+        .when(col("doc_id") % 14 === 9,
+          expr("X'000001000100101000000000'")) // ICONDIR
+        .when(col("doc_id") % 14 === 10,
+          expr("CAST('%PDF-1.4 minimal' AS BINARY)"))
+        .when(col("doc_id") % 14 === 11,
+          expr("X'0000001C667479706176696600000000'")) // ftyp avif
+        .when(col("doc_id") % 14 === 12,
+          expr("X'1A45DFA3000000000000000000000000'")) // EBML (webm)
         .otherwise(expr("CAST('plain text, not media' AS BINARY)"))
       graft.ext.Multimodal.mediaTriage(
           docs.select(col("doc_id").cast("long").as("media_id"),
@@ -7441,6 +7470,22 @@ object SparkEntry {
       "CAST(list_sum([ (seed*31 + i*17 + j*11) % 256 " +
       "for j in range(0, len)]) AS BIGINT) AS byte_sum " +
       "FROM z ORDER BY media_id, rec_idx"),
+    // WARC->HTTP replay: the DOCUMENT body formula only — the HTTP
+    // status line, chunk framing and gzip wrapper are invisible to the
+    // oracle; only a real de-chunk + gunzip lands on these integers
+    "x_warc_http" -> ("WITH d AS (SELECT doc_id, doc_id % 11 AS seed, " +
+      "2 + doc_id % 4 AS n FROM documents WHERE doc_id <> 0), " +
+      "r AS (SELECT doc_id, seed, unnest(range(0, n)) AS i FROM d), " +
+      "z AS (SELECT doc_id, seed, i, 20 + (seed + i*5) % 60 AS len FROM r) " +
+      "SELECT doc_id AS media_id, CAST(i AS BIGINT) AS rec_idx, " +
+      "'http://host-' || CAST(seed % 7 AS VARCHAR) || '.example/p' || " +
+      "CAST(i AS VARCHAR) AS target_uri, " +
+      "CAST(200 AS BIGINT) AS status, 'text/html' AS content_type, " +
+      "CAST(len AS BIGINT) AS n_bytes, " +
+      "CAST((seed*13 + i*19) % 256 AS BIGINT) AS first_byte, " +
+      "CAST(list_sum([ (seed*13 + i*19 + j*7) % 256 " +
+      "for j in range(0, len)]) AS BIGINT) AS byte_sum " +
+      "FROM z ORDER BY media_id, rec_idx"),
     // MP3 replay: per-frame sizes from the bitrate/samplerate tables
     // (144·br/sr + pad, integer division), duration as frames·1152,
     // tags from the planted formula — the engine must walk real
@@ -7498,10 +7543,12 @@ object SparkEntry {
       "FROM documents ORDER BY media_id"),
     // triage replay: kind is a pure function of which fixture the gate
     // planted per row — the engine's sniff must agree on every row
-    "x_mm_triage" -> ("SELECT doc_id AS media_id, CASE doc_id % 9 " +
+    "x_mm_triage" -> ("SELECT doc_id AS media_id, CASE doc_id % 14 " +
       "WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif' " +
       "WHEN 3 THEN 'bmp' WHEN 4 THEN 'tiff' WHEN 5 THEN 'wav' " +
-      "WHEN 6 THEN 'mp4' WHEN 7 THEN 'avi' ELSE 'unknown' END AS kind " +
+      "WHEN 6 THEN 'mp4' WHEN 7 THEN 'avi' WHEN 8 THEN 'webp' " +
+      "WHEN 9 THEN 'ico' WHEN 10 THEN 'pdf' WHEN 11 THEN 'avif' " +
+      "WHEN 12 THEN 'webm' ELSE 'unknown' END AS kind " +
       "FROM documents ORDER BY media_id"),
     // mixed-container replay: each half rides its own pixel chain (PNG
     // formula for even docs, JPEG block formula for odd), unioned — the

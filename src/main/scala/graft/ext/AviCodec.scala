@@ -167,10 +167,13 @@ private[ext] object GraySniff {
 
 /** Media-kind triage by magic bytes — the first operator a crawl
   * pipeline runs on an opaque content column: ONE cheap scan tags every
-  * row png/jpeg/gif/bmp/tiff/wav/mp4/avi/unknown so downstream decode
+  * row (png/jpeg/gif/bmp/tiff/webp/ico/avif/heic/wav/mp3/ogg/flac/
+  * mp4/avi/webm/pdf/warc/gzip/zip/tar/unknown) so downstream decode
   * stages read only their own rows (partition-prune by kind instead of
   * each leg re-sniffing the full corpus). Detection only — no decode,
-  * no allocation beyond the tag; dirty bytes are just 'unknown'. */
+  * no allocation beyond the tag; dirty bytes are just 'unknown'.
+  * ISO-BMFF ftyp brands split modern image containers (avif/heic) from
+  * video (mp4) — they budget to different decode legs. */
 case class MediaKind(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -212,7 +215,25 @@ object MediaKind {
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
     else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ') "avi"
-    else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') "mp4"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') "webp"
+    else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
+      // ISO-BMFF brand split: modern image brands get their own census
+      // rows (they are NOT video and budget differently)
+      val brand = new String(Array(b(8), b(9), b(10), b(11)),
+        java.nio.charset.StandardCharsets.US_ASCII)
+      brand match {
+        case "avif" | "avis" => "avif"
+        case "heic" | "heix" | "hevc" | "mif1" => "heic"
+        case _ => "mp4"
+      }
+    }
+    else if (b(0) == 0 && b(1) == 0 && b(2) == 1 && b(3) == 0) "ico"
+    else if (b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F') "pdf"
+    else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S') "ogg"
+    else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') "flac"
+    else if ((b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
+      (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3) "webm"
     else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') "mp3"
     else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xE0) == 0xE0) "mp3"
     else if (b(0) == 'W' && b(1) == 'A' && b(2) == 'R' && b(3) == 'C' &&

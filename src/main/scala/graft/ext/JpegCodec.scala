@@ -891,9 +891,10 @@ private[ext] object JpegKernel {
     * end-of-band runs to reproduce the pixels — still bit-exact
     * (DC-only blocks; (x>>1)<<1 | (x&1) == x in two's complement). */
   def encodeGrayBlocksProgressive(wB: Int, hB: Int,
-      bv: (Int, Int) => Int): Array[Byte] = {
+      bv: (Int, Int) => Int, restartEvery: Int = 0): Array[Byte] = {
     require(wB >= 1 && hB >= 1 && wB <= 512 && hB <= 512,
       s"bad block grid ${wB}x$hB")
+    require(restartEvery >= 0, s"bad restart interval $restartEvery")
     val w = wB * 8; val h = hB * 8
     val out = new java.io.ByteArrayOutputStream()
     def wr(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xFF))
@@ -906,6 +907,8 @@ private[ext] object JpegKernel {
     seg(0xDB, (0 +: (0 until 64).map(k => if (k == 0) 8 else 16)): _*)
     // SOF2: progressive, 8-bit, 1 component, 1x1 sampling
     seg(0xC2, 8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 1, 1, 0x11, 0)
+    if (restartEvery > 0)
+      seg(0xDD, restartEvery >> 8, restartEvery & 0xFF) // DRI
     // DHT DC0: nine 4-bit codes for categories 0..8
     seg(0xC4, (Seq(0x00) ++ Seq(0, 0, 0, 9, 0, 0, 0, 0, 0, 0, 0, 0, 0,
       0, 0, 0) ++ (0 to 8)): _*)
@@ -935,51 +938,73 @@ private[ext] object JpegKernel {
       acc = 0; nb = 0
     }
 
+    // restart plumbing: flush (1-padded), RSTn cycling 0-7, counter
+    // reset per scan; with restartEvery = 0 this is all inert
+    var rstN = 0
+    def maybeRestart(blkIdx: Int): Boolean = {
+      if (restartEvery > 0 && blkIdx > 0 && blkIdx % restartEvery == 0) {
+        flushBits()
+        wr(0xFF, 0xD0 + rstN)
+        rstN = (rstN + 1) & 7
+        true
+      } else false
+    }
+
     // ---- scan 1: DC first, Al = 1 ----
     seg(0xDA, 1, 1, 0x00, 0, 0, 0x01)
+    rstN = 0
     var prev = 0
-    var by = 0
-    while (by < hB) {
-      var bx = 0
-      while (bx < wB) {
-        val v = bv(bx, by)
-        require(v >= 0 && v <= 255, s"block value $v out of range")
-        val hi = (v - 128) >> 1 // arithmetic: floor((v-128)/2)
-        val diff = hi - prev
-        prev = hi
-        val s = category(diff)
-        putBits(s, 4)
-        if (s > 0)
-          putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
-        bx += 1
-      }
-      by += 1
+    var blk = 0
+    val nBlocks = wB * hB
+    while (blk < nBlocks) {
+      if (maybeRestart(blk)) prev = 0 // predictors reset at a restart
+      val v = bv(blk % wB, blk / wB)
+      require(v >= 0 && v <= 255, s"block value $v out of range")
+      val hi = (v - 128) >> 1 // arithmetic: floor((v-128)/2)
+      val diff = hi - prev
+      prev = hi
+      val s = category(diff)
+      putBits(s, 4)
+      if (s > 0)
+        putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      blk += 1
     }
     flushBits()
 
     // ---- scan 2: DC refinement, Ah = 1, Al = 0 ----
     seg(0xDA, 1, 1, 0x00, 0, 0, 0x10)
-    by = 0
-    while (by < hB) {
-      var bx = 0
-      while (bx < wB) {
-        putBits((bv(bx, by) - 128) & 1, 1)
-        bx += 1
-      }
-      by += 1
+    rstN = 0
+    blk = 0
+    while (blk < nBlocks) {
+      maybeRestart(blk)
+      putBits((bv(blk % wB, blk / wB) - 128) & 1, 1)
+      blk += 1
     }
     flushBits()
 
-    // ---- scan 3: AC band 1..63, all zero — pure EOBRUN codes ----
+    // ---- scan 3: AC band 1..63, all zero — pure EOBRUN codes; an
+    // EOBRUN must never cross a restart boundary, so runs are emitted
+    // per restart segment ----
     seg(0xDA, 1, 1, 0x00, 1, 63, 0x00)
-    var remaining = wB * hB
-    while (remaining > 0) {
-      val n = math.min(remaining, 32767)
-      var r = 0
-      while ((2 << r) <= n) r += 1 // r = floor(log2 n)
-      putBits(r, 4) // EOBn code == r (canonical 4-bit)
-      if (r > 0) putBits(n - (1 << r), r)
-      remaining -= n
+    rstN = 0
+    val segLen = if (restartEvery > 0) restartEvery else nBlocks
+    var segStart = 0
+    while (segStart < nBlocks) {
+      if (segStart > 0 && restartEvery > 0) {
+        flushBits()
+        wr(0xFF, 0xD0 + rstN)
+        rstN = (rstN + 1) & 7
+      }
+      var remaining = math.min(segLen, nBlocks - segStart)
+      while (remaining > 0) {
+        val n = math.min(remaining, 32767)
+        var r = 0
+        while ((2 << r) <= n) r += 1 // r = floor(log2 n)
+        putBits(r, 4) // EOBn code == r (canonical 4-bit)
+        if (r > 0) putBits(n - (1 << r), r)
+        remaining -= n
+      }
+      segStart += segLen
     }
     flushBits()
 

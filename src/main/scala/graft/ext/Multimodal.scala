@@ -893,6 +893,33 @@ object Multimodal {
         col("__r.byte_sum").as("byte_sum"),
         col("__r.payload").as("payload"))
 
+  /** HTTP-decoded `response` records of a WARC column: the
+    * [[warcRecords]] walk composed with [[HttpResponseDecode]] —
+    * status / content type / the DOCUMENT body with chunked framing
+    * and gzip content-encoding undone. Non-response records and
+    * unparseable HTTP messages contribute ZERO rows (the ok filter);
+    * still one scan, zero shuffle. */
+  def warcHttpResponses(media: DataFrame, maxRecords: Int = 4096): DataFrame =
+    warcRecords(media, maxRecords)
+      .filter(col("warc_type") === "response")
+      .withColumn("__h", HttpResponseDecode(col("payload")))
+      .filter(col("__h.ok"))
+      .select(col("media_id"), col("rec_idx"), col("target_uri"),
+        col("__h.status").as("status"),
+        col("__h.content_type").as("content_type"),
+        col("__h.n_bytes").as("n_bytes"),
+        col("__h.first_byte").as("first_byte"),
+        col("__h.byte_sum").as("byte_sum"),
+        col("__h.body").as("body"))
+
+  /** WARC-of-HTTP fixture corpus ([[WarcHttpEncode]]'s documented
+    * contract: identity / chunked / gzip wire forms cycling per
+    * record). */
+  def syntheticWarcHttpCorpus(df: DataFrame, idCol: String, seed: Column,
+      nRecords: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      WarcHttpEncode(seed.cast("long"), nRecords.cast("long")).as("content"))
+
   /** Synthesize a REAL ustar corpus ([[TarEncode]]: verified-checksum
     * headers, block padding, zero-block terminator), distributed. */
   def syntheticTarCorpus(df: DataFrame, idCol: String, seed: Column,

@@ -132,15 +132,44 @@ final class OlapApi(spark: SparkSession, warehouse: FactStore,
   def distinctEstimate(fact: String, column: String,
       k: Int = 1024): String = {
     val df = liveFact(fact)
+    requireIntKey(fact, df, column)
+    require(k >= 16 && k <= 65536, s"k=$k out of range [16, 65536]")
+    Renderer.toJson(graft.ext.Kmv.distinctEstimate(df, column, k),
+      Set("n_minima", "kth_hash", "distinct_est"), maxResultRows)
+  }
+
+  /** Sketch endpoint: Broder-resemblance overlap of TWO facts' key
+    * columns — `GET /olap/<fact>/overlap?other=<fact2>&column=<col>
+    * [&other_column=<col2>][&k=]` → one row (n_x, y, jaccard_micro,
+    * union_kth, union_est): "how many keys does crawl B add over
+    * crawl A" from 2k·8 bytes of sketch, no join
+    * ([[graft.ext.Kmv.overlap]]). */
+  def overlapEstimate(fact: String, other: String, column: String,
+      otherColumn: Option[String] = None, k: Int = 1024): String = {
+    val a = liveFact(fact)
+    val b = liveFact(other)
+    val colB = otherColumn.getOrElse(column)
+    requireIntKey(fact, a, column)
+    requireIntKey(other, b, colB)
+    require(k >= 16 && k <= 65536, s"k=$k out of range [16, 65536]")
+    // align the key column name so one sketch pipeline serves both
+    Renderer.toJson(
+      graft.ext.Kmv.overlap(
+        a.select(org.apache.spark.sql.functions.col(column).as("__key")),
+        b.select(org.apache.spark.sql.functions.col(colB).as("__key")),
+        "__key", k),
+      Set("n_x", "y", "jaccard_micro", "union_kth", "union_est"),
+      maxResultRows)
+  }
+
+  private def requireIntKey(fact: String,
+      df: org.apache.spark.sql.DataFrame, column: String): Unit = {
     require(df.columns.contains(column),
       s"fact '$fact' has no column '$column'")
     val dt = df.schema(column).dataType
     require(dt == org.apache.spark.sql.types.LongType ||
       dt == org.apache.spark.sql.types.IntegerType,
       s"column '$column' is not an integer key (KMV hashes integer keys)")
-    require(k >= 16 && k <= 65536, s"k=$k out of range [16, 65536]")
-    Renderer.toJson(graft.ext.Kmv.distinctEstimate(df, column, k),
-      Set("n_minima", "kth_hash", "distinct_est"), maxResultRows)
   }
 
   /** The aggregate endpoint: compile cut/drilldown/measure/aggregate

@@ -19,6 +19,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *         &aggregate=..&order=..&limit=..&output=json|table&tag=..
   *   GET /olap/<fact>/triage?content=..&output=..      (media census)
   *   GET /olap/<fact>/distinct?column=..&k=..          (KMV estimate)
+  *   GET /olap/<fact>/overlap?other=..&column=..       (KMV Jaccard)
   *
   * JDK built-in HttpServer: zero dependencies, single-threaded executor by
   * default — the query work itself runs distributed in Spark; the HTTP
@@ -80,6 +81,16 @@ final class OlapHttpServer(api: OlapApi, port: Int = 0,
             column = params.getOrElse("column",
               throw new IllegalArgumentException(
                 "distinct requires ?column=<integer key column>")),
+            k = params.get("k").map(_.toInt).getOrElse(1024))
+        case Seq(fact, "overlap") =>
+          api.overlapEstimate(fact,
+            other = params.getOrElse("other",
+              throw new IllegalArgumentException(
+                "overlap requires ?other=<fact>")),
+            column = params.getOrElse("column",
+              throw new IllegalArgumentException(
+                "overlap requires ?column=<integer key column>")),
+            otherColumn = params.get("other_column"),
             k = params.get("k").map(_.toInt).getOrElse(1024))
         case Seq(fact, "aggregate") =>
           api.aggregate(fact,

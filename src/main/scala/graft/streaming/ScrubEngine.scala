@@ -96,14 +96,30 @@ private[streaming] object ScrubEngine {
       probeKeyCols(fam).map(c => col(c).cast("string")): _*).as("__k"))
 
   private def writeSidecar(fs: FileSystem, partDir: Path, rows: DataFrame,
-      fam: ScrubFamily): Unit = {
-    val words = graft.ext.BloomJoin.buildFilter(
-      keyed(rows, fam), "__k", SideBits, SideK)
+      fam: ScrubFamily, precomputed: Option[Array[Long]] = None): Unit = {
+    val words = precomputed.getOrElse(graft.ext.BloomJoin.buildFilter(
+      keyed(rows, fam), "__k", SideBits, SideK))
     val out = fs.create(new Path(partDir, "_keybloom.json"), true)
     try out.write(
       (s"""{"bits":$SideBits,"k":$SideK,"words":[${words.mkString(",")}]}""")
         .getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Driver-side bloom build from an already-collected key set — the
+    * positionsLocal twin of BloomJoin.buildFilter, bit-identical for
+    * string keys; used wherever the trigger-bounded batch keys are on
+    * the driver anyway, saving a Spark job per filter. */
+  private def wordsOf(keys: Array[String], bits: Int, k: Int): Array[Long] = {
+    val arr = new Array[Long](bits / 64)
+    var i = 0
+    while (i < keys.length) {
+      graft.ext.BloomJoin.positionsLocal(keys(i), bits, k).foreach { p =>
+        arr((p / 64).toInt) |= 1L << (p % 64).toInt
+      }
+      i += 1
+    }
+    arr
   }
 
   private def readSidecar(fs: FileSystem, partDir: Path):
@@ -211,8 +227,16 @@ private[streaming] object ScrubEngine {
       if (!fam.bloomPrune) identity
       else { raw =>
         val bits = 1 << 17 // 16 KiB filter: ~1% fp at 10^4 batch keys
-        val words = graft.ext.BloomJoin.buildFilter(
-          batchIndex.select(col(fam.keyCol)), fam.keyCol, bits, 4)
+        // batch keys already collected (capped) -> build the filter on
+        // the driver, no extra Spark job; over-cap falls back to the
+        // distributed build. bloomPrune families key on keyCol, which
+        // is exactly the collected probe-key string.
+        val words = batchKeys match {
+          case Some(keys) if probeKeyCols(fam) == Seq(fam.keyCol) =>
+            wordsOf(keys, bits, 4)
+          case _ => graft.ext.BloomJoin.buildFilter(
+            batchIndex.select(col(fam.keyCol)), fam.keyCol, bits, 4)
+        }
         graft.ext.BloomJoin.pruneProbe(raw, fam.keyCol, words, bits, 4)
       }
     val index = readIndex(fam, batch, indexDir, batchId, prune, batchKeys)
@@ -238,7 +262,10 @@ private[streaming] object ScrubEngine {
     batchIndex.write.mode("overwrite").parquet(part.toString)
     val fs = part.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
-    writeSidecar(fs, part, batchIndex, fam)
+    // the sidecar keys ARE the collected probe keys — driver-side build
+    // unless the cap forced the unpruned path
+    writeSidecar(fs, part, batchIndex, fam,
+      batchKeys.map(ks => wordsOf(ks, SideBits, SideK)))
   }
 
   // ------------------------- compaction -------------------------

@@ -142,9 +142,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |       mp3_meta(CAST('junk' AS BINARY)).ok AS m,
         |       warc_records(CAST('junk' AS BINARY)).ok AS w,
         |       tar_members(CAST('junk' AS BINARY)).ok AS t,
-        |       zip_members(CAST('junk' AS BINARY)).ok AS z
+        |       zip_members(CAST('junk' AS BINARY)).ok AS z,
+        |       http_response_decode(CAST('junk' AS BINARY)).ok AS h,
+        |       http_response_decode(CAST(
+        |         concat('HTTP/1.1 200 OK\r\nContent-Length: 4\r\n\r\nbody')
+        |         AS BINARY)).n_bytes AS hb
         |""".stripMargin).collect()(0)
     assert(r.getString(0) == "avi" && !r.getBoolean(1) && !r.getBoolean(2) &&
       !r.getBoolean(3) && !r.getBoolean(4) && !r.getBoolean(5))
+    assert(!r.getBoolean(6) && r.getLong(7) == 4L)
   }
 }

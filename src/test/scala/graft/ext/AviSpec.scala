@@ -155,6 +155,20 @@ class AviSpec extends SparkTestBase {
     // a WAV is RIFF too — the 'WAVE'/'AVI ' discriminator byte matters
     val wav = WavKernel.encodePcm16Mono(40, 8000, _ => 5)
     assert(MediaKind.sniff(wav) == "wav")
+    // detection-only kinds (round 13): webp is RIFF as well; avif/heic
+    // are ftyp-brand splits off mp4; plus ico/pdf/ogg/flac/webm magics
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    assert(MediaKind.sniff(hex("52494646040000005745425000000000")) == "webp")
+    assert(MediaKind.sniff(hex("000001000100101000000000")) == "ico")
+    assert(MediaKind.sniff("%PDF-1.7 whatever".getBytes) == "pdf")
+    assert(MediaKind.sniff(hex("0000001C667479706176696600000000")) == "avif")
+    assert(MediaKind.sniff(hex("0000001C667479706865696300000000")) == "heic")
+    assert(MediaKind.sniff(hex("0000001C667479706D69663100000000")) == "heic")
+    assert(MediaKind.sniff(hex("0000001C6674797069736F6D00000000")) == "mp4")
+    assert(MediaKind.sniff("OggS........".getBytes) == "ogg")
+    assert(MediaKind.sniff("fLaC........".getBytes) == "flac")
+    assert(MediaKind.sniff(hex("1A45DFA3000000000000000000000000")) == "webm")
     val media = Seq(
       (1L, AviKernel.encodeMjpeg(1, 1, 1, 1)),
       (2L, AviKernel.encodeMjpeg(2, 1, 1, 1)),

@@ -581,6 +581,33 @@ class MediaContentSpec extends SparkTestBase {
     assert(gBig != null)
     for (k <- Seq(0, 5000, 100000))
       assert(gBig.luma(k) == bv((k % 512) / 8, (k / 512) / 8))
+    // RESTART MARKERS in progressive scans: DRI + RSTn between every 5
+    // blocks in all three scans (predictor/EOBRUN reset, bit realign) —
+    // decode still bit-exact and ImageIO still agrees on the wire bytes
+    val rst = JpegKernel.encodeGrayBlocksProgressive(9, 8, bv,
+      restartEvery = 5)
+    assert(rst.length > prog.length) // the RST markers are really there
+    val gRst = JpegKernel.decodeGrayY(rst)
+    assert(gRst != null && gRst.luma.toSeq == gp.luma.toSeq)
+    val refRst = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rst))
+    assert(refRst != null)
+    for (y <- 0 until 64; x <- 0 until 72)
+      assert(refRst.getRaster.getSample(x, y, 0) == bv(x / 8, y / 8),
+        s"ImageIO restart ($x,$y)")
+    // a dropped restart marker is detected, not misparsed
+    val broken = {
+      var at = -1
+      var i = rst.length / 3
+      while (at < 0 && i < rst.length - 1) {
+        if ((rst(i) & 0xFF) == 0xFF && (rst(i + 1) & 0xFF) >= 0xD0 &&
+          (rst(i + 1) & 0xFF) <= 0xD7) at = i
+        i += 1
+      }
+      assert(at > 0, "no RST marker found")
+      rst.take(at) ++ rst.drop(at + 2) // excise one RSTn
+    }
+    assert(JpegKernel.decodeGrayY(broken) == null)
   }
 
   test("our decoder matches ImageIO's own PROGRESSIVE encodes (the IJG " +

@@ -70,4 +70,92 @@ class WarcSpec extends SparkTestBase {
     assert(MediaKind.sniff(good) == "warc")
     assert(MediaKind.sniff(WarcKernel.encode(1L, 2, gzipped = true)) == "gzip")
   }
+
+  test("HTTP payload decode: identity/chunked/gzip round-trip; a " +
+      "hand-typed real-world message; hostile frames null, never throw") {
+    val body = Array.tabulate(100)(i => ((i * 37 + 11) % 256).toByte)
+    for ((ch, gz) <- Seq((false, false), (true, false), (false, true),
+        (true, true))) {
+      val wire = HttpKernel.encode(200, "text/html; charset=utf-8", body,
+        chunked = ch, gzipBody = gz)
+      val r = HttpKernel.parse(wire)
+      assert(r != null, s"chunked=$ch gzip=$gz")
+      assert(r.status == 200 &&
+        r.contentType == "text/html; charset=utf-8")
+      assert(r.body.toSeq == body.toSeq, s"chunked=$ch gzip=$gz")
+    }
+    // hand-typed message: folded case, chunk EXTENSION, trailers, and
+    // a Connection header the parser must skip
+    val hand = ("HTTP/1.1 301 Moved Permanently\r\n" +
+      "content-TYPE: text/plain\r\n" +
+      "Connection: close\r\n" +
+      "Transfer-Encoding: chunked\r\n" +
+      "\r\n" +
+      "5;ext=1\r\nhello\r\n" +
+      "6\r\n world\r\n" +
+      "0\r\n" +
+      "X-Trailer: t\r\n\r\n").getBytes("ISO-8859-1")
+    val hr = HttpKernel.parse(hand)
+    assert(hr != null && hr.status == 301 && hr.contentType == "text/plain")
+    assert(new String(hr.body, "US-ASCII") == "hello world")
+    // no content-length, no chunking: body = rest of message
+    val plain = ("HTTP/1.0 200 OK\r\nContent-Type: a/b\r\n\r\nrest bytes"
+      ).getBytes("US-ASCII")
+    assert(new String(HttpKernel.parse(plain).body, "US-ASCII") == "rest bytes")
+    // hostile: bad status, bad chunk size, truncated chunk, short
+    // content-length claim, unverifiable encoding
+    assert(HttpKernel.parse(null) == null)
+    assert(HttpKernel.parse("not http at all, but long".getBytes) == null)
+    assert(HttpKernel.parse(("HTTP/1.1 2x0 OK\r\n\r\nbody body"
+      ).getBytes) == null)
+    assert(HttpKernel.parse(("HTTP/1.1 200 OK\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\nzz\r\nbody\r\n0\r\n\r\n"
+      ).getBytes) == null) // non-hex size
+    assert(HttpKernel.parse(("HTTP/1.1 200 OK\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\nff\r\nshort\r\n"
+      ).getBytes) == null) // truncated chunk
+    assert(HttpKernel.parse(("HTTP/1.1 200 OK\r\n" +
+      "Content-Length: 999\r\n\r\nshort").getBytes) == null)
+    assert(HttpKernel.parse(("HTTP/1.1 200 OK\r\n" +
+      "Content-Encoding: br\r\n\r\ncompressed-ish"
+      ).getBytes) == null) // encoding this JVM cannot verify
+    // deflate content-encoding: both the RFC zlib form and the
+    // raw-deflate interop form decode; garbage under the token nulls
+    for (nowrap <- Seq(false, true)) {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, nowrap)
+      d.setInput(body); d.finish()
+      val buf = new Array[Byte](body.length * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      val wire = ("HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n" +
+        s"Content-Length: $n\r\n\r\n").getBytes("US-ASCII") ++ buf.take(n)
+      val r = HttpKernel.parse(wire)
+      assert(r != null && r.body.toSeq == body.toSeq, s"nowrap=$nowrap")
+    }
+    assert(HttpKernel.parse(("HTTP/1.1 200 OK\r\n" +
+      "Content-Encoding: deflate\r\n\r\nnot deflate data at all"
+      ).getBytes) == null)
+    // corrupt gzip body nulls (CRC-verified member walk)
+    val gzWire = HttpKernel.encode(200, "t/t", body, chunked = false,
+      gzipBody = true)
+    gzWire(gzWire.length - 5) = (gzWire(gzWire.length - 5) ^ 0x55).toByte
+    assert(HttpKernel.parse(gzWire) == null)
+    // the DF verb: WARC -> HTTP responses, bodies decoded
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.syntheticWarcHttpCorpus(
+      spark.range(1, 4).toDF("doc_id"), "doc_id", col("doc_id") % 11,
+      lit(3L))
+    val rows = Multimodal.warcHttpResponses(media)
+      .orderBy("media_id", "rec_idx").collect()
+    assert(rows.length == 9)
+    for (r <- rows) {
+      val s = r.getLong(0) % 11; val i = r.getLong(1)
+      val len = 20 + (s + i * 5) % 60
+      assert(r.getLong(5) == len)
+      val expected = Array.tabulate(len.toInt)(j =>
+        ((s * 13 + i * 19 + j * 7) % 256).toByte)
+      assert(r.getAs[Array[Byte]]("body").toSeq == expected.toSeq)
+    }
+  }
 }

@@ -139,12 +139,20 @@ class OlapHttpSpec extends SparkTestBase
       // KMV estimate: 30 distinct ids < k -> exact
       val (dc, db) = get2("/olap/http_media/distinct?column=media_id&k=64")
       assert(dc == 200 && db.contains("\"distinct_est\": 30"), db)
+      // overlap of the fact with itself: X = sketch, y = |X| -> J = 1
+      val (oc, ob) = get2(
+        "/olap/http_media/overlap?other=http_media&column=media_id&k=64")
+      assert(oc == 200 && ob.contains("\"jaccard_micro\": 1000000") &&
+        ob.contains("\"union_est\": 30"), ob)
+      assert(ob == mediaApi.overlapEstimate("http_media", "http_media",
+        "media_id", None, 64))
       // client errors: missing column, non-integer column, non-binary
-      // content, bad k
+      // content, bad k, missing other
       assert(get2("/olap/http_media/distinct")._1 == 400)
       assert(get2("/olap/http_media/distinct?column=content")._1 == 400)
       assert(get2("/olap/http_media/triage?content=media_id")._1 == 400)
       assert(get2("/olap/http_media/distinct?column=media_id&k=2")._1 == 400)
+      assert(get2("/olap/http_media/overlap?column=media_id")._1 == 400)
       assert(get2("/olap/nope/triage")._1 == 400)
     } finally s2.stop()
   }
