@@ -3804,6 +3804,41 @@ object SparkEntry {
         .drop("body")
         .orderBy(col("media_id"), col("rec_idx"))
     }),
+    // charset bridge: WARC -> HTTP -> bytes->text — four declaration
+    // modes cycle per record (header-declared ISO-8859-1, meta-tag
+    // Shift_JIS, BOM'd UTF-8, undeclared windows-1252 fallback) over
+    // the same identity/chunked/gzip wire forms; the engine must
+    // resolve the encoding browser-style and strict-decode to land on
+    // the planted code-point sums; doc 0's broken magic drops out
+    "x_http_text" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticWarcCharsetCorpus(docs,
+        "doc_id", col("doc_id") % 7, lit(4) + col("doc_id") % 9)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00000000', substring(content, 5))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.warcHttpTexts(dirty)
+        .drop("text")
+        .orderBy(col("media_id"), col("rec_idx"))
+    }),
+    // PDF text layer: real multi-page PDFs (valid xref), alternating
+    // FlateDecode/raw content streams, text shown through Tj / ' / TJ
+    // with escaped parens and hex strings — the engine must walk
+    // objects, inflate, and run the show-operator token walk to land
+    // on the planted code-point sums; doc 0's broken magic -> ok=false
+    "x_pdf_text" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticPdfCorpus(docs, "doc_id",
+        col("doc_id") % 13, lit(1) + col("doc_id") % 4)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00000000', substring(content, 5))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.pdfText(dirty)
+        .drop("text")
+        .orderBy(col("media_id"))
+    }),
     // MP3 leg: ID3v2 tag block + MPEG1-L3 frame-header walk — frame
     // count, duration samples, audio bytes and the text tags are pure
     // header/table arithmetic (no entropy decode, the honest MP4-leg
@@ -7486,6 +7521,62 @@ object SparkEntry {
       "CAST(list_sum([ (seed*13 + i*19 + j*7) % 256 " +
       "for j in range(0, len)]) AS BIGINT) AS byte_sum " +
       "FROM z ORDER BY media_id, rec_idx"),
+    // charset-bridge replay: per-mode code-point arithmetic only — the
+    // HTTP wire forms, the BOM, the meta prescan and the charset
+    // tables are invisible to the oracle; only a real resolve + strict
+    // decode lands on these sums (mode 1 adds the 26-char meta prefix
+    // constant 2415; mode 0's label normalizes to windows-1252, the
+    // WHATWG aliasing, value-neutral on the 0xC0+ bytes planted)
+    "x_http_text" -> ("WITH d AS (SELECT doc_id, doc_id % 7 AS s, " +
+      "4 + doc_id % 9 AS n FROM documents WHERE doc_id <> 0), " +
+      "r AS (SELECT doc_id, s, unnest(range(0, n)) AS i FROM d), " +
+      "z AS (SELECT doc_id, s, i, i % 4 AS mode, " +
+      "12 + (s + 3*i) % 9 AS nch FROM r), " +
+      "c AS (SELECT doc_id, s, i, mode, nch, " +
+      "[ (s*11 + i*7 + j*5) % 8 for j in range(0, nch) ] AS aj FROM z) " +
+      "SELECT doc_id AS media_id, CAST(i AS BIGINT) AS rec_idx, " +
+      "'http://cs-' || CAST(s % 5 AS VARCHAR) || '.example/p' || " +
+      "CAST(i AS VARCHAR) AS target_uri, " +
+      "CAST(200 AS BIGINT) AS status, " +
+      "CASE WHEN mode = 0 THEN 'text/html; charset=iso-8859-1' " +
+      "ELSE 'text/html' END AS content_type, " +
+      "CASE WHEN mode = 0 THEN 'windows-1252' " +
+      "WHEN mode = 1 THEN 'windows-31j' WHEN mode = 2 THEN 'UTF-8' " +
+      "ELSE 'windows-1252' END AS charset, " +
+      "CAST(CASE WHEN mode = 1 THEN 26 + nch ELSE nch END AS BIGINT) " +
+      "AS n_chars, " +
+      "CAST(CASE WHEN mode = 0 THEN list_sum([192 + x for x in aj]) " +
+      "WHEN mode = 1 THEN 2415 + list_sum([12449 + x for x in aj]) " +
+      "WHEN mode = 2 THEN list_sum([19968 + x for x in aj]) " +
+      "ELSE list_sum([[8364,8230,8240,8216,8217,8220,8221,8226]" +
+      "[CAST(x AS INT) + 1] for x in aj]) END AS BIGINT) AS cp_sum " +
+      "FROM c ORDER BY media_id, rec_idx"),
+    // PDF replay: the per-page show-text contract only — the xref, the
+    // Flate wrapper, the escape forms and the hex framing are
+    // invisible; constants: ' x(y)z'=476/6ch, 'abcd'=394/4ch, word
+    // 't<d>'=164+d/2ch, digit pair 96+d1+d2/2ch, separators 32·(nw−1)
+    "x_pdf_text" -> ("WITH d AS (SELECT doc_id, doc_id % 13 AS s, " +
+      "1 + doc_id % 4 AS np FROM documents), " +
+      "pg AS (SELECT doc_id, s, np, unnest(range(0, np)) AS p FROM d), " +
+      "w AS (SELECT doc_id, s, np, p, 3 + (s + p) % 4 AS nw, " +
+      "(s + p) % 100 AS dd FROM pg), " +
+      "pc AS (SELECT doc_id, np, 3*nw + 11 AS pchars, " +
+      "CAST(list_sum([164 + (s*7 + p*5 + j*3) % 10 " +
+      "for j in range(0, nw)]) AS BIGINT) " +
+      "+ 32*nw - 32 + 966 + dd // 10 + dd % 10 AS psum FROM w), " +
+      "t AS (SELECT doc_id, MAX(np) AS np, " +
+      "CAST(SUM(pchars) AS BIGINT) AS n_chars, " +
+      "CAST(SUM(psum) AS BIGINT) AS cp_sum FROM pc GROUP BY doc_id) " +
+      "SELECT doc_id AS media_id, doc_id <> 0 AS ok, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(np AS BIGINT) END AS n_pages, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(np AS BIGINT) END AS n_streams, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(np AS BIGINT) END " +
+      "AS n_text_streams, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(0 AS BIGINT) END " +
+      "AS n_skipped_streams, " +
+      "CASE WHEN doc_id <> 0 THEN n_chars END AS n_chars, " +
+      "CASE WHEN doc_id <> 0 THEN cp_sum END AS cp_sum " +
+      "FROM t ORDER BY media_id"),
     // MP3 replay: per-frame sizes from the bitrate/samplerate tables
     // (144·br/sr + pad, integer division), duration as frames·1152,
     // tags from the planted formula — the engine must walk real

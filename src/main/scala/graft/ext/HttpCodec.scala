@@ -24,7 +24,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * handled in BOTH its wire forms (RFC zlib-wrapped, and the raw
   * stream real servers ship under the same token). Unknown
   * Content-Encodings (br, zstd — codecs this JVM lacks) null out
-  * rather than shipping compressed bytes as if they were text. */
+  * rather than shipping compressed bytes as if they were text; the
+  * same stance applies to Transfer-Encoding tokens other than
+  * `chunked`/`identity` (a `Transfer-Encoding: gzip` hop coding we
+  * cannot undo must not ship as a verified body).
+  *
+  * SCOPE NOTE — brotli (`br`) decode is deliberately out (the MP3-PCM
+  * stance, decided rather than deferred). RFC 7932 requires the
+  * 122,784-byte static dictionary plus its 121 word transforms, a
+  * context-modeling layer (64 literal context modes × block-switching
+  * state machines for literals/lengths/distances), and a distance
+  * ring-buffer cache — a from-scratch reimplementation is
+  * codec-scale, and the zero-dependency build (no new
+  * libraryDependencies, no vendored third-party sources) rules out
+  * org.brotli.dec. Consequence, measured by construction and pinned
+  * in WarcSpec: 100% of br-encoded responses return ok=false/null —
+  * those hosts drop out of the text pipeline entirely, which is
+  * corpus-bias-honest (no mojibake, no compressed bytes masquerading
+  * as text). zstd (RFC 8878: FSE/Huffman sequences + its own window
+  * protocol) is the same class and shares the stance. */
 private[ext] object HttpKernel {
 
   final case class Resp(status: Int, contentType: String,
@@ -115,9 +133,16 @@ private[ext] object HttpKernel {
           case "content-length" =>
             contentLength = try v.toLong
               catch { case _: NumberFormatException => return null }
+            if (contentLength < 0) return null // malformed, not "absent"
           case "transfer-encoding" =>
-            if (v.toLowerCase.split(",").map(_.trim).contains("chunked"))
-              chunked = true
+            // Verified-or-nothing, same stance as Content-Encoding: any
+            // TE token we cannot undo ('gzip', 'compress', …) rejects
+            // the message — shipping TE-compressed bytes as the body
+            // with ok=true would violate the decoded-body contract.
+            val toks = v.toLowerCase.split(",").map(_.trim).filter(_.nonEmpty)
+            if (toks.exists(t => t != "chunked" && t != "identity"))
+              return null
+            if (toks.contains("chunked")) chunked = true
           case "content-encoding" =>
             v.toLowerCase match {
               case "identity" | "" => ()

@@ -297,6 +297,10 @@ private[ext] object JpegKernel {
             return null
           if (w > (1 << 20) || h > (1 << 20) ||
             w.toLong * h > (1L << 28)) return null
+          // SOF2 keeps the coefficient store AND the luma plane live
+          // simultaneously at EOI (~2·w·h ints) — halve the pixel cap
+          // so the progressive worst case matches the baseline budget
+          if (progressive && w.toLong * h > (1L << 27)) return null
           if (len != 8 + 3 * nComp) return null
           compId = new Array[Int](nComp); compHV = new Array[Int](nComp)
           compTq = new Array[Int](nComp)

@@ -912,6 +912,59 @@ object Multimodal {
         col("__h.byte_sum").as("byte_sum"),
         col("__h.body").as("body"))
 
+  /** The charset-resolved TEXT leg on top of [[warcHttpResponses]]
+    * (round 14, the bytes→text bridge): per verified response, resolve
+    * the page encoding (BOM > Content-Type charset param > meta
+    * prescan > windows-1252) and STRICT-decode the body — pages with
+    * unknown labels or bytes malformed under the resolved charset drop
+    * (ok=false upstream), never mojibake. Output keeps the exact
+    * oracle statistics (n_chars, cp_sum) beside the text itself, so
+    * the downstream verbs (htmlStrip, language-ID, dedup) consume
+    * `text` while the conformance gate replays the numbers. */
+  def warcHttpTexts(media: DataFrame, maxRecords: Int = 4096): DataFrame =
+    warcHttpResponses(media, maxRecords)
+      .withColumn("__t", CharsetTextDecode(col("content_type"), col("body")))
+      .filter(col("__t.ok"))
+      .select(col("media_id"), col("rec_idx"), col("target_uri"),
+        col("status"), col("content_type"),
+        col("__t.charset").as("charset"),
+        col("__t.text").as("text"),
+        col("__t.n_chars").as("n_chars"),
+        col("__t.cp_sum").as("cp_sum"))
+
+  /** WARC-of-charset-pages fixture corpus ([[WarcCharsetEncode]]'s
+    * documented 4-mode contract: header-declared ISO-8859-1, meta-
+    * declared Shift_JIS, BOM'd UTF-8, undeclared windows-1252). */
+  def syntheticWarcCharsetCorpus(df: DataFrame, idCol: String, seed: Column,
+      nRecords: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      WarcCharsetEncode(seed.cast("long"), nRecords.cast("long"))
+        .as("content"))
+
+  /** PDF text layer of a binary column (round 14): FlateDecode undone,
+    * show-operator strings concatenated under WinAnsi; streams with
+    * unverifiable filters are counted as skipped, never guessed at.
+    * Zero-shuffle per-row walk — the triage census already routes pdf
+    * bytes here. */
+  def pdfText(media: DataFrame): DataFrame =
+    media
+      .withColumn("__p", PdfTextExtract(col("content")))
+      .select(col("media_id"), col("__p.ok").as("ok"),
+        col("__p.n_pages").as("n_pages"),
+        col("__p.n_streams").as("n_streams"),
+        col("__p.n_text_streams").as("n_text_streams"),
+        col("__p.n_skipped_streams").as("n_skipped_streams"),
+        col("__p.n_chars").as("n_chars"),
+        col("__p.cp_sum").as("cp_sum"),
+        col("__p.text").as("text"))
+
+  /** Real-PDF fixture corpus ([[PdfKernel.encode]]'s documented
+    * per-page contract: alternating Flate/raw content streams). */
+  def syntheticPdfCorpus(df: DataFrame, idCol: String, seed: Column,
+      nPages: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      PdfEncode(seed.cast("long"), nPages.cast("long")).as("content"))
+
   /** WARC-of-HTTP fixture corpus ([[WarcHttpEncode]]'s documented
     * contract: identity / chunked / gzip wire forms cycling per
     * record). */

@@ -150,6 +150,12 @@ private[streaming] object ScrubEngine {
   }
 
   def seedIndex(fam: ScrubFamily, corpus: DataFrame, idCol: String,
+      textCol: String, indexDir: String): Unit =
+    withIndexLease(corpus.sparkSession, fam, indexDir, "seed") {
+      seedLocked(fam, corpus, idCol, textCol, indexDir)
+    }
+
+  private def seedLocked(fam: ScrubFamily, corpus: DataFrame, idCol: String,
       textCol: String, indexDir: String): Unit = {
     val idx = fam.indexOf(corpus, idCol, textCol).localCheckpoint(true)
     val part = new Path(s"$indexDir/${fam.subdir}/batch=-1")
@@ -210,6 +216,14 @@ private[streaming] object ScrubEngine {
   }
 
   def ingestBatch(fam: ScrubFamily, batch: DataFrame, idCol: String,
+      textCol: String, wh: Warehouse, fact: String, indexDir: String,
+      batchId: Long, dedupFact: Boolean): Unit =
+    withIndexLease(batch.sparkSession, fam, indexDir, "ingest") {
+      ingestLocked(fam, batch, idCol, textCol, wh, fact, indexDir,
+        batchId, dedupFact)
+    }
+
+  private def ingestLocked(fam: ScrubFamily, batch: DataFrame, idCol: String,
       textCol: String, wh: Warehouse, fact: String, indexDir: String,
       batchId: Long, dedupFact: Boolean): Unit = {
     // the batch's own index view is used three times (probe-key set +
@@ -280,17 +294,61 @@ private[streaming] object ScrubEngine {
   // batch=-1 instead of its original directory.
   //
   // Crash safety: the merge is staged under .compact_tmp with a
-  // _MERGED manifest naming the source directories, then the sources
-  // are deleted and the stage renamed to batch=-1. A crash mid-swap is
-  // finished by the recovery pass at the next compactIndex call (the
-  // manifest tells it which sources remain to delete).
+  // _MERGED manifest naming the source directories, then swapped in.
+  // A crash mid-swap is finished by the recovery pass at the next
+  // compactIndex call (the manifest tells it which sources remain).
+  //
+  // Concurrency (round 14): compactIndex is a public maintenance API a
+  // job may call while the stream runs, so compact and ingest BOTH take
+  // the per-family writer lease (the Warehouse single-admission
+  // protocol, at `indexDir/_locks/<subdir>.lock`) — a probe can never
+  // list the directory mid-swap. Defense in depth for any reader
+  // outside the lease, the swap itself is rename-IN-first: the staged
+  // fold becomes visible as `batch=-2` BEFORE any source is deleted,
+  // then sources go, then -2 is atomically renamed to -1 — every
+  // intermediate listing holds each key's rows at least once (worst
+  // case transiently twice = over-count, the dup-safe direction), never
+  // the old delete-first empty window that judged batches against a
+  // near-empty index.
 
   /** Fold index partitions `batch <= upToBatchId` into `batch=-1`.
     * Returns the number of partitions folded (0 = nothing to do).
     * Counts are summed per key, so probe semantics are unchanged
     * (collapse families re-collapse anyway; fp families' probes ignore
     * `n_refs` and dedup hits). */
+  /** Exclusive per-family writer lease over the scrub index — the same
+    * single-admission lock protocol the Warehouse facts use (atomic
+    * create-no-overwrite + TTL break), rooted at
+    * `indexDir/_locks/<subdir>.lock`. Taken by BOTH ingestBatch and
+    * compactIndex so a maintenance compaction can never swap partitions
+    * under a running trigger's index read. */
+  private def withIndexLease[T](spark: SparkSession, fam: ScrubFamily,
+      indexDir: String, holder: String)(body: => T): T = {
+    val wh = new Warehouse(spark, indexDir)
+    // the Warehouse lease THROWS on live contention (the snapshot jobs
+    // want fail-fast); here the contender is a trigger vs a maintenance
+    // compaction — both finish in bounded time, so WAIT, bounded by a
+    // deadline far past any sane trigger/compaction wall
+    val deadline = System.currentTimeMillis() + 10 * 60 * 1000L
+    var token: String = null
+    while (token == null) {
+      try token = wh.acquireWriterLease(fam.subdir, holder)
+      catch {
+        case e: IllegalStateException =>
+          if (System.currentTimeMillis() >= deadline) throw e
+          Thread.sleep(50)
+      }
+    }
+    try body finally wh.releaseWriterLease(fam.subdir, token)
+  }
+
   def compactIndex(spark: SparkSession, fam: ScrubFamily,
+      indexDir: String, upToBatchId: Long): Int =
+    withIndexLease(spark, fam, indexDir, "compact") {
+      compactLocked(spark, fam, indexDir, upToBatchId)
+    }
+
+  private def compactLocked(spark: SparkSession, fam: ScrubFamily,
       indexDir: String, upToBatchId: Long): Int = {
     val dir = new Path(s"$indexDir/${fam.subdir}")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -325,14 +383,27 @@ private[streaming] object ScrubEngine {
     parts.length
   }
 
+  /** Reader-safe swap order (round 14): rename IN first. The staged
+    * fold becomes visible as `batch=-2` (a readable partition name no
+    * real batch id can take) BEFORE any source partition is deleted, so
+    * a directory listing at any intermediate point serves every key's
+    * rows at least once — transient worst case is seeing a row in both
+    * the fold and its source (over-count, which only strengthens a dup
+    * verdict), never the old delete-first window where a probe saw
+    * neither and judged duplicates novel. Old `batch=-1` is itself one
+    * of the sources, so the final -2→-1 promotion is a single atomic
+    * rename onto a free name. Idempotent: recovery replays skip the
+    * steps whose effects already landed. */
   private def finishSwap(fs: FileSystem, dir: Path, tmp: Path,
       sources: Seq[String]): Unit = {
+    val data = new Path(tmp, "data")
+    val staged = new Path(dir, "batch=-2")
+    if (fs.exists(data)) fs.rename(data, staged)
     sources.foreach { name =>
       val p = new Path(dir, name)
       if (fs.exists(p)) fs.delete(p, true)
     }
-    val data = new Path(tmp, "data")
-    if (fs.exists(data)) fs.rename(data, new Path(dir, "batch=-1"))
+    if (fs.exists(staged)) fs.rename(staged, new Path(dir, "batch=-1"))
     fs.delete(tmp, true)
   }
 

@@ -41,6 +41,10 @@ class FuzzSpec extends AnyFunSuite {
     WarcKernel.records(b, 64)
     TarKernel.members(b, 64)
     ZipKernel.members(b, 64)
+    HttpKernel.parse(b)
+    PdfKernel.parse(b)
+    CharsetKernel.decodeAuto("text/html", b)
+    CharsetKernel.metaCharset(b)
   }
 
   test("pure random bytes never throw in any kernel") {
@@ -65,9 +69,23 @@ class FuzzSpec extends AnyFunSuite {
       "WARC/1.0\r\n".getBytes,
       Array(0x1F.toByte, 0x8B.toByte, 8, 0),
       Array[Byte]('P', 'K', 3, 4),
-      Array[Byte]('P', 'K', 5, 6))
+      Array[Byte]('P', 'K', 5, 6),
+      "HTTP/1.1 200 OK\r\n".getBytes,
+      "%PDF-1.4\n".getBytes)
     for (_ <- 0 until 60; m <- magics)
       throwNothing(m ++ randomBytes(1024))
+  }
+
+  /** 16-bit grayscale PNG via the JDK writer (TYPE_USHORT_GRAY) — the
+    * second-implementation fixture for the depth-16 decode path. */
+  private def png16Fixture(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 6; x <- 0 until 8)
+      img.getRaster.setSample(x, y, 0, (x * 8191 + y * 257) % 65536)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   test("mutated valid fixtures never throw (single flips + truncations)") {
@@ -88,7 +106,31 @@ class FuzzSpec extends AnyFunSuite {
       ZipKernel.encode(7, 3, deflated = false),
       ExifKernel.withExif(
         JpegKernel.encodeGrayBlocks(1, 1, (_, _) => 9),
-        "M", "N", 6, "2020:01:02 03:04:05"))
+        "M", "N", 6, "2020:01:02 03:04:05"),
+      // round-14 widening: every parse surface that shipped in r13
+      // joins the mutation set — progressive JPEG (with restarts),
+      // palette / Adam7 / sub-byte / 16-bit PNG, and HTTP messages
+      JpegKernel.encodeGrayBlocksProgressive(2, 2,
+        (bx, by) => 30 + bx * 50 + by * 25),
+      JpegKernel.encodeGrayBlocksProgressive(3, 2,
+        (bx, by) => 20 + bx * 30 + by * 40, restartEvery = 2),
+      PngKernel.encodePalette(10, 6, 16,
+        e => (e * 16, e * 8, e * 4), (x, y) => (x * 3 + y) % 16,
+        y => (y + 2) % 5),
+      PngKernel.encodeGrayAdam7(13, 9, (x, y) => (x * 7 + y * 3) % 256,
+        k => k % 5),
+      PngKernel.encodeGraySub(17, 5, 1, (x, y) => (x + y) % 2, y => y % 5),
+      PngKernel.encodeGraySub(11, 6, 2, (x, y) => (x * y) % 4, y => y % 5),
+      PngKernel.encodeGraySub(9, 7, 4, (x, y) => (x * 3 + y) % 16,
+        y => (y + 1) % 5),
+      png16Fixture(),
+      HttpKernel.encode(200, "text/html", Array.tabulate(64)(i =>
+        ((i * 37) % 256).toByte), chunked = false, gzipBody = false),
+      HttpKernel.encode(301, "text/plain", Array.tabulate(48)(i =>
+        ((i * 11) % 256).toByte), chunked = true, gzipBody = false),
+      HttpKernel.encode(200, "a/b", Array.tabulate(80)(i =>
+        ((i * 5) % 256).toByte), chunked = true, gzipBody = true),
+      PdfKernel.encode(7L, 2))
     for (f <- fixtures) {
       throwNothing(f) // the pristine fixture first
       for (_ <- 0 until 120) {

@@ -119,6 +119,23 @@ class WarcSpec extends SparkTestBase {
     assert(HttpKernel.parse(("HTTP/1.1 200 OK\r\n" +
       "Content-Encoding: br\r\n\r\ncompressed-ish"
       ).getBytes) == null) // encoding this JVM cannot verify
+    // r14: unknown TRANSFER-encoding tokens reject too — 'gzip' or
+    // 'gzip, chunked' would otherwise ship TE-compressed bytes as the
+    // verified body (the same verified-or-nothing stance as above)
+    assert(HttpKernel.parse(("HTTP/1.1 200 OK\r\n" +
+      "Transfer-Encoding: gzip\r\n\r\ncompressed-ish-bytes"
+      ).getBytes) == null)
+    assert(HttpKernel.parse(("HTTP/1.1 200 OK\r\n" +
+      "Transfer-Encoding: gzip, chunked\r\n\r\n5\r\nhello\r\n0\r\n\r\n"
+      ).getBytes) == null)
+    // 'identity' alongside 'chunked' stays fine
+    assert(HttpKernel.parse(("HTTP/1.1 200 OK\r\n" +
+      "Transfer-Encoding: identity, chunked\r\n\r\n5\r\nhello\r\n0\r\n\r\n"
+      ).getBytes).body.toSeq == "hello".getBytes.toSeq)
+    // r14: a NEGATIVE Content-Length is malformed, not "absent" — it
+    // must null, not fall through to the read-to-EOF path
+    assert(HttpKernel.parse(("HTTP/1.1 200 OK\r\n" +
+      "Content-Length: -5\r\n\r\nbody bytes here").getBytes) == null)
     // deflate content-encoding: both the RFC zlib form and the
     // raw-deflate interop form decode; garbage under the token nulls
     for (nowrap <- Seq(false, true)) {
