@@ -3663,6 +3663,24 @@ object SparkEntry {
         .drop("ahash", "dhash")
         .orderBy(col("media_id"))
     }),
+    // WebP-lossless CONTENT leg: real VP8L bitstreams (canonical prefix
+    // codes + the subtract-green transform on EVERY image), entropy-
+    // decoded pixel-for-pixel — SAME pixel contract as the PNG fixture,
+    // so the PNG oracle chain replays it verbatim; doc 0's broken RIFF
+    // magic degrades to ok=false
+    "x_mm_pixels_webp" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticGrayWebpCorpus(docs,
+        "doc_id", col("doc_id") % 7, lit(9) + col("doc_id") % 8,
+        lit(8) + col("doc_id") % 6, col("doc_id") % 5)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00', substring(content, 2))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.webpContentStats(dirty)
+        .drop("ahash", "dhash")
+        .orderBy(col("media_id"))
+    }),
     // BMP CONTENT leg: real uncompressed DIBs (BGR bottom-up rows,
     // 4-byte padding, gray as truecolor so luma == pixel) — SAME pixel
     // contract as the PNG fixture, so the PNG oracle chain replays it
@@ -3904,8 +3922,9 @@ object SparkEntry {
           graft.ext.AviMjpegEncode(seed, lit(1L), lit(1L), lit(1L)))
         // detection-only container kinds (no decode leg): minimal
         // magic-byte blobs — the census must still tag them correctly
-        .when(col("doc_id") % 14 === 8,
-          expr("X'52494646040000005745425000000000'")) // RIFF..WEBP
+        .when(col("doc_id") % 14 === 8, // REAL decodable VP8L (r14)
+          graft.ext.GrayWebpEncode(seed, lit(9L), lit(8L), lit(11L),
+            lit(5L), lit(2L)))
         .when(col("doc_id") % 14 === 9,
           expr("X'000001000100101000000000'")) // ICONDIR
         .when(col("doc_id") % 14 === 10,
@@ -3921,22 +3940,27 @@ object SparkEntry {
         .drop("n_bytes")
         .orderBy(col("media_id"))
     }),
-    // MIXED-container leg: PNG and JPEG interleaved row by row (the
-    // crawl reality), one container-sniffing scan, one stat/hash space;
-    // doc 0's broken magic degrades to ok=false
+    // MIXED-container leg: PNG, JPEG and WebP-lossless interleaved row
+    // by row (the crawl reality), one container-sniffing scan, one
+    // stat/hash space; doc 0's broken magic degrades to ok=false
     "x_mm_mixed" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").filter(col("doc_id") < 200)
       val png = graft.ext.Multimodal.syntheticGrayPngCorpus(
-        docs.filter(col("doc_id") % 2 === 0), "doc_id",
+        docs.filter(col("doc_id") % 3 === 0), "doc_id",
         col("doc_id") % 7, lit(9) + col("doc_id") % 8,
         lit(8) + col("doc_id") % 6, col("doc_id") % 5)
       val jpg = graft.ext.Multimodal.syntheticBlockJpegCorpus(
-        docs.filter(col("doc_id") % 2 === 1), "doc_id",
+        docs.filter(col("doc_id") % 3 === 1), "doc_id",
         col("doc_id") % 23, lit(8), lit(8))
-      val media = png.unionByName(jpg).withColumn("content",
-        when(col("media_id") === 0,
-          expr("concat(X'00', substring(content, 2))"))
-          .otherwise(col("content")))
+      val webp = graft.ext.Multimodal.syntheticGrayWebpCorpus(
+        docs.filter(col("doc_id") % 3 === 2), "doc_id",
+        col("doc_id") % 7, lit(9) + col("doc_id") % 8,
+        lit(8) + col("doc_id") % 6, col("doc_id") % 5)
+      val media = png.unionByName(jpg).unionByName(webp)
+        .withColumn("content",
+          when(col("media_id") === 0,
+            expr("concat(X'00', substring(content, 2))"))
+            .otherwise(col("content")))
       graft.ext.Multimodal.mixedImageContentStats(media)
         .drop("ahash", "dhash")
         .orderBy(col("media_id"))
@@ -3968,6 +3992,25 @@ object SparkEntry {
           expr("concat(X'00000000', substring(content, 5))"))
           .otherwise(col("content")))
       graft.ext.Multimodal.audioContentStats(dirty)
+        .drop("fp")
+        .orderBy(col("media_id"))
+    }),
+    // FLAC leg (round 14): real FLAC streams — Rice-coded residuals
+    // under FIXED/LPC predictors, CRC-verified frames, subframe types
+    // cycling per frame — decoded sample-for-sample into the SAME stat
+    // + fingerprint space as WAV (identical sample contract, so the
+    // x_mm_audio oracle chain replays it verbatim); doc 0's zeroed
+    // magic degrades to ok=false
+    "x_mm_flac" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticFlacCorpus(docs, "doc_id",
+        col("doc_id") % 9, lit(40) + (col("doc_id") % 50) * 4,
+        lit(8000) + (col("doc_id") % 3) * 4000)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00000000', substring(content, 5))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.flacContentStats(dirty)
         .drop("fp")
         .orderBy(col("media_id"))
     }),
@@ -7402,6 +7445,13 @@ object SparkEntry {
     "x_mm_pixels_gif" -> ("WITH " +
       pngHashCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
         "doc_id % 5") + ", " + pixelStatsSelect(" ORDER BY media_id")),
+    // WebP-lossless pixel replay: the engine must run the full VP8L
+    // entropy decode (canonical prefix codes, LSB-first bit stream)
+    // AND invert the subtract-green transform to land on these
+    // integers — SAME oracle chain as x_mm_pixels (identical contract)
+    "x_mm_pixels_webp" -> ("WITH " +
+      pngHashCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
+        "doc_id % 5") + ", " + pixelStatsSelect(" ORDER BY media_id")),
     // BMP pixel replay: the engine must walk a real DIB header and
     // BGR-luma the padded bottom-up rows to land on these integers —
     // SAME oracle chain as x_mm_pixels (identical pixel contract)
@@ -7647,9 +7697,15 @@ object SparkEntry {
     "x_mm_mixed" -> ("SELECT * FROM ((WITH " +
       pngHashCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
         "doc_id % 5") + ", " + pixelStatsSelect(
-        " WHERE doc_id % 2 = 0 AND doc_id < 200") + ") UNION ALL (WITH " +
-      jpegHashCtes("doc_id % 23", 8, 8, "doc_id % 2 = 1 AND doc_id < 200") +
-      ", " + pixelStatsSelect("") + ")) ORDER BY media_id"),
+        " WHERE doc_id % 3 = 0 AND doc_id < 200") + ") UNION ALL (WITH " +
+      jpegHashCtes("doc_id % 23", 8, 8, "doc_id % 3 = 1 AND doc_id < 200") +
+      ", " + pixelStatsSelect("") + ") UNION ALL (WITH " +
+      // the webp rows replay the SAME pixel chain as png (identical
+      // planted contract — only the container differs)
+      pngHashCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
+        "doc_id % 5") + ", " + pixelStatsSelect(
+        " WHERE doc_id % 3 = 2 AND doc_id < 200") +
+      ")) ORDER BY media_id"),
     // JPEG pixel replay: the engine must Huffman-decode + IDCT a real
     // baseline JPEG to land on these integers — the DC-exact block-flat
     // fixture makes the decode a pure function of the block formula
@@ -7688,6 +7744,30 @@ object SparkEntry {
     // — bit 63 reserved so the sentinel stays unreachable; fpHalf's hi
     // half replays k = 32..62 to match)
     "x_mm_audio" -> ("WITH d AS (SELECT doc_id, doc_id % 9 AS seed, " +
+      "40 + (doc_id % 50)*4 AS n, 8000 + (doc_id % 3)*4000 AS sr FROM documents), " +
+      "s AS (SELECT d.*, [ ((seed*7919 + i*31 + (i*i) % 101) % 4001) - 2000 " +
+      "for i in range(0, n)] AS sm FROM d), " +
+      "e AS (SELECT s.*, [ CAST(list_sum([abs(sm[i+1]) " +
+      "for i in range((k*n)//64, ((k+1)*n)//64)]) AS BIGINT) " +
+      "for k in range(0, 64)] AS ew FROM s) " +
+      "SELECT doc_id AS media_id, doc_id <> 0 AS ok, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(1 AS BIGINT) END AS channels, " +
+      "CASE WHEN doc_id <> 0 THEN sr END AS sample_rate, " +
+      "CASE WHEN doc_id <> 0 THEN n END AS n_samples, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(list_sum([abs(v) for v in sm]) AS BIGINT) END AS sum_abs, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(list_max([abs(v) for v in sm]) AS BIGINT) END AS peak_abs, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(list_sum([CASE WHEN (sm[i] < 0) <> (sm[i+1] < 0) " +
+      "THEN 1 ELSE 0 END for i in range(1, n)]) AS BIGINT) END AS zero_cross, " +
+      "CASE WHEN doc_id <> 0 AND n >= 64 THEN " +
+      fpHalf("ew[k+1] > ew[k]", lo = false) + " END AS fp_hi, " +
+      "CASE WHEN doc_id <> 0 AND n >= 64 THEN " +
+      fpHalf("k > 0 AND ew[k+1] > ew[k]", lo = true) + " END AS fp_lo " +
+      "FROM e ORDER BY media_id"),
+    // FLAC replay: IDENTICAL oracle body to x_mm_audio (same planted
+    // sample ramp) — only the engine side differs: it must walk FLAC
+    // frames, verify CRCs and run the Rice/predictor decode to land on
+    // the same integers the WAV chain replays
+    "x_mm_flac" -> ("WITH d AS (SELECT doc_id, doc_id % 9 AS seed, " +
       "40 + (doc_id % 50)*4 AS n, 8000 + (doc_id % 3)*4000 AS sr FROM documents), " +
       "s AS (SELECT d.*, [ ((seed*7919 + i*31 + (i*i) % 101) % 4001) - 2000 " +
       "for i in range(0, n)] AS sm FROM d), " +

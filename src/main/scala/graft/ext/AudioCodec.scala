@@ -353,9 +353,27 @@ case class WavPcmStats(child: Expression)
       case null => null
       case b => b.asInstanceOf[Array[Byte]]
     }
-    val p = WavKernel.decodePcm(bytes)
+    WavPcmStats.statsRow(WavKernel.decodePcm(bytes))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WavPcmStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "wav_pcm_stats"
+}
+
+object WavPcmStats {
+  def apply(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      WavPcmStats(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+
+  /** The shared (ok, layout, loudness, fingerprint halves) row from a
+    * decoded PCM clip — one implementation for every audio container
+    * (WAV, G.711-in-WAV, FLAC). */
+  private[ext] def statsRow(p: WavKernel.Pcm): InternalRow = {
     if (p == null)
-      return InternalRow(false, null, null, null, null, null, null, null, null)
+      return InternalRow(false, null, null, null, null, null, null, null,
+        null)
     var sumAbs = 0L; var peak = 0L; var zc = 0L
     var i = 0
     while (i < p.samples.length) {
@@ -376,17 +394,6 @@ case class WavPcmStats(child: Expression)
     InternalRow(true, p.channels.toLong, p.sampleRate.toLong,
       p.samples.length.toLong, sumAbs, peak, zc, fpHi, fpLo)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): WavPcmStats =
-    copy(child = newChild)
-
-  override def prettyName: String = "wav_pcm_stats"
-}
-
-object WavPcmStats {
-  def apply(c: Column): Column =
-    org.apache.spark.sql.graftbridge.Bridge.column(
-      WavPcmStats(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
 }
 
 /** Deterministic mono 16-bit PCM WAV fixture generator (the testdata

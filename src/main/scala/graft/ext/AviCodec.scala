@@ -141,14 +141,18 @@ private[ext] object AviKernel {
 }
 
 /** Container-sniffing single-image gray decode shared by
-  * [[ImageGrayStats]] and the video leg: routes PNG/JPEG/GIF/BMP/TIFF
-  * payloads to their kernels by magic bytes — one scan, one
-  * fingerprint space, whatever container the crawl delivered. */
+  * [[ImageGrayStats]] and the video leg: routes PNG/JPEG/GIF/BMP/TIFF/
+  * WebP-lossless payloads to their kernels by magic bytes — one scan,
+  * one fingerprint space, whatever container the crawl delivered. */
 private[ext] object GraySniff {
   def decode(bytes: Array[Byte]): PngKernel.Gray = {
     if (bytes == null || bytes.length < 4) return null
     if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P')
       PngKernel.decodeGray(bytes)
+    else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+      bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P')
+      WebpKernel.decodeGray(bytes)
     else if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
       JpegKernel.decodeGrayY(bytes)
     else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&

@@ -564,6 +564,21 @@ object Multimodal {
   def gifContentStats(media: DataFrame): DataFrame =
     statsOf(media.withColumn("__s", GifGrayStats(col("content"))))
 
+  /** Lossless-WebP (VP8L) corpus with the SAME pixel contract as
+    * [[syntheticGrayPngCorpus]] — one oracle pixel chain replays the
+    * webp container too; every image carries the subtract-green
+    * transform, so the inverse transform is load-bearing per row. */
+  def syntheticGrayWebpCorpus(df: DataFrame, idCol: String, seed: Column,
+      w: Column, h: Column, bump: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      GrayWebpEncode(seed.cast("long"), w.cast("long"), h.cast("long"),
+        lit(11L), lit(5L), bump.cast("long")).as("content"))
+
+  /** [[imageContentStats]] for lossless-WebP content ([[WebpGrayStats]]
+    * VP8L entropy decode) — same 14-column shape, same hash space. */
+  def webpContentStats(media: DataFrame): DataFrame =
+    statsOf(media.withColumn("__s", WebpGrayStats(col("content"))))
+
   /** Uncompressed 24-bit BMP corpus with the SAME pixel contract as
     * [[syntheticGrayPngCorpus]] (gray written as R=G=B, so the BT.601
     * luma is exactly the pixel) — one oracle chain replays all three
@@ -940,6 +955,30 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("media_id"),
       WarcCharsetEncode(seed.cast("long"), nRecords.cast("long"))
         .as("content"))
+
+  /** [[audioContentStats]] for FLAC content (round 14): the Rice/
+    * predictor decode via [[FlacPcmStats]] — same 9-field shape, same
+    * energy-contour fingerprint space as WAV/G.711. */
+  def flacContentStats(media: DataFrame): DataFrame =
+    media.withColumn("__s", FlacPcmStats(col("content")))
+      .select(col("media_id"), col("__s.ok").as("ok"),
+        col("__s.channels").as("channels"),
+        col("__s.sample_rate").as("sample_rate"),
+        col("__s.n_samples").as("n_samples"),
+        col("__s.sum_abs").as("sum_abs"),
+        col("__s.peak_abs").as("peak_abs"),
+        col("__s.zero_cross").as("zero_cross"),
+        col("__s.fp_hi").as("fp_hi"), col("__s.fp_lo").as("fp_lo"),
+        shiftleft(col("__s.fp_hi"), 32).bitwiseOR(col("__s.fp_lo")).as("fp"))
+
+  /** Real-FLAC fixture corpus ([[FlacEncode]]: the PcmWavEncode sample
+    * ramp under cycling VERBATIM/FIXED/LPC-escape frames), so the WAV
+    * oracle chain replays the FLAC decode verbatim. */
+  def syntheticFlacCorpus(df: DataFrame, idCol: String, seed: Column,
+      nSamples: Column, sampleRate: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      FlacEncode(seed.cast("long"), nSamples.cast("long"),
+        sampleRate.cast("long")).as("content"))
 
   /** PDF text layer of a binary column (round 14): FlateDecode undone,
     * show-operator strings concatenated under WinAnsi; streams with

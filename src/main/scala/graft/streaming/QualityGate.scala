@@ -61,7 +61,16 @@ object QualityGate {
       modelDir: String, wh: Warehouse, fact: String, checkpointDir: String,
       minScore: Double): StreamingQuery = {
     val spark = stream.sparkSession
-    val model = loadModel(spark, modelDir)
+    // materialize the frozen counts ONCE per stream (eager local
+    // checkpoint): loadModel's DataFrames are lazy plans, so without
+    // this every trigger re-reads the model parquet and re-plans the
+    // scan — the r13 bench watch item. The stream scores against the
+    // in-memory tables for its whole life; the model never changes.
+    val lazyModel = loadModel(spark, modelDir)
+    val model = lazyModel.copy(
+      uni = lazyModel.uni.localCheckpoint(true),
+      bi = lazyModel.bi.localCheckpoint(true),
+      tri = lazyModel.tri.localCheckpoint(true))
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

@@ -43,6 +43,8 @@ class FuzzSpec extends AnyFunSuite {
     ZipKernel.members(b, 64)
     HttpKernel.parse(b)
     PdfKernel.parse(b)
+    WebpKernel.decodeGray(b)
+    FlacKernel.decodePcm(b)
     CharsetKernel.decodeAuto("text/html", b)
     CharsetKernel.metaCharset(b)
   }
@@ -71,7 +73,9 @@ class FuzzSpec extends AnyFunSuite {
       Array[Byte]('P', 'K', 3, 4),
       Array[Byte]('P', 'K', 5, 6),
       "HTTP/1.1 200 OK\r\n".getBytes,
-      "%PDF-1.4\n".getBytes)
+      "%PDF-1.4\n".getBytes,
+      "RIFF1234WEBPVP8L".getBytes,
+      "fLaC".getBytes)
     for (_ <- 0 until 60; m <- magics)
       throwNothing(m ++ randomBytes(1024))
   }
@@ -130,7 +134,11 @@ class FuzzSpec extends AnyFunSuite {
         ((i * 11) % 256).toByte), chunked = true, gzipBody = false),
       HttpKernel.encode(200, "a/b", Array.tabulate(80)(i =>
         ((i * 5) % 256).toByte), chunked = true, gzipBody = true),
-      PdfKernel.encode(7L, 2))
+      PdfKernel.encode(7L, 2),
+      WebpKernel.encodeGray(9, 7, (x, y) => (x * 5 + y * 3) % 256),
+      WebpKernel.encodeGray(6, 5, (x, y) => (x + y * 7) % 256,
+        subtractGreen = false),
+      FlacKernel.encodeMono16(300, 8000, i => (i * 77) % 3000 - 1500))
     for (f <- fixtures) {
       throwNothing(f) // the pristine fixture first
       for (_ <- 0 until 120) {
