@@ -3625,6 +3625,27 @@ object SparkEntry {
         .drop("ahash", "dhash")
         .orderBy(col("media_id"))
     }),
+    // CROSS-container WEBP dup (round 14): a lossless-WebP re-encode of
+    // an ingested PNG (the modern crawl re-upload) lands at Hamming 0
+    // through one sniffing scan — identical pixel contract, identical
+    // aHash, only the container differs
+    "x_mm_webpdup" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val png = graft.ext.Multimodal.syntheticGrayPngCorpus(docs, "doc_id",
+        col("doc_id") % 200, lit(16), lit(16),
+        expr("CAST(doc_id DIV 200 AS BIGINT) % 5"))
+      val webpSrc = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        (col("doc_id") % 200).as("s"),
+        expr("CAST(doc_id DIV 200 AS BIGINT) % 5").as("b"))
+      val webp = graft.ext.Multimodal.syntheticGrayWebpCorpus(webpSrc,
+        "doc_id", col("s"), lit(16), lit(16), col("b"))
+      graft.ext.Hamming64.pairs(
+        graft.ext.Multimodal.mixedImageContentStats(
+            png.unionByName(webp))
+          .filter(col("ahash_hi").isNotNull),
+        "media_id", "ahash", maxHamming = 4)
+        .orderBy(col("i"), col("j"))
+    }),
     // CROSS-container near-dup: the same picture stored as PNG and as
     // GIF must land in the same Hamming ball through ONE sniffing scan
     // — the mixed-crawl dedup story end to end (identical pixel
@@ -7428,6 +7449,20 @@ object SparkEntry {
     // cross-container pair oracle: ONE hash chain (the containers share
     // the pixel contract), mirrored at +1000000 for the GIF side —
     // exact O(n^2) Hamming over the 32-bit halves
+    // webp-dup replay: identical to the crossdup oracle (the webp half
+    // plants the same pixel contract at +1e6) — only the engine's
+    // container sniff + VP8L decode differ
+    "x_mm_webpdup" -> ("WITH " +
+      pngHashCtes("doc_id % 200", "16", "16", "(doc_id // 200) % 5") + ", " +
+      "ha AS (SELECT doc_id, ahash_hi, ahash_lo FROM hh " +
+      "UNION ALL SELECT doc_id + 1000000, ahash_hi, ahash_lo FROM hh) " +
+      "SELECT a.doc_id AS i, b.doc_id AS j, " +
+      "CAST(bit_count(xor(a.ahash_hi, b.ahash_hi)) + " +
+      "bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT) AS hamming " +
+      "FROM ha a JOIN ha b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.ahash_hi, b.ahash_hi)) + " +
+      "bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 4 " +
+      "ORDER BY i, j"),
     "x_mm_crossdup" -> ("WITH " +
       pngHashCtes("doc_id % 200", "16", "16", "(doc_id // 200) % 5") + ", " +
       "ha AS (SELECT doc_id, ahash_hi, ahash_lo FROM hh " +
