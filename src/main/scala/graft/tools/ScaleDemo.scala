@@ -855,6 +855,44 @@ object ScaleDemo {
         .agg(sum(col("sum_abs")) + sum(col("zero_cross"))).collect()(0)
         .getLong(0)
     }
+    timed("webp_content") {
+      // round 14: full VP8L entropy decode (canonical prefix codes,
+      // LSB-first stream) + subtract-green inverse + hashes per row,
+      // zero shuffle — wall must track pixel count like the PNG row
+      val webp = graft.ext.Multimodal.syntheticGrayWebpCorpus(corpus,
+        "doc_id", col("doc_id") % 200, lit(16), lit(16), col("doc_id") % 5)
+      graft.ext.Multimodal.webpContentStats(webp)
+        .agg(sum(col("sum_luma")) + sum(col("ahash_lo"))).collect()(0)
+        .getLong(0)
+    }
+    timed("flac_content") {
+      // round 14: CRC-verified FLAC frame walk + Rice/predictor decode
+      // per row (subframe types cycle per frame); wall tracks samples
+      val flac = graft.ext.Multimodal.syntheticFlacCorpus(corpus,
+        "doc_id", col("doc_id") % 9, lit(40) + (col("doc_id") % 50) * 4,
+        lit(8000))
+      graft.ext.Multimodal.flacContentStats(flac)
+        .agg(sum(col("sum_abs")) + sum(col("zero_cross"))).collect()(0)
+        .getLong(0)
+    }
+    timed("pdf_text") {
+      // round 14: object walk + FlateDecode + show-operator token walk
+      // per row; wall tracks total stream bytes, zero shuffle
+      val pdf = graft.ext.Multimodal.syntheticPdfCorpus(corpus, "doc_id",
+        col("doc_id") % 13, lit(1) + col("doc_id") % 4)
+      graft.ext.Multimodal.pdfText(pdf)
+        .agg(sum(col("cp_sum")) + sum(col("n_chars"))).collect()(0)
+        .getLong(0)
+    }
+    timed("http_text") {
+      // round 14: WARC walk -> HTTP de-chunk/gunzip -> charset resolve
+      // -> strict decode, all in one scan projection (rows explode
+      // ~8x per doc: one per response record)
+      val warc = graft.ext.Multimodal.syntheticWarcCharsetCorpus(corpus,
+        "doc_id", col("doc_id") % 7, lit(4) + col("doc_id") % 9)
+      graft.ext.Multimodal.warcHttpTexts(warc)
+        .agg(sum(col("cp_sum")) + count(lit(1))).collect()(0).getLong(0)
+    }
     timed("cdc_dedup") {
       // content-defined chunking + chunk-group dedup: chunking is a
       // zero-shuffle linear byte scan (O(1)/byte rolling boundary),
