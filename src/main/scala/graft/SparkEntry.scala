@@ -3702,6 +3702,25 @@ object SparkEntry {
         .drop("ahash", "dhash")
         .orderBy(col("media_id"))
     }),
+    // ICO CONTENT leg (round 14): real single-entry favicons — even
+    // docs wrap a REAL PNG payload, odd docs a raw doubled-height DIB
+    // (XOR rows + AND mask, no BMP file header) — SAME pixel contract
+    // as the PNG fixture, so the PNG oracle chain replays both entry
+    // forms; doc 0's broken ICONDIR degrades to ok=false
+    "x_mm_pixels_ico" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticGrayIcoCorpus(docs,
+        "doc_id", col("doc_id") % 7, lit(9) + col("doc_id") % 8,
+        lit(8) + col("doc_id") % 6, col("doc_id") % 5,
+        col("doc_id") % 2 === 0)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'FFFF', substring(content, 3))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.icoContentStats(dirty)
+        .drop("ahash", "dhash")
+        .orderBy(col("media_id"))
+    }),
     // BMP CONTENT leg: real uncompressed DIBs (BGR bottom-up rows,
     // 4-byte padding, gray as truecolor so luma == pixel) — SAME pixel
     // contract as the PNG fixture, so the PNG oracle chain replays it
@@ -3946,8 +3965,9 @@ object SparkEntry {
         .when(col("doc_id") % 14 === 8, // REAL decodable VP8L (r14)
           graft.ext.GrayWebpEncode(seed, lit(9L), lit(8L), lit(11L),
             lit(5L), lit(2L)))
-        .when(col("doc_id") % 14 === 9,
-          expr("X'000001000100101000000000'")) // ICONDIR
+        .when(col("doc_id") % 14 === 9, // REAL decodable ICO (r14)
+          graft.ext.GrayIcoEncode(seed, lit(9L), lit(8L), lit(11L),
+            lit(5L), lit(2L), lit(true)))
         .when(col("doc_id") % 14 === 10,
           expr("CAST('%PDF-1.4 minimal' AS BINARY)"))
         .when(col("doc_id") % 14 === 11,
@@ -7485,6 +7505,13 @@ object SparkEntry {
     // AND invert the subtract-green transform to land on these
     // integers — SAME oracle chain as x_mm_pixels (identical contract)
     "x_mm_pixels_webp" -> ("WITH " +
+      pngHashCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
+        "doc_id % 5") + ", " + pixelStatsSelect(" ORDER BY media_id")),
+    // ICO pixel replay: the engine must walk the ICONDIR, route PNG
+    // payloads to the zlib decode and raw DIBs through the doubled-
+    // height row walk — SAME oracle chain as x_mm_pixels (identical
+    // planted contract; the entry form is invisible to the oracle)
+    "x_mm_pixels_ico" -> ("WITH " +
       pngHashCtes("doc_id % 7", "9 + doc_id % 8", "8 + doc_id % 6",
         "doc_id % 5") + ", " + pixelStatsSelect(" ORDER BY media_id")),
     // BMP pixel replay: the engine must walk a real DIB header and

@@ -165,6 +165,9 @@ private[ext] object GraySniff {
       (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 &&
         bytes(3) == 0x2A))
       TiffKernel.decodeGray(bytes)
+    else if (bytes(0) == 0 && bytes(1) == 0 && bytes(2) == 1 &&
+      bytes(3) == 0)
+      IcoKernel.decodeGray(bytes)
     else null
   }
 }

@@ -579,6 +579,22 @@ object Multimodal {
   def webpContentStats(media: DataFrame): DataFrame =
     statsOf(media.withColumn("__s", WebpGrayStats(col("content"))))
 
+  /** Single-entry ICO corpus with the SAME pixel contract as
+    * [[syntheticGrayPngCorpus]] — even `pngEntry` rows wrap a real PNG
+    * payload (the modern favicon), odd rows a raw doubled-height DIB
+    * (the classic form); one oracle chain replays both. */
+  def syntheticGrayIcoCorpus(df: DataFrame, idCol: String, seed: Column,
+      w: Column, h: Column, bump: Column, pngEntry: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      GrayIcoEncode(seed.cast("long"), w.cast("long"), h.cast("long"),
+        lit(11L), lit(5L), bump.cast("long"), pngEntry).as("content"))
+
+  /** [[imageContentStats]] for ICO content ([[IcoGrayStats]] largest-
+    * entry decode, PNG or raw-DIB payloads) — same shape, same hash
+    * space. */
+  def icoContentStats(media: DataFrame): DataFrame =
+    statsOf(media.withColumn("__s", IcoGrayStats(col("content"))))
+
   /** Uncompressed 24-bit BMP corpus with the SAME pixel contract as
     * [[syntheticGrayPngCorpus]] (gray written as R=G=B, so the BT.601
     * luma is exactly the pixel) — one oracle chain replays all three

@@ -45,6 +45,7 @@ class FuzzSpec extends AnyFunSuite {
     PdfKernel.parse(b)
     WebpKernel.decodeGray(b)
     FlacKernel.decodePcm(b)
+    IcoKernel.decodeGray(b)
     CharsetKernel.decodeAuto("text/html", b)
     CharsetKernel.metaCharset(b)
   }
@@ -75,7 +76,8 @@ class FuzzSpec extends AnyFunSuite {
       "HTTP/1.1 200 OK\r\n".getBytes,
       "%PDF-1.4\n".getBytes,
       "RIFF1234WEBPVP8L".getBytes,
-      "fLaC".getBytes)
+      "fLaC".getBytes,
+      Array[Byte](0, 0, 1, 0, 2, 0))
     for (_ <- 0 until 60; m <- magics)
       throwNothing(m ++ randomBytes(1024))
   }
@@ -138,7 +140,11 @@ class FuzzSpec extends AnyFunSuite {
       WebpKernel.encodeGray(9, 7, (x, y) => (x * 5 + y * 3) % 256),
       WebpKernel.encodeGray(6, 5, (x, y) => (x + y * 7) % 256,
         subtractGreen = false),
-      FlacKernel.encodeMono16(300, 8000, i => (i * 77) % 3000 - 1500))
+      FlacKernel.encodeMono16(300, 8000, i => (i * 77) % 3000 - 1500),
+      IcoKernel.encode(9, 7, (x, y) => (x * 3 + y * 5) % 256,
+        pngEntry = true),
+      IcoKernel.encode(8, 6, (x, y) => (x + y * 9) % 256,
+        pngEntry = false))
     for (f <- fixtures) {
       throwNothing(f) // the pristine fixture first
       for (_ <- 0 until 120) {

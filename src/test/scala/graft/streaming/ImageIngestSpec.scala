@@ -119,6 +119,17 @@ class ImageIngestSpec extends SparkTestBase {
     ImageIngest.ingestBatch(bmps, "media_id", "content", wh, "f", idx, 2L)
     assert(wh.read("f").get.select("media_id").as[Long].collect().toSet ==
       Set(1L, 21L, 31L)) // 30 dropped against the PNG's fingerprint
+    // batch 3 (round 14): the same picture as a LOSSLESS WEBP — the
+    // modern crawl re-upload rides the same sniffed door and drops;
+    // the VP8L decode (with its subtract-green inverse) is what lands
+    // it on the shared fingerprint
+    val webps = Multimodal.syntheticGrayWebpCorpus(
+        Seq((40L, 5L, 3L), (41L, 26L, 0L)).toDF("doc_id", "s", "b"),
+        "doc_id", col("s"), lit(16), lit(16), col("b"))
+      .withColumn("year", lit(2020L))
+    ImageIngest.ingestBatch(webps, "media_id", "content", wh, "f", idx, 3L)
+    assert(wh.read("f").get.select("media_id").as[Long].collect().toSet ==
+      Set(1L, 21L, 31L, 41L)) // 40 dropped against the PNG's fingerprint
   }
 
   test("probe plan: stored band keys are joined, never re-derived — no " +
