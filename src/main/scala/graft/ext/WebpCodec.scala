@@ -35,7 +35,9 @@ import org.apache.spark.sql.types._
   * encoder/decoder error cannot cancel. The distance map is GENERATED
   * by the spec's ordering rule (all 120 (dx∈[-7,8], dy∈[0,7]) neighbor
   * offsets sorted by dx²+dy², larger dy first, positive dx before
-  * negative); WebpSpec pins its head against the published constants.
+  * negative); WebpSpec pins ALL 120 entries against the inversion of
+  * the published encoder-side plane_to_code_lut — two independent
+  * derivations of the same mapping agreeing entry for entry.
   *
   * Decode contract: null on ANYTHING malformed, truncated, oversized
   * or out of the supported slice — never a throw. Unsupported-but-
