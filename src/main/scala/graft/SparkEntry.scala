@@ -3880,6 +3880,26 @@ object SparkEntry {
         .drop("text")
         .orderBy(col("media_id"), col("rec_idx"))
     }),
+    // the END-TO-END web-extraction chain in ONE gate: WARC walk ->
+    // HTTP de-chunk/gunzip -> charset resolve (header-declared
+    // ISO-8859-1 / meta-declared Shift_JIS) -> strict decode ->
+    // htmlStrip — the oracle replays the CLEAN TEXT ITSELF (exact
+    // string compare incl. the katakana), not just sums; doc 0 drops
+    "x_web_extract" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = docs.select(col("doc_id").cast("long").as("media_id"),
+        graft.ext.WarcHtmlEncode((col("doc_id") % 7).cast("long"),
+          (lit(4) + col("doc_id") % 6).cast("long")).as("content"))
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00000000', substring(content, 5))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.warcHttpTexts(dirty)
+        .select(col("media_id"), col("rec_idx"), col("charset"),
+          graft.ext.WebText.htmlStrip(col("text")).as("clean"))
+        .withColumn("n_chars", length(col("clean")).cast("long"))
+        .orderBy(col("media_id"), col("rec_idx"))
+    }),
     // PDF text layer: real multi-page PDFs (valid xref), alternating
     // FlateDecode/raw content streams, text shown through Tj / ' / TJ
     // with escaped parens and hex strings — the engine must walk
@@ -7662,6 +7682,28 @@ object SparkEntry {
       "WHEN mode = 2 THEN list_sum([19968 + x for x in aj]) " +
       "ELSE list_sum([[8364,8230,8240,8216,8217,8220,8221,8226]" +
       "[CAST(x AS INT) + 1] for x in aj]) END AS BIGINT) AS cp_sum " +
+      "FROM c ORDER BY media_id, rec_idx"),
+    // web-extraction replay: the oracle BUILDS the expected clean text
+    // ('T ' || words || ' ' || native chars via chr()) — the WARC
+    // framing, HTTP wire forms, charset tables, HTML tags, the comment
+    // and the whitespace collapse are all invisible; only the full
+    // chain run correctly lands on the exact strings
+    "x_web_extract" -> ("WITH d AS (SELECT doc_id, doc_id % 7 AS s, " +
+      "4 + doc_id % 6 AS n FROM documents WHERE doc_id <> 0), " +
+      "r AS (SELECT doc_id, s, unnest(range(0, n)) AS i FROM d), " +
+      "z AS (SELECT doc_id, s, i, i % 2 AS mode, " +
+      "3 + (s + i) % 4 AS k FROM r), " +
+      "c AS (SELECT doc_id, i, mode, k, " +
+      "array_to_string(['w' || CAST((s*5 + i*3 + j*7) % 10 AS VARCHAR) " +
+      "for j in range(0, k)], ' ') AS words, " +
+      "array_to_string([chr(CAST(CASE WHEN mode = 0 THEN 192 " +
+      "ELSE 12449 END + (s*3 + i*11 + j) % 8 AS INT)) " +
+      "for j in range(0, 4)], '') AS nat FROM z) " +
+      "SELECT doc_id AS media_id, CAST(i AS BIGINT) AS rec_idx, " +
+      "CASE WHEN mode = 0 THEN 'windows-1252' ELSE 'windows-31j' END " +
+      "AS charset, " +
+      "'T ' || words || ' ' || nat AS clean, " +
+      "CAST(3*k + 6 AS BIGINT) AS n_chars " +
       "FROM c ORDER BY media_id, rec_idx"),
     // PDF replay: the per-page show-text contract only — the xref, the
     // Flate wrapper, the escape forms and the hex framing are

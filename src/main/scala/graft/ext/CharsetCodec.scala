@@ -373,3 +373,96 @@ object WarcCharsetEncode {
     b.column(WarcCharsetEncode(b.expression(seed), b.expression(nRecords)))
   }
 }
+
+/** WARC-of-HTML-pages fixture: the END-TO-END web-extraction chain's
+  * input — real WARC records of real HTTP messages whose bodies are
+  * HTML pages in NON-UTF-8 charsets, so one gate exercises WARC walk →
+  * de-chunk/gunzip → charset resolve → strict decode → HTML strip.
+  * Per record i (seed s):
+  *   mode i%2 = 0 — ISO-8859-1 declared on the Content-Type header;
+  *              1 — Shift_JIS declared by an in-body meta tag;
+  *   k     = 3 + (s + i) mod 4 body words, word j = "w" + d(j),
+  *           d(j) = (s·5 + i·3 + j·7) mod 10
+  *   nat   = 4 native chars, a(j) = (s·3 + i·11 + j) mod 8:
+  *           mode 0 bytes 0xC0+a ↦ U+00C0+a; mode 1 SJIS 0x83,0x40+a
+  *           ↦ U+30A1+a
+  *   page  = <html><head>[meta]<title>T</title></head><body>
+  *           <p>words</p><!-- zap --><b>nat</b></body></html>
+  * so htmlStrip's clean text is EXACTLY "T w.. w.. NNNN" (single
+  * spaces, tags→space, comment dropped, entities none) and its
+  * (n_chars, cp_sum) replay arithmetically: n = 3k + 6,
+  * cp = 84 + 32k + 32 + Σ(167 + d(j)) + Σ nat_cp. Wire forms cycle
+  * i mod 3 (identity / chunked / gzip) like every WARC fixture. */
+case class WarcHtmlEncode(seed: Expression, nRecords: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(seed, nRecords)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"warc_html_encode requires 2 longs, got ${children.map(_.dataType)}")
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    val Seq(s, n) = vs.map(_.asInstanceOf[Long])
+    if (n < 1 || n > 256) return null
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(
+      str.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    var i = 0
+    while (i < n) {
+      val mode = i % 2
+      val k = (3 + (s + i) % 4).toInt
+      val words = (0 until k).map(j =>
+        "w" + ((s * 5 + i * 3 + j * 7) % 10)).mkString(" ")
+      val bb = new java.io.ByteArrayOutputStream()
+      bb.write(("<html><head>" +
+        (if (mode == 1) "<meta charset=\"shift_jis\">" else "") +
+        "<title>T</title></head><body><p>" + words +
+        "</p><!-- zap --><b>").getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII))
+      var j = 0
+      while (j < 4) {
+        val a = ((s * 3 + i * 11 + j) % 8).toInt
+        if (mode == 0) bb.write(0xC0 + a)
+        else { bb.write(0x83); bb.write(0x40 + a) }
+        j += 1
+      }
+      bb.write("</b></body></html>".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII))
+      val ct = if (mode == 0) "text/html; charset=iso-8859-1"
+        else "text/html"
+      val http = HttpKernel.encode(200, ct, bb.toByteArray,
+        chunked = i % 3 == 1, gzipBody = i % 3 == 2)
+      w("WARC/1.0\r\n")
+      w("WARC-Type: response\r\n")
+      w(s"WARC-Target-URI: http://web-${s % 5}.example/p$i\r\n")
+      w("WARC-Date: 2024-03-01T00:00:00Z\r\n")
+      w(s"Content-Length: ${http.length}\r\n")
+      w("\r\n")
+      out.write(http, 0, http.length)
+      w("\r\n\r\n")
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): WarcHtmlEncode =
+    WarcHtmlEncode(newChildren(0), newChildren(1))
+
+  override def prettyName: String = "warc_html_encode"
+}
+
+object WarcHtmlEncode {
+  def apply(seed: Column, nRecords: Column): Column = {
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    b.column(WarcHtmlEncode(b.expression(seed), b.expression(nRecords)))
+  }
+}

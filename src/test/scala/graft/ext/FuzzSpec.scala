@@ -144,7 +144,14 @@ class FuzzSpec extends AnyFunSuite {
       IcoKernel.encode(9, 7, (x, y) => (x * 3 + y * 5) % 256,
         pngEntry = true),
       IcoKernel.encode(8, 6, (x, y) => (x + y * 9) % 256,
-        pngEntry = false))
+        pngEntry = false)) ++ {
+      // the WARC-of-HTML fixture (an Expression): evaluate once with
+      // literal children — its mutated bytes stress WARC+HTTP+charset
+      val e = WarcHtmlEncode(
+        org.apache.spark.sql.catalyst.expressions.Literal(3L),
+        org.apache.spark.sql.catalyst.expressions.Literal(4L))
+      Seq(e.eval(null).asInstanceOf[Array[Byte]])
+    }
     for (f <- fixtures) {
       throwNothing(f) // the pristine fixture first
       for (_ <- 0 until 120) {
