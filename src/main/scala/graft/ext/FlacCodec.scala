@@ -327,6 +327,10 @@ private[ext] object FlacKernel {
         a
       } else if ((typ & 0x38) == 0x08 && (typ & 0x07) <= 4) { // FIXED
         val order = typ & 0x07
+        // mirror the LPC guard: a crafted frame with blockSize < order
+        // (e.g. bsCode 6 / blockSize 1, FIXED order 2) would write
+        // warmup samples past the n-length array
+        if (order > n) return null
         val a = new Array[Int](n)
         var i = 0
         while (i < order) { a(i) = br.readSigned(eff); i += 1 }

@@ -629,15 +629,22 @@ private[ext] object WebpKernel {
     if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
       bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
       bytes(10) == 'B' && bytes(11) == 'P')) return null
-    var pos = 12
+    // The chunk walk is done in Long: a declared size near 0x7FFFFFFF
+    // would pass an Int `size < 0` guard and wrap `pos + 8 + size`
+    // negative, sending `new String(bytes, pos, 4)` out of bounds on
+    // crafted/corrupt input. Long arithmetic cannot wrap here.
+    var pos = 12L
     while (pos + 8 <= bytes.length) {
-      val four = new String(bytes, pos, 4,
+      val p = pos.toInt
+      val four = new String(bytes, p, 4,
         java.nio.charset.StandardCharsets.US_ASCII)
-      val size = ((bytes(pos + 4) & 0xFF)) | ((bytes(pos + 5) & 0xFF) << 8) |
-        ((bytes(pos + 6) & 0xFF) << 16) | ((bytes(pos + 7) & 0xFF) << 24)
-      if (size < 0 || pos + 8 + size > bytes.length) return null
+      val size = ((bytes(p + 4) & 0xFF).toLong) |
+        ((bytes(p + 5) & 0xFF).toLong << 8) |
+        ((bytes(p + 6) & 0xFF).toLong << 16) |
+        ((bytes(p + 7) & 0xFF).toLong << 24)
+      if (pos + 8 + size > bytes.length) return null
       if (four == "VP8L") {
-        val r = decodeVp8l(bytes, pos + 8, pos + 8 + size)
+        val r = decodeVp8l(bytes, p + 8, (pos + 8 + size).toInt)
         if (r == null) return null
         val (w, h, px) = r
         val luma = new Array[Int](px.length)

@@ -61,16 +61,21 @@ object QualityGate {
       modelDir: String, wh: Warehouse, fact: String, checkpointDir: String,
       minScore: Double): StreamingQuery = {
     val spark = stream.sparkSession
-    // materialize the frozen counts ONCE per stream (eager local
-    // checkpoint): loadModel's DataFrames are lazy plans, so without
-    // this every trigger re-reads the model parquet and re-plans the
-    // scan — the r13 bench watch item. The stream scores against the
-    // in-memory tables for its whole life; the model never changes.
+    // materialize the frozen counts ONCE per stream: loadModel's
+    // DataFrames are lazy plans, so without this every trigger
+    // re-reads the model parquet and re-plans the scan — the r13
+    // bench watch item. persist() (NOT localCheckpoint) is the
+    // cluster-safe form: it caches the blocks but KEEPS lineage, so
+    // losing an executor mid-stream recomputes from the parquet
+    // instead of failing the whole StreamingQuery with
+    // missing-checkpoint-block errors. An eager count() forces the
+    // one materialization pass up front.
+    def pin(df: DataFrame): DataFrame = { df.persist(); df.count(); df }
     val lazyModel = loadModel(spark, modelDir)
     val model = lazyModel.copy(
-      uni = lazyModel.uni.localCheckpoint(true),
-      bi = lazyModel.bi.localCheckpoint(true),
-      tri = lazyModel.tri.localCheckpoint(true))
+      uni = pin(lazyModel.uni),
+      bi = pin(lazyModel.bi),
+      tri = pin(lazyModel.tri))
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

@@ -114,6 +114,42 @@ class FlacSpec extends SparkTestBase {
       FlacKernel.decodePcm(java.util.Arrays.copyOf(good, cut))
   }
 
+  test("FIXED subframe with order > blockSize nulls instead of " +
+      "writing warmup past the array (r14 ADVICE)") {
+    // STREAMINFO as in the hand-built frame test
+    val bw = new FlacKernel.BitWriter()
+    bw.writeBits(4, 16); bw.writeBits(4, 16)
+    bw.writeBits(0, 24); bw.writeBits(0, 24)
+    bw.writeBits(8000, 20); bw.writeBits(0, 3); bw.writeBits(15, 5)
+    bw.writeBits(1L, 36)
+    for (_ <- 0 until 16) bw.writeBits(0, 8)
+    val si = bw.toBytes
+    // frame header: bsCode 6 (8-bit blocksize-1 from end of header)
+    // with value 0 -> blockSize 1; subframe FIXED order 2. Valid
+    // CRC-8 so the guard, not the checksum, must do the rejecting.
+    val fw = new FlacKernel.BitWriter()
+    fw.writeBits(0x3FFE, 14); fw.writeBits(0, 2)
+    fw.writeBits(6, 4) // blocksize: 8-bit at end of header
+    fw.writeBits(0, 4); fw.writeBits(0, 4) // sr from SI, mono
+    fw.writeBits(4, 3); fw.writeBits(0, 1) // 16-bit, reserved
+    fw.writeBits(0, 8) // frame number 0
+    fw.writeBits(0, 8) // blocksize - 1 = 0
+    val head = fw.snapshot
+    fw.writeBits(FlacKernel.crc8(head, 0, head.length), 8)
+    fw.writeBits(0, 1); fw.writeBits(8 | 2, 6); fw.writeBits(0, 1)
+    fw.writeBits(100, 16); fw.writeBits(101, 16) // would-be warmups
+    fw.alignZero()
+    val body = fw.toBytes
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes)
+    out.write(0x80); out.write(0); out.write(0); out.write(si.length)
+    out.write(si)
+    out.write(body)
+    val c16 = FlacKernel.crc16(body, 0, body.length)
+    out.write((c16 >> 8) & 0xFF); out.write(c16 & 0xFF)
+    assert(FlacKernel.decodePcm(out.toByteArray) == null)
+  }
+
   test("cross-container identity: FlacPcmStats(FlacEncode) equals " +
       "WavPcmStats(PcmWavEncode) row for row — one audio stat space") {
     import spark.implicits._

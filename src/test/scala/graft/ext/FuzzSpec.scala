@@ -48,6 +48,15 @@ class FuzzSpec extends AnyFunSuite {
     IcoKernel.decodeGray(b)
     CharsetKernel.decodeAuto("text/html", b)
     CharsetKernel.metaCharset(b)
+    // r14 verdict: the battery's "every kernel entry point" contract
+    // was two short — PngTextKernel walks attacker-controlled chunk
+    // lengths AND inflates zTXt/iTXt payloads; TextKernel rides every
+    // shingle expression (arbitrary bytes as (replaced) UTF-8).
+    PngTextKernel.entries(b)
+    val u = org.apache.spark.unsafe.types.UTF8String.fromBytes(
+      if (b == null) Array.empty[Byte] else b)
+    TextKernel.tokens(u)
+    TextKernel.grams(u, 3)
   }
 
   test("pure random bytes never throw in any kernel") {
@@ -144,7 +153,17 @@ class FuzzSpec extends AnyFunSuite {
       IcoKernel.encode(9, 7, (x, y) => (x * 3 + y * 5) % 256,
         pngEntry = true),
       IcoKernel.encode(8, 6, (x, y) => (x + y * 9) % 256,
-        pngEntry = false)) ++ {
+        pngEntry = false),
+      // text-chunked PNG: flips land in tEXt keywords, zTXt deflate
+      // payloads, and chunk CRCs — the PngTextKernel attack surface
+      PngTextKernel.withText(
+        PngKernel.encodeGray(7, 5, (x, y) => (x * 9 + y) % 256, _ => 0),
+        Seq(
+          PngTextKernel.chunk("tEXt", "Author", "fuzz target",
+            deflate = false),
+          PngTextKernel.chunk("zTXt", "Description",
+            "a deflated note long enough to matter", deflate = true)))
+    ) ++ {
       // the WARC-of-HTML fixture (an Expression): evaluate once with
       // literal children — its mutated bytes stress WARC+HTTP+charset
       val e = WarcHtmlEncode(

@@ -263,6 +263,24 @@ class WebpSpec extends SparkTestBase {
       WebpKernel.decodeGray(java.util.Arrays.copyOf(good, cut))
   }
 
+  test("RIFF chunk walk is overflow-proof: a declared size near " +
+      "0x7FFFFFFF nulls instead of wrapping the cursor (r14 ADVICE)") {
+    // pos(12) + 8 + 0x7FFFFFEC wraps negative in Int arithmetic,
+    // which would pass the bounds check and send the fourcc read out
+    // of bounds; the Long walk must reject it.
+    val b = new java.io.ByteArrayOutputStream()
+    b.write("RIFF".getBytes); b.write(Array[Byte](0x20, 0, 0, 0))
+    b.write("WEBP".getBytes)
+    b.write("JUNK".getBytes)
+    b.write(Array[Byte](0xEC.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F))
+    b.write(new Array[Byte](16)) // some trailing bytes to walk over
+    assert(WebpKernel.decodeGray(b.toByteArray) == null)
+    // and the unsigned-size form (high bit set, Int-negative)
+    val c = b.toByteArray
+    c(23) = 0xFF.toByte // size 0xFFFFFFEC
+    assert(WebpKernel.decodeGray(c) == null)
+  }
+
   test("the DF verb: GrayWebpEncode fixture -> WebpGrayStats equals " +
       "the PNG fixture's stats pixel-for-pixel (shared contract)") {
     import spark.implicits._
