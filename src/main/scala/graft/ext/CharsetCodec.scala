@@ -386,13 +386,19 @@ object WarcCharsetEncode {
   *   nat   = 4 native chars, a(j) = (s·3 + i·11 + j) mod 8:
   *           mode 0 bytes 0xC0+a ↦ U+00C0+a; mode 1 SJIS 0x83,0x40+a
   *           ↦ U+30A1+a
+  *   ent   = the r15 entity segment, ASCII in every charset:
+  *           `&#{200+a5};&#x{hex(12449+a6)}; &copy;&hellip;
+  *           &amp;#65; &#1114112;&#150;` with a5/a6 = a(5)/a(6) —
+  *           decoding to chr(200+a5), chr(12449+a6), " ©… ", the
+  *           LITERAL "&#65;" (double-encoding order), " ", U+FFFD
+  *           (out-of-range ref, WHATWG) and U+2013 (C1 remap)
   *   page  = <html><head>[meta]<title>T</title></head><body>
-  *           <p>words</p><!-- zap --><b>nat</b></body></html>
-  * so htmlStrip's clean text is EXACTLY "T w.. w.. NNNN" (single
-  * spaces, tags→space, comment dropped, entities none) and its
-  * (n_chars, cp_sum) replay arithmetically: n = 3k + 6,
-  * cp = 84 + 32k + 32 + Σ(167 + d(j)) + Σ nat_cp. Wire forms cycle
-  * i mod 3 (identity / chunked / gzip) like every WARC fixture. */
+  *           <p>words</p><!-- zap --><b>nat</b><i>ent</i></body></html>
+  * so htmlStrip's clean text is EXACTLY
+  * "T w.. w.. NNNN XY ©… &#65; �–" (single spaces, tags→space,
+  * comment dropped) and n_chars = 3k + 21 replays arithmetically.
+  * Wire forms cycle i mod 3 (identity / chunked / gzip) like every
+  * WARC fixture. */
 case class WarcHtmlEncode(seed: Expression, nRecords: Expression)
     extends Expression with CodegenFallback {
 
@@ -434,7 +440,11 @@ case class WarcHtmlEncode(seed: Expression, nRecords: Expression)
         else { bb.write(0x83); bb.write(0x40 + a) }
         j += 1
       }
-      bb.write("</b></body></html>".getBytes(
+      val a5 = ((s * 3 + i * 11 + 5) % 8).toInt
+      val a6 = ((s * 3 + i * 11 + 6) % 8).toInt
+      bb.write(("</b><i>&#" + (200 + a5) + ";&#x" +
+        "%X".format(12449 + a6) + "; &copy;&hellip; &amp;#65; " +
+        "&#1114112;&#150;</i></body></html>").getBytes(
         java.nio.charset.StandardCharsets.US_ASCII))
       val ct = if (mode == 0) "text/html; charset=iso-8859-1"
         else "text/html"

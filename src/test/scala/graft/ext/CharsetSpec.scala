@@ -70,6 +70,28 @@ class CharsetSpec extends SparkTestBase {
       Array(0xFF.toByte, 0xFE.toByte, 'a', 0)) == (("UTF-16LE", "a")))
   }
 
+  test("bare utf-16 label without a BOM resolves to UTF-16LE per " +
+      "WHATWG (r14 verdict #9) — deterministic, not a guess") {
+    // the WHATWG encoding table maps the bare label to UTF-16LE
+    assert(CharsetKernel.normalizeLabel("utf-16") == "UTF-16LE")
+    assert(CharsetKernel.normalizeLabel("UTF-16") == "UTF-16LE")
+    // BOM-less UTF-16BE bytes DECLARED as bare utf-16: WHATWG says
+    // decode as LE — the byte-swapped code points are the mandated
+    // outcome (garbling is the page author's bug, not a decode guess)
+    val be = Array[Byte](0, 'a', 0, 'b') // "ab" in UTF-16BE, no BOM
+    assert(CharsetKernel.resolve("text/html; charset=utf-16", be)
+      == ("UTF-16LE", 0))
+    assert(CharsetKernel.decodeAuto("text/html; charset=utf-16", be)
+      == (("UTF-16LE", "愀戀")))
+    // the same bytes WITH a BE BOM: the BOM wins over the LE label
+    val beBom = Array(0xFE.toByte, 0xFF.toByte) ++ be
+    assert(CharsetKernel.decodeAuto("text/html; charset=utf-16", beBom)
+      == (("UTF-16BE", "ab")))
+    // an ODD byte count under a 16-bit charset is malformed: null out
+    assert(CharsetKernel.decode(Array[Byte](0, 'a', 0), 0,
+      "UTF-16LE") == null)
+  }
+
   test("label normalization is WHATWG-style; unknown labels null") {
     assert(CharsetKernel.normalizeLabel("ISO-8859-1") == "windows-1252")
     assert(CharsetKernel.normalizeLabel("Latin1") == "windows-1252")

@@ -37,6 +37,51 @@ class WebTextSpec extends SparkTestBase {
     assert(strip("&amp;lt;") == "&lt;")
   }
 
+  test("htmlStrip decodes numeric character references, decimal and " +
+      "hex, case-insensitive x and digits (r14 verdict #3)") {
+    assert(strip("caf&#233;") == "café")
+    assert(strip("caf&#xE9;") == "café")
+    assert(strip("caf&#Xe9;") == "café")
+    assert(strip("&#19990;&#x754C;") == "世界")
+    // astral plane rides surrogate pairs out
+    assert(strip("&#x1F600;") == new String(Character.toChars(0x1F600)))
+  }
+
+  test("htmlStrip numeric refs: WHATWG end state — out-of-range and " +
+      "surrogates to U+FFFD, C1 block through the cp1252 remap") {
+    assert(strip("a&#1114112;b") == "a�b") // 0x110000 > max
+    assert(strip("a&#x110000;b") == "a�b")
+    assert(strip("a&#0;b") == "a�b")
+    assert(strip("a&#xD800;b") == "a�b") // surrogate
+    assert(strip("a&#999999999999999999999;b") == "a�b") // saturates
+    assert(strip("n&#150;dash") == "n–dash") // C1 remap: en dash
+    assert(strip("e&#133;") == "e…") // … via cp1252
+    assert(strip("h&#129;x") == "h\u0081x") // cp1252 hole: pass through
+    assert(strip("sp&#160;sp") == "sp sp") // NBSP lands as plain space
+  }
+
+  test("htmlStrip double-encoding order: &amp;#39; stays the literal " +
+      "&#39;; malformed refs ship literally, never guessed") {
+    assert(strip("&amp;#39;") == "&#39;")
+    assert(strip("&amp;#x41;") == "&#x41;")
+    assert(strip("&amp;copy;") == "&copy;")
+    assert(strip("&#;x") == "&#;x") // no digits: literal
+    assert(strip("&#x;x") == "&#x;x")
+    assert(strip("&#12 34") == "&#12 34") // unterminated: literal
+    assert(strip("&bogusname;") == "&bogusname;") // unknown name
+    assert(strip("a & b") == "a & b") // bare ampersand
+    assert(strip("tail&") == "tail&")
+    assert(strip("tail&#") == "tail&#")
+  }
+
+  test("htmlStrip decodes the common named set beyond the six") {
+    assert(strip("&copy;&reg;&trade;") == "©®™")
+    assert(strip("a&hellip;b&mdash;c&ndash;d") == "a…b—c–d")
+    assert(strip("&lsquo;q&rsquo; &ldquo;r&rdquo;") ==
+      "‘q’ “r”")
+    assert(strip("x&middot;y &deg;C") == "x·y °C")
+  }
+
   test("htmlStrip collapses whitespace and is null/empty safe") {
     assert(strip("<div>\n  a  \n\t b \n</div>") == "a b")
     assert(strip("") == "")
