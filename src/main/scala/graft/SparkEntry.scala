@@ -3900,11 +3900,12 @@ object SparkEntry {
         .withColumn("n_chars", length(col("clean")).cast("long"))
         .orderBy(col("media_id"), col("rec_idx"))
     }),
-    // PDF text layer: real multi-page PDFs (valid xref), alternating
-    // FlateDecode/raw content streams, text shown through Tj / ' / TJ
-    // with escaped parens and hex strings — the engine must walk
-    // objects, inflate, and run the show-operator token walk to land
-    // on the planted code-point sums; doc 0's broken magic -> ok=false
+    // PDF text layer: real multi-page PDFs (valid xref), content
+    // streams cycling p mod 4 = Flate / raw / LZW / ASCII85-of-Flate
+    // (r15: all four filter decoders must work for the sums to land,
+    // and n_skipped_streams = 0 pins that none was skipped), text
+    // shown through Tj / ' / TJ with escaped parens and hex strings;
+    // doc 0's broken magic -> ok=false
     "x_pdf_text" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
       val media = graft.ext.Multimodal.syntheticPdfCorpus(docs, "doc_id",
@@ -3915,6 +3916,24 @@ object SparkEntry {
           .otherwise(col("content")))
       graft.ext.Multimodal.pdfText(dirty)
         .drop("text")
+        .orderBy(col("media_id"))
+    }),
+    // PDF Type0/CID text (r15 verdict #1): every content stream shows
+    // 2-byte CIDs under an Identity-H font whose Flate'd ToUnicode
+    // CMap (bfchar + bfrange, incl. a surrogate-pair range) is the
+    // ONLY route to text — the engine must index objects, bind the
+    // resource font, decode the CMap and run CID chunks through it;
+    // the oracle replays the clean text as EXACT strings (kana +
+    // emoji), and the unmapped CID 0x0FFF must drop without a trace
+    "x_pdf_text_cid" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = graft.ext.Multimodal.syntheticPdfCidCorpus(docs,
+        "doc_id", col("doc_id") % 17, lit(1) + col("doc_id") % 4)
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00000000', substring(content, 5))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.pdfText(dirty)
         .orderBy(col("media_id"))
     }),
     // MP3 leg: ID3v2 tag block + MPEG1-L3 frame-header walk — frame
@@ -3930,6 +3949,51 @@ object SparkEntry {
           expr("concat(X'000000', substring(content, 4))"))
           .otherwise(col("content")))
       graft.ext.Multimodal.mp3Meta(dirty).orderBy(col("media_id"))
+    }),
+    // AVIF/HEIC metadata (r15 verdict #5): real ISO-BMFF item files —
+    // the engine must walk meta(fullbox)/iprp/ipco and read the ispe
+    // dims + iinf item count (both iinf version forms cycle by seed)
+    // with ZERO AV1/HEVC decode; doc 0's broken magic -> ok=false
+    "x_mm_avif_meta" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = docs.select(col("doc_id").cast("long").as("media_id"),
+        graft.ext.BmffMetaEncode((col("doc_id") % 19).cast("long"),
+          (col("doc_id") % 2).cast("long")).as("content"))
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00000000', substring(content, 5))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.bmffImageMeta(dirty).orderBy(col("media_id"))
+    }),
+    // WebM/Matroska EBML walk (r15 verdict #6): real files with a full
+    // EBML header, Info, Tracks (video + audio, a third track every
+    // 3rd doc) and an opaque Cluster the walk must skip by size; the
+    // oracle replays doctype/duration/track spine arithmetically
+    "x_mm_webm" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = docs.select(col("doc_id").cast("long").as("media_id"),
+        graft.ext.MkvEncode((col("doc_id") % 23).cast("long"))
+          .as("content"))
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00000000', substring(content, 5))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.mkvMeta(dirty).orderBy(col("media_id"))
+    }),
+    // Ogg page walk (r15 verdict #7): every page CRC-verified (the Ogg
+    // polynomial, computed with the CRC field zeroed), packets counted
+    // by lacing closure, and the Vorbis/Opus ident header probed for
+    // rate/channels without decoding one sample
+    "x_mm_ogg" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = docs.select(col("doc_id").cast("long").as("media_id"),
+        graft.ext.OggEncode((col("doc_id") % 31).cast("long"),
+          (lit(1L) + col("doc_id") % 5).cast("long")).as("content"))
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00000000', substring(content, 5))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.oggMeta(dirty).orderBy(col("media_id"))
     }),
     // ORIENTATION-normalized hashing: every row stores its pixels
     // camera-rotated (1/3/6/8 by row) with a real EXIF tag; the engine
@@ -3960,40 +4024,45 @@ object SparkEntry {
       val docs = Tables.load(s, d, "documents")
       val seed = col("doc_id") % 7
       val content =
-        when(col("doc_id") % 14 === 0,
+        when(col("doc_id") % 16 === 0,
           graft.ext.GrayPngEncode(seed, lit(9L), lit(8L), lit(11L),
             lit(5L), lit(2L)))
-        .when(col("doc_id") % 14 === 1,
+        .when(col("doc_id") % 16 === 1,
           graft.ext.BlockJpegEncode(seed, lit(2L), lit(2L)))
-        .when(col("doc_id") % 14 === 2,
+        .when(col("doc_id") % 16 === 2,
           graft.ext.GrayGifEncode(seed, lit(9L), lit(8L), lit(11L),
             lit(5L), lit(2L)))
-        .when(col("doc_id") % 14 === 3,
+        .when(col("doc_id") % 16 === 3,
           graft.ext.GrayBmpEncode(seed, lit(9L), lit(8L), lit(11L),
             lit(5L), lit(2L)))
-        .when(col("doc_id") % 14 === 4,
+        .when(col("doc_id") % 16 === 4,
           graft.ext.GrayTiffEncode(seed, lit(9L), lit(8L), lit(11L),
             lit(5L), lit(2L)))
-        .when(col("doc_id") % 14 === 5,
+        .when(col("doc_id") % 16 === 5,
           graft.ext.PcmWavEncode(seed, lit(80L), lit(8000L)))
-        .when(col("doc_id") % 14 === 6,
+        .when(col("doc_id") % 16 === 6,
           graft.ext.Mp4SamplesEncode(seed, lit(4L)))
-        .when(col("doc_id") % 14 === 7,
+        .when(col("doc_id") % 16 === 7,
           graft.ext.AviMjpegEncode(seed, lit(1L), lit(1L), lit(1L)))
         // detection-only container kinds (no decode leg): minimal
         // magic-byte blobs — the census must still tag them correctly
-        .when(col("doc_id") % 14 === 8, // REAL decodable VP8L (r14)
+        .when(col("doc_id") % 16 === 8, // REAL decodable VP8L (r14)
           graft.ext.GrayWebpEncode(seed, lit(9L), lit(8L), lit(11L),
             lit(5L), lit(2L)))
-        .when(col("doc_id") % 14 === 9, // REAL decodable ICO (r14)
+        .when(col("doc_id") % 16 === 9, // REAL decodable ICO (r14)
           graft.ext.GrayIcoEncode(seed, lit(9L), lit(8L), lit(11L),
             lit(5L), lit(2L), lit(true)))
-        .when(col("doc_id") % 14 === 10,
+        .when(col("doc_id") % 16 === 10,
           expr("CAST('%PDF-1.4 minimal' AS BINARY)"))
-        .when(col("doc_id") % 14 === 11,
-          expr("X'0000001C667479706176696600000000'")) // ftyp avif
-        .when(col("doc_id") % 14 === 12,
-          expr("X'1A45DFA3000000000000000000000000'")) // EBML (webm)
+        // r15: avif/heic/webm/ogg rows are now REAL walkable files
+        .when(col("doc_id") % 16 === 11,
+          graft.ext.BmffMetaEncode(seed, lit(0L)))
+        .when(col("doc_id") % 16 === 12,
+          graft.ext.MkvEncode(seed))
+        .when(col("doc_id") % 16 === 13,
+          graft.ext.OggEncode(seed, lit(2L)))
+        .when(col("doc_id") % 16 === 14,
+          graft.ext.BmffMetaEncode(seed, lit(1L)))
         .otherwise(expr("CAST('plain text, not media' AS BINARY)"))
       graft.ext.Multimodal.mediaTriage(
           docs.select(col("doc_id").cast("long").as("media_id"),
@@ -7698,12 +7767,19 @@ object SparkEntry {
       "for j in range(0, k)], ' ') AS words, " +
       "array_to_string([chr(CAST(CASE WHEN mode = 0 THEN 192 " +
       "ELSE 12449 END + (s*3 + i*11 + j) % 8 AS INT)) " +
-      "for j in range(0, 4)], '') AS nat FROM z) " +
+      "for j in range(0, 4)], '') AS nat, " +
+      // the r15 entity segment: decimal ref, hex ref, two named,
+      // the double-encoded literal, the out-of-range FFFD, the C1
+      // remap en dash — all ASCII on the wire, decoded by htmlStrip
+      "chr(CAST(200 + (s*3 + i*11 + 5) % 8 AS INT)) || " +
+      "chr(CAST(12449 + (s*3 + i*11 + 6) % 8 AS INT)) || " +
+      "' ' || chr(169) || chr(8230) || ' &#65; ' || " +
+      "chr(65533) || chr(8211) AS ent FROM z) " +
       "SELECT doc_id AS media_id, CAST(i AS BIGINT) AS rec_idx, " +
       "CASE WHEN mode = 0 THEN 'windows-1252' ELSE 'windows-31j' END " +
       "AS charset, " +
-      "'T ' || words || ' ' || nat AS clean, " +
-      "CAST(3*k + 6 AS BIGINT) AS n_chars " +
+      "'T ' || words || ' ' || nat || ' ' || ent AS clean, " +
+      "CAST(3*k + 21 AS BIGINT) AS n_chars " +
       "FROM c ORDER BY media_id, rec_idx"),
     // PDF replay: the per-page show-text contract only — the xref, the
     // Flate wrapper, the escape forms and the hex framing are
@@ -7731,6 +7807,42 @@ object SparkEntry {
       "CASE WHEN doc_id <> 0 THEN n_chars END AS n_chars, " +
       "CASE WHEN doc_id <> 0 THEN cp_sum END AS cp_sum " +
       "FROM t ORDER BY media_id"),
+    // CID replay: the oracle rebuilds the clean text as EXACT strings
+    // (latin word, two kana, two emoji per page — the surrogate-pair
+    // bfrange landing as real astral code points) straight from the
+    // documented per-page contract; the unmapped CID contributes
+    // NOTHING, so any guessed glyph breaks the string match
+    "x_pdf_text_cid" -> ("WITH d AS (SELECT doc_id, doc_id % 17 AS s, " +
+      "1 + doc_id % 4 AS np FROM documents), " +
+      "pg AS (SELECT doc_id, s, np, unnest(range(0, np)) AS p FROM d), " +
+      "w AS (SELECT doc_id, s, np, p, 3 + (s + p) % 4 AS k, " +
+      "(s + 3*p) % 8 AS a, (s + 3*p + 5) % 8 AS b FROM pg), " +
+      "pt AS (SELECT doc_id, np, p, k + 6 AS pchars, " +
+      "CAST(list_sum([97 + (s*7 + p*5 + j*3) % 10 " +
+      "for j in range(0, k)]) AS BIGINT) " +
+      "+ 64 + 12450 + a + 12450 + b + 257024 + p % 4 AS psum, " +
+      "array_to_string([chr(CAST(97 + (s*7 + p*5 + j*3) % 10 AS INT)) " +
+      "for j in range(0, k)], '') || ' ' || " +
+      "chr(CAST(12450 + a AS INT)) || ' ' || " +
+      "chr(CAST(12450 + b AS INT)) || chr(128512) || " +
+      "chr(CAST(128512 + p % 4 AS INT)) AS ptext FROM w), " +
+      "t AS (SELECT doc_id, MAX(np) AS np, " +
+      "CAST(SUM(pchars) AS BIGINT) AS n_chars, " +
+      "CAST(SUM(psum) AS BIGINT) AS cp_sum, " +
+      "string_agg(ptext, '' ORDER BY p) AS text FROM pt " +
+      "GROUP BY doc_id) " +
+      "SELECT doc_id AS media_id, doc_id <> 0 AS ok, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(np AS BIGINT) END AS n_pages, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(np + 1 AS BIGINT) END " +
+      "AS n_streams, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(np AS BIGINT) END " +
+      "AS n_text_streams, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(0 AS BIGINT) END " +
+      "AS n_skipped_streams, " +
+      "CASE WHEN doc_id <> 0 THEN n_chars END AS n_chars, " +
+      "CASE WHEN doc_id <> 0 THEN cp_sum END AS cp_sum, " +
+      "CASE WHEN doc_id <> 0 THEN text END AS text " +
+      "FROM t ORDER BY media_id"),
     // MP3 replay: per-frame sizes from the bitrate/samplerate tables
     // (144·br/sr + pad, integer division), duration as frames·1152,
     // tags from the planted formula — the engine must walk real
@@ -7755,6 +7867,71 @@ object SparkEntry {
       "CASE WHEN d.doc_id <> 0 THEN 'ARTIST-' || CAST(seed % 11 AS VARCHAR) END AS artist, " +
       "CASE WHEN d.doc_id <> 0 THEN 'ALBUM-' || CAST(seed % 7 AS VARCHAR) END AS album " +
       "FROM d JOIN sz USING (doc_id) ORDER BY media_id"),
+    // AVIF/HEIC replay: pure arithmetic from the planted contract —
+    // the engine earns it only by walking real fullbox offsets
+    "x_mm_avif_meta" -> ("SELECT doc_id AS media_id, " +
+      "doc_id <> 0 AS ok, " +
+      "CASE WHEN doc_id <> 0 THEN CASE WHEN doc_id % 2 = 0 " +
+      "THEN 'avif' ELSE 'heic' END END AS brand, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(1 + (doc_id % 19) % 3 AS BIGINT) " +
+      "END AS n_items, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(1 + (doc_id % 19) % 2 AS BIGINT) " +
+      "END AS n_ispe, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(64 + ((doc_id % 19) * 7) % 101 " +
+      "AS BIGINT) END AS width, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(48 + ((doc_id % 19) * 5) % 67 " +
+      "AS BIGINT) END AS height " +
+      "FROM documents ORDER BY media_id"),
+    // WebM replay: doctype/version/duration and the full track spine
+    // from the planted formulas (duration rides an integer-valued
+    // float64, floored to units on the engine side)
+    "x_mm_webm" -> ("WITH d AS (SELECT doc_id, doc_id % 23 AS s " +
+      "FROM documents) " +
+      "SELECT doc_id AS media_id, doc_id <> 0 AS ok, " +
+      "CASE WHEN doc_id <> 0 THEN CASE WHEN s % 2 = 0 THEN 'webm' " +
+      "ELSE 'matroska' END END AS doctype, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(2 + s % 3 AS BIGINT) END " +
+      "AS doctype_version, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(1000000 AS BIGINT) END " +
+      "AS timestamp_scale, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(1000 + s % 50000 AS BIGINT) END " +
+      "AS duration_units, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(CASE WHEN s % 3 = 0 THEN 3 " +
+      "ELSE 2 END AS BIGINT) END AS n_tracks, " +
+      "CASE WHEN doc_id <> 0 THEN CASE WHEN s % 2 = 0 THEN 'V_VP9' " +
+      "ELSE 'V_VP8' END END AS video_codec, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(320 + (s * 3) % 1280 AS BIGINT) " +
+      "END AS pixel_width, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(240 + (s * 7) % 720 AS BIGINT) " +
+      "END AS pixel_height, " +
+      "CASE WHEN doc_id <> 0 THEN CASE WHEN s % 2 = 0 THEN 'A_OPUS' " +
+      "ELSE 'A_VORBIS' END END AS audio_codec, " +
+      "CASE WHEN doc_id <> 0 THEN CAST([8000,16000,22050,44100,48000]" +
+      "[CAST(s % 5 AS INT) + 1] AS BIGINT) END AS sample_rate, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(1 + s % 2 AS BIGINT) END " +
+      "AS channels " +
+      "FROM d ORDER BY media_id"),
+    // Ogg replay: page/packet counts by the planted lacing closure,
+    // granule and ident-header fields arithmetically — the engine
+    // earns them only if every page CRC verifies
+    "x_mm_ogg" -> ("WITH d AS (SELECT doc_id, doc_id % 31 AS s, " +
+      "1 + doc_id % 5 AS np FROM documents) " +
+      "SELECT doc_id AS media_id, doc_id <> 0 AS ok, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(1 + np AS BIGINT) END " +
+      "AS n_pages, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(1 + list_sum([1 + (s + p) % 3 " +
+      "for p in range(0, np)]) AS BIGINT) END AS n_packets, " +
+      "CASE WHEN doc_id <> 0 THEN CASE WHEN s % 2 = 0 THEN 'vorbis' " +
+      "ELSE 'opus' END END AS codec, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(1 + s % 2 AS BIGINT) END " +
+      "AS channels, " +
+      "CASE WHEN doc_id <> 0 THEN CAST([8000,11025,16000,22050,44100]" +
+      "[CAST(s % 5 AS INT) + 1] AS BIGINT) END AS sample_rate, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(np * 576 AS BIGINT) END " +
+      "AS last_granule, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(1 + s % 100000 AS BIGINT) END " +
+      "AS serial " +
+      "FROM d ORDER BY media_id"),
     // orientation replay: the oracle is the UPRIGHT chain only — any
     // un-normalized rotation would shift width/height and every hash
     "x_mm_orient" -> ("WITH " +
@@ -7788,12 +7965,13 @@ object SparkEntry {
       "FROM documents ORDER BY media_id"),
     // triage replay: kind is a pure function of which fixture the gate
     // planted per row — the engine's sniff must agree on every row
-    "x_mm_triage" -> ("SELECT doc_id AS media_id, CASE doc_id % 14 " +
+    "x_mm_triage" -> ("SELECT doc_id AS media_id, CASE doc_id % 16 " +
       "WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif' " +
       "WHEN 3 THEN 'bmp' WHEN 4 THEN 'tiff' WHEN 5 THEN 'wav' " +
       "WHEN 6 THEN 'mp4' WHEN 7 THEN 'avi' WHEN 8 THEN 'webp' " +
       "WHEN 9 THEN 'ico' WHEN 10 THEN 'pdf' WHEN 11 THEN 'avif' " +
-      "WHEN 12 THEN 'webm' ELSE 'unknown' END AS kind " +
+      "WHEN 12 THEN 'webm' WHEN 13 THEN 'ogg' WHEN 14 THEN 'heic' " +
+      "ELSE 'unknown' END AS kind " +
       "FROM documents ORDER BY media_id"),
     // mixed-container replay: each half rides its own pixel chain (PNG
     // formula for even docs, JPEG block formula for odd), unioned — the

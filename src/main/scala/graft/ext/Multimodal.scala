@@ -1014,11 +1014,66 @@ object Multimodal {
         col("__p.text").as("text"))
 
   /** Real-PDF fixture corpus ([[PdfKernel.encode]]'s documented
-    * per-page contract: alternating Flate/raw content streams). */
+    * per-page contract: content-stream filters cycling p mod 4 =
+    * Flate / raw / LZW / ASCII85-of-Flate). */
   def syntheticPdfCorpus(df: DataFrame, idCol: String, seed: Column,
       nPages: Column): DataFrame =
     df.select(col(idCol).cast("long").as("media_id"),
       PdfEncode(seed.cast("long"), nPages.cast("long")).as("content"))
+
+  /** Type0/Identity-H fixture corpus ([[PdfKernel.encodeCid]]'s
+    * documented per-page contract: 2-byte CIDs through a Flate'd
+    * ToUnicode CMap — the modern Word/LaTeX/browser shape). */
+  def syntheticPdfCidCorpus(df: DataFrame, idCol: String, seed: Column,
+      nPages: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      PdfCidEncode(seed.cast("long"), nPages.cast("long")).as("content"))
+
+  /** AVIF/HEIC metadata census over a binary corpus: brand, item
+    * count and `ispe` dims from the ISO-BMFF meta spine, zero codec
+    * decode (see [[BmffMetaKernel]]). Zero-shuffle scan projection. */
+  def bmffImageMeta(media: DataFrame): DataFrame =
+    media
+      .withColumn("__m", BmffImageMeta(col("content")))
+      .select(col("media_id"), col("__m.ok").as("ok"),
+        col("__m.brand").as("brand"),
+        col("__m.n_items").as("n_items"),
+        col("__m.n_ispe").as("n_ispe"),
+        col("__m.width").as("width"),
+        col("__m.height").as("height"))
+
+  /** WebM/Matroska structural census over a binary corpus: doctype,
+    * duration, track spine (see [[MkvKernel]]). Zero-shuffle. */
+  def mkvMeta(media: DataFrame): DataFrame =
+    media
+      .withColumn("__m", MkvMeta(col("content")))
+      .select(col("media_id"), col("__m.ok").as("ok"),
+        col("__m.doctype").as("doctype"),
+        col("__m.doctype_version").as("doctype_version"),
+        col("__m.timestamp_scale").as("timestamp_scale"),
+        col("__m.duration_units").as("duration_units"),
+        col("__m.n_tracks").as("n_tracks"),
+        col("__m.video_codec").as("video_codec"),
+        col("__m.pixel_width").as("pixel_width"),
+        col("__m.pixel_height").as("pixel_height"),
+        col("__m.audio_codec").as("audio_codec"),
+        col("__m.sample_rate").as("sample_rate"),
+        col("__m.channels").as("channels"))
+
+  /** Ogg page-walk census over a binary corpus: CRC-verified page
+    * structure + ident-header probe (see [[OggKernel]]).
+    * Zero-shuffle. */
+  def oggMeta(media: DataFrame): DataFrame =
+    media
+      .withColumn("__m", OggMeta(col("content")))
+      .select(col("media_id"), col("__m.ok").as("ok"),
+        col("__m.n_pages").as("n_pages"),
+        col("__m.n_packets").as("n_packets"),
+        col("__m.codec").as("codec"),
+        col("__m.channels").as("channels"),
+        col("__m.sample_rate").as("sample_rate"),
+        col("__m.last_granule").as("last_granule"),
+        col("__m.serial").as("serial"))
 
   /** WARC-of-HTTP fixture corpus ([[WarcHttpEncode]]'s documented
     * contract: identity / chunked / gzip wire forms cycling per

@@ -1,0 +1,329 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Ogg container walk — the triage census sniffs "OggS" but, before
+  * r15, learned nothing else. The page grammar (RFC 3533) is exact
+  * integer plumbing with zero DSP: each page is a 27-byte header
+  * (capture pattern, version 0, header-type flags, granule position
+  * le64, serial le32, sequence le32, CRC le32, segment count) + a
+  * lacing table (255 = packet continues, <255 ends it) + payload.
+  *
+  * Every page's CRC is VERIFIED (the Ogg CRC-32: polynomial
+  * 0x04C11DB7, init 0, no reflection, no final xor, computed with the
+  * CRC field zeroed) — a file with any corrupt page nulls, the
+  * verified-or-nothing house contract (same bar as the FLAC frame
+  * walk). Packets are counted by lacing closure across pages
+  * (continued packets join), and the FIRST packet is probed for the
+  * two public identification headers:
+  *   Vorbis: 0x01 "vorbis", channels u8 @11, rate u32le @12
+  *   Opus:   "OpusHead",     channels u8 @9,  rate u32le @12
+  * Neither requires decoding a single audio sample. Unknown first
+  * packets keep codec/rate/channels null (counted structure only).
+  * Dirty bytes → null, never a throw (fuzz battery entry). */
+private[ext] object OggKernel {
+
+  final case class Ogg(nPages: Int, nPackets: Int, codec: String,
+      channels: java.lang.Long, sampleRate: java.lang.Long,
+      lastGranule: Long, serial: Long)
+
+  private final val MaxPages = 100000
+
+  /** Ogg CRC-32 table: poly 0x04C11DB7, MSB-first. */
+  private val CrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i << 24
+      var j = 0
+      while (j < 8) {
+        r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04C11DB7 else r << 1
+        j += 1
+      }
+      t(i) = r
+      i += 1
+    }
+    t
+  }
+
+  private[ext] def crc(b: Array[Byte], off: Int, len: Int,
+      zeroFrom: Int, zeroLen: Int): Int = {
+    var r = 0
+    var i = 0
+    while (i < len) {
+      val v =
+        if (i + off >= zeroFrom && i + off < zeroFrom + zeroLen) 0
+        else b(off + i) & 0xFF
+      r = (r << 8) ^ CrcTable(((r >>> 24) ^ v) & 0xFF)
+      i += 1
+    }
+    r
+  }
+
+  private def le4(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL)) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+
+  private def le8(b: Array[Byte], i: Int): Long =
+    le4(b, i) | (le4(b, i + 4) << 32)
+
+  def parse(b: Array[Byte]): Ogg = {
+    if (b == null || b.length < 28) return null
+    if (!(b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S'))
+      return null
+    var pos = 0
+    var nPages = 0
+    var nPackets = 0
+    var lastGranule = 0L
+    var serial = -1L
+    var firstPacket: Array[Byte] = null
+    val firstBuf = new java.io.ByteArrayOutputStream()
+    var firstOpen = true
+    var packetOpen = false // a packet continues across the page seam
+    while (pos < b.length && nPages < MaxPages) {
+      if (pos + 27 > b.length) return null
+      if (!(b(pos) == 'O' && b(pos + 1) == 'g' && b(pos + 2) == 'g' &&
+        b(pos + 3) == 'S')) return null
+      if (b(pos + 4) != 0) return null // stream structure version
+      val flags = b(pos + 5) & 0xFF
+      val granule = le8(b, pos + 6)
+      val pageSerial = le4(b, pos + 14)
+      val storedCrc = le4(b, pos + 22)
+      val nSegs = b(pos + 26) & 0xFF
+      if (pos + 27 + nSegs > b.length) return null
+      var payloadLen = 0
+      var s = 0
+      while (s < nSegs) { payloadLen += b(pos + 27 + s) & 0xFF; s += 1 }
+      val pageLen = 27 + nSegs + payloadLen
+      if (pos + pageLen > b.length) return null
+      val computed = crc(b, pos, pageLen, pos + 22, 4)
+      if ((computed & 0xFFFFFFFFL) != storedCrc) return null
+      if (serial == -1L) serial = pageSerial
+      // continued-packet flag must agree with the carry state
+      if (nPages > 0 && ((flags & 1) != 0) != packetOpen) return null
+      var dataOff = pos + 27 + nSegs
+      s = 0
+      while (s < nSegs) {
+        val lace = b(pos + 27 + s) & 0xFF
+        if (firstOpen)
+          firstBuf.write(b, dataOff, lace)
+        if (lace < 255) {
+          nPackets += 1
+          packetOpen = false
+          if (firstOpen) { firstPacket = firstBuf.toByteArray; firstOpen = false }
+        } else packetOpen = true
+        dataOff += lace
+        s += 1
+      }
+      lastGranule = granule
+      nPages += 1
+      pos += pageLen
+    }
+    if (nPages == 0) return null
+    var codec: String = null
+    var channels: java.lang.Long = null
+    var rate: java.lang.Long = null
+    val fp = firstPacket
+    if (fp != null && fp.length >= 16) {
+      if (fp(0) == 1 && fp(1) == 'v' && fp(2) == 'o' && fp(3) == 'r' &&
+        fp(4) == 'b' && fp(5) == 'i' && fp(6) == 's') {
+        codec = "vorbis"
+        channels = (fp(11) & 0xFF).toLong
+        rate = le4(fp, 12)
+      } else if (fp(0) == 'O' && fp(1) == 'p' && fp(2) == 'u' &&
+        fp(3) == 's' && fp(4) == 'H' && fp(5) == 'e' && fp(6) == 'a' &&
+        fp(7) == 'd') {
+        codec = "opus"
+        channels = (fp(9) & 0xFF).toLong
+        rate = le4(fp, 12)
+      }
+    }
+    Ogg(nPages, nPackets, codec, channels, rate, lastGranule, serial)
+  }
+}
+
+/** Ogg structure of a binary column: (ok, n_pages, n_packets, codec,
+  * channels, sample_rate, last_granule, serial) — every page
+  * CRC-verified, ident header probed without DSP (see [[OggKernel]]).
+  * ok=false with null fields on dirty bytes or any CRC mismatch. */
+case class OggMeta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("ok", BooleanType, nullable = false),
+    StructField("n_pages", LongType),
+    StructField("n_packets", LongType),
+    StructField("codec", StringType),
+    StructField("channels", LongType),
+    StructField("sample_rate", LongType),
+    StructField("last_granule", LongType),
+    StructField("serial", LongType)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ogg_meta requires binary, got $other")
+  }
+
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val bytes = child.eval(input) match {
+      case null => null
+      case v => v.asInstanceOf[Array[Byte]]
+    }
+    val m = OggKernel.parse(bytes)
+    if (m == null)
+      return InternalRow(false, null, null, null, null, null, null, null)
+    InternalRow(true, m.nPages.toLong, m.nPackets.toLong,
+      if (m.codec == null) null else UTF8String.fromString(m.codec),
+      m.channels, m.sampleRate, m.lastGranule, m.serial)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): OggMeta = copy(child = newChild)
+
+  override def prettyName: String = "ogg_meta"
+}
+
+object OggMeta {
+  def apply(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      OggMeta(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+}
+
+/** Deterministic REAL Ogg fixture (verified CRCs — the encoder runs
+  * the same polynomial the walk checks). Per seed s, nPages body
+  * pages:
+  *   codec     = vorbis (even s) | opus (odd s); the BOS page holds
+  *               the real ident header
+  *   channels  = 1 + s mod 2
+  *   rate      = {8000,11025,16000,22050,44100}[s mod 5]
+  *   serial    = 1 + s mod 100000
+  *   body page p (0-based): 1 + (s+p) mod 3 packets, packet q of
+  *     length 5 + (s*3 + p*7 + q*11) mod 40 bytes, byte j =
+  *     (s*13 + p*31 + q*7 + j) mod 256; granule (p+1)*576; the last
+  *     page carries the EOS flag
+  *   n_pages   = 1 + nPages, n_packets = 1 + Σ_p (1 + (s+p) mod 3) */
+case class OggEncode(seed: Expression, nPages: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(seed, nPages)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ogg_encode requires 2 longs, got ${children.map(_.dataType)}")
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    val Seq(s, n) = vs.map(_.asInstanceOf[Long])
+    if (n < 0 || n > 256) return null
+    OggEncode.encode(s, n.toInt)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): OggEncode =
+    OggEncode(newChildren(0), newChildren(1))
+
+  override def prettyName: String = "ogg_encode"
+}
+
+object OggEncode {
+
+  private val Rates = Array(8000L, 11025L, 16000L, 22050L, 44100L)
+
+  private def page(flags: Int, granule: Long, serial: Long, seq: Long,
+      packets: Array[Array[Byte]]): Array[Byte] = {
+    val lacing = new java.io.ByteArrayOutputStream()
+    val payload = new java.io.ByteArrayOutputStream()
+    for (p <- packets) {
+      var rem = p.length
+      var off = 0
+      // all fixture packets are < 255 bytes, but keep the general form
+      while (rem >= 255) { lacing.write(255); rem -= 255 }
+      lacing.write(rem)
+      payload.write(p, off, p.length - off)
+    }
+    val lb = lacing.toByteArray
+    val pb = payload.toByteArray
+    val out = new Array[Byte](27 + lb.length + pb.length)
+    out(0) = 'O'; out(1) = 'g'; out(2) = 'g'; out(3) = 'S'
+    out(4) = 0
+    out(5) = flags.toByte
+    var i = 0
+    while (i < 8) { out(6 + i) = (granule >>> (8 * i)).toByte; i += 1 }
+    i = 0
+    while (i < 4) { out(14 + i) = (serial >>> (8 * i)).toByte; i += 1 }
+    i = 0
+    while (i < 4) { out(18 + i) = (seq >>> (8 * i)).toByte; i += 1 }
+    // CRC filled below (bytes 22-25 stay zero during the computation)
+    out(26) = lb.length.toByte
+    System.arraycopy(lb, 0, out, 27, lb.length)
+    System.arraycopy(pb, 0, out, 27 + lb.length, pb.length)
+    val c = OggKernel.crc(out, 0, out.length, 22, 4)
+    i = 0
+    while (i < 4) { out(22 + i) = (c >>> (8 * i)).toByte; i += 1 }
+    out
+  }
+
+  def encode(s0: Long, nPages: Int): Array[Byte] = {
+    val s = ((s0 % 1000003) + 1000003) % 1000003
+    val serial = 1 + s % 100000
+    val channels = (1 + s % 2).toInt
+    val rate = Rates((s % 5).toInt)
+    val ident: Array[Byte] =
+      if (s % 2 == 0) {
+        // Vorbis identification header (30 bytes)
+        val b = new Array[Byte](30)
+        b(0) = 1
+        "vorbis".getBytes("US-ASCII").copyToArray(b, 1)
+        // version 0 @7..10
+        b(11) = channels.toByte
+        var i = 0
+        while (i < 4) { b(12 + i) = (rate >>> (8 * i)).toByte; i += 1 }
+        // blocksizes + framing bit: fixed legal values
+        b(28) = 0x66; b(29) = 1
+        b
+      } else {
+        // OpusHead (19 bytes)
+        val b = new Array[Byte](19)
+        "OpusHead".getBytes("US-ASCII").copyToArray(b, 0)
+        b(8) = 1 // version
+        b(9) = channels.toByte
+        b(10) = 0x38; b(11) = 1 // pre-skip 312
+        var i = 0
+        while (i < 4) { b(12 + i) = (rate >>> (8 * i)).toByte; i += 1 }
+        b
+      }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(page(2, 0L, serial, 0L, Array(ident))) // BOS
+    for (p <- 0 until nPages) {
+      val npk = (1 + (s + p) % 3).toInt
+      val packets = Array.tabulate(npk) { q =>
+        val len = (5 + (s * 3 + p * 7 + q * 11) % 40).toInt
+        Array.tabulate[Byte](len)(j =>
+          ((s * 13 + p * 31 + q * 7 + j) % 256).toByte)
+      }
+      val flags = if (p == nPages - 1) 4 else 0
+      out.write(page(flags, (p + 1) * 576L, serial, p + 1L, packets))
+    }
+    out.toByteArray
+  }
+
+  def apply(seed: Column, nPages: Column): Column = {
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    b.column(OggEncode(b.expression(seed), b.expression(nPages)))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Matroska/WebM EBML walk: hand-typed element layout pinned
+  * independently of [[MkvEncode]] (varint forms, unknown-size
+  * Segment), the encoder round trip against its documented contract,
+  * and the hostile contract. */
+class MkvSpec extends SparkTestBase {
+
+  test("hand-typed EBML: 4-byte ID, 1-byte sizes, unknown-size " +
+      "segment extends to EOF, float32 sampling rate") {
+    // EBML header: ID 1A45DFA3, size 7: DocType (4282, size 4) "webm"
+    val header = Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte,
+      0x87.toByte, // size 7 (1-byte varint, marker 0x80)
+      0x42, 0x82.toByte, 0x84.toByte, 'w', 'e', 'b', 'm')
+    // Segment: ID 18538067, UNKNOWN size (01 FF FF FF FF FF FF FF)
+    val segStart = Array[Byte](0x18, 0x53, 0x80.toByte, 0x67,
+      0x01, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte,
+      0xFF.toByte, 0xFF.toByte, 0xFF.toByte)
+    // Tracks > TrackEntry > (TrackType 2, Audio > SamplingFrequency
+    // f32 16000.0, Channels 2)
+    val audio = Array[Byte](0xE1.toByte, 0x89.toByte, // Audio, size 9
+      0xB5.toByte, 0x84.toByte, 0x46, 0x7A, 0x00, 0x00, // f32 16000
+      0x9F.toByte, 0x81.toByte, 2)
+    val entry = Array[Byte](0xAE.toByte, (0x80 + 3 + audio.length).toByte,
+      0x83.toByte, 0x81.toByte, 2) ++ audio
+    val tracks = Array[Byte](0x16, 0x54, 0xAE.toByte, 0x6B,
+      (0x80 + entry.length).toByte) ++ entry
+    val m = MkvKernel.parse(header ++ segStart ++ tracks)
+    assert(m != null)
+    assert(m.docType == "webm" && m.nTracks == 1)
+    assert(m.audioCodec == null) // none written
+    assert(m.sampleRate == 16000L && m.channels == 2L)
+    assert(m.timestampScale == 1000000L) // the spec default applies
+  }
+
+  test("encode -> parse round trip matches the documented contract") {
+    val rates = Array(8000L, 16000L, 22050L, 44100L, 48000L)
+    for (s <- 0L to 24L) {
+      val m = MkvKernel.parse(MkvEncode.encode(s))
+      assert(m != null, s"s=$s")
+      assert(m.docType == (if (s % 2 == 0) "webm" else "matroska"))
+      assert(m.docTypeVersion == 2 + s % 3)
+      assert(m.timestampScale == 1000000L)
+      assert(m.durationUnits == 1000 + s % 50000)
+      assert(m.nTracks == (if (s % 3 == 0) 3 else 2))
+      assert(m.videoCodec == (if (s % 2 == 0) "V_VP9" else "V_VP8"))
+      assert(m.pixelWidth == 320 + (s * 3) % 1280)
+      assert(m.pixelHeight == 240 + (s * 7) % 720)
+      assert(m.audioCodec == (if (s % 2 == 0) "A_OPUS" else "A_VORBIS"))
+      assert(m.sampleRate == rates((s % 5).toInt))
+      assert(m.channels == 1 + s % 2)
+    }
+  }
+
+  test("hostile bytes: junk, oversize element, truncations null — " +
+      "never a throw") {
+    assert(MkvKernel.parse(null) == null)
+    assert(MkvKernel.parse(Array.empty[Byte]) == null)
+    assert(MkvKernel.parse("utterly not matroska data".getBytes) == null)
+    // an element whose declared size escapes the buffer nulls
+    val bad = Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte,
+      0xC0.toByte, 1, 2, 3) // size 64 with 3 bytes present
+    assert(MkvKernel.parse(bad) == null)
+    // a 0x00 lead byte (varint > 8 bytes) nulls
+    val nul = Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte,
+      0x00, 0x01)
+    assert(MkvKernel.parse(nul) == null)
+    val good = MkvEncode.encode(7L)
+    for (cut <- 0 until good.length)
+      MkvKernel.parse(java.util.Arrays.copyOf(good, cut))
+  }
+
+  test("the DF verb: MkvEncode fixture -> MkvMeta, dirty door") {
+    import spark.implicits._
+    val df = spark.range(0, 8).toDF("doc_id")
+      .select(col("doc_id"),
+        MkvEncode(col("doc_id") % 5).as("content"))
+      .withColumn("content",
+        when(col("doc_id") === 0,
+          expr("concat(X'00000000', substring(content, 5))"))
+          .otherwise(col("content")))
+    val rows = df.select(col("doc_id"), MkvMeta(col("content")).as("m"))
+      .select(col("doc_id"), col("m.ok"), col("m.doctype"),
+        col("m.pixel_width"), col("m.sample_rate"))
+      .as[(Long, Boolean, Option[String], Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    assert(!rows(0)._2 && rows(0)._3.isEmpty)
+    val rates = Array(8000L, 16000L, 22050L, 44100L, 48000L)
+    for (r <- rows.drop(1)) {
+      val s = r._1 % 5
+      assert(r._2, s"doc ${r._1}")
+      assert(r._3.contains(if (s % 2 == 0) "webm" else "matroska"))
+      assert(r._4.contains(320 + (s * 3) % 1280))
+      assert(r._5.contains(rates((s % 5).toInt)))
+    }
+  }
+}
