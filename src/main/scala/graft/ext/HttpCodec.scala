@@ -22,10 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * status line, header block, chunk frame, or compressed stream nulls
   * the decode — never a throw, never a silent partial. `deflate` is
   * handled in BOTH its wire forms (RFC zlib-wrapped, and the raw
-  * stream real servers ship under the same token). Unknown
-  * Content-Encodings (br, zstd — codecs this JVM lacks) null out
-  * rather than shipping compressed bytes as if they were text; the
-  * same stance applies to Transfer-Encoding tokens other than
+  * stream real servers ship under the same token); `zstd` (RFC 8878)
+  * decodes via [[ZstdKernel]] since r15 — checksum-verified, no
+  * dictionaries. Unknown Content-Encodings (br) null out rather than
+  * shipping compressed bytes as if they were text; the same stance
+  * applies to Transfer-Encoding tokens other than
   * `chunked`/`identity` (a `Transfer-Encoding: gzip` hop coding we
   * cannot undo must not ship as a verified body).
   *
@@ -41,8 +42,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * in WarcSpec: 100% of br-encoded responses return ok=false/null —
   * those hosts drop out of the text pipeline entirely, which is
   * corpus-bias-honest (no mojibake, no compressed bytes masquerading
-  * as text). zstd (RFC 8878: FSE/Huffman sequences + its own window
-  * protocol) is the same class and shares the stance. */
+  * as text). zstd does NOT share that argument (the r14 verdict's
+  * point, accepted): dictionary-less RFC 8878 is exactly-specified
+  * FSE/Huffman integer plumbing with no static-dictionary payload —
+  * so it is implemented, not scoped out (see [[ZstdKernel]]). */
 private[ext] object HttpKernel {
 
   final case class Resp(status: Int, contentType: String,
@@ -114,6 +117,7 @@ private[ext] object HttpKernel {
     var chunked = false
     var gzipped = false
     var deflated = false
+    var zstded = false
     var identityEnc = true
     var guard = 0
     var done = false
@@ -148,7 +152,8 @@ private[ext] object HttpKernel {
               case "identity" | "" => ()
               case "gzip" | "x-gzip" => gzipped = true
               case "deflate" => deflated = true
-              case _ => identityEnc = false // br/zstd: can't verify
+              case "zstd" => zstded = true
+              case _ => identityEnc = false // br: can't verify
             }
           case _ => ()
         }
@@ -181,6 +186,10 @@ private[ext] object HttpKernel {
         }
         if (d == null) return null
         d
+      } else if (zstded) {
+        val z = ZstdKernel.decode(wire)
+        if (z == null) return null
+        z
       } else wire
     Resp(status, contentType, body)
   }
@@ -205,11 +214,14 @@ private[ext] object HttpKernel {
   }
 
   /** Encode one HTTP/1.1 response wire message (real chunking, real
-    * gzip via the JDK's writer — our decoder must undo both). */
+    * gzip via the JDK's writer, real zstd raw-block frames with an
+    * XXH64 checksum — our decoder must undo all three). */
   def encode(status: Int, contentType: String, body: Array[Byte],
-      chunked: Boolean, gzipBody: Boolean, chunkSize: Int = 7): Array[Byte] = {
+      chunked: Boolean, gzipBody: Boolean, chunkSize: Int = 7,
+      zstdBody: Boolean = false): Array[Byte] = {
     val wire0: Array[Byte] =
-      if (!gzipBody) body
+      if (zstdBody) ZstdKernel.encodeRaw(body)
+      else if (!gzipBody) body
       else {
         val bos = new java.io.ByteArrayOutputStream()
         val g = new java.util.zip.GZIPOutputStream(bos)
@@ -222,7 +234,8 @@ private[ext] object HttpKernel {
         s.length)
     w(s"HTTP/1.1 $status OK\r\n")
     w(s"Content-Type: $contentType\r\n")
-    if (gzipBody) w("Content-Encoding: gzip\r\n")
+    if (zstdBody) w("Content-Encoding: zstd\r\n")
+    else if (gzipBody) w("Content-Encoding: gzip\r\n")
     if (chunked) w("Transfer-Encoding: chunked\r\n")
     else w(s"Content-Length: ${wire0.length}\r\n")
     w("\r\n")
@@ -302,10 +315,12 @@ object HttpResponseDecode {
   * documented contract —
   *   len(i)     = 20 + (seed + i·5) mod 60
   *   body(i,j)  = (seed·13 + i·19 + j·7) mod 256
-  *   wire form  = i mod 3: 0 identity, 1 chunked (7-byte chunks),
-  *                2 gzip (Content-Encoding + Content-Length)
+  *   wire form  = i mod 4: 0 identity, 1 chunked (7-byte chunks),
+  *                2 gzip (Content-Encoding + Content-Length),
+  *                3 zstd (r15: checksummed raw-block frame)
   * so an oracle replays (status, length, first byte, byte sum) while
-  * the engine must walk WARC, parse HTTP, de-chunk and gunzip. */
+  * the engine must walk WARC, parse HTTP, de-chunk, gunzip and
+  * un-zstd — every wire form invisible to the oracle. */
 case class WarcHttpEncode(seed: Expression, nRecords: Expression)
     extends Expression with CodegenFallback {
 
@@ -333,7 +348,8 @@ case class WarcHttpEncode(seed: Expression, nRecords: Expression)
       val body = Array.tabulate(len)(j =>
         ((s * 13 + i * 19 + j * 7) % 256).toByte)
       val http = HttpKernel.encode(200, "text/html", body,
-        chunked = i % 3 == 1, gzipBody = i % 3 == 2)
+        chunked = i % 4 == 1, gzipBody = i % 4 == 2,
+        zstdBody = i % 4 == 3)
       w("WARC/1.0\r\n")
       w("WARC-Type: response\r\n")
       w(s"WARC-Target-URI: http://host-${s % 7}.example/p$i\r\n")
