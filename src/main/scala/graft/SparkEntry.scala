@@ -7909,18 +7909,30 @@ object SparkEntry {
       "CASE WHEN doc_id <> 0 THEN CAST([8000,16000,22050,44100,48000]" +
       "[CAST(s % 5 AS INT) + 1] AS BIGINT) END AS sample_rate, " +
       "CASE WHEN doc_id <> 0 THEN CAST(1 + s % 2 AS BIGINT) END " +
-      "AS channels " +
+      "AS channels, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(1 + s % 3 AS BIGINT) END " +
+      "AS n_clusters, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(list_sum([1 + (s + c) % 2 " +
+      "for c in range(0, 1 + s % 3)]) AS BIGINT) END AS n_blocks, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(list_sum(flatten(" +
+      "[[8 + (s*5 + c*7 + k*3) % 40 for k in range(0, 1 + (s + c) % 2)] " +
+      "for c in range(0, 1 + s % 3)])) AS BIGINT) END AS frame_bytes " +
       "FROM d ORDER BY media_id"),
     // Ogg replay: page/packet counts by the planted lacing closure,
     // granule and ident-header fields arithmetically — the engine
     // earns them only if every page CRC verifies
     "x_mm_ogg" -> ("WITH d AS (SELECT doc_id, doc_id % 31 AS s, " +
-      "1 + doc_id % 5 AS np FROM documents) " +
+      "1 + doc_id % 5 AS np, " +
+      "CASE WHEN doc_id % 31 % 3 = 0 THEN 1 ELSE 0 END AS mx " +
+      "FROM documents) " +
       "SELECT doc_id AS media_id, doc_id <> 0 AS ok, " +
-      "CASE WHEN doc_id <> 0 THEN CAST(1 + np AS BIGINT) END " +
-      "AS n_pages, " +
+      "CASE WHEN doc_id <> 0 THEN CAST((1 + np) * (1 + mx) AS BIGINT) " +
+      "END AS n_pages, " +
       "CASE WHEN doc_id <> 0 THEN CAST(1 + list_sum([1 + (s + p) % 3 " +
-      "for p in range(0, np)]) AS BIGINT) END AS n_packets, " +
+      "for p in range(0, np)]) + mx * (1 + np) AS BIGINT) END " +
+      "AS n_packets, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(1 + mx AS BIGINT) END " +
+      "AS n_streams, " +
       "CASE WHEN doc_id <> 0 THEN CASE WHEN s % 2 = 0 THEN 'vorbis' " +
       "ELSE 'opus' END END AS codec, " +
       "CASE WHEN doc_id <> 0 THEN CAST(1 + s % 2 AS BIGINT) END " +

@@ -28,12 +28,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *            ispe (FullBox): image_width u32, image_height u32
   *
   * This kernel walks exactly that spine and reports the brand, the
-  * iinf item count, every `ispe` (count + first dims). Resolving WHICH
-  * ispe belongs to the primary item needs the `ipma` association walk;
-  * single-image files (the overwhelming crawl shape) write the primary
-  * image's ispe first in ipco, so `width`/`height` here are the FIRST
-  * ispe — a documented simplification, not a guess (a thumbnail-first
-  * ipco would report the thumbnail; the count says more exist).
+  * iinf item count, every `ispe` (count + dims). WHICH ispe is the
+  * primary image's is resolved the real way (r15 second pass): `pitm`
+  * names the primary item id and the `ipma` association box maps item
+  * ids to 1-based `ipco` property indexes (7- or 15-bit indexes per
+  * the flags&1 bit, essential bit masked off, u16/u32 item ids per
+  * version) — so a thumbnail-first ipco still reports the PRIMARY
+  * dims. Files without pitm/ipma fall back to the first ispe (the
+  * single-image shape, where they coincide).
   *
   * Box sizes ride the same Long-domain bounds discipline as the RIFF
   * walk after the r14 ADVICE fix: 32-bit sizes are read unsigned into
@@ -130,10 +132,13 @@ private[ext] object BmffMetaKernel {
     if (iprp == null) return null
     val ipco = findBox(b, iprp._1, iprp._2, "ipco")
     if (ipco == null) return null
-    // every ispe among ipco's children; first one carries the dims
+    // collect ipco children IN ORDER (ipma indexes are 1-based into
+    // this sequence), remembering each ispe's dims
+    val propW = new scala.collection.mutable.ArrayBuffer[Long]()
+    val propH = new scala.collection.mutable.ArrayBuffer[Long]()
     var nIspe = 0
-    var w = -1L
-    var h = -1L
+    var firstW = -1L
+    var firstH = -1L
     var pos = ipco._1
     var guard = 0
     while (pos + 8 <= ipco._2 && guard < 256) {
@@ -141,13 +146,74 @@ private[ext] object BmffMetaKernel {
       if (bx == null) return null
       if (bx._3 == "ispe") {
         if (bx._1 + 12 > bx._2) return null
-        if (nIspe == 0) { w = be4(b, bx._1 + 4); h = be4(b, bx._1 + 8) }
+        val iw = be4(b, bx._1 + 4)
+        val ih = be4(b, bx._1 + 8)
+        if (nIspe == 0) { firstW = iw; firstH = ih }
         nIspe += 1
+        propW += iw; propH += ih
+      } else {
+        propW += -1L; propH += -1L
       }
       pos = bx._2
       guard += 1
     }
     if (nIspe == 0) return null
+    // primary-item resolution: pitm names the item, ipma maps it to
+    // property indexes; the first associated ispe carries the dims
+    var w = firstW
+    var h = firstH
+    val pitm = findBox(b, mLo, mHi, "pitm")
+    val ipma = findBox(b, mLo, mHi, "ipma")
+    if (pitm != null && ipma != null) {
+      val pv = u8(b, pitm._1)
+      val primary: Long =
+        if (pv == 0) {
+          if (pitm._1 + 6 > pitm._2) return null
+          be2(b, pitm._1 + 4).toLong
+        } else {
+          if (pitm._1 + 8 > pitm._2) return null
+          be4(b, pitm._1 + 4)
+        }
+      val av = u8(b, ipma._1)
+      val aflags = be4(b, ipma._1) & 0xFFFFFF
+      if (ipma._1 + 8 > ipma._2) return null
+      val nEntries = be4(b, ipma._1 + 4)
+      if (nEntries > 4096) return null
+      var q = ipma._1 + 8
+      var e = 0L
+      var found = false
+      while (e < nEntries && !found) {
+        val itemId: Long =
+          if (av < 1) {
+            if (q + 2 > ipma._2) return null
+            val v = be2(b, q).toLong; q += 2; v
+          } else {
+            if (q + 4 > ipma._2) return null
+            val v = be4(b, q); q += 4; v
+          }
+        if (q + 1 > ipma._2) return null
+        val nAssoc = u8(b, q); q += 1
+        var a = 0
+        while (a < nAssoc) {
+          var idx = 0
+          if ((aflags & 1) == 1) {
+            if (q + 2 > ipma._2) return null
+            idx = be2(b, q) & 0x7FFF; q += 2
+          } else {
+            if (q + 1 > ipma._2) return null
+            idx = u8(b, q) & 0x7F; q += 1
+          }
+          if (itemId == primary && !found && idx >= 1 &&
+            idx <= propW.length && propW(idx - 1) >= 0) {
+            w = propW(idx - 1); h = propH(idx - 1)
+            found = true
+          }
+          a += 1
+        }
+        if (itemId == primary) found = true // entry consumed either way
+        e += 1
+      }
+    }
     Meta(brand, nItems, nIspe, w, h)
   }
 }
@@ -207,7 +273,11 @@ object BmffImageMeta {
   *   width    = 64 + (s*7) mod 101
   *   height   = 48 + (s*5) mod 67
   * iinf carries version 0 (even s) or 1 (odd s) — both count forms
-  * must parse; meta rides version/flags 0. */
+  * must parse; meta rides version/flags 0. When s mod 4 == 3 the
+  * THUMBNAIL ispe is written FIRST and an `ipma` box associates the
+  * primary item with the second property — the first-ispe shortcut
+  * would report 32x24 there, so the planted dims replay only through
+  * the real pitm→ipma→ipco resolution. */
 case class BmffMetaEncode(seed: Expression, kind: Expression)
     extends Expression with CodegenFallback {
 
@@ -268,12 +338,18 @@ object BmffMetaEncode {
       else Array[Byte](1, 0, 0, 0) ++ be4(nItems))
     def ispe(iw: Long, ih: Long) =
       box("ispe", Array[Byte](0, 0, 0, 0) ++ be4(iw) ++ be4(ih))
+    val thumbFirst = seed % 4 == 3
     val ipcoKids =
       if (nIspe == 1) ispe(w, h)
+      else if (thumbFirst) ispe(32, 24) ++ ispe(w, h)
       else ispe(w, h) ++ ispe(32, 24)
     val iprp = box("iprp", box("ipco", ipcoKids))
+    // ipma: item 1 -> property index of the PRIMARY ispe (1-based)
+    val primaryIdx = if (thumbFirst) 2 else 1
+    val ipma = box("ipma", Array[Byte](0, 0, 0, 0) ++ be4(1) ++
+      be2(1) ++ Array[Byte](1, (0x80 | primaryIdx).toByte))
     val meta = box("meta",
-      Array[Byte](0, 0, 0, 0) ++ pitm ++ iinf ++ iprp)
+      Array[Byte](0, 0, 0, 0) ++ pitm ++ iinf ++ iprp ++ ipma)
     // honest opaque payload: the kernel must never look inside
     val mdat = box("mdat",
       Array.tabulate[Byte](16)(i => ((seed * 13 + i * 7) % 256).toByte))

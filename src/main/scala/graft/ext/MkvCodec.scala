@@ -30,7 +30,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *       TrackType 0x83 (1=video, 2=audio), CodecID 0x86 (string),
   *       Video 0xE0 → PixelWidth 0xB0, PixelHeight 0xBA
   *       Audio 0xE1 → SamplingFrequency 0xB5 (float), Channels 0x9F
-  *     Cluster 0x1F43B675 and everything else: skipped by size.
+  *     Cluster 0x1F43B675 → block CENSUS (r15 second pass): clusters,
+  *       SimpleBlocks 0xA3 and BlockGroup 0xA0 / Block 0xA1 counted,
+  *       frame bytes summed past each block's track-varint + s16
+  *       timestamp + flags header (lacing structure counted as-is —
+  *       exactly specified, zero codec decode); payloads stay opaque.
+  *     Everything else: skipped by size.
   *
   * First video track and first audio track win (multi-track files
   * report the count). Duration is reported FLOORED to a long in
@@ -44,7 +49,8 @@ private[ext] object MkvKernel {
       timestampScale: Long, durationUnits: java.lang.Long,
       nTracks: Int, videoCodec: String, pixelWidth: java.lang.Long,
       pixelHeight: java.lang.Long, audioCodec: String,
-      sampleRate: java.lang.Long, channels: java.lang.Long)
+      sampleRate: java.lang.Long, channels: java.lang.Long,
+      nClusters: Int, nBlocks: Int, frameBytes: Long)
 
   private final val MaxElements = 10000
 
@@ -125,6 +131,9 @@ private[ext] object MkvKernel {
     var audioCodec: String = null
     var rate: java.lang.Long = null
     var channels: java.lang.Long = null
+    var nClusters = 0
+    var nBlocks = 0
+    var frameBytes = 0L
     var budget = MaxElements
 
     def walkTrackEntry(lo: Long, hi: Long): Boolean = {
@@ -235,7 +244,42 @@ private[ext] object MkvKernel {
                   }
                   q = f._3
                 }
-              case _ => () // Cluster, SeekHead, Cues, ...: skip
+              case 0x1F43B675L => // Cluster: block census, no decode
+                nClusters += 1
+                var q = e._2
+                while (q < e._3 && budget > 0) {
+                  budget -= 1
+                  val f = element(b, q, e._3)
+                  if (f == null) return null
+                  if (f._1 == 0xA3) { // SimpleBlock
+                    // track varint + s16 timestamp + flags byte, then
+                    // frame data (lacing structure counted as-is)
+                    val tn = varint(b, f._2, f._3, keepMarker = false)
+                    if (tn == null) return null
+                    val hdrEnd = f._2 + tn._2 + 3
+                    if (hdrEnd > f._3) return null
+                    nBlocks += 1
+                    frameBytes += f._3 - hdrEnd
+                  } else if (f._1 == 0xA0L) { // BlockGroup
+                    var r = f._2
+                    while (r < f._3 && budget > 0) {
+                      budget -= 1
+                      val g = element(b, r, f._3)
+                      if (g == null) return null
+                      if (g._1 == 0xA1L) { // Block
+                        val tn = varint(b, g._2, g._3, keepMarker = false)
+                        if (tn == null) return null
+                        val hdrEnd = g._2 + tn._2 + 3
+                        if (hdrEnd > g._3) return null
+                        nBlocks += 1
+                        frameBytes += g._3 - hdrEnd
+                      }
+                      r = g._3
+                    }
+                  }
+                  q = f._3
+                }
+              case _ => () // SeekHead, Cues, ...: skip
             }
             p = e._3
           }
@@ -245,15 +289,16 @@ private[ext] object MkvKernel {
     }
     if (docType == null) return null
     Mkv(docType, docTypeVersion, timestampScale, durationUnits, nTracks,
-      videoCodec, pw, ph, audioCodec, rate, channels)
+      videoCodec, pw, ph, audioCodec, rate, channels, nClusters,
+      nBlocks, frameBytes)
   }
 }
 
 /** WebM/Matroska metadata of a binary column: (ok, doctype,
   * doctype_version, timestamp_scale, duration_units, n_tracks,
   * video_codec, pixel_width, pixel_height, audio_codec, sample_rate,
-  * channels) — see [[MkvKernel]]. ok=false with null fields on dirty
-  * bytes. */
+  * channels, n_clusters, n_blocks, frame_bytes) — see [[MkvKernel]].
+  * ok=false with null fields on dirty bytes. */
 case class MkvMeta(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -269,7 +314,10 @@ case class MkvMeta(child: Expression)
     StructField("pixel_height", LongType),
     StructField("audio_codec", StringType),
     StructField("sample_rate", LongType),
-    StructField("channels", LongType)))
+    StructField("channels", LongType),
+    StructField("n_clusters", LongType),
+    StructField("n_blocks", LongType),
+    StructField("frame_bytes", LongType)))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -286,12 +334,13 @@ case class MkvMeta(child: Expression)
     }
     val m = MkvKernel.parse(bytes)
     if (m == null) return InternalRow(false, null, null, null, null,
-      null, null, null, null, null, null, null)
+      null, null, null, null, null, null, null, null, null, null)
     def s(v: String): Any =
       if (v == null) null else UTF8String.fromString(v)
     InternalRow(true, s(m.docType), m.docTypeVersion, m.timestampScale,
       m.durationUnits, m.nTracks.toLong, s(m.videoCodec), m.pixelWidth,
-      m.pixelHeight, s(m.audioCodec), m.sampleRate, m.channels)
+      m.pixelHeight, s(m.audioCodec), m.sampleRate, m.channels,
+      m.nClusters.toLong, m.nBlocks.toLong, m.frameBytes)
   }
 
   override protected def withNewChildInternal(
@@ -319,7 +368,12 @@ object MkvMeta {
   *   audio track     : A_OPUS | A_VORBIS (s mod 2), rate from
   *                     {8000,16000,22050,44100,48000}[s mod 5]
   *                     (float32, exact), channels 1 + s mod 2
-  *   n_tracks        = 2 + (1 when s mod 3 == 0: a second audio) */
+  *   n_tracks        = 2 + (1 when s mod 3 == 0: a second audio)
+  *   clusters        : n_clusters = 1 + s mod 3; cluster c holds
+  *                     1 + (s+c) mod 2 SimpleBlocks; block k carries
+  *                     8 + (s*5 + c*7 + k*3) mod 40 opaque frame
+  *                     bytes — so n_blocks and frame_bytes replay
+  *                     arithmetically while payloads stay opaque */
 case class MkvEncode(seed: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -414,12 +468,20 @@ object MkvEncode {
       if (s % 3 == 0) video ++ audio(2) ++ audio(3)
       else video ++ audio(2)
     val tracks = el(0x1654AE6BL, trackKids)
-    // one Cluster with an opaque SimpleBlock the walk must skip
-    val blockPayload = Array[Byte](0x81.toByte, 0, 0, 0) ++
-      Array.tabulate[Byte](24)(i => ((s * 31 + i * 7) % 256).toByte)
-    val cluster = el(0x1F43B675L,
-      el(0xE7, uint(0)) ++ el(0xA3, blockPayload))
-    val segment = el(0x18538067L, info ++ tracks ++ cluster)
+    // clusters of opaque SimpleBlocks under the documented census
+    val nClusters = (1 + s % 3).toInt
+    val clusters = (0 until nClusters).map { c =>
+      val nblk = (1 + (s + c) % 2).toInt
+      val blocks = (0 until nblk).map { k =>
+        val flen = (8 + (s * 5 + c * 7 + k * 3) % 40).toInt
+        val payload = Array[Byte](0x81.toByte, 0, k.toByte, 0) ++
+          Array.tabulate[Byte](flen)(j =>
+            ((s * 31 + c * 17 + k * 7 + j) % 256).toByte)
+        el(0xA3, payload)
+      }.reduce(_ ++ _)
+      el(0x1F43B675L, el(0xE7, uint(c.toLong * 40)) ++ blocks)
+    }.reduce(_ ++ _)
+    val segment = el(0x18538067L, info ++ tracks ++ clusters)
     ebml ++ segment
   }
 

@@ -1058,7 +1058,10 @@ object Multimodal {
         col("__m.pixel_height").as("pixel_height"),
         col("__m.audio_codec").as("audio_codec"),
         col("__m.sample_rate").as("sample_rate"),
-        col("__m.channels").as("channels"))
+        col("__m.channels").as("channels"),
+        col("__m.n_clusters").as("n_clusters"),
+        col("__m.n_blocks").as("n_blocks"),
+        col("__m.frame_bytes").as("frame_bytes"))
 
   /** Ogg page-walk census over a binary corpus: CRC-verified page
     * structure + ident-header probe (see [[OggKernel]]).
@@ -1069,6 +1072,7 @@ object Multimodal {
       .select(col("media_id"), col("__m.ok").as("ok"),
         col("__m.n_pages").as("n_pages"),
         col("__m.n_packets").as("n_packets"),
+        col("__m.n_streams").as("n_streams"),
         col("__m.codec").as("codec"),
         col("__m.channels").as("channels"),
         col("__m.sample_rate").as("sample_rate"),

@@ -29,9 +29,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * Dirty bytes → null, never a throw (fuzz battery entry). */
 private[ext] object OggKernel {
 
-  final case class Ogg(nPages: Int, nPackets: Int, codec: String,
-      channels: java.lang.Long, sampleRate: java.lang.Long,
-      lastGranule: Long, serial: Long)
+  final case class Ogg(nPages: Int, nPackets: Int, nStreams: Int,
+      codec: String, channels: java.lang.Long,
+      sampleRate: java.lang.Long, lastGranule: Long, serial: Long)
+
+  private final class Stream {
+    var packetOpen = false
+    var firstOpen = true
+    var firstPacket: Array[Byte] = null
+    val firstBuf = new java.io.ByteArrayOutputStream()
+    var lastGranule = 0L
+    var nPackets = 0
+  }
 
   private final val MaxPages = 100000
 
@@ -79,13 +88,12 @@ private[ext] object OggKernel {
       return null
     var pos = 0
     var nPages = 0
-    var nPackets = 0
-    var lastGranule = 0L
-    var serial = -1L
-    var firstPacket: Array[Byte] = null
-    val firstBuf = new java.io.ByteArrayOutputStream()
-    var firstOpen = true
-    var packetOpen = false // a packet continues across the page seam
+    // r15 second pass: real Ogg files MULTIPLEX logical streams —
+    // pages of different serials interleave, and packet continuation
+    // is PER-SERIAL state. LinkedHashMap keeps first-seen order; the
+    // first stream is the reported one (codec/granule/serial).
+    val streams =
+      new java.util.LinkedHashMap[Long, Stream]()
     while (pos < b.length && nPages < MaxPages) {
       if (pos + 27 > b.length) return null
       if (!(b(pos) == 'O' && b(pos + 1) == 'g' && b(pos + 2) == 'g' &&
@@ -104,32 +112,49 @@ private[ext] object OggKernel {
       if (pos + pageLen > b.length) return null
       val computed = crc(b, pos, pageLen, pos + 22, 4)
       if ((computed & 0xFFFFFFFFL) != storedCrc) return null
-      if (serial == -1L) serial = pageSerial
-      // continued-packet flag must agree with the carry state
-      if (nPages > 0 && ((flags & 1) != 0) != packetOpen) return null
+      var st = streams.get(pageSerial)
+      if (st == null) {
+        // a stream's first page must carry BOS and not continuation
+        if ((flags & 2) == 0 || (flags & 1) != 0) return null
+        if (streams.size >= 64) return null
+        st = new Stream
+        streams.put(pageSerial, st)
+      } else {
+        // continued-packet flag must agree with this stream's carry
+        if (((flags & 1) != 0) != st.packetOpen) return null
+      }
       var dataOff = pos + 27 + nSegs
       s = 0
       while (s < nSegs) {
         val lace = b(pos + 27 + s) & 0xFF
-        if (firstOpen)
-          firstBuf.write(b, dataOff, lace)
+        if (st.firstOpen)
+          st.firstBuf.write(b, dataOff, lace)
         if (lace < 255) {
-          nPackets += 1
-          packetOpen = false
-          if (firstOpen) { firstPacket = firstBuf.toByteArray; firstOpen = false }
-        } else packetOpen = true
+          st.nPackets += 1
+          st.packetOpen = false
+          if (st.firstOpen) {
+            st.firstPacket = st.firstBuf.toByteArray
+            st.firstOpen = false
+          }
+        } else st.packetOpen = true
         dataOff += lace
         s += 1
       }
-      lastGranule = granule
+      st.lastGranule = granule
       nPages += 1
       pos += pageLen
     }
-    if (nPages == 0) return null
+    if (nPages == 0 || streams.isEmpty) return null
+    val first = streams.values().iterator().next()
+    val serial = streams.keySet().iterator().next()
+    var nPackets = 0
+    val it = streams.values().iterator()
+    while (it.hasNext) nPackets += it.next().nPackets
+    val lastGranule = first.lastGranule
     var codec: String = null
     var channels: java.lang.Long = null
     var rate: java.lang.Long = null
-    val fp = firstPacket
+    val fp = first.firstPacket
     if (fp != null && fp.length >= 16) {
       if (fp(0) == 1 && fp(1) == 'v' && fp(2) == 'o' && fp(3) == 'r' &&
         fp(4) == 'b' && fp(5) == 'i' && fp(6) == 's') {
@@ -144,14 +169,17 @@ private[ext] object OggKernel {
         rate = le4(fp, 12)
       }
     }
-    Ogg(nPages, nPackets, codec, channels, rate, lastGranule, serial)
+    Ogg(nPages, nPackets, streams.size, codec, channels, rate,
+      lastGranule, serial)
   }
 }
 
-/** Ogg structure of a binary column: (ok, n_pages, n_packets, codec,
-  * channels, sample_rate, last_granule, serial) — every page
-  * CRC-verified, ident header probed without DSP (see [[OggKernel]]).
-  * ok=false with null fields on dirty bytes or any CRC mismatch. */
+/** Ogg structure of a binary column: (ok, n_pages, n_packets,
+  * n_streams, codec, channels, sample_rate, last_granule, serial) —
+  * every page CRC-verified, per-serial packet closure (real Ogg
+  * multiplexes logical streams), ident header of the FIRST stream
+  * probed without DSP (see [[OggKernel]]). ok=false with null fields
+  * on dirty bytes or any CRC mismatch. */
 case class OggMeta(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -159,6 +187,7 @@ case class OggMeta(child: Expression)
     StructField("ok", BooleanType, nullable = false),
     StructField("n_pages", LongType),
     StructField("n_packets", LongType),
+    StructField("n_streams", LongType),
     StructField("codec", StringType),
     StructField("channels", LongType),
     StructField("sample_rate", LongType),
@@ -180,8 +209,10 @@ case class OggMeta(child: Expression)
     }
     val m = OggKernel.parse(bytes)
     if (m == null)
-      return InternalRow(false, null, null, null, null, null, null, null)
+      return InternalRow(false, null, null, null, null, null, null,
+        null, null)
     InternalRow(true, m.nPages.toLong, m.nPackets.toLong,
+      m.nStreams.toLong,
       if (m.codec == null) null else UTF8String.fromString(m.codec),
       m.channels, m.sampleRate, m.lastGranule, m.serial)
   }
@@ -210,7 +241,16 @@ object OggMeta {
   *     length 5 + (s*3 + p*7 + q*11) mod 40 bytes, byte j =
   *     (s*13 + p*31 + q*7 + j) mod 256; granule (p+1)*576; the last
   *     page carries the EOS flag
-  *   n_pages   = 1 + nPages, n_packets = 1 + Σ_p (1 + (s+p) mod 3) */
+  * When s mod 3 == 0 a SECOND logical stream multiplexes in (r15
+  * second pass): serial+1, the opposite ident codec, one page after
+  * every primary page (1 packet of 6 + (s+p) mod 20 bytes, byte j =
+  * (s*17 + p*23 + j) mod 256, granule (p+1)*100) — the reported
+  * codec/rate/granule stay the FIRST stream's, per-serial packet
+  * closure is load-bearing, and:
+  *   n_streams = 1 + [s mod 3 == 0]
+  *   n_pages   = (1 + nPages) · n_streams
+  *   n_packets = 1 + Σ_p (1 + (s+p) mod 3)
+  *               + [s mod 3 == 0] · (1 + nPages) */
 case class OggEncode(seed: Expression, nPages: Expression)
     extends Expression with CodegenFallback {
 
@@ -278,37 +318,46 @@ object OggEncode {
     out
   }
 
+  private def identFor(vorbis: Boolean, channels: Int, rate: Long)
+      : Array[Byte] =
+    if (vorbis) {
+      // Vorbis identification header (30 bytes)
+      val b = new Array[Byte](30)
+      b(0) = 1
+      "vorbis".getBytes("US-ASCII").copyToArray(b, 1)
+      // version 0 @7..10
+      b(11) = channels.toByte
+      var i = 0
+      while (i < 4) { b(12 + i) = (rate >>> (8 * i)).toByte; i += 1 }
+      // blocksizes + framing bit: fixed legal values
+      b(28) = 0x66; b(29) = 1
+      b
+    } else {
+      // OpusHead (19 bytes)
+      val b = new Array[Byte](19)
+      "OpusHead".getBytes("US-ASCII").copyToArray(b, 0)
+      b(8) = 1 // version
+      b(9) = channels.toByte
+      b(10) = 0x38; b(11) = 1 // pre-skip 312
+      var i = 0
+      while (i < 4) { b(12 + i) = (rate >>> (8 * i)).toByte; i += 1 }
+      b
+    }
+
   def encode(s0: Long, nPages: Int): Array[Byte] = {
     val s = ((s0 % 1000003) + 1000003) % 1000003
     val serial = 1 + s % 100000
     val channels = (1 + s % 2).toInt
     val rate = Rates((s % 5).toInt)
-    val ident: Array[Byte] =
-      if (s % 2 == 0) {
-        // Vorbis identification header (30 bytes)
-        val b = new Array[Byte](30)
-        b(0) = 1
-        "vorbis".getBytes("US-ASCII").copyToArray(b, 1)
-        // version 0 @7..10
-        b(11) = channels.toByte
-        var i = 0
-        while (i < 4) { b(12 + i) = (rate >>> (8 * i)).toByte; i += 1 }
-        // blocksizes + framing bit: fixed legal values
-        b(28) = 0x66; b(29) = 1
-        b
-      } else {
-        // OpusHead (19 bytes)
-        val b = new Array[Byte](19)
-        "OpusHead".getBytes("US-ASCII").copyToArray(b, 0)
-        b(8) = 1 // version
-        b(9) = channels.toByte
-        b(10) = 0x38; b(11) = 1 // pre-skip 312
-        var i = 0
-        while (i < 4) { b(12 + i) = (rate >>> (8 * i)).toByte; i += 1 }
-        b
-      }
+    val muxed = s % 3 == 0
+    val ident = identFor(s % 2 == 0, channels, rate)
     val out = new java.io.ByteArrayOutputStream()
-    out.write(page(2, 0L, serial, 0L, Array(ident))) // BOS
+    out.write(page(2, 0L, serial, 0L, Array(ident))) // BOS, stream 1
+    if (muxed) {
+      val ident2 = identFor(s % 2 != 0, (1 + (s + 1) % 2).toInt,
+        Rates(((s + 1) % 5).toInt))
+      out.write(page(2, 0L, serial + 1, 0L, Array(ident2)))
+    }
     for (p <- 0 until nPages) {
       val npk = (1 + (s + p) % 3).toInt
       val packets = Array.tabulate(npk) { q =>
@@ -318,6 +367,13 @@ object OggEncode {
       }
       val flags = if (p == nPages - 1) 4 else 0
       out.write(page(flags, (p + 1) * 576L, serial, p + 1L, packets))
+      if (muxed) {
+        val len2 = (6 + (s + p) % 20).toInt
+        val pkt2 = Array.tabulate[Byte](len2)(j =>
+          ((s * 17 + p * 23 + j) % 256).toByte)
+        out.write(page(flags, (p + 1) * 100L, serial + 1, p + 1L,
+          Array(pkt2)))
+      }
     }
     out.toByteArray
   }

@@ -52,7 +52,43 @@ class MkvSpec extends SparkTestBase {
       assert(m.audioCodec == (if (s % 2 == 0) "A_OPUS" else "A_VORBIS"))
       assert(m.sampleRate == rates((s % 5).toInt))
       assert(m.channels == 1 + s % 2)
+      // block census replay (r15 second pass)
+      val nClusters = (1 + s % 3).toInt
+      assert(m.nClusters == nClusters)
+      val expBlocks = (0 until nClusters).map(c => 1 + (s + c) % 2).sum
+      assert(m.nBlocks == expBlocks, s"s=$s blocks=${m.nBlocks}")
+      val expBytes = (for {
+        c <- 0 until nClusters
+        k <- 0 until (1 + (s + c) % 2).toInt
+      } yield 8 + (s * 5 + c * 7 + k * 3) % 40).sum
+      assert(m.frameBytes == expBytes, s"s=$s bytes=${m.frameBytes}")
     }
+  }
+
+  test("BlockGroup/Block census and 2-byte track varints count like " +
+      "SimpleBlocks (hand-typed)") {
+    val header = Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte,
+      0x87.toByte, 0x42, 0x82.toByte, 0x84.toByte, 'w', 'e', 'b', 'm')
+    // BlockGroup(0xA0) holding Block(0xA1): 2-byte track varint
+    // (0x4003 = track 3), s16 ts, flags, 5 frame bytes
+    val block = Array[Byte](0xA1.toByte, 0x8A.toByte,
+      0x40, 0x03, 0, 0, 0, 1, 2, 3, 4, 5)
+    val group = Array[Byte](0xA0.toByte, (0x80 + block.length).toByte) ++
+      block
+    // plus one SimpleBlock: 1-byte varint, 4 frame bytes
+    val simple = Array[Byte](0xA3.toByte, 0x88.toByte,
+      0x81.toByte, 0, 0, 0, 9, 8, 7, 6)
+    val clusterKids = group ++ simple
+    val cluster = Array[Byte](0x1F, 0x43, 0xB6.toByte, 0x75,
+      (0x80 + clusterKids.length).toByte) ++ clusterKids
+    val segment = Array[Byte](0x18, 0x53, 0x80.toByte, 0x67,
+      (0x80 + cluster.length).toByte) ++ cluster
+    val m = MkvKernel.parse(header ++ segment)
+    assert(m != null)
+    assert(m.nClusters == 1 && m.nBlocks == 2)
+    // group frame: 12 - 2(varint) - 3 = wait: payload 10 bytes after
+    // the 0xA1 0x89 header; 10 - 2 - 3 = 5. simple: 8 - 1 - 3 = 4.
+    assert(m.frameBytes == 9, s"frameBytes=${m.frameBytes}")
   }
 
   test("hostile bytes: junk, oversize element, truncations null — " +

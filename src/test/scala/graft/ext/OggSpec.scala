@@ -81,20 +81,35 @@ class OggSpec extends SparkTestBase {
     assert(OggKernel.parse(p0 ++ p1) == null)
   }
 
-  test("encode -> parse round trip matches the documented contract") {
+  test("encode -> parse round trip matches the documented contract " +
+      "(incl. multiplexed second streams every 3rd seed)") {
     val rates = Array(8000L, 11025L, 16000L, 22050L, 44100L)
     for (s <- 0L to 14L; n <- Seq(0, 1, 4)) {
       val m = OggKernel.parse(OggEncode.encode(s, n))
       assert(m != null, s"s=$s n=$n")
-      assert(m.nPages == 1 + n)
-      val expPackets = 1 + (0 until n).map(p => 1 + (s + p) % 3).sum
+      val mx = if (s % 3 == 0) 1 else 0
+      assert(m.nStreams == 1 + mx)
+      assert(m.nPages == (1 + n) * (1 + mx), s"s=$s n=$n")
+      val expPackets = 1 + (0 until n).map(p => 1 + (s + p) % 3).sum +
+        mx * (1 + n)
       assert(m.nPackets == expPackets, s"s=$s n=$n")
+      // reported fields stay the FIRST stream's
       assert(m.codec == (if (s % 2 == 0) "vorbis" else "opus"))
       assert(m.channels == 1 + s % 2)
       assert(m.sampleRate == rates((s % 5).toInt))
       assert(m.lastGranule == (if (n == 0) 0L else n * 576L))
       assert(m.serial == 1 + s % 100000)
     }
+  }
+
+  test("a new serial whose first page lacks the BOS flag nulls " +
+      "(spliced stream fragments must not count as streams)") {
+    val ident = new Array[Byte](30)
+    ident(0) = 1; "vorbis".getBytes.copyToArray(ident, 1)
+    val p0 = page(2, 0L, 5L, 0L, Array(30), ident)
+    val rogue = page(0, 99L, 6L, 0L, Array(4),
+      Array[Byte](1, 2, 3, 4)) // serial 6 never saw a BOS
+    assert(OggKernel.parse(p0 ++ rogue) == null)
   }
 
   test("hostile bytes: junk, CRC corruption, truncations null — " +
@@ -131,9 +146,10 @@ class OggSpec extends SparkTestBase {
     for (r <- rows.drop(1)) {
       val s = r._1 % 5
       val n = 1 + r._1 % 3
+      val mx = if (s % 3 == 0) 1 else 0
       assert(r._2, s"doc ${r._1}")
       assert(r._3.contains(if (s % 2 == 0) "vorbis" else "opus"))
-      assert(r._4.contains(1 + n))
+      assert(r._4.contains((1 + n) * (1 + mx)))
       assert(r._5.contains(n * 576L))
     }
   }
