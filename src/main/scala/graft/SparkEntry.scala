@@ -7885,7 +7885,8 @@ object SparkEntry {
     // WebM replay: doctype/version/duration and the full track spine
     // from the planted formulas (duration rides an integer-valued
     // float64, floored to units on the engine side)
-    "x_mm_webm" -> ("WITH d AS (SELECT doc_id, doc_id % 23 AS s " +
+    "x_mm_webm" -> ("WITH d AS (SELECT doc_id, doc_id % 23 AS s, " +
+      "CASE WHEN doc_id % 23 % 5 < 2 THEN 1 ELSE 0 END AS sb " +
       "FROM documents) " +
       "SELECT doc_id AS media_id, doc_id <> 0 AS ok, " +
       "CASE WHEN doc_id <> 0 THEN CASE WHEN s % 2 = 0 THEN 'webm' " +
@@ -7897,7 +7898,7 @@ object SparkEntry {
       "CASE WHEN doc_id <> 0 THEN CAST(1000 + s % 50000 AS BIGINT) END " +
       "AS duration_units, " +
       "CASE WHEN doc_id <> 0 THEN CAST(CASE WHEN s % 3 = 0 THEN 3 " +
-      "ELSE 2 END AS BIGINT) END AS n_tracks, " +
+      "ELSE 2 END + sb AS BIGINT) END AS n_tracks, " +
       "CASE WHEN doc_id <> 0 THEN CASE WHEN s % 2 = 0 THEN 'V_VP9' " +
       "ELSE 'V_VP8' END END AS video_codec, " +
       "CASE WHEN doc_id <> 0 THEN CAST(320 + (s * 3) % 1280 AS BIGINT) " +
@@ -7913,10 +7914,18 @@ object SparkEntry {
       "CASE WHEN doc_id <> 0 THEN CAST(1 + s % 3 AS BIGINT) END " +
       "AS n_clusters, " +
       "CASE WHEN doc_id <> 0 THEN CAST(list_sum([1 + (s + c) % 2 " +
-      "for c in range(0, 1 + s % 3)]) AS BIGINT) END AS n_blocks, " +
+      "for c in range(0, 1 + s % 3)]) + sb * (1 + s % 3) AS BIGINT) " +
+      "END AS n_blocks, " +
       "CASE WHEN doc_id <> 0 THEN CAST(list_sum(flatten(" +
       "[[8 + (s*5 + c*7 + k*3) % 40 for k in range(0, 1 + (s + c) % 2)] " +
-      "for c in range(0, 1 + s % 3)])) AS BIGINT) END AS frame_bytes " +
+      "for c in range(0, 1 + s % 3)])) + sb * 8 * (1 + s % 3) " +
+      "AS BIGINT) END AS frame_bytes, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(sb * (1 + s % 3) AS BIGINT) " +
+      "END AS n_sub_blocks, " +
+      "CASE WHEN doc_id <> 0 AND sb = 1 THEN array_to_string(" +
+      "['sub ' || CAST(c AS VARCHAR) || ' w' || " +
+      "CAST((s*3 + c) % 10 AS VARCHAR) " +
+      "for c in range(0, 1 + s % 3)], chr(10)) END AS subtitle_text " +
       "FROM d ORDER BY media_id"),
     // Ogg replay: page/packet counts by the planted lacing closure,
     // granule and ident-header fields arithmetically — the engine
@@ -7926,10 +7935,10 @@ object SparkEntry {
       "CASE WHEN doc_id % 31 % 3 = 0 THEN 1 ELSE 0 END AS mx " +
       "FROM documents) " +
       "SELECT doc_id AS media_id, doc_id <> 0 AS ok, " +
-      "CASE WHEN doc_id <> 0 THEN CAST((1 + np) * (1 + mx) AS BIGINT) " +
+      "CASE WHEN doc_id <> 0 THEN CAST((2 + np) * (1 + mx) AS BIGINT) " +
       "END AS n_pages, " +
-      "CASE WHEN doc_id <> 0 THEN CAST(1 + list_sum([1 + (s + p) % 3 " +
-      "for p in range(0, np)]) + mx * (1 + np) AS BIGINT) END " +
+      "CASE WHEN doc_id <> 0 THEN CAST(2 + list_sum([1 + (s + p) % 3 " +
+      "for p in range(0, np)]) + mx * (2 + np) AS BIGINT) END " +
       "AS n_packets, " +
       "CASE WHEN doc_id <> 0 THEN CAST(1 + mx AS BIGINT) END " +
       "AS n_streams, " +
@@ -7942,7 +7951,14 @@ object SparkEntry {
       "CASE WHEN doc_id <> 0 THEN CAST(np * 576 AS BIGINT) END " +
       "AS last_granule, " +
       "CASE WHEN doc_id <> 0 THEN CAST(1 + s % 100000 AS BIGINT) END " +
-      "AS serial " +
+      "AS serial, " +
+      "CASE WHEN doc_id <> 0 THEN 'graft-fixture' END AS vendor, " +
+      "CASE WHEN doc_id <> 0 THEN 'artist-' || CAST(s % 13 AS VARCHAR) " +
+      "END AS artist, " +
+      "CASE WHEN doc_id <> 0 THEN 'title-' || CAST(s % 9 AS VARCHAR) " +
+      "END AS title, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(2 + s % 2 AS BIGINT) END " +
+      "AS n_comments " +
       "FROM d ORDER BY media_id"),
     // orientation replay: the oracle is the UPRIGHT chain only — any
     // un-normalized rotation would shift width/height and every hash

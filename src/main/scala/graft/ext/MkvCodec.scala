@@ -50,7 +50,8 @@ private[ext] object MkvKernel {
       nTracks: Int, videoCodec: String, pixelWidth: java.lang.Long,
       pixelHeight: java.lang.Long, audioCodec: String,
       sampleRate: java.lang.Long, channels: java.lang.Long,
-      nClusters: Int, nBlocks: Int, frameBytes: Long)
+      nClusters: Int, nBlocks: Int, frameBytes: Long,
+      nSubBlocks: Int, subtitleText: String)
 
   private final val MaxElements = 10000
 
@@ -134,11 +135,17 @@ private[ext] object MkvKernel {
     var nClusters = 0
     var nBlocks = 0
     var frameBytes = 0L
+    var nSubBlocks = 0
+    val subText = new java.lang.StringBuilder()
+    // track number -> is it an S_TEXT/UTF8 subtitle track (learned
+    // from Tracks, which precedes Clusters in well-formed files)
+    val subTracks = new java.util.HashSet[Long]()
     var budget = MaxElements
 
     def walkTrackEntry(lo: Long, hi: Long): Boolean = {
       var pos = lo
       var trackType = -1L
+      var trackNo = -1L
       var codec: String = null
       var tPw, tPh, tRate, tCh: java.lang.Long = null
       while (pos < hi && budget > 0) {
@@ -146,6 +153,7 @@ private[ext] object MkvKernel {
         val e = element(b, pos, hi)
         if (e == null) return false
         e._1 match {
+          case 0xD7L => trackNo = uintAt(b, e._2, e._3)
           case 0x83L => trackType = uintAt(b, e._2, e._3)
           case 0x86L => codec = strAt(b, e._2, e._3)
           case 0xE0L => // Video
@@ -186,8 +194,22 @@ private[ext] object MkvKernel {
         videoCodec = codec; pw = tPw; ph = tPh
       } else if (trackType == 2 && audioCodec == null) {
         audioCodec = codec; rate = tRate; channels = tCh
+      } else if (trackType == 17 && trackNo > 0 &&
+        codec == "S_TEXT/UTF8") {
+        subTracks.add(trackNo)
       }
       true
+    }
+
+    // strict UTF-8 (verified-or-nothing: a malformed subtitle frame
+    // contributes nothing rather than replacement characters)
+    def utf8Strict(lo: Long, hi: Long): String = {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      try dec.decode(java.nio.ByteBuffer.wrap(b, lo.toInt,
+        (hi - lo).toInt)).toString
+      catch { case _: java.nio.charset.CharacterCodingException => null }
     }
 
     var pos = 0L
@@ -260,6 +282,15 @@ private[ext] object MkvKernel {
                     if (hdrEnd > f._3) return null
                     nBlocks += 1
                     frameBytes += f._3 - hdrEnd
+                    if (subTracks.contains(tn._1) &&
+                      subText.length() < (1 << 20)) {
+                      val t = utf8Strict(hdrEnd, f._3)
+                      if (t != null) {
+                        if (subText.length() > 0) subText.append('\n')
+                        subText.append(t)
+                        nSubBlocks += 1
+                      }
+                    }
                   } else if (f._1 == 0xA0L) { // BlockGroup
                     var r = f._2
                     while (r < f._3 && budget > 0) {
@@ -290,7 +321,8 @@ private[ext] object MkvKernel {
     if (docType == null) return null
     Mkv(docType, docTypeVersion, timestampScale, durationUnits, nTracks,
       videoCodec, pw, ph, audioCodec, rate, channels, nClusters,
-      nBlocks, frameBytes)
+      nBlocks, frameBytes, nSubBlocks,
+      if (nSubBlocks == 0) null else subText.toString)
   }
 }
 
@@ -317,7 +349,9 @@ case class MkvMeta(child: Expression)
     StructField("channels", LongType),
     StructField("n_clusters", LongType),
     StructField("n_blocks", LongType),
-    StructField("frame_bytes", LongType)))
+    StructField("frame_bytes", LongType),
+    StructField("n_sub_blocks", LongType),
+    StructField("subtitle_text", StringType)))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -334,13 +368,15 @@ case class MkvMeta(child: Expression)
     }
     val m = MkvKernel.parse(bytes)
     if (m == null) return InternalRow(false, null, null, null, null,
-      null, null, null, null, null, null, null, null, null, null)
+      null, null, null, null, null, null, null, null, null, null,
+      null, null)
     def s(v: String): Any =
       if (v == null) null else UTF8String.fromString(v)
     InternalRow(true, s(m.docType), m.docTypeVersion, m.timestampScale,
       m.durationUnits, m.nTracks.toLong, s(m.videoCodec), m.pixelWidth,
       m.pixelHeight, s(m.audioCodec), m.sampleRate, m.channels,
-      m.nClusters.toLong, m.nBlocks.toLong, m.frameBytes)
+      m.nClusters.toLong, m.nBlocks.toLong, m.frameBytes,
+      m.nSubBlocks.toLong, s(m.subtitleText))
   }
 
   override protected def withNewChildInternal(
@@ -373,7 +409,14 @@ object MkvMeta {
   *                     1 + (s+c) mod 2 SimpleBlocks; block k carries
   *                     8 + (s*5 + c*7 + k*3) mod 40 opaque frame
   *                     bytes — so n_blocks and frame_bytes replay
-  *                     arithmetically while payloads stay opaque */
+  *                     arithmetically while payloads stay opaque
+  *   subtitles       : when s mod 5 < 2 an S_TEXT/UTF8 track (no 9,
+  *                     TrackType 17) joins, and every cluster carries
+  *                     one subtitle SimpleBlock whose frame is the
+  *                     8-byte text `sub <c> w<(s*3+c) mod 10>` — the
+  *                     text-from-video leg, replayed as EXACT strings
+  *                     (newline-joined) in the oracle; these blocks
+  *                     also count in n_blocks/frame_bytes */
 case class MkvEncode(seed: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -464,9 +507,17 @@ object MkvEncode {
         el(0x86, aCodec.getBytes("US-ASCII")) ++
         el(0xE1, el(0xB5, f32(Rates((s % 5).toInt).toFloat)) ++
           el(0x9F, uint(1 + s % 2))))
-    val trackKids =
-      if (s % 3 == 0) video ++ audio(2) ++ audio(3)
-      else video ++ audio(2)
+    val subbed = s % 5 < 2
+    val subTrack = el(0xAE,
+      el(0xD7, uint(9)) ++
+        el(0x83, uint(17)) ++
+        el(0x86, "S_TEXT/UTF8".getBytes("US-ASCII")))
+    val trackKids = {
+      val base =
+        if (s % 3 == 0) video ++ audio(2) ++ audio(3)
+        else video ++ audio(2)
+      if (subbed) base ++ subTrack else base
+    }
     val tracks = el(0x1654AE6BL, trackKids)
     // clusters of opaque SimpleBlocks under the documented census
     val nClusters = (1 + s % 3).toInt
@@ -479,7 +530,12 @@ object MkvEncode {
             ((s * 31 + c * 17 + k * 7 + j) % 256).toByte)
         el(0xA3, payload)
       }.reduce(_ ++ _)
-      el(0x1F43B675L, el(0xE7, uint(c.toLong * 40)) ++ blocks)
+      val sub = if (!subbed) Array.empty[Byte] else {
+        val text = s"sub $c w${(s * 3 + c) % 10}"
+        el(0xA3, Array[Byte](0x89.toByte, 0, 0x20, 0) ++
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      el(0x1F43B675L, el(0xE7, uint(c.toLong * 40)) ++ blocks ++ sub)
     }.reduce(_ ++ _)
     val segment = el(0x18538067L, info ++ tracks ++ clusters)
     ebml ++ segment

@@ -1061,7 +1061,9 @@ object Multimodal {
         col("__m.channels").as("channels"),
         col("__m.n_clusters").as("n_clusters"),
         col("__m.n_blocks").as("n_blocks"),
-        col("__m.frame_bytes").as("frame_bytes"))
+        col("__m.frame_bytes").as("frame_bytes"),
+        col("__m.n_sub_blocks").as("n_sub_blocks"),
+        col("__m.subtitle_text").as("subtitle_text"))
 
   /** Ogg page-walk census over a binary corpus: CRC-verified page
     * structure + ident-header probe (see [[OggKernel]]).
@@ -1077,7 +1079,11 @@ object Multimodal {
         col("__m.channels").as("channels"),
         col("__m.sample_rate").as("sample_rate"),
         col("__m.last_granule").as("last_granule"),
-        col("__m.serial").as("serial"))
+        col("__m.serial").as("serial"),
+        col("__m.vendor").as("vendor"),
+        col("__m.artist").as("artist"),
+        col("__m.title").as("title"),
+        col("__m.n_comments").as("n_comments"))
 
   /** WARC-of-HTTP fixture corpus ([[WarcHttpEncode]]'s documented
     * contract: identity / chunked / gzip wire forms cycling per

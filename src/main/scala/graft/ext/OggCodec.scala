@@ -31,13 +31,17 @@ private[ext] object OggKernel {
 
   final case class Ogg(nPages: Int, nPackets: Int, nStreams: Int,
       codec: String, channels: java.lang.Long,
-      sampleRate: java.lang.Long, lastGranule: Long, serial: Long)
+      sampleRate: java.lang.Long, lastGranule: Long, serial: Long,
+      vendor: String, artist: String, title: String,
+      nComments: java.lang.Long)
 
   private final class Stream {
     var packetOpen = false
-    var firstOpen = true
-    var firstPacket: Array[Byte] = null
-    val firstBuf = new java.io.ByteArrayOutputStream()
+    // the first TWO packets: ident header + comment header
+    val headBufs = Array(new java.io.ByteArrayOutputStream(),
+      new java.io.ByteArrayOutputStream())
+    val headPackets = new Array[Array[Byte]](2)
+    var headIdx = 0
     var lastGranule = 0L
     var nPackets = 0
   }
@@ -127,14 +131,15 @@ private[ext] object OggKernel {
       s = 0
       while (s < nSegs) {
         val lace = b(pos + 27 + s) & 0xFF
-        if (st.firstOpen)
-          st.firstBuf.write(b, dataOff, lace)
+        if (st.headIdx < 2 && st.headBufs(st.headIdx).size() < (1 << 20))
+          st.headBufs(st.headIdx).write(b, dataOff, lace)
         if (lace < 255) {
           st.nPackets += 1
           st.packetOpen = false
-          if (st.firstOpen) {
-            st.firstPacket = st.firstBuf.toByteArray
-            st.firstOpen = false
+          if (st.headIdx < 2) {
+            st.headPackets(st.headIdx) =
+              st.headBufs(st.headIdx).toByteArray
+            st.headIdx += 1
           }
         } else st.packetOpen = true
         dataOff += lace
@@ -154,7 +159,7 @@ private[ext] object OggKernel {
     var codec: String = null
     var channels: java.lang.Long = null
     var rate: java.lang.Long = null
-    val fp = first.firstPacket
+    val fp = first.headPackets(0)
     if (fp != null && fp.length >= 16) {
       if (fp(0) == 1 && fp(1) == 'v' && fp(2) == 'o' && fp(3) == 'r' &&
         fp(4) == 'b' && fp(5) == 'i' && fp(6) == 's') {
@@ -169,8 +174,80 @@ private[ext] object OggKernel {
         rate = le4(fp, 12)
       }
     }
+    // comment header (the audio EXIF): packet 2 of the first stream —
+    // Vorbis 0x03"vorbis" or "OpusTags", then the shared
+    // vendor_len/vendor/count/(len,"KEY=value")* layout. Strict UTF-8,
+    // verified-or-nothing: any malformed length or string nulls ALL
+    // comment fields (never a partial tag set).
+    var vendor: String = null
+    var artist: String = null
+    var title: String = null
+    var nComments: java.lang.Long = null
+    val cp = first.headPackets(1)
+    val cOff =
+      if (cp == null) -1
+      else if (cp.length >= 7 && cp(0) == 3 && cp(1) == 'v' &&
+        cp(2) == 'o' && cp(3) == 'r' && cp(4) == 'b' && cp(5) == 'i' &&
+        cp(6) == 's') 7
+      else if (cp.length >= 8 && cp(0) == 'O' && cp(1) == 'p' &&
+        cp(2) == 'u' && cp(3) == 's' && cp(4) == 'T' && cp(5) == 'a' &&
+        cp(6) == 'g' && cp(7) == 's') 8
+      else -1
+    if (cOff > 0) {
+      val parsed = parseComments(cp, cOff)
+      if (parsed != null) {
+        vendor = parsed._1
+        nComments = parsed._2.length.toLong
+        for ((k, v) <- parsed._2) {
+          val kl = k.toLowerCase
+          if (kl == "artist" && artist == null) artist = v
+          if (kl == "title" && title == null) title = v
+        }
+      }
+    }
     Ogg(nPages, nPackets, streams.size, codec, channels, rate,
-      lastGranule, serial)
+      lastGranule, serial, vendor, artist, title, nComments)
+  }
+
+  /** (vendor, [(key, value)...]) or null on any malformed frame. */
+  private def parseComments(cp: Array[Byte], off0: Int)
+      : (String, Array[(String, String)]) = {
+    var off = off0
+    def le4i(): Long = {
+      if (off + 4 > cp.length) return -1L
+      val v = le4(cp, off); off += 4; v
+    }
+    def utf8(len: Long): String = {
+      if (len < 0 || len > 65536 || off + len > cp.length) return null
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val s = try dec.decode(java.nio.ByteBuffer.wrap(cp, off,
+        len.toInt)).toString
+      catch { case _: java.nio.charset.CharacterCodingException =>
+        return null }
+      off += len.toInt
+      s
+    }
+    val vlen = le4i()
+    if (vlen < 0) return null
+    val vendor = utf8(vlen)
+    if (vendor == null) return null
+    val n = le4i()
+    if (n < 0 || n > 1024) return null
+    val out = new Array[(String, String)](n.toInt)
+    var i = 0
+    while (i < n) {
+      val clen = le4i()
+      if (clen < 0) return null
+      val c = utf8(clen)
+      if (c == null) return null
+      val eq = c.indexOf('=')
+      if (eq < 1) return null // a tag without a key is malformed
+      out(i) = (c.substring(0, eq), c.substring(eq + 1))
+      i += 1
+    }
+    (vendor, out)
   }
 }
 
@@ -192,7 +269,11 @@ case class OggMeta(child: Expression)
     StructField("channels", LongType),
     StructField("sample_rate", LongType),
     StructField("last_granule", LongType),
-    StructField("serial", LongType)))
+    StructField("serial", LongType),
+    StructField("vendor", StringType),
+    StructField("artist", StringType),
+    StructField("title", StringType),
+    StructField("n_comments", LongType)))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -210,11 +291,13 @@ case class OggMeta(child: Expression)
     val m = OggKernel.parse(bytes)
     if (m == null)
       return InternalRow(false, null, null, null, null, null, null,
-        null, null)
+        null, null, null, null, null, null)
+    def s(v: String): Any =
+      if (v == null) null else UTF8String.fromString(v)
     InternalRow(true, m.nPages.toLong, m.nPackets.toLong,
-      m.nStreams.toLong,
-      if (m.codec == null) null else UTF8String.fromString(m.codec),
-      m.channels, m.sampleRate, m.lastGranule, m.serial)
+      m.nStreams.toLong, s(m.codec),
+      m.channels, m.sampleRate, m.lastGranule, m.serial,
+      s(m.vendor), s(m.artist), s(m.title), m.nComments)
   }
 
   override protected def withNewChildInternal(
@@ -241,16 +324,21 @@ object OggMeta {
   *     length 5 + (s*3 + p*7 + q*11) mod 40 bytes, byte j =
   *     (s*13 + p*31 + q*7 + j) mod 256; granule (p+1)*576; the last
   *     page carries the EOS flag
+  * Every stream's second page carries its REAL comment header (the
+  * audio EXIF): vendor `graft-fixture`, comments ARTIST=artist-(s mod
+  * 13), TITLE=title-(s mod 9), plus GENRE=g(s mod 4) on odd s — so
+  * vendor/artist/title/n_comments = 2 + s mod 2 replay as exact
+  * strings through the Vorbis-comment/OpusTags layout.
   * When s mod 3 == 0 a SECOND logical stream multiplexes in (r15
   * second pass): serial+1, the opposite ident codec, one page after
   * every primary page (1 packet of 6 + (s+p) mod 20 bytes, byte j =
   * (s*17 + p*23 + j) mod 256, granule (p+1)*100) — the reported
-  * codec/rate/granule stay the FIRST stream's, per-serial packet
-  * closure is load-bearing, and:
+  * codec/rate/granule/comments stay the FIRST stream's, per-serial
+  * packet closure is load-bearing, and:
   *   n_streams = 1 + [s mod 3 == 0]
-  *   n_pages   = (1 + nPages) · n_streams
-  *   n_packets = 1 + Σ_p (1 + (s+p) mod 3)
-  *               + [s mod 3 == 0] · (1 + nPages) */
+  *   n_pages   = (2 + nPages) · n_streams
+  *   n_packets = 2 + Σ_p (1 + (s+p) mod 3)
+  *               + [s mod 3 == 0] · (2 + nPages) */
 case class OggEncode(seed: Expression, nPages: Expression)
     extends Expression with CodegenFallback {
 
@@ -344,6 +432,30 @@ object OggEncode {
       b
     }
 
+  private def commentPacket(vorbis: Boolean, s: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (vorbis) {
+      out.write(3)
+      out.write("vorbis".getBytes("US-ASCII"))
+    } else out.write("OpusTags".getBytes("US-ASCII"))
+    def le32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    }
+    def str(t: String): Unit = {
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      le32(b.length); out.write(b, 0, b.length)
+    }
+    str("graft-fixture")
+    val comments = Seq(s"ARTIST=artist-${s % 13}",
+      s"TITLE=title-${s % 9}") ++
+      (if (s % 2 == 1) Seq(s"GENRE=g${s % 4}") else Seq.empty)
+    le32(comments.length)
+    comments.foreach(str)
+    if (vorbis) out.write(1) // framing bit
+    out.toByteArray
+  }
+
   def encode(s0: Long, nPages: Int): Array[Byte] = {
     val s = ((s0 % 1000003) + 1000003) % 1000003
     val serial = 1 + s % 100000
@@ -358,6 +470,12 @@ object OggEncode {
         Rates(((s + 1) % 5).toInt))
       out.write(page(2, 0L, serial + 1, 0L, Array(ident2)))
     }
+    // comment headers on each stream's second page (the real layout)
+    out.write(page(0, 0L, serial, 1L,
+      Array(commentPacket(s % 2 == 0, s))))
+    if (muxed)
+      out.write(page(0, 0L, serial + 1, 1L,
+        Array(commentPacket(s % 2 != 0, s + 1))))
     for (p <- 0 until nPages) {
       val npk = (1 + (s + p) % 3).toInt
       val packets = Array.tabulate(npk) { q =>
@@ -366,12 +484,12 @@ object OggEncode {
           ((s * 13 + p * 31 + q * 7 + j) % 256).toByte)
       }
       val flags = if (p == nPages - 1) 4 else 0
-      out.write(page(flags, (p + 1) * 576L, serial, p + 1L, packets))
+      out.write(page(flags, (p + 1) * 576L, serial, p + 2L, packets))
       if (muxed) {
         val len2 = (6 + (s + p) % 20).toInt
         val pkt2 = Array.tabulate[Byte](len2)(j =>
           ((s * 17 + p * 23 + j) % 256).toByte)
-        out.write(page(flags, (p + 1) * 100L, serial + 1, p + 1L,
+        out.write(page(flags, (p + 1) * 100L, serial + 1, p + 2L,
           Array(pkt2)))
       }
     }

@@ -893,6 +893,54 @@ object ScaleDemo {
       graft.ext.Multimodal.warcHttpTexts(warc)
         .agg(sum(col("cp_sum")) + count(lit(1))).collect()(0).getLong(0)
     }
+    timed("cid_text") {
+      // round 15: Type0/CID PDF text — object indexing + Flate'd
+      // ToUnicode CMap decode + 2-byte CID show strings per row;
+      // zero-shuffle scan like pdf_text
+      val pdf = graft.ext.Multimodal.syntheticPdfCidCorpus(corpus,
+        "doc_id", col("doc_id") % 17, lit(1) + col("doc_id") % 4)
+      graft.ext.Multimodal.pdfText(pdf)
+        .agg(sum(col("cp_sum")) + sum(col("n_chars"))).collect()(0)
+        .getLong(0)
+    }
+    timed("avif_meta") {
+      // round 15: ISO-BMFF meta spine walk (pitm/ipma/ipco/ispe) per
+      // row — pure box arithmetic, zero codec decode, zero shuffle
+      val m = corpus.select(col("doc_id").as("media_id"),
+        graft.ext.BmffMetaEncode(col("doc_id") % 19, col("doc_id") % 2)
+          .as("content"))
+      graft.ext.Multimodal.bmffImageMeta(m)
+        .agg(sum(col("width")) + sum(col("n_items"))).collect()(0)
+        .getLong(0)
+    }
+    timed("webm_meta") {
+      // round 15: EBML element walk + cluster/block census per row
+      val m = corpus.select(col("doc_id").as("media_id"),
+        graft.ext.MkvEncode(col("doc_id") % 23).as("content"))
+      graft.ext.Multimodal.mkvMeta(m)
+        .agg(sum(col("pixel_width")) + sum(col("frame_bytes")))
+        .collect()(0).getLong(0)
+    }
+    timed("ogg_meta") {
+      // round 15: CRC-verified page walk (every byte CRC'd) with
+      // per-serial packet closure; the multiplexed seeds double pages
+      val m = corpus.select(col("doc_id").as("media_id"),
+        graft.ext.OggEncode(col("doc_id") % 31,
+          lit(1L) + col("doc_id") % 5).as("content"))
+      graft.ext.Multimodal.oggMeta(m)
+        .agg(sum(col("last_granule")) + sum(col("n_packets")))
+        .collect()(0).getLong(0)
+    }
+    timed("zstd_http") {
+      // round 15: the WARC -> HTTP chain with the 4-form wire cycle —
+      // a quarter of the records ride full RFC 8878 frame decode
+      // (XXH64-verified); one scan projection, no exchange
+      val warc = graft.ext.Multimodal.syntheticWarcHttpCorpus(corpus,
+        "doc_id", col("doc_id") % 11, lit(8L))
+      graft.ext.Multimodal.warcHttpResponses(warc)
+        .agg(sum(col("byte_sum")) + count(lit(1))).collect()(0)
+        .getLong(0)
+    }
     timed("cdc_dedup") {
       // content-defined chunking + chunk-group dedup: chunking is a
       // zero-shuffle linear byte scan (O(1)/byte rolling boundary),

@@ -45,7 +45,8 @@ class MkvSpec extends SparkTestBase {
       assert(m.docTypeVersion == 2 + s % 3)
       assert(m.timestampScale == 1000000L)
       assert(m.durationUnits == 1000 + s % 50000)
-      assert(m.nTracks == (if (s % 3 == 0) 3 else 2))
+      val sb = if (s % 5 < 2) 1 else 0
+      assert(m.nTracks == (if (s % 3 == 0) 3 else 2) + sb)
       assert(m.videoCodec == (if (s % 2 == 0) "V_VP9" else "V_VP8"))
       assert(m.pixelWidth == 320 + (s * 3) % 1280)
       assert(m.pixelHeight == 240 + (s * 7) % 720)
@@ -55,13 +56,21 @@ class MkvSpec extends SparkTestBase {
       // block census replay (r15 second pass)
       val nClusters = (1 + s % 3).toInt
       assert(m.nClusters == nClusters)
-      val expBlocks = (0 until nClusters).map(c => 1 + (s + c) % 2).sum
+      val expBlocks = (0 until nClusters).map(c => 1 + (s + c) % 2).sum +
+        sb * nClusters
       assert(m.nBlocks == expBlocks, s"s=$s blocks=${m.nBlocks}")
       val expBytes = (for {
         c <- 0 until nClusters
         k <- 0 until (1 + (s + c) % 2).toInt
-      } yield 8 + (s * 5 + c * 7 + k * 3) % 40).sum
+      } yield 8 + (s * 5 + c * 7 + k * 3) % 40).sum + sb * 8L * nClusters
       assert(m.frameBytes == expBytes, s"s=$s bytes=${m.frameBytes}")
+      // subtitle text-from-video: exact strings, newline-joined
+      assert(m.nSubBlocks == sb * nClusters)
+      if (sb == 1) {
+        val expText = (0 until nClusters)
+          .map(c => s"sub $c w${(s * 3 + c) % 10}").mkString("\n")
+        assert(m.subtitleText == expText, s"s=$s text=${m.subtitleText}")
+      } else assert(m.subtitleText == null)
     }
   }
 
@@ -89,6 +98,41 @@ class MkvSpec extends SparkTestBase {
     // group frame: 12 - 2(varint) - 3 = wait: payload 10 bytes after
     // the 0xA1 0x89 header; 10 - 2 - 3 = 5. simple: 8 - 1 - 3 = 4.
     assert(m.frameBytes == 9, s"frameBytes=${m.frameBytes}")
+  }
+
+  test("subtitle extraction is verified-or-nothing: a malformed-UTF8 " +
+      "subtitle frame contributes no text and is not counted") {
+    // track 9 declared S_TEXT/UTF8; one good block, one bad block
+    val header = Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte,
+      0x87.toByte, 0x42, 0x82.toByte, 0x84.toByte, 'w', 'e', 'b', 'm')
+    val subEntry = Array[Byte](0xAE.toByte, 0x8A.toByte,
+      0xD7.toByte, 0x81.toByte, 9, // TrackNumber 9
+      0x83.toByte, 0x81.toByte, 17, // TrackType subtitle
+      0x86.toByte, 0x82.toByte, 'S', '_') // CodecID "S_" (wrong)
+    // with the WRONG codec id the track is not a subtitle source
+    val subEntryGood = Array[Byte](0xAE.toByte, 0x93.toByte,
+      0xD7.toByte, 0x81.toByte, 9,
+      0x83.toByte, 0x81.toByte, 17,
+      0x86.toByte, 0x8B.toByte) ++ "S_TEXT/UTF8".getBytes
+    def tracksOf(entry: Array[Byte]) = Array[Byte](0x16, 0x54,
+      0xAE.toByte, 0x6B, (0x80 + entry.length).toByte) ++ entry
+    val good = Array[Byte](0xA3.toByte, 0x87.toByte,
+      0x89.toByte, 0, 0, 0, 'h', 'e', 'y')
+    val bad = Array[Byte](0xA3.toByte, 0x86.toByte,
+      0x89.toByte, 0, 0, 0, 0xC3.toByte, 0x28.toByte) // broken UTF-8
+    def clusterOf(kids: Array[Byte]) = Array[Byte](0x1F, 0x43,
+      0xB6.toByte, 0x75, (0x80 + kids.length).toByte) ++ kids
+    def segOf(c: Array[Byte], t: Array[Byte]) = Array[Byte](0x18, 0x53,
+      0x80.toByte, 0x67, (0x80 + t.length + c.length).toByte) ++ t ++ c
+    val m = MkvKernel.parse(header ++
+      segOf(clusterOf(good ++ bad), tracksOf(subEntryGood)))
+    assert(m != null)
+    assert(m.nBlocks == 2) // census counts both
+    assert(m.nSubBlocks == 1 && m.subtitleText == "hey")
+    val mWrong = MkvKernel.parse(header ++
+      segOf(clusterOf(good), tracksOf(subEntry)))
+    assert(mWrong != null && mWrong.nSubBlocks == 0 &&
+      mWrong.subtitleText == null)
   }
 
   test("hostile bytes: junk, oversize element, truncations null — " +

@@ -89,9 +89,9 @@ class OggSpec extends SparkTestBase {
       assert(m != null, s"s=$s n=$n")
       val mx = if (s % 3 == 0) 1 else 0
       assert(m.nStreams == 1 + mx)
-      assert(m.nPages == (1 + n) * (1 + mx), s"s=$s n=$n")
-      val expPackets = 1 + (0 until n).map(p => 1 + (s + p) % 3).sum +
-        mx * (1 + n)
+      assert(m.nPages == (2 + n) * (1 + mx), s"s=$s n=$n")
+      val expPackets = 2 + (0 until n).map(p => 1 + (s + p) % 3).sum +
+        mx * (2 + n)
       assert(m.nPackets == expPackets, s"s=$s n=$n")
       // reported fields stay the FIRST stream's
       assert(m.codec == (if (s % 2 == 0) "vorbis" else "opus"))
@@ -99,6 +99,11 @@ class OggSpec extends SparkTestBase {
       assert(m.sampleRate == rates((s % 5).toInt))
       assert(m.lastGranule == (if (n == 0) 0L else n * 576L))
       assert(m.serial == 1 + s % 100000)
+      // comment header (audio EXIF): exact strings
+      assert(m.vendor == "graft-fixture")
+      assert(m.artist == s"artist-${s % 13}")
+      assert(m.title == s"title-${s % 9}")
+      assert(m.nComments == 2 + s % 2)
     }
   }
 
@@ -149,7 +154,7 @@ class OggSpec extends SparkTestBase {
       val mx = if (s % 3 == 0) 1 else 0
       assert(r._2, s"doc ${r._1}")
       assert(r._3.contains(if (s % 2 == 0) "vorbis" else "opus"))
-      assert(r._4.contains((1 + n) * (1 + mx)))
+      assert(r._4.contains((2 + n) * (1 + mx)))
       assert(r._5.contains(n * 576L))
     }
   }
