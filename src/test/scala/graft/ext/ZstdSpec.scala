@@ -69,6 +69,50 @@ class ZstdSpec extends AnyFunSuite {
     }
   }
 
+  test("CLI cross-check, wide battery: 40 seeded corpora x high/ultra " +
+      "levels and --long windows decode byte-exact") {
+    val rnd = new scala.util.Random(20260816L)
+    val words = Array("the", "of", "and", "data", "stream", "frame",
+      "block", "entropy", "sequence", "match", "offset", "literal")
+    for (i <- 0 until 40) {
+      val shape = i % 4
+      val size = 2000 + rnd.nextInt(120000)
+      val data: Array[Byte] = shape match {
+        case 0 => // natural-ish text
+          val sb = new StringBuilder
+          while (sb.length < size)
+            sb.append(words(rnd.nextInt(words.length))).append(' ')
+          sb.toString.take(size).getBytes("US-ASCII")
+        case 1 => // runs + structure (RLE blocks, long matches)
+          val b = new Array[Byte](size)
+          var p = 0
+          while (p < size) {
+            val run = 1 + rnd.nextInt(200)
+            val v = rnd.nextInt(8).toByte
+            var j = 0
+            while (j < run && p < size) { b(p) = v; p += 1; j += 1 }
+          }
+          b
+        case 2 => // periodic binary (repeat offsets)
+          Array.tabulate[Byte](size)(j => ((j % 97) * 3).toByte)
+        case _ => // incompressible
+          val b = new Array[Byte](size); rnd.nextBytes(b); b
+      }
+      val args = (i % 5) match {
+        case 0 => Seq("-19")
+        case 1 => Seq("--ultra", "-22")
+        case 2 => Seq("-12", "--long=24")
+        case 3 => Seq("-5")
+        case _ => Seq("-1", "--no-check")
+      }
+      val frame = cliCompress(data, args: _*)
+      val dec = ZstdKernel.decode(frame)
+      assert(dec != null, s"corpus $i (${args.mkString(" ")}): null")
+      assert(java.util.Arrays.equals(dec, data),
+        s"corpus $i (${args.mkString(" ")}): content mismatch")
+    }
+  }
+
   test("CLI cross-check: --no-check frames (no checksum field) decode") {
     for ((name, data) <- corpora.take(3)) {
       val frame = cliCompress(data, "-3", "--no-check")
