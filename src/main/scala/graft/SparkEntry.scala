@@ -3980,6 +3980,23 @@ object SparkEntry {
           .otherwise(col("content")))
       graft.ext.Multimodal.mkvMeta(dirty).orderBy(col("media_id"))
     }),
+    // MP4 movie metadata (r15, the Matroska spine mirrored onto the
+    // other dominant video container): mvhd timescale/duration (both
+    // fullbox versions cycle by seed), per-trak handler + stsd codec
+    // fourcc, tkhd 16.16 dims, audio rate/channels, and tx3g timed
+    // TEXT extracted via the stsz/stco sample walk — the oracle
+    // replays the cue text as EXACT strings
+    "x_mm_mp4_meta" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val media = docs.select(col("doc_id").cast("long").as("media_id"),
+        graft.ext.Mp4MovieEncode((col("doc_id") % 27).cast("long"))
+          .as("content"))
+      val dirty = media.withColumn("content",
+        when(col("media_id") === 0,
+          expr("concat(X'00000000', substring(content, 5))"))
+          .otherwise(col("content")))
+      graft.ext.Multimodal.mp4MovieMeta(dirty).orderBy(col("media_id"))
+    }),
     // Ogg page walk (r15 verdict #7): every page CRC-verified (the Ogg
     // polynomial, computed with the CRC field zeroed), packets counted
     // by lacing closure, and the Vorbis/Opus ident header probed for
@@ -7926,6 +7943,36 @@ object SparkEntry {
       "['sub ' || CAST(c AS VARCHAR) || ' w' || " +
       "CAST((s*3 + c) % 10 AS VARCHAR) " +
       "for c in range(0, 1 + s % 3)], chr(10)) END AS subtitle_text " +
+      "FROM d ORDER BY media_id"),
+    // MP4 movie replay: mvhd/trak/stsd fields and the tx3g cue text
+    // as exact strings, all from the planted per-seed formulas
+    "x_mm_mp4_meta" -> ("WITH d AS (SELECT doc_id, doc_id % 27 AS s, " +
+      "CASE WHEN doc_id % 27 % 4 < 2 THEN 1 ELSE 0 END AS tx " +
+      "FROM documents) " +
+      "SELECT doc_id AS media_id, doc_id <> 0 AS ok, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(1000 AS BIGINT) END " +
+      "AS timescale, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(5000 + s % 90000 AS BIGINT) " +
+      "END AS duration_units, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(2 + tx AS BIGINT) END " +
+      "AS n_tracks, " +
+      "CASE WHEN doc_id <> 0 THEN CASE WHEN s % 2 = 0 THEN 'avc1' " +
+      "ELSE 'hvc1' END END AS video_codec, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(320 + (s * 3) % 1280 AS BIGINT) " +
+      "END AS width, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(240 + (s * 7) % 720 AS BIGINT) " +
+      "END AS height, " +
+      "CASE WHEN doc_id <> 0 THEN 'mp4a' END AS audio_codec, " +
+      "CASE WHEN doc_id <> 0 THEN CAST([8000,16000,22050,44100,48000]" +
+      "[CAST(s % 5 AS INT) + 1] AS BIGINT) END AS sample_rate, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(1 + s % 2 AS BIGINT) END " +
+      "AS channels, " +
+      "CASE WHEN doc_id <> 0 THEN CAST(tx * (1 + s % 3) AS BIGINT) " +
+      "END AS n_text_samples, " +
+      "CASE WHEN doc_id <> 0 AND tx = 1 THEN array_to_string(" +
+      "['cue ' || CAST(t AS VARCHAR) || ' q' || " +
+      "CAST((s*7 + t) % 10 AS VARCHAR) " +
+      "for t in range(0, 1 + s % 3)], chr(10)) END AS text " +
       "FROM d ORDER BY media_id"),
     // Ogg replay: page/packet counts by the planted lacing closure,
     // granule and ident-header fields arithmetically — the engine

@@ -1065,6 +1065,25 @@ object Multimodal {
         col("__m.n_sub_blocks").as("n_sub_blocks"),
         col("__m.subtitle_text").as("subtitle_text"))
 
+  /** MP4 movie-metadata census over a binary corpus: mvhd timing, the
+    * track spine (handler/codec/dims/rate) and tx3g timed text (see
+    * [[Mp4MetaKernel]]). Zero-shuffle scan projection. */
+  def mp4MovieMeta(media: DataFrame): DataFrame =
+    media
+      .withColumn("__m", Mp4MovieMeta(col("content")))
+      .select(col("media_id"), col("__m.ok").as("ok"),
+        col("__m.timescale").as("timescale"),
+        col("__m.duration_units").as("duration_units"),
+        col("__m.n_tracks").as("n_tracks"),
+        col("__m.video_codec").as("video_codec"),
+        col("__m.width").as("width"),
+        col("__m.height").as("height"),
+        col("__m.audio_codec").as("audio_codec"),
+        col("__m.sample_rate").as("sample_rate"),
+        col("__m.channels").as("channels"),
+        col("__m.n_text_samples").as("n_text_samples"),
+        col("__m.text").as("text"))
+
   /** Ogg page-walk census over a binary corpus: CRC-verified page
     * structure + ident-header probe (see [[OggKernel]]).
     * Zero-shuffle. */

@@ -931,6 +931,14 @@ object ScaleDemo {
         .agg(sum(col("last_granule")) + sum(col("n_packets")))
         .collect()(0).getLong(0)
     }
+    timed("mp4_meta") {
+      // round 15: moov walk (mvhd/trak/stsd) + tx3g text samples
+      val m = corpus.select(col("doc_id").as("media_id"),
+        graft.ext.Mp4MovieEncode(col("doc_id") % 27).as("content"))
+      graft.ext.Multimodal.mp4MovieMeta(m)
+        .agg(sum(col("width")) + sum(col("n_text_samples")))
+        .collect()(0).getLong(0)
+    }
     timed("zstd_http") {
       // round 15: the WARC -> HTTP chain with the 4-form wire cycle —
       // a quarter of the records ride full RFC 8878 frame decode

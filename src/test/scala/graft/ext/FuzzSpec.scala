@@ -62,6 +62,7 @@ class FuzzSpec extends AnyFunSuite {
     MkvKernel.parse(b)
     OggKernel.parse(b)
     ZstdKernel.decode(b)
+    Mp4MetaKernel.parse(b)
   }
 
   test("pure random bytes never throw in any kernel") {
@@ -179,6 +180,8 @@ class FuzzSpec extends AnyFunSuite {
       MkvEncode.encode(9L),
       OggEncode.encode(4L, 3),
       ZstdKernel.encodeFixture(6L, 4),
+      Mp4MovieEncode.encode(5L),
+      Mp4MovieEncode.encode(6L),
       HttpKernel.encode(200, "text/html", Array.tabulate(90)(i =>
         ((i * 13) % 256).toByte), chunked = true, gzipBody = false,
         zstdBody = true)
