@@ -36,7 +36,20 @@ object PageRank {
   /** (node, pr) after `iters` power iterations from the uniform start.
     * `edges` needs (src, dst) columns; isolated nodes must appear as
     * some edge endpoint to exist at all (an edge list has no other
-    * witness of them). */
+    * witness of them).
+    *
+    * Each iteration's rank frame is localCheckpointed (the
+    * [[ConnectedComponents]]/[[LabelProp]] iterative-lineage
+    * discipline): the next round references it THREE times (edge
+    * contributions, the dangling-mass aggregate, and the rank join),
+    * so an unmaterialized chain re-plans and re-executes a subtree
+    * that triples per round — 3^iters leaf copies by the final action
+    * (measured locally: 6.0 s -> 1.0 s at sf0.1 for iters = 3; the
+    * blowup is exponential in `iters`, so at production depths the
+    * unmaterialized form is not merely slow but unrunnable). The
+    * numerics are untouched: quantized integer sums are partition-
+    * order-independent, so checkpointed and chained plans produce
+    * bit-identical ranks. */
   def run(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
       quantize: Int = 12, eager: Boolean = false): DataFrame = {
     require(iters > 0 && damping > 0 && damping < 1, "bad pagerank params")
@@ -59,6 +72,7 @@ object PageRank {
     val pr0 = nodes.crossJoin(nRow)
       .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .select(col("node"), (lit(1.0) / col("n")).as("pr"), col("n"), col("od"))
+      .localCheckpoint(true)
     val prFinal = (1 to iters).foldLeft(pr0) { (pr, _) =>
       // per-edge contributions, summed per dst in exact integer units
       val contribs = pr.filter(col("od").isNotNull)
@@ -80,6 +94,7 @@ object PageRank {
             lit(damping) * (coalesce(col("s"), lit(0L)).cast("double") / lit(scale) +
               col("dang").cast("double") / lit(scale) / col("n"))).as("pr"),
           col("n"), col("od"))
+        .localCheckpoint(true)
     }
     val out = prFinal.select(col("node"), col("pr"))
     Dedup.finishEager(out, eager, Seq(e, nodes, outdeg))
@@ -124,6 +139,7 @@ object PageRank {
       .select(col("node"), col("in_r"),
         when(col("in_r"), lit(1.0) / col("r")).otherwise(lit(0.0)).as("pr"),
         col("r"), col("od"))
+      .localCheckpoint(true)
     val prFinal = (1 to iters).foldLeft(pr0) { (pr, _) =>
       val contribs = pr.filter(col("od").isNotNull)
         .select(col("node").as("src"), (col("pr") / col("od")).as("c"))
@@ -145,6 +161,7 @@ object PageRank {
                 lit(damping) * (col("dang").cast("double") / lit(scale) / col("r")))
               .otherwise(lit(0.0))).as("pr"),
           col("r"), col("od"))
+        .localCheckpoint(true)
     }
     val out = prFinal.select(col("node"), col("pr"))
     Dedup.finishEager(out, eager, Seq(e, r, nodes, outdeg))
