@@ -1190,14 +1190,19 @@ object SparkEntry {
     // 3..6 words (20 on 31-multiples — the oversized-sentence branch),
     // then whole sentences greedy-pack under a 12-word budget
     "x_chunk_sent" -> ((s, d) => {
-      val ws = split(trim(col("text")), "\\s+")
+      // words bound to a column BEFORE the sentence lambda reads them
+      // (the tilesOf discipline): an un-bound split() inside the lambda
+      // re-splits the text once per sentence
+      val ws = col("__ws")
       val slen = when(col("doc_id") % 31 === 0, lit(20))
         .otherwise((col("doc_id") % 4 + 3).cast("int"))
       val nS = floor((size(ws) + slen - 1).cast("double") / slen).cast("int")
       val sents = transform(sequence(lit(1), nS), i =>
         array_join(slice(ws, ((i - 1) * slen + 1).cast("int"), slen), " "))
-      val planted = Tables.load(s, d, "documents").select(col("doc_id"),
-        concat(array_join(sents, ". "), lit(".")).as("text"))
+      val planted = Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__ws"))
+        .select(col("doc_id"),
+          concat(array_join(sents, ". "), lit(".")).as("text"))
       graft.ext.TextAnalysis.chunkBySentences(planted, "doc_id", "text",
         maxWords = 12)
         .orderBy(col("doc_id"), col("chunk_idx"))
@@ -2980,9 +2985,12 @@ object SparkEntry {
     // lines stitch back in order. Line df travels as xxhash64 (the
     // oracle groups the strings — injectivity at corpus scale)
     "x_text_lines" -> ((s, d) => {
-      val words = split(col("text"), " ")
+      // words bound before the line lambda (the tilesOf discipline)
+      val words = col("__ws")
       val nLines = ceil(size(words).cast("double") / 8.0).cast("long")
-      val lined = Tables.load(s, d, "documents").select(col("doc_id"),
+      val lined = Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+        .select(col("doc_id"),
         concat(
           array_join(transform(sequence(lit(0L), nLines - 1),
             i => array_join(slice(words, (i * 8 + 1).cast("int"), lit(8)), " ")),
@@ -2998,9 +3006,12 @@ object SparkEntry {
     // its first (smallest doc_id) host; every later copy drops; unique
     // content lines pass through untouched
     "x_text_linededup" -> ((s, d) => {
-      val words = split(col("text"), " ")
+      // words bound before the line lambda (the tilesOf discipline)
+      val words = col("__ws")
       val nLines = ceil(size(words).cast("double") / 8.0).cast("long")
-      val lined = Tables.load(s, d, "documents").select(col("doc_id"),
+      val lined = Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+        .select(col("doc_id"),
         concat(
           array_join(transform(sequence(lit(0L), nLines - 1),
             i => array_join(slice(words, (i * 8 + 1).cast("int"), lit(8)), " ")),

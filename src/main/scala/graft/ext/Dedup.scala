@@ -692,16 +692,26 @@ object Dedup {
   private def wordsOf(textCol: String) = split(trim(col(textCol)), "\\s+")
 
   /** (idCol, __i, __tile) rows — one per full tile window, plus a
-    * (null, null) marker row for tile-less docs (posexplode_outer). */
+    * (null, null) marker row for tile-less docs (posexplode_outer).
+    *
+    * The word array is BOUND to a column before the tile lambda touches
+    * it: higher-order functions evaluate interpreted, re-running any
+    * expression subtree inside the lambda once per element — a lambda
+    * over the raw `split()` re-splits the whole document per tile,
+    * O(words²/tileWords) per doc (the round-9 RepetitionStats lesson,
+    * still live here). Bound as an attribute, the split runs once per
+    * row and each slice is O(tileWords). Tiles, hashes, and counts are
+    * byte-identical either way. */
   private def tilesOf(df: DataFrame, idCol: String, textCol: String,
       tileWords: Int): DataFrame = {
     require(tileWords > 0, "tileWords must be positive")
-    val ws = wordsOf(textCol)
-    val nt = floor(size(ws) / lit(tileWords)).cast("long")
-    val tiles = transform(sequence(lit(0L), nt - 1),
-      i => array_join(slice(ws, (i * tileWords + 1).cast("int"), lit(tileWords)), " "))
-    df.select(col(idCol),
-        when(nt > 0, tiles).otherwise(array().cast("array<string>")).as("__tiles"))
+    val wsb = col("__ws")
+    val ntb = floor(size(wsb) / lit(tileWords)).cast("long")
+    val tiles = transform(sequence(lit(0L), ntb - 1),
+      i => array_join(slice(wsb, (i * tileWords + 1).cast("int"), lit(tileWords)), " "))
+    df.select(col(idCol), wordsOf(textCol).as("__ws"))
+      .select(col(idCol),
+        when(ntb > 0, tiles).otherwise(array().cast("array<string>")).as("__tiles"))
       .select(col(idCol), posexplode_outer(col("__tiles")).as(Seq("__i", "__tile")))
   }
 
@@ -944,21 +954,25 @@ object Dedup {
       windowWords: Int = 8, stride: Int = 1): DataFrame = {
     require(windowWords > 0, "windowWords must be positive")
     require(stride > 0, "stride must be positive")
-    val ws = split(trim(col(textCol)), "\\s+")
-    val nPos = (floor((size(ws) - windowWords) / lit(stride)) + 1).cast("long")
-    val wins = transform(sequence(lit(0L), nPos - 1),
-      i => array_join(slice(ws, (i * stride + 1).cast("int"), lit(windowWords)), " "))
+    // the word array is bound to a column before the window lambda uses
+    // it (the tilesOf discipline): an un-bound split() inside the lambda
+    // re-splits the document once PER WINDOW — at stride 1 that is
+    // O(words²) per doc
+    val wsb = col("__ws")
+    val nPos = (floor((size(wsb) - windowWords) / lit(stride)) + 1).cast("long")
     // windows are NEVER needed as text downstream (stripping stays with
     // the tiler), so only their xxhash64 leaves the map side — both the
     // count shuffle and the count-join carry 8-byte keys instead of
     // ~50–100-byte window strings (same collision stance as
     // [[tileDuplication]]: expected affected fraction n/2⁶⁴)
+    val wins = transform(sequence(lit(0L), nPos - 1),
+      i => xxhash64(
+        array_join(slice(wsb, (i * stride + 1).cast("int"), lit(windowWords)), " ")))
     val winned = df
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__ws"))
       .select(col(idCol),
-        when(size(ws) >= windowWords, wins)
-          .otherwise(array().cast("array<string>")).as("__wins"))
-      .select(col(idCol),
-        explode_outer(transform(col("__wins"), w => xxhash64(w))).as("__wh"))
+        explode_outer(when(size(wsb) >= windowWords, wins)
+          .otherwise(array().cast("array<bigint>"))).as("__wh"))
     val counts = winned.filter(col("__wh").isNotNull)
       .groupBy(col("__wh")).agg(count(lit(1)).as("__cnt"))
     winned.join(counts, Seq("__wh"), "left")
