@@ -967,20 +967,58 @@ object Hamming64 {
 
   /** (i, j, hamming) pairs with i < j and hamming ≤ maxHamming, from a
     * (idCol, fpCol) frame. fpCol must be LongType (full 64-bit
-    * fingerprint, sign bit allowed). */
+    * fingerprint, sign bit allowed).
+    *
+    * Exact-dup collapse (the r15 optimization pass): the band self-join
+    * runs over DISTINCT fingerprints, not rows. Identical fingerprints
+    * — the dominant case in re-upload/re-encode corpora — collide on
+    * ALL 56 tables, so the naive row-level join manufactures 56 copies
+    * of every within-group pair and feeds them to `distinct()`
+    * (measured at sf0.1's 20k-image gates: tens of millions of
+    * pre-distinct rows for thousands of output pairs). Here the join
+    * shuffles one banded row-set per distinct fp, the Hamming filter
+    * prunes CANDIDATE FP PAIRS before any id expansion, and id pairs
+    * materialize exactly once: within-group pairs from a plain fp
+    * equi-join (Hamming 0 by construction), cross-group pairs from the
+    * surviving fp pairs joined back to ids. The result SET is
+    * unchanged — bands are functions of the fingerprint alone, so fp-
+    * level collisions are row-level collisions, and the Manku recall
+    * guarantee (every pair at Hamming ≤ 6 shares a clean table) is the
+    * same statement at either granularity. Null fingerprints pair with
+    * nothing (as before: a NULL band key never equi-joins). */
   def pairs(df: DataFrame, idCol: String, fpCol: String,
       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 6,
       s"recall guaranteed only to Hamming 6, got $maxHamming")
+    // (id, fp) is 16 bytes/row — materialized so the fingerprint
+    // pipeline (decode + hash, the expensive part) runs ONCE: the frame
+    // feeds the distinct-fp banding, both sides of the within-group
+    // join, and both id-expansion joins. localCheckpoint rather than
+    // persist: [[graft.streaming.FpIngest]] calls this per streaming
+    // trigger, and CacheManager entries would accumulate per trigger —
+    // checkpoint blocks are freed by ContextCleaner when the trigger's
+    // references drop.
     val base = df.select(col(idCol).as("id"), col(fpCol).as("fp"))
-    val keyed = withBandKeys(base, "fp")
-    keyed.as("a").join(keyed.as("b"),
+      .filter(col("fp").isNotNull)
+      .localCheckpoint(true)
+    val keyed = withBandKeys(base.select(col("fp")).distinct(), "fp")
+    val fpPairs = keyed.as("a").join(keyed.as("b"),
         col("a.t") === col("b.t") && col("a.v") === col("b.v") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"),
-        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long")
-          .as("hamming"))
+          col("a.fp") < col("b.fp"))
+      .select(col("a.fp").as("fa"), col("b.fp").as("fb"))
       .distinct()
+      .withColumn("hamming",
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
+    val cross = fpPairs
+      .join(base.select(col("fp").as("fa"), col("id").as("ia")), "fa")
+      .join(base.select(col("fp").as("fb"), col("id").as("ib")), "fb")
+      .filter(col("ia") =!= col("ib"))
+      .select(least(col("ia"), col("ib")).as("i"),
+        greatest(col("ia"), col("ib")).as("j"), col("hamming"))
+    val within = base.as("x").join(base.as("y"),
+        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("i"), col("y.id").as("j"), lit(0L).as("hamming"))
+    within.unionAll(cross)
   }
 }
