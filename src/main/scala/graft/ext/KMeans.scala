@@ -12,18 +12,24 @@ import org.apache.spark.storage.StorageLevel
   * training.
   *
   * Per-iteration shape (the part that must survive 1000 executors):
-  *  - **Assignment is shuffle-free.** Centroids are collapsed to ONE row
-  *    (a sorted array of (cid, vec) structs, at most k*dim doubles) and
-  *    cross-joined broadcast onto the corpus — row count multiplies by 1,
-  *    not k. The per-row argmin runs inside whole-stage codegen as nested
-  *    higher-order functions: `transform` over the k centroids computing
-  *    a squared-L2 `aggregate` fold, then `array_min` on (dist, cid)
-  *    structs — lowest distance, ties to the lowest cid, no UDF.
+  *  - **Assignment is shuffle-free.** The centroid book (at most k*dim
+  *    doubles — the MODEL) rides as a literal in the task closure; the
+  *    per-row argmin runs as nested higher-order functions: `transform`
+  *    over the k centroids computing a squared-L2 `aggregate` fold,
+  *    then `array_min` on (dist, cid) structs — lowest distance, ties
+  *    to the lowest cid, no UDF, no exchange of any kind.
   *  - **Update is one hash-aggregate** keyed by (cid, dim): at most
   *    k*dim groups regardless of corpus size, map-side partials do the
   *    heavy lifting (same shape as [[Similarity.centroids]], which it
   *    reuses — including the quantized-decimal sum that makes centroid
   *    components bit-reproducible across partitionings and engines).
+  *    The aggregate COLLECTS to the driver as the next round's book —
+  *    k*dim bounded rows per iteration, the Spark-MLlib discipline
+  *    (the data itself never funnels anywhere). The previous
+  *    all-DataFrame round (per-cid collect_list, a 1-row pack
+  *    aggregate, a broadcast exchange) moved the same k*dim doubles
+  *    but paid three extra sequential stage round-trips per iteration
+  *    and grew the query plan with every round.
   *
   * Determinism (what lets a SQL engine replay training exactly):
   * seeds are the k rows with the smallest `md5(id)` — a deterministic
@@ -49,30 +55,53 @@ object KMeans {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), (acc, v) => acc + v)
 
-  /** One row: `cents` = array of (cid, cvec) structs sorted by cid. */
-  private def packed(cents: DataFrame): DataFrame =
-    cents.agg(array_sort(collect_list(struct(col("cid"), col("cvec"))))
-      .as("cents"))
+  /** A collected centroid book: (cid, components) sorted by cid — the
+    * bounded k×dim MODEL, the only thing that ever reaches the driver. */
+  private type Book = Array[(Long, Array[Double])]
 
-  /** Nearest-centroid id for `vec` against the packed `cents` column. */
-  private def nearest(vec: Column): Column =
-    array_min(transform(col("cents"), c =>
+  /** The book as an array-of-(cid, cvec)-structs LITERAL, ordered by
+    * cid — the same rows, in the same order, as the old
+    * `array_sort(collect_list(struct(cid, cvec)))` broadcast frame, so
+    * the argmin scan below is expression-for-expression unchanged. */
+  private def bookLit(book: Book): Column =
+    array(book.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), typedlit(cv.toSeq).as("cvec")) }: _*)
+
+  /** Nearest-centroid id for `vec` against a centroid-book column. */
+  private def nearest(vec: Column, cents: Column): Column =
+    array_min(transform(cents, c =>
       struct(sqDist(vec, c.getField("cvec")).as("d"),
         c.getField("cid").as("cid")))).getField("cid")
 
-  /** Corpus with a `cid` column: broadcast the packed centroids, argmin
-    * per row — no shuffle, no row multiplication. */
-  private def assign(points: DataFrame, cents: DataFrame): DataFrame =
-    points.crossJoin(broadcast(packed(cents)))
-      .withColumn("cid", nearest(col("v"))).drop("cents")
+  /** Corpus with a `cid` column: centroids ride as a literal, argmin
+    * per row — no shuffle, no row multiplication, no exchange at all. */
+  private def assign(points: DataFrame, book: Book): DataFrame =
+    points.withColumn("cid", nearest(col("v"), bookLit(book)))
 
-  /** (cid, cvec) rows from per-(cid, dim) quantized-decimal means. */
-  private def update(assigned: DataFrame): DataFrame =
-    Similarity.centroids(assigned, "cid", "v")
-      .groupBy(col("grp").as("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-        x => x.getField("c")).as("cvec"))
-      .select(col("cid"), col("cvec"))
+  /** Collect the flat (grp, dim, c) centroid frame into a [[Book]]:
+    * one bounded k×dim driver round-trip per Lloyd iteration — the
+    * shape Spark's own MLlib KMeans uses. vs the previous
+    * all-DataFrame chain (per-cid collect_list + 1-row pack + broadcast
+    * exchange per iteration, three exchanges each round): the model is
+    * k×dim doubles either way, but the chained form paid 3 extra
+    * sequential stage round-trips per iteration and grew the plan with
+    * every round. Same decimal sums, same values, same cid order —
+    * training is bit-identical (the replay oracles pin it). */
+  private def collectBook(flat: DataFrame): Book = {
+    val rows = flat.select(col("grp").cast("long"), col("dim").cast("long"),
+      col("c")).collect()
+    rows.groupBy(_.getLong(0)).toArray.sortBy(_._1).map { case (cid, rs) =>
+      val dim = rs.map(_.getLong(1)).max.toInt + 1
+      val v = new Array[Double](dim)
+      rs.foreach(r => v(r.getLong(1).toInt) = r.getDouble(2))
+      (cid, v)
+    }
+  }
+
+  /** One Lloyd update: per-(cid, dim) quantized-decimal means of the
+    * assigned points, collected as the next book. */
+  private def update(assigned: DataFrame): Book =
+    collectBook(Similarity.centroids(assigned, "cid", "v"))
 
   /** Persisted (id, v) points plus the post-training assignment frame:
     * the shared core of [[fit]] and [[fitAssign]]. */
@@ -84,14 +113,14 @@ object KMeans {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // deterministic pseudo-random seed draw: k smallest md5(id) —
     // orderBy+limit compiles to TakeOrderedAndProject (never a global
-    // sort); cid = seed rank, assigned on the k-row result
-    val seeds = points
+    // sort) and returns rows IN (h, id) ORDER; cid = seed rank
+    val seedRows = points
       .withColumn("h", md5(col("id").cast("string")))
       .orderBy(col("h"), col("id")).limit(k)
-    val c0 = seeds.select(
-      (row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("h"), col("id"))) - 1).cast("long").as("cid"),
-      transform(col("v"), x => x.cast("double")).as("cvec"))
+      .select(transform(col("v"), x => x.cast("double")).as("cvec"))
+      .collect()
+    val c0: Book = seedRows.zipWithIndex.map { case (r, i) =>
+      (i.toLong, r.getSeq[Double](0).toArray) }
     // iters-1 full rounds, then one final assignment that feeds BOTH the
     // last centroid update and the cluster sizes — one pass, not two
     val cPre = (1 until iters).foldLeft(c0) { (c, _) =>
@@ -107,13 +136,12 @@ object KMeans {
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 2, eager: Boolean = false): DataFrame = {
     val (points, aFinal) = trainedAssignment(df, idCol, vecCol, k, iters)
-    val cFinal = update(aFinal)
-    val sizes = aFinal.groupBy(col("cid")).agg(count(lit(1)).as("n"))
-    val out = cFinal
-      .select(col("cid"), posexplode(col("cvec")).as(Seq("dim", "c")))
-      .join(broadcast(sizes), "cid")
-      .select(col("cid"), col("dim").cast("long").as("dim"), col("c"),
-        col("n"))
+    // one aggregation serves centroid components AND cluster sizes
+    // (the per-(cid, dim) row count IS the cluster size): the final
+    // assignment evaluates once, and the old second aggregate + its
+    // broadcast join disappear — same decimal sums, identical output
+    val out = Similarity.centroidsWithN(aFinal, "cid", "v")
+      .select(col("grp").as("cid"), col("dim"), col("c"), col("n"))
     Dedup.finishEager(out, eager, Seq(points))
   }
 
@@ -164,10 +192,10 @@ object KMeans {
     require(k >= 2, s"silhouette needs k >= 2, got $k")
     val (points, aFinal) = trainedAssignment(df, idCol, vecCol, k, iters)
     val cFinal = update(aFinal)
-    val ds = array_sort(transform(col("cents"), c =>
+    val ds = array_sort(transform(bookLit(cFinal), c =>
       struct(sqDist(col("v"), c.getField("cvec")).as("d"),
         c.getField("cid").as("cid"))))
-    val perPoint = points.crossJoin(broadcast(packed(cFinal)))
+    val perPoint = points
       .select(col("id"), ds.as("ds"))
       .select(col("id"),
         element_at(col("ds"), 1).getField("cid").as("cid"),
@@ -194,33 +222,63 @@ object KMeans {
 
   // ----- grouped training: G independent k-means in ONE job DAG -----
 
-  /** Per-group packed centroids: (g, cents) with cents sorted by cid —
-    * G×k rows total, broadcastable. */
-  private def packedG(cents: DataFrame): DataFrame =
-    cents.groupBy(col("g"))
-      .agg(array_sort(collect_list(struct(col("cid"), col("cvec"))))
-        .as("cents"))
+  /** Per-group centroid books, collected: the G×k×dim MODEL (books
+    * keyed by the group value, each sorted by cid). */
+  private type BookG = Seq[(Any, Book)]
 
-  /** Assignment for grouped training: broadcast-join each point to ITS
-    * group's packed centroids, then the same codegen argmin as
-    * [[assign]] — still no row multiplication, one broadcast for all
-    * groups. */
-  private def assignG(points: DataFrame, cents: DataFrame): DataFrame =
-    points.join(broadcast(packedG(cents)), "g")
-      .withColumn("cid", nearest(col("v"))).drop("cents")
+  /** The grouped seed draw as a frame — the k smallest md5(id) per
+    * group as (g, cid, cvec) rows. A per-group rank window with a
+    * LITERAL bound, so WindowGroupLimit prunes it map-side (never a
+    * full per-group sort — KMeansSpec pins the plan shape on exactly
+    * this frame). */
+  private[ext] def groupedSeedFrame(points: DataFrame, k: Int): DataFrame = {
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("h"), col("id"))
+    points
+      .withColumn("h", md5(col("id").cast("string")))
+      .withColumn("r", row_number().over(sw))
+      .filter(col("r") <= k)
+      .select(col("g"), (col("r") - 1).cast("long").as("cid"),
+        transform(col("v"), x => x.cast("double")).as("cvec"))
+  }
+
+  /** Assignment for grouped training: the per-group books ride as ONE
+    * map literal keyed by the group value; each row looks up its
+    * group's book and runs the same argmin as [[assign]] — no join, no
+    * broadcast exchange, no row multiplication. (The old inner
+    * broadcast-join dropped rows whose group had no book; a group with
+    * points always keeps at least one populated cluster, so the lookup
+    * never misses and the result sets are identical.) */
+  private def assignG(points: DataFrame, books: BookG): DataFrame = {
+    val entries = books.flatMap { case (g, b) => Seq(lit(g), bookLit(b)) }
+    points.withColumn("cid",
+      nearest(col("v"), element_at(map(entries: _*), col("g"))))
+  }
 
   /** Update for grouped training: one hash-aggregate keyed by
     * (g, cid, dim) — the [[Similarity.centroids]] decimal-sum machinery
     * with a struct group key, so each (g, cid) group's arithmetic is
-    * bit-identical to the single-group [[update]] over the same rows. */
-  private def updateG(assigned: DataFrame): DataFrame =
-    Similarity.centroids(
+    * bit-identical to the single-group [[update]] over the same rows —
+    * collected as the next round's books (G×k×dim rows, bounded). */
+  private def updateG(assigned: DataFrame): BookG = {
+    val rows = Similarity.centroids(
         assigned.withColumn("__gc", struct(col("g"), col("cid"))),
         "__gc", "v")
-      .groupBy(col("grp").getField("g").as("g"),
-        col("grp").getField("cid").as("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-        x => x.getField("c")).as("cvec"))
+      .select(col("grp").getField("g").as("g"),
+        col("grp").getField("cid").cast("long").as("cid"),
+        col("dim").cast("long").as("dim"), col("c"))
+      .collect()
+    rows.groupBy(_.get(0)).toSeq.sortBy(_._1.toString).map { case (g, rs) =>
+      val byCid = rs.groupBy(_.getLong(1)).toArray.sortBy(_._1)
+        .map { case (cid, cs) =>
+          val dim = cs.map(_.getLong(2)).max.toInt + 1
+          val v = new Array[Double](dim)
+          cs.foreach(r => v(r.getLong(2).toInt) = r.getDouble(3))
+          (cid, v)
+        }
+      (g, byCid: Book)
+    }
+  }
 
   /** G independent Lloyd trainings — one per distinct value of `grpCol`
     * — executed as ONE job DAG: every phase (seed draw, broadcast
@@ -252,27 +310,23 @@ object KMeans {
     val points = df.select(col(grpCol).as("g"),
         col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("g")).orderBy(col("h"), col("id"))
-    val c0 = points
-      .withColumn("h", md5(col("id").cast("string")))
-      .withColumn("r", row_number().over(sw))
-      .filter(col("r") <= k)
-      .select(col("g"), (col("r") - 1).cast("long").as("cid"),
-        transform(col("v"), x => x.cast("double")).as("cvec"))
+    val c0rows = groupedSeedFrame(points, k)
+      .collect() // G×k seed rows — model-scale, never the corpus
+    val c0: BookG = c0rows.groupBy(_.get(0)).toSeq.sortBy(_._1.toString)
+      .map { case (g, rs) =>
+        (g, rs.sortBy(_.getLong(1))
+          .map(r => (r.getLong(1), r.getSeq[Double](2).toArray)))
+      }
     val cPre = (1 until iters).foldLeft(c0) { (c, _) =>
       updateG(assignG(points, c))
     }
     val aFinal = assignG(points, cPre)
-    val cFinal = updateG(aFinal)
-    val sizes = aFinal.groupBy(col("g"), col("cid"))
-      .agg(count(lit(1)).as("n"))
-    val out = cFinal
-      .select(col("g"), col("cid"),
-        posexplode(col("cvec")).as(Seq("dim", "c")))
-      .join(broadcast(sizes), Seq("g", "cid"))
-      .select(col("g"), col("cid"), col("dim").cast("long").as("dim"),
-        col("c"), col("n"))
+    // same fusion as [[fit]]: centroid components and cluster sizes out
+    // of ONE (g, cid, dim)-keyed aggregate over ONE final assignment
+    val out = Similarity.centroidsWithN(
+        aFinal.withColumn("__gc", struct(col("g"), col("cid"))), "__gc", "v")
+      .select(col("grp").getField("g").as("g"),
+        col("grp").getField("cid").as("cid"), col("dim"), col("c"), col("n"))
     Dedup.finishEager(out, eager, Seq(points))
   }
 }

@@ -167,6 +167,26 @@ object Similarity {
     }
   }
 
+  /** [[centroids]] (quantized form) extended with the group size `n` —
+    * the per-(grp, dim) row count, which IS the vector count of the
+    * group (every vector contributes exactly one row per dim). Lets
+    * [[KMeans.fit]]-style consumers read centroid components AND
+    * cluster sizes out of the ONE hash-aggregate the mean already
+    * pays for, instead of a second aggregation pass over a second
+    * evaluation of the assignment. Same decimal-sum arithmetic, same
+    * `c` values bit-for-bit. */
+  def centroidsWithN(df: DataFrame, groupCol: String, vecCol: String,
+      quantize: Int = 6): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, quantize)
+    df.select(col(groupCol).as("grp"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("grp"), col("dim").cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+      .groupBy(col("grp"), col("dim"))
+      .agg((sum(round(col("v"), quantize).cast(dec)).cast("double") /
+        count(lit(1))).as("c"), count(lit(1)).as("n"))
+  }
+
   /** Deterministic ±1 Johnson-Lindenstrauss sign matrix, derived from
     * md5("i:j") high bits — any engine reconstructs it bit-identically
     * (the same engine-portable-draw trick as the md5 samplers). */

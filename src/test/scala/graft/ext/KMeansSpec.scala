@@ -168,9 +168,12 @@ class KMeansSpec extends SparkTestBase {
   }
 
   test("fitGrouped seed draw is WindowGroupLimit-pruned, never a full per-group sort") {
-    val g = planted.select((col("vec_id") % 2).as("g"), col("vec_id"),
-      col("embedding").as("v"))
-    val plan = KMeans.fitGrouped(g, "g", "vec_id", "v", k = 3, iters = 2)
+    // the seed draw runs (and collects) at fitGrouped call time now, so
+    // the plan contract is pinned on the seed frame itself — the same
+    // expression fitGrouped executes
+    val g = planted.select((col("vec_id") % 2).as("g"),
+      col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+    val plan = KMeans.groupedSeedFrame(g, k = 3)
       .queryExecution.executedPlan.toString()
     assert(plan.contains("WindowGroupLimit"),
       "seed rank window must prune map-side via WindowGroupLimit")
