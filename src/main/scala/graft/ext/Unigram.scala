@@ -49,14 +49,23 @@ object Unigram {
     * Scores: micro log10 of weight / total-selected-weight.
     * Columns: (piece, weight, score_micro). */
   def seedVocab(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
-      maxVocab: Int = 100): DataFrame = {
+      maxVocab: Int = 100): DataFrame =
+    seedFromTypes(types(df, textCol), maxPieceLen, maxVocab)
+
+  /** [[seedVocab]] over an already-built (word, cnt) type table — lets
+    * [[train]] reuse ONE persisted type table for seeding and every EM
+    * round instead of re-running the corpus-scale explode+count per
+    * consumer. The candidate table is persisted too: the singles count
+    * (an action) and the singles/multis union both read it. */
+  private def seedFromTypes(t: DataFrame, maxPieceLen: Int,
+      maxVocab: Int): DataFrame = {
     require(maxPieceLen >= 1, s"maxPieceLen=$maxPieceLen must be >= 1")
     require(maxVocab >= 1, s"maxVocab=$maxVocab must be >= 1")
-    val t = types(df, textCol)
     val cand = t
       .select(explode(allSubstrings(col("word"), maxPieceLen)).as("piece"),
         col("cnt"))
       .groupBy(col("piece")).agg(sum(col("cnt")).as("weight"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val singles = cand.filter(length(col("piece")) === 1)
     // alphabet-bounded driver scalar (same stance as the k-means k)
     val nSingles = singles.count()
@@ -104,13 +113,23 @@ object Unigram {
     rescore(singles.unionByName(multis).select(col("piece"), col("weight")))
   }
 
-  /** Seed + `rounds` hard-EM rounds. (piece, weight, score_micro). */
+  /** Seed + `rounds` hard-EM rounds. (piece, weight, score_micro).
+    *
+    * The type table is persisted ONCE and feeds seeding plus every EM
+    * round (the corpus-scale explode+count used to re-run per round —
+    * and, via plan-cache substitution, a later [[encodeDocs]] over the
+    * same corpus reuses it too). Each round's vocab (≤ maxVocab rows)
+    * is localCheckpointed: the next round references it from both its
+    * collect and its recount join, and an unmaterialized chain re-runs
+    * every earlier round's segmentation per reference. Scores are
+    * identical either way (exact LONG arithmetic throughout). */
   def train(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
       maxVocab: Int = 100, rounds: Int = 2): DataFrame = {
     require(rounds >= 0, s"rounds=$rounds must be >= 0")
     val t = types(df, textCol)
-    var v = seedVocab(df, textCol, maxPieceLen, maxVocab)
-    (0 until rounds).foreach { _ => v = emRound(t, v) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var v = seedFromTypes(t, maxPieceLen, maxVocab)
+    (0 until rounds).foreach { _ => v = emRound(t, v).localCheckpoint(true) }
     v
   }
 
