@@ -45,7 +45,11 @@ object EmbeddingIngest {
         dim = dim, seed = seed), 1))
 
   private def fam(dim: Int, seed: Long): ScrubFamily =
-    FpIngest.family("embfps", "emb_fp", fpAdd(dim, seed), MaxHamming)
+    // materializeFp = false: the sign-LSH fingerprint is a cheap in-row
+    // projection — checkpointing it per trigger measured SLOWER than
+    // recomputing it (see FpIngest.novelAgainst)
+    FpIngest.family("embfps", "emb_fp", fpAdd(dim, seed), MaxHamming,
+      materializeFp = false)
 
   /** (emb_fp, n_refs, t, v) — the persisted-band-key index unit. */
   def embeddingIndex(df: DataFrame, vecCol: String, dim: Int,
@@ -57,7 +61,7 @@ object EmbeddingIngest {
   def novelAgainst(batch: DataFrame, idCol: String, vecCol: String,
       index: DataFrame, dim: Int, seed: Long = 42L): DataFrame =
     FpIngest.novelAgainst(batch, idCol, vecCol, index, fpAdd(dim, seed),
-      "emb_fp", MaxHamming)
+      "emb_fp", MaxHamming, materializeFp = false)
 
   /** Seed the index with an already-ingested corpus (batch = -1). */
   def seedIndex(corpus: DataFrame, idCol: String, vecCol: String,
