@@ -38,7 +38,15 @@ object NgramLm {
   case class Model(uni: DataFrame, bi: DataFrame, tri: DataFrame,
       n: Long, v: Long)
 
-  /** Train the backoff model on `df`'s `textCol`. */
+  /** Train the backoff model on `df`'s `textCol`.
+    *
+    * (r15 optimization note: persisting `uni` and deriving n/v from the
+    * cached table — saving two corpus scans on paper — was tried and
+    * REVERTED: x_lm_score measured 2.3 s -> 5.1 s with the persist in
+    * place, same host, back-to-back. The uni table is cheap to
+    * recompute and small to join; materializing it as an
+    * InMemoryRelation cost more than the scan it saved and perturbed
+    * the score-join planning. Left as-is deliberately.) */
   def train(df: DataFrame, textCol: String): Model = {
     val t = col(textCol)
     val p = df.select(t.as("__t"), split(t, " ").as("ws"))
