@@ -59,18 +59,35 @@ object Pq {
       .select(col("g").as("sub"), col("cid"), col("dim"), col("c"))
   }
 
-  /** One-row frame: `cbs` = array over subs (sorted) of arrays of
-    * (cid, cvec) structs sorted by cid — the broadcastable codebook. */
-  private def packedBooks(codebooks: DataFrame): DataFrame =
-    codebooks
-      .groupBy(col("sub"), col("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-        x => x.getField("c")).as("cvec"))
-      .groupBy(col("sub"))
-      .agg(array_sort(collect_list(struct(col("cid"), col("cvec"))))
-        .as("book"))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("book")))),
-        x => x.getField("book")).as("cbs"))
+  /** Collected codebooks: (sub, cid, components) sorted by (sub, cid) —
+    * the m×k×(d/m) MODEL, one bounded driver round-trip (the
+    * [[KMeans]] collected-book discipline: [[adcTopK]] already collects
+    * exactly this frame). Replaces the old 3-aggregation + broadcast-
+    * exchange packing that every encode/probe site re-ran. */
+  private def collectBooks(codebooks: DataFrame)
+      : Array[(Long, Array[(Long, Array[Double])])] = {
+    val rows = codebooks.select(col("sub").cast("long"),
+      col("cid").cast("long"), col("dim").cast("long"), col("c")).collect()
+    rows.groupBy(_.getLong(0)).toArray.sortBy(_._1).map { case (sub, rs) =>
+      (sub, rs.groupBy(_.getLong(1)).toArray.sortBy(_._1).map {
+        case (cid, cs) =>
+          val dim = cs.map(_.getLong(2)).max.toInt + 1
+          val v = new Array[Double](dim)
+          cs.foreach(r => v(r.getLong(2).toInt) = r.getDouble(3))
+          (cid, v)
+      })
+    }
+  }
+
+  /** One codebook as an array-of-(cid, cvec)-structs literal, sorted by
+    * cid — the same rows in the same order as the old packed frame. */
+  private def bookLit(book: Array[(Long, Array[Double])]): Column =
+    array(book.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), typedlit(cv.toSeq).as("cvec")) }: _*)
+
+  /** `cbs` literal: array over subs (sorted) of codebook arrays. */
+  private def booksLit(codebooks: DataFrame): Column =
+    array(collectBooks(codebooks).map { case (_, book) => bookLit(book) }: _*)
 
   /** Compress each vector to its `m` nearest-codeword ids:
     * (id, code array<long>). Broadcast codebooks, per-row argmin per
@@ -78,11 +95,11 @@ object Pq {
   def encode(df: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame, m: Int): DataFrame = {
     val w = (size(col("__v")) / m).cast("int")
+    val cbs = booksLit(codebooks)
     df.select(col(idCol), col(vecCol).as("__v"))
-      .crossJoin(broadcast(packedBooks(codebooks)))
       .select(col(idCol),
         transform(sequence(lit(0), lit(m - 1)), s =>
-          array_min(transform(element_at(col("cbs"), s.cast("int") + 1), c =>
+          array_min(transform(element_at(cbs, s.cast("int") + 1), c =>
             struct(KMeans.sqDist(
                 slice(col("__v"), s.cast("int") * w + 1, w),
                 c.getField("cvec")).as("d"),
@@ -169,9 +186,9 @@ object Pq {
     // each query's nprobe nearest coarse lists (ties to the lower cid)
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("__d"), col("__ccid"))
-    val probes = qs.crossJoin(broadcast(packedBooks(coarseCb)))
+    val probes = qs
       .select(col("qid"), col("__qv"),
-        explode(element_at(col("cbs"), 1)).as("__cb"))
+        explode(element_at(booksLit(coarseCb), 1)).as("__cb"))
       .select(col("qid"), col("__cb").getField("cid").as("__ccid"),
         KMeans.sqDist(col("__qv"), col("__cb").getField("cvec")).as("__d"))
       .withColumn("__pr", row_number().over(pw))
@@ -179,14 +196,17 @@ object Pq {
       .select(col("qid"), col("__ccid"))
     // per-(query, sub, cid) exact distances, packed cid-indexed per query
     val wcol = (size(col("__qv")) / m).cast("int")
-    val books = cb.groupBy(col("sub"), col("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-        x => x.getField("c")).as("cvec"))
-    val luts = qs.crossJoin(broadcast(books))
-      .select(col("qid"), col("sub"), col("cid"),
+    val booksFlat = array(collectBooks(cb).flatMap { case (sub, book) =>
+      book.map { case (cid, cv) => struct(lit(sub).as("sub"),
+        lit(cid).as("cid"), typedlit(cv.toSeq).as("cvec")) } }: _*)
+    val luts = qs
+      .select(col("qid"), col("__qv"), explode(booksFlat).as("__b"))
+      .select(col("qid"), col("__b").getField("sub").as("sub"),
+        col("__b").getField("cid").as("cid"),
         KMeans.sqDist(
-          slice(col("__qv"), (col("sub").cast("int") * wcol + 1), wcol),
-          col("cvec")).as("__d"))
+          slice(col("__qv"),
+            (col("__b").getField("sub").cast("int") * wcol + 1), wcol),
+          col("__b").getField("cvec")).as("__d"))
       .groupBy(col("qid"), col("sub"))
       .agg(transform(array_sort(collect_list(struct(col("cid"), col("__d")))),
         x => x.getField("__d")).as("__l"))
@@ -368,7 +388,7 @@ object Pq {
       psiPicoThreshold: Long = 250000000000L): DataFrame = {
     val pts = batch.select(col(idCol).cast("long").as(idCol),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
-    val asg = residualsOf(pts, idCol, packedCoarseOf(idx.coarse))
+    val asg = residualsOf(pts, idCol, coarseLit(idx.coarse))
       .groupBy(col("__ccid")).agg(count(lit(1)).as("n_new"))
     val base = idx.entries.groupBy(col("__ccid"))
       .agg(count(lit(1)).as("n_base"))
@@ -393,22 +413,29 @@ object Pq {
       .withColumn("retrain", col("psi_pico") > psiPicoThreshold)
   }
 
-  /** One-row broadcastable coarse book from (cid, dim, c) rows. */
-  private def packedCoarseOf(coarseCb: DataFrame): DataFrame =
-    coarseCb.groupBy(col("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-        x => x.getField("c")).as("cvec"))
-      .agg(array_sort(collect_list(struct(col("cid"), col("cvec"))))
-        .as("cents"))
+  /** Coarse book literal from (cid, dim, c) rows — collected once (the
+    * nlist×dim model), sorted by cid; same rows/order as the old packed
+    * broadcast frame. */
+  private def coarseLit(coarseCb: DataFrame): Column = {
+    val rows = coarseCb.select(col("cid").cast("long"),
+      col("dim").cast("long"), col("c")).collect()
+    bookLit(rows.groupBy(_.getLong(0)).toArray.sortBy(_._1).map {
+      case (cid, cs) =>
+        val dim = cs.map(_.getLong(1)).max.toInt + 1
+        val v = new Array[Double](dim)
+        cs.foreach(r => v(r.getLong(1).toInt) = r.getDouble(2))
+        (cid, v)
+    })
+  }
 
-  /** Coarse assignment + residual in ONE broadcast argmin: the winning
+  /** Coarse assignment + residual in ONE literal argmin: the winning
     * (d, cid, cvec) struct carries the centroid, so r = v − cvec costs
     * no extra join ((d, cid) is unique per row — cvec never
     * tie-breaks). Output (id, __ccid, __rv). */
   private def residualsOf(pts: DataFrame, idCol: String,
-      packedCoarse: DataFrame): DataFrame =
-    pts.crossJoin(broadcast(packedCoarse))
-      .withColumn("__best", array_min(transform(col("cents"), c =>
+      coarse: Column): DataFrame =
+    pts
+      .withColumn("__best", array_min(transform(coarse, c =>
         struct(KMeans.sqDist(col("__v"), c.getField("cvec")).as("d"),
           c.getField("cid").as("cid"), c.getField("cvec").as("cvec")))))
       .select(col(idCol), col("__best").getField("cid").as("__ccid"),
@@ -424,7 +451,7 @@ object Pq {
       transform(col(vecCol), x => x.cast("double")).as("__v"))
     val coarseCb = KMeans.fit(pts, idCol, "__v", nlist, iters)
       .localCheckpoint(true)
-    val res = residualsOf(pts, idCol, packedCoarseOf(coarseCb))
+    val res = residualsOf(pts, idCol, coarseLit(coarseCb))
     val cb = train(res, idCol, "__rv", m, kCodes, iters)
       .localCheckpoint(true)
     val entries = res.select(col(idCol), col("__ccid"))
@@ -440,7 +467,7 @@ object Pq {
       vecCol: String, m: Int = 2): DataFrame = {
     val pts = batch.select(col(idCol).cast("long").as(idCol),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
-    val res = residualsOf(pts, idCol, packedCoarseOf(idx.coarse))
+    val res = residualsOf(pts, idCol, coarseLit(idx.coarse))
     res.select(col(idCol), col("__ccid"))
       .join(encode(res, idCol, "__rv", idx.books, m), idCol)
   }
@@ -451,14 +478,15 @@ object Pq {
   def searchIndexRes(idx: ResIndex, queries: DataFrame, idCol: String,
       k: Int, nprobe: Int = 2): DataFrame = {
     require(k > 0 && nprobe > 0, s"k=$k nprobe=$nprobe")
-    val m = idx.books.agg(max(col("sub"))).head().getLong(0).toInt + 1
-    val packedCoarse = packedCoarseOf(idx.coarse)
+    val booksC = collectBooks(idx.books) // the m*k*(d/m) model, once
+    val m = booksC.map(_._1).max.toInt + 1
+    val coarse = coarseLit(idx.coarse)
     // nprobe nearest coarse lists per query, each probe carrying the
     // query's residual against THAT list's centroid
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("__d"), col("__ccid"))
-    val probes = queries.crossJoin(broadcast(packedCoarse))
-      .select(col("qid"), col("__qv"), explode(col("cents")).as("__cb"))
+    val probes = queries
+      .select(col("qid"), col("__qv"), explode(coarse).as("__cb"))
       .select(col("qid"), col("__qv"),
         col("__cb").getField("cid").as("__ccid"),
         col("__cb").getField("cvec").as("__cvec"),
@@ -470,14 +498,19 @@ object Pq {
     // per-(query, list, sub, codeword) exact residual distances, packed
     // cid-indexed per (query, list): queries × nprobe × m × kCodes rows
     val wcol = (size(col("__qr")) / m).cast("int")
-    val books = idx.books.groupBy(col("sub"), col("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-        x => x.getField("c")).as("cvec"))
-    val luts = probes.crossJoin(broadcast(books))
-      .select(col("qid"), col("__ccid"), col("sub"), col("cid"),
+    val booksFlat = array(booksC.flatMap { case (sub, book) =>
+      book.map { case (cid, cv) => struct(lit(sub).as("sub"),
+        lit(cid).as("cid"), typedlit(cv.toSeq).as("cvec")) } }: _*)
+    val luts = probes
+      .select(col("qid"), col("__ccid"), col("__qr"),
+        explode(booksFlat).as("__b"))
+      .select(col("qid"), col("__ccid"),
+        col("__b").getField("sub").as("sub"),
+        col("__b").getField("cid").as("cid"),
         KMeans.sqDist(
-          slice(col("__qr"), (col("sub").cast("int") * wcol + 1), wcol),
-          col("cvec")).as("__d"))
+          slice(col("__qr"),
+            (col("__b").getField("sub").cast("int") * wcol + 1), wcol),
+          col("__b").getField("cvec")).as("__d"))
       .groupBy(col("qid"), col("__ccid"), col("sub"))
       .agg(transform(array_sort(collect_list(struct(col("cid"), col("__d")))),
         x => x.getField("__d")).as("__l"))
