@@ -139,12 +139,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("pagerank iteration: dangling aggregate broadcasts, contributions hash-aggregate") {
+  test("pagerank iteration: per-round checkpoint keeps the final plan shallow") {
+    // r15: each power iteration localCheckpoints (the iterative-lineage
+    // discipline — the next round references the rank frame three times,
+    // and an unmaterialized chain grows 3^iters). The contract pinned
+    // here is the RESULT of that: the final plan reads the checkpointed
+    // last iteration — no Exchange, no join machinery left — so plan
+    // size is independent of `iters`.
     val p = plan(ext.PageRank.run(ext.Fixtures.plantedEdges(spark, 50),
       iters = 1))
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      "N and dangling mass must ride as broadcast 1-row frames")
-    assert(p.contains("HashAggregate"), "per-dst sums must hash-aggregate")
+    assert(p.contains("ExistingRDD"),
+      "final rank frame must read the checkpointed iteration:\n" + p.take(400))
+    assert(!p.contains("Exchange"),
+      "no exchange may survive above the checkpointed iteration:\n" + p.take(400))
     spark.catalog.clearCache()
   }
 
@@ -561,16 +568,19 @@ class PlanSpec extends SparkTestBase {
       "featurization is explode + one hash-agg, never a join:\n" + p.take(800))
   }
 
-  test("clusterQuality: the scorecard pass broadcasts the centroid book") {
+  test("clusterQuality: the scorecard pass carries the book as a literal — no join at all") {
+    // r15: the centroid book is a collected k×dim model riding as an
+    // array literal (the KMeans driver-book discipline), so the
+    // per-point distance pass is a pure projection over the persisted
+    // points — stronger than the old broadcast-join pin.
     val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
     val p = plan(ext.KMeans.clusterQuality(emb, "vec_id", "embedding",
       k = 8, iters = 2))
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastExchange"),
-      "per-point distance pass must broadcast the packed book:\n" +
-        p.take(800))
-    assert(!p.contains("SortMergeJoin"),
-      "no corpus-side shuffle join in the scorecard:\n" + p.take(800))
+    assert(!p.contains("Join"),
+      "no join of any kind in the scorecard pass:\n" + p.take(800))
+    assert(p.contains("HashAggregate"),
+      "per-cluster sums must hash-aggregate:\n" + p.take(800))
+    spark.catalog.clearCache()
   }
 
   test("recallAtK: rows-not-corpus — the overlap join is AQE-planned") {
