@@ -625,11 +625,19 @@ object Dedup {
       eager: Boolean = false): DataFrame = {
     val assigned = KMeans.fitAssign(df, idCol, vecCol, k, iters)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = assigned.select(col("cid"), col("id").as("i"), col("v").as("vi"))
-    val b = assigned.select(col("cid"), col("id").as("j"), col("v").as("vj"))
+    // norms are per-ROW values: hoist them before the pair join so each
+    // vector's norm fold runs once per row, not once per cluster-mate
+    // pair (the interpreted-HOF cost is O(pairs·dim) otherwise). The
+    // cosine below divides the same dot by the same two sqrt values in
+    // the same order — bit-identical to Similarity.cosine per pair.
+    val a = assigned.select(col("cid"), col("id").as("i"), col("v").as("vi"),
+      Similarity.norm(col("v")).as("__ni"))
+    val b = assigned.select(col("cid"), col("id").as("j"), col("v").as("vj"),
+      Similarity.norm(col("v")).as("__nj"))
     val dropped = a.join(b, "cid")
       .filter(col("i") < col("j"))
-      .filter(Similarity.cosine(col("vi"), col("vj")) >= threshold)
+      .filter(Similarity.dot(col("vi"), col("vj")) /
+        (col("__ni") * col("__nj")) >= threshold)
       .select(col("j").as("id")).distinct()
     val out = assigned.join(dropped, Seq("id"), "left_anti")
       .select(col("id"), col("cid"))

@@ -89,6 +89,32 @@ object Pq {
   private def booksLit(codebooks: DataFrame): Column =
     array(collectBooks(codebooks).map { case (_, book) => bookLit(book) }: _*)
 
+  /** Books as a NESTED literal — subs (sorted) × cids (sorted) × cvec:
+    * exactly the positional layout the old per-query
+    * collect_list(array_sort) LUT aggregations produced, now a constant
+    * so the LUT is a pure projection (zero explode, zero shuffle). */
+  private def lutBooksLit(
+      booksC: Array[(Long, Array[(Long, Array[Double])])]): Column =
+    array(booksC.map { case (_, book) =>
+      array(book.map { case (_, cv) => typedlit(cv.toSeq) }: _*) }: _*)
+
+  /** The nprobe nearest coarse lists per query as an ARRAY EXPRESSION:
+    * array_sort over (d, cid[, cvec]) structs is the same (__d, __ccid)
+    * ordering the old row_number window used — ties to the lower cid,
+    * cvec unique-keyed behind them — so slice(.., 1, nprobe) selects the
+    * identical probe set with no window exchange. */
+  private def probeArr(coarse: Column, qv: Column, nprobe: Int,
+      carryCvec: Boolean): Column = {
+    val entries = transform(coarse, c =>
+      if (carryCvec)
+        struct(KMeans.sqDist(qv, c.getField("cvec")).as("d"),
+          c.getField("cid").as("cid"), c.getField("cvec").as("cvec"))
+      else
+        struct(KMeans.sqDist(qv, c.getField("cvec")).as("d"),
+          c.getField("cid").as("cid")))
+    slice(array_sort(entries), 1, nprobe)
+  }
+
   /** Compress each vector to its `m` nearest-codeword ids:
     * (id, code array<long>). Broadcast codebooks, per-row argmin per
     * subspace — no shuffle, no row multiplication. */
@@ -183,36 +209,24 @@ object Pq {
     val qs = pts.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("qid"),
         transform(col(vecCol), x => x.cast("double")).as("__qv"))
-    // each query's nprobe nearest coarse lists (ties to the lower cid)
-    val pw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("__d"), col("__ccid"))
+    // each query's nprobe nearest coarse lists (ties to the lower cid) —
+    // a pure projection over the collected coarse book (no window)
     val probes = qs
-      .select(col("qid"), col("__qv"),
-        explode(element_at(booksLit(coarseCb), 1)).as("__cb"))
-      .select(col("qid"), col("__cb").getField("cid").as("__ccid"),
-        KMeans.sqDist(col("__qv"), col("__cb").getField("cvec")).as("__d"))
-      .withColumn("__pr", row_number().over(pw))
-      .filter(col("__pr") <= nprobe)
-      .select(col("qid"), col("__ccid"))
+      .select(col("qid"),
+        explode(probeArr(element_at(booksLit(coarseCb), 1), col("__qv"),
+          nprobe, carryCvec = false)).as("__p"))
+      .select(col("qid"), col("__p").getField("cid").as("__ccid"))
     // per-(query, sub, cid) exact distances, packed cid-indexed per query
+    // — the same positional (sub, cid) layout the old
+    // collect_list(array_sort) chain aggregated, projected per query row
+    // from the nested book literal (no explode, no shuffle)
     val wcol = (size(col("__qv")) / m).cast("int")
-    val booksFlat = array(collectBooks(cb).flatMap { case (sub, book) =>
-      book.map { case (cid, cv) => struct(lit(sub).as("sub"),
-        lit(cid).as("cid"), typedlit(cv.toSeq).as("cvec")) } }: _*)
-    val luts = qs
-      .select(col("qid"), col("__qv"), explode(booksFlat).as("__b"))
-      .select(col("qid"), col("__b").getField("sub").as("sub"),
-        col("__b").getField("cid").as("cid"),
-        KMeans.sqDist(
-          slice(col("__qv"),
-            (col("__b").getField("sub").cast("int") * wcol + 1), wcol),
-          col("__b").getField("cvec")).as("__d"))
-      .groupBy(col("qid"), col("sub"))
-      .agg(transform(array_sort(collect_list(struct(col("cid"), col("__d")))),
-        x => x.getField("__d")).as("__l"))
-      .groupBy(col("qid"))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("__l")))),
-        x => x.getField("__l")).as("__luts"))
+    val booksNested = lutBooksLit(collectBooks(cb))
+    val luts = qs.select(col("qid"),
+      transform(booksNested, (book, s) =>
+        transform(book, cv =>
+          KMeans.sqDist(slice(col("__qv"), s * wcol + 1, wcol), cv)))
+        .as("__luts"))
     val cands = lists.join(broadcast(probes), Seq("__ccid"))
       .select(col("qid"), col(idCol))
     val kw = org.apache.spark.sql.expressions.Window
@@ -482,41 +496,26 @@ object Pq {
     val m = booksC.map(_._1).max.toInt + 1
     val coarse = coarseLit(idx.coarse)
     // nprobe nearest coarse lists per query, each probe carrying the
-    // query's residual against THAT list's centroid
-    val pw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("__d"), col("__ccid"))
+    // query's residual against THAT list's centroid — a pure projection
+    // (array_sort over the coarse literal, slice nprobe), no window
     val probes = queries
-      .select(col("qid"), col("__qv"), explode(coarse).as("__cb"))
-      .select(col("qid"), col("__qv"),
-        col("__cb").getField("cid").as("__ccid"),
-        col("__cb").getField("cvec").as("__cvec"),
-        KMeans.sqDist(col("__qv"), col("__cb").getField("cvec")).as("__d"))
-      .withColumn("__pr", row_number().over(pw))
-      .filter(col("__pr") <= nprobe)
-      .select(col("qid"), col("__ccid"),
-        zip_with(col("__qv"), col("__cvec"), (a, b) => a - b).as("__qr"))
+      .select(col("qid"),
+        explode(probeArr(coarse, col("__qv"), nprobe, carryCvec = true))
+          .as("__p"), col("__qv"))
+      .select(col("qid"), col("__p").getField("cid").as("__ccid"),
+        zip_with(col("__qv"), col("__p").getField("cvec"),
+          (a, b) => a - b).as("__qr"))
     // per-(query, list, sub, codeword) exact residual distances, packed
-    // cid-indexed per (query, list): queries × nprobe × m × kCodes rows
+    // cid-indexed per (query, list) — the old collect_list(array_sort)
+    // layout projected from the nested book literal (no explode, no
+    // shuffle): queries × nprobe rows, each carrying the m×kCodes LUT
     val wcol = (size(col("__qr")) / m).cast("int")
-    val booksFlat = array(booksC.flatMap { case (sub, book) =>
-      book.map { case (cid, cv) => struct(lit(sub).as("sub"),
-        lit(cid).as("cid"), typedlit(cv.toSeq).as("cvec")) } }: _*)
-    val luts = probes
-      .select(col("qid"), col("__ccid"), col("__qr"),
-        explode(booksFlat).as("__b"))
-      .select(col("qid"), col("__ccid"),
-        col("__b").getField("sub").as("sub"),
-        col("__b").getField("cid").as("cid"),
-        KMeans.sqDist(
-          slice(col("__qr"),
-            (col("__b").getField("sub").cast("int") * wcol + 1), wcol),
-          col("__b").getField("cvec")).as("__d"))
-      .groupBy(col("qid"), col("__ccid"), col("sub"))
-      .agg(transform(array_sort(collect_list(struct(col("cid"), col("__d")))),
-        x => x.getField("__d")).as("__l"))
-      .groupBy(col("qid"), col("__ccid"))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("__l")))),
-        x => x.getField("__l")).as("__luts"))
+    val booksNested = lutBooksLit(booksC)
+    val luts = probes.select(col("qid"), col("__ccid"),
+      transform(booksNested, (book, s) =>
+        transform(book, cv =>
+          KMeans.sqDist(slice(col("__qr"), s * wcol + 1, wcol), cv)))
+        .as("__luts"))
     // tombstoned ids never surface (logical delete — anti-join against
     // the bounded tombstone set BEFORE ranking, so top-k refills)
     val alive = idx.tombstones match {

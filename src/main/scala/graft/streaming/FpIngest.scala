@@ -52,6 +52,27 @@ private[streaming] object FpIngest {
   def colFp(fpOf: Column => Column): FpAdd = (df, contentCol, fpName) =>
     df.withColumn(fpName, fpOf(col(contentCol)))
 
+  /** The (id, fp) frame both trigger legs consume — fpAdd's projection,
+    * materialized when the fingerprint derivation is expensive (content
+    * decode): trigger-bounded 16-byte rows, localCheckpoint so blocks
+    * free when the trigger's references drop (per-trigger persist would
+    * leak CacheManager entries on a long-running stream). */
+  def prepared(df: DataFrame, idCol: String, contentCol: String,
+      fpAdd: FpAdd, fpName: String, materializeFp: Boolean): DataFrame = {
+    val projected = fpAdd(df.select(col(idCol), col(contentCol)),
+        contentCol, fpName)
+      .select(col(idCol), col(fpName))
+    if (materializeFp) projected.localCheckpoint(true) else projected
+  }
+
+  /** Index rows from an already-prepared (id, fp) frame. */
+  private def indexFromFp(withFp: DataFrame, fpName: String): DataFrame =
+    Hamming64.withBandKeys(
+      withFp.filter(col(fpName).isNotNull)
+        .select(col(fpName))
+        .groupBy(col(fpName)).agg(count(lit(1)).as("n_refs")),
+      fpName)
+
   /** `(fpName, n_refs, t, v)` — fingerprint counts of a frame exploded
     * into their 56 persisted band keys, the index unit (hash-less rows
     * contribute nothing). Keys are derived ONCE here, at write time,
@@ -72,27 +93,30 @@ private[streaming] object FpIngest {
     * (idCol, fpName). */
   def novelAgainst(batch: DataFrame, idCol: String, contentCol: String,
       index: DataFrame, fpAdd: FpAdd, fpName: String,
-      maxHamming: Int, materializeFp: Boolean = true): DataFrame = {
-    // (id, fp) materialized ONCE per trigger (the batchIndex
-    // localCheckpoint discipline): the decode behind fpAdd is the
-    // expensive half of a perceptual-hash trigger, and this frame used
-    // to be re-derived by every consumer below — band-keying, the
-    // within-batch pair join, and both halves of the final verdict
-    // union, ~4 decode passes per trigger (measured: imgingest
-    // 8.9 -> 6.8 s, audingest 8.0 -> 6.9 s per gate). Trigger-bounded
-    // rows, 16 bytes each; blocks are freed when the trigger's
-    // references drop (ContextCleaner), like every other per-batch
-    // checkpoint here. Output is unchanged — only the projection is
-    // pulled forward (the verdict never needed the other columns).
+      maxHamming: Int, materializeFp: Boolean = true): DataFrame =
+    // (id, fp) materialized ONCE (the batchIndex localCheckpoint
+    // discipline): the decode behind fpAdd is the expensive half of a
+    // perceptual-hash trigger, and this frame used to be re-derived by
+    // every consumer of the judge — band-keying, the within-batch pair
+    // join, and both halves of the final verdict union, ~4 decode
+    // passes per trigger (measured: imgingest 8.9 -> 6.8 s, audingest
+    // 8.0 -> 6.9 s per gate). Trigger-bounded rows, 16 bytes each;
+    // blocks are freed when the trigger's references drop
+    // (ContextCleaner), like every other per-batch checkpoint here.
     // `materializeFp = false` skips the checkpoint for modalities whose
     // fingerprint is a cheap projection (sign-LSH over an in-row
     // vector): there the extra job costs more than the recompute
     // (measured: embingest 5.0 -> 5.9 s WITH the checkpoint).
-    val projected = fpAdd(batch.select(col(idCol), col(contentCol)),
-        contentCol, fpName)
-      .select(col(idCol), col(fpName))
-    val withFp =
-      if (materializeFp) projected.localCheckpoint(true) else projected
+    novelPrepared(
+      prepared(batch, idCol, contentCol, fpAdd, fpName, materializeFp),
+      idCol, index, fpName, maxHamming)
+
+  /** The judge against an already-prepared (id, fp) frame — inside a
+    * [[ScrubFamily]] trigger the SAME prepared frame also feeds the
+    * index write, so the batch decodes once per trigger, not once per
+    * leg. Output (idCol, fpName), verdicts identical to the wrapper. */
+  def novelPrepared(withFp: DataFrame, idCol: String, index: DataFrame,
+      fpName: String, maxHamming: Int): DataFrame = {
     val batchSide = withFp.filter(col(fpName).isNotNull)
       .select(col(idCol).as("id"), col(fpName).as("fp"))
     val batchKeys = Hamming64.withBandKeys(batchSide, "fp")
@@ -120,10 +144,13 @@ private[streaming] object FpIngest {
     ScrubFamily(
       subdir = subdir, keyCol = fpName, cntCol = "n_refs",
       statCols = Seq(fpName),
-      indexOf = (df, _, contentCol) => index(df, contentCol, fpAdd, fpName),
-      incremental = (batch, idCol, contentCol, idx) =>
-        novelAgainst(batch, idCol, contentCol, idx, fpAdd, fpName,
-          maxHamming, materializeFp),
+      // prepare decodes the trigger ONCE into (id, fp); index and judge
+      // both read the prepared frame (was: one decode pass per leg)
+      prepare = (df, idCol, contentCol) =>
+        prepared(df, idCol, contentCol, fpAdd, fpName, materializeFp),
+      indexOf = (prep, _, _) => indexFromFp(prep, fpName),
+      incremental = (prep, idCol, _, idx) =>
+        novelPrepared(prep, idCol, idx, fpName, maxHamming),
       collapse = false, extraIndexCols = Seq("t", "v"),
       // the probe equi-joins stored rows on the band keys, so the
       // per-partition sidecar blooms key on (t, v) — a batch whose

@@ -38,6 +38,14 @@ private[streaming] final case class ScrubFamily(
     statCols: Seq[String],
     indexOf: (DataFrame, String, String) => DataFrame,
     incremental: (DataFrame, String, String, DataFrame) => DataFrame,
+    // shared per-trigger preparation: BOTH legs of a trigger (the index
+    // write and the incremental judge) consume this frame, so a family
+    // whose unit derivation is expensive (the fp families' content
+    // decode) materializes it HERE once instead of once per leg — the
+    // default is the plain (id, unit-source) projection every family's
+    // indexOf/incremental already selected for itself.
+    prepare: (DataFrame, String, String) => DataFrame =
+      (df, idCol, textCol) => df.select(col(idCol), col(textCol)),
     // collapse = true: the index read folds per-batch partitions into
     // one (keyCol, Σ cntCol) row per key. false: the raw stored rows
     // pass through untouched (minus the own-batch partition) — for
@@ -157,7 +165,8 @@ private[streaming] object ScrubEngine {
 
   private def seedLocked(fam: ScrubFamily, corpus: DataFrame, idCol: String,
       textCol: String, indexDir: String): Unit = {
-    val idx = fam.indexOf(corpus, idCol, textCol).localCheckpoint(true)
+    val idx = fam.indexOf(fam.prepare(corpus, idCol, textCol), idCol, textCol)
+      .localCheckpoint(true)
     val part = new Path(s"$indexDir/${fam.subdir}/batch=-1")
     idx.write.mode("overwrite").parquet(part.toString)
     val fs = part.getFileSystem(
@@ -226,9 +235,13 @@ private[streaming] object ScrubEngine {
   private def ingestLocked(fam: ScrubFamily, batch: DataFrame, idCol: String,
       textCol: String, wh: Warehouse, fact: String, indexDir: String,
       batchId: Long, dedupFact: Boolean): Unit = {
+    // the trigger's unit frame is consumed by BOTH legs (index write +
+    // incremental judge): prepare it once — fp families materialize the
+    // decoded (id, fp) rows here, so the batch decodes ONCE per trigger
+    val prep = fam.prepare(batch, idCol, textCol)
     // the batch's own index view is used three times (probe-key set +
     // bloom keys + the final index write); compute once
-    val batchIndex = fam.indexOf(batch, idCol, textCol)
+    val batchIndex = fam.indexOf(prep, idCol, textCol)
       .localCheckpoint(true)
     // trigger-bounded probe keys for sidecar skipping (O(batch) driver
     // traffic, capped — over the cap we read the index unpruned)
@@ -254,8 +267,7 @@ private[streaming] object ScrubEngine {
         graft.ext.BloomJoin.pruneProbe(raw, fam.keyCol, words, bits, 4)
       }
     val index = readIndex(fam, batch, indexDir, batchId, prune, batchKeys)
-    val scrubbed = fam.incremental(
-        batch.select(col(idCol), col(textCol)), idCol, textCol, index)
+    val scrubbed = fam.incremental(prep, idCol, textCol, index)
       .join(batch.select(col(idCol), col("year")), idCol)
       .select((col(idCol) :: col("year") ::
         fam.statCols.map(col).toList): _*)
