@@ -115,23 +115,28 @@ object Pq {
     slice(array_sort(entries), 1, nprobe)
   }
 
+  /** The encode argmin as a pure COLUMN EXPRESSION over `vec` — exactly
+    * [[encode]]'s arithmetic (same structs, same order, ties to the
+    * lower cid), exposed so one corpus projection can carry the coarse
+    * list AND the PQ code without an id-keyed join between two scans. */
+  private def codeExpr(vec: Column, cbs: Column, m: Int): Column = {
+    val w = (size(vec) / m).cast("int")
+    transform(sequence(lit(0), lit(m - 1)), s =>
+      array_min(transform(element_at(cbs, s.cast("int") + 1), c =>
+        struct(KMeans.sqDist(
+            slice(vec, s.cast("int") * w + 1, w),
+            c.getField("cvec")).as("d"),
+          c.getField("cid").as("cid")))).getField("cid"))
+  }
+
   /** Compress each vector to its `m` nearest-codeword ids:
     * (id, code array<long>). Broadcast codebooks, per-row argmin per
     * subspace — no shuffle, no row multiplication. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
-      codebooks: DataFrame, m: Int): DataFrame = {
-    val w = (size(col("__v")) / m).cast("int")
-    val cbs = booksLit(codebooks)
+      codebooks: DataFrame, m: Int): DataFrame =
     df.select(col(idCol), col(vecCol).as("__v"))
       .select(col(idCol),
-        transform(sequence(lit(0), lit(m - 1)), s =>
-          array_min(transform(element_at(cbs, s.cast("int") + 1), c =>
-            struct(KMeans.sqDist(
-                slice(col("__v"), s.cast("int") * w + 1, w),
-                c.getField("cvec")).as("d"),
-              c.getField("cid").as("cid")))).getField("cid"))
-          .as("code"))
-  }
+        codeExpr(col("__v"), booksLit(codebooks), m).as("code"))
 
   /** ADC top-k: exact query-to-codeword distance table (k×m entries,
     * computed once from the collected codebooks — bounded, never data-
@@ -202,10 +207,14 @@ object Pq {
     val coarseCb = KMeans.fit(pts, idCol, vecCol, nlist, iters)
       .select(lit(0L).as("sub"), col("cid"), col("dim"), col("c"))
       .localCheckpoint(true)
-    val lists = encode(pts, idCol, vecCol, coarseCb, 1)
-      .select(col(idCol), element_at(col("code"), 1).as("__ccid"))
     val cb = train(pts, idCol, vecCol, m, kCodes, iters).localCheckpoint(true)
-    val codes = encode(pts, idCol, vecCol, cb, m)
+    // ONE corpus projection carries the coarse list AND the PQ code —
+    // both argmins are map-only, so the old two encode scans and the
+    // id-keyed join pairing them collapse into a single scan
+    val entries = pts.select(col(idCol),
+      element_at(codeExpr(col(vecCol), booksLit(coarseCb), 1), 1)
+        .as("__ccid"),
+      codeExpr(col(vecCol), booksLit(cb), m).as("code"))
     val qs = pts.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("qid"),
         transform(col(vecCol), x => x.cast("double")).as("__qv"))
@@ -227,11 +236,11 @@ object Pq {
         transform(book, cv =>
           KMeans.sqDist(slice(col("__qv"), s * wcol + 1, wcol), cv)))
         .as("__luts"))
-    val cands = lists.join(broadcast(probes), Seq("__ccid"))
-      .select(col("qid"), col(idCol))
+    val cands = entries.join(broadcast(probes), Seq("__ccid"))
+      .select(col("qid"), col(idCol), col("code"))
     val kw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
-    cands.join(codes, idCol).join(broadcast(luts), "qid")
+    cands.join(broadcast(luts), "qid")
       .select(col("qid"), col(idCol),
         aggregate(zip_with(col("code"),
             sequence(lit(0L), lit(m - 1L)), (cid, s) =>
@@ -468,8 +477,10 @@ object Pq {
     val res = residualsOf(pts, idCol, coarseLit(coarseCb))
     val cb = train(res, idCol, "__rv", m, kCodes, iters)
       .localCheckpoint(true)
-    val entries = res.select(col(idCol), col("__ccid"))
-      .join(encode(res, idCol, "__rv", cb, m), idCol)
+    // one projection: the residual frame already carries the list, and
+    // the PQ argmin is map-only — no second scan, no id-keyed join
+    val entries = res.select(col(idCol), col("__ccid"),
+      codeExpr(col("__rv"), booksLit(cb), m).as("code"))
     ResIndex(coarseCb, cb, entries)
   }
 
@@ -482,8 +493,8 @@ object Pq {
     val pts = batch.select(col(idCol).cast("long").as(idCol),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
     val res = residualsOf(pts, idCol, coarseLit(idx.coarse))
-    res.select(col(idCol), col("__ccid"))
-      .join(encode(res, idCol, "__rv", idx.books, m), idCol)
+    res.select(col(idCol), col("__ccid"),
+      codeExpr(col("__rv"), booksLit(idx.books), m).as("code"))
   }
 
   /** Query the index: `queries` is (qid, __qv double vector); same
@@ -524,13 +535,13 @@ object Pq {
         "left_anti")
       case None => idx.entries
     }
-    val cands = alive.select(col(idCol), col("__ccid"))
+    // the entries scan already carries each row's code (id is unique in
+    // the entry table) — no second entries scan, no id-keyed join
+    val cands = alive.select(col(idCol), col("__ccid"), col("code"))
       .join(broadcast(probes.select(col("qid"), col("__ccid"))), Seq("__ccid"))
-      .select(col("qid"), col("__ccid"), col(idCol))
     val kw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
-    cands.join(idx.entries.select(col(idCol), col("code")), idCol)
-      .join(broadcast(luts), Seq("qid", "__ccid"))
+    cands.join(broadcast(luts), Seq("qid", "__ccid"))
       .select(col("qid"), col(idCol),
         aggregate(zip_with(col("code"),
             sequence(lit(0L), lit(m - 1L)), (cid, s) =>
