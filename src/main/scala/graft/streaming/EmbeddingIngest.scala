@@ -47,7 +47,10 @@ object EmbeddingIngest {
   private def fam(dim: Int, seed: Long): ScrubFamily =
     // materializeFp = false: the sign-LSH fingerprint is a cheap in-row
     // projection — checkpointing it per trigger measured SLOWER than
-    // recomputing it (see FpIngest.novelAgainst)
+    // recomputing it (see FpIngest.novelAgainst). RE-MEASURED after the
+    // shared-prepare refactor (when the checkpoint would also feed the
+    // index leg): 6.73 vs 6.66 s — a wash; the trigger floor is
+    // warehouse/index IO, not the projection. Opt-out kept.
     FpIngest.family("embfps", "emb_fp", fpAdd(dim, seed), MaxHamming,
       materializeFp = false)
 
