@@ -267,31 +267,45 @@ private[streaming] object ScrubEngine {
         graft.ext.BloomJoin.pruneProbe(raw, fam.keyCol, words, bits, 4)
       }
     val index = readIndex(fam, batch, indexDir, batchId, prune, batchKeys)
-    val scrubbed = fam.incremental(prep, idCol, textCol, index)
-      .join(batch.select(col(idCol), col("year")), idCol)
-      .select((col(idCol) :: col("year") ::
-        fam.statCols.map(col).toList): _*)
-      .localCheckpoint(true)
-    val factLeg =
-      if (!dedupFact) scrubbed
-      else wh.read(fact) match {
-        case None => scrubbed
-        case Some(existing) =>
-          val years = scrubbed.select(col("year")).distinct()
-            .collect().map(_.getLong(0))
-          scrubbed.join(existing
-            .filter(col("year").isin(years.map(Long.box): _*))
-            .select(col(idCol)), Seq(idCol), "left_anti")
-      }
-    if (!factLeg.isEmpty) wh.append(fact, factLeg)
     val part = new Path(s"$indexDir/${fam.subdir}/batch=$batchId")
-    batchIndex.write.mode("overwrite").parquet(part.toString)
     val fs = part.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
-    // the sidecar keys ARE the collected probe keys — driver-side build
-    // unless the cap forced the unpruned path
-    writeSidecar(fs, part, batchIndex, fam,
-      batchKeys.map(ks => wordsOf(ks, SideBits, SideK)))
+    // The trigger's two legs are independent once batchIndex is
+    // checkpointed and the (own-batch-excluding) index read above has
+    // listed its partitions: the index write touches only
+    // batch=<batchId> (idempotent overwrite; replay reads exclude it),
+    // the judge/fact leg only the fact. Either crash order is already
+    // covered by the intent/marker replay (the fact-first and
+    // index-first windows are both spec'd in TileScrubSpec), and an
+    // un-leased reader seeing the partition a leg earlier is the
+    // dup-safe over-count direction. So OVERLAP them: the index-write
+    // job back-fills the executor slots the judge's stages leave idle
+    // instead of adding its own serial scheduler round-trip.
+    Concurrent.overlap { () =>
+      batchIndex.write.mode("overwrite").parquet(part.toString)
+      // the sidecar keys ARE the collected probe keys — driver-side
+      // build unless the cap forced the unpruned path
+      writeSidecar(fs, part, batchIndex, fam,
+        batchKeys.map(ks => wordsOf(ks, SideBits, SideK)))
+    } {
+      val scrubbed = fam.incremental(prep, idCol, textCol, index)
+        .join(batch.select(col(idCol), col("year")), idCol)
+        .select((col(idCol) :: col("year") ::
+          fam.statCols.map(col).toList): _*)
+        .localCheckpoint(true)
+      val factLeg =
+        if (!dedupFact) scrubbed
+        else wh.read(fact) match {
+          case None => scrubbed
+          case Some(existing) =>
+            val years = scrubbed.select(col("year")).distinct()
+              .collect().map(_.getLong(0))
+            scrubbed.join(existing
+              .filter(col("year").isin(years.map(Long.box): _*))
+              .select(col(idCol)), Seq(idCol), "left_anti")
+        }
+      if (!factLeg.isEmpty) wh.append(fact, factLeg)
+    }
   }
 
   // ------------------------- compaction -------------------------
