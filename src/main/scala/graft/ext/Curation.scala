@@ -44,10 +44,11 @@ object Curation {
         .groupBy(xxhash64(col(textCol)).as("__fp")).agg(min(id).as(idCol))
         .select(id), idCol)
       .select(id, col(textCol)).persist()
+    // the repetition vote is per-row (set-independent), so annotate and
+    // filter in place — no survivors-id join back onto the corpus
     val screened = Repetition
-      .gopherFilter(deduped, idCol, textCol, thresholds = thresholds)
-      .filter(col("keep")).select(id)
-      .join(deduped, idCol).select(id, col(textCol)).persist()
+      .repetitionKeep(deduped, textCol, "__rep_keep", thresholds = thresholds)
+      .filter(col("__rep_keep")).select(id, col(textCol)).persist()
     val scored = NgramLm.score(model, screened, idCol, textCol)
       .filter(col("lm_score") >= lit(minScore)).select(id, col("lm_score"))
     val curated = screened.join(scored, idCol).localCheckpoint(true)
@@ -113,27 +114,40 @@ object Curation {
       thresholds: Map[String, Double] = Repetition.gopherThresholds)
       : Result = {
     val id = col(idCol)
-    def keepIds(flags: DataFrame): DataFrame =
-      flags.filter(col("keep")).select(id)
 
-    // Every stage materializes eagerly (localCheckpoint cuts the
-    // lineage): each stage references its predecessor TWICE (the screen
-    // and the join-back), so lazy lineage doubles per stage — 2^9 plan
-    // copies by the shard stage, a driver-side planning blowup long
-    // before any data moves. A per-stage funnel re-reads each stage
-    // anyway, so the materialization is paid for, not extra.
+    // Stage materialization discipline (localCheckpoint cuts the
+    // lineage): a stage whose successor references it TWICE (a screen
+    // and a join-back) doubles lazy lineage per stage — 2^9 plan copies
+    // by the shard stage, a driver-side planning blowup long before any
+    // data moves. A per-stage funnel re-reads each stage anyway, so the
+    // materialization is paid for, not extra.
     val input = docs.select(id, col(textCol), col(urlCol), col(sourceCol))
       .localCheckpoint(true)
-    val unblocked = UrlFilter
-      .annotateBlocked(input, idCol, urlCol, blocklist)
-      .filter(!col("blocked"))
-      .select(id, col(textCol), col(sourceCol)).localCheckpoint(true)
-    val lexed = unblocked.join(keepIds(QualityRules.gopherLexical(
-        unblocked, idCol, textCol, minWords = lexMinWords)), idCol)
+    // The first three screens (URL blocklist, Gopher lexical, Gopher
+    // repetition) are per-row verdicts — each document's vote depends
+    // only on its own row and the frozen blocklist, never on which
+    // OTHER documents survive. So ONE annotation pass computes all
+    // three flags in place (the screens' own expressions via the
+    // in-place annotators — one source of truth) and one checkpoint
+    // replaces three: the former per-screen survivors-id joins back
+    // onto the corpus (two id-keyed corpus shuffles at scale) and two
+    // corpus materializations are gone, and the sequential-filter
+    // funnel counts are recovered EXACTLY as cumulative conjunctions
+    // of the flags.
+    val flagged = Repetition.repetitionKeep(
+        QualityRules.lexicalKeep(
+          UrlFilter.annotateBlocked(input, idCol, urlCol, blocklist)
+            .withColumn("__url_keep", !col("blocked")),
+          textCol, "__lex_keep", minWords = lexMinWords),
+        textCol, "__rep_keep", thresholds = thresholds)
+      .select(id, col(textCol), col(sourceCol),
+        col("__url_keep"), col("__lex_keep"), col("__rep_keep"))
       .localCheckpoint(true)
-    val screened = lexed.join(keepIds(Repetition.gopherFilter(
-        lexed, idCol, textCol, thresholds = thresholds)), idCol)
-      .localCheckpoint(true)
+    // the LM stage scores SURVIVORS only (the screens are selective;
+    // scoring everything would waste the model joins on dropped docs)
+    val screened = flagged
+      .filter(col("__url_keep") && col("__lex_keep") && col("__rep_keep"))
+      .select(id, col(textCol), col(sourceCol))
     val scored = screened.join(NgramLm.score(model, screened, idCol, textCol)
         .filter(col("lm_score") >= lit(minScore)).select(id), idCol)
       .localCheckpoint(true)
@@ -176,10 +190,31 @@ object Curation {
         coalesce(sum(id * (col("shard") + 1L)), lit(0L)).as("checksum"))
       .select(lit("shard").as("stage"), lit(11L).as("stage_idx"),
         col("n"), col("checksum"))
-    val funnel = stage(input, "input", 1)
-      .unionByName(stage(unblocked, "url_filter", 2))
-      .unionByName(stage(lexed, "gopher_lexical", 3))
-      .unionByName(stage(screened, "gopher_repetition", 4))
+    // funnel rows 1-4 from ONE pass over the flagged frame: stage k's
+    // population is the cumulative conjunction of the first k-1 flags
+    // (count counts non-null `when` branches; sum skips them) — exactly
+    // the sequential-filter populations, without four separate corpus
+    // aggregates
+    val f14 = {
+      val u = col("__url_keep"); val l = col("__lex_keep")
+      val r = col("__rep_keep")
+      flagged.agg(
+        count(lit(1)).as("n1"), coalesce(sum(id), lit(0L)).as("c1"),
+        count(when(u, 1)).as("n2"),
+        coalesce(sum(when(u, id)), lit(0L)).as("c2"),
+        count(when(u && l, 1)).as("n3"),
+        coalesce(sum(when(u && l, id)), lit(0L)).as("c3"),
+        count(when(u && l && r, 1)).as("n4"),
+        coalesce(sum(when(u && l && r, id)), lit(0L)).as("c4"))
+        .localCheckpoint(true)
+    }
+    def early(name: String, idx: Int, n: Column, c: Column): DataFrame =
+      f14.select(lit(name).as("stage"), lit(idx.toLong).as("stage_idx"),
+        n.as("n"), c.as("checksum"))
+    val funnel = early("input", 1, col("n1"), col("c1"))
+      .unionByName(early("url_filter", 2, col("n2"), col("c2")))
+      .unionByName(early("gopher_lexical", 3, col("n3"), col("c3")))
+      .unionByName(early("gopher_repetition", 4, col("n4"), col("c4")))
       .unionByName(stage(scored, "lm_quality", 5))
       .unionByName(stage(deduped, "exact_dedup", 6))
       .unionByName(stage(tiled, "substr_dedup", 7))

@@ -24,11 +24,11 @@ import org.apache.spark.sql.functions._
   * not apply. Ratios round to 6 dp for cross-engine replay. */
 object QualityRules {
 
-  /** Per-document lexical metrics + the Gopher keep vote. */
-  def gopherLexical(df: DataFrame, idCol: String, textCol: String,
-      minWords: Long = 50L, maxWords: Long = 100000L,
-      stopwords: Seq[String] = TextAnalysis.defaultStopwords): DataFrame = {
-    val t = col(textCol)
+  /** The five lexical metrics of one text column, in output order —
+    * ONE builder for [[gopherLexical]]'s flat projection and
+    * [[lexicalKeep]]'s in-place struct. */
+  private def lexMetrics(t: Column,
+      stopwords: Seq[String]): Seq[(String, Column)] = {
     val ws = split(t, " ")
     val wc = size(ws).cast("long")
     val sumLen = aggregate(transform(ws, w => length(w)),
@@ -42,15 +42,53 @@ object QualityRules {
     val sw = array(stopwords.map(lit): _*)
     val stopHits = size(array_intersect(
       array_distinct(transform(ws, w => lower(w))), sw)).cast("long")
-    val out = df.select(col(idCol),
-      wc.as("word_count"), meanLen.as("mean_word_len"),
-      symRatio.as("symbol_word_ratio"), alphaFrac.as("alpha_word_frac"),
-      stopHits.as("stopword_hits"))
-    out.withColumn("keep",
-      col("word_count") >= minWords && col("word_count") <= maxWords &&
-        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
-        col("symbol_word_ratio") <= 0.1 &&
-        col("alpha_word_frac") >= 0.8 &&
-        col("stopword_hits") >= 2L)
+    Seq("word_count" -> wc, "mean_word_len" -> meanLen,
+      "symbol_word_ratio" -> symRatio, "alpha_word_frac" -> alphaFrac,
+      "stopword_hits" -> stopHits)
+  }
+
+  /** The keep conjunction over metric accessors — shared by both forms. */
+  private def vote(f: String => Column, minWords: Long,
+      maxWords: Long): Column =
+    f("word_count") >= minWords && f("word_count") <= maxWords &&
+      f("mean_word_len") >= 3.0 && f("mean_word_len") <= 10.0 &&
+      f("symbol_word_ratio") <= 0.1 &&
+      f("alpha_word_frac") >= 0.8 &&
+      f("stopword_hits") >= 2L
+
+  /** Per-document lexical metrics + the Gopher keep vote. */
+  def gopherLexical(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      stopwords: Seq[String] = TextAnalysis.defaultStopwords): DataFrame = {
+    val out = df.select(col(idCol) +:
+      lexMetrics(col(textCol), stopwords).map { case (n, c) => c.as(n) }: _*)
+    out.withColumn("keep", vote(col, minWords, maxWords))
+  }
+
+  /** Annotate `df` IN PLACE with the lexical keep vote as `outCol`:
+    * per-row, preserves every input column, verdict identical to
+    * [[gopherLexical]]'s `keep` (same metric expressions, same vote).
+    * The join-free composition form — see
+    * [[Repetition.repetitionKeep]] for the rationale.
+    *
+    * The metrics bind to FLAT columns in their own projection (the
+    * gopherLexical shape), NOT a `struct(...)`: the optimizer dissolves
+    * `GetStructField(CreateNamedStruct(...))` into the raw metric
+    * expressions, which re-evaluated `split(text)` once per vote
+    * reference (7x per row, seen in the optimized plan). The flat
+    * aliases are multiply referenced and expensive, so CollapseProject
+    * leaves them materialized once per row. Callers filtering on
+    * `outCol` over an UNmaterialized frame would still trigger the
+    * pushdown-duplication trap — the curation callers checkpoint the
+    * annotated frame before filtering. */
+  def lexicalKeep(df: DataFrame, textCol: String, outCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      stopwords: Seq[String] = TextAnalysis.defaultStopwords): DataFrame = {
+    val metricNames = lexMetrics(col(textCol), stopwords).map(_._1)
+    df.select(col("*") +:
+        lexMetrics(col(textCol), stopwords)
+          .map { case (n, c) => c.as(s"__lex_$n") }: _*)
+      .withColumn(outCol, vote(f => col(s"__lex_$f"), minWords, maxWords))
+      .drop(metricNames.map(n => s"__lex_$n"): _*)
   }
 }

@@ -83,9 +83,44 @@ object Repetition {
       lineSep: String = "\n",
       thresholds: Map[String, Double] = gopherThresholds): DataFrame = {
     val m = metrics(df, idCol, textCol, topNs, dupNs, lineSep)
-    val votes = m.columns.filter(thresholds.contains).map(c =>
-      col(c) <= lit(thresholds(c)))
-    m.withColumn("keep", votes.reduceOption(_ && _).getOrElse(lit(true)))
+    m.withColumn("keep", vote(col, topNs, dupNs, thresholds))
+  }
+
+  /** The keep conjunction over metric accessors — ONE vote builder for
+    * [[gopherFilter]]'s flat columns and [[repetitionKeep]]'s struct
+    * fields (metrics without a configured threshold don't vote; none
+    * configured → vacuous true, as before). */
+  private def vote(fieldOf: String => Column, topNs: Seq[Int],
+      dupNs: Seq[Int], thresholds: Map[String, Double]): Column =
+    RepetitionStats.fieldNames(topNs, dupNs)
+      .filter(thresholds.contains)
+      .map(f => fieldOf(f) <= lit(thresholds(f)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+
+  /** Annotate `df` IN PLACE with the Gopher repetition vote as
+    * `outCol`: per-row, preserves every input column, verdict identical
+    * to [[gopherFilter]]'s `keep` (same kernel, same vote semantics).
+    * The join-free composition form — a pipeline that only needs the
+    * flag (Curation's funnel, QualityGate's screen) annotates-and-
+    * filters instead of screening a projection and joining the
+    * survivors back, which at corpus scale removed one id-keyed shuffle
+    * join per screen.
+    *
+    * The vote is [[StructThresholdVote]] — ONE expression with ONE
+    * reference to the kernel — NOT a column-level conjunction: filter
+    * pushdown substitutes a filtered alias into every reference, so the
+    * conjunction form re-evaluated the kernel once per thresholded
+    * metric (11x per row, measured in the optimized plan) the moment a
+    * caller wrote `.filter(col(outCol))`. */
+  def repetitionKeep(df: DataFrame, textCol: String, outCol: String,
+      topNs: Seq[Int] = Seq(2, 3, 4), dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10),
+      lineSep: String = "\n",
+      thresholds: Map[String, Double] = gopherThresholds): DataFrame = {
+    val voted = RepetitionStats.fieldNames(topNs, dupNs)
+      .filter(thresholds.contains)
+    df.withColumn(outCol, StructThresholdVote(
+      RepetitionStats(col(textCol), topNs, dupNs, lineSep),
+      voted, voted.map(thresholds)))
   }
 }
 
@@ -221,4 +256,66 @@ object RepetitionStats {
       new RepetitionStats(
         org.apache.spark.sql.graftbridge.Bridge.expression(c),
         topNs, dupNs, lineSep))
+}
+
+/** `AND` of `child.field_i <= bound_i` over a struct-valued child, as
+  * ONE expression with ONE child reference. The unfused form — a
+  * boolean conjunction over `GetStructField` references — is torn apart
+  * by filter pushdown, which substitutes the aliased struct into EVERY
+  * reference: `.filter(keep)` over an 11-metric vote re-evaluated the
+  * [[RepetitionStats]] kernel 11 times per row (seen in the optimized
+  * plan; the native-expression analog of the guide's duplicated-UDF
+  * trap). Fused, the pushed predicate carries the kernel once.
+  *
+  * Semantics are bit-identical to the SQL conjunction, including
+  * three-valued logic: NULL child → NULL; any violated bound → false
+  * (even if another field is NULL, as `false AND NULL = false`); all
+  * bounds held with a NULL field → NULL. Fields must be DoubleType. */
+case class StructThresholdVote(child: Expression, fields: Seq[String],
+    bounds: Seq[Double]) extends UnaryExpression with CodegenFallback {
+  require(fields.length == bounds.length, "one bound per voted field")
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "struct_threshold_vote"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case st: StructType
+        if fields.forall(f => st.fields.exists(sf =>
+          sf.name == f && sf.dataType == DoubleType)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected a struct with double fields ${fields.mkString(", ")}, " +
+        s"got ${other.simpleString(8)}")
+  }
+
+  private lazy val ordinals: Array[Int] = {
+    val st = child.dataType.asInstanceOf[StructType]
+    fields.map(st.fieldIndex).toArray
+  }
+  private lazy val boundArr: Array[Double] = bounds.toArray
+
+  override def eval(input: InternalRow): Any = {
+    val row = child.eval(input).asInstanceOf[InternalRow]
+    if (row == null) return null
+    var sawNull = false
+    var i = 0
+    while (i < ordinals.length) {
+      if (row.isNullAt(ordinals(i))) sawNull = true
+      else if (row.getDouble(ordinals(i)) > boundArr(i)) return false
+      i += 1
+    }
+    if (sawNull) null else true
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): StructThresholdVote = copy(child = newChild)
+}
+
+object StructThresholdVote {
+  def apply(c: Column, fields: Seq[String], bounds: Seq[Double]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      new StructThresholdVote(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c),
+        fields, bounds))
 }

@@ -38,13 +38,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object QualityGate {
 
   def saveModel(m: NgramLm.Model, dir: String): Unit = {
-    m.uni.write.mode("overwrite").parquet(s"$dir/uni")
-    m.bi.write.mode("overwrite").parquet(s"$dir/bi")
-    m.tri.write.mode("overwrite").parquet(s"$dir/tri")
     val spark = m.uni.sparkSession
     import spark.implicits._
-    Seq((m.n, m.v)).toDF("n", "v")
-      .write.mode("overwrite").parquet(s"$dir/totals")
+    // the four tables are independent actions on disjoint output dirs
+    // (each count table re-runs its own corpus aggregation — the train
+    // frames are deliberately unpersisted, see NgramLm.train): run them
+    // CONCURRENTLY so the three corpus scans overlap instead of paying
+    // three serial stage ladders (optimization guide, "overlap
+    // independent jobs")
+    Concurrent.all(Seq(
+      () => m.uni.write.mode("overwrite").parquet(s"$dir/uni"),
+      () => m.bi.write.mode("overwrite").parquet(s"$dir/bi"),
+      () => m.tri.write.mode("overwrite").parquet(s"$dir/tri"),
+      () => Seq((m.n, m.v)).toDF("n", "v")
+        .write.mode("overwrite").parquet(s"$dir/totals")))
   }
 
   def loadModel(spark: SparkSession, dir: String): NgramLm.Model = {
@@ -70,12 +77,18 @@ object QualityGate {
     // instead of failing the whole StreamingQuery with
     // missing-checkpoint-block errors. An eager count() forces the
     // one materialization pass up front.
-    def pin(df: DataFrame): DataFrame = { df.persist(); df.count(); df }
+    def pin(df: DataFrame): DataFrame = { df.persist(); df }
     val lazyModel = loadModel(spark, modelDir)
     val model = lazyModel.copy(
       uni = pin(lazyModel.uni),
       bi = pin(lazyModel.bi),
       tri = pin(lazyModel.tri))
+    // the three forcing counts are independent tiny scans — overlap
+    // them instead of paying three serial scheduler round-trips
+    Concurrent.all(Seq(
+      () => { model.uni.count(); () },
+      () => { model.bi.count(); () },
+      () => { model.tri.count(); () }))
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -89,14 +102,18 @@ object QualityGate {
         if (!fs.exists(marker)) {
           val crashReplay = fs.exists(intent)
           if (!crashReplay) fs.create(intent, true).close()
-          val keep = Repetition
-            .gopherFilter(batch, idCol, textCol)
-            .filter(col("keep")).select(col(idCol))
+          // the Gopher vote is per-row: annotate and filter in place
+          // (verdict identical to gopherFilter's keep) instead of
+          // screening an id projection and joining the survivors back —
+          // one join fewer per trigger, one fewer batch scan
+          val screened = Repetition
+            .repetitionKeep(batch.select(col(idCol), col(textCol),
+              col("year")), textCol, "__rep_keep")
+            .filter(col("__rep_keep")).select(col(idCol), col("year"))
           val scored = NgramLm.score(model, batch, idCol, textCol)
             .filter(col("lm_score") >= lit(minScore))
             .select(col(idCol), col("lm_score"))
-          val accepted = batch.select(col(idCol), col("year"))
-            .join(scored, idCol).join(keep, idCol)
+          val accepted = screened.join(scored, idCol)
           val out =
             if (!crashReplay) accepted
             else wh.read(fact) match {

@@ -63,4 +63,23 @@ class QualityRulesSpec extends SparkTestBase {
     assert(!run(Seq(1L -> doc)).apply(1L).getBoolean(6))
     assert(run(Seq(1L -> doc), minWords = 10L).apply(1L).getBoolean(6))
   }
+
+  test("lexicalKeep: flag matches gopherLexical's keep row-for-row, " +
+      "input columns preserved, scratch columns gone") {
+    val rows = ((1L to 30L).map(i =>
+      i -> (("the a an of and to in word" + i + " ") * (2 + (i % 6).toInt))
+        .trim) ++ Seq(100L -> "### ... ###", 101L -> "")).toSeq
+    val df = rows.toDF("doc_id", "text").withColumn("tag",
+      org.apache.spark.sql.functions.lit("x"))
+    val viaScreen = QualityRules.gopherLexical(df, "doc_id", "text",
+        minWords = 5L)
+      .select($"doc_id", $"keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val annotated = QualityRules.lexicalKeep(df, "text", "__lk",
+      minWords = 5L)
+    assert(annotated.columns.toSeq == Seq("doc_id", "text", "tag", "__lk"))
+    val viaKeep = annotated.select($"doc_id", $"__lk").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaKeep == viaScreen)
+  }
 }

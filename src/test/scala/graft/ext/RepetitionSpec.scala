@@ -69,4 +69,33 @@ class RepetitionSpec extends SparkTestBase {
     assert(a.keySet == b.keySet)
     a.keys.foreach { k => assert(a(k) == b(k)) }
   }
+
+  test("repetitionKeep: flag matches gopherFilter's keep row-for-row, " +
+      "and a filter on it carries the kernel ONCE (pushdown fusion pin)") {
+    val rows = ((1L to 40L).map(i =>
+      i -> (s"w${i % 9} v${i % 6} u${i % 4} " * (2 + (i % 5).toInt)).trim) ++
+      Seq(100L -> "a b a b a b a b", 101L -> "", 102L -> "solo")).toSeq
+    val df = rows.toDF("doc_id", "text")
+    val viaFilter = Repetition.gopherFilter(df, "doc_id", "text")
+      .select($"doc_id", $"keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val viaKeep = Repetition.repetitionKeep(df, "text", "__rk")
+      .select($"doc_id", $"__rk").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaKeep == viaFilter)
+    // the regression this exists to catch: .filter over the flag used to
+    // substitute the kernel into every one of the 11 vote comparisons
+    // (a parquet round-trip keeps ConvertToLocalRelation from folding
+    // the whole plan away before the pin can see it)
+    val pq = graft.TempDirs.scratchDir("repkeep_pin").toString
+    df.write.mode("overwrite").parquet(pq)
+    val filtered = Repetition.repetitionKeep(spark.read.parquet(pq),
+        "text", "__rk")
+      .filter($"__rk").select($"doc_id")
+    val plan = filtered.queryExecution.optimizedPlan.toString
+    assert("repetition_stats".r.findAllIn(plan).length == 1,
+      s"kernel must appear exactly once in the optimized plan:\n$plan")
+    assert(filtered.collect().map(_.getLong(0)).toSet ==
+      viaFilter.collect { case (id, true) => id }.toSet)
+  }
 }
