@@ -63,23 +63,36 @@ object MaterializedAgg {
 
   /** Append `batch` (must carry a `year` column) to `fact` AND fold its
     * partial aggregates into the agg table. Only the batch's year
-    * partitions of the agg table rewrite. */
+    * partitions of the agg table rewrite.
+    *
+    * The two legs mutate DISJOINT tables (`fact` vs `fact__agg`) and
+    * run OVERLAPPED: the raw append back-fills the executor slots the
+    * fold's read+merge leaves idle instead of paying a serial stage
+    * ladder. Crash windows gain the fold-landed/append-missing order
+    * (previously only the reverse); the recovery story is unchanged
+    * either way — replay the delta under the caller's batch-id guard
+    * for exactly-once, or [[rebuild]] to resynchronize the pair from
+    * the fact (which also repairs the pre-existing append-landed/
+    * fold-missing window). */
   def appendWithAgg(wh: Warehouse, fact: String, batch: DataFrame,
       groupCols: Seq[String], valueCol: String): Unit = {
     val at = aggTable(fact)
-    wh.append(fact, batch)
-    val delta = partials(batch, groupCols, valueCol)
-    wh.read(at) match {
-      case None => wh.append(at, delta)
-      case Some(old) =>
-        // bounded collect: one value per touched partition (merge does
-        // the same to scope its rewrite)
-        val years = delta.select(col("year").cast("long")).distinct()
-          .collect().map(_.getLong(0)).toSeq
-        val touched = old.filter(col("year").isin(years: _*))
-        val merged = combine(touched.unionByName(delta), groupCols)
-        wh.merge(at, merged, keys = "year" +: groupCols,
-          validateKeys = false)
+    graft.streaming.Concurrent.overlap { () =>
+      wh.append(fact, batch)
+    } {
+      val delta = partials(batch, groupCols, valueCol)
+      wh.read(at) match {
+        case None => wh.append(at, delta)
+        case Some(old) =>
+          // bounded collect: one value per touched partition (merge does
+          // the same to scope its rewrite)
+          val years = delta.select(col("year").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSeq
+          val touched = old.filter(col("year").isin(years: _*))
+          val merged = combine(touched.unionByName(delta), groupCols)
+          wh.merge(at, merged, keys = "year" +: groupCols,
+            validateKeys = false)
+      }
     }
   }
 

@@ -20,7 +20,7 @@ import java.util.concurrent.FutureTask
   *  - failures propagate: the first failure is rethrown after all legs
   *    have stopped, with any further failures attached as suppressed.
   */
-private[streaming] object Concurrent {
+private[graft] object Concurrent {
 
   /** Run `side` on its own thread while `main` runs on the caller's;
     * join `side` (rethrowing its failure) before returning. */
