@@ -11,6 +11,26 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Optimizer rules every graft session excludes
+    * (`spark.sql.optimizer.excludedRules`), with why:
+    *
+    *  - `InferFiltersFromGenerate` adds `size(g) > 0 AND isnotnull(g)`
+    *    below each explode, where `g` is the generator input. For the
+    *    content kernels this engine explodes (WARC/tar/zip walks,
+    *    pixel matrices, sample tables, PDF text entries), the inferred
+    *    predicate is then pushed through the binding projection by
+    *    alias substitution, so every row pays the FULL decode twice —
+    *    once in the inferred filter, once for the explode itself
+    *    (measured: warc_records and the fixture encoder each appeared
+    *    twice in x_web_extract's optimized plan; at 100 TB this
+    *    doubles decode CPU on every exploding scan). The rule's upside
+    *    (pruning empty-generator rows a stage early) cannot reach a
+    *    parquet scan here anyway: the generator inputs are computed
+    *    columns, never stored ones. Scale-independent semantics — the
+    *    exclusion changes no results, only re-evaluation count. */
+  val excludedOptimizerRules: String =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
   /** Normalize an event-time `ts` column to session-timezone TIMESTAMP,
     * whatever physical type the testdata generation emitted. The driver has
     * shipped three layouts across rounds:

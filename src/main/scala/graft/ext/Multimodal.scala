@@ -933,8 +933,17 @@ object Multimodal {
   def warcHttpResponses(media: DataFrame, maxRecords: Int = 4096): DataFrame =
     warcRecords(media, maxRecords)
       .filter(col("warc_type") === "response")
-      .withColumn("__h", HttpResponseDecode(col("payload")))
-      .filter(col("__h.ok"))
+      // Drop non-ok rows via explode of a 0/1-element array, NOT a
+      // Filter on the aliased struct: filter pushdown substitutes the
+      // alias into the pushed predicate, so `.filter(col("__h.ok"))`
+      // re-evaluated the HTTP decode per ok probe AND per extracted
+      // field — 4 decodes per row in x_web_extract's optimized plan. A
+      // Generate is not a predicate (nothing pushes through it), the
+      // kernel is referenced once, and `__h` below is a materialized
+      // generate output whose field reads are free. Same row set.
+      .withColumn("__h0", HttpResponseDecode(col("payload")))
+      .select(col("media_id"), col("rec_idx"), col("target_uri"),
+        explode(filter(array(col("__h0")), h => h.getField("ok"))).as("__h"))
       .select(col("media_id"), col("rec_idx"), col("target_uri"),
         col("__h.status").as("status"),
         col("__h.content_type").as("content_type"),
@@ -954,8 +963,13 @@ object Multimodal {
     * `text` while the conformance gate replays the numbers. */
   def warcHttpTexts(media: DataFrame, maxRecords: Int = 4096): DataFrame =
     warcHttpResponses(media, maxRecords)
-      .withColumn("__t", CharsetTextDecode(col("content_type"), col("body")))
-      .filter(col("__t.ok"))
+      // same explode-not-filter discipline as [[warcHttpResponses]]:
+      // the charset decode runs once per row, not once per ok probe
+      // plus once per extracted field
+      .withColumn("__t0", CharsetTextDecode(col("content_type"), col("body")))
+      .select(col("media_id"), col("rec_idx"), col("target_uri"),
+        col("status"), col("content_type"),
+        explode(filter(array(col("__t0")), t => t.getField("ok"))).as("__t"))
       .select(col("media_id"), col("rec_idx"), col("target_uri"),
         col("status"), col("content_type"),
         col("__t.charset").as("charset"),

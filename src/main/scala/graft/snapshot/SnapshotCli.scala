@@ -82,6 +82,8 @@ object SnapshotCli {
       .config("spark.master",
         sys.props.getOrElse("spark.master", sys.env.getOrElse("SPARK_MASTER", "local[*]")))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.excludedRules",
+        graft.Tables.excludedOptimizerRules)
       .getOrCreate()
     val wh = new Warehouse(spark, args.warehouse)
     args.command match {

@@ -12,6 +12,8 @@ object PlanProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.optimizer.excludedRules",
+        graft.Tables.excludedOptimizerRules)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
@@ -47,6 +49,17 @@ object PlanProbe {
     count("funnel-flags", bothPlan, "struct_threshold_vote")
     println("=== lk optimized plan ===")
     println(lkPlan.take(5000))
+
+    // web-extract chain: do the ok-filters double-evaluate the decode
+    // kernels (pushdown duplication)?
+    val web = graft.SparkEntry.queries("x_web_extract")(
+      spark, "/root/testdata/sf0.001")
+    val webPlan = web.queryExecution.optimizedPlan.toString
+    for (k <- Seq("http_response_decode", "charset_text_decode",
+        "warc_records", "html_strip", "warc_html_encode"))
+      count("x_web_extract", webPlan, k)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/web_plan.txt"), webPlan)
     spark.stop()
   }
 }
