@@ -211,7 +211,7 @@ object Curation {
     def early(name: String, idx: Int, n: Column, c: Column): DataFrame =
       f14.select(lit(name).as("stage"), lit(idx.toLong).as("stage_idx"),
         n.as("n"), c.as("checksum"))
-    val funnel = early("input", 1, col("n1"), col("c1"))
+    val funnelPlan = early("input", 1, col("n1"), col("c1"))
       .unionByName(early("url_filter", 2, col("n2"), col("c2")))
       .unionByName(early("gopher_lexical", 3, col("n3"), col("c3")))
       .unionByName(early("gopher_repetition", 4, col("n4"), col("c4")))
@@ -222,11 +222,17 @@ object Curation {
       .unionByName(stage(mixed, "mixture", 9))
       .unionByName(packStage)
       .unionByName(shardStage)
-      .localCheckpoint(true)
-    val curated = mixed
+    val curatedPlan = mixed
       .join(packed.select(id, col("seq_id"), col("seq_off")), idCol)
       .join(sharded.select(id, col("shard"), col("seq")), idCol)
-      .localCheckpoint(true)
+    // the two closing materializations are independent reads of the
+    // checkpointed stages (each recomputes pack/shard from `mixed` for
+    // itself) — overlap them instead of paying two serial tails
+    var funnel: DataFrame = null
+    var curated: DataFrame = null
+    graft.streaming.Concurrent.all(Seq(
+      () => { funnel = funnelPlan.localCheckpoint(true); () },
+      () => { curated = curatedPlan.localCheckpoint(true); () }))
     Result(curated, funnel)
   }
 }
